@@ -1,0 +1,291 @@
+"""Scalar-function surface (SURVEY.md §2B B37-B43).
+
+All expressions here are built-in ``pyspark.sql.functions`` — JVM-side,
+whole-stage-codegen'd, zero Python in the hot path. Per-row IEEE double
+arithmetic is bit-deterministic across engines, so no decimal armor is
+needed outside aggregation; the only gotchas handled explicitly:
+
+- transcendentals (``ln``) may differ by 1 ulp between libm
+  implementations → rounded to 6 decimals on both sides;
+- day-of-week numbering differs (Spark ``weekday`` Mon=0 vs DuckDB
+  ``isodow`` Mon=1) → aligned in the oracle;
+- timestamps compared/derived at second granularity where the ns-parquet
+  column is involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from asyncdatapipeline_spark.registry import query
+from asyncdatapipeline_spark.sources.tables import load_table
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+SELECT
+  p_partkey,
+  upper(p_name) AS name_upper,
+  lower(p_brand) AS brand_lower,
+  concat(p_type, ':', p_brand) AS type_brand,
+  substring(p_name, 1, 4) AS name_prefix,
+  length(p_name) AS name_len,
+  trim('  ' || p_name || ' ') AS name_trimmed,
+  regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+  split_part(p_name, ' ', 1) AS first_word,
+  replace(p_type, 'ECONOMY', 'ECO') AS type_short,
+  contains(p_name, 'widget') AS is_widget
+FROM part
+""",
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: case/concat/substring/trim/regexp/split (B37)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.concat(F.col("p_type"), F.lit(":"), F.col("p_brand")).alias("type_brand"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias(
+            "name_trimmed"
+        ),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+        F.contains(F.col("p_name"), F.lit("widget")).alias("is_widget"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+SELECT
+  o_orderkey,
+  year(o_orderdate) AS order_year,
+  month(o_orderdate) AS order_month,
+  day(o_orderdate) AS order_day,
+  date_trunc('month', o_orderdate) AS order_month_start,
+  CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS TIMESTAMP) AS due_date,
+  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+  isodow(o_orderdate) - 1 AS order_weekday,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+FROM orders
+""",
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: extract/trunc/add/diff/weekday (B38)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        # DATE results are emitted as midnight timestamps: pandas has no
+        # date dtype, so DATE columns round-trip inconsistently between
+        # Spark's toPandas (object of datetime.date) and DuckDB's .df()
+        # (datetime64) — timestamps compare cleanly.
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("timestamp")
+        .alias("due_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.weekday("o_orderdate").alias("order_weekday"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  abs(l_extendedprice - 30000.0) AS price_dev,
+  round(l_extendedprice * 1.1, 4) AS price_bumped,
+  power(l_quantity, 2) AS qty_sq,
+  sqrt(l_extendedprice) AS price_sqrt,
+  CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct_floor,
+  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+  l_orderkey % 7 AS key_mod,
+  CAST(sign(l_extendedprice - 30000.0) AS INTEGER) AS price_side,
+  round(ln(l_extendedprice), 6) AS price_ln,
+  CAST(l_quantity AS INTEGER) AS qty_int,
+  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec
+FROM lineitem
+WHERE l_linenumber = 1
+""",
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions: abs/round/pow/sqrt/floor/ceil/mod/sign/ln/casts
+    (B39). sqrt is IEEE-exact; ln is rounded (libm may differ 1 ulp)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(price - 30000.0).alias("price_dev"),
+        F.round(price * 1.1, 4).alias("price_bumped"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.sqrt(price).alias("price_sqrt"),
+        F.floor(F.col("l_discount") * 100).alias("disc_pct_floor"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(price - 30000.0).cast("int").alias("price_side"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        # decimal round-trip emitted as double: pandas renders Spark
+        # decimals as Decimal objects but DuckDB decimals as float64
+        price.cast("decimal(18,2)").cast("double").alias("price_dec"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+SELECT
+  vec_id,
+  label,
+  len(embedding) AS dim,
+  embedding[1] AS first_component,
+  embedding[1:4] AS head4,
+  list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2) AS head4_doubled,
+  len(list_filter(embedding, x -> x > 0)) AS n_positive,
+  round(sqrt(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm,
+  list_contains(list_transform(embedding, x -> x > 0.5), true) AS has_large
+FROM embeddings
+""",
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order functions on the embedding column (B40):
+    size/element_at/slice/transform/filter/aggregate.
+
+    The fold casts each float to double before multiplying so both
+    engines run the identical sequential double accumulation; the norm is
+    rounded to 6 decimals as belt-and-suspenders against summation-order
+    differences in DuckDB's list_sum.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    dx = lambda x: x.cast("double")  # noqa: E731
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).alias("first_component"),
+        F.slice(emb, 1, 4).alias("head4"),
+        F.transform(F.slice(emb, 1, 4), lambda x: dx(x) * 2).alias("head4_doubled"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.sqrt(
+                F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + dx(x) * dx(x))
+            ),
+            6,
+        ).alias("norm"),
+        F.array_contains(F.transform(emb, lambda x: x > 0.5), True).alias("has_large"),
+    )
+
+
+@query(
+    "q_fn_map",
+    # The map is constructed from known columns, so the oracle states the
+    # extracted ground truth directly — no engine-specific MAP syntax.
+    oracle="""
+SELECT
+  event_id,
+  event_type AS type_from_map,
+  value AS value_from_map,
+  ['type', 'value'] AS mkeys,
+  2 AS msize
+FROM events
+""",
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions: create_map / element_at / map_keys / size (B41).
+
+    Build a map from columns, then extract — the oracle asserts the
+    round-trip recovers the source columns exactly.
+    """
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type").cast("string"),
+        F.lit("value"), F.col("value").cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_from_map"),
+        F.element_at(m, "value").cast("double").alias("value_from_map"),
+        F.map_keys(m).alias("mkeys"),
+        F.size(m).alias("msize"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+SELECT
+  event_id,
+  json_extract_string(props, '$.k') AS k_str,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+  json_extract_string(props, '$.nope') IS NULL AS missing_is_null
+FROM events
+""",
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parsing of the ``events.props`` string column (B42):
+    ``get_json_object`` path extraction and ``from_json`` to a typed
+    struct (the scale-correct way: parse once, then columnar access)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        (parsed.getField("k") % 10).alias("k_bucket"),
+        F.get_json_object("props", "$.nope").isNull().alias("missing_is_null"),
+    )
+
+
+@query(
+    "q_fn_cond",
+    oracle="""
+SELECT
+  o_orderkey,
+  CASE
+    WHEN o_totalprice >= 300000 THEN 'platinum'
+    WHEN o_totalprice >= 150000 THEN 'gold'
+    WHEN o_totalprice >= 50000 THEN 'silver'
+    ELSE 'bronze'
+  END AS tier,
+  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+  least(o_totalprice, 200000.0) AS capped_price,
+  greatest(o_totalprice, 1000.0) AS floored_price,
+  o_totalprice >= 150000 AND o_orderstatus = 'F' AS big_and_final
+FROM orders
+""",
+)
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expressions: CASE WHEN / coalesce / least / greatest /
+    boolean algebra (B43)."""
+    o = load_table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(tp >= 300000, "platinum")
+        .when(tp >= 150000, "gold")
+        .when(tp >= 50000, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_label"
+        ),
+        F.least(tp, F.lit(200000.0)).alias("capped_price"),
+        F.greatest(tp, F.lit(1000.0)).alias("floored_price"),
+        ((tp >= 150000) & (F.col("o_orderstatus") == "F")).alias("big_and_final"),
+    )

@@ -1,0 +1,193 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2B B51-B55).
+
+Doctrine: UDFs are the slow path. Every query here exists to prove the
+*plumbing* (Arrow batch transfer, grouped-map schemas, UDTF lateral
+output), and each one's oracle is the pure-SQL equivalent — demonstrating
+that the built-in route exists. Pandas UDFs move data via Arrow in
+columnar batches (~10-100× faster than row-at-a-time Python UDFs); plain
+Python UDFs appear exactly once (B51), as the contract demands, on a
+filtered small input.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from asyncdatapipeline_spark.registry import query
+from asyncdatapipeline_spark.sources.tables import load_table
+
+
+@query(
+    "q_udf_py",
+    oracle="""
+SELECT
+  o_orderkey,
+  o_totalprice,
+  CASE
+    WHEN o_totalprice >= 200000 THEN 'high'
+    WHEN o_totalprice >= 80000 THEN 'mid'
+    ELSE 'low'
+  END AS bracket
+FROM orders
+WHERE o_orderstatus = 'P'
+""",
+)
+def q_udf_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (B51) — the deliberately slow path,
+    applied after a selective filter so the Python boundary sees few
+    rows. The oracle is the CASE WHEN the UDF replaces."""
+
+    @F.udf(T.StringType())
+    def bracket(price: float) -> str:
+        if price >= 200000:
+            return "high"
+        if price >= 80000:
+            return "mid"
+        return "low"
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_totalprice", bracket("o_totalprice").alias("bracket"))
+    )
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_extendedprice * (1 - l_discount) AS net_price,
+  l_quantity + 0.5 AS adj_qty
+FROM lineitem
+""",
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF over Arrow batches (B52).
+
+    numpy double arithmetic is elementwise IEEE — bit-identical to the
+    JVM/DuckDB expression, so the oracle matches exactly.
+    """
+
+    @F.pandas_udf(T.DoubleType())
+    def net(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    @F.pandas_udf(T.DoubleType())
+    def adj(qty: pd.Series) -> pd.Series:
+        return qty + 0.5
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net("l_extendedprice", "l_discount").alias("net_price"),
+        adj("l_quantity").alias("adj_qty"),
+    )
+
+
+@query(
+    "q_udaf_pandas",
+    oracle="""
+SELECT
+  l_returnflag,
+  round(SUM(l_quantity * l_discount) / SUM(l_quantity), 6) AS wavg_discount
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF (B53): quantity-weighted mean
+    discount per return flag.
+
+    Float sums are order-dependent (numpy pairwise vs DuckDB sequential),
+    so the result is rounded to 6 decimals on both sides — the ratio is
+    O(0.05) with ~1e-14 accumulated error, far inside the rounding.
+    """
+
+    @F.pandas_udf(T.DoubleType())
+    def wavg(qty: pd.Series, disc: pd.Series) -> float:
+        return round(float((qty * disc).sum() / qty.sum()), 6)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(wavg("l_quantity", "l_discount").alias("wavg_discount"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_udf_grouped_map",
+    oracle="""
+SELECT
+  c_custkey,
+  c_mktsegment,
+  round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+        / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS z
+FROM customer
+""",
+)
+def q_udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group map via applyInPandas (B54): z-normalize account
+    balance within each market segment.
+
+    Each group arrives as one pandas DataFrame (groups must fit in
+    worker memory — fine for bounded segment counts; at 100 TB, per-key
+    state this shape is what ``applyInPandasWithState`` bounds). pandas
+    ``std`` (ddof=1) matches ``stddev_samp``; rounded to 4 decimals to
+    absorb float summation-order drift.
+    """
+
+    def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["c_acctbal"].mean()
+        sd = pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "z": ((pdf["c_acctbal"] - mu) / sd).round(4),
+            }
+        )
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        znorm, schema="c_custkey long, c_mktsegment string, z double"
+    )
+
+
+@query(
+    "q_udtf",
+    oracle="""
+SELECT d.doc_id, CAST(t.i AS INTEGER) AS word_index,
+       split_part(d.text, ' ', CAST(t.i AS INTEGER)) AS word
+FROM documents d, generate_series(1, 5) AS t(i)
+WHERE d.doc_id < 100
+  AND len(string_split(d.text, ' ')) >= t.i
+""",
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (B55, Spark 4): explode the first 5 words of each
+    document into (doc_id, word_index, word) rows — a table function
+    with a variable number of output rows per input row."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, word_index int, word string")
+    class FirstWords:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")[:5], start=1):
+                yield doc_id, i, w
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("udtf_docs_in")
+    spark.udtf.register("first_words", FirstWords)
+    return spark.sql(
+        "SELECT fw.doc_id, fw.word_index, fw.word "
+        "FROM udtf_docs_in, LATERAL first_words(doc_id, text) AS fw"
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over embeddings (SURVEY.md §2B B58 + north-star ANN).
+
+Two tiers, as the north star demands:
+
+- **brute-force cosine top-k** (q_sim_topk): broadcast the query vector,
+  one pass over the corpus, TakeOrderedAndProject for the top-k — O(n·d)
+  with zero shuffle of the embedding column. The correct *baseline* at
+  any scale; never a crossJoin of two large sides.
+- **LSH-bucketed ANN** (q_sim_ann): random-hyperplane signatures
+  partition the corpus into 2^b buckets; the query probes its own bucket
+  plus 1-bit-flip neighbors (multiprobe), then exact-rescoring only the
+  candidates. At 100 TB the bucketed corpus is written partitioned by
+  signature so a probe touches ~(probes/2^b) of the data. Recall vs the
+  brute-force baseline is asserted in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from asyncdatapipeline_spark.registry import query
+from asyncdatapipeline_spark.sources.tables import load_table
+
+_TOP_K = 20
+_QUERY_VEC_ID = 0
+_ANN_BITS = 6  # 64 buckets
+_ANN_SEED = 42
+
+
+def _dot(u, v):
+    """Sequential double fold — deterministic, matches DuckDB's
+    double-cast list_cosine_similarity accumulation order."""
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Fetch the query vector (a parameter, not data — one driver row)."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@query(
+    "q_sim_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = {_QUERY_VEC_ID}
+)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+         AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id != {_QUERY_VEC_ID}
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+         e.vec_id
+LIMIT {_TOP_K}
+""",
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-{k} for one query vector (B58).
+
+    The query vector is broadcast as a literal array; the plan is a
+    single scan + TakeOrderedAndProject (per-task k-heaps, driver merges
+    p·k rows) — no shuffle, no crossJoin, scales linearly.
+    """
+    qv = _query_vector(spark, sf_dir)
+    qlit = F.array(*[F.lit(x) for x in qv])
+    qnorm = float(np.sqrt(np.dot(qv, qv)))
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") != _QUERY_VEC_ID
+    )
+    v = _as_double(F.col("embedding"))
+    cos = _dot(v, qlit) / (F.sqrt(_dot(v, v)) * F.lit(qnorm))
+    return (
+        e.withColumn("cos_raw", cos)
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+@query("q_sim_ann")  # rows-only: ANN result is approximate by design
+def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-{k} (north-star ANN scale path).
+
+    {b} fixed random hyperplanes (seeded numpy — deterministic) assign
+    every vector a {b}-bit signature. The query probes its bucket and all
+    1-bit-flip neighbors ({b}+1 of 2^{b} buckets), exact-rescores the
+    candidates, returns top-k. Tests assert recall ≥ 0.5 vs q_sim_topk.
+    """
+    rng = np.random.default_rng(_ANN_SEED)
+    qv = _query_vector(spark, sf_dir)
+    dim = len(qv)
+    planes = rng.standard_normal((_ANN_BITS, dim))
+
+    def sig_col(vec_col):
+        bits = [
+            F.when(_dot(vec_col, F.array(*[F.lit(float(p)) for p in planes[i]])) >= 0, 1)
+            .otherwise(0)
+            for i in range(_ANN_BITS)
+        ]
+        out = F.lit(0)
+        for i, bcol in enumerate(bits):
+            out = out + (bcol * F.lit(1 << i))
+        return out
+
+    q_sig = 0
+    for i in range(_ANN_BITS):
+        if float(np.dot(planes[i], qv)) >= 0:
+            q_sig |= 1 << i
+    probe_sigs = [q_sig] + [q_sig ^ (1 << i) for i in range(_ANN_BITS)]
+
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qnorm = float(np.sqrt(np.dot(qv, qv)))
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .withColumn("v", _as_double(F.col("embedding")))
+        .withColumn("sig", sig_col(F.col("v")))
+        # bucket pruning: candidates only (at scale: partition pruning on
+        # a signature-partitioned layout → reads probes/2^bits of data)
+        .filter(F.col("sig").isin(probe_sigs))
+    )
+    cos = _dot(F.col("v"), qlit) / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.lit(qnorm))
+    return (
+        e.withColumn("cos_raw", cos)
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cos_sim"))
+    )

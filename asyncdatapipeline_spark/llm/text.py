@@ -1,0 +1,263 @@
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY.md §2B B59 + north-star: language-ID, quality scoring, token
+counting, document fingerprinting).
+
+Everything row-local → embarrassingly parallel, no shuffle, whole-stage
+codegen. These are the per-document scoring passes that run over an
+entire corpus before dedup/filtering; at 100 TB they are scan-bound, so
+staying JVM-side (no Python UDFs) is the whole game.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from asyncdatapipeline_spark.registry import query
+from asyncdatapipeline_spark.sources.tables import load_table
+
+# BPE-ish token pattern: letter runs | digit runs | single punctuation.
+# Wrapped in a group: Spark's regexp_extract_all extracts group 1.
+_TOKEN_RE = "([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ])"
+
+# marker-word sets for the n-gram/stopword language heuristic
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "code": ("table", "query", "join"),
+    "data": ("row", "value", "batch"),
+}
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+SELECT
+  doc_id,
+  lang,
+  source,
+  n_chars,
+  length(text) AS text_len,
+  len(string_split(text, ' ')) AS n_words,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+  round((length(text) - length(replace(text, ' ', '')))
+        * 1.0 / length(text), 6) AS space_ratio
+FROM documents
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surface statistics (B59): lengths, word counts,
+    vocabulary size, whitespace ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    tlen = F.length("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        tlen.alias("text_len"),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.round(
+            (tlen - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            * F.lit(1.0)
+            / tlen,
+            6,
+        ).alias("space_ratio"),
+    )
+
+
+@query(
+    "q_text_lang",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+    len(list_filter(string_split(text, ' '),
+        w -> list_contains({_sql_list(_LANG_MARKERS['en'])}, w))) AS s_en,
+    len(list_filter(string_split(text, ' '),
+        w -> list_contains({_sql_list(_LANG_MARKERS['code'])}, w))) AS s_code,
+    len(list_filter(string_split(text, ' '),
+        w -> list_contains({_sql_list(_LANG_MARKERS['data'])}, w))) AS s_data
+  FROM documents
+)
+SELECT doc_id, labeled_lang, s_en, s_code, s_data,
+  CASE
+    WHEN s_en >= s_code AND s_en >= s_data THEN 'en'
+    WHEN s_code >= s_data THEN 'code'
+    ELSE 'data'
+  END AS pred_lang
+FROM scored
+""",
+)
+def q_text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language/domain identification (north-star text op).
+
+    The classic scalable lang-ID shape: count hits against tiny marker
+    vocabularies (broadcast-size), argmax — one pass, row-local. (The
+    fixture corpus is synthetic word-soup, so the heuristic classifies
+    deterministically rather than agreeing with the ``lang`` label —
+    both engines apply the identical rule, which is what the oracle
+    checks.)
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def score(markers):
+        marker_arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w)))
+
+    s_en = score(_LANG_MARKERS["en"])
+    s_code = score(_LANG_MARKERS["code"])
+    s_data = score(_LANG_MARKERS["data"])
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        s_en.alias("s_en"),
+        s_code.alias("s_code"),
+        s_data.alias("s_data"),
+        F.when((s_en >= s_code) & (s_en >= s_data), "en")
+        .when(s_code >= s_data, "code")
+        .otherwise("data")
+        .alias("pred_lang"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+    string_split(text, ' ') AS w,
+    length(text) AS tlen,
+    len(string_split(text, ' ')) AS nw,
+    len(list_filter(string_split(text, ' '),
+        x -> list_contains(['the', 'a', 'of', 'and', 'in'], x))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+  nw AS n_words,
+  round((tlen - nw + 1) * 1.0 / nw, 6) AS mean_word_len,
+  round(n_stop * 1.0 / nw, 6) AS stopword_ratio,
+  len(list_distinct(w)) * 1.0 / nw >= 0.3 AS diverse,
+  nw BETWEEN 20 AND 1000
+    AND n_stop * 1.0 / nw BETWEEN 0.001 AND 0.6 AS passes_quality
+FROM t
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (north-star text op): length bounds,
+    mean word length, stopword ratio, lexical diversity → keep flag.
+    The filter shape used to gate a pretraining corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "in")])
+    nw = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    stop_ratio = n_stop * F.lit(1.0) / nw
+    return d.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.round((F.length("text") - nw + 1) * F.lit(1.0) / nw, 6).alias(
+            "mean_word_len"
+        ),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        (F.size(F.array_distinct(words)) * F.lit(1.0) / nw >= 0.3).alias("diverse"),
+        (nw.between(20, 1000) & stop_ratio.between(0.001, 0.6)).alias(
+            "passes_quality"
+        ),
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle=f"""
+SELECT
+  doc_id,
+  len(string_split(text, ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '{_TOKEN_RE}')) AS bpe_ish_tokens,
+  round(len(regexp_extract_all(text, '{_TOKEN_RE}')) * 1.0
+        / len(string_split(text, ' ')), 6) AS tokens_per_word
+FROM documents
+""",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north-star text op): whitespace tokens and a
+    BPE-ish regex tokenizer (letter runs / digit runs / punctuation) —
+    the cheap corpus-size estimator run before training jobs."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), " "))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE)))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        F.round(bpe * F.lit(1.0) / ws, 6).alias("tokens_per_word"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+SELECT
+  doc_id,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+    AS content_fingerprint,
+  md5(substr(text, 1, 64)) AS head_fingerprint
+FROM documents
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (north-star text op):
+    md5 over the sorted distinct vocabulary — robust to word reordering,
+    the cheap canonical-form dedup key; plus a head fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
+    )
+    return d.select(
+        "doc_id",
+        F.md5(vocab.cast("binary")).alias("content_fingerprint"),
+        F.md5(F.substring("text", 1, 64).cast("binary")).alias("head_fingerprint"),
+    )
+
+
+@query("q_text_winnow")  # rows-only: rolling-hash family engine-specific
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling hash, north-star text op):
+    k-gram rolling hashes, keep the min hash in each sliding window —
+    the standard local fingerprinting scheme for plagiarism/near-dup
+    detection. Pandas UDF (Arrow-batched); deterministic md5-derived
+    word hashes, window w=4, shingle k=3.
+    """
+
+    @F.pandas_udf("array<long>")
+    def winnow(texts: pd.Series) -> pd.Series:
+        def one(t: str):
+            words = t.split(" ") if t else []
+            hs = []
+            for i in range(max(len(words) - 2, 0)):
+                h = int.from_bytes(
+                    hashlib.md5(" ".join(words[i : i + 3]).encode()).digest()[:8],
+                    "big",
+                    signed=True,
+                )
+                hs.append(h)
+            if not hs:
+                return []
+            w = 4
+            picks = set()
+            for i in range(max(len(hs) - w + 1, 1)):
+                picks.add(min(hs[i : i + w]))
+            return sorted(picks)
+
+        return texts.map(one)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", winnow("text").alias("fingerprints")).orderBy("doc_id")

@@ -1,0 +1,288 @@
+"""Aggregation operators (SURVEY.md §2B B21-B26).
+
+All grouped aggregation runs through Spark's two-phase hash aggregate
+(partial map-side combine → shuffle on the group keys → final merge) —
+at 100 TB the map-side combine is what keeps the shuffle proportional to
+|groups|, not |rows|. Every query here groups on low-cardinality keys, so
+the shuffled data is tiny regardless of input size; skewed group keys are
+handled by AQE (enabled in the session factory).
+
+Numeric outputs use the exact-decimal-accumulate pattern from
+``_util`` so results are order-independent (see that module's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from asyncdatapipeline_spark.operators._util import (
+    DEC,
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from asyncdatapipeline_spark.registry import query
+from asyncdatapipeline_spark.sources.tables import load_table
+
+
+@query(
+    "q_agg_hash",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_quantity', 'sum_qty')},
+  {sql_dsum('l_extendedprice', 'sum_base_price')},
+  {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+  {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+  {sql_davg('l_quantity', 'avg_qty')},
+  {sql_davg('l_extendedprice', 'avg_price')},
+  {sql_davg('l_discount', 'avg_disc')},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship grouped aggregation — TPC-H-Q1 shape (SURVEY.md §7 M1).
+
+    Filter → project → groupBy(2 low-card keys) → 8 aggregates → sort.
+    The shipdate filter pushes down to the parquet scan; only the 7
+    referenced columns are read (column pruning); partial aggregation
+    makes the shuffle ~|groups| rows per task.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+SELECT
+  o_orderpriority,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (B22).
+
+    Spark expands multi-distinct into an Expand + two-phase aggregate;
+    the distinct keys are deduplicated map-side before the shuffle, so
+    shuffle volume is ~|distinct pairs|, not |rows|.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("q_agg_approx")  # rows-only: HLL estimates are engine-specific (B23)
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct via HyperLogLog++ (B23).
+
+    No DuckDB oracle — HLL sketches differ across engines; the pytest
+    suite checks the estimate is within 5% of the exact count instead
+    (SURVEY.md §2 B23 "weak"). At 100 TB this is THE way to count
+    distincts: fixed-size sketch per group, no distinct expansion.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  GROUPING(l_returnflag) AS g_flag,
+  GROUPING(l_linestatus) AS g_status,
+  {sql_dsum('l_quantity', 'sum_qty')},
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+""",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregation (B24).
+
+    Spark implements rollup/cube via Expand (one replicated row per
+    grouping set) feeding the same two-phase hash aggregate — the
+    replication happens before the map-side combine so the shuffle stays
+    ~|groups × sets|.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n"
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle=f"""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  GROUPING(o_orderstatus) AS g_status,
+  GROUPING(o_orderpriority) AS g_prio,
+  {sql_dsum('o_totalprice', 'sum_price')},
+  COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+""",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over all grouping-set combinations (B24)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            dsum("o_totalprice", "sum_price"),
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_prio"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "sum_price", "n"
+        )
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "q_agg_gsets",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_extendedprice', 'sum_price')},
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (B24) — Catalyst produces
+    the identical Expand+aggregate plan as the DataFrame rollup/cube."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_price,
+          COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q_agg_filtered",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  {sql_dsum("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END",
+            'discounted_revenue')},
+  COUNT(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_bulk,
+  {sql_dsum("CASE WHEN l_tax = 0 THEN l_quantity END", 'taxfree_qty')}
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / filtered aggregation via sum(when(...)) (B25)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            dsum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(
+                    F.lit(0.0)
+                ),
+                "discounted_revenue",
+            ),
+            F.count(F.when(F.col("l_quantity") >= 25, F.lit(1))).alias("n_bulk"),
+            dsum(F.when(F.col("l_tax") == 0, F.col("l_quantity")), "taxfree_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+SELECT
+  n_regionkey,
+  array_agg(DISTINCT n_name ORDER BY n_name) AS nations
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set with deterministic ordering (B26).
+
+    ``collect_set`` order is nondeterministic by design; ``sort_array``
+    makes the output stable for the oracle. Collect aggregates must only
+    ever run on bounded groups — here |nations per region| ≤ 25.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
+        .orderBy("n_regionkey")
+    )

@@ -1,0 +1,279 @@
+"""Join operators (SURVEY.md §2B B12-B20).
+
+Join-strategy doctrine for 100 TB:
+
+- **fact ⋈ fact** (orders⋈lineitem, orders⋈customer at scale): sort-merge
+  or shuffled-hash on the equi key — Catalyst + AQE choose; skew handled
+  by AQE skew-join splitting (enabled in the session factory). On a real
+  cluster both sides would be bucketed on the join key at write time so
+  the shuffle disappears entirely.
+- **fact ⋈ dim** (nation/region, always tiny): explicit
+  ``F.broadcast`` — one hash table per executor, zero shuffle of the
+  fact side. Never broadcast sf-scaled tables (customer/part/supplier).
+- **non-equi** (B18): only ever against a *broadcast-small* band table —
+  BroadcastNestedLoopJoin is O(n·m); an unbounded theta join between two
+  facts is a design bug, not a tuning problem.
+- **as-of** (B19): implemented as union + single partitioned window scan
+  (one shuffle on the key), never a per-row range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from asyncdatapipeline_spark.operators._util import dsum, sql_dsum
+from asyncdatapipeline_spark.registry import query
+from asyncdatapipeline_spark.sources.tables import load_table
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'F'
+""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi join orders⋈customer (B12).
+
+    Both sides scale with sf → shuffle join on the key; AQE may demote
+    to broadcast at tiny sf. The status filter is pushed below the join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle=f"""
+SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+  {sql_dsum('c.c_acctbal', 'sum_acctbal')}
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, n.n_name
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join through the dim hierarchy (B13).
+
+    nation (25 rows) and region (5 rows) are broadcast explicitly — the
+    customer side streams through two BroadcastHashJoins with no shuffle
+    until the final aggregation, at any scale factor.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "sum_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "q_join_left",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+  {sql_dsum('o.o_totalprice', 'sum_spend')}
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (B14).
+
+    COUNT(col) vs COUNT(*) distinction: unmatched customers get
+    n_orders=0 and NULL sum_spend — exact outer-join null semantics.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice", "sum_spend"),
+        )
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+WITH eu AS (SELECT DISTINCT user_id FROM events)
+SELECT
+  coalesce(c.c_custkey, eu.user_id) AS entity_id,
+  c.c_custkey IS NOT NULL AS is_customer,
+  eu.user_id IS NOT NULL AS has_events
+FROM customer c
+FULL OUTER JOIN eu ON c.c_custkey = eu.user_id
+""",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join customer ⟗ distinct event users (B15)."""
+    c = load_table(spark, sf_dir, "customer")
+    eu = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    return c.join(eu, c.c_custkey == eu.user_id, "full").select(
+        F.coalesce("c_custkey", "user_id").alias("entity_id"),
+        F.col("c_custkey").isNotNull().alias("is_customer"),
+        F.col("user_id").isNotNull().alias("has_events"),
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+)
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join = EXISTS (B16): no row duplication, right side only
+    probed. Shuffle volume is the *distinct keys* of the right side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join = NOT EXISTS (B17)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle=f"""
+SELECT b.band, COUNT(*) AS n_events, {sql_dsum('e.value', 'sum_value')}
+FROM events e
+JOIN (VALUES ('low', -1e18, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e18))
+  AS b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+ORDER BY b.band
+""",
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range-band join (B18).
+
+    The band table is 3 rows → broadcast; the physical plan is a
+    BroadcastNestedLoopJoin, which is only acceptable because one side is
+    O(1). This is the engine's sanctioned shape for theta joins at scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", -1e18, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e18)],
+        schema="band string, lo double, hi double",
+    )
+    return (
+        e.join(
+            F.broadcast(bands),
+            (e.value >= bands.lo) & (e.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .orderBy("band")
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+SELECT
+  e.event_id,
+  e.user_id,
+  (SELECT max(o.o_orderdate) FROM orders o
+   WHERE o.o_custkey = e.user_id
+     AND o.o_orderdate <= date_trunc('second', e.ts)) AS last_order_date
+FROM events e
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: most recent order per user at or before each event
+    (B19; DuckDB oracle via correlated max — the decorrelated form of
+    its ASOF JOIN).
+
+    Spark lacks a native as-of join. The scalable formulation used here:
+    union orders+events tagged, ONE shuffle partitioned by user, one
+    sorted window scan carrying the last-seen order date forward —
+    O(n log n) per partition, no range-join blowup, works at any scale
+    (this is how trades-vs-quotes as-of joins are done on Spark).
+    Event timestamps are second-truncated on both sides so the ns-parquet
+    vs µs-Spark precision difference cannot skew the comparison.
+    """
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    od = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    ev = e.select(
+        F.col("user_id").alias("k"),
+        F.date_trunc("second", "ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+    )
+    # orders sort before events at equal t → "orderdate <= ts" inclusive
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "is_event")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = od.unionByName(ev).withColumn(
+        "last_order_date",
+        F.last(F.when(F.col("is_event") == 0, F.col("t")), ignorenulls=True).over(w),
+    )
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id", F.col("k").alias("user_id"), "last_order_date"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r CROSS JOIN nation n
+""",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (B20) — dims only; 5×25 rows. A cross join between
+    sf-scaled tables is never written by this engine."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")

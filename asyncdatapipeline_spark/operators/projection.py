@@ -1,0 +1,110 @@
+"""Projection / filter / null-semantics operators (SURVEY.md §2B B9-B11).
+
+These are pure narrow transformations — no shuffle at any scale. The
+interesting property to preserve is *pushdown*: the filter predicates and
+the column set must reach the parquet scan (``PushedFilters`` /
+``ReadSchema`` in ``.explain``), which they do because everything here is
+built-in Column expressions (whole-stage-codegen'd, never Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from asyncdatapipeline_spark.registry import query
+from asyncdatapipeline_spark.sources.tables import load_table
+
+
+@query(
+    "q_project",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_extendedprice * (1 - l_discount) AS net_price,
+  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross_price,
+  l_quantity * 2.0 AS double_qty,
+  upper(l_returnflag) AS flag_upper
+FROM lineitem
+WHERE l_linenumber <= 2
+""",
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection with aliases and computed columns (B9).
+
+    Per-row double arithmetic is IEEE-deterministic, so no decimal
+    armor is needed here — only aggregation reorders operands.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("gross_price"),
+        (F.col("l_quantity") * F.lit(2.0)).alias("double_qty"),
+        F.upper("l_returnflag").alias("flag_upper"),
+    )
+
+
+@query(
+    "q_filter",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_quantity, l_discount, l_shipdate
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20
+  AND l_discount > 0.03
+  AND l_returnflag IN ('A', 'R')
+  AND l_linestatus LIKE 'F%'
+  AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+""",
+)
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates: BETWEEN / IN / LIKE / range (B10).
+
+    All five predicates are pushdown-eligible; the parquet reader gets
+    them as ``PushedFilters`` and skips row groups via min/max stats —
+    at 100 TB this is the difference between scanning 100 TB and
+    scanning the matching row groups only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & (F.col("l_discount") > 0.03)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_linestatus").like("F%")
+        & (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_discount", "l_shipdate")
+
+
+@query(
+    "q_null_pred",
+    oracle="""
+SELECT
+  e.event_id,
+  e.user_id,
+  nullif(e.event_type, 'click') AS non_click_type,
+  nullif(e.event_type, 'click') IS NULL AS was_click,
+  coalesce(nullif(e.event_type, 'click'), 'was_click') AS type_or_marker,
+  json_extract_string(e.props, '$.missing') IS NULL AS no_such_key
+FROM events e
+WHERE e.value IS NOT NULL
+""",
+)
+def q_null_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics: IS [NOT] NULL / coalesce / nullif (B11).
+
+    ``nullif`` manufactures NULLs from data, exercising three-valued
+    logic; ``get_json_object`` on a missing path returns NULL, same as
+    DuckDB's ``json_extract_string``.
+    """
+    e = load_table(spark, sf_dir, "events")
+    non_click = F.nullif(F.col("event_type"), F.lit("click"))
+    return e.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "user_id",
+        non_click.alias("non_click_type"),
+        non_click.isNull().alias("was_click"),
+        F.coalesce(non_click, F.lit("was_click")).alias("type_or_marker"),
+        F.get_json_object("props", "$.missing").isNull().alias("no_such_key"),
+    )

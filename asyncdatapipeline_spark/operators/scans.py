@@ -1,0 +1,84 @@
+"""Source scans (SURVEY.md §2B B1-B3).
+
+Parquet is the primary format (vectorized reader, predicate pushdown,
+column pruning). CSV/JSON scans use *explicit schemas* — schema inference
+is a full extra pass over the data, unacceptable at 100 TB and
+nondeterministic besides (FIXTURES.md pins schemas).
+
+The CSV/JSON queries round-trip a small dimension table through the text
+format in a scratch dir and must reproduce the original table exactly —
+which is precisely what their oracle asserts (DuckDB reads the original
+parquet view).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from asyncdatapipeline_spark.registry import query
+from asyncdatapipeline_spark.sources.tables import load_table
+
+
+def _scratch(sf_dir: str, tag: str) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "adps_scan", key, tag)
+
+
+@query(
+    "q_scan_parquet",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_quantity >= 45
+""",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet batch scan with pruning + pushdown (B1).
+
+    5 of 11 columns read (``ReadSchema``), quantity filter pushed to the
+    row-group level (``PushedFilters``).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") >= 45).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+
+
+NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType(), True),
+        T.StructField("n_name", T.StringType(), True),
+        T.StructField("n_regionkey", T.IntegerType(), True),
+    ]
+)
+
+
+@query("q_scan_csv", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with an explicit schema (B2): parquet → csv → read back;
+    must equal the source table (the oracle reads the parquet view)."""
+    path = _scratch(sf_dir, "nation_csv")
+    n = load_table(spark, sf_dir, "nation")
+    n.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema(NATION_SCHEMA).option("header", "true").csv(path)
+
+
+REGION_SCHEMA = T.StructType(
+    [
+        T.StructField("r_regionkey", T.IntegerType(), True),
+        T.StructField("r_name", T.StringType(), True),
+    ]
+)
+
+
+@query("q_scan_json", oracle="SELECT r_regionkey, r_name FROM region")
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with an explicit schema (B3)."""
+    path = _scratch(sf_dir, "region_json")
+    r = load_table(spark, sf_dir, "region")
+    r.coalesce(1).write.mode("overwrite").json(path)
+    return spark.read.schema(REGION_SCHEMA).json(path).select("r_regionkey", "r_name")

@@ -1,0 +1,181 @@
+"""Window-function operators (SURVEY.md §2B B27-B31).
+
+A window spec = ONE shuffle on partitionBy keys + per-partition sort.
+Determinism doctrine: any function whose result depends on row order
+within peers (``row_number``, ``ntile``, ``lag``/``lead``, frame sums)
+gets a *total* order — the natural key extended with a unique tiebreaker —
+so Spark and the oracle agree bit-for-bit. Rank/dense_rank/percent_rank
+are tie-stable by definition and may order by the natural key alone.
+
+Frame sums use the exact-decimal pattern: DuckDB evaluates window
+aggregates with segment trees (different addend association than Spark's
+running re-scan), so double sums would drift in the low bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from asyncdatapipeline_spark.registry import query
+from asyncdatapipeline_spark.sources.tables import load_table
+
+DEC = "decimal(28,6)"
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+SELECT
+  l_suppkey, l_orderkey, l_linenumber, l_quantity,
+  row_number() OVER (PARTITION BY l_suppkey
+                     ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn,
+  rank()       OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS rnk,
+  dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS drnk
+FROM lineitem
+""",
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank per supplier (B27)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_unique = W.partitionBy("l_suppkey").orderBy(
+        F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
+    )
+    w_ties = W.partitionBy("l_suppkey").orderBy(F.col("l_quantity").desc())
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+    )
+
+
+@query(
+    "q_win_lag",
+    oracle="""
+SELECT
+  event_id, user_id, value,
+  lag(value)  OVER w AS prev_value,
+  lead(value) OVER w AS next_value,
+  CAST(epoch(date_trunc('second', ts))
+       - lag(epoch(date_trunc('second', ts))) OVER w AS BIGINT) AS gap_seconds
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY date_trunc('second', ts), event_id)
+""",
+)
+def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics per user over event time (B28)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "t", F.date_trunc("second", "ts")
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    epoch = F.col("t").cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (epoch - F.lag(epoch).over(w)).alias("gap_seconds"),
+    )
+
+
+@query(
+    "q_win_frame",
+    oracle=f"""
+SELECT
+  event_id, user_id, value,
+  CAST(SUM(CAST(value AS DECIMAL(28,6)))
+       OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+  CAST(SUM(CAST(value AS DECIMAL(28,6)))
+       OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / COUNT(value)
+       OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_avg
+FROM events
+""",
+)
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving sum (3-row frame) + running average (B29)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "t", F.date_trunc("second", "ts")
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    frame3 = w.rowsBetween(-2, W.currentRow)
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    dec_val = F.col("value").cast(DEC)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(dec_val).over(frame3).cast("double").alias("moving_sum"),
+        (
+            F.sum(dec_val).over(cum).cast("double")
+            / F.count("value").over(cum)
+        ).alias("running_avg"),
+    )
+
+
+@query(
+    "q_win_dist",
+    oracle="""
+SELECT
+  c_custkey, c_mktsegment, c_acctbal,
+  ntile(4)       OVER w AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist()    OVER w AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist per market segment (B30).
+
+    Unique ordering (acctbal, custkey) — ntile is order-sensitive under
+    ties. percent_rank = (rank-1)/(n-1): one IEEE division, exact both
+    engines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "q_topk_group",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority class (B31).
+
+    The canonical scalable top-k-per-group: rank within partition, filter.
+    Spark pushes a per-partition top-k (WindowGroupLimit since 3.5) below
+    the shuffle, so each map task emits at most k rows per group.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )

@@ -1,0 +1,69 @@
+"""Fixture-table catalog: parquet batch scans (SURVEY.md §2 B1).
+
+The engine's tables are the driver-generated TPC-H-ish star schema plus
+``events``/``documents``/``embeddings`` (TESTDATA.md, FIXTURES.md §2).
+``spark.read.parquet`` gives the vectorized reader with predicate pushdown
+and column pruning for free — every downstream operator benefits
+(verify via ``df.explain``: ``PushedFilters`` / ``ReadSchema``).
+
+At 100 TB these would be multi-file partitioned datasets (ideally
+partitioned on date keys like ``o_orderdate``/``l_shipdate`` and bucketed
+on join keys like ``o_orderkey``); the loader takes a directory so the
+same code reads one file or ten thousand.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor — TPC-H
+# region is always 5 rows and nation 25; part/supplier/customer scale with
+# sf and must NOT be unconditionally broadcast.
+BROADCAST_SAFE = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (parquet, schema from the footer).
+
+    ``events.ts`` is ns-precision in parquet; Spark's reader has no ns
+    timestamp type (TIMESTAMP(NANOS) is rejected outright), so the
+    session reads it as a long (``spark.sql.legacy.parquet.nanosAsLong``)
+    and this loader converts to a µs TimestampType — flooring, which
+    matches DuckDB's value down to the microsecond.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for the SQL API surface."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

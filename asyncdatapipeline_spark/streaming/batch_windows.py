@@ -1,0 +1,139 @@
+"""Event-time windows in batch mode (SURVEY.md §2B B44-B46 oracle side).
+
+The same ``window()`` / ``session_window()`` expressions run identically
+in batch and streaming (Structured Streaming's core design point); these
+batch-mode registrations give the DuckDB-oracle-checkable half of
+B44-B46, and tests/test_streaming.py asserts the streaming run of the
+*same expression* produces the same rows (batch/stream equivalence,
+SURVEY.md §5).
+
+ns-precision note: ``events.ts`` is ns in parquet; Spark floors to µs on
+read while DuckDB keeps ns. Tumbling/sliding bucket assignment is
+unaffected (flooring never crosses a bucket boundary downward past the
+bucket start), but *session* boundaries compare timestamps to each
+other, so sessions run on second-truncated time on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from asyncdatapipeline_spark.operators._util import dsum, sql_dsum
+from asyncdatapipeline_spark.registry import query
+from asyncdatapipeline_spark.sources.tables import load_table
+
+
+@query(
+    "q_window_tumbling",
+    oracle=f"""
+SELECT
+  CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP) AS window_start,
+  event_type,
+  COUNT(*) AS n,
+  {sql_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h event-time window aggregation (B44, batch mode).
+
+    In streaming this exact expression runs with
+    ``withWatermark("ts", ...)`` bounding state (tested in
+    tests/test_streaming.py); window buckets are epoch-aligned in both
+    engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "q_window_sliding",
+    oracle=f"""
+SELECT
+  CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP)
+    - k.k * INTERVAL '6 hours' AS window_start,
+  COUNT(*) AS n,
+  {sql_dsum('value', 'sum_value')}
+FROM events, (VALUES (0), (1)) AS k(k)
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 12h window, 6h slide (B45, batch mode): every event lands
+    in exactly 2 overlapping windows (Spark expands via Expand, the
+    oracle via a 2-row offset cross join)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "12 hours", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "q_window_session",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, date_trunc('second', ts) AS ts2, value,
+    CASE WHEN date_trunc('second', ts)
+              - lag(date_trunc('second', ts))
+                OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts))
+              > INTERVAL '30 minutes'
+         OR lag(ts) OVER (PARTITION BY user_id
+                          ORDER BY date_trunc('second', ts)) IS NULL
+    THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s AS (
+  SELECT user_id, ts2, value,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts2
+                      ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM t
+)
+SELECT user_id,
+  CAST(min(ts2) AS TIMESTAMP) AS session_start,
+  CAST(max(ts2) + INTERVAL '30 minutes' AS TIMESTAMP) AS session_end,
+  COUNT(*) AS n_events,
+  {sql_dsum('value', 'sum_value')}
+FROM s
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+""",
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window, 30-minute gap (B46, batch mode).
+
+    ``session_window`` sessionizes per user; the oracle reproduces it
+    with the classic gaps-and-islands SQL (lag → new-session flag →
+    running sum → group). Session end = last event + gap, matching
+    Spark's session_window.end.
+    """
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts2", F.date_trunc("second", "ts")
+    )
+    return (
+        e.groupBy(F.session_window("ts2", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
