@@ -1,0 +1,103 @@
+"""CollectFunc → Structured Streaming source adapter (SURVEY.md §2 A1/B6).
+
+The reference's source contract is a pull callback:
+``CollectFunc[T] func(ctx) ([]T, error)`` returning ``(nil, nil)`` for
+"no new data" (/root/reference/async_data_pipeline.go:65-67). This module
+adapts exactly that shape onto the PySpark Python DataSource API
+(pyspark.sql.datasource, Spark 4): a ``SimpleDataSourceStreamReader``
+whose ``read(start)`` invokes the user's collect callable and returns its
+rows as the next micro-batch.
+
+Transport note: the reader executes in a dedicated Python runner process
+(not the driver), so the callable is cloudpickle-serialized into the
+DataSource options (strings) and revived in the runner. Closure state
+(e.g. a batch counter) lives in that runner for the lifetime of the
+query — the same "one collector loop" lifetime the reference gives its
+collect goroutine (async_data_pipeline.go:247-291).
+
+Offset bookkeeping (SURVEY.md §7 hard-part 3): the offset is a monotonic
+batch counter ``{"batch": n}``; ``read`` advances it only when data was
+produced, so progress is monotonic. Like the reference, the adapter is
+at-most-once: a restarted query re-pulls from the live callable rather
+than replaying history (``readBetweenOffsets`` yields nothing) —
+matching the reference's no-checkpoint behavior.
+"""
+
+from __future__ import annotations
+
+import base64
+from typing import Any, Callable, Iterator, Tuple
+
+from pyspark import cloudpickle
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.types import StructType
+
+
+class _CollectFuncStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema: StructType, fn_b64: str):
+        self._schema = schema
+        self._fn_b64 = fn_b64
+        self._fn: Callable[[], Any] | None = None
+
+    def initialOffset(self) -> dict:
+        return {"batch": 0}
+
+    def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
+        if self._fn is None:
+            self._fn = cloudpickle.loads(base64.b64decode(self._fn_b64))
+        data = self._fn()
+        if data is None:
+            # "no new data" (reference async_data_pipeline.go:66): empty
+            # micro-batch, offset unchanged → idle watchdog keeps ticking.
+            return iter(()), start
+        rows = [r if isinstance(r, tuple) else tuple(r) for r in data]
+        return iter(rows), {"batch": start["batch"] + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # At-most-once, like the reference (no checkpoint replay).
+        return iter(())
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class CollectFuncDataSource(DataSource):
+    """``format("collect_func")`` — the reference CollectFunc as a
+    first-class streaming source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "collect_func"
+
+    def schema(self) -> str:
+        return self.options.get("schema", "id long, value string")
+
+    def simpleStreamReader(self, schema: StructType) -> _CollectFuncStreamReader:
+        return _CollectFuncStreamReader(schema, self.options.get("fn", ""))
+
+
+def register_data_source(spark: SparkSession) -> None:
+    """Register the collect_func source on a session (idempotent)."""
+    spark.dataSource.register(CollectFuncDataSource)
+
+
+def collect_func_stream(
+    spark: SparkSession,
+    fn: Callable[[], Any],
+    schema: str = "id long, value string",
+) -> DataFrame:
+    """Build a streaming DataFrame fed by ``fn()`` — the public adapter.
+
+    ``fn`` returns a list of row-tuples per call, or None for "no new
+    data". Must be picklable (module-level function or closure over
+    picklable state).
+    """
+    register_data_source(spark)
+    payload = base64.b64encode(cloudpickle.dumps(fn)).decode()
+    return (
+        spark.readStream.format("collect_func")
+        .option("fn", payload)
+        .option("schema", schema)
+        .load()
+    )

@@ -1,0 +1,288 @@
+"""Streaming-operator runtime tests (SURVEY.md §2B B4-B8, B44-B50).
+
+Pattern: replay fixture rows through a file stream (each parquet file =
+one micro-batch) or the collect_func pull source, drive to completion
+with processAllAvailable, then assert batch/stream equivalence — the
+same expression computed in batch mode is the oracle (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from asyncdatapipeline_spark.sources.pull_source import collect_func_stream
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    # load_table converts the ns-parquet ts to a µs TimestampType —
+    # required for watermarks (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    return load_table(spark, sf_dir, "events").limit(400).cache()
+
+
+@pytest.fixture()
+def stream_src(spark, events, tmp_path):
+    """events replayed as a file stream in two micro-batches."""
+    path = str(tmp_path / "src")
+    a, b = events.randomSplit([0.5, 0.5], seed=7)
+    a.coalesce(1).write.mode("overwrite").parquet(path)
+    b.coalesce(1).write.mode("append").parquet(path)
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+
+
+def run_to_memory(df, name, mode="append", timeout=60):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(timeout)
+
+
+# -- B5: rate source smoke ------------------------------------------------
+
+
+def test_rate_source(spark):
+    src = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    q = src.writeStream.format("memory").queryName("rate_out").start()
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline:
+        if spark.sql("SELECT count(*) c FROM rate_out").first()["c"] > 0:
+            break
+        time.sleep(0.2)
+    q.stop()
+    assert spark.sql("SELECT count(*) c FROM rate_out").first()["c"] > 0
+
+
+# -- B6: collect_func pull source (CollectFunc adapter) -------------------
+
+
+def test_pull_source_collect_func(spark):
+    state = {"n": 0}  # revived (with the closure) inside the source runner
+
+    def collect():
+        if state["n"] < 3:
+            base = state["n"] * 10
+            state["n"] += 1
+            return [(base + i, f"value_{base + i}") for i in range(10)]
+        return None  # no new data, forever after
+
+    src = collect_func_stream(spark, collect, "id long, value string")
+    q = src.writeStream.format("memory").queryName("pull_out").start()
+    deadline = time.monotonic() + 45
+    while time.monotonic() < deadline:
+        if spark.sql("SELECT count(*) c FROM pull_out").first()["c"] >= 30:
+            break
+        time.sleep(0.3)
+    q.stop()
+    out = spark.sql("SELECT * FROM pull_out").collect()
+    assert len(out) == 30
+    assert {r["id"] for r in out} == set(range(30))
+
+
+# -- B44: tumbling window + watermark, stream == batch --------------------
+
+
+def test_tumbling_watermark_equivalence(spark, events, stream_src):
+    agg = (
+        stream_src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    run_to_memory(agg, "tumb_out", mode="update")
+    got = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in spark.sql(
+            "SELECT ws, event_type, max(n) n FROM tumb_out GROUP BY ws, event_type"
+        ).collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in events.groupBy(
+            F.window("ts", "6 hours").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    assert got == want
+
+
+# -- B45: sliding window, stream == batch ---------------------------------
+
+
+def test_sliding_window_equivalence(spark, events, stream_src):
+    agg = (
+        stream_src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "12 hours", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    run_to_memory(agg, "slide_out", mode="update")
+    got = {
+        r["ws"]: r["n"]
+        for r in spark.sql(
+            "SELECT ws, max(n) n FROM slide_out GROUP BY ws"
+        ).collect()
+    }
+    want = {
+        r["ws"]: r["n"]
+        for r in events.groupBy(F.window("ts", "12 hours", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+        .collect()
+    }
+    assert got == want
+
+
+# -- B46: session window in streaming mode --------------------------------
+
+
+def test_session_window_stream(spark, events, stream_src):
+    agg = (
+        stream_src.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("ss"), "n")
+    )
+    run_to_memory(agg, "sess_out")
+    total = spark.sql("SELECT sum(n) s FROM sess_out").first()["s"]
+    # append mode emits only watermark-closed sessions; with a 1-minute
+    # delay on a finite replay everything but the trailing sessions
+    # closes — allow the tail to still be open.
+    assert total is not None and total > 0
+    batch_total = events.count()
+    assert total <= batch_total
+
+
+# -- B47: streaming dedup within watermark --------------------------------
+
+
+def test_drop_duplicates_within_watermark(spark, events, tmp_path):
+    path = str(tmp_path / "dupsrc")
+    dup = events.union(events)  # every event twice
+    dup.coalesce(1).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    src = spark.readStream.schema(schema).parquet(path)
+    dedup = src.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    run_to_memory(dedup, "dedup_out")
+    n = spark.sql("SELECT count(*) c FROM dedup_out").first()["c"]
+    assert n == events.count()
+
+
+# -- B48: stateful per-key running aggregation ----------------------------
+
+
+def test_stateful_running_count(spark, events, stream_src):
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def running(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    out = (
+        stream_src.groupBy("user_id")
+        .applyInPandasWithState(
+            running,
+            outputStructType="user_id long, n long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    run_to_memory(out, "state_out", mode="update")
+    got = {
+        r["user_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT user_id, max(n) n FROM state_out GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+# -- B49: late-data drop --------------------------------------------------
+
+
+def test_late_data_dropped(spark, events, tmp_path):
+    path = str(tmp_path / "latesrc")
+    on_time = events
+    max_ts = on_time.agg(F.max("ts")).first()[0]
+    # one very late event: 10 days before the stream's max ts — far
+    # behind the 1-minute watermark once batch 1 commits
+    late = spark.createDataFrame(
+        [(999_999, max_ts - pd.Timedelta(days=10), 1, "late", 1.0, "{}")],
+        schema=on_time.schema,
+    )
+    on_time.coalesce(1).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    agg = (
+        src.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    q.processAllAvailable()  # batch 1: watermark advances to max_ts - 1min
+    late.coalesce(1).write.mode("append").parquet(path)
+    q.processAllAvailable()  # batch 2: late row behind watermark → dropped
+    q.stop()
+    late_ws = spark.sql(
+        "SELECT sum(n) s FROM late_out WHERE ws < timestamp '2024-01-15 00:00:00'"
+    )
+    # the late window (10 days early ≈ 2024-01-20 minus 10d) must not appear
+    total = spark.sql("SELECT sum(n) s FROM late_out").first()["s"]
+    assert total == events.count()  # late row contributed nothing
+
+
+# -- B50: stream-static join ----------------------------------------------
+
+
+def test_stream_static_join(spark, events, stream_src, sf_dir):
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = stream_src.join(
+        F.broadcast(customer),
+        stream_src.user_id == customer.c_custkey,
+        "inner",
+    ).select("event_id", "user_id", "c_name")
+    run_to_memory(joined, "ssj_out")
+    got = spark.sql("SELECT count(*) c FROM ssj_out").first()["c"]
+    want = (
+        events.join(customer, events.user_id == customer.c_custkey, "inner").count()
+    )
+    assert got == want
