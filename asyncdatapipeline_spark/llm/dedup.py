@@ -63,8 +63,26 @@ _MINHASH_K = 16  # signature length
 _BAND_ROWS = 2   # rows per band → 8 bands; P(candidate) = 1-(1-j^2)^8
 
 
-def _word_array(col):
-    return F.array_distinct(F.split(col, " "))
+def _shingle_array(col):
+    """Distinct 3-word shingles — the MinHash token set.
+
+    Bare words are a poor token set when the corpus vocabulary is small
+    (every doc shares most words → every band bucket saturates); shingles
+    keep the signal local and distinctive, matching the exact verifier
+    (q_dedup_ngram).
+    """
+    w = F.split(col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i),
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            ),
+        )
+    )
 
 
 @query("q_dedup_minhash")  # rows-only: xxhash64 family has no DuckDB twin
@@ -74,8 +92,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → k minhashes → band → bucket-join, all in built-in
     functions (no Python in the row path):
 
-    1. signature[i] = min over words of xxhash64(word, seed=i) — computed
-       with one ``transform``/``array_min`` pair per seed, codegen'd;
+    1. signature[i] = min over 3-word shingles of xxhash64(shingle,
+       seed=i) — one ``transform``/``array_min`` pair per seed, codegen'd;
     2. split the signature into bands of 2, hash each band;
     3. explode bands → groupBy (band_idx, band_hash) → docs sharing a
        band bucket are candidate pairs (verified by q_dedup_ngram's exact
@@ -86,11 +104,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH analogue of the hot-key guardrail.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = _word_array(F.col("text"))
+    shingles = _shingle_array(F.col("text"))
     sig = F.array(
         *[
             F.array_min(
-                F.transform(words, lambda w, i=i: F.xxhash64(w, F.lit(i)))
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
             )
             for i in range(_MINHASH_K)
         ]

@@ -1,0 +1,116 @@
+"""Semantic tests for the LLM-pipeline operators (SURVEY.md §2B B56-B60).
+
+The rows-only registry queries (minhash, simhash, ann, winnow) get their
+correctness evidence here: plant near-duplicates, assert the operator
+finds them (and doesn't drown them in false positives); assert ANN recall
+against the exact brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from asyncdatapipeline_spark import registry
+from asyncdatapipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark, sf_dir, tmp_path_factory):
+    """Fixture docs + planted near-duplicates written to a scratch sf dir
+    (documents.parquet only) so registry queries can run against it."""
+    out = tmp_path_factory.mktemp("planted")
+    d = load_table(spark, sf_dir, "documents")
+    # near-dup: longest doc with ONE word mutated (a one-word edit on a
+    # short doc legitimately falls below the 0.8 Jaccard threshold —
+    # 3 of ~20 shingles change); exact dup of doc 1.
+    base = (
+        d.withColumn("nw", F.size(F.split("text", " ")))
+        .orderBy(F.col("nw").desc(), "doc_id")
+        .first()
+    )
+    doc1 = d.filter(F.col("doc_id") == 1).first()
+    words = base["text"].split(" ")
+    words[len(words) // 2] = "MUTATED"
+    near = (9000, " ".join(words), base["lang"], base["source"], base["n_chars"])
+    exact = (9001, doc1["text"], doc1["lang"], doc1["source"], doc1["n_chars"])
+    extra = spark.createDataFrame([near, exact], schema=d.schema)
+    d.unionByName(extra).write.mode("overwrite").parquet(
+        str(out / "documents.parquet")
+    )
+    return str(out), base["doc_id"]
+
+
+def test_exact_dedup_finds_planted_dup(spark, planted_docs):
+    pdir, base_id = planted_docs
+    res = registry.get("q_dedup_exact").fn(spark, pdir).collect()
+    dup_groups = [r for r in res if r["dup_count"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["keep_id"] == 1  # min(doc_id) of {1, 9001}
+
+
+def test_minhash_finds_planted_near_dup(spark, planted_docs):
+    pdir, base_id = planted_docs
+    pairs = registry.get("q_dedup_minhash").fn(spark, pdir).collect()
+    assert any(
+        {r["doc_a"], r["doc_b"]} == {base_id, 9000} for r in pairs
+    ), "planted near-dup pair not in MinHash candidates"
+    assert any({r["doc_a"], r["doc_b"]} == {1, 9001} for r in pairs)
+
+
+def test_ngram_jaccard_scores_planted_pair(spark, planted_docs):
+    pdir, base_id = planted_docs
+    pairs = registry.get("q_dedup_ngram").fn(spark, pdir).collect()
+    hit = [r for r in pairs if {r["doc_a"], r["doc_b"]} == {base_id, 9000}]
+    assert hit, "planted near-dup not above Jaccard threshold"
+    assert 0.8 <= hit[0]["jaccard"] < 1.0
+    exact_hit = [r for r in pairs if {r["doc_a"], r["doc_b"]} == {1, 9001}]
+    assert exact_hit and exact_hit[0]["jaccard"] == 1.0
+
+
+def test_simhash_hamming_close_for_near_dup(spark, planted_docs):
+    pdir, base_id = planted_docs
+    rows = {
+        r["doc_id"]: r["simhash"]
+        for r in registry.get("q_dedup_simhash").fn(spark, pdir).collect()
+    }
+    ham = bin((rows[base_id] ^ rows[9000]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16, f"near-dup simhash hamming distance too large: {ham}"
+    assert rows[1] == rows[9001]  # identical text → identical fingerprint
+
+
+def test_winnow_overlap_for_near_dup(spark, planted_docs):
+    pdir, base_id = planted_docs
+    rows = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in registry.get("q_text_winnow").fn(spark, pdir).collect()
+    }
+    a, b = rows[base_id], rows[9000]
+    overlap = len(a & b) / max(len(a | b), 1)
+    assert overlap >= 0.5, f"winnow fingerprint overlap too low: {overlap}"
+    assert rows[1] == rows[9001]
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    exact = {
+        r["vec_id"]
+        for r in registry.get("q_sim_topk").fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["vec_id"] for r in registry.get("q_sim_ann").fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall {recall} below floor"
+
+
+def test_multimodal_stub_deterministic(spark, sf_dir):
+    from asyncdatapipeline_spark.llm.multimodal import decode_image_stub
+
+    a = decode_image_stub(b"some media payload")
+    b = decode_image_stub(b"some media payload")
+    assert a == b
+    res = registry.get("q_multimodal").fn(spark, sf_dir).limit(5).collect()
+    for r in res:
+        assert 1 <= r["width"] <= 640 and 1 <= r["height"] <= 480
+        assert len(r["checksum"]) == 32
