@@ -92,8 +92,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → k minhashes → band → bucket-join, all in built-in
     functions (no Python in the row path):
 
-    1. signature[i] = min over 3-word shingles of xxhash64(shingle,
-       seed=i) — one ``transform``/``array_min`` pair per seed, codegen'd;
+    1. explode distinct 3-word shingles, then signature[i] =
+       min(xxhash64(shingle, seed=i)) as 16 grouped min-aggregates —
+       map-side partial mins mean the shuffle is |docs|×16 longs, and no
+       per-row array allocation happens (evaluating the shingle array
+       once per seed via ``transform`` was 4× slower);
     2. split the signature into bands of 2, hash each band;
     3. explode bands → groupBy (band_idx, band_hash) → docs sharing a
        band bucket are candidate pairs (verified by q_dedup_ngram's exact
@@ -104,18 +107,24 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH analogue of the hot-key guardrail.
     """
     d = load_table(spark, sf_dir, "documents")
-    shingles = _shingle_array(F.col("text"))
-    sig = F.array(
+    # The fixture corpus is one parquet file → one input partition; the
+    # signature computation is CPU-bound (16 hashes × ~n_words shingles
+    # per doc), so spread it across cores first. At 100 TB the input is
+    # many files and this repartition is a no-op cost-wise.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    exploded = d.repartition(n_part, "doc_id").select(
+        "doc_id", F.explode(_shingle_array(F.col("text"))).alias("shingle")
+    )
+    sig_row = exploded.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
             for i in range(_MINHASH_K)
         ]
     )
+    sig = F.array(*[F.col(f"h{i}") for i in range(_MINHASH_K)])
     n_bands = _MINHASH_K // _BAND_ROWS
     banded = (
-        d.select("doc_id", sig.alias("sig"))
+        sig_row.select("doc_id", sig.alias("sig"))
         .select(
             "doc_id",
             F.explode(
@@ -137,23 +146,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "band.band_idx", "band.band_hash")
     )
-    # bound bucket blowup: drop degenerate buckets
-    wcnt = W.partitionBy("band_idx", "band_hash")
-    bounded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(wcnt)).filter(
-        F.col("bucket_n") <= 50
+    # One aggregation replaces the window-count + self-join (3 shuffles →
+    # 1): collect each bucket's members, drop degenerate buckets (>50
+    # docs — the hot-key guardrail), expand intra-bucket pairs with array
+    # ops (sorted ids → a<b for free), then count shared bands per pair.
+    ids = F.sort_array(F.collect_set("doc_id"))
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(ids.alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= 50))
     )
-    a = bounded.alias("a")
-    b = bounded.alias("b")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared_bands"))
     )
     return pairs.orderBy("doc_a", "doc_b")

@@ -1,0 +1,117 @@
+"""Physical-plan audit — the 100 TB design checks (SURVEY.md bench loop).
+
+For each audited query, asserts structural plan properties that decide
+scale behavior: filters pushed into the parquet scan, column pruning,
+broadcast joins where a side is dim-sized, TakeOrderedAndProject for
+global top-k, WindowGroupLimit for per-group top-k, whole-stage codegen
+presence. Prints each plan (so regressions are diffable) and a PASS/FAIL
+per check.
+
+Usage: python tools/audit_plans.py [sf_dir] [--show name]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from asyncdatapipeline_spark import registry  # noqa: E402
+from asyncdatapipeline_spark.session import get_spark  # noqa: E402
+
+
+def plan_of(spark, name: str, sf_dir: str, mode: str = "formatted") -> str:
+    df = registry.get(name).fn(spark, sf_dir)
+    return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+# name → list of (description, regex that must match the formatted plan)
+CHECKS: dict[str, list[tuple[str, str]]] = {
+    "q_agg_hash": [
+        ("shipdate filter pushed to scan", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate"),
+        ("column pruning (no l_orderkey read)", r"ReadSchema: (?!.*l_orderkey)"),
+        ("partial aggregation before shuffle", r"HashAggregate.*partial"),
+        # codegen ids only appear in executed/simple plans, checked below
+    ],
+    "q_scan_parquet": [
+        ("quantity filter pushed", r"PushedFilters: \[.*GreaterThanOrEqual\(l_quantity"),
+        ("5-column pruned schema", r"ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_quantity:double,l_extendedprice:double>"),
+    ],
+    "q_join_broadcast": [
+        ("nation broadcast", r"BroadcastHashJoin"),
+        ("no sort-merge join", r"^(?:(?!SortMergeJoin).)*$"),
+    ],
+    "q_join_inner": [
+        ("status filter pushed below join", r"PushedFilters: \[.*EqualTo\(o_orderstatus,F\)"),
+    ],
+    "q_join_theta": [
+        ("broadcast nested loop (band side broadcast)", r"BroadcastNestedLoopJoin"),
+    ],
+    "q_topk": [
+        ("TakeOrderedAndProject (no full sort)", r"TakeOrderedAndProject"),
+    ],
+    "q_topk_group": [
+        ("WindowGroupLimit pushdown", r"WindowGroupLimit"),
+    ],
+    "q_join_asof": [
+        ("single window over union (no range join)", r"Window"),
+        ("no nested-loop blowup", r"^(?:(?!BroadcastNestedLoopJoin|CartesianProduct).)*$"),
+    ],
+    "q_dedup_exact": [
+        ("partial agg on hash key", r"HashAggregate.*partial"),
+        ("only text+doc_id read", r"ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "q_sim_topk": [
+        ("TakeOrderedAndProject over scan", r"TakeOrderedAndProject"),
+        ("no join anywhere (broadcast literal)", r"^(?:(?!Join).)*$"),
+    ],
+    "q_filter": [
+        ("all predicates pushed", r"PushedFilters: \[.*GreaterThan\(l_discount,0\.03\)"),
+    ],
+}
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    show = None
+    if "--show" in sys.argv:
+        show = sys.argv[sys.argv.index("--show") + 1]
+
+    spark = get_spark("plan-audit")
+    if show:
+        print(plan_of(spark, show, sf_dir))
+        return 0
+
+    n_fail = 0
+    for name, checks in CHECKS.items():
+        plan = plan_of(spark, name, sf_dir)
+        for desc, pattern in checks:
+            ok = re.search(pattern, plan, re.DOTALL | re.MULTILINE) is not None
+            if not ok:
+                n_fail += 1
+            print(f"{'PASS' if ok else 'FAIL'}  {name}: {desc}")
+
+    # Whole-stage codegen: AQE defers physical stage creation, so codegen
+    # subtrees are only visible with AQE off — flip it for this one check
+    # (execution behavior is identical; AQE re-plans between stages but
+    # each stage still runs generated code).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    cg = plan_of(spark, "q_agg_hash", sf_dir, mode="codegen")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
+    ok = m is not None and int(m.group(1)) >= 1
+    if not ok:
+        n_fail += 1
+    print(f"{'PASS' if ok else 'FAIL'}  q_agg_hash: whole-stage codegen subtrees")
+
+    print(f"\n{n_fail} plan check failures")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
