@@ -1,0 +1,190 @@
+"""Data-layout operators: bucketed co-located joins and salted skew joins.
+
+The reference has no storage layout at all (its data model is an opaque
+``[]T`` batch, async_data_pipeline.go:67); these operators are the
+100 TB-scale half of the join doctrine in ``operators/joins.py``:
+
+- **Bucketing** (`q_join_bucketed`): a fact⋈fact join shuffles both
+  sides on every run. Bucketing both tables on the join key at WRITE
+  time (``bucketBy`` + ``sortBy``) makes every subsequent join
+  shuffle-free — the exchange is paid once, at ingest, not per query.
+  At 100 TB this is the difference between an hourly pipeline re-paying
+  a corpus-wide shuffle and reading co-located buckets. The test
+  (tests/test_layout.py) asserts the physical plan contains NO
+  ShuffleExchange above either scan.
+- **Salting** (`q_join_salted` / :func:`salted_join`): when one join key
+  dominates (a handful of power-users own half the events table), the
+  task holding that key becomes the straggler. Salting splits each hot
+  key into ``n_salts`` sub-keys on the big side and replicates the small
+  side once per salt — an n_salts-way fan-out of the hot partition for
+  an n_salts× duplication of the (small) build side. AQE's skew-join
+  split (enabled in the session factory) handles moderate skew
+  automatically; explicit salting is the tool when one key exceeds what
+  a single split can absorb, and composes with broadcast being
+  impossible (build side too big).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from asyncdatapipeline_spark.operators._util import dsum, sql_dsum
+from asyncdatapipeline_spark.registry import query
+from asyncdatapipeline_spark.sources.tables import load_table
+
+_N_BUCKETS = 8
+_N_SALTS = 8
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = _N_BUCKETS,
+    sort_keys: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (+ bucket-sorted) managed table.
+
+    Bucket-pruned, co-located reads require the table to live in the
+    session catalog (parquet ``path=`` writes drop bucketing metadata).
+    ``sortBy`` additionally sorts within each bucket file so a
+    sort-merge join needs no sort either.
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*(sort_keys or keys))
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def bucketed_tables_ready(spark: SparkSession, sf_dir: str) -> bool:
+    """True if the bucketed twin tables for ``sf_dir`` already exist."""
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    return spark.catalog.tableExists(
+        f"orders_b_{tag}"
+    ) and spark.catalog.tableExists(f"customer_b_{tag}")
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders/customer bucketed by custkey once per (session, sf).
+
+    Bucketing metadata lives in the (in-memory) session catalog, so a
+    new session must rewrite even if a previous session left files in
+    the warehouse — stale locations are cleared first (saveAsTable
+    refuses to reuse an unregistered location).
+    """
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    ot, ct = f"orders_b_{tag}", f"customer_b_{tag}"
+    if not bucketed_tables_ready(spark, sf_dir):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for tbl in (ot, ct):
+            if not spark.catalog.tableExists(tbl):
+                shutil.rmtree(Path(warehouse) / tbl, ignore_errors=True)
+        write_bucketed(load_table(spark, sf_dir, "orders"), ot, ["o_custkey"])
+        write_bucketed(load_table(spark, sf_dir, "customer"), ct, ["c_custkey"])
+    return ot, ct
+
+
+@query(
+    "q_join_bucketed",
+    oracle=f"""
+SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+  {sql_dsum('o.o_totalprice', 'sum_price')}
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketed layout (scale doctrine).
+
+    Both sides are written ``bucketBy(8, custkey)`` + in-bucket sorted
+    (one-time ingest cost), so the join plan is a SortMergeJoin whose
+    children are bare bucketed scans — no Exchange, no per-query Sort.
+    Results are identical to the plain shuffled join, which is exactly
+    what the oracle checks.
+    """
+    # AQE would demote this tiny join to broadcast, which also defeats
+    # the point of demonstrating the bucketed plan; prefer SMJ locally.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ot, ct = ensure_bucketed_tables(spark, sf_dir)
+        o = spark.table(ot)
+        c = spark.table(ct)
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice", "sum_price"),
+            )
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = _N_SALTS,
+) -> DataFrame:
+    """Equi join with an ``n_salts``-way salt on the big side's key.
+
+    big gains ``salt = pmod(xxhash64(monotonically_increasing_id()),
+    n)`` (uniform, row-unique — NOT derived from the key, which would
+    re-concentrate the hot key); small is exploded once per salt value.
+    The join key becomes (key, salt), spreading any single hot key over
+    ``n_salts`` tasks. Output columns = big ∪ small, exactly as the
+    unsalted join.
+    """
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast(
+            "int"
+        ),
+    )
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return (
+        salted_big.join(
+            salted_small,
+            (F.col(big_key) == F.col(small_key))
+            & (salted_big["__salt"] == salted_small["__salt"]),
+        )
+        .drop("__salt")
+    )
+
+
+@query(
+    "q_join_salted",
+    oracle=f"""
+SELECT c.c_mktsegment, COUNT(*) AS n_events,
+  {sql_dsum('e.value', 'sum_value')}
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi join events⋈customer (scale doctrine).
+
+    events.user_id is the archetypal skewed key (power users). The salt
+    spreads each key over 8 sub-keys; customer rows are replicated 8×
+    (cheap — the replicated side is the smaller one). Results are
+    identical to the plain join — the oracle checks that.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    joined = salted_join(e, c, "user_id", "c_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "sum_value"),
+    )

@@ -54,6 +54,18 @@ def get_spark(
         # second/µs granularity by construction.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Managed tables (bucketed layouts, operators/layout.py) land in
+        # a repo-local warehouse regardless of cwd; gitignored.
+        .config("spark.sql.warehouse.dir", "/root/repo/.spark-warehouse")
+        # Shuffle/spill scratch on tmpfs when available: the local disk
+        # here shows iowait jitter that swings small-SF benchmarks 2×;
+        # on a real cluster this is the usual NVMe scratch volume.
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-scratch"
+            if os.path.isdir("/dev/shm")
+            else "/tmp",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

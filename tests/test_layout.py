@@ -1,0 +1,83 @@
+"""Layout-operator tests: bucketed co-located joins, salted skew joins.
+
+These assert the SCALE property (plan shape), not just result equality —
+a bucketed join that silently re-shuffles would still return correct
+rows, so correctness alone can't catch the regression that matters at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from asyncdatapipeline_spark.operators.layout import (
+    ensure_bucketed_tables,
+    salted_join,
+)
+from asyncdatapipeline_spark.sources.tables import load_table
+
+
+def _formatted_plan(spark, df) -> str:
+    return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ot, ct = ensure_bucketed_tables(spark, sf_dir)
+        o, c = spark.table(ot), spark.table(ct)
+        joined = o.join(c, o.o_custkey == c.c_custkey)
+        plan = _formatted_plan(spark, joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir):
+    ot, ct = ensure_bucketed_tables(spark, sf_dir)
+    bucketed = (
+        spark.table(ot)
+        .join(spark.table(ct), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    plain = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    salted = salted_join(e, c, "user_id", "c_custkey").select(
+        "event_id", "c_custkey"
+    )
+    plain = e.join(c, e.user_id == c.c_custkey).select("event_id", "c_custkey")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    assert "__salt" not in salted.columns
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """The salted big side of one hot key must land in >1 shuffle
+    partition — the whole point of salting."""
+    e = load_table(spark, sf_dir, "events")
+    hot = e.groupBy("user_id").count().orderBy(F.desc("count")).first()[0]
+    one_key = e.filter(F.col("user_id") == hot)
+    salted = one_key.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8)).cast("int"),
+    )
+    n_salts = salted.select("__salt").distinct().count()
+    assert n_salts > 1
