@@ -95,3 +95,73 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(decode_batches, schema=out_schema)
+
+
+_FRAME_BYTES = 64   # bytes per "frame" in the fake video container
+_FRAME_STRIDE = 4   # keep every 4th frame
+
+
+@query(
+    "q_mm_frames",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+           CAST(floor((octet_length(encode(text)) - 1) / {_FRAME_BYTES})
+             AS BIGINT))) AS frame_idx,
+         text
+  FROM documents
+  WHERE octet_length(encode(text)) >= {_FRAME_BYTES}
+)
+SELECT doc_id, frame_idx,
+       md5(substr(text, CAST(frame_idx * {_FRAME_BYTES} + 1 AS BIGINT),
+           {_FRAME_BYTES})) AS frame_checksum
+FROM f
+WHERE frame_idx % {_FRAME_STRIDE} = 0
+  AND octet_length(encode(substr(text,
+        CAST(frame_idx * {_FRAME_BYTES} + 1 AS BIGINT), {_FRAME_BYTES})))
+      = {_FRAME_BYTES}
+""",
+)
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling over an opaque binary column (B60 family).
+
+    The 1→N-row shape of a real frame sampler: each media payload
+    explodes into one row per sampled frame, inside ``mapInPandas`` so
+    the expansion streams per Arrow batch instead of materializing all
+    frames of all videos (the reason this is NOT an
+    ``explode(sequence(...))`` — a real decoder must hold codec state
+    per payload, which only the Python side can).
+
+    STUB decode: the "video" is the utf-8 text; a "frame" is a full
+    64-byte window, every 4th kept, checksummed. ffmpeg frame extraction
+    would replace ``_frames_of`` 1:1; schema/batching are the real
+    thing, and the fake is exact enough for a strict DuckDB oracle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def frames_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_sum = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(0, len(payload) // _FRAME_BYTES * _FRAME_BYTES, _FRAME_BYTES):
+                    idx = i // _FRAME_BYTES
+                    if idx % _FRAME_STRIDE:
+                        continue
+                    frame = payload[i : i + _FRAME_BYTES]
+                    if len(frame) == _FRAME_BYTES:
+                        out_ids.append(doc_id)
+                        out_idx.append(idx)
+                        out_sum.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int64"),
+                    "frame_checksum": pd.Series(out_sum, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(
+        frames_batches, schema="doc_id bigint, frame_idx bigint, frame_checksum string"
+    )

@@ -100,6 +100,65 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_NLIST = 8     # centroids (√n is the usual heuristic; 8 for 500-50k rows)
+_IVF_NPROBE = 3    # closest centroids probed per query
+
+
+@query("q_sim_ivf")  # rows-only: ANN result is approximate by design
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the centroid-partitioned
+    ANN scale path (north star; complements the hyperplane-LSH variant).
+
+    Build: KMeans (pyspark.ml, seeded → deterministic) clusters the
+    corpus into nlist cells; every vector is assigned its nearest
+    centroid id. At 100 TB the corpus is written partitioned by cell id
+    — the assignment is the one-time ingest cost, exactly like
+    bucketing (operators/layout.py).
+
+    Probe: the query ranks centroids by distance driver-side (nlist
+    floats — trivially small), takes the nprobe nearest cells, and
+    exact-rescores only those cells' vectors: a partition-pruned scan
+    reading ~nprobe/nlist of the data, then TakeOrderedAndProject.
+    Recall vs the brute-force baseline is asserted in tests/test_llm.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", _as_double(F.col("embedding"))
+    )
+    feat = e.select(
+        "vec_id", "label", "v", array_to_vector("v").alias("features")
+    )
+    km = KMeans(k=_IVF_NLIST, seed=_ANN_SEED, maxIter=5)
+    model = km.fit(feat)
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    qv = _query_vector(spark, sf_dir)
+    qarr = np.array(qv)
+    dists = [float(np.linalg.norm(qarr - np.array(c))) for c in centers]
+    probe_cells = sorted(range(_IVF_NLIST), key=lambda i: dists[i])[:_IVF_NPROBE]
+
+    # assignment rides the row (no join back) — at scale it's a stored
+    # partition column, not a per-query computation
+    cand = (
+        model.transform(feat)
+        .filter(F.col("prediction").isin([int(c) for c in probe_cells]))
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qnorm = float(np.sqrt(np.dot(qv, qv)))
+    cos = _dot(F.col("v"), qlit) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.lit(qnorm)
+    )
+    return (
+        cand.withColumn("cos_raw", cos)
+        .orderBy(F.col("cos_raw").desc(), "vec_id")
+        .limit(_TOP_K)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
 @query("q_sim_ann")  # rows-only: ANN result is approximate by design
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-{k} (north-star ANN scale path).

@@ -128,6 +128,57 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write events re-laid-out as date-partitioned parquet, once per sf.
+
+    The canonical time-series layout at 100 TB: partition directories by
+    event date so any time-bounded query prunes to the touched days
+    before a single row is read. Returns the dataset path.
+    """
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    out = Path(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    ) / f"events_by_day_{tag}"
+    if not (out / "_SUCCESS").exists():
+        e = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        e.write.mode("overwrite").partitionBy("event_date").parquet(str(out))
+    return str(out)
+
+
+@query(
+    "q_scan_partition_pruned",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n_events, {sql_dsum('value', 'sum_value')}
+FROM events
+WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+GROUP BY event_type
+""",
+)
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partition-pruned scan over the re-laid-out events table
+    (scale doctrine: partition pruning is the first 1000× at 100 TB).
+
+    The filter on the partition column resolves to directory pruning at
+    plan time — ``PartitionFilters`` in the scan node, zero data files
+    from other days opened (plan-asserted in tests/test_layout.py). The
+    oracle runs the same query on the unpartitioned original, proving
+    the relayout changes nothing but the I/O.
+    """
+    path = ensure_partitioned_events(spark, sf_dir)
+    e = spark.read.parquet(path)
+    first_day = e.select(F.min("event_date")).first()[0]
+    return (
+        e.filter(F.col("event_date") == F.lit(first_day))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

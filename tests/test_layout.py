@@ -69,6 +69,23 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert "__salt" not in salted.columns
 
 
+def test_partition_pruned_scan(spark, sf_dir):
+    from asyncdatapipeline_spark.operators.layout import ensure_partitioned_events
+
+    path = ensure_partitioned_events(spark, sf_dir)
+    e = spark.read.parquet(path)
+    n_days = e.select("event_date").distinct().count()
+    assert n_days > 1, "fixture events span one day; pruning test is vacuous"
+    first_day = e.select(F.min("event_date")).first()[0]
+    pruned = e.filter(F.col("event_date") == F.lit(first_day))
+    plan = _formatted_plan(spark, pruned)
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], "date filter did not become a partition filter"
+    # the filter must NOT appear as a row-level data filter
+    assert pruned.count() < e.count()
+
+
 def test_salted_join_spreads_hot_key(spark, sf_dir):
     """The salted big side of one hot key must land in >1 shuffle
     partition — the whole point of salting."""

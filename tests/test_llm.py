@@ -104,6 +104,32 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"ANN recall {recall} below floor"
 
 
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    exact = [
+        r["vec_id"]
+        for r in registry.get("q_sim_topk").fn(spark, sf_dir).collect()
+    ]
+    approx = {
+        r["vec_id"] for r in registry.get("q_sim_ivf").fn(spark, sf_dir).collect()
+    }
+    recall = len(set(exact) & approx) / len(exact)
+    # nprobe/nlist = 3/8 of the corpus scanned; near-isotropic fixture
+    # vectors → recall ≈ fraction probed is the honest floor
+    assert recall >= 0.3, f"IVF recall {recall} below floor"
+
+
+def test_frame_sampler_shape(spark, sf_dir):
+    rows = registry.get("q_mm_frames").fn(spark, sf_dir).collect()
+    assert rows, "no frames sampled"
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+        assert r["frame_idx"] % 4 == 0
+        assert len(r["frame_checksum"]) == 32
+    # at least one doc long enough to yield multiple sampled frames
+    assert any(len(v) > 1 for v in by_doc.values())
+
+
 def test_multimodal_stub_deterministic(spark, sf_dir):
     from asyncdatapipeline_spark.llm.multimodal import decode_image_stub
 
