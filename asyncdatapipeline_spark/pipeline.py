@@ -208,16 +208,27 @@ class Pipeline:
             while True:
                 idle_left = self.config.idle_time - (time.monotonic() - last_data)
                 if idle_left <= 0:
-                    # idle timer fired (reference :334-337)
-                    self._set_reason(CloseReason.IDLE_TIMEOUT)
-                    self._cancel.set()
-                    return
-                try:
-                    payload, n_items = ch.get(timeout=min(idle_left, 0.05))
-                except queue.Empty:
-                    if self._cancel.is_set() and ch.empty():
+                    # Idle window elapsed — but "idle" means NO DATA, so
+                    # drain anything already buffered first. (In the
+                    # reference this is a select race: with both the
+                    # timer and the channel ready, Go picks randomly,
+                    # :297-339; we resolve it to the documented intent —
+                    # a buffered batch is never dropped. A process call
+                    # slower than idle_time no longer eats the queue.)
+                    try:
+                        payload, n_items = ch.get_nowait()
+                    except queue.Empty:
+                        # idle timer fired (reference :334-337)
+                        self._set_reason(CloseReason.IDLE_TIMEOUT)
+                        self._cancel.set()
                         return
-                    continue
+                else:
+                    try:
+                        payload, n_items = ch.get(timeout=min(idle_left, 0.05))
+                    except queue.Empty:
+                        if self._cancel.is_set() and ch.empty():
+                            return
+                        continue
                 now = time.monotonic()
                 # IdleDuration = inter-arrival gap (reference :306-310)
                 self.metrics.record_idle(now - last_data)

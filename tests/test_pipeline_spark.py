@@ -36,8 +36,14 @@ def test_pipeline_spark_batches(spark):
         # df is a real DataFrame: run an aggregation on it
         seen_rows.append(df.groupBy().sum("id").collect()[0][0])
 
+    # warm the session: a cold first createDataFrame/action can exceed
+    # the idle window, idling the pipeline out before the batch lands
+    # (that's correct "source blocked" semantics, but not what this test
+    # is about)
+    spark.createDataFrame([(0, "w")], "id long, value string").count()
+
     pipe = Pipeline(
-        PipelineConfig(max_workers=2, idle_time=1.5, collect_timeout=5),
+        PipelineConfig(max_workers=2, idle_time=3.0, collect_timeout=5),
         collect,
         process,
         spark=spark,

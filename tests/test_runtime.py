@@ -59,6 +59,32 @@ def test_normal_flow_idle_timeout():
     assert processed == collected  # reference :123-125
 
 
+def test_slow_process_does_not_drop_buffered_batches():
+    """A process call slower than idle_time must not cause queued batches
+    to be discarded on idle-timeout (regression: the idle check used to
+    fire without draining the channel; the reference leaves this as a Go
+    select race, :297-339 — we resolve it to never-drop)."""
+    batches = iter([[{"id": 1}], [{"id": 2}], [{"id": 3}]])
+    processed = []
+
+    def collect(p):
+        b = next(batches, None)
+        if b is None:
+            time.sleep(5)
+        return b
+
+    def process(p, batch):
+        time.sleep(0.5)  # slower than idle_time=0.4
+        processed.extend(batch)
+
+    pipe = make_pipeline(collect, process)
+    reason, errors = pipe.run(deadline=5)
+    assert reason is CloseReason.IDLE_TIMEOUT
+    assert errors == []
+    assert [r["id"] for r in processed] == [1, 2, 3]
+    assert pipe.export_metrics()["batch_count"] == 3
+
+
 # -- collect error (reference :129-165) ----------------------------------
 
 
