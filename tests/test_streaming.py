@@ -286,3 +286,142 @@ def test_stream_static_join(spark, events, stream_src, sf_dir):
         events.join(customer, events.user_id == customer.c_custkey, "inner").count()
     )
     assert got == want
+
+
+# -- stream-stream join (watermarked, time-interval condition) ------------
+
+
+def test_stream_stream_join(spark, events, tmp_path):
+    """Views ⋈ purchases per user within 24h — the canonical watermarked
+    stream-stream inner join. Both sides carry watermarks so the state
+    store can evict; the time-interval condition bounds buffering. Batch
+    mode computing the identical join is the oracle."""
+    path = str(tmp_path / "ssj2")
+    events.coalesce(1).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    def side(event_type, alias_prefix):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+            .filter(F.col("event_type") == event_type)
+        )
+        return s.select(
+            F.col("event_id").alias(f"{alias_prefix}_id"),
+            F.col("user_id").alias(f"{alias_prefix}_user"),
+            F.col("ts").alias(f"{alias_prefix}_ts"),
+        ).withWatermark(f"{alias_prefix}_ts", "1 hour")
+
+    views, purchases = side("view", "v"), side("purchase", "p")
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS")),
+    ).select("v_id", "p_id")
+    run_to_memory(joined, "ss_join_out")
+    got = spark.sql("SELECT count(*) c FROM ss_join_out").first()["c"]
+
+    ev = events
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS")),
+    ).count()
+    assert got == want > 0
+
+
+# -- B48 (Spark 4.x API): transformWithStateInPandas ----------------------
+
+
+def _protobuf_available() -> bool:
+    # transformWithStateInPandas talks to a JVM-side state server over a
+    # protobuf protocol; the python 'protobuf' package is not installed
+    # in this container (applyInPandasWithState above needs no protobuf
+    # and covers the same contract).
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas requires python protobuf (not in container)",
+)
+def test_transform_with_state_running_sum(spark, events, stream_src):
+    """Same per-key running aggregation as test_stateful_running_count,
+    on the Spark 4.x stateful API (transformWithStateInPandas with a
+    StatefulProcessor + typed ValueState)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    class RunningSum(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "acc",
+                StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("total", DoubleType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = stream_src.groupBy("user_id").transformWithStateInPandas(
+        RunningSum(),
+        outputStructType="user_id long, n long, total double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    run_to_memory(out, "tws_out", mode="update")
+    got = {
+        (r["user_id"], r["n"], round(r["total"], 6))
+        for r in spark.sql(
+            "SELECT user_id, max(n) n, max(total) total FROM tws_out GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["n"], round(r["total"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
