@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) for engine invariants.
+
+The reference has no randomized testing at all (SURVEY.md §5); these
+cover the invariants that must hold for ANY input, not just the fixture
+corpus: salted-join equivalence, dedup-grouping partition laws, minhash
+signature determinism/containment, and the decimal-armored sum's
+order-independence (the engine-wide oracle-stability mechanism).
+
+Spark-free where possible (pure helpers), tiny-DataFrame where not —
+hypothesis shrinks fast when each example avoids a Spark job.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+# -- pure-python invariants ------------------------------------------------
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40)))
+def test_exact_dedup_partition_law(texts):
+    """Exact dedup groups partition the corpus: group sizes sum to the
+    corpus size, every text in exactly one group (model of
+    q_dedup_exact's groupBy-on-hash)."""
+    groups = Counter(texts)
+    assert sum(groups.values()) == len(texts)
+    assert set(groups) == set(texts)
+
+
+@settings(deadline=None)  # first example pays the module-import cost
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**31 - 2), min_size=1, max_size=60),
+    st.lists(st.integers(min_value=0, max_value=2**31 - 2), min_size=0, max_size=20),
+)
+def test_minhash_lane_containment(base, extra):
+    """Adding shingles can only LOWER each minhash lane (min is monotone
+    under set growth) — the property LSH banding correctness rests on."""
+    from asyncdatapipeline_spark.llm.dedup import (
+        _MINHASH_A,
+        _MINHASH_B,
+        _MINHASH_K,
+        _MINHASH_P,
+    )
+
+    def sig(hashes):
+        return [
+            min((_MINHASH_A[i] * h + _MINHASH_B[i]) % _MINHASH_P for h in hashes)
+            for i in range(_MINHASH_K)
+        ]
+
+    s1, s2 = sig(base), sig(base + extra) if base + extra else None
+    if s2 is not None:
+        assert all(b <= a for a, b in zip(s1, s2))
+
+
+@given(st.integers(min_value=1, max_value=64))
+def test_minhash_constants_valid(k):
+    """The LCG-derived affine constants stay in the universal-hash
+    family's valid range for any signature length."""
+    from asyncdatapipeline_spark.llm.dedup import _MINHASH_P, _lcg_constants
+
+    a, b = _lcg_constants(k)
+    assert len(a) == len(b) == k
+    assert all(1 <= x <= _MINHASH_P - 1 for x in a)
+    assert all(0 <= x <= _MINHASH_P - 1 for x in b)
+    # deterministic: same seed → same constants
+    assert (a, b) == _lcg_constants(k)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=0,
+        max_size=50,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_decimal_sum_order_independent(values, rnd):
+    """The decimal-armored sum (operators/_util.py doctrine) is exactly
+    permutation-invariant — raw double summation is not, which is why
+    every engine sum goes through the decimal cast."""
+    from decimal import Decimal
+
+    def dec_sum(vals):
+        return sum(
+            (Decimal(str(round(v, 6))) for v in vals), start=Decimal(0)
+        )
+
+    shuffled = list(values)
+    rnd.shuffle(shuffled)
+    assert dec_sum(values) == dec_sum(shuffled)
+
+
+# -- spark-backed invariants ----------------------------------------------
+
+small_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # key
+        st.integers(min_value=0, max_value=999),  # payload
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(big=small_rows, small=small_rows)
+def test_salted_join_equivalence(spark, big, small):
+    """salted_join ≡ plain inner join for arbitrary key multisets
+    (including empty sides, absent keys, and duplicate keys on both
+    sides — the multiplicity algebra must survive the salt fan-out)."""
+    from asyncdatapipeline_spark.operators.layout import salted_join
+
+    b = spark.createDataFrame(
+        [(k, v) for k, v in big] or [(None, None)], "bk int, bv int"
+    ).filter("bk is not null")
+    s = spark.createDataFrame(
+        [(k, v) for k, v in small] or [(None, None)], "sk int, sv int"
+    ).filter("sk is not null")
+    got = Counter(
+        map(tuple, salted_join(b, s, "bk", "sk", n_salts=4).collect())
+    )
+    want = Counter(
+        map(tuple, b.join(s, b.bk == s.sk, "inner").collect())
+    )
+    assert got == want

@@ -72,6 +72,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "q_filter": [
         ("all predicates pushed", r"PushedFilters: \[.*GreaterThan\(l_discount,0\.03\)"),
     ],
+    "q_scan_partition_pruned": [
+        ("date filter became a partition filter", r"PartitionFilters: \[[^\]]*event_date"),
+    ],
+    "q_dedup_minhash": [
+        ("signature fold is a single projection (no per-lane explode)", r"aggregate\(transform"),
+        ("salted two-level bucket agg (partial mins map-side)", r"HashAggregate.*partial"),
+    ],
 }
 
 
@@ -95,6 +102,26 @@ def main() -> int:
             if not ok:
                 n_fail += 1
             print(f"{'PASS' if ok else 'FAIL'}  {name}: {desc}")
+
+    # Bucketed join: broadcast disabled so the co-located SMJ (not a
+    # broadcast demotion) is what gets audited — the conf is what a
+    # fact⋈fact join at 100 TB faces anyway.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    from asyncdatapipeline_spark.operators.layout import ensure_bucketed_tables
+
+    ot, ct = ensure_bucketed_tables(spark, sf_dir)
+    o, c = spark.table(ot), spark.table(ct)
+    jplan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        o.join(c, o.o_custkey == c.c_custkey)._jdf.queryExecution(), "formatted"
+    )
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    for desc, ok in [
+        ("SortMergeJoin over bucketed scans", "SortMergeJoin" in jplan),
+        ("no Exchange anywhere", "Exchange" not in jplan),
+    ]:
+        if not ok:
+            n_fail += 1
+        print(f"{'PASS' if ok else 'FAIL'}  q_join_bucketed: {desc}")
 
     # Whole-stage codegen: AQE defers physical stage creation, so codegen
     # subtrees are only visible with AQE off — flip it for this one check
