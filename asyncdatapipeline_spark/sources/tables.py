@@ -38,6 +38,25 @@ BROADCAST_SAFE = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime-settable confs every engine query depends on. The engine's own
+# session factory (session.py) sets these at build time, but the driver
+# contract hands queries() an EXTERNAL SparkSession we don't construct —
+# without nanosAsLong every events read dies (PARQUET_TYPE_ILLEGAL), and
+# without UTC the timestamp columns drift from the DuckDB oracle.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Idempotently pin the confs the operator surface requires on any
+    session (the driver's included)."""
+    for k, v in _REQUIRED_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (parquet, schema from the footer).
@@ -50,6 +69,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_defaults(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
