@@ -38,6 +38,12 @@ from asyncdatapipeline_spark.sources.tables import load_table
 _N_BUCKETS = 8
 _N_SALTS = 8
 
+# All derived layouts live under the repo, independent of the session's
+# warehouse conf (an externally-built session defaults its warehouse to
+# the caller's cwd — tables are created with explicit external paths so
+# nothing lands there).
+_LAYOUT_DIR = Path(__file__).resolve().parents[2] / ".spark-warehouse"
+
 
 def write_bucketed(
     df: DataFrame,
@@ -58,6 +64,7 @@ def write_bucketed(
         .bucketBy(n_buckets, *keys)
         .sortBy(*(sort_keys or keys))
         .format("parquet")
+        .option("path", str(_LAYOUT_DIR / table))
         .saveAsTable(table)
     )
 
@@ -81,10 +88,9 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
     ot, ct = f"orders_b_{tag}", f"customer_b_{tag}"
     if not bucketed_tables_ready(spark, sf_dir):
-        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         for tbl in (ot, ct):
             if not spark.catalog.tableExists(tbl):
-                shutil.rmtree(Path(warehouse) / tbl, ignore_errors=True)
+                shutil.rmtree(_LAYOUT_DIR / tbl, ignore_errors=True)
         write_bucketed(load_table(spark, sf_dir, "orders"), ot, ["o_custkey"])
         write_bucketed(load_table(spark, sf_dir, "customer"), ct, ["c_custkey"])
     return ot, ct
@@ -136,9 +142,7 @@ def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     before a single row is read. Returns the dataset path.
     """
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    out = Path(
-        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    ) / f"events_by_day_{tag}"
+    out = _LAYOUT_DIR / f"events_by_day_{tag}"
     if not (out / "_SUCCESS").exists():
         e = load_table(spark, sf_dir, "events").withColumn(
             "event_date", F.to_date("ts")
