@@ -286,3 +286,102 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  round(sqrt((sxx - sx*sx/n) / (n - 1)), 6) AS stddev_qty,
+  round((sxy - sx*sy/n) / (n - 1), 4) AS covar_qty_price,
+  round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+    AS corr_qty_price
+FROM s
+ORDER BY l_returnflag
+""",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev / covariance / correlation per
+    group (B21 extension).
+
+    NOT ``F.stddev``/``F.corr``: their streaming-merge accumulation is
+    partition-order-dependent, so Spark and DuckDB disagree in the low
+    bits and the driver's value-hash flags it. Instead both sides reduce
+    to exact decimal power sums (sum x, x², y, y², xy — the _util
+    doctrine) and apply the closed forms; every double op after the
+    exact sums is the same IEEE arithmetic in both engines. Same
+    two-phase hash-agg plan shape at 100 TB — power sums combine
+    map-side like any sum.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    big = "decimal(38,6)"
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((y * y).cast(big)).cast("double").alias("syy"),
+        F.sum((x * y).cast(big)).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (
+        F.col("n"), F.col("sx"), F.col("sxx"),
+        F.col("sy"), F.col("syy"), F.col("sxy"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.round((sxy - sx * sy / n) / (n - 1), 4).alias("covar_qty_price"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q_agg_quantile",
+    oracle="""
+SELECT l_returnflag,
+  round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+  round(quantile_cont(l_quantity, 0.5), 6) AS median,
+  round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+  round(quantile_cont(l_discount, 0.9), 6) AS disc_p90
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (B21 extension): ``percentile`` with
+    linear interpolation — the same definition as DuckDB quantile_cont,
+    so the oracle is strict. Exact percentile sorts within each
+    (group, column) — fine for bounded groups; the approximate
+    streaming path at extreme cardinality is percentile_approx
+    (t-digest, engine-specific → would be a rows-only check like HLL).
+    Small-magnitude columns keep interpolated doubles rounding-stable
+    at 6dp across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q25"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median"),
+            F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("q75"),
+            F.round(F.percentile("l_discount", F.lit(0.9)), 6).alias("disc_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
