@@ -289,3 +289,37 @@ def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(tp, F.lit(1000.0)).alias("floored_price"),
         ((tp >= 150000) & (F.col("o_orderstatus") == "F")).alias("big_and_final"),
     )
+
+
+@query(
+    "q_fn_struct",
+    oracle="""
+SELECT c_nationkey,
+  (max(struct_pack(bal := c_acctbal, name := c_name))).bal AS top_bal,
+  (max(struct_pack(bal := c_acctbal, name := c_name))).name AS top_name
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction, lexicographic struct comparison, and field
+    access (B41 family): argmax-by-struct-max — ``max(struct(bal,
+    name))`` orders lexicographically, giving the top customer per
+    nation in ONE two-phase aggregation (no window, no self-join; the
+    struct max combines map-side like any max, so the shuffle is
+    |groups| rows at any scale). Struct fields are projected back to
+    scalars so the oracle compares engine-neutral columns.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    m = F.max(F.struct(F.col("c_acctbal").alias("bal"), F.col("c_name").alias("name")))
+    return (
+        c.groupBy("c_nationkey")
+        .agg(m.alias("m"))
+        .select(
+            "c_nationkey",
+            F.col("m.bal").alias("top_bal"),
+            F.col("m.name").alias("top_name"),
+        )
+        .orderBy("c_nationkey")
+    )

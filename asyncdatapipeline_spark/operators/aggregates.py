@@ -385,3 +385,34 @@ def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_pivot",
+    oracle=f"""
+SELECT l_returnflag,
+  {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_O')},
+  {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_F')}
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: rows → columns on an explicit value list (B24 family).
+
+    The pivot values are DECLARED (``pivot(col, values)``), not
+    discovered — at 100 TB value discovery is an extra full pass and a
+    driver-side collect; a declared list keeps pivot a single two-phase
+    aggregation, exactly the `sum(when(...))` plan the oracle spells
+    out.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+        .orderBy("l_returnflag")
+    )

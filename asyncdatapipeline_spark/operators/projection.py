@@ -108,3 +108,36 @@ def q_null_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(non_click, F.lit("was_click")).alias("type_or_marker"),
         F.get_json_object("props", "$.missing").isNull().alias("no_such_key"),
     )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+  round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 4) AS vs_avg
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+ORDER BY o_orderkey
+""",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery through the SQL API surface (§3 SQL entry point).
+
+    The uncorrelated scalar subquery plans as a one-row broadcast
+    (ReusedSubquery dedupes the two occurrences) — no join, no second
+    scan per row. Exercises ``spark.sql`` over the registered views, the
+    other half of the DataFrame/SQL dual surface.
+    """
+    from asyncdatapipeline_spark.sources.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+          round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 4)
+            AS vs_avg
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+        ORDER BY o_orderkey
+        """
+    )
