@@ -261,3 +261,137 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", winnow("text").alias("fingerprints")).orderBy("doc_id")
+
+
+@query(
+    "q_text_scrub",
+    oracle="""
+WITH withpii AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@example.com or +1-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' id ' || (1000000 + doc_id) AS raw
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+      '\\+?1?-?555-[0-9]{4}', '<PHONE>', 'g'),
+    '\\b[0-9]{7,}\\b', '<ID>', 'g') AS scrubbed,
+  length(raw) - length(regexp_replace(raw,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g'))
+    AS email_chars_removed
+FROM withpii
+ORDER BY doc_id
+""",
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / phone numbers / long numeric ids →
+    placeholder tokens) — the redaction pass every training-data
+    pipeline runs before tokenization.
+
+    The fixture corpus is synthetic word soup, so deterministic PII is
+    PLANTED from doc_id first (identically in the oracle), then
+    scrubbed; the strict value-hash therefore proves the Java-regex and
+    RE2 dialects agree on these patterns. Pure ``regexp_replace``
+    chain: JVM codegen, no Python in the row path, trivially
+    data-parallel at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" id "),
+        (F.col("doc_id") + 1000000).cast("string"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?1?-?555-[0-9]{4}"
+    longid = r"\b[0-9]{7,}\b"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>"
+        ),
+        longid,
+        "<ID>",
+    )
+    return (
+        d.select(
+            "doc_id",
+            scrubbed.alias("scrubbed"),
+            (
+                F.length(raw) - F.length(F.regexp_replace(raw, email, ""))
+            ).alias("email_chars_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CHUNK_TOKENS = 32   # tokens per chunk (model context slice)
+_CHUNK_STRIDE = 24   # overlap = chunk - stride = 8 tokens
+
+
+@query(
+    "q_text_chunk",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(0,
+      CAST(greatest(ceil((len(toks) - {_CHUNK_TOKENS}) / {_CHUNK_STRIDE}.0), 0)
+        AS BIGINT))) AS chunk_idx
+  FROM w
+)
+SELECT doc_id, chunk_idx,
+  array_to_string(toks[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                       chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}], ' ')
+    AS chunk_text,
+  least(len(toks) - chunk_idx * {_CHUNK_STRIDE}, {_CHUNK_TOKENS}) AS n_tokens
+FROM idx
+ORDER BY doc_id, chunk_idx
+""",
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (context-window slicing — the
+    1→N document splitter feeding every LLM pretraining/RAG pipeline).
+
+    Chunk starts step by the 24-token stride with 32-token windows
+    (8-token overlap); the final partial window is kept (standard tail
+    policy). Pure built-ins: split once → posexplode of
+    the start grid → slice+concat per chunk. All codegen; the 1→N
+    expansion is a Generate, no Python and no shuffle — chunking at
+    100 TB is a map-only pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - _CHUNK_TOKENS) / float(_CHUNK_STRIDE)),
+        F.lit(0),
+    ).cast("long")
+    starts = F.sequence(F.lit(0), n_chunks)
+    return (
+        d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("int"),
+                    _CHUNK_TOKENS,
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.size("toks") - F.col("chunk_idx").cast("int") * _CHUNK_STRIDE,
+                F.lit(_CHUNK_TOKENS),
+            ).alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
