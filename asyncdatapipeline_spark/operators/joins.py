@@ -277,3 +277,69 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+_RANGE_BIN_S = 300  # bin width = the join window (5 minutes)
+
+
+@query(
+    "q_join_range",
+    oracle="""
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+  CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+FROM events a
+JOIN events b
+  ON a.event_type = b.event_type
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL '5 minutes'
+ORDER BY id_a, id_b
+""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via time-binning (B18's scalable big-big sibling).
+
+    Pairs of same-type events within a 5-minute window. The naive plan
+    for fact⋈fact with an interval predicate is a nested loop — O(n·m)
+    and a non-starter at 100 TB. Binning rewrites it as an EQUI join:
+    truncate ts to window-width bins, explode the left side into
+    (bin, bin+1) — every qualifying pair lands in exactly one of the
+    two probes because b.ts - a.ts ≤ bin width — then filter the exact
+    interval. Plan: shuffle on (event_type, bin) + codegen filter;
+    output identical to the nested loop, which is what the oracle
+    (DuckDB IEJoin) checks.
+    """
+    e = load_table(spark, sf_dir, "events")
+    binned = e.withColumn("bin", (F.unix_timestamp("ts") / _RANGE_BIN_S).cast("long"))
+    a = (
+        binned.select(
+            F.col("event_id").alias("id_a"),
+            F.col("event_type").alias("type_a"),
+            F.col("ts").alias("ts_a"),
+            F.explode(F.array(F.col("bin"), F.col("bin") + 1)).alias("probe_bin"),
+        )
+    )
+    b = binned.select(
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("ts").alias("ts_b"),
+        F.col("bin").alias("probe_bin"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("type_a") == F.col("type_b"))
+            & (a["probe_bin"] == b["probe_bin"]),
+        )
+        .filter(
+            (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {_RANGE_BIN_S} SECONDS"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")
+            ).alias("gap_s"),
+        )
+        .orderBy("id_a", "id_b")
+    )
