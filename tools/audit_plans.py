@@ -72,6 +72,9 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "q_filter": [
         ("all predicates pushed", r"PushedFilters: \[.*GreaterThan\(l_discount,0\.03\)"),
     ],
+    "q_join_range": [
+        ("binned equi join, no nested loop", r"^(?:(?!BroadcastNestedLoopJoin|CartesianProduct).)*$"),
+    ],
     "q_scan_partition_pruned": [
         ("date filter became a partition filter", r"PartitionFilters: \[[^\]]*event_date"),
     ],
