@@ -98,3 +98,46 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     )
     n_salts = salted.select("__salt").distinct().count()
     assert n_salts > 1
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling (enabled in the session factory) must
+    split a pathologically hot join key at runtime — the automatic
+    complement to the explicit salting of salted_join. Thresholds are
+    lowered so the 200k-row fixture triggers the same re-plan a 100 TB
+    hot key would."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = (
+            spark.range(0, 200_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 2 == 0, 7).otherwise(F.pmod("id", 1000)),
+            )
+            .withColumn("pay", F.concat(F.lit("x" * 64), F.col("id").cast("string")))
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k2"), F.lit("dim").alias("d")
+        )
+        j = big.join(small, F.col("k") == F.col("k2"))
+        assert len(j.collect()) == 200_000
+        plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "isFinalPlan=true" in plan
+        assert plan.count("skew=true") >= 1, "AQE did not split the hot key"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
