@@ -425,3 +425,48 @@ def test_transform_with_state_running_sum(spark, events, stream_src):
         .collect()
     }
     assert got == want
+
+
+# -- B8: checkpointed parquet sink, exactly-once across restart -----------
+
+
+def test_parquet_sink_exactly_once_across_restart(spark, events, tmp_path):
+    """File sink + checkpoint = exactly-once delivery across query
+    restarts: stop after batch 1, append more input, restart from the
+    same checkpoint, and the output must contain every event exactly
+    once — the durability contract the reference's at-most-once
+    driver loop (SURVEY.md §7.3) cannot give."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first, second = events.randomSplit([0.5, 0.5], seed=11)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    n_first = spark.read.parquet(out).count()
+    assert n_first == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()  # nothing lost, nothing doubled
+    assert got.select("event_id").distinct().count() == events.count()
