@@ -448,3 +448,83 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim_raw") >= _COS_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
     )
+
+
+_CC_MAX_ITERS = 20
+
+
+def connected_components(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataFrame:
+    """Min-label propagation connected components over an edge list
+    ``(doc_a, doc_b)`` → ``(doc_id, cluster_id)``.
+
+    The last stage of every dedup pipeline: candidate pairs → clusters →
+    keep one representative per cluster. Iterative label propagation,
+    done the way an iterative algorithm must be done on Spark:
+
+    - each round is one shuffle (edges ⋈ labels, min per node);
+    - ``localCheckpoint`` every round truncates lineage — without it
+      the plan doubles per iteration and the driver dies planning round
+      15 long before the data is a problem;
+    - convergence check is a cheap count of changed labels (one action
+      per round — inherent to fixpoint algorithms);
+    - diameter bounds rounds: label propagation converges in the graph
+      diameter, and dedup-cluster diameters are tiny (near-dup graphs
+      are dense cliques), so the cap is a safety net, not a tuning knob.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()  # truncate lineage every round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("q_dedup_clusters")  # rows-only: iterative fixpoint, not SQL-expressible
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: exact-Jaccard pairs (q_dedup_ngram) → connected
+    components → ``(doc_id, cluster_id, is_representative)``.
+
+    cluster_id = min doc_id in the component (deterministic); the
+    representative is the kept document, everything else in the cluster
+    is the dedup drop set. Semantics verified in tests/test_llm.py
+    (planted exact + near dups land in the same cluster).
+    """
+    pairs = q_dedup_ngram(spark, sf_dir)
+    labels = connected_components(pairs)
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    ).orderBy("cluster_id", "doc_id")

@@ -140,3 +140,37 @@ def test_multimodal_stub_deterministic(spark, sf_dir):
     for r in res:
         assert 1 <= r["width"] <= 640 and 1 <= r["height"] <= 480
         assert len(r["checksum"]) == 32
+
+
+def test_dedup_clusters_merge_planted_dups(spark, planted_docs):
+    pdir, base_id = planted_docs
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in registry.get("q_dedup_clusters").fn(spark, pdir).collect()
+    }
+    # both planted pairs collapse into one cluster each
+    assert labels[1] == labels[9001] == 1          # exact dup, rep = min id
+    assert labels[base_id] == labels[9000] == min(base_id, 9000)
+    # representative flag: exactly one per cluster
+    rows = registry.get("q_dedup_clusters").fn(spark, pdir).collect()
+    reps = {}
+    for r in rows:
+        reps.setdefault(r["cluster_id"], 0)
+        reps[r["cluster_id"]] += int(r["is_representative"])
+    assert all(v == 1 for v in reps.values())
+
+
+def test_connected_components_chain(spark):
+    """A path graph a-b-c-d must collapse to ONE component — catches the
+    classic one-hop-only bug that leaves chains split."""
+    from asyncdatapipeline_spark.llm.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert labels[1] == labels[2] == labels[3] == labels[4] == 1
+    assert labels[10] == labels[11] == 10
