@@ -395,3 +395,31 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.2}  # others: 0.1
+
+
+@query("q_sample_mix")  # rows-only: engine RNG has no cross-engine twin
+def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stratified sampling — the data-mixing step of a
+    pretraining pipeline (upsample curated sources, downsample bulk
+    crawl).
+
+    ``sampleBy`` with a per-stratum fraction map and a fixed seed: one
+    map-only pass (Bernoulli per row against its stratum fraction —
+    NOT a groupBy; nothing shuffles, nothing is collected). The mix is
+    declared driver-side exactly like pivot's value list: at 100 TB
+    the fraction table is pipeline config, not data. Determinism for a
+    given seed and partitioning is asserted in tests; cross-engine RNG
+    parity doesn't exist, hence rows-only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sources = [r["source"] for r in d.select("source").distinct().collect()]
+    fractions = {s: _MIX_FRACTIONS.get(s, 0.1) for s in sources}
+    return (
+        d.sampleBy("source", fractions, seed=42)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("source")
+    )

@@ -416,3 +416,28 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("F", "qty_F")
         .orderBy("l_returnflag")
     )
+
+
+@query("q_agg_approx_quantile")  # rows-only: t-digest estimates are engine-specific
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate grouped quantiles (B26c's unbounded-cardinality
+    sibling): ``percentile_approx`` — a mergeable sketch, so the
+    shuffle is O(groups·sketch), never a per-group sort. The accuracy
+    knob is the last argument (10000 ≈ 0.01 %-ile error); estimates
+    are engine-specific, so the driver check is rows-only and the
+    accuracy bound vs the exact percentile is asserted in
+    tests/test_oracle_parity.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+                "approx_median_price"
+            ),
+            F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias(
+                "approx_p99_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

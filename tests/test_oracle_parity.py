@@ -74,3 +74,49 @@ def test_approx_distinct_tolerance(spark, sf_dir, duck):
         eo, ep = est[flag]
         assert math.isclose(eo, o, rel_tol=0.05)
         assert math.isclose(ep, p, rel_tol=0.05)
+
+
+def test_approx_quantile_tolerance(spark, sf_dir, duck):
+    """percentile_approx within 2% of the exact quantile (its accuracy
+    parameter promises far better; 2% is the loose regression floor)."""
+    est = {
+        r["l_returnflag"]: (r["approx_median_price"], r["approx_p99_price"])
+        for r in registry.get("q_agg_approx_quantile").fn(spark, sf_dir).collect()
+    }
+    exact = duck.sql(
+        "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) m,"
+        " quantile_cont(l_extendedprice, 0.99) p FROM lineitem GROUP BY 1"
+    ).fetchall()
+    for flag, m, p in exact:
+        em, ep = est[flag]
+        assert math.isclose(em, m, rel_tol=0.02)
+        assert math.isclose(ep, p, rel_tol=0.02)
+
+
+def test_sample_mix_fractions_and_determinism(spark, sf_dir):
+    """Stratified mixing: per-source sampled counts track the declared
+    fractions (binomial tolerance on small strata), and the same seed
+    reproduces the same sample exactly."""
+    from asyncdatapipeline_spark.llm.text import _MIX_FRACTIONS
+
+    fn = registry.get("q_sample_mix").fn
+    a = {r["source"]: r["n_sampled"] for r in fn(spark, sf_dir).collect()}
+    b = {r["source"]: r["n_sampled"] for r in fn(spark, sf_dir).collect()}
+    assert a == b  # seeded determinism
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    totals = {
+        r["source"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert a.get("src0", 0) == totals["src0"]  # fraction 1.0 keeps all
+    for src, n_total in totals.items():
+        frac = _MIX_FRACTIONS.get(src, 0.1)
+        got = a.get(src, 0)
+        # 4-sigma binomial window
+        sigma = (n_total * frac * (1 - frac)) ** 0.5
+        assert abs(got - n_total * frac) <= 4 * sigma + 1
