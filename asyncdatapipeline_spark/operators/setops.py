@@ -68,3 +68,42 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_quantity") > 25).select("l_partkey")
     b = li.filter(F.col("l_discount") > 0.05).select("l_partkey")
     return a.exceptAll(b)
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+SELECT id, kind, round(amount, 4) AS amount, user_id FROM (
+  SELECT o_orderkey AS id, 'order' AS kind, o_totalprice AS amount,
+         NULL::BIGINT AS user_id
+  FROM orders
+  UNION ALL BY NAME
+  SELECT event_id AS id, 'event' AS kind, value AS amount, user_id
+  FROM events
+)
+ORDER BY kind, id
+""",
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (B34's heterogeneous sibling):
+    ``unionByName(allowMissingColumns=True)`` aligns by COLUMN NAME and
+    null-fills columns one side lacks — the ingest-time shape when
+    sources evolve (new fields appear) and position-based union would
+    silently mis-align. Map-only at any scale.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.lit("order").alias("kind"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.lit("event").alias("kind"),
+        F.col("value").alias("amount"),
+        "user_id",
+    )
+    return (
+        o.unionByName(e, allowMissingColumns=True)
+        .select("id", "kind", F.round("amount", 4).alias("amount"), "user_id")
+        .orderBy("kind", "id")
+    )
