@@ -165,3 +165,45 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         frames_batches, schema="doc_id bigint, frame_idx bigint, frame_checksum string"
     )
+
+
+@query(
+    "q_mm_arrow",
+    oracle="""
+SELECT
+  doc_id,
+  octet_length(encode(text)) AS n_bytes,
+  md5(text) AS checksum
+FROM documents
+""",
+)
+def q_mm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native media decode via ``mapInArrow`` (B60 family).
+
+    Same plumbing as q_multimodal but one level lower: the UDF receives
+    raw ``pyarrow.RecordBatch``es — no pandas materialization, the
+    right shape when the decode library itself speaks Arrow/numpy
+    buffers (zero-copy into the codec). Stub decode = md5 checksum, so
+    the full path carries a strict oracle.
+    """
+    import pyarrow as pa
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def decode_arrow(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            doc_ids = batch.column("doc_id")
+            payloads = batch.column("payload").to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array([len(p) for p in payloads], pa.int32()),
+                    pa.array([hashlib.md5(p).hexdigest() for p in payloads]),
+                ],
+                names=["doc_id", "n_bytes", "checksum"],
+            )
+
+    return media.mapInArrow(
+        decode_arrow, schema="doc_id bigint, n_bytes int, checksum string"
+    )
