@@ -172,7 +172,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would sit at its init value and every such doc would share every
     # band: one mega-hot bucket per band (a skew bomb, and semantically
     # wrong — "no shingles" is not "identical"). Drop them up front.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Half the core count, not all of it: the signature pass is pure
+    # CPU, and sizing tasks 1:1 with cores leaves zero headroom — any
+    # co-tenant CPU noise turns one task into a multi-second straggler
+    # (measured: 32 tasks on 32 cores swings 1.4-6.5s; 16 tasks is a
+    # stable 1.4s).
+    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2)
     sig_row = (
         d.repartition(n_part)
         .filter(F.size(F.split(F.col("text"), " ")) >= 3)
