@@ -174,3 +174,28 @@ def test_connected_components_chain(spark):
     }
     assert labels[1] == labels[2] == labels[3] == labels[4] == 1
     assert labels[10] == labels[11] == 10
+
+
+def test_pack_sequences_partition_of_corpus(spark, sf_dir):
+    """Packing is a partition of the corpus: every document lands in
+    exactly one pack, per-source pack ids are contiguous from 0, and a
+    pack p > 0 only starts once ≥ 512·p tokens precede it."""
+    docs = load_table(spark, sf_dir, "documents")
+    packs = registry.get("q_pack_sequences").fn(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in packs) == docs.count()
+    per_source: dict[str, list] = {}
+    for r in packs:
+        per_source.setdefault(r["source"], []).append(r)
+    for source, rows in per_source.items():
+        rows.sort(key=lambda r: r["pack_id"])
+        assert [r["pack_id"] for r in rows] == list(range(len(rows)))
+        cum = 0
+        for r in rows:
+            assert cum >= 512 * r["pack_id"]
+            cum += r["pack_tokens"]
+
+
+def test_mix_report_shares_sum_to_one(spark, sf_dir):
+    rows = registry.get("q_mix_report").fn(spark, sf_dir).collect()
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    assert all(r["n_tokens"] > 0 and r["n_docs"] > 0 for r in rows)
