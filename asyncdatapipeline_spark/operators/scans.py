@@ -82,3 +82,26 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     r.coalesce(1).write.mode("overwrite").json(path)
     return spark.read.schema(REGION_SCHEMA).json(path).select("r_regionkey", "r_name")
+
+
+@query(
+    "q_scan_orc",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier
+WHERE s_acctbal > 0
+""",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan (source-format coverage beyond B1-B3): parquet → ORC →
+    read back with a pushed predicate; must equal the source table
+    filtered the same way (the oracle reads the parquet view).
+
+    ORC gets the same vectorized reader + predicate pushdown treatment
+    as parquet in Spark; the balance filter lands in ``PushedFilters``
+    at the stripe level.
+    """
+    path = _scratch(sf_dir, "supplier_orc")
+    s = load_table(spark, sf_dir, "supplier")
+    s.coalesce(1).write.mode("overwrite").orc(path)
+    return spark.read.orc(path).filter(F.col("s_acctbal") > 0)
