@@ -126,6 +126,32 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_agg_hll")  # rows-only: sketch bytes are engine-specific
+def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches via Spark 4's datasketches functions
+    (B23 extension: the re-aggregation path).
+
+    Two-level plan that proves the property approx_count_distinct can't
+    express: partial sketches built per (flag, status) cell are UNIONED
+    (`hll_union_agg`) up to flag level and only then estimated. At
+    100 TB this is how distincts re-aggregate — daily/partition sketches
+    persist as binary columns and any coarser rollup is a cheap sketch
+    union, never a rescan of the raw keys. Tolerance-checked against the
+    exact distinct in tests/test_oracle_parity.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk_orders")
+    )
+    return (
+        cells.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk_orders")).alias("hll_orders")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @query(
     "q_agg_rollup",
     oracle=f"""

@@ -120,3 +120,19 @@ def test_sample_mix_fractions_and_determinism(spark, sf_dir):
         # 4-sigma binomial window
         sigma = (n_total * frac * (1 - frac)) ** 0.5
         assert abs(got - n_total * frac) <= 4 * sigma + 1
+
+
+def test_hll_sketch_union_tolerance(spark, sf_dir, duck):
+    """B23 extension: sketch-union estimate (partial sketches per
+    (flag, status) cell, unioned to flag level) within 5% of exact —
+    the union must not degrade accuracy beyond plain HLL."""
+    est = {
+        r["l_returnflag"]: r["hll_orders"]
+        for r in registry.get("q_agg_hll").fn(spark, sf_dir).collect()
+    }
+    exact = duck.sql(
+        "SELECT l_returnflag, COUNT(DISTINCT l_orderkey) o"
+        " FROM lineitem GROUP BY 1"
+    ).fetchall()
+    for flag, o in exact:
+        assert math.isclose(est[flag], o, rel_tol=0.05)
