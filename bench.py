@@ -24,6 +24,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from asyncdatapipeline_spark import registry  # noqa: E402
+from asyncdatapipeline_spark.config import PipelineConfig  # noqa: E402
+from asyncdatapipeline_spark.pipeline import CloseReason, Pipeline  # noqa: E402
 from asyncdatapipeline_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -41,6 +43,42 @@ HEADLINE = [
 ]
 
 
+def bench_pipeline(workers: int, n_batches: int = 20_000) -> float:
+    """Reference-parity pipeline throughput, batches/sec ("ops/sec" in
+    BASELINE.md terms).
+
+    Mirrors the reference benchmark harness (BASELINE.md; reference
+    async_data_pipeline_test.go:19-78): 100-row batches, no-op process,
+    run ends by idle timeout once the source dries up. Throughput is
+    measured to the moment the LAST batch is processed — the idle-out
+    tail is shutdown semantics, not work, and the reference's b.N timer
+    likewise stops before its 3s drain sleep.
+    """
+    state = {"sent": 0, "done_at": 0.0}
+    batch = [{"id": i, "value": f"value_{i}"} for i in range(100)]
+
+    def collect(p):
+        if state["sent"] >= n_batches:
+            time.sleep(0.05)  # source dry → block → idle-out
+            return None
+        state["sent"] += 1
+        return batch
+
+    def process(p, data):
+        if state["sent"] >= n_batches:
+            state["done_at"] = time.perf_counter()
+
+    pipe = Pipeline(
+        PipelineConfig(max_workers=workers, idle_time=0.3, collect_timeout=5.0),
+        collect,
+        process,
+    )
+    t0 = time.perf_counter()
+    reason, errors = pipe.run(deadline=120)
+    assert reason is CloseReason.IDLE_TIMEOUT and not errors, (reason, errors)
+    return n_batches / ((state["done_at"] or time.perf_counter()) - t0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -56,6 +94,12 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # reference-parity runtime throughput (BASELINE.md: 1000-5500 ops/sec
+    # at workers 1-16 on 4 cores; "op" = one 100-row batch)
+    pipeline_ops = {
+        f"w{w}": round(bench_pipeline(w), 1) for w in (1, 2, 4, 8, 16)
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -65,6 +109,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pipeline_ops_per_sec": pipeline_ops,
             }
         )
     )
