@@ -49,15 +49,20 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
-    """Fetch the query vector (a parameter, not data — one driver row)."""
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float] | None:
+    """Fetch the query vector (a parameter, not data — one driver row).
+
+    Returns ``None`` when the query vec_id is absent (e.g. an empty
+    corpus partition) — callers emit an empty result, which is exactly
+    what the SQL oracle's empty query-CTE cross join produces.
+    """
     row = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == _QUERY_VEC_ID)
         .select("embedding")
         .first()
     )
-    return [float(x) for x in row["embedding"]]
+    return None if row is None else [float(x) for x in row["embedding"]]
 
 
 @query(
@@ -85,6 +90,8 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     p·k rows) — no shuffle, no crossJoin, scales linearly.
     """
     qv = _query_vector(spark, sf_dir)
+    missing = qv is None
+    qv = [1.0] if missing else qv  # placeholder; plan truncated below
     qlit = F.array(*[F.lit(x) for x in qv])
     qnorm = float(np.sqrt(np.dot(qv, qv)))
     e = load_table(spark, sf_dir, "embeddings").filter(
@@ -92,12 +99,13 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = _as_double(F.col("embedding"))
     cos = _dot(v, qlit) / (F.sqrt(_dot(v, v)) * F.lit(qnorm))
-    return (
+    out = (
         e.withColumn("cos_raw", cos)
         .orderBy(F.col("cos_raw").desc(), "vec_id")
         .limit(_TOP_K)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cos_sim"))
     )
+    return out.limit(0) if missing else out
 
 
 _IVF_NLIST = 8     # centroids (√n is the usual heuristic; 8 for 500-50k rows)
@@ -170,6 +178,8 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     rng = np.random.default_rng(_ANN_SEED)
     qv = _query_vector(spark, sf_dir)
+    missing = qv is None
+    qv = [1.0] if missing else qv  # placeholder; plan truncated at return
     dim = len(qv)
     planes = rng.standard_normal((_ANN_BITS, dim))
 
@@ -202,9 +212,10 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sig").isin(probe_sigs))
     )
     cos = _dot(F.col("v"), qlit) / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.lit(qnorm))
-    return (
+    out = (
         e.withColumn("cos_raw", cos)
         .orderBy(F.col("cos_raw").desc(), "vec_id")
         .limit(_TOP_K)
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cos_sim"))
     )
+    return out.limit(0) if missing else out

@@ -171,7 +171,16 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the relayout changes nothing but the I/O.
     """
     path = ensure_partitioned_events(spark, sf_dir)
-    e = spark.read.parquet(path)
+    # Explicit schema: partitioned datasets carry part of their schema in
+    # directory names, and a dataset with zero partitions (legal — e.g. an
+    # empty ingest day) has nothing to infer from. Deriving the schema
+    # from the source table keeps the scan readable in that state too.
+    schema = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .schema
+    )
+    e = spark.read.schema(schema).parquet(path)
     first_day = e.select(F.min("event_date")).first()[0]
     return (
         e.filter(F.col("event_date") == F.lit(first_day))
