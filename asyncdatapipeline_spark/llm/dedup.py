@@ -86,12 +86,17 @@ _MINHASH_A, _MINHASH_B = _lcg_constants(_MINHASH_K)
 # SQL-text twin of _shingle_array: the signature expression is built as
 # ONE expr() string parsed JVM-side — the equivalent Column-API tree
 # costs ~0.6s of py4j round-trips per call just to construct.
+#
+# Short-doc guard: `sequence(1, n)` with n < 1 generates a DESCENDING
+# [1, 0, ...] in Spark (DuckDB's generate_series is empty instead), so a
+# <3-word doc would probe element_at past the array end — an ANSI-mode
+# crash. `if(size >= 3, ..., array())` makes "no shingles" an empty set.
 _SHINGLES_SQL = (
-    "array_distinct(transform("
-    "sequence(1, greatest(size(split(text, ' ')) - 2, 0)), "
+    "array_distinct(if(size(split(text, ' ')) >= 3, transform("
+    "sequence(1, size(split(text, ' ')) - 2), "
     "i -> concat_ws(' ', element_at(split(text, ' '), i), "
     "element_at(split(text, ' '), i + 1), "
-    "element_at(split(text, ' '), i + 2))))"
+    "element_at(split(text, ' '), i + 2))), array()))"
 )
 
 
@@ -124,16 +129,19 @@ def _shingle_array(col):
     (q_dedup_ngram).
     """
     w = F.split(col, " ")
+    # sequence(1, n<1) descends in Spark (never empties) — guard short
+    # docs explicitly so their shingle set is empty, not a crash.
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(w, i),
+            F.element_at(w, i + 1),
+            F.element_at(w, i + 2),
+        ),
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, i),
-                F.element_at(w, i + 1),
-                F.element_at(w, i + 2),
-            ),
-        )
+        F.when(F.size(w) >= 3, sh).otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -354,19 +362,9 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusion-exclusion → threshold.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, i),
-                F.element_at(w, i + 1),
-                F.element_at(w, i + 2),
-            ),
-        )
+    sh = d.select(
+        "doc_id", F.explode(_shingle_array(F.col("text"))).alias("shingle")
     )
-    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
     cold = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))

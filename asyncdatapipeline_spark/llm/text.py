@@ -46,14 +46,17 @@ SELECT
   length(text) AS text_len,
   len(string_split(text, ' ')) AS n_words,
   len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
-  round((length(text) - length(replace(text, ' ', '')))
-        * 1.0 / length(text), 6) AS space_ratio
+  CASE WHEN length(text) > 0 THEN
+    round((length(text) - length(replace(text, ' ', '')))
+          * 1.0 / length(text), 6)
+  END AS space_ratio
 FROM documents
 """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document surface statistics (B59): lengths, word counts,
-    vocabulary size, whitespace ratio."""
+    vocabulary size, whitespace ratio. Empty text → NULL ratio (an
+    ANSI-mode divide-by-zero otherwise; same CASE guard in the oracle)."""
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     tlen = F.length("text")
@@ -65,11 +68,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         tlen.alias("text_len"),
         F.size(words).alias("n_words"),
         F.size(F.array_distinct(words)).alias("n_distinct_words"),
-        F.round(
-            (tlen - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
-            * F.lit(1.0)
-            / tlen,
-            6,
+        F.when(
+            tlen > 0,
+            F.round(
+                (tlen - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+                * F.lit(1.0)
+                / tlen,
+                6,
+            ),
         ).alias("space_ratio"),
     )
 

@@ -44,3 +44,51 @@ def test_every_query_survives_empty_inputs(spark, empty_sf_dir):
         except Exception as e:  # noqa: BLE001 — collecting all failures
             failures.append(f"{name}: {type(e).__name__}: {e}")
     assert not failures, "queries crashed on empty inputs:\n" + "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def nully_sf_dir(spark, sf_dir, tmp_path_factory):
+    """Fixtures plus adversarial rows: null text, empty text, null
+    embedding, empty embedding — the malformed records any 100 TB crawl
+    contains."""
+    from pyspark.sql import functions as F
+
+    out = tmp_path_factory.mktemp("nully_sf")
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        if t == "documents":
+            extra = spark.createDataFrame(
+                [
+                    (99990, None, "en", "src0", 0),
+                    (99991, "", "en", "src0", 0),
+                    (99992, "   ", None, None, 3),
+                ],
+                schema=df.schema,
+            )
+            df = df.unionByName(extra)
+        if t == "embeddings":
+            extra = spark.createDataFrame(
+                [(99990, None, 0), (99991, [], 1)], schema=df.schema
+            )
+            df = df.unionByName(extra)
+        df.write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+LLM_QUERIES = [
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram",
+    "q_dedup_embed", "q_dedup_clusters", "q_sim_topk", "q_sim_ann",
+    "q_text_stats", "q_text_lang", "q_text_quality", "q_text_tokens",
+    "q_text_fingerprint", "q_text_winnow", "q_text_scrub", "q_text_chunk",
+    "q_pack_sequences", "q_mix_report",
+]
+
+
+def test_llm_ops_survive_malformed_rows(spark, nully_sf_dir):
+    failures = []
+    for name in LLM_QUERIES:
+        try:
+            registry.get(name).fn(spark, nully_sf_dir).collect()
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "LLM ops crashed on malformed rows:\n" + "\n".join(failures)
