@@ -141,3 +141,41 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+         l_quantity AS value
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+  FROM lineitem WHERE l_orderkey < 100
+)
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt — wide→long reshaping (relational surface).
+
+    ``DataFrame.unpivot`` plans as a single Expand node (each input row
+    emitted once per measure) — map-only, no shuffle, no join; the
+    orderkey filter is pushed below the Expand into the scan. The
+    portable-SQL twin is the 4-way UNION ALL, which DuckDB runs; Spark's
+    Expand reads the input once where the UNION ALL form scans it four
+    times.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
