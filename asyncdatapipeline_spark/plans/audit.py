@@ -89,6 +89,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("signature fold is a single projection (no per-lane explode)", r"aggregate\(transform"),
         ("salted two-level bucket agg (partial mins map-side)", r"HashAggregate.*partial"),
     ],
+    "q_unpivot": [
+        ("single map-only Expand (no union rescan)", r"Expand \[codegen id"),
+        ("orderkey filter pushed below the Expand", r"PushedFilters: \[.*LessThan\(l_orderkey,100\)"),
+    ],
     "q_pack_sequences": [
         ("only the 3 needed document columns read", r"ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
     ],
