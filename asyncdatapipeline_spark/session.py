@@ -73,3 +73,47 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    executor_cores: int = 4,
+    num_executors: int = 1000,
+    executor_mem_gb: int = 16,
+) -> dict[str, str]:
+    """The conf profile this engine expects on a real cluster (the
+    100 TB design point SCALING.md assumes) — pass as ``extra_conf`` to
+    :func:`get_spark` with a cluster master, or feed to spark-submit.
+
+    Rationale per knob:
+
+    - shuffle partitions start at 2× total cores; AQE's advisory size
+      (256 MB) then coalesces/splits per-stage, so the static number only
+      has to be "enough to engage every core".
+    - 256 MB scan splits: 100 TB / 256 MB ≈ 400k tasks — large enough to
+      amortize task overhead, small enough that one task's working set
+      fits executor memory alongside shuffle buffers.
+    - broadcast threshold stays at 64 MB: region/nation-class dims
+      always qualify; sf-scaled tables never silently do (operators that
+      broadcast do so explicitly via ``F.broadcast``).
+    - Kryo + zstd shuffle: CPU-cheap, halves shuffle bytes on wide rows
+      — at 100 TB the shuffle fabric is the scarcest resource.
+    """
+    total_cores = executor_cores * num_executors
+    return {
+        "spark.executor.cores": str(executor_cores),
+        "spark.executor.instances": str(num_executors),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256m",
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.io.compression.codec": "zstd",
+        "spark.shuffle.compress": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
