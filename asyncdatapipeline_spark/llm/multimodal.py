@@ -207,3 +207,89 @@ def q_mm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInArrow(
         decode_arrow, schema="doc_id bigint, n_bytes int, checksum string"
     )
+
+
+_RESIZE_BOX = 64  # fit-within box for the stubbed resize
+
+
+def resize_image_stub(payload: bytes) -> tuple[int, int, int, int, str]:
+    """STUB resize-to-fit: deterministic fake for a thumbnailing pass.
+
+    A real implementation hands the payload to PIL's ``thumbnail``; here
+    the "image" dims come from the same fake decode as
+    :func:`decode_image_stub`, the fit-within-{box}² scaling is the real
+    integer math a thumbnailer does, and the "resized payload" is the
+    byte prefix sized to the new pixel count — enough to make the whole
+    pass oracle-recomputable from the source text.
+    """
+    w = (len(payload) % 640) + 1
+    h = (len(payload) % 480) + 1
+    mx = max(w, h)
+    if mx <= _RESIZE_BOX:
+        nw, nh = w, h
+    else:
+        nw = max(1, (w * _RESIZE_BOX) // mx)
+        nh = max(1, (h * _RESIZE_BOX) // mx)
+    k = min(len(payload), nw * nh)
+    return w, h, nw, nh, hashlib.md5(payload[:k]).hexdigest()
+
+
+@query(
+    "q_mm_resize",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, text,
+         (octet_length(encode(text)) % 640) + 1 AS width,
+         (octet_length(encode(text)) % 480) + 1 AS height
+  FROM documents
+),
+r AS (
+  SELECT doc_id, text, width, height,
+         CASE WHEN greatest(width, height) <= {_RESIZE_BOX} THEN width
+              ELSE greatest(1, (width * {_RESIZE_BOX}) // greatest(width, height))
+         END AS new_width,
+         CASE WHEN greatest(width, height) <= {_RESIZE_BOX} THEN height
+              ELSE greatest(1, (height * {_RESIZE_BOX}) // greatest(width, height))
+         END AS new_height
+  FROM m
+)
+SELECT doc_id, width, height, new_width, new_height,
+       md5(substr(text, 1,
+           least(octet_length(encode(text)), new_width * new_height)))
+         AS resized_checksum
+FROM r
+""",
+)
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize / thumbnailing pass (B60 family: decode →
+    feature-extract → **resize** → frame-sample).
+
+    Same Spark plumbing as a real thumbnailer: binary payload in,
+    per-Arrow-batch ``mapInPandas`` transform, typed (old dims, new
+    dims, resized-payload checksum) row out. Map-only — resize never
+    shuffles at any corpus size; only the codec call is stubbed
+    (:func:`resize_image_stub`).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    out_schema = (
+        "doc_id bigint, width int, height int, "
+        "new_width int, new_height int, resized_checksum string"
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            r = pdf["payload"].map(resize_image_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": r.map(lambda t: t[0]),
+                    "height": r.map(lambda t: t[1]),
+                    "new_width": r.map(lambda t: t[2]),
+                    "new_height": r.map(lambda t: t[3]),
+                    "resized_checksum": r.map(lambda t: t[4]),
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=out_schema)
