@@ -51,6 +51,7 @@ SELECT
   (octet_length(encode(text)) % 480) + 1 AS height,
   md5(text) AS checksum
 FROM documents
+WHERE text IS NOT NULL
 """,
 )
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,7 +65,9 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     is fake.
     """
     d = load_table(spark, sf_dir, "documents")
-    media = d.select(
+    # null text -> null payload (a failed fetch in a real crawl): no
+    # media object, no row -- matches the oracle's WHERE text IS NOT NULL
+    media = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.struct(
@@ -139,7 +142,9 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing, and the fake is exact enough for a strict DuckDB oracle.
     """
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    media = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
 
     def frames_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -175,6 +180,7 @@ SELECT
   octet_length(encode(text)) AS n_bytes,
   md5(text) AS checksum
 FROM documents
+WHERE text IS NOT NULL
 """,
 )
 def q_mm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,7 +195,9 @@ def q_mm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
 
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    media = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
 
     def decode_arrow(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         for batch in batches:
@@ -242,6 +250,7 @@ WITH m AS (
          (octet_length(encode(text)) % 640) + 1 AS width,
          (octet_length(encode(text)) % 480) + 1 AS height
   FROM documents
+  WHERE text IS NOT NULL
 ),
 r AS (
   SELECT doc_id, text, width, height,
@@ -271,7 +280,9 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`resize_image_stub`).
     """
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    media = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
 
     out_schema = (
         "doc_id bigint, width int, height int, "

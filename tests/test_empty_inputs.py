@@ -80,7 +80,8 @@ LLM_QUERIES = [
     "q_dedup_embed", "q_dedup_clusters", "q_sim_topk", "q_sim_ann",
     "q_text_stats", "q_text_lang", "q_text_quality", "q_text_tokens",
     "q_text_fingerprint", "q_text_winnow", "q_text_scrub", "q_text_chunk",
-    "q_pack_sequences", "q_mix_report",
+    "q_pack_sequences", "q_mix_report", "q_multimodal", "q_mm_frames",
+    "q_mm_arrow", "q_mm_resize",
 ]
 
 
