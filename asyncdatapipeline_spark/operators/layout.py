@@ -252,3 +252,72 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "sum_value"),
     )
+
+
+@query(
+    "q_join_dpp",
+    oracle=f"""
+WITH per_day AS (
+  SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_days FROM per_day
+),
+dim AS (
+  SELECT event_date FROM per_day, tot WHERE n * n_days > total
+)
+SELECT e.event_type, COUNT(*) AS n_events, {sql_dsum('e.value', 'sum_value')}
+FROM events e JOIN dim d ON CAST(e.ts AS DATE) = d.event_date
+GROUP BY e.event_type
+""",
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: fact partitions pruned at RUNTIME by a
+    dim-side filter static planning cannot see (layout family, with
+    B63's static pruning as the plan-time counterpart).
+
+    The dim is "busy days" — dates whose event count exceeds the
+    per-day mean (exact integer comparison, no float tie risk; ~half
+    the days qualify at every fixture SF). That
+    predicate depends on data, not on the join column, so no static
+    partition filter can be inferred; instead Catalyst plants
+    ``dynamicpruningexpression(event_date IN subquery)`` in the fact
+    scan's PartitionFilters (plan-asserted): the broadcast dim's dates
+    are computed first and only those partition directories of the fact
+    are read. At 100 TB this is the difference between scanning the
+    fact table and scanning the qualifying days.
+    """
+    path = ensure_partitioned_events(spark, sf_dir)
+    schema = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .schema
+    )
+    fact = spark.read.schema(schema).parquet(path)
+
+    per_day = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # The threshold is ONE scalar (a query parameter, like q_sim_topk's
+    # query vector), fetched driver-side: n > total // n_days is exactly
+    # n * n_days > total in integers, and the literal comparison is what
+    # Catalyst's isLikelySelective heuristic needs to see before it
+    # plants a pruning subquery.
+    total, n_days = per_day.agg(
+        F.sum("n"), F.count(F.lit(1))
+    ).first()
+    dim = per_day.filter(F.col("n") > int(total // n_days)).select("event_date")
+    # Explicit broadcast: the dim must be the BUILD side for Catalyst to
+    # plant the pruning subquery on the fact scan (at toy SF the planner
+    # would otherwise happily broadcast the "fact" and prune nothing).
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+    )

@@ -85,6 +85,9 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "q_scan_partition_pruned": [
         ("date filter became a partition filter", r"PartitionFilters: \[[^\]]*event_date"),
     ],
+    "q_join_dpp": [
+        ("runtime pruning subquery planted on the fact scan", r"PartitionFilters: \[[^\]]*dynamicpruningexpression\(event_date"),
+    ],
     "q_dedup_minhash": [
         ("signature fold is a single projection (no per-lane explode)", r"aggregate\(transform"),
         ("salted two-level bucket agg (partial mins map-side)", r"HashAggregate.*partial"),
