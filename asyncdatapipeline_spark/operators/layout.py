@@ -309,7 +309,10 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, n_days = per_day.agg(
         F.sum("n"), F.count(F.lit(1))
     ).first()
-    dim = per_day.filter(F.col("n") > int(total // n_days)).select("event_date")
+    # empty events → no days, sum() is NULL: threshold 0 over an empty
+    # per_day still yields an empty dim (and an empty join), not a crash
+    thr = int(total // n_days) if (total is not None and n_days) else 0
+    dim = per_day.filter(F.col("n") > thr).select("event_date")
     # Explicit broadcast: the dim must be the BUILD side for Catalyst to
     # plant the pruning subquery on the fact scan (at toy SF the planner
     # would otherwise happily broadcast the "fact" and prune nothing).
