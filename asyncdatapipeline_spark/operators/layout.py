@@ -324,3 +324,45 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "sum_value"),
         )
     )
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    schema=None,
+) -> int:
+    """Compact a small-file parquet dataset to ~``target_file_mb`` files.
+
+    The operational tail of every streaming/incremental pipeline: each
+    micro-batch commit writes a file per task, and a month of 30-second
+    triggers leaves millions of kilobyte files whose open/footer cost
+    dominates scans. Rewrite sizes the file count from the dataset's
+    actual bytes (ceil(bytes / target)), never from a row guess.
+
+    Returns the new file count. Write-then-swap: the rewrite lands in a
+    sibling directory and replaces the original only after _SUCCESS, so
+    a mid-compaction crash leaves the source intact.
+    """
+    import math
+    import os
+
+    src = Path(path)
+    data_bytes = sum(
+        f.stat().st_size for f in src.rglob("*.parquet") if f.is_file()
+    )
+    n_files = max(1, math.ceil(data_bytes / (target_file_mb * 1024 * 1024)))
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(str(src))
+    tmp = src.with_name(src.name + ".compact-tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    # coalesce, not repartition: narrowing to n_files needs no shuffle
+    df.coalesce(n_files).write.mode("overwrite").parquet(str(tmp))
+    if not (tmp / "_SUCCESS").exists():  # pragma: no cover - write failed
+        raise IOError(f"compaction write incomplete at {tmp}")
+    backup = src.with_name(src.name + ".pre-compact")
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(src, backup)
+    os.rename(tmp, src)
+    shutil.rmtree(backup)
+    return len(list(src.rglob("*.parquet")))

@@ -141,3 +141,24 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_compact_dataset_small_files(spark, sf_dir, tmp_path):
+    """A 64-file dataset compacts to the byte-derived file count with
+    identical contents; the source survives a crash (write-then-swap)."""
+    from asyncdatapipeline_spark.operators.layout import compact_dataset
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    path = str(tmp_path / "shattered")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(64).write.parquet(path)
+    import pathlib
+
+    assert len(list(pathlib.Path(path).rglob("*.parquet"))) >= 64
+    before = orders.count()
+    n_files = compact_dataset(spark, path, target_file_mb=256)
+    assert n_files == 1  # sf0.001 orders ≪ 256 MB
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    assert not pathlib.Path(path + ".compact-tmp").exists()
+    assert not pathlib.Path(path + ".pre-compact").exists()
