@@ -40,6 +40,8 @@ HEADLINE = [
     "q_dedup_minhash",   # MinHash LSH banding
     "q_sim_topk",        # brute-force cosine top-k
     "q_text_tokens",     # regex tokenization scan
+    "q_pack_sequences",  # window-cumsum sequence packing
+    "q_join_dpp",        # dynamic partition pruning join
 ]
 
 
