@@ -366,3 +366,70 @@ def compact_dataset(
     os.rename(tmp, src)
     shutil.rmtree(backup)
     return len(list(src.rglob("*.parquet")))
+
+
+def ensure_daily_rollup(spark: SparkSession, sf_dir: str) -> str:
+    """Maintain the daily pre-aggregate of events, once per sf — the
+    continuous-aggregate / hypertable-rollup layout.
+
+    One row per (event_date, event_type) carrying EXACT decimal partial
+    sums (`DECIMAL` addition is associative, so partials merge in any
+    order — a double partial would wobble with merge order) plus the
+    row count. In production each closed day appends its partition;
+    here the whole table is built once. Returns the dataset path.
+    """
+    from asyncdatapipeline_spark.operators._util import DEC
+
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    out = _LAYOUT_DIR / f"events_rollup_1d_{tag}"
+    if not (out / "_SUCCESS").exists():
+        (
+            load_table(spark, sf_dir, "events")
+            .groupBy(
+                F.to_date("ts").alias("event_date"),
+                F.col("event_type"),
+            )
+            .agg(
+                F.sum(F.col("value").cast(DEC)).alias("sum_value_dec"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .write.mode("overwrite")
+            .parquet(str(out))
+        )
+    return str(out)
+
+
+@query(
+    "q_agg_incremental",
+    oracle=f"""
+SELECT event_type,
+       {sql_dsum('value', 'sum_value')},
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+         AS avg_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup merge (hypertable pattern, layout
+    family): answer a whole-history aggregate from the DAILY rollup
+    instead of the raw events.
+
+    The query touches |days|×|types| pre-aggregated rows, not |events|
+    raw ones — at 100 TB that is the difference between a metadata-sized
+    merge and a full rescan, and the daily rollup is maintained
+    incrementally (one appended partition per closed day). Merging is
+    exact because the stored partials are DECIMAL (associative): sums
+    add, counts add, averages derive as merged-sum / merged-count. The
+    oracle aggregates the raw events directly, proving rollup-merge ≡
+    rescan.
+    """
+    path = ensure_daily_rollup(spark, sf_dir)
+    r = spark.read.parquet(path)
+    total_dec = F.sum("sum_value_dec")
+    return r.groupBy("event_type").agg(
+        total_dec.cast("double").alias("sum_value"),
+        F.sum("n").alias("n_events"),
+        (total_dec.cast("double") / F.sum("n")).alias("avg_value"),
+    )
