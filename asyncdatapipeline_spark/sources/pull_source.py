@@ -30,7 +30,12 @@ from typing import Any, Callable, Iterator, Tuple
 
 from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -62,9 +67,37 @@ class _CollectFuncStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+class _CollectFuncBatchReader(DataSourceReader):
+    """One-shot batch drain of a pull source (reference "finite run":
+    tests emit fixed batches then idle out, async_data_pipeline_test.go:38-48
+    — the ``spark.read`` analogue of that mode).
+
+    A driver-supplied pull callback is inherently sequential, so the
+    scan is a single input partition; ``max_pulls`` bounds the drain so
+    a source that never returns None cannot wedge the job.
+    """
+
+    def __init__(self, fn_b64: str, max_pulls: int):
+        self._fn_b64 = fn_b64
+        self._max_pulls = max_pulls
+
+    def partitions(self):
+        return [InputPartition(0)]
+
+    def read(self, partition) -> Iterator[tuple]:
+        fn = cloudpickle.loads(base64.b64decode(self._fn_b64))
+        for _ in range(self._max_pulls):
+            data = fn()
+            if data is None:
+                return
+            for r in data:
+                yield r if isinstance(r, tuple) else tuple(r)
+
+
 class CollectFuncDataSource(DataSource):
     """``format("collect_func")`` — the reference CollectFunc as a
-    first-class streaming source."""
+    first-class source: streaming (micro-batch per pull) and batch
+    (drain-until-None)."""
 
     @classmethod
     def name(cls) -> str:
@@ -75,6 +108,12 @@ class CollectFuncDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> _CollectFuncStreamReader:
         return _CollectFuncStreamReader(schema, self.options.get("fn", ""))
+
+    def reader(self, schema: StructType) -> _CollectFuncBatchReader:
+        return _CollectFuncBatchReader(
+            self.options.get("fn", ""),
+            int(self.options.get("max_pulls", "100000")),
+        )
 
 
 def register_data_source(spark: SparkSession) -> None:
@@ -99,5 +138,24 @@ def collect_func_stream(
         spark.readStream.format("collect_func")
         .option("fn", payload)
         .option("schema", schema)
+        .load()
+    )
+
+
+def collect_func_batch(
+    spark: SparkSession,
+    fn: Callable[[], Any],
+    schema: str = "id long, value string",
+    max_pulls: int = 100_000,
+) -> DataFrame:
+    """Drain ``fn()`` until it returns None, as one batch DataFrame —
+    the reference's finite-run mode over ``spark.read``."""
+    register_data_source(spark)
+    payload = base64.b64encode(cloudpickle.dumps(fn)).decode()
+    return (
+        spark.read.format("collect_func")
+        .option("fn", payload)
+        .option("schema", schema)
+        .option("max_pulls", str(max_pulls))
         .load()
     )

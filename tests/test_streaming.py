@@ -470,3 +470,30 @@ def test_parquet_sink_exactly_once_across_restart(spark, events, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == events.count()  # nothing lost, nothing doubled
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_collect_func_batch_drains_until_none(spark):
+    """Batch mode of the pull source: drain fn() until None, one shot
+    (the reference's finite-run tests over spark.read)."""
+    from asyncdatapipeline_spark.sources.pull_source import collect_func_batch
+
+    def make_fn(n_batches=3, rows_per=4):
+        state = {"i": 0}
+
+        def fn():
+            if state["i"] >= n_batches:
+                return None
+            state["i"] += 1
+            base = (state["i"] - 1) * rows_per
+            return [(base + j, f"value_{base + j}") for j in range(rows_per)]
+
+        return fn
+
+    df = collect_func_batch(spark, make_fn(), "id long, value string")
+    rows = sorted(r["id"] for r in df.collect())
+    assert rows == list(range(12))
+    # max_pulls bounds a source that never dries up
+    df2 = collect_func_batch(
+        spark, lambda: [(0, "x")], "id long, value string", max_pulls=5
+    )
+    assert df2.count() == 5
