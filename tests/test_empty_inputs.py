@@ -51,8 +51,6 @@ def nully_sf_dir(spark, sf_dir, tmp_path_factory):
     """Fixtures plus adversarial rows: null text, empty text, null
     embedding, empty embedding — the malformed records any 100 TB crawl
     contains."""
-    from pyspark.sql import functions as F
-
     out = tmp_path_factory.mktemp("nully_sf")
     for t in TABLES:
         df = load_table(spark, sf_dir, t)
