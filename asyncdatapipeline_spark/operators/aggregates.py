@@ -467,3 +467,46 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_returnflag ORDER BY n DESC, l_quantity DESC
+  ) AS rn
+  FROM c
+)
+SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n
+FROM r WHERE rn = 1
+""",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value, ties → largest value).
+
+    Built-in ``F.mode`` breaks ties arbitrarily — useless against an
+    oracle and non-reproducible across runs. Instead: count per (group,
+    value), then ONE lexicographic struct-max per group — (n, value)
+    max is (highest count, then highest value), computed as an ordinary
+    two-phase hash agg with map-side partials. No window, no per-group
+    sort; the SQL twin spells the same tie-break with row_number.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    winner = F.max(F.struct(F.col("n"), F.col("l_quantity"))).alias("w")
+    return (
+        counts.groupBy("l_returnflag")
+        .agg(winner)
+        .select(
+            "l_returnflag",
+            F.col("w.l_quantity").alias("mode_qty"),
+            F.col("w.n").alias("mode_n"),
+        )
+    )
