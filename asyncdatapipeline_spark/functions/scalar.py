@@ -323,3 +323,32 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS key_and,
+       o_orderkey | 4096 AS key_or,
+       xor(o_orderkey, o_custkey) AS key_xor,
+       o_orderkey << 2 AS key_shl,
+       o_orderkey >> 3 AS key_shr
+FROM orders
+WHERE o_orderkey < 1000
+""",
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function surface (B39 family): AND/OR/XOR/shifts —
+    the workhorses of hash mixing, bucket masks, and bitmap flags.
+    All JVM-codegen'd row-local expressions; map-only."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("key_and"),
+        k.bitwiseOR(F.lit(4096)).alias("key_or"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(k, 2).alias("key_shl"),
+        F.shiftright(k, 3).alias("key_shr"),
+    )
