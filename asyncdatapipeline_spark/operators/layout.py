@@ -433,3 +433,33 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         (total_dec.cast("double") / F.sum("n")).alias("avg_value"),
     )
+
+
+def append_day_to_rollup(
+    spark: SparkSession, rollup_path: str, day_events: DataFrame
+) -> None:
+    """Fold one closed day's raw events into the daily rollup — the
+    incremental-maintenance path of the continuous aggregate.
+
+    Aggregates ONLY the new day (decimal partials, same shape as
+    :func:`ensure_daily_rollup`) and appends; no rewrite of history.
+    Correctness does not require day-exclusivity: q_agg_incremental's
+    merge sums partials, so two rollup rows for the same (day, type) —
+    e.g. a late-arriving slice of an already-folded day appended on its
+    own — merge to the same totals as one row. Append ≡ rebuild is
+    asserted in tests/test_layout.py.
+    """
+    from asyncdatapipeline_spark.operators._util import DEC
+
+    (
+        day_events.groupBy(
+            F.to_date("ts").alias("event_date"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum(F.col("value").cast(DEC)).alias("sum_value_dec"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .write.mode("append")
+        .parquet(rollup_path)
+    )

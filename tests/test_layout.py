@@ -162,3 +162,52 @@ def test_compact_dataset_small_files(spark, sf_dir, tmp_path):
     assert after.count() == before
     assert not pathlib.Path(path + ".compact-tmp").exists()
     assert not pathlib.Path(path + ".pre-compact").exists()
+
+
+def test_rollup_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Continuous-aggregate maintenance: building the daily rollup from
+    N-1 days then folding in the last day yields exactly the totals of
+    a full rebuild (decimal partials merge associatively)."""
+    from pyspark.sql import functions as F
+
+    from asyncdatapipeline_spark.operators.layout import append_day_to_rollup
+    from asyncdatapipeline_spark.operators._util import DEC
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    last_day = events.select(F.max(F.to_date("ts"))).first()[0]
+    head = events.filter(F.to_date("ts") != F.lit(last_day))
+    tail = events.filter(F.to_date("ts") == F.lit(last_day))
+
+    path = str(tmp_path / "rollup_1d")
+    (
+        head.groupBy(F.to_date("ts").alias("event_date"), F.col("event_type"))
+        .agg(
+            F.sum(F.col("value").cast(DEC)).alias("sum_value_dec"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    append_day_to_rollup(spark, path, tail)
+
+    merged = {
+        r["event_type"]: (r["sum_value"], r["n_events"])
+        for r in spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.sum("sum_value_dec").cast("double").alias("sum_value"),
+            F.sum("n").alias("n_events"),
+        )
+        .collect()
+    }
+    direct = {
+        r["event_type"]: (r["sum_value"], r["n_events"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+    assert merged == direct
