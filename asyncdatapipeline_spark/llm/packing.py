@@ -126,3 +126,89 @@ def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round(F.col("n_tokens") * F.lit(1.0) / total, 6).alias("token_share"),
     )
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, text, source,
+         len(string_split(text, ' ')) AS nw,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains(['the', 'a', 'of', 'and', 'in'], x))) AS n_stop
+  FROM documents
+),
+qual AS (
+  SELECT * FROM q
+  WHERE nw BETWEEN 20 AND 1000 AND n_stop * 1.0 / nw BETWEEN 0.001 AND 0.6
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY md5(text)),
+s AS (SELECT qual.* FROM qual JOIN keep USING (doc_id)),
+o AS (
+  SELECT source, doc_id, nw,
+         sum(nw) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - nw AS start_off
+  FROM s
+)
+SELECT source,
+       CAST(floor(start_off / {_CTX_TOKENS}) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM o
+GROUP BY source, pack_id
+""",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality gate → exact dedup → pack —
+    the three pipeline stages COMPOSED into one lazy plan (north-star
+    flagship: the full pretraining data path, not isolated operators).
+
+    Catalyst fuses the whole thing: the quality predicate evaluates in
+    the scan stage, the dedup is one hash aggregate + semi join, and
+    packing reuses the per-source cumsum. Stage order matters at scale
+    — filtering before dedup shrinks the hash-shuffle, dedup before
+    packing keeps duplicate tokens out of the context-window budget.
+    Same gate as q_text_quality, same dedup rule as q_dedup_exact
+    (keep min doc_id per content hash), same packing as
+    q_pack_sequences — and the oracle replays all three stages in SQL.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "in")])
+    nw = F.size(words)
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+        * F.lit(1.0)
+        / nw
+    )
+    qual = d.filter(
+        nw.between(20, 1000) & stop_ratio.between(0.001, 0.6)
+    ).select("doc_id", "text", "source", nw.alias("nw"))
+    keep = (
+        qual.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = qual.join(keep, "doc_id", "left_semi")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offs = survivors.withColumn(
+        "start_off", F.sum("nw").over(w) - F.col("nw")
+    )
+    return (
+        offs.groupBy(
+            "source",
+            F.floor(F.col("start_off") / _CTX_TOKENS).alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

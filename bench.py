@@ -42,6 +42,7 @@ HEADLINE = [
     "q_text_tokens",     # regex tokenization scan
     "q_pack_sequences",  # window-cumsum sequence packing
     "q_join_dpp",        # dynamic partition pruning join
+    "q_curation_pipeline",  # composed quality→dedup→pack flagship
 ]
 
 
