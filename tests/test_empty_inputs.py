@@ -60,6 +60,8 @@ def nully_sf_dir(spark, sf_dir, tmp_path_factory):
                     (99990, None, "en", "src0", 0),
                     (99991, "", "en", "src0", 0),
                     (99992, "   ", None, None, 3),
+                    # multi-byte UTF-8: byte-length ≠ char-length paths
+                    (99993, "héllo wörld 中文 emoji 🙂 done", "mix", "src1", 29),
                 ],
                 schema=df.schema,
             )
