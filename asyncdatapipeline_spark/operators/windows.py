@@ -179,3 +179,44 @@ def q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     )
+
+
+@query(
+    "q_win_firstlast",
+    oracle="""
+SELECT
+  event_id, user_id, value,
+  first_value(value) OVER w AS first_val,
+  last_value(value)  OVER w AS last_val,
+  nth_value(value, 2) OVER w AS second_val
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY date_trunc('second', ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value analytics (B28 family).
+
+    The full-partition frame is spelled explicitly: the SQL-default
+    frame for last_value is RANGE … CURRENT ROW, which silently returns
+    the current row's value — the classic window-function footgun both
+    engines share. Deterministic ordering via the (time, event_id)
+    tie-break used across the window family.
+    """
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "t", F.date_trunc("second", "ts")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
