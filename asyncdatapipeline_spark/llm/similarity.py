@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from asyncdatapipeline_spark.registry import query
 from asyncdatapipeline_spark.sources.tables import load_table
@@ -219,3 +219,68 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.round("cos_raw", 6).alias("cos_sim"))
     )
     return out.limit(0) if missing else out
+
+
+_KNN_N_QUERIES = 20   # query-set size (bounded, broadcastable)
+_KNN_K = 5
+
+
+@query(
+    "q_sim_knn_join",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_KNN_N_QUERIES}
+),
+c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= {_KNN_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.label,
+         list_cosine_similarity(c.v, q.qv) AS cos_raw,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id
+         ) AS rn
+  FROM c, q
+)
+SELECT query_id, vec_id, label, round(cos_raw, 6) AS cos_sim
+FROM scored WHERE rn <= {_KNN_K}
+""",
+)
+def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN join: exact top-{k} corpus neighbors for EVERY vector
+    in a bounded query set (B58 extension — the retrieval-pipeline
+    shape, where q_sim_topk is the single-query special case).
+
+    The query set is broadcast (tiny by construction — a query batch,
+    never a second corpus); the corpus streams once through the
+    nested-loop score against the broadcast side, and per-query top-k
+    plans as WindowGroupLimit — partial k-heaps map-side, so the
+    shuffle is partitions×k rows per query, not the scored cross
+    product. The unbounded big×big variant stays forbidden (that's
+    what the LSH/IVF paths are for).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < _KNN_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+        )
+    )
+    c = (
+        e.filter(F.col("vec_id") >= _KNN_N_QUERIES)
+        .select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn("cos_raw", cos)
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("query_id", "vec_id", "label", F.round("cos_raw", 6).alias("cos_sim"))
+    )

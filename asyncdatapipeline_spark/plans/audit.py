@@ -99,6 +99,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "q_pack_sequences": [
         ("only the 3 needed document columns read", r"ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
     ],
+    "q_sim_knn_join": [
+        ("query batch broadcast (corpus streams once)", r"BroadcastExchange"),
+        ("per-query top-k via map-side WindowGroupLimit", r"WindowGroupLimit"),
+    ],
     "q_curation_pipeline": [
         ("dedup survivors via semi join", r"LeftSemi"),
         ("no nested-loop anywhere in the fused plan", r"^(?:(?!BroadcastNestedLoopJoin|CartesianProduct).)*$"),
