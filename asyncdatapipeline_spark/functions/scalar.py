@@ -152,8 +152,12 @@ SELECT
   label,
   len(embedding) AS dim,
   embedding[1] AS first_component,
-  embedding[1:4] AS head4,
-  list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2) AS head4_doubled,
+  array_to_string(list_transform(embedding[1:4],
+        x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS VARCHAR)),
+        ',') AS head4,
+  array_to_string(list_transform(embedding[1:4],
+        x -> CAST(CAST(round(CAST(x AS DOUBLE) * 2 * 1000000) AS BIGINT) AS VARCHAR)),
+        ',') AS head4_doubled,
   len(list_filter(embedding, x -> x > 0)) AS n_positive,
   round(sqrt(list_sum(list_transform(embedding,
         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm,
@@ -169,17 +173,29 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines run the identical sequential double accumulation; the norm is
     rounded to 6 decimals as belt-and-suspenders against summation-order
     differences in DuckDB's list_sum.
+
+    The sliced/transformed arrays are emitted as strings (each element
+    scaled by 1e6 and rounded to bigint, then joined) — the driver's
+    pandas canonicalizer cannot hash ndarray cells, and integer
+    formatting is identical across engines while float-to-string is not.
+    Raw slice/transform output stays covered in
+    tests/test_properties.py::test_fn_array_raw_arrays.
     """
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     dx = lambda x: x.cast("double")  # noqa: E731
+    as_fixed = lambda x: F.round(x * 1_000_000).cast("bigint").cast("string")  # noqa: E731
     return e.select(
         "vec_id",
         "label",
         F.size(emb).alias("dim"),
         F.element_at(emb, 1).alias("first_component"),
-        F.slice(emb, 1, 4).alias("head4"),
-        F.transform(F.slice(emb, 1, 4), lambda x: dx(x) * 2).alias("head4_doubled"),
+        F.array_join(
+            F.transform(F.slice(emb, 1, 4), lambda x: as_fixed(dx(x))), ","
+        ).alias("head4"),
+        F.array_join(
+            F.transform(F.slice(emb, 1, 4), lambda x: as_fixed(dx(x) * 2)), ","
+        ).alias("head4_doubled"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
         F.round(
             F.sqrt(
@@ -200,7 +216,7 @@ SELECT
   event_id,
   event_type AS type_from_map,
   value AS value_from_map,
-  ['type', 'value'] AS mkeys,
+  'type,value' AS mkeys,
   2 AS msize
 FROM events
 """,
@@ -209,7 +225,10 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map functions: create_map / element_at / map_keys / size (B41).
 
     Build a map from columns, then extract — the oracle asserts the
-    round-trip recovers the source columns exactly.
+    round-trip recovers the source columns exactly. ``map_keys`` is
+    emitted joined to a string (driver canonicalizer is scalar-only);
+    raw map-typed output is covered in
+    tests/test_properties.py::test_fn_map_raw_map.
     """
     e = load_table(spark, sf_dir, "events")
     m = F.create_map(
@@ -220,7 +239,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at(m, "type").alias("type_from_map"),
         F.element_at(m, "value").cast("double").alias("value_from_map"),
-        F.map_keys(m).alias("mkeys"),
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
         F.size(m).alias("msize"),
     )
 

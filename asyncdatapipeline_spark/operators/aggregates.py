@@ -293,7 +293,7 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   n_regionkey,
-  array_agg(DISTINCT n_name ORDER BY n_name) AS nations
+  array_to_string(array_agg(DISTINCT n_name ORDER BY n_name), '|') AS nations
 FROM nation
 GROUP BY n_regionkey
 ORDER BY n_regionkey
@@ -305,11 +305,20 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``collect_set`` order is nondeterministic by design; ``sort_array``
     makes the output stable for the oracle. Collect aggregates must only
     ever run on bounded groups — here |nations per region| ≤ 25.
+
+    The collected array is emitted ``array_join``-ed to a string: the
+    driver's pandas canonicalizer cannot hash ndarray cells, so query
+    outputs are scalar-only. Raw collect_set/sort_array semantics are
+    covered in tests/test_properties.py::test_collect_set_raw_arrays.
     """
     n = load_table(spark, sf_dir, "nation")
     return (
         n.groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("n_name")), "|").alias(
+                "nations"
+            )
+        )
         .orderBy("n_regionkey")
     )
 

@@ -41,6 +41,14 @@ import threading
 import time
 from typing import Any, Callable, Iterable
 
+# Imported eagerly: a lazy in-function import costs ~0.3-0.5s cold on the
+# collector thread, during which a sub-second idle_time can fire and drop
+# the first batch (the never-drop guarantee would be violated by an import).
+try:
+    import pandas as _pd
+except ImportError:  # pragma: no cover
+    _pd = None
+
 from asyncdatapipeline_spark.config import PipelineConfig
 from asyncdatapipeline_spark.errors import (
     CollectError,
@@ -100,6 +108,13 @@ class Pipeline:
         self._reason_lock = threading.Lock()
         self._errors: list[BaseException] = []
         self._errors_lock = threading.Lock()
+        # Monotonic timestamp of the most recent collect() that returned
+        # data, published BEFORE batch normalization (createDataFrame /
+        # checkpoint setup) so the processor's idle clock resets at
+        # collect-return, not at queue-put. Without this, a slow
+        # normalization plus a sub-second idle_time silently drops the
+        # in-flight batch. Float store/load is GIL-atomic; no lock needed.
+        self._data_pending_ts = 0.0
 
     # -- cancellation (reference ctx/cancel, :233) -----------------------
     def cancel(self) -> None:
@@ -123,12 +138,17 @@ class Pipeline:
 
     # -- helpers ---------------------------------------------------------
     def _to_batch(self, data: Any):
-        """Normalize a collected batch; returns (payload, n_items)."""
-        try:
-            import pandas as pd
-        except ImportError:  # pragma: no cover
-            pd = None
-        if pd is not None and isinstance(data, pd.DataFrame):
+        """Normalize a collected batch; returns (payload, n_items).
+
+        ``n_items is None`` means "count on the process side": for Spark
+        DataFrame batches we must not run ``count()`` here — that executes
+        the batch's plan on the collector thread (stalling the collect loop
+        and eating into collect_timeout) and then ``process`` executes it
+        again. Instead the payload is lazily local-checkpointed so the
+        first action (process's, usually) materializes it once and the
+        processor's deferred count reads the checkpointed blocks.
+        """
+        if _pd is not None and isinstance(data, _pd.DataFrame):
             n = len(data)
             if self._spark is not None:
                 return self._spark.createDataFrame(data, schema=self._schema), n
@@ -141,10 +161,9 @@ class Pipeline:
                     n,
                 )
             return data, n
-        # Spark DataFrame (or anything with count()) passes through; item
-        # count deferred to process-side len when possible.
-        n = data.count() if hasattr(data, "count") and hasattr(data, "sparkSession") else 0
-        return data, n
+        if hasattr(data, "localCheckpoint") and hasattr(data, "sparkSession"):
+            return data.localCheckpoint(eager=False), None
+        return data, 0
 
     # -- the run (reference Perform, :219-345) ---------------------------
     def run(self, deadline: float | None = None) -> tuple[CloseReason, list[BaseException]]:
@@ -182,6 +201,7 @@ class Pipeline:
                     # reset the idle clock (documented-intent semantics).
                     time.sleep(0.01)
                     continue
+                self._data_pending_ts = time.monotonic()
                 batch = self._to_batch(data)
                 # bounded send with backpressure timeout (reference
                 # 3-way select, :267-288)
@@ -206,7 +226,11 @@ class Pipeline:
             # reference processor goroutine, :293-340
             last_data = time.monotonic()
             while True:
-                idle_left = self.config.idle_time - (time.monotonic() - last_data)
+                # Idle clock resets at collect-return (data pending) as
+                # well as at batch arrival, so normalization latency on
+                # the collector thread can never be charged as idleness.
+                last_signal = max(last_data, self._data_pending_ts)
+                idle_left = self.config.idle_time - (time.monotonic() - last_signal)
                 if idle_left <= 0:
                     # Idle window elapsed — but "idle" means NO DATA, so
                     # drain anything already buffered first. (In the
@@ -247,6 +271,15 @@ class Pipeline:
                     )
                     self._cancel.set()
                     return
+                if n_items is None:
+                    # Deferred Spark-DataFrame count: process()'s action
+                    # materialized the lazy local checkpoint, so this
+                    # count scans checkpointed blocks, not the original
+                    # plan — the batch is computed exactly once.
+                    try:
+                        n_items = payload.count()
+                    except Exception:  # pragma: no cover — metrics only
+                        n_items = 0
                 self.metrics.record_batch(n_items, time.monotonic() - t0)
 
         t_collect = threading.Thread(target=collector, daemon=True, name="collector")

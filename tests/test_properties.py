@@ -132,3 +132,75 @@ def test_salted_join_equivalence(spark, big, small):
         map(tuple, b.join(s, b.bk == s.sk, "inner").collect())
     )
     assert got == want
+
+
+# -- raw array/map output coverage -----------------------------------------
+# The registered queries emit array/map results stringified (the driver's
+# canonicalizer hashes scalar cells only); these tests keep the underlying
+# array-typed semantics covered on the fixture tables.
+
+
+def test_collect_set_raw_arrays(spark, sf_dir):
+    """sort_array(collect_set(...)) returns real sorted string arrays
+    matching a distinct-set ground truth per group."""
+    from pyspark.sql import functions as F
+
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    got = {
+        r["n_regionkey"]: r["nations"]
+        for r in n.groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_set("n_name")).alias("nations"))
+        .collect()
+    }
+    want: dict[int, set[str]] = {}
+    for r in n.select("n_regionkey", "n_name").collect():
+        want.setdefault(r["n_regionkey"], set()).add(r["n_name"])
+    assert set(got) == set(want)
+    for k, names in want.items():
+        assert got[k] == sorted(names)
+        assert isinstance(got[k], list)
+
+
+def test_fn_array_raw_arrays(spark, sf_dir):
+    """slice/transform produce real float arrays: head4 is the first 4
+    embedding components and head4_doubled is exactly 2x each."""
+    from pyspark.sql import functions as F
+
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").limit(20)
+    emb = F.col("embedding")
+    rows = e.select(
+        "embedding",
+        F.slice(emb, 1, 4).alias("head4"),
+        F.transform(
+            F.slice(emb, 1, 4), lambda x: x.cast("double") * 2
+        ).alias("head4_doubled"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["head4"] == r["embedding"][:4]
+        for raw, dbl in zip(r["head4"], r["head4_doubled"]):
+            assert abs(float(raw) * 2 - dbl) < 1e-9
+
+
+def test_fn_map_raw_map(spark, sf_dir):
+    """create_map round-trips as a real MapType value: keys/values match
+    the source columns."""
+    from pyspark.sql import functions as F
+
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").limit(20)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type").cast("string"),
+        F.lit("value"), F.col("value").cast("string"),
+    )
+    rows = e.select("event_type", "value", m.alias("m")).collect()
+    assert rows
+    for r in rows:
+        assert isinstance(r["m"], dict)
+        assert sorted(r["m"].keys()) == ["type", "value"]
+        assert r["m"]["type"] == str(r["event_type"])
