@@ -106,24 +106,33 @@ _FRAME_STRIDE = 4   # keep every 4th frame
 
 @query(
     "q_mm_frames",
+    # Byte-exact oracle: DuckDB cannot slice BLOBs, and substr(text, ...)
+    # counts characters, so the frame window is sliced out of the
+    # lowercase-hex encoding of the payload instead — 2 hex chars per
+    # byte makes hex slicing byte-exact for ANY utf-8 content, and both
+    # engines md5 the same hex string (the Spark side checksums
+    # frame.hex() to match).
     oracle=f"""
-WITH f AS (
+WITH h AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE text IS NOT NULL AND octet_length(encode(text)) >= {_FRAME_BYTES}
+),
+f AS (
   SELECT doc_id,
          unnest(generate_series(0,
-           CAST(floor((octet_length(encode(text)) - 1) / {_FRAME_BYTES})
-             AS BIGINT))) AS frame_idx,
-         text
-  FROM documents
-  WHERE octet_length(encode(text)) >= {_FRAME_BYTES}
+           CAST(floor((nb - 1) / {_FRAME_BYTES}) AS BIGINT))) AS frame_idx,
+         hx, nb
+  FROM h
 )
 SELECT doc_id, frame_idx,
-       md5(substr(text, CAST(frame_idx * {_FRAME_BYTES} + 1 AS BIGINT),
-           {_FRAME_BYTES})) AS frame_checksum
+       md5(substring(hx, CAST(frame_idx * {2 * _FRAME_BYTES} + 1 AS BIGINT),
+           {2 * _FRAME_BYTES})) AS frame_checksum
 FROM f
 WHERE frame_idx % {_FRAME_STRIDE} = 0
-  AND octet_length(encode(substr(text,
-        CAST(frame_idx * {_FRAME_BYTES} + 1 AS BIGINT), {_FRAME_BYTES})))
-      = {_FRAME_BYTES}
+  AND length(substring(hx, CAST(frame_idx * {2 * _FRAME_BYTES} + 1 AS BIGINT),
+        {2 * _FRAME_BYTES})) = {2 * _FRAME_BYTES}
 """,
 )
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,9 +146,11 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     per payload, which only the Python side can).
 
     STUB decode: the "video" is the utf-8 text; a "frame" is a full
-    64-byte window, every 4th kept, checksummed. ffmpeg frame extraction
-    would replace ``_frames_of`` 1:1; schema/batching are the real
-    thing, and the fake is exact enough for a strict DuckDB oracle.
+    64-byte window, every 4th kept, checksummed (md5 of the frame's
+    lowercase-hex form — hex is what a char-counting SQL engine can
+    slice byte-exactly, see the oracle note). ffmpeg frame extraction
+    would replace the loop 1:1; schema/batching are the real thing,
+    and the fake is exact enough for a strict DuckDB oracle.
     """
     d = load_table(spark, sf_dir, "documents")
     media = d.filter(F.col("text").isNotNull()).select(
@@ -158,7 +169,9 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if len(frame) == _FRAME_BYTES:
                         out_ids.append(doc_id)
                         out_idx.append(idx)
-                        out_sum.append(hashlib.md5(frame).hexdigest())
+                        out_sum.append(
+                            hashlib.md5(frame.hex().encode()).hexdigest()
+                        )
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out_ids, dtype="int64"),
@@ -238,8 +251,10 @@ def resize_image_stub(payload: bytes) -> tuple[int, int, int, int, str]:
     else:
         nw = max(1, (w * _RESIZE_BOX) // mx)
         nh = max(1, (h * _RESIZE_BOX) // mx)
+    # Checksum over the prefix's lowercase-hex form so the DuckDB twin
+    # can slice the same bytes exactly (see the q_mm_frames oracle note).
     k = min(len(payload), nw * nh)
-    return w, h, nw, nh, hashlib.md5(payload[:k]).hexdigest()
+    return w, h, nw, nh, hashlib.md5(payload[:k].hex().encode()).hexdigest()
 
 
 @query(
@@ -263,8 +278,8 @@ r AS (
   FROM m
 )
 SELECT doc_id, width, height, new_width, new_height,
-       md5(substr(text, 1,
-           least(octet_length(encode(text)), new_width * new_height)))
+       md5(substring(lower(hex(encode(text))), 1,
+           2 * least(octet_length(encode(text)), new_width * new_height)))
          AS resized_checksum
 FROM r
 """,

@@ -403,7 +403,8 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.2}  # others: 0.1
+_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
+_MIX_DEFAULT_FRACTION = 0.1  # strata not named in the config
 
 
 @query("q_sample_mix")  # rows-only: engine RNG has no cross-engine twin
@@ -412,19 +413,25 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining pipeline (upsample curated sources, downsample bulk
     crawl).
 
-    ``sampleBy`` with a per-stratum fraction map and a fixed seed: one
-    map-only pass (Bernoulli per row against its stratum fraction —
-    NOT a groupBy; nothing shuffles, nothing is collected). The mix is
-    declared driver-side exactly like pivot's value list: at 100 TB
-    the fraction table is pipeline config, not data. Determinism for a
-    given seed and partitioning is asserted in tests; cross-engine RNG
-    parity doesn't exist, hence rows-only.
+    One map-only Bernoulli pass: each row's stratum fraction comes from
+    the config map (a literal expression — ``sampleBy`` would need the
+    stratum list up front, which previously cost a distinct+collect
+    driver round-trip per call; unknown strata now fall back to the
+    default fraction instead of being silently dropped). NOT a groupBy;
+    nothing shuffles, nothing is collected — the mix is pipeline
+    config, not data, exactly like pivot's value list. Determinism for
+    a given seed and partitioning is asserted in tests; cross-engine
+    RNG parity doesn't exist, hence rows-only.
     """
     d = load_table(spark, sf_dir, "documents")
-    sources = [r["source"] for r in d.select("source").distinct().collect()]
-    fractions = {s: _MIX_FRACTIONS.get(s, 0.1) for s in sources}
+    frac_map = F.create_map(
+        *[F.lit(x) for kv in _MIX_FRACTIONS.items() for x in kv]
+    )
+    frac = F.coalesce(
+        frac_map[F.col("source")], F.lit(_MIX_DEFAULT_FRACTION)
+    )
     return (
-        d.sampleBy("source", fractions, seed=42)
+        d.filter(F.rand(seed=42) < frac)
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("source")

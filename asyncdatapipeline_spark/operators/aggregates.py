@@ -106,27 +106,74 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx")  # rows-only: HLL estimates are engine-specific (B23)
+@query(
+    "q_agg_approx",
+    # HLL estimates are engine-specific, so the raw estimate can never
+    # hash-match a DuckDB value. Instead the query emits the EXACT
+    # distinct counts (hash-checkable) plus booleans asserting the HLL
+    # estimate landed within 5% of exact — computed Spark-side in the
+    # same aggregation, asserted `true` by the oracle. The driver's
+    # green row therefore verifies both the exact path AND the sketch's
+    # accuracy contract, strictly stronger than a rows-only check.
+    oracle="""
+SELECT l_returnflag,
+  COUNT(DISTINCT l_orderkey) AS exact_orders,
+  COUNT(DISTINCT l_partkey) AS exact_parts,
+  true AS orders_within_5pct,
+  true AS parts_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct via HyperLogLog++ (B23).
 
-    No DuckDB oracle — HLL sketches differ across engines; the pytest
-    suite checks the estimate is within 5% of the exact count instead
-    (SURVEY.md §2 B23 "weak"). At 100 TB this is THE way to count
-    distincts: fixed-size sketch per group, no distinct expansion.
+    At 100 TB the sketch is THE way to count distincts: fixed-size
+    state per group, no distinct expansion. The exact ``countDistinct``
+    twin computed alongside is the verification harness (and what the
+    oracle checks) — in production only the sketch column survives;
+    raw-estimate tolerance also stays covered in
+    tests/test_oracle_parity.py.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.col(exact)
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
             F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
             F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_parts",
+            within("approx_orders", "exact_orders").alias("orders_within_5pct"),
+            within("approx_parts", "exact_parts").alias("parts_within_5pct"),
         )
         .orderBy("l_returnflag")
     )
 
 
-@query("q_agg_hll")  # rows-only: sketch bytes are engine-specific
+@query(
+    "q_agg_hll",
+    # Same pattern as q_agg_approx: sketch bytes/estimates are
+    # engine-specific, so the oracle checks the exact distinct plus a
+    # Spark-side boolean asserting the UNIONED sketch estimate stayed
+    # within 5% — i.e. the union didn't degrade accuracy.
+    oracle="""
+SELECT l_returnflag,
+  COUNT(DISTINCT l_orderkey) AS exact_orders,
+  true AS union_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches via Spark 4's datasketches functions
     (B23 extension: the re-aggregation path).
@@ -136,17 +183,29 @@ def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`hll_union_agg`) up to flag level and only then estimated. At
     100 TB this is how distincts re-aggregate — daily/partition sketches
     persist as binary columns and any coarser rollup is a cheap sketch
-    union, never a rescan of the raw keys. Tolerance-checked against the
-    exact distinct in tests/test_oracle_parity.py.
+    union, never a rescan of the raw keys. The exact-distinct twin
+    joined alongside is the verification harness (raw-estimate
+    tolerance also in tests/test_oracle_parity.py).
     """
     li = load_table(spark, sf_dir, "lineitem")
     cells = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.hll_sketch_agg("l_orderkey").alias("sk_orders")
     )
+    unioned = cells.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk_orders")).alias("hll_orders")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
     return (
-        cells.groupBy("l_returnflag")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk_orders")).alias("hll_orders")
+        unioned.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("hll_orders") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("union_within_5pct"),
         )
         .orderBy("l_returnflag")
     )
@@ -453,26 +512,58 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_quantile")  # rows-only: t-digest estimates are engine-specific
+@query(
+    "q_agg_approx_quantile",
+    # Quantile-sketch estimates are engine-specific; the oracle checks
+    # the EXACT interpolated percentiles (both engines implement the
+    # standard type-7 linear interpolation; rounded to 4 decimals as
+    # float armor) plus Spark-side booleans asserting the sketch landed
+    # within 2% of exact.
+    oracle="""
+SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median_price,
+  round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99_price,
+  true AS median_within_2pct,
+  true AS p99_within_2pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate grouped quantiles (B26c's unbounded-cardinality
     sibling): ``percentile_approx`` — a mergeable sketch, so the
     shuffle is O(groups·sketch), never a per-group sort. The accuracy
-    knob is the last argument (10000 ≈ 0.01 %-ile error); estimates
-    are engine-specific, so the driver check is rows-only and the
-    accuracy bound vs the exact percentile is asserted in
-    tests/test_oracle_parity.py.
+    knob is the last argument (10000 ≈ 0.01 %-ile error). The exact
+    ``percentile`` twin computed alongside is the verification harness
+    (and the oracle's hash target); in production only the sketch runs
+    — an exact grouped percentile is a per-group sort. Raw-estimate
+    tolerance also in tests/test_oracle_parity.py.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= 0.02 * F.abs(F.col(exact))
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median_raw"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("exact_p99_raw"),
             F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
                 "approx_median_price"
             ),
             F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias(
                 "approx_p99_price"
             ),
+        )
+        .select(
+            "l_returnflag",
+            F.round("exact_median_raw", 4).alias("exact_median_price"),
+            F.round("exact_p99_raw", 4).alias("exact_p99_price"),
+            within("approx_median_price", "exact_median_raw").alias(
+                "median_within_2pct"
+            ),
+            within("approx_p99_price", "exact_p99_raw").alias("p99_within_2pct"),
         )
         .orderBy("l_returnflag")
     )

@@ -26,6 +26,7 @@ The reference has no storage layout at all (its data model is an opaque
 
 from __future__ import annotations
 
+import json
 import shutil
 from pathlib import Path
 
@@ -67,6 +68,43 @@ def write_bucketed(
         .option("path", str(_LAYOUT_DIR / table))
         .saveAsTable(table)
     )
+    # Spec marker: lets a LATER session re-register these files with DDL
+    # instead of rewriting them (the default catalog is in-memory, so
+    # bucketing metadata dies with the session — the data doesn't).
+    (_LAYOUT_DIR / table / "_BUCKET_SPEC.json").write_text(
+        json.dumps(
+            {
+                "keys": keys,
+                "sort_keys": sort_keys or keys,
+                "n_buckets": n_buckets,
+                "schema": df.schema.toDDL(),
+            }
+        )
+    )
+
+
+def register_existing_bucketed(spark: SparkSession, table: str) -> bool:
+    """Re-register an already-written bucketed layout in THIS session's
+    catalog via ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` — the
+    ingest cost is paid once per corpus, not once per session. Returns
+    False (caller rewrites) when no spec marker is present.
+    """
+    loc = _LAYOUT_DIR / table
+    spec_file = loc / "_BUCKET_SPEC.json"
+    if not (spec_file.exists() and (loc / "_SUCCESS").exists()):
+        return False
+    try:
+        spec = json.loads(spec_file.read_text())
+        keys = ", ".join(spec["keys"])
+        sort_keys = ", ".join(spec["sort_keys"])
+        spark.sql(
+            f"CREATE TABLE {table} ({spec['schema']}) USING parquet "
+            f"CLUSTERED BY ({keys}) SORTED BY ({sort_keys}) "
+            f"INTO {spec['n_buckets']} BUCKETS LOCATION '{loc}'"
+        )
+        return True
+    except Exception:  # pragma: no cover — any mismatch → clean rewrite
+        return False
 
 
 def bucketed_tables_ready(spark: SparkSession, sf_dir: str) -> bool:
@@ -78,21 +116,27 @@ def bucketed_tables_ready(spark: SparkSession, sf_dir: str) -> bool:
 
 
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Write orders/customer bucketed by custkey once per (session, sf).
+    """Write orders/customer bucketed by custkey once per CORPUS.
 
-    Bucketing metadata lives in the (in-memory) session catalog, so a
-    new session must rewrite even if a previous session left files in
-    the warehouse — stale locations are cleared first (saveAsTable
+    Bucketing metadata lives in the (in-memory) session catalog, but
+    the files + a ``_BUCKET_SPEC.json`` marker persist — a new session
+    re-registers the existing layout with DDL
+    (:func:`register_existing_bucketed`) instead of rewriting it.
+    Unmarked/stale locations are cleared and rewritten (saveAsTable
     refuses to reuse an unregistered location).
     """
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
     ot, ct = f"orders_b_{tag}", f"customer_b_{tag}"
-    if not bucketed_tables_ready(spark, sf_dir):
-        for tbl in (ot, ct):
-            if not spark.catalog.tableExists(tbl):
-                shutil.rmtree(_LAYOUT_DIR / tbl, ignore_errors=True)
-        write_bucketed(load_table(spark, sf_dir, "orders"), ot, ["o_custkey"])
-        write_bucketed(load_table(spark, sf_dir, "customer"), ct, ["c_custkey"])
+    for tbl, src, keys in (
+        (ot, "orders", ["o_custkey"]),
+        (ct, "customer", ["c_custkey"]),
+    ):
+        if spark.catalog.tableExists(tbl):
+            continue
+        if register_existing_bucketed(spark, tbl):
+            continue  # files from a prior session — registered, not rewritten
+        shutil.rmtree(_LAYOUT_DIR / tbl, ignore_errors=True)
+        write_bucketed(load_table(spark, sf_dir, src), tbl, keys)
     return ot, ct
 
 
@@ -114,24 +158,27 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     children are bare bucketed scans — no Exchange, no per-query Sort.
     Results are identical to the plain shuffled join, which is exactly
     what the oracle checks.
+
+    The SMJ is pinned with a ``merge`` join hint, not a session conf:
+    physical planning happens at action time, so a conf set here and
+    restored before return would never reach the plan the caller
+    executes (and would clobber any caller-provided threshold). The
+    hint rides the logical plan and survives AQE's runtime re-planning
+    (verified: executed plan keeps SortMergeJoin with AQE on and the
+    default broadcast threshold).
     """
-    # AQE would demote this tiny join to broadcast, which also defeats
-    # the point of demonstrating the bucketed plan; prefer SMJ locally.
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        ot, ct = ensure_bucketed_tables(spark, sf_dir)
-        o = spark.table(ot)
-        c = spark.table(ct)
-        return (
-            o.join(c, o.o_custkey == c.c_custkey)
-            .groupBy("c_mktsegment")
-            .agg(
-                F.count(F.lit(1)).alias("n_orders"),
-                dsum("o_totalprice", "sum_price"),
-            )
+    ot, ct = ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(ot)
+    c = spark.table(ct)
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
         )
-    finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    )
 
 
 def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:

@@ -107,6 +107,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("dedup survivors via semi join", r"LeftSemi"),
         ("no nested-loop anywhere in the fused plan", r"^(?:(?!BroadcastNestedLoopJoin|CartesianProduct).)*$"),
     ],
+    "q_dedup_simhash": [
+        # bucket16 derives from the aliased simhash column; CollapseProject
+        # must not duplicate the UDF — exactly one Arrow batch eval node.
+        ("simhash UDF evaluated once", r"^(?:(?!ArrowEvalPython).)*ArrowEvalPython(?:(?!ArrowEvalPython).)*$"),
+    ],
 }
 
 

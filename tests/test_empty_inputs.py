@@ -8,11 +8,9 @@ loop from a missing row, KMeans on zero vectors) is a production pager.
 Aggregates-without-group correctly return their SQL identity row
 (count=0, sum=NULL) rather than zero rows.
 
-Exclusions, each for a declared reason — not silent skips:
-- q_sim_ivf: pyspark.ml KMeans requires k ≤ n points; an empty corpus
-  has no centroids to train. The operator's documented contract is a
-  built index; "no corpus" is a deploy-time config error, not a runtime
-  state (its guard raises a clear error either way).
+No exclusions: q_sim_ivf (formerly excluded — KMeans needs k ≤ n) now
+guards on the missing query vector an empty corpus implies and returns
+the empty result with the output schema, so it is swept like the rest.
 """
 
 from __future__ import annotations
@@ -22,7 +20,7 @@ import pytest
 from asyncdatapipeline_spark import registry
 from asyncdatapipeline_spark.sources.tables import TABLES, load_table
 
-EXCLUDED = {"q_sim_ivf"}
+EXCLUDED: set[str] = set()
 
 
 @pytest.fixture(scope="module")
@@ -93,3 +91,32 @@ def test_llm_ops_survive_malformed_rows(spark, nully_sf_dir):
         except Exception as e:  # noqa: BLE001 — collecting all failures
             failures.append(f"{name}: {type(e).__name__}: {e}")
     assert not failures, "LLM ops crashed on malformed rows:\n" + "\n".join(failures)
+
+
+MM_QUERIES = ["q_multimodal", "q_mm_frames", "q_mm_arrow", "q_mm_resize"]
+
+
+def test_mm_oracle_parity_on_multibyte_text(spark, nully_sf_dir):
+    """The multimodal oracles must be BYTE-exact, not just ASCII-exact:
+    frame/resize windows slice payload bytes, and the DuckDB twins slice
+    the lowercase-hex form (2 chars/byte). The nully fixture's multi-byte
+    row (é/ö/中文/🙂) breaks any char-counting substr oracle, so parity
+    here proves the byte math, unlike the no-crash sweep above."""
+    import duckdb
+
+    from tools.check_oracle import canon_rows
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{nully_sf_dir}/{t}.parquet/*.parquet')"
+        )
+    for name in MM_QUERIES:
+        qd = registry.get(name)
+        sdf = qd.fn(spark, nully_sf_dir).toPandas()
+        odf = con.sql(qd.oracle).df()
+        scols, srows = canon_rows(sdf)
+        ocols, orows = canon_rows(odf)
+        assert scols == ocols, name
+        assert srows == orows, name
