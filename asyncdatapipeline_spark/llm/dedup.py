@@ -12,9 +12,7 @@ O(n²) candidate pairs and no dedup signal — the classic skew guardrail).
 
 from __future__ import annotations
 
-import hashlib
 
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
@@ -268,57 +266,129 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (north star) — rows-only: hash family engine-specific
+# SimHash (north star) — pure codegen, oracle-checked
 # ---------------------------------------------------------------------------
 
+# Signed 64-bit word hash from md5's first 16 hex chars: the hi/lo
+# 32-bit halves go through conv() separately (each fits a bigint, so
+# ANSI mode never sees an overflow) and recombine with wrapping bit ops.
+# DuckDB parses the same 16 chars via ('0x' || ...)::UBIGINT — both
+# engines agree bit-for-bit on any UTF-8 input (parity asserted in
+# tests/test_oracle_parity.py).
+_MD5_H64_SQL = (
+    "(shiftleft(cast(conv(substr(md5({c}), 1, 8), 16, 10) as bigint), 32) | "
+    "cast(conv(substr(md5({c}), 9, 8), 16, 10) as bigint))"
+)
 
-@query("q_dedup_simhash")
+
+def _simhash_votes_sql() -> str:
+    """Per-doc 64-lane bit-vote accumulator as one codegen expression.
+
+    ``aggregate`` folds the distinct-word hash array through a 64-long
+    counter array: lane j accumulates bit j of each word hash. No
+    Python, no shuffle — the whole SimHash family runs inside
+    whole-stage codegen (the pandas-UDF formulation this replaced paid
+    Arrow transfer + a Python worker per batch for the same math).
+    """
+    h = _MD5_H64_SQL.format(c="w")
+    return (
+        f"aggregate(transform(array_distinct(split(text, ' ')), w -> {h}), "
+        "array_repeat(0L, 64), "
+        "(acc, h) -> zip_with(acc, "
+        "transform(sequence(0, 63), j -> shiftrightunsigned(h, j) & 1L), "
+        "(a, b) -> a + b))"
+    )
+
+
+def _simhash_fp_sql() -> str:
+    """Fingerprint from the vote array, with an explicit let-binding.
+
+    The vote fold and the word count are bound ONCE per row via a
+    single-element ``transform`` (a lambda-let): referencing them as
+    plain projection columns instead would invite CollapseProject to
+    inline the fold into the 64-iteration majority-vote lambda — the
+    alias is referenced once *textually*, which is all CollapseProject
+    counts, but it lands inside a lambda body that executes 64× per row
+    (observed: the collapsed plan recomputed the whole fold per bit).
+    Majority vote per bit j sets bit j; the signed wrap falls out of
+    shiftleft(1L, 63) being MIN_LONG.
+    """
+    return (
+        "element_at(transform("
+        f"array(struct({_simhash_votes_sql()} as v, "
+        "cast(size(array_distinct(split(text, ' '))) as bigint) as n)), "
+        "s -> aggregate(transform(sequence(0, 63), "
+        "j -> if(2 * element_at(s.v, j + 1) > s.n, shiftleft(1L, j), 0L)), "
+        "0L, (acc, x) -> acc | x)), 1)"
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    # Full cross-engine oracle: DuckDB recomputes the identical
+    # md5-derived word hashes, per-bit majority vote, and prefix bucket.
+    oracle="""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+  FROM documents WHERE text IS NOT NULL AND text != ''
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS u FROM w
+),
+v AS (
+  SELECT doc_id, j,
+         count(*) AS n,
+         count(*) FILTER (WHERE (u >> j) & 1 = 1) AS ones
+  FROM h, (SELECT unnest(range(64)) AS j) js
+  GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN 2 * ones > n
+                  THEN (1::UBIGINT << j)::HUGEINT ELSE 0::HUGEINT END) AS ufp
+  FROM v GROUP BY doc_id
+),
+s AS (
+  SELECT d.doc_id, coalesce(f.ufp, 0) AS ufp
+  FROM documents d LEFT JOIN fp f USING (doc_id)
+)
+SELECT doc_id,
+  CAST(CASE WHEN ufp >= 9223372036854775808::HUGEINT
+            THEN ufp - 18446744073709551616::HUGEINT
+            ELSE ufp END AS BIGINT) AS simhash,
+  CAST(ufp // 281474976710656 AS BIGINT) AS bucket16
+FROM s ORDER BY doc_id
+""",
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + 16-bit prefix bucket (north-star
     dedup family).
 
-    Vectorized pandas UDF (Arrow batches): per doc, hash each distinct
-    word to 64 bits (md5-derived — *not* Python's salted ``hash``), then
-    the ±1 bit-vote runs as a numpy bit matrix (unpackbits on the raw
-    digests, one ``sum(axis=0)`` per doc) — no per-bit Python loop.
-    Near-dups differ in few bits; the prefix bucket is the scale path
-    (group by bucket, verify hamming distance within).
+    Pure built-in expression — per doc, each distinct word hashes to 64
+    bits (md5-derived, cross-engine reproducible), a single ``aggregate``
+    fold tallies the per-bit majority vote, and the fingerprint
+    assembles with wrapping bit ops. Zero Python in the row path: the
+    plan is one WholeStageCodegen projection (asserted in
+    plans/audit.py), and the same formula runs in the DuckDB oracle, so
+    the driver hash-checks every fingerprint. Near-dups differ in few
+    bits; the prefix bucket is the scale path (group by bucket, verify
+    hamming distance within).
 
-    The UDF column is computed ONCE: ``bucket16`` derives from the
-    aliased ``simhash`` column in a second projection. CollapseProject
-    never duplicates a non-cheap expression referenced twice, so the
-    physical plan carries a single ArrowEvalPython (asserted in
-    plans/audit.py → tests/test_plans.py).
+    The vote array is let-bound inside the expression (see
+    :func:`_simhash_fp_sql`) so it is evaluated exactly once per row.
     """
-
-    @F.pandas_udf("long")
-    def simhash(texts: pd.Series) -> pd.Series:
-        import numpy as np
-
-        bit_weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(
-            np.uint64
-        )
-
-        def one(t: str) -> int:
-            if not t:
-                return 0
-            words = set(t.split(" "))
-            # md5[:8] big-endian per word, concatenated → uint64 vector
-            raw = b"".join(hashlib.md5(w.encode()).digest()[:8] for w in words)
-            digests = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8)
-            # unpackbits yields MSB-first bits of the big-endian digest →
-            # column j is bit (63 - j) of the uint64; flip to LSB order.
-            bits = np.unpackbits(digests, axis=1)[:, ::-1]  # (n_words, 64)
-            votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(words)
-            v = int(bit_weights[votes > 0].sum())
-            # wrap to signed 64-bit for Spark LongType
-            return v - (1 << 64) if v >= (1 << 63) else v
-
-        return texts.map(one)
-
     d = load_table(spark, sf_dir, "documents")
+    # One-file fixture corpus → one input partition; the hash fold is
+    # CPU-bound, so spread it (same straggler-headroom sizing as
+    # q_dedup_minhash). At 100 TB the input is many files and this
+    # repartition is dropped.
+    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2)
+    fp = F.when(
+        F.col("text").isNull() | (F.col("text") == ""), F.lit(0).cast("long")
+    ).otherwise(F.expr(_simhash_fp_sql()))
     return (
-        d.select("doc_id", simhash("text").alias("simhash"))
+        d.repartition(n_part)
+        .select("doc_id", fp.alias("simhash"))
         .select(
             "doc_id",
             "simhash",

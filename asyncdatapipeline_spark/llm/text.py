@@ -10,9 +10,7 @@ staying JVM-side (no Python UDFs) is the whole game.
 
 from __future__ import annotations
 
-import hashlib
 
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -234,39 +232,90 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_text_winnow")  # rows-only: rolling-hash family engine-specific
+# Winnowing parameters: k=3-word shingles, window w=4 consecutive
+# shingle hashes. Hash = signed 64-bit from md5's first 16 hex chars —
+# the same cross-engine-reproducible formula as SimHash (see
+# llm/dedup.py _MD5_H64_SQL); built here as one codegen expression.
+_WINNOW_HASHES_SQL = (
+    "transform("
+    "if(size(split(text, ' ')) >= 3, "
+    "sequence(1, size(split(text, ' ')) - 2), array()), "
+    "i -> (shiftleft(cast(conv(substr(md5(concat_ws(' ', "
+    "element_at(split(text, ' '), i), "
+    "element_at(split(text, ' '), i + 1), "
+    "element_at(split(text, ' '), i + 2))), 1, 8), 16, 10) as bigint), 32) | "
+    "cast(conv(substr(md5(concat_ws(' ', "
+    "element_at(split(text, ' '), i), "
+    "element_at(split(text, ' '), i + 1), "
+    "element_at(split(text, ' '), i + 2))), 9, 8), 16, 10) as bigint)))"
+)
+
+
+@query(
+    "q_text_winnow",
+    # Full cross-engine oracle: DuckDB recomputes the identical shingle
+    # hashes and the trailing-window minima (window frame clips at the
+    # tail exactly like Spark's slice()), then distinct-sorts the picks.
+    oracle="""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM ws WHERE len(w) >= 3
+),
+hs AS (
+  SELECT doc_id, i,
+    ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 16))::UBIGINT AS u,
+    count(*) OVER (PARTITION BY doc_id) AS nh
+  FROM sh0
+),
+hsx AS (
+  SELECT doc_id, i, nh,
+    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+              THEN u::HUGEINT - 18446744073709551616::HUGEINT
+              ELSE u::HUGEINT END AS BIGINT) AS h
+  FROM hs
+),
+wins AS (
+  SELECT doc_id, i, nh,
+    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+  FROM hsx
+)
+SELECT DISTINCT doc_id, mh AS fingerprint
+FROM wins WHERE i <= greatest(nh - 3, 1)
+ORDER BY doc_id, fingerprint
+""",
+)
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (rolling hash, north-star text op):
-    k-gram rolling hashes, keep the min hash in each sliding window —
-    the standard local fingerprinting scheme for plagiarism/near-dup
-    detection. Pandas UDF (Arrow-batched); deterministic md5-derived
-    word hashes, window w=4, shingle k=3.
+    """Winnowing fingerprints (rolling-hash scheme, north-star text op):
+    3-word shingle hashes, keep the min hash in each sliding window of
+    4 — the standard local fingerprinting scheme for plagiarism/near-dup
+    detection, one row per (doc, fingerprint).
+
+    Pure built-in expression (the pandas-UDF formulation this replaced
+    paid a Python worker for the same math): shingle-hash array → per-
+    window ``array_min(slice(...))`` → distinct picks → explode. Map-
+    only, zero shuffle at any scale; slice() clips at the array tail so
+    short docs yield one whole-array window. Docs with < 3 words have
+    no shingles and emit no rows.
     """
-
-    @F.pandas_udf("array<long>")
-    def winnow(texts: pd.Series) -> pd.Series:
-        def one(t: str):
-            words = t.split(" ") if t else []
-            hs = []
-            for i in range(max(len(words) - 2, 0)):
-                h = int.from_bytes(
-                    hashlib.md5(" ".join(words[i : i + 3]).encode()).digest()[:8],
-                    "big",
-                    signed=True,
-                )
-                hs.append(h)
-            if not hs:
-                return []
-            w = 4
-            picks = set()
-            for i in range(max(len(hs) - w + 1, 1)):
-                picks.add(min(hs[i : i + w]))
-            return sorted(picks)
-
-        return texts.map(one)
-
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", winnow("text").alias("fingerprints")).orderBy("doc_id")
+    picks = (
+        "if(size(hs) = 0, array(), "
+        "array_sort(array_distinct(transform("
+        "sequence(1, greatest(size(hs) - 3, 1)), "
+        "i -> array_min(slice(hs, i, 4))))))"
+    )
+    # One-file fixture corpus → one input partition; the shingle-hash
+    # projection is CPU-bound, so spread it (same sizing rationale as
+    # q_dedup_minhash). At 100 TB the input is many files already.
+    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2)
+    return (
+        d.repartition(n_part)
+        .select("doc_id", F.expr(_WINNOW_HASHES_SQL).alias("hs"))
+        .select("doc_id", F.explode(F.expr(picks)).alias("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    )
 
 
 @query(

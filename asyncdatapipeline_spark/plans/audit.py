@@ -108,9 +108,15 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no nested-loop anywhere in the fused plan", r"^(?:(?!BroadcastNestedLoopJoin|CartesianProduct).)*$"),
     ],
     "q_dedup_simhash": [
-        # bucket16 derives from the aliased simhash column; CollapseProject
-        # must not duplicate the UDF — exactly one Arrow batch eval node.
-        ("simhash UDF evaluated once", r"^(?:(?!ArrowEvalPython).)*ArrowEvalPython(?:(?!ArrowEvalPython).)*$"),
+        # The whole SimHash family is built-in expressions now — any
+        # Python eval node in this plan is a regression to the slow path.
+        # (Higher-order lambdas run in an interpreted ProjectExec, not
+        # WholeStageCodegen — still JVM-side, no Arrow crossing.)
+        ("no Python in the row path", r"^(?:(?!ArrowEvalPython|BatchEvalPython).)*$"),
+        # The vote fold must be let-bound, not inlined into the 64-bit
+        # majority lambda: the collapsed (bad) plan reads the fold through
+        # element_at(aggregate(...), j+1) inside the lambda body.
+        ("vote fold let-bound, not inlined per bit", r"^(?:(?!element_at\(aggregate).)*$"),
     ],
 }
 

@@ -82,10 +82,9 @@ def test_simhash_hamming_close_for_near_dup(spark, planted_docs):
 
 def test_winnow_overlap_for_near_dup(spark, planted_docs):
     pdir, base_id = planted_docs
-    rows = {
-        r["doc_id"]: set(r["fingerprints"])
-        for r in registry.get("q_text_winnow").fn(spark, pdir).collect()
-    }
+    rows: dict[int, set[int]] = {}
+    for r in registry.get("q_text_winnow").fn(spark, pdir).collect():
+        rows.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     a, b = rows[base_id], rows[9000]
     overlap = len(a & b) / max(len(a | b), 1)
     assert overlap >= 0.5, f"winnow fingerprint overlap too low: {overlap}"
