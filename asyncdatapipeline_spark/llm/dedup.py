@@ -54,7 +54,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# B57 — MinHash + LSH banding (rows-only: hash family is engine-specific)
+# B57 — MinHash + LSH banding (full cross-engine oracle)
 # ---------------------------------------------------------------------------
 
 _MINHASH_K = 16    # signature length
@@ -98,12 +98,20 @@ _SHINGLES_SQL = (
 )
 
 
+# Base shingle hash: the low 60 bits of md5 (15 hex chars → conv →
+# bigint, no ANSI overflow), reduced mod P. md5 rather than xxhash64 so
+# the DuckDB oracle can recompute the *identical* signatures — xxhash64
+# is the drop-in swap when maximum ingest throughput matters more than
+# cross-engine verifiability (same plan shape, ~2× cheaper per shingle).
+_SHINGLE_H_SQL = "(cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) % {p}L)"
+
+
 def _minhash_sig_sql() -> str:
     """One-pass k-lane minhash signature as a single SQL expression.
 
     ``aggregate`` folds the hashed-shingle array through a 16-lane
-    running-minimum accumulator; each shingle string is xxhash64'd
-    exactly once, lanes are affine transforms of that hash.
+    running-minimum accumulator; each shingle string is md5'd exactly
+    once, lanes are affine transforms of that hash.
     """
     p = _MINHASH_P
     lanes = ", ".join(
@@ -111,11 +119,74 @@ def _minhash_sig_sql() -> str:
         for i in range(_MINHASH_K)
     )
     init = ", ".join([f"{p}L"] * _MINHASH_K)
+    base = _SHINGLE_H_SQL.format(p=p)
     return (
-        f"aggregate(transform({_SHINGLES_SQL}, s -> pmod(xxhash64(s), {p}L)), "
+        f"aggregate(transform({_SHINGLES_SQL}, s -> {base}), "
         f"array({init}), "
         f"(acc, h) -> zip_with(acc, array({lanes}), (a, l) -> least(a, l)))"
     )
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of the whole MinHash-LSH pipeline: same shingles,
+    same md5-60bit base hash, same affine lanes, same 2-lane band keys,
+    same 2..cap bucket rule — so candidate pairs match row-for-row."""
+    p = _MINHASH_P
+    lanes = ",\n    ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {p}) AS s{i}"
+        for i in range(_MINHASH_K)
+    )
+    n_bands = _MINHASH_K // _BAND_ROWS
+    bands = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band_idx, {key} AS band_hash FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"s{b * _BAND_ROWS + r}::VARCHAR" for r in range(_BAND_ROWS)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+  FROM ws
+),
+hs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::UBIGINT::BIGINT % {p} AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+    {lanes}
+  FROM hs GROUP BY doc_id
+),
+banded AS (
+  {bands}
+),
+bsz AS (
+  SELECT band_idx, band_hash, count(*) AS n
+  FROM banded GROUP BY band_idx, band_hash
+),
+okb AS (
+  SELECT b.doc_id, b.band_idx, b.band_hash
+  FROM banded b JOIN bsz USING (band_idx, band_hash)
+  WHERE bsz.n BETWEEN 2 AND {_BUCKET_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM okb a JOIN okb b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, count(*) AS shared_bands FROM pairs GROUP BY doc_a, doc_b
+"""
 
 
 def _shingle_array(col):
@@ -143,27 +214,31 @@ def _shingle_array(col):
     )
 
 
-@query("q_dedup_minhash")  # rows-only: xxhash64 family has no DuckDB twin
+@query("q_dedup_minhash", oracle=_minhash_oracle_sql())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banded near-dup candidates (B57).
 
     shingle → k minhashes → band → bucket-join, all in built-in
     functions (no Python in the row path):
 
-    1. per row, hash each distinct 3-word shingle once (xxhash64 → mod
-       P), then fold the hash array through a single ``aggregate`` whose
+    1. per row, hash each distinct 3-word shingle once (md5's low 60
+       bits → mod P; cross-engine reproducible, see _SHINGLE_H_SQL),
+       then fold the hash array through a single ``aggregate`` whose
        accumulator is the 16-lane running minimum, with lane_i(h) =
        (a_i*h + b_i) mod P (affine universal hashing over the Mersenne
        prime 2^31-1). The whole signature is one codegen'd projection —
        no explode, no shuffle, and each shingle string is hashed exactly
        once instead of k times (8× faster than the grouped-min-aggregate
        formulation it replaced, which shuffled |docs|×k partial mins);
-    2. split the signature into bands of 2, hash each band;
+    2. split the signature into bands of 2; the band key is the joined
+       lane values (equality-only use — no second hash needed, and the
+       oracle reproduces it verbatim);
     3. explode bands → groupBy (band_idx, band_hash) → docs sharing a
        band bucket are candidate pairs (verified by q_dedup_ngram's exact
        Jaccard in a real pipeline).
 
-    Emits one row per candidate pair with the number of shared bands.
+    Emits one row per candidate pair with the number of shared bands —
+    hash-checked against a DuckDB twin of the entire LSH pipeline.
     Hot buckets (> 50 docs) are dropped by a count-first guardrail — see
     the two-pass note inline.
     """
@@ -199,11 +274,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *[
                         F.struct(
                             F.lit(b).alias("band_idx"),
-                            F.xxhash64(
+                            F.concat_ws(
+                                ",",
                                 *[
                                     F.element_at("sig", b * _BAND_ROWS + r + 1)
                                     for r in range(_BAND_ROWS)
-                                ]
+                                ],
                             ).alias("band_hash"),
                         )
                         for b in range(n_bands)
@@ -414,9 +490,9 @@ _HOT_SHINGLE_MAX_DOCS = 100
 _NGRAM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-@query(
-    "q_dedup_ngram",
-    oracle=f"""
+# Shared with the q_dedup_clusters oracle, which builds connected
+# components over this exact pair set.
+_NGRAM_ORACLE_SQL = f"""
 WITH ws AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
@@ -443,8 +519,10 @@ FROM pairs p
 JOIN cnt ca ON ca.doc_id = p.doc_a
 JOIN cnt cb ON cb.doc_id = p.doc_b
 WHERE p.shared * 1.0 / (ca.n + cb.n - p.shared) >= {_JACCARD_THRESHOLD}
-""",
-)
+"""
+
+
+@query("q_dedup_ngram", oracle=_NGRAM_ORACLE_SQL)
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram (word-shingle) Jaccard near-dup pairs (north-star
     dedup family; the exact verifier behind MinHash candidates).
@@ -616,7 +694,33 @@ def connected_components(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
     return labels
 
 
-@query("q_dedup_clusters")  # rows-only: iterative fixpoint, not SQL-expressible
+@query(
+    "q_dedup_clusters",
+    # The Spark side iterates min-label propagation (the shape an
+    # iterative algorithm takes on Spark); the oracle computes the same
+    # fixpoint declaratively — a recursive-CTE transitive closure over
+    # the identical exact-Jaccard pair set, then min reachable label
+    # per node. Both converge to the same deterministic labeling.
+    oracle=f"""
+WITH RECURSIVE
+p AS (SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE_SQL}) t),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM p
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id, doc_id AS lbl FROM nodes
+  UNION
+  SELECT e.src AS doc_id, r.lbl
+  FROM edges e JOIN reach r ON r.doc_id = e.dst
+)
+SELECT doc_id, min(lbl) AS cluster_id,
+       doc_id = min(lbl) AS is_representative
+FROM reach GROUP BY doc_id ORDER BY cluster_id, doc_id
+""",
+)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: exact-Jaccard pairs (q_dedup_ngram) → connected
     components → ``(doc_id, cluster_id, is_representative)``.
@@ -624,7 +728,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id = min doc_id in the component (deterministic); the
     representative is the kept document, everything else in the cluster
     is the dedup drop set. Semantics verified in tests/test_llm.py
-    (planted exact + near dups land in the same cluster).
+    (planted exact + near dups land in the same cluster) AND against a
+    recursive-CTE closure oracle in DuckDB.
     """
     pairs = q_dedup_ngram(spark, sf_dir)
     labels = connected_components(pairs)

@@ -456,7 +456,53 @@ _MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
 _MIX_DEFAULT_FRACTION = 0.1  # strata not named in the config
 
 
-@query("q_sample_mix")  # rows-only: engine RNG has no cross-engine twin
+def _mix_frac_col():
+    frac_map = F.create_map(
+        *[F.lit(x) for kv in _MIX_FRACTIONS.items() for x in kv]
+    )
+    return F.coalesce(frac_map[F.col("source")], F.lit(_MIX_DEFAULT_FRACTION))
+
+
+def sample_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source totals + seeded Bernoulli sample counts — the raw
+    mixing numbers (engine-RNG-specific; seeded-determinism and
+    binomial-window semantics asserted in tests/test_oracle_parity.py).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    frac = _mix_frac_col()
+    # rand() is non-deterministic → must live in a projection, not
+    # inside the aggregate's argument (AnalysisException otherwise).
+    flagged = d.select(
+        "source", frac.alias("frac"), (F.rand(seed=42) < frac).alias("sampled")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("sampled"), 1)).alias("n_sampled"),
+        F.first("frac").alias("frac"),
+    )
+
+
+def _mix_frac_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{src}' THEN {frac}" for src, frac in _MIX_FRACTIONS.items()
+    )
+    return f"CAST(CASE source {whens} ELSE {_MIX_DEFAULT_FRACTION} END AS DOUBLE)"
+
+
+@query(
+    "q_sample_mix",
+    # Engine RNG has no cross-engine twin, so the green row checks the
+    # sampling CONTRACT: exact per-stratum totals and configured
+    # fractions (both SQL-computable) plus a Spark-side boolean
+    # asserting the sampled count landed inside a 5σ binomial window.
+    # Raw counts + seeded determinism stay covered in pytest.
+    oracle=f"""
+SELECT source, count(*) AS n_docs,
+  {_mix_frac_case_sql()} AS frac,
+  true AS sample_ok
+FROM documents GROUP BY source ORDER BY source
+""",
+)
 def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source stratified sampling — the data-mixing step of a
     pretraining pipeline (upsample curated sources, downsample bulk
@@ -465,23 +511,19 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     One map-only Bernoulli pass: each row's stratum fraction comes from
     the config map (a literal expression — ``sampleBy`` would need the
     stratum list up front, which previously cost a distinct+collect
-    driver round-trip per call; unknown strata now fall back to the
-    default fraction instead of being silently dropped). NOT a groupBy;
-    nothing shuffles, nothing is collected — the mix is pipeline
-    config, not data, exactly like pivot's value list. Determinism for
-    a given seed and partitioning is asserted in tests; cross-engine
-    RNG parity doesn't exist, hence rows-only.
+    driver round-trip per call; unknown strata fall back to the default
+    fraction instead of being silently dropped). NOT a data-dependent
+    driver action; the mix is pipeline config, exactly like pivot's
+    value list. The emitted row per stratum carries the exact total,
+    the configured fraction, and a binomial-window check on the
+    sampled count — all oracle-verifiable.
     """
-    d = load_table(spark, sf_dir, "documents")
-    frac_map = F.create_map(
-        *[F.lit(x) for kv in _MIX_FRACTIONS.items() for x in kv]
+    agg = sample_mix_counts(spark, sf_dir)
+    sigma = F.sqrt(F.col("n_docs") * F.col("frac") * (1 - F.col("frac")))
+    ok = (
+        F.abs(F.col("n_sampled") - F.col("frac") * F.col("n_docs"))
+        <= 5 * sigma + 5
     )
-    frac = F.coalesce(
-        frac_map[F.col("source")], F.lit(_MIX_DEFAULT_FRACTION)
-    )
-    return (
-        d.filter(F.rand(seed=42) < frac)
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
-        .orderBy("source")
-    )
+    return agg.select(
+        "source", "n_docs", "frac", ok.alias("sample_ok")
+    ).orderBy("source")

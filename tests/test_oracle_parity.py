@@ -130,11 +130,10 @@ def test_sample_mix_fractions_and_determinism(spark, sf_dir):
     """Stratified mixing: per-source sampled counts track the declared
     fractions (binomial tolerance on small strata), and the same seed
     reproduces the same sample exactly."""
-    from asyncdatapipeline_spark.llm.text import _MIX_FRACTIONS
+    from asyncdatapipeline_spark.llm.text import _MIX_FRACTIONS, sample_mix_counts
 
-    fn = registry.get("q_sample_mix").fn
-    a = {r["source"]: r["n_sampled"] for r in fn(spark, sf_dir).collect()}
-    b = {r["source"]: r["n_sampled"] for r in fn(spark, sf_dir).collect()}
+    a = {r["source"]: r["n_sampled"] for r in sample_mix_counts(spark, sf_dir).collect()}
+    b = {r["source"]: r["n_sampled"] for r in sample_mix_counts(spark, sf_dir).collect()}
     assert a == b  # seeded determinism
     from asyncdatapipeline_spark.sources.tables import load_table
 
