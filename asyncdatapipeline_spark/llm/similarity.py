@@ -116,67 +116,96 @@ _IVF_NPROBE = 3    # closest centroids probed per query
 # layout.py) — a probe must measure the probe, not refit the index.
 _IVF_CACHE: dict[tuple[str, str], list[list[float]]] = {}
 
-_IVF_TRAIN_SAMPLE = 4096  # bounded training sample (faiss-style)
-
 
 def _ivf_centroids(
     spark: SparkSession, sf_dir: str, corpus: DataFrame
 ) -> list[list[float]]:
-    """Fit-or-fetch the nlist centroids for this corpus.
+    """Fetch-or-cache the nlist coarse-quantizer centroids.
 
-    The fit is seeded numpy Lloyd iterations over a BOUNDED sample —
-    the standard IVF build (faiss trains its coarse quantizer on a
-    sample too, never the full corpus): collecting an O(1)-sized
-    training set is ingest-time work, and the per-row cell assignment
-    stays a pure JVM expression rather than an opaque ML stage in the
-    query path.
+    The quantizer is *corpus-sampled seed vectors* (the nlist smallest
+    vec_ids — a deterministic sample; id order carries no geometry, so
+    this is kmeans++-init-without-refinement). A Lloyd refinement pass
+    would tighten cells but not change the plan shape, the probe
+    contract, or the ingest-time-build story — it is omitted so the
+    DuckDB oracle can reproduce the index *exactly* and hash-check the
+    probe results. Collecting nlist rows is an O(1) driver action,
+    ingest-time work like the layout ensure_* helpers.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _IVF_CACHE.get(key)
     if hit is None:
-        sample = np.array(
-            [
-                r["v"]
-                for r in corpus.select("v")
-                .orderBy("vec_id")
-                .limit(_IVF_TRAIN_SAMPLE)
-                .collect()
-            ]
-        )
-        rng = np.random.default_rng(_ANN_SEED)
-        centers = sample[
-            rng.choice(len(sample), size=_IVF_NLIST, replace=False)
-        ].copy()
-        for _ in range(5):  # Lloyd iterations, fixed like KMeans(maxIter=5)
-            d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(_IVF_NLIST):
-                members = sample[assign == c]
-                if len(members):
-                    centers[c] = members.mean(axis=0)
-        hit = [c.tolist() for c in centers]
+        rows = (
+            corpus.select("vec_id", "v").orderBy("vec_id").limit(_IVF_NLIST)
+        ).collect()
+        hit = [[float(x) for x in r["v"]] for r in rows]
         _IVF_CACHE[key] = hit
     return hit
 
 
-@query("q_sim_ivf")  # rows-only: ANN result is approximate by design
+def _sqdist_fold_sql(vexpr: str, cexpr: str) -> str:
+    """DuckDB squared distance as the same sequential left-to-right
+    double fold Spark's aggregate(zip_with(...)) performs — bit-exact
+    across engines, so the argmin cell assignment agrees."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({vexpr})), "
+        f"j -> ({vexpr}[j] - {cexpr}[j]) * ({vexpr}[j] - {cexpr}[j])))"
+    )
+
+
+def _ivf_oracle_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+  FROM e ORDER BY vec_id LIMIT {_IVF_NLIST}
+),
+d AS (
+  SELECT e.vec_id, e.label, e.v, c.cidx,
+         {_sqdist_fold_sql('e.v', 'c.cv')} AS dist
+  FROM e, c
+),
+cell AS (
+  SELECT vec_id, label, v, cidx AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cidx FROM d WHERE vec_id = {_QUERY_VEC_ID}
+  ORDER BY dist, cidx LIMIT {_IVF_NPROBE}
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID})
+SELECT s.vec_id, s.label,
+       round(list_cosine_similarity(s.v, q.qv), 6) AS cos_sim
+FROM cell s, q
+WHERE s.vec_id != {_QUERY_VEC_ID} AND s.cell IN (SELECT cidx FROM probe)
+ORDER BY list_cosine_similarity(s.v, q.qv) DESC, s.vec_id
+LIMIT {_TOP_K}
+"""
+
+
+@query("q_sim_ivf", oracle=_ivf_oracle_sql())
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the centroid-partitioned
     ANN scale path (north star; complements the hyperplane-LSH variant).
 
-    Build: seeded Lloyd/k-means over a bounded sample clusters the
-    corpus into nlist cells (cached per (session, corpus) — see
-    :func:`_ivf_centroids`). At 100 TB the corpus is written
-    partitioned by cell id — the assignment is the one-time ingest
-    cost, exactly like bucketing (operators/layout.py).
+    Build: a deterministic corpus-sampled coarse quantizer (see
+    :func:`_ivf_centroids`; cached per (session, corpus)). At 100 TB
+    the corpus is written partitioned by cell id — the assignment is
+    the one-time ingest cost, exactly like bucketing
+    (operators/layout.py).
 
     Probe: the query ranks centroids by distance driver-side (nlist
     floats — trivially small), takes the nprobe nearest cells, and
     exact-rescores only those cells' vectors. Cell assignment is a pure
-    codegen'd expression (argmin over nlist squared distances); the
-    probe filter prunes to ~nprobe/nlist of the data, then
+    JVM expression (argmin over nlist squared distances); the probe
+    filter prunes to ~nprobe/nlist of the data, then
     TakeOrderedAndProject. Recall vs the brute-force baseline is
-    asserted in tests/test_llm.py.
+    asserted in tests/test_llm.py, and the DuckDB oracle reproduces the
+    index exactly (same centroids, same fold order, same tie-breaks) so
+    the probe results are hash-checked end-to-end.
     """
     qv = _query_vector(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").withColumn(
@@ -189,10 +218,20 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "label", F.lit(0.0).alias("cos_sim")
         ).limit(0)
     centers = _ivf_centroids(spark, sf_dir, e)
+    if not centers:
+        return e.select("vec_id", "label", F.lit(0.0).alias("cos_sim")).limit(0)
 
-    qarr = np.array(qv)
-    dists = [float(np.linalg.norm(qarr - np.array(c))) for c in centers]
-    probe_cells = sorted(range(_IVF_NLIST), key=lambda i: dists[i])[:_IVF_NPROBE]
+    def py_sqdist(c: list[float]) -> float:
+        # plain left-to-right sum — the same fold order as the Spark
+        # expression and the DuckDB oracle, so probe ranking agrees
+        acc = 0.0
+        for x, y in zip(qv, c):
+            acc += (x - y) * (x - y)
+        return acc
+
+    dists = [py_sqdist(c) for c in centers]
+    # stable sort == (dist, cidx) tie-break, matching the oracle
+    probe_cells = sorted(range(len(centers)), key=lambda i: dists[i])[:_IVF_NPROBE]
 
     # nearest-cell assignment as a JVM expression: squared distance to
     # each centroid literal, argmin via array_position(min). At scale
@@ -225,21 +264,74 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_ann")  # rows-only: ANN result is approximate by design
+def _plane_sign(i: int, j: int) -> float:
+    """±1 Rademacher entry for hyperplane i, dimension j — the top bit
+    of md5('p{i},{j}').
+
+    Sign-random-projection LSH works with ±1 hyperplane entries
+    (Charikar's SimHash family) just as with gaussians, and an
+    integer-hash-derived sign is reproducible in ANY engine — the
+    DuckDB oracle recomputes the identical planes, signatures, probe
+    set, and rescoring, so this ANN's results are hash-checked
+    end-to-end rather than rows-only.
+    """
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"p{i},{j}".encode()).digest()[0] >= 128 else -1.0
+
+
+def _ann_oracle_sql() -> str:
+    def dot(i: int) -> str:
+        sign = (
+            "(CASE WHEN ('0x' || substr(md5('p' || {i} || ',' || (j - 1)), 1, 2))"
+            "::UINTEGER >= 128 THEN 1.0 ELSE -1.0 END)"
+        ).format(i=i)
+        return (
+            "list_sum(list_transform(generate_series(1, len(v)), "
+            f"j -> v[j] * {sign}))"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {dot(i)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_ANN_BITS)
+    )
+    probes = " OR ".join(
+        [f"s.sig = q.qsig"]
+        + [f"s.sig = xor(q.qsig, {1 << i})" for i in range(_ANN_BITS)]
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sg AS (SELECT vec_id, label, v, {sig} AS sig FROM e),
+q AS (SELECT v AS qv, sig AS qsig FROM sg WHERE vec_id = {_QUERY_VEC_ID})
+SELECT s.vec_id, s.label,
+       round(list_cosine_similarity(s.v, q.qv), 6) AS cos_sim
+FROM sg s, q
+WHERE s.vec_id != {_QUERY_VEC_ID} AND ({probes})
+ORDER BY list_cosine_similarity(s.v, q.qv) DESC, s.vec_id
+LIMIT {_TOP_K}
+"""
+
+
+@query("q_sim_ann", oracle=_ann_oracle_sql())
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-{k} (north-star ANN scale path).
 
-    {b} fixed random hyperplanes (seeded numpy — deterministic) assign
+    {b} fixed hyperplanes with md5-derived ±1 entries (deterministic
+    and cross-engine reproducible — see :func:`_plane_sign`) assign
     every vector a {b}-bit signature. The query probes its bucket and all
     1-bit-flip neighbors ({b}+1 of 2^{b} buckets), exact-rescores the
-    candidates, returns top-k. Tests assert recall ≥ 0.5 vs q_sim_topk.
+    candidates, returns top-k. Tests assert recall ≥ 0.5 vs q_sim_topk;
+    the DuckDB oracle hash-checks the probe results exactly.
     """
-    rng = np.random.default_rng(_ANN_SEED)
     qv = _query_vector(spark, sf_dir)
     missing = qv is None
     qv = [1.0] if missing else qv  # placeholder; plan truncated at return
     dim = len(qv)
-    planes = rng.standard_normal((_ANN_BITS, dim))
+    planes = [
+        [_plane_sign(i, j) for j in range(dim)] for i in range(_ANN_BITS)
+    ]
 
     def sig_col(vec_col):
         bits = [
@@ -254,7 +346,12 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q_sig = 0
     for i in range(_ANN_BITS):
-        if float(np.dot(planes[i], qv)) >= 0:
+        # plain left-to-right sum — same fold order as the Spark column
+        # expression and the DuckDB oracle, so the signature bit agrees
+        acc = 0.0
+        for p, x in zip(planes[i], qv):
+            acc += p * x
+        if acc >= 0:
             q_sig |= 1 << i
     probe_sigs = [q_sig] + [q_sig ^ (1 << i) for i in range(_ANN_BITS)]
 
