@@ -181,3 +181,59 @@ def test_hll_sketch_union_tolerance(spark, sf_dir, duck):
         assert math.isclose(est[flag], o, rel_tol=0.05)
     for r in registry.get("q_agg_hll").fn(spark, sf_dir).collect():
         assert r["union_within_5pct"]
+
+
+def test_md5_hash64_cross_engine_parity(spark, duck):
+    """The md5-derived 64-bit word hash (_MD5_H64_SQL) and the 60-bit
+    minhash base hash agree bit-for-bit across Spark, Python, and
+    DuckDB — the foundation every dedup/winnow/LSH oracle rests on.
+    Referenced from llm/dedup.py; covers multi-byte UTF-8 and the empty
+    string."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from asyncdatapipeline_spark.llm.dedup import _MD5_H64_SQL, _MINHASH_P
+
+    samples = ["hello", "", "héllo wörld", "日本語 テスト", "a b c", "x" * 200]
+    df = spark.createDataFrame([(s,) for s in samples], ["w"])
+    got = {
+        r["w"]: (r["h64"], r["h60"])
+        for r in df.select(
+            "w",
+            F.expr(_MD5_H64_SQL.format(c="w")).alias("h64"),
+            F.expr(
+                f"cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)"
+                f" % {_MINHASH_P}L"
+            ).alias("h60"),
+        ).collect()
+    }
+    for s in samples:
+        dig = hashlib.md5(s.encode()).hexdigest()
+        py64 = int.from_bytes(bytes.fromhex(dig[:16]), "big", signed=True)
+        py60 = int(dig[:15], 16) % _MINHASH_P
+        d64, d60 = duck.sql(
+            "SELECT CAST(CASE WHEN u >= 9223372036854775808::HUGEINT"
+            " THEN u::HUGEINT - 18446744073709551616::HUGEINT"
+            " ELSE u::HUGEINT END AS BIGINT),"
+            " ('0x' || substr(md5(?), 1, 15))::UBIGINT::BIGINT % ?"
+            " FROM (SELECT ('0x' || substr(md5(?), 1, 16))::UBIGINT AS u)",
+            params=[s, _MINHASH_P, s],
+        ).fetchone()
+        assert got[s] == (py64, py60) == (d64, d60), s
+
+
+def test_ann_plane_signs_cross_engine_parity(duck):
+    """q_sim_ann's ±1 hyperplane entries: Python _plane_sign matches the
+    DuckDB formula embedded in the oracle for every (bit, dim) pair in
+    use."""
+    from asyncdatapipeline_spark.llm.similarity import _ANN_BITS, _plane_sign
+
+    for i in range(_ANN_BITS):
+        for j in range(64):
+            (d,) = duck.sql(
+                "SELECT CASE WHEN ('0x' || substr(md5('p' || ? || ',' || ?), 1, 2))"
+                "::UINTEGER >= 128 THEN 1.0 ELSE -1.0 END",
+                params=[i, j],
+            ).fetchone()
+            assert _plane_sign(i, j) == d, (i, j)
