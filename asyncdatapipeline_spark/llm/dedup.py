@@ -701,10 +701,14 @@ def connected_components(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
     # fixpoint declaratively — a recursive-CTE transitive closure over
     # the identical exact-Jaccard pair set, then min reachable label
     # per node. Both converge to the same deterministic labeling.
+    # AS MATERIALIZED matters: DuckDB inlines multiply-referenced CTEs,
+    # and `edges` is re-read by every recursion step — without the
+    # hint the whole shingle self-join re-evaluates per reference
+    # (measured 32s vs 0.5s at sf0.1).
     oracle=f"""
 WITH RECURSIVE
-p AS (SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE_SQL}) t),
-edges AS (
+p AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE_SQL}) t),
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM p
   UNION
   SELECT doc_b AS src, doc_a AS dst FROM p
