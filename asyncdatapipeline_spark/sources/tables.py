@@ -61,20 +61,30 @@ def ensure_session_defaults(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (parquet, schema from the footer).
 
-    ``events.ts`` is ns-precision in parquet; Spark's reader has no ns
-    timestamp type (TIMESTAMP(NANOS) is rejected outright), so the
-    session reads it as a long (``spark.sql.legacy.parquet.nanosAsLong``)
-    and this loader converts to a µs TimestampType — flooring, which
-    matches DuckDB's value down to the microsecond.
+    ``events.ts`` has shipped in two physical representations across
+    fixture generations, and this loader normalizes both to a plain
+    ``TimestampType`` (TIMESTAMP_LTZ) so downstream code — in particular
+    ``withWatermark``, which rejects TIMESTAMP_NTZ at analysis time — sees
+    one stable type:
+
+    - ns-as-int64 (older fixtures): read as ``bigint`` via
+      ``spark.sql.legacy.parquet.nanosAsLong``, floored to µs.
+    - ``timestamp[us]`` with ``isAdjustedToUTC=false`` (current fixtures):
+      Spark 4 reads this as TIMESTAMP_NTZ; with the session pinned to UTC
+      the cast to TimestampType is value-preserving.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_defaults(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

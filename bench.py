@@ -6,13 +6,15 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is executed to completion (count() action — results stay
-distributed; nothing is collected to the driver). Two passes, BOTH
-reported: the first ("cold": JVM warmup, codegen compilation, derived
-layouts, IVF/KMeans index builds) and the second ("warm": steady
-state). The headline `value`/`queries` stay the warm pass — one-time
-driver costs are irrelevant at the 100 TB design point — but
-`value_cold`/`queries_cold` keep the build costs visible so cached
-layouts can't silently flatter round-over-round comparisons.
+distributed; nothing is collected to the driver). One cold pass ("cold":
+JVM warmup, codegen compilation, derived layouts, IVF/KMeans index
+builds) then THREE warm passes with the per-query MEDIAN reported — r2
+showed 1.5-2x run-to-run noise on this box from external load, and a
+single warm sample read as a phantom regression. The headline
+`value`/`queries` are the median warm pass — one-time driver costs are
+irrelevant at the 100 TB design point — but `value_cold`/`queries_cold`
+keep the build costs visible so cached layouts can't silently flatter
+round-over-round comparisons.
 """
 
 from __future__ import annotations
@@ -96,12 +98,19 @@ def main() -> None:
         registry.get(name).fn(spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.get(name).fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # warm passes: median-of-3 per query, interleaved by pass (not by
+    # query) so a transient load spike on the box degrades one sample of
+    # many queries instead of all three samples of one
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            fn = registry.get(name).fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples[name].append(time.perf_counter() - t0)
+    timings = {
+        name: round(sorted(ts)[1], 3) for name, ts in samples.items()
+    }
 
     # reference-parity runtime throughput (BASELINE.md: 1000-5500 ops/sec
     # at workers 1-16 on 4 cores; "op" = one 100-row batch)
