@@ -80,6 +80,34 @@ def test_simhash_hamming_close_for_near_dup(spark, planted_docs):
     assert rows[1] == rows[9001]  # identical text → identical fingerprint
 
 
+def test_fast_hash_mode_preserves_dedup_semantics(spark, planted_docs, monkeypatch):
+    """SPARK_GRAFT_HASH=xxhash64 (the production-ingest knob) changes the
+    base hash, not the semantics: MinHash still surfaces the planted
+    pairs and SimHash fingerprints stay identical for identical text and
+    hamming-close for near-dups. (No oracle in this mode — DuckDB can't
+    recompute xxhash64; CORRECTNESS runs keep the md5 default.)"""
+    monkeypatch.setenv("SPARK_GRAFT_HASH", "xxhash64")
+    pdir, base_id = planted_docs
+    pairs = registry.get("q_dedup_minhash").fn(spark, pdir).collect()
+    assert any({r["doc_a"], r["doc_b"]} == {base_id, 9000} for r in pairs)
+    assert any({r["doc_a"], r["doc_b"]} == {1, 9001} for r in pairs)
+    rows = {
+        r["doc_id"]: r["simhash"]
+        for r in registry.get("q_dedup_simhash").fn(spark, pdir).collect()
+    }
+    assert rows[1] == rows[9001]
+    ham = bin((rows[base_id] ^ rows[9000]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16
+
+
+def test_fast_hash_mode_rejects_unknown_value(monkeypatch):
+    from asyncdatapipeline_spark.llm.dedup import _hash_mode
+
+    monkeypatch.setenv("SPARK_GRAFT_HASH", "sha1")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_HASH"):
+        _hash_mode()
+
+
 def test_winnow_overlap_for_near_dup(spark, planted_docs):
     pdir, base_id = planted_docs
     rows: dict[int, set[int]] = {}

@@ -10,11 +10,18 @@ differs at all is reported with the max abs delta so drift can be traced
 to a non-deterministic expression and fixed at the source (see
 operators/_util.py for the decimal-armor pattern).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes the sweep as a driver-shaped artifact
+(per-query rows_match/schema_match/hash_match/spark_rows/oracle_rows/err,
+plus sec) so rounds can commit the full 93-query evidence
+(CORRECTNESS_LOCAL_r{N}.json) even when the driver's own file stops at
+its 50-entry budget.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -66,8 +73,14 @@ def canon_rows(df):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -80,6 +93,7 @@ def main() -> int:
     oracles = registry.all_oracles()
     n_pass = n_fail = n_rowsonly = 0
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -89,10 +103,22 @@ def main() -> int:
         except Exception as exc:
             n_fail += 1
             failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None, "oracle_rows": None,
+                "err": f"spark: {type(exc).__name__}: {exc}",
+                "sec": round(time.time() - t0, 2),
+            }
             print(f"FAIL  {name}: spark error: {type(exc).__name__}: {exc}")
             continue
         if name not in oracles:
             n_rowsonly += 1
+            report[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None,
+                "err": None, "rows_only": True,
+                "sec": round(time.time() - t0, 2),
+            }
             print(f"rows  {name}: {len(sdf)} rows (rows-only) [{time.time()-t0:.1f}s]")
             continue
         try:
@@ -100,6 +126,12 @@ def main() -> int:
         except Exception as exc:
             n_fail += 1
             failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(sdf),
+                "oracle_rows": None, "err": f"duckdb: {exc}",
+                "sec": round(time.time() - t0, 2),
+            }
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
 
@@ -121,6 +153,15 @@ def main() -> int:
                 f"        spark-only e.g.: {ex_s}\n"
                 f"        duck-only  e.g.: {ex_o}"
             )
+        report[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": scols == ocols,
+            "hash_match": srows == orows,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": "; ".join(problems) if problems else None,
+            "sec": round(time.time() - t0, 2),
+        }
         if problems:
             n_fail += 1
             failures.append(name)
@@ -133,6 +174,21 @@ def main() -> int:
         f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} FAIL"
         + (f": {' '.join(failures)}" if failures else "")
     )
+    if json_out:
+        Path(json_out).write_text(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "summary": {
+                        "ok": n_pass, "rows_only": n_rowsonly, "fail": n_fail
+                    },
+                    "queries": report,
+                },
+                indent=2,
+            )
+            + "\n"
+        )
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
