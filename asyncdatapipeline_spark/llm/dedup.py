@@ -665,6 +665,121 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LSH-bucketed embedding near-dup: the scale path q_dedup_embed
+# names (bucket-then-verify over hyperplane signatures instead of a
+# bounded all-pairs region) -----------------------------------------------
+
+_EMBED_LSH_BITS = 8          # 2^8 = 256 buckets
+_EMBED_LSH_BUCKET_CAP = 100  # hot-bucket guardrail, as in MinHash-LSH
+_EMBED_LSH_THRESHOLD = 0.90
+
+
+def _embed_lsh_oracle_sql() -> str:
+    """DuckDB twin: identical md5-derived ±1 hyperplanes (the
+    similarity.py _plane_sign family), identical sequential-fold sign
+    bits, identical bucket cap, identical cosine threshold."""
+
+    def dot(i: int) -> str:
+        sign = (
+            "(CASE WHEN ('0x' || substr(md5('p' || {i} || ',' || (j - 1)), 1, 2))"
+            "::UINTEGER >= 128 THEN 1.0 ELSE -1.0 END)"
+        ).format(i=i)
+        return (
+            "list_sum(list_transform(generate_series(1, len(v)), "
+            f"j -> v[j] * {sign}))"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {dot(i)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_EMBED_LSH_BITS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sg AS (SELECT vec_id, v, {sig} AS sig FROM e),
+bsz AS (
+  SELECT sig, count(*) AS n FROM sg GROUP BY sig
+  HAVING count(*) BETWEEN 2 AND {_EMBED_LSH_BUCKET_CAP}
+),
+ok AS (SELECT sg.vec_id, sg.v, sg.sig FROM sg JOIN bsz USING (sig))
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM ok a JOIN ok b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {_EMBED_LSH_THRESHOLD}
+"""
+
+
+@query("q_dedup_embed_lsh", oracle=_embed_lsh_oracle_sql())
+def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH bucketing —
+    the scale path for q_dedup_embed (north-star dedup family).
+
+    {bits} md5-derived ±1 hyperplanes (shared with q_sim_ann's
+    :func:`~asyncdatapipeline_spark.llm.similarity._plane_sign`, so one
+    signature pass serves both ANN probes and dedup) give every vector
+    an {bits}-bit signature; only same-signature vectors are compared.
+    Expected bucket size is n/2^{bits}, so the per-bucket all-pairs work
+    is n²/2^{bits} — the 2^{bits} knob is what turns the forbidden
+    all-pairs crossJoin into a linear-ish pass. Hot buckets (degenerate
+    embedding regions — all-zero vectors, boilerplate pages embedded
+    identically) are dropped by the same count-first guardrail as
+    MinHash-LSH banding. At 100 TB the corpus is written partitioned by
+    signature, making the self-join a co-partitioned (zero-exchange)
+    join; sign bits are sequential double folds so the DuckDB oracle
+    reproduces signatures, buckets, and cosines bit-for-bit.
+
+    True near-dup pairs whose signatures differ in >= 1 bit are missed —
+    that recall gap is inherent to single-table LSH and is closed in
+    production by multiple signature tables (band-style OR), exactly as
+    MinHash banding does for Jaccard.
+    """
+    from asyncdatapipeline_spark.llm.similarity import (
+        _as_double,
+        _dot,
+        _plane_sign,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    first = e.select(F.size("v").alias("d")).first()
+    if first is None:
+        return spark.createDataFrame(
+            [], "vec_a bigint, vec_b bigint, cos_sim double"
+        )
+    dim = first["d"]
+    planes = [
+        [_plane_sign(i, j) for j in range(dim)]
+        for i in range(_EMBED_LSH_BITS)
+    ]
+    sig = F.lit(0)
+    for i in range(_EMBED_LSH_BITS):
+        plit = F.array(*[F.lit(float(p)) for p in planes[i]])
+        sig = sig + F.when(_dot(F.col("v"), plit) >= 0, 1 << i).otherwise(0)
+    sg = e.withColumn("sig", sig)
+    bsz = (
+        sg.groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= _EMBED_LSH_BUCKET_CAP))
+        .select("sig")
+    )
+    ok = sg.join(bsz, "sig")
+    a = ok.select("sig", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = ok.select("sig", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, ["sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= _EMBED_LSH_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
 _CC_MAX_ITERS = 20
 
 

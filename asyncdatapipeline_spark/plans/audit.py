@@ -107,6 +107,23 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("dedup survivors via semi join", r"LeftSemi"),
         ("no nested-loop anywhere in the fused plan", r"^(?:(?!BroadcastNestedLoopJoin|CartesianProduct).)*$"),
     ],
+    "q_text_decontam": [
+        # The eval side must be the broadcast side — the corpus is the
+        # 100 TB side and must never shuffle for this join.
+        ("eval shingle set broadcast against corpus scan", r"BroadcastHashJoin"),
+        ("no sort-merge join (corpus never shuffles to join)", r"^(?:(?!SortMergeJoin).)*$"),
+    ],
+    "q_text_repetition": [
+        ("row-local: no exchange at all", r"^(?:(?!Exchange).)*$"),
+        ("no Python in the row path", r"^(?:(?!ArrowEvalPython|BatchEvalPython).)*$"),
+    ],
+    "q_split_hash": [
+        ("map-only: no exchange at all", r"^(?:(?!Exchange).)*$"),
+        ("only doc_id read", r"ReadSchema: struct<doc_id:bigint>"),
+    ],
+    "q_dedup_embed_lsh": [
+        ("bucket-join, never a cartesian all-pairs", r"^(?:(?!CartesianProduct|BroadcastNestedLoopJoin).)*$"),
+    ],
     "q_dedup_simhash": [
         # The whole SimHash family is built-in expressions now — any
         # Python eval node in this plan is a regression to the slow path.

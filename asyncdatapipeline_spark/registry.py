@@ -57,6 +57,7 @@ def _load_all() -> None:
     import asyncdatapipeline_spark.llm.dedup  # noqa: F401
     import asyncdatapipeline_spark.llm.similarity  # noqa: F401
     import asyncdatapipeline_spark.llm.text  # noqa: F401
+    import asyncdatapipeline_spark.llm.filtering  # noqa: F401
     import asyncdatapipeline_spark.llm.packing  # noqa: F401
     import asyncdatapipeline_spark.llm.multimodal  # noqa: F401
     import asyncdatapipeline_spark.streaming.batch_windows  # noqa: F401

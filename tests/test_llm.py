@@ -119,6 +119,85 @@ def test_winnow_overlap_for_near_dup(spark, planted_docs):
     assert rows[1] == rows[9001]
 
 
+@pytest.fixture(scope="module")
+def planted_curation(spark, sf_dir, tmp_path_factory):
+    """Scratch corpus for the curation filters: a doc that copies a
+    benchmark doc's text (decontam must flag it) and a degenerate
+    repeated-word doc (repetition must flag it)."""
+    out = tmp_path_factory.mktemp("curation")
+    d = load_table(spark, sf_dir, "documents")
+    bench0 = d.filter(F.col("doc_id") == 0).first()  # 0 % 97 == 0 → benchmark
+    contaminated = (9002, bench0["text"], bench0["lang"], bench0["source"], bench0["n_chars"])
+    spammy = (9003, " ".join(["spam"] * 30), "en", "synthetic", 149)
+    extra = spark.createDataFrame([contaminated, spammy], schema=d.schema)
+    d.unionByName(extra).write.mode("overwrite").parquet(
+        str(out / "documents.parquet")
+    )
+    return str(out)
+
+
+def test_decontam_flags_benchmark_copy(spark, planted_curation):
+    rows = {
+        r["doc_id"]: r
+        for r in registry.get("q_text_decontam").fn(spark, planted_curation).collect()
+    }
+    assert 0 not in rows  # benchmark docs are not scored
+    hit = rows[9002]
+    assert hit["contaminated"] and hit["contamination"] == 1.0
+    # the spam doc shares nothing with the eval set
+    assert not rows[9003]["contaminated"]
+
+
+def test_repetition_flags_degenerate_doc(spark, planted_curation):
+    rows = {
+        r["doc_id"]: r
+        for r in registry.get("q_text_repetition").fn(spark, planted_curation).collect()
+    }
+    spam = rows[9003]
+    assert spam["flagged_repetitive"]
+    # 30x "spam": 29 bigrams, 1 distinct -> 1 - 1/29
+    assert spam["top_word_frac"] == 1.0 and spam["dup_2gram_frac"] > 0.9
+    flagged = sum(1 for r in rows.values() if r["flagged_repetitive"])
+    assert flagged < len(rows) * 0.2, "repetition filter flags most of the corpus"
+
+
+def test_split_hash_deterministic_and_proportional(spark, sf_dir):
+    fn = registry.get("q_split_hash").fn
+    a = {r["doc_id"]: (r["bucket"], r["split"]) for r in fn(spark, sf_dir).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"]) for r in fn(spark, sf_dir).collect()}
+    assert a == b  # stable across runs (hash, not rand)
+    n = len(a)
+    shares = {
+        s: sum(1 for _, sp in a.values() if sp == s) / n
+        for s in ("train", "valid", "test")
+    }
+    assert 0.80 <= shares["train"] <= 0.97
+    assert 0.01 <= shares["valid"] <= 0.12
+    assert 0.01 <= shares["test"] <= 0.12
+
+
+@pytest.fixture(scope="module")
+def planted_embeds(spark, sf_dir, tmp_path_factory):
+    """Scratch embeddings with an exact-duplicate vector planted — an
+    identical vector lands in the same LSH bucket by construction."""
+    out = tmp_path_factory.mktemp("embeds")
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") == 5).first()
+    dup = (9000, base["embedding"], base["label"])
+    extra = spark.createDataFrame([dup], schema=e.schema)
+    e.unionByName(extra).write.mode("overwrite").parquet(
+        str(out / "embeddings.parquet")
+    )
+    return str(out)
+
+
+def test_embed_lsh_finds_planted_duplicate(spark, planted_embeds):
+    pairs = registry.get("q_dedup_embed_lsh").fn(spark, planted_embeds).collect()
+    hit = [r for r in pairs if {r["vec_a"], r["vec_b"]} == {5, 9000}]
+    assert hit, "identical planted vector not found by LSH-bucketed dedup"
+    assert hit[0]["cos_sim"] == 1.0
+
+
 def test_ann_recall_vs_brute_force(spark, sf_dir):
     exact = {
         r["vec_id"]
