@@ -222,19 +222,23 @@ def _shingle_array(col):
     (q_dedup_ngram).
     """
     w = F.split(col, " ")
-    # sequence(1, n<1) descends in Spark (never empties) — guard short
-    # docs explicitly so their shingle set is empty, not a crash.
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(w, i),
-            F.element_at(w, i + 1),
-            F.element_at(w, i + 2),
+    n = F.size(w)
+    # zip_with over three aligned slices — native array ops, ~2x cheaper
+    # than the element_at-by-index transform it replaced (interpreted
+    # HOF eval pays per element_at call). Values identical.
+    sh = F.zip_with(
+        F.slice(w, 1, n - 2),
+        F.zip_with(
+            F.slice(w, 2, n - 2),
+            F.slice(w, 3, n - 2),
+            lambda b, c: F.concat_ws(" ", b, c),
         ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
     )
+    # n < 3 must yield an EMPTY set (not a crash / not "identical") —
+    # the guard also keeps slice() lengths non-negative.
     return F.array_distinct(
-        F.when(F.size(w) >= 3, sh).otherwise(F.array().cast("array<string>"))
+        F.when(n >= 3, sh).otherwise(F.array().cast("array<string>"))
     )
 
 

@@ -20,7 +20,7 @@ These are the passes a real pretraining pipeline runs between scoring
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from asyncdatapipeline_spark.registry import query
 from asyncdatapipeline_spark.sources.tables import load_table
@@ -131,6 +131,72 @@ _REP_TOP_WORD_MAX = 0.20
 _REP_DUP_2GRAM_MAX = 0.30
 
 
+def _rep_fracs(textcol):
+    """(n_words, dup_2gram_frac, top_word_frac) as rounded expressions —
+    shared by q_text_repetition and the composed curation pipeline so
+    both apply the identical flag rule.
+
+    The max word frequency is the longest equal-run in the SORTED word
+    array — an O(n log n) sort plus one O(n) fold. The naive
+    per-distinct-word recount (``transform(array_distinct(w), d ->
+    size(filter(w, x -> x = d)))``) is O(|vocab|·n) per row in
+    interpreted higher-order-function eval: measured 8.4s vs 0.9s for
+    the full q_text_repetition at sf0.1. (The DuckDB oracle keeps the
+    naive form — only the VALUE is contracted, not the algorithm.)
+    """
+    w = F.split(textcol, " ")
+    n = F.size(w)
+    # 2-grams via zip_with over two slices (native array ops) rather
+    # than an element_at-by-index transform, and let-bound ONCE via the
+    # single-element-transform trick (see dedup.py _simhash_fp_sql's
+    # CollapseProject note): referencing g2 three times inline (guard,
+    # distinct, divisor) re-materializes the whole array per reference —
+    # measured 6.2s vs 2.3s for this predicate at sf0.1.
+    g2 = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(w, 1, n - 1),
+            F.slice(w, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup2 = F.element_at(
+        F.transform(
+            F.array(F.struct(g2.alias("g"))),
+            lambda s: F.when(
+                F.size(s["g"]) > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(s["g"])) / F.size(s["g"]),
+                    6,
+                ),
+            ).otherwise(0.0),
+        ),
+        1,
+    )
+
+    def run_step(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(1)
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    top_cnt = F.aggregate(
+        F.array_sort(w),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        run_step,
+        lambda acc: acc["best"],
+    )
+    topw = F.when(n > 0, F.round(top_cnt / n, 6)).otherwise(0.0)
+    return n, dup2, topw
+
+
 @query(
     "q_text_repetition",
     oracle=f"""
@@ -173,30 +239,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     document length — CPU-parallel, never a memory risk.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    n = F.size(w)
-    g2 = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    dup2 = F.when(
-        F.size(g2) > 0,
-        F.round(
-            F.lit(1.0) - F.size(F.array_distinct(g2)) / F.size(g2), 6
-        ),
-    ).otherwise(0.0)
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(w),
-            lambda d_: F.size(F.filter(w, lambda x: x == d_)),
-        )
-    )
-    topw = F.when(n > 0, F.round(top_cnt / n, 6)).otherwise(0.0)
+    n, dup2, topw = _rep_fracs(F.col("text"))
     return d.select(
         "doc_id",
         n.alias("n_words"),
@@ -254,4 +297,218 @@ def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < _SPLIT_VALID_LT, "valid")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+_SHINGLES_DUCK = (
+    "list_transform(generate_series(1, len(w) - 2), "
+    "i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])"
+)
+
+
+@query(
+    "q_curation_full",
+    # The oracle replays every stage in SQL: same quality gate as
+    # q_curation_pipeline, same decontam rule as q_text_decontam, same
+    # repetition flag as q_text_repetition, same dedup/split/pack rules
+    # as q_dedup_exact / q_split_hash / q_pack_sequences.
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, text, source,
+         string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS nw,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains(['the', 'a', 'of', 'and', 'in'], x))) AS n_stop
+  FROM documents
+),
+qual AS (
+  SELECT * FROM q
+  WHERE nw BETWEEN 20 AND 1000 AND n_stop * 1.0 / nw BETWEEN 0.001 AND 0.6
+    AND doc_id % {_BENCH_MOD} != 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
+  FROM q WHERE len(w) >= 3
+),
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hit
+  FROM sh s JOIN bench USING (shingle) JOIN qual USING (doc_id)
+  GROUP BY s.doc_id
+),
+nsh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN len(list_distinct({_SHINGLES_DUCK}))
+              ELSE 0 END AS n_shingles
+  FROM qual
+),
+clean AS (
+  SELECT qual.* FROM qual
+  JOIN nsh USING (doc_id)
+  LEFT JOIN hits USING (doc_id)
+  WHERE n_shingles = 0
+     OR coalesce(n_hit, 0) * 1.0 / n_shingles < {_CONTAM_THRESHOLD}
+),
+rep AS (
+  SELECT *,
+         CASE WHEN nw >= 2
+              THEN list_transform(generate_series(1, nw - 1),
+                                  i -> w[i] || ' ' || w[i + 1])
+              ELSE [] END AS g2
+  FROM clean
+),
+norep AS (
+  SELECT doc_id, text, source, nw FROM rep
+  WHERE NOT (
+    (CASE WHEN nw > 0
+          THEN round(list_max(list_transform(list_distinct(w),
+                 d -> len(list_filter(w, x -> x = d)))) * 1.0 / nw, 6)
+          ELSE 0.0 END) > {_REP_TOP_WORD_MAX}
+    OR
+    (CASE WHEN len(g2) > 0
+          THEN round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 6)
+          ELSE 0.0 END) > {_REP_DUP_2GRAM_MAX}
+  )
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM norep GROUP BY md5(text)),
+s AS (SELECT norep.* FROM norep JOIN keep USING (doc_id)),
+tr AS (
+  SELECT * FROM s
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::UINTEGER
+        < {_SPLIT_TRAIN_LT}
+),
+o AS (
+  SELECT source, doc_id, nw,
+         sum(nw) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - nw AS start_off
+  FROM tr
+)
+SELECT source,
+       CAST(floor(start_off / 512) AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM o
+GROUP BY source, pack_id
+""",
+)
+def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining curation path COMPOSED into one lazy plan:
+    quality gate -> benchmark decontamination -> repetition filter ->
+    exact dedup -> train-split selection -> sequence packing (north-star
+    flagship; supersedes q_curation_pipeline's 3-stage version with all
+    six stages).
+
+    Stage order is the scale argument: row-local gates (quality,
+    repetition, split are all codegen predicates) run first and fuse
+    into the scan stage; the decontam broadcast join touches only
+    quality survivors; the dedup hash shuffle sees only clean docs; the
+    packing window sorts only the train split. Every stage reuses the
+    exact rule of its standalone operator (same constants, same rounded
+    fractions), and the oracle replays all six in SQL.
+    """
+    from asyncdatapipeline_spark.llm.packing import _CTX_TOKENS
+
+    d = load_table(spark, sf_dir, "documents")
+    # One-file fixture corpus → one input partition; every gate below is
+    # CPU-bound row-local work, so spread it first (same straggler-
+    # headroom sizing as q_dedup_minhash). At 100 TB the input arrives
+    # in thousands of splits and this repartition is dropped.
+    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2)
+    d = d.repartition(n_part)
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(x) for x in ("the", "a", "of", "and", "in")])
+    nw = F.size(words)
+    stop_ratio = (
+        F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x)))
+        * F.lit(1.0)
+        / nw
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    qual = d.filter(
+        nw.between(20, 1000) & stop_ratio.between(0.001, 0.6) & ~is_bench
+    ).select("doc_id", "text", "source", nw.alias("nw"))
+
+    # DAG discipline: every DataFrame below is referenced exactly ONCE
+    # downstream (bench excepted — it's a broadcast of a tiny set).
+    # Spark re-evaluates a re-referenced DataFrame's whole upstream
+    # chain (no cross-reference CSE), so a diamond per stage doubles
+    # cost per stage — the first cut of this pipeline (hits built from
+    # qual, dedup via groupBy + semi join back to the same frame) ran
+    # 23s at sf0.1 vs ~2s now, purely from re-computation. At 100 TB the
+    # same shape would double the corpus scan per stage.
+    #
+    # decontam: benchmark shingles from the RAW corpus (membership is
+    # independent of the quality gate). n_hit is computed over ALL
+    # non-benchmark docs (not just quality survivors) so the hits
+    # subtree shares nothing with qual; the left join keeps exactly the
+    # survivors' counts, identical result.
+    sh_all = d.select(
+        "doc_id", F.explode(_shingle_array(F.col("text"))).alias("shingle")
+    )
+    bench = sh_all.filter(is_bench).select("shingle").distinct()
+    hits = (
+        sh_all.filter(~is_bench)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    # let-bind n_shingles: the withColumn would be CollapseProject'd
+    # into the filter, re-materializing the shingle array per reference
+    n_shingles = F.size(_shingle_array(F.col("text")))
+    contam_ok = F.element_at(
+        F.transform(
+            F.array(
+                F.struct(
+                    n_shingles.alias("ns"),
+                    F.coalesce("n_hit", F.lit(0)).alias("h"),
+                )
+            ),
+            lambda s: (s["ns"] == 0)
+            | (s["h"] / s["ns"] < _CONTAM_THRESHOLD),
+        ),
+        1,
+    )
+    clean = qual.join(hits, "doc_id", "left").filter(contam_ok)
+
+    _, dup2, topw = _rep_fracs(F.col("text"))
+    norep = clean.filter(
+        ~((topw > _REP_TOP_WORD_MAX) | (dup2 > _REP_DUP_2GRAM_MAX))
+    ).select("doc_id", "text", "source", "nw")
+
+    # exact dedup as ONE window pass (keep min doc_id per content hash)
+    # — same survivor set as q_dedup_exact's groupBy(min) + semi join,
+    # without referencing norep twice.
+    dw = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    survivors = (
+        norep.withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    train = survivors.filter(bucket < _SPLIT_TRAIN_LT)
+
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offs = train.withColumn("start_off", F.sum("nw").over(w) - F.col("nw"))
+    return (
+        offs.groupBy(
+            "source",
+            F.floor(F.col("start_off") / _CTX_TOKENS).alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
     )

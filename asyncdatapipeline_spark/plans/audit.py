@@ -124,6 +124,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "q_dedup_embed_lsh": [
         ("bucket-join, never a cartesian all-pairs", r"^(?:(?!CartesianProduct|BroadcastNestedLoopJoin).)*$"),
     ],
+    "q_curation_full": [
+        ("decontam eval set broadcast", r"BroadcastHashJoin"),
+        ("no nested-loop anywhere in the 6-stage plan", r"^(?:(?!BroadcastNestedLoopJoin|CartesianProduct).)*$"),
+        ("no Python in the row path", r"^(?:(?!ArrowEvalPython|BatchEvalPython).)*$"),
+    ],
     "q_dedup_simhash": [
         # The whole SimHash family is built-in expressions now — any
         # Python eval node in this plan is a regression to the slow path.

@@ -5,16 +5,24 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed to completion (count() action — results stay
-distributed; nothing is collected to the driver). One cold pass ("cold":
-JVM warmup, codegen compilation, derived layouts, IVF/KMeans index
-builds) then THREE warm passes with the per-query MEDIAN reported — r2
-showed 1.5-2x run-to-run noise on this box from external load, and a
-single warm sample read as a phantom regression. The headline
-`value`/`queries` are the median warm pass — one-time driver costs are
-irrelevant at the 100 TB design point — but `value_cold`/`queries_cold`
-keep the build costs visible so cached layouts can't silently flatter
-round-over-round comparisons.
+Each query is executed to completion by aggregating a hash over EVERY
+output cell (`agg(max(xxhash64(*cols)))` — one row to the driver, the
+consumption stays distributed). Earlier rounds used `count()`, which
+under-measures: Catalyst legally prunes projections under a count (a
+map-only query times as just its scan) and drops aggregate expressions
+when only group cardinality is needed (q_agg_hash timed 0.30s vs 1.13s
+real at sf0.1). The hash terminal defeats both prunings uniformly, so
+r3+ numbers are higher than r1/r2 on some queries BY MEASUREMENT FIX,
+not regression.
+
+One cold pass ("cold": JVM warmup, codegen compilation, derived
+layouts, IVF index builds) then THREE warm passes with the per-query
+MEDIAN reported — r2 showed 1.5-2x run-to-run noise on this box from
+external load, and a single warm sample read as a phantom regression.
+The headline `value`/`queries` are the median warm pass — one-time
+driver costs are irrelevant at the 100 TB design point — but
+`value_cold`/`queries_cold` keep the build costs visible so cached
+layouts can't silently flatter round-over-round comparisons.
 """
 
 from __future__ import annotations
@@ -47,7 +55,26 @@ HEADLINE = [
     "q_pack_sequences",  # window-cumsum sequence packing
     "q_join_dpp",        # dynamic partition pruning join
     "q_curation_pipeline",  # composed quality→dedup→pack flagship
+    "q_text_decontam",   # benchmark decontamination (broadcast eval set)
+    "q_text_repetition", # Gopher repetition signals (row-local folds)
+    "q_split_hash",      # deterministic md5 train/valid/test split
+    "q_dedup_embed_lsh", # hyperplane-LSH bucketed embedding dedup
+    "q_curation_full",   # 6-stage composed curation flagship
 ]
+
+
+def consume(df) -> None:
+    """Force full evaluation of every output cell, distributed.
+
+    `count()` is NOT a faithful terminal: Catalyst prunes map-only
+    projections and aggregate expressions under it. Hashing every column
+    into one max() defeats the pruning while shipping a single row to
+    the driver (collect() would time py4j row serialization instead of
+    the engine).
+    """
+    from pyspark.sql import functions as F
+
+    df.agg(F.max(F.xxhash64(*df.columns))).collect()
 
 
 def bench_pipeline(workers: int, n_batches: int = 20_000) -> float:
@@ -95,7 +122,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        registry.get(name).fn(spark, sf_dir).count()
+        consume(registry.get(name).fn(spark, sf_dir))
         cold[name] = round(time.perf_counter() - t0, 3)
 
     # warm passes: median-of-3 per query, interleaved by pass (not by
@@ -106,7 +133,7 @@ def main() -> None:
         for name in HEADLINE:
             fn = registry.get(name).fn
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            consume(fn(spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
     timings = {
         name: round(sorted(ts)[1], 3) for name, ts in samples.items()
