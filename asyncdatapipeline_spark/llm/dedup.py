@@ -656,11 +656,20 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
 
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    # norm once per VECTOR, not per pair — sqrt of the same sequential
+    # fold, so values (and the oracle hash) are unchanged
+    en = e.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = en.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
+    b = en.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim_raw", cos)
@@ -761,20 +770,34 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(_EMBED_LSH_BITS):
         plit = F.array(*[F.lit(float(p)) for p in planes[i]])
         sig = sig + F.when(_dot(F.col("v"), plit) >= 0, 1 << i).otherwise(0)
-    sg = e.withColumn("sig", sig)
-    bsz = (
-        sg.groupBy("sig")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= _EMBED_LSH_BUCKET_CAP))
-        .select("sig")
+    # Precompute the norm ONCE per vector, before the self-join — the
+    # inline form recomputes sqrt(dot(v,v)) once per PAIR per side
+    # (O(pairs·d) interpreted fold work for an O(n·d) quantity).
+    # sqrt of the same sequential fold → bit-identical to the inline
+    # value, so the oracle's list_cosine_similarity still hash-matches.
+    # Bucket cap via a count window over sig: one shuffle, no
+    # groupBy-then-join-back diamond re-evaluating the signature pass.
+    sg = e.withColumn("sig", sig).withColumn(
+        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
     )
-    ok = sg.join(bsz, "sig")
-    a = ok.select("sig", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = ok.select("sig", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va")))
-        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    ok = (
+        sg.withColumn("bn", F.count(F.lit(1)).over(W.partitionBy("sig")))
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= _EMBED_LSH_BUCKET_CAP))
+        .drop("bn")
     )
+    a = ok.select(
+        "sig",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = ok.select(
+        "sig",
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, ["sig"])
         .filter(F.col("vec_a") < F.col("vec_b"))

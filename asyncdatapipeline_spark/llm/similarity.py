@@ -418,20 +418,23 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the LSH/IVF paths are for).
     """
     e = load_table(spark, sf_dir, "embeddings")
+    # norms once per vector on each side — the inline form recomputes
+    # both sqrt folds per (query, corpus) PAIR; sqrt of the same
+    # sequential fold, so values (and the oracle hash) are unchanged
     q = (
         e.filter(F.col("vec_id") < _KNN_N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             _as_double(F.col("embedding")).alias("qv"),
         )
+        .withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     )
     c = (
         e.filter(F.col("vec_id") >= _KNN_N_QUERIES)
         .select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
-    cos = _dot(F.col("v"), F.col("qv")) / (
-        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
-    )
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("vn") * F.col("qn"))
     scored = c.crossJoin(F.broadcast(q)).withColumn("cos_raw", cos)
     w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
     return (
