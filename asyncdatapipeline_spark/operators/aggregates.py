@@ -140,14 +140,22 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = lambda approx, exact: (  # noqa: E731
         F.abs(F.col(approx) - F.col(exact)) <= 0.05 * F.col(exact)
     )
+    # Sketches and exact twins in SEPARATE aggregations joined on the
+    # tiny group key: mixing countDistinct with approx_count_distinct in
+    # one agg forces the multi-distinct Expand plan with the HLL updates
+    # riding every expanded branch — measured 4.1s for the combined agg
+    # vs 0.5s (sketch) + 0.8s (exact) split at sf0.1. The join is
+    # |groups| rows (3 flags), broadcast, free.
+    sketch = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_orderkey").alias("exact_orders"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        )
+        exact.join(sketch, "l_returnflag")
         .select(
             "l_returnflag",
             "exact_orders",
@@ -544,18 +552,24 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = lambda approx, exact: (  # noqa: E731
         F.abs(F.col(approx) - F.col(exact)) <= 0.02 * F.abs(F.col(exact))
     )
+    # Sketch and exact twin in separate aggregations joined on the tiny
+    # group key (same rationale as q_agg_approx: the combined agg ran
+    # 3.1s vs 1.6s split at sf0.1 — the sort-based exact percentile
+    # drags the whole mixed aggregate onto the slow path).
+    exact_agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median_raw"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("exact_p99_raw"),
+    )
+    sketch = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median_price"
+        ),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias(
+            "approx_p99_price"
+        ),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median_raw"),
-            F.percentile("l_extendedprice", F.lit(0.99)).alias("exact_p99_raw"),
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-                "approx_median_price"
-            ),
-            F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias(
-                "approx_p99_price"
-            ),
-        )
+        exact_agg.join(sketch, "l_returnflag")
         .select(
             "l_returnflag",
             F.round("exact_median_raw", 4).alias("exact_median_price"),
