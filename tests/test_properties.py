@@ -204,3 +204,87 @@ def test_fn_map_raw_map(spark, sf_dir):
         assert isinstance(r["m"], dict)
         assert sorted(r["m"].keys()) == ["type", "value"]
         assert r["m"]["type"] == str(r["event_type"])
+
+
+# -- curation-filter contracts (filtering.py) ------------------------------
+
+
+@settings(
+    deadline=None,
+    max_examples=15,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_rep_fracs_match_python_reference(spark, texts):
+    """The Spark repetition expressions (longest-run top-word fold,
+    zip_with 2-grams, let-bound dup fraction) equal a direct Python
+    recomputation of the definitions on arbitrary texts."""
+    from collections import Counter as C
+
+    from pyspark.sql import functions as F
+
+    from asyncdatapipeline_spark.llm.filtering import _rep_fracs
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    n, dup2, topw = _rep_fracs(F.col("text"))
+    got = {
+        r["i"]: (r["d"], r["t"])
+        for r in df.select("i", dup2.alias("d"), topw.alias("t")).collect()
+    }
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        g2 = [f"{a} {b}" for a, b in zip(w, w[1:])]
+        exp_d = round(1.0 - len(set(g2)) / len(g2), 6) if g2 else 0.0
+        exp_t = round(max(C(w).values()) / len(w), 6) if w else 0.0
+        assert got[i] == (exp_d, exp_t), (t, got[i], (exp_d, exp_t))
+
+
+@settings(
+    deadline=None,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="xy z", min_size=0, max_size=50),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_shingle_array_matches_python_reference(spark, texts):
+    """zip_with shingle construction == the 3-gram definition."""
+    from pyspark.sql import functions as F
+
+    from asyncdatapipeline_spark.llm.dedup import _shingle_array
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", _shingle_array(F.col("text")).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        exp = list(dict.fromkeys(
+            f"{w[j]} {w[j+1]} {w[j+2]}" for j in range(len(w) - 2)
+        )) if len(w) >= 3 else []
+        assert got[i] == exp, (t, got[i], exp)
+
+
+def test_split_hash_matches_python_md5(spark, sf_dir):
+    """q_split_hash's bucket equals hashlib.md5 of the decimal doc_id —
+    the cross-engine contract DuckDB relies on."""
+    import hashlib
+
+    from asyncdatapipeline_spark import registry
+
+    rows = registry.get("q_split_hash").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        exp = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2], 16)
+        assert r["bucket"] == exp
