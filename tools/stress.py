@@ -1,0 +1,138 @@
+"""Scale-stress harness: run the dedup/curation family on a corpus
+multiplied N-fold, to check the operators' cost curves empirically (the
+fixtures top out at sf0.1 = 5k docs / 2k vectors; the 100 TB design
+claims in SCALING.md deserve at least a 10-20x local extrapolation).
+
+Builds a derived corpus under .spark-warehouse/stress_<mult>/ by
+replicating documents/embeddings with offset ids (deterministic - no
+randomness), then times each family member with the same
+consume-everything terminal bench.py uses.
+
+Usage: python tools/stress.py [mult] [sf_dir]
+       python tools/stress.py 10 /root/testdata/sf0.1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from asyncdatapipeline_spark import registry  # noqa: E402
+from asyncdatapipeline_spark.session import get_spark  # noqa: E402
+from asyncdatapipeline_spark.sources.tables import load_table  # noqa: E402
+
+QUERIES = [
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_text_decontam",
+    "q_text_repetition",
+    "q_split_hash",
+    "q_dedup_embed_lsh",
+    "q_curation_full",
+    "q_pack_sequences",
+]
+
+STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
+
+
+def build_corpus(spark, sf_dir: str, mult: int) -> str:
+    """Replicate documents/embeddings mult-fold with offset ids.
+
+    Replica k shifts doc_id/vec_id by k * 10^7 and, for k > 0, prefixes
+    the text with a replica tag so replicas are not exact duplicates of
+    the original (exact-dup behavior stays exercised by the k=0 copy
+    itself). Embeddings are reused as-is per replica (identical vectors
+    land in identical LSH buckets - the hot-bucket guardrails are
+    exactly what gets stressed).
+    """
+    out = STRESS_ROOT / f"stress_{mult}x_{Path(sf_dir).name}"
+    marker = out / "_built"
+    if marker.exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    reps = spark.range(mult).select(F.col("id").alias("rep"))
+    (
+        d.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat(F.lit("rep"), F.col("rep"), F.lit(" "), F.col("text")))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(str(out / "documents.parquet"))
+    )
+    (
+        e.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(str(out / "embeddings.parquet"))
+    )
+    marker.touch()
+    return str(out)
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark("stress")
+    stress_dir = build_corpus(spark, sf_dir, mult)
+    n_docs = spark.read.parquet(f"{stress_dir}/documents.parquet").count()
+    n_vecs = spark.read.parquet(f"{stress_dir}/embeddings.parquet").count()
+
+    def consume(df):
+        df.agg(F.max(F.xxhash64(*df.columns))).collect()
+
+    base: dict[str, float] = {}
+    stressed: dict[str, float] = {}
+    for name in QUERIES:
+        fn = registry.get(name).fn
+        consume(fn(spark, sf_dir))  # warm
+        t0 = time.perf_counter()
+        consume(fn(spark, sf_dir))
+        base[name] = round(time.perf_counter() - t0, 3)
+        consume(fn(spark, stress_dir))  # warm (plan/JIT)
+        t0 = time.perf_counter()
+        consume(fn(spark, stress_dir))
+        stressed[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "mult": mult,
+                "docs": n_docs,
+                "vecs": n_vecs,
+                "base_sec": base,
+                "stressed_sec": stressed,
+                "ratio": {
+                    k: round(stressed[k] / base[k], 2) if base[k] else None
+                    for k in base
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
