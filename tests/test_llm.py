@@ -305,3 +305,74 @@ def test_mix_report_shares_sum_to_one(spark, sf_dir):
     rows = registry.get("q_mix_report").fn(spark, sf_dir).collect()
     assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
     assert all(r["n_tokens"] > 0 and r["n_docs"] > 0 for r in rows)
+
+
+def test_curation_full_matches_python_reference(spark, planted_curation):
+    """q_curation_full vs a from-scratch Python reimplementation of all
+    six stages on the planted corpus — catches any stage-order or
+    stage-rule drift the SQL oracle (same-author) could share."""
+    import hashlib
+    from collections import Counter
+
+    rows = registry.get("q_curation_full").fn(spark, planted_curation).collect()
+    got = {
+        (r["source"], r["pack_id"]): (
+            r["n_docs"], r["pack_tokens"], r["first_doc"], r["last_doc"]
+        )
+        for r in rows
+    }
+
+    docs = sorted(
+        load_table(spark, planted_curation, "documents").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    stop = {"the", "a", "of", "and", "in"}
+
+    def shingles(text):
+        w = text.split(" ")
+        return set(
+            f"{w[i]} {w[i+1]} {w[i+2]}" for i in range(len(w) - 2)
+        ) if len(w) >= 3 else set()
+
+    bench_sh = set()
+    for r in docs:
+        if r["doc_id"] % 97 == 0:
+            bench_sh |= shingles(r["text"])
+
+    survivors, seen_hash = [], set()
+    for r in docs:
+        if r["doc_id"] % 97 == 0:
+            continue
+        w = r["text"].split(" ")
+        nw = len(w)
+        if not (20 <= nw <= 1000):
+            continue
+        sr = sum(1 for x in w if x in stop) / nw
+        if not (0.001 <= sr <= 0.6):
+            continue
+        sh = shingles(r["text"])
+        if sh and len(sh & bench_sh) / len(sh) >= 0.10:
+            continue
+        g2 = [f"{a} {b}" for a, b in zip(w, w[1:])]
+        dup2 = round(1.0 - len(set(g2)) / len(g2), 6) if g2 else 0.0
+        topw = round(max(Counter(w).values()) / nw, 6)
+        if topw > 0.20 or dup2 > 0.30:
+            continue
+        h = hashlib.md5(r["text"].encode()).hexdigest()
+        if h in seen_hash:
+            continue
+        seen_hash.add(h)
+        if int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2], 16) >= 230:
+            continue
+        survivors.append((r["source"], r["doc_id"], nw))
+
+    exp: dict = {}
+    offs: dict = {}
+    for source, doc_id, nw in survivors:  # doc_id-sorted within source
+        start = offs.get(source, 0)
+        pack = (source, start // 512)
+        n, tok, first, last = exp.get(pack, (0, 0, doc_id, doc_id))
+        exp[pack] = (n + 1, tok + nw, min(first, doc_id), max(last, doc_id))
+        offs[source] = start + nw
+
+    assert got == exp
