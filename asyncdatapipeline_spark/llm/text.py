@@ -235,20 +235,35 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Winnowing parameters: k=3-word shingles, window w=4 consecutive
 # shingle hashes. Hash = signed 64-bit from md5's first 16 hex chars —
 # the same cross-engine-reproducible formula as SimHash (see
-# llm/dedup.py _MD5_H64_SQL); built here as one codegen expression.
-_WINNOW_HASHES_SQL = (
-    "transform("
-    "if(size(split(text, ' ')) >= 3, "
-    "sequence(1, size(split(text, ' ')) - 2), array()), "
-    "i -> (shiftleft(cast(conv(substr(md5(concat_ws(' ', "
-    "element_at(split(text, ' '), i), "
-    "element_at(split(text, ' '), i + 1), "
-    "element_at(split(text, ' '), i + 2))), 1, 8), 16, 10) as bigint), 32) | "
-    "cast(conv(substr(md5(concat_ws(' ', "
-    "element_at(split(text, ' '), i), "
-    "element_at(split(text, ' '), i + 1), "
-    "element_at(split(text, ' '), i + 2))), 9, 8), 16, 10) as bigint)))"
-)
+# llm/dedup.py _MD5_H64_SQL).
+
+
+def _winnow_hashes(textcol):
+    """Ordered (non-distinct) 3-gram shingle hashes as nested bound
+    lambdas: shingle strings via zip_with over slices, md5 hex bound
+    ONCE per shingle by the outer transform (the SQL-text form this
+    replaced re-split the text inside every element_at call and ran
+    md5 twice per shingle — per-reference recompute, not sharing)."""
+    w = F.split(textcol, " ")
+    n = F.size(w)
+    sh = F.when(
+        n >= 3,
+        F.zip_with(
+            F.slice(w, 1, n - 2),
+            F.zip_with(
+                F.slice(w, 2, n - 2),
+                F.slice(w, 3, n - 2),
+                lambda b, c: F.concat_ws(" ", b, c),
+            ),
+            lambda a, bc: F.concat_ws(" ", a, bc),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.transform(sh, lambda s: F.md5(s.cast("binary"))),
+        lambda m: F.shiftleft(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long"), 32
+        ).bitwiseOR(F.conv(F.substring(m, 9, 8), 16, 10).cast("long")),
+    )
 
 
 @query(
@@ -300,11 +315,29 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shingles and emit no rows.
     """
     d = load_table(spark, sf_dir, "documents")
-    picks = (
-        "if(size(hs) = 0, array(), "
-        "array_sort(array_distinct(transform("
-        "sequence(1, greatest(size(hs) - 3, 1)), "
-        "i -> array_min(slice(hs, i, 4))))))"
+
+    def picks(h):
+        return F.when(F.size(h) == 0, F.array().cast("array<bigint>")).otherwise(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.size(h) - 3, F.lit(1))),
+                        lambda i: F.array_min(F.slice(h, i, 4)),
+                    )
+                )
+            )
+        )
+
+    # The hash array must be LET-BOUND (single-element transform trick):
+    # as adjacent projections, CollapseProject inlines it into the picks
+    # expression, whose window lambda references it per window position —
+    # an O(n) md5 pass re-run O(n) times per row.
+    bound = F.element_at(
+        F.transform(
+            F.array(F.struct(_winnow_hashes(F.col("text")).alias("hs"))),
+            lambda s: picks(s["hs"]),
+        ),
+        1,
     )
     # One-file fixture corpus → one input partition; the shingle-hash
     # projection is CPU-bound, so spread it (same sizing rationale as
@@ -312,8 +345,7 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2)
     return (
         d.repartition(n_part)
-        .select("doc_id", F.expr(_WINNOW_HASHES_SQL).alias("hs"))
-        .select("doc_id", F.explode(F.expr(picks)).alias("fingerprint"))
+        .select("doc_id", F.explode(bound).alias("fingerprint"))
         .orderBy("doc_id", "fingerprint")
     )
 
