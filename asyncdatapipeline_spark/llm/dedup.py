@@ -85,16 +85,21 @@ _MINHASH_A, _MINHASH_B = _lcg_constants(_MINHASH_K)
 # ONE expr() string parsed JVM-side — the equivalent Column-API tree
 # costs ~0.6s of py4j round-trips per call just to construct.
 #
-# Short-doc guard: `sequence(1, n)` with n < 1 generates a DESCENDING
-# [1, 0, ...] in Spark (DuckDB's generate_series is empty instead), so a
-# <3-word doc would probe element_at past the array end — an ANSI-mode
-# crash. `if(size >= 3, ..., array())` makes "no shingles" an empty set.
+# The word array is let-bound once via the single-element-transform
+# trick (`wb.w`): the earlier form called `element_at(split(text,' '),
+# i)` inside the per-shingle lambda, re-splitting the text per element
+# — O(n) work re-run O(n) times per row. zip_with over three aligned
+# slices matches _shingle_array exactly; `if(size >= 3, ..., array())`
+# makes "no shingles" an empty set (not a crash) for short docs.
 _SHINGLES_SQL = (
-    "array_distinct(if(size(split(text, ' ')) >= 3, transform("
-    "sequence(1, size(split(text, ' ')) - 2), "
-    "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-    "element_at(split(text, ' '), i + 1), "
-    "element_at(split(text, ' '), i + 2))), array()))"
+    "element_at(transform(array(struct(split(text, ' ') as w)), "
+    "wb -> array_distinct(if(size(wb.w) >= 3, "
+    "zip_with(slice(wb.w, 1, size(wb.w) - 2), "
+    "zip_with(slice(wb.w, 2, size(wb.w) - 2), "
+    "slice(wb.w, 3, size(wb.w) - 2), "
+    "(b, c) -> concat_ws(' ', b, c)), "
+    "(a, bc) -> concat_ws(' ', a, bc)), "
+    "cast(array() as array<string>)))), 1)"
 )
 
 
