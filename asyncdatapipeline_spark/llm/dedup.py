@@ -748,10 +748,29 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces signatures, buckets, and cosines bit-for-bit.
 
     True near-dup pairs whose signatures differ in >= 1 bit are missed —
-    that recall gap is inherent to single-table LSH and is closed in
-    production by multiple signature tables (band-style OR), exactly as
-    MinHash banding does for Jaccard.
+    that recall gap is inherent to single-table LSH and is closed by
+    running MULTIPLE signature tables OR'd together (band-style, exactly
+    as MinHash banding does for Jaccard): ``embed_lsh_pairs(spark,
+    sf_dir, n_tables=3)`` — table t draws its planes from family offset
+    t·bits, a pair is a candidate if ANY table buckets it together
+    (miss probability p^t for per-table miss p). The registry entry is
+    the 1-table case so the DuckDB oracle stays a single signature
+    recomputation; the multi-table path shares every stage and is
+    semantically tested with an adversarially crafted near-dup that
+    single-table provably misses (tests/test_llm.py).
     """
+    return embed_lsh_pairs(spark, sf_dir, n_tables=1)
+
+
+def embed_lsh_pairs(
+    spark: SparkSession, sf_dir: str, n_tables: int = 1
+) -> DataFrame:
+    """Shared engine for single- and multi-table hyperplane-LSH
+    embedding dedup (see :func:`q_dedup_embed_lsh` for the design
+    narrative). One projection computes all n_tables signatures per
+    vector; (table, sig) explodes like MinHash bands; the bucket cap,
+    capped self-join, and exact-cosine verify run per (table, sig);
+    cross-table duplicate candidates collapse in the final groupBy."""
     from asyncdatapipeline_spark.llm.similarity import (
         _as_double,
         _dot,
@@ -767,48 +786,79 @@ def q_dedup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "vec_a bigint, vec_b bigint, cos_sim double"
         )
     dim = first["d"]
-    planes = [
-        [_plane_sign(i, j) for j in range(dim)]
-        for i in range(_EMBED_LSH_BITS)
-    ]
-    sig = F.lit(0)
-    for i in range(_EMBED_LSH_BITS):
-        plit = F.array(*[F.lit(float(p)) for p in planes[i]])
-        sig = sig + F.when(_dot(F.col("v"), plit) >= 0, 1 << i).otherwise(0)
+
+    def table_sig(t: int):
+        planes = [
+            [_plane_sign(t * _EMBED_LSH_BITS + i, j) for j in range(dim)]
+            for i in range(_EMBED_LSH_BITS)
+        ]
+        sig = F.lit(0)
+        for i in range(_EMBED_LSH_BITS):
+            plit = F.array(*[F.lit(float(p)) for p in planes[i]])
+            sig = sig + F.when(_dot(F.col("v"), plit) >= 0, 1 << i).otherwise(0)
+        return sig
+
     # Precompute the norm ONCE per vector, before the self-join — the
     # inline form recomputes sqrt(dot(v,v)) once per PAIR per side
     # (O(pairs·d) interpreted fold work for an O(n·d) quantity).
     # sqrt of the same sequential fold → bit-identical to the inline
     # value, so the oracle's list_cosine_similarity still hash-matches.
-    # Bucket cap via a count window over sig: one shuffle, no
-    # groupBy-then-join-back diamond re-evaluating the signature pass.
-    sg = e.withColumn("sig", sig).withColumn(
-        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    # All n_tables signatures come out of ONE projection; the (table,
+    # sig) explode is exactly the MinHash banding shape.
+    sg = (
+        e.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            table_sig(t).alias("sig"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("vec_id", "v", "nrm", "b.tbl", "b.sig")
     )
+    # Bucket cap via a count window over (tbl, sig): one shuffle, no
+    # groupBy-then-join-back diamond re-evaluating the signature pass.
     ok = (
-        sg.withColumn("bn", F.count(F.lit(1)).over(W.partitionBy("sig")))
+        sg.withColumn(
+            "bn", F.count(F.lit(1)).over(W.partitionBy("tbl", "sig"))
+        )
         .filter((F.col("bn") >= 2) & (F.col("bn") <= _EMBED_LSH_BUCKET_CAP))
         .drop("bn")
     )
     a = ok.select(
+        "tbl",
         "sig",
         F.col("vec_id").alias("vec_a"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
     )
     b = ok.select(
+        "tbl",
         "sig",
         F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
+        F.col("v").alias("vb"),
     )
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, ["sig"])
+    pairs = (
+        a.join(b, ["tbl", "sig"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= _EMBED_LSH_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+    # a pair found by several tables is ONE candidate; cos is identical
+    # across tables, so min == the value
+    return pairs.groupBy("vec_a", "vec_b").agg(
+        F.round(F.min("cos_raw"), 6).alias("cos_sim")
     )
 
 

@@ -376,3 +376,67 @@ def test_curation_full_matches_python_reference(spark, planted_curation):
         offs[source] = start + nw
 
     assert got == exp
+
+
+def test_embed_lsh_multi_table_closes_recall_gap(spark, sf_dir, tmp_path_factory):
+    """Craft a near-dup by reflecting a corpus vector through its
+    weakest table-0 hyperplane: the table-0 signatures then differ by
+    construction (single-table provably misses the pair) while tables
+    1-2 still bucket them together — embed_lsh_pairs(n_tables=3) must
+    find what n_tables=1 cannot."""
+    import math
+
+    from asyncdatapipeline_spark.llm.dedup import (
+        _EMBED_LSH_BITS, _EMBED_LSH_THRESHOLD, embed_lsh_pairs)
+    from asyncdatapipeline_spark.llm.similarity import _plane_sign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") == 5).first()
+    v = [float(x) for x in base["embedding"]]
+    dim = len(v)
+
+    def planes(t):
+        return [
+            [_plane_sign(t * _EMBED_LSH_BITS + i, j) for j in range(dim)]
+            for i in range(_EMBED_LSH_BITS)
+        ]
+
+    def sig(t, vec):
+        s = 0
+        for i, p in enumerate(planes(t)):
+            acc = 0.0
+            for pj, xj in zip(p, vec):
+                acc += pj * xj
+            if acc >= 0:
+                s |= 1 << i
+        return s
+
+    cand = None
+    for p in planes(0):
+        dotp = sum(pj * xj for pj, xj in zip(p, v))
+        u = [xj - 2.0 * (dotp / dim) * pj for pj, xj in zip(p, v)]
+        cosuv = sum(a * b for a, b in zip(u, v)) / (
+            math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v))
+        )
+        if (
+            sig(0, u) != sig(0, v)
+            and (sig(1, u) == sig(1, v) or sig(2, u) == sig(2, v))
+            and cosuv >= _EMBED_LSH_THRESHOLD
+        ):
+            cand = u
+            break
+    assert cand is not None, "fixture geometry changed: no adversarial reflection found"
+
+    out = tmp_path_factory.mktemp("multilsh")
+    extra = spark.createDataFrame([(9100, cand, base["label"])], schema=e.schema)
+    e.unionByName(extra).write.mode("overwrite").parquet(
+        str(out / "embeddings.parquet")
+    )
+    single = embed_lsh_pairs(spark, str(out), n_tables=1).collect()
+    multi = embed_lsh_pairs(spark, str(out), n_tables=3).collect()
+    assert not any({r["vec_a"], r["vec_b"]} == {5, 9100} for r in single), (
+        "single-table unexpectedly found the cross-bucket pair"
+    )
+    hit = [r for r in multi if {r["vec_a"], r["vec_b"]} == {5, 9100}]
+    assert hit, "multi-table LSH failed to recover the planted near-dup"
+    assert hit[0]["cos_sim"] >= _EMBED_LSH_THRESHOLD
