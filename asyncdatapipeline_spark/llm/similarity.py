@@ -442,3 +442,85 @@ def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _KNN_K)
         .select("query_id", "vec_id", "label", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> abs(x))) / 127 AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label, scale,
+         list_transform(
+           emb,
+           x -> CAST(round(x / nullif(scale, 0)) AS INTEGER)) AS qi
+  FROM v
+)
+SELECT vec_id, label, scale,
+       len(qi) AS n_dims,
+       CAST(list_sum(list_transform(qi, x -> abs(coalesce(x, 0))))
+            AS BIGINT) AS q_l1,
+       len(list_filter(qi, x -> coalesce(x, 0) = 0)) AS n_zero,
+       array_to_string(list_transform(qi, x -> coalesce(x, 0)), ',')
+         AS q_str
+FROM q
+ORDER BY vec_id
+""",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (B58c) —
+    the 4× memory-compression pass in front of any large ANN index
+    (float32 → int8 with one per-vector scale = max|x| / 127).
+
+    Pure codegen: `array_max(transform(abs))` for the scale,
+    `transform(round(x/scale))` for the codes — map-only, zero
+    shuffle, no Python at any scale. The scale is LET-BOUND via the
+    single-element-transform trick (see llm/text.py q_text_winnow):
+    as an adjacent projection, CollapseProject would inline the
+    O(d) max-fold into the per-element lambda — an O(d²) blowup per
+    row. Quantized codes are exact integers, so every derived output
+    (L1 norm, zero count, the code string) hash-matches the oracle
+    bit-for-bit; the one float output (`scale`) is the same IEEE
+    double op-sequence in both engines. Zero vectors quantize to
+    all-zero codes (nullif/coalesce guard).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = _as_double(F.col("embedding"))
+    scale_expr = F.array_max(F.transform(emb, F.abs)) / F.lit(127)
+
+    def quantized(s):
+        return F.transform(
+            emb,
+            lambda x: F.coalesce(
+                F.round(x / F.nullif(s, F.lit(0.0))).cast("int"), F.lit(0)
+            ),
+        )
+
+    bound = F.element_at(
+        F.transform(
+            F.array(F.struct(scale_expr.alias("s"))),
+            lambda t: F.struct(
+                t["s"].alias("scale"), quantized(t["s"]).alias("qi")
+            ),
+        ),
+        1,
+    )
+    return (
+        e.select("vec_id", "label", bound.alias("b"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("b.scale").alias("scale"),
+            F.size("b.qi").alias("n_dims"),
+            F.aggregate(
+                F.col("b.qi"), F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+            ).alias("q_l1"),
+            F.size(F.filter("b.qi", lambda x: x == 0)).alias("n_zero"),
+            F.array_join(F.col("b.qi"), ",").alias("q_str"),
+        )
+        .orderBy("vec_id")
+    )

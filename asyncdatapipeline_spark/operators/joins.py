@@ -343,3 +343,74 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "q_join_fuzzy",
+    oracle="""
+WITH typos AS (
+  SELECT n_nationkey AS typo_id,
+         substr(n_name, 1, 2) || substr(n_name, 4) AS typo_name
+  FROM nation
+),
+cand AS (
+  SELECT t.typo_id, t.typo_name, n.n_name,
+         levenshtein(t.typo_name, n.n_name) AS dist
+  FROM typos t
+  JOIN nation n ON substr(t.typo_name, 1, 1) = substr(n.n_name, 1, 1)
+  WHERE levenshtein(t.typo_name, n.n_name) <= 2
+)
+SELECT typo_id, typo_name, n_name AS matched_name, dist
+FROM (
+  SELECT *, row_number()
+       OVER (PARTITION BY typo_id ORDER BY dist, n_name) AS rn
+  FROM cand
+)
+WHERE rn = 1
+ORDER BY typo_id
+""",
+)
+def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) join: dirty strings matched to a
+    reference dimension within Levenshtein ≤ 2, best match per input
+    (B20b — entity resolution / dirty-dimension conforming).
+
+    The dirty side is derived deterministically (each nation name with
+    its 3rd character dropped) so the oracle reproduces it exactly. The
+    join is BLOCKED — equi-join on a blocking key (first character)
+    carries the pair generation, and the edit-distance threshold is a
+    post-filter inside the joined block. That is the scale shape: a
+    naive fuzzy join is a cross join (O(n·m) Levenshtein calls);
+    blocking bounds candidates to same-block pairs, turns the plan into
+    a plain broadcast-hash join (dim side is small by definition), and
+    the distance UDF-free via the built-in `levenshtein`. Best-match
+    selection is one window over the candidates.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    typos = n.select(
+        F.col("n_nationkey").alias("typo_id"),
+        F.concat(
+            F.substring("n_name", 1, 2), F.expr("substr(n_name, 4)")
+        ).alias("typo_name"),
+    )
+    dist = F.levenshtein("typo_name", "n_name")
+    cand = (
+        typos.join(
+            F.broadcast(n.select("n_name")),
+            F.substring("typo_name", 1, 1) == F.substring("n_name", 1, 1),
+        )
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= 2)
+    )
+    w = W.partitionBy("typo_id").orderBy("dist", "n_name")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "typo_id",
+            "typo_name",
+            F.col("n_name").alias("matched_name"),
+            "dist",
+        )
+        .orderBy("typo_id")
+    )

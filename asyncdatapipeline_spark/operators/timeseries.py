@@ -1,0 +1,108 @@
+"""Time-series resampling operators (SURVEY.md §2B B68).
+
+The reference's runtime moves opaque batches and leaves time-series
+semantics to user callbacks (async_data_pipeline.go:67-71); the engine
+surfaces resampling as a first-class relational operator the way a
+training-telemetry or metrics pipeline needs it: bucket → aggregate →
+densify (gap-fill) → forward-fill.
+
+Scale doctrine: aggregate FIRST, then generate the spine from the
+aggregated frame — the dense grid is proportional to
+(keys × buckets), never to raw event count, and the raw 100 TB stream
+is reduced by the bucket aggregation before any row generation
+happens. The forward-fill window rides the same hash partitioning as
+the spine join (partitionBy user_id), so the whole tail is one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from asyncdatapipeline_spark.registry import query
+from asyncdatapipeline_spark.sources.tables import load_table
+
+DEC = "decimal(28,6)"
+
+
+@query(
+    "q_ts_resample",
+    oracle="""
+WITH agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(28,6))) AS sum_dec
+  FROM events
+  GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM agg GROUP BY 1
+),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+)
+SELECT s.user_id, s.bucket,
+       coalesce(a.n_events, 0) AS n_events,
+       a.n_events IS NULL AS gap_filled,
+       last_value(CAST(a.sum_dec AS DOUBLE) / a.n_events IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.bucket) AS avg_value_ffill
+FROM spine s
+LEFT JOIN agg a ON s.user_id = a.user_id AND s.bucket = a.bucket
+ORDER BY s.user_id, s.bucket
+""",
+)
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of the events stream per user with gap-fill +
+    forward-fill (B68) — the metrics/telemetry densification every
+    time-series store exposes (`date_bin` + gap fill), which Spark has
+    no single operator for.
+
+    Three-stage composition, all built-ins:
+      1. bucket aggregation (`date_trunc` + groupBy) — the only pass
+         over raw events; map-side partial aggregation shrinks 100 TB
+         to (users × hours) rows before the shuffle;
+      2. spine generation per user (`sequence` over the user's own
+         [min, max] bucket span, exploded) — sized by the aggregated
+         frame, then left-joined back to mark gaps;
+      3. forward-fill via `last(ignorenulls=True)` over a
+         user-partitioned window.
+
+    The per-bucket mean is summed in exact decimal and divided in
+    double (cast-then-divide) so Spark and DuckDB agree bit-for-bit —
+    decimal *division* scale rules differ between engines, double IEEE
+    division does not.
+    """
+    e = load_table(spark, sf_dir, "events")
+    agg = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+        )
+    )
+    spine = (
+        agg.groupBy("user_id")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("b0", "b1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("bucket")
+    avg_value = F.col("sum_dec").cast("double") / F.col("n_events")
+    return (
+        spine.join(agg, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("n_events").isNull().alias("gap_filled"),
+            F.last(avg_value, ignorenulls=True).over(w).alias(
+                "avg_value_ffill"
+            ),
+        )
+        .orderBy("user_id", "bucket")
+    )

@@ -129,6 +129,28 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no nested-loop anywhere in the 6-stage plan", r"^(?:(?!BroadcastNestedLoopJoin|CartesianProduct).)*$"),
         ("no Python in the row path", r"^(?:(?!ArrowEvalPython|BatchEvalPython).)*$"),
     ],
+    "q_ts_resample": [
+        # Raw events must be aggregated BEFORE the spine explode — the
+        # dense grid is generated from the (user × bucket) frame, never
+        # from raw rows, so grid size is output-proportional at 100 TB.
+        ("bucket aggregation pushed below the spine join", r"HashAggregate.*partial"),
+        ("spine join is an equi join, not a nested loop", r"^(?:(?!BroadcastNestedLoopJoin|CartesianProduct).)*$"),
+    ],
+    "q_profile": [
+        ("single scan pruned to the 4 profiled columns", r"ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double>"),
+        ("exact distincts via Expand (HLL is the 100 TB swap)", r"Expand"),
+    ],
+    "q_join_fuzzy": [
+        ("blocked equi join hashes the blocking key", r"BroadcastHashJoin"),
+        ("never a cross join of the two string sets", r"^(?:(?!CartesianProduct|BroadcastNestedLoopJoin).)*$"),
+    ],
+    "q_embed_quantize": [
+        ("map-only quantization: no join, no agg shuffle", r"^(?:(?!Join|HashAggregate).)*$"),
+        ("no Python in the row path", r"^(?:(?!ArrowEvalPython|BatchEvalPython).)*$"),
+        # The max-abs fold must be let-bound, not re-inlined per element
+        # by CollapseProject (O(d²) per row otherwise).
+        ("scale let-bound, not inlined into the code lambda", r"^(?:(?!round\(\(lambda x.*array_max).)*$"),
+    ],
     "q_dedup_simhash": [
         # The whole SimHash family is built-in expressions now — any
         # Python eval node in this plan is a regression to the slow path.

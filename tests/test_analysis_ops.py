@@ -1,0 +1,100 @@
+"""Semantic tests for the analysis operators (timeseries / profile /
+fuzzy join / quantization — SURVEY.md §2B B20b, B58d, B65, B66).
+
+The oracle sweep (tools/check_oracle.py) already proves Spark ≡ DuckDB
+cell-for-cell; these tests assert the *semantics* both engines must
+share: the resampled grid is dense and forward-filled, the profile is
+internally consistent, the fuzzy join resolves every typo to its
+source, and quantization saturates at ±127 exactly once per vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from asyncdatapipeline_spark import registry
+
+
+def test_ts_resample_grid_is_dense_and_ffilled(spark, sf_dir):
+    out = registry.get("q_ts_resample").fn(spark, sf_dir).cache()
+    try:
+        # dense: per user, (max-min)/1h + 1 buckets, each exactly once
+        per_user = out.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("bucket").alias("nd"),
+            (
+                (
+                    F.max("bucket").cast("long") - F.min("bucket").cast("long")
+                )
+                / 3600
+                + 1
+            ).cast("long").alias("expect"),
+        )
+        bad = per_user.filter(
+            (F.col("n") != F.col("expect")) | (F.col("nd") != F.col("n"))
+        )
+        assert bad.count() == 0, bad.limit(5).collect()
+
+        # gap rows are exactly the n_events=0 rows and carry a value
+        # forward (every user's first bucket is real data by span
+        # construction, so no gap row may have a NULL ffill)
+        gaps = out.filter(F.col("gap_filled"))
+        assert gaps.count() == out.filter(F.col("n_events") == 0).count()
+        assert gaps.filter(F.col("avg_value_ffill").isNull()).count() == 0
+        assert gaps.count() > 0, "fixture span has no gaps — test is vacuous"
+    finally:
+        out.unpersist()
+
+
+def test_profile_internally_consistent(spark, sf_dir):
+    rows = {
+        r["column_name"]: r
+        for r in registry.get("q_profile").fn(spark, sf_dir).collect()
+    }
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "lineitem").count()
+    assert set(rows) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert 0 <= r["n_null"] <= n
+        assert 1 <= r["n_distinct"] <= n - r["n_null"]
+        assert r["min_val"] <= r["mean_val"] <= r["max_val"]
+
+
+def test_fuzzy_join_resolves_every_typo_to_its_source(spark, sf_dir):
+    out = registry.get("q_join_fuzzy").fn(spark, sf_dir)
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    nations = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    got = out.collect()
+    assert len(got) == len(nations)
+    for r in got:
+        # dropping one char costs exactly 1 edit; the source name is the
+        # unique best match in this dimension
+        assert r["matched_name"] == nations[r["typo_id"]]
+        assert r["dist"] == 1
+
+
+def test_quantize_saturates_and_roundtrips(spark, sf_dir):
+    out = registry.get("q_embed_quantize").fn(spark, sf_dir).cache()
+    try:
+        assert out.filter(F.col("n_dims") != 64).count() == 0
+        # symmetric max-abs quantization: the largest-|x| element maps to
+        # exactly ±127 in every nonzero vector
+        codes = out.select(
+            "vec_id",
+            F.transform(
+                F.split("q_str", ","), lambda s: F.abs(s.cast("int"))
+            ).alias("a"),
+            "scale",
+        )
+        nonzero = codes.filter(F.col("scale") > 0)
+        assert nonzero.filter(F.array_max("a") != 127).count() == 0
+        # codes never exceed the int8 range
+        assert codes.filter(F.array_max("a") > 127).count() == 0
+    finally:
+        out.unpersist()
