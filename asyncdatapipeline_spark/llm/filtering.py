@@ -94,6 +94,12 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     can feed both at ingest.
     """
     d = load_table(spark, sf_dir, "documents")
+    # One-file fixture corpus → one input partition; shingling is the
+    # CPU-bound step and feeds both branches below, so spread it first
+    # (same sizing as q_dedup_minhash). At 100 TB the corpus arrives in
+    # thousands of splits and this repartition is dropped.
+    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2)
+    d = d.repartition(n_part)
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
     sh = d.select("doc_id", F.explode(_shingle_array(F.col("text"))).alias("shingle"))
     bench = sh.filter(is_bench).select("shingle").distinct()
