@@ -60,6 +60,8 @@ HEADLINE = [
     "q_split_hash",      # deterministic md5 train/valid/test split
     "q_dedup_embed_lsh", # hyperplane-LSH bucketed embedding dedup
     "q_curation_full",   # 6-stage composed curation flagship
+    "q_ts_resample",     # hourly resample + gap-fill + forward-fill
+    "q_profile",         # per-column exact profile (union shape)
 ]
 
 
