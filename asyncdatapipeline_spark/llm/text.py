@@ -559,3 +559,81 @@ def q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "source", "n_docs", "frac", ok.alias("sample_ok")
     ).orderBy("source")
+
+
+# Weighted-sampling config: per-language weights (pipeline config, like
+# the mix fractions above), sample size, and the 53-bit uniform
+# construction. The md5-derived signed-64 word hash contract is shared
+# with the dedup family (llm/dedup.py _MD5_H64_SQL; parity locked in
+# tests/test_oracle_parity.py).
+_WS_WEIGHTS = {"en": 3.0, "de": 2.0}
+_WS_DEFAULT_W = 1.0
+_WS_K = 100
+_MASK53 = (1 << 53) - 1  # 53-bit mantissa → u is exact in a double
+
+
+def _ws_weight_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {w}" for lang, w in _WS_WEIGHTS.items()
+    )
+    return f"CAST(CASE {col} {whens} ELSE {_WS_DEFAULT_W} END AS DOUBLE)"
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, source,
+         {_ws_weight_sql('lang')} AS w,
+         -ln((
+           ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+             & {_MASK53}) + 1) / {float(_MASK53 + 1)}
+         )) / {_ws_weight_sql('lang')} AS k
+  FROM documents
+)
+SELECT doc_id, lang, source, w
+FROM keyed ORDER BY k, doc_id LIMIT {_WS_K}
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-Res
+    priority sampling, Efraimidis-Spirakis): each doc draws a uniform
+    u from the md5 of its id and is ranked by -ln(u)/w; the k smallest
+    keys are the sample. Higher-weight languages are proportionally
+    over-represented, the draw is reproducible under retry/repartition/
+    append (pure function of doc_id), and selection is a single
+    TakeOrderedAndProject — per-task k-heaps, no global sort, no
+    shuffle of the corpus at any scale.
+
+    The priority key stays OUT of the output: Spark's `ln` (JVM
+    Math.log) and DuckDB's (libm) may differ in the last ulp, which is
+    harmless for *ranking* (key gaps between order statistics are
+    ~1/n ≫ 1 ulp) but would break the driver's bit-exact value hash.
+    The uniform is built on the engine-shared md5 53-bit contract, so
+    both engines rank the identical key sequence.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h64 = (
+        "(shiftleft(cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+        " as bigint), 32) | "
+        "cast(conv(substr(md5(cast(doc_id as string)), 9, 8), 16, 10) as bigint))"
+    )
+    u = f"((({h64} & {_MASK53}) + 1) / {float(_MASK53 + 1)}d)"
+    w_expr = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in _WS_WEIGHTS.items() for x in kv]
+        )[F.col("lang")],
+        F.lit(_WS_DEFAULT_W),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            w_expr.alias("w"),
+            (F.expr(f"-ln({u})") / w_expr).alias("k"),
+        )
+        .orderBy("k", "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "lang", "source", "w")
+    )

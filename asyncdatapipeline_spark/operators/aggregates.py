@@ -631,3 +631,48 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.n").alias("mode_n"),
         )
     )
+
+
+_HIST_WIDTH = 10_000  # fixed-bound config, like pivot's value list
+
+
+@query(
+    "q_agg_histogram",
+    oracle=f"""
+SELECT
+  CAST(floor(l_extendedprice / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+  CAST(floor(l_extendedprice / {_HIST_WIDTH}) AS BIGINT) * {_HIST_WIDTH}
+    AS bucket_lo,
+  COUNT(*) AS n_items,
+  {sql_dsum('l_extendedprice', 'sum_price')}
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY 1
+""",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice (B26d) — the
+    distribution half of dataset profiling (operators/profile.py holds
+    the scalar half).
+
+    Bucket bounds are CONFIG (a literal width), not data — one pass,
+    one groupBy on the derived bucket (map-side combinable, ~dozens of
+    groups at any scale). The two-pass min/max-then-bucket variant is
+    the data-driven alternative; fixed bounds keep the operator
+    single-pass and retry-stable, exactly like pivot's declared value
+    list. Integer bucket + count are exact; the per-bucket sum is
+    decimal-armored.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / _HIST_WIDTH).cast("long")
+    return (
+        li.groupBy(
+            bucket.alias("bucket"),
+            (bucket * _HIST_WIDTH).alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .orderBy("bucket")
+    )

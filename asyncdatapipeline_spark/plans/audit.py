@@ -153,6 +153,16 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         # by CollapseProject (O(d²) per row otherwise).
         ("scale let-bound, not inlined into the code lambda", r"^(?:(?!round\(\(lambda x.*array_max).)*$"),
     ],
+    "q_sample_weighted": [
+        # Selection must be per-task k-heaps — a global sort of the
+        # corpus to take 100 rows is the scale bug this op exists to avoid.
+        ("k smallest keys via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+        ("no corpus shuffle for the selection", r"^(?:(?!Exchange).)*$"),
+    ],
+    "q_agg_histogram": [
+        ("partial aggregation on the bucket key", r"HashAggregate.*partial"),
+        ("only the bucketed column read", r"ReadSchema: struct<l_extendedprice:double>"),
+    ],
     "q_dedup_simhash": [
         # The whole SimHash family is built-in expressions now — any
         # Python eval node in this plan is a regression to the slow path.

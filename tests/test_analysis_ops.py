@@ -98,3 +98,35 @@ def test_quantize_saturates_and_roundtrips(spark, sf_dir):
         assert codes.filter(F.array_max("a") > 127).count() == 0
     finally:
         out.unpersist()
+
+
+def test_histogram_covers_every_row_exactly_once(spark, sf_dir):
+    out = registry.get("q_agg_histogram").fn(spark, sf_dir)
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = out.collect()
+    assert sum(r["n_items"] for r in rows) == li.count()
+    for r in rows:
+        assert r["bucket_lo"] == r["bucket"] * 10_000
+    # buckets are distinct and ordered
+    buckets = [r["bucket"] for r in rows]
+    assert buckets == sorted(set(buckets))
+
+
+def test_weighted_sample_is_deterministic_and_weight_biased(spark, sf_dir):
+    fn = registry.get("q_sample_weighted").fn
+    a = {r["doc_id"] for r in fn(spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in fn(spark, sf_dir).collect()}
+    assert a == b and len(a) == 100
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus_en = (
+        d.filter(F.col("lang") == "en").count() / d.count()
+    )
+    sample_en = (
+        fn(spark, sf_dir).filter(F.col("lang") == "en").count() / 100
+    )
+    # en weight is 3x: its sample share must exceed its corpus share
+    assert sample_en > corpus_en
