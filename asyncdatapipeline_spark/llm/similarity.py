@@ -524,3 +524,69 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q_embed_centroids",
+    oracle="""
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ex AS (
+  SELECT label, unnest(generate_series(1, len(v))) AS pos, v FROM e
+),
+m AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(v[pos] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY 1, 2
+),
+cent AS (
+  SELECT label,
+         string_agg(CAST(CAST(round(c * 1000000) AS BIGINT) AS VARCHAR),
+                    ',' ORDER BY pos) AS centroid_q6
+  FROM m GROUP BY label
+)
+SELECT e2.label, count(*) AS n_vecs, cent.centroid_q6
+FROM e e2 JOIN cent USING (label)
+GROUP BY e2.label, cent.centroid_q6
+ORDER BY e2.label
+""",
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (B58d) — the vector-aggregation pass
+    behind every IVF/k-means index build and class-prototype analysis.
+
+    Scale shape: explode to (label, dim) cells and run a plain
+    two-phase hash aggregate — per-cell state is one decimal
+    accumulator, the shuffle carries |labels|·d cells regardless of
+    corpus size, and no task ever materializes more than its partition
+    of cells. (The tempting alternative — fold whole arrays in a
+    single agg — has no built-in mergeable expression and would pin
+    each label's full vector set to one task.) Per-dim means are
+    decimal-summed (order-independent) and emitted as micro-unit
+    integers (round(c·1e6)) so the centroid string is bit-exact across
+    engines — raw double→string formatting is not.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select("label", F.posexplode("embedding").alias("pos0", "x"))
+    m = d.groupBy("label", (F.col("pos0") + 1).alias("pos")).agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cent = m.groupBy("label").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: F.round(s["c"] * 1e6).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("centroid_q6")
+    )
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        counts.join(cent, "label")
+        .select("label", "n_vecs", "centroid_q6")
+        .orderBy("label")
+    )

@@ -130,3 +130,16 @@ def test_weighted_sample_is_deterministic_and_weight_biased(spark, sf_dir):
     )
     # en weight is 3x: its sample share must exceed its corpus share
     assert sample_en > corpus_en
+
+
+def test_centroids_cover_corpus_and_dims(spark, sf_dir):
+    out = registry.get("q_embed_centroids").fn(spark, sf_dir).collect()
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assert sum(r["n_vecs"] for r in out) == e.count()
+    for r in out:
+        vals = r["centroid_q6"].split(",")
+        assert len(vals) == 64
+        # micro-unit means of unit-scale floats stay inside ±1e6
+        assert all(abs(int(v)) <= 1_000_000 for v in vals)
