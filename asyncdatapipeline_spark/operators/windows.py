@@ -220,3 +220,52 @@ def q_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w).alias("last_val"),
         F.nth_value("value", 2).over(w).alias("second_val"),
     )
+
+
+@query(
+    "q_win_range_time",
+    oracle=f"""
+SELECT
+  event_id, user_id, value,
+  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+  COUNT(*) OVER w AS n_1h,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+    / COUNT(value) OVER w AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: trailing 1-hour count and mean per user
+    (B29b) — the moving-window-by-TIME aggregate (ROWS frames count
+    rows; telemetry wants wall-clock windows, and rows-per-hour varies).
+
+    `rangeBetween` on epoch seconds gives the value-based frame; RANGE
+    includes peer rows (equal timestamps share a frame), so no
+    tiebreaker is needed for determinism — and the frame sum is
+    decimal-armored because DuckDB evaluates window aggregates with
+    segment trees (different addend association than Spark's running
+    scan). One shuffle on user_id, same as every window op.
+    """
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.date_trunc("second", "ts").cast("long")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    dec_val = F.col("value").cast(DEC)
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        "epoch_s",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (
+            F.sum(dec_val).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("avg_1h"),
+    )

@@ -143,3 +143,28 @@ def test_centroids_cover_corpus_and_dims(spark, sf_dir):
         assert len(vals) == 64
         # micro-unit means of unit-scale floats stay inside ±1e6
         assert all(abs(int(v)) <= 1_000_000 for v in vals)
+
+
+def test_range_frame_counts_only_trailing_hour(spark, sf_dir):
+    out = registry.get("q_win_range_time").fn(spark, sf_dir)
+    # every row's frame includes itself; a frame can never out-count the
+    # user's total events
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    totals = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "total")
+    )
+    joined = out.join(totals, "user_id")
+    assert joined.filter(F.col("n_1h") < 1).count() == 0
+    assert joined.filter(F.col("n_1h") > F.col("total")).count() == 0
+    # spot-check one user against a driver-side recompute
+    rows = sorted(
+        out.filter(F.col("user_id") == out.first()["user_id"]).collect(),
+        key=lambda r: (r["epoch_s"], r["event_id"]),
+    )
+    for i, r in enumerate(rows):
+        expect = sum(1 for o in rows if r["epoch_s"] - 3600 <= o["epoch_s"] <= r["epoch_s"])
+        assert r["n_1h"] == expect
