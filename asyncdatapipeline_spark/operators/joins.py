@@ -414,3 +414,70 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("typo_id")
     )
+
+
+@query(
+    "q_join_multiway",
+    oracle=f"""
+SELECT n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_items
+FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+WHERE c.c_custkey = o.o_custkey
+  AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey
+  AND c.c_nationkey = s.s_nationkey
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table TPC-H-Q5-shape join: local-supplier revenue per nation
+    in one region (B12b) — the canonical snowflake traversal every BI
+    query runs, and the join-ORDERING stress case.
+
+    Strategy mix, declared not hand-scheduled: the two fact⋈fact edges
+    (orders⋈lineitem, customer⋈orders) shuffle on their keys; the
+    always-tiny dims (nation, region) are explicit broadcasts;
+    supplier/customer are sf-scaled so their strategy is left to
+    Catalyst + AQE (size-based broadcast at test SF, shuffle join at
+    100 TB — the conservative default either way). The region filter
+    prunes nations BEFORE the fact joins via the broadcast, and the
+    o_orderdate predicate pushes into the orders scan. The
+    c_nationkey = s_nationkey "local supplier" condition rides the
+    customer⋈(order-line-supplier) join as an equi-key, not a
+    post-filter.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    line_supp = li.join(s, li.l_suppkey == s.s_suppkey).join(
+        F.broadcast(nr), F.col("s_nationkey") == nr.n_nationkey
+    )
+    ol = line_supp.join(o, F.col("l_orderkey") == o.o_orderkey)
+    full = ol.join(
+        c,
+        (F.col("o_custkey") == c.c_custkey)
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
+    )
+    return (
+        full.groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )

@@ -153,6 +153,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         # by CollapseProject (O(d²) per row otherwise).
         ("scale let-bound, not inlined into the code lambda", r"^(?:(?!round\(\(lambda x.*array_max).)*$"),
     ],
+    "q_join_multiway": [
+        ("orderdate filter pushed into the orders scan", r"PushedFilters: \[.*LessThan\(o_orderdate"),
+        ("tiny dims broadcast (region filter prunes pre-join)", r"BroadcastHashJoin"),
+        ("no nested loop in the 6-table plan", r"^(?:(?!BroadcastNestedLoopJoin|CartesianProduct).)*$"),
+    ],
     "q_sample_weighted": [
         # Selection must be per-task k-heaps — a global sort of the
         # corpus to take 100 rows is the scale bug this op exists to avoid.
