@@ -106,3 +106,95 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket")
     )
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "q_funnel",
+    oracle="""
+WITH s AS (
+  SELECT user_id,
+         string_agg(event_type, ' '
+                    ORDER BY date_trunc('second', ts), event_id) AS seq
+  FROM events GROUP BY user_id
+),
+f AS (
+  SELECT
+    count(*) FILTER (WHERE seq LIKE '%view%') AS s1,
+    count(*) FILTER (WHERE regexp_matches(seq, 'view.*click')) AS s2,
+    count(*) FILTER (WHERE regexp_matches(seq, 'view.*click.*purchase'))
+      AS s3,
+    count(*) AS total
+  FROM s
+)
+SELECT 1 AS step_no, 'view' AS step, total AS n_users_total, s1 AS n_users
+  FROM f
+UNION ALL
+SELECT 2, 'view>click', total, s2 FROM f
+UNION ALL
+SELECT 3, 'view>click>purchase', total, s3 FROM f
+ORDER BY step_no
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (B70): how many users did view → click →
+    purchase IN ORDER — product-analytics' core query, which plain
+    filters can't express (order matters, intervening events allowed).
+
+    Per user, the event-type sequence is assembled ONCE (collect_list
+    of (time, id, type) structs, array_sort — total order via the
+    unique event_id tiebreaker, so both engines build the identical
+    string) and each funnel stage is a regex over it. One shuffle on
+    user_id; per-user state is that user's own event list, the same
+    bound any sessionizer carries. At 100 TB a degenerate key (a bot
+    with millions of events) caps via a per-user event limit upstream
+    — the fixture has no such key, and the cap is policy, not shape.
+    """
+    e = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.date_trunc("second", "ts").alias("t"),
+                        F.col("event_id").alias("i"),
+                        F.col("event_type").alias("ty"),
+                    )
+                )
+            ),
+            lambda s: s["ty"],
+        ),
+        " ",
+    )
+    per_user = e.groupBy("user_id").agg(seq.alias("seq"))
+    flags = per_user.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.col("seq").contains("view").cast("long")).alias("s1"),
+        F.sum(F.col("seq").rlike("view.*click").cast("long")).alias("s2"),
+        F.sum(
+            F.col("seq").rlike("view.*click.*purchase").cast("long")
+        ).alias("s3"),
+    )
+    steps = F.array(
+        F.struct(
+            F.lit(1).alias("step_no"),
+            F.lit("view").alias("step"),
+            F.col("total").alias("n_users_total"),
+            F.col("s1").alias("n_users"),
+        ),
+        F.struct(
+            F.lit(2).alias("step_no"),
+            F.lit("view>click").alias("step"),
+            F.col("total").alias("n_users_total"),
+            F.col("s2").alias("n_users"),
+        ),
+        F.struct(
+            F.lit(3).alias("step_no"),
+            F.lit("view>click>purchase").alias("step"),
+            F.col("total").alias("n_users_total"),
+            F.col("s3").alias("n_users"),
+        ),
+    )
+    return flags.select(F.inline(steps)).orderBy("step_no")

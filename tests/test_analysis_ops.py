@@ -168,3 +168,15 @@ def test_range_frame_counts_only_trailing_hour(spark, sf_dir):
     for i, r in enumerate(rows):
         expect = sum(1 for o in rows if r["epoch_s"] - 3600 <= o["epoch_s"] <= r["epoch_s"])
         assert r["n_1h"] == expect
+
+
+def test_funnel_is_monotone_and_bounded(spark, sf_dir):
+    rows = {
+        r["step_no"]: r
+        for r in registry.get("q_funnel").fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    total = rows[1]["n_users_total"]
+    counts = [rows[i]["n_users"] for i in (1, 2, 3)]
+    # each stage can only lose users, never gain
+    assert total >= counts[0] >= counts[1] >= counts[2] >= 0
