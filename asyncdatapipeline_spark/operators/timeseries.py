@@ -198,3 +198,59 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return flags.select(F.inline(steps)).orderBy("step_no")
+
+
+@query(
+    "q_anomaly",
+    oracle="""
+WITH s AS (
+  SELECT event_type, count(*) AS n_group,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - sx / n_group)
+             / sqrt((sxx - sx * sx / n_group) / (n_group - 1)), 6) AS z,
+       n_group
+FROM events e JOIN s USING (event_type)
+WHERE abs((e.value - sx / n_group)
+          / sqrt((sxx - sx * sx / n_group) / (n_group - 1))) > 3
+ORDER BY event_id
+""",
+)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative outlier detection (B71): events whose value sits
+    more than 3 sample standard deviations from their event_type's mean
+    — the metrics-monitoring primitive (per-series z-score flagging).
+
+    Two-phase shape that scales: the per-type stats frame reduces to
+    exact decimal power sums (|types| rows — the q_agg_stats doctrine,
+    order-independent and map-side combinable), broadcasts back onto
+    the stream, and the z expression is identical IEEE double
+    arithmetic in both engines, so even the FILTER at |z| > 3 agrees
+    bit-for-bit. The raw stream is scanned twice; at 100 TB the stats
+    pass reads one column and the flag pass is map-only against the
+    broadcast — no shuffle of the stream at all.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_group"),
+        F.sum(v.cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n_group"), F.col("sx"), F.col("sxx")
+    z = (v - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("z"),
+            "n_group",
+        )
+        .orderBy("event_id")
+    )

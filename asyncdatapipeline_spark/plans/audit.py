@@ -153,6 +153,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         # by CollapseProject (O(d²) per row otherwise).
         ("scale let-bound, not inlined into the code lambda", r"^(?:(?!round\(\(lambda x.*array_max).)*$"),
     ],
+    "q_anomaly": [
+        ("stats frame broadcast back onto the stream", r"BroadcastHashJoin"),
+        ("stream never shuffles to join", r"^(?:(?!SortMergeJoin).)*$"),
+    ],
     "q_join_multiway": [
         ("orderdate filter pushed into the orders scan", r"PushedFilters: \[.*LessThan\(o_orderdate"),
         ("tiny dims broadcast (region filter prunes pre-join)", r"BroadcastHashJoin"),

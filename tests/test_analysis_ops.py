@@ -180,3 +180,14 @@ def test_funnel_is_monotone_and_bounded(spark, sf_dir):
     counts = [rows[i]["n_users"] for i in (1, 2, 3)]
     # each stage can only lose users, never gain
     assert total >= counts[0] >= counts[1] >= counts[2] >= 0
+
+
+def test_anomaly_flags_are_actually_extreme(spark, sf_dir):
+    out = registry.get("q_anomaly").fn(spark, sf_dir).collect()
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    # every flagged row really is |z| > 3, and flags are rare (< 5% of
+    # the stream — 3 sigma on any non-degenerate distribution)
+    assert all(abs(r["z"]) > 3 for r in out)
+    assert 0 < len(out) < 0.05 * e.count()
