@@ -29,6 +29,13 @@ from asyncdatapipeline_spark.session import get_spark  # noqa: E402
 from asyncdatapipeline_spark.sources.tables import load_table  # noqa: E402
 
 QUERIES = [
+    # events family (replicated users: grid/state grows linearly)
+    "q_ts_resample",
+    "q_funnel",
+    "q_anomaly",
+    "q_win_range_time",
+    "q_window_session",
+    # documents/embeddings family
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -54,12 +61,13 @@ def build_corpus(spark, sf_dir: str, mult: int) -> str:
     exactly what gets stressed).
     """
     out = STRESS_ROOT / f"stress_{mult}x_{Path(sf_dir).name}"
-    marker = out / "_built"
+    marker = out / "_built_v2"  # v2: events replication added
     if marker.exists():
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
+    ev = load_table(spark, sf_dir, "events")
     reps = spark.range(mult).select(F.col("id").alias("rep"))
     (
         d.crossJoin(reps)
@@ -86,6 +94,26 @@ def build_corpus(spark, sf_dir: str, mult: int) -> str:
         .repartition(32)
         .write.mode("overwrite")
         .parquet(str(out / "embeddings.parquet"))
+    )
+    # Events: replica k offsets event_id/user_id by k*10^7 and keeps ts
+    # unchanged — user count grows N-fold over the same time span, so
+    # resample grids, funnel sequences, and window state all grow
+    # linearly in N while per-user bounds stay constant (the scale
+    # claim under test).
+    reps2 = spark.range(mult).select(F.col("id").alias("rep"))
+    (
+        ev.crossJoin(reps2)
+        .select(
+            (F.col("event_id") + F.col("rep") * 10_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(str(out / "events.parquet"))
     )
     marker.touch()
     return str(out)
