@@ -637,3 +637,50 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_K)
         .select("doc_id", "lang", "source", "w")
     )
+
+
+_VOCAB_K = 100
+
+
+@query(
+    "q_text_vocab",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+f AS (
+  SELECT word, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+  FROM w WHERE word != '' GROUP BY word
+)
+SELECT word, n_occ, n_docs
+FROM f ORDER BY n_occ DESC, word LIMIT {_VOCAB_K}
+""",
+)
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-{k} words by occurrence with document
+    frequency (B59l) — the first pass of tokenizer training and the
+    input to IDF weighting / stopword discovery.
+
+    Explode words → one grouped agg computing term count and per-word
+    distinct-doc count → TakeOrderedAndProject for the top-k. Word
+    keys are Zipf-hot by nature, and that is exactly what map-side
+    combine absorbs: each task emits one partial row per distinct word
+    it saw, so the shuffle carries |local vocab| rows per task, never
+    |tokens|. IDF stays derivable from (n_docs, corpus size) as exact
+    integers — ln() is deliberately NOT computed here because JVM and
+    libm logs can differ in the last ulp (same reasoning as
+    q_sample_weighted's hidden ranking key).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        w.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occ").desc(), "word")
+        .limit(_VOCAB_K)
+    )

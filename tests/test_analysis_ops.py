@@ -191,3 +191,16 @@ def test_anomaly_flags_are_actually_extreme(spark, sf_dir):
     # the stream — 3 sigma on any non-degenerate distribution)
     assert all(abs(r["z"]) > 3 for r in out)
     assert 0 < len(out) < 0.05 * e.count()
+
+
+def test_vocab_counts_are_consistent(spark, sf_dir):
+    rows = registry.get("q_text_vocab").fn(spark, sf_dir).collect()
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert 0 < len(rows) <= 100
+    occs = [r["n_occ"] for r in rows]
+    assert occs == sorted(occs, reverse=True)
+    for r in rows:
+        # a word can't appear in more docs than exist, and n_occ >= n_docs
+        assert 1 <= r["n_docs"] <= min(r["n_occ"], n_docs)
