@@ -62,6 +62,7 @@ HEADLINE = [
     "q_curation_full",   # 6-stage composed curation flagship
     "q_ts_resample",     # hourly resample + gap-fill + forward-fill
     "q_profile",         # per-column exact profile (union shape)
+    "q_join_multiway",   # six-table Q5-shape snowflake join
 ]
 
 
