@@ -676,3 +676,60 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_Q3_CUT = "1998-06-01 00:00:00"
+
+
+@query(
+    "q_agg_topk",
+    oracle=f"""
+SELECT l.l_orderkey,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+       o.o_orderdate, o.o_orderpriority
+FROM customer c, orders o, lineitem l
+WHERE c.c_mktsegment = 'BUILDING'
+  AND c.c_custkey = o.o_custkey
+  AND l.l_orderkey = o.o_orderkey
+  AND o.o_orderdate < TIMESTAMP '{_Q3_CUT}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_CUT}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def q_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3 shape: top-10 highest-revenue unshipped orders in one
+    segment (B33b) — aggregate THEN global top-k, the composition the
+    plain top-k operators (B33: TakeOrdered over a scan) don't cover.
+
+    Both date predicates push into their scans; the segment filter
+    prunes customers before the joins; the top-k over the aggregated
+    frame plans as TakeOrderedAndProject (per-task heaps over |orders|
+    aggregated rows, never a global sort). Revenue ordering is
+    cross-engine stable because the decimal-armored sum yields the
+    identical double in both engines, with l_orderkey as tiebreak.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_CUT).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_CUT).cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

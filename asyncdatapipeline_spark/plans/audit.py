@@ -157,6 +157,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("stats frame broadcast back onto the stream", r"BroadcastHashJoin"),
         ("stream never shuffles to join", r"^(?:(?!SortMergeJoin).)*$"),
     ],
+    "q_agg_topk": [
+        ("top-k after the agg via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+        ("shipdate filter pushed into the lineitem scan", r"PushedFilters: \[.*GreaterThan\(l_shipdate"),
+    ],
     "q_join_multiway": [
         ("orderdate filter pushed into the orders scan", r"PushedFilters: \[.*LessThan\(o_orderdate"),
         ("tiny dims broadcast (region filter prunes pre-join)", r"BroadcastHashJoin"),
