@@ -73,3 +73,93 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _PROFILE_COLS
     ]
     return reduce(DataFrame.unionAll, frames)
+
+
+@query(
+    "q_dq_report",
+    oracle="""
+WITH li AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+           AS bad_qty,
+         count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+           AS bad_disc
+  FROM lineitem
+),
+orph AS (
+  SELECT count(*) AS n_orphans
+  FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+o AS (
+  SELECT count(*) AS n,
+         count(*) FILTER (WHERE o_totalprice <= 0) AS bad_price
+  FROM orders
+)
+SELECT 'l_quantity_in_1_50' AS rule, li.n AS n_checked,
+       li.bad_qty AS n_violations, li.bad_qty = 0 AS passed FROM li
+UNION ALL
+SELECT 'l_discount_in_unit', li.n, li.bad_disc, li.bad_disc = 0 FROM li
+UNION ALL
+SELECT 'l_orderkey_in_orders', (SELECT n FROM li), orph.n_orphans,
+       orph.n_orphans = 0 FROM orph
+UNION ALL
+SELECT 'o_totalprice_positive', o.n, o.bad_price, o.bad_price = 0 FROM o
+ORDER BY rule
+""",
+)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (B69b): declarative rule checks — range rules,
+    unit-interval rules, referential integrity — emitted as one report
+    row per rule (the pre-ingest contract check every pipeline runs
+    before accepting a drop).
+
+    Range/domain rules compile to conditional aggregates in ONE pass
+    per table (a filter count costs nothing extra inside the same agg);
+    referential integrity is a LEFT ANTI join counting orphans —
+    shuffle on the key (or free if both sides are bucketed on it,
+    operators/layout.py). Report size is O(rules); nothing row-sized
+    leaves the executors.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    li_stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+        ).alias("bad_qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("bad_disc"),
+    )
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    o_stats = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+    )
+
+    def report(src, rule, n_col, v_col):
+        return src.select(
+            F.lit(rule).alias("rule"),
+            F.col(n_col).alias("n_checked"),
+            F.col(v_col).alias("n_violations"),
+            (F.col(v_col) == 0).alias("passed"),
+        )
+
+    # Orphan report row joins the two 1-row agg frames lazily (1×1
+    # crossJoin) — no driver action in the plan path.
+    orphan_row = orphans.crossJoin(li_stats.select("n")).select(
+        F.lit("l_orderkey_in_orders").alias("rule"),
+        F.col("n").alias("n_checked"),
+        F.col("n_orphans").alias("n_violations"),
+        (F.col("n_orphans") == 0).alias("passed"),
+    )
+    return (
+        report(li_stats, "l_quantity_in_1_50", "n", "bad_qty")
+        .unionAll(report(li_stats, "l_discount_in_unit", "n", "bad_disc"))
+        .unionAll(orphan_row)
+        .unionAll(report(o_stats, "o_totalprice_positive", "n", "bad_price"))
+        .orderBy("rule")
+    )

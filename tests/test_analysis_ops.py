@@ -204,3 +204,17 @@ def test_vocab_counts_are_consistent(spark, sf_dir):
     for r in rows:
         # a word can't appear in more docs than exist, and n_occ >= n_docs
         assert 1 <= r["n_docs"] <= min(r["n_occ"], n_docs)
+
+
+def test_dq_report_passes_on_clean_fixtures(spark, sf_dir):
+    rows = {r["rule"]: r for r in registry.get("q_dq_report").fn(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "l_quantity_in_1_50",
+        "l_discount_in_unit",
+        "l_orderkey_in_orders",
+        "o_totalprice_positive",
+    }
+    # the driver fixtures are clean by construction — all rules green,
+    # all checked counts positive
+    for r in rows.values():
+        assert r["passed"] and r["n_violations"] == 0 and r["n_checked"] > 0
