@@ -119,6 +119,12 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the key (or free if both sides are bucketed on it,
     operators/layout.py). Report size is O(rules); nothing row-sized
     leaves the executors.
+
+    Single-reference DAG (ADVICE r3): the lineitem stats frame is
+    referenced ONCE — all three lineitem-keyed report rows inline out
+    of one combined 1-row frame (1×1 crossJoins of the agg results),
+    so lineitem is scanned exactly twice (stats pass + anti-join), not
+    once per re-referenced rule row.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -140,26 +146,28 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
     )
 
-    def report(src, rule, n_col, v_col):
-        return src.select(
+    def rule_row(rule, n_col, v_col):
+        return F.struct(
             F.lit(rule).alias("rule"),
             F.col(n_col).alias("n_checked"),
             F.col(v_col).alias("n_violations"),
             (F.col(v_col) == 0).alias("passed"),
         )
 
-    # Orphan report row joins the two 1-row agg frames lazily (1×1
-    # crossJoin) — no driver action in the plan path.
-    orphan_row = orphans.crossJoin(li_stats.select("n")).select(
-        F.lit("l_orderkey_in_orders").alias("rule"),
-        F.col("n").alias("n_checked"),
-        F.col("n_orphans").alias("n_violations"),
-        (F.col("n_orphans") == 0).alias("passed"),
+    # One combined 1-row frame (lazy 1×1 crossJoins of the three agg
+    # results — no driver action), inlined into one row per rule.
+    combined = li_stats.crossJoin(orphans).crossJoin(
+        o_stats.select(
+            F.col("n").alias("o_n"), F.col("bad_price").alias("bad_price")
+        )
     )
-    return (
-        report(li_stats, "l_quantity_in_1_50", "n", "bad_qty")
-        .unionAll(report(li_stats, "l_discount_in_unit", "n", "bad_disc"))
-        .unionAll(orphan_row)
-        .unionAll(report(o_stats, "o_totalprice_positive", "n", "bad_price"))
-        .orderBy("rule")
-    )
+    return combined.select(
+        F.inline(
+            F.array(
+                rule_row("l_quantity_in_1_50", "n", "bad_qty"),
+                rule_row("l_discount_in_unit", "n", "bad_disc"),
+                rule_row("l_orderkey_in_orders", "n", "n_orphans"),
+                rule_row("o_totalprice_positive", "o_n", "bad_price"),
+            )
+        )
+    ).orderBy("rule")

@@ -113,7 +113,9 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
 
 @query(
     "q_funnel",
-    oracle="""
+    # Raw string: the \b word-boundary escapes must reach DuckDB as
+    # regex metachars, not Python backspace chars.
+    oracle=r"""
 WITH s AS (
   SELECT user_id,
          string_agg(event_type, ' '
@@ -122,9 +124,11 @@ WITH s AS (
 ),
 f AS (
   SELECT
-    count(*) FILTER (WHERE seq LIKE '%view%') AS s1,
-    count(*) FILTER (WHERE regexp_matches(seq, 'view.*click')) AS s2,
-    count(*) FILTER (WHERE regexp_matches(seq, 'view.*click.*purchase'))
+    count(*) FILTER (WHERE regexp_matches(seq, '\bview\b')) AS s1,
+    count(*) FILTER (WHERE regexp_matches(seq, '\bview\b.*\bclick\b'))
+      AS s2,
+    count(*) FILTER
+      (WHERE regexp_matches(seq, '\bview\b.*\bclick\b.*\bpurchase\b'))
       AS s3,
     count(*) AS total
   FROM s
@@ -168,13 +172,21 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         " ",
     )
+    # Stages match on DELIMITED tokens (\b boundaries over the space-
+    # joined sequence), not raw substrings — 'preview' or 'view_item'
+    # entering the vocabulary must not count as a 'view' stage (ADVICE
+    # r3). \b semantics agree between Java regex (rlike) and DuckDB RE2.
     per_user = e.groupBy("user_id").agg(seq.alias("seq"))
     flags = per_user.agg(
         F.count(F.lit(1)).alias("total"),
-        F.sum(F.col("seq").contains("view").cast("long")).alias("s1"),
-        F.sum(F.col("seq").rlike("view.*click").cast("long")).alias("s2"),
+        F.sum(F.col("seq").rlike(r"\bview\b").cast("long")).alias("s1"),
         F.sum(
-            F.col("seq").rlike("view.*click.*purchase").cast("long")
+            F.col("seq").rlike(r"\bview\b.*\bclick\b").cast("long")
+        ).alias("s2"),
+        F.sum(
+            F.col("seq")
+            .rlike(r"\bview\b.*\bclick\b.*\bpurchase\b")
+            .cast("long")
         ).alias("s3"),
     )
     steps = F.array(
@@ -208,14 +220,17 @@ WITH s AS (
          CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
          CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
   FROM events GROUP BY 1
+  HAVING count(*) > 1
 )
 SELECT e.event_id, e.event_type, e.value,
        round((e.value - sx / n_group)
-             / sqrt((sxx - sx * sx / n_group) / (n_group - 1)), 6) AS z,
+             / nullif(sqrt((sxx - sx * sx / n_group) / (n_group - 1)), 0)
+             , 6) AS z,
        n_group
 FROM events e JOIN s USING (event_type)
 WHERE abs((e.value - sx / n_group)
-          / sqrt((sxx - sx * sx / n_group) / (n_group - 1))) > 3
+          / nullif(sqrt((sxx - sx * sx / n_group) / (n_group - 1)), 0))
+      > 3
 ORDER BY event_id
 """,
 )
@@ -235,13 +250,24 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     v = F.col("value")
-    stats = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_group"),
-        F.sum(v.cast("decimal(28,6)")).cast("double").alias("sx"),
-        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    # Degenerate groups are excluded BY CONSTRUCTION, identically in
+    # both engines (ADVICE r3): n=1 groups are dropped at the stats
+    # frame (no sample stddev exists), and an exactly-zero stddev is
+    # nullif'd so the z row NULLs out of the |z|>3 filter in Spark and
+    # DuckDB alike — rather than relying on Spark's NULL-on-div-by-zero
+    # vs DuckDB's IEEE inf coincidentally agreeing.
+    stats = (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_group"),
+            F.sum(v.cast("decimal(28,6)")).cast("double").alias("sx"),
+            F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        )
+        .filter(F.col("n_group") > 1)
     )
     n, sx, sxx = F.col("n_group"), F.col("sx"), F.col("sxx")
-    z = (v - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))
+    sd = F.sqrt((sxx - sx * sx / n) / (n - 1))
+    z = (v - sx / n) / F.nullif(sd, F.lit(0.0))
     return (
         e.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > 3)
