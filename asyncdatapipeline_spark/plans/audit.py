@@ -244,6 +244,31 @@ def run_audit(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, bool]]:
     )
     results.append(("q_join_bucketed", "no Exchange anywhere", "Exchange" not in jplan))
 
+    # Incremental dedup: with broadcast disabled (the large-drop case),
+    # the persisted signature store must join via its bucketed layout —
+    # SMJ with exactly THREE Exchange nodes, all off the store branch:
+    # the batch side's CPU-spread roundrobin, the batch side's band_key
+    # hash into the store's bucketing, and the pair aggregation. A
+    # store-side re-shuffle would appear as a fourth.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iplan = plan_of(spark, "q_dedup_incremental", sf_dir)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    n_exch = len(re.findall(r"\(\d+\) Exchange", iplan))
+    results.append(
+        (
+            "q_dedup_incremental",
+            "store joins via bucketed SMJ (no broadcast)",
+            "SortMergeJoin" in iplan and "sigstore_b_" in iplan,
+        )
+    )
+    results.append(
+        (
+            "q_dedup_incremental",
+            "3 Exchanges, none on the store branch",
+            n_exch == 3,
+        )
+    )
+
     # Whole-stage codegen: AQE defers physical stage creation, so codegen
     # subtrees are only visible with AQE off — flip it for this one check
     # (execution behavior is identical; AQE re-plans between stages but

@@ -440,3 +440,53 @@ def test_embed_lsh_multi_table_closes_recall_gap(spark, sf_dir, tmp_path_factory
     hit = [r for r in multi if {r["vec_a"], r["vec_b"]} == {5, 9100}]
     assert hit, "multi-table LSH failed to recover the planted near-dup"
     assert hit[0]["cos_sim"] >= _EMBED_LSH_THRESHOLD
+
+
+@pytest.fixture(scope="module")
+def planted_incremental(spark, sf_dir, tmp_path_factory):
+    """Scratch corpus with a cross-batch near-dup planted: store doc
+    9001 (% 5 != 0) and its one-word-mutated copy 9010 (% 5 == 0, i.e.
+    in the NEW batch)."""
+    out = tmp_path_factory.mktemp("incr")
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.withColumn("nw", F.size(F.split("text", " ")))
+        .orderBy(F.col("nw").desc(), "doc_id")
+        .first()
+    )
+    words = base["text"].split(" ")
+    words[len(words) // 2] = "MUTATED"
+    store_doc = (9001, base["text"], base["lang"], base["source"], base["n_chars"])
+    batch_dup = (9010, " ".join(words), base["lang"], base["source"], base["n_chars"])
+    extra = spark.createDataFrame([store_doc, batch_dup], schema=d.schema)
+    d.unionByName(extra).write.mode("overwrite").parquet(
+        str(out / "documents.parquet")
+    )
+    return str(out)
+
+
+def test_incremental_dedup_finds_cross_batch_dup(spark, planted_incremental):
+    """A new-batch doc near-identical to a STORE doc must surface as a
+    candidate pair — the daily-drop dedup call the within-corpus ops
+    cannot make (q_dedup_minhash over only the batch would miss it)."""
+    pairs = (
+        registry.get("q_dedup_incremental")
+        .fn(spark, planted_incremental)
+        .collect()
+    )
+    assert any(
+        r["new_doc_id"] == 9010 and r["store_doc_id"] == 9001 for r in pairs
+    ), "planted cross-batch near-dup not found against the signature store"
+    # Direction is strict: pairs are (batch, store), never store-internal.
+    assert all(r["new_doc_id"] % 5 == 0 for r in pairs)
+    assert all(r["store_doc_id"] % 5 != 0 for r in pairs)
+
+
+def test_signature_store_reused_across_calls(spark, planted_incremental):
+    """Second call must reuse the persisted store table (ingest cost is
+    paid once per corpus, not per batch)."""
+    from asyncdatapipeline_spark.llm.dedup import ensure_signature_store
+
+    t1 = ensure_signature_store(spark, planted_incremental)
+    t2 = ensure_signature_store(spark, planted_incremental)
+    assert t1 == t2 and spark.catalog.tableExists(t1)
