@@ -1169,3 +1169,112 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared_bands"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup (north star) — boilerplate suppression
+# ---------------------------------------------------------------------------
+
+# Whole-document exact dedup (q_dedup_exact) misses the dominant
+# duplication mode in web corpora: boilerplate CHUNKS (headers, nav
+# text, license blocks) repeated across otherwise-distinct documents.
+# Chunk-level dedup finds them: hash every chunk, count how many
+# distinct documents each chunk appears in, and score each document by
+# the fraction of its chunks that are corpus-wide boilerplate.
+
+_CHUNK_BOILER_MIN_DOCS = 5   # chunk in ≥ this many docs ⇒ boilerplate
+_CHUNK_FLAG_FRAC = 0.5       # doc flagged when ≥ half its chunks are
+
+
+@query(
+    "q_dedup_chunk",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+  FROM ws
+),
+hs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::UBIGINT::BIGINT AS h
+  FROM sh
+),
+boiler AS (
+  SELECT h FROM hs GROUP BY h
+  HAVING count(*) >= {_CHUNK_BOILER_MIN_DOCS}
+),
+scored AS (
+  SELECT hs.doc_id,
+         count(*) AS n_chunks,
+         count(b.h) AS n_boiler
+  FROM hs LEFT JOIN boiler b USING (h)
+  GROUP BY hs.doc_id
+)
+SELECT doc_id, n_chunks, n_boiler,
+       round(n_boiler * 1.0 / n_chunks, 6) AS boiler_frac,
+       n_boiler * 1.0 / n_chunks >= {_CHUNK_FLAG_FRAC} AS flagged
+FROM scored ORDER BY doc_id
+""",
+)
+def q_dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup / boilerplate scoring (north-star dedup
+    family): per document, how many of its distinct 3-word chunks are
+    corpus-wide boilerplate (shared by ≥ {min} documents), and a flag
+    when that fraction crosses {frac}.
+
+    Two-pass shape that scales (the decontam doctrine, llm/filtering.py):
+
+    1. chunk → 60-bit hash (md5-derived, cross-engine reproducible) →
+       groupBy hash with map-side partial counts — the shuffle carries
+       8-byte hashes, never chunk text; the surviving boilerplate set is
+       tiny (doc-freq ≥ {min} chunks only);
+    2. re-scan the corpus, LEFT-join each doc's chunk hashes against the
+       broadcast boilerplate set, aggregate per doc. The corpus never
+       shuffles on chunk text; the only corpus-keyed shuffle is the
+       final per-doc aggregation on doc_id.
+
+    Whole-document dedup cannot see these (the documents hash
+    differently); the planted-boilerplate test in tests/test_llm.py
+    demonstrates exactly that miss.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2)
+    h60 = "cast(conv(substr(md5(s.sh), 1, 15), 16, 10) as bigint)"
+    hs = (
+        d.repartition(n_part)
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select(
+            "doc_id",
+            F.explode(_shingle_array(F.col("text"))).alias("sh"),
+        )
+        .alias("s")
+        .select("doc_id", F.expr(h60).alias("h"))
+    )
+    boiler = (
+        hs.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= _CHUNK_BOILER_MIN_DOCS)
+        .select("h", F.lit(True).alias("is_boiler"))
+    )
+    frac = F.col("n_boiler") / F.col("n_chunks")
+    return (
+        hs.join(F.broadcast(boiler), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("is_boiler").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_boiler",
+            F.round(frac, 6).alias("boiler_frac"),
+            (frac >= _CHUNK_FLAG_FRAC).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )

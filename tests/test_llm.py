@@ -490,3 +490,56 @@ def test_signature_store_reused_across_calls(spark, planted_incremental):
     t1 = ensure_signature_store(spark, planted_incremental)
     t2 = ensure_signature_store(spark, planted_incremental)
     assert t1 == t2 and spark.catalog.tableExists(t1)
+
+
+@pytest.fixture(scope="module")
+def planted_boilerplate(spark, sf_dir, tmp_path_factory):
+    """Six otherwise-distinct docs sharing one boilerplate footer, plus
+    one doc that is ONLY the footer."""
+    out = tmp_path_factory.mktemp("boiler")
+    d = load_table(spark, sf_dir, "documents")
+    footer = (
+        "standard legal footer all rights reserved contact admin "
+        "for details"
+    )
+    bases = [r["text"] for r in d.orderBy("doc_id").limit(6).collect()]
+    extra_rows = [
+        (9100 + i, f"{t} {footer}", "en", "srcX", None)
+        for i, t in enumerate(bases)
+    ] + [(9110, footer, "en", "srcX", None)]
+    extra = spark.createDataFrame(extra_rows, schema=d.schema)
+    d.unionByName(extra).write.mode("overwrite").parquet(
+        str(out / "documents.parquet")
+    )
+    return str(out)
+
+
+def test_chunk_dedup_catches_boilerplate_doc_level_misses(
+    spark, planted_boilerplate
+):
+    """The dominant web-corpus duplication mode: a footer repeated across
+    distinct documents. Whole-document dedup sees 7 unique hashes;
+    chunk-level dedup flags the shared chunks."""
+    exact = (
+        registry.get("q_dedup_exact").fn(spark, planted_boilerplate).collect()
+    )
+    planted_hashes = [
+        r for r in exact if r["keep_id"] >= 9100 and r["dup_count"] > 1
+    ]
+    assert planted_hashes == [], "planted docs are all distinct doc-level"
+
+    chunk = {
+        r["doc_id"]: r
+        for r in registry.get("q_dedup_chunk")
+        .fn(spark, planted_boilerplate)
+        .collect()
+    }
+    # The footer is 10 words → 8 footer-internal shingles, each in 7
+    # docs ≥ the boilerplate threshold (5).
+    for i in range(6):
+        assert chunk[9100 + i]["n_boiler"] >= 8, (
+            f"doc {9100 + i}: footer chunks not flagged as boilerplate"
+        )
+    # The footer-only doc is ~all boilerplate → flagged.
+    assert chunk[9110]["flagged"], "pure-boilerplate doc not flagged"
+    assert chunk[9110]["boiler_frac"] == 1.0
