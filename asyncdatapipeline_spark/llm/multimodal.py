@@ -319,3 +319,147 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(resize_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (north star: dedup beyond text)
+# ---------------------------------------------------------------------------
+
+_PHASH_GRID = 72          # 8×9 sample grid → 64 dHash comparisons
+_PHASH_MAX_HAMMING = 10   # near-dup verdict threshold for phash_pairs
+
+
+def phash_stub(payload: bytes) -> int:
+    """STUB perceptual hash: dHash over a deterministic 8×9 "grayscale
+    downsample" of the payload bytes.
+
+    A real implementation decodes the image (PIL), resizes to 9×8
+    grayscale, and compares horizontal neighbors; the codec is not in
+    this container, so the "pixels" are 72 bytes sampled at a fixed
+    stride — which preserves dHash's essential property for the
+    plumbing: near-identical payloads produce near-identical
+    fingerprints (small Hamming distance), unrelated payloads differ in
+    ~32 bits. Bit j (= row*8+col) is set when pixel[row*9+col] >
+    pixel[row*9+col+1]; signed-64 wrap matches Spark/DuckDB BIGINT.
+    """
+    nb = len(payload)
+    step = max(1, nb // _PHASH_GRID)
+    px = [payload[(k * step) % nb] for k in range(_PHASH_GRID)]
+    fp = 0
+    for j in range(64):
+        r, c = j // 8, j % 8
+        if px[r * 9 + c] > px[r * 9 + c + 1]:
+            fp |= 1 << j
+    return fp - (1 << 64) if fp >= 1 << 63 else fp
+
+
+@query(
+    "q_mm_phash",
+    # DuckDB recomputes the identical fingerprint from the hex encoding
+    # of the payload (hex slicing is byte-exact for any utf-8 content —
+    # see the q_mm_frames oracle note); same signed wrap as the simhash
+    # oracle.
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE text IS NOT NULL AND octet_length(encode(text)) >= 1
+),
+px AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, {_PHASH_GRID - 1}), k ->
+      ('0x' || substr(hx,
+        2 * ((k * greatest(1, nb // {_PHASH_GRID})) % nb) + 1, 2))::INT
+    ) AS p
+  FROM m
+),
+fp AS (
+  SELECT doc_id,
+    list_sum(list_transform(generate_series(0, 63), j ->
+      CASE WHEN p[(j // 8) * 9 + (j % 8) + 1] > p[(j // 8) * 9 + (j % 8) + 2]
+           THEN (1::UBIGINT << j)::HUGEINT ELSE 0::HUGEINT END)) AS ufp
+  FROM px
+)
+SELECT doc_id,
+  CAST(CASE WHEN ufp >= 9223372036854775808::HUGEINT
+            THEN ufp - 18446744073709551616::HUGEINT
+            ELSE ufp END AS BIGINT) AS phash,
+  CAST(ufp // 281474976710656 AS BIGINT) AS bucket16
+FROM fp ORDER BY doc_id
+""",
+)
+def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash fingerprints for image dedup (north star:
+    multimodal × dedup): 64-bit dHash per media payload + the same
+    16-bit Hamming-prefix bucket q_dedup_simhash uses.
+
+    The decode+hash is a ``mapInPandas`` pass (the codec is inherently
+    Python — PIL would replace :func:`phash_stub` 1:1); everything
+    downstream is relational: bucket assignment is a map-only
+    expression, and near-dup pair generation (:func:`phash_pairs`)
+    is a bucket-join + ``bit_count(xor)`` — never all-pairs. Map-only
+    end to end at any corpus size; the fingerprint table is the
+    persisted artifact an image-dedup pipeline stores per shard.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    media = (
+        d.filter(F.col("text").isNotNull())
+        .filter(F.octet_length(F.col("text")) >= 1)
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    )
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pdf["payload"].map(phash_stub).astype("int64"),
+                }
+            )
+
+    return (
+        media.mapInPandas(phash_batches, schema="doc_id bigint, phash bigint")
+        .select(
+            "doc_id",
+            "phash",
+            F.shiftrightunsigned("phash", 48).alias("bucket16"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def phash_pairs(
+    fp: DataFrame, max_hamming: int = _PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-dup image pairs from a fingerprint frame: bucket-join on the
+    16-bit prefix, verify with ``bit_count(a XOR b)`` ≤ ``max_hamming``.
+
+    The same bucket-then-verify doctrine as the text dedup family — a
+    bucket bounds candidates to docs agreeing on the top 16 bits, so
+    pair generation is never all-pairs. (Multi-probe over rotated
+    prefixes is the recall knob at scale, exactly as in
+    llm/similarity.py's hyperplane LSH.)
+    """
+    a = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "bucket16",
+    )
+    b = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "bucket16",
+    )
+    return (
+        a.join(b, "bucket16")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

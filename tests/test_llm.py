@@ -543,3 +543,52 @@ def test_chunk_dedup_catches_boilerplate_doc_level_misses(
     # The footer-only doc is ~all boilerplate → flagged.
     assert chunk[9110]["flagged"], "pure-boilerplate doc not flagged"
     assert chunk[9110]["boiler_frac"] == 1.0
+
+
+@pytest.fixture(scope="module")
+def planted_images(spark, sf_dir, tmp_path_factory):
+    """Two near-identical media payloads (one byte differs) + the fixture
+    corpus as unrelated background."""
+    out = tmp_path_factory.mktemp("phash")
+    d = load_table(spark, sf_dir, "documents")
+    base = "x" * 40 + "PIXELDATA" * 20  # 220-byte fake image
+    mutated = base[:100] + "Q" + base[101:]  # one "pixel" changed
+    extra = spark.createDataFrame(
+        [(9200, base, "en", "img", None), (9201, mutated, "en", "img", None)],
+        schema=d.schema,
+    )
+    d.unionByName(extra).write.mode("overwrite").parquet(
+        str(out / "documents.parquet")
+    )
+    return str(out)
+
+
+def test_phash_near_identical_images_pair_up(spark, planted_images):
+    """One changed byte must leave the fingerprints within the Hamming
+    threshold and in the same prefix bucket; the pair must surface from
+    the bucket-join without any all-pairs comparison."""
+    from asyncdatapipeline_spark.llm.multimodal import phash_pairs
+
+    fp = registry.get("q_mm_phash").fn(spark, planted_images)
+    rows = {r["doc_id"]: r for r in fp.collect()}
+    assert rows[9200]["bucket16"] == rows[9201]["bucket16"]
+    xor = rows[9200]["phash"] ^ rows[9201]["phash"]
+    assert bin(xor & ((1 << 64) - 1)).count("1") <= 10
+
+    pairs = phash_pairs(fp).collect()
+    assert any(
+        (r["doc_a"], r["doc_b"]) == (9200, 9201) for r in pairs
+    ), "planted near-identical image pair not found via bucket-join"
+
+
+def test_phash_stub_locality(spark):
+    """The stub must preserve dHash's locality property: a one-byte edit
+    moves few bits, unrelated payloads move ~half."""
+    from asyncdatapipeline_spark.llm.multimodal import phash_stub
+
+    base = bytes(range(200))
+    near = bytes([*range(100), 7, *range(101, 200)])
+    far = bytes((i * 37 + 11) % 256 for i in range(200))
+    h = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert h(phash_stub(base), phash_stub(near)) <= 10
+    assert h(phash_stub(base), phash_stub(far)) >= 16
