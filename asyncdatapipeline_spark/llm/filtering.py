@@ -293,17 +293,25 @@ def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     on it.
     """
     d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *split_exprs())
+
+
+def split_exprs() -> list:
+    """Split-assignment columns as reusable row-local expressions —
+    shared by the batch query (q_split_hash) and the streaming curation
+    gate (streaming/curation.py). Being a pure function of doc_id is
+    what makes the assignment identical per micro-batch, per retry, and
+    per corpus append."""
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
     ).cast("int")
-    return d.select(
-        "doc_id",
+    return [
         bucket.alias("bucket"),
         F.when(bucket < _SPLIT_TRAIN_LT, "train")
         .when(bucket < _SPLIT_VALID_LT, "valid")
         .otherwise("test")
         .alias("split"),
-    )
+    ]
 
 
 _SHINGLES_DUCK = (

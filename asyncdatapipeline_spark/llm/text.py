@@ -160,13 +160,20 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean word length, stopword ratio, lexical diversity → keep flag.
     The filter shape used to gate a pretraining corpus."""
     d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *quality_exprs())
+
+
+def quality_exprs() -> list:
+    """The quality-score columns as reusable row-local expressions —
+    shared verbatim by the batch query (q_text_quality) and the
+    streaming curation gate (streaming/curation.py), which is what
+    makes batch/stream equivalence hold by construction."""
     words = F.split(F.col("text"), " ")
     stop_arr = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "in")])
     nw = F.size(words)
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
     stop_ratio = n_stop * F.lit(1.0) / nw
-    return d.select(
-        "doc_id",
+    return [
         nw.alias("n_words"),
         F.round((F.length("text") - nw + 1) * F.lit(1.0) / nw, 6).alias(
             "mean_word_len"
@@ -176,7 +183,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nw.between(20, 1000) & stop_ratio.between(0.001, 0.6)).alias(
             "passes_quality"
         ),
-    )
+    ]
 
 
 @query(

@@ -1,0 +1,57 @@
+"""Streaming curation gate (SURVEY.md Layer A × Layer B composition).
+
+The reference's entire runtime is "collect batches, process them"
+(async_data_pipeline.go:67-71 — CollectFunc/ProcessFunc around a
+bounded channel); Structured Streaming's micro-batch loop is that
+runtime, and the engine's Layer-B operators are the process step. This
+module is where they meet: the quality → split curation gate runs per
+micro-batch inside ``foreachBatch``, built from the SAME row-local
+expression lists the batch queries use (llm/text.py quality_exprs,
+llm/filtering.py split_exprs) — batch/stream equivalence by
+construction, asserted in tests/test_streaming.py.
+
+Scale shape: the gate is map-only (no per-batch shuffle, no state
+store), so streaming ingest throughput is bounded by source read rate,
+not by the gate. Stateful curation stages (cross-batch dedup) belong to
+the signature-store pattern instead: each micro-batch joins
+llm/dedup.py's persisted band-signature store exactly like a batch drop
+(q_dedup_incremental), which is why the gate itself stays stateless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from asyncdatapipeline_spark.llm.filtering import split_exprs
+from asyncdatapipeline_spark.llm.text import quality_exprs
+
+
+def curation_gate(df: DataFrame) -> DataFrame:
+    """quality-score → filter → split-assign, over one micro-batch or a
+    whole corpus — the same plan either way (all row-local exprs)."""
+    return (
+        df.select("doc_id", *quality_exprs(), *split_exprs())
+        .filter("passes_quality")
+        .select("doc_id", "n_words", "stopword_ratio", "bucket", "split")
+    )
+
+
+def start_curation_stream(stream_df: DataFrame, sink_path: str, checkpoint: str):
+    """Run the curation gate over a streaming documents source via
+    ``foreachBatch``, appending survivors to a parquet sink.
+
+    foreachBatch (not a plain writeStream) because a real gate fans out
+    per split — train/valid/test land in different tables — and because
+    it reuses the *batch* writer (idempotent by batchId on retry).
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        curation_gate(batch_df).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(sink_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -497,3 +497,53 @@ def test_collect_func_batch_drains_until_none(spark):
         spark, lambda: [(0, "x")], "id long, value string", max_pulls=5
     )
     assert df2.count() == 5
+
+
+# -- Layer A × Layer B: streaming curation gate ---------------------------
+
+
+def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
+    """The quality → split curation gate run per micro-batch via
+    foreachBatch must produce exactly the batch run's rows — Layer A
+    (the reference's collect/process runtime = the micro-batch loop)
+    composed with Layer B (the curation operators), SURVEY.md §5
+    batch/stream equivalence doctrine."""
+    from asyncdatapipeline_spark.sources.tables import load_table
+    from asyncdatapipeline_spark.streaming.curation import (
+        curation_gate,
+        start_curation_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_path = str(tmp_path / "docs_src")
+    a, b = docs.randomSplit([0.5, 0.5], seed=11)
+    a.coalesce(1).write.mode("overwrite").parquet(src_path)
+    b.coalesce(1).write.mode("append").parquet(src_path)
+
+    schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_path)
+    )
+    sink = str(tmp_path / "curated")
+    q = start_curation_stream(stream, sink, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    streamed = spark.read.parquet(sink)
+    batch = curation_gate(docs)
+
+    assert streamed.select("batch_id").distinct().count() >= 2, (
+        "source must have replayed as multiple micro-batches"
+    )
+    s_rows = {
+        tuple(r) for r in streamed.drop("batch_id").collect()
+    }
+    b_rows = {tuple(r) for r in batch.collect()}
+    assert s_rows == b_rows, (
+        f"stream/batch divergence: {len(s_rows ^ b_rows)} differing rows"
+    )
+    # The gate actually gates: survivors are a proper, non-empty subset.
+    assert 0 < len(b_rows) < docs.count()
