@@ -1278,3 +1278,86 @@ def q_dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def ensure_exact_hash_store(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted EXACT-dedup store: the distinct md5(text) digests of
+    the existing corpus, bucketed by hash — the companion to
+    :func:`ensure_signature_store` for exact (not near-) dedup. 32-byte
+    digests only; the corpus text never leaves its scan."""
+    import re
+    import shutil
+
+    from asyncdatapipeline_spark.operators.layout import (
+        _LAYOUT_DIR,
+        register_existing_bucketed,
+        write_bucketed,
+    )
+
+    tag = re.sub(
+        r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    )
+    tbl = f"hashstore_b_{tag}"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    if register_existing_bucketed(spark, tbl):
+        return tbl
+    shutil.rmtree(_LAYOUT_DIR / tbl, ignore_errors=True)
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _STORE_MOD != 0
+    )
+    digests = corpus.select(
+        F.md5(F.col("text").cast("binary")).alias("text_hash")
+    ).distinct()
+    write_bucketed(digests, tbl, ["text_hash"])
+    return tbl
+
+
+@query(
+    "q_dedup_incremental_exact",
+    oracle=f"""
+WITH store AS (
+  SELECT DISTINCT md5(text) AS text_hash FROM documents
+  WHERE doc_id % {_STORE_MOD} != 0
+)
+SELECT d.doc_id, md5(d.text) AS text_hash,
+       s.text_hash IS NULL AS novel
+FROM documents d LEFT JOIN store s ON md5(d.text) = s.text_hash
+WHERE d.doc_id % {_STORE_MOD} = 0
+ORDER BY d.doc_id
+""",
+)
+def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental dedup: is each NEW-batch document's content
+    already in the existing corpus? — the cheapest and most frequent
+    form of the per-drop dedup call (q_dedup_incremental is its near-dup
+    sibling).
+
+    The batch hashes its own text map-side and LEFT-joins the persisted
+    digest store on the 32-byte hash; `novel` is the survival flag the
+    ingest gate filters on. Same scale shape as the signature store:
+    batch broadcasts when dim-sized, otherwise only the batch shuffles
+    into the store's bucketing — the 100 TB digest store is scanned,
+    never reshuffled, and text never crosses the wire at all.
+    """
+    store = spark.table(ensure_exact_hash_store(spark, sf_dir))
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _STORE_MOD == 0
+    )
+    hashed = batch.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
+    )
+    return (
+        hashed.alias("b")
+        .join(
+            store.alias("s"),
+            F.col("b.text_hash") == F.col("s.text_hash"),
+            "left",
+        )
+        .select(
+            "b.doc_id",
+            F.col("b.text_hash").alias("text_hash"),
+            F.col("s.text_hash").isNull().alias("novel"),
+        )
+        .orderBy("doc_id")
+    )

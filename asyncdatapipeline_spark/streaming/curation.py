@@ -55,3 +55,43 @@ def start_curation_stream(stream_df: DataFrame, sink_path: str, checkpoint: str)
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def incremental_dedup_batch(batch_df: DataFrame, store: DataFrame) -> DataFrame:
+    """One micro-batch of new documents joined against the persisted
+    band-signature store — q_dedup_incremental's exact per-batch step,
+    runnable inside ``foreachBatch``: each micro-batch is a (small)
+    drop, the store is the 100 TB side and is only ever scanned.
+    """
+    from asyncdatapipeline_spark.llm.dedup import _band_key_rows
+
+    batch = _band_key_rows(batch_df, batch_df.sparkSession)
+    return (
+        batch.alias("b")
+        .join(store.alias("s"), F.col("b.band_key") == F.col("s.band_key"))
+        .groupBy(
+            F.col("b.doc_id").alias("new_doc_id"),
+            F.col("s.doc_id").alias("store_doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+
+
+def start_incremental_dedup_stream(
+    stream_df: DataFrame, store: DataFrame, sink_path: str, checkpoint: str
+):
+    """Stream new documents through the signature-store dedup: per
+    micro-batch, candidate (new, store) pairs append to the sink. The
+    streaming twin of the batch q_dedup_incremental call — the same
+    join, driven by the micro-batch loop instead of a daily drop."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_dedup_batch(batch_df, store).write.mode("append").parquet(
+            sink_path
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -63,6 +63,8 @@ HEADLINE = [
     "q_ts_resample",     # hourly resample + gap-fill + forward-fill
     "q_profile",         # per-column exact profile (union shape)
     "q_join_multiway",   # six-table Q5-shape snowflake join
+    "q_dedup_incremental",  # new batch vs persisted signature store
+    "q_dedup_chunk",     # chunk-level boilerplate dedup
 ]
 
 

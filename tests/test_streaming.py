@@ -547,3 +547,52 @@ def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
     )
     # The gate actually gates: survivors are a proper, non-empty subset.
     assert 0 < len(b_rows) < docs.count()
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """New documents streamed micro-batch-by-micro-batch against the
+    persisted signature store must find exactly the pairs the batch
+    q_dedup_incremental run finds — the store composes with the
+    micro-batch loop because each batch's signatures are independent
+    (map-only) and the store is static within a drop."""
+    from asyncdatapipeline_spark import registry
+    from asyncdatapipeline_spark.llm.dedup import (
+        _STORE_MOD,
+        ensure_signature_store,
+    )
+    from asyncdatapipeline_spark.sources.tables import load_table
+    from asyncdatapipeline_spark.streaming.curation import (
+        start_incremental_dedup_stream,
+    )
+
+    store = spark.table(ensure_signature_store(spark, sf_dir))
+    new_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _STORE_MOD == 0
+    )
+    src_path = str(tmp_path / "drops")
+    a, b = new_docs.randomSplit([0.5, 0.5], seed=13)
+    a.coalesce(1).write.mode("overwrite").parquet(src_path)
+    b.coalesce(1).write.mode("append").parquet(src_path)
+
+    schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_path)
+    )
+    sink = str(tmp_path / "pairs")
+    q = start_incremental_dedup_stream(
+        stream, store, sink, str(tmp_path / "ckpt2")
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    streamed = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    batch = {
+        tuple(r)
+        for r in registry.get("q_dedup_incremental").fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch, (
+        f"stream/batch divergence: {len(streamed ^ batch)} differing pairs"
+    )

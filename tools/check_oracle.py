@@ -179,6 +179,13 @@ def main() -> int:
             json.dumps(
                 {
                     "sf_dir": sf_dir,
+                    "note": (
+                        "per-query 'sec' is ONE cold pass (Spark exec + "
+                        "toPandas + DuckDB + compare) on a shared box — "
+                        "external load swings single samples 2-5x; these "
+                        "times verify correctness, not operator cost. For "
+                        "cost, read BENCH_r*.json (median-of-3 warm)."
+                    ),
                     "summary": {
                         "ok": n_pass, "rows_only": n_rowsonly, "fail": n_fail
                     },

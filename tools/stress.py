@@ -45,6 +45,11 @@ QUERIES = [
     "q_dedup_embed_lsh",
     "q_curation_full",
     "q_pack_sequences",
+    # TPC-H join family (replicated facts over fixed dims: the
+    # AQE-sensitive snowflake join and agg-then-topk plans)
+    "q_agg_hash",
+    "q_join_multiway",
+    "q_agg_topk",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
@@ -61,7 +66,7 @@ def build_corpus(spark, sf_dir: str, mult: int) -> str:
     exactly what gets stressed).
     """
     out = STRESS_ROOT / f"stress_{mult}x_{Path(sf_dir).name}"
-    marker = out / "_built_v2"  # v2: events replication added
+    marker = out / "_built_v3"  # v3: TPC-H facts replicated, dims copied
     if marker.exists():
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
@@ -115,6 +120,36 @@ def build_corpus(spark, sf_dir: str, mult: int) -> str:
         .write.mode("overwrite")
         .parquet(str(out / "events.parquet"))
     )
+    # TPC-H: replicate the FACTS (orders/lineitem, orderkey-offset per
+    # replica; custkeys unchanged so per-customer order counts grow
+    # N-fold — fact growth over fixed dims, the realistic 100 TB shape)
+    # and copy the dims verbatim.
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        o.crossJoin(reps)
+        .select(
+            (F.col("o_orderkey") + F.col("rep") * 100_000_000).alias("o_orderkey"),
+            *[c for c in o.columns if c != "o_orderkey"],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(str(out / "orders.parquet"))
+    )
+    (
+        li.crossJoin(reps)
+        .select(
+            (F.col("l_orderkey") + F.col("rep") * 100_000_000).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(str(out / "lineitem.parquet"))
+    )
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        load_table(spark, sf_dir, dim).write.mode("overwrite").parquet(
+            str(out / f"{dim}.parquet")
+        )
     marker.touch()
     return str(out)
 
