@@ -691,3 +691,120 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occ").desc(), "word")
         .limit(_VOCAB_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (north-star text family: search/ranking)
+# ---------------------------------------------------------------------------
+
+# Okapi BM25 with the standard Robertson-Sparck-Jones idf (the +1 inside
+# the log keeps it positive for common terms, the Lucene convention).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("spark", "table", "query")  # the fixed demo query
+_BM25_TOPK = 20
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS dl,
+         {", ".join(
+             f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf{i}"
+             for i, t in enumerate(_BM25_QUERY)
+         )}
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         {", ".join(
+             f"count(*) FILTER (WHERE tf{i} > 0) AS df{i}"
+             for i in range(len(_BM25_QUERY))
+         )}
+  FROM tf
+),
+scored AS (
+  SELECT t.doc_id, t.dl,
+    {" + ".join(
+        f"ln((s.n - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1)"
+        f" * (t.tf{i} * ({_BM25_K1} + 1))"
+        f" / (t.tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * t.dl / s.avgdl))"
+        for i in range(len(_BM25_QUERY))
+    )} AS score
+  FROM tf t CROSS JOIN stats s
+)
+SELECT doc_id, dl, round(score, 6) AS bm25
+FROM scored
+WHERE score > 0
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT {_BM25_TOPK}
+""",
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword-retrieval scoring (north-star text family): the
+    top-{k} documents for a fixed query term set, scored with Okapi
+    BM25 (k1={k1}, b={b}).
+
+    The scale shape every distributed search scorer uses:
+
+    1. per-doc term frequencies + doc length — map-only expressions
+       (``size(filter(words, = term))``), no shuffle;
+    2. corpus statistics (N, avgdl, per-term df) — ONE tiny aggregate
+       frame (a single row), broadcast back onto the stream; the corpus
+       is scanned twice, shuffled never (the q_anomaly doctrine);
+    3. the BM25 sum is row-local double arithmetic, and the top-k plans
+       as TakeOrderedAndProject (per-task heaps, no global sort).
+
+    Scores are rounded to 6 decimals in BOTH engines so the ordering
+    key is the identical double; doc_id breaks ties.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    # NB: a 2-parameter lambda means (element, index) to F.filter — the
+    # term must bind via a real closure, not a default argument.
+    def tf_col(term: str, i: int):
+        return F.size(F.filter(words, lambda w: w == F.lit(term))).alias(
+            f"tf{i}"
+        )
+
+    tf_cols = [tf_col(t, i) for i, t in enumerate(_BM25_QUERY)]
+    tf = d.select("doc_id", F.size(words).alias("dl"), *tf_cols)
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_QUERY))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_QUERY)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1
+        )
+        term = (
+            idf
+            * (F.col(f"tf{i}") * (_BM25_K1 + 1))
+            / (
+                F.col(f"tf{i}")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        tf.join(F.broadcast(stats))
+        .select("doc_id", "dl", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .select("doc_id", "dl", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+q_text_bm25.__doc__ = q_text_bm25.__doc__.format(
+    k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
+)

@@ -194,6 +194,17 @@ CHECKS: dict[str, list[tuple]] = {
         ("must", "partial aggregation on the bucket key", r"HashAggregate.*partial"),
         ("must", "only the bucketed column read", r"ReadSchema: struct<l_extendedprice:double>"),
     ],
+    "q_text_bm25": [
+        ("must", "corpus-stats frame broadcast back onto the scan", r"BroadcastExchange"),
+        ("must", "top-k via TakeOrderedAndProject (no global sort)", r"TakeOrderedAndProject"),
+        ("forbid", "corpus never shuffles to join its own stats", "SortMergeJoin"),
+        ("forbid", "no Python in the row path", *_PYTHON_EVAL_NODES),
+    ],
+    "q_dedup_chunk": [
+        ("must", "boilerplate set broadcast against the corpus re-scan", r"BroadcastHashJoin"),
+        ("must", "partial agg on the chunk hash (map-side combine)", r"HashAggregate.*partial"),
+        ("forbid", "corpus never sort-merge-joins on chunk text", "SortMergeJoin"),
+    ],
     "q_dedup_simhash": [
         # The whole SimHash family is built-in expressions now — any
         # Python eval node in this plan is a regression to the slow path.
