@@ -733,3 +733,56 @@ def q_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+WITH bounds AS (
+  SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+         round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+       round(least(greatest(l.l_extendedprice, b.lo), b.hi), 6)
+         AS price_winsorized,
+       l.l_extendedprice < b.lo OR l.l_extendedprice > b.hi AS clipped
+FROM lineitem l JOIN bounds b USING (l_returnflag)
+ORDER BY l.l_orderkey, l.l_linenumber
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (B26 family → cleaning): clip each row's
+    value into its group's [p05, p95] band — the outlier-trimming pass
+    feature pipelines run before normalization/training.
+
+    Two-phase shape that scales: exact per-group percentiles reduce to
+    a |groups|-row bounds frame (one shuffle of the value column;
+    ``percentile_approx`` is the in-code swap at unbounded group
+    cardinality), broadcast back onto the stream, and the clip is
+    row-local codegen — the stream itself never shuffles. Same
+    ``percentile`` ↔ ``quantile_cont`` type-7 interpolation contract as
+    q_agg_quantile keeps the oracle strict; bounds and clipped values
+    round at 6dp in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("hi"),
+    )
+    p = F.col("l_extendedprice")
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_extendedprice",
+            F.round(F.least(F.greatest(p, F.col("lo")), F.col("hi")), 6).alias(
+                "price_winsorized"
+            ),
+            ((p < F.col("lo")) | (p > F.col("hi"))).alias("clipped"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

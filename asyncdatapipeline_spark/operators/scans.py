@@ -105,3 +105,52 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     s.coalesce(1).write.mode("overwrite").orc(path)
     return spark.read.orc(path).filter(F.col("s_acctbal") > 0)
+
+
+_EVOLUTION_SPLIT = 250  # doc_id < split → v1 schema; >= split → v2 (lang dropped)
+
+
+@query(
+    "q_scan_evolution",
+    # The oracle replays what the merged read MUST produce from the
+    # base table: v2-era files lack the lang column, so those rows
+    # surface with lang NULL.
+    oracle=f"""
+SELECT doc_id, text, lang FROM documents WHERE doc_id < {_EVOLUTION_SPLIT}
+UNION ALL
+SELECT doc_id, text, NULL FROM documents WHERE doc_id >= {_EVOLUTION_SPLIT}
+ORDER BY doc_id
+""",
+)
+def q_scan_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan (B1 family): read a dataset whose files
+    were written under DIFFERENT schema versions — the normal state of
+    any corpus ingested over months — with ``mergeSchema``, surfacing
+    dropped/added columns as NULLs instead of failing or silently
+    picking one footer's schema.
+
+    The scratch layout writes two file generations from the fixture
+    (v1: doc_id/text/lang; v2: lang removed) once per corpus. The scale
+    note is the flag's COST: mergeSchema reads every file's footer up
+    front (at 100 TB: a distributed footer-listing job), which is why
+    production tables pin the merged schema in a catalog and the flag
+    is an ingest-time tool, not a per-query default — exactly how this
+    query uses it.
+    """
+    base = _scratch(sf_dir, "evolution")
+    d = load_table(spark, sf_dir, "documents")
+    va, vb = os.path.join(base, "v1"), os.path.join(base, "v2")
+    if not (os.path.exists(os.path.join(va, "_SUCCESS"))
+            and os.path.exists(os.path.join(vb, "_SUCCESS"))):
+        d.filter(F.col("doc_id") < _EVOLUTION_SPLIT).select(
+            "doc_id", "text", "lang"
+        ).coalesce(1).write.mode("overwrite").parquet(va)
+        d.filter(F.col("doc_id") >= _EVOLUTION_SPLIT).select(
+            "doc_id", "text"
+        ).coalesce(1).write.mode("overwrite").parquet(vb)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(va, vb)
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    )

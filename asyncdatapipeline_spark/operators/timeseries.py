@@ -280,3 +280,79 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+cohort_sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size
+  FROM firsts GROUP BY cohort_week
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+ret AS (
+  SELECT f.cohort_week,
+         date_diff('day', f.cohort_week, a.wk) // 7 AS week_offset,
+         count(*) AS n_active
+  FROM active a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT CAST(r.cohort_week AS TIMESTAMP) AS cohort_week,
+       r.week_offset, c.cohort_size, r.n_active,
+       round(r.n_active * 1.0 / c.cohort_size, 6) AS retention
+FROM ret r JOIN cohort_sizes c USING (cohort_week)
+ORDER BY cohort_week, week_offset
+""",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (B70 family): users grouped by first-seen week,
+    tracked by how many are still active N weeks later — the
+    product-analytics complement to the funnel.
+
+    Scale shape: every stage aggregates BEFORE it joins. The cohort
+    frame reduces the stream to |users| rows (one shuffle on user_id);
+    the activity frame distincts (user, week) — the same user_id
+    partitioning, which Spark reuses across the join; the final rollup
+    is |cohorts × offsets| — dashboard-sized. Nothing row-scale crosses
+    a second shuffle, and per-user state is one timestamp, so a bot key
+    cannot skew anything (contrast q_funnel's sequence build).
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    cohort_sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    ret = (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("wk"), F.col("cohort_week")) / 7
+            ).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        ret.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            "n_active",
+            F.round(
+                F.col("n_active") * F.lit(1.0) / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
