@@ -808,3 +808,94 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_text_bm25.__doc__ = q_text_bm25.__doc__.format(
     k=_BM25_TOPK, k1=_BM25_K1, b=_BM25_B
 )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (search/ranking family, with q_text_bm25)
+# ---------------------------------------------------------------------------
+
+_KEYWORDS_PER_DOC = 3
+
+
+@query(
+    "q_text_keywords",
+    oracle=f"""
+WITH tf AS (
+  SELECT doc_id, word, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents) t
+  WHERE word != ''
+  GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf, d.df,
+         round(t.tf * ln((SELECT n_docs FROM n) * 1.0 / d.df), 6)
+           AS tfidf
+  FROM tf t JOIN df d USING (word)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, word
+  ) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, word, tf, df, tfidf
+FROM ranked WHERE rank <= {_KEYWORDS_PER_DOC}
+ORDER BY doc_id, rank
+""",
+)
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (search/ranking family):
+    the top-{k} most distinctive terms of every document — the tagging /
+    indexing pass run corpus-wide (where q_text_bm25 ranks docs for one
+    query, this ranks terms for every doc).
+
+    Shape: term frequencies aggregate map-side on (doc, word); document
+    frequencies aggregate the same exploded frame on word (Zipf-hot
+    words absorbed by partial aggregation exactly as q_text_vocab);
+    N is a 1-row frame joined lazily. Per-doc top-k goes through a
+    rank window filtered to {k} — planned as WindowGroupLimit, so each
+    task keeps k-heaps per doc and the full scored set never
+    materializes (the q_topk_group doctrine). Ties break on the word
+    itself, so both engines emit the identical keyword set.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KEYWORDS_PER_DOC)
+        .select("doc_id", "rank", "word", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+q_text_keywords.__doc__ = q_text_keywords.__doc__.format(k=_KEYWORDS_PER_DOC)

@@ -205,6 +205,24 @@ CHECKS: dict[str, list[tuple]] = {
         ("must", "partial agg on the chunk hash (map-side combine)", r"HashAggregate.*partial"),
         ("forbid", "corpus never sort-merge-joins on chunk text", "SortMergeJoin"),
     ],
+    "q_text_keywords": [
+        ("must", "per-doc top-k via WindowGroupLimit", r"WindowGroupLimit"),
+        ("must", "tf/df aggregate partially map-side", r"HashAggregate.*partial"),
+        ("forbid", "no Python in the row path", *_PYTHON_EVAL_NODES),
+    ],
+    "q_winsorize": [
+        ("must", "bounds frame broadcast back onto the stream", r"BroadcastHashJoin"),
+        ("forbid", "stream never shuffles to join its bounds", "SortMergeJoin"),
+    ],
+    "q_merge_scd2": [
+        ("must", "update batch broadcast onto one dimension pass", r"BroadcastHashJoin"),
+        ("must", "1-to-N row explode via Generate (inline)", r"Generate"),
+        ("forbid", "no dimension self-join shuffle", "SortMergeJoin"),
+    ],
+    "q_retention": [
+        ("must", "cohort/activity frames aggregate partially map-side", r"HashAggregate.*partial"),
+        ("forbid", "no nested loop anywhere", *_NESTED_LOOP_NODES),
+    ],
     "q_dedup_simhash": [
         # The whole SimHash family is built-in expressions now — any
         # Python eval node in this plan is a regression to the slow path.
