@@ -171,3 +171,65 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     ).orderBy("rule")
+
+
+_SKEW_TOP_N = 10
+
+
+@query(
+    "q_profile_skew",
+    oracle=f"""
+WITH k AS (
+  SELECT l_orderkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+),
+s AS (
+  SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+         max(n) AS max_n,
+         CAST(sum(n) AS DOUBLE) / count(*) AS mean_n
+  FROM k
+)
+SELECT k.key, k.n,
+       round(k.n / s.mean_n, 6) AS skew_factor,
+       s.n_keys, s.n_rows
+FROM k CROSS JOIN s
+ORDER BY k.n DESC, k.key
+LIMIT {_SKEW_TOP_N}
+""",
+)
+def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (B69 family): the top-{n} heaviest
+    lineitem join keys with their skew factor (key count / mean key
+    count) — the pre-flight every big join runs before choosing plain
+    shuffle vs salting (operators/layout.py q_join_salted) vs AQE skew
+    handling.
+
+    One two-phase count per key (map-side partials absorb the hot keys
+    being diagnosed), a 1-row moments frame joined lazily, top-{n} via
+    TakeOrderedAndProject. Output is O({n}) — the decision inputs, not
+    the key histogram.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_n"),
+    )
+    return (
+        k.crossJoin(F.broadcast(s))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("mean_n"), 6).alias("skew_factor"),
+            "n_keys",
+            "n_rows",
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(_SKEW_TOP_N)
+    )
+
+
+q_profile_skew.__doc__ = q_profile_skew.__doc__.format(n=_SKEW_TOP_N)
