@@ -481,3 +481,101 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# Interval-overlap join: max duration 30 min → 31-min bins mean every
+# interval covers at most 2 bins, and overlapping intervals always share
+# at least one covered bin (the overlap instant lives in a bin both
+# cover), so the bin equi-join loses no pairs.
+_IVL_BIN_S = 31 * 60
+
+
+@query(
+    "q_join_interval",
+    oracle=f"""
+WITH iv AS (
+  -- floor(), not a bare BIGINT cast: DuckDB's cast ROUNDS the
+  -- fractional epoch, Spark's unix_timestamp FLOORS it.
+  SELECT event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 30 + 1) * 60 AS e
+  FROM events
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_s
+FROM iv a JOIN iv b
+  ON a.event_type = b.event_type
+ AND a.event_id < b.event_id
+ AND a.s <= b.e AND b.s <= a.e
+ORDER BY id_a, id_b
+""",
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (B18 family, the two-sided sibling of
+    q_join_range): find pairs of same-type intervals that OVERLAP —
+    sessions × incidents, ad slots × impressions, the temporal-join
+    shape warehouses answer with IEJoin and Spark has no operator for.
+
+    Scalable rewrite: each interval (here: an event's [ts, ts + dur]
+    with a deterministic per-event duration) explodes into the ≤ 2
+    fixed-width bins it covers; overlapping intervals necessarily share
+    a covered bin, so a (type, bin) EQUI join + exact overlap filter +
+    pair-dedup reproduces the nested-loop semantics. The dedup
+    (distinct on the pair) is the step q_join_range doesn't need — a
+    pair can meet in two bins when both intervals straddle the same
+    boundary. Shuffle on (type, bin); never O(n·m). The oracle is the
+    direct DuckDB interval self-join.
+    """
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts")
+            + (F.col("event_id") % 30 + 1) * 60
+        ).alias("e"),
+    )
+    binned = iv.select(
+        "event_id",
+        "event_type",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / _IVL_BIN_S),
+                F.floor(F.col("e") / _IVL_BIN_S),
+            )
+        ).alias("bin"),
+    )
+    a = binned.select(
+        F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("s_a"),
+        F.col("e").alias("e_a"),
+        "bin",
+    )
+    b = binned.select(
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("s_b"),
+        F.col("e").alias("e_b"),
+        "bin",
+    )
+    return (
+        a.join(b, (F.col("type_a") == F.col("type_b")) & (a["bin"] == b["bin"]))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.least("e_a", "e_b") - F.greatest("s_a", "s_b")
+            ).alias("overlap_s"),
+        )
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )

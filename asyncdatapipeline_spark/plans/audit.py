@@ -95,6 +95,9 @@ CHECKS: dict[str, list[tuple]] = {
     "q_join_range": [
         ("forbid", "binned equi join, no nested loop", *_NESTED_LOOP_NODES),
     ],
+    "q_join_interval": [
+        ("forbid", "binned equi join, never a nested loop", *_NESTED_LOOP_NODES),
+    ],
     "q_scan_partition_pruned": [
         ("must", "date filter became a partition filter", r"PartitionFilters: \[[^\]]*event_date"),
     ],
