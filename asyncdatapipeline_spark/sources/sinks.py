@@ -83,7 +83,10 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("split")
             .parquet(out)
         )
-    back = spark.read.parquet(out)
+    # Explicit read schema: an EMPTY corpus writes a layout with no data
+    # files, where schema inference fails — and at 100 TB you pin the
+    # read schema anyway rather than pay footer sampling.
+    back = spark.read.schema(d.schema).parquet(out)
     # 32-bit md5 prefix per (id, text) pair, summed per split: a lost,
     # duplicated, or cross-partition-misfiled row breaks the sum.
     pair_hash = F.conv(

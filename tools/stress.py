@@ -45,6 +45,9 @@ QUERIES = [
     "q_dedup_embed_lsh",
     "q_curation_full",
     "q_pack_sequences",
+    "q_dedup_incremental",
+    "q_dedup_chunk",
+    "q_text_bm25",
     # TPC-H join family (replicated facts over fixed dims: the
     # AQE-sensitive snowflake join and agg-then-topk plans)
     "q_agg_hash",
