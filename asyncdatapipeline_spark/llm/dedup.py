@@ -1361,3 +1361,24 @@ def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def append_to_signature_store(
+    spark: SparkSession, sf_dir: str, new_docs: DataFrame
+) -> str:
+    """Store MAINTENANCE: after a batch passes dedup, append its band
+    signatures into the persisted store so the NEXT drop dedups against
+    it too — the write half of the incremental-dedup lifecycle.
+
+    ``insertInto`` preserves the table's bucketing spec (each appended
+    file lands hashed into the right bucket), so the store stays
+    join-ready without a rewrite; periodic compaction of small appended
+    files is ordinary bucketed-table maintenance. Hot-bucket suppression
+    is re-evaluated at READ time by callers that need it — appends must
+    not re-scan the store.
+    """
+    tbl = ensure_signature_store(spark, sf_dir)
+    rows = _band_key_rows(new_docs, spark)
+    # Column order must match the table spec (doc_id, band_key).
+    rows.select("doc_id", "band_key").write.insertInto(tbl, overwrite=False)
+    return tbl

@@ -116,11 +116,17 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
     # Raw string: the \b word-boundary escapes must reach DuckDB as
     # regex metachars, not Python backspace chars.
     oracle=r"""
-WITH s AS (
-  SELECT user_id,
-         string_agg(event_type, ' '
-                    ORDER BY date_trunc('second', ts), event_id) AS seq
-  FROM events GROUP BY user_id
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY date_trunc('second', ts), event_id
+         ) AS rn
+  FROM events
+),
+s AS (
+  SELECT user_id, string_agg(event_type, ' ' ORDER BY rn) AS seq
+  FROM ranked WHERE rn <= 1000 GROUP BY user_id
 ),
 f AS (
   SELECT
@@ -157,16 +163,28 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the fixture has no such key, and the cap is policy, not shape.
     """
     e = load_table(spark, sf_dir, "events")
+    # Only the first 1000 events (in event-time order) participate — a
+    # literal slice on the sorted list (the r3-ADVICE free guardrail),
+    # so a bot key's sequence/regex cost is bounded even before any
+    # upstream per-user ingest cap lands. (The collect buffer itself
+    # still sees every row of the key — the full fix at 100 TB is the
+    # upstream cap the docstring names; the slice bounds everything
+    # downstream of it for free.) The oracle mirrors the cap with a
+    # rank filter.
     seq = F.array_join(
         F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.date_trunc("second", "ts").alias("t"),
-                        F.col("event_id").alias("i"),
-                        F.col("event_type").alias("ty"),
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.date_trunc("second", "ts").alias("t"),
+                            F.col("event_id").alias("i"),
+                            F.col("event_type").alias("ty"),
+                        )
                     )
-                )
+                ),
+                1,
+                1000,
             ),
             lambda s: s["ty"],
         ),

@@ -592,3 +592,55 @@ def test_phash_stub_locality(spark):
     h = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
     assert h(phash_stub(base), phash_stub(near)) <= 10
     assert h(phash_stub(base), phash_stub(far)) >= 16
+
+
+def test_signature_store_append_lifecycle(spark, sf_dir, tmp_path_factory):
+    """The write half of incremental dedup: drop 1 passes the gate and
+    its signatures append into the store; drop 2 (a near-copy of a
+    drop-1 doc) must then collide with the drop-1 doc — which the
+    pre-append store could not know about."""
+    from asyncdatapipeline_spark.llm.dedup import (
+        _band_key_rows,
+        append_to_signature_store,
+        ensure_signature_store,
+    )
+
+    out = tmp_path_factory.mktemp("lifecycle")
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.withColumn("nw", F.size(F.split("text", " ")))
+        .orderBy(F.col("nw").desc(), "doc_id")
+        .first()
+    )
+    pdir = str(out)
+    d.write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    store_tbl = ensure_signature_store(spark, pdir)
+    n_before = spark.table(store_tbl).count()
+
+    # Drop 1: a new doc (id 20001 — not in the %5 store split's id
+    # space) whose signatures get appended after "passing" dedup.
+    drop1 = spark.createDataFrame(
+        [(20001, base["text"], base["lang"], base["source"], base["n_chars"])],
+        schema=d.schema,
+    )
+    append_to_signature_store(spark, pdir, drop1)
+    assert spark.table(store_tbl).count() > n_before
+
+    # Drop 2: near-copy of the drop-1 doc. Its band keys must now hit
+    # the appended signatures.
+    words = base["text"].split(" ")
+    words[len(words) // 2] = "MUTATED"
+    drop2 = spark.createDataFrame(
+        [(20010, " ".join(words), base["lang"], base["source"], base["n_chars"])],
+        schema=d.schema,
+    )
+    batch = _band_key_rows(drop2, spark)
+    store = spark.table(store_tbl)
+    hits = (
+        batch.alias("b")
+        .join(store.alias("s"), F.col("b.band_key") == F.col("s.band_key"))
+        .filter(F.col("s.doc_id") == 20001)
+        .count()
+    )
+    assert hits > 0, "drop-2 near-dup did not collide with appended drop-1 signatures"
