@@ -371,3 +371,45 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("key_shl"),
         F.shiftright(k, 3).alias("key_shr"),
     )
+
+
+@query(
+    "q_json_flatten",
+    oracle="""
+WITH kv AS (
+  SELECT event_id, props, unnest(json_keys(props)) AS prop_key
+  FROM events
+)
+SELECT event_id, prop_key,
+       json_extract_string(props, '$.' || prop_key) AS prop_value,
+       TRY_CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT)
+         AS prop_int
+FROM kv
+ORDER BY event_id, prop_key
+""",
+)
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured flatten (B42b): explode each event's JSON props
+    object into one (event_id, key, value) row per property — the
+    1→N ETL step that turns a schemaless payload column into a
+    queryable long table (q_fn_json is its scalar 1→1 sibling).
+
+    ``from_json`` to ``map<string,string>`` parses each payload ONCE,
+    then ``explode`` emits the pairs — map-only, no shuffle at any
+    size, and the string-typed value column is the honest contract for
+    schemaless input (typed projection is a `try_cast` after the
+    flatten, exactly as here). At 100 TB the flatten runs at ingest
+    and lands partitioned by key for per-property analytics.
+    """
+    e = load_table(spark, sf_dir, "events")
+    kv = F.explode(F.from_json("props", "map<string,string>"))
+    return (
+        e.select("event_id", kv.alias("prop_key", "prop_value"))
+        .select(
+            "event_id",
+            "prop_key",
+            "prop_value",
+            F.expr("try_cast(prop_value AS bigint)").alias("prop_int"),
+        )
+        .orderBy("event_id", "prop_key")
+    )
