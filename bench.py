@@ -65,6 +65,8 @@ HEADLINE = [
     "q_join_multiway",   # six-table Q5-shape snowflake join
     "q_dedup_incremental",  # new batch vs persisted signature store
     "q_dedup_chunk",     # chunk-level boilerplate dedup
+    "q_text_bm25",       # BM25 retrieval top-k (broadcast corpus stats)
+    "q_retention",       # cohort retention rollup
 ]
 
 
