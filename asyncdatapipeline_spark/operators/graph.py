@@ -1,0 +1,141 @@
+"""Graph operators (north star: iterative relational algorithms).
+
+The engine's graph doctrine: a graph is an edge DataFrame; an iterative
+algorithm is a bounded loop of join + aggregate rounds (the same shape
+as llm/dedup.py's connected components). The determinism problem every
+distributed PageRank has — float contributions sum in partition order,
+so two runs disagree in the last ulps — is solved here by FIXED-POINT
+arithmetic: ranks are BIGINT micro-units (10^12 total mass), shares are
+integer divisions, and both engines floor identically, so the DuckDB
+oracle matches bit-for-bit with no tolerance band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from asyncdatapipeline_spark.registry import query
+from asyncdatapipeline_spark.sources.tables import load_table
+
+_PR_SCALE = 10**12   # total rank mass, in micro-units
+_PR_ITERS = 3        # fixed, bounded iteration count
+_PR_TOP_K = 20
+
+# Unrolled-iteration DuckDB twin. Node ids: customer c → 2c,
+# supplier s → 2s+1 (disjoint id spaces on one BIGINT axis).
+_PR_ITER_SQL = """
+i{it} AS (
+  SELECT e.v AS node, sum(r{prev}.r // deg.d) AS inc
+  FROM edges e
+  JOIN r{prev} ON r{prev}.node = e.u
+  JOIN deg ON deg.u = e.u
+  GROUP BY e.v
+),
+r{it} AS (
+  SELECT node,
+         (15 * (SELECT b FROM base)) // 100 + (85 * inc) // 100 AS r
+  FROM i{it}
+)"""
+
+
+def _pagerank_oracle() -> str:
+    iters = ",".join(
+        _PR_ITER_SQL.format(it=i, prev=i - 1)
+        for i in range(1, _PR_ITERS + 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+n AS (SELECT count(*) AS n_nodes FROM nodes),
+base AS (SELECT {_PR_SCALE} // n_nodes AS b FROM n),
+r0 AS (SELECT node, (SELECT b FROM base) AS r FROM nodes),
+{iters}
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       node // 2 AS entity_key,
+       CAST(r AS BIGINT) AS rank_fp
+FROM r{_PR_ITERS}
+ORDER BY rank_fp DESC, node
+LIMIT {_PR_TOP_K}
+"""
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the customer↔supplier trade graph
+    (north star: iterative graph analytics): {iters} power-iteration
+    rounds, damping 0.85, top-{k} nodes — "which entities sit at the
+    center of the order flow", the influence primitive.
+
+    Scale + determinism shape:
+
+    - the graph is the distinct (customer, supplier) pairs of
+      lineitem⋈orders, undirected (both edge directions), so every
+      node has out-degree ≥ 1 — no dangling-mass correction term;
+    - each round is ONE join (ranks onto out-edges, pre-joined with
+      out-degrees) + ONE aggregation (incoming shares per target) —
+      the canonical bounded-iteration relational loop, shuffling on
+      node ids only; iteration count is fixed, not convergence-driven;
+    - ranks are BIGINT micro-units ({scale} total mass) and every
+      division is an integer floor — float summation order can't
+      perturb anything, which is what lets the DuckDB oracle (the same
+      {iters} rounds unrolled as CTEs) hash-match exactly. The ~1
+      micro-unit/op floor leak is identical in both engines and
+      irrelevant to ranking.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    base = nodes.agg(
+        F.expr(f"{_PR_SCALE} div count(1)").alias("b")
+    )
+    ewd = edges.join(deg, "u")
+
+    r = nodes.crossJoin(F.broadcast(base)).select(
+        "node", F.col("b").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        inc = (
+            ewd.join(r, ewd["u"] == r["node"])
+            .select(F.col("v"), F.expr("r div d").alias("share"))
+            .groupBy("v")
+            .agg(F.sum("share").alias("inc"))
+        )
+        r = inc.crossJoin(F.broadcast(base)).select(
+            F.col("v").alias("node"),
+            F.expr("(15 * b) div 100 + (85 * inc) div 100").alias("r"),
+        )
+    return (
+        r.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("kind"),
+            F.expr("node div 2").alias("entity_key"),
+            F.col("r").alias("rank_fp"),
+        )
+        .orderBy(F.col("rank_fp").desc(), "node")
+        .limit(_PR_TOP_K)
+    )
+
+
+q_graph_pagerank.__doc__ = q_graph_pagerank.__doc__.format(
+    iters=_PR_ITERS, k=_PR_TOP_K, scale=_PR_SCALE
+)

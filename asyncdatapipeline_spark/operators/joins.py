@@ -579,3 +579,75 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+_BASKET_MAX_ITEMS = 50   # orders with more distinct parts contribute no pairs
+_COPURCHASE_TOP_K = 20
+
+
+@query(
+    "q_copurchase",
+    oracle=f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+sz AS (
+  SELECT l_orderkey FROM op GROUP BY l_orderkey
+  HAVING count(*) BETWEEN 2 AND {_BASKET_MAX_ITEMS}
+),
+ok AS (
+  SELECT op.l_orderkey, op.l_partkey FROM op JOIN sz USING (l_orderkey)
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+  FROM ok a JOIN ok b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_orders FROM pairs
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {_COPURCHASE_TOP_K}
+""",
+)
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence pair mining (market-basket): the top-{k} pairs of
+    parts ordered together — the recommender/affinity primitive, and
+    the canonical self-join-on-a-grouping-key shape.
+
+    The guardrail IS the operator at 100 TB: a basket with m items
+    yields m(m-1)/2 pairs, so a degenerate basket (a reseller order
+    with 10⁵ parts) detonates the join. Baskets are size-capped
+    ({cap} distinct items) BEFORE the self-join — the same count-first
+    suppression as the LSH hot buckets and hot shingles. After the cap,
+    pair generation shuffles on the basket key, pair counting on the
+    pair — both map-side combinable — and the top-k plans as
+    TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sz = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
+        .select("l_orderkey")
+    )
+    ok = op.join(sz, "l_orderkey")
+    a = ok.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = ok.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(_COPURCHASE_TOP_K)
+    )
+
+
+q_copurchase.__doc__ = q_copurchase.__doc__.format(
+    k=_COPURCHASE_TOP_K, cap=_BASKET_MAX_ITEMS
+)

@@ -510,3 +510,124 @@ def append_day_to_rollup(
         .write.mode("append")
         .parquet(rollup_path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) multi-dimensional clustering
+# ---------------------------------------------------------------------------
+
+# 16-bit Morton spread via the standard mask cascade — plain integer
+# bit math generated per engine (Spark spells shifts shiftleft(),
+# DuckDB <<), so both compute the identical key. Subexpressions are
+# textually duplicated by the generator; they are integer ops on one
+# column, so the recompute is noise.
+_SPREAD_STEPS = ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765))
+
+
+def _zorder_key(a: str, b: str, shl) -> str:
+    def spread(x: str) -> str:
+        e = f"({x} & 65535)"
+        for sh, mask in _SPREAD_STEPS:
+            e = f"(({e} | {shl(e, sh)}) & {mask})"
+        return e
+
+    return f"({spread(a)} | {shl(spread(b), 1)})"
+
+
+def _zkey_spark(a: str, b: str) -> str:
+    return _zorder_key(a, b, lambda e, n: f"shiftleft({e}, {n})")
+
+
+def _zkey_duck(a: str, b: str) -> str:
+    return _zorder_key(a, b, lambda e, n: f"({e} << {n})")
+
+
+_Z_CELL_SHIFT = 8  # 256-key Z-cells = aligned 16×16 grid blocks
+
+
+@query(
+    "q_layout_zorder",
+    oracle=f"""
+WITH h AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_id
+  FROM events
+),
+mins AS (
+  SELECT min(user_id) AS u0, max(user_id) AS u1,
+         min(hour_id) AS h0, max(hour_id) AS h1
+  FROM h
+),
+z AS (
+  SELECT event_id, user_id, hour_id,
+         {_zkey_duck(
+             "(((user_id - mins.u0) * 255) // greatest(1, mins.u1 - mins.u0))",
+             "(((hour_id - mins.h0) * 255) // greatest(1, mins.h1 - mins.h0))",
+         )} AS zkey
+  FROM h CROSS JOIN mins
+)
+SELECT zkey >> {_Z_CELL_SHIFT} AS zcell,
+       count(*) AS n_events,
+       min(user_id) AS u_min, max(user_id) AS u_max,
+       min(hour_id) AS h_min, max(hour_id) AS h_max
+FROM z GROUP BY 1 ORDER BY 1
+""",
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, hour) + per-cell
+    span report (layout family): the multi-dimensional ingest sort that
+    makes min/max row-group pruning work for BOTH predicate dimensions
+    at once — a single-column sort gives perfect pruning on one dim and
+    none on the other; Z-order trades a little of each for useful
+    pruning on both (the table-format OPTIMIZE ZORDER idea, as a plain
+    expression).
+
+    The key is pure integer bit math (16-bit mask-cascade interleave) —
+    map-only codegen, identical in both engines. The report groups rows
+    into coarse Z-cells and shows each cell's span in BOTH dims: cells
+    are tight in user AND hour simultaneously, which is exactly the
+    per-file min/max statistics a zkey-sorted write hands the pruner.
+    tests/test_layout_zorder.py asserts the layout property itself:
+    zkey-sorted files bound both per-file spans; arrival order does not.
+    """
+    e = load_table(spark, sf_dir, "events")
+    h = e.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_timestamp(ts) div 3600").alias("hour_id"),
+    )
+    # Both dims rescale to a COMMON 8-bit grid against the corpus
+    # min/max (a lazy 1-row frame — corpus constants at ingest) before
+    # interleaving. Two reasons, both observed: interleaving ABSOLUTE
+    # values lets one dim's offset bits dominate (a single-column sort
+    # in disguise), and interleaving zero-based dims of UNEQUAL bit
+    # width leaves the narrow dim's high lanes all-zero, so every
+    # coarse split lands on wide-dim bits only — the narrow dim gets
+    # no locality. Equal-width grids give genuinely alternating bits.
+    mins = h.agg(
+        F.min("user_id").alias("u0"),
+        F.max("user_id").alias("u1"),
+        F.min("hour_id").alias("h0"),
+        F.max("hour_id").alias("h1"),
+    )
+    ub = "(((user_id - u0) * 255) div greatest(1, u1 - u0))"
+    hb = "(((hour_id - h0) * 255) div greatest(1, h1 - h0))"
+    z = h.crossJoin(F.broadcast(mins)).select(
+        "event_id",
+        "user_id",
+        "hour_id",
+        F.expr(_zkey_spark(ub, hb)).alias("zkey"),
+    )
+    return (
+        z.groupBy(
+            F.shiftright("zkey", _Z_CELL_SHIFT).alias("zcell")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+            F.min("hour_id").alias("h_min"),
+            F.max("hour_id").alias("h_max"),
+        )
+        .orderBy("zcell")
+    )

@@ -269,3 +269,41 @@ def q_win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("value").over(w)
         ).alias("avg_1h"),
     )
+
+
+@query(
+    "q_feature_rank",
+    oracle="""
+SELECT event_id, event_type, value,
+       round(percent_rank() OVER (
+         PARTITION BY event_type ORDER BY value, event_id), 6) AS pr,
+       round(cume_dist() OVER (
+         PARTITION BY event_type ORDER BY value, event_id), 6) AS cd
+FROM events
+ORDER BY event_id
+""",
+)
+def q_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based feature normalization (windows family → feature
+    engineering): per-series percent-rank and CDF position of each
+    value — the outlier-robust scaling (quantile transform) feature
+    pipelines apply before training, where min-max scaling is skew-
+    fragile.
+
+    One window per series (shuffle on event_type, sort on value);
+    event_id breaks ties so both engines assign identical ranks to
+    duplicate values. Rank output is a pure row position ratio —
+    integer arithmetic until the final division, so 6dp rounding is
+    bit-stable cross-engine. At extreme series cardinality the
+    percentile-bounds variant (q_winsorize's broadcast shape) replaces
+    the full sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    ).orderBy("event_id")
