@@ -226,6 +226,26 @@ CHECKS: dict[str, list[tuple]] = {
         ("must", "cohort/activity frames aggregate partially map-side", r"HashAggregate.*partial"),
         ("forbid", "no nested loop anywhere", *_NESTED_LOOP_NODES),
     ],
+    "q_copurchase": [
+        ("must", "top-k via TakeOrderedAndProject", r"TakeOrderedAndProject"),
+        ("must", "pair counts aggregate partially map-side", r"HashAggregate.*partial"),
+        ("forbid", "no nested loop (basket-capped self equi-join)", *_NESTED_LOOP_NODES),
+    ],
+    "q_graph_pagerank": [
+        # The 1-row base-mass frame crossJoins each round — a sanctioned
+        # BroadcastNestedLoopJoin with an O(1) side (the q_join_theta
+        # rule); an unbounded CartesianProduct is still forbidden.
+        ("forbid", "bounded join+agg rounds, no cartesian blowup", "CartesianProduct"),
+        ("forbid", "no Python in the iteration path", *_PYTHON_EVAL_NODES),
+    ],
+    "q_layout_zorder": [
+        ("must", "cell aggregation partial map-side", r"HashAggregate.*partial"),
+        ("forbid", "key is pure codegen bit math, no Python", *_PYTHON_EVAL_NODES),
+    ],
+    "q_feature_rank": [
+        ("must", "one window per series", r"Window"),
+        ("forbid", "no Python in the row path", *_PYTHON_EVAL_NODES),
+    ],
     "q_dedup_simhash": [
         # The whole SimHash family is built-in expressions now — any
         # Python eval node in this plan is a regression to the slow path.
