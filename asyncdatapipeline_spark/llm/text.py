@@ -899,3 +899,89 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_text_keywords.__doc__ = q_text_keywords.__doc__.format(k=_KEYWORDS_PER_DOC)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM scoring (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+_PPL_FLAG_NLL = 3.4  # mean negative-log-likelihood flag threshold
+
+
+@query(
+    "q_text_unigram_ppl",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+vocab AS (
+  SELECT word, count(*) AS wf FROM w GROUP BY word
+),
+tot AS (SELECT CAST(sum(wf) AS BIGINT) AS n_tokens FROM vocab),
+lp AS (
+  SELECT w.doc_id,
+         CAST(round(ln(vocab.wf * 1.0 / (SELECT n_tokens FROM tot)), 9)
+              AS DECIMAL(28,12)) AS logp
+  FROM w JOIN vocab USING (word)
+),
+d AS (
+  SELECT doc_id, count(*) AS n_words,
+         CAST(sum(logp) AS DOUBLE) AS sum_logp
+  FROM lp GROUP BY doc_id
+)
+SELECT doc_id, n_words,
+       round(-sum_logp / n_words, 6) AS mean_nll,
+       -sum_logp / n_words > {_PPL_FLAG_NLL} AS flagged_surprising
+FROM d ORDER BY doc_id
+""",
+)
+def q_text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring (the perplexity quality filter —
+    CCNet/Gopher's LM filter with the 5-gram model honestly reduced to
+    the corpus's own unigram distribution): each document's mean
+    negative log-likelihood under corpus word frequencies, flagged when
+    unusually surprising.
+
+    Two-pass broadcast shape (the decontam/anomaly doctrine): the vocab
+    frequency table aggregates map-side, the corpus re-scan joins it
+    (broadcast at sane vocab sizes) and sums per-doc log-probs. Float
+    determinism under a SHUFFLED sum is handled by the engine's decimal
+    armor with one extra step for the transcendental: each per-word
+    ln() rounds to 9dp as a double (identical IEEE value in both
+    engines), then casts to DECIMAL(28,12) — the double sits within
+    ~1e-17 of its 9dp target, so the 12dp cast recovers the exact same
+    decimal in both engines, and the decimal sum is order-free. A real
+    deployment swaps the unigram table for n-gram KenLM scores via the
+    same join; the plumbing and determinism contract are unchanged.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = w.groupBy("word").agg(F.count(F.lit(1)).alias("wf"))
+    tot = vocab.agg(F.sum("wf").alias("n_tokens"))
+    lp = (
+        w.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("wf") * F.lit(1.0) / F.col("n_tokens")), 9
+            )
+            .cast("decimal(28,12)")
+            .alias("logp"),
+        )
+    )
+    agg = lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("logp").cast("double").alias("sum_logp"),
+    )
+    mean_nll = -F.col("sum_logp") / F.col("n_words")
+    return (
+        agg.select(
+            "doc_id",
+            "n_words",
+            F.round(mean_nll, 6).alias("mean_nll"),
+            (mean_nll > _PPL_FLAG_NLL).alias("flagged_surprising"),
+        )
+        .orderBy("doc_id")
+    )

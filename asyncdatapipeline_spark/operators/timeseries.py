@@ -374,3 +374,66 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_SESSION_GAP_S = 1800  # 30-minute inactivity boundary
+
+
+@query(
+    "q_sessionize",
+    oracle=f"""
+WITH t AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+         ) AS prev_sec
+  FROM events
+),
+f AS (
+  SELECT *,
+         CASE WHEN prev_sec IS NULL
+                OR sec - prev_sec > {_SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM t
+)
+SELECT event_id, user_id, event_type,
+       CAST(sum(is_new) OVER (
+         PARTITION BY user_id ORDER BY sec, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+FROM f
+ORDER BY event_id
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization (B45's row-level sibling): assign every
+    event its per-user session NUMBER (30-min inactivity boundary) —
+    where q_window_session aggregates per session, this LABELS rows, the
+    form downstream joins need (events keyed by (user, session)).
+
+    The gaps-and-islands shape: one window computes the previous
+    event's time (lag), a second running-sum counts boundary flags —
+    both ride the SAME (user_id, time) partitioning and sort, so the
+    whole operator is one shuffle + one sort, any corpus size. Times
+    floor to epoch seconds (the proven cross-engine contract); event_id
+    breaks same-second ties identically in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = W.partitionBy("user_id").orderBy(sec, "event_id")
+    prev = F.lag(sec).over(w)
+    is_new = F.when(
+        prev.isNull() | ((sec - prev) > _SESSION_GAP_S), 1
+    ).otherwise(0)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.sum(is_new)
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("session_seq"),
+        )
+        .orderBy("event_id")
+    )
