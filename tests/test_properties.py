@@ -288,3 +288,86 @@ def test_split_hash_matches_python_md5(spark, sf_dir):
     for r in rows[:50]:
         exp = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2], 16)
         assert r["bucket"] == exp
+
+
+# -- round-4 primitives ----------------------------------------------------
+
+
+def _morton_ref(a: int, b: int) -> int:
+    """Bit-interleave reference: a in even lanes, b in odd."""
+    out = 0
+    for i in range(16):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_zorder_key_matches_python_reference(pairs):
+    """The generated mask-cascade SQL (DuckDB dialect — same generator
+    as the Spark spelling, shifts aside) must equal naive per-bit
+    interleaving for the full 16-bit × 16-bit domain."""
+    import duckdb
+
+    from asyncdatapipeline_spark.operators.layout import _zkey_duck
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE p (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    got = con.sql(f"SELECT {_zkey_duck('a', 'b')} FROM p").fetchall()
+    for (a, b), (g,) in zip(pairs, got):
+        assert g == _morton_ref(a, b), (a, b, g)
+
+
+@given(st.binary(min_size=72, max_size=400), st.integers(0, 399), st.integers(0, 255))
+def test_phash_stub_properties(payload, pos, newbyte):
+    """Deterministic, signed-64-ranged, and local: one mutated byte
+    moves at most 8 bits (each sampled position touches ≤ 2 dHash
+    comparisons, and a byte is sampled ≤ 2× once len ≥ 72)."""
+    from asyncdatapipeline_spark.llm.multimodal import phash_stub
+
+    h1 = phash_stub(payload)
+    assert -(1 << 63) <= h1 < (1 << 63)
+    assert phash_stub(payload) == h1
+    pos = pos % len(payload)
+    mutated = payload[:pos] + bytes([newbyte]) + payload[pos + 1 :]
+    h2 = phash_stub(mutated)
+    hamming = bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
+    assert hamming <= 8, (pos, hamming)
+
+
+def test_sessionize_boundary_exact_gap(spark):
+    """The session rule is STRICTLY greater than the gap: events exactly
+    1800s apart stay in one session; 1801s starts a new one."""
+    import datetime as dt
+
+    from asyncdatapipeline_spark import registry
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 7, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=1800), 7, "view", 1.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=3601), 7, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {
+            r["event_id"]: r["session_seq"]
+            for r in registry.get("q_sessionize").fn(spark, d).collect()
+        }
+    assert out == {1: 1, 2: 1, 3: 2}, out
