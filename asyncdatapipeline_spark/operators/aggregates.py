@@ -786,3 +786,58 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "q_agg_argminmax",
+    # DuckDB's arg_max can't take a composite ordering key, so the
+    # tiebroken extremes come from rank windows instead — same
+    # (value, orderkey) lexicographic contract as the Spark struct key.
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderstatus,
+         row_number() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+         row_number() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min
+  FROM orders
+)
+SELECT o_orderpriority,
+       max(CASE WHEN rn_max = 1 THEN o_orderkey END) AS biggest_order,
+       max(CASE WHEN rn_min = 1 THEN o_orderkey END) AS smallest_order,
+       max(o_totalprice) AS max_price,
+       min(o_totalprice) AS min_price,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderstatus = 'F') AS any_final
+FROM r
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument-extrema + boolean aggregates (B21 completion):
+    ``max_by``/``min_by`` (which ROW holds the extreme, not just the
+    extreme value) and ``bool_and``/``bool_or`` — the "who" aggregates
+    dashboards run constantly.
+
+    Determinism contract: ``max_by``'s result is undefined under ties
+    of the ordering value, so the ordering key is a STRUCT with the
+    unique orderkey as tiebreaker — both engines then pick the
+    identical row for duplicated prices (DuckDB's ``arg_max`` with a
+    ``row(...)`` key orders structs the same lexicographic way). Plain
+    two-phase hash aggregation, map-side combinable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", key).alias("biggest_order"),
+            F.min_by("o_orderkey", key).alias("smallest_order"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
+        )
+        .orderBy("o_orderpriority")
+    )
