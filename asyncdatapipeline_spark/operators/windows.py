@@ -307,3 +307,82 @@ def q_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     ).orderBy("event_id")
+
+
+@query(
+    "q_rfm",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+           AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, last_order, frequency, monetary,
+         ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+  FROM rfm
+)
+SELECT o_custkey, frequency, round(monetary, 2) AS monetary,
+       r_score, f_score, m_score,
+       CASE
+         WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+         WHEN r_score <= 2 THEN 'recent'
+         WHEN f_score <= 2 THEN 'loyal'
+         WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
+         ELSE 'regular'
+       END AS segment
+FROM scored ORDER BY o_custkey
+""",
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (windows family → workload flagship):
+    recency/frequency/monetary quintiles per customer + segment label —
+    the marketing-analytics standard, and the canonical
+    aggregate-then-rank-then-bucket composition.
+
+    Per-customer aggregates reduce the fact table first (map-side
+    combinable, |customers| rows out); the three ntile windows run over
+    that aggregated frame, not raw orders — their single-partition sort
+    is O(customers), the documented trade of exact global quantile
+    ranks (at extreme customer counts the percentile-bounds variant
+    swaps in, q_winsorize's shape). o_custkey tiebreaks every ntile so
+    both engines assign identical quintiles; monetary sums through
+    decimal before the 2dp display rounding.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    wr = W.orderBy(F.col("last_order").desc(), "o_custkey")
+    wf = W.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = W.orderBy(F.col("monetary").desc(), "o_custkey")
+    r, f_, m = F.col("r_score"), F.col("f_score"), F.col("m_score")
+    return (
+        rfm.select(
+            "o_custkey",
+            "frequency",
+            F.round("monetary", 2).alias("monetary"),
+            F.ntile(5).over(wr).alias("r_score"),
+            F.ntile(5).over(wf).alias("f_score"),
+            F.ntile(5).over(wm).alias("m_score"),
+        )
+        .select(
+            "*",
+            F.when((r <= 2) & (f_ <= 2), "champion")
+            .when(r <= 2, "recent")
+            .when(f_ <= 2, "loyal")
+            .when((r >= 4) & (f_ >= 4), "at_risk")
+            .otherwise("regular")
+            .alias("segment"),
+        )
+        .orderBy("o_custkey")
+    )
