@@ -437,3 +437,68 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_funnel_time",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id,
+         min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS first_purchase
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) >= v.first_view
+  GROUP BY e.user_id
+),
+d AS (
+  SELECT p.user_id, p.first_purchase - v.first_view AS delta_s
+  FROM p JOIN v USING (user_id)
+)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(delta_s, 0.5), 6) AS median_s,
+       round(quantile_cont(delta_s, 0.9), 6) AS p90_s,
+       max(delta_s) AS max_s
+FROM d
+""",
+)
+def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution (B70 companion): how long users
+    take from first view to first subsequent purchase — the funnel's
+    latency half (q_funnel counts WHO converts; this measures HOW
+    FAST).
+
+    Aggregate-first at every step: first-view and first-purchase frames
+    are per-user minima (map-side combinable), the delta set is
+    |converted users| rows, and the percentile runs over that small
+    frame (the q_agg_quantile percentile ↔ quantile_cont contract).
+    Deltas are epoch-floored integer seconds, so everything up to the
+    final interpolated percentile is exact cross-engine arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("first_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", sec.alias("psec"))
+        .join(v, "user_id")
+        .filter(F.col("psec") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("psec").alias("first_purchase"))
+    )
+    d = p.join(v, "user_id").select(
+        (F.col("first_purchase") - F.col("first_view")).alias("delta_s")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("delta_s", F.lit(0.5)), 6).alias("median_s"),
+        F.round(F.percentile("delta_s", F.lit(0.9)), 6).alias("p90_s"),
+        F.max("delta_s").alias("max_s"),
+    )
