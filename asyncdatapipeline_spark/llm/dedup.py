@@ -997,6 +997,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STORE_MOD = 5
 
 
+def _corpus_tag(sf_dir: str) -> str:
+    """Identifier-safe tag for a corpus path: md5 of the FULL path
+    (matching sources/sinks.py ``_scratch``), never a path suffix —
+    /a/sf0.01 and /b/sf0.01 are distinct corpora and must get distinct
+    persisted stores."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+
+
 def _band_key_rows(docs: DataFrame, spark: SparkSession) -> DataFrame:
     """(doc_id, band_key) rows: minhash signature → one string key per
     band, band index folded into the key so the join is single-column
@@ -1049,14 +1059,10 @@ def ensure_signature_store(spark: SparkSession, sf_dir: str) -> str:
         write_bucketed,
     )
 
-    import re
-
-    # Tag sanitized to identifier chars: scratch corpora (tests) pass
-    # arbitrary paths, not just .../sfN.NN dirs.
-    tag = re.sub(
-        r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    )
-    tbl = f"sigstore_b_{tag}"
+    # Table name keyed on a digest of the FULL corpus path (same scheme
+    # as sources/sinks.py _scratch): two corpora whose paths merely share
+    # a suffix (/a/sf0.01 vs /b/sf0.01) must never collide into one store.
+    tbl = f"sigstore_b_{_corpus_tag(sf_dir)}"
     if spark.catalog.tableExists(tbl):
         return tbl
     if register_existing_bucketed(spark, tbl):
@@ -1156,6 +1162,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard) exactly like the within-corpus path.
     """
     store = spark.table(ensure_signature_store(spark, sf_dir))
+    # Re-apply the hot-bucket cap at READ time: appends
+    # (append_to_signature_store) deliberately do not re-scan the store,
+    # so a bucket can grow past _BUCKET_CAP between compactions. On a
+    # never-appended store this filter is a no-op (every bucket was
+    # capped at ingest), so the DuckDB oracle replay stays exact; after
+    # appends it restores the boilerplate guardrail. The count window
+    # clusters on band_key, which the bucketed layout already provides —
+    # no Exchange lands on the store branch (plan-audited).
+    n_in_bucket = F.count(F.lit(1)).over(W.partitionBy("band_key"))
+    store = (
+        store.withColumn("n", n_in_bucket)
+        .filter(F.col("n") <= _BUCKET_CAP)
+        .drop("n")
+    )
     batch_docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % _STORE_MOD == 0
     )
@@ -1285,7 +1305,6 @@ def ensure_exact_hash_store(spark: SparkSession, sf_dir: str) -> str:
     the existing corpus, bucketed by hash — the companion to
     :func:`ensure_signature_store` for exact (not near-) dedup. 32-byte
     digests only; the corpus text never leaves its scan."""
-    import re
     import shutil
 
     from asyncdatapipeline_spark.operators.layout import (
@@ -1294,10 +1313,7 @@ def ensure_exact_hash_store(spark: SparkSession, sf_dir: str) -> str:
         write_bucketed,
     )
 
-    tag = re.sub(
-        r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    )
-    tbl = f"hashstore_b_{tag}"
+    tbl = f"hashstore_b_{_corpus_tag(sf_dir)}"
     if spark.catalog.tableExists(tbl):
         return tbl
     if register_existing_bucketed(spark, tbl):
@@ -1374,11 +1390,23 @@ def append_to_signature_store(
     file lands hashed into the right bucket), so the store stays
     join-ready without a rewrite; periodic compaction of small appended
     files is ordinary bucketed-table maintenance. Hot-bucket suppression
-    is re-evaluated at READ time by callers that need it — appends must
-    not re-scan the store.
+    is re-evaluated at READ time (q_dedup_incremental re-applies the
+    cap via a count window) — appends must not re-scan the store.
+
+    ORACLE-VALIDITY CAVEAT: the DuckDB oracle for q_dedup_incremental
+    replays the store purely from the ``documents`` table (the
+    ``doc_id % 5 != 0`` split), so it cannot see appended rows — oracle
+    verification is only exact on never-appended stores. An ``_APPENDED``
+    marker is written into the table directory so tools/tests can detect
+    (and tests/test_llm.py does detect) that a store has diverged from
+    its pure replay; oracle-checked corpora (the driver's sf dirs) are
+    never appended to.
     """
+    from asyncdatapipeline_spark.operators.layout import _LAYOUT_DIR
+
     tbl = ensure_signature_store(spark, sf_dir)
     rows = _band_key_rows(new_docs, spark)
     # Column order must match the table spec (doc_id, band_key).
     rows.select("doc_id", "band_key").write.insertInto(tbl, overwrite=False)
+    (_LAYOUT_DIR / tbl / "_APPENDED").touch()
     return tbl

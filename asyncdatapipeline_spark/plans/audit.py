@@ -271,6 +271,43 @@ def _eval_check(plan: str, check: tuple) -> bool:
     raise ValueError(f"unknown check kind {kind!r}")
 
 
+def branch_clear_of_exchange(plan: str, leaf_token: str, stop_token: str) -> bool:
+    """True when, in a formatted plan's tree section, the path from the
+    unique tree line containing ``leaf_token`` up to its nearest ancestor
+    containing ``stop_token`` crosses no Exchange node.
+
+    This asserts the INVARIANT itself ("the store branch never
+    re-shuffles") instead of a global Exchange count, so benign plan
+    changes elsewhere (AQE confs, Spark versions, an extra batch-side
+    repartition) cannot flip the audit while the guarded property still
+    holds (ADVICE r4). Ancestorship is recovered from the tree
+    indentation: each level is one 3-char ``+- ``/``:- ``/``:  `` frame,
+    with an optional ``* `` codegen star folded into the prefix.
+    """
+    tree = plan.split("\n\n")[0].splitlines()
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in ":+-* ":
+            i += 1
+        return i
+
+    leaf_idx = [i for i, ln in enumerate(tree) if leaf_token in ln]
+    if len(leaf_idx) != 1:
+        return False
+    i = leaf_idx[0]
+    d = depth(tree[i])
+    for j in range(i - 1, -1, -1):
+        dj = depth(tree[j])
+        if dj < d:  # nearest ancestor at a shallower depth
+            d = dj
+            if stop_token in tree[j]:
+                return True
+            if "Exchange" in tree[j]:
+                return False
+    return False
+
+
 def run_audit(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, bool]]:
     """Evaluate every plan check; returns (query, description, ok)."""
     results: list[tuple[str, str, bool]] = []
@@ -298,14 +335,13 @@ def run_audit(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, bool]]:
 
     # Incremental dedup: with broadcast disabled (the large-drop case),
     # the persisted signature store must join via its bucketed layout —
-    # SMJ with exactly THREE Exchange nodes, all off the store branch:
-    # the batch side's CPU-spread roundrobin, the batch side's band_key
-    # hash into the store's bucketing, and the pair aggregation. A
-    # store-side re-shuffle would appear as a fourth.
+    # an SMJ whose store branch (scan → read-time cap window → join)
+    # carries NO Exchange; only the batch side and the pair aggregation
+    # shuffle. Asserted structurally on the plan tree, not via a global
+    # Exchange count (ADVICE r4: counts flip on benign plan changes).
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     iplan = plan_of(spark, "q_dedup_incremental", sf_dir)
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    n_exch = len(re.findall(r"\(\d+\) Exchange", iplan))
     results.append(
         (
             "q_dedup_incremental",
@@ -316,8 +352,8 @@ def run_audit(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, bool]]:
     results.append(
         (
             "q_dedup_incremental",
-            "3 Exchanges, none on the store branch",
-            n_exch == 3,
+            "no Exchange between the bucketed store scan and the SMJ",
+            branch_clear_of_exchange(iplan, "sigstore_b_", "SortMergeJoin"),
         )
     )
 

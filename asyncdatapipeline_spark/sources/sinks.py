@@ -89,11 +89,15 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(d.schema).parquet(out)
     # 32-bit md5 prefix per (id, text) pair, summed per split: a lost,
     # duplicated, or cross-partition-misfiled row breaks the sum.
+    # F.concat (NOT concat_ws) so a NULL text NULL-propagates and the
+    # row drops out of the sum — exactly the oracle's `||` semantics;
+    # concat_ws would silently hash just the id for NULL-text rows.
     pair_hash = F.conv(
         F.substring(
             F.md5(
-                F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text"))
-                .cast("binary")
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.col("text")
+                ).cast("binary")
             ),
             1,
             8,

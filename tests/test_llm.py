@@ -644,3 +644,11 @@ def test_signature_store_append_lifecycle(spark, sf_dir, tmp_path_factory):
         .count()
     )
     assert hits > 0, "drop-2 near-dup did not collide with appended drop-1 signatures"
+
+    # The append marks the store as diverged from its pure oracle replay
+    # (appended doc_ids are invisible to the DuckDB rebuild) — the
+    # _APPENDED marker is how tools detect that oracle verification no
+    # longer applies to this corpus's store.
+    from asyncdatapipeline_spark.operators.layout import _LAYOUT_DIR
+
+    assert (_LAYOUT_DIR / store_tbl / "_APPENDED").exists()
