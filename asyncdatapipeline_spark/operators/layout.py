@@ -373,6 +373,75 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_join_bloom",
+    oracle=f"""
+SELECT l.l_returnflag, COUNT(*) AS n_lines,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND p.p_size <= 25
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pushdown — the NON-partitioned sibling
+    of q_join_dpp's dynamic partition pruning: a selective dim filter
+    (brand = 1 of 25) plants a bloom filter on the FACT scan at runtime
+    (``InjectRuntimeFilter`` → ``might_contain(...)`` in the fact-side
+    Filter, plan-asserted), so fact rows that cannot survive the join
+    die at the scan instead of riding the shuffle.
+
+    At 100 TB this is the scan-killer for joins the layout cannot help:
+    the table isn't partitioned by the join key (DPP inapplicable) and
+    the dim is above the broadcast threshold. Spark gates injection on
+    a ≥10 GB application-side scan — the right default, which toy
+    fixtures never meet — so this operator pins the 100 TB decision
+    into its own plan: thresholds scoped to THIS DataFrame's plan
+    materialization (broadcast off → shuffle join, application-side
+    floor 0), then restored; the sweep's other queries never see them.
+    The bloom filter only prunes — results are conf-independent, so the
+    oracle is the plain join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 25)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(revenue, "revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+    scoped = {
+        # Pretend the fact scan is 100 TB so InjectRuntimeFilter fires
+        # at fixture scale (its real default, 10 GB, is correct at
+        # scale and stays untouched for every other query).
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # Dim above broadcast threshold → shuffle join, the case bloom
+        # filters exist for (a broadcast dim already prunes at probe).
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in scoped}
+    try:
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        # Freeze the injected bloom filter into THIS DataFrame: the
+        # optimized logical plan is a lazy val materialized here, while
+        # the scoped confs are active. Later physical planning /
+        # execution derives from it; restoring the confs cannot remove
+        # the injected might_contain.
+        df._jdf.queryExecution().optimizedPlan()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return df
+
+
 def compact_dataset(
     spark: SparkSession,
     path: str,

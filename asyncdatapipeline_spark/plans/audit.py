@@ -257,6 +257,33 @@ CHECKS: dict[str, list[tuple]] = {
         # element_at(aggregate(...), j+1) inside the lambda body.
         ("forbid_re", "vote fold let-bound, not inlined per bit", r"element_at\(aggregate"),
     ],
+    "q_join_bloom": [
+        # The dim's selective brand filter must plant a runtime bloom
+        # filter on the FACT scan (InjectRuntimeFilter) — the
+        # non-partitioned sibling of q_join_dpp's pruning subquery.
+        ("must", "bloom runtime filter on the fact side", r"might_contain"),
+        ("must", "dim brand filter pushed to its scan", r"PushedFilters: \[.*EqualTo\(p_brand,Brand#1\)"),
+        ("must", "aggregation partial map-side", r"HashAggregate.*partial"),
+        ("forbid", "no nested loop", *_NESTED_LOOP_NODES),
+    ],
+    "q_subquery_correlated": [
+        # Q17 shape: the correlated scalar subqueries must DECORRELATE
+        # into per-partkey aggregates joined back on l_partkey — a
+        # surviving per-row Subquery node (or a nested loop) would mean
+        # Catalyst failed and the 100 TB plan executes per-row.
+        ("must", "decorrelated count-aggregate joined LeftOuter", r"BroadcastHashJoin LeftOuter|SortMergeJoin LeftOuter"),
+        ("must", "per-partkey aggregate partial map-side", r"HashAggregate.*partial"),
+        ("forbid", "no per-row subquery execution", "Subquery"),
+        ("forbid", "no nested loop", *_NESTED_LOOP_NODES),
+    ],
+    "q_exists_correlated": [
+        # Q21 shape: EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both on
+        # l_orderkey; no per-row probe, no nested loop.
+        ("must", "EXISTS rewritten to left-semi join", r"LeftSemi"),
+        ("must", "NOT EXISTS rewritten to left-anti join", r"LeftAnti"),
+        ("forbid", "no per-row subquery execution", "Subquery"),
+        ("forbid", "no nested loop", *_NESTED_LOOP_NODES),
+    ],
 }
 
 

@@ -29,7 +29,23 @@ SUBSET = [
     "q_sim_topk",
     "q_fn_array",
     "q_udaf_pandas",
+    "q_subquery_correlated",
+    "q_exists_correlated",
+    "q_join_bloom",
 ]
+
+
+def test_join_bloom_restores_session_confs(spark, sf_dir):
+    """q_join_bloom scopes its 100 TB thresholds to its own plan
+    materialization — the session the sweep shares must come back
+    exactly as it was."""
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    before = {k: spark.conf.get(k) for k in keys}
+    registry.get("q_join_bloom").fn(spark, sf_dir)
+    assert {k: spark.conf.get(k) for k in keys} == before
 
 
 @pytest.fixture(scope="module")
