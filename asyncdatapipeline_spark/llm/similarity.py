@@ -117,29 +117,83 @@ _IVF_NPROBE = 3    # closest centroids probed per query
 _IVF_CACHE: dict[tuple[str, str], list[list[float]]] = {}
 
 
+_MICRO = 1_000_000  # exact micro-unit grid for the Lloyd mean
+
+
+def _sqdist_expr(vcol, center: list[float]):
+    """Squared distance from array column ``vcol`` to a centroid
+    literal, as the sequential left-to-right double fold both DuckDB
+    (:func:`_sqdist_fold_sql`) and the Python probe ranking replicate
+    bit-for-bit."""
+    clit = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(vcol, clit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_cell_expr(vcol, centers: list[list[float]]):
+    """Nearest-centroid index (ties → lowest index, matching the
+    oracle's ``row_number() OVER (ORDER BY dist, cidx)``)."""
+    dist_arr = F.array(*[_sqdist_expr(vcol, c) for c in centers])
+    return F.array_position(dist_arr, F.array_min(dist_arr)) - 1
+
+
 def _ivf_centroids(
     spark: SparkSession, sf_dir: str, corpus: DataFrame
 ) -> list[list[float]]:
-    """Fetch-or-cache the nlist coarse-quantizer centroids.
+    """Fetch-or-cache the nlist coarse-quantizer centroids: seed vectors
+    plus ONE deterministic Lloyd refinement round.
 
-    The quantizer is *corpus-sampled seed vectors* (the nlist smallest
-    vec_ids — a deterministic sample; id order carries no geometry, so
-    this is kmeans++-init-without-refinement). A Lloyd refinement pass
-    would tighten cells but not change the plan shape, the probe
-    contract, or the ingest-time-build story — it is omitted so the
-    DuckDB oracle can reproduce the index *exactly* and hash-check the
-    probe results. Collecting nlist rows is an O(1) driver action,
-    ingest-time work like the layout ensure_* helpers.
+    Seeds are the nlist smallest vec_ids (a deterministic corpus sample;
+    id order carries no geometry). The refinement assigns every vector
+    to its nearest seed (same fold, same lowest-index tie-break as the
+    probe path) and recenters each cell on the per-dimension mean,
+    computed in EXACT arithmetic so the DuckDB oracle replays it
+    bit-for-bit: coordinates land on a micro-unit grid
+    (``floor(x*1e6)`` as BIGINT — floor, not round, because the two
+    engines' double rounding modes differ at half-ulp ties), the cell
+    sum is exact integer, and the mean is the identical IEEE division
+    sequence ``double(sum)/n/1e6`` in both engines. Empty cells keep
+    their seed.
+
+    Distributed shape: the assignment + per-(cell, dim) sum is one
+    partial-aggregating pass over the corpus (shuffle = nlist × d
+    rows); only the nlist × d sums reach the driver — ingest-time work
+    like the layout ensure_* helpers, cached per (session, corpus).
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _IVF_CACHE.get(key)
-    if hit is None:
-        rows = (
-            corpus.select("vec_id", "v").orderBy("vec_id").limit(_IVF_NLIST)
-        ).collect()
-        hit = [[float(x) for x in r["v"]] for r in rows]
-        _IVF_CACHE[key] = hit
-    return hit
+    if hit is not None:
+        return hit
+    rows = (
+        corpus.select("vec_id", "v").orderBy("vec_id").limit(_IVF_NLIST)
+    ).collect()
+    seeds = [[float(x) for x in r["v"]] for r in rows]
+    if not seeds:
+        _IVF_CACHE[key] = []
+        return []
+    # One Lloyd round: nearest-seed assignment, exact micro-unit means.
+    assigned = corpus.select(
+        _argmin_cell_expr(F.col("v"), seeds).alias("cell"), "v"
+    )
+    sums = (
+        assigned.select(
+            "cell", F.posexplode("v").alias("pos", "x")
+        )
+        .groupBy("cell", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * _MICRO).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    refined = [list(c) for c in seeds]  # empty cells keep their seed
+    for r in sums:
+        refined[r["cell"]][r["pos"]] = float(r["s"]) / r["n"] / _MICRO
+    _IVF_CACHE[key] = refined
+    return refined
 
 
 def _sqdist_fold_sql(vexpr: str, cexpr: str) -> str:
@@ -153,13 +207,44 @@ def _sqdist_fold_sql(vexpr: str, cexpr: str) -> str:
 
 
 def _ivf_oracle_sql() -> str:
+    # Mirrors _ivf_centroids exactly: seeds = nlist smallest vec_ids,
+    # one Lloyd round on the micro-unit grid (floor(x*1e6) BIGINT sums,
+    # double(sum)/n/1e6 means — the identical IEEE division sequence the
+    # Python build performs), empty cells keep their seed.
     return f"""
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-c AS (
+seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
   FROM e ORDER BY vec_id LIMIT {_IVF_NLIST}
+),
+d0 AS (
+  SELECT e.vec_id, e.v, seeds.cidx,
+         {_sqdist_fold_sql('e.v', 'seeds.cv')} AS dist
+  FROM e, seeds
+),
+a0 AS (
+  SELECT v, cidx AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+msum AS (
+  SELECT cell, u.j AS pos,
+         sum(CAST(floor(v[u.j] * 1e6) AS BIGINT)) AS ms,
+         count(*) AS n
+  FROM a0, unnest(generate_series(1, len(v))) AS u(j)
+  GROUP BY cell, u.j
+),
+c AS (
+  SELECT seeds.cidx,
+         COALESCE(r.cv, seeds.cv) AS cv
+  FROM seeds LEFT JOIN (
+    SELECT cell AS cidx,
+           list(CAST(ms AS DOUBLE) / n / 1e6 ORDER BY pos) AS cv
+    FROM msum GROUP BY cell
+  ) r USING (cidx)
 ),
 d AS (
   SELECT e.vec_id, e.label, e.v, c.cidx,
@@ -236,18 +321,8 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nearest-cell assignment as a JVM expression: squared distance to
     # each centroid literal, argmin via array_position(min). At scale
     # this is a stored partition column, not a per-query computation.
-    def sqdist(center: list[float]):
-        clit = F.array(*[F.lit(float(x)) for x in center])
-        return F.aggregate(
-            F.zip_with(F.col("v"), clit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    dist_arr = F.array(*[sqdist(c) for c in centers])
-    cell = F.array_position(dist_arr, F.array_min(dist_arr)) - 1
     cand = (
-        e.withColumn("cell", cell)
+        e.withColumn("cell", _argmin_cell_expr(F.col("v"), centers))
         .filter(F.col("cell").isin([int(c) for c in probe_cells]))
         .filter(F.col("vec_id") != _QUERY_VEC_ID)
     )

@@ -220,8 +220,76 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(set(exact) & approx) / len(exact)
     # nprobe/nlist = 3/8 of the corpus scanned; near-isotropic fixture
-    # vectors → recall ≈ fraction probed is the honest floor
+    # vectors → recall ≈ fraction probed is the honest floor. The Lloyd
+    # round sustains far above it here (0.95 measured at sf0.001/0.01).
     assert recall >= 0.3, f"IVF recall {recall} below floor"
+
+
+def test_ivf_lloyd_round_improves_clustered_recall(spark, tmp_path_factory):
+    """The Lloyd refinement must EARN its build pass: on a corpus with
+    real cluster structure (where the fixture's near-isotropic vectors
+    can't show it), one round moves the seed centroids onto the true
+    clusters and recall over the probed cells beats the seed-only
+    quantizer. Deterministic data → deterministic margin."""
+    import numpy as np
+
+    from asyncdatapipeline_spark import registry
+    from asyncdatapipeline_spark.llm import similarity as S
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 10.0, size=(4, 16))
+    rows = []
+    # vec_id 0 is the query; ids are assigned so the SEEDS (the 8
+    # smallest ids) all land in cluster 0 — the worst case seed draw
+    # that only a refinement round can recover from.
+    vid = 0
+    for ci in range(4):
+        for k in range(50):
+            v = centers[ci] + rng.normal(0, 0.5, size=16)
+            rows.append((vid, f"c{ci}", [float(x) for x in v]))
+            vid += 1
+    out = tmp_path_factory.mktemp("ivf_clustered")
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, label STRING, embedding ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+    sf = str(out)
+
+    def recall(centroids) -> float:
+        key = (spark.sparkContext.applicationId, sf)
+        S._IVF_CACHE[key] = centroids
+        try:
+            exact = [
+                r["vec_id"]
+                for r in registry.get("q_sim_topk").fn(spark, sf).collect()
+            ]
+            approx = {
+                r["vec_id"]
+                for r in registry.get("q_sim_ivf").fn(spark, sf).collect()
+            }
+            return len(set(exact) & approx) / len(exact)
+        finally:
+            S._IVF_CACHE.pop(key, None)
+
+    import pyspark.sql.functions as F
+
+    e = load_table(spark, sf, "embeddings").withColumn(
+        "v", S._as_double(F.col("embedding"))
+    )
+    seeds = [
+        [float(x) for x in r["v"]]
+        for r in e.select("vec_id", "v").orderBy("vec_id").limit(S._IVF_NLIST).collect()
+    ]
+    refined = S._ivf_centroids(spark, sf, e)
+    S._IVF_CACHE.pop((spark.sparkContext.applicationId, sf), None)
+    r_seed, r_refined = recall(seeds), recall(refined)
+    assert r_refined > r_seed, (
+        f"Lloyd round did not improve clustered recall: {r_refined} vs {r_seed}"
+    )
+    # All 8 seeds start inside the query's cluster, so after one round
+    # that cluster still splits across ~5 refined cells and nprobe=3
+    # cannot cover them all — 0.9 is structurally unreachable in one
+    # round; 0.6 is the honest floor for this geometry (0.75 measured).
+    assert r_refined >= 0.6, f"refined recall {r_refined} below clustered floor"
 
 
 def test_frame_sampler_shape(spark, sf_dir):
