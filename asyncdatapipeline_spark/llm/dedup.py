@@ -1410,3 +1410,145 @@ def append_to_signature_store(
     rows.select("doc_id", "band_key").write.insertInto(tbl, overwrite=False)
     (_LAYOUT_DIR / tbl / "_APPENDED").touch()
     return tbl
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape) — centroid cells + within-cell cosine
+# ---------------------------------------------------------------------------
+
+# The one major published dedup family not yet composed as a single
+# operator: cluster the corpus embeddings, then flag near-identical
+# vectors WITHIN each cluster cell (Abbas et al., "SemDeDup", 2023 —
+# public paper). Exact all-pairs cosine over 100 TB is forbidden; the
+# cluster pass reduces it to per-cell all-pairs, and the cell count is
+# the knob (nlist ~ sqrt(n) at scale keeps cells bounded).
+
+_SEM_COS_THRESHOLD = 0.93
+_SEM_CELL_CAP = 2000  # degenerate-cell guardrail (same policy as LSH)
+
+
+def _semantic_oracle_sql() -> str:
+    from asyncdatapipeline_spark.llm.similarity import ivf_cells_cte
+
+    return f"""
+WITH {ivf_cells_cte()},
+capped AS (
+  SELECT cell.* FROM cell
+  JOIN (SELECT cell, count(*) AS cn FROM cell GROUP BY cell
+        HAVING count(*) <= {_SEM_CELL_CAP}) z USING (cell)
+),
+dups AS (
+  SELECT a.vec_id, count(*) AS n_near
+  FROM capped a JOIN capped b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {_SEM_COS_THRESHOLD}
+  GROUP BY a.vec_id
+)
+SELECT c.vec_id, c.label, c.cell,
+       COALESCE(d.n_near, 0) AS n_near,
+       COALESCE(d.n_near, 0) > 0 AS is_semdup
+FROM cell c LEFT JOIN dups d USING (vec_id)
+ORDER BY c.vec_id
+"""
+
+
+@query("q_dedup_semantic", oracle=_semantic_oracle_sql())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup shape (public paper: Abbas et al. 2023):
+    assign every embedding to its IVF centroid cell, then flag vectors
+    whose cosine to a LOWER-id cell peer clears the threshold —
+    keep-lowest-id, the same deterministic survivor rule as the exact
+    and MinHash families.
+
+    Composition, not a new index: the cells come from the SAME
+    seed+Lloyd quantizer as q_sim_ivf (one build, cached per corpus —
+    at 100 TB this is the ingest-time cell-partitioned layout), and the
+    within-cell pass is the per-bucket all-pairs shape of
+    q_dedup_embed_lsh with the cell id as the bucket key. Cell count is
+    the scale knob (nlist ~ sqrt(n) bounds cell size); cells past
+    _SEM_CELL_CAP (degenerate embedding regions) are excluded from
+    pairing by the same count-first guardrail as hot LSH buckets, and
+    their members report n_near = 0. Cosines run as the sequential
+    double fold DuckDB's list_cosine_similarity replays bit-for-bit
+    (the q_dedup_embed discipline), so the flag column hash-matches.
+
+    Output: one row per vector — (vec_id, label, cell, n_near,
+    is_semdup); the curation gate filters on ``NOT is_semdup``.
+    """
+    from pyspark.sql import Window
+
+    from asyncdatapipeline_spark.llm.similarity import (
+        _argmin_cell_expr,
+        _as_double,
+        _ivf_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", _as_double(F.col("embedding"))
+    )
+    centers = _ivf_centroids(spark, sf_dir, e)
+    if not centers:
+        return e.select(
+            "vec_id",
+            "label",
+            F.lit(0).cast("long").alias("cell"),
+            F.lit(0).cast("long").alias("n_near"),
+            F.lit(False).alias("is_semdup"),
+        ).limit(0)
+    cells = e.select(
+        "vec_id",
+        "label",
+        "v",
+        _argmin_cell_expr(F.col("v"), centers).cast("long").alias("cell"),
+    )
+    capped = (
+        cells.withColumn(
+            "cn", F.count(F.lit(1)).over(Window.partitionBy("cell"))
+        )
+        .filter(F.col("cn") <= _SEM_CELL_CAP)
+        .drop("cn")
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    a = capped.select(
+        F.col("vec_id").alias("vec_a"), F.col("cell").alias("cell_a"),
+        F.col("v").alias("va"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("na"),
+    )
+    b = capped.select(
+        F.col("vec_id").alias("vec_b"), F.col("cell").alias("cell_b"),
+        F.col("v").alias("vb"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dups = (
+        a.join(
+            b,
+            (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("vec_b") < F.col("vec_a")),
+        )
+        .filter(cos >= _SEM_COS_THRESHOLD)
+        .groupBy(F.col("vec_a").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_near_raw"))
+    )
+    return (
+        cells.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            F.coalesce(F.col("n_near_raw"), F.lit(0).cast("long")).alias(
+                "n_near"
+            ),
+            (F.coalesce(F.col("n_near_raw"), F.lit(0)) > 0).alias(
+                "is_semdup"
+            ),
+        )
+        .orderBy("vec_id")
+    )

@@ -206,13 +206,13 @@ def _sqdist_fold_sql(vexpr: str, cexpr: str) -> str:
     )
 
 
-def _ivf_oracle_sql() -> str:
-    # Mirrors _ivf_centroids exactly: seeds = nlist smallest vec_ids,
-    # one Lloyd round on the micro-unit grid (floor(x*1e6) BIGINT sums,
-    # double(sum)/n/1e6 means — the identical IEEE division sequence the
-    # Python build performs), empty cells keep their seed.
-    return f"""
-WITH e AS (
+def ivf_cells_cte() -> str:
+    """Shared DuckDB CTE chain ending in ``cell(vec_id, label, v, cell)``
+    — the exact replay of :func:`_ivf_centroids` (seeds + one Lloyd
+    round on the micro-unit grid) followed by final cell assignment.
+    Used by the q_sim_ivf oracle and by q_dedup_semantic's (llm/dedup.py),
+    so the two operators provably share one index build."""
+    return f"""e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 seeds AS (
@@ -256,7 +256,16 @@ cell AS (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
     FROM d
   ) WHERE rn = 1
-),
+)"""
+
+
+def _ivf_oracle_sql() -> str:
+    # Mirrors _ivf_centroids exactly: seeds = nlist smallest vec_ids,
+    # one Lloyd round on the micro-unit grid (floor(x*1e6) BIGINT sums,
+    # double(sum)/n/1e6 means — the identical IEEE division sequence the
+    # Python build performs), empty cells keep their seed.
+    return f"""
+WITH {ivf_cells_cte()},
 probe AS (
   SELECT cidx FROM d WHERE vec_id = {_QUERY_VEC_ID}
   ORDER BY dist, cidx LIMIT {_IVF_NPROBE}

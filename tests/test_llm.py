@@ -720,3 +720,42 @@ def test_signature_store_append_lifecycle(spark, sf_dir, tmp_path_factory):
     from asyncdatapipeline_spark.operators.layout import _LAYOUT_DIR
 
     assert (_LAYOUT_DIR / store_tbl / "_APPENDED").exists()
+
+
+def test_semantic_dedup_flags_planted_near_dups(spark, tmp_path_factory):
+    """The fixture's isotropic vectors never clear the SemDeDup cosine
+    threshold (max within-cell cosine ~0.5), so the sweep only proves
+    plumbing; this plants true near-duplicates and asserts the flag and
+    the keep-lowest-id survivor rule."""
+    import numpy as np
+
+    from asyncdatapipeline_spark import registry
+    from asyncdatapipeline_spark.llm import similarity as S
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for vid in range(40):
+        rows.append((vid, "base", [float(x) for x in rng.normal(0, 1, 16)]))
+    # plant: 100 and 101 are tiny perturbations of vector 3 — all three
+    # should land in one cell; 100/101 flagged, 3 survives (lowest id)
+    base = np.array(rows[3][2])
+    for vid in (100, 101):
+        v = base + rng.normal(0, 0.01, 16)
+        rows.append((vid, "dup", [float(x) for x in v]))
+    out = tmp_path_factory.mktemp("semdedup")
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, label STRING, embedding ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+    sf = str(out)
+    S._IVF_CACHE.pop((spark.sparkContext.applicationId, sf), None)
+    res = {
+        r["vec_id"]: r
+        for r in registry.get("q_dedup_semantic").fn(spark, sf).collect()
+    }
+    assert len(res) == 42
+    assert not res[3]["is_semdup"], "survivor (lowest id) was flagged"
+    assert res[100]["is_semdup"] and res[101]["is_semdup"]
+    assert res[101]["n_near"] >= 2  # near both 3 and 100
+    assert not any(
+        r["is_semdup"] for vid, r in res.items() if vid not in (100, 101)
+    )
