@@ -841,3 +841,122 @@ def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_agg_sketch_setops",
+    # Sketch bytes/estimates are engine-specific (the q_agg_hll rule):
+    # the oracle carries the exact set cardinalities plus Spark-side
+    # booleans asserting each theta estimate stayed within tolerance.
+    oracle="""
+WITH a AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+),
+b AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT
+  (SELECT count(*) FROM a) AS exact_a,
+  (SELECT count(*) FROM b) AS exact_b,
+  (SELECT count(*) FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)) AS exact_union,
+  (SELECT count(*) FROM a JOIN b USING (o_custkey)) AS exact_intersection,
+  (SELECT count(*) FROM a ANTI JOIN b USING (o_custkey)) AS exact_difference,
+  true AS union_within_5pct,
+  true AS intersection_within_5pct,
+  true AS difference_within_25pct
+""",
+)
+def q_agg_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations (Spark 4 datasketches): mergeable
+    distinct-count UNION / INTERSECTION / DIFFERENCE estimates across
+    two customer segments — the sketch-level overlap algebra HLL cannot
+    do (q_agg_hll unions only).
+
+    The 100 TB use is cross-corpus overlap pre-flight (e.g. "how much
+    of this crawl drop is already in the training set / the eval
+    benchmark?"): each corpus keeps an ingest-time theta sketch of its
+    doc-hash set, and any pairwise overlap or novelty estimate is
+    sketch algebra on KB-sized payloads — never a distinct-join of the
+    corpora. Mirroring q_agg_hll's two-level proof, each segment's
+    sketch is built as per-(status, priority) PARTIAL sketches that
+    ``theta_union_agg`` re-aggregates — the persist-partials-and-merge
+    path — then the two segment sketches combine via ``theta_union`` /
+    ``theta_intersection`` / ``theta_difference``. Exact twins computed
+    alongside verify every estimate within tolerance (intersection and
+    difference get wider bands than union — set-op error compounds with
+    the Jaccard structure, DataSketches' documented behavior; at
+    fixture scale the 4096-entry sketches are still in exact mode).
+    The final algebra is a crossJoin of two 1-row frames (sanctioned
+    O(1) pattern, q_join_theta rule).
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def segment(status: str, name: str) -> DataFrame:
+        partials = (
+            o.filter(F.col("o_orderstatus") == status)
+            .groupBy("o_orderpriority")
+            .agg(F.theta_sketch_agg("o_custkey").alias("sk_part"))
+        )
+        return partials.agg(
+            F.theta_union_agg("sk_part").alias(name)
+        )
+    sk = segment("F", "sk_a").crossJoin(segment("O", "sk_b"))
+    est = sk.select(
+        F.theta_sketch_estimate(F.col("sk_a")).alias("est_a"),
+        F.theta_sketch_estimate(F.col("sk_b")).alias("est_b"),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("sk_a"), F.col("sk_b"))
+        ).alias("est_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+        ).alias("est_intersection"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_a"), F.col("sk_b"))
+        ).alias("est_difference"),
+    )
+
+    a_ids = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey")
+    ).distinct()
+    b_ids = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey")
+    ).distinct()
+    exact = (
+        a_ids.agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(b_ids.agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(
+            a_ids.union(b_ids).distinct().agg(
+                F.count(F.lit(1)).alias("exact_union")
+            )
+        )
+        .crossJoin(
+            a_ids.join(b_ids, "o_custkey", "semi").agg(
+                F.count(F.lit(1)).alias("exact_intersection")
+            )
+        )
+        .crossJoin(
+            a_ids.join(b_ids, "o_custkey", "anti").agg(
+                F.count(F.lit(1)).alias("exact_difference")
+            )
+        )
+    )
+
+    def within(est, exact_col, frac):
+        return F.abs(est - F.col(exact_col)) <= frac * F.col(exact_col)
+
+    return exact.crossJoin(est).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersection",
+        "exact_difference",
+        within(F.col("est_union"), "exact_union", 0.05).alias(
+            "union_within_5pct"
+        ),
+        within(F.col("est_intersection"), "exact_intersection", 0.05).alias(
+            "intersection_within_5pct"
+        ),
+        within(F.col("est_difference"), "exact_difference", 0.25).alias(
+            "difference_within_25pct"
+        ),
+    )
