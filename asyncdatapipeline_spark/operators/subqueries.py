@@ -2,7 +2,7 @@
 
 The reference engine claims subquery decorrelation as a built-in
 (SURVEY.md §4); until round 5 only the uncorrelated half was exercised
-(q_scalar_subquery, q_join_semi/anti). These two operators cover the
+(q_scalar_subquery, q_join_semi/anti). These operators cover the
 correlated half — the most common relational idiom in analyst SQL:
 
 - ``q_subquery_correlated``: TPC-H Q17's shape — rows compared against
@@ -11,6 +11,10 @@ correlated half — the most common relational idiom in analyst SQL:
 - ``q_exists_correlated``: TPC-H Q21's shape — per-row EXISTS and
   NOT EXISTS with an extra predicate (multi-supplier orders where no
   *other* supplier's line was returned).
+- ``q_join_lateral``: ``, LATERAL (... LIMIT k)`` — per-group top-k as
+  analysts write it, decorrelated to map-side WindowGroupLimit.
+- ``q_join_null_anti``: ``NOT IN`` — the null-aware anti join with its
+  tri-valued NULL semantics.
 
 Scale notes (why these survive 100 TB): Catalyst DECORRELATES both —
 the correlated scalar subqueries become one per-partkey aggregate
@@ -118,3 +122,68 @@ def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "supplier", "lineitem", "orders")
     return spark.sql(_Q21_SQL)
+
+
+# Lateral correlated subquery with per-group LIMIT — "top-3 orders per
+# customer" phrased the way analysts write it. Catalyst rewrites the
+# LIMIT into WindowGroupLimit (a PARTIAL map-side k-heap before the
+# shuffle, then Final) joined back on the key — the same physical shape
+# q_topk_group hand-builds with row_number, derived automatically.
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+) t
+WHERE c.c_nationkey < 5
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+# NOT IN — the NULL-AWARE anti join. Distinct from NOT EXISTS
+# (q_join_anti): one NULL in the subquery column legally empties the
+# whole result (x NOT IN (..., NULL) is never TRUE). Spark plans the
+# single-column case as a null-aware BroadcastHashJoin LeftAnti; a
+# planted-NULL test pins the tri-valued semantics both engines share.
+_NULL_ANTI_SQL = """
+SELECT p_partkey, p_brand FROM part
+WHERE p_partkey NOT IN
+  (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+ORDER BY p_partkey
+"""
+
+
+@query("q_join_lateral", oracle=_LATERAL_SQL)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral correlated subquery with per-group LIMIT (SURVEY.md §4):
+    the top-3 orders of every nation-filtered customer, written as the
+    `, LATERAL (...)` idiom.
+
+    Scale shape after decorrelation: WindowGroupLimit runs PARTIAL on
+    the map side (each task keeps a 3-heap per customer before the
+    shuffle — plan-audited), so the exchange carries at most 3 rows per
+    (task, customer), then Final + the broadcast customer join. At
+    100 TB nothing materializes a customer's full order list. The
+    o_orderkey tiebreak makes the LIMIT deterministic in both engines.
+    """
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_LATERAL_SQL)
+
+
+@query("q_join_null_anti", oracle=_NULL_ANTI_SQL)
+def q_join_null_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN — the null-aware anti join (parts never ordered in large
+    quantity), completing the anti-join family: q_join_anti is NOT
+    EXISTS (null-blind), this is NOT IN (tri-valued: a NULL in the
+    subquery column empties the result — planted-NULL test pins it).
+
+    Plan: null-aware BroadcastHashJoin LeftAnti
+    (HashedRelationBroadcastMode(..., true), plan-audited) — the fact
+    side streams, the filtered subquery side broadcasts. At 100 TB the
+    build side must stay broadcastable (it is the *filtered* key set);
+    an above-threshold build side falls back to the NOT EXISTS form
+    plus an explicit IS NOT NULL guard, which shuffles instead.
+    """
+    _views(spark, sf_dir, "part", "lineitem")
+    return spark.sql(_NULL_ANTI_SQL)

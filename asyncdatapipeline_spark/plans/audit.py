@@ -276,6 +276,23 @@ CHECKS: dict[str, list[tuple]] = {
         ("forbid", "no per-row subquery execution", "Subquery"),
         ("forbid", "no nested loop", *_NESTED_LOOP_NODES),
     ],
+    "q_join_lateral": [
+        # The LATERAL ... LIMIT 3 must decorrelate to WindowGroupLimit
+        # with a PARTIAL map-side pass (per-task 3-heaps BEFORE the
+        # shuffle) — the automatic derivation of q_topk_group's shape.
+        ("must", "map-side partial group-limit heaps", r"WindowGroupLimit.*Partial|WindowGroupLimit\b(?s:.*)Arguments:.*row_number\(\), 3, Partial"),
+        ("forbid", "no per-row subquery execution", "Subquery"),
+        ("forbid", "no nested loop", *_NESTED_LOOP_NODES),
+    ],
+    "q_join_null_anti": [
+        # NOT IN must plan as the null-aware broadcast anti join — the
+        # `true` flag on HashedRelationBroadcastMode is the null-aware
+        # marker (a plain anti join would drop the tri-valued semantics).
+        ("must", "null-aware anti join", r"LeftAnti"),
+        ("must", "null-aware broadcast relation", r"HashedRelationBroadcastMode\(List\(input\[0, bigint, true\]\),true\)"),
+        ("must", "subquery-side filter pushed", r"PushedFilters: \[.*GreaterThan\(l_quantity,45"),
+        ("forbid", "no nested loop", *_NESTED_LOOP_NODES),
+    ],
     "q_exists_correlated": [
         # Q21 shape: EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both on
         # l_orderkey; no per-row probe, no nested loop.

@@ -67,6 +67,12 @@ HEADLINE = [
     "q_dedup_chunk",     # chunk-level boilerplate dedup
     "q_text_bm25",       # BM25 retrieval top-k (broadcast corpus stats)
     "q_retention",       # cohort retention rollup
+    # round-5 additions (superset-stable: nothing above ever drops)
+    "q_subquery_correlated",  # decorrelated TPC-H Q17 shape
+    "q_exists_correlated",    # decorrelated EXISTS/NOT EXISTS (Q21)
+    "q_join_bloom",           # runtime bloom-filter fact-scan pruning
+    "q_dedup_semantic",       # SemDeDup: IVF cells + within-cell cosine
+    "q_agg_sketch_setops",    # theta-sketch set algebra + exact twins
 ]
 
 

@@ -218,3 +218,27 @@ def test_dq_report_passes_on_clean_fixtures(spark, sf_dir):
     # all checked counts positive
     for r in rows.values():
         assert r["passed"] and r["n_violations"] == 0 and r["n_checked"] > 0
+
+
+def test_not_in_null_semantics_match_duckdb(spark):
+    """The q_join_null_anti idiom is TRI-VALUED: one NULL in the
+    subquery column makes `x NOT IN (...)` UNKNOWN for every x, so the
+    result is EMPTY — in both engines. The fixtures have no NULL keys,
+    so this pins the semantics the operator exists for."""
+    import duckdb
+
+    spark.createDataFrame(
+        [(1,), (2,), (3,)], "k BIGINT"
+    ).createOrReplaceTempView("probe_t")
+    spark.createDataFrame(
+        [(2,), (None,)], "k BIGINT"
+    ).createOrReplaceTempView("sub_t")
+    sql = "SELECT k FROM probe_t WHERE k NOT IN (SELECT k FROM sub_t)"
+    assert spark.sql(sql).count() == 0
+    con = duckdb.connect()
+    con.sql("CREATE TABLE probe_t AS SELECT * FROM (VALUES (1), (2), (3)) v(k)")
+    con.sql("CREATE TABLE sub_t AS SELECT * FROM (VALUES (2), (NULL)) v(k)")
+    assert len(con.sql(sql).fetchall()) == 0
+    # and without the NULL, both engines agree on {1, 3}
+    spark.createDataFrame([(2,)], "k BIGINT").createOrReplaceTempView("sub_t")
+    assert {r["k"] for r in spark.sql(sql).collect()} == {1, 3}

@@ -48,6 +48,19 @@ QUERIES = [
     "q_dedup_incremental",
     "q_dedup_chunk",
     "q_text_bm25",
+    # round-4 flagships (VERDICT r4 item 6): q_rfm's global ntile sort
+    # is the one to watch — the percentile-bounds swap documented in
+    # windows.py should kick in as a measured, not asserted, trade
+    "q_rfm",
+    "q_sessionize",
+    "q_funnel_time",
+    "q_text_unigram_ppl",
+    # round-5 additions
+    "q_subquery_correlated",
+    "q_exists_correlated",
+    "q_join_bloom",
+    "q_dedup_semantic",
+    "q_agg_sketch_setops",
     # TPC-H join family (replicated facts over fixed dims: the
     # AQE-sensitive snowflake join and agg-then-topk plans)
     "q_agg_hash",
