@@ -413,3 +413,63 @@ def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id", "prop_key")
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+  json_extract_string(props, '$.nope') IS NULL AS missing_null,
+  'OBJECT<k: BIGINT>' AS vschema,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+FROM events
+ORDER BY event_id
+""",
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured access (Spark 4's open-schema type —
+    q_fn_json's successor): ``parse_json`` once into a binary VARIANT,
+    then typed ``try_variant_get`` path access and
+    ``schema_of_variant`` introspection.
+
+    Why this beats string-JSON at 100 TB: VARIANT parses each payload
+    ONCE into a binary encoding at ingest (in parquet it persists as a
+    shredded binary column), and every subsequent path access is a
+    binary walk, not a re-parse — get_json_object re-tokenizes the
+    string per call. try_variant_get with a type returns NULL on
+    missing paths / type mismatches instead of failing mid-scan (the
+    semi-structured equivalent of try_cast ingest armor). The oracle
+    replays the typed extraction through DuckDB's JSON functions; the
+    per-row schema introspection is asserted against the literal
+    object shape every fixture payload shares.
+    """
+    e = load_table(spark, sf_dir, "events")
+    # let-bind the parsed variant through a 1-element struct array so
+    # the plan parses each payload once, not once per extraction
+    # (the CollapseProject re-reference rule — SCALING.md)
+    b = F.element_at(
+        F.transform(
+            F.array(F.struct(F.parse_json("props").alias("v"))),
+            lambda t: F.struct(
+                F.try_variant_get(t["v"], "$.k", "int").alias("k_int"),
+                F.try_variant_get(t["v"], "$.nope", "int")
+                .isNull()
+                .alias("missing_null"),
+                F.schema_of_variant(t["v"]).alias("vschema"),
+            ),
+        ),
+        1,
+    )
+    return (
+        e.select("event_id", b.alias("b"))
+        .select(
+            "event_id",
+            F.col("b.k_int").alias("k_int"),
+            F.col("b.missing_null").alias("missing_null"),
+            F.col("b.vschema").alias("vschema"),
+            (F.col("b.k_int") % 10).alias("k_bucket"),
+        )
+        .orderBy("event_id")
+    )

@@ -187,3 +187,54 @@ def q_join_null_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "part", "lineitem")
     return spark.sql(_NULL_ANTI_SQL)
+
+
+# Recursive CTE (Spark 4's WITH RECURSIVE): a calendar date spine
+# generated by recursion, LEFT-joined back to per-day event counts so
+# empty days surface as zeros — the recursion-native phrasing of the
+# gap-fill q_ts_resample builds with sequence+explode. The two engines
+# differ only in date-increment dialect (DATE_ADD vs + INTERVAL).
+_RECURSIVE_SPARK_SQL = """
+WITH RECURSIVE spine(d) AS (
+  SELECT CAST(min(ts) AS DATE) FROM events
+  UNION ALL
+  SELECT DATE_ADD(s.d, 1)
+  FROM spine s, (SELECT CAST(max(ts) AS DATE) AS mx FROM events) b
+  WHERE s.d < b.mx
+)
+SELECT CAST(s.d AS STRING) AS event_date, count(e.event_id) AS n_events
+FROM spine s LEFT JOIN events e ON CAST(e.ts AS DATE) = s.d
+GROUP BY s.d ORDER BY s.d
+"""
+# (event_date is emitted as a STRING: a bare DATE round-trips through
+# pandas as Timestamp in DuckDB but datetime.date in Spark, which the
+# value canonicalizers — the driver's and check_oracle's — render
+# differently; 'YYYY-MM-DD' text is identical in both.)
+
+_RECURSIVE_DUCK_SQL = _RECURSIVE_SPARK_SQL.replace(
+    # DuckDB's date + INTERVAL yields TIMESTAMP; cast back so the
+    # recursion keeps DATE type end-to-end like Spark's DATE_ADD.
+    "DATE_ADD(s.d, 1)",
+    "CAST(s.d + INTERVAL 1 DAY AS DATE)",
+).replace("AS STRING", "AS VARCHAR")
+
+
+@query("q_recursive_cte", oracle=_RECURSIVE_DUCK_SQL)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4): a calendar spine
+    grown day-by-day from the corpus min date, LEFT-joined to per-day
+    counts so silent days report 0 — the monitoring query that catches
+    a dead ingest pipeline.
+
+    Scale shape: the recursion's working set is O(days) — each step is
+    one row joined against a 1-row bound frame, and Spark's recursion
+    limit (spark.sql.cteRecursionLevelLimit, default 100) bounds
+    runaway anchors; the fixture spans 30 days. The events side
+    aggregates BEFORE ever meeting the spine only in cardinality terms
+    (count per day = |days| groups); at 100 TB the spine stays a dim
+    and the join broadcasts it. An empty corpus yields a NULL anchor
+    date and a 1-row NULL-date spine over zero events, identically in
+    both engines.
+    """
+    _views(spark, sf_dir, "events")
+    return spark.sql(_RECURSIVE_SPARK_SQL)

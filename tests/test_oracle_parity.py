@@ -32,6 +32,10 @@ SUBSET = [
     "q_subquery_correlated",
     "q_exists_correlated",
     "q_join_bloom",
+    "q_join_lateral",
+    "q_join_null_anti",
+    "q_recursive_cte",
+    "q_fn_variant",
 ]
 
 
