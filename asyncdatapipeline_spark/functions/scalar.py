@@ -473,3 +473,58 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_fn_collation",
+    oracle="""
+WITH mixed AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 2 = 0 THEN lower(p_brand) ELSE upper(p_brand) END
+           AS brand_mixed
+  FROM part
+)
+SELECT lower(brand_mixed) AS brand, count(*) AS n_parts,
+       count(DISTINCT brand_mixed) AS n_case_variants
+FROM mixed
+GROUP BY lower(brand_mixed)
+ORDER BY brand
+""",
+)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): case-insensitive grouping via
+    ``COLLATE UTF8_LCASE`` — the engine-native alternative to wrapping
+    every comparison in lower().
+
+    The fixture's strings are uniform-case, so a deterministic mixed-
+    case column is derived first (even keys lower, odd keys upper);
+    grouping on the UTF8_LCASE-collated column then merges the case
+    variants, which the oracle replays as GROUP BY lower(). At 100 TB
+    the collation is declared once on the column (table DDL), and every
+    comparison/join/group on it is collation-aware inside codegen —
+    no per-row lower() allocation, and equality stays sargable.
+    `n_case_variants` (counted BINARY-collated) proves the groups
+    really merged two case forms, not one.
+    """
+    p = load_table(spark, sf_dir, "part")
+    mixed = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.lower("p_brand"))
+        .otherwise(F.upper("p_brand"))
+        .alias("brand_mixed")
+    )
+    ci = F.collate(F.col("brand_mixed"), "UTF8_LCASE")
+    return (
+        mixed.groupBy(ci.alias("brand_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct(
+                F.collate(F.col("brand_mixed"), "UTF8_BINARY")
+            ).alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("brand_ci")).alias("brand"),
+            "n_parts",
+            "n_case_variants",
+        )
+        .orderBy("brand")
+    )

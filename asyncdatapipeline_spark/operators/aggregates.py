@@ -960,3 +960,84 @@ def q_agg_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "difference_within_25pct"
         ),
     )
+
+
+@query(
+    "q_agg_kll",
+    # Sketch internals are engine-specific (the q_agg_hll /
+    # q_agg_sketch_setops rule): the oracle carries the exact count and
+    # exact quantiles, plus Spark-side booleans asserting the KLL
+    # estimates landed within a ±10%-rank band around the exact values.
+    oracle="""
+SELECT l_returnflag,
+  count(*) AS n_rows,
+  round(quantile_cont(l_quantity, 0.5), 6) AS exact_median,
+  round(quantile_cont(l_quantity, 0.95), 6) AS exact_p95,
+  true AS median_rank_ok,
+  true AS p95_rank_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_agg_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketches (Spark 4 datasketches) —
+    completing the sketch triad: HLL distincts (q_agg_hll), theta set
+    algebra (q_agg_sketch_setops), KLL quantiles (here). This is the
+    re-aggregatable alternative to exact percentiles (q_agg_quantile)
+    and t-digest percentile_approx: daily/partition KLL sketches
+    persist as binary columns and any coarser rollup is a sketch
+    merge, never a re-sort of raw values.
+
+    Spark ships the merge as a BINARY scalar (`kll_sketch_merge_double`),
+    not a union aggregate — so the rollup collects the per-cell
+    sketches per group (|linestatus| ≤ 3 KB-sized payloads) and folds
+    them with `F.aggregate`: partial sketches per (flag, status) cell,
+    fold-merged up to flag. The sketch's own `get_n` is emitted as the
+    row count — proving the merged sketch saw every row exactly once —
+    and the quantile estimates are verified inside a ±10%-rank band
+    around the exact percentiles (KLL k=200 ⇒ ~1.7% rank error;
+    the band is deliberately loose so the boolean is stable).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.kll_sketch_agg_double("l_quantity").alias("sk")
+    )
+    merged = cells.groupBy("l_returnflag").agg(
+        F.collect_list("sk").alias("sks")
+    )
+    sk = F.aggregate(
+        F.slice("sks", 2, 1_000_000),
+        F.element_at("sks", 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    est = merged.select(
+        "l_returnflag",
+        F.kll_sketch_get_n_double(sk).alias("n_rows"),
+        F.kll_sketch_get_quantile_double(sk, F.lit(0.5)).alias("est_p50"),
+        F.kll_sketch_get_quantile_double(sk, F.lit(0.95)).alias("est_p95"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("exact_median"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("exact_p95"),
+        F.percentile("l_quantity", F.lit(0.4)).alias("lo50"),
+        F.percentile("l_quantity", F.lit(0.6)).alias("hi50"),
+        F.percentile("l_quantity", F.lit(0.85)).alias("lo95"),
+        F.percentile("l_quantity", F.lit(1.0)).alias("hi95"),
+    )
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_rows",
+            "exact_median",
+            "exact_p95",
+            F.col("est_p50").between(F.col("lo50"), F.col("hi50")).alias(
+                "median_rank_ok"
+            ),
+            F.col("est_p95").between(F.col("lo95"), F.col("hi95")).alias(
+                "p95_rank_ok"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
