@@ -154,3 +154,69 @@ def q_scan_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "lang")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_scan_binary",
+    # The oracle recomputes each file's length and md5 from the SOURCE
+    # text (UTF-8 octets — exactly the bytes the files were written
+    # as), so a truncated/mangled/missing file breaks the compare.
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id < 100 AND text IS NOT NULL
+ORDER BY doc_id
+""",
+)
+def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source scan (B3 sibling) — the ingest format for
+    multimodal raw assets (images/audio/video arrive as FILES; this is
+    how they become the opaque binary column llm/multimodal.py
+    processes).
+
+    A bounded demo corpus (100 docs as .txt files, written once to
+    scratch) is read back distributed: one row per file with path,
+    length, mtime, and lazily-loaded content. Scale notes: binaryFile
+    caps per-file size (spark.sql.sources.binaryFile.maxLength) and
+    reads content ONLY if the column is selected — a metadata-only
+    listing (path/length) never opens the files; `pathGlobFilter`
+    prunes at listing time. At 100 TB the listing itself is the
+    bottleneck — real ingests mount a manifest or stream via
+    Archive/tar batching rather than 10^9 tiny files; this operator's
+    per-file md5 is the integrity gate that manifest carries forward.
+    """
+    out = _scratch(sf_dir, "binfiles")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        # Bounded (100-row) driver collect, ONCE per corpus, to write
+        # the demo file tree — fixture construction, not a query path;
+        # the scan under test is the distributed binaryFile read below.
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") < 100) & F.col("text").isNotNull())
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(out, f"doc_{r['doc_id']:06d}.txt"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        with open(marker, "w"):
+            pass
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "doc_*.txt")
+        .load(out)
+    )
+    return (
+        files.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
