@@ -156,3 +156,35 @@ class MetricsHub:
             subs = list(self._subs)
         for sub in subs:
             self.unsubscribe(sub)
+
+
+def observe_batch(df, hub: "MetricsHub", name: str = "batch"):
+    """Attach free row-count metrics to a BATCH DataFrame via
+    ``df.observe`` and feed them into ``hub`` — the batch-side analogue
+    of the streaming ``StreamingQueryListener`` feed (same
+    ``MetricsHub`` contract as the reference's ``ExportMetrics``,
+    async_data_pipeline.go:157-168).
+
+    Returns ``(observed_df, harvest)``: run any ONE action on
+    ``observed_df``, then call ``harvest()`` to record the observed row
+    count (plus wall time measured around the harvest barrier) into the
+    hub and get the raw observation dict back.
+
+    Why observe, not ``count()``: the metrics ride the SAME pass as the
+    real action — zero extra jobs, zero extra scans. At 100 TB a
+    separate count() doubles the I/O bill; an observation is an extra
+    accumulator per task. (One action per observed frame: Spark
+    reports an Observation only for the first action that executes it.)
+    """
+    from pyspark.sql import Observation, functions as F
+
+    obs = Observation(name)
+    out = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    t0 = time.monotonic()
+
+    def harvest() -> dict:
+        vals = obs.get  # blocks until an action has materialized df
+        hub.record_batch(int(vals["rows"]), time.monotonic() - t0)
+        return dict(vals)
+
+    return out, harvest

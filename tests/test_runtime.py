@@ -364,3 +364,22 @@ def test_error_close_reason_none():
     reason, errors = pipe.run(deadline=5)
     assert reason is CloseReason.NONE
     assert str(reason) == "none"  # CloseReason.String() port
+
+
+def test_observe_batch_feeds_hub(spark, sf_dir):
+    """Batch observability: df.observe metrics ride the action's own
+    pass (no second job) and land in the MetricsHub with the same
+    export contract the pipeline runtime uses."""
+    from asyncdatapipeline_spark.metrics import MetricsHub, observe_batch
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    hub = MetricsHub()
+    df = load_table(spark, sf_dir, "orders").filter("o_totalprice > 0")
+    observed, harvest = observe_batch(df, hub, "orders-scan")
+    n = observed.count()
+    vals = harvest()
+    assert vals["rows"] == n > 0
+    exported = hub.export()
+    assert exported["item_count"] == n
+    assert exported["batch_count"] == 1
+    assert exported["processing_duration_seconds"] > 0
