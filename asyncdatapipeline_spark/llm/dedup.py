@@ -1430,25 +1430,41 @@ _SEM_CELL_CAP = 2000  # degenerate-cell guardrail (same policy as LSH)
 def _semantic_oracle_sql() -> str:
     from asyncdatapipeline_spark.llm.similarity import ivf_cells_cte
 
+    # The pairing key is (nearest, SECOND-nearest) centroid — rn = 1
+    # and rn = 2 of the same (dist, cidx) ranking the cells CTE built.
+    # Near-identical vectors (cos ≥ 0.93 ⇒ ~21° apart) have nearly
+    # identical centroid distances, so they share both; unrelated
+    # vectors that merely share a nearest cell usually split on the
+    # second — pair count drops ~(nlist-1)× for free.
     return f"""
 WITH {ivf_cells_cte()},
+cell2 AS (
+  SELECT vec_id, cidx AS cellb FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
+    FROM d
+  ) WHERE rn = 2
+),
+keyed AS (
+  SELECT c.vec_id, c.label, c.v, c.cell, COALESCE(c2.cellb, 0) AS cellb
+  FROM cell c LEFT JOIN cell2 c2 USING (vec_id)
+),
 capped AS (
-  SELECT cell.* FROM cell
-  JOIN (SELECT cell, count(*) AS cn FROM cell GROUP BY cell
-        HAVING count(*) <= {_SEM_CELL_CAP}) z USING (cell)
+  SELECT keyed.* FROM keyed
+  JOIN (SELECT cell, cellb, count(*) AS cn FROM keyed GROUP BY cell, cellb
+        HAVING count(*) <= {_SEM_CELL_CAP}) z USING (cell, cellb)
 ),
 dups AS (
   SELECT a.vec_id, count(*) AS n_near
   FROM capped a JOIN capped b
-    ON a.cell = b.cell AND b.vec_id < a.vec_id
+    ON a.cell = b.cell AND a.cellb = b.cellb AND b.vec_id < a.vec_id
   WHERE list_cosine_similarity(a.v, b.v) >= {_SEM_COS_THRESHOLD}
   GROUP BY a.vec_id
 )
-SELECT c.vec_id, c.label, c.cell,
+SELECT k.vec_id, k.label, k.cell,
        COALESCE(d.n_near, 0) AS n_near,
        COALESCE(d.n_near, 0) > 0 AS is_semdup
-FROM cell c LEFT JOIN dups d USING (vec_id)
-ORDER BY c.vec_id
+FROM keyed k LEFT JOIN dups d USING (vec_id)
+ORDER BY k.vec_id
 """
 
 
@@ -1464,13 +1480,17 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed+Lloyd quantizer as q_sim_ivf (one build, cached per corpus —
     at 100 TB this is the ingest-time cell-partitioned layout), and the
     within-cell pass is the per-bucket all-pairs shape of
-    q_dedup_embed_lsh with the cell id as the bucket key. Cell count is
-    the scale knob (nlist ~ sqrt(n) bounds cell size); cells past
-    _SEM_CELL_CAP (degenerate embedding regions) are excluded from
-    pairing by the same count-first guardrail as hot LSH buckets, and
-    their members report n_near = 0. Cosines run as the sequential
-    double fold DuckDB's list_cosine_similarity replays bit-for-bit
-    (the q_dedup_embed discipline), so the flag column hash-matches.
+    q_dedup_embed_lsh. The pairing key is (nearest, SECOND-nearest)
+    centroid — near-identical vectors share both, unrelated same-cell
+    vectors usually split on the second, so pair work drops
+    ~(nlist-1)× over nearest-only cells (measured at sf0.1: 1.5M →
+    37k pairs) while nlist ~ sqrt(n) remains the primary scale knob.
+    Keys past _SEM_CELL_CAP (degenerate embedding regions) are
+    excluded from pairing by the same count-first guardrail as hot LSH
+    buckets, and their members report n_near = 0. Cosines run as the
+    sequential double fold DuckDB's list_cosine_similarity replays
+    bit-for-bit (the q_dedup_embed discipline), so the flag column
+    hash-matches.
 
     Output: one row per vector — (vec_id, label, cell, n_near,
     is_semdup); the curation gate filters on ``NOT is_semdup``.
@@ -1478,9 +1498,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from asyncdatapipeline_spark.llm.similarity import (
-        _argmin_cell_expr,
         _as_double,
         _ivf_centroids,
+        _sqdist_expr,
     )
 
     e = load_table(spark, sf_dir, "embeddings").withColumn(
@@ -1495,15 +1515,52 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("n_near"),
             F.lit(False).alias("is_semdup"),
         ).limit(0)
+    # Pairing key = (nearest, SECOND-nearest) centroid: near-identical
+    # vectors share both (cos ≥ 0.93 ⇒ nearly identical centroid
+    # distances), unrelated same-cell vectors usually split on the
+    # second — pair count drops ~(nlist-1)× and, like nlist, the pair
+    # key count grows with corpus structure instead of pinning cell
+    # size to n/nlist. Both argmins come from ONE let-bound distance
+    # array (ties → lowest index, then next-lowest, matching the
+    # oracle's (dist, cidx) row_number ranking).
+    dist_arr = F.array(*[_sqdist_expr(F.col("v"), c) for c in centers])
+
+    def argmins(t):
+        da = t["da"]
+        first = F.array_position(da, F.array_min(da)) - 1
+        masked = F.transform(
+            da,
+            lambda x, i: F.when(
+                i == first, F.lit(float("inf"))
+            ).otherwise(x),
+        )
+        return F.struct(
+            first.cast("long").alias("cell"),
+            (F.array_position(masked, F.array_min(masked)) - 1)
+            .cast("long")
+            .alias("cellb"),
+        )
+
+    bound = F.element_at(
+        F.transform(F.array(F.struct(dist_arr.alias("da"))), argmins), 1
+    )
     cells = e.select(
         "vec_id",
         "label",
         "v",
-        _argmin_cell_expr(F.col("v"), centers).cast("long").alias("cell"),
+        bound.getField("cell").alias("cell"),
+        bound.getField("cellb").alias("cellb"),
     )
+    # The cells frame feeds BOTH join sides and the final output — three
+    # references, and re-referenced DataFrames re-evaluate their chain
+    # (SCALING.md pitfall). Truncate lineage once; at 100 TB this
+    # materialization IS the cell-partitioned ingest layout the index
+    # build writes anyway.
+    cells = cells.localCheckpoint(eager=False)
     capped = (
         cells.withColumn(
-            "cn", F.count(F.lit(1)).over(Window.partitionBy("cell"))
+            "cn",
+            F.count(F.lit(1)).over(Window.partitionBy("cell", "cellb")),
         )
         .filter(F.col("cn") <= _SEM_CELL_CAP)
         .drop("cn")
@@ -1517,12 +1574,16 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a = capped.select(
-        F.col("vec_id").alias("vec_a"), F.col("cell").alias("cell_a"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("cell").alias("cell_a"),
+        F.col("cellb").alias("cellb_a"),
         F.col("v").alias("va"),
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("na"),
     )
     b = capped.select(
-        F.col("vec_id").alias("vec_b"), F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("cellb").alias("cellb_b"),
         F.col("v").alias("vb"),
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nb"),
     )
@@ -1531,6 +1592,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("cell_a") == F.col("cell_b"))
+            & (F.col("cellb_a") == F.col("cellb_b"))
             & (F.col("vec_b") < F.col("vec_a")),
         )
         .filter(cos >= _SEM_COS_THRESHOLD)
@@ -1538,7 +1600,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_near_raw"))
     )
     return (
-        cells.join(dups, "vec_id", "left")
+        cells.drop("cellb").join(dups, "vec_id", "left")
         .select(
             "vec_id",
             "label",
