@@ -383,3 +383,38 @@ def test_observe_batch_feeds_hub(spark, sf_dir):
     assert exported["item_count"] == n
     assert exported["batch_count"] == 1
     assert exported["processing_duration_seconds"] > 0
+
+
+def test_perform_func_datasource_sink(spark, sf_dir, tmp_path_factory):
+    """The reference's PerformFunc as a first-class Spark sink
+    (sources/perform_sink.py): the callable runs per executor
+    partition in batch_size chunks, and the union of its effects is
+    exactly the written frame."""
+    import os
+
+    from asyncdatapipeline_spark.sources.perform_sink import perform_func_write
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    out = tmp_path_factory.mktemp("perform_sink")
+
+    def sink_batch(rows, _dir=str(out)):
+        # attempt-unique file per (pid, first-row) — re-runs overwrite
+        # rather than double-append, the idempotent-effect pattern the
+        # module docstring prescribes
+        name = f"{os.getpid()}_{rows[0][0]}.txt"
+        with open(os.path.join(_dir, name), "w") as f:
+            for r in rows:
+                f.write(f"{r[0]}\n")
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .filter("o_orderkey < 500")
+    )
+    expect = {r["o_orderkey"] for r in df.collect()}
+    perform_func_write(df, sink_batch, batch_size=50)
+    got = set()
+    for name in os.listdir(out):
+        with open(out / name) as f:
+            got.update(int(line) for line in f)
+    assert got == expect
