@@ -1041,3 +1041,60 @@ def q_agg_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_bitmap",
+    # Bitmaps are EXACT, so unlike the HLL/theta/KLL families the
+    # sketch-derived value itself is hash-compared against the oracle —
+    # no tolerance booleans needed.
+    oracle="""
+SELECT o_orderpriority,
+  COUNT(DISTINCT o_custkey) AS n_distinct_cust,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT re-aggregatable distinct counts via bitmap partials
+    (Spark 4 bitmap functions) — the third distinct-count strategy,
+    completing the triangle: countDistinct (exact, needs the raw keys
+    every time), HLL (mergeable, approximate), bitmaps (mergeable AND
+    exact, for dense integer keys).
+
+    Key space is carved into 32768-bit buckets
+    (``bitmap_bucket_number``); each (group, sub-group, bucket) cell
+    builds a bitmap of its key positions (``bitmap_construct_agg`` —
+    mergeable partial state ≤ 4 KB per cell), cross-sub-group rollup is
+    ``bitmap_or_agg`` WITHIN the same bucket (bitmaps from different
+    buckets must never OR — the bucket id stays a grouping key until
+    the final ``bitmap_count`` + sum). At 100 TB the per-partition
+    bitmaps persist next to the data like the HLL sketches, and any
+    rollup (daily → monthly, per-file → per-table) is OR + popcount —
+    no key ever re-shuffles. Dense surrogate keys make the bitmaps
+    near-full (the efficient case); sparse 64-bit hash keys belong to
+    HLL instead — that trade is the operator's point.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.bitmap_bucket_number("o_custkey").alias("bkt"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("bm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    merged = cells.groupBy("o_orderpriority", "bkt").agg(
+        F.bitmap_count(F.bitmap_or_agg("bm")).alias("cnt"),
+        F.sum("n").alias("n_orders_part"),
+    )
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.sum("cnt").alias("n_distinct_cust"),
+            F.sum("n_orders_part").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
