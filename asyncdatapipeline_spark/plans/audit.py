@@ -276,6 +276,39 @@ CHECKS: dict[str, list[tuple]] = {
         ("forbid", "no per-row subquery execution", "Subquery"),
         ("forbid", "no nested loop", *_NESTED_LOOP_NODES),
     ],
+    "q_recursive_cte": [
+        # WITH RECURSIVE must plan as Spark's UnionLoop (iterative
+        # union execution), and the per-day rollup must still partial-
+        # aggregate map-side before its exchange.
+        ("must", "recursion via UnionLoop", r"UnionLoop"),
+        ("must", "per-day rollup partial map-side", r"HashAggregate.*partial"),
+        ("forbid", "no nested loop", *_NESTED_LOOP_NODES),
+    ],
+    "q_fn_variant": [
+        # parse_json/variant_get are JVM expressions — Python in this
+        # plan means the variant path fell off the codegen fast path.
+        ("forbid", "variant access stays JVM-side", *_PYTHON_EVAL_NODES),
+    ],
+    "q_agg_kll": [
+        # KLL sketch partials must combine map-side (ObjectHashAggregate
+        # partial_kll_sketch_agg) — the mergeable-partials contract.
+        ("must", "map-side partial KLL sketches", r"partial_kll_sketch_agg_double"),
+        ("must", "typed-object aggregate path", r"ObjectHashAggregate"),
+    ],
+    "q_agg_bitmap": [
+        # Bitmap partials must build map-side before the exchange; the
+        # rollup is OR within bucket — no Expand (multi-distinct
+        # fallback) anywhere.
+        ("must", "map-side partial bitmaps", r"partial_bitmap_construct_agg"),
+        ("forbid", "no distinct Expand fallback", "Expand"),
+    ],
+    "q_dedup_semantic": [
+        # Bucketed (cell, cellb) equi self-join only — an unkeyed pair
+        # explosion would appear as a nested loop; the cosine fold is
+        # JVM lambdas, never Python.
+        ("forbid", "no nested loop (keyed self-join)", *_NESTED_LOOP_NODES),
+        ("forbid", "no Python in the pair path", *_PYTHON_EVAL_NODES),
+    ],
     "q_join_lateral": [
         # The LATERAL ... LIMIT 3 must decorrelate to WindowGroupLimit
         # with a PARTIAL map-side pass (per-task 3-heaps BEFORE the

@@ -73,6 +73,10 @@ HEADLINE = [
     "q_join_bloom",           # runtime bloom-filter fact-scan pruning
     "q_dedup_semantic",       # SemDeDup: IVF cells + within-cell cosine
     "q_agg_sketch_setops",    # theta-sketch set algebra + exact twins
+    "q_join_lateral",         # LATERAL + per-group LIMIT (WindowGroupLimit)
+    "q_recursive_cte",        # WITH RECURSIVE calendar spine (UnionLoop)
+    "q_agg_kll",              # mergeable KLL quantile sketches
+    "q_agg_bitmap",           # exact bitmap distinct partials
 ]
 
 
