@@ -528,3 +528,102 @@ def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@query(
+    "q_fn_xml",
+    # The XML payload is deterministically BUILT from fixture columns,
+    # so the oracle verifies the parse by reconstructing the extracted
+    # values straight from those columns — round-trip equality, without
+    # needing an XML parser in DuckDB.
+    oracle="""
+SELECT event_id,
+       event_id AS xml_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       event_type AS type_attr
+FROM events
+ORDER BY event_id
+""",
+)
+def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML parsing (Spark 4's ``from_xml``): typed struct extraction
+    from XML payloads — web crawls and feed dumps arrive as XML/HTML
+    as often as JSON.
+
+    The payload is derived deterministically from fixture columns
+    (id/type attributes, a nested ``<k>`` element), parsed back with an
+    explicit schema — never inference, which at 100 TB is an extra full
+    pass (the q_scan_csv rule) — and the extractions must round-trip to
+    the source values, which is exactly what the oracle asserts.
+    ``from_xml`` is JVM-side (plan-audited: no Python eval), so the
+    parse rides whole-stage codegen like from_json.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    xml = F.concat(
+        F.lit('<event id="'), F.col("event_id"),
+        F.lit('" type="'), F.col("event_type"),
+        F.lit('"><k>'), k, F.lit("</k></event>"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("_type", T.StringType()),
+            T.StructField("k", T.LongType()),
+        ]
+    )
+    parsed = F.from_xml(xml, schema)
+    return (
+        e.select("event_id", parsed.alias("x"))
+        .select(
+            "event_id",
+            F.col("x._id").alias("xml_id"),
+            F.col("x.k").alias("k_val"),
+            F.col("x._type").alias("type_attr"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_fn_url",
+    # Same reconstruct-from-source oracle pattern as q_fn_xml: the URL
+    # is built from fixture columns, so each parse_url extraction must
+    # equal the column expression it was built from.
+    oracle="""
+SELECT event_id,
+       'src-' || lower(event_type) || '.example.com' AS host,
+       '/u/' || CAST(user_id AS VARCHAR) AS path,
+       CAST(event_id AS VARCHAR) AS eid_param,
+       'https' AS scheme
+FROM events
+ORDER BY event_id
+""",
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (``parse_url``): host / path / query-parameter
+    extraction — referrer and source-URL analysis is a standard crawl
+    curation signal (per-domain dedup keys, domain quality tiers).
+
+    URLs are derived deterministically from fixture columns and parsed
+    back; every extraction must round-trip (oracle-asserted). JVM-side
+    expression, codegen-friendly; the per-domain aggregate a real
+    curation pass runs next is a plain groupBy(host).
+    """
+    e = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://src-"), F.lower("event_type"),
+        F.lit(".example.com/u/"), F.col("user_id"),
+        F.lit("?eid="), F.col("event_id"), F.lit("&v=1"),
+    )
+    return (
+        e.select("event_id", url.alias("url"))
+        .select(
+            "event_id",
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("eid")).alias("eid_param"),
+            F.parse_url("url", F.lit("PROTOCOL")).alias("scheme"),
+        )
+        .orderBy("event_id")
+    )

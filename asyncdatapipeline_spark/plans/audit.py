@@ -289,6 +289,9 @@ CHECKS: dict[str, list[tuple]] = {
         # plan means the variant path fell off the codegen fast path.
         ("forbid", "variant access stays JVM-side", *_PYTHON_EVAL_NODES),
     ],
+    "q_fn_xml": [
+        ("forbid", "from_xml stays JVM-side", *_PYTHON_EVAL_NODES),
+    ],
     "q_agg_kll": [
         # KLL sketch partials must combine map-side (ObjectHashAggregate
         # partial_kll_sketch_agg) — the mergeable-partials contract.
