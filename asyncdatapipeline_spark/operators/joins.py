@@ -651,3 +651,39 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_copurchase.__doc__ = q_copurchase.__doc__.format(
     k=_COPURCHASE_TOP_K, cap=_BASKET_MAX_ITEMS
 )
+
+
+@query(
+    "q_join_shuffle_hash",
+    oracle=f"""
+SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+       {sql_dsum('l.l_extendedprice', 'sum_price')}
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy CONTROL: the SHUFFLE_HASH hint forces a
+    ShuffledHashJoin for a fact⋈fact join (plan-audited) — the third
+    strategy beside broadcast (q_join_broadcast) and sort-merge
+    (q_join_bucketed), and a real 100 TB knob: when neither side
+    broadcasts but one side's per-partition slice fits memory, hashing
+    that side skips BOTH sort passes a SMJ would pay. The trade is
+    spill behavior — SMJ degrades gracefully (sorted spill runs), a
+    hash join that overflows rebuilds — so the hint belongs on joins
+    with known per-key cardinality, exactly what the q_profile_skew
+    diagnostic establishes first. Results are strategy-independent;
+    the oracle is the plain join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o.hint("SHUFFLE_HASH"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

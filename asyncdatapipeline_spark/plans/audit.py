@@ -276,6 +276,13 @@ CHECKS: dict[str, list[tuple]] = {
         ("forbid", "no per-row subquery execution", "Subquery"),
         ("forbid", "no nested loop", *_NESTED_LOOP_NODES),
     ],
+    "q_join_shuffle_hash": [
+        # The hint must stick: ShuffledHashJoin, not SMJ (no sort
+        # passes) and not a broadcast demotion of the hinted side.
+        ("must", "hinted ShuffledHashJoin", r"ShuffledHashJoin"),
+        ("forbid_re", "no sort-merge fallback", r"SortMergeJoin"),
+        ("must", "aggregation partial map-side", r"HashAggregate.*partial"),
+    ],
     "q_recursive_cte": [
         # WITH RECURSIVE must plan as Spark's UnionLoop (iterative
         # union execution), and the per-day rollup must still partial-
