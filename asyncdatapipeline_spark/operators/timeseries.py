@@ -502,3 +502,90 @@ def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("delta_s", F.lit(0.9)), 6).alias("p90_s"),
         F.max("delta_s").alias("max_s"),
     )
+
+
+@query(
+    "q_agg_trend",
+    oracle="""
+WITH days AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT min(d) AS d0 FROM days),
+xy AS (
+  SELECT event_type, date_diff('day', m.d0, days.d) AS x, y
+  FROM days, m
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(x) AS sx, SUM(x*x) AS sxx,
+    SUM(y) AS sy, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, n,
+  round(CAST(n*sxy - sx*sy AS DOUBLE) / nullif(n*sxx - sx*sx, 0), 6)
+    AS slope,
+  round((sy - (CAST(n*sxy - sx*sy AS DOUBLE) / nullif(n*sxx - sx*sx, 0)) * sx)
+        / n, 6) AS intercept,
+  round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+        / nullif(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE), 0),
+        6) AS r2
+FROM s
+ORDER BY event_type
+""",
+)
+def q_agg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear trend fit (regression aggregates): slope /
+    intercept / R² of daily event volume per type — the "is this
+    metric drifting" monitoring query, the fitted sibling of
+    q_anomaly's z-scores.
+
+    NOT ``F.regr_slope``/``regr_r2``: like stddev/corr (q_agg_stats),
+    their float accumulation is partition-order-dependent. Instead:
+    aggregate-FIRST to the (type, day) count grid (the q_ts_resample
+    doctrine — the regression never sees raw events), where x = day
+    index and y = count are exact INTEGERS, so the power sums are
+    exact BIGINT arithmetic and the closed forms are the identical
+    IEEE op sequence in both engines — no decimal armor even needed.
+    Shuffle carries |types|·|days| rows; the fit itself is O(|types|).
+    Single-day series get NULL slope/R² (nullif-guarded denominator),
+    not a crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    d0 = days.agg(F.min("d").alias("d0"))
+    xy = days.crossJoin(F.broadcast(d0)).select(
+        "event_type", F.datediff("d", "d0").alias("x"), "y"
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (
+        F.col("n"), F.col("sx"), F.col("sxx"),
+        F.col("sy"), F.col("syy"), F.col("sxy"),
+    )
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.nullif((n * sxx - sx * sx), F.lit(0))
+    slope = num / den
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            num * num
+            / F.nullif(
+                (n * sxx - sx * sx).cast("double")
+                * (n * syy - sy * sy).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("r2"),
+    ).orderBy("event_type")
