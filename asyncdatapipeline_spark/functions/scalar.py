@@ -627,3 +627,69 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_fn_try",
+    # DuckDB lacks try_* names but the SEMANTICS are replayable: NULL
+    # on division-by-zero via nullif, NULL on unparseable casts via
+    # TRY_CAST, NULL on out-of-range months / bigint overflow via
+    # explicit range CASEs — each expression is the exact NULL contract
+    # the Spark side's try_ function implements.
+    oracle="""
+SELECT o_orderkey,
+  o_totalprice / nullif(o_orderkey % 7, 0) AS price_per,
+  TRY_CAST(o_orderpriority AS INTEGER) AS prio_whole,
+  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+  CASE WHEN o_orderkey % 15 BETWEEN 1 AND 12
+       THEN '2024-' || lpad(CAST(o_orderkey % 15 AS VARCHAR), 2, '0') || '-01'
+  END AS month_start,
+  CASE WHEN o_orderkey <= 1000 THEN 9223372036854774807 + o_orderkey
+  END AS near_overflow
+FROM orders
+ORDER BY o_orderkey
+""",
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode ingest armor: the ``try_*`` function family (B43
+    sibling). Spark 4 runs ANSI SQL by default — division by zero,
+    overflow, and bad casts THROW mid-scan instead of silently
+    corrupting; ``try_divide``/``try_cast``/``try_to_date``/``try_add``
+    are the per-expression opt-outs that turn a poison row into a NULL
+    the pipeline can quarantine (the relational q_scan_evolution /
+    q_fn_variant philosophy: absorb malformed input as NULLs, never
+    abort a 100 TB job at row 10^12, never disable ANSI globally).
+
+    Each output exercises a distinct failure class on real fixture
+    values — zero denominators (every 7th key), unparseable casts (the
+    whole priority string fails, its leading digit parses), calendar
+    range (months 0/13/14 → NULL), and bigint overflow (keys past the
+    headroom NULL out). All row-local codegen; the oracle replays the
+    NULL contracts with nullif/TRY_CAST/range CASEs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    month = F.col("o_orderkey") % 15
+    return (
+        o.select(
+            "o_orderkey",
+            F.try_divide(
+                F.col("o_totalprice"),
+                (F.col("o_orderkey") % 7).cast("double"),
+            ).alias("price_per"),
+            F.expr("try_cast(o_orderpriority AS INT)").alias("prio_whole"),
+            F.expr(
+                "try_cast(substr(o_orderpriority, 1, 1) AS INT)"
+            ).alias("prio_digit"),
+            F.date_format(
+                F.try_to_date(
+                    F.concat(F.lit("2024-"), month, F.lit("-01")),
+                    "yyyy-M-dd",
+                ),
+                "yyyy-MM-dd",
+            ).alias("month_start"),
+            F.try_add(
+                F.lit(9223372036854774807), F.col("o_orderkey")
+            ).alias("near_overflow"),
+        )
+        .orderBy("o_orderkey")
+    )
