@@ -371,3 +371,25 @@ def test_sessionize_boundary_exact_gap(spark):
             for r in registry.get("q_sessionize").fn(spark, d).collect()
         }
     assert out == {1: 1, 2: 1, 3: 2}, out
+
+
+@given(
+    st.integers(min_value=-(10**14), max_value=10**14),
+    st.integers(min_value=1, max_value=10**6),
+)
+@settings(max_examples=100, deadline=None)
+def test_micro_unit_mean_cross_engine(s, n):
+    """The IVF Lloyd mean contract (llm/similarity._ivf_centroids):
+    Python's float(s)/n/1e6 must equal DuckDB's
+    CAST(s AS DOUBLE)/n/1e6 bit-for-bit for any exact integer sum and
+    count — the property that makes the refined centroids replayable."""
+    import duckdb
+
+    global _MICRO_CON
+    try:
+        con = _MICRO_CON
+    except NameError:
+        con = _MICRO_CON = duckdb.connect()
+    py = float(s) / n / 1e6
+    db = con.sql(f"SELECT CAST({s} AS DOUBLE)/{n}/1e6").fetchone()[0]
+    assert py == db
