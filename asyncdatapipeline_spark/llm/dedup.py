@@ -1427,17 +1427,19 @@ _SEM_COS_THRESHOLD = 0.93
 _SEM_CELL_CAP = 2000  # degenerate-cell guardrail (same policy as LSH)
 
 
-def _semantic_oracle_sql() -> str:
+def _semantic_keyed_cte() -> str:
+    """Shared CTE chain ending in ``keyed(vec_id, label, v, cell,
+    cellb)`` — the (nearest, SECOND-nearest)-centroid pairing key: rn=1
+    and rn=2 of the same (dist, cidx) ranking the cells CTE built.
+    Near-identical vectors (cos ≥ 0.93 ⇒ ~21° apart) have nearly
+    identical centroid distances, so they share both; unrelated vectors
+    that merely share a nearest cell usually split on the second — pair
+    count drops ~(nlist-1)× for free. Used by q_dedup_semantic and
+    q_dedup_semantic_incremental, which therefore provably share one
+    index."""
     from asyncdatapipeline_spark.llm.similarity import ivf_cells_cte
 
-    # The pairing key is (nearest, SECOND-nearest) centroid — rn = 1
-    # and rn = 2 of the same (dist, cidx) ranking the cells CTE built.
-    # Near-identical vectors (cos ≥ 0.93 ⇒ ~21° apart) have nearly
-    # identical centroid distances, so they share both; unrelated
-    # vectors that merely share a nearest cell usually split on the
-    # second — pair count drops ~(nlist-1)× for free.
-    return f"""
-WITH {ivf_cells_cte()},
+    return f"""{ivf_cells_cte()},
 cell2 AS (
   SELECT vec_id, cidx AS cellb FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) AS rn
@@ -1447,7 +1449,12 @@ cell2 AS (
 keyed AS (
   SELECT c.vec_id, c.label, c.v, c.cell, COALESCE(c2.cellb, 0) AS cellb
   FROM cell c LEFT JOIN cell2 c2 USING (vec_id)
-),
+)"""
+
+
+def _semantic_oracle_sql() -> str:
+    return f"""
+WITH {_semantic_keyed_cte()},
 capped AS (
   SELECT keyed.* FROM keyed
   JOIN (SELECT cell, cellb, count(*) AS cn FROM keyed GROUP BY cell, cellb
@@ -1466,6 +1473,69 @@ SELECT k.vec_id, k.label, k.cell,
 FROM keyed k LEFT JOIN dups d USING (vec_id)
 ORDER BY k.vec_id
 """
+
+
+def _sem_dot(u, v):
+    """Sequential left-to-right double dot fold — the
+    list_cosine_similarity-replayable form (q_dedup_embed discipline)."""
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _semantic_keyed_frame(spark: SparkSession, sf_dir: str):
+    """Engine twin of :func:`_semantic_keyed_cte`: the corpus with its
+    (nearest, SECOND-nearest)-centroid pairing key, lineage-truncated
+    once (multiple consumers would otherwise re-evaluate the whole
+    assignment chain — SCALING.md pitfall; at 100 TB this
+    materialization IS the cell-partitioned ingest layout). Returns
+    None for an empty corpus (no centroids). Both argmins come from ONE
+    let-bound distance array (ties → lowest index, then next-lowest,
+    matching the oracle's (dist, cidx) row_number ranking).
+    """
+    from asyncdatapipeline_spark.llm.similarity import (
+        _as_double,
+        _ivf_centroids,
+        _sqdist_expr,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", _as_double(F.col("embedding"))
+    )
+    centers = _ivf_centroids(spark, sf_dir, e)
+    if not centers:
+        return None
+    dist_arr = F.array(*[_sqdist_expr(F.col("v"), c) for c in centers])
+
+    def argmins(t):
+        da = t["da"]
+        first = F.array_position(da, F.array_min(da)) - 1
+        masked = F.transform(
+            da,
+            lambda x, i: F.when(
+                i == first, F.lit(float("inf"))
+            ).otherwise(x),
+        )
+        return F.struct(
+            first.cast("long").alias("cell"),
+            (F.array_position(masked, F.array_min(masked)) - 1)
+            .cast("long")
+            .alias("cellb"),
+        )
+
+    bound = F.element_at(
+        F.transform(F.array(F.struct(dist_arr.alias("da"))), argmins), 1
+    )
+    cells = e.select(
+        "vec_id",
+        "label",
+        "v",
+        bound.getField("cell").alias("cell"),
+        bound.getField("cellb").alias("cellb"),
+    )
+    return cells.localCheckpoint(eager=False)
 
 
 @query("q_dedup_semantic", oracle=_semantic_oracle_sql())
@@ -1495,19 +1565,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per vector — (vec_id, label, cell, n_near,
     is_semdup); the curation gate filters on ``NOT is_semdup``.
     """
-    from pyspark.sql import Window
-
-    from asyncdatapipeline_spark.llm.similarity import (
-        _as_double,
-        _ivf_centroids,
-        _sqdist_expr,
-    )
-
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "v", _as_double(F.col("embedding"))
-    )
-    centers = _ivf_centroids(spark, sf_dir, e)
-    if not centers:
+    cells = _semantic_keyed_frame(spark, sf_dir)
+    if cells is None:
+        e = load_table(spark, sf_dir, "embeddings")
         return e.select(
             "vec_id",
             "label",
@@ -1515,64 +1575,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("n_near"),
             F.lit(False).alias("is_semdup"),
         ).limit(0)
-    # Pairing key = (nearest, SECOND-nearest) centroid: near-identical
-    # vectors share both (cos ≥ 0.93 ⇒ nearly identical centroid
-    # distances), unrelated same-cell vectors usually split on the
-    # second — pair count drops ~(nlist-1)× and, like nlist, the pair
-    # key count grows with corpus structure instead of pinning cell
-    # size to n/nlist. Both argmins come from ONE let-bound distance
-    # array (ties → lowest index, then next-lowest, matching the
-    # oracle's (dist, cidx) row_number ranking).
-    dist_arr = F.array(*[_sqdist_expr(F.col("v"), c) for c in centers])
-
-    def argmins(t):
-        da = t["da"]
-        first = F.array_position(da, F.array_min(da)) - 1
-        masked = F.transform(
-            da,
-            lambda x, i: F.when(
-                i == first, F.lit(float("inf"))
-            ).otherwise(x),
-        )
-        return F.struct(
-            first.cast("long").alias("cell"),
-            (F.array_position(masked, F.array_min(masked)) - 1)
-            .cast("long")
-            .alias("cellb"),
-        )
-
-    bound = F.element_at(
-        F.transform(F.array(F.struct(dist_arr.alias("da"))), argmins), 1
-    )
-    cells = e.select(
-        "vec_id",
-        "label",
-        "v",
-        bound.getField("cell").alias("cell"),
-        bound.getField("cellb").alias("cellb"),
-    )
-    # The cells frame feeds BOTH join sides and the final output — three
-    # references, and re-referenced DataFrames re-evaluate their chain
-    # (SCALING.md pitfall). Truncate lineage once; at 100 TB this
-    # materialization IS the cell-partitioned ingest layout the index
-    # build writes anyway.
-    cells = cells.localCheckpoint(eager=False)
     capped = (
         cells.withColumn(
             "cn",
-            F.count(F.lit(1)).over(Window.partitionBy("cell", "cellb")),
+            F.count(F.lit(1)).over(W.partitionBy("cell", "cellb")),
         )
         .filter(F.col("cn") <= _SEM_CELL_CAP)
         .drop("cn")
     )
-
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
+    dot = _sem_dot
     a = capped.select(
         F.col("vec_id").alias("vec_a"),
         F.col("cell").alias("cell_a"),
@@ -1610,6 +1621,110 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             (F.coalesce(F.col("n_near_raw"), F.lit(0)) > 0).alias(
                 "is_semdup"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q_dedup_semantic_incremental",
+    oracle=f"""
+WITH {_semantic_keyed_cte()},
+store AS (
+  SELECT keyed.* FROM keyed
+  JOIN (SELECT cell, cellb, count(*) AS cn FROM keyed
+        WHERE vec_id % {_STORE_MOD} != 0
+        GROUP BY cell, cellb
+        HAVING count(*) <= {_SEM_CELL_CAP}) z USING (cell, cellb)
+  WHERE vec_id % {_STORE_MOD} != 0
+),
+batch AS (SELECT * FROM keyed WHERE vec_id % {_STORE_MOD} = 0),
+hits AS (
+  SELECT b.vec_id, count(*) AS n_matches
+  FROM batch b JOIN store s
+    ON b.cell = s.cell AND b.cellb = s.cellb
+  WHERE list_cosine_similarity(b.v, s.v) >= {_SEM_COS_THRESHOLD}
+  GROUP BY b.vec_id
+)
+SELECT b.vec_id, b.label, b.cell,
+       COALESCE(h.n_matches, 0) AS n_matches,
+       COALESCE(h.n_matches, 0) > 0 AS is_dup
+FROM batch b LEFT JOIN hits h USING (vec_id)
+ORDER BY b.vec_id
+""",
+)
+def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup — the per-drop call of the SemDeDup
+    family, completing the incremental triad (exact digests B72b,
+    MinHash signatures B72, embedding cells here): is each NEW-batch
+    vector (vec_id % 5 == 0) a semantic duplicate of the EXISTING
+    corpus (vec_id % 5 != 0)?
+
+    Scale shape: the corpus side is the persisted cell-keyed layout the
+    shared quantizer wrote at ingest (same (cell, cellb) key and cap as
+    q_dedup_semantic — one index serves full and incremental); the
+    batch assigns its own cells map-only and joins the store ONLY on
+    its keys — at 100 TB the store partitions not matching any batch
+    key are never read (partition pruning on the cell key), and the
+    batch side broadcasts when drop-sized. Only store-side degenerate
+    keys are capped; the batch is never dropped — every new vector gets
+    a verdict.
+    """
+    keyed = _semantic_keyed_frame(spark, sf_dir)
+    if keyed is None:
+        e = load_table(spark, sf_dir, "embeddings")
+        return e.select(
+            "vec_id",
+            "label",
+            F.lit(0).cast("long").alias("cell"),
+            F.lit(0).cast("long").alias("n_matches"),
+            F.lit(False).alias("is_dup"),
+        ).limit(0)
+    store_all = keyed.filter(F.col("vec_id") % _STORE_MOD != 0)
+    store = (
+        store_all.withColumn(
+            "cn", F.count(F.lit(1)).over(W.partitionBy("cell", "cellb"))
+        )
+        .filter(F.col("cn") <= _SEM_CELL_CAP)
+        .drop("cn")
+    )
+    batch = keyed.filter(F.col("vec_id") % _STORE_MOD == 0)
+    b = batch.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cell").alias("b_cell"),
+        F.col("cellb").alias("b_cellb"),
+        F.col("v").alias("bv"),
+        F.sqrt(_sem_dot(F.col("v"), F.col("v"))).alias("bn"),
+    )
+    s = store.select(
+        F.col("cell").alias("s_cell"),
+        F.col("cellb").alias("s_cellb"),
+        F.col("v").alias("sv"),
+        F.sqrt(_sem_dot(F.col("v"), F.col("v"))).alias("sn"),
+    )
+    cos = _sem_dot(F.col("bv"), F.col("sv")) / (F.col("bn") * F.col("sn"))
+    hits = (
+        b.join(
+            s,
+            (F.col("b_cell") == F.col("s_cell"))
+            & (F.col("b_cellb") == F.col("s_cellb")),
+        )
+        .filter(cos >= _SEM_COS_THRESHOLD)
+        .groupBy(F.col("b_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_matches_raw"))
+    )
+    return (
+        batch.join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            F.coalesce(F.col("n_matches_raw"), F.lit(0).cast("long")).alias(
+                "n_matches"
+            ),
+            (F.coalesce(F.col("n_matches_raw"), F.lit(0)) > 0).alias(
+                "is_dup"
             ),
         )
         .orderBy("vec_id")
