@@ -95,3 +95,100 @@ def start_incremental_dedup_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def semantic_dedup_batch(batch_df: DataFrame, store_cells: DataFrame,
+                         centers: list) -> DataFrame:
+    """One micro-batch of new embeddings against the persisted
+    cell-keyed corpus — q_dedup_semantic_incremental's per-batch step,
+    runnable inside ``foreachBatch``: the batch assigns its own
+    (cell, cellb) key map-only against the broadcast centroid list and
+    joins ONLY its keys' store partitions; per-vector verdict out.
+    """
+    from asyncdatapipeline_spark.llm.dedup import (
+        _SEM_COS_THRESHOLD,
+        _sem_dot,
+    )
+    from asyncdatapipeline_spark.llm.similarity import _as_double
+
+    # same argmin/argmin2 construction as the batch path, against the
+    # centers snapshot the stream was started with
+    from asyncdatapipeline_spark.llm.similarity import _sqdist_expr
+
+    v = _as_double(F.col("embedding"))
+    dist_arr = F.array(*[_sqdist_expr(v, c) for c in centers])
+
+    def argmins(t):
+        da = t["da"]
+        first = F.array_position(da, F.array_min(da)) - 1
+        masked = F.transform(
+            da,
+            lambda x, i: F.when(i == first, F.lit(float("inf"))).otherwise(x),
+        )
+        return F.struct(
+            first.cast("long").alias("cell"),
+            (F.array_position(masked, F.array_min(masked)) - 1)
+            .cast("long")
+            .alias("cellb"),
+        )
+
+    bound = F.element_at(
+        F.transform(F.array(F.struct(dist_arr.alias("da"))), argmins), 1
+    )
+    b = batch_df.select(
+        F.col("vec_id").alias("b_id"),
+        v.alias("bv"),
+        bound.getField("cell").alias("b_cell"),
+        bound.getField("cellb").alias("b_cellb"),
+    ).withColumn("bn", F.sqrt(_sem_dot(F.col("bv"), F.col("bv"))))
+    s = store_cells.select(
+        F.col("cell").alias("s_cell"),
+        F.col("cellb").alias("s_cellb"),
+        F.col("v").alias("sv"),
+    ).withColumn("sn", F.sqrt(_sem_dot(F.col("sv"), F.col("sv"))))
+    cos = _sem_dot(F.col("bv"), F.col("sv")) / (F.col("bn") * F.col("sn"))
+    hits = (
+        b.join(
+            s,
+            (F.col("b_cell") == F.col("s_cell"))
+            & (F.col("b_cellb") == F.col("s_cellb")),
+        )
+        .filter(cos >= _SEM_COS_THRESHOLD)
+        .groupBy(F.col("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    return (
+        b.select("b_id", "b_cell")
+        .join(hits, "b_id", "left")
+        .select(
+            F.col("b_id").alias("vec_id"),
+            F.col("b_cell").alias("cell"),
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("is_dup"),
+        )
+    )
+
+
+def start_semantic_dedup_stream(
+    stream_df: DataFrame,
+    store_cells: DataFrame,
+    centers: list,
+    sink_path: str,
+    checkpoint: str,
+):
+    """Stream new embeddings through semantic dedup: per micro-batch
+    verdicts append to the sink — the streaming twin of
+    q_dedup_semantic_incremental, same join driven by the micro-batch
+    loop. The centroid list is a START-time snapshot (index rebuilds
+    are a batch concern, like signature-store compaction)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        semantic_dedup_batch(batch_df, store_cells, centers).write.mode(
+            "append"
+        ).parquet(sink_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

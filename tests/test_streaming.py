@@ -596,3 +596,63 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert streamed == batch, (
         f"stream/batch divergence: {len(streamed ^ batch)} differing pairs"
     )
+
+
+def test_semantic_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming twin of q_dedup_semantic_incremental: the same
+    cell-keyed join driven by the micro-batch loop must produce the
+    same per-vector verdicts as the batch call."""
+    from asyncdatapipeline_spark.llm.dedup import (
+        _STORE_MOD,
+        _semantic_keyed_frame,
+    )
+    from asyncdatapipeline_spark.llm.similarity import _ivf_centroids, _as_double
+    from asyncdatapipeline_spark.sources.tables import load_table
+    from asyncdatapipeline_spark.streaming.curation import (
+        start_semantic_dedup_stream,
+    )
+
+    keyed = _semantic_keyed_frame(spark, sf_dir)
+    store_cells = keyed.filter(F.col("vec_id") % _STORE_MOD != 0)
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", _as_double(F.col("embedding"))
+    )
+    centers = _ivf_centroids(spark, sf_dir, e)
+
+    new_vecs = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % _STORE_MOD == 0
+    )
+    src_path = str(tmp_path / "vec_drops")
+    a, b = new_vecs.randomSplit([0.5, 0.5], seed=7)
+    a.coalesce(1).write.mode("overwrite").parquet(src_path)
+    b.coalesce(1).write.mode("append").parquet(src_path)
+
+    schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_path)
+    )
+    sink = str(tmp_path / "verdicts")
+    q = start_semantic_dedup_stream(
+        stream, store_cells, centers, sink, str(tmp_path / "ckpt_sem")
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    streamed = {
+        (r["vec_id"], r["cell"], r["n_matches"], r["is_dup"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    from asyncdatapipeline_spark import registry as _registry
+
+    batch = {
+        (r["vec_id"], r["cell"], r["n_matches"], r["is_dup"])
+        for r in _registry.get("q_dedup_semantic_incremental")
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert streamed == batch, (
+        f"stream/batch divergence: {len(streamed ^ batch)} differing verdicts"
+    )
