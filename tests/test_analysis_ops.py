@@ -242,3 +242,39 @@ def test_not_in_null_semantics_match_duckdb(spark):
     # and without the NULL, both engines agree on {1, 3}
     spark.createDataFrame([(2,)], "k BIGINT").createOrReplaceTempView("sub_t")
     assert {r["k"] for r in spark.sql(sql).collect()} == {1, 3}
+
+
+def test_agg_trend_recovers_planted_slope(spark, tmp_path_factory):
+    """q_agg_trend on a synthetic corpus with a KNOWN linear law must
+    recover it exactly: type 'lin' has y = 10 + 3x events on day x
+    (slope 3, intercept 10, R² = 1), type 'flat' has a constant 5/day
+    (slope 0, R² NULL-or-0 ... exactly 0 here: syy term nonzero)."""
+    import datetime
+
+    from asyncdatapipeline_spark import registry
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 3, 1)
+    for x in range(10):
+        day = base + datetime.timedelta(days=x)
+        for _ in range(10 + 3 * x):
+            rows.append((eid, day, 1, "lin", 0.0, "{}")); eid += 1
+        for _ in range(5):
+            rows.append((eid, day, 2, "flat", 0.0, "{}")); eid += 1
+    out = tmp_path_factory.mktemp("trend")
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+    res = {
+        r["event_type"]: r
+        for r in registry.get("q_agg_trend").fn(spark, str(out)).collect()
+    }
+    lin, flat = res["lin"], res["flat"]
+    assert lin["n"] == 10 and lin["slope"] == 3.0 and lin["intercept"] == 10.0
+    assert lin["r2"] == 1.0
+    assert flat["slope"] == 0.0 and flat["intercept"] == 5.0
+    # constant series: corr numerator 0, denominator 0 (syy term) → NULL
+    assert flat["r2"] is None
