@@ -247,3 +247,65 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _views(spark, sf_dir, "events")
     return spark.sql(_RECURSIVE_SPARK_SQL)
+
+
+# SQL scripting (Spark 4): the two-step analyst workflow — compute a
+# corpus statistic, then query against it — as ONE compound script
+# (DECLARE / SET / SELECT). The oracle runs the equivalent single
+# statement with the stat as a scalar subquery; the threshold is the
+# decimal-armored average (identical IEEE value in both engines), so
+# the strict comparison cannot flip a boundary row.
+_SCRIPT_SPARK_SQL = """
+BEGIN
+  DECLARE avg_price DOUBLE;
+  SET avg_price = (
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+           / COUNT(o_totalprice)
+    FROM orders);
+  SELECT o_orderpriority,
+         COUNT(*) AS n_above,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+           AS sum_above
+  FROM orders WHERE o_totalprice > avg_price
+  GROUP BY o_orderpriority
+  ORDER BY o_orderpriority;
+END
+"""
+
+_SCRIPT_ORACLE_SQL = """
+WITH t AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+         / COUNT(o_totalprice) AS avg_price
+  FROM orders)
+SELECT o_orderpriority,
+       COUNT(*) AS n_above,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_above
+FROM orders, t WHERE o_totalprice > t.avg_price
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q_sql_script", oracle=_SCRIPT_ORACLE_SQL)
+def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 compound statements): DECLARE a session
+    variable, SET it from an aggregate, use it as a query parameter —
+    the migration target for stored-procedure-style analyst SQL.
+
+    Scale notes: the variable holds ONE scalar on the driver (the
+    sanctioned O(1) pattern — same class as q_join_dpp's threshold);
+    the final SELECT is an ordinary optimized query with the scalar
+    inlined as a literal, so pushdown/pruning behave exactly as if the
+    analyst had run two statements. Scripting stays enabled only for
+    this call (conf restored), and the orders scan happens twice —
+    once per statement — exactly like the two-step workflow it
+    replaces; a single-pass rewrite is the scalar-subquery form the
+    oracle uses.
+    """
+    _views(spark, sf_dir, "orders")
+    saved = spark.conf.get("spark.sql.scripting.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        return spark.sql(_SCRIPT_SPARK_SQL)
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", saved)
