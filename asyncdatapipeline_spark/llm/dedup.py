@@ -1485,12 +1485,19 @@ def _sem_dot(u, v):
     )
 
 
+# Materialized cell-index cache, keyed by (applicationId, sf_dir) —
+# the same ingest-time economics as similarity._IVF_CACHE: the keyed
+# corpus is the persisted layout, not per-query work.
+_SEM_CELLS_CACHE: dict = {}
+
+
 def _semantic_keyed_frame(spark: SparkSession, sf_dir: str):
     """Engine twin of :func:`_semantic_keyed_cte`: the corpus with its
     (nearest, SECOND-nearest)-centroid pairing key, lineage-truncated
     once (multiple consumers would otherwise re-evaluate the whole
     assignment chain — SCALING.md pitfall; at 100 TB this
-    materialization IS the cell-partitioned ingest layout). Returns
+    materialization IS the cell-partitioned ingest layout, so it is
+    cached per (session, corpus) like the IVF centroids). Returns
     None for an empty corpus (no centroids). Both argmins come from ONE
     let-bound distance array (ties → lowest index, then next-lowest,
     matching the oracle's (dist, cidx) row_number ranking).
@@ -1500,6 +1507,10 @@ def _semantic_keyed_frame(spark: SparkSession, sf_dir: str):
         _ivf_centroids,
         _sqdist_expr,
     )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SEM_CELLS_CACHE:
+        return _SEM_CELLS_CACHE[key]
 
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "v", _as_double(F.col("embedding"))
@@ -1535,7 +1546,9 @@ def _semantic_keyed_frame(spark: SparkSession, sf_dir: str):
         bound.getField("cell").alias("cell"),
         bound.getField("cellb").alias("cellb"),
     )
-    return cells.localCheckpoint(eager=False)
+    out = cells.localCheckpoint(eager=False)
+    _SEM_CELLS_CACHE[key] = out
+    return out
 
 
 @query("q_dedup_semantic", oracle=_semantic_oracle_sql())
