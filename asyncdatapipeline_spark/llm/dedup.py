@@ -834,6 +834,11 @@ def embed_lsh_pairs(
         .filter((F.col("bn") >= 2) & (F.col("bn") <= _EMBED_LSH_BUCKET_CAP))
         .drop("bn")
     )
+    # Both self-join sides reference `ok` — without lineage truncation
+    # the signature folds run twice (the SCALING.md re-reference
+    # pitfall; the semantic-dedup cells frame hit the same wall). At
+    # 100 TB this materialization is the signature-partitioned layout.
+    ok = ok.localCheckpoint(eager=False)
     a = ok.select(
         "tbl",
         "sig",
