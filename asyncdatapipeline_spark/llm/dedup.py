@@ -589,7 +589,11 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _HOT_SHINGLE_MAX_DOCS)
         .select("shingle")
     )
-    shc = sh.join(cold, "shingle")
+    # shc feeds BOTH self-join sides and the per-doc counts — three
+    # references; truncate once so the shingle explode + cold-join runs
+    # once on the cold pass (warm passes already reuse the cached
+    # result frame below).
+    shc = sh.join(cold, "shingle").localCheckpoint(eager=False)
     cnt = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shc.alias("a")
     b = shc.alias("b")
