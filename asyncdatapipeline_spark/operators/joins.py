@@ -631,7 +631,10 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
         .select("l_orderkey")
     )
-    ok = op.join(sz, "l_orderkey")
+    # ok feeds both self-join sides (and op feeds ok + sz) — truncate
+    # lineage once so the distinct + size-cap join isn't re-evaluated
+    # per side (the SCALING.md re-reference pitfall).
+    ok = op.join(sz, "l_orderkey").localCheckpoint(eager=False)
     a = ok.select(
         "l_orderkey", F.col("l_partkey").alias("part_a")
     )
