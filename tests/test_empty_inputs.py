@@ -120,3 +120,27 @@ def test_mm_oracle_parity_on_multibyte_text(spark, nully_sf_dir):
         ocols, orows = canon_rows(odf)
         assert scols == ocols, name
         assert srows == orows, name
+
+
+def test_sink_partitioned_null_text_oracle_parity(spark, nully_sf_dir):
+    """ADVICE r4: a NULL-text document must affect the partitioned-sink
+    content checksum IDENTICALLY in both engines (F.concat
+    NULL-propagates like the oracle's ||; concat_ws would silently hash
+    just the id). The nully fixture's NULL-text row is the exact case."""
+    import duckdb
+
+    from tools.check_oracle import canon_rows
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{nully_sf_dir}/{t}.parquet/*.parquet')"
+        )
+    qd = registry.get("q_sink_partitioned")
+    sdf = qd.fn(spark, nully_sf_dir).toPandas()
+    odf = con.sql(qd.oracle).df()
+    scols, srows = canon_rows(sdf)
+    ocols, orows = canon_rows(odf)
+    assert scols == ocols
+    assert srows == orows
