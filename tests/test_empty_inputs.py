@@ -80,6 +80,9 @@ LLM_QUERIES = [
     "q_text_fingerprint", "q_text_winnow", "q_text_scrub", "q_text_chunk",
     "q_pack_sequences", "q_mix_report", "q_multimodal", "q_mm_frames",
     "q_mm_arrow", "q_mm_resize",
+    # round-5 embedding family: null/empty embedding rows must not crash
+    "q_dedup_semantic", "q_dedup_semantic_incremental", "q_sim_ivf",
+    "q_dedup_embed_lsh",
 ]
 
 
