@@ -526,3 +526,54 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "q_split_group",
+    oracle=f"""
+SELECT doc_id, source,
+  ('0x' || substr(md5(source), 1, 2))::UINTEGER AS group_bucket,
+  CASE
+    WHEN ('0x' || substr(md5(source), 1, 2))::UINTEGER < {_SPLIT_TRAIN_LT}
+      THEN 'train'
+    WHEN ('0x' || substr(md5(source), 1, 2))::UINTEGER < {_SPLIT_VALID_LT}
+      THEN 'valid'
+    ELSE 'test'
+  END AS split
+FROM documents
+ORDER BY doc_id
+""",
+)
+def q_split_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level train/valid/test split — the leakage-safe sibling of
+    q_split_hash: the split key is md5(source), not md5(doc_id), so
+    every document of a source lands in the SAME split and near-
+    duplicate documents within a source can never straddle the
+    train/eval boundary (the contamination mode a doc-level split
+    invites; same reason user-level splits are mandatory for
+    recommendation data).
+
+    Same md5-bucket contract as q_split_hash (deterministic under
+    retry / repartition / append; map-only, no shuffle, no
+    group-assignment table to join). The trade, documented: split
+    SHARES are lumpy in the number of groups, not the number of
+    documents — with few large sources the realized train share can
+    drift far from 230/256, which is the correct price of zero
+    leakage; shares converge as group count grows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("source")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            bucket.alias("group_bucket"),
+            F.when(bucket < _SPLIT_TRAIN_LT, "train")
+            .when(bucket < _SPLIT_VALID_LT, "valid")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )

@@ -278,3 +278,23 @@ def test_agg_trend_recovers_planted_slope(spark, tmp_path_factory):
     assert flat["slope"] == 0.0 and flat["intercept"] == 5.0
     # constant series: corr numerator 0, denominator 0 (syy term) → NULL
     assert flat["r2"] is None
+
+
+def test_split_group_is_leakage_safe(spark, sf_dir):
+    """Every source maps to exactly one split (the property q_split_hash
+    does NOT have — doc-level hashing straddles sources by design)."""
+    from asyncdatapipeline_spark import registry
+
+    rows = registry.get("q_split_group").fn(spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_source.values())
+    # and the doc-level split really does straddle at least one source
+    doc_rows = registry.get("q_split_hash").fn(spark, sf_dir).collect()
+    doc_splits = {r["doc_id"]: r["split"] for r in doc_rows}
+    src_of = {r["doc_id"]: r["source"] for r in rows}
+    doc_by_source = {}
+    for did, sp in doc_splits.items():
+        doc_by_source.setdefault(src_of[did], set()).add(sp)
+    assert any(len(s) > 1 for s in doc_by_source.values())
