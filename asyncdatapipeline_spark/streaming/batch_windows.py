@@ -137,3 +137,77 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q_window_session_dynamic",
+    # Gaps-and-islands generalized to PER-EVENT gaps: an event joins
+    # the current session iff its ts <= the RUNNING MAX of preceding
+    # (ts + gap) — the interval-merge semantics of Spark's dynamic
+    # session_window (boundary inclusive, like the fixed-gap twin).
+    # event_id tiebreaks same-second orderings; connectivity (and thus
+    # the merged sessions) is tie-order-independent, the tiebreak just
+    # pins both engines to one evaluation order.
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, event_id, date_trunc('second', ts) AS ts2, value,
+    CASE WHEN event_type = 'purchase' THEN INTERVAL '45 minutes'
+         ELSE INTERVAL '15 minutes' END AS gap
+  FROM events
+),
+t2 AS (
+  SELECT *, ts2 + gap AS ev_end,
+    max(ts2 + gap) OVER (PARTITION BY user_id ORDER BY ts2, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prev_end
+  FROM t
+),
+s AS (
+  SELECT *, SUM(CASE WHEN prev_end IS NULL OR ts2 > prev_end
+                     THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ts2, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM t2
+)
+SELECT user_id,
+  CAST(min(ts2) AS TIMESTAMP) AS session_start,
+  CAST(max(ev_end) AS TIMESTAMP) AS session_end,
+  COUNT(*) AS n_events,
+  {sql_dsum('value', 'sum_value')}
+FROM s
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+""",
+)
+def q_window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window with a DYNAMIC per-event gap (B46 extension):
+    purchases hold a session open 45 minutes, everything else 15 — the
+    per-event-type engagement timeout real session analytics use
+    (checkout flows idle longer than browse flows).
+
+    ``session_window(ts, gap_expr)`` merges each event's [ts, ts+gap)
+    interval; the merged end is the MAX of member ends, not last-event
+    + constant. The oracle generalizes gaps-and-islands to a running
+    max of preceding interval ends. Same scale shape as the fixed-gap
+    twin: one shuffle on user_id, per-user state bounded by the
+    session count; in streaming mode the same expression drives
+    watermark-evicted session state.
+    """
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts2", F.date_trunc("second", "ts")
+    )
+    gap = F.when(F.col("event_type") == "purchase", "45 minutes").otherwise(
+        "15 minutes"
+    )
+    return (
+        e.groupBy(F.session_window("ts2", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
