@@ -589,3 +589,198 @@ def q_agg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(0.6745 * (e.value - m.med) / nullif(d.mad, 0), 6) AS robust_z
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+WHERE abs(0.6745 * (e.value - m.med) / nullif(d.mad, 0)) > 3.5
+ORDER BY e.event_id
+""",
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation (B71's
+    heavy-tail-safe sibling): the modified z-score
+    0.6745·(x − median)/MAD with the standard 3.5 cutoff
+    (Iglewicz–Hoaglin) — the monitoring primitive to reach for when the
+    metric itself has outliers, which inflate q_anomaly's mean/σ and
+    mask exactly the points being hunted (masking breakdown at ~10%
+    contamination vs 50% for MAD).
+
+    Shape: two |types|-row stats frames (median, then MAD of residuals
+    against the broadcast median), each an exact interpolated
+    percentile (the q_agg_quantile cross-engine contract), broadcast
+    back; the flag pass is map-only and every double op is the same
+    IEEE sequence in both engines, so the strict |rz| > 3.5 filter
+    agrees bit-for-bit. The stream is scanned three times but shuffled
+    never; exact per-group percentiles assume bounded group cardinality
+    — the unbounded swap is percentile_approx, as documented on
+    q_winsorize.
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    rz = (
+        F.lit(0.6745)
+        * (F.col("value") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0))
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .withColumn("robust_z_raw", rz)
+        .filter(F.abs(F.col("robust_z_raw")) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("robust_z_raw", 6).alias("robust_z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_ts_interpolate",
+    oracle="""
+WITH agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS v
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM agg GROUP BY 1
+),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+),
+g AS (
+  SELECT s.user_id, s.bucket, a.v,
+    CAST(epoch(s.bucket) AS BIGINT) AS h,
+    last_value(a.v IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.bucket
+            ROWS UNBOUNDED PRECEDING) AS pv,
+    last_value(CASE WHEN a.v IS NOT NULL
+                    THEN CAST(epoch(s.bucket) AS BIGINT) END IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.bucket
+            ROWS UNBOUNDED PRECEDING) AS ph,
+    first_value(a.v IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN a.v IS NOT NULL
+                     THEN CAST(epoch(s.bucket) AS BIGINT) END IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM spine s
+  LEFT JOIN agg a ON s.user_id = a.user_id AND s.bucket = a.bucket
+)
+SELECT user_id, bucket,
+  v IS NULL AS interpolated,
+  CAST(floor(CASE
+    WHEN v IS NOT NULL THEN v
+    WHEN pv IS NULL THEN nv
+    WHEN nv IS NULL THEN pv
+    ELSE pv + (nv - pv) * (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+  END * 1e6) AS BIGINT) AS v_interp_micro
+FROM g
+ORDER BY user_id, bucket
+""",
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the resampled grid (B68's second
+    fill strategy): gap buckets get the time-weighted line between
+    their nearest known neighbors — what forward-fill (q_ts_resample)
+    gets wrong for any metric that trends within the gap; edges fall
+    back to nearest-known.
+
+    Same aggregate-first shape as the resample: one pass over raw
+    events to the (user, hour) grid, spine from the aggregated spans,
+    then FOUR ignorenulls windows on one (user, bucket) ordering — two
+    backward (last known value/position) and two forward — all in the
+    same window exchange, so the grid shuffles once. The interpolation
+    weight is an integer epoch-second ratio divided in double; every
+    arithmetic step is the identical IEEE sequence in both engines,
+    and the output is floor-micro-units — interpolated rationals of
+    6dp endpoints sit exactly on 6dp rounding ties, where the engines'
+    round() implementations legally differ by 1 ulp; floor of the
+    bit-identical double is tie-free (the IVF micro-unit discipline).
+    """
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "v"
+        )
+    )
+    spine = (
+        agg.groupBy("user_id")
+        .agg(F.min("bucket").alias("b0"), F.max("bucket").alias("b1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("b0", "b1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    g = spine.join(agg, ["user_id", "bucket"], "left").withColumn(
+        "h", F.unix_timestamp("bucket")
+    )
+    back = W.partitionBy("user_id").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    fwd = W.partitionBy("user_id").orderBy("bucket").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    known_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    g = (
+        g.withColumn("pv", F.last("v", ignorenulls=True).over(back))
+        .withColumn("ph", F.last(known_h, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("nh", F.first(known_h, ignorenulls=True).over(fwd))
+    )
+    ratio = (F.col("h") - F.col("ph")).cast("double") / (
+        F.col("nh") - F.col("ph")
+    ).cast("double")
+    v_interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * ratio)
+    )
+    # floor-micro-units, NOT round(6): interpolated values are small
+    # rationals of 6dp endpoints, which land exactly on 6dp rounding
+    # ties where Spark (HALF_UP via BigDecimal on the exact binary) and
+    # DuckDB (scale-multiply in double) legally disagree by 1 ulp;
+    # floor of the bit-identical double is tie-free in both engines
+    # (the IVF micro-unit-grid discipline).
+    return g.select(
+        "user_id",
+        "bucket",
+        F.col("v").isNull().alias("interpolated"),
+        F.floor(v_interp * 1e6).cast("long").alias("v_interp_micro"),
+    ).orderBy("user_id", "bucket")
