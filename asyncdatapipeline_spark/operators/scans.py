@@ -220,3 +220,67 @@ def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_scan_metadata",
+    # File names are nondeterministic (part-UUIDs), so the oracle pins
+    # what IS deterministic about the layout: the sink's
+    # repartition(split) puts each split in exactly ONE file, and
+    # _metadata.row_index within that file enumerates 0..n-1, so its
+    # sum is C(n, 2) — both recomputable from the source table alone.
+    oracle="""
+SELECT
+  CASE
+    WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::UINTEGER < 230
+      THEN 'train'
+    WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::UINTEGER < 243
+      THEN 'valid'
+    ELSE 'test'
+  END AS split,
+  count(DISTINCT 1) AS n_files,
+  count(*) AS n_rows,
+  CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS row_index_sum
+FROM documents
+GROUP BY 1 ORDER BY split
+""",
+)
+def q_scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-provenance scan via the ``_metadata`` hidden column (B1
+    extension): which FILE did each row come from, at which position —
+    the lineage every incident review ("which drop poisoned the
+    corpus?") and every idempotent re-ingest needs. Reads the
+    train/valid/test-partitioned sink layout (built by
+    q_sink_partitioned) and aggregates per split: distinct source
+    files, rows, and the sum of within-file row indexes.
+
+    ``_metadata`` costs nothing unless selected (generated at scan
+    time, no extra I/O); at 100 TB the per-file grouping is the
+    compaction pre-flight (files-per-partition histogram) and
+    ``row_index`` gives a stable intra-file ordinal for
+    re-ingest-without-duplication bookkeeping. The oracle pins the
+    deterministic layout facts: one file per split (repartition(split)
+    → each split hash-lands in one task) and row_index summing to
+    C(n, 2).
+    """
+    from asyncdatapipeline_spark.sources.sinks import (
+        _scratch as _sink_scratch,
+        q_sink_partitioned,
+    )
+
+    out = _sink_scratch(sf_dir, "by_split")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        q_sink_partitioned(spark, sf_dir)  # builds the layout, lazily
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    back = spark.read.schema(
+        d.schema.add("split", T.StringType())
+    ).parquet(out)
+    return (
+        back.groupBy("split")
+        .agg(
+            F.countDistinct(F.col("_metadata.file_name")).alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_metadata.row_index")).alias("row_index_sum"),
+        )
+        .orderBy("split")
+    )
