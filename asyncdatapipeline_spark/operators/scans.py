@@ -284,3 +284,54 @@ def q_scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "q_scan_json_corrupt",
+    # The scratch file is region as JSON-lines plus exactly TWO planted
+    # malformed lines, so the oracle knows precisely what a PERMISSIVE
+    # read must report: every good row intact, corrupt lines surfaced
+    # (not dropped, not fatal) with their raw text captured.
+    oracle="""
+SELECT r_regionkey, r_name, NULL AS bad_raw FROM region
+UNION ALL
+SELECT NULL, NULL, '{"r_regionkey": 900, "r_name": "TRUNCATED"'
+UNION ALL
+SELECT NULL, NULL, 'not json at all'
+ORDER BY r_regionkey NULLS LAST, bad_raw
+""",
+)
+def q_scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSON scan (B3 armor twin): PERMISSIVE mode with
+    ``columnNameOfCorruptRecord`` — the row-level quarantine for
+    malformed ingest lines, completing q_fn_try's expression-level
+    armor. A 100 TB crawl ALWAYS contains broken JSON; FAILFAST aborts
+    the job at the first one and DROPMALFORMED silently loses data —
+    PERMISSIVE keeps the good fields and surfaces each bad line's raw
+    text for the quarantine sink (count it, sample it, re-ingest after
+    the upstream fix).
+
+    The scratch layout plants two malformed lines (a truncated object,
+    a non-JSON line) among the region rows, once per corpus; the
+    oracle reconstructs the exact expected report from the source
+    table plus those two literals.
+    """
+    path = _scratch(sf_dir, "region_json_corrupt")
+    marker = os.path.join(path, "_PLANTED")
+    if not os.path.exists(marker):
+        r = load_table(spark, sf_dir, "region")
+        r.coalesce(1).write.mode("overwrite").json(path)
+        with open(os.path.join(path, "zz_corrupt.json"), "w") as f:
+            f.write('{"r_regionkey": 900, "r_name": "TRUNCATED"\n')
+            f.write("not json at all\n")
+        with open(marker, "w"):
+            pass
+    schema = REGION_SCHEMA.add("bad_raw", T.StringType())
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "bad_raw")
+        .json(path)
+        .select("r_regionkey", "r_name", "bad_raw")
+        .orderBy(F.col("r_regionkey").asc_nulls_last(), "bad_raw")
+    )

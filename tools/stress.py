@@ -60,7 +60,19 @@ QUERIES = [
     "q_exists_correlated",
     "q_join_bloom",
     "q_dedup_semantic",
+    "q_dedup_semantic_incremental",
     "q_agg_sketch_setops",
+    "q_agg_kll",
+    "q_agg_bitmap",
+    "q_join_lateral",
+    "q_join_null_anti",
+    "q_join_shuffle_hash",
+    "q_recursive_cte",
+    "q_agg_trend",
+    "q_anomaly_mad",
+    "q_ts_interpolate",
+    "q_window_session_dynamic",
+    "q_split_group",
     # TPC-H join family (replicated facts over fixed dims: the
     # AQE-sensitive snowflake join and agg-then-topk plans)
     "q_agg_hash",
