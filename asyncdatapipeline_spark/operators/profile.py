@@ -233,3 +233,59 @@ def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_profile_skew.__doc__ = q_profile_skew.__doc__.format(n=_SKEW_TOP_N)
+
+
+@query(
+    "q_profile_approx",
+    # Sketch estimates are engine-specific (the q_agg_hll rule): the
+    # oracle carries the exact distincts plus Spark-side booleans
+    # asserting each HLL estimate landed within its configured error.
+    oracle="""
+SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+       count(DISTINCT l_quantity) AS exact_distinct,
+       true AS approx_within_tol
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), count(DISTINCT l_extendedprice), true
+FROM lineitem
+UNION ALL
+SELECT 'l_partkey', count(*), count(DISTINCT l_partkey), true
+FROM lineitem
+ORDER BY column_name
+""",
+)
+def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_profile 100 TB swap, REGISTERED and measured instead of
+    merely named: per-column distinct counts via
+    ``approx_count_distinct`` (HLL, rsd 2%) with the exact twin
+    alongside — at extreme cardinality the exact countDistinct's
+    distinct shuffle is the profile's whole cost, and this is the
+    operator that replaces it (no distinct shuffle at all: HLL partials
+    combine map-side like any sum).
+
+    Tolerance band is 5 × rsd — wide enough to be deterministic-stable
+    (HLL's error is a distribution, the gate is a regression alarm, not
+    a statistics exam).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    frames = [
+        li.select(c).agg(
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(c).alias("exact_distinct"),
+            F.approx_count_distinct(c, rsd=0.02).alias("approx_raw"),
+        )
+        for c in ("l_extendedprice", "l_partkey", "l_quantity")
+    ]
+    from functools import reduce as _reduce
+
+    u = _reduce(DataFrame.unionAll, frames)
+    return u.select(
+        "column_name",
+        "n_rows",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_raw") - F.col("exact_distinct"))
+            <= 0.10 * F.col("exact_distinct")
+        ).alias("approx_within_tol"),
+    ).orderBy("column_name")
