@@ -688,13 +688,13 @@ g AS (
                     THEN CAST(epoch(s.bucket) AS BIGINT) END IGNORE NULLS)
       OVER (PARTITION BY s.user_id ORDER BY s.bucket
             ROWS UNBOUNDED PRECEDING) AS ph,
-    first_value(a.v IGNORE NULLS)
-      OVER (PARTITION BY s.user_id ORDER BY s.bucket
-            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-    first_value(CASE WHEN a.v IS NOT NULL
-                     THEN CAST(epoch(s.bucket) AS BIGINT) END IGNORE NULLS)
-      OVER (PARTITION BY s.user_id ORDER BY s.bucket
-            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+    last_value(a.v IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.bucket DESC
+            ROWS UNBOUNDED PRECEDING) AS nv,
+    last_value(CASE WHEN a.v IS NOT NULL
+                    THEN CAST(epoch(s.bucket) AS BIGINT) END IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.bucket DESC
+            ROWS UNBOUNDED PRECEDING) AS nh
   FROM spine s
   LEFT JOIN agg a ON s.user_id = a.user_id AND s.bucket = a.bucket
 )
@@ -753,15 +753,20 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = W.partitionBy("user_id").orderBy("bucket").rowsBetween(
         W.unboundedPreceding, 0
     )
-    fwd = W.partitionBy("user_id").orderBy("bucket").rowsBetween(
-        0, W.unboundedFollowing
+    # The forward lookups run as DESCENDING running frames, not
+    # [current, unbounded following]: Spark's WindowExec re-evaluates a
+    # shrinking frame's aggregate from scratch per row — O(span^2) per
+    # user, measured 15s vs 1.5s at sf0.1 — while a running frame in
+    # either direction updates incrementally in O(span).
+    fwd = W.partitionBy("user_id").orderBy(F.col("bucket").desc()).rowsBetween(
+        W.unboundedPreceding, 0
     )
     known_h = F.when(F.col("v").isNotNull(), F.col("h"))
     g = (
         g.withColumn("pv", F.last("v", ignorenulls=True).over(back))
         .withColumn("ph", F.last(known_h, ignorenulls=True).over(back))
-        .withColumn("nv", F.first("v", ignorenulls=True).over(fwd))
-        .withColumn("nh", F.first(known_h, ignorenulls=True).over(fwd))
+        .withColumn("nv", F.last("v", ignorenulls=True).over(fwd))
+        .withColumn("nh", F.last(known_h, ignorenulls=True).over(fwd))
     )
     ratio = (F.col("h") - F.col("ph")).cast("double") / (
         F.col("nh") - F.col("ph")
