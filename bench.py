@@ -77,6 +77,9 @@ HEADLINE = [
     "q_recursive_cte",        # WITH RECURSIVE calendar spine (UnionLoop)
     "q_agg_kll",              # mergeable KLL quantile sketches
     "q_agg_bitmap",           # exact bitmap distinct partials
+    "q_ts_interpolate",       # linear gap fill (desc running frames)
+    "q_anomaly_mad",          # robust MAD outliers (broadcast stats)
+    "q_window_session_dynamic",  # per-event-gap session windows
 ]
 
 
