@@ -283,6 +283,24 @@ CHECKS: dict[str, list[tuple]] = {
         ("forbid_re", "no sort-merge fallback", r"SortMergeJoin"),
         ("must", "aggregation partial map-side", r"HashAggregate.*partial"),
     ],
+    "q_profile_approx": [
+        # Exact + approx distinct in ONE agg would trigger the Expand
+        # multi-distinct fallback (input × #aggs row multiplication) —
+        # the same trap q_profile documents; per-column frames avoid it.
+        ("forbid", "no multi-distinct Expand", "Expand"),
+        ("must", "per-column pruned scans", r"ReadSchema: struct<l_partkey:bigint>"),
+    ],
+    "q_agg_trend": [
+        ("must", "day-grid aggregation partial map-side", r"HashAggregate.*partial"),
+        ("forbid", "fit is pure codegen, no Python", *_PYTHON_EVAL_NODES),
+    ],
+    "q_ts_interpolate": [
+        # Forward lookups must be the DESC running-frame rewrite — a
+        # [current, unbounded following] frame is O(span^2) per user
+        # (measured 15s vs 1.9s; SCALING.md pitfall).
+        ("forbid", "no shrinking window frames", "unboundedfollowing"),
+        ("forbid", "no nested loop", *_NESTED_LOOP_NODES),
+    ],
     "q_recursive_cte": [
         # WITH RECURSIVE must plan as Spark's UnionLoop (iterative
         # union execution), and the per-day rollup must still partial-
