@@ -191,3 +191,58 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT fw.doc_id, fw.word_index, fw.word "
         "FROM udtf_docs_in, LATERAL first_words(doc_id, text) AS fw"
     )
+
+
+@query(
+    "q_udf_grouped_arrow",
+    # min-max scale instead of z-score: the arithmetic is
+    # (x - min) / (max - min) on raw doubles — order-free extremes and
+    # one IEEE division, so the oracle matches bit-for-bit with no
+    # rounding absorber (unlike the pandas twin's mean/std).
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+  (c_acctbal - min(c_acctbal) OVER (PARTITION BY c_mktsegment))
+  / (max(c_acctbal) OVER (PARTITION BY c_mktsegment)
+     - min(c_acctbal) OVER (PARTITION BY c_mktsegment)) AS scaled
+FROM customer
+ORDER BY c_custkey
+""",
+)
+def q_udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group map via ``applyInArrow`` (B54's zero-pandas sibling,
+    Spark 4): min-max scale account balance within each market segment,
+    operating directly on ``pyarrow.Table`` batches.
+
+    Why this exists next to applyInPandas: the pandas bridge pays an
+    Arrow→pandas→Arrow conversion per group (index materialization,
+    dtype coercion, BlockManager copies); applyInArrow hands the
+    group's Arrow buffers to pyarrow.compute kernels directly — for
+    numeric transforms the pandas layer is pure overhead. Same
+    group-fits-in-memory bound as the pandas form. Extremes are
+    order-free and the scale is one IEEE division, so the result
+    hash-matches the window-function oracle exactly.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def scale(tbl: pa.Table) -> pa.Table:
+        bal = tbl.column("c_acctbal")
+        mn = pc.min(bal)
+        mx = pc.max(bal)
+        rng = pc.subtract(mx, mn)
+        return pa.table(
+            {
+                "c_custkey": tbl.column("c_custkey"),
+                "c_mktsegment": tbl.column("c_mktsegment"),
+                "scaled": pc.divide(pc.subtract(bal, mn), rng),
+            }
+        )
+
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .applyInArrow(
+            scale, schema="c_custkey long, c_mktsegment string, scaled double"
+        )
+        .orderBy("c_custkey")
+    )
