@@ -789,3 +789,87 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("interpolated"),
         F.floor(v_interp * 1e6).cast("long").alias("v_interp_micro"),
     ).orderBy("user_id", "bucket")
+
+
+_FW_CLICK_S = 3600       # click must land within 1h of the first view
+_FW_PURCHASE_S = 86400   # purchase within 24h of that click
+
+
+@query(
+    "q_funnel_windowed",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) > v.t_view
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) <= v.t_view + {_FW_CLICK_S}
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) > c.t_click
+    AND CAST(floor(epoch(e.ts)) AS BIGINT) <= c.t_click + {_FW_PURCHASE_S}
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT count(*) FROM v) AS n_viewed,
+  (SELECT count(*) FROM c) AS n_clicked_in_window,
+  (SELECT count(*) FROM p) AS n_purchased_in_window
+""",
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED funnel (B70 family, third member): view → click
+    within 1 hour → purchase within 24 hours of that click. The
+    unbounded funnel (q_funnel) answers "did they ever convert";
+    attribution and campaign analysis need "did they convert BECAUSE
+    of it" — which is a window on each step, the conversion-window
+    semantics every ads/attribution system uses.
+
+    Stage frames reduce to one row per qualifying user BEFORE the next
+    stage's scan joins them (broadcast at drop scale, key-join at
+    100 TB) — the q_funnel_time shape chained once more; integer epoch
+    seconds end-to-end, so every window comparison is exact in both
+    engines. Strict '>' on step order: a click in the same second as
+    the view does not count as following it, identically left out in
+    both engines.
+    """
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "t", F.floor(F.unix_timestamp("ts")).cast("long")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(
+            (F.col("t") > F.col("t_view"))
+            & (F.col("t") <= F.col("t_view") + _FW_CLICK_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(
+            (F.col("t") > F.col("t_click"))
+            & (F.col("t") <= F.col("t_click") + _FW_PURCHASE_S)
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_in_window")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_in_window")))
+    )
