@@ -187,6 +187,9 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    # Optional query subset (args 3+) — deep multiples on flagships
+    # without paying for the whole list.
+    queries = sys.argv[3:] or QUERIES
     spark = get_spark("stress")
     stress_dir = build_corpus(spark, sf_dir, mult)
     n_docs = spark.read.parquet(f"{stress_dir}/documents.parquet").count()
@@ -197,7 +200,7 @@ def main() -> None:
 
     base: dict[str, float] = {}
     stressed: dict[str, float] = {}
-    for name in QUERIES:
+    for name in queries:
         fn = registry.get(name).fn
         consume(fn(spark, sf_dir))  # warm
         t0 = time.perf_counter()
