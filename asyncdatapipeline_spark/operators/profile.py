@@ -289,3 +289,136 @@ def q_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.10 * F.col("exact_distinct")
         ).alias("approx_within_tol"),
     ).orderBy("column_name")
+
+
+# Population-stability-index drift report: fixed-width bins so the
+# binning is data-independent (no min/max pass, no bin drift between
+# runs); 500 covers the fixture's value range, overflow clamps to the
+# top bin exactly like production feature clipping.
+_PSI_BIN_W = 50.0
+_PSI_N_BINS = 10
+_PSI_EPS = 1e-6  # probability floor — ln(0) guard, standard PSI practice
+
+
+@query(
+    "q_profile_drift",
+    oracle=f"""
+WITH tagged AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'ref'
+              ELSE 'cur' END AS era,
+         least(CAST(floor(value / {_PSI_BIN_W}) AS INTEGER), {_PSI_N_BINS - 1})
+           AS bin
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT event_type, era, bin, count(*) AS n
+  FROM tagged GROUP BY 1, 2, 3
+),
+totals AS (
+  SELECT event_type, era, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, b.bin,
+    greatest(COALESCE(r.n, 0) * 1.0 / rt.tot, {_PSI_EPS}) AS p,
+    greatest(COALESCE(c.n, 0) * 1.0 / ct.tot, {_PSI_EPS}) AS q,
+    rt.tot AS n_ref, ct.tot AS n_cur
+  FROM (SELECT DISTINCT event_type FROM tagged) t
+  CROSS JOIN (SELECT unnest(generate_series(0, {_PSI_N_BINS - 1})) AS bin) b
+  LEFT JOIN counts r ON r.event_type = t.event_type AND r.bin = b.bin
+                     AND r.era = 'ref'
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.bin = b.bin
+                     AND c.era = 'cur'
+  JOIN totals rt ON rt.event_type = t.event_type AND rt.era = 'ref'
+  JOIN totals ct ON ct.event_type = t.event_type AND ct.era = 'cur'
+)
+SELECT event_type, n_ref, n_cur,
+  round(CAST(sum(CAST(round((p - q) * round(ln(p / q), 9), 12)
+                      AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi,
+  round(CAST(sum(CAST(round((p - q) * round(ln(p / q), 9), 12)
+                      AS DECIMAL(28,12))) AS DOUBLE), 6) > 0.2 AS drifted
+FROM grid
+GROUP BY event_type, n_ref, n_cur
+ORDER BY event_type
+""",
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report via the population stability index
+    (B69 family, the ML-ops pre-flight): PSI of the value distribution
+    between the first and second half of the month, per event type —
+    the "did the feature distribution move under me" gate every
+    serving/training pipeline runs before trusting new data
+    (PSI > 0.2 = investigate, the standard banking-scorecard rule).
+
+    Determinism discipline: fixed-width data-independent bins (no
+    min/max pass — production feature clipping semantics), exact
+    count ratios, and the unigram-PPL ln() contract — ln rounds to
+    9dp, each term rounds to 12dp and sums as DECIMAL so the 10-term
+    per-group sum is order-free and hash-exact across engines. Shape:
+    one pass over raw events to (type, era, bin) counts (map-side
+    combinable), everything after is arithmetic over |types|·bins
+    rows.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    tagged = e.select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+            "ref",
+        )
+        .otherwise("cur")
+        .alias("era"),
+        F.least(
+            F.floor(F.col("value") / _PSI_BIN_W).cast("int"),
+            F.lit(_PSI_N_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = tagged.groupBy("event_type", "era", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("event_type", "era").agg(F.sum("n").alias("tot"))
+    types = tagged.select("event_type").distinct()
+    bins = spark.range(_PSI_N_BINS).select(F.col("id").cast("int").alias("bin"))
+    r = counts.filter(F.col("era") == "ref").select(
+        "event_type", "bin", F.col("n").alias("rn")
+    )
+    c = counts.filter(F.col("era") == "cur").select(
+        "event_type", "bin", F.col("n").alias("cn")
+    )
+    rt = totals.filter(F.col("era") == "ref").select(
+        "event_type", F.col("tot").alias("n_ref")
+    )
+    ct = totals.filter(F.col("era") == "cur").select(
+        "event_type", F.col("tot").alias("n_cur")
+    )
+    grid = (
+        types.crossJoin(F.broadcast(bins))
+        .join(r, ["event_type", "bin"], "left")
+        .join(c, ["event_type", "bin"], "left")
+        .join(rt, "event_type")
+        .join(ct, "event_type")
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.greatest(
+                F.coalesce(F.col("rn"), F.lit(0)) * 1.0 / F.col("n_ref"),
+                F.lit(_PSI_EPS),
+            ).alias("p"),
+            F.greatest(
+                F.coalesce(F.col("cn"), F.lit(0)) * 1.0 / F.col("n_cur"),
+                F.lit(_PSI_EPS),
+            ).alias("q"),
+        )
+    )
+    term = F.round(
+        (F.col("p") - F.col("q"))
+        * F.round(F.log(F.col("p") / F.col("q")), 9),
+        12,
+    ).cast("decimal(28,12)")
+    psi = F.round(F.sum(term).cast("double"), 6)
+    return (
+        grid.groupBy("event_type", "n_ref", "n_cur")
+        .agg(psi.alias("psi"), (psi > 0.2).alias("drifted"))
+        .orderBy("event_type")
+    )
