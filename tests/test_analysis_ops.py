@@ -298,3 +298,40 @@ def test_split_group_is_leakage_safe(spark, sf_dir):
     for did, sp in doc_splits.items():
         doc_by_source.setdefault(src_of[did], set()).add(sp)
     assert any(len(s) > 1 for s in doc_by_source.values())
+
+
+def test_profile_drift_flags_planted_shift(spark, sf_dir, tmp_path_factory):
+    """The fixture's month halves are iid (PSI ~ 0 — the sweep only
+    proves the arithmetic), so plant a real distribution shift: the
+    second half's values move up two bins for one event type; its PSI
+    must cross the 0.2 gate while the untouched types stay below."""
+    import datetime
+
+    from asyncdatapipeline_spark import registry
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    shifted = e.withColumn(
+        "value",
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= cut),
+            F.col("value") + 120.0,  # ~2.4 bins of width 50
+        ).otherwise(F.col("value")),
+    )
+    out = tmp_path_factory.mktemp("drift")
+    shifted.write.mode("overwrite").parquet(str(out / "events.parquet"))
+    rows = {
+        r["event_type"]: r
+        for r in registry.get("q_profile_drift").fn(spark, str(out)).collect()
+    }
+    assert rows["click"]["drifted"], f"planted shift not flagged: {rows['click']}"
+    # At sf0.001 the untouched types carry real small-sample PSI noise
+    # (~90 events/era ⇒ ~9/bin), so the discriminative assertion is
+    # relative: the planted shift must dominate every natural PSI.
+    for t, r in rows.items():
+        if t != "click":
+            assert rows["click"]["psi"] > r["psi"] * 2, (
+                f"planted drift ({rows['click']['psi']}) does not dominate "
+                f"{t}'s sampling noise ({r['psi']})"
+            )
