@@ -1098,3 +1098,68 @@ def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_agg_entropy",
+    # Shannon entropy with the unigram-PPL ln() contract: ln rounds to
+    # 9dp, each -p·ln(p) term rounds to 12dp and sums as DECIMAL, so
+    # the per-group sum is order-free and hash-exact across engines.
+    oracle="""
+WITH c AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+),
+t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.source, t.tot AS n_docs,
+       CAST(count(*) AS INTEGER) AS n_langs,
+       round(CAST(sum(CAST(round(-(c.n * 1.0 / t.tot)
+                                 * round(ln(c.n * 1.0 / t.tot), 9), 12)
+                           AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy_nats,
+       round(CAST(sum(CAST(round(-(c.n * 1.0 / t.tot)
+                                 * round(ln(c.n * 1.0 / t.tot), 9), 12)
+                           AS DECIMAL(28,12))) AS DOUBLE), 6)
+         / round(ln(CAST(count(*) AS DOUBLE)), 9) AS balance
+FROM c JOIN t USING (source)
+GROUP BY c.source, t.tot
+HAVING count(*) > 1
+ORDER BY c.source
+""",
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mix (B26 family): the
+    distribution-health scalar behind "is this source monolingual
+    boilerplate or a healthy mix" — and, normalized by ln(k), the
+    balance score (1 = uniform, →0 = collapsed) that flags dying
+    categorical features and label imbalance before training does.
+
+    Two-phase count to the (source, lang) grid, then entropy over the
+    tiny grid with the unigram-PPL determinism contract (9dp-rounded
+    ln, 12dp-rounded terms, decimal sum → order-free). Single-language
+    sources are excluded (entropy 0 by definition, balance 0/0) —
+    HAVING count(*) > 1 in both engines identically. At 100 TB the only
+    raw-data pass is the (source, lang) count — map-side combinable,
+    |sources|·|langs| rows out.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    term = F.round(-p * F.round(F.log(p), 9), 12).cast("decimal(28,12)")
+    ent = F.round(F.sum(term).cast("double"), 6)
+    return (
+        c.join(t, "source")
+        .groupBy("source", F.col("tot").alias("n_docs"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_langs"),
+            ent.alias("entropy_nats"),
+            (
+                ent
+                / F.round(
+                    F.log(F.count(F.lit(1)).cast("double")), 9
+                )
+            ).alias("balance"),
+        )
+        .filter(F.col("n_langs") > 1)
+        .select("source", "n_docs", "n_langs", "entropy_nats", "balance")
+        .orderBy("source")
+    )

@@ -873,3 +873,73 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_in_window")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_in_window")))
     )
+
+
+@query(
+    "q_events_markov",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY date_trunc('second', ts), event_id
+         ) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM trans GROUP BY 1
+)
+SELECT t.from_type, t.to_type, t.n AS n_trans,
+       round(t.n * 1.0 / tot.n_from, 6) AS p
+FROM trans t JOIN tot USING (from_type)
+ORDER BY from_type, to_type
+""",
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the behavioral model
+    behind next-action prediction, bot detection (degenerate
+    transition loops), and funnel design (which step actually follows
+    which). The funnel family asks about ONE prescribed path; this
+    reports the whole empirical transition structure.
+
+    One window pass (lead over the same (user, time, id) ordering the
+    sessionizer uses — event_id tiebreak keeps both engines identical
+    at same-second events), then a two-phase count to the |types|²
+    transition grid. At 100 TB: one shuffle on user_id for the
+    sequence, one O(types²) aggregate; probabilities are exact
+    count ratios in one IEEE division.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.date_trunc("second", "ts"), "event_id"
+    )
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    trans = (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = trans.groupBy("from_type").agg(F.sum("n_trans").alias("n_from"))
+    return (
+        trans.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            F.round(F.col("n_trans") * 1.0 / F.col("n_from"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
