@@ -985,3 +985,108 @@ def q_text_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_ZIPF_MIN_OCC = 5  # rank tail below this is sampling noise, not law
+
+
+@query(
+    "q_text_zipf",
+    # Log-log regression over EXACT integer sums: rank and frequency
+    # enter as floor(ln·1e6) micro-ints (floor of the bit-identical
+    # double — no rounding-tie risk), the power sums are exact BIGINT,
+    # and the closed forms are the identical IEEE sequence in both
+    # engines (the q_agg_trend discipline in log space).
+    oracle=f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+f AS (
+  SELECT word, count(*) AS n_occ FROM w WHERE word != ''
+  GROUP BY word HAVING count(*) >= {_ZIPF_MIN_OCC}
+),
+r AS (
+  SELECT CAST(floor(ln(row_number() OVER (ORDER BY n_occ DESC, word)) * 1e6)
+              AS BIGINT) AS x,
+         CAST(floor(ln(n_occ) * 1e6) AS BIGINT) AS y
+  FROM f
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx,
+         sum(y) AS sy, sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+    AS zipf_slope,
+  round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+        / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+    AS r2
+FROM s
+""",
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: the slope of
+    log-frequency vs log-rank — natural text sits near −1 with high R²;
+    templated/generated/spam corpora bend or flatten the curve, making
+    this a one-scalar corpus-health gate beside the per-doc quality
+    and repetition filters.
+
+    Shape: one exploded count to the vocab frequency table (map-side
+    combinable), rank over the AGGREGATED |vocab| frame (the O(vocab)
+    single-partition sort of the rfm/topk family — not a raw-data
+    sort), then the q_agg_trend regression discipline in log space:
+    floor(ln·1e6) micro-int coordinates → exact BIGINT power sums →
+    identical IEEE closed forms. The ≥{_ZIPF_MIN_OCC}-occurrence floor
+    drops the sampling-noise tail that would otherwise dominate the
+    fit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    f = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= _ZIPF_MIN_OCC)
+    )
+    from pyspark.sql import Window
+
+    # Global rank over the AGGREGATED vocab frame only (O(vocab) sort —
+    # the documented single-partition trade of the rfm/feature_rank
+    # family, not a raw-data sort).
+    rank = F.row_number().over(
+        Window.orderBy(F.col("n_occ").desc(), "word")
+    )
+    r = f.select(
+        F.floor(F.log(rank.cast("double")) * 1e6).cast("long").alias("x"),
+        F.floor(F.log(F.col("n_occ").cast("double")) * 1e6)
+        .cast("long")
+        .alias("y"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (
+        F.col("n"), F.col("sx"), F.col("sxx"),
+        F.col("sy"), F.col("syy"), F.col("sxy"),
+    )
+    num = (n * sxy - sx * sy).cast("double")
+    return s.select(
+        n.cast("long").alias("n_points"),
+        F.round(num / (n * sxx - sx * sx).cast("double"), 6).alias(
+            "zipf_slope"
+        ),
+        F.round(
+            num * num
+            / (
+                (n * sxx - sx * sx).cast("double")
+                * (n * syy - sy * sy).cast("double")
+            ),
+            6,
+        ).alias("r2"),
+    )

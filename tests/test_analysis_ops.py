@@ -335,3 +335,31 @@ def test_profile_drift_flags_planted_shift(spark, sf_dir, tmp_path_factory):
                 f"planted drift ({rows['click']['psi']}) does not dominate "
                 f"{t}'s sampling noise ({r['psi']})"
             )
+
+
+def test_zipf_fit_discriminates_natural_from_uniform(spark, sf_dir, tmp_path_factory):
+    """The synthetic fixture's near-uniform word soup honestly fits
+    flat (slope ~ -0.18, R2 ~ 0.06 — the 'not natural text' verdict);
+    a planted 1/rank corpus must fit steep and tight."""
+    from asyncdatapipeline_spark import registry
+
+    words = [f"w{i}" for i in range(1, 201)]
+    docs = []
+    did = 0
+    # word i appears ~ 2000/i times, chopped into 50-word docs
+    stream = []
+    for i, w in enumerate(words, start=1):
+        stream.extend([w] * (2000 // i))
+    for k in range(0, len(stream), 50):
+        docs.append((did, " ".join(stream[k:k + 50]), "en", "zipf", 0))
+        did += 1
+    out = tmp_path_factory.mktemp("zipf")
+    spark.createDataFrame(
+        docs, "doc_id BIGINT, text STRING, lang STRING, source STRING,"
+        " n_chars INT"
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    row = registry.get("q_text_zipf").fn(spark, str(out)).collect()[0]
+    assert row["zipf_slope"] < -0.8, row
+    assert row["r2"] > 0.9, row
+    fixture = registry.get("q_text_zipf").fn(spark, sf_dir).collect()[0]
+    assert fixture["zipf_slope"] > -0.5, fixture  # uniform soup fits flat
