@@ -1751,3 +1751,78 @@ def q_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q_dedup_corpus_overlap",
+    oracle="""
+WITH h AS (
+  SELECT DISTINCT source, md5(text) AS hsh FROM documents
+  WHERE text IS NOT NULL
+),
+sz AS (SELECT source, count(*) AS n FROM h GROUP BY 1),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM h a JOIN h b ON a.hsh = b.hsh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.n_shared,
+       za.n AS n_a, zb.n AS n_b,
+       round(s.n_shared * 1.0 / (za.n + zb.n - s.n_shared), 6) AS jaccard
+FROM shared s
+JOIN sz za ON za.source = s.source_a
+JOIN sz zb ON zb.source = s.source_b
+ORDER BY source_a, source_b
+""",
+)
+def q_dedup_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET-level exact overlap: Jaccard between every pair of
+    sources over their distinct content digests — the catalog-dedup
+    question ("is dump B a re-crawl of dump A?") that doc-level dedup
+    answers one document at a time and q_agg_sketch_setops only
+    estimates. Published pipelines run exactly this before admitting a
+    new dump (a high-overlap pair means dedup-against, not union).
+
+    Scale shape: text never leaves its scan — the join key is the
+    32-byte digest, the self-join matches only EQUAL digests (each
+    digest appears in ≤ |sources| rows, so the per-key blowup is
+    bounded by the source count, not the corpus), and the output is
+    O(|sources|²) pairs with any shared content. At 100 TB with many
+    corpora the digest sets persist per source (the incremental-exact
+    store, B72b) and this query joins stores, not corpora; the theta
+    sketch (B23c) is the pre-flight that decides which pairs are worth
+    the exact join.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    h = d.select(
+        "source", F.md5(F.col("text").cast("binary")).alias("hsh")
+    ).distinct()
+    sz = h.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = h.select(F.col("source").alias("source_a"), "hsh")
+    b = h.select(F.col("source").alias("source_b"), "hsh")
+    shared = (
+        a.join(b, "hsh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_shared") * 1.0 / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    return (
+        shared.join(za, "source_a")
+        .join(zb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -759,3 +759,33 @@ def test_semantic_dedup_flags_planted_near_dups(spark, tmp_path_factory):
     assert not any(
         r["is_semdup"] for vid, r in res.items() if vid not in (100, 101)
     )
+
+
+def test_corpus_overlap_detects_planted_recrawl(spark, sf_dir, tmp_path_factory):
+    """The fixture's sources share no content (0 overlap rows — both
+    engines agree on the empty report), so plant a re-crawl: a new
+    source that copies half of src0's documents must surface with the
+    exact shared count and Jaccard."""
+    from asyncdatapipeline_spark import registry
+
+    d = load_table(spark, sf_dir, "documents")
+    src0 = d.filter(F.col("source") == "src0")
+    n0 = src0.count()
+    recrawl = (
+        src0.filter(F.col("doc_id") % 2 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 50000)
+        .withColumn("source", F.lit("src_recrawl"))
+    )
+    out = tmp_path_factory.mktemp("overlap")
+    d.unionByName(recrawl).write.mode("overwrite").parquet(
+        str(out / "documents.parquet")
+    )
+    rows = registry.get("q_dedup_corpus_overlap").fn(spark, str(out)).collect()
+    hit = [r for r in rows if {r["source_a"], r["source_b"]} == {"src0", "src_recrawl"}]
+    assert len(hit) == 1, rows
+    r = hit[0]
+    n_re = recrawl.count()
+    assert r["n_shared"] == n_re and r["n_a"] == n0
+    assert abs(r["jaccard"] - n_re / n0) < 1e-6
+    # no other pair shares anything
+    assert len(rows) == 1
