@@ -1163,3 +1163,71 @@ def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "n_langs", "entropy_nats", "balance")
         .orderBy("source")
     )
+
+
+@query(
+    "q_agg_gini",
+    # Gini over the sorted-rank formula with exact decimal sums:
+    # i·x products have exactly 2 decimals (money × integer rank), so
+    # the DECIMAL casts are exact and the rank-tie permutation cannot
+    # perturb the sum; the closed form is the identical IEEE sequence
+    # in both engines.
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS i
+  FROM orders
+),
+s AS (
+  SELECT o_orderpriority, count(*) AS n,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(i * o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sixi
+  FROM r GROUP BY 1
+)
+SELECT o_orderpriority, n,
+       round(2.0 * sixi / (n * sx) - (n + 1.0) / n, 6) AS gini
+FROM s ORDER BY o_orderpriority
+""",
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration per priority class
+    (B26 family): 0 = everyone spends alike, →1 = a few whales carry
+    the class — the inequality scalar behind revenue-concentration
+    dashboards, and for corpora the "does one source dominate the
+    token budget" check (swap o_totalprice for per-source token
+    counts).
+
+    Sorted-rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over a per-group
+    window rank: the only heavy step is the per-group sort, which runs
+    over the grouped partitioning (the exact-quantile trade —
+    documented bounded-cardinality assumption, percentile-based
+    approximations are the unbounded swap). Rank ties (equal prices)
+    cannot perturb the sum — i₁x + i₂x is permutation-invariant and
+    the 2-decimal money × integer rank products cast to DECIMAL
+    exactly.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    i = F.row_number().over(
+        Window.partitionBy("o_orderpriority").orderBy(
+            "o_totalprice", "o_orderkey"
+        )
+    )
+    r = o.select("o_orderpriority", "o_totalprice", i.alias("i"))
+    s = r.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("o_totalprice")).cast(DEC))
+        .cast("double")
+        .alias("sixi"),
+    )
+    n, sx, sixi = F.col("n"), F.col("sx"), F.col("sixi")
+    return s.select(
+        "o_orderpriority",
+        "n",
+        F.round(
+            F.lit(2.0) * sixi / (n * sx) - (n + F.lit(1.0)) / n, 6
+        ).alias("gini"),
+    ).orderBy("o_orderpriority")

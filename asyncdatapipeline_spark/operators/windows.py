@@ -386,3 +386,60 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "q_win_streak",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+grp AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, count(*) AS len FROM grp GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       count(*) AS n_streaks
+FROM streaks GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (B27 family) —
+    the engagement metric behind retention products ("7-day streak"),
+    and the date-granular cousin of sessionization: q_sessionize
+    islands on a TIME GAP, this islands on CALENDAR CONTINUITY (the
+    date − row_number() constant-offset trick, the canonical
+    gaps-and-islands form).
+
+    Shape: distinct (user, day) first — the raw stream reduces to at
+    most users × days rows before any window — then one window on the
+    same user partitioning and two tiny aggregations. All integers;
+    both engines produce identical islands because the ordering key
+    (the date) is unique per user after the distinct.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    grp = days.select(
+        "user_id", "d", F.date_sub("d", rn).alias("island")
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.sum("len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
