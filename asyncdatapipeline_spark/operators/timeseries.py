@@ -943,3 +943,75 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "q_events_pmi",
+    oracle="""
+WITH u AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+tot AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+m AS (SELECT event_type, count(*) AS n FROM u GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM u a JOIN u b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both, ma.n AS n_a, mb.n AS n_b,
+  round(p.n_both * 1.0 * tot.nu / (ma.n * mb.n), 6) AS lift,
+  round(ln(p.n_both * 1.0 * tot.nu / (ma.n * mb.n)), 9) AS pmi
+FROM pairs p
+JOIN m ma ON ma.event_type = p.type_a
+JOIN m mb ON mb.event_type = p.type_b
+CROSS JOIN tot
+ORDER BY type_a, type_b
+""",
+)
+def q_events_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types at USER
+    granularity: does doing A make a user more likely to also do B
+    than chance (PMI > 0 / lift > 1)? — the association-mining
+    normalization q_copurchase's raw pair counts lack (frequent types
+    co-occur by volume alone; PMI divides the marginals out).
+
+    Shape: distinct (user, type) first (stream → users × types rows),
+    the pair join is per-user over ≤ |types| rows each (bounded
+    fan-out, never a hot key), and marginals/total are tiny broadcast
+    frames. lift is one exact count-ratio IEEE expression; pmi is its
+    9dp-rounded ln (the unigram contract — here a per-row scalar, so
+    rounding only pins the engines' last-ulp ln difference).
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.select("user_id", "event_type").distinct()
+    tot = e.agg(F.countDistinct("user_id").alias("nu"))
+    marg = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = u.select("user_id", F.col("event_type").alias("type_a"))
+    b = u.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    ratio = (
+        F.col("n_both") * 1.0 * F.col("nu") / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(ratio, 6).alias("lift"),
+            F.round(F.log(ratio), 9).alias("pmi"),
+        )
+        .orderBy("type_a", "type_b")
+    )
