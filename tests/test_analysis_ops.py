@@ -363,3 +363,89 @@ def test_zipf_fit_discriminates_natural_from_uniform(spark, sf_dir, tmp_path_fac
     assert row["r2"] > 0.9, row
     fixture = registry.get("q_text_zipf").fn(spark, sf_dir).collect()[0]
     assert fixture["zipf_slope"] > -0.5, fixture  # uniform soup fits flat
+
+
+def test_markov_rows_are_proper_distributions(spark, sf_dir):
+    rows = registry.get("q_events_markov").fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_from = defaultdict(list)
+    for r in rows:
+        assert r["n_trans"] > 0 and 0 < r["p"] <= 1
+        by_from[r["from_type"]].append(r)
+    for f, rs in by_from.items():
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-4, (f, rs)
+
+
+def test_entropy_balance_bounds_and_uniform_case(spark, sf_dir, tmp_path_factory):
+    rows = registry.get("q_agg_entropy").fn(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 < r["balance"] <= 1.0 + 1e-9, r
+        assert r["entropy_nats"] >= 0
+    # planted perfectly-uniform 4-language source → balance ~ 1
+    docs = [
+        (i, f"text {i}", lang, "uni", 10)
+        for i, lang in enumerate(["en", "de", "fr", "es"] * 25)
+    ]
+    out = tmp_path_factory.mktemp("entropy")
+    spark.createDataFrame(
+        docs, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars INT"
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    u = registry.get("q_agg_entropy").fn(spark, str(out)).collect()[0]
+    assert u["n_langs"] == 4 and abs(u["balance"] - 1.0) < 1e-6
+
+
+def test_gini_extremes(spark, sf_dir, tmp_path_factory):
+    """Equal order values → Gini ~ 0; one whale holding ~all value →
+    Gini → 1 (bounded by (n-1)/n)."""
+    equal = [(i, 1, "F", 100.0, None, "EQ") for i in range(100)]
+    whale = [(1000 + i, 2, "F", 0.01, None, "WH") for i in range(99)]
+    whale.append((1999, 2, "F", 1_000_000.0, None, "WH"))
+    out = tmp_path_factory.mktemp("gini")
+    spark.createDataFrame(
+        equal + whale,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    rows = {
+        r["o_orderpriority"]: r
+        for r in registry.get("q_agg_gini").fn(spark, str(out)).collect()
+    }
+    assert abs(rows["EQ"]["gini"]) < 1e-9
+    assert rows["WH"]["gini"] > 0.95
+
+
+def test_streak_matches_python_reference(spark, sf_dir):
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    rows = {
+        r["user_id"]: r
+        for r in registry.get("q_win_streak").fn(spark, sf_dir).collect()
+    }
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_user = defaultdict(set)
+    for r in days:
+        per_user[r["user_id"]].add(r["d"])
+    import datetime
+
+    for uid, ds in per_user.items():
+        sds = sorted(ds)
+        longest = cur = 1
+        streaks = 1
+        for a, b in zip(sds, sds[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                streaks += 1
+                cur = 1
+            longest = max(longest, cur)
+        r = rows[uid]
+        assert r["longest_streak"] == longest and r["n_streaks"] == streaks
+        assert r["n_active_days"] == len(ds)
