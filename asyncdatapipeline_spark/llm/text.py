@@ -1090,3 +1090,80 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+_BURST_TOP_K = 20
+
+
+@query(
+    "q_text_burstiness",
+    # All-integer power sums over per-doc occurrence counts (zero-docs
+    # included via N and sum-over-present identities), so mean/variance
+    # are exact-ratio IEEE expressions — no decimal armor needed.
+    oracle=f"""
+WITH n_docs AS (SELECT count(*) AS nd FROM documents WHERE text IS NOT NULL),
+wc AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  WHERE text IS NOT NULL
+),
+per_doc AS (
+  SELECT word, doc_id, count(*) AS k FROM wc WHERE word != '' GROUP BY 1, 2
+),
+stats AS (
+  SELECT word, CAST(sum(k) AS BIGINT) AS n_occ,
+         CAST(count(*) AS BIGINT) AS n_docs_present,
+         CAST(sum(k * k) AS BIGINT) AS skk
+  FROM per_doc GROUP BY word
+)
+SELECT word, n_occ, n_docs_present,
+  round((CAST(skk AS DOUBLE) / nd
+         - (CAST(n_occ AS DOUBLE) / nd) * (CAST(n_occ AS DOUBLE) / nd))
+        / (CAST(n_occ AS DOUBLE) / nd), 6) AS dispersion
+FROM stats, n_docs
+ORDER BY n_occ DESC, word LIMIT {_BURST_TOP_K}
+""",
+)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness / index of dispersion (variance-to-mean of
+    per-document occurrence counts, zeros included): function words
+    scatter evenly (D ≈ 1, Poisson-like), topical words clump
+    (D ≫ 1) — the dispersion signal TF-IDF's document frequency only
+    approximates, used by keyword-extraction and
+    topic-drift literature.
+
+    Zero-occurrence documents enter the moments WITHOUT being
+    materialized: with N total docs and per-present-doc counts k,
+    mean = Σk/N and E[k²] = Σk²/N already include the zeros — the
+    grid of (word × absent doc) is never built (that grid is
+    vocab × corpus and would dwarf the corpus itself). One exploded
+    count to (word, doc), integer power sums per word, exact-ratio
+    IEEE closed form; top-{k} by frequency via TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    per_doc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    stats = per_doc.groupBy("word").agg(
+        F.sum("k").alias("n_occ"),
+        F.count(F.lit(1)).alias("n_docs_present"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+    )
+    mean = F.col("n_occ").cast("double") / F.col("nd")
+    disp = (F.col("skk").cast("double") / F.col("nd") - mean * mean) / mean
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .select(
+            "word",
+            "n_occ",
+            "n_docs_present",
+            F.round(disp, 6).alias("dispersion"),
+        )
+        .orderBy(F.col("n_occ").desc(), "word")
+        .limit(_BURST_TOP_K)
+    )

@@ -1015,3 +1015,82 @@ def q_events_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "q_ts_interarrival",
+    oracle="""
+WITH seq AS (
+  SELECT o.o_custkey, c.c_mktsegment,
+         CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS t,
+         lag(CAST(floor(epoch(o.o_orderdate)) AS BIGINT)) OVER (
+           PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey
+         ) AS prev_t
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+gaps AS (
+  SELECT c_mktsegment, (t - prev_t) / 86400.0 AS gap_days
+  FROM seq WHERE prev_t IS NOT NULL
+)
+SELECT c_mktsegment,
+  count(*) AS n_gaps,
+  round(CAST(sum(CAST(gap_days AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+    AS mean_gap_days,
+  round(quantile_cont(gap_days, 0.5), 6) AS median_gap_days,
+  round(quantile_cont(gap_days, 0.9), 6) AS p90_gap_days
+FROM gaps GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival (repurchase-gap) analysis per market segment: the
+    distribution of days between a customer's consecutive orders — the
+    retention/reorder-cycle metric behind "when is this customer
+    overdue" alerts and subscription-cadence design (the event-stream
+    sibling is B86's session gap; this is the BUSINESS-cycle gap over
+    orders).
+
+    One lag() window on the (customer, date, orderkey) ordering — the
+    per-customer sort the sessionizer already rides — then a per-
+    segment rollup: decimal-armored mean, exact interpolated
+    percentiles (q_agg_quantile contract). Gaps are exact integer
+    epoch-second differences divided by one double constant, so every
+    derived stat is the identical IEEE sequence in both engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t = F.floor(F.unix_timestamp("o_orderdate")).cast("long")
+    seq = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "o_custkey",
+            "c_mktsegment",
+            "o_orderdate",
+            "o_orderkey",
+            t.alias("t"),
+        )
+        .withColumn("prev_t", F.lag("t").over(w))
+    )
+    gaps = seq.filter(F.col("prev_t").isNotNull()).select(
+        "c_mktsegment",
+        ((F.col("t") - F.col("prev_t")) / 86400.0).alias("gap_days"),
+    )
+    return (
+        gaps.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.sum(F.col("gap_days").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_gap_days"),
+            F.round(F.percentile("gap_days", F.lit(0.5)), 6).alias(
+                "median_gap_days"
+            ),
+            F.round(F.percentile("gap_days", F.lit(0.9)), 6).alias(
+                "p90_gap_days"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
