@@ -463,3 +463,106 @@ def phash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+_AUDIO_WIN = 256   # bytes per analysis window ("samples")
+_AUDIO_HOP = 128   # hop: 50% overlap, the standard STFT framing
+_AUDIO_ID_BOUND = 200  # bounded demo corpus (oracle joins bytes×windows)
+
+
+@query(
+    "q_mm_audio",
+    # Byte-exact oracle via the hex-slice discipline (q_mm_frames):
+    # every payload byte is exploded once from the hex form, windows
+    # are joined on the [start, start+win) range, and the energy is an
+    # exact INTEGER sum of (byte-128)^2 — no float anywhere.
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE text IS NOT NULL AND doc_id < {_AUDIO_ID_BOUND}
+    AND octet_length(encode(text)) >= {_AUDIO_WIN}
+),
+b AS (
+  SELECT doc_id, unnest(generate_series(0, nb - 1)) AS pos, hx FROM h
+),
+bv AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(hx, CAST(pos * 2 + 1 AS BIGINT), 2))::INTEGER AS v
+  FROM b
+),
+w AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+           CAST(floor((nb - {_AUDIO_WIN}) / {_AUDIO_HOP}) AS BIGINT))) AS win_idx,
+         nb
+  FROM h
+)
+SELECT w.doc_id, w.win_idx,
+       CAST(sum((bv.v - 128) * (bv.v - 128)) AS BIGINT) AS energy,
+       CAST(max(abs(bv.v - 128)) AS INTEGER) AS peak
+FROM w JOIN bv ON bv.doc_id = w.doc_id
+  AND bv.pos >= w.win_idx * {_AUDIO_HOP}
+  AND bv.pos < w.win_idx * {_AUDIO_HOP} + {_AUDIO_WIN}
+GROUP BY w.doc_id, w.win_idx
+ORDER BY w.doc_id, w.win_idx
+""",
+)
+def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy envelope over an opaque binary column (B60 family,
+    the AUDIO member beside image resize/pHash and video frames):
+    overlapping analysis windows ({win} bytes, hop {hop} — the 50%-
+    overlap STFT framing every librosa/VAD pipeline uses), per-window
+    energy Σ(sample−128)² and peak amplitude — the voice-activity /
+    silence-trim primitive that decides which audio segments are worth
+    transcribing.
+
+    STUB codec: the "waveform" is the payload's bytes as unsigned
+    8-bit samples centered at 128 (soundfile/librosa decode slots in
+    1:1); the windowing, the 1→N overlapping expansion inside
+    ``mapInPandas`` (per-payload decoder state, same reason as
+    q_mm_frames), and the Arrow batch shape are the real thing. Energy
+    and peak are exact integers, so the hex-slice oracle hash-matches
+    with no tolerance.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    media = d.filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < _AUDIO_ID_BOUND)
+    ).select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, es, ps = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                nb = len(payload)
+                if nb < _AUDIO_WIN:
+                    continue
+                n_win = (nb - _AUDIO_WIN) // _AUDIO_HOP + 1
+                for widx in range(n_win):
+                    seg = payload[
+                        widx * _AUDIO_HOP : widx * _AUDIO_HOP + _AUDIO_WIN
+                    ]
+                    centered = [bv - 128 for bv in seg]
+                    ids.append(doc_id)
+                    idxs.append(widx)
+                    es.append(sum(v * v for v in centered))
+                    ps.append(max(abs(v) for v in centered))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int64"),
+                    "energy": pd.Series(es, dtype="int64"),
+                    "peak": pd.Series(ps, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(
+        energy_batches,
+        schema="doc_id bigint, win_idx bigint, energy bigint, peak int",
+    ).orderBy("doc_id", "win_idx")
+
+
+q_mm_audio.__doc__ = q_mm_audio.__doc__.format(
+    win=_AUDIO_WIN, hop=_AUDIO_HOP
+)
