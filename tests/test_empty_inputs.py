@@ -82,7 +82,7 @@ LLM_QUERIES = [
     "q_mm_arrow", "q_mm_resize",
     # round-5 embedding family: null/empty embedding rows must not crash
     "q_dedup_semantic", "q_dedup_semantic_incremental", "q_sim_ivf",
-    "q_dedup_embed_lsh",
+    "q_dedup_embed_lsh", "q_mm_audio",
 ]
 
 
@@ -96,7 +96,7 @@ def test_llm_ops_survive_malformed_rows(spark, nully_sf_dir):
     assert not failures, "LLM ops crashed on malformed rows:\n" + "\n".join(failures)
 
 
-MM_QUERIES = ["q_multimodal", "q_mm_frames", "q_mm_arrow", "q_mm_resize"]
+MM_QUERIES = ["q_multimodal", "q_mm_frames", "q_mm_arrow", "q_mm_resize", "q_mm_audio"]
 
 
 def test_mm_oracle_parity_on_multibyte_text(spark, nully_sf_dir):
