@@ -693,3 +693,50 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q_fn_mask",
+    oracle="""
+SELECT c_custkey,
+  regexp_replace(regexp_replace(regexp_replace(c_name,
+    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS name_masked,
+  repeat('*', greatest(length(CAST(c_custkey AS VARCHAR)) - 4, 0))
+    || CASE WHEN length(CAST(c_custkey AS VARCHAR)) >= 4
+            THEN substr(CAST(c_custkey AS VARCHAR),
+                        length(CAST(c_custkey AS VARCHAR)) - 3, 4)
+            ELSE CAST(c_custkey AS VARCHAR) END AS acct_last4,
+  c_mktsegment
+FROM customer
+ORDER BY c_custkey
+""",
+)
+def q_fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data masking (B37 governance sibling): Spark's ``mask()``
+    character-class redaction (upper→X, lower→x, digit→n, punctuation
+    kept — shape-preserving, so formats stay validatable) plus the
+    keep-last-4 partial-mask idiom — the column-level de-identification
+    every governed share/export applies, complementing q_text_scrub's
+    pattern-level PII redaction inside free text.
+
+    Both are pure codegen string expressions (map-only at any scale);
+    the oracle replays mask() as the equivalent character-class
+    regex chain and last-4 as repeat+substr.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    key_s = F.col("c_custkey").cast("string")
+    last4 = F.concat(
+        F.expr("repeat('*', greatest(length(cast(c_custkey as string)) - 4, 0))"),
+        F.when(
+            F.length(key_s) >= 4, F.substring(key_s, -4, 4)
+        ).otherwise(key_s),
+    )
+    return (
+        c.select(
+            "c_custkey",
+            F.mask("c_name").alias("name_masked"),
+            last4.alias("acct_last4"),
+            "c_mktsegment",
+        )
+        .orderBy("c_custkey")
+    )

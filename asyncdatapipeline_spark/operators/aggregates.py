@@ -1231,3 +1231,71 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2.0) * sixi / (n * sx) - (n + F.lit(1.0)) / n, 6
         ).alias("gini"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "q_agg_skewkurt",
+    # Same doctrine as q_agg_stats, two moments higher: exact decimal
+    # power sums (x^4 of quantities <= 50 fits DECIMAL(38,6) at any
+    # fixture SF), then central-moment closed forms written as the
+    # IDENTICAL IEEE expression text in both engines.
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,6)))
+         AS DOUBLE) AS sx3,
+    CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                  AS DECIMAL(38,6))) AS DOUBLE) AS sx4
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  round((sx3 / n - 3 * (sx / n) * (sxx / n) + 2 * (sx / n) * (sx / n) * (sx / n))
+        / power(sxx / n - (sx / n) * (sx / n), 1.5), 6) AS skewness,
+  round((sx4 / n - 4 * (sx / n) * (sx3 / n)
+         + 6 * (sx / n) * (sx / n) * (sxx / n)
+         - 3 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
+        / ((sxx / n - (sx / n) * (sx / n)) * (sxx / n - (sx / n) * (sx / n)))
+        - 3, 6) AS excess_kurtosis
+FROM s ORDER BY l_returnflag
+""",
+)
+def q_agg_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per group (B26b two moments
+    higher): the tail-shape diagnostics that decide between q_anomaly's
+    z-scores (assume ~0 skew, ~0 excess kurtosis) and q_anomaly_mad's
+    robust path — run THIS first, pick the detector second.
+
+    NOT ``F.skewness``/``F.kurtosis`` (float accumulation is
+    partition-order-dependent, the q_agg_stats rule): raw power sums up
+    to x⁴ in exact decimal, central-moment closed forms in the
+    identical IEEE expression text in both engines. Same two-phase
+    map-combinable aggregate shape as every sum.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    big = "decimal(38,6)"
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum((x * x).cast(big)).cast("double").alias("sxx"),
+        F.sum((x * x * x).cast(big)).cast("double").alias("sx3"),
+        F.sum((x * x * x * x).cast(big)).cast("double").alias("sx4"),
+    )
+    n = F.col("n")
+    mean = F.col("sx") / n
+    m2 = F.col("sxx") / n - mean * mean
+    m3 = F.col("sx3") / n - 3 * mean * (F.col("sxx") / n) + 2 * mean * mean * mean
+    m4 = (
+        F.col("sx4") / n
+        - 4 * mean * (F.col("sx3") / n)
+        + 6 * mean * mean * (F.col("sxx") / n)
+        - 3 * mean * mean * mean * mean
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")
