@@ -443,3 +443,78 @@ def q_win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_win_pareto",
+    # Exact decimal running sums: the cumulative revenue is a DECIMAL
+    # window sum (order-free, associative), the 80% threshold is exact
+    # decimal arithmetic (total * 0.8 at scale 7), so the boundary rank
+    # cannot flip between engines.
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey
+           ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+           PARTITION BY o_orderpriority) AS tot,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN cum - CAST(o_totalprice AS DECIMAL(28,6))
+                          < tot * 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_to_80pct,
+       round(CAST(sum(CASE WHEN cum - CAST(o_totalprice AS DECIMAL(28,6))
+                                < tot * 0.8 THEN 1 ELSE 0 END) AS DOUBLE)
+             / max(n), 6) AS frac_to_80pct
+FROM r
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / cumulative-share analysis per priority class: how many
+    (and what fraction of) orders, taken largest-first, cover 80% of
+    the class's revenue — the ACTIONABLE concentration number
+    (q_agg_gini scores inequality; this says "stock these N SKUs",
+    "these N customers get the account manager").
+
+    A row counts toward the 80% set if the running total BEFORE it is
+    still under the threshold (the standard "first crossing included"
+    rule). Running sums are exact DECIMAL window sums on the same
+    per-class sort the gini rank uses, and the threshold is exact
+    decimal, so the crossing row is engine-identical — no float
+    cumsum drift at the boundary.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(28,6)")
+    wsort = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    r = o.select(
+        "o_orderpriority",
+        dec.alias("price_dec"),
+        F.sum(dec)
+        .over(wsort.rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum(dec).over(W.partitionBy("o_orderpriority")).alias("tot"),
+        F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("n"),
+    )
+    in80 = F.when(
+        F.col("cum") - F.col("price_dec") < F.col("tot") * 0.8, 1
+    ).otherwise(0)
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.sum(in80).alias("n_to_80pct"),
+            F.round(
+                F.sum(in80).cast("double") / F.max("n"), 6
+            ).alias("frac_to_80pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
