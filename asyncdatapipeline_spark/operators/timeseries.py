@@ -1094,3 +1094,63 @@ def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_ts_seasonality",
+    # Chi-square against uniform with exact ingredients: observed
+    # counts are integers, expected = n/7 is one exact-ratio IEEE
+    # division, and the statistic sums 7 identical-IEEE terms through
+    # the 12dp-round + DECIMAL discipline (order-free).
+    oracle="""
+WITH d AS (
+  SELECT event_type, isodow(ts) - 1 AS dow, count(*) AS obs
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS n FROM d GROUP BY 1)
+SELECT d.event_type, t.n AS n_events,
+  CAST(count(*) AS INTEGER) AS n_days_active,
+  round(CAST(sum(CAST(round(
+      (obs - t.n / 7.0) * (obs - t.n / 7.0) / (t.n / 7.0), 12)
+      AS DECIMAL(28,12))) AS DOUBLE), 6) AS chi2,
+  round(CAST(sum(CAST(round(
+      (obs - t.n / 7.0) * (obs - t.n / 7.0) / (t.n / 7.0), 12)
+      AS DECIMAL(28,12))) AS DOUBLE), 6) > 12.59 AS weekly_pattern
+FROM d JOIN t USING (event_type)
+GROUP BY d.event_type, t.n
+ORDER BY d.event_type
+""",
+)
+def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality test per event type: chi-square of the
+    day-of-week profile against uniform, with the 6-degree-of-freedom
+    95% critical value (12.59) as the "this metric has a weekly cycle"
+    flag — the pre-flight that decides whether monitoring baselines
+    (q_anomaly, q_agg_trend) must be day-of-week-conditioned or flat.
+
+    One pass to (type, dow) counts (map-side combinable, ≤ 7·|types|
+    rows out); the statistic is exact integer counts against one
+    exact-ratio expectation, with the 12dp-round + DECIMAL sum making
+    the 7-term sum order-free (the PSI discipline). Day-of-week
+    numbering aligned across engines (Spark weekday ≡ isodow − 1).
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.weekday("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    t = d.groupBy("event_type").agg(F.sum("obs").alias("n"))
+    exp = F.col("n") / 7.0
+    term = F.round(
+        (F.col("obs") - exp) * (F.col("obs") - exp) / exp, 12
+    ).cast("decimal(28,12)")
+    chi2 = F.round(F.sum(term).cast("double"), 6)
+    return (
+        d.join(t, "event_type")
+        .groupBy("event_type", F.col("n").alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_days_active"),
+            chi2.alias("chi2"),
+            (chi2 > 12.59).alias("weekly_pattern"),
+        )
+        .orderBy("event_type")
+    )
