@@ -690,3 +690,82 @@ def q_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_join_reconcile",
+    # All classification happens on exact DECIMAL sums (line totals)
+    # vs exact DECIMAL casts (header totals), so the match/mismatch
+    # verdict per order — and therefore every reported count and
+    # delta — is engine-identical.
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey,
+         sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS line_total
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderpriority,
+         CASE
+           WHEN l.line_total IS NULL THEN 'no_lines'
+           WHEN l.line_total = CAST(o.o_totalprice AS DECIMAL(28,6))
+             THEN 'match'
+           ELSE 'total_mismatch'
+         END AS status,
+         CASE WHEN l.line_total IS NOT NULL
+              THEN abs(l.line_total - CAST(o.o_totalprice AS DECIMAL(28,6)))
+              ELSE CAST(0 AS DECIMAL(28,6)) END AS delta
+  FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority, status, count(*) AS n_orders,
+       CAST(sum(delta) AS DOUBLE) AS sum_abs_delta
+FROM j GROUP BY 1, 2
+ORDER BY o_orderpriority, status
+""",
+)
+def q_join_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header/detail reconciliation report (B14 family, the migration-
+    validation op): does each order's header total equal the sum of its
+    lines? Classifies every order {match, total_mismatch, no_lines}
+    per priority with the summed absolute drift — THE report a system
+    migration (or this engine replacing the reference) runs against
+    the legacy side before cutover, and the row-level sibling of
+    q_dq_report's aggregate referential checks.
+
+    One detail-side aggregate (map-combinable to |orders| rows), one
+    LEFT key join, conditional rollup. Everything that decides a
+    verdict is exact decimal — a float sum would misclassify orders
+    whose lines sum to the header within 1 ulp. (The synthetic fixture
+    deliberately maintains NO header/detail invariant: every order with
+    lines reports total_mismatch and 257 report no_lines at sf0.01 —
+    the report's job is to SAY so, loudly.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    l = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias(
+            "line_total"
+        )
+    )
+    hdr = F.col("o_totalprice").cast("decimal(28,6)")
+    j = o.join(l, o.o_orderkey == l.l_orderkey, "left").select(
+        "o_orderpriority",
+        F.when(F.col("line_total").isNull(), "no_lines")
+        .when(F.col("line_total") == hdr, "match")
+        .otherwise("total_mismatch")
+        .alias("status"),
+        F.when(
+            F.col("line_total").isNotNull(),
+            F.abs(F.col("line_total") - hdr),
+        )
+        .otherwise(F.lit(0).cast("decimal(28,6)"))
+        .alias("delta"),
+    )
+    return (
+        j.groupBy("o_orderpriority", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("delta").cast("double").alias("sum_abs_delta"),
+        )
+        .orderBy("o_orderpriority", "status")
+    )
