@@ -326,7 +326,13 @@ def q_scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("not json at all\n")
         with open(marker, "w"):
             pass
-    schema = REGION_SCHEMA.add("bad_raw", T.StringType())
+    # Fresh StructType each call: ``StructType.add`` MUTATES in place, so
+    # building the armored schema off the shared module-level REGION_SCHEMA
+    # would permanently append bad_raw (and a second invocation in the same
+    # process would append a duplicate and fail the schema'd read).
+    schema = T.StructType(
+        list(REGION_SCHEMA.fields) + [T.StructField("bad_raw", T.StringType(), True)]
+    )
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")

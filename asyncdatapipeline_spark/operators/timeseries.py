@@ -1103,13 +1103,21 @@ def q_ts_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     # division, and the statistic sums 7 identical-IEEE terms through
     # the 12dp-round + DECIMAL discipline (order-free).
     oracle="""
-WITH d AS (
+WITH d0 AS (
   SELECT event_type, isodow(ts) - 1 AS dow, count(*) AS obs
   FROM events GROUP BY 1, 2
 ),
+g AS (
+  SELECT et.event_type, CAST(r.range AS INTEGER) AS dow
+  FROM (SELECT DISTINCT event_type FROM events) et CROSS JOIN range(7) r
+),
+d AS (
+  SELECT g.event_type, g.dow, COALESCE(d0.obs, 0) AS obs
+  FROM g LEFT JOIN d0 USING (event_type, dow)
+),
 t AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS n FROM d GROUP BY 1)
 SELECT d.event_type, t.n AS n_events,
-  CAST(count(*) AS INTEGER) AS n_days_active,
+  CAST(sum(CASE WHEN obs > 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_days_active,
   round(CAST(sum(CAST(round(
       (obs - t.n / 7.0) * (obs - t.n / 7.0) / (t.n / 7.0), 12)
       AS DECIMAL(28,12))) AS DOUBLE), 6) AS chi2,
@@ -1129,15 +1137,28 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_anomaly, q_agg_trend) must be day-of-week-conditioned or flat.
 
     One pass to (type, dow) counts (map-side combinable, ≤ 7·|types|
-    rows out); the statistic is exact integer counts against one
-    exact-ratio expectation, with the 12dp-round + DECIMAL sum making
-    the 7-term sum order-free (the PSI discipline). Day-of-week
-    numbering aligned across engines (Spark weekday ≡ isodow − 1).
+    rows out), LEFT-joined onto the full 0..6 day-of-week grid (the
+    q_profile_drift grid pattern) so weekdays with ZERO events still
+    contribute their (0 − n/7)²/(n/7) term — summing only observed
+    cells understates chi2 against the 6-df critical value. The
+    statistic is exact integer counts against one exact-ratio
+    expectation, with the 12dp-round + DECIMAL sum making the 7-term
+    sum order-free (the PSI discipline). Day-of-week numbering aligned
+    across engines (Spark weekday ≡ isodow − 1).
     """
     e = load_table(spark, sf_dir, "events")
-    d = e.groupBy(
+    d0 = e.groupBy(
         "event_type", F.weekday("ts").alias("dow")
     ).agg(F.count(F.lit(1)).alias("obs"))
+    # full |types|×7 grid — dim-sized, broadcasts at any scale
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(spark.range(7).select(F.col("id").cast("int").alias("dow")))
+    )
+    d = grid.join(d0, ["event_type", "dow"], "left").withColumn(
+        "obs", F.coalesce("obs", F.lit(0))
+    )
     t = d.groupBy("event_type").agg(F.sum("obs").alias("n"))
     exp = F.col("n") / 7.0
     term = F.round(
@@ -1148,7 +1169,9 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(t, "event_type")
         .groupBy("event_type", F.col("n").alias("n_events"))
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_days_active"),
+            F.sum(F.when(F.col("obs") > 0, 1).otherwise(0))
+            .cast("int")
+            .alias("n_days_active"),
             chi2.alias("chi2"),
             (chi2 > 12.59).alias("weekly_pattern"),
         )

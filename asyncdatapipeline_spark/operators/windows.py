@@ -465,11 +465,11 @@ WITH r AS (
 )
 SELECT o_orderpriority,
        CAST(max(n) AS BIGINT) AS n_orders,
-       CAST(sum(CASE WHEN cum - CAST(o_totalprice AS DECIMAL(28,6))
-                          < tot * 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN 5 * (cum - CAST(o_totalprice AS DECIMAL(28,6)))
+                          < 4 * tot THEN 1 ELSE 0 END) AS BIGINT)
          AS n_to_80pct,
-       round(CAST(sum(CASE WHEN cum - CAST(o_totalprice AS DECIMAL(28,6))
-                                < tot * 0.8 THEN 1 ELSE 0 END) AS DOUBLE)
+       round(CAST(sum(CASE WHEN 5 * (cum - CAST(o_totalprice AS DECIMAL(28,6)))
+                                < 4 * tot THEN 1 ELSE 0 END) AS DOUBLE)
              / max(n), 6) AS frac_to_80pct
 FROM r
 GROUP BY o_orderpriority
@@ -504,8 +504,12 @@ def q_win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec).over(W.partitionBy("o_orderpriority")).alias("tot"),
         F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("n"),
     )
+    # Cross-multiplied 80% threshold: 5*(cum - price) < 4*tot keeps the
+    # comparison in exact DECIMAL on both engines. `tot * 0.8` would make
+    # Spark coerce to double while the oracle compares in DECIMAL — an
+    # exact-tie boundary row could then classify differently.
     in80 = F.when(
-        F.col("cum") - F.col("price_dec") < F.col("tot") * 0.8, 1
+        (F.col("cum") - F.col("price_dec")) * 5 < F.col("tot") * 4, 1
     ).otherwise(0)
     return (
         r.groupBy("o_orderpriority")

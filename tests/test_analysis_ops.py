@@ -449,3 +449,49 @@ def test_streak_matches_python_reference(spark, sf_dir):
         r = rows[uid]
         assert r["longest_streak"] == longest and r["n_streaks"] == streaks
         assert r["n_active_days"] == len(ds)
+
+
+def test_corrupt_json_scan_is_reinvocable(spark, sf_dir):
+    """Regression (round-6 ADVICE): q_scan_json_corrupt must not mutate the
+    shared module-level REGION_SCHEMA via StructType.add — a second
+    invocation in the same process used to append a duplicate bad_raw
+    field and fail the schema'd read with an AnalysisException."""
+    fn = registry.get("q_scan_json_corrupt").fn
+    first = fn(spark, sf_dir).collect()
+    second = fn(spark, sf_dir).collect()  # used to raise duplicate-column
+    assert first == second
+    from asyncdatapipeline_spark.operators.scans import REGION_SCHEMA
+
+    assert [f.name for f in REGION_SCHEMA.fields] == ["r_regionkey", "r_name"]
+
+
+def test_seasonality_counts_absent_weekdays(spark, sf_dir, tmp_path_factory):
+    """Regression (round-6 ADVICE): an event type active on ONE weekday
+    only must produce chi2 = 6 * n/7 (six zero-cells contribute their
+    (0 - n/7)^2 / (n/7) = n/7 terms) — summing only observed cells used
+    to report just the single (n - n/7)^2/(n/7) = 36n/49 term."""
+    import math
+
+    tmp = str(tmp_path_factory.mktemp("season"))
+    # 70 events, all on Mondays (2024-01-01 is a Monday), one type
+    rows = [
+        ("mondays", f"u{i}", "2024-01-%02d 12:00:00" % (1 + 7 * (i % 5)))
+        for i in range(70)
+    ]
+    spark.createDataFrame(
+        [(t, u, ts) for t, u, ts in rows], "event_type string, user_id string, ts_s string"
+    ).select(
+        "event_type", "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    ).write.mode("overwrite").parquet(tmp + "/events.parquet")
+    out = registry.get("q_ts_seasonality").fn(spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    n = 70
+    exp = n / 7.0
+    expected_chi2 = round((n - exp) ** 2 / exp + 6 * (0 - exp) ** 2 / exp, 6)
+    assert r["n_events"] == n and r["n_days_active"] == 1
+    assert math.isclose(r["chi2"], expected_chi2, rel_tol=1e-9), (
+        r["chi2"],
+        expected_chi2,
+    )
+    assert bool(r["weekly_pattern"]) is True
