@@ -3,7 +3,11 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {slowest 5: sec}, "sf": ...}. The printed line is kept
+COMPACT (≤ ~1 KB — round 5's full per-query dict outgrew the driver's
+tail capture and the artifact landed unparseable); the complete
+per-query warm+cold detail is written to BENCH_DETAIL_r{N}.json next
+to this file, which each round commits.
 
 Each query is executed to completion by aggregating a hash over EVERY
 output cell (`agg(max(xxhash64(*cols)))` — one row to the driver, the
@@ -80,6 +84,9 @@ HEADLINE = [
     "q_ts_interpolate",       # linear gap fill (desc running frames)
     "q_anomaly_mad",          # robust MAD outliers (broadcast stats)
     "q_window_session_dynamic",  # per-event-gap session windows
+    # round-6 additions
+    "q_graph_pagerank",       # iterative: 3 damped power-iteration rounds
+    "q_dedup_clusters",       # iterative: min-label propagation fixpoint
 ]
 
 
@@ -166,17 +173,48 @@ def main() -> None:
     }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query detail goes to a committed file; the stdout line
+    # stays compact (≤ ~1 KB). Round 5's per-query dict outgrew the
+    # driver's tail capture and BENCH_r05.json landed with parsed:null —
+    # the headline line must never grow with the query count again.
+    round_no = 1 + max(
+        (
+            int(p.stem.split("_r")[-1])
+            for p in Path(__file__).parent.glob("BENCH_r*.json")
+            if p.stem.split("_r")[-1].isdigit()
+        ),
+        default=0,
+    )
+    detail_path = Path(__file__).parent / f"BENCH_DETAIL_r{round_no:02d}.json"
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "value_cold": round(sum(cold.values()), 3),
+        "queries_cold": cold,
+        "sf": sf_val,
+        "pipeline_ops_per_sec": pipeline_ops,
+    }
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+
+    slowest5 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
+                "value": detail["value"],
                 "unit": "sec",
-                "queries": timings,
-                "value_cold": round(sum(cold.values()), 3),
-                "queries_cold": cold,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": slowest5,  # slowest 5 warm; full dict in detail file
+                "n_queries": len(timings),
+                "value_cold": detail["value_cold"],
+                "sf": sf_val,
                 "pipeline_ops_per_sec": pipeline_ops,
+                "detail": detail_path.name,
             }
         )
     )
