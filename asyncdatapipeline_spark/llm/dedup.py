@@ -1170,21 +1170,28 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-band count, ready for the exact verifier (q_dedup_ngram's
     Jaccard) exactly like the within-corpus path.
     """
-    store = spark.table(ensure_signature_store(spark, sf_dir))
-    # Re-apply the hot-bucket cap at READ time: appends
-    # (append_to_signature_store) deliberately do not re-scan the store,
-    # so a bucket can grow past _BUCKET_CAP between compactions. On a
-    # never-appended store this filter is a no-op (every bucket was
-    # capped at ingest), so the DuckDB oracle replay stays exact; after
-    # appends it restores the boilerplate guardrail. The count window
-    # clusters on band_key, which the bucketed layout already provides —
-    # no Exchange lands on the store branch (plan-audited).
-    n_in_bucket = F.count(F.lit(1)).over(W.partitionBy("band_key"))
-    store = (
-        store.withColumn("n", n_in_bucket)
-        .filter(F.col("n") <= _BUCKET_CAP)
-        .drop("n")
-    )
+    from asyncdatapipeline_spark.operators.layout import _LAYOUT_DIR
+
+    tbl = ensure_signature_store(spark, sf_dir)
+    store = spark.table(tbl)
+    # Re-apply the hot-bucket cap at READ time ONLY on appended stores:
+    # appends (append_to_signature_store) deliberately do not re-scan the
+    # store, so a bucket can grow past _BUCKET_CAP between compactions —
+    # the _APPENDED marker records exactly that. On a never-appended
+    # store every bucket was capped at ingest, so the window is a
+    # provable no-op; skipping it there removes the per-read window CPU
+    # (the +18% the round-5 bench measured) while keeping appended
+    # stores oracle-consistent (tests/test_llm.py appends and asserts
+    # the cap re-engages). When it does run, the count window clusters
+    # on band_key, which the bucketed layout already provides — no
+    # Exchange lands on the store branch (plan-audited).
+    if (_LAYOUT_DIR / tbl / "_APPENDED").exists():
+        n_in_bucket = F.count(F.lit(1)).over(W.partitionBy("band_key"))
+        store = (
+            store.withColumn("n", n_in_bucket)
+            .filter(F.col("n") <= _BUCKET_CAP)
+            .drop("n")
+        )
     batch_docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % _STORE_MOD == 0
     )

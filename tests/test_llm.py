@@ -789,3 +789,48 @@ def test_corpus_overlap_detects_planted_recrawl(spark, sf_dir, tmp_path_factory)
     assert abs(r["jaccard"] - n_re / n0) < 1e-6
     # no other pair shares anything
     assert len(rows) == 1
+
+
+def test_incremental_recap_only_after_append(spark, sf_dir, tmp_path_factory):
+    """Round-6 perf fix: the read-time hot-bucket re-cap window runs ONLY
+    on appended stores (the _APPENDED marker). On a never-appended store
+    every bucket was capped at ingest so the window is a no-op — skipping
+    it removes the per-read window CPU the round-5 bench measured (+18%).
+    After an append floods a bucket past _BUCKET_CAP, the cap must
+    re-engage and suppress the hot bucket's candidate pairs."""
+    from asyncdatapipeline_spark import registry
+    from asyncdatapipeline_spark.llm.dedup import (
+        _BUCKET_CAP,
+        append_to_signature_store,
+    )
+
+    out = tmp_path_factory.mktemp("recap")
+    d = load_table(spark, sf_dir, "documents")
+    pdir = str(out)
+    d.write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    fn = registry.get("q_dedup_incremental").fn
+    plan_before = fn(spark, pdir)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan_before, "never-appended store must skip the re-cap window"
+
+    # Flood: > _BUCKET_CAP identical docs — their shared band keys blow
+    # past the cap once appended.
+    base = (
+        d.withColumn("nw", F.size(F.split("text", " ")))
+        .orderBy(F.col("nw").desc(), "doc_id")
+        .first()
+    )
+    flood = spark.createDataFrame(
+        [
+            (30000 + i, base["text"], base["lang"], base["source"], base["n_chars"])
+            for i in range(_BUCKET_CAP + 10)
+        ],
+        schema=d.schema,
+    )
+    append_to_signature_store(spark, pdir, flood)
+
+    df_after = fn(spark, pdir)
+    plan_after = df_after._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan_after, "appended store must re-apply the cap"
+    hot_pairs = df_after.filter(F.col("store_doc_id") >= 30000).count()
+    assert hot_pairs == 0, "flooded bucket's pairs must be suppressed by the re-cap"
