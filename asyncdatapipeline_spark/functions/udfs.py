@@ -246,3 +246,80 @@ def q_udf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "q_udf_cogroup",
+    # Full-outer semantics: cogroup emits every key present on EITHER
+    # side (a user with events but no orders still gets a row, and vice
+    # versa). Per-key sums are rounded to 2 decimals on both engines —
+    # the true sums sit on the cent grid (few rows per key), so rounding
+    # snaps both engines to the same grid point and summation order
+    # cannot show through.
+    oracle="""
+WITH e AS (
+  SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS event_value
+  FROM events GROUP BY 1
+),
+o AS (
+  SELECT o_custkey AS user_id, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS order_value
+  FROM orders GROUP BY 1
+)
+SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+       CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       COALESCE(e.event_value, 0.0) AS event_value,
+       COALESCE(o.order_value, 0.0) AS order_value,
+       COALESCE(e.n_events, 0) > 0 AND COALESCE(o.n_orders, 0) > 0
+         AS engaged_buyer
+FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+ORDER BY user_id
+""",
+)
+def q_udf_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided grouped map via ``cogroup().applyInPandas`` (the one
+    major pandas-bridge API beside scalar / grouped-agg / grouped-map /
+    grouped-Arrow / UDTF): per-user reconciliation of TWO fact sides —
+    events vs orders — in one co-partitioned pass.
+
+    Both sides shuffle once on the user key and each key's two pandas
+    frames arrive together (either may be empty — full-outer key
+    semantics), so arbitrary cross-referencing logic runs without a
+    join-then-regroup round trip. Same group-fits-in-memory bound as
+    applyInPandas; at 100 TB the key partitioning is the co-location —
+    no second shuffle, no broadcast. The oracle is the equivalent
+    aggregate-then-FULL-OUTER-JOIN SQL, which is also the built-in plan
+    a user should prefer when the per-key logic IS expressible
+    relationally (this entry proves the escape hatch's plumbing).
+    """
+
+    def recon(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        n_ev, n_od = len(ev), len(od)
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_ev],
+                "n_orders": [n_od],
+                "event_value": [round(float(ev["value"].sum()), 2) if n_ev else 0.0],
+                "order_value": [
+                    round(float(od["o_totalprice"].sum()), 2) if n_od else 0.0
+                ],
+                "engaged_buyer": [n_ev > 0 and n_od > 0],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            recon,
+            schema=(
+                "user_id long, n_events long, n_orders long, "
+                "event_value double, order_value double, engaged_buyer boolean"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -1299,3 +1299,105 @@ def q_agg_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_agg_heavy",
+    # Sketch lists are engine-specific, so the oracle checks the EXACT
+    # heavy-hitter numbers (tie-free: max count and sum-of-top-5 counts
+    # are multiset-determined even when ties straddle the rank-5 cut)
+    # plus booleans asserting the merged sketch reproduced them. With
+    # maxItemsTracked >= the per-group key cardinality the datasketches
+    # frequent-items sketch never purges, so its counts are exact and
+    # the booleans are deterministically true (the q_agg_hll contract).
+    oracle="""
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS c FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY c DESC, user_id) AS rk
+  FROM c
+)
+SELECT event_type,
+       CAST(max(c) AS BIGINT) AS top1_cnt,
+       CAST(sum(CASE WHEN rk <= 5 THEN c ELSE 0 END) AS BIGINT)
+         AS top5_cnt_sum,
+       true AS sketch_top1_exact,
+       true AS sketch_top5_exact
+FROM r GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_agg_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters / frequency sketch (completes the mergeable-sketch
+    quartet: HLL distincts, theta set-ops, KLL quantiles, frequency):
+    top-5 heaviest users per event type via Spark 4.1's
+    ``approx_top_k_accumulate`` / ``approx_top_k_combine`` /
+    ``approx_top_k_estimate`` (datasketches frequent-items).
+
+    Two-level plan proving the property a plain groupBy-count can't
+    express: partial sketches built per (event_type, month) cell are
+    COMBINED up to event_type and only then estimated — the
+    persist-partials path. At 100 TB the monthly partials live as
+    binary columns beside the data; any coarser rollup (quarter, year,
+    all-time) is a cheap sketch combine, never a rescan of the raw
+    keys. Sketch state is O(maxItemsTracked) per cell regardless of
+    input rows, and combine is associative, so partials merge map-side.
+
+    Accuracy contract: with maxItemsTracked (10k) >= per-group key
+    cardinality the sketch never evicts and counts are exact — the
+    booleans compare against the exact twin computed alongside. At
+    cardinalities above the tracked budget the counts become
+    upper-bound estimates with a documented error band and the
+    booleans would switch to a tolerance form (the q_agg_approx 5%
+    shape). Tie discipline: top1/top5 are count VALUES (max and
+    multiset sum), never "which user" — tie selection cannot perturb
+    them in either engine.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy("event_type", F.month("ts").alias("m")).agg(
+        F.expr("approx_top_k_accumulate(user_id, 10000)").alias("st")
+    )
+    est = cells.groupBy("event_type").agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(st), 5)").alias(
+            "est"
+        )
+    )
+    est = est.select(
+        "event_type",
+        F.array_max(F.expr("transform(est, x -> x.count)")).alias("est_top1"),
+        F.aggregate(
+            F.expr("transform(est, x -> x.count)"),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("est_top5_sum"),
+    )
+    cnt = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    rk = cnt.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.desc("c"), "user_id")
+        ),
+    )
+    exact = rk.groupBy("event_type").agg(
+        F.max("c").alias("top1_cnt"),
+        F.sum(F.when(F.col("rk") <= 5, F.col("c")).otherwise(0)).alias(
+            "top5_cnt_sum"
+        ),
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "top1_cnt",
+            "top5_cnt_sum",
+            (F.col("est_top1") == F.col("top1_cnt")).alias("sketch_top1_exact"),
+            (F.col("est_top5_sum") == F.col("top5_cnt_sum")).alias(
+                "sketch_top5_exact"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -257,3 +257,83 @@ def test_ann_plane_signs_cross_engine_parity(duck):
                 params=[i, j],
             ).fetchone()
             assert _plane_sign(i, j) == d, (i, j)
+
+
+def test_approx_top_k_partials_merge_losslessly(spark, sf_dir):
+    """q_agg_heavy's re-aggregation property: frequency-sketch partials
+    built over DISJOINT slices of the corpus (per-partition shape) and
+    then combined must reproduce the whole-corpus counts exactly while
+    the per-group key cardinality fits maxItemsTracked (no evictions).
+    This is the persist-partials path — monthly sketch columns rolled up
+    to any coarser grain without rescanning raw keys."""
+    from pyspark.sql import functions as F
+
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    # two disjoint halves by event_id parity — a stand-in for any
+    # physical partitioning (file, day, shard)
+    halves = [
+        e.filter(F.col("event_id") % 2 == i)
+        .groupBy("event_type")
+        .agg(F.expr("approx_top_k_accumulate(user_id, 10000)").alias("st"))
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0]
+        .unionAll(halves[1])
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "approx_top_k_estimate(approx_top_k_combine(st), 10000)"
+            ).alias("est")
+        )
+    )
+    got = {
+        r["event_type"]: {x["item"]: x["count"] for x in r["est"]}
+        for r in merged.collect()
+    }
+    exact = (
+        e.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    want: dict = {}
+    for r in exact:
+        want.setdefault(r["event_type"], {})[r["user_id"]] = r["c"]
+    assert got == want
+
+    # and the registered query's booleans hold
+    for r in registry.get("q_agg_heavy").fn(spark, sf_dir).collect():
+        assert r["sketch_top1_exact"] and r["sketch_top5_exact"]
+
+
+def test_cogroup_emits_full_outer_keys(spark, sf_dir):
+    """q_udf_cogroup must emit a row for keys present on EITHER side:
+    users with events but no orders, and customers with orders but no
+    events, both appear (with zeros on the absent side)."""
+    from pyspark.sql import functions as F
+
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    out = registry.get("q_udf_cogroup").fn(spark, sf_dir).cache()
+    try:
+        ev_users = {
+            r["user_id"]
+            for r in load_table(spark, sf_dir, "events")
+            .select("user_id").distinct().collect()
+        }
+        ord_users = {
+            r["o_custkey"]
+            for r in load_table(spark, sf_dir, "orders")
+            .select("o_custkey").distinct().collect()
+        }
+        got = {r["user_id"] for r in out.select("user_id").collect()}
+        assert got == ev_users | ord_users
+        only_orders = out.filter(
+            (F.col("n_events") == 0) & (F.col("n_orders") > 0)
+        ).count()
+        assert only_orders == len(ord_users - ev_users) and only_orders > 0
+        assert out.filter("engaged_buyer").count() == len(ev_users & ord_users)
+    finally:
+        out.unpersist()
