@@ -84,6 +84,8 @@ class MetricsHub:
         self._lock = threading.Lock()
         self._subs: list[MetricsSubscription] = []
         self._subs_lock = threading.Lock()
+        self._last_observed: dict = {}
+        self._observed_totals: dict = {}
 
     # -- accumulation (called by the pipeline) ---------------------------
     def record_batch(self, item_count: int, processing_seconds: float) -> None:
@@ -91,6 +93,21 @@ class MetricsHub:
             self._metrics.batch_count += 1
             self._metrics.item_count += item_count
             self._metrics.processing_duration += processing_seconds
+
+    def record_observed(self, values: dict) -> None:
+        """Fold a ``df.observe`` harvest into the hub: per-query custom
+        aggregates riding the SAME pass as the batch's real action (the
+        A16 family extension — zero extra scans). ``last_observed`` is
+        the most recent batch's raw values; ``observed_totals`` sums
+        numeric values across batches — correct for additive aggregates
+        (count/sum, the mergeable-partial shapes); non-additive metrics
+        should be read per-batch from ``last_observed``."""
+        with self._lock:
+            self._last_observed = dict(values)
+            for k, v in values.items():
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    continue
+                self._observed_totals[k] = self._observed_totals.get(k, 0) + v
 
     def record_idle(self, seconds: float) -> None:
         with self._lock:
@@ -103,6 +120,8 @@ class MetricsHub:
     def reset(self) -> None:
         with self._lock:
             self._metrics = PipelineMetrics()
+            self._last_observed = {}
+            self._observed_totals = {}
 
     # -- accessors (reference :96-101, :157-168) -------------------------
     def current(self) -> PipelineMetrics:
@@ -112,7 +131,13 @@ class MetricsHub:
             return self._metrics.clone()
 
     def export(self) -> dict:
-        return self.current().export()
+        out = self.current().export()
+        with self._lock:
+            if self._observed_totals:
+                out["observed_totals"] = dict(self._observed_totals)
+            if self._last_observed:
+                out["last_observed"] = dict(self._last_observed)
+        return out
 
     # -- subscriptions (reference :103-155) ------------------------------
     def subscribe(
@@ -158,7 +183,7 @@ class MetricsHub:
             self.unsubscribe(sub)
 
 
-def observe_batch(df, hub: "MetricsHub", name: str = "batch"):
+def observe_batch(df, hub: "MetricsHub", name: str = "batch", **aggs):
     """Attach free row-count metrics to a BATCH DataFrame via
     ``df.observe`` and feed them into ``hub`` — the batch-side analogue
     of the streaming ``StreamingQueryListener`` feed (same
@@ -175,16 +200,25 @@ def observe_batch(df, hub: "MetricsHub", name: str = "batch"):
     separate count() doubles the I/O bill; an observation is an extra
     accumulator per task. (One action per observed frame: Spark
     reports an Observation only for the first action that executes it.)
+
+    ``**aggs`` adds CUSTOM per-query aggregate Columns (name → Column,
+    e.g. ``revenue=F.sum("price")``) observed in the same pass; the
+    harvest records them into the hub (``record_observed``) beside the
+    row count, so engine metrics carry query-specific aggregates with
+    no extra job.
     """
     from pyspark.sql import Observation, functions as F
 
     obs = Observation(name)
-    out = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    extra = [col.alias(alias) for alias, col in aggs.items()]
+    out = df.observe(obs, F.count(F.lit(1)).alias("rows"), *extra)
     t0 = time.monotonic()
 
     def harvest() -> dict:
         vals = obs.get  # blocks until an action has materialized df
         hub.record_batch(int(vals["rows"]), time.monotonic() - t0)
+        if len(vals) > 1:
+            hub.record_observed({k: v for k, v in vals.items() if k != "rows"})
         return dict(vals)
 
     return out, harvest

@@ -334,6 +334,7 @@ class StreamingPipeline:
         process: Callable[[Any, int], None],
         config: PipelineConfig | None = None,
         trigger: dict | None = None,
+        observe: dict | None = None,
     ):
         self.spark = spark
         self.source_df = source_df
@@ -341,6 +342,11 @@ class StreamingPipeline:
         self.metrics = MetricsHub()
         self._process = process
         self._trigger = trigger or {"processingTime": "500 milliseconds"}
+        # name → unbound Column aggregate, observed on every micro-batch
+        # in the SAME pass as the wrapper's row count (df.observe rides
+        # the existing action as one accumulator per task — zero extra
+        # jobs; the A16 metrics family gains per-query custom aggregates)
+        self._observe = dict(observe) if observe else None
         self._reason = CloseReason.NONE
         self._reason_lock = threading.Lock()
         self._errors: list[BaseException] = []
@@ -359,7 +365,29 @@ class StreamingPipeline:
             self._last_data = time.monotonic()
 
     def _foreach_batch(self, batch_df, epoch_id: int) -> None:
-        n = batch_df.count()
+        # The wrapper needs the batch's row count anyway (idle clock +
+        # ItemCount). When custom observe aggregates are configured they
+        # ride that same counting pass via df.observe — one job, one
+        # scan, rows + customs together.
+        if self._observe:
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation(f"epoch-{epoch_id}")
+            batch_df = batch_df.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                *[col.alias(name) for name, col in self._observe.items()],
+            )
+            batch_df.count()  # matures the observation
+            vals = obs.get
+            n = int(vals["rows"])
+            if n > 0:
+                self.metrics.record_observed(
+                    {k: v for k, v in vals.items() if k != "rows"}
+                )
+        else:
+            n = batch_df.count()
         if n > 0:
             self._note_data()
         t0 = time.monotonic()

@@ -122,3 +122,38 @@ def test_streaming_pipeline_process_error(spark, stream_dir):
     assert any(isinstance(e, ProcessError) for e in errors)
     err = next(e for e in errors if isinstance(e, ProcessError))
     assert err.epoch_id is not None
+
+
+def test_streaming_pipeline_observe_metrics(spark, stream_dir):
+    """A16-family extension: custom df.observe aggregates configured on
+    the pipeline ride the wrapper's own counting pass (zero extra jobs)
+    and land in the metrics export — observed totals must equal the
+    batch aggregates computed independently over the same source."""
+    from pyspark.sql import functions as F
+
+    path, schema = stream_dir
+    src = spark.readStream.schema(schema).parquet(path)
+
+    pipe = StreamingPipeline(
+        spark,
+        src,
+        lambda df, epoch: None,
+        PipelineConfig(max_workers=2, idle_time=3, collect_timeout=10),
+        observe={
+            "value_sum": F.sum("value"),
+            "n_purchases": F.count(F.when(F.col("event_type") == "purchase", 1)),
+        },
+    )
+    reason, errors = pipe.run(deadline=60)
+    assert reason is CloseReason.IDLE_TIMEOUT and errors == []
+
+    batch = spark.read.parquet(path)
+    want_sum = batch.agg(F.sum("value")).first()[0]
+    want_purch = batch.filter("event_type = 'purchase'").count()
+
+    exported = pipe.metrics.export()
+    assert exported["item_count"] == 200
+    # additive aggregates sum losslessly across micro-batches
+    assert abs(exported["observed_totals"]["value_sum"] - want_sum) < 1e-6
+    assert exported["observed_totals"]["n_purchases"] == want_purch
+    assert set(exported["last_observed"]) == {"value_sum", "n_purchases"}
