@@ -309,3 +309,107 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.sql(_SCRIPT_SPARK_SQL)
     finally:
         spark.conf.set("spark.sql.scripting.enabled", saved)
+
+
+_PIPE_ORACLE_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q_sql_pipe", oracle=_PIPE_ORACLE_SQL)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>`` operators): the linear
+    FROM → WHERE → JOIN → EXTEND → AGGREGATE → ORDER BY form of an
+    orders-per-segment revenue rollup — the readability surface analysts
+    migrating from dataframe-style notebooks use instead of nested
+    SELECTs.
+
+    Semantically identical to the classic form (the oracle IS the
+    classic form): each pipe stage parses into exactly the logical node
+    its keyword names, so Catalyst sees the same plan — filters still
+    push into the scan, the customer join still broadcasts, the
+    aggregate is still partial+final. Zero runtime cost, pure syntax;
+    the plan is what proves it (same physical plan text as the ANSI
+    twin). Revenue is summed in exact DECIMAL (the _util armor
+    discipline) so the hash matches cross-engine.
+    """
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+FROM orders
+|> WHERE o_orderstatus = 'F'
+|> JOIN customer ON o_custkey = c_custkey
+|> EXTEND CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+|> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(price_dec) AS DOUBLE) AS revenue
+   GROUP BY c_mktsegment
+|> ORDER BY c_mktsegment
+"""
+    )
+
+
+_SQL_UDF_ORACLE_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+         AS DOUBLE) AS net_revenue
+FROM lineitem
+WHERE l_quantity >= 30
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_sql_udf", oracle=_SQL_UDF_ORACLE_SQL)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4 ``CREATE FUNCTION ... RETURN expr``):
+    a scalar SQL UDF (exact-decimal net price) and a SQL TABLE function
+    (quantity-filtered lineitem) composed in one aggregation — the
+    reusable-logic surface that needs NO Python boundary.
+
+    Why this beats q_udf_py's shape for shared business logic: a SQL
+    UDF's body is INLINED into the calling plan during analysis, so the
+    optimizer sees plain expressions — codegen applies, predicates
+    still push down through the table function into the parquet scan,
+    and there is no per-row (or even per-batch) serialization to a
+    Python worker. Same declarative reuse, zero runtime tax. The
+    oracle inlines both bodies manually, proving the inlining
+    semantics. Net price is computed entirely in exact DECIMAL
+    (2dp inputs — products are exact, sums order-free).
+    """
+    _views(spark, sf_dir, "lineitem")
+    spark.sql(
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION net_dec(p DOUBLE, d DOUBLE)
+RETURNS DECIMAL(22,4)
+RETURN CAST(p AS DECIMAL(18,2))
+       * (CAST(1.00 AS DECIMAL(3,2)) - CAST(d AS DECIMAL(3,2)))
+"""
+    )
+    spark.sql(
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION heavy_lines(min_qty DOUBLE)
+RETURNS TABLE (l_returnflag STRING, l_extendedprice DOUBLE,
+               l_discount DOUBLE)
+RETURN SELECT l_returnflag, l_extendedprice, l_discount
+       FROM lineitem WHERE l_quantity >= min_qty
+"""
+    )
+    return spark.sql(
+        """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(net_dec(l_extendedprice, l_discount)) AS DOUBLE)
+         AS net_revenue
+FROM heavy_lines(30)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+    )

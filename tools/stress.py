@@ -78,6 +78,13 @@ QUERIES = [
     "q_agg_hash",
     "q_join_multiway",
     "q_agg_topk",
+    # round-6 additions: the two iterative multi-round jobs (per-round
+    # join+agg cost should scale linearly; round count must NOT grow
+    # with replication) and the new sketch/cogroup surface
+    "q_graph_pagerank",
+    "q_dedup_clusters",
+    "q_agg_heavy",
+    "q_udf_cogroup",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
