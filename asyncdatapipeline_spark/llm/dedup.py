@@ -1833,3 +1833,129 @@ def q_dedup_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (excerpt / quote detection) — exact, oracle-checked
+# ---------------------------------------------------------------------------
+
+# Jaccard misses the excerpt case BY CONSTRUCTION: a 50-shingle quote
+# inside a 5000-shingle article scores J ~ 0.01 but containment 1.0.
+# Containment C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| is the right statistic
+# for "doc A is substantially inside doc B" — press-release laundering,
+# quote farms, boilerplate-wrapped reposts.
+
+_CONTAINMENT_THRESHOLD = 0.5
+
+
+@query(
+    "q_text_containment",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+  FROM ws
+),
+cold AS (
+  SELECT shingle FROM sh GROUP BY shingle
+  HAVING count(*) <= {_HOT_SHINGLE_MAX_DOCS}
+),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)),
+cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+directed AS (
+  SELECT
+    CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND p.doc_a < p.doc_b)
+         THEN p.doc_a ELSE p.doc_b END AS excerpt_doc,
+    CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND p.doc_a < p.doc_b)
+         THEN p.doc_b ELSE p.doc_a END AS host_doc,
+    CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND p.doc_a < p.doc_b)
+         THEN ca.n ELSE cb.n END AS n_excerpt,
+    CASE WHEN ca.n < cb.n OR (ca.n = cb.n AND p.doc_a < p.doc_b)
+         THEN cb.n ELSE ca.n END AS n_host,
+    p.shared
+  FROM pairs p
+  JOIN cnt ca ON ca.doc_id = p.doc_a
+  JOIN cnt cb ON cb.doc_id = p.doc_b
+)
+SELECT excerpt_doc, host_doc, n_excerpt, n_host, shared,
+       round(shared * 1.0 / n_excerpt, 6) AS containment
+FROM directed
+WHERE shared * 1.0 / n_excerpt >= {_CONTAINMENT_THRESHOLD}
+""",
+)
+def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs (excerpt/quote detection):
+    the smaller document's shingle-set coverage inside the larger one —
+    C(A,B) = |sh(A) ∩ sh(B)| / |sh(A)|. The near-dup family's missing
+    direction: Jaccard (q_dedup_ngram) scores a 50-shingle quote inside
+    a 5000-shingle article ~0.01, containment scores it 1.0 — exactly
+    the repost/quote-farm pattern symmetric dedup keeps.
+
+    Same scale machinery as the Jaccard verifier (shared shingle
+    explode → hot-shingle suppression → shingle-key self-join →
+    per-pair intersection counts — never all-pairs); the direction is
+    decided per pair AFTER the counts (smaller side = excerpt,
+    doc-id tiebreak), so both engines pick the identical orientation.
+    The ratio is one exact-integer IEEE division, rounded at 6dp.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(_shingle_array(F.col("text"))).alias("shingle")
+    )
+    cold = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _HOT_SHINGLE_MAX_DOCS)
+        .select("shingle")
+    )
+    shc = sh.join(cold, "shingle").localCheckpoint(eager=False)
+    cnt = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shc.alias("a")
+    b = shc.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = (
+        pairs.join(
+            cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        ).join(
+            cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+    )
+    a_is_excerpt = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    pick = lambda x, y: F.when(a_is_excerpt, x).otherwise(y)  # noqa: E731
+    directed = j.select(
+        pick(F.col("doc_a"), F.col("doc_b")).alias("excerpt_doc"),
+        pick(F.col("doc_b"), F.col("doc_a")).alias("host_doc"),
+        pick(F.col("na"), F.col("nb")).alias("n_excerpt"),
+        pick(F.col("nb"), F.col("na")).alias("n_host"),
+        "shared",
+    )
+    containment = F.col("shared") * 1.0 / F.col("n_excerpt")
+    return directed.filter(containment >= _CONTAINMENT_THRESHOLD).select(
+        "excerpt_doc",
+        "host_doc",
+        "n_excerpt",
+        "n_host",
+        "shared",
+        F.round(containment, 6).alias("containment"),
+    )

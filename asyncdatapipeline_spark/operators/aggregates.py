@@ -1401,3 +1401,52 @@ def q_agg_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_percentile_disc",
+    # Discrete percentiles RETURN AN ACTUAL DATA VALUE (the smallest
+    # element whose cumulative fraction >= p) — no interpolation, no
+    # float arithmetic, so Spark's WITHIN GROUP percentile_disc and
+    # DuckDB's quantile_disc agree bit-for-bit with zero armor.
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.50) AS p50,
+       quantile_disc(o_totalprice, 0.90) AS p90
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (type-1) grouped percentiles via ``percentile_disc``
+    WITHIN GROUP — the q_agg_quantile sibling that returns a REAL
+    observed value instead of an interpolated one. The right choice
+    when the percentile must be an actual row's value (a real order
+    total, a real latency sample — e.g. to join back and inspect the
+    row) and the only safe choice for discrete domains where
+    interpolation fabricates impossible values.
+
+    Same execution shape as the continuous form: per-group sort-based
+    aggregate, one shuffle on the group key; at unbounded cardinality
+    the mergeable swap is q_agg_approx_quantile's t-digest (whose
+    estimate is also a real sample for percentile_approx). Being a
+    selection (not arithmetic), the result is immune to summation
+    order — no decimal armor, no rounding, exact cross-engine hash.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("pdisc_orders")
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+       percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+       percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+FROM pdisc_orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+    )

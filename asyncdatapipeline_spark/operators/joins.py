@@ -769,3 +769,137 @@ def q_join_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "status")
     )
+
+
+@query(
+    "q_copurchase_rules",
+    # Association metrics are EXACT INTEGER ratios (joint, antecedent,
+    # item, basket counts) rounded at 6dp — one identical IEEE division
+    # per metric, so the hash matches with no tolerance. Rule ordering
+    # is by integer joint count + part keys, never by a float metric.
+    oracle=f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+sz AS (
+  SELECT l_orderkey FROM op GROUP BY l_orderkey
+  HAVING count(*) BETWEEN 2 AND {_BASKET_MAX_ITEMS}
+),
+ok AS (
+  SELECT op.l_orderkey, op.l_partkey FROM op JOIN sz USING (l_orderkey)
+),
+nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM ok),
+items AS (
+  SELECT l_partkey, count(*) AS n_item FROM ok GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_joint
+  FROM ok a JOIN ok b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT part_a, part_b, n_joint FROM pairs
+  ORDER BY n_joint DESC, part_a, part_b
+  LIMIT 10
+),
+rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, n_joint FROM top
+  UNION ALL
+  SELECT part_b, part_a, n_joint FROM top
+)
+SELECT r.antecedent, r.consequent, r.n_joint,
+       ia.n_item AS n_antecedent,
+       round(CAST(r.n_joint AS DOUBLE) / nb.n_baskets, 6) AS support,
+       round(CAST(r.n_joint AS DOUBLE) / ia.n_item, 6) AS confidence,
+       round(CAST(r.n_joint AS DOUBLE) * nb.n_baskets
+             / (CAST(ia.n_item AS DOUBLE) * ic.n_item), 6) AS lift
+FROM rules r
+JOIN items ia ON ia.l_partkey = r.antecedent
+JOIN items ic ON ic.l_partkey = r.consequent
+CROSS JOIN nb
+ORDER BY r.n_joint DESC, r.antecedent, r.consequent
+""",
+)
+def q_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the q_copurchase pair mine: the top-10
+    joint pairs expanded to DIRECTED rules with support, confidence
+    P(B|A), and lift — the numbers that separate "bought together
+    often" from "bought together more than chance" (lift > 1), the
+    actual recommender/affinity deliverable.
+
+    Scale shape: everything heavy is the same capped pair mine as
+    q_copurchase (count-first basket cap, map-combinable pair counts,
+    TakeOrderedAndProject top-10); the metric stage then runs on 20
+    rule rows joined against the |parts| item-count frame (the tiny
+    rules side broadcasts) and a 1-row basket-count frame. Rules are
+    ordered by the integer joint count, never by a float metric, so
+    ties cannot reorder across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sz = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
+        .select("l_orderkey")
+    )
+    ok = op.join(sz, "l_orderkey").localCheckpoint(eager=False)
+    a = ok.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = ok.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    top = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_joint"))
+        .orderBy(F.col("n_joint").desc(), "part_a", "part_b")
+        .limit(10)
+    )
+    rules = top.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "n_joint",
+    ).unionAll(
+        top.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "n_joint",
+        )
+    )
+    items = ok.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    nb = ok.select(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    ia = items.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_antecedent")
+    )
+    ic = items.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_consequent")
+    )
+    return (
+        rules.join(ia, "antecedent")
+        .join(ic, "consequent")
+        .crossJoin(nb)
+        .select(
+            "antecedent",
+            "consequent",
+            "n_joint",
+            "n_antecedent",
+            F.round(
+                F.col("n_joint").cast("double") / F.col("n_baskets"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_joint").cast("double") / F.col("n_antecedent"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("n_joint").cast("double")
+                * F.col("n_baskets")
+                / (
+                    F.col("n_antecedent").cast("double")
+                    * F.col("n_consequent")
+                ),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_joint").desc(), "antecedent", "consequent")
+    )

@@ -1177,3 +1177,194 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- EWMA smoothing ---------------------------------------------------------
+
+# Exact negative powers of (1 - alpha) for alpha = 0.3: each literal is a
+# finite decimal, so both engines parse the IDENTICAL nearest-double — the
+# weights never go through pow()/exp() (libm ulp territory).
+_EWMA_WEIGHTS = (1.0, 0.7, 0.49, 0.343, 0.2401, 0.16807, 0.117649, 0.0823543)
+
+
+def _ewma_exprs(at: str, sz: str) -> tuple[str, str]:
+    """Numerator/denominator as one left-associated chain each — the
+    identical-IEEE-expression-text discipline (q_anomaly's): both
+    engines evaluate the same additions in the same order on the same
+    doubles, so the quotient hash-matches with no rounding."""
+    num = " + ".join(
+        f"coalesce({at.format(i=i + 1)}, 0.0) * {w!r}"
+        for i, w in enumerate(_EWMA_WEIGHTS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {sz} > {i} THEN {w!r} ELSE 0.0 END)"
+        for i, w in enumerate(_EWMA_WEIGHTS)
+    )
+    return num, den
+
+
+_EWMA_SPARK_NUM, _EWMA_SPARK_DEN = _ewma_exprs(
+    "try_element_at(arr, -{i})", "size(arr)"
+)
+_EWMA_DUCK_NUM, _EWMA_DUCK_DEN = _ewma_exprs("arr[-{i}]", "len(arr)")
+
+
+@query(
+    "q_ts_ewma",
+    oracle=f"""
+WITH w AS (
+  SELECT event_type, event_id, ts, value,
+         list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+  FROM events
+)
+SELECT event_type, event_id, ts, value,
+       CAST(len(arr) AS INTEGER) AS n_window,
+       ({_EWMA_DUCK_NUM}) / ({_EWMA_DUCK_DEN}) AS ewma
+FROM w
+""",
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per event-type stream
+    (alpha = 0.3, trailing-8 truncation, renormalized weights) — the
+    smoothing baseline monitoring dashboards draw and alerting compares
+    against (q_anomaly flags against a global sigma; EWMA tracks the
+    LOCAL level so a slow drift doesn't hide a step change).
+
+    Shape: ONE (event_type, ts, event_id) ordered window produces the
+    trailing-value array; the weighted fold is row-local codegen over
+    at most 8 elements. The truncated-window form (vs the classic
+    recursive EWMA) is deliberate: the recursion is order-serial and
+    unwindowable, while truncation at 8 terms (weight < 0.06 beyond
+    that) makes it a bounded ROWS frame — shuffle once on the series
+    key, O(1) state per row, any-scale. Determinism: weights are exact
+    finite-decimal literals (never pow()), and numerator/denominator
+    are single left-associated chains evaluated identically in both
+    engines — raw-double hash equality, no rounding absorber.
+    """
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("ewma_events")
+    return spark.sql(
+        f"""
+WITH w AS (
+  SELECT event_type, event_id, ts, value,
+         collect_list(value) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+           AS arr
+  FROM ewma_events
+)
+SELECT event_type, event_id, ts, value,
+       CAST(size(arr) AS INTEGER) AS n_window,
+       ({_EWMA_SPARK_NUM}) / ({_EWMA_SPARK_DEN}) AS ewma
+FROM w
+"""
+    )
+
+
+@query(
+    "q_ts_crosscorr",
+    # Integer daily counts on a dense day spine -> exact BIGINT power
+    # sums -> one identical IEEE closed form per lag (the q_agg_trend
+    # discipline); zero-days enter via the spine so the series are
+    # properly aligned.
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+x AS (
+  SELECT s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS x
+  FROM spine s LEFT JOIN d ON d.day = s.day AND d.event_type = 'view'
+),
+y AS (
+  SELECT s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS y
+  FROM spine s LEFT JOIN d ON d.day = s.day AND d.event_type = 'purchase'
+),
+lags AS (SELECT unnest([0, 1, 2, 3]) AS lag),
+pairs AS (
+  SELECT l.lag, x.x, y.y
+  FROM lags l
+  CROSS JOIN x
+  JOIN y ON y.day = x.day + l.lag * INTERVAL 1 DAY
+),
+s AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS xcorr
+FROM s ORDER BY lag
+""",
+)
+def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between two event-type daily series
+    (does a 'view' spike predict a 'purchase' spike L days later?) at
+    lags 0-3 — the lead-lag detector behind attribution windows and
+    leading-indicator dashboards (q_agg_trend fits one series; this
+    relates two).
+
+    Shape: one pass reduces events to (type, day) counts; both series
+    densify on the shared day spine (zero days matter — missing them
+    inflates correlation); each lag is then a dim-sized join over
+    |days| rows and the Pearson statistic is exact BIGINT power sums
+    pushed through one identical IEEE closed form per lag (q_agg_trend
+    discipline — no streaming corr builtin, whose merge order is
+    engine-dependent). Everything after the first aggregate touches
+    O(days·lags) rows regardless of event volume.
+    """
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("xcorr_events")
+    return spark.sql(
+        """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+  FROM xcorr_events GROUP BY 1, 2
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+spine AS (
+  SELECT explode(sequence(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+),
+x AS (
+  SELECT s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS x
+  FROM spine s LEFT JOIN d ON d.day = s.day AND d.event_type = 'view'
+),
+y AS (
+  SELECT s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS y
+  FROM spine s LEFT JOIN d ON d.day = s.day AND d.event_type = 'purchase'
+),
+lags AS (SELECT explode(array(0, 1, 2, 3)) AS lag),
+pairs AS (
+  SELECT l.lag, x.x, y.y
+  FROM lags l
+  CROSS JOIN x
+  JOIN y ON y.day = date_add(x.day, l.lag)
+),
+s AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS xcorr
+FROM s ORDER BY lag
+"""
+    )

@@ -211,3 +211,47 @@ def q_window_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "q_window_sliding_distinct",
+    # Exact distincts per overlapping window: the same 2-window Expand,
+    # then COUNT(DISTINCT user_id) per bucket — integers, no armor.
+    oracle="""
+SELECT
+  CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP)
+    - k.k * INTERVAL '6 hours' AS window_start,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events, (VALUES (0), (1)) AS k(k)
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT users (12h window, 6h slide) — the
+    rolling-active-users metric (DAU/WAU shape). Distinct-in-window is
+    the aggregation sliding dashboards actually want and the one a
+    plain sum can't pre-aggregate: distincts don't add across the
+    overlap, so each window must deduplicate its own membership.
+
+    Batch shape: the window() Expand doubles rows (each event lands in
+    exactly 2 overlapping windows), then one exact distinct per bucket
+    — the distinct expansion shuffles (window, user) pairs, bounded by
+    windows × active-users. At 100 TB the mergeable swap is per-window
+    HLL partials (q_agg_hll's union path: sketch per tumbling
+    half-window, union pairs of adjacent sketches — distincts don't
+    add, but sketches UNION); the exact form here is the oracle
+    harness for that swap. In streaming the same expression runs
+    watermarked with state bounded by open windows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "12 hours", "6 hours").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+        .orderBy("window_start")
+    )

@@ -834,3 +834,29 @@ def test_incremental_recap_only_after_append(spark, sf_dir, tmp_path_factory):
     assert "Window" in plan_after, "appended store must re-apply the cap"
     hot_pairs = df_after.filter(F.col("store_doc_id") >= 30000).count()
     assert hot_pairs == 0, "flooded bucket's pairs must be suppressed by the re-cap"
+
+
+def test_containment_flags_planted_excerpt(spark, tmp_path_factory):
+    """q_text_containment semantics: a document that IS a slice of a
+    longer host must be flagged with containment 1.0 and the correct
+    orientation (excerpt = smaller side), while an unrelated doc of
+    similar size must not pair with either."""
+    from asyncdatapipeline_spark import registry
+
+    out = tmp_path_factory.mktemp("containment")
+    host_words = [f"hw{i}" for i in range(200)]
+    excerpt = " ".join(host_words[50:101])          # 51 words, all inside host
+    unrelated = " ".join(f"uw{i}" for i in range(60))
+    rows = [
+        (1, " ".join(host_words), "en", "web", 1000),
+        (2, excerpt, "en", "web", 300),
+        (3, unrelated, "en", "web", 300),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    got = registry.get("q_text_containment").fn(spark, str(out)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["excerpt_doc"] == 2 and r["host_doc"] == 1
+    assert r["containment"] == 1.0 and r["n_excerpt"] == 49
