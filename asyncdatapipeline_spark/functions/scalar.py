@@ -740,3 +740,50 @@ def q_fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "q_fn_timezone",
+    # Fixed-offset zones only: a fixed offset is pure interval
+    # arithmetic, identical in any engine. NAMED zones (America/...)
+    # are deliberately out of the oracle contract — they depend on the
+    # engines' bundled tzdata editions agreeing on historical DST
+    # rules, which is an operational fact, not an engine semantic.
+    oracle="""
+SELECT event_id, ts,
+       ts + INTERVAL 330 MINUTE AS ist_ts,
+       ts - INTERVAL 480 MINUTE AS pst_ts,
+       CAST(hour(ts + INTERVAL 330 MINUTE) AS INTEGER) AS ist_hour,
+       strftime(ts + INTERVAL 330 MINUTE, '%Y-%m-%d') AS ist_date,
+       CAST(hour(ts + INTERVAL 330 MINUTE) BETWEEN 9 AND 17 AS BOOLEAN)
+         AS ist_business_hours
+FROM events
+""",
+)
+def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion (`from_utc_timestamp`): UTC event time
+    shifted to fixed-offset local zones (+05:30, -08:00), with
+    local-hour / local-date extraction and a business-hours flag — the
+    "when did the user actually see it" layer every regional dashboard
+    and SLA report needs on top of UTC storage.
+
+    Map-only codegen; the conversion is one interval shift per row.
+    Date/hour extraction happens AFTER the shift (extract-then-shift is
+    the classic local-midnight bug). The oracle performs the identical
+    shifts as plain interval arithmetic — for FIXED offsets the two are
+    definitionally equal; named DST zones are excluded from the
+    cross-engine contract (tzdata-edition-dependent) and belong in
+    runtime tests against the platform's own tzdata, not in an oracle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ist = F.from_utc_timestamp("ts", "+05:30")
+    pst = F.from_utc_timestamp("ts", "-08:00")
+    return e.select(
+        "event_id",
+        "ts",
+        ist.alias("ist_ts"),
+        pst.alias("pst_ts"),
+        F.hour(ist).cast("int").alias("ist_hour"),
+        F.date_format(ist, "yyyy-MM-dd").alias("ist_date"),
+        F.hour(ist).between(9, 17).alias("ist_business_hours"),
+    )
