@@ -577,3 +577,208 @@ def q_split_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_curation_report",
+    # The oracle replays the same staged CTEs as q_curation_full and
+    # emits the funnel counts from them — all-integer, no tolerance.
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, text, source,
+         string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS nw,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains(['the', 'a', 'of', 'and', 'in'], x))) AS n_stop
+  FROM documents
+),
+qual AS (
+  SELECT * FROM q
+  WHERE nw BETWEEN 20 AND 1000 AND n_stop * 1.0 / nw BETWEEN 0.001 AND 0.6
+    AND doc_id % {_BENCH_MOD} != 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
+  FROM q WHERE len(w) >= 3
+),
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hit
+  FROM sh s JOIN bench USING (shingle) JOIN qual USING (doc_id)
+  GROUP BY s.doc_id
+),
+nsh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN len(list_distinct({_SHINGLES_DUCK}))
+              ELSE 0 END AS n_shingles
+  FROM qual
+),
+clean AS (
+  SELECT qual.* FROM qual
+  JOIN nsh USING (doc_id)
+  LEFT JOIN hits USING (doc_id)
+  WHERE n_shingles = 0
+     OR coalesce(n_hit, 0) * 1.0 / n_shingles < {_CONTAM_THRESHOLD}
+),
+rep AS (
+  SELECT *,
+         CASE WHEN nw >= 2
+              THEN list_transform(generate_series(1, nw - 1),
+                                  i -> w[i] || ' ' || w[i + 1])
+              ELSE [] END AS g2
+  FROM clean
+),
+norep AS (
+  SELECT doc_id, text, source, nw FROM rep
+  WHERE NOT (
+    (CASE WHEN nw > 0
+          THEN round(list_max(list_transform(list_distinct(w),
+                 d -> len(list_filter(w, x -> x = d)))) * 1.0 / nw, 6)
+          ELSE 0.0 END) > {_REP_TOP_WORD_MAX}
+    OR
+    (CASE WHEN len(g2) > 0
+          THEN round(1.0 - len(list_distinct(g2)) * 1.0 / len(g2), 6)
+          ELSE 0.0 END) > {_REP_DUP_2GRAM_MAX}
+  )
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM norep GROUP BY md5(text)),
+tr AS (
+  SELECT k.doc_id FROM keep k
+  WHERE ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 2))::UINTEGER
+        < {_SPLIT_TRAIN_LT}
+),
+c AS (
+  SELECT (SELECT count(*) FROM documents) AS n_total,
+         (SELECT count(*) FROM qual) AS n_q,
+         (SELECT count(*) FROM clean) AS n_qc,
+         (SELECT count(*) FROM norep) AS n_qcr,
+         (SELECT count(*) FROM keep) AS n_dedup,
+         (SELECT count(*) FROM tr) AS n_train
+)
+SELECT * FROM (
+  SELECT 1 AS stage_no, 'quality' AS stage,
+         CAST(n_total AS BIGINT) AS n_in,
+         CAST(n_total - n_q AS BIGINT) AS n_rejected,
+         CAST(n_q AS BIGINT) AS n_out FROM c
+  UNION ALL
+  SELECT 2, 'decontam', n_q, n_q - n_qc, n_qc FROM c
+  UNION ALL
+  SELECT 3, 'repetition', n_qc, n_qc - n_qcr, n_qcr FROM c
+  UNION ALL
+  SELECT 4, 'exact_dedup', n_qcr, n_qcr - n_dedup, n_dedup FROM c
+  UNION ALL
+  SELECT 5, 'train_split', n_dedup, n_dedup - n_train, n_train FROM c
+) ORDER BY stage_no
+""",
+)
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gate rejection funnel over the full curation path — the
+    observability report every curation run ships beside its output
+    ("where did my corpus go?"): one row per stage with docs in,
+    rejected, and surviving, using EXACTLY the standalone operators'
+    rules (same constants as q_curation_full, whose packing consumes
+    this funnel's survivors).
+
+    Shape: unlike the oracle's staged replay, the engine computes ALL
+    gate flags in ONE corpus pass — each gate is a row-local codegen
+    predicate, the decontam hit-count arrives by broadcast-left-join,
+    and the dedup survivor is decided by one (content-hash) window
+    ordered eligible-first (an eligible row ranks 1 iff it is the
+    minimum-id eligible doc of its hash group — no second pass over
+    the survivor set). The report aggregate then reduces everything to
+    six counters; output is O(stages) rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2)
+    d = d.repartition(n_part)
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(x) for x in ("the", "a", "of", "and", "in")])
+    nw = F.size(words)
+    stop_ratio = (
+        F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x)))
+        * F.lit(1.0)
+        / nw
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    q_ok = nw.between(20, 1000) & stop_ratio.between(0.001, 0.6) & ~is_bench
+
+    sh_all = d.select(
+        "doc_id", F.explode(_shingle_array(F.col("text"))).alias("shingle")
+    )
+    bench = sh_all.filter(is_bench).select("shingle").distinct()
+    hits = (
+        sh_all.filter(~is_bench)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_shingles = F.size(_shingle_array(F.col("text")))
+    c_ok = F.element_at(
+        F.transform(
+            F.array(
+                F.struct(
+                    n_shingles.alias("ns"),
+                    F.coalesce("n_hit", F.lit(0)).alias("h"),
+                )
+            ),
+            lambda s: (s["ns"] == 0) | (s["h"] / s["ns"] < _CONTAM_THRESHOLD),
+        ),
+        1,
+    )
+    _, dup2, topw = _rep_fracs(F.col("text"))
+    r_ok = ~((topw > _REP_TOP_WORD_MAX) | (dup2 > _REP_DUP_2GRAM_MAX))
+
+    flags = (
+        d.join(hits, "doc_id", "left")
+        .withColumn("q_ok", q_ok)
+        .withColumn("c_ok", c_ok)
+        .withColumn("r_ok", r_ok)
+        .withColumn("eligible", F.col("q_ok") & F.col("c_ok") & F.col("r_ok"))
+    )
+    # dedup decided inside the same pass: within a content-hash group,
+    # eligible rows sort first, so rank 1 + eligible ⇔ the min-id
+    # eligible doc of the group (q_dedup_exact's survivor rule applied
+    # to the post-gate population without re-referencing it)
+    dw = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        F.col("eligible").desc(), "doc_id"
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    flags = flags.withColumn(
+        "survivor", F.col("eligible") & (F.row_number().over(dw) == 1)
+    ).withColumn("in_train", F.col("survivor") & (bucket < _SPLIT_TRAIN_LT))
+
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    c = flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        cnt(F.col("q_ok")).alias("n_q"),
+        cnt(F.col("q_ok") & F.col("c_ok")).alias("n_qc"),
+        cnt(F.col("eligible")).alias("n_qcr"),
+        cnt(F.col("survivor")).alias("n_dedup"),
+        cnt(F.col("in_train")).alias("n_train"),
+    )
+    stage = lambda no, name, nin, nout: F.struct(  # noqa: E731
+        F.lit(no).alias("stage_no"),
+        F.lit(name).alias("stage"),
+        F.col(nin).alias("n_in"),
+        (F.col(nin) - F.col(nout)).alias("n_rejected"),
+        F.col(nout).alias("n_out"),
+    )
+    return (
+        c.select(
+            F.explode(
+                F.array(
+                    stage(1, "quality", "n_total", "n_q"),
+                    stage(2, "decontam", "n_q", "n_qc"),
+                    stage(3, "repetition", "n_qc", "n_qcr"),
+                    stage(4, "exact_dedup", "n_qcr", "n_dedup"),
+                    stage(5, "train_split", "n_dedup", "n_train"),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy("stage_no")
+    )

@@ -656,3 +656,87 @@ def test_semantic_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     assert streamed == batch, (
         f"stream/batch divergence: {len(streamed ^ batch)} differing verdicts"
     )
+
+
+def test_stream_stream_left_outer_join(spark, events, tmp_path):
+    """B50b's OUTER sibling: watermarked stream-stream LEFT OUTER join.
+    The semantics the inner form never exercises: an unmatched left row
+    is held in state and emitted NULL-PADDED only once the watermark
+    proves no match can still arrive — so a flush file (far-future rows
+    on both sides) must advance the watermark before the tail of the
+    left side finalizes. Batch mode computing the identical left join
+    is the oracle."""
+    import datetime
+
+    path = str(tmp_path / "ssloj")
+    events.coalesce(1).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    far = events.agg(F.max("ts")).first()[0] + datetime.timedelta(days=30)
+    flush = spark.createDataFrame(
+        [
+            tuple(
+                {
+                    "event_id": 999901 + i,
+                    "ts": far,
+                    "user_id": 999901 + i,
+                    "event_type": t,
+                    "value": 0.0,
+                    "props": "{}",
+                }[f.name]
+                for f in schema.fields
+            )
+            for i, t in enumerate(["view", "purchase"])
+        ],
+        schema=schema,
+    )
+    flush.coalesce(1).write.mode("append").parquet(path)
+
+    def side(event_type, p):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+            .filter(F.col("event_type") == event_type)
+        )
+        return s.select(
+            F.col("event_id").alias(f"{p}_id"),
+            F.col("user_id").alias(f"{p}_user"),
+            F.col("ts").alias(f"{p}_ts"),
+        ).withWatermark(f"{p}_ts", "1 hour")
+
+    cond = lambda: (  # noqa: E731
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS"))
+    )
+    joined = (
+        side("view", "v")
+        .join(side("purchase", "p"), cond(), "left_outer")
+        .select("v_id", "p_id")
+    )
+    run_to_memory(joined, "ss_loj_out")
+    got = {
+        (r["v_id"], r["p_id"])
+        for r in spark.sql(
+            "SELECT v_id, p_id FROM ss_loj_out WHERE v_id < 999900"
+        ).collect()
+    }
+
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = {
+        (r["v_id"], r["p_id"])
+        for r in v.join(p, cond(), "left_outer").select("v_id", "p_id").collect()
+    }
+    assert got == want
+    # the left-outer semantics actually fired: some views have no
+    # purchase within the window and must appear null-padded
+    assert any(pid is None for _, pid in got)
