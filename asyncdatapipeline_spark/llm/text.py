@@ -1167,3 +1167,106 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occ").desc(), "word")
         .limit(_BURST_TOP_K)
     )
+
+
+@query(
+    "q_text_bigram_lm",
+    # Same ln-contract as the unigram filter: each per-bigram
+    # ln(c2/c1) rounds to 9dp (identical IEEE double in both engines),
+    # casts to DECIMAL(28,12), and the per-doc sum is order-free.
+    # Scoring the corpus under its OWN counts means every bigram has
+    # c2 >= 1 — no zero probabilities, no smoothing constant to agree
+    # on.
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM ws
+),
+c2 AS (SELECT bigram, count(*) AS n2 FROM bg GROUP BY bigram),
+c1 AS (
+  SELECT split_part(bigram, ' ', 1) AS first_word, count(*) AS n1
+  FROM bg GROUP BY 1
+),
+lp AS (
+  SELECT bg.doc_id,
+         CAST(round(ln(c2.n2 * 1.0 / c1.n1), 9) AS DECIMAL(28,12)) AS logp
+  FROM bg
+  JOIN c2 USING (bigram)
+  JOIN c1 ON c1.first_word = split_part(bg.bigram, ' ', 1)
+),
+d AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(sum(logp) AS DOUBLE) AS sum_logp
+  FROM lp GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       round(-sum_logp / n_bigrams, 6) AS mean_nll2,
+       -sum_logp / n_bigrams > {4.0!r} AS flagged_surprising
+FROM d ORDER BY doc_id
+""",
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal scoring — the conditional upgrade of
+    q_text_unigram_ppl: each document's mean negative log-likelihood of
+    P(wᵢ | wᵢ₋₁) = c(wᵢ₋₁wᵢ)/c(wᵢ₋₁·) under the corpus's own bigram
+    counts. Catches word-salad that unigram frequencies forgive (every
+    word common, every TRANSITION rare) — the cheap structural half of
+    what a real KenLM filter scores.
+
+    Shape: one bigram explode feeds both count tables (bigram counts,
+    first-word continuation counts) and the scoring re-join. The
+    bigram-key join is written as a plain equi join — broadcast at
+    sane vocab sizes, shuffle on the bigram key beyond that (unlike
+    the unigram table, bigram vocab grows with corpus; the KenLM swap
+    note from the unigram operator applies unchanged). Determinism is
+    the unigram ln contract verbatim; no smoothing because the corpus
+    scores itself (c2 >= 1 always).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    docs = d.filter(F.size(w) >= 2)
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+    # bg feeds c2, c1, and the scoring join — truncate once
+    bg = bg.localCheckpoint(eager=False)
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy(
+        F.split("bigram", " ").getItem(0).alias("first_word")
+    ).agg(F.count(F.lit(1)).alias("n1"))
+    lp = (
+        bg.join(c2, "bigram")
+        .join(
+            c1,
+            F.split(F.col("bigram"), " ").getItem(0) == F.col("first_word"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("n2") * F.lit(1.0) / F.col("n1")), 9)
+            .cast("decimal(28,12)")
+            .alias("logp"),
+        )
+    )
+    agg = lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("logp").cast("double").alias("sum_logp"),
+    )
+    mean_nll = -F.col("sum_logp") / F.col("n_bigrams")
+    return (
+        agg.select(
+            "doc_id",
+            "n_bigrams",
+            F.round(mean_nll, 6).alias("mean_nll2"),
+            (mean_nll > 4.0).alias("flagged_surprising"),
+        )
+        .orderBy("doc_id")
+    )

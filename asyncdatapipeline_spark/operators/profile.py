@@ -422,3 +422,109 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(psi.alias("psi"), (psi > 0.2).alias("drifted"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_profile_corr",
+    # All 14 power sums in exact DECIMAL (inputs are 2dp money/rates —
+    # products are exact at scale 4), closed forms in one identical
+    # IEEE expression per pair; the decimal sums are order-free so the
+    # shuffle cannot perturb the 6dp-rounded output.
+    oracle="""
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+    sum(CAST(l_discount AS DECIMAL(18,2))) AS sd,
+    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+    sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sdd,
+    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp,
+    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sqd,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS spd
+  FROM lineitem
+),
+p AS (
+  SELECT 'quantity' AS col_a, 'extendedprice' AS col_b, n,
+         CAST(sq AS DOUBLE) AS sx, CAST(sp AS DOUBLE) AS sy,
+         CAST(sqq AS DOUBLE) AS sxx, CAST(spp AS DOUBLE) AS syy,
+         CAST(sqp AS DOUBLE) AS sxy
+  FROM s
+  UNION ALL
+  SELECT 'quantity', 'discount', n,
+         CAST(sq AS DOUBLE), CAST(sd AS DOUBLE),
+         CAST(sqq AS DOUBLE), CAST(sdd AS DOUBLE), CAST(sqd AS DOUBLE)
+  FROM s
+  UNION ALL
+  SELECT 'extendedprice', 'discount', n,
+         CAST(sp AS DOUBLE), CAST(sd AS DOUBLE),
+         CAST(spp AS DOUBLE), CAST(sdd AS DOUBLE), CAST(spd AS DOUBLE)
+  FROM s
+)
+SELECT col_a, col_b, n,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr
+FROM p ORDER BY col_a, col_b
+""",
+)
+def q_profile_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns (quantity, extendedprice, discount) in ONE pass — the
+    feature-redundancy / leakage pre-flight (two features correlated
+    at 0.99 are one feature; a feature correlated with the label is a
+    leak). q_agg_stats covers one pair per group; this is the
+    all-pairs profile over the whole table.
+
+    One aggregate computes all 10 power sums (3 sums, 3 squares,
+    3 cross products, n) in exact DECIMAL — map-side combinable, a
+    single scan, state O(1); every pairwise correlation is then a
+    closed IEEE form over the same exact sums, evaluated identically
+    in both engines (the q_agg_trend discipline; F.corr rejected —
+    its streaming merge is partition-order-dependent). Output is
+    O(pairs) rows. At wider tables the sums grow as k(k+3)/2 columns,
+    still one pass — the k² pain lives in state width, never in scans.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dq = F.col("l_quantity").cast("decimal(18,2)")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dq).alias("sq"),
+        F.sum(dp).alias("sp"),
+        F.sum(dd).alias("sd"),
+        F.sum(dq * dq).alias("sqq"),
+        F.sum(dp * dp).alias("spp"),
+        F.sum(dd * dd).alias("sdd"),
+        F.sum(dq * dp).alias("sqp"),
+        F.sum(dq * dd).alias("sqd"),
+        F.sum(dp * dd).alias("spd"),
+    )
+    pair = lambda a, b, sx, sy, sxx, syy, sxy: F.struct(  # noqa: E731
+        F.lit(a).alias("col_a"),
+        F.lit(b).alias("col_b"),
+        F.col("n").alias("n"),
+        F.col(sx).cast("double").alias("sx"),
+        F.col(sy).cast("double").alias("sy"),
+        F.col(sxx).cast("double").alias("sxx"),
+        F.col(syy).cast("double").alias("syy"),
+        F.col(sxy).cast("double").alias("sxy"),
+    )
+    pairs = s.select(
+        F.explode(
+            F.array(
+                pair("quantity", "extendedprice", "sq", "sp", "sqq", "spp", "sqp"),
+                pair("quantity", "discount", "sq", "sd", "sqq", "sdd", "sqd"),
+                pair("extendedprice", "discount", "sp", "sd", "spp", "sdd", "spd"),
+            )
+        ).alias("p")
+    ).select("p.*")
+    nD = F.col("n").cast("double")
+    corr = (nD * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (nD * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nD * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return pairs.select(
+        "col_a", "col_b", "n", F.round(corr, 6).alias("corr")
+    ).orderBy("col_a", "col_b")
