@@ -341,3 +341,68 @@ def q_scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r_regionkey", "r_name", "bad_raw")
         .orderBy(F.col("r_regionkey").asc_nulls_last(), "bad_raw")
     )
+
+
+@query(
+    "q_scan_text",
+    # Round-trip contract like B2/B3: nation rendered as raw
+    # pipe-delimited lines, read back via the text source, parsed with
+    # plain expressions — must reproduce the source table (the oracle
+    # reads the parquet view and re-renders the line to check the
+    # parse's inverse).
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey,
+       CAST(len(n_nationkey || '|' || n_name || '|' || n_regionkey)
+            AS INTEGER) AS line_len
+FROM nation
+ORDER BY n_nationkey
+""",
+)
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line scan (``spark.read.text``) + expression-side
+    parsing — the lowest-level ingest path, completing the format
+    family (parquet/CSV/JSON/ORC/binaryFile/text). This is how
+    custom-delimited logs, one-record-per-line dumps, and anything the
+    CSV parser's quoting rules would mangle actually enter a pipeline:
+    one `value` string column per line, split/cast in codegen.
+
+    The parse is ordinary JVM expressions (split + try-armor casts per
+    q_fn_try's doctrine — a malformed line becomes NULL fields to
+    quarantine, never a job abort), so predicate pushdown on the
+    parsed columns doesn't exist (the format is opaque to the scan) —
+    the documented cost of text vs parquet, and exactly why pipelines
+    re-land text into parquet on first touch (q_sink_partitioned).
+    Line splitting parallelizes by HDFS-style byte ranges, so a
+    100 TB text drop still scans wide.
+    """
+    path = _scratch(sf_dir, "nation_text")
+    marker = os.path.join(path, "_RENDERED")
+    if not os.path.exists(marker):
+        n = load_table(spark, sf_dir, "nation")
+        (
+            n.select(
+                F.concat_ws(
+                    "|",
+                    F.col("n_nationkey").cast("string"),
+                    "n_name",
+                    F.col("n_regionkey").cast("string"),
+                )
+                .alias("value")
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(path)
+        )
+        with open(marker, "w"):
+            pass
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\\|")
+    return (
+        lines.select(
+            F.element_at(parts, 1).try_cast("int").alias("n_nationkey"),
+            F.element_at(parts, 2).alias("n_name"),
+            F.element_at(parts, 3).try_cast("int").alias("n_regionkey"),
+            F.length("value").alias("line_len"),
+        )
+        .orderBy("n_nationkey")
+    )

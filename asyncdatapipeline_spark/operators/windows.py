@@ -522,3 +522,53 @@ def q_win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_win_rolling_median",
+    # percentile (Spark) and quantile_cont (DuckDB) share the same
+    # type-7 linear-interpolation definition — the q_agg_quantile
+    # pairing, here over a trailing ROWS frame. Median of a 2dp-value
+    # window interpolates between two observed values; 6dp rounding
+    # absorbs the last-ulp of the shared formula.
+    oracle="""
+SELECT event_type, event_id, ts, value,
+       round(quantile_cont(value, 0.5) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS rolling_median,
+       round(value - quantile_cont(value, 0.5) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS residual
+FROM events
+""",
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median (trailing-10 ROWS frame) per event-type stream,
+    plus the residual against it — the robust sibling of q_ts_ewma's
+    mean-based smoothing: one spike perturbs an EWMA for 8 rows but
+    never moves the median, so median residuals are the
+    spike-detection signal of choice for bursty streams (q_anomaly_mad
+    is the GLOBAL robust detector; this is its local/windowed form).
+
+    One ordered window on the (event_type, ts, event_id) total order —
+    the same single-shuffle discipline as every window op here; the
+    trailing frame is bounded (10 rows) so per-row state is O(frame),
+    and a GROWING frame's O(span²) re-evaluation trap (SCALING.md) is
+    structurally avoided. percentile-over-frame sorts 10 elements per
+    row — constant work, any scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    med = F.expr("percentile(value, 0.5)").over(w)
+    return e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.round(med, 6).alias("rolling_median"),
+        F.round(F.col("value") - med, 6).alias("residual"),
+    )
