@@ -903,3 +903,128 @@ def q_copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_joint").desc(), "antecedent", "consequent")
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    # Oracle via two correlated extremes (backward max / forward min) +
+    # the same tie-to-before CASE; gaps are exact integer epoch seconds
+    # so the comparison can never float-drift.
+    oracle="""
+SELECT e.event_id, e.user_id,
+  CASE
+    WHEN b.t IS NULL AND f.t IS NULL THEN NULL
+    WHEN f.t IS NULL THEN b.t
+    WHEN b.t IS NULL THEN f.t
+    WHEN epoch(date_trunc('second', e.ts)) - epoch(b.t)
+         <= epoch(f.t) - epoch(date_trunc('second', e.ts)) THEN b.t
+    ELSE f.t
+  END AS nearest_order_date,
+  CASE
+    WHEN b.t IS NULL AND f.t IS NULL THEN 'none'
+    WHEN f.t IS NULL THEN 'before'
+    WHEN b.t IS NULL THEN 'after'
+    WHEN epoch(date_trunc('second', e.ts)) - epoch(b.t)
+         <= epoch(f.t) - epoch(date_trunc('second', e.ts)) THEN 'before'
+    ELSE 'after'
+  END AS direction,
+  CAST(CASE
+    WHEN b.t IS NULL AND f.t IS NULL THEN NULL
+    WHEN f.t IS NULL THEN epoch(date_trunc('second', e.ts)) - epoch(b.t)
+    WHEN b.t IS NULL THEN epoch(f.t) - epoch(date_trunc('second', e.ts))
+    ELSE least(epoch(date_trunc('second', e.ts)) - epoch(b.t),
+               epoch(f.t) - epoch(date_trunc('second', e.ts)))
+  END AS BIGINT) AS gap_seconds
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT max(o.o_orderdate) AS t FROM orders o
+  WHERE o.o_custkey = e.user_id
+    AND o.o_orderdate <= date_trunc('second', e.ts)
+) b ON true
+LEFT JOIN LATERAL (
+  SELECT min(o.o_orderdate) AS t FROM orders o
+  WHERE o.o_custkey = e.user_id
+    AND o.o_orderdate >= date_trunc('second', e.ts)
+) f ON true
+""",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (B19's bidirectional sibling): the closest
+    order in time per event, before OR after, ties to before — sensor
+    alignment and record-linkage semantics (backward-only as-of answers
+    "state at the time"; nearest answers "which reading belongs to
+    this one").
+
+    Same single-shuffle merge-scan as q_join_asof, run in BOTH
+    directions on one (user, time) partitioning: the ascending window
+    carries the last order date forward, and the forward neighbor
+    comes from a DESCENDING-order running frame (never a
+    [current, unbounded following] frame — Spark re-evaluates growing
+    frames O(span²), SCALING.md) — two window passes over one
+    Exchange. The winner is picked row-locally on exact integer epoch
+    gaps. No range join, no per-row probe; the oracle is the
+    correlated two-extreme LATERAL form.
+    """
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    od = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    ev = e.select(
+        F.col("user_id").alias("k"),
+        F.date_trunc("second", "ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+    )
+    order_t = F.when(F.col("is_event") == 0, F.col("t"))
+    # backward: orders sort before events at equal t → inclusive <=
+    w_back = (
+        W.partitionBy("k")
+        .orderBy("t", "is_event")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # forward: DESC time, orders still first at equal t → inclusive >=
+    w_fwd = (
+        W.partitionBy("k")
+        .orderBy(F.col("t").desc(), "is_event")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = (
+        od.unionByName(ev)
+        .withColumn("back_t", F.last(order_t, ignorenulls=True).over(w_back))
+        .withColumn("fwd_t", F.last(order_t, ignorenulls=True).over(w_fwd))
+    )
+    ep = lambda c: F.col(c).cast("long")  # noqa: E731
+    d_back = ep("t") - ep("back_t")
+    d_fwd = ep("fwd_t") - ep("t")
+    before_wins = d_back <= d_fwd
+    nearest = (
+        F.when(F.col("back_t").isNull() & F.col("fwd_t").isNull(), F.lit(None))
+        .when(F.col("fwd_t").isNull(), F.col("back_t"))
+        .when(F.col("back_t").isNull(), F.col("fwd_t"))
+        .when(before_wins, F.col("back_t"))
+        .otherwise(F.col("fwd_t"))
+    )
+    direction = (
+        F.when(F.col("back_t").isNull() & F.col("fwd_t").isNull(), "none")
+        .when(F.col("fwd_t").isNull(), "before")
+        .when(F.col("back_t").isNull(), "after")
+        .when(before_wins, "before")
+        .otherwise("after")
+    )
+    gap = (
+        F.when(F.col("back_t").isNull() & F.col("fwd_t").isNull(), F.lit(None))
+        .when(F.col("fwd_t").isNull(), d_back)
+        .when(F.col("back_t").isNull(), d_fwd)
+        .otherwise(F.least(d_back, d_fwd))
+    )
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        nearest.alias("nearest_order_date"),
+        direction.alias("direction"),
+        gap.cast("long").alias("gap_seconds"),
+    )

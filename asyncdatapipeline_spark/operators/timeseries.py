@@ -1368,3 +1368,151 @@ SELECT CAST(lag AS INTEGER) AS lag, n,
 FROM s ORDER BY lag
 """
     )
+
+
+@query(
+    "q_events_attribution",
+    # All frame aggregates are integers (counts, epoch extremes); the
+    # only float is credit = 1/n, one identical IEEE division rounded
+    # at 6dp. RANGE frames on integer epoch keys include peers
+    # identically in both engines — no tiebreak needed.
+    oracle="""
+WITH t AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep
+  FROM events
+),
+w AS (
+  SELECT *,
+         count(*) FILTER (WHERE event_type = 'view') OVER (
+           PARTITION BY user_id ORDER BY ep
+           RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS n_touches,
+         max(CASE WHEN event_type = 'view' THEN ep END) OVER (
+           PARTITION BY user_id ORDER BY ep
+           RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS last_view_ep
+  FROM t
+)
+SELECT event_id, user_id,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       CASE WHEN n_touches > 0
+            THEN round(1.0 / n_touches, 6) END AS credit_per_touch,
+       CAST(ep - last_view_ep AS BIGINT) AS last_touch_gap_seconds,
+       CASE WHEN n_touches > 0 THEN 'assisted' ELSE 'direct' END
+         AS attribution
+FROM w WHERE event_type = 'purchase'
+""",
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase credited equally
+    (1/n) across the user's views in the preceding 24h, with the
+    last-touch gap and a direct/assisted verdict — the campaign-ROI
+    query behind every marketing dashboard (q_funnel_windowed asks
+    "did they convert in the window"; this asks "who gets paid for
+    it").
+
+    Shape: NO purchase⋈view join at all — both event kinds ride one
+    (user, epoch) ordered partitioning and the touch count / last-touch
+    time are conditional aggregates over a trailing 24h RANGE frame
+    (q_win_range_time's machinery). One shuffle total; a user's frame
+    is bounded by their own 24h activity, the same per-key bound every
+    sessionizer carries. The join formulation this replaces detonates
+    on exactly the hot users this caps.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ep = F.date_trunc("second", "ts").cast("long")
+    t = e.select("event_id", "user_id", "event_type", ep.alias("ep"))
+    w = W.partitionBy("user_id").orderBy("ep").rangeBetween(-86400, 0)
+    is_view = F.col("event_type") == "view"
+    out = (
+        t.withColumn(
+            "n_touches", F.count(F.when(is_view, 1)).over(w)
+        )
+        .withColumn(
+            "last_view_ep", F.max(F.when(is_view, F.col("ep"))).over(w)
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("n_touches").cast("long").alias("n_touches"),
+        F.when(
+            F.col("n_touches") > 0,
+            F.round(F.lit(1.0) / F.col("n_touches"), 6),
+        ).alias("credit_per_touch"),
+        (F.col("ep") - F.col("last_view_ep")).cast("long").alias(
+            "last_touch_gap_seconds"
+        ),
+        F.when(F.col("n_touches") > 0, "assisted")
+        .otherwise("direct")
+        .alias("attribution"),
+    )
+
+
+@query(
+    "q_events_paths",
+    # All-integer counts over exact lead() trigrams on the shared
+    # (user, second-truncated time, event_id) total order; share is one
+    # identical IEEE division rounded 6dp; top-k ordered by count with
+    # the path string as tiebreak.
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS nxt1,
+         lead(event_type, 2) OVER w AS nxt2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY date_trunc('second', ts), event_id)
+),
+p AS (
+  SELECT event_type || '>' || nxt1 || '>' || nxt2 AS path,
+         count(*) AS n
+  FROM s WHERE nxt2 IS NOT NULL
+  GROUP BY 1
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM p)
+SELECT path, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / t.total, 6) AS share
+FROM p CROSS JOIN t
+ORDER BY n DESC, path
+LIMIT 20
+""",
+)
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step behavioral paths: the top-20 most common
+    consecutive event-type trigrams across user journeys — empirical
+    flow discovery (q_funnel checks ONE hypothesized path; q_events_
+    markov gives single-step transitions; this surfaces which
+    multi-step paths actually dominate, the "users keep doing
+    view>view>error" finding nobody thought to ask about).
+
+    Shape: two lead() columns on ONE (user, time, id) ordered window
+    (the q_events_markov ordering — one shuffle), then a map-side-
+    combinable path count: state is |types|³ at most, corpus-size-free.
+    Share is computed against the 1-row total frame. Top-20 plans as
+    TakeOrderedAndProject with the path string as the deterministic
+    tiebreak.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.date_trunc("second", "ts"), "event_id"
+    )
+    s = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    ).filter(F.col("nxt2").isNotNull())
+    p = s.groupBy(
+        F.concat_ws(">", "event_type", "nxt1", "nxt2").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = p.agg(F.sum("n").alias("total"))
+    return (
+        p.crossJoin(F.broadcast(t))
+        .select(
+            "path",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
