@@ -362,6 +362,55 @@ CHECKS: dict[str, list[tuple]] = {
         ("forbid", "no per-row subquery execution", "Subquery"),
         ("forbid", "no nested loop", *_NESTED_LOOP_NODES),
     ],
+    # ---- round-6 additions ------------------------------------------------
+    "q_udf_cogroup": [
+        # The whole point of cogroup: ONE co-partitioned pandas pass,
+        # never a join-then-regroup round trip.
+        ("must", "two-sided grouped map node", r"FlatMapCoGroupsInPandas"),
+        ("forbid", "no join-then-regroup", "SortMergeJoin", "BroadcastHashJoin"),
+    ],
+    "q_agg_heavy": [
+        # Sketch partials must combine map-side (the mergeable contract)
+        ("must", "partial sketch accumulation before shuffle", r"HashAggregate.*partial"),
+    ],
+    "q_sql_udf": [
+        # SQL UDF bodies inline at analysis — the plan must contain NO
+        # Python evaluation node of any kind.
+        ("forbid", "no Python boundary (body inlined)", "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"),
+        ("must", "TVF's quantity predicate pushed to the scan", r"PushedFilters: \[.*GreaterThanOrEqual\(l_quantity"),
+    ],
+    "q_events_attribution": [
+        # The operator's claim IS the absent join: attribution via one
+        # RANGE-frame window, purchases never join views.
+        ("forbid", "no purchase-view join of any kind", "Join"),
+        ("must", "trailing RANGE frame window", r"specifiedwindowframe\(RangeFrame, -86400"),
+    ],
+    "q_join_asof_nearest": [
+        ("forbid", "no nested-loop blowup", *_NESTED_LOOP_NODES),
+        ("must", "merge-scan windows over the union", r"Window"),
+    ],
+    "q_win_rolling_median": [
+        ("forbid", "single-pass window, no join", "Join"),
+        ("must", "bounded trailing ROWS frame", r"specifiedwindowframe\(RowFrame, -9, currentrow"),
+    ],
+    "q_ts_ewma": [
+        ("forbid", "row-local fold, no join", "Join"),
+        ("must", "bounded trailing ROWS frame", r"specifiedwindowframe\(RowFrame, -7, currentrow"),
+    ],
+    "q_events_paths": [
+        ("must", "top-20 plans as TakeOrderedAndProject", r"TakeOrderedAndProject"),
+        ("must", "map-side partial path counts", r"HashAggregate.*partial"),
+    ],
+    "q_profile_corr": [
+        ("must", "all power sums in one partial aggregate", r"HashAggregate.*partial"),
+        ("forbid", "one pass, no join", "Join"),
+    ],
+    "q_window_sliding_distinct": [
+        ("must", "2-window Expand before the distinct", r"Expand"),
+    ],
+    "q_text_bigram_lm": [
+        ("must", "map-side partial bigram counts", r"HashAggregate.*partial"),
+    ],
 }
 
 
