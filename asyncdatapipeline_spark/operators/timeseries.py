@@ -1516,3 +1516,87 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "q_orders_backlog",
+    # Pure integer machinery: ±1 deltas, one date spine, one running
+    # sum — no floats anywhere, so the hash is exact by construction.
+    oracle="""
+WITH life AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS placed,
+         CAST(max(l.l_shipdate) AS DATE) AS shipped
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+delta AS (
+  SELECT placed AS day, 1 AS d FROM life
+  UNION ALL
+  SELECT shipped, -1 FROM life WHERE shipped > placed
+),
+byday AS (SELECT day, CAST(sum(d) AS BIGINT) AS net FROM delta GROUP BY day),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM byday),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       CAST(COALESCE(b.net, 0) AS BIGINT) AS net_change,
+       CAST(sum(COALESCE(b.net, 0)) OVER (ORDER BY s.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_orders
+FROM spine s LEFT JOIN byday b USING (day)
+ORDER BY s.day
+""",
+)
+def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time — concurrent-interval counting: how
+    many orders were placed but not yet fully shipped on each calendar
+    day. THE operational WIP metric (same machinery answers concurrent
+    sessions, active incidents, beds occupied), and the shape naive SQL
+    gets catastrophically wrong (day × open-interval join = O(days·n)).
+
+    The scalable form is the ±1 delta trick: each order contributes
+    +1 at placement and −1 at its last ship date; one map-combinable
+    per-day aggregate collapses 100 TB of orders to |days| rows, and
+    the backlog is a single running sum over the dense day spine — the
+    only unbounded window runs over the DAYS frame, never over orders.
+    An order's life is its orderdate → max shipdate across its lines
+    (the per-order aggregate is the only order-granularity shuffle).
+    All-integer; same-day-shipped orders contribute nothing (placed =
+    shipped collapses to zero net, matching the WHERE guard).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    life = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey", F.to_date("o_orderdate").alias("placed")
+        )
+        .agg(F.to_date(F.max("l_shipdate")).alias("shipped"))
+    )
+    delta = life.select(
+        F.col("placed").alias("day"), F.lit(1).alias("d")
+    ).unionAll(
+        life.filter(F.col("shipped") > F.col("placed")).select(
+            F.col("shipped").alias("day"), F.lit(-1).alias("d")
+        )
+    )
+    byday = delta.groupBy("day").agg(F.sum("d").alias("net"))
+    spine = byday.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        spine.join(byday, "day", "left")
+        .select("day", F.coalesce("net", F.lit(0)).alias("net_change"))
+        .withColumn("open_orders", F.sum("net_change").over(w))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("net_change").cast("long").alias("net_change"),
+            F.col("open_orders").cast("long").alias("open_orders"),
+        )
+        .orderBy("day")
+    )

@@ -87,6 +87,10 @@ HEADLINE = [
     # round-6 additions
     "q_graph_pagerank",       # iterative: 3 damped power-iteration rounds
     "q_dedup_clusters",       # iterative: min-label propagation fixpoint
+    "q_agg_heavy",            # mergeable frequency sketch (approx_top_k)
+    "q_udf_cogroup",          # two-sided grouped map (pandas cogroup)
+    "q_curation_report",      # per-gate rejection funnel, one corpus pass
+    "q_text_bigram_lm",       # bigram-LM surprisal (ln-contract join)
 ]
 
 
