@@ -1600,3 +1600,82 @@ def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_cohort_ltv",
+    # Integer cohort/age keys (year*12+month), revenue in exact DECIMAL
+    # with the double cast only at the output boundary; the cumulative
+    # sum runs over the aggregated (cohort, age) frame — decimal sums
+    # are order-free, so the running total is exact too.
+    oracle="""
+WITH first_o AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+  FROM orders GROUP BY 1
+),
+o AS (
+  SELECT f.cohort_m,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m
+           AS age_months,
+         o.o_custkey,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders o JOIN first_o f ON f.o_custkey = o.o_custkey
+),
+g AS (
+  SELECT cohort_m, age_months,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+         sum(price) AS rev
+  FROM o GROUP BY 1, 2
+)
+SELECT CAST(cohort_m AS INTEGER) AS cohort_m,
+       CAST(age_months AS INTEGER) AS age_months,
+       n_active,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(sum(rev) OVER (PARTITION BY cohort_m ORDER BY age_months
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cumulative_revenue
+FROM g ORDER BY cohort_m, age_months
+""",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: revenue per (first-order-month
+    cohort, months-since-first-order), with the running cumulative —
+    q_retention's money sibling and the payback-period number growth
+    teams actually steer by ("cohort 2024-03 reached CAC at age 2").
+
+    Aggregate-before-window throughout (the q_retention doctrine): the
+    |customers| cohort frame joins back to orders on the customer key,
+    one map-combinable rollup collapses everything to (cohort, age)
+    rows, and the cumulative LTV is a running DECIMAL sum over that
+    dashboard-sized frame — the unbounded window never sees an order
+    row. Cohort/age are exact integer month indexes (year*12+month),
+    immune to date-diff convention drift between engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first_o = o.groupBy("o_custkey").agg(F.min(m).alias("cohort_m"))
+    facts = o.join(first_o, "o_custkey").select(
+        "cohort_m",
+        (m - F.col("cohort_m")).alias("age_months"),
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    g = facts.groupBy("cohort_m", "age_months").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("price").alias("rev"),
+    )
+    w = (
+        W.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        g.select(
+            F.col("cohort_m").cast("int").alias("cohort_m"),
+            F.col("age_months").cast("int").alias("age_months"),
+            "n_active",
+            F.col("rev").cast("double").alias("revenue"),
+            F.sum("rev").over(w).cast("double").alias("cumulative_revenue"),
+        )
+        .orderBy("cohort_m", "age_months")
+    )
