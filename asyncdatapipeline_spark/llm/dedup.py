@@ -1959,3 +1959,82 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shared",
         F.round(containment, 6).alias("containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalized exact dedup — the "near-exact" tier between md5 and MinHash
+# ---------------------------------------------------------------------------
+
+# Most real duplicate pairs differ only in case, punctuation, or
+# whitespace (re-encodes, scrapes of the same page, copy-paste with a
+# trailing newline). Hashing a NORMALIZED form catches that entire tier
+# at exact-dedup cost — production pipelines hash normalized text by
+# default and reserve MinHash for genuine near-dups.
+
+
+@query(
+    "q_dedup_exact_norm",
+    # Normalization is lower + strip [.,!?;:'\"] + collapse whitespace +
+    # trim — simple character classes where Java regex and RE2 agree;
+    # md5 of the result is recomputed bit-for-bit in DuckDB.
+    oracle="""
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[.,!?;:''"]', '', 'g'),
+               ' +', ' ', 'g'))) AS norm_hash,
+         md5(text) AS raw_hash
+  FROM documents
+),
+g AS (
+  SELECT norm_hash,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants,
+         min(doc_id) AS survivor_id
+  FROM n GROUP BY norm_hash
+)
+SELECT norm_hash, n_docs, n_raw_variants, survivor_id,
+       n_raw_variants > 1 AS merged_variants
+FROM g
+""",
+)
+def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: group by md5 of case-folded,
+    punctuation-stripped, whitespace-collapsed text — the near-exact
+    tier between q_dedup_exact (byte-identical only) and
+    q_dedup_minhash (true near-dups). Catches the dominant real-world
+    duplicate mode (re-encodes, same page scraped twice, trailing
+    whitespace) at plain hash-aggregate cost: no shingling, no
+    signatures, no self-join.
+
+    Same scale shape as q_dedup_exact: normalization is row-local
+    codegen (three chained string expressions), the group-by ships
+    32-byte digests (text never shuffles), counts combine map-side.
+    `n_raw_variants > 1` marks groups where normalization actually
+    merged byte-distinct docs — the tier's added catch over raw md5,
+    planted-variant tested in pytest.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[.,!?;:'\"]", ""),
+            " +",
+            " ",
+        )
+    )
+    n = d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("norm_hash"),
+        F.md5(F.col("text").cast("binary")).alias("raw_hash"),
+    )
+    return n.groupBy("norm_hash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("raw_hash").alias("n_raw_variants"),
+        F.min("doc_id").alias("survivor_id"),
+    ).select(
+        "norm_hash",
+        "n_docs",
+        "n_raw_variants",
+        "survivor_id",
+        (F.col("n_raw_variants") > 1).alias("merged_variants"),
+    )

@@ -212,3 +212,84 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+_MIX_TEMP = 2.0        # temperature for exponential smoothing (p^(1/T))
+_MIX_BUDGET = 1_000_000  # planned token budget the factors apply to
+
+
+@query(
+    "q_mix_rebalance",
+    # The smoothed weights p_i^(1/2)/Σp_j^(1/2) need a cross-language
+    # SUM of irrational doubles — order-dependent in float, so each
+    # sqrt term goes through the unigram-PPL contract (9dp round →
+    # DECIMAL cast → order-free sum) before the one final division.
+    oracle=f"""
+WITH per AS (
+  SELECT lang,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per),
+s AS (
+  SELECT lang, n_tokens,
+         n_tokens * 1.0 / t.total AS share,
+         CAST(round(sqrt(n_tokens * 1.0 / t.total), 9) AS DECIMAL(28,12))
+           AS sq
+  FROM per CROSS JOIN t
+),
+z AS (SELECT CAST(sum(sq) AS DOUBLE) AS zsum FROM s)
+SELECT lang, n_tokens,
+       round(share, 6) AS share,
+       round(CAST(sq AS DOUBLE) / z.zsum, 6) AS target_share,
+       round(CAST(sq AS DOUBLE) / z.zsum / share, 6) AS boost,
+       CAST(floor({_MIX_BUDGET} * (CAST(sq AS DOUBLE) / z.zsum)) AS BIGINT)
+         AS planned_tokens
+FROM s CROSS JOIN z
+ORDER BY lang
+""",
+)
+def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing plan via temperature sampling (T = 2, the
+    multilingual-pretraining standard: sample language i with weight
+    ∝ pᵢ^(1/T)) — q_mix_report says what the corpus IS; this says what
+    to SAMPLE so low-resource languages aren't drowned (smoothed
+    up-weighting) without letting them dominate (as uniform would).
+    Emits per language: current share, smoothed target share, the
+    sampling boost factor, and planned tokens under a fixed budget.
+
+    Shape: one map-combinable pass to per-language token counts;
+    everything after is arithmetic over |langs| rows. Determinism: the
+    cross-language normalizer Σ√pⱼ is a float sum, so each sqrt term
+    is pinned by the 9dp-round → DECIMAL discipline before summing
+    (order-free), then ONE IEEE division per row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    t = per.agg(F.sum("n_tokens").alias("total"))
+    s = per.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens") * 1.0 / F.col("total")).alias("share"),
+        F.round(F.sqrt(F.col("n_tokens") * 1.0 / F.col("total")), 9)
+        .cast("decimal(28,12)")
+        .alias("sq"),
+    )
+    z = s.agg(F.sum("sq").cast("double").alias("zsum"))
+    tgt = F.col("sq").cast("double") / F.col("zsum")
+    return (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_tokens",
+            F.round("share", 6).alias("share"),
+            F.round(tgt, 6).alias("target_share"),
+            F.round(tgt / F.col("share"), 6).alias("boost"),
+            F.floor(F.lit(_MIX_BUDGET) * tgt).cast("long").alias(
+                "planned_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )

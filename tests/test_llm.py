@@ -860,3 +860,33 @@ def test_containment_flags_planted_excerpt(spark, tmp_path_factory):
     r = got[0]
     assert r["excerpt_doc"] == 2 and r["host_doc"] == 1
     assert r["containment"] == 1.0 and r["n_excerpt"] == 49
+
+
+def test_norm_dedup_merges_planted_variants(spark, tmp_path_factory):
+    """q_dedup_exact_norm semantics: case/punctuation/whitespace variants
+    of one text must share a norm_hash (merged_variants = true, lowest
+    doc_id survives) while raw md5 dedup keeps them apart; a genuinely
+    different doc stays its own group."""
+    from asyncdatapipeline_spark import registry
+
+    out = tmp_path_factory.mktemp("normdedup")
+    rows = [
+        (1, "The quick brown fox jumps over the dog", "en", "web", 100),
+        (2, "the quick  brown fox jumps over the dog.", "en", "web", 100),
+        (3, 'THE QUICK BROWN FOX, JUMPS OVER THE DOG!?', "en", "web", 100),
+        (4, "an entirely different document body", "en", "web", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    got = {
+        r["norm_hash"]: r
+        for r in registry.get("q_dedup_exact_norm").fn(spark, str(out)).collect()
+    }
+    assert len(got) == 2
+    merged = [r for r in got.values() if r["n_docs"] == 3]
+    assert len(merged) == 1
+    m = merged[0]
+    assert m["n_raw_variants"] == 3 and m["merged_variants"] and m["survivor_id"] == 1
+    single = [r for r in got.values() if r["n_docs"] == 1][0]
+    assert not single["merged_variants"] and single["survivor_id"] == 4
