@@ -413,3 +413,45 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
     )
+
+
+_PARAMS_ORACLE_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q_sql_params", oracle=_PARAMS_ORACLE_SQL)
+def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (`spark.sql(sql, args=...)`, Spark 3.4+ named
+    markers): the threshold and status arrive as BOUND PARAMETERS, not
+    string-spliced literals — the injection-safe, plan-cache-friendly
+    way applications run analyst SQL with runtime values (string
+    splicing is both an injection surface and a new plan text per
+    value).
+
+    The markers bind during parsing, so Catalyst sees ordinary
+    literals afterwards: the price predicate still reaches
+    PushedFilters, constant folding still applies — parameterization
+    costs nothing at plan level (the oracle IS the literal-inlined
+    form). Works for any literal type; for IN-lists bind an array +
+    `array_contains`.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_totalprice > :min_price AND o_orderstatus = :status
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+        args={"min_price": 150000.0, "status": "O"},
+    )

@@ -1679,3 +1679,151 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_m", "age_months")
     )
+
+
+@query(
+    "q_ts_cusum",
+    # Drift-free CUSUM: the running sum S_t is an exact INTEGER cumsum
+    # (never a float running sum — DuckDB's segment-tree window
+    # association vs Spark's running re-scan would drift low bits);
+    # CUSUM_t = S_t − t·(total/n) is then ONE identical IEEE expression
+    # per row. sd comes from integer power sums (q_agg_trend
+    # discipline). 6dp rounding + day-ascending tiebreak pin the argmax
+    # row across engines.
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+           AS day
+  FROM b
+),
+x AS (
+  SELECT s.event_type, s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS c,
+         CAST(row_number() OVER (PARTITION BY s.event_type ORDER BY s.day)
+              AS BIGINT) AS t,
+         CAST(sum(COALESCE(d.c, 0)) OVER (PARTITION BY s.event_type
+              ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS st
+  FROM spine s LEFT JOIN d USING (event_type, day)
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(c * c) AS BIGINT) AS sumsq
+  FROM x GROUP BY 1
+),
+cs AS (
+  SELECT x.event_type, x.day,
+         round(abs(x.st - x.t * (CAST(g.total AS DOUBLE) / g.n)), 6)
+           AS abs_cusum,
+         g.n, g.total, g.sumsq
+  FROM x JOIN g USING (event_type)
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY abs_cusum DESC, day) AS rk
+  FROM cs
+)
+SELECT event_type, n AS n_days,
+       strftime(day, '%Y-%m-%d') AS peak_day,
+       abs_cusum AS max_abs_cusum,
+       round(abs_cusum / sqrt((CAST(n AS DOUBLE) * sumsq
+                               - CAST(total AS DOUBLE) * total) / n), 6)
+         AS cusum_stat,
+       round(abs_cusum / sqrt((CAST(n AS DOUBLE) * sumsq
+                               - CAST(total AS DOUBLE) * total) / n), 6)
+         > 1.36 AS changepoint
+FROM r WHERE rk = 1 ORDER BY event_type
+""",
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event-type daily series: the
+    maximum absolute cumulative deviation from the series mean, where
+    it peaks, and the normalized statistic against the Kolmogorov-
+    style 1.36 gate — "did this metric's LEVEL shift somewhere, and
+    when" (q_agg_trend fits one slope through everything; CUSUM finds
+    the break a single slope smears over; the peak day IS the best
+    split point).
+
+    Determinism is the whole design: the running sum is an exact
+    INTEGER cumsum (a float running sum would drift — DuckDB windows
+    associate via segment trees, Spark re-scans), and CUSUM_t =
+    S_t − t·mean is one identical IEEE expression per row; sd comes
+    from integer power sums. Everything after the first aggregate is
+    O(days·types); the spine densifies so silent days pull the CUSUM
+    like the zero-count days they are.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    spine = (
+        d.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    x = (
+        spine.join(d, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+        .withColumn("t", F.row_number().over(wo).cast("long"))
+        .withColumn(
+            "st",
+            F.sum("c").over(wo.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+        )
+    )
+    g = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+    )
+    cs = x.join(g, "event_type").select(
+        "event_type",
+        "day",
+        F.round(
+            F.abs(
+                F.col("st")
+                - F.col("t") * (F.col("total").cast("double") / F.col("n"))
+            ),
+            6,
+        ).alias("abs_cusum"),
+        "n",
+        "total",
+        "sumsq",
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy(F.col("abs_cusum").desc(), "day")
+    )
+    sd = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("sumsq")
+            - F.col("total").cast("double") * F.col("total")
+        )
+        / F.col("n")
+    )
+    stat = F.round(F.col("abs_cusum") / sd, 6)
+    return (
+        cs.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.date_format("day", "yyyy-MM-dd").alias("peak_day"),
+            F.col("abs_cusum").alias("max_abs_cusum"),
+            stat.alias("cusum_stat"),
+            (stat > 1.36).alias("changepoint"),
+        )
+        .orderBy("event_type")
+    )
