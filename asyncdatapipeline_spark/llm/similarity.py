@@ -674,3 +674,79 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n_vecs", "centroid_q6")
         .orderBy("label")
     )
+
+
+@query(
+    "q_embed_health",
+    # Per-dim power sums in exact DECIMAL (the centroid discipline:
+    # float32 values cast identically in both engines), closed-form
+    # mean/std in identical IEEE expressions, 6dp rounding; counts are
+    # integers throughout.
+    oracle="""
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+  SELECT unnest(generate_series(1, len(v))) AS pos, v FROM e
+),
+d AS (
+  SELECT pos, v[pos] AS x FROM ex
+),
+g AS (
+  SELECT CAST(pos AS INTEGER) AS dim, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS DECIMAL(12,6))) AS sx,
+         sum(CAST(x AS DECIMAL(12,6)) * CAST(x AS DECIMAL(12,6))) AS sxx,
+         CAST(sum(CASE WHEN abs(x) < 0.001 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_near_zero
+  FROM d GROUP BY pos
+)
+SELECT dim, n,
+       round(CAST(sx AS DOUBLE) / n, 6) AS mean,
+       round(sqrt(CAST(sxx AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)),
+             6) AS std,
+       round(n_near_zero * 1.0 / n, 6) AS near_zero_frac,
+       round(sqrt(CAST(sxx AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)),
+             6) < 0.01 AS dead_dim
+FROM g ORDER BY dim
+""",
+)
+def q_embed_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health profile: per-DIMENSION mean, std,
+    near-zero fraction, and a dead-dimension flag — the ML-ops
+    pre-flight before building any vector index on a corpus (a
+    collapsed dimension wastes index bits and distorts cosine; a
+    mean far from 0 says the embedder output isn't centered and IVF
+    cells will skew; q_profile does this for tables, this does it for
+    the vector column).
+
+    Same scale shape as the centroid build it guards: posexplode to
+    (dim, value) cells, ONE two-phase hash aggregate — per-cell state
+    is three accumulators, the shuffle carries d cells per partial
+    regardless of corpus size. Power sums in exact DECIMAL (order-
+    free), mean/std as identical IEEE closed forms (q_agg_trend
+    discipline), so the report hash-matches with no tolerance.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(F.posexplode("embedding").alias("pos0", "x"))
+    # DECIMAL(12,6): a (28,6)x(28,6) product needs precision 57 — BOTH
+    # engines silently degrade past width 38 (measured: 6th-decimal std
+    # drift); (12,6)x(12,6) -> (25,12) stays exact everywhere.
+    dec = F.col("x").cast("decimal(12,6)")
+    g = d.groupBy((F.col("pos0") + 1).cast("int").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("sx"),
+        F.sum(dec * dec).alias("sxx"),
+        F.sum(F.when(F.abs("x") < 0.001, 1).otherwise(0)).alias("n_near_zero"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    std = F.sqrt(F.col("sxx").cast("double") / F.col("n") - mean * mean)
+    return g.select(
+        "dim",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(std, 6).alias("std"),
+        F.round(F.col("n_near_zero") * 1.0 / F.col("n"), 6).alias(
+            "near_zero_frac"
+        ),
+        (F.round(std, 6) < 0.01).alias("dead_dim"),
+    ).orderBy("dim")

@@ -1450,3 +1450,50 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
     )
+
+
+@query(
+    "q_agg_listagg",
+    # Ordered listagg is deterministic ONLY with a total order — the
+    # (n_name) sort key is unique within each region, so both engines
+    # emit the identical string. DuckDB's string_agg takes the same
+    # ORDER BY.
+    oracle="""
+SELECT r.r_name AS region,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       string_agg(n.n_name, ', ' ORDER BY n.n_name) AS nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY region
+""",
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (`listagg ... WITHIN GROUP`, Spark
+    4.0) — the report-formatting staple ("list the members of each
+    group, comma-separated, alphabetical") analysts previously faked
+    with array_join(sort_array(collect_list(...))) (q_agg_collect's
+    shape; this is the ANSI form of it).
+
+    Determinism doctrine applies with teeth: listagg WITHOUT an
+    explicit WITHIN GROUP order is nondeterministic in ANY engine
+    (concatenation order = arrival order); the unique-per-group sort
+    key makes the output a pure function of the data. Same two-phase
+    aggregate shape as collect_list — per-group state is the member
+    list, fine for bounded groups, and the degenerate-group cap
+    doctrine (q_funnel's slice) applies when a group can be hot.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n.join(r, n.n_regionkey == r.r_regionkey).createOrReplaceTempView(
+        "listagg_nr"
+    )
+    return spark.sql(
+        """
+SELECT r_name AS region,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       listagg(n_name, ', ') WITHIN GROUP (ORDER BY n_name) AS nations
+FROM listagg_nr
+GROUP BY r_name
+ORDER BY region
+"""
+    )
