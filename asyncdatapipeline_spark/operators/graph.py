@@ -139,3 +139,90 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_graph_pagerank.__doc__ = q_graph_pagerank.__doc__.format(
     iters=_PR_ITERS, k=_PR_TOP_K, scale=_PR_SCALE
 )
+
+
+@query(
+    "q_graph_triangles",
+    # All-integer: edge intersections and counts; the per-node rollup
+    # and the global summary are exact. Edges are canonical (a < b) so
+    # each triangle is generated exactly once as a < b < c.
+    oracle=f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+sz AS (
+  SELECT l_orderkey FROM op GROUP BY l_orderkey
+  HAVING count(*) BETWEEN 2 AND 50
+),
+ok AS (
+  SELECT op.l_orderkey, op.l_partkey FROM op JOIN sz USING (l_orderkey)
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM ok a JOIN ok b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pernode AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT node, n_triangles FROM pernode
+ORDER BY n_triangles DESC, node
+LIMIT 20
+""",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph: the top-20 parts by
+    triangle membership — the clustering/community primitive (a part
+    in many triangles sits inside a dense co-purchase cluster, the
+    bundle-detection signal; pagerank finds hubs, triangles find
+    CLIQUES).
+
+    The canonical-ordering trick makes this distributable: edges are
+    stored once as (u < v), so each triangle a<b<c is produced by
+    exactly one path of the two-hop join (e(a,b) ⋈ e(b,c) ⋈ e(a,c)) —
+    no ×6 duplication, no post-dedup. Both joins are equi joins on
+    node keys (shuffle by vertex); the input edge set inherits
+    q_copurchase's basket-size cap, which bounds both edge count AND
+    per-vertex degree — the two-hop fan-out (Σ deg²) is the quantity
+    the cap controls at 100 TB. All-integer, exact oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sz = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items").between(2, 50))
+        .select("l_orderkey")
+    )
+    ok = op.join(sz, "l_orderkey")
+    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds all three join legs
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    pernode = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return pernode.orderBy(F.col("n_triangles").desc(), "node").limit(20)
