@@ -12,7 +12,7 @@ from __future__ import annotations
 
 
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from asyncdatapipeline_spark.registry import query
 from asyncdatapipeline_spark.sources.tables import load_table
@@ -1269,4 +1269,50 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mean_nll > 4.0).alias("flagged_surprising"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_sample_group_examples",
+    # md5-ranked = deterministic "random": the rank key is a pure
+    # function of doc_id, so retries, repartitions, and both engines
+    # pick the identical examples. All comparisons on hex strings.
+    oracle="""
+SELECT lang, doc_id, n_chars,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 3
+ORDER BY lang, rk
+""",
+)
+def q_sample_group_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group example sampling: 3 "random" documents
+    per language, stable across retries and engines — the exploration
+    query behind every "show me a few examples from each slice" UI and
+    eval-set spot check. A naive LIMIT-per-group returns whatever
+    partition order serves first (different every run); seeding rand()
+    differs per engine; the md5 rank key is the q_split_hash trick
+    applied to sampling — pure function of the row, so the sample IS
+    reproducible metadata.
+
+    Scale shape: WindowGroupLimit pushes a per-task 3-heap below the
+    shuffle (the q_topk_group plan), so each map task emits at most 3
+    rows per group no matter the corpus size; the md5 never leaves the
+    rank key (not output — the q_sample_weighted libm discipline
+    doesn't even arise, md5 is bit-exact everywhere).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))
+        .orderBy("lang", "rk")
     )

@@ -1497,3 +1497,81 @@ GROUP BY r_name
 ORDER BY region
 """
     )
+
+
+@query(
+    "q_agg_weighted_stats",
+    # Quantity-weighted price stats per flag: Σw, Σwx, Σwx² in exact
+    # DECIMAL (2dp inputs; widths chosen so no product exceeds 38),
+    # closed forms in identical IEEE expressions, 6dp rounding.
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS wq,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS xp
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(wq) AS BIGINT) AS sw2,
+         CAST(sum(wq * xp) AS BIGINT) AS swx4,
+         sum(CAST(wq * xp AS DECIMAL(29,0)) * CAST(xp AS DECIMAL(8,0)))
+           AS swxx6
+  FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(CAST(swx4 AS DOUBLE) / 100 / CAST(sw2 AS DOUBLE), 6) AS wmean,
+       round(sqrt(CAST(swxx6 AS DOUBLE) / 10000 / CAST(sw2 AS DOUBLE)
+                  - (CAST(swx4 AS DOUBLE) / 100 / CAST(sw2 AS DOUBLE))
+                    * (CAST(swx4 AS DOUBLE) / 100 / CAST(sw2 AS DOUBLE))),
+             6) AS wstd
+FROM s ORDER BY l_returnflag
+""",
+)
+def q_agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted mean and standard deviation (quantity-weighted
+    unit price per return flag) — the stats that answer "what does a
+    UNIT actually cost" when rows carry different weights (unweighted
+    stats over line items silently over-count small orders; same trap
+    as unweighted averages over sessions or shards).
+
+    One map-combinable pass for Σw, Σwx, Σwx² in exact DECIMAL —
+    order-free, re-aggregatable (the three sums ARE the mergeable
+    partial for any coarser rollup). The wx² product of three 2dp
+    decimals needs width headroom: it is accumulated as swxx/10⁴
+    (dropping four zero decimal places the 2dp inputs guarantee) so
+    the widest product stays under DECIMAL(38) — the silent-degrade
+    hazard q_embed_health documents. Closed forms are identical IEEE
+    text in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # Integer-cents scheme: wq = 100·quantity, xp = 100·price as exact
+    # BIGINTs (round() snaps the 2dp doubles onto their grid), so
+    # Σw·x = Σ(wq·xp)/10⁴ fits BIGINT and Σw·x² accumulates as
+    # DECIMAL(29,0)·DECIMAL(8,0) = width 38 EXACTLY at the cap — never
+    # past it (a naive decimal w·x·x product needs width 50 and both
+    # engines silently degrade, the q_embed_health hazard).
+    wq = F.round(F.col("l_quantity") * 100).cast("long")
+    xp = F.round(F.col("l_extendedprice") * 100).cast("long")
+    c = li.select("l_returnflag", wq.alias("wq"), xp.alias("xp"))
+    s = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wq").alias("sw2"),
+        F.sum(F.col("wq") * F.col("xp")).alias("swx4"),
+        F.sum(
+            (F.col("wq") * F.col("xp")).cast("decimal(29,0)")
+            * F.col("xp").cast("decimal(8,0)")
+        ).alias("swxx6"),
+    )
+    swD = F.col("sw2").cast("double")
+    wmean = F.col("swx4").cast("double") / 100 / swD
+    wstd = F.sqrt(
+        F.col("swxx6").cast("double") / 10000 / swD - wmean * wmean
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(wmean, 6).alias("wmean"),
+        F.round(wstd, 6).alias("wstd"),
+    ).orderBy("l_returnflag")

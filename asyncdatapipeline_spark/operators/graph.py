@@ -143,9 +143,8 @@ q_graph_pagerank.__doc__ = q_graph_pagerank.__doc__.format(
 
 @query(
     "q_graph_triangles",
-    # All-integer: edge intersections and counts; the per-node rollup
-    # and the global summary are exact. Edges are canonical (a < b) so
-    # each triangle is generated exactly once as a < b < c.
+    # All-integer; edges are canonical (u < v) and SUPPORT-FILTERED
+    # (co-purchased in >= 2 distinct orders) before any join.
     oracle=f"""
 WITH op AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -158,9 +157,10 @@ ok AS (
   SELECT op.l_orderkey, op.l_partkey FROM op JOIN sz USING (l_orderkey)
 ),
 e AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM ok a JOIN ok b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
 ),
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -181,20 +181,24 @@ LIMIT 20
 """,
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting on the co-purchase graph: the top-20 parts by
-    triangle membership — the clustering/community primitive (a part
-    in many triangles sits inside a dense co-purchase cluster, the
-    bundle-detection signal; pagerank finds hubs, triangles find
-    CLIQUES).
+    """Triangle counting on the SUPPORT-FILTERED co-purchase graph: the
+    top-20 parts by triangle membership among part pairs co-purchased
+    in >= 2 distinct orders — the clustering/clique primitive (pagerank
+    finds hubs, triangles find BUNDLES: three parts that pairwise
+    repeat together).
 
-    The canonical-ordering trick makes this distributable: edges are
-    stored once as (u < v), so each triangle a<b<c is produced by
-    exactly one path of the two-hop join (e(a,b) ⋈ e(b,c) ⋈ e(a,c)) —
-    no ×6 duplication, no post-dedup. Both joins are equi joins on
-    node keys (shuffle by vertex); the input edge set inherits
-    q_copurchase's basket-size cap, which bounds both edge count AND
-    per-vertex degree — the two-hop fan-out (Σ deg²) is the quantity
-    the cap controls at 100 TB. All-integer, exact oracle.
+    The support threshold is the operator's scale law, not a
+    convenience: single co-occurrence in a large basket corpus is
+    noise (measured: 1.19M support-1 edges vs 3.6k support->=2 edges at
+    sf0.1 — and the support-filtered count stays ~FLAT as the corpus
+    grows, because noise edges grow with data while repeated-pair
+    signal doesn't). Enumerating triangles on the unfiltered graph is
+    the dense-blob trap: avg degree 120 -> 49M two-hop wedges -> 14s
+    at sf0.1; on the support graph the same plan is milliseconds. The
+    canonical ordering (u < v edges, a < b < c paths) produces each
+    triangle exactly once — no x6 duplication; both joins are equi
+    joins on vertex keys; the basket-size cap bounds degree before
+    support even applies. All-integer, exact oracle.
     """
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
@@ -210,18 +214,20 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
         .select("u", "v")
-        .distinct()
         .localCheckpoint(eager=False)  # feeds all three join legs
     )
-    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
     pernode = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
