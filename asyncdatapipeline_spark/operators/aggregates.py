@@ -1575,3 +1575,67 @@ def q_agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wmean, 6).alias("wmean"),
         F.round(wstd, 6).alias("wstd"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_agg_cube_distinct",
+    # The q_agg_approx contract over a CUBE: exact distincts per cell
+    # (hash-checkable, grouping_id disambiguates the NULL-vs-rollup
+    # ambiguity) + booleans asserting the HLL estimate landed within
+    # 5% at every hierarchy level.
+    oracle="""
+SELECT
+  CASE WHEN GROUPING(event_type) = 1 THEN NULL ELSE event_type END
+    AS event_type,
+  CASE WHEN GROUPING(isodow(ts) - 1) = 1 THEN NULL
+       ELSE CAST(isodow(ts) - 1 AS INTEGER) END AS dow,
+  CAST(GROUPING(event_type) * 2 + GROUPING(isodow(ts) - 1) AS BIGINT)
+    AS gid,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+  true AS hll_within_5pct
+FROM events
+GROUP BY CUBE (event_type, isodow(ts) - 1)
+ORDER BY gid, event_type NULLS LAST, dow NULLS LAST
+""",
+)
+def q_agg_cube_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users across a CUBE hierarchy (event_type × day-of-week,
+    all four grouping levels) with the HLL estimate verified per cell —
+    the composition that matters at 100 TB: distinct counts DON'T add
+    up a hierarchy (Monday's users ∪ Tuesday's users ≠ sum), so every
+    rollup level classically re-scans raw keys. Sketches fix exactly
+    this: persist per-leaf HLL partials and every coarser level is a
+    sketch union (q_agg_hll's path) — this operator is the exact-twin
+    harness for that swap, cube-shaped.
+
+    The cube's Expand multiplies rows ×4 before the distinct — the
+    documented cost (and why the sketch swap wins at scale: HLL state
+    rides the Expand at fixed size, raw distinct keys ride it at key
+    cardinality). grouping_id keys the levels so a NULL group value is
+    never confused with the rollup row (the classic cube footgun).
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", F.weekday("ts").alias("dow"), "user_id"
+    )
+    cube = base.cube("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("hll_users"),
+        F.grouping_id().alias("gid"),
+    )
+    return (
+        cube.select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("gid").cast("long").alias("gid"),
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("hll_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("gid", F.col("event_type").asc_nulls_last(), F.col("dow").asc_nulls_last())
+    )

@@ -406,3 +406,57 @@ def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "q_scan_csv_corrupt",
+    # Same contract as the JSON twin: every good row intact, each bad
+    # line surfaced (not dropped, not fatal) with its raw text.
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey, NULL AS bad_raw FROM nation
+UNION ALL
+SELECT 9999, 'TOOFEW', NULL, '9999,TOOFEW'
+UNION ALL
+SELECT NULL, 'a', NULL, 'not,a,number'
+ORDER BY n_nationkey NULLS LAST, bad_raw
+""",
+)
+def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant CSV scan: PERMISSIVE + ``columnNameOfCorrupt
+    Record`` — the CSV twin of q_scan_json_corrupt, because real CSV
+    drops break differently than JSON (truncated rows from killed
+    writers, type garbage in numeric columns) but need the same
+    quarantine discipline: keep the good fields, surface each bad
+    line's raw text, never abort and never silently drop.
+
+    Two malformed lines are planted once per corpus (a row with too
+    few columns, a row with a non-numeric key). CSV PERMISSIVE
+    semantics differ from JSON's in a way the oracle pins exactly:
+    Spark KEEPS every field of a corrupt row it could still parse
+    (9999,TOOFEW yields nationkey=9999, name=TOOFEW, regionkey=NULL
+    PLUS the raw line in bad_raw; an unparseable numeric yields NULL
+    in that field only) — quarantine triage gets partial structure,
+    not just raw text. The armor is for structural breakage, not
+    schema evolution (that's q_scan_evolution).
+    """
+    path = _scratch(sf_dir, "nation_csv_corrupt")
+    marker = os.path.join(path, "_PLANTED")
+    if not os.path.exists(marker):
+        n = load_table(spark, sf_dir, "nation")
+        n.coalesce(1).write.mode("overwrite").csv(path)
+        with open(os.path.join(path, "zz_corrupt.csv"), "w") as f:
+            f.write("9999,TOOFEW\n")
+            f.write("not,a,number\n")
+        with open(marker, "w"):
+            pass
+    schema = T.StructType(
+        list(NATION_SCHEMA.fields) + [T.StructField("bad_raw", T.StringType(), True)]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "bad_raw")
+        .csv(path)
+        .select("n_nationkey", "n_name", "n_regionkey", "bad_raw")
+        .orderBy(F.col("n_nationkey").asc_nulls_last(), "bad_raw")
+    )
