@@ -1827,3 +1827,192 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_session_stats",
+    # Session labels from the q_sessionize contract (integer epoch
+    # seconds, event_id tiebreak); per-session rollups are integers;
+    # the distribution layer is exact percentiles + one-division means
+    # over the |sessions| frame, rounded 6dp.
+    oracle=f"""
+WITH t AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+         ) AS prev_sec
+  FROM events
+),
+f AS (
+  SELECT *,
+         CASE WHEN prev_sec IS NULL
+                OR sec - prev_sec > {_SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM t
+),
+lab AS (
+  SELECT user_id, sec,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM f
+),
+s AS (
+  SELECT user_id, session_seq,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(sec) - min(sec) AS BIGINT) AS duration_s
+  FROM lab GROUP BY user_id, session_seq
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(sum(n_events) * 1.0 / count(*), 6) AS mean_events,
+       round(quantile_cont(duration_s, 0.5), 6) AS p50_duration_s,
+       round(quantile_cont(duration_s, 0.9), 6) AS p90_duration_s,
+       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS bounce_rate
+FROM s
+""",
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality rollup over the sessionizer's labels: session
+    count, mean events per session, duration percentiles, and bounce
+    rate (single-event sessions) — the engagement dashboard header
+    numbers, and the aggregate q_sessionize's row labels exist to
+    feed.
+
+    Shape: the label pass is q_sessionize verbatim (one (user, time)
+    shuffle); the per-session rollup rides the SAME partitioning
+    (session_seq is a function of the user partition), so no second
+    raw-event shuffle; the distribution layer then runs over the
+    |sessions| frame only. Percentiles are the q_agg_quantile pairing;
+    everything upstream is integer epoch arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = W.partitionBy("user_id").orderBy(sec, "event_id")
+    prev = F.lag(sec).over(w)
+    is_new = F.when(
+        prev.isNull() | ((sec - prev) > _SESSION_GAP_S), 1
+    ).otherwise(0)
+    lab = e.select(
+        "user_id",
+        sec.alias("sec"),
+        F.sum(is_new)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+    s = lab.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("sec") - F.min("sec")).alias("duration_s"),
+    )
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("n_events") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "mean_events"
+        ),
+        F.round(F.expr("percentile(duration_s, 0.5)"), 6).alias(
+            "p50_duration_s"
+        ),
+        F.round(F.expr("percentile(duration_s, 0.9)"), 6).alias(
+            "p90_duration_s"
+        ),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
+@query(
+    "q_ts_conversion_ci",
+    # Wilson 95% interval per day: integer successes/trials from one
+    # pass, then a single identical IEEE closed form per row (z = 1.96
+    # as an exact literal; sqrt/divisions in the same textual order in
+    # both engines), 6dp rounding.
+    oracle="""
+WITH u AS (
+  SELECT CAST(ts AS DATE) AS day, user_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS purchased
+  FROM events GROUP BY 1, 2
+),
+d AS (
+  SELECT day,
+         CAST(sum(viewed) AS BIGINT) AS n_views,
+         CAST(sum(CASE WHEN viewed = 1 AND purchased = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_purch
+  FROM u GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_views, n_purch,
+  round(n_purch * 1.0 / n_views, 6) AS rate,
+  round((n_purch * 1.0 / n_views + 1.96 * 1.96 / (2.0 * n_views)
+         - 1.96 * sqrt((n_purch * 1.0 / n_views)
+                       * (1.0 - n_purch * 1.0 / n_views) / n_views
+                       + 1.96 * 1.96 / (4.0 * n_views * n_views)))
+        / (1.0 + 1.96 * 1.96 / n_views), 6) AS wilson_lo,
+  round((n_purch * 1.0 / n_views + 1.96 * 1.96 / (2.0 * n_views)
+         + 1.96 * sqrt((n_purch * 1.0 / n_views)
+                       * (1.0 - n_purch * 1.0 / n_views) / n_views
+                       + 1.96 * 1.96 / (4.0 * n_views * n_views)))
+        / (1.0 + 1.96 * 1.96 / n_views), 6) AS wilson_hi
+FROM d WHERE n_views > 0
+ORDER BY day
+""",
+)
+def q_ts_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily user-level conversion rate (viewers who also purchased
+    that day / viewers — a TRUE proportion: a success is a subset of
+    its trials, unlike raw purchase/view event ratios, which exceed 1
+    on purchase-heavy days and break every binomial formula) with the
+    Wilson 95%
+    confidence interval — the metric-engineering discipline raw ratios
+    lack: a day with 2/3 conversions is NOT "66%, ship it", and the
+    Wilson interval (unlike the naive ±1.96√(p̂q̂/n) Wald form) stays
+    inside [0,1] and behaves at small n and extreme p̂ — which is
+    exactly when dashboards mislead.
+
+    Two map-combinable passes: (day, user) flags first — the dedup
+    that makes it a proportion — then per-day integers;
+    the interval is a single closed IEEE form per |days| row with
+    z = 1.96 as an exact decimal literal — same expression text in
+    both engines, no libm beyond sqrt (bit-exact by IEEE 754).
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy(F.to_date("ts").alias("day"), "user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("viewed"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("purchased"),
+    )
+    d = u.groupBy("day").agg(
+        F.sum("viewed").alias("n_views"),
+        F.sum(
+            F.when((F.col("viewed") == 1) & (F.col("purchased") == 1), 1)
+            .otherwise(0)
+        ).alias("n_purch"),
+    )
+    p = F.col("n_purch") * 1.0 / F.col("n_views")
+    z2 = 1.96 * 1.96
+    n = F.col("n_views")
+    center = p + F.lit(z2) / (2.0 * n)
+    margin = 1.96 * F.sqrt(p * (1.0 - p) / n + F.lit(z2) / (4.0 * n * n))
+    denom = 1.0 + F.lit(z2) / n
+    return (
+        d.filter(F.col("n_views") > 0)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_views").cast("long").alias("n_views"),
+            F.col("n_purch").cast("long").alias("n_purch"),
+            F.round(p, 6).alias("rate"),
+            F.round((center - margin) / denom, 6).alias("wilson_lo"),
+            F.round((center + margin) / denom, 6).alias("wilson_hi"),
+        )
+        .orderBy("day")
+    )
