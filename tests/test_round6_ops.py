@@ -1,0 +1,215 @@
+"""Planted-fixture semantic tests for the round-6 analytics operators.
+
+The oracle sweep proves Spark ≡ DuckDB cell-for-cell on the synthetic
+corpus; these tests assert the SEMANTICS both engines must share, on
+hand-constructed inputs where the right answer is computable by hand
+(the planted-dup test discipline from tests/test_llm.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from asyncdatapipeline_spark import registry
+
+
+def _write_events(spark, out, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)"""
+    spark.createDataFrame(
+        [(i, t, u, ty, v, "{}") for i, t, u, ty, v in rows],
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+
+def test_cusum_finds_planted_level_shift(spark, tmp_path_factory):
+    """A series that runs at 2/day for 20 days then 12/day for 20 days
+    must peak its |CUSUM| exactly at the shift boundary and flag a
+    changepoint."""
+    out = tmp_path_factory.mktemp("cusum")
+    rows = []
+    eid = 0
+    for day in range(40):
+        n = 2 if day < 20 else 12
+        for k in range(n):
+            rows.append(
+                (eid, "2024-01-%02d 0%d:00:00" % (day % 28 + 1, k % 10), 1, "x", 0.0)
+            )
+            eid += 1
+    # use explicit increasing dates beyond month bounds via date arithmetic
+    rows = []
+    eid = 0
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    for day in range(40):
+        n = 2 if day < 20 else 12
+        d = d0 + datetime.timedelta(days=day)
+        for k in range(n):
+            rows.append((eid, f"{d} 0{k % 10}:00:00", 1, "x", 0.0))
+            eid += 1
+    _write_events(spark, out, rows)
+    r = registry.get("q_ts_cusum").fn(spark, str(out)).collect()
+    assert len(r) == 1
+    row = r[0]
+    # CUSUM of (x - mean 7) peaks at the end of the low regime: day 20
+    assert row["peak_day"] == str(d0 + datetime.timedelta(days=19))
+    assert row["max_abs_cusum"] == 100.0  # 20 days * |2 - 7|
+    assert bool(row["changepoint"])
+
+
+def test_attribution_credits_views_in_window(spark, tmp_path_factory):
+    """A purchase with 2 views in the prior 24h gets credit 0.5 and an
+    exact last-touch gap; a purchase with none is 'direct'."""
+    out = tmp_path_factory.mktemp("attr")
+    rows = [
+        (1, "2024-01-01 08:00:00", 7, "view", 0.0),
+        (2, "2024-01-01 10:00:00", 7, "view", 0.0),
+        (3, "2024-01-01 12:00:00", 7, "purchase", 0.0),
+        (4, "2024-01-05 12:00:00", 7, "purchase", 0.0),   # no touch
+        (5, "2024-01-03 11:00:00", 8, "view", 0.0),
+        (6, "2024-01-04 10:59:00", 8, "purchase", 0.0),   # 23h59m later
+    ]
+    _write_events(spark, out, rows)
+    got = {
+        r["event_id"]: r
+        for r in registry.get("q_events_attribution").fn(spark, str(out)).collect()
+    }
+    assert set(got) == {3, 4, 6}
+    assert got[3]["n_touches"] == 2 and got[3]["credit_per_touch"] == 0.5
+    assert got[3]["last_touch_gap_seconds"] == 2 * 3600
+    assert got[3]["attribution"] == "assisted"
+    assert got[4]["n_touches"] == 0 and got[4]["attribution"] == "direct"
+    assert got[4]["credit_per_touch"] is None
+    assert got[6]["n_touches"] == 1  # 23h59m is inside the 24h window
+    assert got[6]["last_touch_gap_seconds"] == 24 * 3600 - 60
+
+
+def test_asof_nearest_direction_and_ties(spark, tmp_path_factory, sf_dir):
+    """Nearest must pick the closer side, and an exact tie goes to
+    'before'."""
+    import datetime
+
+    out = tmp_path_factory.mktemp("asofn")
+    _write_events(
+        spark,
+        out,
+        [
+            (1, "2024-01-10 00:00:00", 1, "view", 0.0),  # orders 1d before, 3d after
+            (2, "2024-02-10 00:00:00", 2, "view", 0.0),  # equidistant 2d both sides
+            (3, "2024-03-10 00:00:00", 3, "view", 0.0),  # only a later order
+        ],
+    )
+    orders = [
+        (100, 1, "O", 1.0, "2024-01-09 00:00:00", "1-URGENT"),
+        (101, 1, "O", 1.0, "2024-01-13 00:00:00", "1-URGENT"),
+        (102, 2, "O", 1.0, "2024-02-08 00:00:00", "1-URGENT"),
+        (103, 2, "O", 1.0, "2024-02-12 00:00:00", "1-URGENT"),
+        (104, 3, "O", 1.0, "2024-03-15 00:00:00", "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, od string, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("od").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    got = {
+        r["event_id"]: r
+        for r in registry.get("q_join_asof_nearest").fn(spark, str(out)).collect()
+    }
+    assert got[1]["direction"] == "before" and got[1]["gap_seconds"] == 86400
+    assert got[2]["direction"] == "before"  # exact tie → before
+    assert got[2]["gap_seconds"] == 2 * 86400
+    assert got[3]["direction"] == "after" and got[3]["gap_seconds"] == 5 * 86400
+
+
+def test_wilson_interval_brackets_rate_and_stays_in_unit_range(
+    spark, sf_dir
+):
+    """Wilson bounds must bracket the point rate and stay inside [0,1]
+    on every day — including small-n extreme-p days, which is the whole
+    reason Wilson beats Wald."""
+    rows = registry.get("q_ts_conversion_ci").fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
+        # hand-check one closed form
+        n, s = r["n_views"], r["n_purch"]
+        p = s / n
+        z2 = 1.96 * 1.96
+        lo = (
+            p + z2 / (2 * n) - 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        ) / (1 + z2 / n)
+        assert math.isclose(r["wilson_lo"], round(lo, 6), abs_tol=1e-6)
+
+
+def test_triangles_finds_planted_bundle(spark, tmp_path_factory):
+    """Three parts co-purchased pairwise in >=2 orders form exactly one
+    triangle; a pair that co-occurs only once must NOT create edges."""
+    out = tmp_path_factory.mktemp("tri")
+    # orders 1,2: {10,11,12} twice -> all three edges support 2
+    # order 3: {20,21} once -> below support, no edge
+    rows = []
+    for okey, parts in [(1, [10, 11, 12]), (2, [10, 11, 12]), (3, [20, 21])]:
+        for i, pk in enumerate(parts):
+            rows.append((okey, pk, i + 1, 1.0, 1.0, 0.0, "N", "1996-01-01"))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber int, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " sd string",
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        F.col("l_partkey").alias("l_suppkey"),
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        F.lit(0.0).alias("l_tax"),
+        "l_returnflag",
+        F.lit("O").alias("l_linestatus"),
+        F.col("sd").cast("timestamp").alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    got = registry.get("q_graph_triangles").fn(spark, str(out)).collect()
+    assert {(r["node"], r["n_triangles"]) for r in got} == {
+        (10, 1),
+        (11, 1),
+        (12, 1),
+    }
+
+
+def test_ewma_matches_hand_fold(spark, sf_dir):
+    """Spot-check the EWMA fold against a hand computation for one
+    event-type stream's first rows."""
+    out = (
+        registry.get("q_ts_ewma")
+        .fn(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .orderBy("ts", "event_id")
+        .limit(10)
+        .collect()
+    )
+    assert out
+    vals = [r["value"] for r in out]
+    for i, r in enumerate(out):
+        window = vals[max(0, i - 7) : i + 1]
+        num = sum(
+            x * (0.7 ** (len(window) - 1 - j)) for j, x in enumerate(window)
+        )
+        den = sum(0.7 ** k for k in range(len(window)))
+        assert math.isclose(r["ewma"], num / den, rel_tol=1e-9), (i, r["ewma"])
