@@ -102,10 +102,15 @@ class MetricsHub:
         numeric values across batches — correct for additive aggregates
         (count/sum, the mergeable-partial shapes); non-additive metrics
         should be read per-batch from ``last_observed``."""
+        import numbers
+
         with self._lock:
             self._last_observed = dict(values)
             for k, v in values.items():
-                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                # numbers.Number admits int/float AND decimal.Decimal
+                # (decimal-armored sums are the house style); bools are
+                # excluded — summing flags is never what anyone meant.
+                if isinstance(v, bool) or not isinstance(v, numbers.Number):
                     continue
                 self._observed_totals[k] = self._observed_totals.get(k, 0) + v
 
@@ -183,6 +188,24 @@ class MetricsHub:
             self.unsubscribe(sub)
 
 
+def attach_observation(df, aggs: dict, name: str):
+    """Shared df.observe wiring for the batch helper AND the streaming
+    pipeline wrapper: one Observation carrying the reserved ``rows``
+    count plus the caller's aggregate Columns. ``rows`` is reserved —
+    a user aggregate under that name would silently shadow the row
+    count (Observation.get keeps the last duplicate alias), corrupting
+    item_count and the idle clock."""
+    from pyspark.sql import Observation, functions as F
+
+    if "rows" in aggs:
+        raise ValueError(
+            "observe aggregate name 'rows' is reserved for the row count"
+        )
+    obs = Observation(name)
+    extra = [col.alias(alias) for alias, col in aggs.items()]
+    return df.observe(obs, F.count(F.lit(1)).alias("rows"), *extra), obs
+
+
 def observe_batch(df, hub: "MetricsHub", name: str = "batch", **aggs):
     """Attach free row-count metrics to a BATCH DataFrame via
     ``df.observe`` and feed them into ``hub`` — the batch-side analogue
@@ -207,11 +230,7 @@ def observe_batch(df, hub: "MetricsHub", name: str = "batch", **aggs):
     row count, so engine metrics carry query-specific aggregates with
     no extra job.
     """
-    from pyspark.sql import Observation, functions as F
-
-    obs = Observation(name)
-    extra = [col.alias(alias) for alias, col in aggs.items()]
-    out = df.observe(obs, F.count(F.lit(1)).alias("rows"), *extra)
+    out, obs = attach_observation(df, aggs, name)
     t0 = time.monotonic()
 
     def harvest() -> dict:

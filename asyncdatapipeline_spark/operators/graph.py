@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from asyncdatapipeline_spark.operators.joins import _BASKET_MAX_ITEMS
 from asyncdatapipeline_spark.registry import query
 from asyncdatapipeline_spark.sources.tables import load_table
 
@@ -151,7 +152,7 @@ WITH op AS (
 ),
 sz AS (
   SELECT l_orderkey FROM op GROUP BY l_orderkey
-  HAVING count(*) BETWEEN 2 AND 50
+  HAVING count(*) BETWEEN 2 AND {_BASKET_MAX_ITEMS}
 ),
 ok AS (
   SELECT op.l_orderkey, op.l_partkey FROM op JOIN sz USING (l_orderkey)
@@ -205,7 +206,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz = (
         op.groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("n_items"))
-        .filter(F.col("n_items").between(2, 50))
+        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
         .select("l_orderkey")
     )
     ok = op.join(sz, "l_orderkey")

@@ -347,6 +347,10 @@ class StreamingPipeline:
         # the existing action as one accumulator per task — zero extra
         # jobs; the A16 metrics family gains per-query custom aggregates)
         self._observe = dict(observe) if observe else None
+        if self._observe and "rows" in self._observe:
+            raise ValueError(
+                "observe aggregate name 'rows' is reserved for the row count"
+            )
         self._reason = CloseReason.NONE
         self._reason_lock = threading.Lock()
         self._errors: list[BaseException] = []
@@ -370,14 +374,10 @@ class StreamingPipeline:
         # ride that same counting pass via df.observe — one job, one
         # scan, rows + customs together.
         if self._observe:
-            from pyspark.sql import Observation
-            from pyspark.sql import functions as F
+            from asyncdatapipeline_spark.metrics import attach_observation
 
-            obs = Observation(f"epoch-{epoch_id}")
-            batch_df = batch_df.observe(
-                obs,
-                F.count(F.lit(1)).alias("rows"),
-                *[col.alias(name) for name, col in self._observe.items()],
+            batch_df, obs = attach_observation(
+                batch_df, self._observe, f"epoch-{epoch_id}"
             )
             batch_df.count()  # matures the observation
             vals = obs.get

@@ -37,16 +37,6 @@ def test_cusum_finds_planted_level_shift(spark, tmp_path_factory):
     out = tmp_path_factory.mktemp("cusum")
     rows = []
     eid = 0
-    for day in range(40):
-        n = 2 if day < 20 else 12
-        for k in range(n):
-            rows.append(
-                (eid, "2024-01-%02d 0%d:00:00" % (day % 28 + 1, k % 10), 1, "x", 0.0)
-            )
-            eid += 1
-    # use explicit increasing dates beyond month bounds via date arithmetic
-    rows = []
-    eid = 0
     import datetime
 
     d0 = datetime.date(2024, 1, 1)

@@ -22,13 +22,32 @@ def load(path: str) -> dict:
         d = json.loads(raw)
     except json.JSONDecodeError:
         d = {"tail": raw}
-    if "queries" in d:
-        return d
-    tail = d.get("tail", "")
-    i = tail.rfind('{"metric"')
-    if i < 0:
-        raise SystemExit(f"{path}: no bench JSON line found")
-    return json.loads(tail[i:].splitlines()[0])
+    if "queries" not in d:
+        tail = d.get("tail", "")
+        i = tail.rfind('{"metric"')
+        if i < 0:
+            raise SystemExit(f"{path}: no bench JSON line found")
+        d = json.loads(tail[i:].splitlines()[0])
+    # Round-6+ compact headline lines carry only the slowest-5 queries
+    # and point at the full per-query artifact via "detail" — follow it
+    # (same directory as the input file) so per-query comparison and
+    # superset-stability checks see the complete dict, not the top-5
+    # intersection.
+    if "detail" in d:
+        from pathlib import Path
+
+        dp = Path(path).resolve().parent / d["detail"]
+        if dp.exists():
+            full = json.loads(dp.read_text())
+            if "queries" in full:
+                d = full
+        else:
+            print(
+                f"note: {path} is a compact headline line and its detail "
+                f"file {d['detail']} was not found next to it — comparing "
+                f"only the {len(d['queries'])} queries present"
+            )
+    return d
 
 
 def main() -> None:
