@@ -1028,3 +1028,83 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction.alias("direction"),
         gap.cast("long").alias("gap_seconds"),
     )
+
+
+_ASOF_TOLERANCE_S = 7 * 86400  # max staleness: 7 days
+
+
+@query(
+    "q_join_asof_tolerance",
+    # Same correlated-max oracle as q_join_asof, with the staleness
+    # gate applied afterwards on exact integer epoch seconds.
+    oracle=f"""
+SELECT e.event_id, e.user_id,
+  CASE WHEN epoch(date_trunc('second', e.ts)) - epoch(b.t)
+            <= {_ASOF_TOLERANCE_S} THEN b.t END AS last_order_date,
+  CASE WHEN b.t IS NULL THEN 'no_history'
+       WHEN epoch(date_trunc('second', e.ts)) - epoch(b.t)
+            > {_ASOF_TOLERANCE_S} THEN 'stale'
+       ELSE 'fresh' END AS freshness,
+  CAST(CASE WHEN epoch(date_trunc('second', e.ts)) - epoch(b.t)
+                 <= {_ASOF_TOLERANCE_S}
+            THEN epoch(date_trunc('second', e.ts)) - epoch(b.t)
+       END AS BIGINT) AS staleness_s
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT max(o.o_orderdate) AS t FROM orders o
+  WHERE o.o_custkey = e.user_id
+    AND o.o_orderdate <= date_trunc('second', e.ts)
+) b ON true
+""",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH A STALENESS BOUND (pandas merge_asof's
+    `tolerance`, the feature-store point-in-time rule): the most
+    recent order per user at each event — but only if it is at most
+    7 days old, else the match is NULLED and labeled 'stale'. The
+    semantics that keep a training set honest: a feature computed
+    from 90-day-old state is not "the state at the time", it is a
+    leak of the entity's mere existence.
+
+    Identical single-shuffle merge-scan as q_join_asof (union + one
+    ordered window carrying the last order date forward); the
+    tolerance is a row-local gate on exact integer epoch seconds
+    AFTER the scan — no extra join, no extra shuffle, and the
+    freshness label comes free. The 'stale' row keeps its event (LEFT
+    semantics) so downstream can count coverage, not silently shrink.
+    """
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    od = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    ev = e.select(
+        F.col("user_id").alias("k"),
+        F.date_trunc("second", "ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "is_event")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = od.unionByName(ev).withColumn(
+        "back_t",
+        F.last(F.when(F.col("is_event") == 0, F.col("t")), ignorenulls=True).over(w),
+    )
+    stale_s = F.col("t").cast("long") - F.col("back_t").cast("long")
+    fresh = stale_s <= _ASOF_TOLERANCE_S
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.when(fresh, F.col("back_t")).alias("last_order_date"),
+        F.when(F.col("back_t").isNull(), "no_history")
+        .when(~fresh, "stale")
+        .otherwise("fresh")
+        .alias("freshness"),
+        F.when(fresh, stale_s).cast("long").alias("staleness_s"),
+    )

@@ -2016,3 +2016,85 @@ def q_ts_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_events_engagement",
+    # All-integer distinct counts on the (user, day) reduced frame;
+    # stickiness is one IEEE division rounded 6dp. The trailing-window
+    # distincts join day ranges on the dense spine — |days|-sized
+    # everywhere after the first reduce.
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM b
+),
+m AS (
+  SELECT s.day,
+         CAST(count(DISTINCT CASE WHEN ud.day = s.day
+                                  THEN ud.user_id END) AS BIGINT) AS dau,
+         CAST(count(DISTINCT CASE WHEN ud.day > s.day - 7
+                                  THEN ud.user_id END) AS BIGINT) AS wau,
+         CAST(count(DISTINCT ud.user_id) AS BIGINT) AS mau
+  FROM spine s
+  JOIN ud ON ud.day <= s.day AND ud.day > s.day - 28
+  GROUP BY s.day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau, mau,
+       round(dau * 1.0 / wau, 6) AS stickiness_dw,
+       round(wau * 1.0 / mau, 6) AS stickiness_wm
+FROM m ORDER BY day
+""",
+)
+def q_events_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU and stickiness ratios per day — THE growth
+    dashboard: distinct actives over trailing 1/7/28-day windows, and
+    DAU/WAU ("of this week's users, what fraction came today") as the
+    habit-strength scalar. Trailing distincts can't be pre-added
+    (users repeat across days — q_window_sliding_distinct's lesson at
+    calendar scale), so each day must deduplicate its own trailing
+    membership.
+
+    Scale shape: ONE map-combinable reduce to the distinct (user, day)
+    frame — the only pass over raw events; the trailing windows are
+    then a range join of that frame against the |days| spine with
+    conditional distincts per day. The range join emits ≤ 28 rows per
+    (user, day) — bounded fan-out on an already-reduced frame, NOT on
+    events. At extreme user counts the mergeable swap is per-day HLL
+    partials unioned over the trailing window (q_agg_hll's path; union
+    of 7 or 28 day-sketches per day), with this exact form as its
+    verification harness.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    spine = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "sday"
+        )
+    )
+    joined = spine.join(
+        ud,
+        (F.col("day") <= F.col("sday"))
+        & (F.col("day") > F.date_sub(F.col("sday"), 28)),
+    )
+    m = joined.groupBy("sday").agg(
+        F.countDistinct(
+            F.when(F.col("day") == F.col("sday"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(F.col("day") > F.date_sub(F.col("sday"), 7), F.col("user_id"))
+        ).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    return m.select(
+        F.date_format("sday", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness_dw"),
+        F.round(F.col("wau") * 1.0 / F.col("mau"), 6).alias("stickiness_wm"),
+    ).orderBy("day")
