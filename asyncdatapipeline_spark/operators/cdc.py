@@ -87,3 +87,120 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.inline(versions))
         .orderBy("c_custkey", "valid_from")
     )
+
+
+@query(
+    "q_snapshot_diff",
+    # Snapshot B is DERIVED from orders by deterministic rules both
+    # engines replay: %11==0 rows deleted, %7==0 (and not %11) get
+    # +1.00 on o_totalprice, plus two synthetic inserts. The diff
+    # itself compares md5 row fingerprints — 32-byte digests, never
+    # full rows, across the key join.
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey AS k,
+         md5(o_orderstatus || '|' || CAST(CAST(o_totalprice
+             AS DECIMAL(18,2)) AS VARCHAR) || '|' || o_orderpriority)
+           AS fp
+  FROM orders
+),
+b_src AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN CAST(o_totalprice AS DECIMAL(18,2))
+                   + CAST(1.00 AS DECIMAL(18,2))
+              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 11 != 0
+),
+b AS (
+  SELECT o_orderkey AS k,
+         md5(o_orderstatus || '|' || CAST(price AS VARCHAR) || '|'
+             || o_orderpriority) AS fp
+  FROM b_src
+  UNION ALL
+  SELECT 900000001, md5('O|1.00|1-URGENT')
+  UNION ALL
+  SELECT 900000002, md5('O|2.00|2-HIGH')
+),
+d AS (
+  SELECT COALESCE(a.k, b.k) AS k,
+         CASE WHEN a.k IS NULL THEN 'added'
+              WHEN b.k IS NULL THEN 'removed'
+              WHEN a.fp != b.fp THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT change_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(k) AS sample_key
+FROM d GROUP BY change_type ORDER BY change_type
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC validation: classify every key across two
+    table snapshots as added / removed / changed / unchanged by
+    comparing per-row FINGERPRINTS — the migration-cutover and
+    replication-audit query ("did the copy drift?"), and the
+    change-data derivation when no CDC feed exists. Snapshot B is
+    derived deterministically from orders (deletes, price bumps, two
+    inserts) so the oracle replays the exact same diff.
+
+    Scale shape: each side reduces to (key, md5 fingerprint) in its
+    own scan — 32-byte digests cross the shuffle, never row payloads
+    (the q_dedup_incremental_exact discipline applied to diffing);
+    one FULL OUTER key join; the report is O(change types). The
+    fingerprint canonicalizes floats through DECIMAL(18,2) before
+    hashing — fingerprinting raw double formatting is the classic
+    false-diff generator.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    fp_of = lambda price: F.md5(  # noqa: E731
+        F.concat_ws(
+            "|",
+            F.col("o_orderstatus"),
+            price.cast("string"),
+            F.col("o_orderpriority"),
+        ).cast("binary")
+    )
+    a = o.select(F.col("o_orderkey").alias("k"), fp_of(price_dec).alias("fp"))
+    bumped = F.when(
+        F.col("o_orderkey") % 7 == 0,
+        price_dec + F.lit("1.00").cast("decimal(18,2)"),
+    ).otherwise(price_dec)
+    # two synthetic inserts (spark.range keeps it plan-side, no driver rows)
+    spark_b_extra = (
+        o.sparkSession.range(1)
+        .select(
+            F.lit(900000001).cast("long").alias("k"),
+            F.md5(F.lit("O|1.00|1-URGENT").cast("binary")).alias("fp"),
+        )
+        .unionAll(
+            o.sparkSession.range(1).select(
+                F.lit(900000002).cast("long").alias("k"),
+                F.md5(F.lit("O|2.00|2-HIGH").cast("binary")).alias("fp"),
+            )
+        )
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % 11 != 0)
+        .select(F.col("o_orderkey").alias("k"), fp_of(bumped).alias("fp"))
+        .unionAll(spark_b_extra)
+    )
+    d = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full")
+    change = (
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        d.select(
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+            change.alias("change_type"),
+        )
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("k").alias("sample_key"))
+        .orderBy("change_type")
+    )

@@ -2098,3 +2098,87 @@ def q_events_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness_dw"),
         F.round(F.col("wau") * 1.0 / F.col("mau"), 6).alias("stickiness_wm"),
     ).orderBy("day")
+
+
+@query(
+    "q_ts_drawdown",
+    # Exact integers end to end: per-event micro-units (floor of the
+    # same IEEE double in both engines), BIGINT running sum, BIGINT
+    # running max, integer drawdown — no float accumulates anywhere.
+    oracle="""
+WITH t AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000) AS BIGINT) AS v6,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+  FROM events
+),
+cs AS (
+  SELECT event_type, sec, event_id,
+         sum(v6) OVER (PARTITION BY event_type ORDER BY sec, event_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+c AS (
+  SELECT event_type, cum,
+         max(cum) OVER (PARTITION BY event_type ORDER BY sec, event_id
+                        ROWS UNBOUNDED PRECEDING) AS peak
+  FROM cs
+),
+d AS (
+  SELECT event_type, CAST(max(peak - cum) AS BIGINT) AS dd6,
+         CAST(max(peak) AS BIGINT) AS peak6
+  FROM c GROUP BY event_type
+)
+SELECT event_type,
+       round(dd6 / 1000000.0, 6) AS max_drawdown,
+       round(peak6 / 1000000.0, 6) AS peak_cumulative
+FROM d ORDER BY event_type
+""",
+)
+def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per event-type stream: the deepest
+    peak-to-trough fall of the cumulative value series — the
+    worst-case-regression scalar (finance's risk number, equally the
+    "how far did cumulative net conversions sink mid-incident"
+    number for metric streams). A running max of a running sum —
+    the doubly-nested window shape none of the other window ops
+    exercise.
+
+    Both runnings ride ONE (type, time, id) ordering — a single
+    shuffle; the outer max-over-running-sum composes on the same
+    frame. Determinism is the drift-free CUSUM discipline taken
+    further: values floor to micro-units first (identical IEEE
+    doubles floor identically), so BOTH nested accumulations are
+    exact BIGINT arithmetic — a float running sum under a running
+    max would compound the association drift q_ts_cusum documents.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts"), "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    v6 = F.floor(F.col("value") * 1e6).cast("long")
+    # sort keys stay in the frame so the second (peak) window can reuse
+    # the same ordering after the first projection
+    c = e.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+        F.sum(v6).over(w).alias("cum"),
+    )
+    w2 = (
+        W.partitionBy("event_type")
+        .orderBy("sec", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = c.withColumn("peak", F.max("cum").over(w2))
+    d = c.groupBy("event_type").agg(
+        F.max(F.col("peak") - F.col("cum")).alias("dd6"),
+        F.max("peak").alias("peak6"),
+    )
+    return d.select(
+        "event_type",
+        F.round(F.col("dd6") / 1e6, 6).alias("max_drawdown"),
+        F.round(F.col("peak6") / 1e6, 6).alias("peak_cumulative"),
+    ).orderBy("event_type")
