@@ -1316,3 +1316,73 @@ def q_sample_group_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))
         .orderBy("lang", "rk")
     )
+
+
+@query(
+    "q_text_bpe_pairs",
+    # Exact integer pair weights: char-bigram counts per DISTINCT word
+    # multiplied by word frequency — the true first-iteration BPE
+    # statistic; top-20 with the pair string as tiebreak.
+    oracle="""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wf FROM w
+  WHERE len(word) >= 2 GROUP BY word
+),
+pairs AS (
+  SELECT word, wf,
+         unnest(list_transform(generate_series(1, len(word) - 1),
+                i -> word[i] || word[i + 1])) AS pair
+  FROM vocab
+),
+agg AS (
+  SELECT pair, CAST(sum(wf) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT word) AS BIGINT) AS n_words
+  FROM pairs GROUP BY pair
+)
+SELECT pair, n_occurrences, n_words
+FROM agg ORDER BY n_occurrences DESC, pair
+LIMIT 20
+""",
+)
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge statistics: the top-20 adjacent
+    CHARACTER pairs by corpus occurrence (pair count within each
+    distinct word × that word's frequency) — exactly the statistic
+    byte-pair-encoding tokenizer training maximizes on its first
+    merge, and the standing answer to "what would our tokenizer merge
+    first on THIS corpus" (domain corpora merge domain strings first
+    — the vocabulary-fit pre-flight before committing to a tokenizer).
+
+    Scale shape: the corpus reduces to the VOCAB first (the
+    q_text_vocab pass — map-side combine absorbs Zipf-hot words), and
+    character-pair explosion runs over distinct words only — pair work
+    is vocab-sized, not corpus-sized, then weighted by the carried
+    frequency. One further map-combinable aggregate to pair totals;
+    top-20 plans as TakeOrderedAndProject. All-integer, exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split("text", " ")).alias("word"))
+    vocab = (
+        w.filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    chars = F.split(F.col("word"), "")
+    pair_arr = F.zip_with(
+        F.slice(chars, 1, F.length("word") - 1),
+        F.slice(chars, 2, F.length("word") - 1),
+        lambda a, b: F.concat(a, b),
+    )
+    pairs = vocab.select("word", "wf", F.explode(pair_arr).alias("pair"))
+    agg = pairs.groupBy("pair").agg(
+        F.sum("wf").alias("n_occurrences"),
+        F.countDistinct("word").alias("n_words"),
+    )
+    return (
+        agg.orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+        .select("pair", "n_occurrences", "n_words")
+    )
