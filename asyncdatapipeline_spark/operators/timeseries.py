@@ -2182,3 +2182,97 @@ def q_ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dd6") / 1e6, 6).alias("max_drawdown"),
         F.round(F.col("peak6") / 1e6, 6).alias("peak_cumulative"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_anomaly_rolling",
+    # Rolling mean/std over a bounded ROWS frame with EXACT integer
+    # sums: values floor to micro-units, the frame sums are BIGINT
+    # (rolling float sums drift — incremental update vs segment tree),
+    # and the z closed form is one identical IEEE expression per row.
+    oracle="""
+WITH t AS (
+  SELECT event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         value,
+         CAST(floor(value * 1000000) AS BIGINT) AS v6
+  FROM events
+),
+w AS (
+  SELECT event_type, event_id, sec, value, v6,
+         CAST(sum(v6) OVER fr AS BIGINT) AS s6,
+         CAST(sum(v6 * v6) OVER fr AS BIGINT) AS ss12,
+         CAST(count(*) OVER fr AS BIGINT) AS n
+  FROM t
+  WINDOW fr AS (PARTITION BY event_type ORDER BY sec, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT event_type, event_id, value, n,
+         CASE WHEN n >= 5 AND
+                   (CAST(ss12 AS DOUBLE) / n / 1e12
+                    - (CAST(s6 AS DOUBLE) / n / 1e6)
+                      * (CAST(s6 AS DOUBLE) / n / 1e6)) > 0
+              THEN round((value - CAST(s6 AS DOUBLE) / n / 1e6)
+                   / sqrt(CAST(ss12 AS DOUBLE) / n / 1e12
+                          - (CAST(s6 AS DOUBLE) / n / 1e6)
+                            * (CAST(s6 AS DOUBLE) / n / 1e6)), 6)
+         END AS z
+  FROM w
+)
+SELECT event_type, event_id, value, n AS n_window, z,
+       CASE WHEN z IS NULL THEN false ELSE abs(z) > 3.0 END AS flagged
+FROM z
+""",
+)
+def q_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each value scored against the
+    mean/std of its OWN trailing 20 predecessors (current row excluded
+    — scoring a point against a window containing itself dilutes the
+    very spike being tested) — the streaming-anomaly primitive.
+    q_anomaly scores against the series' GLOBAL stats (a regime change
+    poisons them forever); the rolling form adapts, at the price of a
+    warm-up (n < 5 → unscored, emitted not dropped).
+
+    Determinism: rolling mean/std over floats is the drift trap twice
+    over (incremental frame updates vs DuckDB's segment trees), so
+    values floor to micro-units and BOTH frame sums (Σv, Σv²) are
+    exact BIGINT — v6² of |value|≤~1e3 stays ≤1e18, inside BIGINT —
+    then ONE identical IEEE closed form per row. Single (type, time,
+    id) ordering, bounded frame, O(1)/row state at any scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        "value",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v6"),
+    )
+    fr = (
+        W.partitionBy("event_type")
+        .orderBy("sec", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = t.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.sum("v6").over(fr).alias("s6"),
+        F.sum(F.col("v6") * F.col("v6")).over(fr).alias("ss12"),
+        F.count(F.lit(1)).over(fr).alias("n"),
+    )
+    mean = F.col("s6").cast("double") / F.col("n") / 1e6
+    var = F.col("ss12").cast("double") / F.col("n") / 1e12 - mean * mean
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
+    zcol = F.when((F.col("n") >= 5) & (var > 0), z)
+    return w.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.col("n").cast("long").alias("n_window"),
+        zcol.alias("z"),
+        F.when(zcol.isNull(), F.lit(False))
+        .otherwise(F.abs(zcol) > 3.0)
+        .alias("flagged"),
+    )
