@@ -293,3 +293,97 @@ def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_pack_split",
+    # All-integer: token offsets are a window cumsum, each document
+    # explodes over exactly the packs its [start, end) span covers
+    # (sequence of pack ids), and slice lengths are pure arithmetic on
+    # the overlap — the oracle replays every step.
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+o AS (
+  SELECT source, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+  FROM t
+),
+x AS (
+  SELECT source, doc_id, n_tok, start_off,
+         unnest(generate_series(
+             CAST(start_off // {_CTX_TOKENS} AS BIGINT),
+             CAST((start_off + n_tok - 1) // {_CTX_TOKENS} AS BIGINT)))
+           AS pack_id
+  FROM o WHERE n_tok > 0
+)
+SELECT source, CAST(pack_id AS BIGINT) AS pack_id, doc_id,
+       CAST(greatest(start_off, pack_id * {_CTX_TOKENS}) - start_off
+            AS BIGINT) AS slice_start,
+       CAST(least(start_off + n_tok, (pack_id + 1) * {_CTX_TOKENS})
+            - greatest(start_off, pack_id * {_CTX_TOKENS}) AS BIGINT)
+         AS slice_len,
+       start_off + n_tok > (pack_id + 1) * {_CTX_TOKENS} AS continues
+FROM x
+""",
+)
+def q_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-SPLITTING sequence packing: the GPT-style scheme where
+    the token stream is chunked into exact {ctx}-token windows and a
+    document crossing a boundary is SLICED across packs — every pack
+    is exactly full (except the stream tail), unlike q_pack_sequences'
+    membership-by-start-offset form where packs over/under-fill. The
+    output is the pack manifest a loader needs: (pack, doc, slice
+    start within doc, slice length, continues-into-next-pack flag).
+
+    Shape: one per-source window cumsum assigns exact token offsets
+    (the q_pack_sequences pass); each document then explodes over
+    exactly ceil(span/{ctx}) pack ids via `sequence` — 1→N row
+    generation proportional to OUTPUT slices, never a per-token
+    explode (the naive formulation materializes the token stream:
+    100 TB of rows). Slice arithmetic is pure integer overlap math.
+    Empty documents carry no slice; the `continues` flag is what lets
+    the loader verify no token was lost at every boundary.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    o = (
+        d.select("source", "doc_id", n_tok.alias("n_tok"))
+        .withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .filter(F.col("n_tok") > 0)
+    )
+    ctx = F.lit(_CTX_TOKENS)
+    first_pack = F.floor(F.col("start_off") / ctx)
+    last_pack = F.floor((F.col("start_off") + F.col("n_tok") - 1) / ctx)
+    x = o.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        "start_off",
+        F.explode(F.sequence(first_pack, last_pack)).alias("pack_id"),
+    )
+    pack_lo = F.col("pack_id") * _CTX_TOKENS
+    pack_hi = (F.col("pack_id") + 1) * _CTX_TOKENS
+    sl_start = F.greatest(F.col("start_off"), pack_lo) - F.col("start_off")
+    sl_len = F.least(F.col("start_off") + F.col("n_tok"), pack_hi) - F.greatest(
+        F.col("start_off"), pack_lo
+    )
+    return x.select(
+        "source",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        "doc_id",
+        sl_start.cast("long").alias("slice_start"),
+        sl_len.cast("long").alias("slice_len"),
+        (F.col("start_off") + F.col("n_tok") > pack_hi).alias("continues"),
+    )
+
+
+q_pack_split.__doc__ = q_pack_split.__doc__.format(ctx=_CTX_TOKENS)

@@ -890,3 +890,49 @@ def test_norm_dedup_merges_planted_variants(spark, tmp_path_factory):
     assert m["n_raw_variants"] == 3 and m["merged_variants"] and m["survivor_id"] == 1
     single = [r for r in got.values() if r["n_docs"] == 1][0]
     assert not single["merged_variants"] and single["survivor_id"] == 4
+
+
+def test_pack_split_conserves_every_token(spark, sf_dir):
+    """q_pack_split invariants: per doc, slices tile [0, n_tok) exactly
+    (no token lost or duplicated at any boundary); per (source, pack),
+    every pack is exactly CTX tokens except each source's tail pack;
+    `continues` marks precisely the non-final slices of split docs."""
+    from asyncdatapipeline_spark.llm.packing import _CTX_TOKENS
+
+    out = registry.get("q_pack_split").fn(spark, sf_dir).cache()
+    try:
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.size(F.split("text", " ")).alias("n_tok"),
+            )
+            .filter(F.col("n_tok") > 0)
+        )
+        per_doc = out.groupBy("doc_id").agg(
+            F.sum("slice_len").alias("tok_sum"),
+            F.min("slice_start").alias("first_start"),
+            F.max(F.col("slice_start") + F.col("slice_len")).alias("last_end"),
+            F.sum(F.when(~F.col("continues"), 1).otherwise(0)).alias("n_final"),
+        )
+        j = docs.join(per_doc, "doc_id")
+        bad = j.filter(
+            (F.col("tok_sum") != F.col("n_tok"))
+            | (F.col("first_start") != 0)
+            | (F.col("last_end") != F.col("n_tok"))
+            | (F.col("n_final") != 1)
+        )
+        assert bad.count() == 0, bad.limit(5).collect()
+
+        per_pack = out.groupBy("source", "pack_id").agg(
+            F.sum("slice_len").alias("fill")
+        )
+        wmax = per_pack.groupBy("source").agg(F.max("pack_id").alias("last"))
+        nonfinal_bad = (
+            per_pack.join(wmax, "source")
+            .filter(F.col("pack_id") != F.col("last"))
+            .filter(F.col("fill") != _CTX_TOKENS)
+        )
+        assert nonfinal_bad.count() == 0, nonfinal_bad.limit(5).collect()
+    finally:
+        out.unpersist()
