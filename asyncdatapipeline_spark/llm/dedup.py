@@ -2038,3 +2038,74 @@ def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "survivor_id",
         (F.col("n_raw_variants") > 1).alias("merged_variants"),
     )
+
+
+@query(
+    "q_dedup_survivors",
+    # Same closure oracle as q_dedup_clusters, then the survivor rule
+    # re-scored: keep the LONGEST member (integer word count, doc_id
+    # tiebreak) — all-integer argmax, no float in the rule.
+    oracle=f"""
+WITH RECURSIVE
+p AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE_SQL}) t),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM p
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach AS (
+  SELECT doc_id, doc_id AS lbl FROM nodes
+  UNION
+  SELECT e.src AS doc_id, r.lbl
+  FROM edges e JOIN reach r ON r.doc_id = e.dst
+),
+cl AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+scored AS (
+  SELECT cl.doc_id, cl.cluster_id,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words
+  FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+             ORDER BY n_words DESC, doc_id) AS r
+  FROM scored
+)
+SELECT doc_id, cluster_id, n_words, r = 1 AS is_survivor
+FROM rk ORDER BY cluster_id, doc_id
+""",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection over near-dup clusters: within
+    each connected component, keep the LONGEST member (word count,
+    doc-id tiebreak) — the production survivor rule (min-id keeps an
+    arbitrary variant; real pipelines keep the most complete one: the
+    full article over its syndicated excerpt, which near-dup clusters
+    routinely contain). Completes the dedup lifecycle: candidates
+    (MinHash/LSH) → verification (exact Jaccard) → clusters
+    (components) → THIS: who survives.
+
+    Shape: reuses the session-cached exact-Jaccard pair frame and the
+    same bounded label propagation as q_dedup_clusters (one shuffle
+    per round, lineage truncated per round); the re-score joins the
+    |clustered docs| frame — a vanishing fraction of the corpus —
+    back to word counts, and the argmax is one window on the tiny
+    clustered frame. The rule is all-integer, so no engine can
+    disagree at a quality tie.
+    """
+    pairs = q_dedup_ngram(spark, sf_dir)
+    labels = connected_components(pairs)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_words")
+    )
+    scored = labels.join(d, "doc_id")
+    rk = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.col("n_words").desc(), "doc_id")
+    )
+    return (
+        scored.withColumn("r", rk)
+        .select(
+            "doc_id", "cluster_id", "n_words", (F.col("r") == 1).alias("is_survivor")
+        )
+        .orderBy("cluster_id", "doc_id")
+    )

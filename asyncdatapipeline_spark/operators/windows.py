@@ -572,3 +572,72 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(med, 6).alias("rolling_median"),
         F.round(F.col("value") - med, 6).alias("residual"),
     )
+
+
+@query(
+    "q_win_momentum",
+    # Weekly totals are exact integers on an epoch-week index; WoW
+    # change and the 4-week average are one IEEE division each over
+    # the aggregated |weeks × types| frame, rounded 6dp.
+    oracle="""
+WITH wk AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week_idx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, week_idx, n,
+         lag(n) OVER w AS prev_n,
+         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY week_idx
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum4,
+         CAST(count(*) OVER (PARTITION BY event_type ORDER BY week_idx
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt4
+  FROM wk
+  WINDOW w AS (PARTITION BY event_type ORDER BY week_idx)
+)
+SELECT event_type, week_idx, n,
+       CASE WHEN prev_n IS NOT NULL AND prev_n > 0
+            THEN round((n - prev_n) * 1.0 / prev_n, 6) END AS wow_change,
+       round(sum4 * 1.0 / cnt4, 6) AS ma4
+FROM m ORDER BY event_type, week_idx
+""",
+)
+def q_win_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly momentum report per event type: volume, week-over-week
+    percentage change, and the 4-week moving average — the shape of
+    essentially every business KPI chart, and the first derivative
+    q_agg_trend's fitted slope summarizes away (trend says "growing
+    overall"; momentum shows WHICH week turned).
+
+    Weeks are epoch-week integers (floor(epoch/604800)) — calendar-
+    convention-free, identical in both engines (ISO week-of-year
+    splits at year boundaries differently across engines). One
+    map-combinable pass to |weeks × types| integer counts; lag and
+    the bounded moving-average frame both ride one (type, week)
+    ordering over that aggregated frame — raw events shuffle once,
+    everything windowed is dashboard-sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wk = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week_idx"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wo = W.partitionBy("event_type").orderBy("week_idx")
+    fr4 = wo.rowsBetween(-3, 0)
+    prev = F.lag("n").over(wo)
+    return (
+        wk.select(
+            "event_type",
+            "week_idx",
+            "n",
+            F.when(
+                prev.isNotNull() & (prev > 0),
+                F.round((F.col("n") - prev) * 1.0 / prev, 6),
+            ).alias("wow_change"),
+            F.round(
+                F.sum("n").over(fr4) * 1.0 / F.count(F.lit(1)).over(fr4), 6
+            ).alias("ma4"),
+        )
+        .orderBy("event_type", "week_idx")
+    )
