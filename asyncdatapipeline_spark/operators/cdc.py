@@ -90,6 +90,118 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cdc_apply",
+    # The change feed is DERIVED from orders by deterministic rules both
+    # engines replay: seq 1 updates (%13 keys, +10.00), seq 2 deletes
+    # (%17 keys — note %221 keys get update THEN delete, so delete must
+    # win), seq 1 inserts (%19 keys re-keyed +1e9). Latest-wins per key.
+    oracle="""
+WITH feed AS (
+  SELECT o_orderkey AS k, 'U' AS op,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         o_orderstatus AS status, 0 AS seq
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'U',
+         CAST(o_totalprice AS DECIMAL(18,2)) + CAST(10.00 AS DECIMAL(18,2)),
+         o_orderstatus, 1
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', NULL, NULL, 2
+  FROM orders WHERE o_orderkey % 17 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 'I',
+         CAST(o_totalprice AS DECIMAL(18,2)), 'O', 1
+  FROM orders WHERE o_orderkey % 19 = 0
+),
+latest AS (
+  SELECT k, op, price, status,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn,
+         seq
+  FROM feed
+)
+SELECT k AS o_orderkey,
+       round(CAST(price AS DOUBLE), 2) AS price,
+       status,
+       CAST(seq AS BIGINT) AS applied_seq
+FROM latest WHERE rn = 1 AND op != 'D'
+ORDER BY o_orderkey
+""",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC change feed (insert/update/delete events with sequence
+    numbers) to a table snapshot, latest-change-wins per key — the other
+    half of CDC ingest beside q_merge_scd2: scd2 keeps history, this
+    materializes the CURRENT state from snapshot + feed (the replication
+    "apply" step every warehouse mirror runs; Debezium/binlog semantics).
+    The feed is derived deterministically from orders (updates on %13
+    keys, deletes on %17 — %221 keys exercise update-then-delete ordering
+    — inserts on %19 re-keyed) so the DuckDB oracle replays it exactly.
+
+    Scale shape: snapshot rows enter the same union as feed events
+    (seq 0), and latest-wins is ``max_by(struct(payload), seq)`` — ONE
+    hash aggregate on the key, partial-aggregated map-side, no window
+    sort over the union (the row_number formulation the oracle uses
+    would sort every key group; max_by keeps per-key state to one
+    struct). At 100 TB the snapshot is the big side and crosses the
+    shuffle once, column-pruned to the payload; the feed is appended,
+    not joined, so skewed feed keys cannot stall a join. Deletes
+    survive the aggregate as tombstones and drop in the final filter.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    ten = F.lit("10.00").cast("decimal(18,2)")
+
+    def ev(k, op, price, status, seq):
+        return o.select(
+            k.alias("k"),
+            F.lit(op).alias("op"),
+            price.cast("decimal(18,2)").alias("price"),
+            status.alias("status"),
+            F.lit(seq).cast("int").alias("seq"),
+        )
+
+    base = ev(F.col("o_orderkey"), "U", price_dec, F.col("o_orderstatus"), 0)
+    upd = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        (price_dec + ten).cast("decimal(18,2)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).cast("int").alias("seq"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("decimal(18,2)").alias("price"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(2).cast("int").alias("seq"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 19 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("k"),
+        F.lit("I").alias("op"),
+        price_dec.alias("price"),
+        F.lit("O").alias("status"),
+        F.lit(1).cast("int").alias("seq"),
+    )
+    feed = base.unionAll(upd).unionAll(dels).unionAll(ins)
+    latest = feed.groupBy("k").agg(
+        F.max_by(F.struct("op", "price", "status", "seq"), "seq").alias("v")
+    )
+    return (
+        latest.filter(F.col("v.op") != "D")
+        .select(
+            F.col("k").alias("o_orderkey"),
+            # arithmetic stays in exact DECIMAL; only the REPORT column
+            # drops to double (both engines round the same exact value)
+            F.round(F.col("v.price").cast("double"), 2).alias("price"),
+            F.col("v.status").alias("status"),
+            F.col("v.seq").cast("long").alias("applied_seq"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
     "q_snapshot_diff",
     # Snapshot B is DERIVED from orders by deterministic rules both
     # engines replay: %11==0 rows deleted, %7==0 (and not %11) get

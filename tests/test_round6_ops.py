@@ -203,3 +203,41 @@ def test_ewma_matches_hand_fold(spark, sf_dir):
         )
         den = sum(0.7 ** k for k in range(len(window)))
         assert math.isclose(r["ewma"], num / den, rel_tol=1e-9), (i, r["ewma"])
+
+
+def test_cdc_apply_latest_wins_and_tombstones(spark, tmp_path_factory):
+    """Hand-planted snapshot: key 13 is updated (+10.00), key 17 is
+    deleted, key 221 gets update-then-delete (delete must win — the
+    ordering case), key 19 spawns an insert twin at +1e9, key 1 passes
+    through untouched."""
+    out = tmp_path_factory.mktemp("cdc_apply")
+    rows = [
+        (1, 5, "O", 100.00, "1995-01-01 00:00:00", "3-MEDIUM"),
+        (13, 5, "F", 200.00, "1995-01-02 00:00:00", "3-MEDIUM"),
+        (17, 5, "F", 300.00, "1995-01-03 00:00:00", "3-MEDIUM"),
+        (221, 5, "O", 400.00, "1995-01-04 00:00:00", "3-MEDIUM"),
+        (19, 5, "O", 500.00, "1995-01-05 00:00:00", "3-MEDIUM"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, od string, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("od").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    got = {
+        r["o_orderkey"]: (r["price"], r["status"], r["applied_seq"])
+        for r in registry.get("q_cdc_apply").fn(spark, str(out)).collect()
+    }
+    assert got == {
+        1: (100.00, "O", 0),
+        13: (210.00, "F", 1),  # updated
+        19: (500.00, "O", 0),  # original survives; twin inserted below
+        1000000019: (500.00, "O", 1),
+        # 17 and 221 deleted (221 despite its seq-1 update)
+    }
