@@ -1371,6 +1371,133 @@ FROM s ORDER BY lag
 
 
 @query(
+    "q_ts_autocorr",
+    # Same exact-arithmetic discipline as q_ts_crosscorr: dense daily
+    # spine per event_type, BIGINT power sums, one identical IEEE
+    # closed form per (type, lag). The oracle forms lagged pairs by a
+    # day join; the Spark plan uses 7 lag() columns over ONE window —
+    # equivalent on a dense spine, cheaper at scale.
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+filled AS (
+  SELECT s.event_type, s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS x
+  FROM spine s
+  LEFT JOIN d ON d.event_type = s.event_type AND d.day = s.day
+),
+lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+pairs AS (
+  SELECT a.event_type, l.lag, a.x AS x, b.x AS y
+  FROM lags l
+  CROSS JOIN filled a
+  JOIN filled b ON b.event_type = a.event_type
+               AND b.day = a.day - l.lag * INTERVAL 1 DAY
+),
+s AS (
+  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
+       CASE WHEN n_pairs * sxx - sx * sx > 0
+             AND n_pairs * syy - sy * sy > 0
+            THEN round((CAST(n_pairs AS DOUBLE) * sxy
+                        - CAST(sx AS DOUBLE) * sy)
+                       / (sqrt(CAST(n_pairs AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)
+                          * sqrt(CAST(n_pairs AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy)),
+                       6) END AS acf
+FROM s ORDER BY event_type, lag
+""",
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of each event-type's daily count series
+    at lags 1-7 — the weekly-rhythm detector (a lag-7 spike says the
+    series repeats weekly; q_ts_seasonality tests day-of-week shape by
+    chi-square, this measures self-similarity directly, and
+    q_ts_crosscorr relates TWO series where this relates a series to
+    its own past).
+
+    Shape: one pass reduces events to (type, day) counts; each type
+    densifies on its own day spine (zero days matter); then ALL SEVEN
+    lagged series come from lag() columns over ONE (type, day) window
+    ordering — one shuffle for the whole lag fan, vs the lag-join
+    fan-out the oracle uses (equivalent on a dense spine). Pairs stack
+    to (type, lag, x, y) and reduce to exact BIGINT power sums pushed
+    through one identical IEEE closed form (q_agg_trend discipline).
+    Everything after the first aggregate is O(types · days · lags)
+    regardless of event volume; constant series yield NULL acf via the
+    exact-integer degeneracy guard, never a 0/0.
+    """
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("acf_events")
+    lag_cols = ", ".join(
+        f"lag(x, {k}) OVER (PARTITION BY event_type ORDER BY day) AS l{k}"
+        for k in range(1, 8)
+    )
+    stack_args = ", ".join(f"{k}, l{k}" for k in range(1, 8))
+    return spark.sql(
+        f"""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM acf_events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
+),
+spine AS (
+  SELECT event_type, explode(sequence(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM bounds
+),
+filled AS (
+  SELECT s.event_type, s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS x
+  FROM spine s
+  LEFT JOIN d ON d.event_type = s.event_type AND d.day = s.day
+),
+lagged AS (
+  SELECT event_type, x, {lag_cols} FROM filled
+),
+pairs AS (
+  SELECT event_type, x, stack(7, {stack_args}) AS (lag, y) FROM lagged
+),
+s AS (
+  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs WHERE y IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INTEGER) AS lag, n_pairs,
+       CASE WHEN n_pairs * sxx - sx * sx > 0
+             AND n_pairs * syy - sy * sy > 0
+            THEN round((CAST(n_pairs AS DOUBLE) * sxy
+                        - CAST(sx AS DOUBLE) * sy)
+                       / (sqrt(CAST(n_pairs AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)
+                          * sqrt(CAST(n_pairs AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy)),
+                       6) END AS acf
+FROM s ORDER BY event_type, lag
+"""
+    )
+
+
+@query(
     "q_events_attribution",
     # All frame aggregates are integers (counts, epoch extremes); the
     # only float is credit = 1/n, one identical IEEE division rounded

@@ -241,3 +241,33 @@ def test_cdc_apply_latest_wins_and_tombstones(spark, tmp_path_factory):
         1000000019: (500.00, "O", 1),
         # 17 and 221 deleted (221 despite its seq-1 update)
     }
+
+
+def test_autocorr_weekly_period_and_constant_guard(spark, tmp_path_factory):
+    """A 7-day-periodic count series has ACF(7) == 1.0 exactly; a
+    constant series trips the exact-integer degeneracy guard (NULL acf,
+    never 0/0)."""
+    out = tmp_path_factory.mktemp("acf")
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(42):
+        d = d0 + datetime.timedelta(days=day)
+        n = 10 if day % 7 == 0 else 1
+        for k in range(n):
+            rows.append((eid, f"{d} 0{k % 10}:00:00", 1, "weekly", 0.0))
+            eid += 1
+        for k in range(3):  # constant 3/day
+            rows.append((eid, f"{d} 1{k}:00:00", 2, "const", 0.0))
+            eid += 1
+    _write_events(spark, out, rows)
+    got = {
+        (r["event_type"], r["lag"]): r["acf"]
+        for r in registry.get("q_ts_autocorr").fn(spark, str(out)).collect()
+    }
+    assert got[("weekly", 7)] == 1.0
+    assert got[("weekly", 1)] < 0.3
+    for lag in range(1, 8):
+        assert got[("const", lag)] is None
