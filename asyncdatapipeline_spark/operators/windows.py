@@ -641,3 +641,103 @@ def q_win_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "week_idx")
     )
+
+
+@query(
+    "q_win_concurrency",
+    # Sweep-line overlap counting: intervals -> (+1 at start, -1 at
+    # end) points, running sum over ONE deterministic ordering per day
+    # (ts, then starts before ends, then user), peak = max cum. Both
+    # engines replay the identical ordering, so cum is exact.
+    oracle="""
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         min(ts) AS t0, max(ts) AS t1
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT day, user_id, t0 AS ts, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, user_id, t1, -1 FROM iv
+),
+sweep AS (
+  SELECT day, ts,
+         sum(delta) OVER (
+           PARTITION BY day
+           ORDER BY ts, delta DESC, user_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pts
+),
+pk AS (
+  SELECT day, max(cum) AS peak_concurrency FROM sweep GROUP BY day
+)
+SELECT CAST(p.day AS VARCHAR) AS day,
+       CAST(p.peak_concurrency AS BIGINT) AS peak_concurrency,
+       min(s.ts) AS peak_ts
+FROM pk p JOIN sweep s ON s.day = p.day AND s.cum = p.peak_concurrency
+GROUP BY p.day, p.peak_concurrency
+ORDER BY p.day
+""",
+)
+def q_win_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day (how many users were active AT ONCE,
+    and when) by sweep-line: each user's daily activity span becomes a
+    (+1 start, -1 end) point pair, a running sum over the day's point
+    stream counts live intervals, and the daily max is the peak — the
+    capacity-planning query (license seats, connection pools, surge
+    staffing) that a groupBy can't answer because overlap is about
+    instants, not rows.
+
+    Scale shape: events aggregate-first to (user, day) spans — point
+    volume is O(users·days), not O(events) — and the sweep's running
+    sum partitions BY DAY, so each day's ordering sorts independently
+    (the unpartitioned global sweep is the anti-pattern; a day's
+    points fit one partition at any corpus size that has days). Ties
+    break (ts, starts-before-ends, user) so touching intervals count
+    as overlapping and cum replays identically in both engines; peak
+    instant is the MIN ts achieving the max, join-back on the tiny
+    per-day peak frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    iv = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    pts = iv.select(
+        "day", "user_id", F.col("t0").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "day", "user_id", F.col("t1").alias("ts"), F.lit(-1).alias("delta")
+        )
+    )
+    sweep = pts.select(
+        "day",
+        "ts",
+        F.sum("delta")
+        .over(
+            W.partitionBy("day")
+            .orderBy(F.col("ts"), F.col("delta").desc(), F.col("user_id"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cum"),
+    )
+    pk = (
+        sweep.groupBy("day")
+        .agg(F.max("cum").alias("peak_concurrency"))
+        .alias("pk")
+    )
+    s = sweep.alias("s")
+    return (
+        pk.join(
+            s,
+            (F.col("pk.day") == F.col("s.day"))
+            & (F.col("pk.peak_concurrency") == F.col("s.cum")),
+        )
+        .groupBy(F.col("pk.day").alias("day"), F.col("pk.peak_concurrency"))
+        .agg(F.min(F.col("s.ts")).alias("peak_ts"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("peak_concurrency").cast("long").alias("peak_concurrency"),
+            "peak_ts",
+        )
+        .orderBy("day")
+    )

@@ -271,3 +271,25 @@ def test_autocorr_weekly_period_and_constant_guard(spark, tmp_path_factory):
     assert got[("weekly", 1)] < 0.3
     for lag in range(1, 8):
         assert got[("const", lag)] is None
+
+
+def test_concurrency_peak_with_hand_intervals(spark, tmp_path_factory):
+    """u1 active 10:00-12:00, u2 11:00-13:00, u3 11:30-11:45 -> peak 3
+    concurrent at 11:30; next day a lone user peaks at 1."""
+    out = tmp_path_factory.mktemp("conc")
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "x", 0.0),
+        (1, "2024-01-01 12:00:00", 1, "x", 0.0),
+        (2, "2024-01-01 11:00:00", 2, "x", 0.0),
+        (3, "2024-01-01 13:00:00", 2, "x", 0.0),
+        (4, "2024-01-01 11:30:00", 3, "x", 0.0),
+        (5, "2024-01-01 11:45:00", 3, "x", 0.0),
+        (6, "2024-01-02 09:00:00", 9, "x", 0.0),
+    ]
+    _write_events(spark, out, rows)
+    got = {
+        r["day"]: (r["peak_concurrency"], str(r["peak_ts"]))
+        for r in registry.get("q_win_concurrency").fn(spark, str(out)).collect()
+    }
+    assert got["2024-01-01"] == (3, "2024-01-01 11:30:00")
+    assert got["2024-01-02"][0] == 1
