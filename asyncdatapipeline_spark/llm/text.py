@@ -1386,3 +1386,115 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("pair", "n_occurrences", "n_words")
     )
+
+
+@query(
+    "q_text_readability",
+    # All per-doc counts are integers (words, sentence marks, vowel
+    # groups) from the SAME regexes in both engines; group sums stay
+    # BIGINT and the Flesch closed form runs once per group on exact
+    # sums. The per-doc easy flag compares an identical IEEE expression
+    # to 60, so its count is exact too.
+    oracle="""
+WITH c AS (
+  SELECT lang, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(str_split_regex(trim(text), '\\s+')) END AS w,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+  FROM documents
+),
+f AS (
+  SELECT lang, source, w, s, y,
+         206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                 - 84.6 * (CAST(y AS DOUBLE) / w) AS flesch
+  FROM c WHERE w > 0
+),
+x AS (SELECT lang, source FROM c WHERE w = 0)
+SELECT f.lang, f.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(w) AS BIGINT) AS total_words,
+       round(CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS DOUBLE), 6)
+         AS words_per_sentence,
+       round(CAST(sum(y) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
+         AS syllables_per_word,
+       round(206.835
+             - 1.015 * (CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS DOUBLE))
+             - 84.6 * (CAST(sum(y) AS DOUBLE) / CAST(sum(w) AS DOUBLE)),
+             4) AS flesch,
+       round(CAST(sum(CASE WHEN flesch > 60 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS easy_share,
+       CAST((SELECT count(*) FROM x
+             WHERE x.lang = f.lang AND x.source = f.source) AS BIGINT)
+         AS n_excluded
+FROM f GROUP BY f.lang, f.source
+ORDER BY f.lang, f.source
+""",
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring per (lang, source) corpus slice — the Flesch
+    reading-ease family every pretraining quality stack runs (too-easy
+    boilerplate and too-hard OCR garbage both get downweighted; B59's
+    q_text_quality gates on surface ratios, this scores SENTENCE
+    STRUCTURE: words/sentence and syllables/word, with syllables
+    approximated as vowel-group runs — the standard heuristic when no
+    dictionary ships with the cluster).
+
+    Scale shape: the three counts are row-local regexes (scan-bound,
+    JVM codegen, no Python); the report aggregates INTEGER sums per
+    (lang, source) — one partial-aggregated shuffle of 3 longs per
+    group — and evaluates the Flesch closed form once per GROUP on
+    exact sums (averaging per-doc doubles would drift with addend
+    order; group-sums-then-one-division is both exacter and cheaper).
+    Degenerate docs (no words) are excluded and counted rather than
+    poisoning the ratios with NULL/∞; unpunctuated docs count as ONE
+    sentence (the standard fallback — this synthetic corpus has no
+    sentence marks at all, so the guard is load-bearing here).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    s = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))),
+    )
+    y = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    c = d.select("lang", "source", w.alias("w"), s.alias("s"), y.alias("y"))
+    ok = c.filter(F.col("w") > 0)
+    wd, sd, yd = (F.col(x).cast("double") for x in ("w", "s", "y"))
+    per_doc_flesch = (
+        F.lit(206.835) - F.lit(1.015) * (wd / F.col("s")) - F.lit(84.6) * (yd / F.col("w"))
+    )
+    sw, ss, sy = (
+        F.sum(x).cast("long").cast("double") for x in ("w", "s", "y")
+    )
+    agg = ok.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").cast("long").alias("total_words"),
+        F.round(sw / ss, 6).alias("words_per_sentence"),
+        F.round(sy / sw, 6).alias("syllables_per_word"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * (sw / ss) - F.lit(84.6) * (sy / sw),
+            4,
+        ).alias("flesch"),
+        F.round(
+            F.sum(F.when(per_doc_flesch > 60, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("easy_share"),
+    )
+    excl = (
+        c.filter(F.col("w") == 0)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_excluded"))
+    )
+    return (
+        agg.join(excl, ["lang", "source"], "left")
+        .withColumn(
+            "n_excluded", F.coalesce(F.col("n_excluded"), F.lit(0)).cast("long")
+        )
+        .orderBy("lang", "source")
+    )

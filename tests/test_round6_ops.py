@@ -293,3 +293,26 @@ def test_concurrency_peak_with_hand_intervals(spark, tmp_path_factory):
     }
     assert got["2024-01-01"] == (3, "2024-01-01 11:30:00")
     assert got["2024-01-02"][0] == 1
+
+
+def test_readability_hand_flesch(spark, tmp_path_factory):
+    """'The cat sat. The dog ran!' -> 6 words, 2 sentences, 6 vowel
+    groups: flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19. Empty doc is
+    excluded but counted."""
+    out = tmp_path_factory.mktemp("readability")
+    rows = [
+        (1, "The cat sat. The dog ran!", "en", "web", 25),
+        (2, "", "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    r = registry.get("q_text_readability").fn(spark, str(out)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_docs"] == 1 and row["n_excluded"] == 1
+    assert row["total_words"] == 6
+    assert row["words_per_sentence"] == 3.0
+    assert row["syllables_per_word"] == 1.0
+    assert row["flesch"] == 119.19
+    assert row["easy_share"] == 1.0
