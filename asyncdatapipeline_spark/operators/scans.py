@@ -460,3 +460,34 @@ def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey", "bad_raw")
         .orderBy(F.col("n_nationkey").asc_nulls_last(), "bad_raw")
     )
+
+
+@query(
+    "q_scan_xml",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan (Spark 4 native ``xml`` source — spark-xml graduated
+    into core): parquet → XML → read back with an explicit schema and
+    rowTag; must equal the source table (the oracle reads the parquet
+    view). The last mainstream text format in the scan family beside
+    CSV/JSON/text — B2B feeds and legacy enterprise exports still ship
+    XML.
+
+    Explicit schema, same doctrine as CSV/JSON: inference is an extra
+    full pass and type-guessy besides. The reader streams row elements
+    per ``rowTag`` and splits across executors per FILE (one XML
+    document is one parse unit — at 100 TB you shard into many files,
+    exactly what the writer side produces per partition)."""
+    path = _scratch(sf_dir, "nation_xml")
+    n = load_table(spark, sf_dir, "nation")
+    n.coalesce(1).write.mode("overwrite").format("xml").option(
+        "rowTag", "nation"
+    ).save(path)
+    return (
+        spark.read.schema(NATION_SCHEMA)
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
