@@ -233,3 +233,92 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return pernode.orderBy(F.col("n_triangles").desc(), "node").limit(20)
+
+
+@query(
+    "q_graph_components",
+    # Spark iterates min-label propagation; the oracle computes the
+    # same fixpoint declaratively (recursive-CTE reachability, min
+    # label per node) over the IDENTICAL support-filtered edge set.
+    # AS MATERIALIZED: DuckDB re-evaluates multiply-referenced CTEs
+    # per reference without it (see q_dedup_clusters).
+    oracle=f"""
+WITH RECURSIVE
+op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sz AS (
+  SELECT l_orderkey FROM op GROUP BY l_orderkey
+  HAVING count(*) BETWEEN 2 AND {_BASKET_MAX_ITEMS}
+),
+ok AS (SELECT op.l_orderkey, op.l_partkey FROM op JOIN sz USING (l_orderkey)),
+p AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM ok a JOIN ok b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM p UNION SELECT v, u FROM p
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+),
+comp AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node)
+SELECT cid AS component_id,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       min(node) AS min_part, max(node) AS max_part
+FROM comp GROUP BY cid
+ORDER BY n_nodes DESC, component_id
+""",
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the support-filtered co-purchase graph:
+    which parts form closed purchasing ecosystems (pagerank ranks hubs,
+    triangles find bundles, components find the MARKET SEGMENTS — the
+    partition a recommender or assortment planner operates within).
+    One row per component: id (min member), size, member key range.
+
+    Reuses llm/dedup.py's ``connected_components`` — min-label
+    propagation with one shuffle per round, ``localCheckpoint`` lineage
+    truncation, convergence flag computed in the update select, rounds
+    bounded by graph diameter (support-filtered co-purchase components
+    are dense and shallow, same as near-dup cliques). The support
+    threshold (pairs co-purchased in >= 2 distinct orders, basket-size
+    cap first) is what keeps the graph sparse enough that components
+    MEAN anything at 100 TB — the unfiltered graph is one giant noise
+    blob (measured in q_graph_triangles: 1.19M support-1 edges vs 3.6k
+    support->=2 at sf0.1).
+    """
+    from asyncdatapipeline_spark.llm.dedup import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sz = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
+        .select("l_orderkey")
+    )
+    ok = op.join(sz, "l_orderkey")
+    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
+    )
+    cc = connected_components(e)
+    return (
+        cc.groupBy(F.col("cluster_id").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("doc_id").alias("min_part"),
+            F.max("doc_id").alias("max_part"),
+        )
+        .orderBy(F.col("n_nodes").desc(), "component_id")
+    )

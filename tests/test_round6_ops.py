@@ -316,3 +316,43 @@ def test_readability_hand_flesch(spark, tmp_path_factory):
     assert row["syllables_per_word"] == 1.0
     assert row["flesch"] == 119.19
     assert row["easy_share"] == 1.0
+
+
+def test_components_split_by_support(spark, tmp_path_factory):
+    """{10,11} and {11,12} each co-purchased twice chain into ONE
+    component {10,11,12}; {20,21} twice is its own component; {12,20}
+    co-occurring once is below support and must NOT bridge them."""
+    out = tmp_path_factory.mktemp("cc")
+    baskets = [
+        (1, [10, 11]), (2, [10, 11]),
+        (3, [11, 12]), (4, [11, 12]),
+        (5, [20, 21]), (6, [20, 21]),
+        (7, [12, 20]),  # support 1: filtered
+    ]
+    rows = []
+    for okey, parts in baskets:
+        for i, pk in enumerate(parts):
+            rows.append((okey, pk, i + 1, 1.0, 1.0, 0.0, "N", "1996-01-01"))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber int, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " sd string",
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        F.col("l_partkey").alias("l_suppkey"),
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        F.lit(0.0).alias("l_tax"),
+        "l_returnflag",
+        F.lit("O").alias("l_linestatus"),
+        F.col("sd").cast("timestamp").alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    got = {
+        r["component_id"]: (r["n_nodes"], r["min_part"], r["max_part"])
+        for r in registry.get("q_graph_components").fn(spark, str(out)).collect()
+    }
+    assert got == {10: (3, 10, 12), 20: (2, 20, 21)}
