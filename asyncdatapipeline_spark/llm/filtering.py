@@ -782,3 +782,118 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
         .orderBy("stage_no")
     )
+
+
+@query(
+    "q_split_time",
+    # Boundaries are exact BIGINT epoch arithmetic (70% / 85% of the
+    # observed span, floor division) — no float timestamps, so both
+    # engines cut at the identical second.
+    oracle="""
+WITH t AS (
+  SELECT user_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep
+  FROM events
+),
+b AS (
+  SELECT min(ep) AS e0,
+         min(ep) + ((max(ep) - min(ep)) * 70) // 100 AS b1,
+         min(ep) + ((max(ep) - min(ep)) * 85) // 100 AS b2
+  FROM t
+),
+tagged AS (
+  SELECT CASE WHEN ep <= b1 THEN 'train'
+              WHEN ep <= b2 THEN 'valid'
+              ELSE 'test' END AS split,
+         user_id
+  FROM t CROSS JOIN b
+),
+su AS (SELECT DISTINCT split, user_id FROM tagged),
+tr AS (SELECT user_id FROM su WHERE split = 'train'),
+per AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_events FROM tagged GROUP BY split
+),
+usr AS (
+  SELECT su.split,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN tr.user_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS users_in_train
+  FROM su LEFT JOIN tr ON tr.user_id = su.user_id
+  GROUP BY su.split
+)
+SELECT per.split, per.n_events, usr.n_users, usr.users_in_train,
+       round(CAST(usr.users_in_train AS DOUBLE) / usr.n_users, 6)
+         AS overlap_share
+FROM per JOIN usr ON usr.split = per.split
+ORDER BY per.split
+""",
+)
+def q_split_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/valid/test split (70/85% of the observed time
+    span) with a user-leakage report — the third canonical split beside
+    hash-based (q_split_hash) and group-based (q_split_group): for
+    forecasting and recommendation evals the model must never see the
+    future, so the split axis is TIME, and the thing to audit is how
+    many valid/test users also appear in train (temporal splits leak
+    users by design; the report quantifies it instead of pretending).
+
+    Scale shape: the boundary is one min/max aggregate broadcast back
+    (exact BIGINT epoch arithmetic — float timestamps would cut
+    different rows per engine); assignment is then map-only. The
+    leakage audit reduces to the distinct (split, user) frame first —
+    users×3 rows, not events — and one LEFT join against train's user
+    set; nothing event-sized shuffles twice.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        "user_id",
+        F.date_trunc("second", "ts").cast("long").alias("ep"),
+    )
+    b = F.broadcast(
+        t.agg(
+            F.min("ep").alias("e0"),
+            (
+                F.min("ep")
+                + F.floor(((F.max("ep") - F.min("ep")) * 70) / 100)
+            ).alias("b1"),
+            (
+                F.min("ep")
+                + F.floor(((F.max("ep") - F.min("ep")) * 85) / 100)
+            ).alias("b2"),
+        )
+    )
+    tagged = t.crossJoin(b).select(
+        F.when(F.col("ep") <= F.col("b1"), "train")
+        .when(F.col("ep") <= F.col("b2"), "valid")
+        .otherwise("test")
+        .alias("split"),
+        "user_id",
+    )
+    su = tagged.select("split", "user_id").distinct()
+    tr = su.filter(F.col("split") == "train").select(
+        F.col("user_id").alias("tr_user")
+    )
+    per = tagged.groupBy("split").agg(F.count(F.lit(1)).alias("n_events"))
+    usr = (
+        su.join(tr, su.user_id == tr.tr_user, "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(
+                F.when(F.col("tr_user").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("users_in_train"),
+        )
+    )
+    return (
+        per.join(usr, "split")
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            "users_in_train",
+            F.round(
+                F.col("users_in_train").cast("double") / F.col("n_users"), 6
+            ).alias("overlap_share"),
+        )
+        .orderBy("split")
+    )

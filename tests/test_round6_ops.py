@@ -356,3 +356,24 @@ def test_components_split_by_support(spark, tmp_path_factory):
         for r in registry.get("q_graph_components").fn(spark, str(out)).collect()
     }
     assert got == {10: (3, 10, 12), 20: (2, 20, 21)}
+
+
+def test_split_time_boundaries_and_leakage(spark, tmp_path_factory):
+    """20 hourly events spanning 19h: b1 = 13.3h, b2 = 16.15h ->
+    train hours 0-13, valid 14-16, test 17-19. u2 appears only in
+    test -> test overlap_share 0.5."""
+    out = tmp_path_factory.mktemp("tsplit")
+    rows = [(h, f"2024-01-01 {h:02d}:00:00", 1, "x", 0.0) for h in range(20)]
+    rows += [(100, "2024-01-01 18:30:00", 2, "x", 0.0),
+             (101, "2024-01-01 19:00:00", 2, "x", 0.0)]
+    _write_events(spark, out, rows)
+    got = {
+        r["split"]: (r["n_events"], r["n_users"], r["users_in_train"],
+                     r["overlap_share"])
+        for r in registry.get("q_split_time").fn(spark, str(out)).collect()
+    }
+    assert got == {
+        "train": (14, 1, 1, 1.0),
+        "valid": (3, 1, 1, 1.0),
+        "test": (5, 2, 1, 0.5),
+    }
