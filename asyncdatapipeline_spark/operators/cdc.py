@@ -316,3 +316,92 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("k").alias("sample_key"))
         .orderBy("change_type")
     )
+
+
+@query(
+    "q_merge_upsert",
+    # Source batch derived from customer: %7 keys get +50.00 (except
+    # %14 keys, whose source row carries the SAME balance — the
+    # conditional-update no-op case) and %50 keys spawn inserts
+    # re-keyed +1e6. MERGE actions: updated / unchanged / untouched /
+    # inserted.
+    oracle="""
+WITH src AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 14 = 0
+              THEN CAST(c_acctbal AS DECIMAL(18,2))
+              ELSE CAST(c_acctbal AS DECIMAL(18,2))
+                   + CAST(50.00 AS DECIMAL(18,2)) END AS new_bal
+  FROM customer WHERE c_custkey % 7 = 0
+),
+ins AS (
+  SELECT c_custkey + 1000000 AS k,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS new_bal
+  FROM customer WHERE c_custkey % 50 = 0
+),
+merged AS (
+  SELECT c.c_custkey AS k,
+         CASE WHEN s.k IS NULL THEN CAST(c.c_acctbal AS DECIMAL(18,2))
+              ELSE s.new_bal END AS bal,
+         CASE WHEN s.k IS NULL THEN 'untouched'
+              WHEN s.new_bal = CAST(c.c_acctbal AS DECIMAL(18,2))
+                THEN 'unchanged'
+              ELSE 'updated' END AS action
+  FROM customer c LEFT JOIN src s ON s.k = c.c_custkey
+  UNION ALL
+  SELECT k, new_bal, 'inserted' FROM ins
+)
+SELECT k AS c_custkey,
+       round(CAST(bal AS DOUBLE), 2) AS c_acctbal,
+       action
+FROM merged ORDER BY c_custkey
+""",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) semantics with per-row action accounting:
+    WHEN MATCHED AND changed THEN UPDATE, WHEN MATCHED AND identical
+    THEN no-op, WHEN NOT MATCHED THEN INSERT — the third CDC primitive
+    beside q_merge_scd2 (history) and q_cdc_apply (feed replay): a
+    batch upsert against a dimension, with the action tags a MERGE
+    statement reports (and audit pipelines reconcile against).
+
+    One pass over the dimension: the source batch is dimension-derived
+    and SMALL, so it broadcasts onto the target scan — matched rows
+    resolve update-vs-no-op with a row-local comparison in exact
+    DECIMAL (comparing doubles for "did it change" is the classic
+    false-update generator); inserts append by union, never join. The
+    dimension is touched exactly once, map-only — the MERGE INTO shape
+    minus the table-format file rewrite, same doctrine as q_merge_scd2.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    bal_dec = F.col("c_acctbal").cast("decimal(18,2)")
+    fifty = F.lit("50.00").cast("decimal(18,2)")
+    src = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.when(F.col("c_custkey") % 14 == 0, bal_dec)
+        .otherwise((bal_dec + fifty).cast("decimal(18,2)"))
+        .alias("new_bal"),
+    )
+    ins = c.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.round(bal_dec.cast("double"), 2).alias("c_acctbal"),
+        F.lit("inserted").alias("action"),
+    )
+    merged = (
+        c.join(F.broadcast(src), c.c_custkey == src.k, "left")
+        .select(
+            "c_custkey",
+            F.round(
+                F.when(F.col("k").isNull(), bal_dec)
+                .otherwise(F.col("new_bal"))
+                .cast("double"),
+                2,
+            ).alias("c_acctbal"),
+            F.when(F.col("k").isNull(), "untouched")
+            .when(F.col("new_bal") == bal_dec, "unchanged")
+            .otherwise("updated")
+            .alias("action"),
+        )
+        .unionAll(ins)
+    )
+    return merged.orderBy("c_custkey")

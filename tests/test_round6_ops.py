@@ -377,3 +377,25 @@ def test_split_time_boundaries_and_leakage(spark, tmp_path_factory):
         "valid": (3, 1, 1, 1.0),
         "test": (5, 2, 1, 0.5),
     }
+
+
+def test_merge_upsert_action_classes(spark, tmp_path_factory):
+    """Key 7: matched+changed -> updated(+50). Key 14: matched but the
+    source carries the same balance -> unchanged. Key 3: no source row
+    -> untouched. Key 50: spawns an inserted twin at 1000050."""
+    out = tmp_path_factory.mktemp("upsert")
+    rows = [(3, 10.0), (7, 20.0), (14, 30.0), (50, 40.0)]
+    spark.createDataFrame(rows, "c_custkey long, c_acctbal double").write.mode(
+        "overwrite"
+    ).parquet(str(out / "customer.parquet"))
+    got = {
+        r["c_custkey"]: (r["c_acctbal"], r["action"])
+        for r in registry.get("q_merge_upsert").fn(spark, str(out)).collect()
+    }
+    assert got == {
+        3: (10.0, "untouched"),
+        7: (70.0, "updated"),
+        14: (30.0, "unchanged"),
+        50: (40.0, "untouched"),
+        1000050: (40.0, "inserted"),
+    }
