@@ -741,3 +741,123 @@ def q_win_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_win_topn_change",
+    # Weekly revenue in exact DECIMAL (rank ties impossible: partkey
+    # tiebreak), epoch-week integers (calendar-convention-free), then
+    # adjacent-week FULL OUTER join of two <=10-row-per-week frames.
+    oracle="""
+WITH wk AS (
+  SELECT CAST(floor(epoch(l_shipdate) / 604800) AS BIGINT) AS week_idx,
+         l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY 1, 2
+),
+r AS (
+  SELECT week_idx, l_partkey,
+         row_number() OVER (PARTITION BY week_idx
+                            ORDER BY rev DESC, l_partkey) AS rn
+  FROM wk
+),
+top AS (SELECT week_idx, l_partkey FROM r WHERE rn <= 10),
+b AS (SELECT min(week_idx) AS w0, max(week_idx) AS w1 FROM top),
+chg AS (
+  SELECT COALESCE(cur.week_idx, prev.week_idx + 1) AS week_idx,
+         COALESCE(cur.l_partkey, prev.l_partkey) AS pk,
+         cur.l_partkey IS NOT NULL AND prev.l_partkey IS NULL AS entered,
+         cur.l_partkey IS NULL AND prev.l_partkey IS NOT NULL AS exited
+  FROM top cur FULL OUTER JOIN top prev
+    ON prev.week_idx = cur.week_idx - 1 AND prev.l_partkey = cur.l_partkey
+)
+SELECT week_idx,
+       CAST(sum(CASE WHEN entered THEN 1 ELSE 0 END) AS BIGINT) AS n_entered,
+       CAST(sum(CASE WHEN exited THEN 1 ELSE 0 END) AS BIGINT) AS n_exited,
+       string_agg(CASE WHEN entered THEN CAST(pk AS VARCHAR) END, ','
+                  ORDER BY pk) AS entered_parts
+FROM chg CROSS JOIN b
+WHERE week_idx > w0 AND week_idx <= w1
+GROUP BY week_idx ORDER BY week_idx
+""",
+)
+def q_win_topn_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly top-10 mover report: which parts ENTERED and EXITED the
+    top-10-by-revenue leaderboard each week — the rank-churn query
+    behind every trending dashboard (a leaderboard alone says who's on
+    top; churn says how volatile the top is; q_win_momentum tracks
+    volume deltas, this tracks MEMBERSHIP deltas).
+
+    Scale shape: aggregate-first to (week, part) revenue in exact
+    DECIMAL (rank ties broken by partkey so both engines pick the same
+    top set); per-week top-10 via row_number ≤ 10 — Spark pushes a
+    per-partition k-heap below the shuffle (WindowGroupLimit), so map
+    tasks emit ≤10 rows per week; the mover diff is then a FULL OUTER
+    join of adjacent weeks over ≤10-row frames — post-agg cost
+    O(weeks·10), regardless of lineitem volume. Entered lists are
+    sorted comma-joined strings (array cells don't hash in the
+    driver's canonicalizer).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wk = (
+        li.select(
+            F.floor(F.unix_timestamp("l_shipdate") / 604800)
+            .cast("long")
+            .alias("week_idx"),
+            "l_partkey",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("week_idx", "l_partkey")
+        .agg(F.sum("p").alias("rev"))
+    )
+    w = W.partitionBy("week_idx").orderBy(F.col("rev").desc(), "l_partkey")
+    top = (
+        wk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("week_idx", "l_partkey")
+    )
+    cur = top.alias("cur")
+    prev = top.select(
+        (F.col("week_idx") + 1).alias("week_idx"),
+        F.col("l_partkey").alias("prev_pk"),
+    ).alias("prev")
+    joined = cur.join(
+        prev,
+        (F.col("cur.week_idx") == F.col("prev.week_idx"))
+        & (F.col("cur.l_partkey") == F.col("prev.prev_pk")),
+        "full",
+    ).select(
+        F.coalesce(F.col("cur.week_idx"), F.col("prev.week_idx")).alias(
+            "week_idx"
+        ),
+        F.coalesce(F.col("cur.l_partkey"), F.col("prev.prev_pk")).alias("pk"),
+        (F.col("cur.l_partkey").isNotNull() & F.col("prev.prev_pk").isNull())
+        .alias("entered"),
+        (F.col("cur.l_partkey").isNull() & F.col("prev.prev_pk").isNotNull())
+        .alias("exited"),
+    )
+    bounds = top.agg(
+        F.min("week_idx").alias("w0"), F.max("week_idx").alias("w1")
+    )
+    return (
+        joined.join(F.broadcast(bounds))
+        .filter((F.col("week_idx") > F.col("w0")) & (F.col("week_idx") <= F.col("w1")))
+        .groupBy("week_idx")
+        .agg(
+            F.sum(F.when(F.col("entered"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_entered"),
+            F.sum(F.when(F.col("exited"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exited"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("entered"), F.col("pk"))
+                    )
+                ).cast("array<string>"),
+                ",",
+            ).alias("entered_parts"),
+        )
+        .orderBy("week_idx")
+    )

@@ -399,3 +399,32 @@ def test_merge_upsert_action_classes(spark, tmp_path_factory):
         50: (40.0, "untouched"),
         1000050: (40.0, "inserted"),
     }
+
+
+def test_topn_change_mover_diff(spark, tmp_path_factory):
+    """Week A top set {1,2}, week B {2,3} -> week B reports entered={3},
+    exited={1}; no phantom week after the last one."""
+    out = tmp_path_factory.mktemp("movers")
+    rows = [
+        (1, 1, "1996-01-01"), (2, 2, "1996-01-01"),
+        (3, 2, "1996-01-08"), (4, 3, "1996-01-08"),
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, sd string"
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        F.col("l_partkey").alias("l_suppkey"),
+        F.lit(1).alias("l_linenumber"),
+        F.lit(1.0).alias("l_quantity"),
+        F.lit(100.0).alias("l_extendedprice"),
+        F.lit(0.0).alias("l_discount"),
+        F.lit(0.0).alias("l_tax"),
+        F.lit("N").alias("l_returnflag"),
+        F.lit("O").alias("l_linestatus"),
+        F.col("sd").cast("timestamp").alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    got = registry.get("q_win_topn_change").fn(spark, str(out)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_entered"], r["n_exited"], r["entered_parts"]) == (1, 1, "3")
