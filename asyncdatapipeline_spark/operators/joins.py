@@ -1108,3 +1108,134 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("freshness"),
         F.when(fresh, stale_s).cast("long").alias("staleness_s"),
     )
+
+
+# Spatial grid join: coordinates are md5-derived micro-degree integers
+# (lat in [0, 180e6) from the south pole, lon in [0, 360e6)) so both
+# engines place every entity at the identical point. Distance is exact
+# BIGINT planar micro-degrees squared — sin/cos differ in ulps across
+# libm implementations, so a haversine threshold could flip boundary
+# pairs between engines; the GRID-BUCKET pattern is the point here,
+# and production swaps in haversine + longitude wrap at the filter.
+_GEO_CELL = 15_000_000          # cell edge = radius -> 3x3 neighborhood covers it
+_GEO_R2 = _GEO_CELL * _GEO_CELL
+
+
+@query(
+    "q_join_spatial_grid",
+    oracle=f"""
+WITH cust AS (
+  SELECT c_custkey,
+         CAST(('0x' || substr(md5('cust:' || CAST(c_custkey AS VARCHAR)),
+                              1, 8))::UBIGINT % 180000000 AS BIGINT) AS lat_u,
+         CAST(('0x' || substr(md5('cust:' || CAST(c_custkey AS VARCHAR)),
+                              9, 8))::UBIGINT % 360000000 AS BIGINT) AS lon_u
+  FROM customer
+),
+supp AS (
+  SELECT s_suppkey,
+         CAST(('0x' || substr(md5('supp:' || CAST(s_suppkey AS VARCHAR)),
+                              1, 8))::UBIGINT % 180000000 AS BIGINT) AS lat_u,
+         CAST(('0x' || substr(md5('supp:' || CAST(s_suppkey AS VARCHAR)),
+                              9, 8))::UBIGINT % 360000000 AS BIGINT) AS lon_u
+  FROM supplier
+),
+sx AS (
+  SELECT s.s_suppkey, s.lat_u, s.lon_u,
+         s.lat_u // {_GEO_CELL} + dx.dx AS cell_lat,
+         s.lon_u // {_GEO_CELL} + dy.dy AS cell_lon
+  FROM supp s
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dx
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dy
+),
+hits AS (
+  SELECT c.c_custkey,
+         (c.lat_u - s.lat_u) * (c.lat_u - s.lat_u)
+         + (c.lon_u - s.lon_u) * (c.lon_u - s.lon_u) AS d2
+  FROM cust c
+  JOIN sx s ON s.cell_lat = c.lat_u // {_GEO_CELL}
+           AND s.cell_lon = c.lon_u // {_GEO_CELL}
+  WHERE (c.lat_u - s.lat_u) * (c.lat_u - s.lat_u)
+        + (c.lon_u - s.lon_u) * (c.lon_u - s.lon_u) <= {_GEO_R2}
+)
+SELECT c_custkey,
+       CAST(count(*) AS BIGINT) AS n_within,
+       round(sqrt(CAST(min(d2) AS DOUBLE)) / 1000000.0, 6) AS nearest_deg
+FROM hits GROUP BY c_custkey ORDER BY c_custkey
+""",
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join via GRID BUCKETING: for each customer, how
+    many suppliers sit within a 15-degree radius and how far the
+    nearest one is — the proximity query (nearest warehouse, delivery
+    coverage, geo-dedup) that naively is an all-pairs cross join.
+
+    The grid pattern is the scale story: bucket both sides into
+    radius-sized cells, expand the SMALL side to its 3x3 cell
+    neighborhood (9 rows per supplier — a constant), and equi-join on
+    the cell key. Every true within-radius pair lands in the same
+    bucket (cell edge = radius), so the expensive distance predicate
+    runs only on cell-local candidates: cost O(pairs-per-cell), not
+    |cust| x |supp|. On this fixture the supplier side also broadcasts;
+    at 100 TB with two big point sets the SAME plan shuffles both
+    sides on the cell key — the hexagon/S2 bucketing every geo engine
+    uses, minus the library. Coordinates are md5-derived micro-degree
+    BIGINTs kept non-negative (div truncation == floor only above
+    zero), distance is exact integer planar micro-degrees squared (a
+    haversine threshold could flip boundary pairs across libm ulps;
+    swap it in at the filter for production geodesics).
+    """
+    def coords(df, key, prefix, keep):
+        h = F.md5(
+            F.concat(F.lit(prefix), F.col(key).cast("string")).cast("binary")
+        )
+        lat = (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 180_000_000
+        ).alias("lat_u")
+        lon = (
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 360_000_000
+        ).alias("lon_u")
+        return df.select(F.col(key).alias(keep), lat, lon)
+
+    c = coords(
+        load_table(spark, sf_dir, "customer"), "c_custkey", "cust:", "c_custkey"
+    ).select(
+        "c_custkey",
+        "lat_u",
+        "lon_u",
+        F.expr(f"lat_u div {_GEO_CELL}").alias("cell_lat"),
+        F.expr(f"lon_u div {_GEO_CELL}").alias("cell_lon"),
+    )
+    s = coords(
+        load_table(spark, sf_dir, "supplier"), "s_suppkey", "supp:", "s_suppkey"
+    )
+    offsets = spark.range(1).select(
+        F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dx")
+    ).crossJoin(
+        spark.range(1).select(
+            F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("dy")
+        )
+    )
+    sx = s.crossJoin(F.broadcast(offsets)).select(
+        "s_suppkey",
+        F.col("lat_u").alias("s_lat"),
+        F.col("lon_u").alias("s_lon"),
+        (F.expr(f"lat_u div {_GEO_CELL}") + F.col("dx")).alias("cell_lat"),
+        (F.expr(f"lon_u div {_GEO_CELL}") + F.col("dy")).alias("cell_lon"),
+    )
+    d2 = (F.col("lat_u") - F.col("s_lat")) * (
+        F.col("lat_u") - F.col("s_lat")
+    ) + (F.col("lon_u") - F.col("s_lon")) * (F.col("lon_u") - F.col("s_lon"))
+    return (
+        c.join(F.broadcast(sx), ["cell_lat", "cell_lon"])
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= _GEO_R2)
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.round(
+                F.sqrt(F.min("d2").cast("double")) / 1_000_000.0, 6
+            ).alias("nearest_deg"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -428,3 +428,47 @@ def test_topn_change_mover_diff(spark, tmp_path_factory):
     assert len(got) == 1
     r = got[0]
     assert (r["n_entered"], r["n_exited"], r["entered_parts"]) == (1, 1, "3")
+
+
+def test_spatial_grid_matches_bruteforce(spark, sf_dir):
+    """The 3x3 grid-bucket join must find EXACTLY the pairs a
+    brute-force cross join finds (cell-edge = radius guarantees no
+    boundary miss; this is the classic grid-join off-by-one check)."""
+    from asyncdatapipeline_spark.operators.joins import _GEO_CELL, _GEO_R2
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    def coords(df, key, prefix):
+        h = F.md5(
+            F.concat(F.lit(prefix), F.col(key).cast("string")).cast("binary")
+        )
+        return df.select(
+            F.col(key),
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 180_000_000)
+            .alias("lat_u"),
+            (F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 360_000_000)
+            .alias("lon_u"),
+        )
+
+    c = coords(load_table(spark, sf_dir, "customer"), "c_custkey", "cust:")
+    s = coords(load_table(spark, sf_dir, "supplier"), "s_suppkey", "supp:")
+    brute = (
+        c.crossJoin(
+            s.select(
+                F.col("lat_u").alias("s_lat"), F.col("lon_u").alias("s_lon")
+            )
+        )
+        .filter(
+            (F.col("lat_u") - F.col("s_lat")) * (F.col("lat_u") - F.col("s_lat"))
+            + (F.col("lon_u") - F.col("s_lon"))
+            * (F.col("lon_u") - F.col("s_lon"))
+            <= _GEO_R2
+        )
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_within"))
+    )
+    expected = {r["c_custkey"]: r["n_within"] for r in brute.collect()}
+    got = {
+        r["c_custkey"]: r["n_within"]
+        for r in registry.get("q_join_spatial_grid").fn(spark, sf_dir).collect()
+    }
+    assert got == expected and expected  # non-empty and identical
