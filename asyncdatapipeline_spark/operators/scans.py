@@ -491,3 +491,63 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+def _nation_pull_fn(sf_dir: str):
+    """Two-pull nation reader for the Python DataSource batch drain:
+    pull 1 → first half, pull 2 → second half, pull 3 → None (EOF).
+    Module-level factory so the closure cloudpickles into the runner."""
+    state = {"i": 0}
+    path = os.path.join(sf_dir, "nation.parquet")
+
+    def pull():
+        if state["i"] >= 2:
+            return None
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            path, columns=["n_nationkey", "n_name", "n_regionkey"]
+        )
+        rows = list(
+            zip(
+                t.column("n_nationkey").to_pylist(),
+                t.column("n_name").to_pylist(),
+                t.column("n_regionkey").to_pylist(),
+            )
+        )
+        half = (len(rows) + 1) // 2
+        out = rows[:half] if state["i"] == 0 else rows[half:]
+        state["i"] += 1
+        return out
+
+    return pull
+
+
+@query(
+    "q_scan_pyds",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch scan through the Python DataSource API (Spark 4
+    ``pyspark.sql.datasource``) — the engine's CollectFunc pull adapter
+    (sources/pull_source.py, reference async_data_pipeline.go:65-67)
+    driven in its FINITE-RUN mode as a first-class ``spark.read``
+    source: the runner process drains the pull callback (two pulls of
+    half the nation table each, then EOF) and must reproduce the
+    parquet table exactly (the oracle reads the parquet view).
+
+    This is the escape hatch for sources no JVM connector covers
+    (internal REST cursors, SDK paginators): schema declared up front,
+    rows stream Arrow-batched out of the Python runner. Scale honesty:
+    a driver-supplied pull callback is inherently sequential — ONE
+    input partition by design (the adapter documents it) — so at
+    100 TB this is the seed/ingest path, never the fact-table path;
+    land it to parquet on first touch (q_scan_text doctrine).
+    """
+    from asyncdatapipeline_spark.sources.pull_source import collect_func_batch
+
+    return collect_func_batch(
+        spark,
+        _nation_pull_fn(sf_dir),
+        schema="n_nationkey int, n_name string, n_regionkey int",
+    ).orderBy("n_nationkey")
