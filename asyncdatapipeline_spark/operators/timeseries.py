@@ -2403,3 +2403,121 @@ def q_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(zcol) > 3.0)
         .alias("flagged"),
     )
+
+
+@query(
+    "q_ts_theilsen",
+    # Pairwise slopes are exact small-integer divisions; the median is
+    # the only interpolated value, rounded at 6dp (both engines use
+    # linear interpolation at p*(n-1); the rounding absorbs ulp-level
+    # association differences). Dense spine, same as q_ts_autocorr.
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type, b.d0,
+         unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds b
+),
+filled AS (
+  SELECT s.event_type, s.day - s.d0 AS x,
+         CAST(COALESCE(d.c, 0) AS BIGINT) AS y
+  FROM spine s
+  LEFT JOIN d ON d.event_type = s.event_type AND d.day = s.day
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+  FROM filled a
+  JOIN filled b ON b.event_type = a.event_type AND b.x > a.x
+),
+sen AS (
+  SELECT event_type, quantile_cont(slope, 0.5) AS sen_slope
+  FROM pairs GROUP BY event_type
+),
+res AS (
+  SELECT f.event_type,
+         quantile_cont(f.y - s.sen_slope * f.x, 0.5) AS sen_intercept
+  FROM filled f JOIN sen s ON s.event_type = f.event_type
+  GROUP BY f.event_type
+)
+SELECT s.event_type,
+       CAST((SELECT count(*) FROM filled f
+             WHERE f.event_type = s.event_type) AS BIGINT) AS n_days,
+       round(s.sen_slope, 6) AS sen_slope,
+       round(r.sen_intercept, 6) AS sen_intercept
+FROM sen s JOIN res r ON r.event_type = s.event_type
+ORDER BY s.event_type
+""",
+)
+def q_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event-type daily series: slope =
+    MEDIAN of all pairwise day-to-day slopes, intercept = median
+    residual — the outlier-proof twin of q_agg_trend's least-squares
+    fit (one spike day drags an OLS slope arbitrarily; it moves a
+    median of ~n²/2 slopes not at all — 29% breakdown point).
+
+    Scale shape: the corpus reduces to (type, day) counts FIRST, so the
+    O(days²) pair fan-out — Theil-Sen's intrinsic cost — is bounded by
+    the SERIES LENGTH, never event volume (400 days → 80k pairs per
+    type; a decade of dailies → 6.6M, still trivial; for multi-year
+    minute-grain series swap in the repeated-median variant per
+    window). Pairwise slopes are exact small-integer divisions; the
+    median is the single interpolated value, rounded 6dp both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("sen_events")
+    return spark.sql(
+        """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM sen_events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type, b.d0,
+         explode(sequence(b.d0, b.d1, INTERVAL 1 DAY)) AS day
+  FROM bounds b
+),
+filled AS (
+  SELECT s.event_type, datediff(s.day, s.d0) AS x,
+         CAST(COALESCE(d.c, 0) AS BIGINT) AS y
+  FROM spine s
+  LEFT JOIN d ON d.event_type = s.event_type AND d.day = s.day
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+  FROM filled a
+  JOIN filled b ON b.event_type = a.event_type AND b.x > a.x
+),
+sen AS (
+  SELECT event_type, percentile(slope, 0.5) AS sen_slope
+  FROM pairs GROUP BY event_type
+),
+res AS (
+  SELECT f.event_type,
+         percentile(f.y - s.sen_slope * f.x, 0.5) AS sen_intercept
+  FROM filled f JOIN sen s ON s.event_type = f.event_type
+  GROUP BY f.event_type
+),
+nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM filled GROUP BY event_type
+)
+SELECT s.event_type, nd.n_days,
+       round(s.sen_slope, 6) AS sen_slope,
+       round(r.sen_intercept, 6) AS sen_intercept
+FROM sen s
+JOIN res r ON r.event_type = s.event_type
+JOIN nd ON nd.event_type = s.event_type
+ORDER BY s.event_type
+"""
+    )

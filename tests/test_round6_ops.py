@@ -472,3 +472,27 @@ def test_spatial_grid_matches_bruteforce(spark, sf_dir):
         for r in registry.get("q_join_spatial_grid").fn(spark, sf_dir).collect()
     }
     assert got == expected and expected  # non-empty and identical
+
+
+def test_theilsen_ignores_planted_spike(spark, tmp_path_factory):
+    """A perfect 2/day-increment series with ONE 100x spike day: the
+    Theil-Sen slope stays exactly 2.0 (median of pairwise slopes),
+    where an OLS fit would be dragged far off."""
+    out = tmp_path_factory.mktemp("sen")
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(21):
+        n = 200 if day == 10 else 2 * day + 1  # y = 2x+1 with one spike
+        d = d0 + datetime.timedelta(days=day)
+        for k in range(n):
+            rows.append((eid, f"{d} {k % 24:02d}:{k % 60:02d}:00", 1, "x", 0.0))
+            eid += 1
+    _write_events(spark, out, rows)
+    r = registry.get("q_ts_theilsen").fn(spark, str(out)).collect()
+    assert len(r) == 1
+    assert r[0]["n_days"] == 21
+    assert r[0]["sen_slope"] == 2.0
+    assert r[0]["sen_intercept"] == 1.0
