@@ -2521,3 +2521,79 @@ JOIN nd ON nd.event_type = s.event_type
 ORDER BY s.event_type
 """
     )
+
+
+@query(
+    "q_events_outage",
+    # All-integer: epoch-second lag gaps, row_number over (gap DESC,
+    # ts, event_id) — unique tiebreak so both engines pick identical
+    # top-5 sets even among equal gaps.
+    oracle="""
+WITH t AS (
+  SELECT event_type, event_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ep
+  FROM events
+),
+g AS (
+  SELECT event_type, event_id, ep,
+         ep - lag(ep) OVER (PARTITION BY event_type
+                            ORDER BY ep, event_id) AS gap_s
+  FROM t
+),
+r AS (
+  SELECT event_type, gap_s,
+         ep - gap_s AS gap_start_ep, ep AS gap_end_ep,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY gap_s DESC, ep, event_id) AS rn
+  FROM g WHERE gap_s IS NOT NULL
+)
+SELECT event_type, CAST(rn AS INTEGER) AS rank,
+       CAST(gap_s AS BIGINT) AS gap_seconds,
+       gap_start_ep, gap_end_ep
+FROM r WHERE rn <= 5
+ORDER BY event_type, rank
+""",
+)
+def q_events_outage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage report: the five LONGEST silent gaps per event-type
+    stream, with their exact start/end instants — the incident query
+    behind every data-freshness monitor ("when did this feed stall,
+    and for how long"). q_ts_interarrival characterizes the gap
+    DISTRIBUTION; this names the individual worst incidents.
+
+    Scale shape: one (type)-partitioned window ordering produces the
+    lag gaps, and the top-5 filter rides the same partition ordering —
+    Spark plants a per-partition k-heap below the shuffle
+    (WindowGroupLimit) for the rank pass, so map tasks forward at most
+    5 candidate gaps per type. All-integer epoch arithmetic; the
+    (gap DESC, ts, event_id) tiebreak makes the top set identical in
+    both engines even when gaps tie. Output is O(types · 5).
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        "event_type",
+        "event_id",
+        F.date_trunc("second", "ts").cast("long").alias("ep"),
+    )
+    wo = W.partitionBy("event_type").orderBy("ep", "event_id")
+    g = t.select(
+        "event_type",
+        "event_id",
+        "ep",
+        (F.col("ep") - F.lag("ep").over(wo)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    wr = W.partitionBy("event_type").orderBy(
+        F.col("gap_s").desc(), "ep", "event_id"
+    )
+    return (
+        g.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "event_type",
+            F.col("rn").cast("int").alias("rank"),
+            F.col("gap_s").cast("long").alias("gap_seconds"),
+            (F.col("ep") - F.col("gap_s")).alias("gap_start_ep"),
+            F.col("ep").alias("gap_end_ep"),
+        )
+        .orderBy("event_type", "rank")
+    )

@@ -496,3 +496,24 @@ def test_theilsen_ignores_planted_spike(spark, tmp_path_factory):
     assert r[0]["n_days"] == 21
     assert r[0]["sen_slope"] == 2.0
     assert r[0]["sen_intercept"] == 1.0
+
+
+def test_outage_finds_planted_gap(spark, tmp_path_factory):
+    """Events every minute with one planted 3-hour hole: rank-1 gap is
+    exactly 10800s at the hole's boundaries."""
+    out = tmp_path_factory.mktemp("outage")
+    rows = []
+    eid = 0
+    for m in range(60):  # 09:00..09:59
+        rows.append((eid, f"2024-01-01 09:{m:02d}:00", 1, "x", 0.0))
+        eid += 1
+    # hole: 10:00-12:59, resume 13:00
+    for m in range(30):
+        rows.append((eid, f"2024-01-01 13:{m:02d}:00", 1, "x", 0.0))
+        eid += 1
+    _write_events(spark, out, rows)
+    r = registry.get("q_events_outage").fn(spark, str(out)).collect()
+    top = r[0]
+    assert top["rank"] == 1
+    assert top["gap_seconds"] == 3 * 3600 + 60  # 09:59 -> 13:00
+    assert top["gap_end_ep"] - top["gap_start_ep"] == top["gap_seconds"]
