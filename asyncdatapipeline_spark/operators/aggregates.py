@@ -1639,3 +1639,83 @@ def q_agg_cube_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", F.col("event_type").asc_nulls_last(), F.col("dow").asc_nulls_last())
     )
+
+
+@query(
+    "q_agg_ttest",
+    # Per-type exact decimal power sums -> one identical IEEE closed
+    # form per pair (Welch t + Satterthwaite df). The pair frame is
+    # types x types — dimension-sized.
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS na, b.n AS nb,
+         a.sx / a.n AS ma, b.sx / b.n AS mb,
+         (a.sxx - a.sx * a.sx / a.n) / (a.n - 1) AS va,
+         (b.sxx - b.sx * b.sx / b.n) / (b.n - 1) AS vb
+  FROM s a JOIN s b ON a.event_type < b.event_type
+)
+SELECT type_a, type_b, na, nb,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+       round(((va / na + vb / nb) * (va / na + vb / nb))
+             / ((va / na) * (va / na) / (na - 1)
+                + (vb / nb) * (vb / nb) / (nb - 1)), 4) AS welch_df,
+       abs((ma - mb) / sqrt(va / na + vb / nb)) > 1.96 AS significant
+FROM p ORDER BY type_a, type_b
+""",
+)
+def q_agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test between every pair of event types on
+    ``value`` — the A/B-test primitive (q_ts_conversion_ci intervals a
+    PROPORTION; this tests a MEAN difference under unequal variances,
+    the default experiment readout). Emits t statistic, Satterthwaite
+    df, and the |t| > 1.96 significance flag per pair.
+
+    Scale shape: one partial-aggregated pass reduces events to per-type
+    (n, Σx, Σx²) in exact DECIMAL (q_agg_stats doctrine — streaming
+    variance merges are partition-order-dependent; power sums are not),
+    then the pair frame is types × types — dimension-sized — and every
+    double op after the exact sums is the same IEEE closed form in both
+    engines. Adding a group key (experiment id, cohort) keeps the same
+    two-phase plan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast(DEC)).cast("double").alias("sx"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
+    ma, mb = F.col("a.sx") / na, F.col("b.sx") / nb
+    va = (F.col("a.sxx") - F.col("a.sx") * F.col("a.sx") / na) / (na - 1)
+    vb = (F.col("b.sxx") - F.col("b.sx") * F.col("b.sx") / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)
+    )
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            na.alias("na"),
+            nb.alias("nb"),
+            F.round(ma, 6).alias("mean_a"),
+            F.round(mb, 6).alias("mean_b"),
+            F.round(t, 6).alias("t_stat"),
+            F.round(df, 4).alias("welch_df"),
+            (F.abs(t) > 1.96).alias("significant"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -517,3 +517,22 @@ def test_outage_finds_planted_gap(spark, tmp_path_factory):
     assert top["rank"] == 1
     assert top["gap_seconds"] == 3 * 3600 + 60  # 09:59 -> 13:00
     assert top["gap_end_ep"] - top["gap_start_ep"] == top["gap_seconds"]
+
+
+def test_ttest_hand_welch(spark, tmp_path_factory):
+    """a: 1..5, b: 3..7 (equal variances 2.5): t = -2.0, Welch df = 8,
+    significant."""
+    out = tmp_path_factory.mktemp("ttest")
+    rows = []
+    for i, v in enumerate([1, 2, 3, 4, 5]):
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", 1, "a", float(v)))
+    for i, v in enumerate([3, 4, 5, 6, 7]):
+        rows.append((10 + i, f"2024-01-01 01:{i:02d}:00", 1, "b", float(v)))
+    _write_events(spark, out, rows)
+    r = registry.get("q_agg_ttest").fn(spark, str(out)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["type_a"], row["type_b"]) == ("a", "b")
+    assert row["t_stat"] == -2.0
+    assert row["welch_df"] == 8.0
+    assert bool(row["significant"])
