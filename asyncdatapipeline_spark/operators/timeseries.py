@@ -2597,3 +2597,80 @@ def q_events_outage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rank")
     )
+
+
+@query(
+    "q_ts_busday",
+    # Day-of-week from pure integer arithmetic ((epoch_days + 4) % 7,
+    # 0=Sunday — engine-neutral; both engines' dayofweek() builtins
+    # disagree on numbering conventions), revenue in exact DECIMAL.
+    oracle="""
+WITH t AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+r AS (
+  SELECT day,
+         (CAST(day - DATE '1970-01-01' AS BIGINT) + 4) % 7 AS dow,
+         price
+  FROM t
+),
+rolled AS (
+  SELECT CASE WHEN dow = 6 THEN day + 2
+              WHEN dow = 0 THEN day + 1
+              ELSE day END AS busday,
+         dow IN (0, 6) AS was_weekend,
+         price
+  FROM r
+)
+SELECT CAST(busday AS VARCHAR) AS busday,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN was_weekend THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rolled,
+       round(CAST(sum(price) AS DOUBLE), 2) AS revenue
+FROM rolled GROUP BY busday ORDER BY busday
+""",
+)
+def q_ts_busday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day calendarization: weekend order revenue rolls
+    forward to the next Monday and the series re-aggregates on business
+    days — the settlement/accounting convention every finance pipeline
+    applies before comparing dailies (a raw Monday always looks 3x a
+    raw Saturday; rolled series compare like-for-like), with the rolled
+    row count kept visible per day.
+
+    Scale shape: map-only reclassification (day-of-week from PURE
+    INTEGER epoch-day arithmetic — both engines' dayofweek() builtins
+    disagree on 0-vs-1-based and Sunday-vs-Monday-first conventions,
+    so neither is used) then ONE partial-aggregated shuffle to
+    O(business days) rows with revenue in exact DECIMAL. A holiday
+    calendar joins in as a broadcast dimension at the CASE — same plan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    dow = (F.datediff(day, F.lit("1970-01-01").cast("date")) + 4) % 7
+    t = o.select(
+        day.alias("day"),
+        dow.alias("dow"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    rolled = t.select(
+        F.when(F.col("dow") == 6, F.date_add("day", 2))
+        .when(F.col("dow") == 0, F.date_add("day", 1))
+        .otherwise(F.col("day"))
+        .alias("busday"),
+        F.col("dow").isin(0, 6).alias("was_weekend"),
+        "price",
+    )
+    return (
+        rolled.groupBy(F.col("busday").cast("string").alias("busday"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("was_weekend"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rolled"),
+            F.round(F.sum("price").cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("busday")
+    )

@@ -112,6 +112,31 @@ CHECKS: dict[str, list[tuple]] = {
         ("must", "single map-only Expand (no union rescan)", r"Expand \[codegen id"),
         ("must", "orderkey filter pushed below the Expand", r"PushedFilters: \[.*LessThan\(l_orderkey,100\)"),
     ],
+    "q_cdc_apply": [
+        ("must", "latest-wins is a partial max_by aggregate", r"partial_max_by"),
+        ("forbid", "no window sort over the union", "Window"),
+        ("must", "payload-pruned snapshot scan", r"ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"),
+    ],
+    "q_events_outage": [
+        ("must", "top-5 gaps ride WindowGroupLimit", r"WindowGroupLimit"),
+        ("must", "3-column pruned event scan", r"ReadSchema: struct<event_id:bigint,ts:timestamp"),
+    ],
+    "q_join_spatial_grid": [
+        ("must", "cell-key equi join broadcasts the expanded small side", r"BroadcastHashJoin"),
+        ("forbid", "grid bucketing, never an all-pairs product", "CartesianProduct"),
+        ("forbid", "no sort-merge join on the cell key", "SortMergeJoin"),
+    ],
+    "q_win_topn_change": [
+        ("must", "per-week top-10 rides WindowGroupLimit", r"WindowGroupLimit"),
+    ],
+    "q_text_readability": [
+        ("must", "3-column pruned document scan", r"ReadSchema: struct<text:string,lang:string,source:string>"),
+        ("must", "group report is a partial-aggregated shuffle", r"HashAggregate.*partial"),
+    ],
+    "q_merge_upsert": [
+        ("must", "source batch broadcasts onto one dimension pass", r"BroadcastHashJoin"),
+        ("forbid", "no dimension shuffle join", "SortMergeJoin"),
+    ],
     "q_pack_sequences": [
         ("must", "only the 3 needed document columns read", r"ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
     ],

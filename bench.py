@@ -91,6 +91,12 @@ HEADLINE = [
     "q_udf_cogroup",          # two-sided grouped map (pandas cogroup)
     "q_curation_report",      # per-gate rejection funnel, one corpus pass
     "q_text_bigram_lm",       # bigram-LM surprisal (ln-contract join)
+    "q_cdc_apply",            # CDC feed apply: union + max_by hash agg
+    "q_win_concurrency",      # sweep-line peak overlap per day
+    "q_join_spatial_grid",    # grid-bucketed radius join
+    "q_graph_components",     # iterative: connected components
+    "q_ts_theilsen",          # O(days^2) pairwise-slope median
+    "q_text_readability",     # scan-bound regex counts + group sums
 ]
 
 

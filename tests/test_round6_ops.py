@@ -536,3 +536,33 @@ def test_ttest_hand_welch(spark, tmp_path_factory):
     assert row["t_stat"] == -2.0
     assert row["welch_df"] == 8.0
     assert bool(row["significant"])
+
+
+def test_busday_rolls_weekend_forward(spark, tmp_path_factory):
+    """2024-01-06 is a Saturday, 2024-01-07 a Sunday: both roll to
+    Monday 2024-01-08 and merge with Monday's own order."""
+    out = tmp_path_factory.mktemp("busday")
+    rows = [
+        (1, "2024-01-05 00:00:00", 100.0),  # Friday
+        (2, "2024-01-06 00:00:00", 10.0),   # Saturday -> Mon
+        (3, "2024-01-07 00:00:00", 1.0),    # Sunday -> Mon
+        (4, "2024-01-08 00:00:00", 1000.0), # Monday
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, od string, o_totalprice double"
+    ).select(
+        "o_orderkey",
+        F.lit(1).alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        "o_totalprice",
+        F.col("od").cast("timestamp").alias("o_orderdate"),
+        F.lit("3-MEDIUM").alias("o_orderpriority"),
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    got = {
+        r["busday"]: (r["n_orders"], r["n_rolled"], r["revenue"])
+        for r in registry.get("q_ts_busday").fn(spark, str(out)).collect()
+    }
+    assert got == {
+        "2024-01-05": (1, 0, 100.0),
+        "2024-01-08": (3, 2, 1011.0),
+    }

@@ -85,6 +85,21 @@ QUERIES = [
     "q_dedup_clusters",
     "q_agg_heavy",
     "q_udf_cogroup",
+    # round-6 late additions: aggregate-first series ops (autocorr /
+    # theilsen cost is bounded by SERIES LENGTH — replication grows
+    # counts, not days, so these should measure ~FLAT), the sweep-line
+    # and grid joins, and the CDC apply path
+    "q_cdc_apply",
+    "q_win_concurrency",
+    "q_join_spatial_grid",
+    "q_graph_components",
+    "q_ts_autocorr",
+    "q_ts_theilsen",
+    "q_win_topn_change",
+    "q_events_outage",
+    "q_agg_ttest",
+    "q_text_readability",
+    "q_split_time",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
