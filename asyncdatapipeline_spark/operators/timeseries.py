@@ -2674,3 +2674,93 @@ def q_ts_busday(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("busday")
     )
+
+
+# Allowed lifecycle transitions for the state-machine audit: the
+# canonical signup -> browse -> buy loop, with 'error' reachable from
+# anywhere but only recoverable into 'view'.
+_SM_ALLOWED = [
+    ("signup", "view"),
+    ("view", "view"),
+    ("view", "click"),
+    ("click", "view"),
+    ("click", "purchase"),
+    ("purchase", "view"),
+    ("signup", "error"),
+    ("view", "error"),
+    ("click", "error"),
+    ("purchase", "error"),
+    ("error", "view"),
+]
+
+
+@query(
+    "q_events_state_machine",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY date_trunc('second', ts), event_id) AS prev_type
+  FROM events
+),
+allowed(f, tt) AS (
+  VALUES {", ".join(f"('{a}', '{b}')" for a, b in _SM_ALLOWED)}
+),
+v AS (
+  SELECT prev_type, event_type, user_id
+  FROM t
+  WHERE prev_type IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM allowed a
+                    WHERE a.f = t.prev_type AND a.tt = t.event_type)
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n_violations,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(user_id) AS sample_user
+FROM v GROUP BY 1, 2 ORDER BY n_violations DESC, from_type, to_type
+""",
+)
+def q_events_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-machine audit: validate every user's event stream against
+    an allowed transition set and report the violating transitions
+    (count, affected users, sample) — the sequence-integrity check
+    behind SDK/instrumentation QA ("purchase with no preceding click",
+    "activity after error without recovery"). q_events_markov measures
+    transition PROBABILITIES; this enforces transition LEGALITY.
+
+    Scale shape: one (user)-partitioned window ordering produces
+    adjacent pairs (the q_win_lag shuffle); pairs reduce to a (from,
+    to) count matrix — at most types² rows — BEFORE the legality
+    check, so the anti-join against the broadcast allowed-set runs on
+    a dimension-sized frame... except the per-user attribution
+    (n_users, sample) needs user grain, so the matrix keeps (from, to,
+    user) — still bounded by users × types², far below event volume.
+    The allowed set is a literal VALUES dimension: broadcast, never
+    shuffled.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.date_trunc("second", "ts"), "event_id"
+    )
+    t = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    allowed = spark.createDataFrame(
+        _SM_ALLOWED, "prev_type string, event_type string"
+    )
+    v = t.join(F.broadcast(allowed), ["prev_type", "event_type"], "left_anti")
+    return (
+        v.groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_violations"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("user_id").alias("sample_user"),
+        )
+        .orderBy(F.col("n_violations").desc(), "from_type", "to_type")
+    )

@@ -566,3 +566,31 @@ def test_busday_rolls_weekend_forward(spark, tmp_path_factory):
         "2024-01-05": (1, 0, 100.0),
         "2024-01-08": (3, 2, 1011.0),
     }
+
+
+def test_state_machine_flags_only_illegal_transitions(spark, tmp_path_factory):
+    """signup->view->click->purchase is fully legal (no rows);
+    purchase->click and error->purchase are violations."""
+    out = tmp_path_factory.mktemp("sm")
+    legal = ["signup", "view", "click", "purchase"]
+    rows = [
+        (i, f"2024-01-01 00:0{i}:00", 1, t, 0.0) for i, t in enumerate(legal)
+    ]
+    # user 2: purchase -> click (illegal), then error -> purchase (illegal)
+    rows += [
+        (10, "2024-01-01 01:00:00", 2, "purchase", 0.0),
+        (11, "2024-01-01 01:01:00", 2, "click", 0.0),
+        (12, "2024-01-01 01:02:00", 2, "error", 0.0),
+        (13, "2024-01-01 01:03:00", 2, "purchase", 0.0),
+    ]
+    _write_events(spark, out, rows)
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_violations"], r["n_users"])
+        for r in registry.get("q_events_state_machine")
+        .fn(spark, str(out))
+        .collect()
+    }
+    assert got == {
+        ("purchase", "click"): (1, 1),
+        ("error", "purchase"): (1, 1),
+    }
