@@ -1719,3 +1719,161 @@ def q_agg_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# Deterministic Poisson(1) bootstrap weights from one md5 byte:
+# P(0)=94/256, P(1)=94/256, P(2)=47/256, P(3)=16/256, P(4)=5/256 —
+# the integer-threshold approximation of e^-1/k!. Same byte, same
+# weight, in both engines.
+_BOOT_B = 32
+_BOOT_THRESH = (94, 188, 235, 251)
+
+
+def _boot_weight_sql(u: str) -> str:
+    t = _BOOT_THRESH
+    return (
+        f"CASE WHEN {u} < {t[0]} THEN 0 WHEN {u} < {t[1]} THEN 1 "
+        f"WHEN {u} < {t[2]} THEN 2 WHEN {u} < {t[3]} THEN 3 ELSE 4 END"
+    )
+
+
+@query(
+    "q_agg_bootstrap",
+    oracle=f"""
+WITH rep AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         b.b,
+         {_boot_weight_sql("('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)), 1, 2))::UINTEGER")} AS w
+  FROM orders
+  CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) b
+),
+means AS (
+  SELECT o_orderpriority, b,
+         CAST(sum(w * price) AS DOUBLE) / sum(w) AS m
+  FROM rep GROUP BY 1, 2
+),
+mi AS (
+  SELECT o_orderpriority, b, m,
+         CAST(round(m * 1000) AS BIGINT) AS m3
+  FROM means
+),
+ci AS (
+  SELECT o_orderpriority,
+         round(quantile_cont(m, 0.025), 6) AS ci_lo,
+         round(quantile_cont(m, 0.975), 6) AS ci_hi,
+         CAST(count(*) AS BIGINT) AS n_replicates,
+         CAST(sum(m3) AS BIGINT) AS s1,
+         CAST(sum(m3 * m3) AS BIGINT) AS s2
+  FROM mi GROUP BY 1
+),
+pt AS (
+  SELECT o_orderpriority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) AS est
+  FROM orders GROUP BY 1
+)
+SELECT p.o_orderpriority,
+       round(p.est, 6) AS mean_price,
+       c.ci_lo, c.ci_hi, c.n_replicates,
+       round(sqrt((CAST(c.s2 AS DOUBLE)
+                   - CAST(c.s1 AS DOUBLE) * c.s1 / c.n_replicates)
+                  / (c.n_replicates - 1)) / 1000.0, 6) AS boot_se
+FROM pt p JOIN ci c ON c.o_orderpriority = p.o_orderpriority
+ORDER BY p.o_orderpriority
+""",
+)
+def q_agg_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order price per priority,
+    computed DISTRIBUTED and DETERMINISTIC: 32 Poisson(1) resampling
+    replicates whose per-row weights come from one md5 byte of
+    (key, replicate) — no rand() (re-rolls under task retry), no
+    driver-side resampling loop, no collect. The uncertainty primitive
+    for metrics with no closed-form SE (medians, ratios, funnels plug
+    into the same harness; q_agg_ttest covers the closed-form case).
+
+    Scale shape: the explode is the honest price — x32 rows through
+    ONE partial-aggregated shuffle keyed (group, replicate), weighted
+    sums in exact DECIMAL (weights are small ints, so w·price stays
+    exact). Replicate means then reduce per group: the CI is two
+    sort-based percentiles over 32 values per group, and the bootstrap
+    SE goes through milli-unit INTEGER power sums (summing 32 raw
+    doubles would be partition-order-dependent). At 100 TB you dial B
+    down or Poisson-subsample rows first; the plan shape is unchanged.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    reps = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("int")
+    t = _BOOT_THRESH
+    w = (
+        F.when(u < t[0], 0)
+        .when(u < t[1], 1)
+        .when(u < t[2], 2)
+        .when(u < t[3], 3)
+        .otherwise(4)
+    )
+    rep = o.crossJoin(F.broadcast(reps)).select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "b",
+        w.alias("w"),
+    )
+    means = (
+        rep.groupBy("o_orderpriority", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("price")).cast("double").alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .select(
+            "o_orderpriority",
+            "b",
+            (F.col("swx") / F.col("sw")).alias("m"),
+        )
+        .withColumn("m3", F.round(F.col("m") * 1_000).cast("long"))
+    )
+    ci = means.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(m, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 6).alias("ci_hi"),
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.sum("m3").cast("long").alias("s1"),
+        F.sum(F.col("m3") * F.col("m3")).cast("long").alias("s2"),
+    )
+    pt = o.groupBy("o_orderpriority").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("est")
+    )
+    s1, s2, n = F.col("s1"), F.col("s2"), F.col("n_replicates")
+    return (
+        pt.join(ci, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.round(F.col("est"), 6).alias("mean_price"),
+            "ci_lo",
+            "ci_hi",
+            "n_replicates",
+            F.round(
+                F.sqrt(
+                    (s2.cast("double") - s1.cast("double") * s1 / n) / (n - 1)
+                )
+                / 1_000.0,
+                6,
+            ).alias("boot_se"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -594,3 +594,17 @@ def test_state_machine_flags_only_illegal_transitions(spark, tmp_path_factory):
         ("purchase", "click"): (1, 1),
         ("error", "purchase"): (1, 1),
     }
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    """Statistical sanity on the real fixture: the CI must bracket the
+    point estimate, the bootstrap SE must be positive and far smaller
+    than the mean, and weights must be retry-deterministic (two runs
+    identical)."""
+    r1 = registry.get("q_agg_bootstrap").fn(spark, sf_dir).collect()
+    r2 = registry.get("q_agg_bootstrap").fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    for row in r1:
+        assert row["ci_lo"] <= row["mean_price"] <= row["ci_hi"], row
+        assert 0 < row["boot_se"] < row["mean_price"] / 10
+        assert row["n_replicates"] == 32
