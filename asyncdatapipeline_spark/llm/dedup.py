@@ -2109,3 +2109,113 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "doc_id")
     )
+
+
+@query(
+    "q_dedup_transactions",
+    # The payments feed plants duplicates deterministically (every %97
+    # order re-submitted next day under key +5e8), so both engines
+    # replay the same dup set. All-integer band arithmetic; price
+    # matches in exact DECIMAL.
+    oracle="""
+WITH pay AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS d
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 500000000, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)),
+         CAST(epoch(o_orderdate) // 86400 AS BIGINT) + 1
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT a.c AS o_custkey,
+       round(CAST(a.p AS DOUBLE), 2) AS amount,
+       a.k AS k1, b.k AS k2,
+       CAST(b.d - a.d AS BIGINT) AS gap_days
+FROM pay a JOIN pay b
+  ON b.c = a.c AND b.p = a.p AND b.k > a.k AND abs(b.d - a.d) <= 2
+ORDER BY o_custkey, k1, k2
+""",
+)
+def q_dedup_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection: flag payment pairs with the same
+    (customer, exact amount) within a 2-day window — the transaction
+    twin of document dedup (retry storms, double-submits, replayed
+    batches; a plain exact dedup misses them because the re-submit has
+    a NEW key and date). The payments feed derives from orders with
+    planted next-day re-submissions (%97 keys, +5e8) so the oracle
+    replays the identical dup set.
+
+    Scale shape: NEVER a bare (customer, amount) self-join — a hot
+    customer×amount pair would go quadratic. Days bin at width 3
+    (≥ the 2-day window), one side expands to its neighbor bins
+    (constant ×3 — window-straddling pairs land in a shared bin, and
+    each true pair matches in exactly ONE expanded copy), and
+    the join is EQUI on (cust, amount-DECIMAL, bin) with the exact
+    |Δday| ≤ 2 and k1 < k2 predicates local to each bucket — the
+    q_join_range binning applied to dedup. Amount matches compare in
+    exact DECIMAL (double equality on money is the classic
+    false-negative) and only day arithmetic is integer.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("long")
+        .alias("d"),
+    )
+    dups = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 500000000).alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        (
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long") + 1
+        ).alias("d"),
+    )
+    pay = base.unionAll(dups)
+    a = pay.select(
+        "k", "c", "p", "d", F.expr("d div 3").alias("bin")
+    ).alias("a")
+    b = (
+        pay.select("k", "c", "p", "d")
+        .crossJoin(
+            F.broadcast(
+                spark.range(1).select(
+                    F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias(
+                        "off"
+                    )
+                )
+            )
+        )
+        .select(
+            F.col("k").alias("k2"),
+            F.col("c").alias("c2"),
+            F.col("p").alias("p2"),
+            F.col("d").alias("d2"),
+            (F.expr("d div 3") + F.col("off")).alias("bin"),
+        )
+        .alias("b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c2"))
+            & (F.col("a.p") == F.col("b.p2"))
+            & (F.col("a.bin") == F.col("b.bin")),
+        )
+        .filter(
+            (F.col("b.k2") > F.col("a.k"))
+            & (F.abs(F.col("b.d2") - F.col("a.d")) <= 2)
+        )
+        .select(
+            F.col("a.c").alias("o_custkey"),
+            F.round(F.col("a.p").cast("double"), 2).alias("amount"),
+            F.col("a.k").alias("k1"),
+            F.col("b.k2").alias("k2"),
+            (F.col("b.d2") - F.col("a.d")).cast("long").alias("gap_days"),
+        )
+        .orderBy("o_custkey", "k1", "k2")
+    )

@@ -608,3 +608,34 @@ def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
         assert row["ci_lo"] <= row["mean_price"] <= row["ci_hi"], row
         assert 0 < row["boot_se"] < row["mean_price"] / 10
         assert row["n_replicates"] == 32
+
+
+def test_dedup_transactions_band_semantics(spark, tmp_path_factory):
+    """Same cust+amount 1 day apart -> flagged; 3 days apart or a
+    different amount -> not flagged. (Keys avoid %97 so no planted
+    feed dups interfere.)"""
+    out = tmp_path_factory.mktemp("duppay")
+    rows = [
+        (1, 5, 100.0, "1995-01-01 00:00:00"),
+        (2, 5, 100.0, "1995-01-02 00:00:00"),   # pair with 1
+        (3, 5, 100.0, "1995-01-09 00:00:00"),   # too far from both
+        (4, 5, 200.0, "1995-01-01 00:00:00"),   # different amount
+        (5, 6, 100.0, "1995-01-01 00:00:00"),   # different customer
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, od string"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("O").alias("o_orderstatus"),
+        "o_totalprice",
+        F.col("od").cast("timestamp").alias("o_orderdate"),
+        F.lit("3-MEDIUM").alias("o_orderpriority"),
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    got = {
+        (r["k1"], r["k2"]): r["gap_days"]
+        for r in registry.get("q_dedup_transactions")
+        .fn(spark, str(out))
+        .collect()
+    }
+    assert got == {(1, 2): 1}
