@@ -89,6 +89,61 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic change feed q_cdc_apply applies (snapshot as
+    seq-0 upserts + derived updates/deletes/inserts) — shared with the
+    streaming twin in streaming/curation.py and its equivalence test."""
+    o = load_table(spark, sf_dir, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    ten = F.lit("10.00").cast("decimal(18,2)")
+
+    def ev(k, op, price, status, seq):
+        return o.select(
+            k.alias("k"),
+            F.lit(op).alias("op"),
+            price.cast("decimal(18,2)").alias("price"),
+            status.alias("status"),
+            F.lit(seq).cast("int").alias("seq"),
+        )
+
+    base = ev(F.col("o_orderkey"), "U", price_dec, F.col("o_orderstatus"), 0)
+    upd = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        (price_dec + ten).cast("decimal(18,2)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).cast("int").alias("seq"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("decimal(18,2)").alias("price"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(2).cast("int").alias("seq"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 19 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("k"),
+        F.lit("I").alias("op"),
+        price_dec.alias("price"),
+        F.lit("O").alias("status"),
+        F.lit(1).cast("int").alias("seq"),
+    )
+    return base.unionAll(upd).unionAll(dels).unionAll(ins)
+
+
+def cdc_merge(feed: DataFrame) -> DataFrame:
+    """Latest-wins reduction of a feed (or feed ∪ prior state): ONE
+    max_by hash aggregate — associative and commutative, so merging
+    micro-batch by micro-batch in ANY arrival order yields the same
+    state as one big batch (the property the streaming equivalence
+    test asserts). Tombstones survive the merge; filter at read."""
+    return feed.groupBy("k").agg(
+        F.max_by(F.struct("op", "price", "status", "seq"), "seq").alias("v")
+    )
+
+
 @query(
     "q_cdc_apply",
     # The change feed is DERIVED from orders by deterministic rules both
@@ -148,45 +203,8 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     not joined, so skewed feed keys cannot stall a join. Deletes
     survive the aggregate as tombstones and drop in the final filter.
     """
-    o = load_table(spark, sf_dir, "orders")
-    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
-    ten = F.lit("10.00").cast("decimal(18,2)")
-
-    def ev(k, op, price, status, seq):
-        return o.select(
-            k.alias("k"),
-            F.lit(op).alias("op"),
-            price.cast("decimal(18,2)").alias("price"),
-            status.alias("status"),
-            F.lit(seq).cast("int").alias("seq"),
-        )
-
-    base = ev(F.col("o_orderkey"), "U", price_dec, F.col("o_orderstatus"), 0)
-    upd = o.filter(F.col("o_orderkey") % 13 == 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.lit("U").alias("op"),
-        (price_dec + ten).cast("decimal(18,2)").alias("price"),
-        F.col("o_orderstatus").alias("status"),
-        F.lit(1).cast("int").alias("seq"),
-    )
-    dels = o.filter(F.col("o_orderkey") % 17 == 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.lit("D").alias("op"),
-        F.lit(None).cast("decimal(18,2)").alias("price"),
-        F.lit(None).cast("string").alias("status"),
-        F.lit(2).cast("int").alias("seq"),
-    )
-    ins = o.filter(F.col("o_orderkey") % 19 == 0).select(
-        (F.col("o_orderkey") + 1000000000).alias("k"),
-        F.lit("I").alias("op"),
-        price_dec.alias("price"),
-        F.lit("O").alias("status"),
-        F.lit(1).cast("int").alias("seq"),
-    )
-    feed = base.unionAll(upd).unionAll(dels).unionAll(ins)
-    latest = feed.groupBy("k").agg(
-        F.max_by(F.struct("op", "price", "status", "seq"), "seq").alias("v")
-    )
+    feed = cdc_feed(spark, sf_dir)
+    latest = cdc_merge(feed)
     return (
         latest.filter(F.col("v.op") != "D")
         .select(

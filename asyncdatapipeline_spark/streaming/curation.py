@@ -192,3 +192,59 @@ def start_semantic_dedup_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def start_cdc_apply_stream(
+    stream_df: DataFrame, state_path: str, checkpoint: str
+):
+    """Stream CDC feed events into a maintained current-state table —
+    the streaming twin of q_cdc_apply (operators/cdc.py): per
+    micro-batch, prior state ∪ batch reduces through the same
+    ``cdc_merge`` max_by aggregate and rewrites the state. Because the
+    merge is associative/commutative in seq, ANY partitioning of the
+    feed into micro-batches, in ANY arrival order, converges to the
+    batch result — asserted by the equivalence test. Tombstones stay
+    IN the state (a late lower-seq update must still lose to an
+    earlier-arrived delete); readers filter ``op != 'D'``.
+
+    The state rewrite materializes via ``localCheckpoint`` before
+    overwriting the path it was read from (read-overwrite-same-path is
+    the classic self-clobber); a table format (Delta/Iceberg) replaces
+    this file swap with a transactional MERGE at scale.
+    """
+    from asyncdatapipeline_spark.operators.cdc import cdc_merge
+
+    spark = stream_df.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            prior = spark.read.parquet(state_path).select(
+                F.col("k"),
+                F.col("op"),
+                F.col("price"),
+                F.col("status"),
+                F.col("seq"),
+            )
+            feed = prior.unionByName(
+                batch_df.select("k", "op", "price", "status", "seq")
+            )
+        except Exception:
+            feed = batch_df.select("k", "op", "price", "status", "seq")
+        merged = (
+            cdc_merge(feed)
+            .select(
+                "k",
+                F.col("v.op").alias("op"),
+                F.col("v.price").alias("price"),
+                F.col("v.status").alias("status"),
+                F.col("v.seq").alias("seq"),
+            )
+            .localCheckpoint()  # materialize BEFORE overwriting the input path
+        )
+        merged.write.mode("overwrite").parquet(state_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

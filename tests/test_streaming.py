@@ -740,3 +740,48 @@ def test_stream_stream_left_outer_join(spark, events, tmp_path):
     # the left-outer semantics actually fired: some views have no
     # purchase within the window and must appear null-padded
     assert any(pid is None for _, pid in got)
+
+
+def test_streaming_cdc_apply_matches_batch(spark, tmp_path):
+    """The CDC feed split into arbitrary micro-batches (random halves,
+    so seq order is NOT respected across batches) must converge the
+    maintained state to exactly q_cdc_apply's batch result — max_by
+    latest-wins is associative/commutative in seq."""
+    from asyncdatapipeline_spark import registry
+    from asyncdatapipeline_spark.operators.cdc import cdc_feed
+    from asyncdatapipeline_spark.streaming.curation import (
+        start_cdc_apply_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    feed = cdc_feed(spark, sf)
+    src = str(tmp_path / "feed")
+    a, b = feed.randomSplit([0.5, 0.5], seed=7)
+    # write the HIGH-seq-biased half first to prove order independence
+    b.coalesce(1).write.mode("overwrite").parquet(src)
+    a.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    q = start_cdc_apply_stream(stream, state, str(tmp_path / "ckpt_cdc"))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    streamed = {
+        (r["k"], float(r["price"]) if r["price"] is not None else None,
+         r["status"], r["seq"])
+        for r in spark.read.parquet(state)
+        .filter(F.col("op") != "D")
+        .collect()
+    }
+    batch = {
+        (r["o_orderkey"], r["price"], r["status"], r["applied_seq"])
+        for r in registry.get("q_cdc_apply").fn(spark, sf).collect()
+    }
+    assert streamed == batch, len(streamed ^ batch)
