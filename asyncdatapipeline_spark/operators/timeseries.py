@@ -2764,3 +2764,139 @@ def q_events_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_violations").desc(), "from_type", "to_type")
     )
+
+
+@query(
+    "q_events_lifecycle",
+    # Epoch-week integers (the q_win_momentum convention), all-integer
+    # classification off ONE per-user window ordering; churn counts
+    # only up to the last fully-observable week.
+    oracle="""
+WITH au AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events
+),
+w AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS first_week,
+         lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+         lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+  FROM au
+),
+mx AS (SELECT max(week) AS max_week FROM au),
+cls AS (
+  SELECT week,
+         CASE WHEN week = first_week THEN 'new'
+              WHEN prev_week = week - 1 THEN 'retained'
+              ELSE 'resurrected' END AS c
+  FROM w
+),
+churn AS (
+  SELECT w.week + 1 AS week, count(*) AS n_churned
+  FROM w CROSS JOIN mx
+  WHERE (w.next_week IS NULL OR w.next_week > w.week + 1)
+    AND w.week + 1 <= mx.max_week
+  GROUP BY w.week + 1
+),
+act AS (
+  SELECT week,
+         CAST(sum(CASE WHEN c = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(sum(CASE WHEN c = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+         CAST(sum(CASE WHEN c = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_resurrected
+  FROM cls GROUP BY week
+)
+SELECT COALESCE(a.week, ch.week) AS week,
+       CAST(COALESCE(a.n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(a.n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(COALESCE(a.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned,
+       CAST(COALESCE(a.n_new, 0) + COALESCE(a.n_retained, 0)
+            + COALESCE(a.n_resurrected, 0) AS BIGINT) AS n_active
+FROM act a FULL OUTER JOIN churn ch ON ch.week = a.week
+ORDER BY week
+""",
+)
+def q_events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user classified NEW
+    (first-ever week), RETAINED (active last week too) or RESURRECTED
+    (returning after a gap), plus CHURNED counts (active last week,
+    absent this week) — the growth-team staple that decomposes "DAU is
+    flat" into its opposing flows (q_retention follows one cohort
+    forward; this accounts every week's composition).
+
+    Scale shape: events reduce to the DISTINCT (user, week) frame
+    first — users x active-weeks rows, the only event-volume-sized
+    step and a partial-aggregated shuffle. Classification needs ONE
+    per-user window ordering (min/lag/lead share it); weekly counts
+    and the churn ledger are then dimension-sized aggregates.
+    All-integer epoch-week arithmetic. Churn is only counted through
+    the last fully-observable week — the final week's survivors are
+    not churners yet, the classic growth-accounting edge bug.
+    """
+    e = load_table(spark, sf_dir, "events")
+    au = (
+        e.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week"),
+        )
+        .distinct()
+    )
+    wo = W.partitionBy("user_id").orderBy("week")
+    wall = W.partitionBy("user_id")
+    w = au.select(
+        "user_id",
+        "week",
+        F.min("week").over(wall).alias("first_week"),
+        F.lag("week").over(wo).alias("prev_week"),
+        F.lead("week").over(wo).alias("next_week"),
+    )
+    mx = F.broadcast(au.agg(F.max("week").alias("max_week")))
+    cls = w.select(
+        "week",
+        F.when(F.col("week") == F.col("first_week"), "new")
+        .when(F.col("prev_week") == F.col("week") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("c"),
+    )
+    act = cls.groupBy("week").agg(
+        F.sum(F.when(F.col("c") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("c") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("c") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    churn = (
+        w.crossJoin(mx)
+        .filter(
+            (F.col("next_week").isNull() | (F.col("next_week") > F.col("week") + 1))
+            & (F.col("week") + 1 <= F.col("max_week"))
+        )
+        .groupBy((F.col("week") + 1).alias("week"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    nz = lambda c: F.coalesce(c, F.lit(0)).cast("long")  # noqa: E731
+    return (
+        act.join(churn, "week", "full")  # churn-only weeks must appear:
+        # a week everyone left has zero actives but REAL churn, and
+        # dropping it is how dashboards miss the cliff
+        .select(
+            "week",
+            nz(F.col("n_new")).alias("n_new"),
+            nz(F.col("n_retained")).alias("n_retained"),
+            nz(F.col("n_resurrected")).alias("n_resurrected"),
+            nz(F.col("n_churned")).alias("n_churned"),
+            (
+                nz(F.col("n_new"))
+                + nz(F.col("n_retained"))
+                + nz(F.col("n_resurrected"))
+            ).alias("n_active"),
+        )
+        .orderBy("week")
+    )

@@ -639,3 +639,39 @@ def test_dedup_transactions_band_semantics(spark, tmp_path_factory):
         .collect()
     }
     assert got == {(1, 2): 1}
+
+
+def test_lifecycle_growth_accounting(spark, tmp_path_factory):
+    """u1 active weeks 0,1,3; u2 active week 1 only, over weeks 0..3:
+    w0: u1 new. w1: u1 retained, u2 new. w2: both churn, none active
+    (the churn-only week MUST still appear). w3: u1 resurrected; no
+    churn row past the last observable week."""
+    out = tmp_path_factory.mktemp("lifecycle")
+    base = 1704067200  # 2024-01-01, aligned enough for epoch weeks
+    import datetime
+
+    def at_week(wk):
+        return datetime.datetime.utcfromtimestamp(
+            (base // 604800 + wk) * 604800
+        ).strftime("%Y-%m-%d %H:%M:%S")
+
+    rows = [
+        (0, at_week(0), 1, "x", 0.0),
+        (1, at_week(1), 1, "x", 0.0),
+        (2, at_week(3), 1, "x", 0.0),
+        (3, at_week(1), 2, "x", 0.0),
+    ]
+    _write_events(spark, out, rows)
+    got = {
+        r["week"] - base // 604800: (
+            r["n_new"], r["n_retained"], r["n_resurrected"],
+            r["n_churned"], r["n_active"],
+        )
+        for r in registry.get("q_events_lifecycle").fn(spark, str(out)).collect()
+    }
+    assert got == {
+        0: (1, 0, 0, 0, 1),
+        1: (1, 1, 0, 0, 2),
+        2: (0, 0, 0, 2, 0),
+        3: (0, 0, 1, 0, 1),
+    }
