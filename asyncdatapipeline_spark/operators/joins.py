@@ -1239,3 +1239,101 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# Priority -> promised ship window (days). A CASE dimension, not a
+# table, so the map is literal in both engines.
+_SLA_DAYS = {
+    "1-URGENT": 15,
+    "2-HIGH": 30,
+    "3-MEDIUM": 60,
+    "4-NOT SPECIFIED": 90,
+    "5-LOW": 120,
+}
+
+
+def _sla_case_sql(col: str) -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {col} = '{k}' THEN {v}" for k, v in _SLA_DAYS.items()
+        )
+        + " ELSE 120 END"
+    )
+
+
+@query(
+    "q_orders_sla",
+    oracle=f"""
+WITH first_ship AS (
+  SELECT l_orderkey,
+         min(CAST(epoch(l_shipdate) // 86400 AS BIGINT)) AS ship_day
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderpriority,
+         f.ship_day - CAST(epoch(o.o_orderdate) // 86400 AS BIGINT)
+           AS lag_days,
+         {_sla_case_sql("o.o_orderpriority")} AS sla_days
+  FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN lag_days <= sla_days THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_met,
+       round(CAST(sum(CASE WHEN lag_days <= sla_days THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS attainment,
+       round(CAST(sum(lag_days) AS DOUBLE) / count(*), 6) AS avg_lag_days,
+       CAST(max(lag_days) AS BIGINT) AS worst_lag_days
+FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q_orders_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-SLA attainment by priority: per order, the lag from
+    order date to FIRST line shipment, classified against the
+    priority's promised window — the fulfilment scorecard (did URGENT
+    actually ship faster, and what share blew its promise). The SLA map
+    is a literal CASE dimension shared with the oracle.
+
+    Scale shape: lineitem reduces to min(ship_day) per order FIRST — a
+    partial-aggregated shuffle on the order key, 7-to-1 before the
+    join — then ONE key join against orders and a dimension-sized
+    priority rollup. All-integer day arithmetic (epoch-day floors);
+    the only doubles are two final ratios from exact integer sums. On
+    a bucketed layout (operators/layout.py) the orderkey join is
+    shuffle-free.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(
+            F.floor(F.unix_timestamp("l_shipdate") / 86400).cast("long")
+        ).alias("ship_day")
+    )
+    sla = F.lit(120)
+    for k, v in reversed(_SLA_DAYS.items()):
+        sla = F.when(F.col("o_orderpriority") == k, v).otherwise(sla)
+    j = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey).select(
+        "o_orderpriority",
+        (
+            F.col("ship_day")
+            - F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+        ).alias("lag_days"),
+        sla.alias("sla_days"),
+    )
+    met = F.when(F.col("lag_days") <= F.col("sla_days"), 1).otherwise(0)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(met).cast("long").alias("n_met"),
+            F.round(
+                F.sum(met).cast("double") / F.count(F.lit(1)), 6
+            ).alias("attainment"),
+            F.round(
+                F.sum("lag_days").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_lag_days"),
+            F.max("lag_days").cast("long").alias("worst_lag_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -675,3 +675,43 @@ def test_lifecycle_growth_accounting(spark, tmp_path_factory):
         2: (0, 0, 0, 2, 0),
         3: (0, 0, 1, 0, 1),
     }
+
+
+def test_sla_first_ship_classification(spark, tmp_path_factory):
+    """URGENT order shipping its first line at day 10 (second line at
+    day 99 must not matter) meets the 15-day SLA; another URGENT
+    shipping at day 20 misses it."""
+    out = tmp_path_factory.mktemp("sla")
+    spark.createDataFrame(
+        [
+            (1, 5, "O", 1.0, "1995-01-01 00:00:00", "1-URGENT"),
+            (2, 5, "O", 1.0, "1995-01-01 00:00:00", "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, od string, o_orderpriority string",
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("od").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    li = [
+        (1, 10, 1, "1995-01-11"),   # day 10
+        (1, 10, 2, "1995-04-10"),   # late second line: ignored
+        (2, 10, 1, "1995-01-21"),   # day 20 > 15
+    ]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_linenumber int, sd string"
+    ).select(
+        "l_orderkey", "l_partkey",
+        F.col("l_partkey").alias("l_suppkey"), "l_linenumber",
+        F.lit(1.0).alias("l_quantity"),
+        F.lit(1.0).alias("l_extendedprice"),
+        F.lit(0.0).alias("l_discount"), F.lit(0.0).alias("l_tax"),
+        F.lit("N").alias("l_returnflag"), F.lit("O").alias("l_linestatus"),
+        F.col("sd").cast("timestamp").alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    r = registry.get("q_orders_sla").fn(spark, str(out)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["n_orders"], row["n_met"], row["attainment"]) == (2, 1, 0.5)
+    assert row["avg_lag_days"] == 15.0 and row["worst_lag_days"] == 20
