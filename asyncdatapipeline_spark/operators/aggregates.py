@@ -13,7 +13,7 @@ Numeric outputs use the exact-decimal-accumulate pattern from
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from asyncdatapipeline_spark.operators._util import (
     DEC,
@@ -1876,4 +1876,97 @@ def q_agg_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boot_se"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_agg_mannwhitney",
+    # Midranks are exact: rank() gives the first position of a tie run,
+    # count() over the value gives its length, midrank = rank +
+    # (len-1)/2 — halves at worst, summed as DOUBLED integers so every
+    # accumulation is exact BIGINT; the z statistic is one closed form.
+    oracle="""
+WITH t AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('purchase', 'view')
+),
+r AS (
+  SELECT event_type,
+         rank() OVER (ORDER BY value) AS rk,
+         count(*) OVER (PARTITION BY value) AS tie_n
+  FROM t
+),
+s AS (
+  SELECT
+    CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN 2 * rk + tie_n - 1 ELSE 0 END) AS BIGINT) AS r2a,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS na,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+      AS nb
+  FROM r
+)
+SELECT 'purchase' AS type_a, 'view' AS type_b, na, nb,
+       round(CAST(r2a AS DOUBLE) / 2
+             - CAST(na AS DOUBLE) * (na + 1) / 2, 1) AS u_stat,
+       round((CAST(r2a AS DOUBLE) / 2
+              - CAST(na AS DOUBLE) * (na + 1) / 2
+              - CAST(na AS DOUBLE) * nb / 2)
+             / sqrt(CAST(na AS DOUBLE) * nb * (na + nb + 1) / 12), 6) AS z,
+       abs((CAST(r2a AS DOUBLE) / 2
+            - CAST(na AS DOUBLE) * (na + 1) / 2
+            - CAST(na AS DOUBLE) * nb / 2)
+           / sqrt(CAST(na AS DOUBLE) * nb * (na + nb + 1) / 12)) > 1.96
+         AS significant
+FROM s
+""",
+)
+def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test (purchase vs view values): the RANK-based
+    two-sample test — q_agg_ttest's robust twin exactly as
+    q_ts_theilsen is q_agg_trend's (a mean test follows outliers; a
+    rank test follows the bulk; run both and a disagreement IS the
+    finding — the distribution is skewed). Midrank ties handled
+    exactly; normal-approximation z without tie correction, documented
+    (ties here are float values — rare — and the correction only
+    shrinks an already-extreme denominator term).
+
+    Scale shape: ONE global rank ordering over the two groups' values
+    is the honest cost (rank tests need total order), kept exact with
+    DOUBLED-integer midranks (rank + (tie_len-1)/2 can be a half;
+    2·rank + tie_len − 1 is always BIGINT, so the rank-sum accumulates
+    exactly and order-free — summing half-valued doubles would be the
+    usual low-bit lottery). Everything after is one closed form.
+    At 100 TB swap the exact rank for a KLL-sketch rank estimate
+    (q_agg_kll) — same statistic, bounded error, no global sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_type", "value"
+    )
+    wv = W.orderBy("value")
+    r = t.select(
+        "event_type",
+        F.rank().over(wv).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("value")).alias("tie_n"),
+    )
+    is_a = F.col("event_type") == "purchase"
+    s = r.agg(
+        F.sum(F.when(is_a, 2 * F.col("rk") + F.col("tie_n") - 1).otherwise(0))
+        .cast("long")
+        .alias("r2a"),
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    u = F.col("r2a").cast("double") / 2 - na * (na + 1) / 2
+    z = (u - na * nb / 2) / F.sqrt(na * nb * (na + nb + 1) / 12)
+    return s.select(
+        F.lit("purchase").alias("type_a"),
+        F.lit("view").alias("type_b"),
+        F.col("na"),
+        F.col("nb"),
+        F.round(u, 1).alias("u_stat"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
     )

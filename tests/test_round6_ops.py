@@ -715,3 +715,30 @@ def test_sla_first_ship_classification(spark, tmp_path_factory):
     row = r[0]
     assert (row["n_orders"], row["n_met"], row["attainment"]) == (2, 1, 0.5)
     assert row["avg_lag_days"] == 15.0 and row["worst_lag_days"] == 20
+
+
+def test_mannwhitney_hand_u(spark, tmp_path_factory):
+    """purchase={1,2,3}, view={4,5,6}: every view beats every purchase,
+    U = 0 (with a tie check: purchase={1,2,2}, view={2,5,6} uses
+    midranks)."""
+    out = tmp_path_factory.mktemp("mwu")
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append((i, f"2024-01-01 00:0{i}:00", 1, "purchase", v))
+    for i, v in enumerate([4.0, 5.0, 6.0]):
+        rows.append((10 + i, f"2024-01-01 01:0{i}:00", 1, "view", v))
+    _write_events(spark, out, rows)
+    r = registry.get("q_agg_mannwhitney").fn(spark, str(out)).collect()[0]
+    assert (r["na"], r["nb"], r["u_stat"]) == (3, 3, 0.0)
+    # midrank case: values purchase {1,2,2}, view {2,5,6}
+    out2 = tmp_path_factory.mktemp("mwu2")
+    rows2 = []
+    for i, v in enumerate([1.0, 2.0, 2.0]):
+        rows2.append((i, f"2024-01-01 00:0{i}:00", 1, "purchase", v))
+    for i, v in enumerate([2.0, 5.0, 6.0]):
+        rows2.append((10 + i, f"2024-01-01 01:0{i}:00", 1, "view", v))
+    _write_events(spark, out2, rows2)
+    r2 = registry.get("q_agg_mannwhitney").fn(spark, str(out2)).collect()[0]
+    # ranks: 1 -> 1; three 2s share midrank 3; 5 -> 5; 6 -> 6
+    # Ra = 1 + 3 + 3 = 7 -> U = 7 - 6 = 1
+    assert r2["u_stat"] == 1.0
