@@ -2900,3 +2900,125 @@ def q_events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@query(
+    "q_events_experiment",
+    # Arm assignment is one md5 byte parity (retry/append-stable, the
+    # q_split_hash doctrine); all counts integer; SRM chi-square and
+    # the pooled two-proportion z are single closed forms.
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UINTEGER % 2
+           AS arm,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   > sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS cb
+  FROM u
+)
+SELECT na, nb, ca, cb,
+       round(CAST((na - nb) AS DOUBLE) * (na - nb) / (na + nb), 6)
+         AS srm_chi2,
+       CAST((na - nb) AS DOUBLE) * (na - nb) / (na + nb) > 3.841
+         AS srm_flag,
+       round(CAST(ca AS DOUBLE) / na, 6) AS conv_a,
+       round(CAST(cb AS DOUBLE) / nb, 6) AS conv_b,
+       CASE WHEN ca + cb > 0 AND ca + cb < na + nb
+            THEN round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                       / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                              * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                              * (1.0 / na + 1.0 / nb)), 6) END AS z,
+       CASE WHEN ca + cb > 0 AND ca + cb < na + nb
+            THEN abs((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                     / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                            * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                            * (1.0 / na + 1.0 / nb))) > 1.96
+            ELSE false END AS significant
+FROM s
+""",
+)
+def q_events_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full A/B experiment readout in one pass: deterministic 50/50
+    arm assignment (md5 byte parity — retry/append-stable, the
+    q_split_hash doctrine), the SAMPLE-RATIO-MISMATCH chi-square
+    guardrail (a lopsided split means broken assignment and every
+    downstream p-value is garbage — the check experiment platforms run
+    FIRST), per-arm conversion (buyer-dominant users: more purchases
+    than views — presence-of-purchase is universal in this dense
+    fixture), and the pooled two-proportion z-test with an exact
+    degeneracy guard (all-convert / none-convert yields NULL z, never
+    an ANSI divide-by-zero). Completes the testing family: B21d means, B21f ranks,
+    B68c one-proportion CI — this is the experiment-shaped composite.
+
+    Scale shape: events reduce to one row per USER (arm + converted
+    flag) in a single partial-aggregated pass — the only volume-sized
+    step; the readout is one global aggregate of four integers, and
+    every statistic after is a closed form on exact counts. Extending
+    to per-experiment/per-metric grids adds group keys, same plan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    u = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    ).select(arm.alias("arm"), "conv")
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    ca, cb = F.col("ca").cast("double"), F.col("cb").cast("double")
+    chi2 = (na - nb) * (na - nb) / (na + nb)
+    pa, pb = ca / na, cb / nb
+    pp = (ca + cb) / (na + nb)
+    degenerate = (F.col("ca") + F.col("cb") == 0) | (
+        F.col("ca") + F.col("cb") == F.col("na") + F.col("nb")
+    )
+    z = F.when(
+        ~degenerate,
+        (pa - pb)
+        / F.sqrt(pp * (1 - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb)),
+    )
+    return s.select(
+        "na",
+        "nb",
+        "ca",
+        "cb",
+        F.round(chi2, 6).alias("srm_chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+        F.round(pa, 6).alias("conv_a"),
+        F.round(pb, 6).alias("conv_b"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(z, 6))
+        .alias("z"),
+        F.when(degenerate, F.lit(False))
+        .otherwise(F.abs(z) > 1.96)
+        .alias("significant"),
+    )

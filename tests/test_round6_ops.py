@@ -742,3 +742,17 @@ def test_mannwhitney_hand_u(spark, tmp_path_factory):
     # ranks: 1 -> 1; three 2s share midrank 3; 5 -> 5; 6 -> 6
     # Ra = 1 + 3 + 3 = 7 -> U = 7 - 6 = 1
     assert r2["u_stat"] == 1.0
+
+
+def test_experiment_readout_deterministic_and_consistent(spark, sf_dir):
+    """Structural invariants on the real fixture: arms partition the
+    user set, conversions bound by arm sizes, md5 assignment is
+    retry-deterministic (two runs identical), and the SRM chi-square
+    matches its closed form."""
+    r1 = registry.get("q_events_experiment").fn(spark, sf_dir).collect()[0]
+    r2 = registry.get("q_events_experiment").fn(spark, sf_dir).collect()[0]
+    assert tuple(r1) == tuple(r2)
+    assert r1["ca"] <= r1["na"] and r1["cb"] <= r1["nb"]
+    na, nb = r1["na"], r1["nb"]
+    assert na > 0 and nb > 0
+    assert r1["srm_chi2"] == round((na - nb) ** 2 / (na + nb), 6)
