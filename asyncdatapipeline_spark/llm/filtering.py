@@ -840,9 +840,11 @@ def q_split_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the boundary is one min/max aggregate broadcast back
     (exact BIGINT epoch arithmetic — float timestamps would cut
     different rows per engine); assignment is then map-only. The
-    leakage audit reduces to the distinct (split, user) frame first —
-    users×3 rows, not events — and one LEFT join against train's user
-    set; nothing event-sized shuffles twice.
+    leakage audit and the event counts BOTH derive from one
+    (split, user)-grain aggregate — users×3 rows after a single
+    volume-sized partial-agg shuffle — then one LEFT join against
+    train's user set; nothing event-sized is scanned or shuffled
+    twice.
     """
     e = load_table(spark, sf_dir, "events")
     t = e.select(
@@ -869,11 +871,18 @@ def q_split_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         "user_id",
     )
-    su = tagged.select("split", "user_id").distinct()
+    # ONE volume-sized pass: (split, user) grain with per-cell event
+    # counts — n_events and the user frame both derive from it, so the
+    # tagged stream is aggregated once, not scanned per metric
+    su = (
+        tagged.groupBy("split", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # feeds per, tr and usr branches
+    )
     tr = su.filter(F.col("split") == "train").select(
         F.col("user_id").alias("tr_user")
     )
-    per = tagged.groupBy("split").agg(F.count(F.lit(1)).alias("n_events"))
+    per = su.groupBy("split").agg(F.sum("n").cast("long").alias("n_events"))
     usr = (
         su.join(tr, su.user_id == tr.tr_user, "left")
         .groupBy("split")

@@ -719,7 +719,9 @@ def q_win_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
         .alias("cum"),
-    )
+    ).localCheckpoint(eager=False)  # feeds BOTH the peak agg and the
+    # join-back: without materialization the re-referenced window
+    # subtree re-sorts per branch (the SCALING.md re-reference pitfall)
     pk = (
         sweep.groupBy("day")
         .agg(F.max("cum").alias("peak_concurrency"))
