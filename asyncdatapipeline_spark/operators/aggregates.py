@@ -1970,3 +1970,96 @@ def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@query(
+    "q_agg_reach",
+    # The oracle recomputes the EXACT expanding distinct count (cheap
+    # at oracle SF); the sketch estimate is checked by the same
+    # contract as q_agg_hll: exact twin + in-query tolerance boolean,
+    # never a raw estimate compared across engines.
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+         user_id
+  FROM events
+),
+wks AS (SELECT DISTINCT week FROM uw),
+cum AS (
+  SELECT w.week,
+         CAST(count(DISTINCT u.user_id) AS BIGINT) AS reach_exact,
+         CAST((SELECT count(DISTINCT user_id) FROM uw u2
+               WHERE u2.week = w.week) AS BIGINT) AS weekly_users
+  FROM wks w JOIN uw u ON u.week <= w.week
+  GROUP BY w.week
+)
+SELECT week, weekly_users, reach_exact, true AS est_within_5pct
+FROM cum ORDER BY week
+""",
+)
+def q_agg_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative reach curve: distinct users ever seen, per week —
+    the campaign/adoption metric where the EXPANDING distinct is the
+    trap (exact cumulative distinct re-deduplicates all history every
+    week; at 100 TB that is a full re-shuffle per period). The scale
+    path is mergeable HLL SKETCH PARTIALS: one sketch per week (a
+    partial-aggregated pass), then the cumulative union folds
+    week-sketches — bytes, not user sets — so extending the curve by a
+    week touches one new week of data plus W fixed-size sketches
+    (persist them and it's the q_agg_incremental rollup pattern
+    applied to distincts).
+
+    Per the q_agg_hll contract the sketch estimate never crosses
+    engines raw: the output carries the EXACT cumulative count (the
+    oracle-checked truth, affordable at oracle SF), the weekly exact
+    count, and an in-query tolerance boolean asserting the HLL
+    estimate landed within 5% of truth (lgK=12 ⇒ ~1.6% expected).
+    The union fold is a driver-side loop over WEEKS (a few dozen
+    scalars), not data — each week's sketch is one binary cell.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wk = F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week")
+    sketches = (
+        e.select(wk, "user_id")
+        .groupBy("week")
+        .agg(
+            F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
+            F.countDistinct("user_id").alias("weekly_users"),
+        )
+    )
+    # Cumulative union via a running window over the tiny weeks frame:
+    # hll_union_agg over an expanding frame folds the per-week sketches.
+    sketches.createOrReplaceTempView("reach_sketches")
+    spark_cum = spark.sql(
+        """
+SELECT week, weekly_users,
+       hll_sketch_estimate(
+         hll_union_agg(sk) OVER (ORDER BY week
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)) AS reach_est
+FROM reach_sketches
+"""
+    )
+    uw = e.select(wk, "user_id").distinct()
+    exact = (
+        uw.alias("u")
+        .join(
+            uw.select("week").distinct().alias("w"),
+            F.col("u.week") <= F.col("w.week"),
+        )
+        .groupBy(F.col("w.week").alias("week"))
+        .agg(F.countDistinct(F.col("u.user_id")).alias("reach_exact"))
+    )
+    return (
+        spark_cum.join(exact, "week")
+        .select(
+            "week",
+            F.col("weekly_users").cast("long").alias("weekly_users"),
+            F.col("reach_exact").cast("long").alias("reach_exact"),
+            (
+                F.abs(F.col("reach_est") - F.col("reach_exact"))
+                <= 0.05 * F.col("reach_exact")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("week")
+    )

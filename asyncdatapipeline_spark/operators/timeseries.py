@@ -3022,3 +3022,115 @@ def q_events_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(z) > 1.96)
         .alias("significant"),
     )
+
+
+@query(
+    "q_ts_forecast",
+    # Both forecasts are lag() columns over ONE ordering; errors are
+    # exact integer |differences| summed as BIGINT; the two MAEs and
+    # the skill ratio are single closed forms. Holdout = last 28 days.
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type, b.d1,
+         unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds b
+),
+filled AS (
+  SELECT s.event_type, s.day, s.d1,
+         CAST(COALESCE(d.c, 0) AS BIGINT) AS y
+  FROM spine s
+  LEFT JOIN d ON d.event_type = s.event_type AND d.day = s.day
+),
+lagged AS (
+  SELECT event_type, day, d1, y,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS f_seas,
+         lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS f_naive
+  FROM filled
+),
+ho AS (
+  SELECT * FROM lagged
+  WHERE day > d1 - 28 AND f_seas IS NOT NULL AND f_naive IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       round(CAST(sum(abs(y - f_seas)) AS DOUBLE) / count(*), 6)
+         AS mae_seasonal,
+       round(CAST(sum(abs(y - f_naive)) AS DOUBLE) / count(*), 6)
+         AS mae_naive,
+       CASE WHEN sum(abs(y - f_naive)) > 0
+            THEN round(CAST(sum(abs(y - f_seas)) AS DOUBLE)
+                       / sum(abs(y - f_naive)), 6) END AS skill,
+       sum(abs(y - f_seas)) < sum(abs(y - f_naive)) AS seasonal_wins
+FROM ho GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_ts_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: seasonal-naive (same weekday last week) vs
+    naive (yesterday) daily-count forecasts, scored by MAE on the last
+    28 observed days per event type — the baseline every forecasting
+    pipeline must beat BEFORE any model ships, and the honest skill
+    metric (seasonal/naive MAE ratio < 1 ⇒ the weekly rhythm is real,
+    corroborating q_ts_autocorr's lag-7 and q_ts_seasonality's
+    chi-square from the FORECASTING side).
+
+    Scale shape: aggregate-first to the dense (type, day) grid, then
+    BOTH forecasts are lag() columns over ONE window ordering (no
+    joins, no second shuffle), errors are exact integer absolute
+    differences summed as BIGINT, and the two MAEs + skill ratio are
+    closed forms per type. Cost after the first aggregate is
+    O(types · days); the zero-denominator case (perfect naive) yields
+    NULL skill via an exact-integer guard.
+    """
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("fc_events")
+    return spark.sql(
+        """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM fc_events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type, b.d1,
+         explode(sequence(b.d0, b.d1, INTERVAL 1 DAY)) AS day
+  FROM bounds b
+),
+filled AS (
+  SELECT s.event_type, s.day, s.d1,
+         CAST(COALESCE(d.c, 0) AS BIGINT) AS y
+  FROM spine s
+  LEFT JOIN d ON d.event_type = s.event_type AND d.day = s.day
+),
+lagged AS (
+  SELECT event_type, day, d1, y,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS f_seas,
+         lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS f_naive
+  FROM filled
+),
+ho AS (
+  SELECT * FROM lagged
+  WHERE day > date_sub(d1, 28) AND f_seas IS NOT NULL
+    AND f_naive IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_eval,
+       round(CAST(sum(abs(y - f_seas)) AS DOUBLE) / count(*), 6)
+         AS mae_seasonal,
+       round(CAST(sum(abs(y - f_naive)) AS DOUBLE) / count(*), 6)
+         AS mae_naive,
+       CASE WHEN sum(abs(y - f_naive)) > 0
+            THEN round(CAST(sum(abs(y - f_seas)) AS DOUBLE)
+                       / sum(abs(y - f_naive)), 6) END AS skill,
+       sum(abs(y - f_seas)) < sum(abs(y - f_naive)) AS seasonal_wins
+FROM ho GROUP BY event_type ORDER BY event_type
+"""
+    )

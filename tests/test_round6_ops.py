@@ -756,3 +756,57 @@ def test_experiment_readout_deterministic_and_consistent(spark, sf_dir):
     na, nb = r1["na"], r1["nb"]
     assert na > 0 and nb > 0
     assert r1["srm_chi2"] == round((na - nb) ** 2 / (na + nb), 6)
+
+
+def test_forecast_seasonal_wins_on_weekly_pattern(spark, tmp_path_factory):
+    """A strict 7-day-periodic series: seasonal-naive MAE is exactly 0,
+    naive MAE > 0, skill = 0.0, seasonal_wins."""
+    out = tmp_path_factory.mktemp("fc")
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(42):
+        n = [1, 2, 3, 4, 5, 6, 7][day % 7]
+        d = d0 + datetime.timedelta(days=day)
+        for k in range(n):
+            rows.append((eid, f"{d} 0{k}:00:00", 1, "x", 0.0))
+            eid += 1
+    _write_events(spark, out, rows)
+    r = registry.get("q_ts_forecast").fn(spark, str(out)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_eval"] == 28
+    assert row["mae_seasonal"] == 0.0
+    assert row["mae_naive"] > 0
+    assert row["skill"] == 0.0
+    assert bool(row["seasonal_wins"])
+
+
+def test_reach_cumulative_distinct(spark, tmp_path_factory):
+    """u1 weeks 0,1; u2 week 1; u3 week 2: reach curve 1, 2, 3 with
+    weekly users 1, 2, 1; the HLL estimate stays within tolerance."""
+    out = tmp_path_factory.mktemp("reach")
+    base = (1704067200 // 604800) * 604800
+    import datetime
+
+    def at_week(wk, uid):
+        return datetime.datetime.utcfromtimestamp(
+            base + wk * 604800 + uid * 60
+        ).strftime("%Y-%m-%d %H:%M:%S")
+
+    rows = [
+        (0, at_week(0, 1), 1, "x", 0.0),
+        (1, at_week(1, 1), 1, "x", 0.0),
+        (2, at_week(1, 2), 2, "x", 0.0),
+        (3, at_week(2, 3), 3, "x", 0.0),
+    ]
+    _write_events(spark, out, rows)
+    got = [
+        (r["weekly_users"], r["reach_exact"], r["est_within_5pct"])
+        for r in registry.get("q_agg_reach")
+        .fn(spark, str(out))
+        .collect()
+    ]
+    assert got == [(1, 1, True), (2, 2, True), (1, 3, True)]
