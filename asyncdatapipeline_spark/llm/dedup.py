@@ -2121,12 +2121,12 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH pay AS (
   SELECT o_orderkey AS k, o_custkey AS c,
          CAST(o_totalprice AS DECIMAL(18,2)) AS p,
-         CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS d
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d
   FROM orders
   UNION ALL
   SELECT o_orderkey + 500000000, o_custkey,
          CAST(o_totalprice AS DECIMAL(18,2)),
-         CAST(epoch(o_orderdate) // 86400 AS BIGINT) + 1
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) + 1
   FROM orders WHERE o_orderkey % 97 = 0
 )
 SELECT a.c AS o_custkey,

@@ -1267,12 +1267,12 @@ def _sla_case_sql(col: str) -> str:
     oracle=f"""
 WITH first_ship AS (
   SELECT l_orderkey,
-         min(CAST(epoch(l_shipdate) // 86400 AS BIGINT)) AS ship_day
+         min(CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT)) AS ship_day
   FROM lineitem GROUP BY l_orderkey
 ),
 j AS (
   SELECT o.o_orderpriority,
-         f.ship_day - CAST(epoch(o.o_orderdate) // 86400 AS BIGINT)
+         f.ship_day - CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT)
            AS lag_days,
          {_sla_case_sql("o.o_orderpriority")} AS sla_days
   FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey

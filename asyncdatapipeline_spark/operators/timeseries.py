@@ -3134,3 +3134,145 @@ SELECT event_type,
 FROM ho GROUP BY event_type ORDER BY event_type
 """
     )
+
+
+
+
+@query(
+    "q_ts_survival",
+    # The product-limit estimator is a cumulative PRODUCT — expressed
+    # as exp(Σ ln(factor)) with each ln rounded to 9dp and summed in
+    # DECIMAL (the q_text_unigram_ppl ln-contract), so the shuffled
+    # sum is order-free and both engines recover the same decimal.
+    # A day where everyone at risk churns (factor 0) poisons ln: the
+    # exact-integer d=n flag zeroes survival from there on instead.
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts)) / 86400) AS BIGINT) AS d0,
+         CAST(floor(epoch(max(ts)) / 86400) AS BIGINT) AS d1,
+         CAST(floor(epoch(min(CASE WHEN event_type = 'purchase' THEN ts
+                                   END)) / 86400) AS BIGINT) AS dp
+  FROM events GROUP BY user_id
+),
+uu AS (
+  SELECT CASE WHEN dp IS NULL THEN d1 - d0 ELSE dp - d0 END AS dur,
+         CASE WHEN dp IS NULL THEN 1 ELSE 0 END AS censored
+  FROM u
+),
+g AS (
+  SELECT dur,
+         CAST(sum(1 - censored) AS BIGINT) AS d,
+         CAST(sum(censored) AS BIGINT) AS c
+  FROM uu GROUP BY dur
+),
+r AS (
+  SELECT dur, d, c,
+         (SELECT CAST(count(*) AS BIGINT) FROM uu) 
+           - CAST(COALESCE(sum(d + c) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_risk
+  FROM g
+),
+k AS (
+  SELECT dur, d, c, n_risk,
+         CASE WHEN d < n_risk
+              THEN CAST(round(ln(1 - CAST(d AS DOUBLE) / n_risk), 9)
+                        AS DECIMAL(28,12)) END AS lnf,
+         max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY dur) AS dead
+  FROM r
+)
+SELECT dur AS t_days, n_risk, d AS n_churned, c AS n_censored,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE round(exp(CAST(sum(lnf) OVER (ORDER BY dur) AS DOUBLE)),
+                       6) END AS survival
+FROM k WHERE d > 0
+ORDER BY t_days
+""",
+)
+def q_ts_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve of time-to-first-purchase (days from a
+    user's first activity to their first purchase), CENSORING the
+    users who never purchased at their last observed day — the
+    conversion-delay analysis behind activation funnels
+    (q_events_lifecycle counts weekly flows; this estimates HOW LONG
+    activation takes, handling not-yet-converted users the only
+    statistically honest way: censoring, not dropping; the same
+    harness is time-to-churn with (first, last) in place of
+    (first, first-purchase)).
+
+    Scale shape: events reduce to one (first, last) row per user — the
+    only volume-sized pass — then risk sets, churn counts and the
+    product-limit estimator all live on the O(distinct durations)
+    frame under ONE ordering. The cumulative product is exp of an
+    order-free DECIMAL sum of 9dp-rounded ln factors (the
+    q_text_unigram_ppl ln-contract — a shuffled double product would
+    drift per partition order); the d = n_risk edge (everyone at risk
+    churns) zeroes survival onward via an exact-integer flag instead
+    of poisoning ln(0).
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("long")
+    u = e.groupBy("user_id").agg(
+        F.min(day).alias("d0"),
+        F.max(day).alias("d1"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("dp"),
+    )
+    uu = u.select(
+        F.when(F.col("dp").isNull(), F.col("d1") - F.col("d0"))
+        .otherwise(F.col("dp") - F.col("d0"))
+        .alias("dur"),
+        F.when(F.col("dp").isNull(), 1).otherwise(0).alias("censored"),
+    )
+    tot = F.broadcast(uu.agg(F.count(F.lit(1)).alias("n_total")))
+    g = uu.groupBy("dur").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("d"),
+        F.sum("censored").cast("long").alias("c"),
+    )
+    wo = W.orderBy("dur")
+    prev = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    r = g.crossJoin(tot).select(
+        "dur",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prev), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    )
+    lnf = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(
+            F.log(1 - F.col("d").cast("double") / F.col("n_risk")), 9
+        ).cast("decimal(28,12)"),
+    )
+    k = r.select(
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        lnf.alias("lnf"),
+        F.max(F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0))
+        .over(wo)
+        .alias("dead"),
+    )
+    return (
+        k.select(
+            F.col("dur").alias("t_days"),
+            "n_risk",
+            F.col("d").alias("n_churned"),
+            F.col("c").alias("n_censored"),
+            F.when(F.col("dead") == 1, F.lit(0.0))
+            .otherwise(
+                F.round(F.exp(F.sum("lnf").over(wo).cast("double")), 6)
+            )
+            .alias("survival"),
+            F.col("d").alias("_d"),
+        )
+        .filter(F.col("_d") > 0)
+        .drop("_d")
+        .orderBy("t_days")
+    )

@@ -810,3 +810,31 @@ def test_reach_cumulative_distinct(spark, tmp_path_factory):
         .collect()
     ]
     assert got == [(1, 1, True), (2, 2, True), (1, 3, True)]
+
+
+def test_survival_hand_km_with_censoring(spark, tmp_path_factory):
+    """4 users: purchases at day 0, 1, 3; one non-purchaser censored at
+    day 2. KM: S(0)=3/4, S(1)=3/4·2/3=1/2, S(3)=0 (everyone at risk
+    churned — the exact-integer dead flag, not ln(0))."""
+    out = tmp_path_factory.mktemp("km")
+    rows = [
+        (0, "2024-01-01 10:00:00", 1, "view", 0.0),
+        (1, "2024-01-01 11:00:00", 1, "purchase", 0.0),
+        (2, "2024-01-01 10:00:00", 2, "view", 0.0),
+        (3, "2024-01-02 10:00:00", 2, "purchase", 0.0),
+        (4, "2024-01-01 10:00:00", 3, "view", 0.0),
+        (5, "2024-01-04 10:00:00", 3, "purchase", 0.0),
+        (6, "2024-01-01 10:00:00", 4, "view", 0.0),
+        (7, "2024-01-03 10:00:00", 4, "click", 0.0),
+    ]
+    _write_events(spark, out, rows)
+    got = {
+        r["t_days"]: (r["n_risk"], r["n_churned"], r["n_censored"],
+                      r["survival"])
+        for r in registry.get("q_ts_survival").fn(spark, str(out)).collect()
+    }
+    assert got == {
+        0: (4, 1, 0, 0.75),
+        1: (3, 1, 0, 0.5),
+        3: (1, 1, 0, 0.0),
+    }
