@@ -2063,3 +2063,78 @@ FROM reach_sketches
         )
         .orderBy("week")
     )
+
+
+@query(
+    "q_agg_anova",
+    # Group power sums in exact DECIMAL -> SSB/SSW by identical IEEE
+    # closed forms; F-statistic + the 1%-level flag (F crit ~ 3.32 at
+    # (4, inf) df — conservative constant shared by both engines).
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type
+),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+         CAST(count(*) AS BIGINT) AS k,
+         sum(sx) AS sx_tot,
+         sum(sxx) AS sxx_tot,
+         sum(sx * sx / n) AS sgm
+  FROM g
+)
+SELECT n_tot, k,
+       round(sgm - sx_tot * sx_tot / n_tot, 6) AS ss_between,
+       round(sxx_tot - sgm, 6) AS ss_within,
+       round(((sgm - sx_tot * sx_tot / n_tot) / (k - 1))
+             / ((sxx_tot - sgm) / (n_tot - k)), 6) AS f_stat,
+       ((sgm - sx_tot * sx_tot / n_tot) / (k - 1))
+         / ((sxx_tot - sgm) / (n_tot - k)) > 3.32 AS significant
+FROM t
+""",
+)
+def q_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across ALL event types on ``value``: does the
+    metric differ anywhere among k groups — the >2-group extension of
+    the testing family (q_agg_ttest compares one pair; running k²
+    pairwise t-tests inflates false positives — ANOVA is the gate you
+    run FIRST, then pairwise only if F rejects).
+
+    Scale shape: one partial-aggregated pass to per-group (n, Σx, Σx²)
+    in exact DECIMAL (the q_agg_stats doctrine), then the k-row frame
+    folds to total sums and the between/within decomposition — every
+    double op after the exact sums is one identical IEEE closed form.
+    The second-level fold sums k per-group doubles — k is the group
+    count (5 here), a dimension, so partition-order drift cannot occur
+    (single-partition fold); at huge k the same sums go through the
+    milli-unit integer trick (q_agg_bootstrap).
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast(DEC)).cast("double").alias("sx"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    ).coalesce(1)
+    t = g.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sx").alias("sx_tot"),
+        F.sum("sxx").alias("sxx_tot"),
+        F.sum(F.col("sx") * F.col("sx") / F.col("n")).alias("sgm"),
+    )
+    n_tot, k = F.col("n_tot").cast("double"), F.col("k").cast("double")
+    ssb = F.col("sgm") - F.col("sx_tot") * F.col("sx_tot") / n_tot
+    ssw = F.col("sxx_tot") - F.col("sgm")
+    f = (ssb / (k - 1)) / (ssw / (n_tot - F.col("k")))
+    return t.select(
+        "n_tot",
+        "k",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(f, 6).alias("f_stat"),
+        (f > 3.32).alias("significant"),
+    )

@@ -838,3 +838,20 @@ def test_survival_hand_km_with_censoring(spark, tmp_path_factory):
         1: (3, 1, 0, 0.5),
         3: (1, 1, 0, 0.0),
     }
+
+
+def test_anova_hand_f(spark, tmp_path_factory):
+    """a={1,2,3}, b={4,5,6}: SSB=13.5, SSW=4, F=(13.5/1)/(4/4)=13.5."""
+    out = tmp_path_factory.mktemp("anova")
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append((i, f"2024-01-01 00:0{i}:00", 1, "a", v))
+    for i, v in enumerate([4.0, 5.0, 6.0]):
+        rows.append((10 + i, f"2024-01-01 01:0{i}:00", 1, "b", v))
+    _write_events(spark, out, rows)
+    r = registry.get("q_agg_anova").fn(spark, str(out)).collect()[0]
+    assert (r["n_tot"], r["k"]) == (6, 2)
+    assert r["ss_between"] == 13.5
+    assert r["ss_within"] == 4.0
+    assert r["f_stat"] == 13.5
+    assert bool(r["significant"])
