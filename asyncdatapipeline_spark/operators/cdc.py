@@ -423,3 +423,82 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(ins)
     )
     return merged.orderBy("c_custkey")
+
+
+@query(
+    "q_join_pit",
+    # Dimension = q_merge_scd2's versioned output (same derivation
+    # inlined); each order resolves the version valid AT ORDER TIME:
+    # equality on custkey + [valid_from, valid_to) containment.
+    oracle=f"""
+WITH upd AS (
+  SELECT c_custkey, c_acctbal + 100 AS new_bal FROM customer
+  WHERE c_custkey % 10 = 0
+),
+dim AS (
+  SELECT c.c_custkey, c.c_acctbal AS bal,
+         TIMESTAMP '{_SCD2_EPOCH}' AS valid_from,
+         CASE WHEN u.c_custkey IS NULL THEN NULL
+              ELSE TIMESTAMP '{_SCD2_EFF}' END AS valid_to
+  FROM customer c LEFT JOIN upd u USING (c_custkey)
+  UNION ALL
+  SELECT c_custkey, new_bal, TIMESTAMP '{_SCD2_EFF}', NULL FROM upd
+),
+j AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         round(CAST(d.bal AS DOUBLE), 2) AS bal_at_order,
+         d.valid_to IS NULL AS used_current_version
+  FROM orders o
+  JOIN dim d ON d.c_custkey = o.o_custkey
+            AND o.o_orderdate >= d.valid_from
+            AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+)
+SELECT o_orderkey, o_custkey, bal_at_order, used_current_version
+FROM j ORDER BY o_orderkey
+""",
+)
+def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each order resolves the customer-dimension
+    VERSION that was valid at order time — the lookup that makes SCD2
+    history useful (q_merge_scd2 builds the versioned dimension; a
+    naive join to the current version backfills today's attributes
+    onto yesterday's facts, the classic feature-leakage bug in both
+    BI and ML training sets; feature stores call exactly this "PIT
+    correctness").
+
+    Scale shape: equality on the customer key carries the join — the
+    interval containment is a residual predicate evaluated on ≤2
+    candidate versions per key (SCD dimensions have few versions per
+    key by construction), so this stays a plain hash/broadcast equi
+    join, NOT an interval-binned join (q_join_interval's machinery is
+    for when there is no equality key). Each order matches EXACTLY one
+    version (validity intervals partition the timeline); the planted
+    test asserts both resolution sides of the effective instant.
+    """
+    from asyncdatapipeline_spark.operators.cdc import q_merge_scd2
+
+    o = load_table(spark, sf_dir, "orders")
+    dim = q_merge_scd2(spark, sf_dir).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        "valid_from",
+        "valid_to",
+    )
+    return (
+        o.join(
+            F.broadcast(dim),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("o_orderdate") < F.col("valid_to"))
+            ),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("bal").cast("double"), 2).alias("bal_at_order"),
+            F.col("valid_to").isNull().alias("used_current_version"),
+        )
+        .orderBy("o_orderkey")
+    )

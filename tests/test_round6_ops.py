@@ -855,3 +855,37 @@ def test_anova_hand_f(spark, tmp_path_factory):
     assert r["ss_within"] == 4.0
     assert r["f_stat"] == 13.5
     assert bool(r["significant"])
+
+
+def test_pit_join_resolves_correct_version(spark, tmp_path_factory):
+    """Customer 10 (a %10 key) has two versions split at 1998-06-01
+    (+100 after). An order before the split must see the OLD balance,
+    an order after must see the NEW one; every order matches exactly
+    one version."""
+    out = tmp_path_factory.mktemp("pit")
+    spark.createDataFrame(
+        [(10, 50.0), (11, 70.0)], "c_custkey long, c_acctbal double"
+    ).write.mode("overwrite").parquet(str(out / "customer.parquet"))
+    orders = [
+        (1, 10, "1995-01-01 00:00:00"),
+        (2, 10, "1998-07-01 00:00:00"),
+        (3, 11, "1995-01-01 00:00:00"),
+    ]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, od string"
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.lit("O").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+        F.col("od").cast("timestamp").alias("o_orderdate"),
+        F.lit("3-MEDIUM").alias("o_orderpriority"),
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    got = {
+        r["o_orderkey"]: (r["bal_at_order"], r["used_current_version"])
+        for r in registry.get("q_join_pit").fn(spark, str(out)).collect()
+    }
+    assert got == {
+        1: (50.0, False),   # old version
+        2: (150.0, True),   # +100 after the effective instant
+        3: (70.0, True),    # unversioned key: single current version
+    }
