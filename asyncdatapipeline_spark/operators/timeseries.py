@@ -3276,3 +3276,130 @@ def q_ts_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_d")
         .orderBy("t_days")
     )
+
+
+@query(
+    "q_ts_decompose",
+    # Trend = centered 7-day MA from an EXACT integer window sum
+    # (sum7/7.0 is one identical IEEE division); detrended values
+    # round to 9dp and sum in DECIMAL for the per-dow seasonal means
+    # (the ln-contract trick applied to residuals); dow is integer
+    # epoch-day arithmetic (the q_ts_busday convention).
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type,
+         unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds b
+),
+filled AS (
+  SELECT s.event_type, s.day,
+         (CAST(s.day - DATE '1970-01-01' AS BIGINT) + 4) % 7 AS dow,
+         CAST(COALESCE(d.c, 0) AS BIGINT) AS y
+  FROM spine s
+  LEFT JOIN d ON d.event_type = s.event_type AND d.day = s.day
+),
+ma AS (
+  SELECT event_type, day, dow, y,
+         CAST(sum(y) OVER w AS BIGINT) AS s7,
+         count(*) OVER w AS n7
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+tr AS (
+  SELECT event_type, day, dow, y,
+         CAST(s7 AS DOUBLE) / 7 AS trend,
+         CAST(round(y - CAST(s7 AS DOUBLE) / 7, 9) AS DECIMAL(28,12))
+           AS detr9
+  FROM ma WHERE n7 = 7
+),
+seas AS (
+  SELECT event_type, dow,
+         CAST(sum(detr9) AS DOUBLE) / count(*) AS seasonal
+  FROM tr GROUP BY 1, 2
+)
+SELECT t.event_type, CAST(t.day AS VARCHAR) AS day, t.y,
+       round(t.trend, 6) AS trend,
+       round(s.seasonal, 6) AS seasonal,
+       round(t.y - t.trend - s.seasonal, 6) AS residual
+FROM tr t JOIN seas s ON s.event_type = t.event_type AND s.dow = t.dow
+ORDER BY t.event_type, t.day
+""",
+)
+def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical decomposition of each event-type daily series into
+    TREND (centered 7-day moving average) + SEASONAL (mean detrended
+    value per day-of-week) + RESIDUAL — the STL-lite every metrics
+    stack runs before alerting (alert on the residual, not the raw
+    series, or Monday looks like an incident every week;
+    q_ts_seasonality tests whether weekly shape exists, q_ts_autocorr
+    measures it, this REMOVES it).
+
+    Scale shape: aggregate-first to the dense (type, day) grid; trend
+    is ONE bounded 7-row window whose sum is an EXACT integer (the
+    single /7.0 is identical IEEE in both engines); the seasonal means
+    sum 9dp-rounded detrended values in DECIMAL (the unigram-ppl
+    contract — raw double sums drift with partition order) over the
+    tiny per-(type, dow) frame; residuals are row-local arithmetic.
+    Everything after the first aggregate is O(types · days). Edge days
+    without a full 7-day window are excluded, not zero-padded (padding
+    biases the trend at both ends).
+    """
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("dec_events")
+    return spark.sql(
+        """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM dec_events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type,
+         explode(sequence(b.d0, b.d1, INTERVAL 1 DAY)) AS day
+  FROM bounds b
+),
+filled AS (
+  SELECT s.event_type, s.day,
+         (datediff(s.day, DATE '1970-01-01') + 4) % 7 AS dow,
+         CAST(COALESCE(d.c, 0) AS BIGINT) AS y
+  FROM spine s
+  LEFT JOIN d ON d.event_type = s.event_type AND d.day = s.day
+),
+ma AS (
+  SELECT event_type, day, dow, y,
+         CAST(sum(y) OVER w AS BIGINT) AS s7,
+         count(*) OVER w AS n7
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+tr AS (
+  SELECT event_type, day, dow, y,
+         CAST(s7 AS DOUBLE) / 7 AS trend,
+         CAST(round(y - CAST(s7 AS DOUBLE) / 7, 9) AS DECIMAL(28,12))
+           AS detr9
+  FROM ma WHERE n7 = 7
+),
+seas AS (
+  SELECT event_type, dow,
+         CAST(sum(detr9) AS DOUBLE) / count(*) AS seasonal
+  FROM tr GROUP BY 1, 2
+)
+SELECT t.event_type, CAST(t.day AS STRING) AS day, t.y,
+       round(t.trend, 6) AS trend,
+       round(s.seasonal, 6) AS seasonal,
+       round(t.y - t.trend - s.seasonal, 6) AS residual
+FROM tr t JOIN seas s ON s.event_type = t.event_type AND s.dow = t.dow
+ORDER BY t.event_type, t.day
+"""
+    )

@@ -889,3 +889,34 @@ def test_pit_join_resolves_correct_version(spark, tmp_path_factory):
         2: (150.0, True),   # +100 after the effective instant
         3: (70.0, True),    # unversioned key: single current version
     }
+
+
+def test_decompose_recovers_planted_structure(spark, tmp_path_factory):
+    """Series = 10 + [0,0,0,0,0,0,7][dow] (flat trend + pure weekly
+    bump): trend ~ 11 (10 + 7/7), seasonal peaks on the bump day,
+    residuals ~ 0, and trend+seasonal+residual == y exactly."""
+    out = tmp_path_factory.mktemp("stl")
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(28):
+        d = d0 + datetime.timedelta(days=day)
+        dow = (d.toordinal() - datetime.date(1970, 1, 1).toordinal() + 4) % 7
+        n = 10 + (7 if dow == 3 else 0)
+        for k in range(n):
+            rows.append((eid, f"{d} {k % 24:02d}:00:00", 1, "x", 0.0))
+            eid += 1
+    _write_events(spark, out, rows)
+    r = registry.get("q_ts_decompose").fn(spark, str(out)).collect()
+    assert r  # edge-trimmed but non-empty
+    for row in r:
+        assert row["trend"] == 11.0  # 10 + 7/7, exact for a full window
+        assert abs(row["y"] - row["trend"] - row["seasonal"]
+                   - row["residual"]) < 1e-6
+        if row["y"] == 17:
+            assert row["seasonal"] == 6.0   # 17 - 11
+        else:
+            assert row["seasonal"] == -1.0  # 10 - 11
+        assert row["residual"] == 0.0
