@@ -528,3 +528,116 @@ def q_profile_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "col_a", "col_b", "n", F.round(corr, 6).alias("corr")
     ).orderBy("col_a", "col_b")
+
+
+# Benford expected first-digit shares, log10(1+1/d) rounded to 12dp —
+# embedded as LITERALS in both engines (computing log10 in-engine
+# would reintroduce libm ulp drift into the expected values).
+_BENFORD_P = {
+    1: 0.301029995664, 2: 0.176091259056, 3: 0.124938736608,
+    4: 0.096910013008, 5: 0.079181246048, 6: 0.066946789631,
+    7: 0.057991946978, 8: 0.051152522447, 9: 0.045757490561,
+}
+_BENFORD_CRIT = 15.507  # chi-square 5% critical value at 8 df
+
+
+def _benford_expected_sql() -> str:
+    return " ".join(
+        f"WHEN dg.d = {d} THEN {p!r}" for d, p in _BENFORD_P.items()
+    )
+
+
+@query(
+    "q_profile_benford",
+    oracle=f"""
+WITH f AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INTEGER) AS d
+  FROM orders WHERE o_totalprice >= 1
+),
+c AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY d
+),
+digits AS (SELECT unnest(generate_series(1, 9)) AS d),
+x AS (
+  SELECT dg.d, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+         CASE {_benford_expected_sql()} END AS p
+  FROM digits dg LEFT JOIN c ON c.d = dg.d
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM x),
+s AS (
+  SELECT round(sum((n - total * p) * (n - total * p) / (total * p)), 6)
+           AS chi2
+  FROM x CROSS JOIN t
+)
+SELECT x.d AS digit, x.n,
+       round(CAST(x.n AS DOUBLE) / t.total, 6) AS share,
+       round(x.p, 6) AS expected,
+       s.chi2,
+       s.chi2 <= {_BENFORD_CRIT} AS conforms
+FROM x CROSS JOIN t CROSS JOIN s
+ORDER BY digit
+""",
+)
+def q_profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit conformance of order totals — the
+    forensic-accounting screen (organic transaction amounts follow
+    log10(1+1/d); fabricated or capped data doesn't, and a failing
+    chi-square flags WHICH ledger to audit). Emits the full observed
+    vs expected digit distribution plus the 8-df chi-square verdict.
+
+    Scale shape: first digits extract row-locally (string head of the
+    integer part — no log10 on the data path), reduce to NINE integer
+    counts via one partial-aggregated pass, and the chi-square is a
+    closed form over a 9-row frame against LITERAL expected shares
+    (computing log10 in-engine would put libm ulps into the expected
+    values; the literals are shared between engines byte-for-byte).
+    Zero-count digits join in from a generated digit spine so a
+    missing digit contributes its full (0 − n·p)²/(n·p) term — the
+    q_ts_seasonality grid lesson.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    c = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(d.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    p = F.lit(None).cast("double")
+    for dg, pv in reversed(_BENFORD_P.items()):
+        p = F.when(F.col("d") == dg, F.lit(pv)).otherwise(p)
+    x = (
+        digits.join(c, "d", "left")
+        .select(
+            "d",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            p.alias("p"),
+        )
+        .coalesce(1)
+    )
+    t = x.agg(F.sum("n").cast("long").alias("total"))
+    xt = x.crossJoin(F.broadcast(t))
+    chi_term = (
+        (F.col("n") - F.col("total") * F.col("p"))
+        * (F.col("n") - F.col("total") * F.col("p"))
+        / (F.col("total") * F.col("p"))
+    )
+    s = xt.agg(F.round(F.sum(chi_term), 6).alias("chi2"))
+    return (
+        xt.crossJoin(F.broadcast(s))
+        .select(
+            F.col("d").alias("digit"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+            F.round("p", 6).alias("expected"),
+            "chi2",
+            (F.col("chi2") <= _BENFORD_CRIT).alias("conforms"),
+        )
+        .orderBy("digit")
+    )

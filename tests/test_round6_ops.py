@@ -920,3 +920,26 @@ def test_decompose_recovers_planted_structure(spark, tmp_path_factory):
         else:
             assert row["seasonal"] == -1.0  # 10 - 11
         assert row["residual"] == 0.0
+
+
+def test_benford_flags_fabricated_amounts(spark, tmp_path_factory):
+    """Uniform 500.xx amounts (every first digit = 5) must blow the
+    chi-square; digits 1-9 all appear in the report with exact shares."""
+    out = tmp_path_factory.mktemp("benford")
+    rows = [(i, 500.0 + i) for i in range(50)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double"
+    ).select(
+        "o_orderkey",
+        F.lit(1).alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit("1995-01-01").cast("timestamp").alias("o_orderdate"),
+        F.lit("3-MEDIUM").alias("o_orderpriority"),
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    r = registry.get("q_profile_benford").fn(spark, str(out)).collect()
+    assert len(r) == 9
+    by_digit = {row["digit"]: row for row in r}
+    assert by_digit[5]["share"] == 1.0
+    assert by_digit[1]["n"] == 0
+    assert not bool(r[0]["conforms"])  # wildly non-Benford
