@@ -1498,3 +1498,152 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "q_eval_langid",
+    # Same marker-argmax predictor as q_text_lang; the evaluation is
+    # all exact integers (confusion cells) with guarded ratio closed
+    # forms — NULL precision for never-predicted classes, NULL F1 when
+    # P+R degenerates, never a div-by-zero.
+    oracle=f"""
+WITH scored AS (
+  SELECT lang AS t,
+    CASE
+      WHEN len(list_filter(string_split(text, ' '),
+           w -> list_contains({_sql_list(_LANG_MARKERS['en'])}, w)))
+        >= len(list_filter(string_split(text, ' '),
+           w -> list_contains({_sql_list(_LANG_MARKERS['code'])}, w)))
+       AND len(list_filter(string_split(text, ' '),
+           w -> list_contains({_sql_list(_LANG_MARKERS['en'])}, w)))
+        >= len(list_filter(string_split(text, ' '),
+           w -> list_contains({_sql_list(_LANG_MARKERS['data'])}, w)))
+      THEN 'en'
+      WHEN len(list_filter(string_split(text, ' '),
+           w -> list_contains({_sql_list(_LANG_MARKERS['code'])}, w)))
+        >= len(list_filter(string_split(text, ' '),
+           w -> list_contains({_sql_list(_LANG_MARKERS['data'])}, w)))
+      THEN 'code'
+      ELSE 'data'
+    END AS p
+  FROM documents
+),
+cells AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n FROM scored GROUP BY 1, 2),
+classes AS (SELECT DISTINCT t AS c FROM cells
+            UNION SELECT DISTINCT p FROM cells),
+per AS (
+  SELECT cl.c,
+         CAST(COALESCE((SELECT sum(n) FROM cells WHERE t = cl.c), 0)
+              AS BIGINT) AS n_true,
+         CAST(COALESCE((SELECT sum(n) FROM cells WHERE p = cl.c), 0)
+              AS BIGINT) AS n_pred,
+         CAST(COALESCE((SELECT n FROM cells WHERE t = cl.c AND p = cl.c), 0)
+              AS BIGINT) AS tp
+  FROM classes cl
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN t = p THEN n ELSE 0 END) AS BIGINT) AS hits
+  FROM cells
+)
+SELECT per.c AS label, n_true, n_pred, tp,
+       CASE WHEN n_pred > 0
+            THEN round(CAST(tp AS DOUBLE) / n_pred, 6) END AS precision,
+       CASE WHEN n_true > 0
+            THEN round(CAST(tp AS DOUBLE) / n_true, 6) END AS recall,
+       CASE WHEN n_pred > 0 AND n_true > 0 AND tp > 0
+            THEN round(2.0 * (CAST(tp AS DOUBLE) / n_pred)
+                           * (CAST(tp AS DOUBLE) / n_true)
+                       / (CAST(tp AS DOUBLE) / n_pred
+                          + CAST(tp AS DOUBLE) / n_true), 6) END AS f1,
+       round(CAST(tot.hits AS DOUBLE) / tot.total, 6) AS accuracy
+FROM per CROSS JOIN tot ORDER BY label
+""",
+)
+def q_eval_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation scorecard: the marker-argmax language-ID
+    heuristic (q_text_lang's predictor) scored against the stored
+    ``lang`` labels — per-class precision / recall / F1 plus overall
+    accuracy from the confusion matrix. The evaluation harness every
+    model-backed pipeline stage needs (swap the CASE predictor for a
+    model-score column and the scorecard is unchanged) — and the
+    honest measurement of a heuristic IS part of shipping it.
+
+    Scale shape: prediction is row-local (broadcast-size marker
+    vocabularies, one pass); the confusion matrix is ONE
+    partial-aggregated shuffle to classes² cells; every metric after
+    is a guarded ratio on that dimension-sized frame (NULL precision
+    for never-predicted classes, NULL F1 on degenerate P+R — ANSI
+    div-by-zero armored with exact-integer guards).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def score(markers):
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    s_en, s_code, s_data = (
+        score(_LANG_MARKERS[k]) for k in ("en", "code", "data")
+    )
+    pred = (
+        F.when((s_en >= s_code) & (s_en >= s_data), "en")
+        .when(s_code >= s_data, "code")
+        .otherwise("data")
+    )
+    scored = d.select(F.col("lang").alias("t"), pred.alias("p"))
+    cells = scored.groupBy("t", "p").agg(F.count(F.lit(1)).alias("n"))
+    classes = (
+        cells.select(F.col("t").alias("c"))
+        .union(cells.select(F.col("p").alias("c")))
+        .distinct()
+    )
+    n_true = cells.groupBy(F.col("t").alias("c")).agg(
+        F.sum("n").alias("n_true")
+    )
+    n_pred = cells.groupBy(F.col("p").alias("c")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    tps = cells.filter(F.col("t") == F.col("p")).select(
+        F.col("t").alias("c"), F.col("n").alias("tp")
+    )
+    tot = F.broadcast(
+        cells.agg(
+            F.sum("n").cast("long").alias("total"),
+            F.sum(F.when(F.col("t") == F.col("p"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("hits"),
+        )
+    )
+    per = (
+        classes.join(n_true, "c", "left")
+        .join(n_pred, "c", "left")
+        .join(tps, "c", "left")
+        .select(
+            "c",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    prec = F.col("tp").cast("double") / F.col("n_pred")
+    rec = F.col("tp").cast("double") / F.col("n_true")
+    return (
+        per.crossJoin(tot)
+        .select(
+            F.col("c").alias("label"),
+            "n_true",
+            "n_pred",
+            "tp",
+            F.when(F.col("n_pred") > 0, F.round(prec, 6)).alias("precision"),
+            F.when(F.col("n_true") > 0, F.round(rec, 6)).alias("recall"),
+            F.when(
+                (F.col("n_pred") > 0) & (F.col("n_true") > 0) & (F.col("tp") > 0),
+                F.round(2.0 * prec * rec / (prec + rec), 6),
+            ).alias("f1"),
+            F.round(
+                F.col("hits").cast("double") / F.col("total"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

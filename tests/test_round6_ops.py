@@ -943,3 +943,26 @@ def test_benford_flags_fabricated_amounts(spark, tmp_path_factory):
     assert by_digit[5]["share"] == 1.0
     assert by_digit[1]["n"] == 0
     assert not bool(r[0]["conforms"])  # wildly non-Benford
+
+
+def test_eval_langid_hand_confusion(spark, tmp_path_factory):
+    """Planted docs: 2 true-en predicted en, 1 true-en predicted code,
+    1 true-code predicted code -> en: P=1, R=2/3; code: P=1/2, R=1;
+    accuracy 3/4."""
+    out = tmp_path_factory.mktemp("evallang")
+    rows = [
+        (1, "the and of", "en", "w", 10),        # pred en (markers hit)
+        (2, "the of x", "en", "w", 8),           # pred en
+        (3, "table query join", "en", "w", 16),  # pred code, true en
+        (4, "table query join", "code", "w", 16),# pred code, true code
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    got = {
+        r["label"]: (r["n_true"], r["n_pred"], r["tp"], r["precision"],
+                     r["recall"], r["f1"], r["accuracy"])
+        for r in registry.get("q_eval_langid").fn(spark, str(out)).collect()
+    }
+    assert got["en"] == (3, 2, 2, 1.0, 0.666667, 0.8, 0.75)
+    assert got["code"] == (1, 2, 1, 0.5, 1.0, 0.666667, 0.75)
