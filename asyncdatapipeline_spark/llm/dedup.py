@@ -2219,3 +2219,86 @@ def q_dedup_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "k1", "k2")
     )
+
+
+@query(
+    "q_eval_dedup",
+    # Truth = the exact-Jaccard pair set; candidates = the LSH banding.
+    # Both oracles already exist; this composes them into the recall /
+    # candidate-precision scorecard. All-integer counts, guarded ratios.
+    oracle=f"""
+WITH truth AS (
+  SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE_SQL}) t
+),
+cand AS (
+  SELECT doc_a, doc_b FROM ({_minhash_oracle_sql()}) c
+),
+hit AS (
+  SELECT count(*) AS n FROM truth JOIN cand USING (doc_a, doc_b)
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST(hit.n AS BIGINT) AS n_hit,
+       CASE WHEN (SELECT count(*) FROM truth) > 0
+            THEN round(CAST(hit.n AS DOUBLE)
+                       / (SELECT count(*) FROM truth), 6) END AS recall,
+       CASE WHEN (SELECT count(*) FROM cand) > 0
+            THEN round(CAST(hit.n AS DOUBLE)
+                       / (SELECT count(*) FROM cand), 6)
+       END AS candidate_precision
+FROM hit
+""",
+)
+def q_eval_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline evaluation scorecard: the MinHash LSH banding's
+    candidate pairs scored against the EXACT 3-gram-Jaccard truth set
+    — recall (what fraction of true near-dups ever collide in a band:
+    the miss rate you tuned bands×rows for) and candidate precision
+    (what fraction of candidates survive exact verification: the
+    wasted-verification rate). The measurement that turns LSH
+    parameter choices from folklore into numbers, runnable on any
+    corpus slice before committing a full-corpus dedup.
+
+    Scale shape: composes two existing oracle-verified pair sets
+    (q_dedup_ngram = truth, q_dedup_minhash = candidates) with one
+    join on the pair key and three counts — the pair frames are the
+    expensive inputs and BOTH are already hot-shingle-capped /
+    band-bucketed (never all-pairs); the scorecard itself is
+    dimension-sized. On a 100 TB corpus you run this on a sampled
+    slice (q_split_hash buckets give a deterministic one) — the
+    recall estimate transfers because banding probability depends on
+    Jaccard, not corpus size.
+    """
+    truth = q_dedup_ngram(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    cand = q_dedup_minhash(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("c")
+    )
+    # ONE pass over each pair set: full outer on the pair key, then a
+    # single global aggregate — no driver-side counts, no re-evaluation
+    # of the banding/shingling pipelines per metric
+    j = truth.join(cand, ["doc_a", "doc_b"], "full")
+    agg = j.agg(
+        F.sum(F.coalesce("t", F.lit(0))).cast("long").alias("n_true"),
+        F.sum(F.coalesce("c", F.lit(0))).cast("long").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_hit"),
+    )
+    return agg.select(
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        F.when(
+            F.col("n_true") > 0,
+            F.round(F.col("n_hit").cast("double") / F.col("n_true"), 6),
+        ).alias("recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_candidates"), 6
+            ),
+        ).alias("candidate_precision"),
+    )

@@ -966,3 +966,28 @@ def test_eval_langid_hand_confusion(spark, tmp_path_factory):
     }
     assert got["en"] == (3, 2, 2, 1.0, 0.666667, 0.8, 0.75)
     assert got["code"] == (1, 2, 1, 0.5, 1.0, 0.666667, 0.75)
+
+
+def test_eval_dedup_finds_planted_pair(spark, sf_dir, tmp_path_factory):
+    """With an exact duplicate planted into the corpus, the dup pair
+    must be in both the truth and candidate sets: hit count positive
+    and the ratios consistent."""
+    from asyncdatapipeline_spark.sources.tables import load_table
+
+    out = tmp_path_factory.mktemp("evaldedup")
+    d = load_table(spark, sf_dir, "documents")
+    doc1 = d.orderBy(F.size(F.split("text", " ")).desc(), "doc_id").first()
+    extra = spark.createDataFrame(
+        [(99001, doc1["text"], doc1["lang"], doc1["source"], doc1["n_chars"])],
+        schema=d.schema,
+    )
+    d.unionByName(extra).write.mode("overwrite").parquet(
+        str(out / "documents.parquet")
+    )
+    r = registry.get("q_eval_dedup").fn(spark, str(out)).collect()[0]
+    assert r["n_true"] > 0 and r["n_candidates"] > 0
+    assert 0 < r["n_hit"] <= min(r["n_true"], r["n_candidates"])
+    assert r["recall"] == round(r["n_hit"] / r["n_true"], 6)
+    assert r["candidate_precision"] == round(
+        r["n_hit"] / r["n_candidates"], 6
+    )
