@@ -750,3 +750,59 @@ def q_embed_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.round(std, 6) < 0.01).alias("dead_dim"),
     ).orderBy("dim")
+
+
+def _eval_ann_oracle_sql() -> str:
+    truth = f"""
+SELECT e.vec_id
+FROM embeddings e, (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}) q
+WHERE e.vec_id != {_QUERY_VEC_ID}
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+         e.vec_id
+LIMIT {_TOP_K}"""
+    return f"""
+WITH truth AS ({truth}),
+approx AS (SELECT vec_id FROM ({_ivf_oracle_sql()}) a),
+hit AS (SELECT count(*) AS n FROM truth JOIN approx USING (vec_id))
+SELECT {_TOP_K} AS k, {_IVF_NPROBE} AS nprobe,
+       CAST(hit.n AS BIGINT) AS n_overlap,
+       round(CAST(hit.n AS DOUBLE) / {_TOP_K}, 6) AS recall_at_k
+FROM hit
+"""
+
+
+@query("q_eval_ann", oracle=_eval_ann_oracle_sql())
+def q_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index evaluation: recall@k of the IVF index (q_sim_ivf)
+    against the brute-force cosine truth (q_sim_topk) for the standing
+    query — the third member of the eval family (q_eval_langid scores
+    a classifier, q_eval_dedup an LSH pipeline, this a vector index).
+    Recall@k is THE number an ANN deployment is judged on: it prices
+    the nprobe/nlist trade in lost neighbors instead of vibes, and
+    re-running it after every index rebuild is what catches quantizer
+    drift before a retrieval product does.
+
+    Scale shape: both inputs are existing oracle-verified top-k plans
+    (the truth side is a single scan + TakeOrderedAndProject; the IVF
+    side probes {nprobe} cells); the scorecard joins two ≤k-row frames
+    — free. At 100 TB you evaluate over a PANEL of query vectors (add
+    a query-id key to both sides; same composition) since recall@k for
+    one query is a Bernoulli draw per neighbor, and the panel mean is
+    the deployable number.
+    """
+    truth = q_sim_topk(spark, sf_dir).select("vec_id")
+    approx = q_sim_ivf(spark, sf_dir).select("vec_id")
+    j = truth.join(approx, "vec_id")
+    agg = j.agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    return agg.select(
+        F.lit(_TOP_K).cast("int").alias("k"),
+        F.lit(_IVF_NPROBE).cast("int").alias("nprobe"),
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / _TOP_K, 6).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+q_eval_ann.__doc__ = q_eval_ann.__doc__.format(nprobe=_IVF_NPROBE)

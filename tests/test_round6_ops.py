@@ -991,3 +991,13 @@ def test_eval_dedup_finds_planted_pair(spark, sf_dir, tmp_path_factory):
     assert r["candidate_precision"] == round(
         r["n_hit"] / r["n_candidates"], 6
     )
+
+
+def test_eval_ann_recall_bounds_and_consistency(spark, sf_dir):
+    """recall@k must be n_overlap/k with 0 <= n_overlap <= k, and the
+    IVF index on this corpus should find at least half the true
+    neighbors (the recall the sim-family tests already establish)."""
+    r = registry.get("q_eval_ann").fn(spark, sf_dir).collect()[0]
+    assert 0 <= r["n_overlap"] <= r["k"]
+    assert r["recall_at_k"] == round(r["n_overlap"] / r["k"], 6)
+    assert r["recall_at_k"] >= 0.5
