@@ -1647,3 +1647,164 @@ def q_eval_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _eval_retrieval_oracle_sql() -> str:
+    tfs = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_QUERY)
+    )
+    score = " + ".join(
+        f"ln((s.n - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1)"
+        f" * (t.tf{i} * ({_BM25_K1} + 1))"
+        f" / (t.tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * t.dl / s.avgdl))"
+        for i in range(len(_BM25_QUERY))
+    )
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_QUERY))
+    )
+    all_terms = " AND ".join(
+        f"tf{i} > 0" for i in range(len(_BM25_QUERY))
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl, {tfs}
+  FROM documents
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, {dfs}
+  FROM t
+),
+ranked AS (
+  SELECT t.doc_id, ({all_terms}) AS rel,
+         row_number() OVER (ORDER BY round({score}, 6) DESC, t.doc_id)
+           AS rnk
+  FROM t, s WHERE round({score}, 6) > 0
+),
+topk AS (SELECT * FROM ranked WHERE rnk <= {_BM25_TOPK}),
+rel_total AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rel FROM t WHERE {all_terms}
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_returned,
+         CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_topk,
+         min(CASE WHEN rel THEN rnk END) AS first_rel
+  FROM topk
+)
+SELECT {_BM25_TOPK} AS k, rel_total.n_rel AS n_relevant,
+       m.n_rel_topk AS n_relevant_in_topk,
+       round(CAST(m.n_rel_topk AS DOUBLE) / m.k_returned, 6)
+         AS precision_at_k,
+       CASE WHEN rel_total.n_rel > 0
+            THEN round(CAST(m.n_rel_topk AS DOUBLE) / rel_total.n_rel, 6)
+       END AS recall_at_k,
+       CASE WHEN m.first_rel IS NULL THEN 0.0
+            ELSE round(1.0 / m.first_rel, 6) END AS mrr
+FROM m CROSS JOIN rel_total
+"""
+
+
+@query("q_eval_retrieval", oracle=_eval_retrieval_oracle_sql())
+def q_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation scorecard: BM25's top-k for the standing
+    query scored against a deterministic relevance rule (a document is
+    relevant iff it contains ALL query terms — strict conjunctive
+    relevance, the standard proxy when no human judgments ship with
+    the corpus): precision@k, recall@k, and MRR. Fourth eval-family
+    member (classifier, LSH pipeline, vector index, now the ranker) —
+    BM25 can surface a high-tf two-term doc above a low-tf three-term
+    one, so the metrics are non-trivially below 1.
+
+    Scale shape: relevance flags and BM25 scores are the SAME row-local
+    tf expressions (one corpus pass + the one-row stats broadcast the
+    BM25 op already uses); ranking happens on the rounded-6dp score
+    with doc_id tiebreak, so both engines rank identically; the
+    scorecard reduces the ≤k frame plus one corpus-level relevant
+    count. Swapping in a query PANEL adds a query-id key, same plan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def tf_col(term, i):
+        return F.size(F.filter(words, lambda w: w == F.lit(term))).alias(
+            f"tf{i}"
+        )
+
+    nq = len(_BM25_QUERY)
+    tf = d.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        *[tf_col(t, i) for i, t in enumerate(_BM25_QUERY)],
+    )
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(nq)
+        ],
+    )
+    score = None
+    for i in range(nq):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1
+        )
+        term = (
+            idf
+            * (F.col(f"tf{i}") * (_BM25_K1 + 1))
+            / (
+                F.col(f"tf{i}")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = term if score is None else score + term
+    rel = None
+    for i in range(nq):
+        c = F.col(f"tf{i}") > 0
+        rel = c if rel is None else rel & c
+    scored = (
+        tf.join(F.broadcast(stats))
+        .select("doc_id", rel.alias("rel"), F.round(score, 6).alias("bm25"))
+    )
+    ranked = (
+        scored.filter(F.col("bm25") > 0)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.col("bm25").desc(), "doc_id")
+            ),
+        )
+        .filter(F.col("rnk") <= _BM25_TOPK)
+    )
+    rel_total = F.broadcast(
+        scored.agg(
+            F.sum(F.when(F.col("rel"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rel")
+        )
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("k_returned"),
+        F.sum(F.when(F.col("rel"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel_topk"),
+        F.min(F.when(F.col("rel"), F.col("rnk"))).alias("first_rel"),
+    )
+    return m.crossJoin(rel_total).select(
+        F.lit(_BM25_TOPK).cast("int").alias("k"),
+        F.col("n_rel").alias("n_relevant"),
+        F.col("n_rel_topk").alias("n_relevant_in_topk"),
+        F.round(
+            F.col("n_rel_topk").cast("double") / F.col("k_returned"), 6
+        ).alias("precision_at_k"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(F.col("n_rel_topk").cast("double") / F.col("n_rel"), 6),
+        ).alias("recall_at_k"),
+        F.when(F.col("first_rel").isNull(), F.lit(0.0))
+        .otherwise(F.round(F.lit(1.0) / F.col("first_rel"), 6))
+        .alias("mrr"),
+    )

@@ -1001,3 +1001,24 @@ def test_eval_ann_recall_bounds_and_consistency(spark, sf_dir):
     assert 0 <= r["n_overlap"] <= r["k"]
     assert r["recall_at_k"] == round(r["n_overlap"] / r["k"], 6)
     assert r["recall_at_k"] >= 0.5
+
+
+def test_eval_retrieval_relevance_rule(spark, tmp_path_factory):
+    """One doc contains all three query terms (relevant), one contains
+    a single term many times (retrieved but NOT relevant), one none:
+    n_relevant=1, it is found in the top-k, recall=1, mrr=1/rank."""
+    out = tmp_path_factory.mktemp("evalret")
+    rows = [
+        (1, "spark table query extra words", "en", "w", 29),
+        (2, "spark spark spark spark", "en", "w", 23),
+        (3, "entirely unrelated text", "en", "w", 23),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    r = registry.get("q_eval_retrieval").fn(spark, str(out)).collect()[0]
+    assert r["n_relevant"] == 1
+    assert r["n_relevant_in_topk"] == 1
+    assert r["recall_at_k"] == 1.0
+    assert r["mrr"] in (1.0, 0.5)  # doc1 ranks 1st or 2nd behind doc2
+    assert 0 < r["precision_at_k"] <= 1.0
