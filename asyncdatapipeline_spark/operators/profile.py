@@ -566,15 +566,17 @@ x AS (
 ),
 t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM x),
 s AS (
-  SELECT round(sum((n - total * p) * (n - total * p) / (total * p)), 6)
-           AS chi2
-  FROM x CROSS JOIN t
+  SELECT CASE WHEN t.total > 0
+              THEN round(sum((n - total * p) * (n - total * p)
+                             / (total * p)), 6) END AS chi2
+  FROM x CROSS JOIN t GROUP BY t.total
 )
 SELECT x.d AS digit, x.n,
-       round(CAST(x.n AS DOUBLE) / t.total, 6) AS share,
+       CASE WHEN t.total > 0
+            THEN round(CAST(x.n AS DOUBLE) / t.total, 6) END AS share,
        round(x.p, 6) AS expected,
        s.chi2,
-       s.chi2 <= {_BENFORD_CRIT} AS conforms
+       CASE WHEN t.total > 0 THEN s.chi2 <= {_BENFORD_CRIT} END AS conforms
 FROM x CROSS JOIN t CROSS JOIN s
 ORDER BY digit
 """,
@@ -621,23 +623,27 @@ def q_profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = x.agg(F.sum("n").cast("long").alias("total"))
     xt = x.crossJoin(F.broadcast(t))
-    chi_term = (
+    chi_term = F.when(
+        F.col("total") > 0,
         (F.col("n") - F.col("total") * F.col("p"))
         * (F.col("n") - F.col("total") * F.col("p"))
-        / (F.col("total") * F.col("p"))
-    )
+        / (F.col("total") * F.col("p")),
+    )  # NULL terms on an empty table -> NULL chi2, never a div-by-zero
     s = xt.agg(F.round(F.sum(chi_term), 6).alias("chi2"))
     return (
         xt.crossJoin(F.broadcast(s))
         .select(
             F.col("d").alias("digit"),
             "n",
-            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
-                "share"
-            ),
+            F.when(
+                F.col("total") > 0,
+                F.round(F.col("n").cast("double") / F.col("total"), 6),
+            ).alias("share"),
             F.round("p", 6).alias("expected"),
             "chi2",
-            (F.col("chi2") <= _BENFORD_CRIT).alias("conforms"),
+            F.when(
+                F.col("total") > 0, F.col("chi2") <= _BENFORD_CRIT
+            ).alias("conforms"),
         )
         .orderBy("digit")
     )
