@@ -863,3 +863,127 @@ def q_win_topn_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_idx")
     )
+
+
+@query(
+    "q_rfm_migration",
+    # Period boundary = exact integer epoch midpoint; quintiles are
+    # ntile(5) by DECIMAL spend with custkey tiebreak (deterministic
+    # under ties, the q_rfm discipline); inactive halves enter as the
+    # 'inactive' segment via the full-outer customer join.
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(epoch(min(o_orderdate))) AS BIGINT) AS e0,
+         (CAST(floor(epoch(min(o_orderdate))) AS BIGINT)
+          + CAST(floor(epoch(max(o_orderdate))) AS BIGINT)) // 2 AS mid
+  FROM orders
+),
+s AS (
+  SELECT o_custkey,
+         CASE WHEN CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                   <= (SELECT mid FROM b)
+              THEN 1 ELSE 2 END AS period,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+sp AS (
+  SELECT o_custkey, period, sum(price) AS spend
+  FROM s GROUP BY 1, 2
+),
+seg AS (
+  SELECT o_custkey, period,
+         ntile(5) OVER (PARTITION BY period
+                        ORDER BY spend DESC, o_custkey) AS q
+  FROM sp
+),
+m AS (
+  SELECT COALESCE(p1.o_custkey, p2.o_custkey) AS ck,
+         COALESCE('Q' || CAST(p1.q AS VARCHAR), 'inactive') AS from_seg,
+         COALESCE('Q' || CAST(p2.q AS VARCHAR), 'inactive') AS to_seg
+  FROM (SELECT * FROM seg WHERE period = 1) p1
+  FULL OUTER JOIN (SELECT * FROM seg WHERE period = 2) p2
+    ON p2.o_custkey = p1.o_custkey
+),
+c AS (
+  SELECT from_seg, to_seg, CAST(count(*) AS BIGINT) AS n_customers
+  FROM m GROUP BY 1, 2
+),
+ft AS (SELECT from_seg, sum(n_customers) AS tot FROM c GROUP BY 1)
+SELECT c.from_seg, c.to_seg, c.n_customers,
+       round(CAST(c.n_customers AS DOUBLE) / ft.tot, 6) AS share_of_from
+FROM c JOIN ft USING (from_seg)
+ORDER BY from_seg, to_seg
+""",
+)
+def q_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix: spend quintile in the first
+    half of the time range vs the second, with 'inactive' as a real
+    segment on both axes — the retention-marketing report q_rfm's
+    static snapshot can't answer (WHO is sliding from Q1 to Q3, how
+    much of Q1 churns outright, where do new customers enter). Each
+    cell carries the share of its origin segment.
+
+    Scale shape: orders reduce to (customer, period) DECIMAL spend
+    first (one partial-agg shuffle); the ntile windows sort the
+    AGGREGATED customers×2 frame per period (the q_rfm trade, with the
+    same custkey tiebreak making quintiles engine-identical); the
+    migration matrix is a full-outer self-join on the customer key of
+    two customer-sized frames and a ≤36-row report. The period
+    boundary is exact integer epoch arithmetic — a float midpoint
+    could put a boundary order in different halves per engine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ep = F.floor(F.unix_timestamp("o_orderdate")).cast("long")
+    b = F.broadcast(
+        o.agg(
+            F.min(ep).alias("e0"),
+            F.floor((F.min(ep) + F.max(ep)) / 2).cast("long").alias("mid"),
+        )
+    )
+    s = o.crossJoin(b).select(
+        "o_custkey",
+        F.when(ep <= F.col("mid"), 1).otherwise(2).alias("period"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    sp = s.groupBy("o_custkey", "period").agg(F.sum("price").alias("spend"))
+    seg = sp.select(
+        "o_custkey",
+        "period",
+        F.ntile(5)
+        .over(
+            W.partitionBy("period").orderBy(
+                F.col("spend").desc(), "o_custkey"
+            )
+        )
+        .alias("q"),
+    ).localCheckpoint(eager=False)  # feeds both join sides
+    p1 = seg.filter(F.col("period") == 1).select(
+        F.col("o_custkey").alias("ck1"), F.col("q").alias("q1")
+    )
+    p2 = seg.filter(F.col("period") == 2).select(
+        F.col("o_custkey").alias("ck2"), F.col("q").alias("q2")
+    )
+    m = p1.join(p2, p1.ck1 == p2.ck2, "full").select(
+        F.coalesce(
+            F.concat(F.lit("Q"), F.col("q1").cast("string")), F.lit("inactive")
+        ).alias("from_seg"),
+        F.coalesce(
+            F.concat(F.lit("Q"), F.col("q2").cast("string")), F.lit("inactive")
+        ).alias("to_seg"),
+    )
+    c = m.groupBy("from_seg", "to_seg").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    ft = c.groupBy("from_seg").agg(F.sum("n_customers").alias("tot"))
+    return (
+        c.join(ft, "from_seg")
+        .select(
+            "from_seg",
+            "to_seg",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.round(
+                F.col("n_customers").cast("double") / F.col("tot"), 6
+            ).alias("share_of_from"),
+        )
+        .orderBy("from_seg", "to_seg")
+    )

@@ -1022,3 +1022,35 @@ def test_eval_retrieval_relevance_rule(spark, tmp_path_factory):
     assert r["recall_at_k"] == 1.0
     assert r["mrr"] in (1.0, 0.5)  # doc1 ranks 1st or 2nd behind doc2
     assert 0 < r["precision_at_k"] <= 1.0
+
+
+def test_rfm_migration_inactive_axes(spark, tmp_path_factory):
+    """u1 spends in both halves, u2 only in the first, u3 only in the
+    second: u2 -> inactive, inactive -> u3, and each from-segment's
+    shares sum to 1."""
+    out = tmp_path_factory.mktemp("migration")
+    rows = [
+        (1, 1, 100.0, "1995-01-01 00:00:00"),
+        (2, 1, 200.0, "1998-01-01 00:00:00"),
+        (3, 2, 300.0, "1995-02-01 00:00:00"),
+        (4, 3, 400.0, "1998-02-01 00:00:00"),
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, od string"
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.lit("O").alias("o_orderstatus"),
+        "o_totalprice",
+        F.col("od").cast("timestamp").alias("o_orderdate"),
+        F.lit("3-MEDIUM").alias("o_orderpriority"),
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    rowsout = registry.get("q_rfm_migration").fn(spark, str(out)).collect()
+    got = {(r["from_seg"], r["to_seg"]): r["n_customers"] for r in rowsout}
+    # u3 enters from 'inactive'; u2 exits to 'inactive'
+    assert sum(n for (f, t), n in got.items() if f == "inactive") == 1
+    assert sum(n for (f, t), n in got.items() if t == "inactive") == 1
+    import collections
+    shares = collections.defaultdict(float)
+    for r in rowsout:
+        shares[r["from_seg"]] += r["share_of_from"]
+    assert all(abs(v - 1.0) < 1e-6 for v in shares.values())
