@@ -248,3 +248,83 @@ def start_cdc_apply_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+_GAP_OUT_SCHEMA = (
+    "event_type string, gap_start timestamp, gap_end timestamp,"
+    " gap_seconds long"
+)
+_GAP_STATE_SCHEMA = "last_ep long"
+
+
+def start_gap_monitor_stream(
+    stream_df: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    threshold_s: int = 3600,
+):
+    """Streaming outage detector: per event_type, emit a row for every
+    silent gap longer than ``threshold_s`` — q_events_outage's
+    streaming twin, and the engine's product-level
+    ``applyInPandasWithState`` operator (true cross-batch KEYED STATE:
+    the last-seen timestamp must survive micro-batch boundaries, or a
+    gap that spans two batches is silently missed — exactly what the
+    equivalence test plants). The freshness monitor every ingest
+    pipeline wants PUSHED, not polled.
+
+    State is one integer per key (the last epoch-second seen) — the
+    minimal-state shape that scales to any key cardinality; rows sort
+    by time inside each batch (micro-batch files can interleave), and
+    emission is append-only so the sink is replay-idempotent under the
+    checkpoint.
+    """
+    import pandas as pd
+
+    def detect(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            for ts in sorted(pdf["ts"]):
+                ep = int(pd.Timestamp(ts).timestamp())
+                if last is not None and ep - last > threshold_s:
+                    out.append(
+                        (
+                            key[0],
+                            pd.Timestamp(last, unit="s"),
+                            pd.Timestamp(ep, unit="s"),
+                            ep - last,
+                        )
+                    )
+                last = ep
+        state.update((last,))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "event_type",
+                    "gap_start",
+                    "gap_end",
+                    "gap_seconds",
+                ],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gaps = (
+        stream_df.select("event_type", "ts")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            detect,
+            outputStructType=_GAP_OUT_SCHEMA,
+            stateStructType=_GAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        gaps.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

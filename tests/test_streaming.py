@@ -785,3 +785,51 @@ def test_streaming_cdc_apply_matches_batch(spark, tmp_path):
         for r in registry.get("q_cdc_apply").fn(spark, sf).collect()
     }
     assert streamed == batch, len(streamed ^ batch)
+
+
+def test_streaming_gap_monitor_spans_batch_boundary(spark, tmp_path):
+    """A 3-hour hole whose two sides arrive in DIFFERENT micro-batches
+    must still be detected — the per-key state (last-seen epoch) has to
+    survive the batch boundary. Result must equal the batch lag-window
+    computation on the same data."""
+    from asyncdatapipeline_spark.streaming.curation import (
+        start_gap_monitor_stream,
+    )
+
+    rows1 = [(i, f"2024-01-01 09:{i:02d}:00", 1, "view", 0.0, "{}")
+             for i in range(30)]
+    rows2 = [(100 + i, f"2024-01-01 13:{i:02d}:00", 1, "view", 0.0, "{}")
+             for i in range(10)]
+    schema = ("event_id long, ts_s string, user_id long, event_type string,"
+              " value double, props string")
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema).select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.mode(mode).parquet(str(tmp_path / "gapsrc"))
+
+    write(rows1, "overwrite")
+    write(rows2, "append")
+    src_schema = spark.read.parquet(str(tmp_path / "gapsrc")).schema
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "gapsrc"))
+    )
+    sink = str(tmp_path / "gaps")
+    q = start_gap_monitor_stream(
+        stream, sink, str(tmp_path / "ckpt_gap"), threshold_s=3600
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got = [
+        (r["event_type"], str(r["gap_start"]), str(r["gap_end"]),
+         r["gap_seconds"])
+        for r in spark.read.parquet(sink).collect()
+    ]
+    # 09:29 -> 13:00 = 3h31m = 12660s, the only gap > 1h
+    assert got == [("view", "2024-01-01 09:29:00", "2024-01-01 13:00:00",
+                    12660)]
