@@ -2138,3 +2138,94 @@ def q_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f, 6).alias("f_stat"),
         (f > 3.32).alias("significant"),
     )
+
+
+@query(
+    "q_agg_spearman",
+    # Midranks via the doubled-integer trick (2*rank + ties - 1, always
+    # BIGINT; q_agg_mannwhitney's device) on BOTH axes, then Pearson on
+    # the doubled ranks from exact BIGINT power sums — scale factors
+    # cancel in the correlation, so doubling costs nothing.
+    oracle="""
+WITH t AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+),
+r AS (
+  SELECT
+    2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1
+      AS rx2,
+    2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1
+      AS ry2
+  FROM t
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+         CAST(sum(rx2 * rx2) AS HUGEINT) AS sxx,
+         CAST(sum(ry2 * ry2) AS HUGEINT) AS syy,
+         CAST(sum(rx2 * ry2) AS HUGEINT) AS sxy
+  FROM r
+)
+SELECT n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS spearman_rho
+FROM s
+""",
+)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and price — the
+    robust twin of q_agg_stats' Pearson (Pearson measures LINEAR
+    association and follows outliers; Spearman measures MONOTONE
+    association on ranks and doesn't — disagreement between them says
+    the relationship is nonlinear or outlier-driven, which IS the
+    finding). Completes the robust-statistics family: q_ts_theilsen
+    for trend, q_agg_mannwhitney for location, this for association.
+
+    Scale shape: two global rank orderings are the honest cost (one
+    per axis). Midrank ties stay exact via the DOUBLED-integer device
+    (2·rank + tie_len − 1 is always BIGINT; the ×2 scale factor
+    cancels in the correlation), so all power sums accumulate exactly
+    (HUGEINT/decimal for the squares) and the final rho is one
+    identical IEEE closed form. At 100 TB swap exact ranks for KLL
+    rank estimates (q_agg_kll), same formula.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
+    rx = (
+        2 * F.rank().over(W.orderBy("x"))
+        + F.count(F.lit(1)).over(W.partitionBy("x"))
+        - 1
+    )
+    ry = (
+        2 * F.rank().over(W.orderBy("y"))
+        + F.count(F.lit(1)).over(W.partitionBy("y"))
+        - 1
+    )
+    r = t.select(rx.cast("long").alias("rx2"), ry.cast("long").alias("ry2"))
+    big = "decimal(38,0)"
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2").cast(big) * F.col("rx2").cast(big)).alias("sxx"),
+        F.sum(F.col("ry2").cast(big) * F.col("ry2").cast(big)).alias("syy"),
+        F.sum(F.col("rx2").cast(big) * F.col("ry2").cast(big)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    rho = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select(
+        F.col("n"), F.round(rho, 6).alias("spearman_rho")
+    )

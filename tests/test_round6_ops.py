@@ -1054,3 +1054,26 @@ def test_rfm_migration_inactive_axes(spark, tmp_path_factory):
     for r in rowsout:
         shares[r["from_seg"]] += r["share_of_from"]
     assert all(abs(v - 1.0) < 1e-6 for v in shares.values())
+
+
+def test_spearman_monotone_vs_pearson(spark, tmp_path_factory):
+    """y = x^3 is perfectly monotone but nonlinear: Spearman must be
+    exactly 1.0 (values: lineitem fixture with quantity 1..6 and price
+    = cube)."""
+    out = tmp_path_factory.mktemp("spearman")
+    rows = [(i, i, 1, float(i), float(i ** 3)) for i in range(1, 7)]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double",
+    ).select(
+        "l_orderkey", "l_partkey",
+        F.col("l_partkey").alias("l_suppkey"), "l_linenumber",
+        "l_quantity", "l_extendedprice",
+        F.lit(0.0).alias("l_discount"), F.lit(0.0).alias("l_tax"),
+        F.lit("N").alias("l_returnflag"), F.lit("O").alias("l_linestatus"),
+        F.lit("1996-01-01").cast("timestamp").alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    r = registry.get("q_agg_spearman").fn(spark, str(out)).collect()[0]
+    assert r["n"] == 6
+    assert r["spearman_rho"] == 1.0
