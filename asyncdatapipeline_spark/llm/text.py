@@ -1768,6 +1768,8 @@ def q_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(stats))
         .select("doc_id", rel.alias("rel"), F.round(score, 6).alias("bm25"))
+        .localCheckpoint(eager=False)  # feeds ranked AND rel_total: the
+        # corpus scan + per-term tf extraction must run once, not per branch
     )
     ranked = (
         scored.filter(F.col("bm25") > 0)

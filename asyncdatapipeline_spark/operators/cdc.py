@@ -475,8 +475,6 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     version (validity intervals partition the timeline); the planted
     test asserts both resolution sides of the effective instant.
     """
-    from asyncdatapipeline_spark.operators.cdc import q_merge_scd2
-
     o = load_table(spark, sf_dir, "orders")
     dim = q_merge_scd2(spark, sf_dir).select(
         "c_custkey",

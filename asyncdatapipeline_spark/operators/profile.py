@@ -620,6 +620,9 @@ def q_profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.alias("p"),
         )
         .coalesce(1)
+        .localCheckpoint(eager=False)  # 9 rows feeding three branches
+        # (total, chi2, report) — without this the orders scan reruns
+        # per branch
     )
     t = x.agg(F.sum("n").cast("long").alias("total"))
     xt = x.crossJoin(F.broadcast(t))

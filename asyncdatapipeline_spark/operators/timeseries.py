@@ -1370,6 +1370,30 @@ FROM s ORDER BY lag
     )
 
 
+def _spine_cte_sql(view: str, carry: str = "") -> str:
+    """Render the shared daily-spine CTE prefix (per-type counts →
+    bounds → dense day spine) for a Spark-side query over ``view``.
+    ``carry`` adds bound columns the consumer needs on the spine (e.g.
+    ", b.d0" / ", b.d1"). One definition — the four series queries
+    (autocorr / theilsen / forecast / decompose) must share spine
+    semantics or a fill-rule fix silently diverges between them. The
+    DuckDB oracle strings stay standalone by design (the oracle must
+    be independently readable), so this helper is Spark-side only.
+    """
+    return f"""d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM {view} GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type{carry},
+         explode(sequence(b.d0, b.d1, INTERVAL 1 DAY)) AS day
+  FROM bounds b
+)"""
+
+
 @query(
     "q_ts_autocorr",
     # Same exact-arithmetic discipline as q_ts_crosscorr: dense daily
@@ -1452,17 +1476,7 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack_args = ", ".join(f"{k}, l{k}" for k in range(1, 8))
     return spark.sql(
         f"""
-WITH d AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
-  FROM acf_events GROUP BY 1, 2
-),
-bounds AS (
-  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
-),
-spine AS (
-  SELECT event_type, explode(sequence(d0, d1, INTERVAL 1 DAY)) AS day
-  FROM bounds
-),
+WITH {_spine_cte_sql("acf_events")},
 filled AS (
   SELECT s.event_type, s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS x
   FROM spine s
@@ -2473,19 +2487,8 @@ def q_ts_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     e.createOrReplaceTempView("sen_events")
     return spark.sql(
-        """
-WITH d AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
-  FROM sen_events GROUP BY 1, 2
-),
-bounds AS (
-  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
-),
-spine AS (
-  SELECT b.event_type, b.d0,
-         explode(sequence(b.d0, b.d1, INTERVAL 1 DAY)) AS day
-  FROM bounds b
-),
+        f"""
+WITH {_spine_cte_sql("sen_events", carry=", b.d0")},
 filled AS (
   SELECT s.event_type, datediff(s.day, s.d0) AS x,
          CAST(COALESCE(d.c, 0) AS BIGINT) AS y
@@ -3091,19 +3094,8 @@ def q_ts_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     e.createOrReplaceTempView("fc_events")
     return spark.sql(
-        """
-WITH d AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
-  FROM fc_events GROUP BY 1, 2
-),
-bounds AS (
-  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
-),
-spine AS (
-  SELECT b.event_type, b.d1,
-         explode(sequence(b.d0, b.d1, INTERVAL 1 DAY)) AS day
-  FROM bounds b
-),
+        f"""
+WITH {_spine_cte_sql("fc_events", carry=", b.d1")},
 filled AS (
   SELECT s.event_type, s.day, s.d1,
          CAST(COALESCE(d.c, 0) AS BIGINT) AS y
@@ -3355,19 +3347,8 @@ def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     e.createOrReplaceTempView("dec_events")
     return spark.sql(
-        """
-WITH d AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
-  FROM dec_events GROUP BY 1, 2
-),
-bounds AS (
-  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
-),
-spine AS (
-  SELECT b.event_type,
-         explode(sequence(b.d0, b.d1, INTERVAL 1 DAY)) AS day
-  FROM bounds b
-),
+        f"""
+WITH {_spine_cte_sql("dec_events")},
 filled AS (
   SELECT s.event_type, s.day,
          (datediff(s.day, DATE '1970-01-01') + 4) % 7 AS dow,

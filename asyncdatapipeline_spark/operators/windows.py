@@ -852,13 +852,19 @@ def q_win_topn_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("exited"), 1).otherwise(0))
             .cast("long")
             .alias("n_exited"),
-            F.array_join(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("entered"), F.col("pk"))
-                    )
-                ).cast("array<string>"),
-                ",",
+            # NULL (not '') when nothing entered: DuckDB's string_agg
+            # over zero non-NULL values is NULL, and a stable week must
+            # hash identically in both engines
+            F.nullif(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("entered"), F.col("pk"))
+                        )
+                    ).cast("array<string>"),
+                    ",",
+                ),
+                F.lit(""),
             ).alias("entered_parts"),
         )
         .orderBy("week_idx")

@@ -216,20 +216,24 @@ def start_cdc_apply_stream(
 
     spark = stream_df.sparkSession
 
+    def _state_exists() -> bool:
+        # FS-agnostic existence probe (local/HDFS/S3 alike): a blanket
+        # try/except around the read would treat ANY transient read
+        # failure as "first batch" and silently discard accumulated
+        # state — real errors must fail the micro-batch and retry.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        try:
+        new_events = batch_df.select("k", "op", "price", "status", "seq")
+        if _state_exists():
             prior = spark.read.parquet(state_path).select(
-                F.col("k"),
-                F.col("op"),
-                F.col("price"),
-                F.col("status"),
-                F.col("seq"),
+                "k", "op", "price", "status", "seq"
             )
-            feed = prior.unionByName(
-                batch_df.select("k", "op", "price", "status", "seq")
-            )
-        except Exception:
-            feed = batch_df.select("k", "op", "price", "status", "seq")
+            feed = prior.unionByName(new_events)
+        else:
+            feed = new_events
         merged = (
             cdc_merge(feed)
             .select(
@@ -273,8 +277,10 @@ def start_gap_monitor_stream(
     pipeline wants PUSHED, not polled.
 
     State is one integer per key (the last epoch-second seen) — the
-    minimal-state shape that scales to any key cardinality; rows sort
-    by time inside each batch (micro-batch files can interleave), and
+    minimal-state shape that scales to any key cardinality; the whole
+    micro-batch's rows sort by time BEFORE the fold (Arrow delivers a
+    large key as multiple chunks — per-chunk sorting would miss gaps
+    spanning chunks and regress the watermark), and
     emission is append-only so the sink is replay-idempotent under the
     checkpoint.
     """
@@ -282,19 +288,27 @@ def start_gap_monitor_stream(
 
     def detect(key, pdfs, state):
         last = state.get[0] if state.exists else None
+        # Gather EVERY chunk before sorting: a large key arrives as
+        # multiple Arrow chunks and per-chunk sorting would process
+        # rows out of time order across chunk boundaries (missing a
+        # real gap and regressing the watermark on a late chunk).
+        eps = sorted(
+            int(pd.Timestamp(ts).timestamp())
+            for pdf in pdfs
+            for ts in pdf["ts"]
+        )
         out = []
-        for pdf in pdfs:
-            for ts in sorted(pdf["ts"]):
-                ep = int(pd.Timestamp(ts).timestamp())
-                if last is not None and ep - last > threshold_s:
-                    out.append(
-                        (
-                            key[0],
-                            pd.Timestamp(last, unit="s"),
-                            pd.Timestamp(ep, unit="s"),
-                            ep - last,
-                        )
+        for ep in eps:
+            if last is not None and ep - last > threshold_s:
+                out.append(
+                    (
+                        key[0],
+                        pd.Timestamp(last, unit="s"),
+                        pd.Timestamp(ep, unit="s"),
+                        ep - last,
                     )
+                )
+            if last is None or ep > last:
                 last = ep
         state.update((last,))
         if out:

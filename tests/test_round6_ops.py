@@ -430,6 +430,36 @@ def test_topn_change_mover_diff(spark, tmp_path_factory):
     assert (r["n_entered"], r["n_exited"], r["entered_parts"]) == (1, 1, "3")
 
 
+def test_topn_change_stable_week_is_null(spark, tmp_path_factory):
+    """Two identical weeks: zero movers and entered_parts must be NULL
+    (not '') — DuckDB's string_agg over no rows is NULL and the hashes
+    must agree."""
+    out = tmp_path_factory.mktemp("movers_stable")
+    rows = [
+        (1, 1, "1996-01-01"), (2, 2, "1996-01-01"),
+        (3, 1, "1996-01-08"), (4, 2, "1996-01-08"),
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, sd string"
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        F.col("l_partkey").alias("l_suppkey"),
+        F.lit(1).alias("l_linenumber"),
+        F.lit(1.0).alias("l_quantity"),
+        F.lit(100.0).alias("l_extendedprice"),
+        F.lit(0.0).alias("l_discount"),
+        F.lit(0.0).alias("l_tax"),
+        F.lit("N").alias("l_returnflag"),
+        F.lit("O").alias("l_linestatus"),
+        F.col("sd").cast("timestamp").alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    r = registry.get("q_win_topn_change").fn(spark, str(out)).collect()
+    assert len(r) == 1
+    assert (r[0]["n_entered"], r[0]["n_exited"]) == (0, 0)
+    assert r[0]["entered_parts"] is None
+
+
 def test_spatial_grid_matches_bruteforce(spark, sf_dir):
     """The 3x3 grid-bucket join must find EXACTLY the pairs a
     brute-force cross join finds (cell-edge = radius guarantees no
