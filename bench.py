@@ -97,6 +97,10 @@ HEADLINE = [
     "q_graph_components",     # iterative: connected components
     "q_ts_theilsen",          # O(days^2) pairwise-slope median
     "q_text_readability",     # scan-bound regex counts + group sums
+    "q_eval_dedup",           # composite: exact-Jaccard truth vs LSH candidates
+    "q_rfm_migration",        # two ntile sorts + customer self-join matrix
+    "q_ts_decompose",         # STL-lite: window MA + dow seasonal join
+    "q_agg_spearman",         # two global rank orderings (the honest cost)
 ]
 
 

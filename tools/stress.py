@@ -100,6 +100,25 @@ QUERIES = [
     "q_agg_ttest",
     "q_text_readability",
     "q_split_time",
+    # round-6 second batch: statistics/eval/CDC/classification surface
+    "q_agg_anova",
+    "q_agg_mannwhitney",
+    "q_agg_spearman",
+    "q_agg_bootstrap",
+    "q_events_lifecycle",
+    "q_events_experiment",
+    "q_ts_survival",
+    "q_ts_forecast",
+    "q_ts_decompose",
+    "q_rfm_migration",
+    "q_orders_abc_xyz",
+    "q_orders_sla",
+    "q_profile_benford",
+    "q_eval_langid",
+    "q_dedup_transactions",
+    "q_join_pit",
+    "q_ts_busday",
+    "q_events_state_machine",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
