@@ -2229,3 +2229,131 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("n"), F.round(rho, 6).alias("spearman_rho")
     )
+
+
+@query(
+    "q_ml_linreg",
+    # Nine power sums in exact DECIMAL -> Cramer's rule for the 3x3
+    # normal equations in identical IEEE doubles; singular designs
+    # yield NULL coefficients via an exact-zero determinant guard
+    # (|det| tiny-but-nonzero is fine: both engines compute the SAME
+    # double, so the guard agrees).
+    oracle="""
+WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx1,
+         CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sx2,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+              AS DOUBLE) AS s11,
+         CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,6)))
+              AS DOUBLE) AS s22,
+         CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
+              AS DOUBLE) AS s12,
+         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS s1y,
+         CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS s2y,
+         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS syy
+  FROM lineitem
+),
+d AS (
+  SELECT *,
+         n * (s11 * s22 - s12 * s12)
+         - sx1 * (sx1 * s22 - s12 * sx2)
+         + sx2 * (sx1 * s12 - s11 * sx2) AS det
+  FROM s
+),
+b AS (
+  SELECT *,
+         (sy * (s11 * s22 - s12 * s12)
+          - sx1 * (s1y * s22 - s12 * s2y)
+          + sx2 * (s1y * s12 - s11 * s2y)) / det AS b0,
+         (n * (s1y * s22 - s12 * s2y)
+          - sy * (sx1 * s22 - s12 * sx2)
+          + sx2 * (sx1 * s2y - s1y * sx2)) / det AS b1,
+         (n * (s11 * s2y - s1y * s12)
+          - sx1 * (sx1 * s2y - s1y * sx2)
+          + sy * (sx1 * s12 - s11 * sx2)) / det AS b2
+  FROM d WHERE det != 0
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(b0, 6) AS beta0, round(b1, 6) AS beta1,
+       round(b2, 6) AS beta2,
+       round(1 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+               / (syy - sy * sy / n), 6) AS r2
+FROM b
+""",
+)
+def q_ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple linear regression: extendedprice ~ quantity
+    + discount, solved exactly via the 3x3 normal equations (Cramer's
+    rule) — q_agg_trend generalized beyond one regressor, and the "ML
+    in SQL" shape that covers most tabular regression asks without an
+    ML runtime: ONE aggregate pass produces nine power sums; the fit
+    is arithmetic on a single row.
+
+    Scale shape: the only data-sized work is one partial-aggregated
+    pass accumulating the sums in exact DECIMAL (order-free — the
+    Gram matrix is a sum of rank-1 updates and decimal addition
+    commutes); solving happens on ONE row in identical IEEE doubles,
+    so no distributed linear algebra, no iteration, no learning rate.
+    k regressors cost (k+1)(k+2)/2 sums and a k+1-determinant — the
+    closed form stays practical to k~5, after which you want an
+    actual solver. Singular designs (constant regressor, collinear
+    pair) hit the determinant guard and yield no fit row rather than
+    garbage coefficients. R² from the same sums, no second pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    big = "decimal(38,6)"
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1.cast(DEC)).cast("double").alias("sx1"),
+        F.sum(x2.cast(DEC)).cast("double").alias("sx2"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x1 * x1).cast(big)).cast("double").alias("s11"),
+        F.sum((x2 * x2).cast(big)).cast("double").alias("s22"),
+        F.sum((x1 * x2).cast(big)).cast("double").alias("s12"),
+        F.sum((x1 * y).cast(big)).cast("double").alias("s1y"),
+        F.sum((x2 * y).cast(big)).cast("double").alias("s2y"),
+        F.sum((y * y).cast(big)).cast("double").alias("syy"),
+    )
+    n, sx1, sx2, sy = (F.col(c) for c in ("n", "sx1", "sx2", "sy"))
+    s11, s22, s12 = (F.col(c) for c in ("s11", "s22", "s12"))
+    s1y, s2y, syy = (F.col(c) for c in ("s1y", "s2y", "syy"))
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - sx1 * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s12 - s11 * sx2)
+    )
+    b0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - sx1 * (s1y * s22 - s12 * s2y)
+        + sx2 * (s1y * s12 - s11 * s2y)
+    ) / det
+    b1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s2y - s1y * sx2)
+    ) / det
+    b2 = (
+        n * (s11 * s2y - s1y * s12)
+        - sx1 * (sx1 * s2y - s1y * sx2)
+        + sy * (sx1 * s12 - s11 * sx2)
+    ) / det
+    return (
+        s.withColumn("det", det)
+        .filter(F.col("det") != 0)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round(b0, 6).alias("beta0"),
+            F.round(b1, 6).alias("beta1"),
+            F.round(b2, 6).alias("beta2"),
+            F.round(
+                1 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / (syy - sy * sy / n),
+                6,
+            ).alias("r2"),
+        )
+    )

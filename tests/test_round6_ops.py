@@ -1145,3 +1145,35 @@ def test_abc_xyz_classification_semantics(spark, tmp_path_factory):
     xyz_by_part_class = {k[1]: v for k, v in got.items()}
     assert "X" in xyz_by_part_class and "Z" in xyz_by_part_class
     assert sum(v[0] for v in got.values()) == 2
+
+
+def test_linreg_recovers_planted_plane(spark, tmp_path_factory):
+    """y = 5 + 3*x1 - 2*x2 exactly (no noise): the normal equations
+    must recover the coefficients and R^2 = 1."""
+    out = tmp_path_factory.mktemp("linreg")
+    rows = []
+    k = 0
+    for x1 in [1.0, 2.0, 3.0, 4.0]:
+        for x2 in [0.0, 0.1, 0.2]:
+            rows.append((k, 1, x1, x2, 5 + 3 * x1 - 2 * x2))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_discount double, l_extendedprice double",
+    ).select(
+        "l_orderkey", "l_partkey",
+        F.col("l_partkey").alias("l_suppkey"),
+        F.lit(1).alias("l_linenumber"),
+        "l_quantity", "l_extendedprice", "l_discount",
+        F.lit(0.0).alias("l_tax"),
+        F.lit("N").alias("l_returnflag"), F.lit("O").alias("l_linestatus"),
+        F.lit("1996-01-01").cast("timestamp").alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    r = registry.get("q_ml_linreg").fn(spark, str(out)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["beta0"] == 5.0
+    assert row["beta1"] == 3.0
+    assert row["beta2"] == -2.0
+    assert row["r2"] == 1.0
