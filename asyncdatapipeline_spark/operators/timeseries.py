@@ -3384,3 +3384,121 @@ FROM tr t JOIN seas s ON s.event_type = t.event_type AND s.dow = t.dow
 ORDER BY t.event_type, t.day
 """
     )
+
+
+_MKV_SCALE = 10**6   # probability micro-units (the pagerank device)
+_MKV_ITERS = 8       # fixed, bounded power iterations
+
+
+def _mkv_iter_sql(it: int, prev: int) -> str:
+    return f"""
+v{it} AS (
+  SELECT p.tt AS t, CAST(sum(v{prev}.m * p.pm // {_MKV_SCALE}) AS BIGINT) AS m
+  FROM p JOIN v{prev} ON v{prev}.t = p.f
+  GROUP BY p.tt
+)"""
+
+
+def _markov_stationary_oracle() -> str:
+    iters = ",".join(
+        _mkv_iter_sql(i, i - 1) for i in range(1, _MKV_ITERS + 1)
+    )
+    return f"""
+WITH t AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY date_trunc('second', ts), event_id) AS nxt
+  FROM events
+),
+c AS (
+  SELECT event_type AS f, nxt AS tt, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+rt AS (SELECT f, sum(n) AS tot FROM c GROUP BY f),
+p AS (
+  SELECT c.f, c.tt, CAST(c.n * {_MKV_SCALE} // rt.tot AS BIGINT) AS pm
+  FROM c JOIN rt USING (f)
+),
+types AS (SELECT DISTINCT f AS t FROM c),
+k AS (SELECT count(*) AS nt FROM types),
+v0 AS (
+  SELECT t, CAST({_MKV_SCALE} // (SELECT nt FROM k) AS BIGINT) AS m
+  FROM types
+),
+{iters}
+SELECT t AS event_type,
+       CAST(m AS BIGINT) AS stationary_micro,
+       round(CAST(m AS DOUBLE) / {_MKV_SCALE}, 6) AS stationary_prob
+FROM v{_MKV_ITERS} ORDER BY stationary_micro DESC, event_type
+"""
+
+
+@query("q_events_markov_stationary", oracle=_markov_stationary_oracle())
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — where
+    user behavior settles in the long run (q_events_markov reports the
+    one-step transition structure; its leading eigenvector is the
+    steady-state mix, the number capacity planning and content-mix
+    decisions actually want). Computed by {iters} fixed power
+    iterations in INTEGER micro-units — the q_graph_pagerank
+    determinism device: float iteration would accumulate
+    partition-order drift, and floor-division micro-units make every
+    round exactly reproducible in both engines (the ~1e-6-per-round
+    floor leakage is reported honestly via the raw micro mass).
+
+    Scale shape: the data-sized work is ONE window pass + the |types|²
+    transition count (q_events_markov's plan); the iteration then
+    lives entirely on a types-sized frame — each round one tiny
+    join+agg, {iters} rounds, nothing iterates over event volume.
+    Convergence is geometric in the chain's mixing rate; {iters}
+    rounds pin 6 decimal places on this ergodic 5-state chain.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy(
+        F.date_trunc("second", "ts"), "event_id"
+    )
+    t = e.select(
+        "event_type", F.lead("event_type").over(wo).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = t.groupBy(
+        F.col("event_type").alias("f"), F.col("nxt").alias("tt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rt = c.groupBy("f").agg(F.sum("n").alias("tot"))
+    p = (
+        c.join(rt, "f")
+        .select(
+            "f",
+            "tt",
+            F.expr(f"CAST(n * {_MKV_SCALE} div tot AS BIGINT)").alias("pm"),
+        )
+        .localCheckpoint()  # tiny; feeds every iteration round
+    )
+    types = p.select(F.col("f").alias("t")).distinct()
+    nt = types.count()  # one driver scalar (types count), sanctioned O(1)
+    v = types.select(
+        "t", F.lit(_MKV_SCALE // nt).cast("long").alias("m")
+    ).localCheckpoint()
+    for _ in range(_MKV_ITERS):
+        v = (
+            p.join(v, p.f == v.t)
+            .select(
+                F.col("tt").alias("t2"),
+                F.expr(f"m * pm div {_MKV_SCALE}").alias("contrib"),
+            )
+            .groupBy(F.col("t2").alias("t"))
+            .agg(F.sum("contrib").cast("long").alias("m"))
+            .localCheckpoint()  # truncate lineage per round
+        )
+    return v.select(
+        F.col("t").alias("event_type"),
+        F.col("m").alias("stationary_micro"),
+        F.round(F.col("m").cast("double") / _MKV_SCALE, 6).alias(
+            "stationary_prob"
+        ),
+    ).orderBy(F.col("stationary_micro").desc(), "event_type")
+
+
+q_events_markov_stationary.__doc__ = (
+    q_events_markov_stationary.__doc__.format(iters=_MKV_ITERS)
+)

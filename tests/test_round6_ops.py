@@ -1177,3 +1177,29 @@ def test_linreg_recovers_planted_plane(spark, tmp_path_factory):
     assert row["beta1"] == 3.0
     assert row["beta2"] == -2.0
     assert row["r2"] == 1.0
+
+
+def test_markov_stationary_two_state_chain(spark, tmp_path_factory):
+    """A chain alternating a->b->a->b... for one user plus a b->b
+    self-loop user gives a chain where b is stickier: stationary mass
+    of b must exceed a, and masses sum to ~1 (floor leakage < 1e-5)."""
+    out = tmp_path_factory.mktemp("mkvstat")
+    rows = []
+    eid = 0
+    for i in range(20):  # u1: a,b,a,b,...
+        rows.append((eid, f"2024-01-01 00:{i:02d}:00", 1,
+                     "a" if i % 2 == 0 else "b", 0.0))
+        eid += 1
+    for i in range(10):  # u2: b,b,b,...
+        rows.append((eid, f"2024-01-01 01:{i:02d}:00", 2, "b", 0.0))
+        eid += 1
+    _write_events(spark, out, rows)
+    got = {
+        r["event_type"]: r["stationary_prob"]
+        for r in registry.get("q_events_markov_stationary")
+        .fn(spark, str(out))
+        .collect()
+    }
+    assert set(got) == {"a", "b"}
+    assert got["b"] > got["a"]
+    assert abs(sum(got.values()) - 1.0) < 1e-4
