@@ -322,3 +322,112 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_nodes").desc(), "component_id")
     )
+
+
+_BFS_MAX_HOPS = 6
+_BFS_SEED_RANK = 1  # seed = smallest part key in the support graph
+
+
+@query(
+    "q_graph_bfs",
+    # Spark runs frontier expansion; the oracle computes the same
+    # fixpoint declaratively — recursive CTE carrying (node, dist),
+    # min() per node (a node reached at hop 2 and hop 3 keeps 2),
+    # capped at the same hop budget.
+    oracle=f"""
+WITH RECURSIVE
+op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sz AS (
+  SELECT l_orderkey FROM op GROUP BY l_orderkey
+  HAVING count(*) BETWEEN 2 AND {_BASKET_MAX_ITEMS}
+),
+ok AS (SELECT op.l_orderkey, op.l_partkey FROM op JOIN sz USING (l_orderkey)),
+pr AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM ok a JOIN ok b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM pr UNION SELECT v, u FROM pr
+),
+seed AS (SELECT min(src) AS s FROM edges),
+reach AS (
+  SELECT s AS node, 0 AS dist FROM seed
+  UNION
+  SELECT e.dst, r.dist + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.dist < {_BFS_MAX_HOPS}
+)
+SELECT node, CAST(min(dist) AS INTEGER) AS hops
+FROM reach GROUP BY node ORDER BY hops, node
+""",
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from a seed part (the smallest key in the
+    support-filtered co-purchase graph) out to {hops} hops — the
+    "how far is everything from X" primitive behind related-product
+    radius queries and blast-radius analysis (components say WHETHER
+    two parts connect; this says HOW CLOSE).
+
+    The iterative frontier shape on Spark: each round joins the
+    CURRENT frontier (nodes first reached last round — not the full
+    visited set) against the edge list, anti-joins visited to keep
+    first-reach distances, and localCheckpoints both frames (lineage
+    truncation, the q_dedup_clusters discipline). Rounds are bounded
+    by the hop budget, and per-round cost is frontier-sized — on the
+    support graph (sparse by the B84b threshold) frontiers stay small.
+    The oracle computes the identical fixpoint as a recursive CTE with
+    min(dist) per node.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sz = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
+        .select("l_orderkey")
+    )
+    ok = op.join(sz, "l_orderkey")
+    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pr = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("u", "v")
+    )
+    edges = (
+        pr.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .union(pr.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed = edges.agg(F.min("src").alias("s")).collect()[0]["s"]
+    visited = (
+        edges.sparkSession.createDataFrame(
+            [(int(seed), 0)], "node long, hops int"
+        ).localCheckpoint()
+    )
+    frontier = visited
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select(
+        "node", F.col("hops").cast("int").alias("hops")
+    ).orderBy("hops", "node")
+
+
+q_graph_bfs.__doc__ = q_graph_bfs.__doc__.format(hops=_BFS_MAX_HOPS)

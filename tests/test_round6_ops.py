@@ -1203,3 +1203,42 @@ def test_markov_stationary_two_state_chain(spark, tmp_path_factory):
     assert set(got) == {"a", "b"}
     assert got["b"] > got["a"]
     assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_bfs_hop_distances_on_chain(spark, tmp_path_factory):
+    """Chain 10-11-12-13 (each edge co-purchased twice): seed=10 gives
+    hops 0,1,2,3; a disconnected pair {20,21} never appears."""
+    out = tmp_path_factory.mktemp("bfs")
+    baskets = [
+        (1, [10, 11]), (2, [10, 11]),
+        (3, [11, 12]), (4, [11, 12]),
+        (5, [12, 13]), (6, [12, 13]),
+        (7, [20, 21]), (8, [20, 21]),
+    ]
+    rows = []
+    for okey, parts in baskets:
+        for i, pk in enumerate(parts):
+            rows.append((okey, pk, i + 1, 1.0, 1.0, 0.0, "N", "1996-01-01"))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_linenumber int, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_returnflag string,"
+        " sd string",
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        F.col("l_partkey").alias("l_suppkey"),
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        F.lit(0.0).alias("l_tax"),
+        "l_returnflag",
+        F.lit("O").alias("l_linestatus"),
+        F.col("sd").cast("timestamp").alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    got = {
+        r["node"]: r["hops"]
+        for r in registry.get("q_graph_bfs").fn(spark, str(out)).collect()
+    }
+    assert got == {10: 0, 11: 1, 12: 2, 13: 3}
