@@ -2357,3 +2357,134 @@ def q_ml_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r2"),
         )
     )
+
+
+@query(
+    "q_agg_mutual_info",
+    # Every ln argument is an exact integer ratio; each ln rounds to
+    # 9dp and the WEIGHTED sums run in DECIMAL (integer weight x
+    # 12dp decimal is exact) — the unigram-ppl ln-contract applied to
+    # information measures. dow from integer epoch-day arithmetic.
+    oracle="""
+WITH t AS (
+  SELECT event_type AS a,
+         (CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) + 4) % 7
+           AS b
+  FROM events
+),
+c AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+ra AS (SELECT a, sum(n) AS na FROM c GROUP BY a),
+rb AS (SELECT b, sum(n) AS nb FROM c GROUP BY b),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+mi AS (
+  SELECT CAST(sum(c.n * CAST(round(ln(CAST(tot.nn AS DOUBLE) * c.n
+                                     / (ra.na * rb.nb)), 9)
+                             AS DECIMAL(28,12))) AS DOUBLE)
+           / (SELECT nn FROM tot) AS mi_nats
+  FROM c JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN tot
+),
+ha AS (
+  SELECT CAST(sum(na * CAST(round(ln(CAST(tot.nn AS DOUBLE) / na), 9)
+                            AS DECIMAL(28,12))) AS DOUBLE)
+           / (SELECT nn FROM tot) AS h_type
+  FROM ra CROSS JOIN tot
+),
+hb AS (
+  SELECT CAST(sum(nb * CAST(round(ln(CAST(tot.nn AS DOUBLE) / nb), 9)
+                            AS DECIMAL(28,12))) AS DOUBLE)
+           / (SELECT nn FROM tot) AS h_dow
+  FROM rb CROSS JOIN tot
+)
+SELECT tot.nn AS n,
+       round(mi.mi_nats, 6) AS mi_nats,
+       round(ha.h_type, 6) AS h_type,
+       round(hb.h_dow, 6) AS h_dow,
+       CASE WHEN least(ha.h_type, hb.h_dow) > 0
+            THEN round(mi.mi_nats / least(ha.h_type, hb.h_dow), 6)
+            ELSE 0.0 END AS nmi
+FROM tot CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+""",
+)
+def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and day-of-week (plus
+    both marginal entropies and normalized MI) — the model-free
+    dependence measure beside q_ts_seasonality's chi-square: chi²
+    answers "is there ANY association" with a significance test; MI
+    answers "HOW MUCH information does weekday carry about behavior"
+    in nats, comparable across feature pairs — which is exactly the
+    feature-selection ranking question.
+
+    Scale shape: one partial-aggregated pass to the |types|×7
+    contingency table; marginals and all three information sums live
+    on that dimension-sized frame. Determinism: every ln argument is
+    an exact integer ratio, each ln rounds to 9dp and enters a DECIMAL
+    weighted sum (integer count × 12dp decimal is exact, order-free) —
+    the q_text_unigram_ppl ln-contract applied to information theory;
+    dow comes from pure integer epoch-day arithmetic (q_ts_busday
+    convention). Zero-count cells contribute nothing by construction
+    (0·ln0 → absent row), matching the MI definition's limit.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        + 4
+    ) % 7
+    t = e.select(F.col("event_type").alias("a"), dow.alias("b"))
+    c = t.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    ra = c.groupBy("a").agg(F.sum("n").alias("na"))
+    rb = c.groupBy("b").agg(F.sum("n").alias("nb"))
+    tot = F.broadcast(c.agg(F.sum("n").cast("long").alias("nn")))
+    ln9 = lambda x: F.round(F.log(x), 9).cast("decimal(28,12)")  # noqa: E731
+    mi = (
+        c.join(ra, "a")
+        .join(rb, "b")
+        .crossJoin(tot)
+        .agg(
+            (
+                F.sum(
+                    F.col("n")
+                    * ln9(
+                        F.col("nn").cast("double")
+                        * F.col("n")
+                        / (F.col("na") * F.col("nb"))
+                    )
+                ).cast("double")
+                / F.first("nn")
+            ).alias("mi_nats")
+        )
+    )
+    ha = ra.crossJoin(tot).agg(
+        (
+            F.sum(
+                F.col("na") * ln9(F.col("nn").cast("double") / F.col("na"))
+            ).cast("double")
+            / F.first("nn")
+        ).alias("h_type")
+    )
+    hb = rb.crossJoin(tot).agg(
+        (
+            F.sum(
+                F.col("nb") * ln9(F.col("nn").cast("double") / F.col("nb"))
+            ).cast("double")
+            / F.first("nn")
+        ).alias("h_dow")
+    )
+    return (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("nn").alias("n"),
+            F.round("mi_nats", 6).alias("mi_nats"),
+            F.round("h_type", 6).alias("h_type"),
+            F.round("h_dow", 6).alias("h_dow"),
+            F.when(
+                F.least("h_type", "h_dow") > 0,
+                F.round(
+                    F.col("mi_nats") / F.least("h_type", "h_dow"), 6
+                ),
+            )
+            .otherwise(0.0)
+            .alias("nmi"),
+        )
+    )

@@ -1242,3 +1242,36 @@ def test_bfs_hop_distances_on_chain(spark, tmp_path_factory):
         for r in registry.get("q_graph_bfs").fn(spark, str(out)).collect()
     }
     assert got == {10: 0, 11: 1, 12: 2, 13: 3}
+
+
+def test_mutual_info_extremes(spark, tmp_path_factory):
+    """Perfect dependence (each type occurs on exactly one weekday,
+    uniformly) gives NMI == 1; independence (every type on every
+    weekday equally) gives MI == 0."""
+    import datetime
+
+    d0 = datetime.date(2024, 1, 1)  # a Monday
+    out1 = tmp_path_factory.mktemp("mi_dep")
+    rows = []
+    eid = 0
+    # type 'a' only on Mondays, 'b' only on Tuesdays, 10 each
+    for k in range(10):
+        rows.append((eid, f"{d0 + datetime.timedelta(weeks=k)} 09:00:00",
+                     1, "a", 0.0)); eid += 1
+        rows.append((eid,
+                     f"{d0 + datetime.timedelta(weeks=k, days=1)} 09:00:00",
+                     1, "b", 0.0)); eid += 1
+    _write_events(spark, out1, rows)
+    r = registry.get("q_agg_mutual_info").fn(spark, str(out1)).collect()[0]
+    assert r["nmi"] == 1.0
+
+    out2 = tmp_path_factory.mktemp("mi_ind")
+    rows = []
+    eid = 0
+    for day in range(14):  # both types every day, equally
+        d = d0 + datetime.timedelta(days=day)
+        for ty in ("a", "b"):
+            rows.append((eid, f"{d} 09:00:00", 1, ty, 0.0)); eid += 1
+    _write_events(spark, out2, rows)
+    r2 = registry.get("q_agg_mutual_info").fn(spark, str(out2)).collect()[0]
+    assert r2["mi_nats"] == 0.0
