@@ -3502,3 +3502,179 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_events_markov_stationary.__doc__ = (
     q_events_markov_stationary.__doc__.format(iters=_MKV_ITERS)
 )
+
+
+@query(
+    "q_events_cuped",
+    # Everything from exact BIGINT power sums over per-user pre/post
+    # counts: theta = cov(x,y)/var(x), var(y_adj) = var(y) -
+    # cov^2/var(x), arm-adjusted means via per-arm sums — identical
+    # IEEE closed forms; the period boundary is the exact integer
+    # epoch midpoint and arms are md5 parity (q_events_experiment).
+    oracle="""
+WITH b AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+  FROM events
+),
+u AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UINTEGER % 2
+           AS arm,
+         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                            <= (SELECT mid FROM b)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                            > (SELECT mid FROM b)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+         CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+         CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS syb
+  FROM u
+),
+d AS (
+  SELECT *,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS theta,
+         (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * n) AS var_y,
+         (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           / (CAST(n AS DOUBLE) * n) AS var_x,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * n) AS cov_xy
+  FROM s WHERE n * sxx - sx * sx > 0
+)
+SELECT n, round(theta, 6) AS theta,
+       round(var_y, 6) AS var_y,
+       round(var_y - cov_xy * cov_xy / var_x, 6) AS var_y_adj,
+       round((cov_xy * cov_xy / var_x) / var_y, 6) AS var_reduction,
+       CASE WHEN na > 0
+            THEN round((CAST(sya AS DOUBLE) / na)
+                       - theta * (CAST(sxa AS DOUBLE) / na
+                                  - CAST(sx AS DOUBLE) / n), 6)
+       END AS adj_mean_a,
+       CASE WHEN nb > 0
+            THEN round((CAST(syb AS DOUBLE) / nb)
+                       - theta * (CAST(sxb AS DOUBLE) / nb
+                                  - CAST(sx AS DOUBLE) / n), 6)
+       END AS adj_mean_b
+FROM d
+""",
+)
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout: per-user
+    pre-period activity (the covariate every platform has for free)
+    adjusts the post-period metric, shrinking its variance by
+    cov²/var(x) — the technique that cuts experiment runtimes 30-50%
+    in production platforms, because the same |arm-mean difference|
+    clears significance with fewer users. Reports theta, raw and
+    adjusted metric variance, the reduction share, and the adjusted
+    per-arm means (arms = q_events_experiment's md5 assignment; the
+    period boundary is q_split_time's exact epoch midpoint device).
+
+    Scale shape: ONE pass reduces events to per-user (arm, pre-count,
+    post-count); ONE global aggregate collects all twelve exact BIGINT
+    power/arm sums; every statistic after — theta, adjusted variance,
+    per-arm adjusted means (mean_y_arm − θ(mean_x_arm − mean_x), the
+    algebraic identity that avoids materializing y_adj rows at all) —
+    is a closed form on one row. The constant-covariate degenerate
+    case exits via the exact-integer var(x) guard.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ep = F.floor(F.unix_timestamp("ts")).cast("long")
+    b = F.broadcast(
+        e.agg(F.floor((F.min(ep) + F.max(ep)) / 2).cast("long").alias("mid"))
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 2
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    u = (
+        e.crossJoin(b)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(ep <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(ep > F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .select(arm.alias("arm"), "x", "y")
+    )
+    agg = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    ]
+    for tag, aval in (("a", 0), ("b", 1)):
+        onarm = F.col("arm") == aval
+        agg += [
+            F.sum(F.when(onarm, 1).otherwise(0)).cast("long").alias(f"n{tag}"),
+            F.sum(F.when(onarm, F.col("x")).otherwise(0))
+            .cast("long")
+            .alias(f"sx{tag}"),
+            F.sum(F.when(onarm, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"sy{tag}"),
+        ]
+    s = u.agg(*agg)
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = (
+        F.col("sxx").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    var_y = (n * syy - sy * sy) / (n * n)
+    var_x = (n * sxx - sx * sx) / (n * n)
+    cov = (n * sxy - sx * sy) / (n * n)
+    adj_mean = lambda syk, sxk, nk: (  # noqa: E731
+        syk.cast("double") / nk
+        - theta * (sxk.cast("double") / nk - sx / n)
+    )
+    return (
+        s.filter(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+        )
+        .select(
+            "n",
+            F.round(theta, 6).alias("theta"),
+            F.round(var_y, 6).alias("var_y"),
+            F.round(var_y - cov * cov / var_x, 6).alias("var_y_adj"),
+            F.round((cov * cov / var_x) / var_y, 6).alias("var_reduction"),
+            F.when(
+                F.col("na") > 0,
+                F.round(
+                    adj_mean(F.col("sya"), F.col("sxa"), F.col("na")), 6
+                ),
+            ).alias("adj_mean_a"),
+            F.when(
+                F.col("nb") > 0,
+                F.round(
+                    adj_mean(F.col("syb"), F.col("sxb"), F.col("nb")), 6
+                ),
+            ).alias("adj_mean_b"),
+        )
+    )

@@ -1275,3 +1275,27 @@ def test_mutual_info_extremes(spark, tmp_path_factory):
     _write_events(spark, out2, rows)
     r2 = registry.get("q_agg_mutual_info").fn(spark, str(out2)).collect()[0]
     assert r2["mi_nats"] == 0.0
+
+
+def test_cuped_perfect_covariate(spark, tmp_path_factory):
+    """When post-period count is EXACTLY pre-period count per user
+    (y = x), theta = 1 and the adjusted variance is 0 (reduction 1.0)."""
+    out = tmp_path_factory.mktemp("cuped")
+    rows = []
+    eid = 0
+    # users 1..6 with k events in each half (hours 0-9 pre, 14-23 post)
+    for uid in range(1, 7):
+        for k in range(uid):
+            rows.append((eid, f"2024-01-01 {k:02d}:00:00", uid, "x", 0.0))
+            eid += 1
+            rows.append((eid, f"2024-01-01 {14 + k:02d}:00:00", uid, "x", 0.0))
+            eid += 1
+    _write_events(spark, out, rows)
+    r = registry.get("q_events_cuped").fn(spark, str(out)).collect()[0]
+    assert r["n"] == 6
+    assert r["theta"] == 1.0
+    assert r["var_y_adj"] == 0.0
+    assert r["var_reduction"] == 1.0
+    # with every user in one md5 arm, the empty arm reports NULL
+    means = [r["adj_mean_a"], r["adj_mean_b"]]
+    assert any(m is not None for m in means)
