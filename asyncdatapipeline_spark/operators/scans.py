@@ -551,3 +551,88 @@ def q_scan_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nation_pull_fn(sf_dir),
         schema="n_nationkey int, n_name string, n_regionkey int",
     ).orderBy("n_nationkey")
+
+
+@query(
+    "q_scan_csv_multiline",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan in multiLine mode: quoted fields containing embedded
+    NEWLINES (the classic CSV-dialect trap — address/comment columns
+    exported by spreadsheets) round-trip correctly. The fixture
+    re-lands nation with each name wrapped as 'X\\nY' and the reader
+    must reassemble it; the result is verified equal to the source
+    table after stripping the planted newline.
+
+    Scale honesty documented: ``multiLine`` disables newline-based
+    record splitting, so each FILE becomes one parse unit (like XML) —
+    at 100 TB you keep multiline CSV out of the hot path entirely and
+    re-land to parquet on first touch (q_scan_text doctrine); this
+    entry exists because ingest corpora arrive in this shape whether
+    you like it or not.
+    """
+    path = _scratch(sf_dir, "nation_csv_ml")
+    n = load_table(spark, sf_dir, "nation")
+    # plant a real newline INSIDE the quoted name field
+    n.select(
+        "n_nationkey",
+        F.concat(F.substring("n_name", 1, 2), F.lit("\n"),
+                 F.expr("substring(n_name, 3)")).alias("n_name"),
+        "n_regionkey",
+    ).coalesce(1).write.mode("overwrite").option("header", "true").option(
+        "quoteAll", "true"
+    ).csv(path)
+    return (
+        spark.read.schema(NATION_SCHEMA)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .csv(path)
+        .select(
+            "n_nationkey",
+            F.regexp_replace("n_name", "\n", "").alias("n_name"),
+            "n_regionkey",
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "q_scan_json_array",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def q_scan_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scan in multiLine mode: one top-level JSON ARRAY per file
+    (the REST-API-dump shape) instead of JSON-lines — the other half of
+    the JSON ingest surface beside q_scan_json (APIs return arrays;
+    log shippers emit lines; a pipeline meets both). The fixture
+    re-lands region as a single pretty-printed array and the reader
+    must explode it back to rows equal to the source table.
+
+    Same parse-unit caveat as multiLine CSV/XML: one array file = one
+    parse task, so the writer side shards into many files at scale.
+    """
+    import json as _json
+
+    path = _scratch(sf_dir, "region_json_array")
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        rows = [
+            {"r_regionkey": r["r_regionkey"], "r_name": r["r_name"]}
+            for r in load_table(spark, sf_dir, "region")
+            .select("r_regionkey", "r_name")
+            .orderBy("r_regionkey")
+            .collect()  # dimension-sized (5 rows): fixture build only
+        ]
+        with open(os.path.join(path, "regions.json"), "w") as f:
+            _json.dump(rows, f, indent=2)
+        with open(marker, "w"):
+            pass
+    return (
+        spark.read.schema(REGION_SCHEMA)
+        .option("multiLine", "true")
+        .json(os.path.join(path, "regions.json"))
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    )
