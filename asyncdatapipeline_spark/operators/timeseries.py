@@ -3678,3 +3678,67 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adj_mean_b"),
         )
     )
+
+
+@query(
+    "q_events_stickiness",
+    # All-integer: the distinct (user, day) frame gives Σdaily-actives
+    # (row count), observed days, and WAU per epoch-week; stickiness is
+    # one guarded ratio of exact integers.
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events
+)
+SELECT week,
+       CAST(count(*) AS BIGINT) AS active_user_days,
+       CAST(count(DISTINCT day) AS BIGINT) AS days_observed,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS wau,
+       round((CAST(count(*) AS DOUBLE) / count(DISTINCT day))
+             / count(DISTINCT user_id), 6) AS stickiness
+FROM ud GROUP BY week ORDER BY week
+""",
+)
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly stickiness (avg DAU / WAU): of the users active at all
+    in a week, what share shows up on an average day — THE engagement
+    ratio (the DAU/MAU of growth dashboards, at weekly grain where the
+    fixture has density). 1.0 = everyone active daily; 1/7 = everyone
+    a one-day visitor. q_events_lifecycle classifies WHO the weekly
+    actives are; this measures how INTENSELY they engage.
+
+    Scale shape: events reduce once to the DISTINCT (user, day) frame
+    (the q_events_lifecycle / q_win_streak reduction — the single
+    volume-sized step); each week's Σ-daily-actives is then just a row
+    count, WAU a distinct count, and stickiness one guarded integer
+    ratio. Days are counted as OBSERVED days (partial first/last weeks
+    divide by their real day count, not a hardcoded 7 — the edge-week
+    inflation bug in naive DAU/WAU).
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week"),
+    ).distinct()
+    return (
+        ud.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("active_user_days"),
+            F.countDistinct("day").alias("days_observed"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .select(
+            "week",
+            "active_user_days",
+            "days_observed",
+            "wau",
+            F.round(
+                (F.col("active_user_days").cast("double") / F.col("days_observed"))
+                / F.col("wau"),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("week")
+    )

@@ -1299,3 +1299,25 @@ def test_cuped_perfect_covariate(spark, tmp_path_factory):
     # with every user in one md5 arm, the empty arm reports NULL
     means = [r["adj_mean_a"], r["adj_mean_b"]]
     assert any(m is not None for m in means)
+
+
+def test_stickiness_daily_vs_one_day_users(spark, tmp_path_factory):
+    """One full epoch week: u1 active all 7 days, u2 active 1 day ->
+    avg DAU = 8/7, WAU = 2, stickiness = 4/7."""
+    out = tmp_path_factory.mktemp("sticky")
+    import datetime
+
+    base = (1704067200 // 604800 + 1) * 604800  # epoch-week start
+    d0 = datetime.datetime.utcfromtimestamp(base).date()
+    rows = []
+    eid = 0
+    for day in range(7):
+        d = d0 + datetime.timedelta(days=day)
+        rows.append((eid, f"{d} 09:00:00", 1, "x", 0.0)); eid += 1
+    rows.append((eid, f"{d0} 10:00:00", 2, "x", 0.0))
+    _write_events(spark, out, rows)
+    r = registry.get("q_events_stickiness").fn(spark, str(out)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["active_user_days"], row["days_observed"], row["wau"]) == (8, 7, 2)
+    assert row["stickiness"] == round((8 / 7) / 2, 6)
