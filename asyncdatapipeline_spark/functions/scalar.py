@@ -787,3 +787,60 @@ def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(ist, "yyyy-MM-dd").alias("ist_date"),
         F.hour(ist).between(9, 17).alias("ist_business_hours"),
     )
+
+
+@query(
+    "q_fn_calendar",
+    # Verified convention-identical across engines: month addition
+    # CLAMPS at month end (Jan 31 + 1mo = Feb 29) in both; last_day
+    # and quarter truncation agree; month distance uses pure integer
+    # (year*12+month) arithmetic because months_between conventions
+    # (fractional vs count) differ between engines.
+    oracle="""
+SELECT DISTINCT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS VARCHAR)
+    AS next_month,
+  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR)
+    AS next_quarter_same_day,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+  CAST(CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+       AS VARCHAR) AS quarter_start,
+  CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS q,
+  CAST(year(CAST(o_orderdate AS DATE)) * 12
+       + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS month_idx,
+  CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE))
+    AS is_month_end
+FROM orders ORDER BY d
+""",
+)
+def q_fn_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-edge function surface (B38 family): month addition on
+    month-end dates (Jan 31 + 1 month = Feb 29 — CLAMPED, the fiscal
+    convention both engines share, probed and pinned by the planted
+    test), last_day, quarter truncation/number, a pure-integer month
+    index (year·12+month — months_between is deliberately ABSENT:
+    Spark's fractional convention and DuckDB's month-count convention
+    disagree, so cross-engine month distances must be integer
+    arithmetic), and the is-month-end flag every fiscal rollup gates
+    on.
+
+    Row-local codegen over the DISTINCT dates frame — calendar
+    functions are dimension work; at scale this materializes once as
+    the date dimension every mart joins, not per-fact-row.
+    """
+    d = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    return d.select(
+        F.col("d").cast("string").alias("d"),
+        F.add_months("d", 1).cast("string").alias("next_month"),
+        F.add_months("d", 3).cast("string").alias("next_quarter_same_day"),
+        F.last_day("d").cast("string").alias("month_end"),
+        F.date_trunc("quarter", "d")
+        .cast("date")
+        .cast("string")
+        .alias("quarter_start"),
+        F.quarter("d").cast("int").alias("q"),
+        (F.year("d") * 12 + F.month("d") - 1).cast("long").alias("month_idx"),
+        (F.col("d") == F.last_day("d")).alias("is_month_end"),
+    ).orderBy("d")

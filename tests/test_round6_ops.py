@@ -1321,3 +1321,30 @@ def test_stickiness_daily_vs_one_day_users(spark, tmp_path_factory):
     row = r[0]
     assert (row["active_user_days"], row["days_observed"], row["wau"]) == (8, 7, 2)
     assert row["stickiness"] == round((8 / 7) / 2, 6)
+
+
+def test_calendar_month_end_clamping(spark, tmp_path_factory):
+    """Jan 31 + 1 month clamps to Feb 29 (leap year), its quarter
+    starts Jan 1, and is_month_end is True; mid-month March 15 + 1
+    month is April 15 with is_month_end False."""
+    out = tmp_path_factory.mktemp("cal")
+    rows = [(1, "2024-01-31 00:00:00"), (2, "2024-03-15 00:00:00")]
+    spark.createDataFrame(rows, "o_orderkey long, od string").select(
+        "o_orderkey",
+        F.lit(1).alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+        F.col("od").cast("timestamp").alias("o_orderdate"),
+        F.lit("3-MEDIUM").alias("o_orderpriority"),
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    got = {
+        r["d"]: (r["next_month"], r["month_end"], r["quarter_start"],
+                 r["q"], r["is_month_end"])
+        for r in registry.get("q_fn_calendar").fn(spark, str(out)).collect()
+    }
+    assert got["2024-01-31"] == (
+        "2024-02-29", "2024-01-31", "2024-01-01", 1, True
+    )
+    assert got["2024-03-15"] == (
+        "2024-04-15", "2024-03-31", "2024-01-01", 1, False
+    )
