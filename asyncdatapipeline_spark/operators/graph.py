@@ -406,6 +406,8 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     seed = edges.agg(F.min("src").alias("s")).collect()[0]["s"]
+    if seed is None:  # empty graph: no seed, empty (typed) result
+        return spark.createDataFrame([], "node long, hops int")
     visited = (
         edges.sparkSession.createDataFrame(
             [(int(seed), 0)], "node long, hops int"

@@ -3476,6 +3476,11 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = p.select(F.col("f").alias("t")).distinct()
     nt = types.count()  # one driver scalar (types count), sanctioned O(1)
+    if nt == 0:  # empty input: no chain, empty (typed) result
+        return spark.createDataFrame(
+            [], "event_type string, stationary_micro long,"
+                " stationary_prob double"
+        )
     v = types.select(
         "t", F.lit(_MKV_SCALE // nt).cast("long").alias("m")
     ).localCheckpoint()
