@@ -3747,3 +3747,113 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+_SLO_BUDGET = 0.25   # error budget: tolerated long-run error-rate share
+_SLO_FAST = 2.0      # 1h-window burn multiple that pages
+_SLO_SLOW = 1.2      # 6h-window burn multiple that must corroborate
+
+
+@query(
+    "q_events_slo_burn",
+    # Hourly integer counts on a dense hour spine; rolling 1h/6h sums
+    # are exact integer window frames; burn rates are guarded integer
+    # ratios against the literal budget. The multiwindow AND is the
+    # SRE-workbook rule: fast window catches, slow window confirms.
+    oracle=f"""
+WITH t AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM t),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM b
+),
+f AS (
+  SELECT s.hr, COALESCE(t.n, 0) AS n, COALESCE(t.e, 0) AS e
+  FROM spine s LEFT JOIN t ON t.hr = s.hr
+),
+w AS (
+  SELECT hr, n, e,
+         CAST(sum(e) OVER w6 AS BIGINT) AS e6,
+         CAST(sum(n) OVER w6 AS BIGINT) AS n6
+  FROM f
+  WINDOW w6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(hr AS VARCHAR) AS hour, n, e,
+       CASE WHEN n > 0
+            THEN round(CAST(e AS DOUBLE) / n / {_SLO_BUDGET}, 6) END
+         AS burn_1h,
+       CASE WHEN n6 > 0
+            THEN round(CAST(e6 AS DOUBLE) / n6 / {_SLO_BUDGET}, 6) END
+         AS burn_6h,
+       CASE WHEN n > 0 AND n6 > 0
+            THEN CAST(e AS DOUBLE) / n / {_SLO_BUDGET} > {_SLO_FAST}
+                 AND CAST(e6 AS DOUBLE) / n6 / {_SLO_BUDGET} > {_SLO_SLOW}
+            ELSE false END AS page
+FROM w ORDER BY hour
+""",
+)
+def q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate alerting (the SRE-workbook rule):
+    hourly error-rate over budget in a FAST 1h window (catches sudden
+    burns) gated by a SLOW 6h window (confirms it's sustained — the
+    AND is what kills flappy pages), emitted per hour with both burn
+    multiples. q_events_outage finds silence; this finds error burn —
+    the two halves of a freshness+quality pager.
+
+    Scale shape: events reduce once to hourly (n, errors) integer
+    counts; the hour spine densifies (a silent hour is 0/0, not a
+    missing row — burn windows must SEE quiet hours); both rolling
+    windows are exact integer ROWS frames over ONE hour ordering; burn
+    rates are guarded ratios against the literal budget. Post-agg cost
+    O(hours). The same plan streams: swap the batch window for
+    q_window_sliding's streaming twin and the rule is a live monitor.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("e"),
+    )
+    bounds = t.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    f = (
+        spine.join(t, "hr", "left")
+        .select(
+            "hr",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("e", F.lit(0)).alias("e"),
+        )
+    )
+    w6 = W.orderBy("hr").rowsBetween(-5, 0)
+    w = f.select(
+        "hr",
+        "n",
+        "e",
+        F.sum("e").over(w6).cast("long").alias("e6"),
+        F.sum("n").over(w6).cast("long").alias("n6"),
+    )
+    burn1 = F.col("e").cast("double") / F.col("n") / _SLO_BUDGET
+    burn6 = F.col("e6").cast("double") / F.col("n6") / _SLO_BUDGET
+    return w.select(
+        F.col("hr").cast("string").alias("hour"),
+        F.col("n").cast("long").alias("n"),
+        F.col("e").cast("long").alias("e"),
+        F.when(F.col("n") > 0, F.round(burn1, 6)).alias("burn_1h"),
+        F.when(F.col("n6") > 0, F.round(burn6, 6)).alias("burn_6h"),
+        F.when(
+            (F.col("n") > 0) & (F.col("n6") > 0),
+            (burn1 > _SLO_FAST) & (burn6 > _SLO_SLOW),
+        )
+        .otherwise(False)
+        .alias("page"),
+    ).orderBy("hour")

@@ -1348,3 +1348,29 @@ def test_calendar_month_end_clamping(spark, tmp_path_factory):
     assert got["2024-03-15"] == (
         "2024-04-15", "2024-03-31", "2024-01-01", 1, False
     )
+
+
+def test_slo_burn_multiwindow_gate(spark, tmp_path_factory):
+    """A single 100%-error hour after five clean ones: burn_1h spikes
+    to 4.0 but the 6h window (1/6 of traffic erroring ~ 0.67 burn)
+    stays under the slow gate -> NO page (the anti-flap property);
+    three consecutive error-hours push both windows over -> page."""
+    out = tmp_path_factory.mktemp("slo")
+    rows = []
+    eid = 0
+    # hours 0-4 clean (10 views), hour 5 all errors (10), 6-7 clean,
+    # hours 8,9,10 all errors
+    for h in range(11):
+        ty = "error" if h == 5 or h >= 8 else "view"
+        for k in range(10):
+            rows.append((eid, f"2024-01-01 {h:02d}:{k:02d}:00", 1, ty, 0.0))
+            eid += 1
+    _write_events(spark, out, rows)
+    got = {
+        r["hour"]: (r["burn_1h"], r["burn_6h"], r["page"])
+        for r in registry.get("q_events_slo_burn").fn(spark, str(out)).collect()
+    }
+    h5 = got["2024-01-01 05:00:00"]
+    assert h5[0] == 4.0 and h5[1] < 1.2 and not h5[2]
+    h10 = got["2024-01-01 10:00:00"]
+    assert h10[0] == 4.0 and h10[1] > 1.2 and h10[2]
