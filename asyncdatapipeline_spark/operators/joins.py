@@ -1337,3 +1337,95 @@ def q_orders_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_agg_geo_centroid",
+    # Same md5 micro-degree coordinates as q_join_spatial_grid; the
+    # centroid and RMS dispersion come from exact BIGINT power sums
+    # per nation — one identical IEEE closed form each.
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey,
+         CAST(('0x' || substr(md5('cust:' || CAST(c_custkey AS VARCHAR)),
+                              1, 8))::UBIGINT % 180000000 AS BIGINT) AS lat_u,
+         CAST(('0x' || substr(md5('cust:' || CAST(c_custkey AS VARCHAR)),
+                              9, 8))::UBIGINT % 360000000 AS BIGINT) AS lon_u
+  FROM customer
+),
+s AS (
+  SELECT c_nationkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lat_u) AS BIGINT) AS slat,
+         CAST(sum(lon_u) AS BIGINT) AS slon,
+         CAST(sum(lat_u * lat_u) AS HUGEINT) AS slat2,
+         CAST(sum(lon_u * lon_u) AS HUGEINT) AS slon2
+  FROM c GROUP BY c_nationkey
+)
+SELECT c_nationkey,
+       n,
+       round(CAST(slat AS DOUBLE) / n / 1000000.0 - 90, 6) AS centroid_lat,
+       round(CAST(slon AS DOUBLE) / n / 1000000.0 - 180, 6) AS centroid_lon,
+       round(sqrt((CAST(slat2 AS DOUBLE) - CAST(slat AS DOUBLE) * slat / n)
+                  / n
+                  + (CAST(slon2 AS DOUBLE) - CAST(slon AS DOUBLE) * slon / n)
+                  / n) / 1000000.0, 6) AS rms_dispersion_deg
+FROM s ORDER BY c_nationkey
+""",
+)
+def q_agg_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation customer centroid and RMS dispersion over the same
+    md5-derived micro-degree coordinates q_join_spatial_grid uses —
+    the geo-aggregate half of the spatial family (the join finds
+    neighbors; this summarizes territories: where is each nation's
+    customer mass centered and how spread out is it — the
+    service-region placement question).
+
+    Scale shape: coordinates are row-local integer expressions; ONE
+    partial-aggregated pass per nation carries five exact integer
+    accumulators (n, Σlat, Σlon, Σlat², Σlon² — the 2-D q_agg_stats
+    power-sum doctrine; squares in HUGEINT/decimal), and centroid +
+    dispersion are identical IEEE closed forms on the nations frame.
+    Planar caveat as documented on the grid join — real geodesics swap
+    in great-circle math at the closed form, same plan.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = F.md5(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).cast(
+            "binary"
+        )
+    )
+    lat = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 180_000_000
+    lon = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 360_000_000
+    big = "decimal(38,0)"
+    s = (
+        c.select("c_nationkey", lat.alias("lat_u"), lon.alias("lon_u"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("lat_u").cast("long").alias("slat"),
+            F.sum("lon_u").cast("long").alias("slon"),
+            F.sum(F.col("lat_u").cast(big) * F.col("lat_u").cast(big)).alias(
+                "slat2"
+            ),
+            F.sum(F.col("lon_u").cast(big) * F.col("lon_u").cast(big)).alias(
+                "slon2"
+            ),
+        )
+    )
+    n = F.col("n").cast("double")
+    slat, slon = F.col("slat").cast("double"), F.col("slon").cast("double")
+    slat2, slon2 = F.col("slat2").cast("double"), F.col("slon2").cast("double")
+    return s.select(
+        "c_nationkey",
+        "n",
+        F.round(slat / n / 1_000_000.0 - 90, 6).alias("centroid_lat"),
+        F.round(slon / n / 1_000_000.0 - 180, 6).alias("centroid_lon"),
+        F.round(
+            F.sqrt(
+                (slat2 - slat * slat / n) / n + (slon2 - slon * slon / n) / n
+            )
+            / 1_000_000.0,
+            6,
+        ).alias("rms_dispersion_deg"),
+    ).orderBy("c_nationkey")
