@@ -119,6 +119,20 @@ QUERIES = [
     "q_join_pit",
     "q_ts_busday",
     "q_events_state_machine",
+    # round-6 final batch: info-theory/regression/iterative/geo/eval ops
+    "q_agg_reach",
+    "q_agg_mutual_info",
+    "q_ml_linreg",
+    "q_events_markov_stationary",
+    "q_graph_bfs",
+    "q_events_stickiness",
+    "q_events_slo_burn",
+    "q_events_cuped",
+    "q_agg_geo_centroid",
+    "q_fn_calendar",
+    "q_eval_ann",
+    "q_eval_retrieval",
+    "q_eval_dedup",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
