@@ -2488,3 +2488,97 @@ def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nmi"),
         )
     )
+
+
+@query(
+    "q_agg_ks",
+    # The KS statistic is exact until the final division: running
+    # per-group counts over ONE value ordering (ties resolved by
+    # evaluating the ECDF gap AFTER all rows of a tied value — the
+    # max over the tie-group's last row, which both engines agree on
+    # via the range-to-current-value frame), and the max |difference|
+    # cross-multiplied to integers: max|cum_a·nb − cum_b·na| / (na·nb).
+    oracle="""
+WITH t AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ga
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+r AS (
+  SELECT v,
+         sum(ga) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS ca,
+         sum(1 - ga) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cb
+  FROM t
+),
+s AS (
+  SELECT CAST(max(abs(ca * (SELECT sum(1 - ga) FROM t)
+                      - cb * (SELECT sum(ga) FROM t))) AS BIGINT) AS dmax,
+         CAST((SELECT sum(ga) FROM t) AS BIGINT) AS na,
+         CAST((SELECT sum(1 - ga) FROM t) AS BIGINT) AS nb
+  FROM r
+)
+SELECT na, nb,
+       round(CAST(dmax AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6) AS ks_d,
+       round(CAST(dmax AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+             / (1.3581 * sqrt((CAST(na AS DOUBLE) + nb) / (CAST(na AS DOUBLE) * nb))),
+             6) AS d_over_crit,
+       CAST(dmax AS DOUBLE) / (CAST(na AS DOUBLE) * nb)
+         > 1.3581 * sqrt((CAST(na AS DOUBLE) + nb) / (CAST(na AS DOUBLE) * nb))
+         AS significant
+FROM s
+""",
+)
+def q_agg_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test (purchase vs view values):
+    the maximum ECDF gap — the DISTRIBUTION-equality test that closes
+    the nonparametric family (q_agg_mannwhitney detects location
+    shifts; KS detects ANY difference: shape, spread, tails — two
+    samples with equal medians but different variances pass MW and
+    fail KS). Significance at α=0.05 via the asymptotic critical
+    value 1.3581·√((na+nb)/(na·nb)).
+
+    Scale shape: ONE global value ordering is the honest cost (same
+    as the rank tests); the ECDF gap stays EXACT through the
+    cross-multiplication device — max|cum_a·nb − cum_b·na| is BIGINT,
+    divided once at the end (comparing float ECDFs per row would
+    round before the max). Ties are handled by RANGE frames (the gap
+    is evaluated after all rows of a tied value, identically in both
+    engines — a ROWS frame would make the mid-tie gap order-dependent).
+    At 100 TB the same statistic runs on KLL-sketch ECDFs (q_agg_kll),
+    bounded error, no global sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ga"),
+    )
+    wv = W.orderBy("v").rangeBetween(W.unboundedPreceding, W.currentRow)
+    r = t.select(
+        F.sum("ga").over(wv).alias("ca"),
+        F.sum(1 - F.col("ga")).over(wv).alias("cb"),
+    )
+    tot = F.broadcast(
+        t.agg(
+            F.sum("ga").cast("long").alias("na"),
+            F.sum(1 - F.col("ga")).cast("long").alias("nb"),
+        )
+    )
+    s = r.crossJoin(tot).agg(
+        F.max(
+            F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+        ).cast("long").alias("dmax"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    d = F.col("dmax").cast("double") / (na * nb)
+    crit = 1.3581 * F.sqrt((na + nb) / (na * nb))
+    return s.select(
+        F.col("na"),
+        F.col("nb"),
+        F.round(d, 6).alias("ks_d"),
+        F.round(d / crit, 6).alias("d_over_crit"),
+        (d > crit).alias("significant"),
+    )

@@ -1374,3 +1374,27 @@ def test_slo_burn_multiwindow_gate(spark, tmp_path_factory):
     assert h5[0] == 4.0 and h5[1] < 1.2 and not h5[2]
     h10 = got["2024-01-01 10:00:00"]
     assert h10[0] == 4.0 and h10[1] > 1.2 and h10[2]
+
+
+def test_ks_hand_ecdf_gap(spark, tmp_path_factory):
+    """purchase={1,2,3}, view={4,5,6}: fully separated distributions
+    give KS D = 1.0 (after value 3: ECDF_a=1, ECDF_b=0)."""
+    out = tmp_path_factory.mktemp("ks")
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append((i, f"2024-01-01 00:0{i}:00", 1, "purchase", v))
+    for i, v in enumerate([4.0, 5.0, 6.0]):
+        rows.append((10 + i, f"2024-01-01 01:0{i}:00", 1, "view", v))
+    _write_events(spark, out, rows)
+    r = registry.get("q_agg_ks").fn(spark, str(out)).collect()[0]
+    assert (r["na"], r["nb"]) == (3, 3)
+    assert r["ks_d"] == 1.0
+    # equal-median different-location-free check: identical samples -> D=0
+    out2 = tmp_path_factory.mktemp("ks2")
+    rows2 = []
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows2.append((i, f"2024-01-01 00:0{i}:00", 1, "purchase", v))
+        rows2.append((10 + i, f"2024-01-01 01:0{i}:00", 1, "view", v))
+    _write_events(spark, out2, rows2)
+    r2 = registry.get("q_agg_ks").fn(spark, str(out2)).collect()[0]
+    assert r2["ks_d"] == 0.0 and not r2["significant"]
