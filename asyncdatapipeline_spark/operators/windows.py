@@ -1135,3 +1135,105 @@ def q_orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc", "xyz")
     )
+
+
+@query(
+    "q_orders_bridge",
+    # Period sums are exact DECIMAL; the bridge effects are the
+    # standard identities vol = (Q2-Q1)*(R1/Q1), price = Q2*(R2/Q2 -
+    # R1/Q1), which sum to R2-R1 ALGEBRAICALLY — both engines compute
+    # the same doubles from the same exact sums, and the residual
+    # check is emitted so the identity is visible, not assumed.
+    oracle="""
+WITH b AS (
+  SELECT (CAST(floor(epoch(min(l_shipdate))) AS BIGINT)
+          + CAST(floor(epoch(max(l_shipdate))) AS BIGINT)) // 2 AS mid
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag AS grp,
+         CASE WHEN CAST(floor(epoch(l_shipdate)) AS BIGINT)
+                   <= (SELECT mid FROM b) THEN 1 ELSE 2 END AS period,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS q,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+  FROM lineitem GROUP BY 1, 2
+),
+p AS (
+  SELECT p1.grp,
+         CAST(p1.q AS DOUBLE) AS q1, CAST(p1.r AS DOUBLE) AS r1,
+         CAST(p2.q AS DOUBLE) AS q2, CAST(p2.r AS DOUBLE) AS r2
+  FROM (SELECT * FROM s WHERE period = 1) p1
+  JOIN (SELECT * FROM s WHERE period = 2) p2 ON p2.grp = p1.grp
+  WHERE p1.q > 0 AND p2.q > 0
+)
+SELECT grp AS l_returnflag,
+       round(r1, 2) AS rev_p1, round(r2, 2) AS rev_p2,
+       round(r2 - r1, 2) AS delta_rev,
+       round((q2 - q1) * (r1 / q1), 6) AS volume_effect,
+       round(q2 * (r2 / q2 - r1 / q1), 6) AS price_effect,
+       round((r2 - r1) - ((q2 - q1) * (r1 / q1) + q2 * (r2 / q2 - r1 / q1)),
+             6) + 0.0 AS residual
+FROM p ORDER BY l_returnflag
+""",
+)
+def q_orders_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume bridge: period-over-period revenue change per
+    return-flag class decomposed into VOLUME effect ((Q₂−Q₁)·p̄₁) and
+    PRICE effect (Q₂·(p̄₂−p̄₁)) — the FP&A waterfall behind every
+    "why did revenue move" review; the two effects sum to ΔRev by
+    algebraic identity, and the residual column PROVES it per row
+    (zero up to rounding) instead of asserting it in prose.
+
+    Scale shape: one partial-aggregated pass to (group, period)
+    DECIMAL sums of quantity and revenue — the only data-sized work;
+    the bridge is closed-form arithmetic on a groups-sized join of the
+    two period frames. The period boundary is the exact integer epoch
+    midpoint (q_rfm_migration's device); groups missing a period drop
+    via the Q>0 guard rather than emitting division garbage. Finer
+    bridges (per part, plus a mix effect) add group keys to the same
+    plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = F.floor(F.unix_timestamp("l_shipdate")).cast("long")
+    b = F.broadcast(
+        li.agg(F.floor((F.min(ep) + F.max(ep)) / 2).cast("long").alias("mid"))
+    )
+    s = (
+        li.crossJoin(b)
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            F.when(ep <= F.col("mid"), 1).otherwise(2).alias("period"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("r"),
+        )
+        .groupBy("grp", "period")
+        .agg(F.sum("q").alias("q"), F.sum("r").alias("r"))
+    )
+    p1 = s.filter(F.col("period") == 1).select(
+        "grp",
+        F.col("q").cast("double").alias("q1"),
+        F.col("r").cast("double").alias("r1"),
+    )
+    p2 = s.filter(F.col("period") == 2).select(
+        F.col("grp").alias("grp2"),
+        F.col("q").cast("double").alias("q2"),
+        F.col("r").cast("double").alias("r2"),
+    )
+    p = p1.join(p2, p1.grp == p2.grp2).filter(
+        (F.col("q1") > 0) & (F.col("q2") > 0)
+    )
+    vol = (F.col("q2") - F.col("q1")) * (F.col("r1") / F.col("q1"))
+    prc = F.col("q2") * (F.col("r2") / F.col("q2") - F.col("r1") / F.col("q1"))
+    return p.select(
+        F.col("grp").alias("l_returnflag"),
+        F.round("r1", 2).alias("rev_p1"),
+        F.round("r2", 2).alias("rev_p2"),
+        F.round(F.col("r2") - F.col("r1"), 2).alias("delta_rev"),
+        F.round(vol, 6).alias("volume_effect"),
+        F.round(prc, 6).alias("price_effect"),
+        # + 0.0 normalizes IEEE negative zero (round can yield -0.0 in
+        # one engine and 0.0 in the other; -0.0 + 0.0 = +0.0 in both)
+        (F.round((F.col("r2") - F.col("r1")) - (vol + prc), 6) + 0.0).alias(
+            "residual"
+        ),
+    ).orderBy("l_returnflag")

@@ -1398,3 +1398,34 @@ def test_ks_hand_ecdf_gap(spark, tmp_path_factory):
     _write_events(spark, out2, rows2)
     r2 = registry.get("q_agg_ks").fn(spark, str(out2)).collect()[0]
     assert r2["ks_d"] == 0.0 and not r2["significant"]
+
+
+def test_bridge_decomposition_identity(spark, tmp_path_factory):
+    """Period 1: 10 units @ 5.00; period 2: 20 units @ 6.00. ΔRev = 70,
+    volume effect = 10·5 = 50, price effect = 20·1 = 20, residual 0."""
+    out = tmp_path_factory.mktemp("bridge")
+    rows = []
+    for i in range(10):
+        rows.append((i, 1, 1.0, 5.0, "1996-01-01"))
+    for i in range(20):
+        rows.append((100 + i, 1, 1.0, 6.0, "1998-01-01"))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double, sd string",
+    ).select(
+        "l_orderkey", "l_partkey",
+        F.col("l_partkey").alias("l_suppkey"),
+        F.lit(1).alias("l_linenumber"),
+        "l_quantity", "l_extendedprice",
+        F.lit(0.0).alias("l_discount"), F.lit(0.0).alias("l_tax"),
+        F.lit("N").alias("l_returnflag"), F.lit("O").alias("l_linestatus"),
+        F.col("sd").cast("timestamp").alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    r = registry.get("q_orders_bridge").fn(spark, str(out)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["delta_rev"] == 70.0
+    assert row["volume_effect"] == 50.0
+    assert row["price_effect"] == 20.0
+    assert row["residual"] == 0.0
