@@ -500,3 +500,113 @@ def q_join_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# Survivorship fixture: source B is a CRM-style partial refresh DATED
+# AFTER source A (the warehouse master): %4 keys got a new address
+# (non-null wins), %6 keys arrived with a NULL phone (must NOT
+# overwrite A's derived value), %5 keys got a fresher balance. (The
+# fixture customer table has no address/phone columns; segment + a
+# key-derived phone stand in for the survivable fields.)
+_MDM_B_DATE = "1998-01-01"
+_MDM_A_DATE = "1995-01-01"
+
+
+@query(
+    "q_mdm_survivorship",
+    oracle=f"""
+WITH a AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         'P-' || CAST(c_custkey AS VARCHAR) AS phone,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer
+),
+b AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 4 = 0
+              THEN 'REFRESH:' || c_mktsegment END AS b_seg,
+         CASE WHEN c_custkey % 6 = 0 THEN NULL
+              ELSE 'P-' || CAST(c_custkey AS VARCHAR) END AS b_phone,
+         CASE WHEN c_custkey % 5 = 0
+              THEN CAST(c_acctbal AS DECIMAL(18,2))
+                   + CAST(7.00 AS DECIMAL(18,2)) END AS b_bal
+  FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT a.c_custkey,
+       a.c_name,
+       COALESCE(b.b_seg, a.c_mktsegment) AS segment,
+       CASE WHEN b.b_seg IS NOT NULL THEN 'crm' ELSE 'master' END
+         AS segment_source,
+       COALESCE(b.b_phone, a.phone) AS phone,
+       round(CAST(COALESCE(b.b_bal, a.bal) AS DOUBLE), 2) AS balance,
+       CASE WHEN b.b_bal IS NOT NULL THEN 'crm' ELSE 'master' END
+         AS balance_source
+FROM a LEFT JOIN b ON b.c_custkey = a.c_custkey
+ORDER BY a.c_custkey
+""",
+)
+def q_mdm_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: merge the warehouse master with a
+    NEWER partial CRM refresh under field-level precedence — most
+    recent NON-NULL wins per field, with per-field PROVENANCE columns
+    (which source won) — the master-data-management merge that record
+    linkage feeds into (q_join_fuzzy finds the matches; this decides
+    what the merged record SAYS, and a record-level "newest wins"
+    would wrongly null out fields the refresh didn't carry — exactly
+    what the %6 null-phone keys plant).
+
+    Scale shape: the refresh is a fraction of the master and
+    broadcasts onto ONE master scan; survivorship is row-local
+    COALESCE cascades ordered by source recency (N sources = a
+    coalesce of N, or max_by(value, as_of) FILTER non-null per field
+    — the q_cdc_apply device at field grain); provenance is the same
+    CASE, free. Balance precedence compares in exact DECIMAL.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    phone = F.concat(F.lit("P-"), F.col("c_custkey").cast("string"))
+    a = c.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        phone.alias("phone"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    seven = F.lit("7.00").cast("decimal(18,2)")
+    b = (
+        c.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.col("c_custkey").alias("bk"),
+            F.when(
+                F.col("c_custkey") % 4 == 0,
+                F.concat(F.lit("REFRESH:"), F.col("c_mktsegment")),
+            ).alias("b_seg"),
+            F.when(F.col("c_custkey") % 6 == 0, F.lit(None)).otherwise(
+                phone
+            ).alias("b_phone"),
+            F.when(
+                F.col("c_custkey") % 5 == 0,
+                (F.col("c_acctbal").cast("decimal(18,2)") + seven).cast(
+                    "decimal(18,2)"
+                ),
+            ).alias("b_bal"),
+        )
+    )
+    return (
+        a.join(F.broadcast(b), a.c_custkey == b.bk, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("b_seg", "c_mktsegment").alias("segment"),
+            F.when(F.col("b_seg").isNotNull(), "crm")
+            .otherwise("master")
+            .alias("segment_source"),
+            F.coalesce("b_phone", "phone").alias("phone"),
+            F.round(
+                F.coalesce("b_bal", "bal").cast("double"), 2
+            ).alias("balance"),
+            F.when(F.col("b_bal").isNotNull(), "crm")
+            .otherwise("master")
+            .alias("balance_source"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -1429,3 +1429,28 @@ def test_bridge_decomposition_identity(spark, tmp_path_factory):
     assert row["volume_effect"] == 50.0
     assert row["price_effect"] == 20.0
     assert row["residual"] == 0.0
+
+
+def test_survivorship_null_never_wins(spark, tmp_path_factory):
+    """Key 12 (%4 and %6): CRM refreshes the segment but carries a NULL
+    phone — segment comes from crm, phone SURVIVES from master (the
+    record-level newest-wins bug this op exists to avoid). Key 10
+    (%5, %2): fresher balance wins. Key 3 (odd): untouched master."""
+    out = tmp_path_factory.mktemp("mdm")
+    rows = [(3, "n3", "SEG3", 30.0), (10, "n10", "SEG10", 100.0),
+            (12, "n12", "SEG12", 120.0)]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_mktsegment string,"
+              " c_acctbal double"
+    ).select(
+        "c_custkey", "c_name", F.lit(1).alias("c_nationkey"),
+        "c_acctbal", "c_mktsegment",
+    ).write.mode("overwrite").parquet(str(out / "customer.parquet"))
+    got = {
+        r["c_custkey"]: (r["segment"], r["segment_source"], r["phone"],
+                         r["balance"], r["balance_source"])
+        for r in registry.get("q_mdm_survivorship").fn(spark, str(out)).collect()
+    }
+    assert got[3] == ("SEG3", "master", "P-3", 30.0, "master")
+    assert got[10] == ("SEG10", "master", "P-10", 107.0, "crm")
+    assert got[12] == ("REFRESH:SEG12", "crm", "P-12", 120.0, "master")
