@@ -2582,3 +2582,96 @@ def q_agg_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d / crit, 6).alias("d_over_crit"),
         (d > crit).alias("significant"),
     )
+
+
+@query(
+    "q_agg_cramers",
+    # Observed counts are exact integers; expected = row·col/n in
+    # doubles from exact sums; chi2, V and the verdict are identical
+    # IEEE closed forms. Zero-count cells of the FULL grid contribute
+    # their full (0-E)^2/E term via the cross-joined category spine
+    # (the q_ts_seasonality grid lesson).
+    oracle="""
+WITH c AS (
+  SELECT c_mktsegment AS a, c_nationkey AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+),
+ra AS (SELECT a, sum(n) AS na FROM c GROUP BY a),
+rb AS (SELECT b, sum(n) AS nb FROM c GROUP BY b),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST((SELECT count(*) FROM ra) AS BIGINT) AS r,
+               CAST((SELECT count(*) FROM rb) AS BIGINT) AS cc
+        FROM c),
+grid AS (
+  SELECT ra.a, rb.b, ra.na, rb.nb, COALESCE(c.n, 0) AS n
+  FROM ra CROSS JOIN rb
+  LEFT JOIN c ON c.a = ra.a AND c.b = rb.b
+),
+s AS (
+  SELECT sum((n - CAST(na AS DOUBLE) * nb / tot.nn)
+             * (n - CAST(na AS DOUBLE) * nb / tot.nn)
+             / (CAST(na AS DOUBLE) * nb / tot.nn)) AS chi2
+  FROM grid CROSS JOIN tot
+)
+SELECT tot.nn AS n, tot.r AS n_rows, tot.cc AS n_cols,
+       round(s.chi2, 6) AS chi2,
+       round(sqrt(s.chi2 / (tot.nn * (least(tot.r, tot.cc) - 1))), 6)
+         AS cramers_v,
+       sqrt(s.chi2 / (tot.nn * (least(tot.r, tot.cc) - 1))) < 0.1
+         AS negligible_assoc
+FROM tot CROSS JOIN s
+""",
+)
+def q_agg_cramers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association + Cramér's V between market segment and
+    nation — the EFFECT-SIZE companion the significance tests lack: on
+    big data chi-square rejects for trivia (power grows with n), and V
+    rescales it to [0,1] so "statistically significant but negligible
+    (V < 0.1)" is visible — the why-big-data-needs-effect-sizes lesson
+    as an operator. q_agg_mutual_info measures the same dependence in
+    nats; V is its bounded, audience-friendly twin.
+
+    Scale shape: one partial-aggregated pass to the segments×nations
+    contingency table; the FULL category grid cross-joins the two
+    marginal frames so zero-count cells pay their (0−E)²/E term (the
+    q_ts_seasonality lesson); chi², V and the verdict are identical
+    IEEE closed forms on the dimension-sized grid.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_mktsegment").alias("a"), F.col("c_nationkey").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ra = cells.groupBy("a").agg(F.sum("n").alias("na"))
+    rb = cells.groupBy("b").agg(F.sum("n").alias("nb"))
+    tot = F.broadcast(
+        cells.agg(F.sum("n").cast("long").alias("nn")).crossJoin(
+            ra.agg(F.count(F.lit(1)).cast("long").alias("r"))
+        ).crossJoin(rb.agg(F.count(F.lit(1)).cast("long").alias("cc")))
+    )
+    grid = (
+        ra.crossJoin(rb)
+        .join(cells, ["a", "b"], "left")
+        .select(
+            "na", "nb", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    )
+    exp = F.col("na").cast("double") * F.col("nb") / F.col("nn")
+    s = grid.crossJoin(tot).agg(
+        F.sum((F.col("n") - exp) * (F.col("n") - exp) / exp).alias("chi2"),
+        F.first("nn").alias("nn"),
+        F.first("r").alias("r"),
+        F.first("cc").alias("cc"),
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (F.col("nn") * (F.least("r", "cc") - 1))
+    )
+    return s.select(
+        F.col("nn").alias("n"),
+        F.col("r").alias("n_rows"),
+        F.col("cc").alias("n_cols"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+        (v < 0.1).alias("negligible_assoc"),
+    )

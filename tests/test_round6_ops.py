@@ -1454,3 +1454,32 @@ def test_survivorship_null_never_wins(spark, tmp_path_factory):
     assert got[3] == ("SEG3", "master", "P-3", 30.0, "master")
     assert got[10] == ("SEG10", "master", "P-10", 107.0, "crm")
     assert got[12] == ("REFRESH:SEG12", "crm", "P-12", 120.0, "master")
+
+
+def test_cramers_v_extremes(spark, tmp_path_factory):
+    """Perfect association (each segment maps to exactly one nation)
+    gives V = 1; a uniform 2x2 grid gives chi2 = 0, V = 0."""
+    out1 = tmp_path_factory.mktemp("cv_dep")
+    rows = [(i, f"n{i}", i % 2, 10.0, "SA" if i % 2 == 0 else "SB")
+            for i in range(20)]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int,"
+              " c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(out1 / "customer.parquet"))
+    r = registry.get("q_agg_cramers").fn(spark, str(out1)).collect()[0]
+    assert r["cramers_v"] == 1.0 and not r["negligible_assoc"]
+
+    out2 = tmp_path_factory.mktemp("cv_ind")
+    rows2 = []
+    k = 0
+    for seg in ("SA", "SB"):
+        for nat in (0, 1):
+            for _ in range(5):
+                rows2.append((k, f"n{k}", nat, 10.0, seg)); k += 1
+    spark.createDataFrame(
+        rows2, "c_custkey long, c_name string, c_nationkey int,"
+               " c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet(str(out2 / "customer.parquet"))
+    r2 = registry.get("q_agg_cramers").fn(spark, str(out2)).collect()[0]
+    assert r2["chi2"] == 0.0 and r2["cramers_v"] == 0.0
+    assert bool(r2["negligible_assoc"])
