@@ -115,3 +115,89 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "q_sink_dynamic",
+    # Final state after the surgical overwrite: 'F' rows carry +1.00,
+    # every other status is untouched — which is exactly what the
+    # oracle computes from the source, so a static-mode bug (other
+    # partitions wiped) or a missed overwrite both hash-FAIL.
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CASE WHEN o_orderstatus = 'F'
+                           THEN CAST(o_totalprice AS DECIMAL(18,2))
+                                + CAST(1.00 AS DECIMAL(18,2))
+                           ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+                  AS DOUBLE), 2) AS total_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def q_sink_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (B4 sink family): land orders
+    partitioned by status, then SURGICALLY replace only the 'F'
+    partition with corrected rows (+1.00) under
+    ``partitionOverwriteMode=dynamic`` — the restatement operation
+    every warehouse runs ("reprocess yesterday's partition") where
+    STATIC mode would silently wipe every partition not present in
+    the incoming batch (the classic career-limiting overwrite). The
+    read-back per-status summary must equal the oracle's final state:
+    a wiped partition or a missed overwrite both hash-FAIL.
+
+    Scale shape: the correction batch writes only its own partition's
+    files; untouched partitions are never rewritten (restating one day
+    of a 100 TB table costs one day's IO). Same low-cardinality
+    partition-key discipline as q_sink_partitioned; the summary read
+    prunes directories per status.
+    """
+    path = _scratch(sf_dir, "orders_dyn")
+    marker = os.path.join(path, "_DYN_DONE")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderstatus",
+    )
+    if not os.path.exists(marker):
+        o.repartition("o_orderstatus").write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(path)
+        fixed = o.filter(F.col("o_orderstatus") == "F").withColumn(
+            "price",
+            (F.col("price") + F.lit("1.00").cast("decimal(18,2)")).cast(
+                "decimal(18,2)"
+            ),
+        )
+        with _dynamic_overwrite(spark):
+            fixed.repartition("o_orderstatus").write.mode(
+                "overwrite"
+            ).partitionBy("o_orderstatus").parquet(path)
+        with open(marker, "w"):
+            pass
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price").cast("double"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+class _dynamic_overwrite:
+    """Scoped ``partitionOverwriteMode=dynamic`` (restore on exit — the
+    session default stays static, where an unqualified overwrite at
+    least fails loudly instead of surgically)."""
+
+    _KEY = "spark.sql.sources.partitionOverwriteMode"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self._KEY, "static")
+        self.spark.conf.set(self._KEY, "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self._KEY, self.prev)
