@@ -1429,3 +1429,87 @@ def q_agg_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rms_dispersion_deg"),
     ).orderBy("c_nationkey")
+
+
+@query(
+    "q_join_nullsafe",
+    # Two derived nullable-key frames (%7 and %5 keys nulled) reduce to
+    # per-key counts FIRST; the null-safe join then matches key frames
+    # (NULL <=> NULL included) and pair counts come from ca*cb — the
+    # aggregate-first device that makes the null-block cross-product a
+    # NUMBER instead of materialized rows.
+    oracle="""
+WITH a AS (
+  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS k,
+         count(*) AS ca
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END AS k,
+         count(*) AS cb
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT a.k, a.ca * b.cb AS pairs, a.k IS NULL AS is_null_block
+  FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys_matched,
+       CAST(sum(pairs) AS BIGINT) AS pairs_total,
+       CAST(sum(CASE WHEN is_null_block THEN pairs ELSE 0 END) AS BIGINT)
+         AS pairs_null_block,
+       round(CAST(sum(CASE WHEN is_null_block THEN pairs ELSE 0 END)
+                  AS DOUBLE) / sum(pairs), 6) AS null_block_share
+FROM j
+""",
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join semantics (Spark ``<=>`` / SQL ``IS NOT
+    DISTINCT FROM``): unlike ``=``, NULL keys MATCH each other — the
+    semantic a dedup/reconciliation join over nullable business keys
+    usually wants (plain ``=`` silently drops every NULL-keyed row
+    from both sides). The operator also makes the hazard visible: all
+    NULL rows form ONE join block, and its pair count is quadratic in
+    the null rate — reported here as ``pairs_null_block`` and its
+    share, the number that says "salt or split the nulls" before a
+    real join executes.
+
+    Scale shape: both sides reduce to per-key COUNT frames first, so
+    the null-safe join runs key-frame × key-frame and the null block
+    becomes arithmetic (ca·cb), never materialized rows — the
+    diagnostic form; a production null-safe join at volume either
+    broadcasts one side or handles the null block separately (filter +
+    union, the q_join_salted doctrine applied to one key).
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def keyed(mod):
+        return (
+            o.select(
+                F.when(F.col("o_orderkey") % mod == 0, None)
+                .otherwise(F.col("o_custkey"))
+                .alias("k")
+            )
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    a = keyed(7).select(F.col("k").alias("ka"), F.col("c").alias("ca"))
+    b = keyed(5).select(F.col("k").alias("kb"), F.col("c").alias("cb"))
+    j = a.join(b, a.ka.eqNullSafe(b.kb)).select(
+        F.col("ka").isNull().alias("is_null_block"),
+        (F.col("ca") * F.col("cb")).alias("pairs"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys_matched"),
+        F.sum("pairs").cast("long").alias("pairs_total"),
+        F.sum(F.when(F.col("is_null_block"), F.col("pairs")).otherwise(0))
+        .cast("long")
+        .alias("pairs_null_block"),
+        F.round(
+            F.sum(
+                F.when(F.col("is_null_block"), F.col("pairs")).otherwise(0)
+            ).cast("double")
+            / F.sum("pairs"),
+            6,
+        ).alias("null_block_share"),
+    )

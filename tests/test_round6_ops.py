@@ -1483,3 +1483,25 @@ def test_cramers_v_extremes(spark, tmp_path_factory):
     r2 = registry.get("q_agg_cramers").fn(spark, str(out2)).collect()[0]
     assert r2["chi2"] == 0.0 and r2["cramers_v"] == 0.0
     assert bool(r2["negligible_assoc"])
+
+
+def test_nullsafe_join_null_block_arithmetic(spark, tmp_path_factory):
+    """Orders 7,14 null on side A (%7); 5,10 null on side B (%5):
+    null block = 2x2 = 4 pairs; non-null keys match by custkey."""
+    out = tmp_path_factory.mktemp("nullsafe")
+    rows = [(k, k, 1.0, "1995-01-01 00:00:00") for k in [5, 7, 10, 14, 3]]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double, od string"
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.lit("O").alias("o_orderstatus"), "o_totalprice",
+        F.col("od").cast("timestamp").alias("o_orderdate"),
+        F.lit("3-MEDIUM").alias("o_orderpriority"),
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    r = registry.get("q_join_nullsafe").fn(spark, str(out)).collect()[0]
+    # A nulls: keys 7,14 -> null count 2. B nulls: 5,10 -> 2. block = 4.
+    assert r["pairs_null_block"] == 4
+    # non-null matches: custkey 3 on both sides only (5,10 null on B;
+    # 7,14 null on A) -> 1 pair. total = 5.
+    assert r["pairs_total"] == 5
+    assert r["n_keys_matched"] == 2  # the null block + key 3
