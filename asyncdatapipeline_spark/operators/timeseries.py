@@ -3857,3 +3857,150 @@ def q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(False)
         .alias("page"),
     ).orderBy("hour")
+
+
+@query(
+    "q_events_did",
+    # Four cells (arm × period) of exact BIGINT power sums over
+    # per-user period counts; DiD and its four-cell SE are identical
+    # IEEE closed forms. Arms = md5 parity, boundary = exact epoch
+    # midpoint (the q_events_experiment / q_split_time devices).
+    oracle="""
+WITH b AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+  FROM events
+),
+u AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UINTEGER % 2
+           AS arm,
+         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                            <= (SELECT mid FROM b) THEN 1 ELSE 0 END)
+              AS BIGINT) AS y_pre,
+         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                            > (SELECT mid FROM b) THEN 1 ELSE 0 END)
+              AS BIGINT) AS y_post
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y_pre) AS BIGINT) AS sp, CAST(sum(y_pre * y_pre) AS BIGINT) AS spp,
+         CAST(sum(y_post) AS BIGINT) AS so, CAST(sum(y_post * y_post) AS BIGINT) AS soo
+  FROM u GROUP BY arm
+),
+w AS (
+  SELECT
+    max(CASE WHEN arm = 0 THEN n END) AS n0,
+    max(CASE WHEN arm = 0 THEN sp END) AS sp0,
+    max(CASE WHEN arm = 0 THEN spp END) AS spp0,
+    max(CASE WHEN arm = 0 THEN so END) AS so0,
+    max(CASE WHEN arm = 0 THEN soo END) AS soo0,
+    max(CASE WHEN arm = 1 THEN n END) AS n1,
+    max(CASE WHEN arm = 1 THEN sp END) AS sp1,
+    max(CASE WHEN arm = 1 THEN spp END) AS spp1,
+    max(CASE WHEN arm = 1 THEN so END) AS so1,
+    max(CASE WHEN arm = 1 THEN soo END) AS soo1
+  FROM cells
+)
+SELECT n0, n1,
+       round(CAST(so1 AS DOUBLE) / n1 - CAST(sp1 AS DOUBLE) / n1
+             - (CAST(so0 AS DOUBLE) / n0 - CAST(sp0 AS DOUBLE) / n0), 6)
+         AS did,
+       round(sqrt(
+         ((CAST(spp0 AS DOUBLE) - CAST(sp0 AS DOUBLE) * sp0 / n0) / (n0 - 1)
+          + (CAST(soo0 AS DOUBLE) - CAST(so0 AS DOUBLE) * so0 / n0) / (n0 - 1))
+           / n0
+         + ((CAST(spp1 AS DOUBLE) - CAST(sp1 AS DOUBLE) * sp1 / n1) / (n1 - 1)
+            + (CAST(soo1 AS DOUBLE) - CAST(so1 AS DOUBLE) * so1 / n1) / (n1 - 1))
+           / n1), 6) AS se,
+       abs(CAST(so1 AS DOUBLE) / n1 - CAST(sp1 AS DOUBLE) / n1
+           - (CAST(so0 AS DOUBLE) / n0 - CAST(sp0 AS DOUBLE) / n0))
+         > 1.96 * sqrt(
+         ((CAST(spp0 AS DOUBLE) - CAST(sp0 AS DOUBLE) * sp0 / n0) / (n0 - 1)
+          + (CAST(soo0 AS DOUBLE) - CAST(so0 AS DOUBLE) * so0 / n0) / (n0 - 1))
+           / n0
+         + ((CAST(spp1 AS DOUBLE) - CAST(sp1 AS DOUBLE) * sp1 / n1) / (n1 - 1)
+            + (CAST(soo1 AS DOUBLE) - CAST(so1 AS DOUBLE) * so1 / n1) / (n1 - 1))
+           / n1) AS significant
+FROM w WHERE n0 > 1 AND n1 > 1
+""",
+)
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the treatment arm's pre→post change
+    minus the control arm's — the causal-inference workhorse when
+    randomization is imperfect or a time trend contaminates the naive
+    post-period comparison (q_events_experiment compares arms at one
+    time; q_events_cuped shrinks variance; DiD REMOVES the shared time
+    trend — the three compose into the standard experimentation
+    stack). SE from the four (arm × period) cell variances, normal
+    approximation.
+
+    Scale shape: one pass to per-user (arm, pre-count, post-count);
+    one grouped aggregate to FOUR cells of exact BIGINT power sums;
+    the estimate, SE, and verdict are closed forms on a single pivoted
+    row. Degenerate arms (n ≤ 1) drop via the exact-integer guard.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ep = F.floor(F.unix_timestamp("ts")).cast("long")
+    b = F.broadcast(
+        e.agg(F.floor((F.min(ep) + F.max(ep)) / 2).cast("long").alias("mid"))
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 2
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    u = (
+        e.crossJoin(b)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(ep <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("y_pre"),
+            F.sum(F.when(ep > F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("y_post"),
+        )
+        .select(arm.alias("arm"), "y_pre", "y_post")
+    )
+    cells = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y_pre").cast("long").alias("sp"),
+        F.sum(F.col("y_pre") * F.col("y_pre")).cast("long").alias("spp"),
+        F.sum("y_post").cast("long").alias("so"),
+        F.sum(F.col("y_post") * F.col("y_post")).cast("long").alias("soo"),
+    )
+    w = cells.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{a}")
+            for a in (0, 1)
+            for c in ("n", "sp", "spp", "so", "soo")
+        ]
+    )
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    m = lambda s, n: F.col(s).cast("double") / n  # noqa: E731
+    did = (m("so1", n1) - m("sp1", n1)) - (m("so0", n0) - m("sp0", n0))
+    var_of = lambda ss, s, n: (  # noqa: E731
+        F.col(ss).cast("double") - F.col(s).cast("double") * F.col(s) / n
+    ) / (n - 1)
+    se = F.sqrt(
+        (var_of("spp0", "sp0", n0) + var_of("soo0", "so0", n0)) / n0
+        + (var_of("spp1", "sp1", n1) + var_of("soo1", "so1", n1)) / n1
+    )
+    return (
+        w.filter((F.col("n0") > 1) & (F.col("n1") > 1))
+        .select(
+            F.col("n0"),
+            F.col("n1"),
+            F.round(did, 6).alias("did"),
+            F.round(se, 6).alias("se"),
+            (F.abs(did) > 1.96 * se).alias("significant"),
+        )
+    )
