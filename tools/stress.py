@@ -133,6 +133,15 @@ QUERIES = [
     "q_eval_ann",
     "q_eval_retrieval",
     "q_eval_dedup",
+    # round-6 closing batch
+    "q_agg_ks",
+    "q_agg_cramers",
+    "q_orders_bridge",
+    "q_mdm_survivorship",
+    "q_join_nullsafe",
+    "q_events_did",
+    "q_events_slo_burn",
+    "q_sink_dynamic",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
