@@ -140,7 +140,6 @@ QUERIES = [
     "q_mdm_survivorship",
     "q_join_nullsafe",
     "q_events_did",
-    "q_events_slo_burn",
     "q_sink_dynamic",
 ]
 
