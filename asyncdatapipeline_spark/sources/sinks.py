@@ -158,6 +158,11 @@ def q_sink_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
         "o_orderstatus",
     )
+    if o.isEmpty():  # empty source: nothing to land or restate — an
+        # all-empty partitioned dataset has no readable schema
+        return spark.createDataFrame(
+            [], "o_orderstatus string, n long, total_price double"
+        )
     if not os.path.exists(marker):
         o.repartition("o_orderstatus").write.mode("overwrite").partitionBy(
             "o_orderstatus"
