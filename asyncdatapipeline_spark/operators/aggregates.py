@@ -2675,3 +2675,90 @@ def q_agg_cramers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(v, 6).alias("cramers_v"),
         (v < 0.1).alias("negligible_assoc"),
     )
+
+
+@query(
+    "q_agg_jarque_bera",
+    # q_agg_skewkurt's exact power sums carried one step further: JB =
+    # n/6 * (skew^2 + excess_kurt^2 / 4), chi-square(2df) 5% critical
+    # value 5.991 — the normality verdict per group. Identical IEEE
+    # expression text both engines.
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,6)))
+         AS DOUBLE) AS sx3,
+    CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                  AS DECIMAL(38,6))) AS DOUBLE) AS sx4
+  FROM lineitem GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, n,
+    (sx3 / n - 3 * (sx / n) * (sxx / n)
+     + 2 * (sx / n) * (sx / n) * (sx / n))
+      / power(sxx / n - (sx / n) * (sx / n), 1.5) AS sk,
+    (sx4 / n - 4 * (sx / n) * (sx3 / n)
+     + 6 * (sx / n) * (sx / n) * (sxx / n)
+     - 3 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
+      / ((sxx / n - (sx / n) * (sx / n)) * (sxx / n - (sx / n) * (sx / n)))
+      - 3 AS ek
+  FROM s
+)
+SELECT l_returnflag, n,
+       round(sk, 6) AS skewness,
+       round(ek, 6) AS excess_kurtosis,
+       round(CAST(n AS DOUBLE) / 6 * (sk * sk + ek * ek / 4), 6) AS jb,
+       CAST(n AS DOUBLE) / 6 * (sk * sk + ek * ek / 4) > 5.991
+         AS reject_normality
+FROM m ORDER BY l_returnflag
+""",
+)
+def q_agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per return-flag group: JB =
+    n/6·(skew² + kurt²/4) against the χ²(2) 5% critical value — the
+    gate that makes the parametric-vs-robust choice a TESTED decision
+    (q_agg_skewkurt reports the shape numbers; this turns them into a
+    verdict: normality rejected → use q_anomaly_mad / q_agg_mannwhitney;
+    not rejected → the z-score/t-test family is licensed). On big data
+    JB rejects almost always — which is the correct lesson, and why
+    the robust family exists.
+
+    Scale shape: identical to q_agg_skewkurt — ONE partial-aggregated
+    pass of exact-decimal power sums to x⁴, closed forms per group;
+    the verdict adds two multiplications to the same one-row-per-group
+    arithmetic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((x * x * x).cast("decimal(38,6)")).cast("double").alias("sx3"),
+        F.sum((x * x * x * x).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sx4"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sx") / n
+    m2 = F.col("sxx") / n - mean * mean
+    sk = (
+        F.col("sx3") / n - 3 * mean * (F.col("sxx") / n) + 2 * mean * mean * mean
+    ) / F.pow(m2, 1.5)
+    ek = (
+        F.col("sx4") / n
+        - 4 * mean * (F.col("sx3") / n)
+        + 6 * mean * mean * (F.col("sxx") / n)
+        - 3 * mean * mean * mean * mean
+    ) / (m2 * m2) - 3
+    jb = n / 6 * (sk * sk + ek * ek / 4)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(sk, 6).alias("skewness"),
+        F.round(ek, 6).alias("excess_kurtosis"),
+        F.round(jb, 6).alias("jb"),
+        (jb > 5.991).alias("reject_normality"),
+    ).orderBy("l_returnflag")
