@@ -2762,3 +2762,73 @@ def q_agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jb, 6).alias("jb"),
         (jb > 5.991).alias("reject_normality"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_agg_hhi",
+    # Σ share² = Σ rev² / (Σ rev)²: both sums exact DECIMAL, one
+    # division at the end — no per-row share is ever floated. The
+    # 1500/2500 HHI bands are the DOJ/FTC merger-guideline constants.
+    oracle="""
+WITH r AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(rev) AS DOUBLE) AS tot,
+         CAST(sum(rev * rev) AS DOUBLE) AS sq
+  FROM r GROUP BY 1
+)
+SELECT c_mktsegment, n_customers,
+       round(sq / (tot * tot) * 10000, 6) AS hhi,
+       CASE WHEN sq / (tot * tot) * 10000 < 1500 THEN 'unconcentrated'
+            WHEN sq / (tot * tot) * 10000 < 2500 THEN 'moderate'
+            ELSE 'concentrated' END AS band
+FROM s ORDER BY c_mktsegment
+""",
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of customer revenue per
+    market segment (HHI = 10000·Σ share², banded at the DOJ/FTC
+    1500/2500 merger-guideline thresholds) — the concentration measure
+    beside q_agg_gini's inequality: Gini asks how UNEVEN the
+    distribution is; HHI asks how DOMINATED it is (a segment where one
+    customer is half the revenue is a business risk no mean hides —
+    customer-concentration risk is a disclosure item for a reason).
+
+    Scale shape: one keyed aggregate to (segment, customer) DECIMAL
+    revenue, then Σ share² computes as Σ rev² / (Σ rev)² — both sums
+    exact DECIMAL per segment, ONE division at the end; no per-row
+    float share ever exists, so the index is order-free by
+    construction. The customer join broadcasts the dimension.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    r = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    s = r.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("rev").cast("double").alias("tot"),
+        F.sum(F.col("rev") * F.col("rev")).cast("double").alias("sq"),
+    )
+    hhi = F.col("sq") / (F.col("tot") * F.col("tot")) * 10000
+    return s.select(
+        "c_mktsegment",
+        "n_customers",
+        F.round(hhi, 6).alias("hhi"),
+        F.when(hhi < 1500, "unconcentrated")
+        .when(hhi < 2500, "moderate")
+        .otherwise("concentrated")
+        .alias("band"),
+    ).orderBy("c_mktsegment")
