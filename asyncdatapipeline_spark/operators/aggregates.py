@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from asyncdatapipeline_spark.operators._util import (
     DEC,
     davg,
+    dist_cumsum,
     dsum,
     sql_davg,
     sql_dsum,
@@ -1931,32 +1932,32 @@ def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ties here are float values — rare — and the correction only
     shrinks an already-extreme denominator term).
 
-    Scale shape: ONE global rank ordering over the two groups' values
-    is the honest cost (rank tests need total order), kept exact with
-    DOUBLED-integer midranks (rank + (tie_len-1)/2 can be a half;
-    2·rank + tie_len − 1 is always BIGINT, so the rank-sum accumulates
-    exactly and order-free — summing half-valued doubles would be the
-    usual low-bit lottery). Everything after is one closed form.
-    At 100 TB swap the exact rank for a KLL-sketch rank estimate
-    (q_agg_kll) — same statistic, bounded error, no global sort.
+    Scale shape (distributed-exact, round 7): the doubled midrank
+    2·rank + tie_len − 1 is always BIGINT (rank + (tie_len−1)/2 can
+    be a half; half-valued double sums would be the usual low-bit
+    lottery) and depends only on the VALUE — so the rank-sum is
+    computed on the DISTINCT value spine: groupBy(value) with
+    per-group and tie counts → exact cumulative tie counts via
+    ``dist_cumsum`` (range-partition + offsets, no data-sized
+    single-partition WindowExec; the old global ``W.orderBy(value)``
+    rank window is gone) → rx2(v) = 2·cum − tie + 1, rank-sum =
+    Σ a_tie(v)·rx2(v). Everything after is one closed form. The
+    sketch form for >>|distinct| corpora is q_agg_mannwhitney_kll.
     """
     e = load_table(spark, sf_dir, "events")
-    t = e.filter(F.col("event_type").isin("purchase", "view")).select(
-        "event_type", "value"
-    )
-    wv = W.orderBy("value")
-    r = t.select(
-        "event_type",
-        F.rank().over(wv).alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy("value")).alias("tie_n"),
-    )
     is_a = F.col("event_type") == "purchase"
-    s = r.agg(
-        F.sum(F.when(is_a, 2 * F.col("rk") + F.col("tie_n") - 1).otherwise(0))
-        .cast("long")
-        .alias("r2a"),
-        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("na"),
-        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("nb"),
+    t = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        "value", F.when(is_a, 1).otherwise(0).alias("ga")
+    )
+    g = t.groupBy("value").agg(
+        F.sum("ga").alias("a_tie"), F.count(F.lit(1)).alias("tie")
+    )
+    g = dist_cumsum(g, "value", ["tie"])
+    rx2 = 2 * F.col("cum_tie") - F.col("tie") + 1
+    s = g.agg(
+        F.sum(F.col("a_tie") * rx2).cast("long").alias("r2a"),
+        F.sum("a_tie").cast("long").alias("na"),
+        F.sum(F.col("tie") - F.col("a_tie")).cast("long").alias("nb"),
     )
     na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
     u = F.col("r2a").cast("double") / 2 - na * (na + 1) / 2
@@ -2186,35 +2187,43 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     finding). Completes the robust-statistics family: q_ts_theilsen
     for trend, q_agg_mannwhitney for location, this for association.
 
-    Scale shape: two global rank orderings are the honest cost (one
-    per axis). Midrank ties stay exact via the DOUBLED-integer device
-    (2·rank + tie_len − 1 is always BIGINT; the ×2 scale factor
-    cancels in the correlation), so all power sums accumulate exactly
-    (HUGEINT/decimal for the squares) and the final rho is one
-    identical IEEE closed form. At 100 TB swap exact ranks for KLL
-    rank estimates (q_agg_kll), same formula.
+    Scale shape (distributed-exact, round 7): a doubled midrank
+    2·rank + tie_len − 1 (always BIGINT; the ×2 cancels in rho)
+    depends only on the VALUE, so ranks are computed on the DISTINCT
+    value spine, not the rows: groupBy(x,y) cell counts → per-axis
+    distinct-value counts → exact cumulative counts via
+    ``dist_cumsum`` (range-partition + per-bucket offsets — no
+    data-sized single-partition WindowExec; rx2 = 2·cum − tie + 1) →
+    rank maps joined back onto the CELLS (|distinct (x,y)| rows, not
+    |rows|) with count-weighted power sums in exact DECIMAL. Every
+    frame is distributed; the old two global ``W.orderBy`` rank
+    windows (one partition, twice) are gone. The sketch form for
+    >>|distinct| corpora is q_agg_spearman_kll.
     """
     li = load_table(spark, sf_dir, "lineitem")
     t = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
-    rx = (
-        2 * F.rank().over(W.orderBy("x"))
-        + F.count(F.lit(1)).over(W.partitionBy("x"))
-        - 1
+    cells = t.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    xs = cells.groupBy("x").agg(F.sum("cnt").alias("tx"))
+    xs = dist_cumsum(xs, "x", ["tx"]).select(
+        "x", (2 * F.col("cum_tx") - F.col("tx") + 1).cast("long").alias("rx2")
     )
-    ry = (
-        2 * F.rank().over(W.orderBy("y"))
-        + F.count(F.lit(1)).over(W.partitionBy("y"))
-        - 1
+    ys = cells.groupBy("y").agg(F.sum("cnt").alias("ty"))
+    ys = dist_cumsum(ys, "y", ["ty"]).select(
+        "y", (2 * F.col("cum_ty") - F.col("ty") + 1).cast("long").alias("ry2")
     )
-    r = t.select(rx.cast("long").alias("rx2"), ry.cast("long").alias("ry2"))
     big = "decimal(38,0)"
-    s = r.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rx2").cast("long").alias("sx"),
-        F.sum("ry2").cast("long").alias("sy"),
-        F.sum(F.col("rx2").cast(big) * F.col("rx2").cast(big)).alias("sxx"),
-        F.sum(F.col("ry2").cast(big) * F.col("ry2").cast(big)).alias("syy"),
-        F.sum(F.col("rx2").cast(big) * F.col("ry2").cast(big)).alias("sxy"),
+    cnt = F.col("cnt").cast(big)
+    s = (
+        cells.join(xs, "x")
+        .join(ys, "y")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(cnt * F.col("rx2").cast(big)).alias("sx"),
+            F.sum(cnt * F.col("ry2").cast(big)).alias("sy"),
+            F.sum(cnt * F.col("rx2").cast(big) * F.col("rx2").cast(big)).alias("sxx"),
+            F.sum(cnt * F.col("ry2").cast(big) * F.col("ry2").cast(big)).alias("syy"),
+            F.sum(cnt * F.col("rx2").cast(big) * F.col("ry2").cast(big)).alias("sxy"),
+        )
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -2539,25 +2548,30 @@ def q_agg_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     fail KS). Significance at α=0.05 via the asymptotic critical
     value 1.3581·√((na+nb)/(na·nb)).
 
-    Scale shape: ONE global value ordering is the honest cost (same
-    as the rank tests); the ECDF gap stays EXACT through the
-    cross-multiplication device — max|cum_a·nb − cum_b·na| is BIGINT,
-    divided once at the end (comparing float ECDFs per row would
-    round before the max). Ties are handled by RANGE frames (the gap
-    is evaluated after all rows of a tied value, identically in both
-    engines — a ROWS frame would make the mid-tie gap order-dependent).
-    At 100 TB the same statistic runs on KLL-sketch ECDFs (q_agg_kll),
-    bounded error, no global sort.
+    Scale shape (distributed-exact, round 7): the ECDF value at a
+    tie-group end depends only on the VALUE, so the running counts
+    are computed on the DISTINCT value spine: groupBy(v) per-group
+    counts → exact cumulative counts via ``dist_cumsum``
+    (range-partition + offsets — the ECDF gap is evaluated once per
+    distinct value, exactly the RANGE-frame tie semantics, with no
+    data-sized single-partition WindowExec; the old global
+    ``W.orderBy(v)`` running sums are gone). The gap stays EXACT
+    through the cross-multiplication device — max|cum_a·nb − cum_b·na|
+    is BIGINT, divided once at the end (comparing float ECDFs per row
+    would round before the max). The sketch form for >>|distinct|
+    corpora is q_agg_ks_kll.
     """
     e = load_table(spark, sf_dir, "events")
     t = e.filter(F.col("event_type").isin("purchase", "view")).select(
         F.col("value").alias("v"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ga"),
     )
-    wv = W.orderBy("v").rangeBetween(W.unboundedPreceding, W.currentRow)
-    r = t.select(
-        F.sum("ga").over(wv).alias("ca"),
-        F.sum(1 - F.col("ga")).over(wv).alias("cb"),
+    g = t.groupBy("v").agg(
+        F.sum("ga").alias("a_tie"),
+        F.sum(1 - F.col("ga")).alias("b_tie"),
+    )
+    r = dist_cumsum(g, "v", ["a_tie", "b_tie"]).select(
+        F.col("cum_a_tie").alias("ca"), F.col("cum_b_tie").alias("cb")
     )
     tot = F.broadcast(
         t.agg(
