@@ -13,7 +13,7 @@ Numeric outputs use the exact-decimal-accumulate pattern from
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from asyncdatapipeline_spark.operators._util import (
     DEC,
@@ -2595,6 +2595,273 @@ def q_agg_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d, 6).alias("ks_d"),
         F.round(d / crit, 6).alias("d_over_crit"),
         (d > crit).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL-sketch forms of the rank statistics — the 100-TB path the exact ops'
+# docstrings promise. Spark 4's kll_sketch_get_rank/get_quantile require
+# FOLDABLE probe arguments (datatype-mismatch NON_FOLDABLE_INPUT otherwise),
+# so per-row sketch evaluation is impossible directly; the device used here
+# is: KLL sketch → K-point quantile GRID extracted at literal fractions
+# ((j-0.5)/K, j=1..K) → grid array broadcast to every row → per-row ECDF
+# estimate = |{grid points ≤ v}| / K via JVM array ops (F.filter/F.size —
+# codegen, no Python). Error ≈ 1/(2K) grid + KLL rank error (~0.9% at
+# k=400): well inside the ±0.05 tolerance bands. No global sort, no
+# data-sized window, no driver collect anywhere.
+
+_KLL_K = 200  # grid points per distribution
+_KLL_SK = 400  # KLL sketch size parameter (rank error ~0.9%)
+
+
+def _kll_grid(sk_col: str, alias: str) -> Column:
+    """K quantile boundaries q((j-0.5)/K) of a KLL sketch, as an array."""
+    return F.array(
+        *[
+            F.kll_sketch_get_quantile_double(
+                sk_col, F.lit((j - 0.5) / _KLL_K)
+            )
+            for j in range(1, _KLL_K + 1)
+        ]
+    ).alias(alias)
+
+
+def _grid_ecdf(grid_col: str, value: Column) -> Column:
+    """ECDF estimate at ``value`` from a quantile grid: |{q_j ≤ v}|/K."""
+    return F.size(
+        F.filter(F.col(grid_col), lambda b: b <= value)
+    ) / F.lit(float(_KLL_K))
+
+
+@query(
+    "q_agg_spearman_kll",
+    # q_agg_hll contract: the oracle recomputes the EXACT statistic
+    # (the q_agg_spearman SQL) and hardcodes the tolerance boolean;
+    # Spark emits the exact twin value plus the in-query band check
+    # on the sketch estimate — raw estimates are never compared
+    # across engines.
+    oracle="""
+WITH t AS (
+  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+),
+r AS (
+  SELECT
+    2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1
+      AS rx2,
+    2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1
+      AS ry2
+  FROM t
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+         CAST(sum(rx2 * rx2) AS HUGEINT) AS sxx,
+         CAST(sum(ry2 * ry2) AS HUGEINT) AS syy,
+         CAST(sum(rx2 * ry2) AS HUGEINT) AS sxy
+  FROM r
+)
+SELECT n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS rho_exact,
+       true AS kll_within_band
+FROM s
+""",
+)
+def q_agg_spearman_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-form Spearman — the scale path q_agg_spearman's docstring
+    names, as tested code: rho_s is the Pearson correlation of the
+    GRADES (F_X(x), F_Y(y)), so estimate each grade per row from a
+    KLL quantile grid (module comment above: sketch → literal-fraction
+    grid → broadcast array → per-row |{q_j ≤ v}|/K) and run one
+    map-only power-sum pass over the grades. Two KLL aggregates + one
+    broadcast + one scan: no ordering of any kind, the shape that
+    survives when even |distinct values| is too big to rank. Verified
+    in-query against the exact distributed op within ±0.05.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+    sk = t.agg(
+        F.kll_sketch_agg_double("x", F.lit(_KLL_SK)).alias("skx"),
+        F.kll_sketch_agg_double("y", F.lit(_KLL_SK)).alias("sky"),
+    )
+    grids = sk.select(_kll_grid("skx", "qx"), _kll_grid("sky", "qy"))
+    g = t.crossJoin(F.broadcast(grids)).select(
+        _grid_ecdf("qx", F.col("x")).alias("fx"),
+        _grid_ecdf("qy", F.col("y")).alias("fy"),
+    )
+    s = g.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("fx").alias("sx"),
+        F.sum("fy").alias("sy"),
+        F.sum(F.col("fx") * F.col("fx")).alias("sxx"),
+        F.sum(F.col("fy") * F.col("fy")).alias("syy"),
+        F.sum(F.col("fx") * F.col("fy")).alias("sxy"),
+    )
+    n = F.col("n")
+    rho_kll = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    est = s.select(rho_kll.alias("rho_kll"))
+    exact = q_agg_spearman(spark, sf_dir)
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n",
+        F.col("spearman_rho").alias("rho_exact"),
+        (
+            F.abs(F.col("rho_kll") - F.col("spearman_rho")) <= 0.05
+        ).alias("kll_within_band"),
+    )
+
+
+@query(
+    "q_agg_mannwhitney_kll",
+    # q_agg_hll contract (see q_agg_spearman_kll): exact effect size
+    # from the q_agg_mannwhitney SQL + hardcoded tolerance boolean.
+    oracle="""
+WITH t AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ga
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+r AS (
+  SELECT ga,
+         2 * rank() OVER (ORDER BY v) + count(*) OVER (PARTITION BY v) - 1
+           AS rk2
+  FROM t
+),
+s AS (
+  SELECT
+    CAST(sum(CASE WHEN ga = 1 THEN rk2 ELSE 0 END) AS BIGINT) AS r2a,
+    CAST(sum(ga) AS BIGINT) AS na,
+    CAST(sum(1 - ga) AS BIGINT) AS nb
+  FROM r
+)
+SELECT na, nb,
+       round((CAST(r2a AS DOUBLE) / 2
+              - CAST(na AS DOUBLE) * (na + 1) / 2)
+             / (CAST(na AS DOUBLE) * nb), 6) AS p_exact,
+       true AS kll_within_band
+FROM s
+""",
+)
+def q_agg_mannwhitney_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-form Mann-Whitney — the scale path q_agg_mannwhitney's
+    docstring names, as tested code. The common-language effect size
+    p = U/(na·nb) = P(B < A) + ½P(B = A) is E_A[F_B(A)] up to ties,
+    so estimate F_B per A-row from group B's KLL quantile grid
+    (module comment above) and average: one KLL aggregate over B, one
+    broadcast, one map-only pass over A. No ordering anywhere.
+    Verified in-query against the exact distributed op within ±0.05
+    on the [0,1] effect-size scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    is_a = F.col("event_type") == "purchase"
+    t = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        "value", F.when(is_a, 1).otherwise(0).alias("ga")
+    )
+    sk = t.agg(
+        F.kll_sketch_agg_double(
+            F.when(F.col("ga") == 0, F.col("value")), F.lit(_KLL_SK)
+        ).alias("skb")
+    )
+    grids = sk.select(_kll_grid("skb", "qb"))
+    p_est = (
+        t.filter(F.col("ga") == 1)
+        .crossJoin(F.broadcast(grids))
+        .agg(F.avg(_grid_ecdf("qb", F.col("value"))).alias("p_kll"))
+    )
+    exact = q_agg_mannwhitney(spark, sf_dir)
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    return exact.crossJoin(F.broadcast(p_est)).select(
+        "na",
+        "nb",
+        F.round(F.col("u_stat") / (na * nb), 6).alias("p_exact"),
+        (
+            F.abs(F.col("p_kll") - F.col("u_stat") / (na * nb)) <= 0.05
+        ).alias("kll_within_band"),
+    )
+
+
+@query(
+    "q_agg_ks_kll",
+    # q_agg_hll contract (see q_agg_spearman_kll): exact KS distance
+    # from the q_agg_ks SQL + hardcoded tolerance boolean.
+    oracle="""
+WITH t AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ga
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+r AS (
+  SELECT v,
+         sum(ga) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS ca,
+         sum(1 - ga) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cb
+  FROM t
+),
+s AS (
+  SELECT CAST(max(abs(ca * (SELECT sum(1 - ga) FROM t)
+                      - cb * (SELECT sum(ga) FROM t))) AS BIGINT) AS dmax,
+         CAST((SELECT sum(ga) FROM t) AS BIGINT) AS na,
+         CAST((SELECT sum(1 - ga) FROM t) AS BIGINT) AS nb
+  FROM r
+)
+SELECT na, nb,
+       round(CAST(dmax AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6) AS ks_d,
+       true AS kll_within_band
+FROM s
+""",
+)
+def q_agg_ks_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-form Kolmogorov-Smirnov — the scale path q_agg_ks's
+    docstring names, as tested code. Each group's ECDF is estimated
+    from its own KLL quantile grid; the max gap is probed at the
+    union of the two grids (the gap extremum of two step functions
+    with steps ~1/K apart is within ~1/K of a probe). Two KLL
+    aggregates + one 2K-row explode: no ordering, no data-sized
+    frame anywhere. Verified in-query against the exact distributed
+    op within ±0.05.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ga"),
+    )
+    sk = t.agg(
+        F.kll_sketch_agg_double(
+            F.when(F.col("ga") == 1, F.col("v")), F.lit(_KLL_SK)
+        ).alias("ska"),
+        F.kll_sketch_agg_double(
+            F.when(F.col("ga") == 0, F.col("v")), F.lit(_KLL_SK)
+        ).alias("skb"),
+    )
+    grids = sk.select(_kll_grid("ska", "qa"), _kll_grid("skb", "qb"))
+    probes = grids.select(
+        "qa", "qb", F.explode(F.concat("qa", "qb")).alias("v")
+    )
+    d_est = probes.agg(
+        F.max(
+            F.abs(
+                _grid_ecdf("qa", F.col("v")) - _grid_ecdf("qb", F.col("v"))
+            )
+        ).alias("d_kll")
+    )
+    exact = q_agg_ks(spark, sf_dir)
+    return exact.crossJoin(F.broadcast(d_est)).select(
+        "na",
+        "nb",
+        "ks_d",
+        (F.abs(F.col("d_kll") - F.col("ks_d")) <= 0.05).alias(
+            "kll_within_band"
+        ),
     )
 
 

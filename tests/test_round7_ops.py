@@ -1,0 +1,138 @@
+"""Planted-fixture semantic tests for the round-7 operators.
+
+Round 7's theme is scale-safe rank statistics: the exact trio
+(q_agg_spearman / q_agg_mannwhitney / q_agg_ks) moved from global
+unpartitioned windows to distributed distinct-value cumsums
+(``dist_cumsum``), and each gained a KLL sketch twin. These tests plant
+inputs with hand-computable answers and additionally assert the
+DISTRIBUTION of the cumsum device (multiple range buckets actually
+used)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from asyncdatapipeline_spark import registry
+from asyncdatapipeline_spark.operators._util import dist_cumsum
+
+
+def _write_events(spark, out, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)"""
+    spark.createDataFrame(
+        [(i, t, u, ty, v, "{}") for i, t, u, ty, v in rows],
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+
+def _write_lineitem_xy(spark, out, pairs):
+    """Minimal lineitem with (l_quantity, l_extendedprice) = pairs."""
+    spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pairs],
+        "l_quantity double, l_extendedprice double",
+    ).select(
+        "l_quantity",
+        "l_extendedprice",
+        F.lit(0.05).alias("l_discount"),
+        F.lit(0.02).alias("l_tax"),
+        F.lit("N").alias("l_returnflag"),
+        F.lit("O").alias("l_linestatus"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+
+
+def test_dist_cumsum_matches_prefix_sums_across_buckets(spark):
+    """Exact running sums over a shuffled, tied key set must equal the
+    hand prefix sums, and the range device must actually spread the
+    frame over >1 bucket (the whole point vs an unpartitioned
+    window)."""
+    import random
+
+    rng = random.Random(7)
+    vals = [float(v) for v in range(50) for _ in range(rng.randint(1, 3))]
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    g = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    out = {
+        r["v"]: r["cum_c"]
+        for r in dist_cumsum(g, "v", ["c"], nparts=8).collect()
+    }
+    # hand prefix sums over sorted distinct values
+    from collections import Counter
+
+    cnt = Counter(vals)
+    run = 0
+    for v in sorted(cnt):
+        run += cnt[v]
+        assert out[v] == run, f"cum at {v}: {out[v]} != {run}"
+    # the device must use >1 range bucket for 50 distinct values
+    nbuckets = (
+        g.repartitionByRange(8, F.col("v"))
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert nbuckets > 1
+
+
+def test_spearman_exact_and_kll_on_planted_monotone(spark, tmp_path_factory):
+    """y = x^2 over distinct x: perfectly monotone, so rho_s = 1
+    exactly (Pearson on the same data would be < 1), and the KLL twin
+    must land inside its band."""
+    out = tmp_path_factory.mktemp("sp7")
+    pairs = [(i, i * i) for i in range(1, 1001)]
+    _write_lineitem_xy(spark, out, pairs)
+    r = registry.get("q_agg_spearman").fn(spark, str(out)).collect()[0]
+    assert r["n"] == 1000 and r["spearman_rho"] == 1.0
+    rk = registry.get("q_agg_spearman_kll").fn(spark, str(out)).collect()[0]
+    assert rk["rho_exact"] == 1.0 and bool(rk["kll_within_band"])
+
+
+def test_spearman_ties_use_midranks(spark, tmp_path_factory):
+    """x = {1,1,2}, y = {10,10,20}: tied pairs, rho = 1 with midranks
+    (competition ranks without the tie term would disagree with the
+    closed form)."""
+    out = tmp_path_factory.mktemp("sp7t")
+    _write_lineitem_xy(spark, out, [(1, 10), (1, 10), (2, 20)])
+    r = registry.get("q_agg_spearman").fn(spark, str(out)).collect()[0]
+    assert r["n"] == 3 and r["spearman_rho"] == 1.0
+
+
+def test_mannwhitney_kll_effect_size_on_planted_shift(
+    spark, tmp_path_factory
+):
+    """purchase values 1000..1999 all above view values 0..999:
+    P(view <= purchase) = 1, so p_exact = 1 and the sketch estimate
+    must sit within the band."""
+    out = tmp_path_factory.mktemp("mwk7")
+    rows = []
+    for i in range(1000):
+        rows.append((i, "2024-01-01 00:00:00", 1, "view", float(i)))
+        rows.append(
+            (10_000 + i, "2024-01-01 01:00:00", 1, "purchase", 1000.0 + i)
+        )
+    _write_events(spark, out, rows)
+    r = registry.get("q_agg_mannwhitney_kll").fn(spark, str(out)).collect()[0]
+    assert (r["na"], r["nb"]) == (1000, 1000)
+    assert r["p_exact"] == 1.0 and bool(r["kll_within_band"])
+
+
+def test_ks_kll_detects_disjoint_supports(spark, tmp_path_factory):
+    """Disjoint supports: the ECDF gap reaches exactly 1.0, and the
+    grid-probed sketch estimate stays within the band."""
+    out = tmp_path_factory.mktemp("ksk7")
+    rows = []
+    for i in range(1000):
+        rows.append((i, "2024-01-01 00:00:00", 1, "view", float(i)))
+        rows.append(
+            (10_000 + i, "2024-01-01 01:00:00", 1, "purchase", 5000.0 + i)
+        )
+    _write_events(spark, out, rows)
+    r = registry.get("q_agg_ks_kll").fn(spark, str(out)).collect()[0]
+    assert r["ks_d"] == 1.0 and bool(r["kll_within_band"])
