@@ -123,6 +123,46 @@ def test_mannwhitney_kll_effect_size_on_planted_shift(
     assert r["p_exact"] == 1.0 and bool(r["kll_within_band"])
 
 
+def test_rfm_approx_agrees_with_exact_on_spread_values(
+    spark, tmp_path_factory
+):
+    """200 customers, frequency spread over 1..20, distinct monetary
+    and recency per customer: boundary assignment must agree with
+    exact ntile within every band (r/m near-exact, f by MAE), and the
+    exact champion count must match the ntile-based one."""
+    out = tmp_path_factory.mktemp("rfma7")
+    import datetime
+
+    rows = []
+    d0 = datetime.date(2024, 1, 1)
+    okey = 0
+    for c in range(200):
+        freq = (c % 20) + 1
+        for k in range(freq):
+            rows.append(
+                (
+                    okey,
+                    c,
+                    str(d0 + datetime.timedelta(days=c)),
+                    100.0 + c * 7.13 + k,
+                )
+            )
+            okey += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, od string, o_totalprice double"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("od").cast("date").alias("o_orderdate"),
+        "o_totalprice",
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    r = registry.get("q_rfm_approx").fn(spark, str(out)).collect()[0]
+    assert r["n_customers"] == 200
+    assert bool(r["r_agree_ok"]) and bool(r["f_mae_ok"]) and bool(
+        r["m_agree_ok"]
+    )
+
+
 def test_ks_kll_detects_disjoint_supports(spark, tmp_path_factory):
     """Disjoint supports: the ECDF gap reaches exactly 1.0, and the
     grid-probed sketch estimate stays within the band."""
