@@ -150,9 +150,29 @@ def q_sink_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a 100 TB table costs one day's IO). Same low-cardinality
     partition-key discipline as q_sink_partitioned; the summary read
     prunes directories per status.
+
+    Crash-safety (round 7): the restatement commits through the
+    GENERATION protocol (sources/generations.py). Generation 1 is the
+    landed table; the correction assembles generation 2 by HARD-LINKING
+    every untouched partition directory (the local-FS rendition of
+    table-format manifest reuse — O(files) metadata ops, zero data IO)
+    and dynamic-overwriting only ``o_orderstatus=F`` inside the new
+    uncommitted directory. The ``_COMMITTED`` marker lands last, so a
+    crash at any point mid-restate leaves generation 1 current and
+    intact — previously, a crash between Spark's delete-matched-
+    partitions and move-staged-files steps could lose the old 'F'
+    partition with no copy anywhere (kill-mid-write pytest in
+    tests/test_round7_ops.py).
     """
-    path = _scratch(sf_dir, "orders_dyn")
-    marker = os.path.join(path, "_DYN_DONE")
+    from asyncdatapipeline_spark.sources.generations import (
+        gc_generations,
+        latest_generation,
+        link_partitions,
+        mark_committed,
+        next_generation_dir,
+    )
+
+    store = _scratch(sf_dir, "orders_dyn_gen")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
@@ -163,24 +183,32 @@ def q_sink_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "o_orderstatus string, n long, total_price double"
         )
-    if not os.path.exists(marker):
+    current = latest_generation(spark, store)
+    if current is None:
+        # land generation 1: the full table, partitioned by status
+        gen1 = next_generation_dir(spark, store)
         o.repartition("o_orderstatus").write.mode("overwrite").partitionBy(
             "o_orderstatus"
-        ).parquet(path)
+        ).parquet(gen1)
+        mark_committed(spark, gen1)
+        # restate into generation 2: link untouched partitions, rewrite F
         fixed = o.filter(F.col("o_orderstatus") == "F").withColumn(
             "price",
             (F.col("price") + F.lit("1.00").cast("decimal(18,2)")).cast(
                 "decimal(18,2)"
             ),
         )
+        gen2 = next_generation_dir(spark, store)
         with _dynamic_overwrite(spark):
             fixed.repartition("o_orderstatus").write.mode(
                 "overwrite"
-            ).partitionBy("o_orderstatus").parquet(path)
-        with open(marker, "w"):
-            pass
+            ).partitionBy("o_orderstatus").parquet(gen2)
+        link_partitions(gen1, gen2, skip_partitions={"o_orderstatus=F"})
+        mark_committed(spark, gen2)
+        gc_generations(spark, store, keep=2)
+        current = gen2
     return (
-        spark.read.parquet(path)
+        spark.read.parquet(current)
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),

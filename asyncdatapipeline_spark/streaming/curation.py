@@ -207,51 +207,69 @@ def start_cdc_apply_stream(
     IN the state (a late lower-seq update must still lose to an
     earlier-arrived delete); readers filter ``op != 'D'``.
 
-    The state rewrite materializes via ``localCheckpoint`` before
-    overwriting the path it was read from (read-overwrite-same-path is
-    the classic self-clobber); a table format (Delta/Iceberg) replaces
-    this file swap with a transactional MERGE at scale.
+    The state restates through the GENERATION commit protocol
+    (sources/generations.py, round 7): each micro-batch reads the
+    current committed generation and writes the merged state as a NEW
+    generation directory, visible only once its ``_COMMITTED`` marker
+    lands — a crash at any point mid-write leaves the prior
+    generation current (kill-mid-write pytest in
+    tests/test_round7_ops.py). Reading and writing different
+    directories also removes the old ``localCheckpoint``
+    materialization (and its extra state copy) entirely. A table
+    format (Delta/Iceberg) is this same protocol with manifests.
+    Read the state back with :func:`read_cdc_state`.
     """
     from asyncdatapipeline_spark.operators.cdc import cdc_merge
+    from asyncdatapipeline_spark.sources.generations import (
+        commit_generation,
+        latest_generation,
+    )
 
     spark = stream_df.sparkSession
 
-    def _state_exists() -> bool:
-        # FS-agnostic existence probe (local/HDFS/S3 alike): a blanket
-        # try/except around the read would treat ANY transient read
-        # failure as "first batch" and silently discard accumulated
-        # state — real errors must fail the micro-batch and retry.
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(state_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(jpath))
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
         new_events = batch_df.select("k", "op", "price", "status", "seq")
-        if _state_exists():
-            prior = spark.read.parquet(state_path).select(
+        # latest_generation is an FS probe, not a try/except around the
+        # read: a transient read failure must fail the micro-batch and
+        # retry, never masquerade as "first batch" and drop state.
+        current = latest_generation(spark, state_path)
+        if current is not None:
+            prior = spark.read.parquet(current).select(
                 "k", "op", "price", "status", "seq"
             )
             feed = prior.unionByName(new_events)
         else:
             feed = new_events
-        merged = (
-            cdc_merge(feed)
-            .select(
-                "k",
-                F.col("v.op").alias("op"),
-                F.col("v.price").alias("price"),
-                F.col("v.status").alias("status"),
-                F.col("v.seq").alias("seq"),
-            )
-            .localCheckpoint()  # materialize BEFORE overwriting the input path
+        merged = cdc_merge(feed).select(
+            "k",
+            F.col("v.op").alias("op"),
+            F.col("v.price").alias("price"),
+            F.col("v.status").alias("status"),
+            F.col("v.seq").alias("seq"),
         )
-        merged.write.mode("overwrite").parquet(state_path)
+        commit_generation(merged, state_path, keep=2)
 
     return (
         stream_df.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def read_cdc_state(spark, state_path: str) -> DataFrame:
+    """Current committed CDC state (tombstones included — filter
+    ``op != 'D'`` for the live view). Raises if no generation has ever
+    committed."""
+    from asyncdatapipeline_spark.sources.generations import (
+        latest_generation,
+    )
+
+    current = latest_generation(spark, state_path)
+    if current is None:
+        raise FileNotFoundError(
+            f"no committed generation under {state_path}"
+        )
+    return spark.read.parquet(current)
 
 
 _GAP_OUT_SCHEMA = (

@@ -163,6 +163,145 @@ def test_rfm_approx_agrees_with_exact_on_spread_values(
     )
 
 
+def test_generation_commit_crash_leaves_prior_current(spark, tmp_path):
+    """The kill-mid-write proof for the generation protocol: a
+    generation written WITHOUT its _COMMITTED marker (= crash between
+    data write and commit) must stay invisible — readers keep the
+    prior generation — and the next successful commit must GC the
+    wreck."""
+    from asyncdatapipeline_spark.sources import generations as G
+
+    store = str(tmp_path / "store")
+    a = spark.range(5).withColumnRenamed("id", "v")
+    g1 = G.commit_generation(a, store)
+    assert G.latest_generation(spark, store) == g1
+
+    # simulate the crash: data (+ Spark _SUCCESS) lands, marker never does
+    crashed = G.next_generation_dir(spark, store)
+    spark.range(100).write.parquet(crashed)
+    assert G.latest_generation(spark, store) == g1  # wreck invisible
+    assert spark.read.parquet(G.latest_generation(spark, store)).count() == 5
+
+    b = spark.range(7).withColumnRenamed("id", "v")
+    g3 = G.commit_generation(b, store)
+    assert G.latest_generation(spark, store) == g3
+    assert spark.read.parquet(g3).count() == 7
+    nums = [n for n, _, _ in G.list_generations(spark, store)]
+    assert 2 not in nums, "crashed generation must be GC'd"
+
+
+def test_generation_gc_keeps_configured_history(spark, tmp_path):
+    from asyncdatapipeline_spark.sources import generations as G
+
+    store = str(tmp_path / "store")
+    for i in range(4):
+        G.commit_generation(
+            spark.range(i + 1).withColumnRenamed("id", "v"), store, keep=2
+        )
+    gens = G.list_generations(spark, store)
+    assert [n for n, _, ok in gens if ok] == [3, 4]
+    assert spark.read.parquet(G.latest_generation(spark, store)).count() == 4
+
+
+def test_link_partitions_reuses_unchanged_files(spark, tmp_path):
+    """Restating one partition must not copy the others: linked files
+    share an inode with the prior generation (manifest reuse, local-FS
+    rendition)."""
+    import os
+
+    from asyncdatapipeline_spark.sources import generations as G
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "v long, p string"
+    )
+    gen1 = G.next_generation_dir(spark, store)
+    df.repartition("p").write.partitionBy("p").parquet(gen1)
+    G.mark_committed(spark, gen1)
+
+    gen2 = G.next_generation_dir(spark, store)
+    spark.createDataFrame([(30, "b")], "v long, p string").repartition(
+        "p"
+    ).write.partitionBy("p").parquet(gen2)
+    G.link_partitions(gen1, gen2, skip_partitions={"p=b"})
+    G.mark_committed(spark, gen2)
+
+    back = spark.read.parquet(gen2)
+    assert sorted(
+        (r["v"], r["p"]) for r in back.collect()
+    ) == [(1, "a"), (2, "a"), (30, "b")]
+    # every p=a data file in gen2 is a hard link into gen1
+    pa = os.path.join(G._local(gen2), "p=a")
+    for f in os.listdir(pa):
+        if f.endswith(".parquet"):
+            st = os.stat(os.path.join(pa, f))
+            assert st.st_nlink >= 2, "p=a must be linked, not copied"
+
+
+def test_cdc_stream_recovers_past_crashed_generation(spark, tmp_path):
+    """A crashed (uncommitted) state generation between micro-batch
+    runs must be ignored AND cleaned up: the stream restarts from the
+    last committed state and still converges to the batch CDC
+    result."""
+    from asyncdatapipeline_spark import registry
+    from asyncdatapipeline_spark.operators.cdc import cdc_feed
+    from asyncdatapipeline_spark.sources import generations as G
+    from asyncdatapipeline_spark.streaming.curation import (
+        read_cdc_state,
+        start_cdc_apply_stream,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    feed = cdc_feed(spark, sf)
+    src = str(tmp_path / "feed")
+    a, b = feed.randomSplit([0.5, 0.5], seed=11)
+    b.coalesce(1).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_cdc_apply_stream(
+        spark.readStream.schema(schema).parquet(src), state, ckpt
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    # crash: a garbage generation lands without a commit marker
+    wreck = G.next_generation_dir(spark, state)
+    spark.createDataFrame(
+        [("XXX", "U", None, "garbage", 10**9)],
+        "k string, op string, price double, status string, seq long",
+    ).write.parquet(wreck)
+    assert "gen-000001" in G.latest_generation(spark, state)
+
+    # second half of the feed arrives; the stream resumes past the wreck
+    a.coalesce(1).write.mode("append").parquet(src)
+    q = start_cdc_apply_stream(
+        spark.readStream.schema(schema).parquet(src), state, ckpt
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    streamed = {
+        (r["k"], float(r["price"]) if r["price"] is not None else None,
+         r["status"], r["seq"])
+        for r in read_cdc_state(spark, state)
+        .filter(F.col("op") != "D")
+        .collect()
+    }
+    batch = {
+        (r["o_orderkey"], r["price"], r["status"], r["applied_seq"])
+        for r in registry.get("q_cdc_apply").fn(spark, sf).collect()
+    }
+    assert streamed == batch
+    assert all(
+        ok for _, _, ok in G.list_generations(spark, state)
+    ), "crashed generation must be GC'd after the next commit"
+
+
 def test_ks_kll_detects_disjoint_supports(spark, tmp_path_factory):
     """Disjoint supports: the ECDF gap reaches exactly 1.0, and the
     grid-probed sketch estimate stays within the band."""

@@ -750,6 +750,7 @@ def test_streaming_cdc_apply_matches_batch(spark, tmp_path):
     from asyncdatapipeline_spark import registry
     from asyncdatapipeline_spark.operators.cdc import cdc_feed
     from asyncdatapipeline_spark.streaming.curation import (
+        read_cdc_state,
         start_cdc_apply_stream,
     )
 
@@ -776,7 +777,7 @@ def test_streaming_cdc_apply_matches_batch(spark, tmp_path):
     streamed = {
         (r["k"], float(r["price"]) if r["price"] is not None else None,
          r["status"], r["seq"])
-        for r in spark.read.parquet(state)
+        for r in read_cdc_state(spark, state)
         .filter(F.col("op") != "D")
         .collect()
     }
