@@ -142,6 +142,87 @@ def collect_func_stream(
     )
 
 
+class _RangePartition(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+
+
+class _RangePullBatchReader(DataSourceReader):
+    """Partitioned pull reader for SPLITTABLE sources (round 7).
+
+    The single-partition ``_CollectFuncBatchReader`` is honest for the
+    reference's CollectFunc contract (one sequential callback), but a
+    source that can serve ranges (a paginated API with offset/limit, a
+    keyed table scan, a file with row groups) should be ingested in
+    PARALLEL: ``partitions()`` splits the id space into ranges and each
+    executor-side runner pulls only its own range — the Python-source
+    rendition of what every JDBC/parquet reader does with predicated
+    splits, and the shape that scales pull ingest to a 1000-executor
+    cluster instead of a single runner process.
+    """
+
+    def __init__(self, fn_b64: str, total: int, n_splits: int):
+        self._fn_b64 = fn_b64
+        self._total = total
+        self._n_splits = max(1, n_splits)
+
+    def partitions(self):
+        import math
+
+        step = max(1, math.ceil(self._total / self._n_splits))
+        return [
+            _RangePartition(lo, min(lo + step, self._total))
+            for lo in range(0, self._total, step)
+        ]
+
+    def read(self, partition: "_RangePartition") -> Iterator[tuple]:
+        fn = cloudpickle.loads(base64.b64decode(self._fn_b64))
+        for r in fn(partition.lo, partition.hi):
+            yield r if isinstance(r, tuple) else tuple(r)
+
+
+class RangePullDataSource(DataSource):
+    """``format("range_pull")`` — parallel ingest of a splittable pull
+    source: the user callable takes ``(lo, hi)`` and returns that id
+    range's rows."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "range_pull"
+
+    def schema(self) -> str:
+        return self.options.get("schema", "id long, value string")
+
+    def reader(self, schema: StructType) -> _RangePullBatchReader:
+        return _RangePullBatchReader(
+            self.options.get("fn", ""),
+            int(self.options.get("total", "0")),
+            int(self.options.get("n_splits", "8")),
+        )
+
+
+def range_pull_batch(
+    spark: SparkSession,
+    fn: Callable[[int, int], Any],
+    total: int,
+    n_splits: int = 8,
+    schema: str = "id long, value string",
+) -> DataFrame:
+    """Parallel batch ingest of a splittable pull source: ``fn(lo, hi)``
+    returns the rows of ``[lo, hi)``; the scan runs one input partition
+    per split, in parallel across executors."""
+    spark.dataSource.register(RangePullDataSource)
+    payload = base64.b64encode(cloudpickle.dumps(fn)).decode()
+    return (
+        spark.read.format("range_pull")
+        .option("fn", payload)
+        .option("schema", schema)
+        .option("total", str(total))
+        .option("n_splits", str(n_splits))
+        .load()
+    )
+
+
 def collect_func_batch(
     spark: SparkSession,
     fn: Callable[[], Any],

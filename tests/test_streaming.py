@@ -499,6 +499,31 @@ def test_collect_func_batch_drains_until_none(spark):
     assert df2.count() == 5
 
 
+def test_range_pull_batch_parallel_partitions(spark):
+    """The splittable pull source must scan with >1 input partition
+    (parallel ingest — the single-runner CollectFunc reader can't) and
+    reproduce exactly the id range's rows."""
+    from pyspark.sql import functions as F
+
+    from asyncdatapipeline_spark.sources.pull_source import range_pull_batch
+
+    def fetch(lo, hi):
+        return [(i, f"value_{i}") for i in range(lo, hi)]
+
+    df = range_pull_batch(
+        spark, fetch, total=1000, n_splits=8, schema="id long, value string"
+    )
+    n_parts = df.select(
+        F.spark_partition_id().alias("p")
+    ).distinct().count()
+    assert n_parts > 1, "splittable source must produce >1 input partition"
+    got = sorted((r["id"], r["value"]) for r in df.collect())
+    assert got == [(i, f"value_{i}") for i in range(1000)]
+    # uneven split: total not divisible by n_splits loses no rows
+    df2 = range_pull_batch(spark, fetch, total=103, n_splits=4)
+    assert sorted(r["id"] for r in df2.collect()) == list(range(103))
+
+
 # -- Layer A × Layer B: streaming curation gate ---------------------------
 
 
