@@ -66,10 +66,17 @@ def dist_cumsum(
     (which move the whole frame to ONE partition; BENCH's
     ``WindowExec: No Partition Defined`` warning is that plan talking).
 
-    Device: ``repartitionByRange(nparts, order_col)`` co-locates each
-    value's ties in one range bucket with bucket ids ordered by value
-    (RangePartitioner's contract — it is how Spark implements total
-    sort). Then:
+    Device: equi-depth range bucketing with EXPLICIT boundaries —
+    ``percentile_approx`` boundaries are collected ONCE to the driver
+    (≤ ``nparts − 1`` scalars, the sanctioned O(1) collect class) and
+    embedded as literals, so the bucket id is a pure deterministic
+    expression of the VALUE. (First cut used
+    ``repartitionByRange`` + ``spark_partition_id()``; that frame is
+    evaluated twice — per-bucket totals vs. the main path — and
+    RangePartitioner re-SAMPLES boundaries per evaluation, so the two
+    evaluations can disagree and the offsets silently mismatch the
+    running sums. Literal boundaries are exactly how a production
+    range shuffle ships its map — computed once, immutable.) Then:
 
     1. per-bucket totals (``nparts`` rows) →
     2. exclusive prefix over the bucket totals via a TRIANGULAR
@@ -79,23 +86,41 @@ def dist_cumsum(
        frames to one partition and the bench tail stays free of
        ``WindowExec`` warnings) →
     3. broadcast the offsets back and add them to per-bucket running
-       sums (``partitionBy(_pid)`` windows: each frame is ~1/nparts of
-       the data, sorted locally).
+       sums (``partitionBy(_pid)`` windows: each frame is ~1/nparts
+       of the data, sorted locally). The bucket expression casts to
+       DOUBLE only for the boundary comparison — a monotone map, so
+       bucket order respects the exact ``order_col`` order even where
+       the cast collapses near-equal values; balance is approximate,
+       order is exact.
 
     Ties: callers pass a frame already grouped to DISTINCT
-    ``order_col`` values, so the within-bucket ordering is total and
+    ``order_col`` values (numeric — boundaries come from
+    ``percentile_approx``), so the within-bucket ordering is total and
     the cumulative value at each row is the tie-group-end value —
     identical to a ``RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT
-    ROW`` frame on the raw rows.
+    ROW`` frame on the raw rows. NULL values of ``order_col`` compare
+    UNKNOWN against every boundary and land in bucket 0 — the
+    nulls-first convention of the window form it replaces.
 
     Output: input columns plus ``cum_<c>`` for each ``c`` in
-    ``sum_cols``. Cost: one range shuffle + one hash shuffle on
-    ``_pid``, both ~|distinct values| rows; no data-sized single
-    partition anywhere.
+    ``sum_cols``. Cost: one tiny boundary aggregate + one hash
+    shuffle on ``_pid``, both ~|distinct values| rows; no data-sized
+    single partition anywhere.
     """
-    d = df.repartitionByRange(nparts, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    qs = [i / nparts for i in range(1, nparts)]
+    row = df.agg(
+        F.percentile_approx(
+            F.col(order_col).cast("double"), F.array(*[F.lit(q) for q in qs]),
+            F.lit(10_000),
+        ).alias("b")
+    ).collect()[0]
+    bounds = sorted({b for b in (row["b"] or []) if b is not None})
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(
+            F.col(order_col).cast("double") > F.lit(b), 1
+        ).otherwise(0)
+    d = df.withColumn("_pid", bucket)
     per = d.groupBy("_pid").agg(
         *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
     )

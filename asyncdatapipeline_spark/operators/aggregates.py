@@ -2193,38 +2193,56 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     value spine, not the rows: groupBy(x,y) cell counts → per-axis
     distinct-value counts → exact cumulative counts via
     ``dist_cumsum`` (range-partition + per-bucket offsets — no
-    data-sized single-partition WindowExec; rx2 = 2·cum − tie + 1) →
-    rank maps joined back onto the CELLS (|distinct (x,y)| rows, not
-    |rows|) with count-weighted power sums in exact DECIMAL. Every
-    frame is distributed; the old two global ``W.orderBy`` rank
-    windows (one partition, twice) are gone. The sketch form for
-    >>|distinct| corpora is q_agg_spearman_kll.
+    data-sized single-partition WindowExec; rx2 = 2·cum − tie + 1).
+    The x axis (quantity) is the BOUNDED one (≤50 distinct values —
+    a dimension), so its rank map is BROADCAST onto the cells and
+    immediately FOLDED per y: the only frames that ever shuffle are
+    |distinct y| rows carrying (ty, Σcnt·rx2) — the unbounded price
+    axis never joins a second data-sized frame (round 7 follow-up:
+    the first distributed form joined both rank maps onto the full
+    cell frame; the per-y fold removes that large⋈large join). sxx
+    comes from the 50-row x map alone; sy/syy/sxy from the per-y
+    fold; all count-weighted power sums in exact DECIMAL. The sketch
+    form for >>|distinct| corpora is q_agg_spearman_kll.
     """
     li = load_table(spark, sf_dir, "lineitem")
     t = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
     cells = t.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
     xs = cells.groupBy("x").agg(F.sum("cnt").alias("tx"))
     xs = dist_cumsum(xs, "x", ["tx"]).select(
-        "x", (2 * F.col("cum_tx") - F.col("tx") + 1).cast("long").alias("rx2")
-    )
-    ys = cells.groupBy("y").agg(F.sum("cnt").alias("ty"))
-    ys = dist_cumsum(ys, "y", ["ty"]).select(
-        "y", (2 * F.col("cum_ty") - F.col("ty") + 1).cast("long").alias("ry2")
+        "x",
+        "tx",
+        (2 * F.col("cum_tx") - F.col("tx") + 1).cast("long").alias("rx2"),
     )
     big = "decimal(38,0)"
-    cnt = F.col("cnt").cast(big)
-    s = (
-        cells.join(xs, "x")
-        .join(ys, "y")
+    # n / sx / sxx live entirely on the dimension-sized x rank map.
+    xstat = xs.agg(
+        F.sum("tx").cast("long").alias("n"),
+        F.sum(F.col("tx").cast(big) * F.col("rx2").cast(big)).alias("sx"),
+        F.sum(
+            F.col("tx").cast(big)
+            * F.col("rx2").cast(big)
+            * F.col("rx2").cast(big)
+        ).alias("sxx"),
+    )
+    # Fold the broadcast x ranks per y: ty and Σ cnt·rx2 — after this
+    # no frame larger than |distinct y| exists in the plan.
+    ycell = (
+        cells.join(F.broadcast(xs.select("x", "rx2")), "x")
+        .groupBy("y")
         .agg(
-            F.sum("cnt").cast("long").alias("n"),
-            F.sum(cnt * F.col("rx2").cast(big)).alias("sx"),
-            F.sum(cnt * F.col("ry2").cast(big)).alias("sy"),
-            F.sum(cnt * F.col("rx2").cast(big) * F.col("rx2").cast(big)).alias("sxx"),
-            F.sum(cnt * F.col("ry2").cast(big) * F.col("ry2").cast(big)).alias("syy"),
-            F.sum(cnt * F.col("rx2").cast(big) * F.col("ry2").cast(big)).alias("sxy"),
+            F.sum("cnt").alias("ty"),
+            F.sum(F.col("cnt").cast(big) * F.col("rx2").cast(big)).alias("a1"),
         )
     )
+    ys = dist_cumsum(ycell, "y", ["ty"])
+    ry2 = (2 * F.col("cum_ty") - F.col("ty") + 1).cast("long").cast(big)
+    ystat = ys.agg(
+        F.sum(F.col("ty").cast(big) * ry2).alias("sy"),
+        F.sum(F.col("ty").cast(big) * ry2 * ry2).alias("syy"),
+        F.sum(F.col("a1") * ry2).alias("sxy"),
+    )
+    s = xstat.crossJoin(ystat)
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, syy, sxy = (

@@ -141,6 +141,18 @@ QUERIES = [
     "q_join_nullsafe",
     "q_events_did",
     "q_sink_dynamic",
+    "q_agg_jarque_bera",
+    "q_agg_hhi",
+    # round-7: distributed-exact rank stats (the old single-partition
+    # window walls should be GONE — expect these to track the grouped
+    # agg family now, not a data-sized sort), their KLL sketch twins
+    # (grid extraction + map-only ECDF passes: ~flat), and the
+    # percentile-bounds RFM (one approx-percentile agg + map-only
+    # assignment vs q_rfm's ntile sorts).
+    "q_agg_spearman_kll",
+    "q_agg_mannwhitney_kll",
+    "q_agg_ks_kll",
+    "q_rfm_approx",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
