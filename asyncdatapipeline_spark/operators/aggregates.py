@@ -3131,3 +3131,288 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("concentrated")
         .alias("band"),
     ).orderBy("c_mktsegment")
+
+
+@query(
+    "q_agg_kendall",
+    # Concordant/discordant pair counts over the CONTINGENCY CELLS in
+    # exact DECIMAL (pair products overflow BIGINT at petabyte row
+    # counts); tau-b's tie terms from the marginals; one final double
+    # expression with a fixed op order.
+    oracle="""
+WITH cells AS (
+  SELECT l_quantity AS x, l_discount AS y, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+  SELECT CAST(coalesce(sum(CASE WHEN b.x > a.x AND b.y > a.y
+                       THEN CAST(a.n AS DECIMAL(38,0)) * b.n END), 0)
+              AS DOUBLE) AS conc,
+         CAST(coalesce(sum(CASE WHEN b.x > a.x AND b.y < a.y
+                       THEN CAST(a.n AS DECIMAL(38,0)) * b.n END), 0)
+              AS DOUBLE) AS disc
+  FROM cells a JOIN cells b ON b.x > a.x
+),
+marg AS (
+  SELECT CAST(sum(tx) AS BIGINT) AS nn,
+         CAST(sum(CAST(tx AS DECIMAL(38,0)) * (tx - 1)) AS DOUBLE) / 2
+           AS n1
+  FROM (SELECT x, sum(n) AS tx FROM cells GROUP BY x)
+),
+marg2 AS (
+  SELECT CAST(sum(CAST(ty AS DECIMAL(38,0)) * (ty - 1)) AS DOUBLE) / 2
+           AS n2
+  FROM (SELECT y, sum(n) AS ty FROM cells GROUP BY y)
+)
+SELECT nn AS n,
+       round((conc - disc)
+             / sqrt((nn * (nn - 1.0) / 2 - n1)
+                    * (nn * (nn - 1.0) / 2 - n2)), 6) AS kendall_tau_b
+FROM pairs, marg, marg2
+""",
+)
+def q_agg_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between quantity and discount — the third rank
+    correlation next to q_agg_stats' Pearson and q_agg_spearman's rho.
+    Tau has a direct probabilistic reading (P(concordant) −
+    P(discordant)) and the -b form corrects for the heavy ties a
+    DISCRETE pair of axes produces; on two low-cardinality columns it
+    is the right association measure where Spearman's midranks wash
+    out.
+
+    Scale shape: the O(n²) pair count collapses onto the CONTINGENCY
+    GRID — one data-sized groupBy(x, y) pass, then every pair of
+    CELLS (≤ |x-levels|·|y-levels| rows, here 50×11; a dimension
+    frame bounded by level product, NOT by data) via a broadcast
+    theta self-join, weighted by n_a·n_b in exact DECIMAL. Tie terms
+    n1/n2 come from the marginals of the same grid. The broadcast
+    nested loop is deliberate and safe: its input is the grid, whose
+    size is data-independent — the canonical "aggregate first, then
+    quadratic on the aggregate" device (q_ts_theilsen's pattern).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_quantity").alias("x"), F.col("l_discount").alias("y")
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    big = "decimal(38,0)"
+    a, b = cells.alias("a"), F.broadcast(cells.alias("b"))
+    pairs = (
+        a.join(b, F.col("b.x") > F.col("a.x"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("b.y") > F.col("a.y"),
+                        F.col("a.n").cast(big) * F.col("b.n"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("conc"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("b.y") < F.col("a.y"),
+                        F.col("a.n").cast(big) * F.col("b.n"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("disc"),
+        )
+    )
+    xm = cells.groupBy("x").agg(F.sum("n").alias("tx"))
+    marg = xm.agg(
+        F.sum("tx").cast("long").alias("nn"),
+        (
+            F.sum(F.col("tx").cast(big) * (F.col("tx") - 1)).cast("double")
+            / 2
+        ).alias("n1"),
+    )
+    ym = cells.groupBy("y").agg(F.sum("n").alias("ty"))
+    marg2 = ym.agg(
+        (
+            F.sum(F.col("ty").cast(big) * (F.col("ty") - 1)).cast("double")
+            / 2
+        ).alias("n2")
+    )
+    s = pairs.crossJoin(marg).crossJoin(marg2)
+    nn = F.col("nn").cast("double")
+    n0 = nn * (nn - 1.0) / 2
+    tau = (F.col("conc") - F.col("disc")) / F.sqrt(
+        (n0 - F.col("n1")) * (n0 - F.col("n2"))
+    )
+    return s.select(
+        F.col("nn").alias("n"), F.round(tau, 6).alias("kendall_tau_b")
+    )
+
+
+@query(
+    "q_agg_chisq_gof",
+    # Uniform-expected algebra: sum((o-e)^2/e) over ALL k levels equals
+    # k*sum(o^2)/n - n (zero-observation levels included implicitly),
+    # so the statistic needs only sum(o^2) — exact BIGINT->DECIMAL —
+    # and one ordered double expression.
+    oracle="""
+WITH o AS (
+  SELECT l_quantity AS level, count(*) AS obs
+  FROM lineitem GROUP BY 1
+),
+s AS (
+  SELECT CAST(sum(obs) AS BIGINT) AS n,
+         CAST(sum(CAST(obs AS DECIMAL(38,0)) * obs) AS DOUBLE) AS so2,
+         CAST(count(*) AS BIGINT) AS k_observed
+  FROM o
+)
+SELECT n, k_observed,
+       round(50.0 * so2 / n - n, 6) AS chi2,
+       CAST(49 AS BIGINT) AS df,
+       (50.0 * so2 / n - n) > 66.339 AS reject_uniform
+FROM s
+""",
+)
+def q_agg_chisq_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of the quantity distribution against
+    its design target (uniform on 1..50, the TPC-H generator's spec) —
+    the data-validation test: "does this load still follow the
+    expected distribution?" Completes the chi-square family:
+    q_ts_seasonality tests a UNIFORM TIME grid, q_agg_cramers measures
+    ASSOCIATION between two columns; this tests ONE column against a
+    fixed reference distribution.
+
+    Scale shape: one grouped count (50 groups) and one 50-row
+    rollup. Under a uniform expectation e = n/k the statistic
+    algebraically reduces to k·Σo²/n − n — zero-observation levels
+    contribute exactly their e term implicitly, so no expected-side
+    grid join is needed (contrast q_ts_seasonality, which must join
+    the grid because its zero cells carry day identities). Σo² is
+    exact DECIMAL; the final expression is one ordered double chain.
+    Critical value 66.339 = chi²(0.95, df=49), a constant.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = li.groupBy(F.col("l_quantity").alias("level")).agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    big = "decimal(38,0)"
+    s = o.agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.sum(F.col("obs").cast(big) * F.col("obs")).cast("double").alias(
+            "so2"
+        ),
+        F.count(F.lit(1)).cast("long").alias("k_observed"),
+    )
+    chi2 = 50.0 * F.col("so2") / F.col("n") - F.col("n")
+    return s.select(
+        "n",
+        "k_observed",
+        F.round(chi2, 6).alias("chi2"),
+        F.lit(49).cast("long").alias("df"),
+        (chi2 > 66.339).alias("reject_uniform"),
+    )
+
+
+@query(
+    "q_agg_levene",
+    # Brown-Forsythe: |x - group median| deviations are EXACT 2dp
+    # decimals (value 2dp, median an actual data value), so every sum
+    # is decimal-armored; the F statistic is one ordered double chain
+    # on five exact aggregates per group.
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_disc("value", 0.5) AS m
+  FROM events GROUP BY event_type
+),
+z AS (
+  SELECT e.event_type,
+         CAST(abs(CAST(e.value AS DECIMAL(28,6)) - m.m) AS DECIMAL(28,6))
+           AS z
+  FROM events e JOIN med m USING (event_type)
+),
+g AS (
+  SELECT event_type, count(*) AS ng,
+         sum(z) AS sz, sum(z * z) AS szz
+  FROM z GROUP BY event_type
+),
+t AS (
+  SELECT CAST(sum(ng) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(sz) AS DOUBLE) AS tot_sz,
+         CAST(sum(CAST(sz AS DECIMAL(38,6)) * sz / ng) AS DOUBLE)
+           AS sum_gsq,
+         CAST(sum(szz) AS DOUBLE) AS tot_szz
+  FROM g
+)
+SELECT n, k,
+       round(((sum_gsq - tot_sz * tot_sz / n) / (k - 1))
+             / ((tot_szz - sum_gsq) / (n - k)), 6) AS levene_w,
+       (((sum_gsq - tot_sz * tot_sz / n) / (k - 1))
+        / ((tot_szz - sum_gsq) / (n - k))) > 2.372 AS unequal_spread
+FROM t
+""",
+)
+def q_agg_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene's test with group MEDIANS) for
+    equality of spread across event types — the guard in front of
+    q_agg_anova and q_agg_ttest, whose equal-variance assumption this
+    checks, and robust to non-normality precisely because the centers
+    are medians (q_agg_percentile_disc's discrete selection, an actual
+    data value) rather than means.
+
+    Scale shape: one per-group sort-aggregate for the 5 medians
+    (dimension-sized result, broadcast back onto the stream), then ONE
+    partial-aggregated pass accumulating n/Σz/Σz² per group in exact
+    DECIMAL — |x − median| stays an exact 2dp decimal, so no float
+    summation anywhere. The F statistic (between-group vs within-group
+    mean squares of the deviations) is the standard one-way-ANOVA
+    closed form applied to z, computed from the 5-row group frame.
+    Critical value 2.372 = F(0.95; 4, ∞), a constant at these df.
+    """
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("levene_events")
+    med = spark.sql(
+        """
+SELECT event_type,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS m
+FROM levene_events GROUP BY event_type
+"""
+    )
+    z = (
+        e.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(
+                F.col("value").cast("decimal(28,6)") - F.col("m")
+            ).cast("decimal(28,6)").alias("z"),
+        )
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    t = g.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("sz").cast("double").alias("tot_sz"),
+        F.sum(F.col("sz").cast("decimal(38,6)") * F.col("sz") / F.col("ng"))
+        .cast("double")
+        .alias("sum_gsq"),
+        F.sum("szz").cast("double").alias("tot_szz"),
+    )
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    w = (
+        (F.col("sum_gsq") - F.col("tot_sz") * F.col("tot_sz") / n)
+        / (k - 1)
+    ) / ((F.col("tot_szz") - F.col("sum_gsq")) / (n - k))
+    return t.select(
+        "n",
+        "k",
+        F.round(w, 6).alias("levene_w"),
+        (w > 2.372).alias("unequal_spread"),
+    )

@@ -1,0 +1,255 @@
+"""Model-evaluation metrics over scored rows — the offline-eval family.
+
+The engine's eval surface so far judged RETRIEVAL artifacts (q_eval_ann /
+q_eval_retrieval / q_eval_dedup / q_eval_langid: recall@k, MRR, pair
+F1). This module adds the CLASSIFIER-side metrics every offline eval job
+needs: ROC AUC, the confusion-matrix family, and probability
+calibration. The "model" under test is deliberately a deterministic
+score already in the data (``events.value`` read as a propensity score
+for ``purchase`` vs ``view``) — the operators are the product, the
+score is fixture.
+
+Reference parity: the reference (Go async batch pipeline,
+async_data_pipeline.go:1-391) has no analytics surface; these derive
+from its data-processing mission restated for an analytics engine, per
+SURVEY.md §2B.
+
+Scale notes are per-operator; the common theme: every metric here
+reduces to counting and rank statistics, so each op is one or two
+partial-aggregated passes with at most a dimension-sized frame
+downstream — no per-row Python, no driver-side math on data-sized
+inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+from ._util import dist_cumsum
+
+_SCORED = """
+SELECT value AS score,
+       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+FROM events WHERE event_type IN ('purchase', 'view')
+"""
+
+
+@query(
+    "q_eval_auc",
+    # Exact midrank AUC: same doubled-midrank device as
+    # q_agg_mannwhitney — every quantity integer until the one final
+    # division. AUC = (R2a/2 - na(na+1)/2) / (na*nb).
+    oracle=f"""
+WITH scored AS ({_SCORED}),
+g AS (
+  SELECT score, CAST(sum(y) AS BIGINT) AS a_tie,
+         count(*) AS tie
+  FROM scored GROUP BY score
+),
+c AS (
+  SELECT a_tie, tie,
+         sum(tie) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tie
+  FROM g
+),
+s AS (
+  SELECT CAST(sum(a_tie * (2 * cum_tie - tie + 1)) AS BIGINT) AS r2a,
+         CAST(sum(a_tie) AS BIGINT) AS na,
+         CAST(sum(tie - a_tie) AS BIGINT) AS nb
+  FROM c
+)
+SELECT na AS n_pos, nb AS n_neg,
+       round((r2a / 2.0 - na * (na + 1) / 2.0) / (na * nb), 6) AS auc,
+       round(1.0 - (r2a / 2.0 - na * (na + 1) / 2.0) / (na * nb), 6)
+         AS auc_flipped
+FROM s
+""",
+)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of a score column against a binary label — THE
+    threshold-free ranking metric, via its rank-statistic identity:
+    AUC = U/(n⁺·n⁻) where U is the Mann-Whitney statistic (the
+    probability a random positive outranks a random negative, ties at
+    half). No curve is materialized: the trapezoid-integral and
+    rank formulations are equal, and the rank form is one aggregation.
+
+    Scale shape: identical to q_agg_mannwhitney — the distinct score
+    spine (groupBy(score) with per-group positive and tie counts) →
+    exact cumulative tie counts via ``dist_cumsum`` (range-partition
+    + per-bucket offsets, no data-sized single-partition WindowExec)
+    → doubled midranks 2·cum − tie + 1 (always BIGINT) → one
+    closed-form row. Works unchanged on billions of rows: the only
+    data-sized pass is the groupBy. ``auc_flipped`` ships because an
+    AUC below 0.5 means the score ranks the NEGATIVES higher — the
+    eval report should say so, not make the reader do 1−x.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = t.groupBy("score").agg(
+        F.sum("y").alias("a_tie"), F.count(F.lit(1)).alias("tie")
+    )
+    g = dist_cumsum(g, "score", ["tie"])
+    rx2 = 2 * F.col("cum_tie") - F.col("tie") + 1
+    s = g.agg(
+        F.sum(F.col("a_tie") * rx2).cast("long").alias("r2a"),
+        F.sum("a_tie").cast("long").alias("na"),
+        F.sum(F.col("tie") - F.col("a_tie")).cast("long").alias("nb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    auc = (F.col("r2a").cast("double") / 2 - na * (na + 1) / 2) / (na * nb)
+    return s.select(
+        F.col("na").alias("n_pos"),
+        F.col("nb").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(1.0 - auc, 6).alias("auc_flipped"),
+    )
+
+
+@query(
+    "q_eval_confusion",
+    # Four exact counts; every derived metric is a division of exact
+    # integers (single deterministic IEEE op per metric), rounded 6dp.
+    oracle=f"""
+WITH scored AS ({_SCORED}),
+c AS (
+  SELECT
+    CAST(sum(CASE WHEN score >= 50 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN score >= 50 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN score <  50 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN score <  50 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT tp, fp, fn, tn,
+       round((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS accuracy,
+       round(tp * 1.0 / (tp + fp), 6) AS precision_,
+       round(tp * 1.0 / (tp + fn), 6) AS recall,
+       round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+       round((tp * 1.0 * tn - fp * 1.0 * fn)
+             / sqrt((tp + fp) * 1.0 * (tp + fn) * (tn + fp) * (tn + fn)),
+             6) AS mcc
+FROM c
+""",
+)
+def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix and its derived metrics at a fixed decision
+    threshold (score ≥ 50 predicts positive): accuracy, precision,
+    recall, F1, and Matthews correlation — the metric sheet a model
+    card quotes next to q_eval_auc's threshold-free number. MCC is
+    included because accuracy and F1 both mislead under class
+    imbalance, and it is the one single-number summary that uses all
+    four cells.
+
+    Scale shape: ONE partial-aggregated pass producing four exact
+    conditional counts (map-side combinable, no shuffle beyond the
+    single-row merge); every metric is arithmetic on one row. F1 is
+    computed as 2TP/(2TP+FP+FN) — algebraically the P/R harmonic mean
+    but ONE division instead of a chain, so both engines perform the
+    identical IEEE op sequence. MCC's denominator product is ordered
+    (tp+fp)(tp+fn)(tn+fp)(tn+fn) in both engines for the same reason.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    pred = F.col("score") >= 50
+    y1 = F.col("y") == 1
+    c = t.agg(
+        F.sum((pred & y1).cast("long")).alias("tp"),
+        F.sum((pred & ~y1).cast("long")).alias("fp"),
+        F.sum((~pred & y1).cast("long")).alias("fn"),
+        F.sum((~pred & ~y1).cast("long")).alias("tn"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn_, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    mcc = (tp * tn - fp * fn_) / F.sqrt(
+        (tp + fp) * (tp + fn_) * (tn + fp) * (tn + fn_)
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round((tp + tn) / (tp + fp + fn_ + tn), 6).alias("accuracy"),
+        F.round(tp / (tp + fp), 6).alias("precision_"),
+        F.round(tp / (tp + fn_), 6).alias("recall"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn_), 6).alias("f1"),
+        F.round(mcc, 6).alias("mcc"),
+    )
+
+
+@query(
+    "q_eval_calibration",
+    # Per-bin exact counts + decimal-armored probability sums; the
+    # bin's |confidence - accuracy| gap is arithmetic on those.
+    oracle=f"""
+WITH scored AS ({_SCORED}),
+b AS (
+  SELECT least(CAST(floor(score / 10) AS BIGINT), 9) AS bin,
+         score / 100.0 AS p, y
+  FROM scored
+),
+g AS (
+  SELECT bin, count(*) AS n,
+         CAST(sum(CAST(p AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+           AS confidence,
+         CAST(sum(y) AS BIGINT) * 1.0 / count(*) AS accuracy
+  FROM b GROUP BY bin
+)
+SELECT bin, n, round(confidence, 6) AS confidence,
+       round(accuracy, 6) AS accuracy,
+       round(abs(confidence - accuracy), 6) AS gap
+FROM g ORDER BY bin
+""",
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table: predicted probability (score/100) bucketed
+    into ten equal-width bins, each bin's mean confidence vs empirical
+    positive rate and the |gap| — the table behind a reliability
+    diagram and the Expected Calibration Error (ECE = n-weighted mean
+    of ``gap``; left as per-bin rows because the diagram needs them
+    and the scalar is one trivial rollup away).
+
+    Scale shape: bin id is a map-only expression, then ONE grouped
+    aggregation over ≤10 groups — partial aggregation does all the
+    work, the reduce side merges ten rows. Confidence means go
+    through exact DECIMAL sums (order-independent across partitions /
+    AQE merge orders); accuracy is an exact-integer ratio, one IEEE
+    division. The top bin is closed ([90,100]) via least(bin, 9) so a
+    perfect score of 100 is not its own eleventh bin.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = t.select(
+        F.least(F.floor(F.col("score") / 10).cast("long"), F.lit(9)).alias(
+            "bin"
+        ),
+        (F.col("score") / 100.0).alias("p"),
+        "y",
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("p").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("confidence"),
+        (F.sum("y").cast("long") * 1.0 / F.count(F.lit(1))).alias("accuracy"),
+    )
+    return g.select(
+        "bin",
+        "n",
+        F.round("confidence", 6).alias("confidence"),
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round(F.abs(F.col("confidence") - F.col("accuracy")), 6).alias(
+            "gap"
+        ),
+    ).orderBy("bin")
