@@ -433,3 +433,248 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_graph_bfs.__doc__ = q_graph_bfs.__doc__.format(hops=_BFS_MAX_HOPS)
+
+
+_JACCARD_HOT_CAP = 200   # parts ordered by more customers contribute no pairs
+_JACCARD_TOP_K = 20
+
+
+@query(
+    "q_graph_degree",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_suppkey AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cd AS (SELECT u, count(*) AS deg FROM pairs GROUP BY u),
+sd AS (SELECT v, count(*) AS deg FROM pairs GROUP BY v),
+hist AS (
+  SELECT 'customer' AS kind, deg, count(*) AS n_nodes FROM cd GROUP BY deg
+  UNION ALL
+  SELECT 'supplier' AS kind, deg, count(*) AS n_nodes FROM sd GROUP BY deg
+)
+SELECT kind, CAST(deg AS BIGINT) AS degree,
+       CAST(n_nodes AS BIGINT) AS n_nodes
+FROM hist ORDER BY kind, degree
+""",
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer—supplier graph, per side —
+    the first question asked of any graph (is it heavy-tailed? are
+    there super-hubs that will detonate pair joins?) and the number
+    that justifies every hot-key guard in this engine: the cap
+    constants in q_copurchase / q_graph_jaccard / the LSH buckets are
+    chosen by looking at exactly this histogram.
+
+    Scale shape: distinct-edge reduction first (the one data-sized
+    pass), then degree = one grouped count per side and the histogram
+    = a second grouped count over the NODE frame — each strictly
+    smaller than its input. No joins at all; the whole plan is three
+    cascaded partial aggregations, the cheapest query in the graph
+    family.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cd = pairs.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("deg"))
+    sd = pairs.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("deg"))
+    hist = (
+        cd.groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.lit("customer").alias("kind"), "deg", "n_nodes")
+        .unionByName(
+            sd.groupBy("deg")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .select(F.lit("supplier").alias("kind"), "deg", "n_nodes")
+        )
+    )
+    return hist.select(
+        "kind",
+        F.col("deg").cast("long").alias("degree"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+    ).orderBy("kind", "degree")
+
+
+@query(
+    "q_graph_assortativity",
+    # Degree-degree Pearson over the undirected edge list: degrees are
+    # exact integers, so every power sum is DECIMAL-exact and the
+    # correlation is one ordered double expression.
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_suppkey AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cd AS (SELECT u, count(*) AS du FROM pairs GROUP BY u),
+sd AS (SELECT v, count(*) AS dv FROM pairs GROUP BY v),
+e AS (
+  SELECT cd.du AS x, sd.dv AS y FROM pairs
+  JOIN cd ON cd.u = pairs.u JOIN sd ON sd.v = pairs.v
+),
+eb AS (
+  SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+  FROM eb
+)
+SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+       round((m * sxy - sx * sy)
+             / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)),
+             6) AS assortativity
+FROM s
+""",
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer—supplier graph: the
+    Pearson correlation of endpoint degrees over the undirected edge
+    list — do high-degree nodes attach to other hubs (assortative,
+    r>0, social-network-like) or to leaves (disassortative, r<0,
+    typical of bipartite commerce)? One scalar that predicts hot-key
+    behavior under joins: strong disassortativity means hub keys pair
+    with long leaf lists — exactly the skew AQE or salting must
+    absorb.
+
+    Scale shape: distinct-edge pass → two degree maps (node-sized) →
+    the edge list joins its two endpoint degrees (hash joins on node
+    id, the standard edge-attribute pattern) → both orientations
+    union → ONE decimal power-sum pass. Degrees are exact integers,
+    so the correlation has no float-summation wobble; the final
+    expression is one ordered double chain shared with the oracle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    cd = pairs.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("du"))
+    sd = pairs.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("dv"))
+    e = (
+        pairs.join(cd, "o_custkey")
+        .join(sd, "l_suppkey")
+        .select(F.col("du").alias("x"), F.col("dv").alias("y"))
+    )
+    both = e.unionByName(
+        e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    big = "decimal(38,0)"
+    s = both.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("x").cast(big)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(big)).cast("double").alias("sy"),
+        F.sum(F.col("x").cast(big) * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast(big) * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x").cast(big) * F.col("y")).cast("double").alias("sxy"),
+    )
+    m = F.col("m").cast("double")
+    r = (m * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(m * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(m * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(r, 6).alias("assortativity"),
+    )
+
+
+@query(
+    "q_graph_jaccard",
+    oracle=f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+keep AS (
+  SELECT p FROM cp GROUP BY p HAVING count(*) <= {_JACCARD_HOT_CAP}
+),
+cpk AS (SELECT cp.c, cp.p FROM cp JOIN keep USING (p)),
+deg AS (SELECT c, count(*) AS d FROM cp GROUP BY c),
+co AS (
+  SELECT a.c AS ca, b.c AS cb, count(*) AS nco
+  FROM cpk a JOIN cpk b ON a.p = b.p AND a.c < b.c
+  GROUP BY a.c, b.c
+),
+j AS (
+  SELECT ca, cb, nco, da.d AS da, db.d AS db,
+         round(nco * 1.0 / (da.d + db.d - nco), 6) AS jaccard
+  FROM co JOIN deg da ON da.c = co.ca JOIN deg db ON db.c = co.cb
+)
+SELECT ca AS cust_a, cb AS cust_b, CAST(nco AS BIGINT) AS n_common,
+       CAST(da AS BIGINT) AS deg_a, CAST(db AS BIGINT) AS deg_b, jaccard
+FROM j ORDER BY jaccard DESC, ca, cb LIMIT {_JACCARD_TOP_K}
+""",
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-Jaccard link prediction: the top-{k} customer pairs by
+    Jaccard similarity of their part baskets — "customers like you
+    also buy", the classic common-neighbors recommender, and the graph
+    twin of q_dedup_ngram's set-overlap verification.
+
+    Scale shape: candidate pairs are generated ONLY through shared
+    parts (never all-pairs), and parts ordered by more than {cap}
+    customers are suppressed BEFORE the self-join (hot-part cap —
+    q_copurchase's basket guard applied to the other side of the
+    bipartite graph; a part everyone buys predicts nothing and would
+    contribute quadratic pairs). Degrees come from the UNCAPPED edge
+    frame so the Jaccard denominator stays honest. Pair counting
+    shuffles on the pair key (map-side combinable); the Jaccard is an
+    exact-integer division rounded 6dp, ordered with a (a, b)
+    tiebreak, planned as TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    keep = (
+        cp.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("npc"))
+        .filter(F.col("npc") <= _JACCARD_HOT_CAP)
+        .select("p")
+    )
+    cpk = cp.join(keep, "p").localCheckpoint(eager=False)
+    deg = cp.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    a = cpk.select("p", F.col("c").alias("ca"))
+    b = cpk.select("p", F.col("c").alias("cb"))
+    co = (
+        a.join(b, "p")
+        .filter(F.col("ca") < F.col("cb"))
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("nco"))
+    )
+    j = (
+        co.join(deg.select(F.col("c").alias("ca"), F.col("d").alias("da")), "ca")
+        .join(deg.select(F.col("c").alias("cb"), F.col("d").alias("db")), "cb")
+        .select(
+            F.col("ca").alias("cust_a"),
+            F.col("cb").alias("cust_b"),
+            F.col("nco").cast("long").alias("n_common"),
+            F.col("da").cast("long").alias("deg_a"),
+            F.col("db").cast("long").alias("deg_b"),
+            F.round(
+                F.col("nco") * 1.0 / (F.col("da") + F.col("db") - F.col("nco")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.orderBy(
+        F.col("jaccard").desc(), "cust_a", "cust_b"
+    ).limit(_JACCARD_TOP_K)
+
+
+q_graph_jaccard.__doc__ = q_graph_jaccard.__doc__.format(
+    k=_JACCARD_TOP_K, cap=_JACCARD_HOT_CAP
+)

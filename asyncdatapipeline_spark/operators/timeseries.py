@@ -4004,3 +4004,142 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(did) > 1.96 * se).alias("significant"),
         )
     )
+
+
+@query(
+    "q_events_srm",
+    # All-integer chi-square with one division: chi2 for a 50/50 split
+    # is (na-nb)^2/n. The variant comes from the md5 byte of user_id —
+    # recomputed bit-for-bit in SQL, so assignment and verdict are
+    # engine-identical.
+    oracle="""
+WITH a AS (
+  SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::UINTEGER
+              % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+  FROM events
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM a
+)
+SELECT n_a, n_b,
+       round((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b), 6) AS chi2,
+       ((n_a - n_b) * (n_a - n_b) * 1.0 / (n_a + n_b)) > 3.841
+         AS srm_detected
+FROM c
+""",
+)
+def q_events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for a 50/50 experiment assignment —
+    the FIRST gate of every A/B readout (a biased split invalidates
+    q_events_experiment / q_events_cuped / q_events_did before any
+    effect is read; SRM is the industry's canonical silent-corruption
+    detector). The variant is derived from md5(user_id) exactly like
+    q_split_hash's bucket, so the check audits the engine's own
+    assignment device: any skew it finds is REAL pipeline bias, not
+    sampling noise.
+
+    Scale shape: a map-only variant expression (the md5 byte, codegen)
+    folded by ONE partial-aggregated pass into two counts; the 1-df
+    chi-square for an even split reduces to (n_a−n_b)²/n — exact
+    integers until a single IEEE division. Critical value 3.841 =
+    χ²(0.95, 1), a constant. Per-variant EVENT counts (not users) are
+    deliberate: event-level SRM catches logging loss that user-level
+    counts mask (a variant that drops 5% of its events keeps its
+    users).
+    """
+    e = load_table(spark, sf_dir, "events")
+    byte = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    v = e.select(
+        F.when(byte % 2 == 0, "A").otherwise("B").alias("variant")
+    )
+    c = v.agg(
+        F.sum((F.col("variant") == "A").cast("long")).alias("n_a"),
+        F.sum((F.col("variant") == "B").cast("long")).alias("n_b"),
+    )
+    diff = F.col("n_a") - F.col("n_b")
+    chi2 = diff * diff * 1.0 / (F.col("n_a") + F.col("n_b"))
+    return c.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
+
+
+@query(
+    "q_events_adoption",
+    # Exact integer cumulative over the day spine; share is one IEEE
+    # division per day row.
+    oracle="""
+WITH fs AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS first_day
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT first_day AS day, count(*) AS new_users FROM fs GROUP BY first_day
+),
+c AS (
+  SELECT day, new_users,
+         sum(new_users) OVER (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_users,
+         sum(new_users) OVER () AS total
+  FROM d
+)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(cum_users AS BIGINT) AS cum_users,
+       round(cum_users * 1.0 / total, 6) AS adoption_share
+FROM c ORDER BY day
+""",
+)
+def q_events_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adoption curve: first-seen day per user → daily new users →
+    cumulative adopters and share of the eventual population — the
+    product-growth S-curve (the empirical Bass diffusion input), and
+    the acquisition-side complement of q_retention (which measures who
+    STAYS; this measures who ARRIVES).
+
+    Scale shape: the data-sized work is one min-aggregation per user
+    (partial-agg combinable: min of integer epoch-days); everything
+    after lives on the DAY SPINE (dimension-sized). The cumulative
+    runs through ``dist_cumsum`` — the distributed exact prefix device
+    — rather than an unpartitioned window, so even a spine with
+    millions of periods (per-second cohorts, say) never lands on one
+    partition. The share denominator is the same cumulative's last
+    value, obtained as sum(new_users) in a 1-row broadcast — no
+    second pass over data.
+    """
+    from asyncdatapipeline_spark.operators._util import dist_cumsum
+
+    e = load_table(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(
+        F.min(
+            F.floor(
+                F.unix_timestamp("ts").cast("double") / 86400
+            ).cast("long")
+        ).alias("first_day")
+    )
+    d = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    c = dist_cumsum(d, "day", ["new_users"])
+    tot = d.agg(F.sum("new_users").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            F.col("new_users").cast("long").alias("new_users"),
+            F.col("cum_new_users").cast("long").alias("cum_users"),
+            F.round(
+                F.col("cum_new_users") * 1.0 / F.col("total"), 6
+            ).alias("adoption_share"),
+        )
+        .orderBy("day")
+    )
