@@ -181,3 +181,118 @@ def test_levene_detects_unequal_spread(spark, tmp_path_factory):
     _write_events(spark, out, rows)
     r = registry.get("q_agg_levene").fn(spark, str(out)).collect()[0]
     assert r["levene_w"] > 2.372 and r["unequal_spread"]
+
+
+def _write_graph_fixture(spark, out, triples):
+    """orders+lineitem from (custkey, suppkey, partkey) triples."""
+    spark.createDataFrame(
+        [(i, c, "O", 100.0, "1995-01-01", "1-URGENT") for i, (c, _, _) in enumerate(triples)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate_s string, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate_s").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    spark.createDataFrame(
+        [(i, s, p) for i, (_, s, p) in enumerate(triples)],
+        "l_orderkey long, l_suppkey long, l_partkey long",
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.lit(1.0).alias("l_quantity"),
+        F.lit(100.0).alias("l_extendedprice"),
+        F.lit(0.05).alias("l_discount"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+
+
+def test_graph_degree_star(spark, tmp_path_factory):
+    """Customer 1 trades with suppliers 1..4; customers 2..5 each with
+    supplier 1 only: degree histograms must reflect the star."""
+    out = tmp_path_factory.mktemp("gdeg")
+    triples = [(1, s, 100) for s in range(1, 5)]
+    triples += [(c, 1, 100) for c in range(2, 6)]
+    _write_graph_fixture(spark, out, triples)
+    rows = registry.get("q_graph_degree").fn(spark, str(out)).collect()
+    got = {(r["kind"], r["degree"]): r["n_nodes"] for r in rows}
+    # customer 1 has degree 4 (suppliers 1-4); customers 2-5 degree 1
+    assert got[("customer", 4)] == 1 and got[("customer", 1)] == 4
+    # supplier 1 serves customers 1-5 (degree 5); suppliers 2-4 degree 1
+    assert got[("supplier", 5)] == 1 and got[("supplier", 1)] == 3
+
+
+def test_graph_assortativity_star_is_negative(spark, tmp_path_factory):
+    """A pure star (one hub, many leaves) is maximally disassortative:
+    every edge joins the max-degree node to a degree-1 node, r = -1
+    ... except r is undefined for a perfect star (zero variance on one
+    side after mirroring makes it defined); use two stars to get a
+    well-defined strongly negative r."""
+    out = tmp_path_factory.mktemp("gass")
+    triples = [(1, s, 100) for s in range(1, 6)]          # hub cust 1
+    triples += [(c, 10, 100) for c in range(2, 7)]        # hub supp 10
+    _write_graph_fixture(spark, out, triples)
+    r = registry.get("q_graph_assortativity").fn(spark, str(out)).collect()[0]
+    assert r["n_edges"] == 10
+    assert r["assortativity"] < -0.5
+
+
+def test_graph_jaccard_identical_baskets(spark, tmp_path_factory):
+    """Customers 1 and 2 order exactly parts {10, 20, 30}: their
+    Jaccard is 1.0 and tops the list."""
+    out = tmp_path_factory.mktemp("gjac")
+    triples = [(1, 1, p) for p in (10, 20, 30)]
+    triples += [(2, 1, p) for p in (10, 20, 30)]
+    triples += [(3, 1, 10), (3, 1, 99)]  # partial overlap with 1 and 2
+    _write_graph_fixture(spark, out, triples)
+    rows = registry.get("q_graph_jaccard").fn(spark, str(out)).collect()
+    top = rows[0]
+    assert (top["cust_a"], top["cust_b"]) == (1, 2)
+    assert top["jaccard"] == 1.0 and top["n_common"] == 3
+    pair13 = [r for r in rows if (r["cust_a"], r["cust_b"]) == (1, 3)][0]
+    assert pair13["jaccard"] == 0.25  # |{10}| / |{10,20,30,99}|
+
+
+def test_srm_balanced_and_broken(spark, tmp_path_factory):
+    """A deliberately broken assignment (drop most of one arm's
+    events) must trip the detector; chi2 is the exact closed form."""
+    out = tmp_path_factory.mktemp("srm")
+    # find user ids landing in each arm via the same md5 byte rule
+    import hashlib
+
+    def arm(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:2], 16) % 2
+
+    a_users = [u for u in range(100) if arm(u) == 0][:5]
+    b_users = [u for u in range(100) if arm(u) == 1][:5]
+    rows = []
+    for i, u in enumerate(a_users):
+        rows.append((i, "2024-01-01 00:00:00", u, "view", 1.0))
+    # arm B: only one event -> 5 vs 1
+    rows.append((999, "2024-01-01 00:00:00", b_users[0], "view", 1.0))
+    _write_events(spark, out, rows)
+    r = registry.get("q_events_srm").fn(spark, str(out)).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (5, 1)
+    assert r["chi2"] == round(16 / 6, 6)
+    # 2.67 < 3.841: small n keeps it under the trip wire
+    assert not r["srm_detected"]
+
+
+def test_adoption_curve_exact(spark, tmp_path_factory):
+    """Three users arriving over two days: day-1 two adopters (share
+    2/3), day-2 one more (share 1.0); returning events don't re-adopt."""
+    out = tmp_path_factory.mktemp("adopt")
+    rows = [
+        (1, "2024-01-01 08:00:00", 1, "view", 1.0),
+        (2, "2024-01-01 09:00:00", 2, "view", 1.0),
+        (3, "2024-01-02 08:00:00", 1, "click", 1.0),  # returning, not new
+        (4, "2024-01-02 09:00:00", 3, "view", 1.0),
+    ]
+    _write_events(spark, out, rows)
+    rs = registry.get("q_events_adoption").fn(spark, str(out)).collect()
+    assert [(r["new_users"], r["cum_users"]) for r in rs] == [(2, 2), (1, 3)]
+    assert rs[0]["adoption_share"] == round(2 / 3, 6)
+    assert rs[1]["adoption_share"] == 1.0
