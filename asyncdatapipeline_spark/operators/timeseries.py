@@ -4143,3 +4143,323 @@ def q_events_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_ts_changepoint",
+    # Binary-segmentation objective from exact integer prefix sums:
+    # G(k) = (n*S_k - S*k)^2 / (k*(n-k)) maximized over split points.
+    # Numerators are exact DECIMAL; the argmax compares 6dp-rounded
+    # doubles with an earliest-day tiebreak, identical both engines.
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS y
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT day, y,
+         sum(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS s,
+         row_number() OVER (ORDER BY day) AS k,
+         sum(y) OVER () AS tot,
+         count(*) OVER () AS nd
+  FROM d
+),
+g AS (
+  SELECT day, k, nd,
+         round(CAST((nd * s - tot * k) AS DOUBLE)
+               * (nd * s - tot * k) / (k * (nd - k)) / nd, 6) AS gain,
+         round(CAST(s AS DOUBLE) / k, 6) AS mean_left,
+         round(CAST(tot - s AS DOUBLE) / (nd - k), 6) AS mean_right
+  FROM c WHERE k < nd
+)
+SELECT day AS split_day, gain, mean_left, mean_right,
+       CAST(nd AS BIGINT) AS n_days
+FROM g ORDER BY gain DESC, day LIMIT 1
+""",
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection on the daily event-volume series
+    (binary segmentation, first split): the day whose before/after
+    mean split explains the most variance — the incident-start /
+    regime-shift finder, and the first iteration of the classic
+    recursive segmentation. q_ts_cusum asks "did the level drift PAST
+    a threshold"; this asks WHERE the level moved, with no threshold.
+
+    The objective at split k is the between-segment sum of squares
+    G(k) = n_l·n_r/n · (mean_l − mean_r)², computed entirely from the
+    day spine's exact integer prefix sums as (n·S_k − S·k)² /
+    (k·(n−k)·n) — no per-split re-scan, the classic prefix-sum
+    reduction of the O(D²) naive form to O(D).
+
+    Scale shape: one data-sized grouped count to the day spine, then
+    ``dist_cumsum`` for the prefix sums (distributed exact — no
+    unpartitioned window even when the spine is per-second), a
+    map-only gain expression, and a 1-row max_by. The argmax compares
+    6dp-rounded gains with the earliest-day tiebreak so both engines
+    select the identical split even under near-tied gains.
+    """
+    from asyncdatapipeline_spark.operators._util import dist_cumsum
+
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.groupBy(
+            F.floor(F.unix_timestamp("ts").cast("double") / 86400)
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+        .withColumn("one", F.lit(1))
+    )
+    c = dist_cumsum(d, "day", ["y", "one"])
+    tot = d.agg(
+        F.sum("y").alias("tot"), F.count(F.lit(1)).alias("nd")
+    )
+    g = (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_one") < F.col("nd"))
+        .select(
+            "day",
+            F.col("nd").cast("long").alias("n_days"),
+            F.round(
+                (
+                    (F.col("nd") * F.col("cum_y") - F.col("tot") * F.col("cum_one"))
+                    .cast("double")
+                    * (F.col("nd") * F.col("cum_y") - F.col("tot") * F.col("cum_one"))
+                )
+                / (F.col("cum_one") * (F.col("nd") - F.col("cum_one")))
+                / F.col("nd"),
+                6,
+            ).alias("gain"),
+            F.round(
+                F.col("cum_y").cast("double") / F.col("cum_one"), 6
+            ).alias("mean_left"),
+            F.round(
+                (F.col("tot") - F.col("cum_y")).cast("double")
+                / (F.col("nd") - F.col("cum_one")),
+                6,
+            ).alias("mean_right"),
+        )
+    )
+    return (
+        g.orderBy(F.col("gain").desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("split_day"),
+            "gain",
+            "mean_left",
+            "mean_right",
+            "n_days",
+        )
+    )
+
+
+_ROLLCORR_WIN = 14
+
+
+@query(
+    "q_ts_rolling_corr",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, count(*) OVER win AS n,
+         sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+         sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy,
+         sum(x * y) OVER win AS sxy
+  FROM d
+  WINDOW win AS (ORDER BY day RANGE BETWEEN {_ROLLCORR_WIN - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT day,
+       round((n * sxy - sx * sy)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS rolling_corr
+FROM w WHERE n = {_ROLLCORR_WIN}
+ORDER BY day
+""",
+)
+def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{win}-day rolling Pearson correlation between daily purchase
+    and view volumes — the co-movement monitor ("did these two metrics
+    decouple this week?"), the windowed refinement of q_ts_crosscorr's
+    whole-series number: a correlation break the full-series value
+    averages away shows up here as the day the curve dives.
+
+    Scale shape: the data-sized work is one grouped count to the day
+    spine. The rolling sums are then built WITHOUT any unpartitioned
+    window: each spine day EXPLODES its {win} anchor contributions
+    (day+0 … day+{win}−1, a fixed fan-out of a dimension-sized frame)
+    and one grouped aggregation per anchor day collects exact integer
+    power sums — the join-free rolling-window device, shuffle on the
+    anchor key only. RANGE semantics (calendar offsets, so a gap day
+    shortens the window) come out identical because anchors missing
+    days simply receive fewer contributions; anchors with fewer than
+    {win} observed days are dropped on an exact integer count. The
+    correlation is one ordered double chain on integers, 6dp.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts").cast("double") / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("y"),
+    )
+    contrib = d.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (_ROLLCORR_WIN - 1))
+        ).alias("anchor"),
+        "day",
+        "x",
+        "y",
+    )
+    w = (
+        contrib.groupBy("anchor")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        .filter(F.col("n") == _ROLLCORR_WIN)
+    )
+    # anchors beyond the observed span collect contributions but no
+    # full window; additionally the anchor must BE an observed day so
+    # the output spine matches the RANGE-window oracle frame.
+    w = w.join(d.select(F.col("day").alias("anchor")), "anchor")
+    r = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    )
+    return (
+        w.select(
+            F.col("anchor").alias("day"),
+            F.round(r, 6).alias("rolling_corr"),
+        )
+        .orderBy("day")
+    )
+
+
+q_ts_rolling_corr.__doc__ = q_ts_rolling_corr.__doc__.format(
+    win=_ROLLCORR_WIN
+)
+
+
+_PERIODOGRAM_PERIODS = (7, 10, 14)
+_TWO_PI = "6.283185307179586"
+
+
+@query(
+    "q_ts_periodogram",
+    # Trig determinism: cos/sin are evaluated at angles built from
+    # exact integer arithmetic (2*pi literal * (t mod p) / p) and each
+    # factor is ROUNDED TO 9DP before the DECIMAL-weighted sum — the
+    # ln-contract (q_text_unigram_ppl) applied to trig: a last-ulp
+    # libm disagreement dies in the rounding, and the weighted sums
+    # are order-free.
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS y
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT day - (SELECT min(day) FROM d) AS t,
+         y * (SELECT count(*) FROM d) - (SELECT sum(y) FROM d) AS z,
+         (SELECT count(*) FROM d) AS nd
+  FROM d
+),
+p AS (SELECT unnest([{", ".join(str(p) for p in _PERIODOGRAM_PERIODS)}])
+        AS period),
+parts AS (
+  SELECT p.period,
+         sum(CAST(round(cos({_TWO_PI} * (t.t % p.period) / p.period), 9)
+                  AS DECIMAL(10,9)) * CAST(t.z AS DECIMAL(18,0))) AS c,
+         sum(CAST(round(sin({_TWO_PI} * (t.t % p.period) / p.period), 9)
+                  AS DECIMAL(10,9)) * CAST(t.z AS DECIMAL(18,0))) AS s,
+         max(t.nd) AS nd
+  FROM t, p GROUP BY p.period
+)
+SELECT CAST(period AS BIGINT) AS period,
+       round(((CAST(c AS DOUBLE) / nd) * (CAST(c AS DOUBLE) / nd)
+              + (CAST(s AS DOUBLE) / nd) * (CAST(s AS DOUBLE) / nd))
+             / nd, 6) AS power
+FROM parts ORDER BY period
+""",
+)
+def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram probe: spectral power of the daily event-volume
+    series at candidate periods {periods} — "is there a weekly /
+    biweekly cycle, and which dominates?" The quantitative upgrade of
+    q_ts_seasonality's single chi-square: that op tests ONE fixed
+    cycle (day-of-week); this SCANS candidate periods and returns each
+    one's power P(p) = (C_p² + S_p²)/D with C_p = Σ(y_t−ȳ)·cos(2πt/p),
+    the Schuster periodogram restricted to a candidate grid (the
+    production pattern — a full FFT needs the whole series on one
+    node; a candidate-grid scan is embarrassingly parallel).
+
+    Scale shape: day spine (one data-sized grouped count) × |periods|
+    fixed fan-out — map-only trig factors, one grouped decimal sum
+    per period. Cross-engine trig goes through the 9dp-round-then-
+    DECIMAL contract (module ln-contract precedent): angles are built
+    from exact integers (t mod p), each cos/sin rounds to 9dp BEFORE
+    the weighted sum, so libm-vs-JVM last-ulp differences cannot
+    reach the aggregate. Mean-centering uses the exact integer total
+    (one broadcast row), keeping the DC component out of every bin.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts").cast("double") / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    stats = d.agg(
+        F.min("day").alias("d0"),
+        F.sum("y").alias("tot"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    # exact mean-centering: z = y*nd - tot is an INTEGER, so the
+    # trig-weighted sums stay in DECIMAL (order-free); the nd divisor
+    # comes out after the aggregation as single IEEE divisions.
+    t = d.crossJoin(F.broadcast(stats)).select(
+        (F.col("day") - F.col("d0")).alias("t"),
+        (F.col("y") * F.col("nd") - F.col("tot")).alias("z"),
+        "nd",
+    )
+    periods = F.array(
+        *[F.lit(p) for p in _PERIODOGRAM_PERIODS]
+    )
+    tp = t.select(
+        F.explode(periods).alias("period"), "t", "z", "nd"
+    )
+    two_pi = float(_TWO_PI)
+    ang = two_pi * (F.col("t") % F.col("period")) / F.col("period")
+    # decimal(10,9) x decimal(18,0) -> precision 29, scale 9: EXACT.
+    # (a 28,9 factor times a bare long hit Spark's 38-precision cap and
+    # silently truncated the product scale to 6 - the overflow trap.)
+    dec9 = "decimal(10,9)"
+    z18 = F.col("z").cast("decimal(18,0)")
+    parts = tp.groupBy("period").agg(
+        F.sum(F.round(F.cos(ang), 9).cast(dec9) * z18).alias("c"),
+        F.sum(F.round(F.sin(ang), 9).cast(dec9) * z18).alias("s"),
+        F.max("nd").alias("nd"),
+    )
+    c = F.col("c").cast("double") / F.col("nd")
+    s_ = F.col("s").cast("double") / F.col("nd")
+    return parts.select(
+        F.col("period").cast("long").alias("period"),
+        F.round((c * c + s_ * s_) / F.col("nd"), 6).alias("power"),
+    ).orderBy("period")

@@ -296,3 +296,85 @@ def test_adoption_curve_exact(spark, tmp_path_factory):
     assert [(r["new_users"], r["cum_users"]) for r in rs] == [(2, 2), (1, 3)]
     assert rs[0]["adoption_share"] == round(2 / 3, 6)
     assert rs[1]["adoption_share"] == 1.0
+
+
+def test_changepoint_finds_level_shift(spark, tmp_path_factory):
+    """10 days at 2 events/day then 10 days at 8/day: the best split is
+    the last low day, with exact segment means."""
+    out = tmp_path_factory.mktemp("cpt")
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        n = 2 if day <= 10 else 8
+        for j in range(n):
+            rows.append(
+                (eid, f"2024-01-{day:02d} 0{j % 10}:00:00", j, "view", 1.0)
+            )
+            eid += 1
+    _write_events(spark, out, rows)
+    r = registry.get("q_ts_changepoint").fn(spark, str(out)).collect()[0]
+    import datetime
+
+    day10 = (datetime.date(2024, 1, 10) - datetime.date(1970, 1, 1)).days
+    assert r["split_day"] == day10
+    assert r["mean_left"] == 2.0 and r["mean_right"] == 8.0
+    assert r["n_days"] == 20
+
+
+def test_rolling_corr_perfect_comovement(spark, tmp_path_factory):
+    """Daily purchase count == daily view count (varying): every full
+    window has correlation exactly 1."""
+    out = tmp_path_factory.mktemp("rcorr")
+    rows = []
+    eid = 0
+    for day in range(1, 29):
+        n = 1 + (day % 5)
+        for j in range(n):
+            for et in ("purchase", "view"):
+                rows.append(
+                    (eid, f"2024-01-{day:02d} 03:00:00", j, et, 1.0)
+                )
+                eid += 1
+    _write_events(spark, out, rows)
+    rs = registry.get("q_ts_rolling_corr").fn(spark, str(out)).collect()
+    assert len(rs) == 15  # 28 days, 14-day window -> 15 full anchors
+    assert all(r["rolling_corr"] == 1.0 for r in rs)
+
+
+def test_periodogram_weekly_signal_dominates(spark, tmp_path_factory):
+    """A pure 7-day spike train concentrates power at period 7 (and its
+    multiple 14); the off-cycle period-10 bin stays near zero."""
+    out = tmp_path_factory.mktemp("pgram")
+    rows = []
+    eid = 0
+    for day in range(1, 29):
+        n = 10 if (day % 7) == 0 else 2
+        for j in range(n):
+            rows.append(
+                (eid, f"2024-01-{day:02d} 05:00:00", j, "view", 1.0)
+            )
+            eid += 1
+    _write_events(spark, out, rows)
+    rs = {
+        r["period"]: r["power"]
+        for r in registry.get("q_ts_periodogram").fn(spark, str(out)).collect()
+    }
+    assert rs[7] > 10 * rs[10]
+    assert rs[7] > 0.0
+
+
+def test_periodogram_constant_series_is_silent(spark, tmp_path_factory):
+    """A constant series has zero power at every period after exact
+    mean-centering."""
+    out = tmp_path_factory.mktemp("pgram0")
+    rows = []
+    eid = 0
+    for day in range(1, 22):
+        for j in range(3):
+            rows.append(
+                (eid, f"2024-01-{day:02d} 06:00:00", j, "view", 1.0)
+            )
+            eid += 1
+    _write_events(spark, out, rows)
+    rs = registry.get("q_ts_periodogram").fn(spark, str(out)).collect()
+    assert all(r["power"] == 0.0 for r in rs)
