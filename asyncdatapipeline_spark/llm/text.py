@@ -1810,3 +1810,216 @@ def q_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.lit(1.0) / F.col("first_rel"), 6))
         .alias("mrr"),
     )
+
+
+_COLLOC_MIN_COUNT = 5
+_COLLOC_TOP_K = 20
+
+
+@query(
+    "q_text_collocations",
+    # PMI is a PER-ROW ln on a vocab-bounded frame (never summed), so
+    # the 6dp output round is the only float contract needed; ordering
+    # is on the ROUNDED pmi + bigram string, engine-identical.
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM ws
+),
+c2 AS (SELECT bigram, count(*) AS n_ab FROM bg GROUP BY bigram),
+cf AS (SELECT split_part(bigram, ' ', 1) AS wd, count(*) AS n_first
+       FROM bg GROUP BY 1),
+cs AS (SELECT split_part(bigram, ' ', 2) AS wd, count(*) AS n_second
+       FROM bg GROUP BY 1),
+n AS (SELECT count(*) AS nn FROM bg),
+p AS (
+  SELECT c2.bigram, c2.n_ab,
+         round(ln(CAST(c2.n_ab AS DOUBLE) * nn
+                  / (cf.n_first * CAST(cs.n_second AS DOUBLE))), 6) AS pmi
+  FROM c2
+  JOIN cf ON cf.wd = split_part(c2.bigram, ' ', 1)
+  JOIN cs ON cs.wd = split_part(c2.bigram, ' ', 2)
+  CROSS JOIN n
+  WHERE c2.n_ab >= {_COLLOC_MIN_COUNT}
+)
+SELECT bigram, CAST(n_ab AS BIGINT) AS n_ab, pmi
+FROM p ORDER BY pmi DESC, bigram LIMIT {_COLLOC_TOP_K}
+""",
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-{k} adjacent word pairs by pointwise
+    mutual information — phrases whose words co-occur far beyond
+    chance ("new york", "machine learning"); the phrase-detection pass
+    tokenizer pipelines run to decide what deserves a single token.
+    q_text_bigram_lm scores DOCUMENTS under bigram statistics; this
+    ranks the BIGRAMS themselves (PMI), and q_events_pmi is the same
+    statistic on event co-occurrence — three uses of one identity.
+
+    Position-conditional probabilities deliberately: p(a·) from
+    first-slot counts, p(·b) from second-slot counts, both over the
+    same N = total bigram count, so the three marginals share one
+    denominator frame and the PMI needs no second corpus pass. A
+    minimum pair count of {mc} filters the singleton-PMI artifact
+    (hapax pairs otherwise top any PMI list).
+
+    Scale shape: bigram generation is a map-only transform of each
+    document's token array; pair counting is map-side combinable; the
+    PMI join runs on VOCAB-bounded frames (bigram types × two unigram
+    maps — broadcast-sized under Zipf). ln appears once per bigram
+    TYPE as display output (never summed), ordered on the 6dp-rounded
+    value with the bigram string tiebreak; TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        F.split(F.col("text"), " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    bg = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> concat(w[i], ' ', w[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab"))
+    first = F.split(F.col("bigram"), " ").getItem(0)
+    second = F.split(F.col("bigram"), " ").getItem(1)
+    cf = bg.groupBy(first.alias("wd")).agg(
+        F.count(F.lit(1)).alias("n_first")
+    )
+    cs = bg.groupBy(second.alias("wd")).agg(
+        F.count(F.lit(1)).alias("n_second")
+    )
+    nn = bg.agg(F.count(F.lit(1)).alias("nn"))
+    p = (
+        c2.filter(F.col("n_ab") >= _COLLOC_MIN_COUNT)
+        .join(F.broadcast(cf), first == F.col("wd"))
+        .drop("wd")
+        .join(F.broadcast(cs), second == F.col("wd"))
+        .drop("wd")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "bigram",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("nn")
+                    / (F.col("n_first") * F.col("n_second").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return p.orderBy(F.col("pmi").desc(), "bigram").limit(_COLLOC_TOP_K)
+
+
+q_text_collocations.__doc__ = q_text_collocations.__doc__.format(
+    k=_COLLOC_TOP_K, mc=_COLLOC_MIN_COUNT
+)
+
+
+_EDIST_BLOCK_CHARS = 32
+_EDIST_CAP_CHARS = 200
+_EDIST_BLOCK_CAP = 50
+_EDIST_TOP_K = 20
+
+
+@query(
+    "q_text_editdist",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, substr(text, 1, {_EDIST_CAP_CHARS}) AS head,
+         substr(text, 1, {_EDIST_BLOCK_CHARS}) AS blk
+  FROM documents
+),
+keep AS (
+  SELECT blk FROM t GROUP BY blk
+  HAVING count(*) BETWEEN 2 AND {_EDIST_BLOCK_CAP}
+),
+tk AS (SELECT t.* FROM t JOIN keep USING (blk)),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.head, b.head) AS dist,
+         greatest(len(a.head), len(b.head)) AS maxlen
+  FROM tk a JOIN tk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS edit_dist,
+       round(1.0 - dist * 1.0 / maxlen, 6) AS head_similarity
+FROM p ORDER BY edit_dist, doc_a, doc_b LIMIT {_EDIST_TOP_K}
+""",
+)
+def q_text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate verification: the {k} closest
+    document pairs by Levenshtein distance over their first {cap}
+    chars, candidates blocked on a shared {blk}-char prefix — the
+    EXACT-verification stage that sits behind every LSH/minhash
+    recall pipeline (q_dedup_ngram verifies candidates with set
+    Jaccard; this verifies with SEQUENCE edit distance, which catches
+    in-place edits Jaccard's bag-of-shingles can miss and is the
+    standard metric for fuzzy-matching audits).
+
+    Scale doctrine stated plainly: Levenshtein is O(m·n) PER PAIR —
+    never run it on all pairs. Three caps bound the work: (1) pairs
+    exist only WITHIN a prefix block (equi join, no theta join), (2)
+    blocks larger than {bcap} docs are suppressed before the
+    self-join (the hot-bucket guard — boilerplate prefixes otherwise
+    go quadratic), (3) the compared string is head-capped at {cap}
+    chars so one pair costs bounded cells. Spark's `levenshtein` and
+    DuckDB's agree exactly (unit-cost insert/delete/substitute), so
+    distances cross engines with no tolerance.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.substring("text", 1, _EDIST_CAP_CHARS).alias("head"),
+        F.substring("text", 1, _EDIST_BLOCK_CHARS).alias("blk"),
+    )
+    keep = (
+        t.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb").between(2, _EDIST_BLOCK_CAP))
+        .select("blk")
+    )
+    tk = t.join(keep, "blk").localCheckpoint(eager=False)
+    a = tk.select(
+        "blk", F.col("doc_id").alias("doc_a"), F.col("head").alias("ha")
+    )
+    b = tk.select(
+        "blk", F.col("doc_id").alias("doc_b"), F.col("head").alias("hb")
+    )
+    p = (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ha", "hb").cast("long").alias("edit_dist"),
+            F.greatest(F.length("ha"), F.length("hb")).alias("maxlen"),
+        )
+    )
+    return (
+        p.select(
+            "doc_a",
+            "doc_b",
+            "edit_dist",
+            F.round(
+                1.0 - F.col("edit_dist") * 1.0 / F.col("maxlen"), 6
+            ).alias("head_similarity"),
+        )
+        .orderBy("edit_dist", "doc_a", "doc_b")
+        .limit(_EDIST_TOP_K)
+    )
+
+
+q_text_editdist.__doc__ = q_text_editdist.__doc__.format(
+    k=_EDIST_TOP_K,
+    cap=_EDIST_CAP_CHARS,
+    blk=_EDIST_BLOCK_CHARS,
+    bcap=_EDIST_BLOCK_CAP,
+)

@@ -378,3 +378,49 @@ def test_periodogram_constant_series_is_silent(spark, tmp_path_factory):
     _write_events(spark, out, rows)
     rs = registry.get("q_ts_periodogram").fn(spark, str(out)).collect()
     assert all(r["power"] == 0.0 for r in rs)
+
+
+def _write_docs(spark, out, texts):
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+
+def test_collocations_planted_phrase_tops(spark, tmp_path_factory):
+    """'alpha beta' always adjacent while filler words mix freely: the
+    phrase tops the PMI list with its exact pair count."""
+    out = tmp_path_factory.mktemp("coll")
+    texts = [
+        "alpha beta the of and the of and alpha beta the of",
+        "of the alpha beta and of the and the of alpha beta",
+        "the and of alpha beta of the and alpha beta of the",
+    ]
+    _write_docs(spark, out, texts)
+    rows = registry.get("q_text_collocations").fn(spark, str(out)).collect()
+    assert rows[0]["bigram"] == "alpha beta"
+    assert rows[0]["n_ab"] == 6
+    # every other surviving bigram mixes high-frequency fillers
+    assert all(r["pmi"] <= rows[0]["pmi"] for r in rows)
+
+
+def test_editdist_planted_pairs(spark, tmp_path_factory):
+    """Identical docs at distance 0 outrank a one-edit pair; both
+    share the 32-char blocking prefix with a third far document that
+    must not pair (different block)."""
+    out = tmp_path_factory.mktemp("edist")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [
+        base,                      # 0
+        base,                      # 1: identical -> dist 0
+        base[:-1] + "x",           # 2: one substitution -> dist 1
+        "zzz completely different text with another prefix entirely",
+    ]
+    _write_docs(spark, out, texts)
+    rows = registry.get("q_text_editdist").fn(spark, str(out)).collect()
+    assert (rows[0]["doc_a"], rows[0]["doc_b"], rows[0]["edit_dist"]) == (0, 1, 0)
+    assert rows[0]["head_similarity"] == 1.0
+    dists = {(r["doc_a"], r["doc_b"]): r["edit_dist"] for r in rows}
+    assert dists[(0, 2)] == 1 and dists[(1, 2)] == 1
+    assert not any(3 in k for k in dists)
