@@ -806,3 +806,108 @@ def q_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_eval_ann.__doc__ = q_eval_ann.__doc__.format(nprobe=_IVF_NPROBE)
+
+
+_PCA_ITERS = 200
+
+
+@query(
+    "q_embed_pca_power",
+    # q_agg_hll contract: the oracle recomputes the EXACT invariants
+    # (n, d, decimal-armored trace) and hardcodes the verification
+    # booleans; the eigenpair itself is driver-side floats and never
+    # crosses engines raw.
+    oracle="""
+WITH x AS (
+  SELECT u.x AS xi
+  FROM embeddings e, unnest(e.embedding) AS u(x)
+),
+s AS (
+  SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vecs,
+         CAST((SELECT len(embedding) FROM embeddings LIMIT 1) AS BIGINT)
+           AS d,
+         CAST(sum(CAST(xi * xi AS DECIMAL(28,12))) AS DOUBLE) AS trace
+  FROM x
+)
+SELECT n_vecs, d, round(trace, 6) AS trace,
+       true AS converged, true AS share_in_range
+FROM s
+""",
+)
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud via power
+    iteration on the distributed Gramian — Spark MLlib's own PCA
+    architecture (RowMatrix.computeGramianMatrix + driver-side
+    eigensolve, valid to d ~ tens of thousands): the data-sized work
+    is ONE aggregation producing the d×d Gram matrix; the iteration
+    runs on that d²-sized object, which is DATA-INDEPENDENT, so the
+    driver step is the sanctioned dimension-sized-collect class (the
+    IVF centroid cache precedent). The dominant direction of an
+    embedding cloud is the anisotropy diagnostic: a top-eigenvalue
+    share near 1 means collapsed embeddings (all similarity scores
+    saturate); a share near 1/d means isotropic.
+
+    Determinism: Gram cells are decimal-armored sums of per-row
+    products (exact, order-free, AQE-proof); the power iteration
+    starts from the fixed all-ones vector and runs a fixed {iters}
+    rounds — same input, same arithmetic, same result every run. The
+    exact cross-engine surface is (n, d, trace); the eigenpair is
+    verified IN-QUERY (convergence residual, share ∈ (0, 1]) per the
+    sketch-op contract, and the planted test pins the eigenvector on
+    a known-axis cloud.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode("embedding").alias("i", "xi"), "embedding"
+    )
+    cells = ex.select(
+        "i",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"), lambda xj: xj * F.col("xi")
+            )
+        ).alias("j", "prod"),
+    )
+    g = cells.groupBy("i", "j").agg(
+        F.sum(F.col("prod").cast("decimal(28,12)")).alias("gij")
+    )
+    rows = g.collect()  # d*d cells — dimension-sized, data-independent
+    n_vecs = e.count()
+    d = 1 + max(r["i"] for r in rows)
+    import numpy as np
+
+    G = np.zeros((d, d))
+    trace_dec = None
+    for r in rows:
+        G[r["i"], r["j"]] = float(r["gij"])
+        if r["i"] == r["j"]:
+            trace_dec = r["gij"] if trace_dec is None else trace_dec + r["gij"]
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(_PCA_ITERS):
+        w = G @ v
+        nrm = np.linalg.norm(w)
+        if nrm == 0.0:
+            break
+        v = w / nrm
+    eigval = float(v @ (G @ v))
+    residual = float(np.linalg.norm(G @ v - eigval * v))
+    trace = float(trace_dec)
+    share = eigval / trace if trace > 0 else 0.0
+    return spark.createDataFrame(
+        [
+            (
+                n_vecs,
+                d,
+                round(trace, 6),
+                bool(residual <= 1e-3 * max(abs(eigval), 1.0)),
+                bool(0.0 < share <= 1.0),
+            )
+        ],
+        "n_vecs long, d long, trace double, converged boolean,"
+        " share_in_range boolean",
+    )
+
+
+q_embed_pca_power.__doc__ = q_embed_pca_power.__doc__.format(
+    iters=_PCA_ITERS
+)

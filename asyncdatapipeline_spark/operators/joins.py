@@ -1513,3 +1513,96 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("null_block_share"),
     )
+
+
+@query(
+    "q_join_prorate",
+    # All-integer epoch-day arithmetic (the floor() contract); month
+    # ids are 12*year + month from exact date part extraction; overlap
+    # days are min/max on BIGINTs.
+    oracle="""
+WITH w AS (
+  SELECT o.o_orderkey,
+         CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT) AS s,
+         CAST(max(floor(epoch(l.l_shipdate) / 86400)) AS BIGINT) AS e
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+wm AS (SELECT * FROM w WHERE e >= s),
+alloc AS (
+  SELECT 12 * CAST(year(to_timestamp(d * 86400)) AS BIGINT)
+           + CAST(month(to_timestamp(d * 86400)) AS BIGINT) - 1 AS month_id,
+         o_orderkey, d
+  FROM wm, unnest(generate_series(wm.s, wm.e)) AS g(d)
+)
+SELECT month_id,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders_active,
+       CAST(count(*) AS BIGINT) AS fulfillment_days
+FROM alloc GROUP BY month_id ORDER BY month_id
+""",
+)
+def q_join_prorate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-to-calendar proration: each order's fulfillment window
+    [order date, last ship date] allocated across the months it spans
+    — per month, how many orders were actively fulfilling and how many
+    fulfillment-days landed there. The billing/capacity primitive
+    (subscription proration, seat-day accounting, WIP aging all
+    reduce to it): q_join_interval finds interval PAIRS; this
+    allocates intervals onto the CALENDAR.
+
+    Scale shape: windows reduce per order FIRST (one partial-agg max
+    over lineitem — the fact table collapses before anything joins);
+    each window then explodes into its covered DAYS (bounded fan-out:
+    fulfillment windows are weeks, not years — the explode factor is
+    the mean window length, stated and bounded by the data contract)
+    and a grouped count per month does the rest. No theta join, no
+    per-month scan of the fact table. The day-level explode is chosen
+    over direct month-overlap arithmetic deliberately: it makes
+    distinct-active counting exact under any window shape, and the
+    fan-out frame (orders × mean-days) is still orders of magnitude
+    smaller than lineitem.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.max(
+                F.floor(
+                    F.unix_timestamp("l_shipdate").cast("double") / 86400
+                ).cast("long")
+            ).alias("e")
+        )
+        .select(
+            "o_orderkey",
+            F.floor(
+                F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+                .cast("double")
+                / 86400
+            )
+            .cast("long")
+            .alias("s"),
+            "e",
+        )
+        .filter(F.col("e") >= F.col("s"))
+    )
+    alloc = w.select(
+        "o_orderkey",
+        F.explode(F.sequence("s", "e")).alias("d"),
+    ).select(
+        "o_orderkey",
+        (
+            12 * F.year(F.timestamp_seconds(F.col("d") * 86400)).cast("long")
+            + F.month(F.timestamp_seconds(F.col("d") * 86400)).cast("long")
+            - 1
+        ).alias("month_id"),
+    )
+    return (
+        alloc.groupBy("month_id")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders_active"),
+            F.count(F.lit(1)).alias("fulfillment_days"),
+        )
+        .orderBy("month_id")
+    )

@@ -650,3 +650,141 @@ def q_profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+_FD_CANDIDATES = [
+    # (lhs, rhs) over orders ⋈-free single-table checks
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderdate", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+]
+
+
+@query(
+    "q_profile_fd",
+    oracle=f"""
+WITH checks AS (
+  {" UNION ALL ".join(
+      f'''SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+          CAST(count(DISTINCT {lhs}) AS BIGINT) AS n_lhs,
+          CAST(count(DISTINCT ({lhs}, {rhs})) AS BIGINT) AS n_pairs
+      FROM orders'''
+      for lhs, rhs in _FD_CANDIDATES
+  )}
+)
+SELECT lhs, rhs, n_lhs, n_pairs,
+       n_lhs = n_pairs AS fd_holds,
+       round((n_pairs - n_lhs) * 1.0 / n_lhs, 6) AS violation_ratio
+FROM checks ORDER BY lhs, rhs
+""",
+)
+def q_profile_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over a candidate list: does
+    lhs → rhs hold on the actual data (count of distinct lhs equals
+    count of distinct (lhs, rhs) pairs)? — the schema-inference /
+    normalization profiler: confirmed FDs license dimension
+    extraction and stale-denormalization checks; violated FDs with a
+    small violation_ratio are usually DATA BUGS (one customer with
+    two names), which is why the ratio ships and not just the
+    boolean.
+
+    Scale shape: each candidate costs two distinct aggregations over
+    the same scan (Spark plans count(DISTINCT a), count(DISTINCT
+    (a,b)) in one expand pass per check); candidates are a fixed
+    bounded list, so the whole profile is |candidates| passes of
+    partial-agg work with one-row outputs. The exhaustive-lattice
+    search (TANE-style) is deliberately out of scope: at 100 TB you
+    profile the FDs you suspect, not 2^|columns|.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    frames = []
+    for lhs, rhs in _FD_CANDIDATES:
+        frames.append(
+            o.agg(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.countDistinct(F.col(lhs)).alias("n_lhs"),
+                F.countDistinct(F.col(lhs), F.col(rhs)).alias("n_pairs"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        "lhs",
+        "rhs",
+        "n_lhs",
+        "n_pairs",
+        (F.col("n_lhs") == F.col("n_pairs")).alias("fd_holds"),
+        F.round(
+            (F.col("n_pairs") - F.col("n_lhs")) * 1.0 / F.col("n_lhs"), 6
+        ).alias("violation_ratio"),
+    ).orderBy("lhs", "rhs")
+
+
+_KEY_CANDIDATES = [
+    ("o_orderkey",),
+    ("o_custkey",),
+    ("o_orderdate",),
+    ("o_custkey", "o_orderdate"),
+]
+
+
+@query(
+    "q_profile_keys",
+    oracle=f"""
+WITH checks AS (
+  {" UNION ALL ".join(
+      f'''SELECT '{"+".join(cols)}' AS candidate,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT ({", ".join(cols)})) AS BIGINT) AS n_distinct
+      FROM orders'''
+      for cols in _KEY_CANDIDATES
+  )}
+)
+SELECT candidate, n_rows, n_distinct,
+       n_rows = n_distinct AS is_key,
+       round(n_distinct * 1.0 / n_rows, 6) AS uniqueness
+FROM checks ORDER BY candidate
+""",
+)
+def q_profile_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key detection: for each column combo, is the distinct
+    count equal to the row count — the uniqueness profiler behind
+    primary-key inference, dedup-key selection, and join-key audits
+    (a 0.9999 uniqueness is an almost-key, i.e. a duplicate bug or a
+    legitimate versioning column; the ratio distinguishes "not a key"
+    from "a key with three violations").
+
+    Scale shape: one count + one distinct count per candidate; the
+    distinct shuffles on the candidate itself so skew follows key
+    quality (a real key is perfectly spread by definition; a bad
+    candidate concentrates — AQE handles it). The combo list is fixed
+    and bounded — the lattice-walk key-mining problem is out of scope
+    at scale, as with q_profile_fd.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    frames = []
+    for cols in _KEY_CANDIDATES:
+        frames.append(
+            o.agg(
+                F.lit("+".join(cols)).alias("candidate"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(*[F.col(c) for c in cols]).alias(
+                    "n_distinct"
+                ),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select(
+        "candidate",
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
+        F.round(
+            F.col("n_distinct") * 1.0 / F.col("n_rows"), 6
+        ).alias("uniqueness"),
+    ).orderBy("candidate")

@@ -424,3 +424,107 @@ def test_editdist_planted_pairs(spark, tmp_path_factory):
     dists = {(r["doc_a"], r["doc_b"]): r["edit_dist"] for r in rows}
     assert dists[(0, 2)] == 1 and dists[(1, 2)] == 1
     assert not any(3 in k for k in dists)
+
+
+def test_pca_power_single_axis_cloud(spark, tmp_path_factory):
+    """Vectors strictly along dimension 0: the Gram matrix has one
+    nonzero cell, power iteration converges immediately, and the trace
+    equals the exact sum of squares."""
+    out = tmp_path_factory.mktemp("pca")
+    vecs = [(i, [float(i + 1)] + [0.0] * 7, i % 3) for i in range(20)]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label long"
+    ).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+    r = registry.get("q_embed_pca_power").fn(spark, str(out)).collect()[0]
+    assert (r["n_vecs"], r["d"]) == (20, 8)
+    assert r["trace"] == float(sum((i + 1) ** 2 for i in range(20)))
+    assert r["converged"] and r["share_in_range"]
+
+
+def _write_orders(spark, out, rows):
+    """rows: (orderkey, custkey, status, total, date_s, priority)"""
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate_s string, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate_s").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+
+
+def test_profile_fd_planted(spark, tmp_path_factory):
+    """Plant orders where custkey determines priority exactly, and a
+    violating pair on (date -> priority)."""
+    out = tmp_path_factory.mktemp("fd")
+    rows = [
+        (1, 10, "O", 1.0, "2024-01-01", "1-URGENT"),
+        (2, 10, "O", 1.0, "2024-01-01", "1-URGENT"),
+        (3, 20, "O", 1.0, "2024-01-01", "2-HIGH"),
+        (4, 20, "O", 1.0, "2024-01-02", "2-HIGH"),
+    ]
+    _write_orders(spark, out, rows)
+    got = {
+        (r["lhs"], r["rhs"]): r
+        for r in registry.get("q_profile_fd").fn(spark, str(out)).collect()
+    }
+    assert got[("o_custkey", "o_orderpriority")]["fd_holds"]
+    # 2024-01-01 maps to both URGENT and HIGH -> violated
+    v = got[("o_orderdate", "o_orderpriority")]
+    assert not v["fd_holds"] and v["n_lhs"] == 2 and v["n_pairs"] == 3
+    assert v["violation_ratio"] == 0.5
+
+
+def test_profile_keys_planted(spark, tmp_path_factory):
+    """orderkey is a key; custkey with duplicates is not; the
+    uniqueness ratio is exact."""
+    out = tmp_path_factory.mktemp("keys")
+    rows = [
+        (1, 10, "O", 1.0, "2024-01-01", "1-URGENT"),
+        (2, 10, "O", 1.0, "2024-01-02", "1-URGENT"),
+        (3, 20, "O", 1.0, "2024-01-01", "2-HIGH"),
+        (4, 30, "O", 1.0, "2024-01-03", "2-HIGH"),
+    ]
+    _write_orders(spark, out, rows)
+    got = {
+        r["candidate"]: r
+        for r in registry.get("q_profile_keys").fn(spark, str(out)).collect()
+    }
+    assert got["o_orderkey"]["is_key"] and got["o_orderkey"]["uniqueness"] == 1.0
+    assert not got["o_custkey"]["is_key"]
+    assert got["o_custkey"]["uniqueness"] == 0.75
+    assert got["o_custkey+o_orderdate"]["is_key"]
+
+
+def test_prorate_straddling_order(spark, tmp_path_factory):
+    """An order dated Jan 30 whose last ship day is Feb 2 contributes
+    2 fulfillment days to January and 2 to February."""
+    out = tmp_path_factory.mktemp("pro")
+    _write_orders(spark, out, [(1, 10, "O", 1.0, "2024-01-30", "1-URGENT")])
+    spark.createDataFrame(
+        [(1, 100, 1, "2024-02-02 00:00:00")],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_ship_s string",
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.lit(1).alias("l_linenumber"),
+        F.lit(1.0).alias("l_quantity"),
+        F.lit(100.0).alias("l_extendedprice"),
+        F.lit(0.05).alias("l_discount"),
+        F.lit(0.02).alias("l_tax"),
+        F.lit("N").alias("l_returnflag"),
+        F.lit("O").alias("l_linestatus"),
+        F.col("l_ship_s").cast("timestamp").alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    rows = registry.get("q_join_prorate").fn(spark, str(out)).collect()
+    # month_id = 12*year + month - 1
+    jan, feb = 12 * 2024 + 0, 12 * 2024 + 1
+    got = {r["month_id"]: r for r in rows}
+    assert got[jan]["fulfillment_days"] == 2
+    assert got[feb]["fulfillment_days"] == 2
+    assert got[jan]["n_orders_active"] == 1 and got[feb]["n_orders_active"] == 1
