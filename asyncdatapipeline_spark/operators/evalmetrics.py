@@ -253,3 +253,144 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap"
         ),
     ).orderBy("bin")
+
+
+@query(
+    "q_eval_report",
+    # One-row model card assembled from the three metric families'
+    # exact machinery; every column is either exact-integer arithmetic
+    # or the identical ordered IEEE chain both engines run.
+    oracle=f"""
+WITH scored AS ({_SCORED}),
+g AS (
+  SELECT score, CAST(sum(y) AS BIGINT) AS a_tie, count(*) AS tie
+  FROM scored GROUP BY score
+),
+c AS (
+  SELECT a_tie, tie,
+         sum(tie) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tie
+  FROM g
+),
+rank_s AS (
+  SELECT CAST(sum(a_tie * (2 * cum_tie - tie + 1)) AS BIGINT) AS r2a,
+         CAST(sum(a_tie) AS BIGINT) AS na,
+         CAST(sum(tie - a_tie) AS BIGINT) AS nb
+  FROM c
+),
+conf AS (
+  SELECT
+    CAST(sum(CASE WHEN score >= 50 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN score >= 50 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN score <  50 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN score <  50 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored
+),
+bins AS (
+  SELECT least(CAST(floor(score / 10) AS BIGINT), 9) AS bin,
+         count(*) AS n,
+         CAST(sum(CAST(score / 100.0 AS DECIMAL(28,6))) AS DOUBLE)
+           / count(*) AS conf_,
+         CAST(sum(y) AS BIGINT) * 1.0 / count(*) AS acc_
+  FROM scored GROUP BY 1
+),
+ece AS (
+  SELECT CAST(sum(CAST(round(abs(conf_ - acc_) * n, 6)
+                       AS DECIMAL(28,6))) AS DOUBLE)
+           / sum(n) AS ece
+  FROM bins
+)
+SELECT na + nb AS n,
+       round((r2a / 2.0 - na * (na + 1) / 2.0) / (na * nb), 6) AS auc,
+       round((tp + tn) * 1.0 / (tp + fp + fn + tn), 6) AS accuracy,
+       round(tp * 1.0 / (tp + fp), 6) AS precision_,
+       round(tp * 1.0 / (tp + fn), 6) AS recall,
+       round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1,
+       round(ece, 6) AS ece
+FROM rank_s, conf, ece
+""",
+)
+def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row model card: AUC + threshold metrics + calibration
+    error for a scored binary-label stream — what an offline-eval job
+    actually publishes (q_eval_auc / q_eval_confusion /
+    q_eval_calibration are the inspection views; this is their
+    composed headline row, the curation-pipeline pattern applied to
+    evaluation).
+
+    ECE is the n-weighted mean |confidence − accuracy| over the ten
+    calibration bins; each bin's contribution is rounded 6dp and
+    decimal-summed so the ten-addend reduction is order-free (a
+    ten-element float sum would already be stable, but the contract
+    is uniform: no raw float summation anywhere).
+
+    Scale shape: three independent aggregation passes over the same
+    scored projection (rank spine via ``dist_cumsum``, one
+    conditional-count pass, one ≤10-group bin pass) joined as 1-row
+    broadcasts. Spark evaluates them as three jobs over one cached
+    scan shape; none carries more than the distinct-score spine.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    # AUC via the distributed midrank spine
+    g = t.groupBy("score").agg(
+        F.sum("y").alias("a_tie"), F.count(F.lit(1)).alias("tie")
+    )
+    g = dist_cumsum(g, "score", ["tie"])
+    rx2 = 2 * F.col("cum_tie") - F.col("tie") + 1
+    rank_s = g.agg(
+        F.sum(F.col("a_tie") * rx2).cast("long").alias("r2a"),
+        F.sum("a_tie").cast("long").alias("na"),
+        F.sum(F.col("tie") - F.col("a_tie")).cast("long").alias("nb"),
+    )
+    # confusion counts
+    pred, y1 = F.col("score") >= 50, F.col("y") == 1
+    conf = t.agg(
+        F.sum((pred & y1).cast("long")).alias("tp"),
+        F.sum((pred & ~y1).cast("long")).alias("fp"),
+        F.sum((~pred & y1).cast("long")).alias("fn"),
+        F.sum((~pred & ~y1).cast("long")).alias("tn"),
+    )
+    # calibration bins -> ECE
+    bins = t.groupBy(
+        F.least(F.floor(F.col("score") / 10).cast("long"), F.lit(9)).alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum((F.col("score") / 100.0).cast("decimal(28,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("conf_"),
+        (F.sum("y").cast("long") * 1.0 / F.count(F.lit(1))).alias("acc_"),
+    )
+    ece = bins.agg(
+        (
+            F.sum(
+                F.round(
+                    F.abs(F.col("conf_") - F.col("acc_")) * F.col("n"), 6
+                ).cast("decimal(28,6)")
+            ).cast("double")
+            / F.sum("n")
+        ).alias("ece")
+    )
+    s = rank_s.crossJoin(F.broadcast(conf)).crossJoin(F.broadcast(ece))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    auc = (F.col("r2a").cast("double") / 2 - na * (na + 1) / 2) / (na * nb)
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn_, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    return s.select(
+        (F.col("na") + F.col("nb")).alias("n"),
+        F.round(auc, 6).alias("auc"),
+        F.round((tp + tn) / (tp + fp + fn_ + tn), 6).alias("accuracy"),
+        F.round(tp / (tp + fp), 6).alias("precision_"),
+        F.round(tp / (tp + fn_), 6).alias("recall"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn_), 6).alias("f1"),
+        F.round("ece", 6).alias("ece"),
+    )

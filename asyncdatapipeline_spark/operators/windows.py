@@ -1346,3 +1346,98 @@ def q_orders_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     ).orderBy("l_returnflag")
+
+
+_INV_TOP_K = 20
+
+
+@query(
+    "q_orders_inventory",
+    # Signed integer flows (returns restock), partitioned running sums
+    # on (part, ship-day, orderkey tiebreak); peak/final from exact
+    # integers; top-20 on (peak desc, part) is engine-identical.
+    oracle=f"""
+WITH flow AS (
+  SELECT l_partkey,
+         CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS day,
+         l_orderkey,
+         CAST(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                   ELSE l_quantity END AS BIGINT) AS q
+  FROM lineitem
+),
+run AS (
+  SELECT l_partkey, q,
+         sum(q) OVER (PARTITION BY l_partkey ORDER BY day, l_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS bal
+  FROM flow
+),
+s AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n_moves,
+         CAST(max(bal) AS BIGINT) AS peak_outstanding,
+         CAST(sum(q) AS BIGINT) AS final_balance
+  FROM run GROUP BY l_partkey
+)
+SELECT l_partkey, n_moves, peak_outstanding, final_balance
+FROM s ORDER BY peak_outstanding DESC, l_partkey LIMIT {_INV_TOP_K}
+""",
+)
+def q_orders_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part shipped-inventory ledger: running outstanding balance
+    (shipments add, returns subtract) over ship time, reporting each
+    part's PEAK outstanding and final balance, top-{k} by peak — the
+    inventory/WIP exposure query ("how much of this part was ever in
+    flight at once"), and the PARTITIONED-cumsum archetype: contrast
+    q_ts_changepoint's GLOBAL prefix (which needs ``dist_cumsum``) —
+    here the cumulative is per part, so a plain partitioned window is
+    already fully distributed (thousands of part partitions, each
+    frame small) and needs no special device.
+
+    Scale shape: one window on (part, day, orderkey) — one shuffle on
+    l_partkey; quantities are cast to exact BIGINTs (TPC-H quantities
+    are integral) so the running balance and its max are exact; a
+    grouped rollup on the same partitioning (no second shuffle — the
+    window's hash partitioning is reused by the groupBy) and a
+    TakeOrderedAndProject top-{k}. Hot parts are bounded by the order
+    stream itself; a pathological single-part feed degenerates to one
+    partition and is the one shape that would need day-bucketed
+    salting, stated here.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    flow = li.select(
+        "l_partkey",
+        F.floor(
+            F.unix_timestamp("l_shipdate").cast("double") / 86400
+        ).cast("long").alias("day"),
+        "l_orderkey",
+        F.when(
+            F.col("l_returnflag") == "R", -F.col("l_quantity")
+        ).otherwise(F.col("l_quantity")).cast("long").alias("q"),
+    )
+    w = (
+        W.partitionBy("l_partkey")
+        .orderBy("day", "l_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = flow.select(
+        "l_partkey", "q", F.sum("q").over(w).alias("bal")
+    )
+    s = run.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_moves"),
+        F.max("bal").alias("peak_outstanding"),
+        F.sum("q").alias("final_balance"),
+    )
+    return (
+        s.select(
+            "l_partkey",
+            F.col("n_moves").cast("long").alias("n_moves"),
+            F.col("peak_outstanding").cast("long").alias("peak_outstanding"),
+            F.col("final_balance").cast("long").alias("final_balance"),
+        )
+        .orderBy(F.col("peak_outstanding").desc(), "l_partkey")
+        .limit(_INV_TOP_K)
+    )
+
+
+q_orders_inventory.__doc__ = q_orders_inventory.__doc__.format(k=_INV_TOP_K)

@@ -528,3 +528,52 @@ def test_prorate_straddling_order(spark, tmp_path_factory):
     assert got[jan]["fulfillment_days"] == 2
     assert got[feb]["fulfillment_days"] == 2
     assert got[jan]["n_orders_active"] == 1 and got[feb]["n_orders_active"] == 1
+
+
+def test_eval_report_perfect_model(spark, tmp_path_factory):
+    """Scores of 100 on positives and 0 on negatives: AUC 1, all
+    threshold metrics 1, ECE 0."""
+    out = tmp_path_factory.mktemp("evrep")
+    rows = _scored_events(40, 60, [100.0] * 40, [0.0] * 60)
+    _write_events(spark, out, rows)
+    r = registry.get("q_eval_report").fn(spark, str(out)).collect()[0]
+    assert r["n"] == 100
+    assert r["auc"] == 1.0 and r["accuracy"] == 1.0
+    assert r["precision_"] == 1.0 and r["recall"] == 1.0 and r["f1"] == 1.0
+    assert r["ece"] == 0.0
+
+
+def test_inventory_peak_and_final(spark, tmp_path_factory):
+    """Ship +5, ship +3, return -2 in ship-date order: peak 8, final 6;
+    a second part with one return goes negative."""
+    out = tmp_path_factory.mktemp("inv")
+    li = [
+        (1, 100, "1995-01-01", "N", 5.0),
+        (2, 100, "1995-01-05", "N", 3.0),
+        (3, 100, "1995-01-09", "R", 2.0),
+        (4, 200, "1995-01-02", "R", 4.0),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, ship_s string,"
+        " l_returnflag string, l_quantity double",
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        F.lit(1).alias("l_suppkey"),
+        F.lit(1).alias("l_linenumber"),
+        "l_quantity",
+        F.lit(100.0).alias("l_extendedprice"),
+        F.lit(0.05).alias("l_discount"),
+        F.lit(0.02).alias("l_tax"),
+        "l_returnflag",
+        F.lit("O").alias("l_linestatus"),
+        F.col("ship_s").cast("timestamp").alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    rows = registry.get("q_orders_inventory").fn(spark, str(out)).collect()
+    got = {r["l_partkey"]: r for r in rows}
+    assert got[100]["peak_outstanding"] == 8
+    assert got[100]["final_balance"] == 6
+    assert got[100]["n_moves"] == 3
+    assert got[200]["peak_outstanding"] == -4
+    assert got[200]["final_balance"] == -4
