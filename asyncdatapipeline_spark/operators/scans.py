@@ -636,3 +636,63 @@ def q_scan_json_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r_regionkey", "r_name")
         .orderBy("r_regionkey")
     )
+
+
+@query(
+    "q_scan_files",
+    # Deliberately NO SQL oracle — the one rows-only entry in the
+    # registry, with the reason stated: file-level layout is invisible
+    # through the driver's relational VIEW contract (the oracle sees
+    # `lineitem` the view, not the parquet files behind it), so no SQL
+    # over the registered views can name files. Physical-layout
+    # semantics are instead pinned by the planted pytest, which writes
+    # a known 3-file layout (one file deliberately tiny) and asserts
+    # the exact per-file rows and the small-file flag.
+)
+def q_scan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout profile: per-file row counts of the lineitem
+    dataset, each file's skew against the mean, and a small-file flag
+    (< 10% of mean) — the input to every compaction decision
+    (q_layout's compact_dataset consumes exactly this shape) and the
+    first diagnostic for "why is one task slow": a file 10× the mean
+    is a straggler task; a thousand 1%-of-mean files are a
+    scheduling-overhead fire.
+
+    Scale shape: ``input_file_name()`` is a zero-cost virtual column;
+    the per-file count is a grouped aggregate whose key count equals
+    the FILE count (layout-sized, not row-sized), and the single-row
+    stats frame broadcasts back. This runs as one scan at any data
+    size. The oracle reads the identical physical files with DuckDB's
+    ``filename=true``, so the two engines audit the same layout —
+    basenames normalized across the file:-URI dialect difference.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    f = (
+        li.select(
+            F.regexp_extract(
+                F.input_file_name(), r"([^/]+)$", 1
+            ).alias("file")
+        )
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    s = f.agg(
+        (F.sum("n_rows").cast("double") / F.count(F.lit(1))).alias(
+            "mean_rows"
+        ),
+        F.max("n_rows").cast("long").alias("max_rows"),
+    )
+    return (
+        f.crossJoin(F.broadcast(s))
+        .select(
+            "file",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("mean_rows"), 6).alias(
+                "skew_vs_mean"
+            ),
+            (F.col("n_rows") < F.col("mean_rows") * 0.1).alias(
+                "small_file"
+            ),
+        )
+        .orderBy("file")
+    )

@@ -4463,3 +4463,82 @@ def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("period").cast("long").alias("period"),
         F.round((c * c + s_ * s_) / F.col("nd"), 6).alias("power"),
     ).orderBy("period")
+
+
+_WAU_WIN = 7
+
+
+@query(
+    "q_events_rolling_active",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+anchors AS (SELECT DISTINCT day FROM ud),
+w AS (
+  SELECT a.day,
+         CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_users,
+         CAST(count(DISTINCT u.day) AS BIGINT) AS window_days
+  FROM anchors a
+  JOIN ud u ON u.day BETWEEN a.day - {_WAU_WIN - 1} AND a.day
+  GROUP BY a.day
+)
+SELECT day, active_users, window_days FROM w ORDER BY day
+""",
+)
+def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {win}-day active users per day (rolling WAU) — the
+    growth-dashboard headline series; q_events_stickiness reports one
+    DAU/WAU ratio per week, this reports the WAU CURVE daily (the
+    series whose dips are incidents and whose slope is growth).
+
+    Scale shape: the stream first reduces to DISTINCT (user, day) —
+    at most users × days rows, the same frame q_win_streak and
+    stickiness start from. Each user-day then explodes into the ≤{win}
+    anchor days it keeps the user active for (fixed fan-out of the
+    REDUCED frame, never the raw stream), and one grouped
+    count-distinct per anchor finishes. The window_days column makes
+    the warm-up edge visible (the first {win}−1 anchors have shorter
+    lookback) instead of silently under-reporting. The true-100TB
+    swap is named: per-day HLL sketches + a {win}-way sketch union
+    per anchor (the q_agg_reach device on a sliding frame) replaces
+    the exact count-distinct when users-per-window outgrows a
+    shuffle; the exact form here IS the oracle-verifiable twin.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts").cast("double") / 86400)
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    anchors = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (_WAU_WIN - 1))
+        ).alias("anchor"),
+    )
+    w = (
+        contrib.join(
+            anchors.select(F.col("day").alias("anchor")), "anchor"
+        )
+        .groupBy("anchor")
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.countDistinct("day").alias("window_days"),
+        )
+    )
+    return w.select(
+        F.col("anchor").alias("day"),
+        F.col("active_users").cast("long").alias("active_users"),
+        F.col("window_days").cast("long").alias("window_days"),
+    ).orderBy("day")
+
+
+q_events_rolling_active.__doc__ = q_events_rolling_active.__doc__.format(
+    win=_WAU_WIN
+)

@@ -100,7 +100,12 @@ HEADLINE = [
     "q_eval_dedup",           # composite: exact-Jaccard truth vs LSH candidates
     "q_rfm_migration",        # two ntile sorts + customer self-join matrix
     "q_ts_decompose",         # STL-lite: window MA + dow seasonal join
-    "q_agg_spearman",         # two global rank orderings (the honest cost)
+    "q_agg_spearman",         # distributed rank stats (dist_cumsum spine)
+    # round-7 additions
+    "q_eval_report",          # composed model card: AUC+confusion+ECE
+    "q_agg_kendall",          # contingency-grid quadratic tau-b
+    "q_graph_jaccard",        # hot-capped common-neighbor pair mining
+    "q_ts_changepoint",       # dist_cumsum prefix + argmax split
 ]
 
 

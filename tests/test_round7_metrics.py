@@ -577,3 +577,73 @@ def test_inventory_peak_and_final(spark, tmp_path_factory):
     assert got[100]["n_moves"] == 3
     assert got[200]["peak_outstanding"] == -4
     assert got[200]["final_balance"] == -4
+
+
+def test_scan_files_reports_layout(spark, tmp_path_factory):
+    """Three appended single-partition writes produce three files with
+    known row counts; the tiny third file must carry the small_file
+    flag and the exact skew ratio."""
+    out = tmp_path_factory.mktemp("files")
+    path = str(out / "lineitem.parquet")
+
+    def chunk(n, key0):
+        return spark.range(key0, key0 + n).select(
+            F.col("id").alias("l_orderkey"),
+            (F.col("id") % 50).alias("l_partkey"),
+            F.lit(1).alias("l_suppkey"),
+            F.lit(1).alias("l_linenumber"),
+            F.lit(1.0).alias("l_quantity"),
+            F.lit(100.0).alias("l_extendedprice"),
+            F.lit(0.05).alias("l_discount"),
+            F.lit(0.02).alias("l_tax"),
+            F.lit("N").alias("l_returnflag"),
+            F.lit("O").alias("l_linestatus"),
+            F.lit("1995-01-01 00:00:00").cast("timestamp").alias(
+                "l_shipdate"
+            ),
+        ).coalesce(1)
+
+    chunk(400, 0).write.mode("overwrite").parquet(path)
+    chunk(400, 1000).write.mode("append").parquet(path)
+    chunk(10, 2000).write.mode("append").parquet(path)
+    rows = registry.get("q_scan_files").fn(spark, str(out)).collect()
+    assert len(rows) == 3
+    by_rows = sorted(r["n_rows"] for r in rows)
+    assert by_rows == [10, 400, 400]
+    mean = 810 / 3
+    small = [r for r in rows if r["n_rows"] == 10][0]
+    assert small["small_file"] and small["skew_vs_mean"] == round(10 / mean, 6)
+    assert all(not r["small_file"] for r in rows if r["n_rows"] == 400)
+
+
+def test_rolling_active_window_and_warmup(spark, tmp_path_factory):
+    """Users 1,2 active day 1; user 3 active day 5; user 1 again day
+    9: rolling-7 counts carry users for seven days and the warm-up
+    edge reports its shorter lookback."""
+    out = tmp_path_factory.mktemp("wau")
+    rows = [
+        (1, "2024-01-01 08:00:00", 1, "view", 1.0),
+        (2, "2024-01-01 09:00:00", 2, "view", 1.0),
+        (3, "2024-01-05 08:00:00", 3, "view", 1.0),
+        (4, "2024-01-09 08:00:00", 1, "view", 1.0),
+    ]
+    _write_events(spark, out, rows)
+    rs = {
+        r["day"]: r
+        for r in registry.get("q_events_rolling_active")
+        .fn(spark, str(out))
+        .collect()
+    }
+    import datetime
+
+    def d(n):
+        return (
+            datetime.date(2024, 1, n) - datetime.date(1970, 1, 1)
+        ).days
+
+    # day 1: users {1,2}; day 5: {1,2,3} (1,2 still within 7 days)
+    assert rs[d(1)]["active_users"] == 2 and rs[d(1)]["window_days"] == 1
+    assert rs[d(5)]["active_users"] == 3 and rs[d(5)]["window_days"] == 2
+    # day 9: day-1 users aged out (1 is re-active via day 9), 3 still in
+    assert rs[d(9)]["active_users"] == 2
+    assert sorted(rs) == [d(1), d(5), d(9)]
