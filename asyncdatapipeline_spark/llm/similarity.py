@@ -873,6 +873,12 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = g.collect()  # d*d cells — dimension-sized, data-independent
     n_vecs = e.count()
+    if not rows:  # empty cloud: no Gramian, nothing to iterate on
+        return spark.createDataFrame(
+            [(0, 0, 0.0, True, False)],
+            "n_vecs long, d long, trace double, converged boolean,"
+            " share_in_range boolean",
+        )
     d = 1 + max(r["i"] for r in rows)
     import numpy as np
 

@@ -2709,7 +2709,12 @@ def q_agg_spearman_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.kll_sketch_agg_double("x", F.lit(_KLL_SK)).alias("skx"),
         F.kll_sketch_agg_double("y", F.lit(_KLL_SK)).alias("sky"),
     )
-    grids = sk.select(_kll_grid("skx", "qx"), _kll_grid("sky", "qy"))
+    # Zero rows produce a VALID-but-empty buffer that get_quantile
+    # rejects; the n>0 gate drops the grid row so the downstream
+    # crossJoin is simply empty (one-row frame, scalar predicate).
+    grids = sk.filter(
+        F.kll_sketch_get_n_double("skx") > 0
+    ).select(_kll_grid("skx", "qx"), _kll_grid("sky", "qy"))
     g = t.crossJoin(F.broadcast(grids)).select(
         _grid_ecdf("qx", F.col("x")).alias("fx"),
         _grid_ecdf("qy", F.col("y")).alias("fy"),
@@ -2789,7 +2794,10 @@ def q_agg_mannwhitney_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ga") == 0, F.col("value")), F.lit(_KLL_SK)
         ).alias("skb")
     )
-    grids = sk.select(_kll_grid("skb", "qb"))
+    # Empty-buffer gate — see q_agg_spearman_kll.
+    grids = sk.filter(
+        F.kll_sketch_get_n_double("skb") > 0
+    ).select(_kll_grid("skb", "qb"))
     p_est = (
         t.filter(F.col("ga") == 1)
         .crossJoin(F.broadcast(grids))
@@ -2861,7 +2869,11 @@ def q_agg_ks_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ga") == 0, F.col("v")), F.lit(_KLL_SK)
         ).alias("skb"),
     )
-    grids = sk.select(_kll_grid("ska", "qa"), _kll_grid("skb", "qb"))
+    # Empty-buffer gate — see q_agg_spearman_kll.
+    grids = sk.filter(
+        (F.kll_sketch_get_n_double("ska") > 0)
+        & (F.kll_sketch_get_n_double("skb") > 0)
+    ).select(_kll_grid("ska", "qa"), _kll_grid("skb", "qb"))
     probes = grids.select(
         "qa", "qb", F.explode(F.concat("qa", "qb")).alias("v")
     )

@@ -717,8 +717,11 @@ def q_profile_fd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lhs",
         "n_pairs",
         (F.col("n_lhs") == F.col("n_pairs")).alias("fd_holds"),
-        F.round(
-            (F.col("n_pairs") - F.col("n_lhs")) * 1.0 / F.col("n_lhs"), 6
+        F.when(
+            F.col("n_lhs") > 0,
+            F.round(
+                (F.col("n_pairs") - F.col("n_lhs")) * 1.0 / F.col("n_lhs"), 6
+            ),
         ).alias("violation_ratio"),
     ).orderBy("lhs", "rhs")
 
@@ -784,7 +787,8 @@ def q_profile_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "n_distinct",
         (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
-        F.round(
-            F.col("n_distinct") * 1.0 / F.col("n_rows"), 6
+        F.when(
+            F.col("n_rows") > 0,
+            F.round(F.col("n_distinct") * 1.0 / F.col("n_rows"), 6),
         ).alias("uniqueness"),
     ).orderBy("candidate")
