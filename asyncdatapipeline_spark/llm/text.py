@@ -2023,3 +2023,117 @@ q_text_editdist.__doc__ = q_text_editdist.__doc__.format(
     blk=_EDIST_BLOCK_CHARS,
     bcap=_EDIST_BLOCK_CAP,
 )
+
+
+_NEYMAN_BUDGET = 10_000  # total sample size to allocate (pipeline config)
+
+
+@query(
+    "q_sample_neyman",
+    # Per-stratum power sums are exact decimals; S_h is one sqrt of a
+    # closed form; the cross-stratum totals are sums of 6dp/4dp-rounded
+    # DECIMAL stratum weights (order-independent — a raw double sum
+    # over strata would wobble with merge order), so every share is a
+    # single IEEE division of identical inputs in both engines.
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag AS stratum,
+    CAST(count(*) AS BIGINT) AS n_h,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4)))
+         AS DOUBLE) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+),
+d AS (
+  SELECT stratum, n_h,
+    sqrt(sxx / n_h - (sx / n_h) * (sx / n_h)) AS sd_h
+  FROM s
+),
+w AS (
+  SELECT stratum, n_h, sd_h,
+    CAST(round(n_h * sd_h, 6) AS DECIMAL(28,6)) AS w_ney,
+    CAST(round(n_h * sd_h * sd_h, 4) AS DECIMAL(38,4)) AS w_var
+  FROM d
+),
+t AS (
+  SELECT CAST(sum(w_ney) AS DOUBLE) AS tot_ney,
+         CAST(sum(w_var) AS DOUBLE) AS tot_var,
+         CAST(sum(n_h) AS BIGINT) AS n_total
+  FROM w
+)
+SELECT w.stratum, w.n_h, round(w.sd_h, 6) AS sd_h,
+       round(CAST(w.w_ney AS DOUBLE) / t.tot_ney, 6) AS neyman_share,
+       round(CAST(w.n_h AS DOUBLE) / t.n_total, 6) AS prop_share,
+       round({_NEYMAN_BUDGET} * CAST(w.w_ney AS DOUBLE) / t.tot_ney, 4)
+         AS n_neyman,
+       round((t.tot_ney / t.n_total) * (t.tot_ney / t.n_total)
+             / (t.tot_var / t.n_total), 6) AS variance_ratio
+FROM w CROSS JOIN t ORDER BY w.stratum
+""",
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation — the sampling-design
+    complement of q_sample_mix (which APPLIES configured fractions;
+    this DERIVES the optimal ones): for a fixed budget n, allocating
+    n_h ∝ N_h·S_h (stratum size × stratum std-dev) minimizes the
+    variance of the stratified mean estimator. Emitted per stratum:
+    the Neyman share vs the proportional share, the budgeted
+    allocation, and the variance_ratio (Neyman variance over
+    proportional-allocation variance, (ΣW_h S_h)²/ΣW_h S_h² ≤ 1 by
+    Cauchy-Schwarz) — how much estimator variance the optimal design
+    buys. The input every "how big should the QA sample per source
+    be" decision needs.
+
+    Scale shape: ONE partial-aggregated pass of exact power sums per
+    stratum (|l_returnflag| = 3 rows out); the allocation arithmetic
+    is a broadcast cross-join of the stratum frame with its own 1-row
+    totals — dimension-sized everywhere after the scan. The budget is
+    emitted as a 4dp double (never floor-cast: round-vs-truncate is
+    the cross-engine integer trap, and fractional allocations are the
+    textbook form before final rounding anyway).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    s = li.groupBy(F.col("l_returnflag").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(x.cast("decimal(28,2)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("sxx"),
+    )
+    nh = F.col("n_h").cast("double")
+    sd = F.sqrt(F.col("sxx") / nh - (F.col("sx") / nh) * (F.col("sx") / nh))
+    w = s.select(
+        "stratum",
+        "n_h",
+        sd.alias("sd_h"),
+        F.round(nh * sd, 6).cast("decimal(28,6)").alias("w_ney"),
+        F.round(nh * sd * sd, 4).cast("decimal(38,4)").alias("w_var"),
+    )
+    t = F.broadcast(
+        w.agg(
+            F.sum("w_ney").cast("double").alias("tot_ney"),
+            F.sum("w_var").cast("double").alias("tot_var"),
+            F.sum("n_h").cast("long").alias("n_total"),
+        )
+    )
+    ney = F.col("w_ney").cast("double") / F.col("tot_ney")
+    ntot = F.col("n_total").cast("double")
+    return (
+        w.crossJoin(t)
+        .select(
+            "stratum",
+            "n_h",
+            F.round("sd_h", 6).alias("sd_h"),
+            F.round(ney, 6).alias("neyman_share"),
+            F.round(F.col("n_h").cast("double") / ntot, 6).alias(
+                "prop_share"
+            ),
+            F.round(F.lit(_NEYMAN_BUDGET) * ney, 4).alias("n_neyman"),
+            F.round(
+                (F.col("tot_ney") / ntot)
+                * (F.col("tot_ney") / ntot)
+                / (F.col("tot_var") / ntot),
+                6,
+            ).alias("variance_ratio"),
+        )
+        .orderBy("stratum")
+    )

@@ -4542,3 +4542,308 @@ def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_events_rolling_active.__doc__ = q_events_rolling_active.__doc__.format(
     win=_WAU_WIN
 )
+
+
+@query(
+    "q_events_bh_fdr",
+    # Arm split = q_events_srm's md5 byte parity; per-type Welch z from
+    # decimal-armored power sums; the normal tail is the SAME
+    # Abramowitz-Stegun 26.2.17 Horner polynomial in both engines
+    # (exp + IEEE +,*,/; sqrt is correctly rounded); the BH step-up
+    # comparison runs on 9dp-rounded DECIMALs (the ln-contract device)
+    # so a last-ulp exp difference cannot flip a discovery.
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UINTEGER % 2
+           AS arm,
+         value
+  FROM events
+),
+s AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(sum(CASE WHEN arm = 0 THEN CAST(value AS DECIMAL(28,6))
+             ELSE 0 END) AS DOUBLE) AS sa,
+    CAST(sum(CASE WHEN arm = 1 THEN CAST(value AS DECIMAL(28,6))
+             ELSE 0 END) AS DOUBLE) AS sb,
+    CAST(sum(CASE WHEN arm = 0 THEN CAST(value * value AS DECIMAL(38,6))
+             ELSE 0 END) AS DOUBLE) AS saa,
+    CAST(sum(CASE WHEN arm = 1 THEN CAST(value * value AS DECIMAL(38,6))
+             ELSE 0 END) AS DOUBLE) AS sbb
+  FROM b GROUP BY event_type
+),
+z AS (
+  SELECT event_type, na, nb,
+    abs((sa / na - sb / nb)
+        / sqrt((saa / na - (sa / na) * (sa / na)) / na
+               + (sbb / nb - (sb / nb) * (sb / nb)) / nb)) AS az
+  FROM s
+),
+kk AS (
+  SELECT event_type, na, nb, az, 1 / (1 + 0.2316419 * az) AS t
+  FROM z
+),
+p AS (
+  SELECT event_type, na, nb, az,
+    2 * (exp(-(az * az) / 2) / 2.5066282746310002)
+      * (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+         + t * (-1.821255978 + t * 1.330274429))))) AS pv
+  FROM kk
+),
+r AS (
+  SELECT event_type, na, nb, az, pv,
+    CAST(row_number() OVER (ORDER BY round(pv, 9), event_type)
+         AS BIGINT) AS rk,
+    CAST(count(*) OVER () AS BIGINT) AS m
+  FROM p
+),
+t2 AS (
+  SELECT *,
+    CAST(rk AS DOUBLE) * 0.1 / m AS thr,
+    max(CASE WHEN CAST(round(pv, 9) AS DECIMAL(10,9))
+                  <= CAST(round(CAST(rk AS DOUBLE) * 0.1 / m, 9)
+                          AS DECIMAL(10,9))
+             THEN rk ELSE 0 END) OVER () AS istar
+  FROM r
+)
+SELECT event_type, na, nb,
+       round(az, 6) AS abs_z,
+       round(pv, 6) AS p_value,
+       rk AS p_rank,
+       round(thr, 6) AS bh_threshold,
+       rk <= istar AS discovery
+FROM t2 ORDER BY p_rank, event_type
+""",
+)
+def q_events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over the per-event-type A/B
+    readout — the guardrail-metric sweep every experiment platform
+    runs: m two-sample z-tests (one per event type, mean `value` A vs
+    B under q_events_srm's md5 arm split), p-values ranked ascending,
+    and the step-up rule rejects H_1..H_i* where i* = max{i : p_(i) <=
+    i*q/m} at q = 0.10. Testing m metrics at alpha each inflates
+    false-positive rates ~m-fold; BH caps the EXPECTED FALSE DISCOVERY
+    SHARE instead — the difference between "5 significant guardrails"
+    and "5 expected-under-null artifacts".
+
+    Scale shape: one partial-aggregated pass over events produces the
+    m-row power-sum frame (counts + decimal-armored value sums per
+    arm); z, the Abramowitz-Stegun normal tail (|eps| < 7.5e-8, far
+    inside the 6dp emit), and the BH arithmetic all run on the m-row
+    frame, where m = |event-type vocabulary| — BOUNDED dimension size
+    (tens, not data-sized), so the rank window is pinned to an
+    explicit constant partition (no data-sized WindowExec; the
+    q_text_vocab caveat does not apply at any SF).
+
+    Determinism: power sums exact-decimal; z/p are identical IEEE
+    expression chains in both engines; the step-up comparison operates
+    on 9dp DECIMAL per the ln-contract, so discoveries cannot straddle
+    a last-ulp disagreement.
+    """
+    e = load_table(spark, sf_dir, "events")
+    byte = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    b = e.select("event_type", "value", (byte % 2).alias("arm"))
+    dec6, dec38 = "decimal(28,6)", "decimal(38,6)"
+    on_a, on_b = F.col("arm") == 0, F.col("arm") == 1
+    s = b.groupBy("event_type").agg(
+        F.sum(F.when(on_a, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(on_b, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(on_a, F.col("value")).otherwise(0).cast(dec6))
+        .cast("double")
+        .alias("sa"),
+        F.sum(F.when(on_b, F.col("value")).otherwise(0).cast(dec6))
+        .cast("double")
+        .alias("sb"),
+        F.sum(
+            F.when(on_a, F.col("value") * F.col("value"))
+            .otherwise(0)
+            .cast(dec38)
+        )
+        .cast("double")
+        .alias("saa"),
+        F.sum(
+            F.when(on_b, F.col("value") * F.col("value"))
+            .otherwise(0)
+            .cast(dec38)
+        )
+        .cast("double")
+        .alias("sbb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sa, sb = F.col("sa"), F.col("sb")
+    saa, sbb = F.col("saa"), F.col("sbb")
+    az = F.abs(
+        (sa / na - sb / nb)
+        / F.sqrt(
+            (saa / na - (sa / na) * (sa / na)) / na
+            + (sbb / nb - (sb / nb) * (sb / nb)) / nb
+        )
+    )
+    t = F.lit(1.0) / (F.lit(1.0) + 0.2316419 * az)
+    pv = (
+        2
+        * (F.exp(-(az * az) / 2) / 2.5066282746310002)
+        * (
+            t
+            * (
+                0.319381530
+                + t
+                * (
+                    -0.356563782
+                    + t
+                    * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+                )
+            )
+        )
+    )
+    p = s.select(
+        "event_type", "na", "nb", az.alias("az"), pv.alias("pv")
+    )
+    # m-row frame (|event types|, bounded): constant partition keeps
+    # the window off the "No Partition Defined" path.
+    one = F.lit(1)
+    wr = W.partitionBy(one).orderBy(F.round("pv", 9), "event_type")
+    wall = W.partitionBy(one)
+    r = p.withColumn("rk", F.row_number().over(wr).cast("long")).withColumn(
+        "m", F.count(F.lit(1)).over(wall).cast("long")
+    )
+    thr = F.col("rk").cast("double") * 0.1 / F.col("m")
+    passed = F.round("pv", 9).cast("decimal(10,9)") <= F.round(
+        thr, 9
+    ).cast("decimal(10,9)")
+    out = r.withColumn("thr", thr).withColumn(
+        "istar",
+        F.max(F.when(passed, F.col("rk")).otherwise(0)).over(wall),
+    )
+    return out.select(
+        "event_type",
+        "na",
+        "nb",
+        F.round("az", 6).alias("abs_z"),
+        F.round("pv", 6).alias("p_value"),
+        F.col("rk").alias("p_rank"),
+        F.round("thr", 6).alias("bh_threshold"),
+        (F.col("rk") <= F.col("istar")).alias("discovery"),
+    ).orderBy("p_rank", "event_type")
+
+
+@query(
+    "q_events_ratio_ci",
+    # Per-user reduction first (the unit of randomization is the USER,
+    # so the CI must treat per-user totals as the iid draws — event-
+    # level variance understates clustered metrics); then one global
+    # pass of exact power sums per arm. x is an exact DECIMAL(28,6)
+    # per-user total cast once to double, xx exact to 12dp, xy to 6dp;
+    # everything after is a single IEEE closed form per arm.
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UINTEGER % 2
+           AS arm,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(28,6))
+                       ELSE 0 END) AS DOUBLE) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT arm,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+    CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+    CAST(sum(y * y) AS BIGINT) AS syy
+  FROM u GROUP BY arm
+),
+m AS (
+  SELECT arm, n,
+    CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+    (sxx / n - (sx / n) * (sx / n)) AS vx,
+    (CAST(syy AS DOUBLE) / n
+     - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) AS vy,
+    (sxy / n - (sx / n) * (CAST(sy AS DOUBLE) / n)) AS cxy,
+    CAST(sy AS DOUBLE) / n AS my
+  FROM s
+),
+ci AS (
+  SELECT arm, n, r,
+    sqrt((vx - 2 * r * cxy + r * r * vy) / (n * (my * my))) AS se
+  FROM m
+)
+SELECT CAST(arm AS BIGINT) AS arm, n,
+       round(r, 6) AS ratio,
+       round(se, 6) AS se,
+       round(r - 1.96 * se, 6) AS ci_lo,
+       round(r + 1.96 * se, 6) AS ci_hi
+FROM ci ORDER BY arm
+""",
+)
+def q_events_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric per
+    experiment arm — purchase value per event, the shape of almost
+    every production metric (revenue/session, clicks/impression) where
+    the naive per-event t-interval is WRONG because numerator and
+    denominator are correlated within a user. The delta method
+    linearizes R = X̄/Ȳ around the means: Var(R) ≈ (s_xx − 2R·s_xy +
+    R²·s_yy)/(n·ȳ²), with the user as the iid unit (the unit of
+    randomization — q_events_cuped's doctrine), so the CI is honest
+    under within-user clustering.
+
+    Scale shape: ONE data-sized pass reduces events to per-user (arm,
+    x = purchase value total, y = event count) — partial-agg
+    combinable; ONE global aggregate per arm collects the six power
+    sums; R, se, and the 95% bounds are closed forms on the 2-row arm
+    frame. No window, no sort, no driver loop anywhere — the plan
+    that survives any user count.
+
+    Determinism: per-user x is an exact DECIMAL total; the global
+    sums are decimal-armored (xx exact at 12dp, xy at 6dp, y integer);
+    each statistic is one identical IEEE chain in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    byte = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0)
+            .cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    ).select((byte % 2).alias("arm"), "x", "y")
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy").cast("double")
+    r = sx / sy
+    vx = F.col("sxx") / n - (sx / n) * (sx / n)
+    vy = F.col("syy").cast("double") / n - (sy / n) * (sy / n)
+    cxy = F.col("sxy") / n - (sx / n) * (sy / n)
+    my = sy / n
+    se = F.sqrt((vx - 2 * r * cxy + r * r * vy) / (n * (my * my)))
+    return s.select(
+        F.col("arm").cast("long").alias("arm"),
+        "n",
+        F.round(r, 6).alias("ratio"),
+        F.round(se, 6).alias("se"),
+        F.round(r - 1.96 * se, 6).alias("ci_lo"),
+        F.round(r + 1.96 * se, 6).alias("ci_hi"),
+    ).orderBy("arm")
