@@ -3428,3 +3428,164 @@ FROM levene_events GROUP BY event_type
         F.round(w, 6).alias("levene_w"),
         (w > 2.372).alias("unequal_spread"),
     )
+
+
+@query(
+    "q_agg_theil",
+    # ln-contract throughout (q_text_unigram_ppl): every data-sized
+    # ln(x) rounds to 9dp (identical IEEE value both engines) and
+    # enters an exact DECIMAL product/sum; the handful of group-scalar
+    # lns round to 9dp before use so every downstream formula is the
+    # same IEEE chain; the 3-term cross-group sums are 9dp-DECIMAL
+    # armored (a raw double sum over groups would wobble with merge
+    # order).
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS grp,
+    CAST(count(*) AS BIGINT) AS n_g,
+    sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS sx_d,
+    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * CAST(round(ln(l_extendedprice), 9) AS DECIMAL(11,9))) AS slnx_d
+  FROM lineitem GROUP BY l_returnflag
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n,
+         CAST(sum(sx_d) AS DOUBLE) AS sx,
+         CAST(sum(slnx_d) AS DOUBLE) AS slnx
+  FROM g
+),
+m AS (
+  SELECT g.grp, g.n_g,
+    CAST(g.sx_d AS DOUBLE) AS sxg,
+    CAST(g.slnx_d AS DOUBLE) AS slng,
+    t.n, t.sx, t.slnx,
+    t.sx / t.n AS mu,
+    CAST(g.sx_d AS DOUBLE) / g.n_g AS mug
+  FROM g CROSS JOIN tot AS t
+),
+c AS (
+  SELECT grp, n_g, sxg, n, sx, slnx, mu,
+    round(ln(mu), 9) AS lnmu,
+    round(ln(mug), 9) AS lnmug,
+    sxg / sx AS share,
+    slng / (n_g * mug) - round(ln(mug), 9) AS t_g
+  FROM m
+),
+d AS (
+  SELECT
+    CAST(sum(CAST(round(share * (lnmug - lnmu), 9) AS DECIMAL(18,9)))
+         AS DOUBLE) AS t_between,
+    CAST(sum(CAST(round(share * t_g, 9) AS DECIMAL(18,9)))
+         AS DOUBLE) AS t_within
+  FROM c
+)
+SELECT c.grp AS l_returnflag, c.n_g,
+       round(c.share, 6) AS income_share,
+       round(c.t_g, 6) AS theil_within_group,
+       round(c.slnx / (c.n * c.mu) - c.lnmu, 6) AS theil_total,
+       round(d.t_between, 6) AS theil_between,
+       round(d.t_within, 6) AS theil_within,
+       abs((c.slnx / (c.n * c.mu) - c.lnmu)
+           - (d.t_between + d.t_within)) <= 0.00001
+         AS decomposition_ok
+FROM c CROSS JOIN d ORDER BY c.grp
+""",
+)
+def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index with its exact within/between
+    decomposition — the inequality measure that, unlike q_agg_gini,
+    DECOMPOSES additively: T = Σ_g s_g·T_g + Σ_g s_g·ln(μ_g/μ), so
+    "how much revenue concentration lives INSIDE return-flag groups
+    vs BETWEEN them" is an identity, not a narrative — the
+    decomposition_ok boolean asserts it to 1e-5 in-query. (q_agg_gini
+    ranks; q_agg_hhi squares shares; Theil is the information-theoretic
+    third whose group decomposition the other two lack.)
+
+    Scale shape: T = Σx·ln(x/μ)/(nμ) needs only Σx and Σx·ln x per
+    group — ONE partial-aggregated pass where each row contributes an
+    exact DECIMAL product (12,2)×(11,9) of value and its 9dp-rounded
+    ln; everything downstream runs on the |groups|-row frame via two
+    broadcast cross-joins. No window, no second scan, no driver math.
+
+    Determinism: the ln-contract (q_text_unigram_ppl) for the
+    data-sized lns; group-scalar lns rounded to 9dp before entering
+    formulas; cross-group term sums 9dp-DECIMAL armored.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    lnx9 = F.round(F.log(x), 9).cast("decimal(11,9)")
+    g = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(x.cast("decimal(28,2)")).alias("sx_d"),
+        F.sum(x.cast("decimal(12,2)") * lnx9).alias("slnx_d"),
+    )
+    tot = F.broadcast(
+        g.agg(
+            F.sum("n_g").cast("long").alias("n"),
+            F.sum("sx_d").cast("double").alias("sx"),
+            F.sum("slnx_d").cast("double").alias("slnx"),
+        )
+    )
+    m = g.crossJoin(tot).select(
+        "grp",
+        "n_g",
+        F.col("sx_d").cast("double").alias("sxg"),
+        F.col("slnx_d").cast("double").alias("slng"),
+        "n",
+        "sx",
+        "slnx",
+        (F.col("sx") / F.col("n")).alias("mu"),
+        (F.col("sx_d").cast("double") / F.col("n_g")).alias("mug"),
+    )
+    c = m.select(
+        "grp",
+        "n_g",
+        "sxg",
+        "n",
+        "sx",
+        "slnx",
+        "mu",
+        F.round(F.log("mu"), 9).alias("lnmu"),
+        F.round(F.log("mug"), 9).alias("lnmug"),
+        (F.col("sxg") / F.col("sx")).alias("share"),
+        (
+            F.col("slng") / (F.col("n_g") * F.col("mug"))
+            - F.round(F.log("mug"), 9)
+        ).alias("t_g"),
+    )
+    d = F.broadcast(
+        c.agg(
+            F.sum(
+                F.round(
+                    F.col("share") * (F.col("lnmug") - F.col("lnmu")), 9
+                ).cast("decimal(18,9)")
+            )
+            .cast("double")
+            .alias("t_between"),
+            F.sum(
+                F.round(F.col("share") * F.col("t_g"), 9).cast(
+                    "decimal(18,9)"
+                )
+            )
+            .cast("double")
+            .alias("t_within"),
+        )
+    )
+    t_total = F.col("slnx") / (F.col("n") * F.col("mu")) - F.col("lnmu")
+    return (
+        c.crossJoin(d)
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            "n_g",
+            F.round("share", 6).alias("income_share"),
+            F.round("t_g", 6).alias("theil_within_group"),
+            F.round(t_total, 6).alias("theil_total"),
+            F.round("t_between", 6).alias("theil_between"),
+            F.round("t_within", 6).alias("theil_within"),
+            (
+                F.abs(t_total - (F.col("t_between") + F.col("t_within")))
+                <= 0.00001
+            ).alias("decomposition_ok"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -4847,3 +4847,104 @@ def q_events_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r - 1.96 * se, 6).alias("ci_lo"),
         F.round(r + 1.96 * se, 6).alias("ci_hi"),
     ).orderBy("arm")
+
+
+@query(
+    "q_events_power",
+    # Conversion = q_events_experiment's per-user definition (purchases
+    # outnumber views), so the design numbers audit the SAME metric the
+    # readout tests; all inputs are exact integers, every statistic one
+    # IEEE chain of +,*,/ and correctly-rounded sqrt — no transcendental
+    # anywhere, so the two engines agree bit-for-bit before the 6dp emit.
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   > sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(conv) AS BIGINT) AS n_conv
+  FROM u
+),
+m AS (
+  SELECT n_users, n_conv,
+    CAST(n_conv AS DOUBLE) / n_users AS p1,
+    (CAST(n_conv AS DOUBLE) / n_users) * 1.05 AS p2,
+    (CAST(n_conv AS DOUBLE) / n_users) * 0.05 AS delta,
+    CAST(n_users AS DOUBLE) / 2 AS n_arm
+  FROM s
+),
+d AS (
+  SELECT n_users, n_conv, p1, n_arm,
+    (1.959964 * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+     + 0.841621 * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+    * (1.959964 * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+       + 0.841621 * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+    / (delta * delta) AS n_req,
+    (1.959964 + 0.841621) * sqrt(2 * p1 * (1 - p1) / n_arm) AS mde_abs
+  FROM m
+)
+SELECT n_users, n_conv,
+       round(p1, 6) AS conv_rate,
+       round(n_req, 2) AS n_req_per_arm,
+       round(mde_abs, 6) AS mde_abs,
+       round(mde_abs / p1, 6) AS mde_rel,
+       mde_abs / p1 <= 0.05 AS powered_for_5pct
+FROM d
+""",
+)
+def q_events_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning — required sample size and minimum
+    detectable effect for the conversion metric: n per arm to detect a
+    5% RELATIVE lift at alpha = 0.05 (two-sided), power 80%, via the
+    standard two-proportion normal form n = (z_a·sqrt(2p̄(1−p̄)) +
+    z_b·sqrt(p1(1−p1)+p2(1−p2)))²/δ², plus the inverse question — the
+    MDE the CURRENT population already supports — and the
+    powered_for_5pct verdict. The op that belongs BEFORE
+    q_events_experiment in the stack: running a test whose MDE exceeds
+    the effect you care about produces q_events_bh_fdr-style null
+    readouts by construction, not by truth.
+
+    Scale shape: ONE partial-aggregated pass reduces events to
+    per-user conversion flags, ONE global aggregate to two integers;
+    every design statistic is a closed form on the 1-row frame.
+    z_{0.975} = 1.959964 and z_{0.80} = 0.841621 are literals (design
+    constants, like q_agg_jarque_bera's 5.991).
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    )
+    p1 = F.col("n_conv").cast("double") / F.col("n_users")
+    p2 = p1 * 1.05
+    delta = p1 * 0.05
+    n_arm = F.col("n_users").cast("double") / 2
+    pbar = (p1 + p2) / 2
+    za, zb = 1.959964, 0.841621
+    root = za * F.sqrt(2 * pbar * (1 - pbar)) + zb * F.sqrt(
+        p1 * (1 - p1) + p2 * (1 - p2)
+    )
+    n_req = root * root / (delta * delta)
+    mde_abs = (za + zb) * F.sqrt(2 * p1 * (1 - p1) / n_arm)
+    return s.select(
+        "n_users",
+        "n_conv",
+        F.round(p1, 6).alias("conv_rate"),
+        F.round(n_req, 2).alias("n_req_per_arm"),
+        F.round(mde_abs, 6).alias("mde_abs"),
+        F.round(mde_abs / p1, 6).alias("mde_rel"),
+        (mde_abs / p1 <= 0.05).alias("powered_for_5pct"),
+    )

@@ -1441,3 +1441,69 @@ def q_orders_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_orders_inventory.__doc__ = q_orders_inventory.__doc__.format(k=_INV_TOP_K)
+
+
+@query(
+    "q_skyline",
+    # The oracle is the DEFINITION (anti-dominance NOT EXISTS over the
+    # raw table); the engine never runs that O(n²) form — equality of
+    # the two is exactly what the check proves. Prices are 2dp doubles
+    # and sizes integers, so every comparison is exact.
+    oracle="""
+SELECT p.p_partkey, p.p_size, p.p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p.p_size, p.p_partkey
+""",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) operator — all parts not dominated on
+    (price ↓, size ↑): the multi-objective shortlist query (cheapest-
+    per-capability products, best cost/quality corpus slices) that SQL
+    only states as a correlated NOT EXISTS self-join, O(n²).
+
+    Scale shape — the 2-D skyline collapses to a SPINE problem: ONE
+    partial-aggregated pass reduces the data to min(price) per
+    distinct size (|sizes| rows — bounded dimension, 50 here), a
+    strict running-min over the larger-size suffix of that spine
+    (constant-partition window, never data-sized) marks the frontier
+    sizes, and one broadcast semi-join pulls every tied original row
+    back out. Dominance semantics handled exactly: a row not at its
+    size's min price is dominated within the size (strict in price);
+    a size whose min price is not strictly below every larger size's
+    min is dominated by that larger size (strict in size, ≤ in
+    price). The n² definitional form appears ONLY as the oracle.
+    """
+    p = load_table(spark, sf_dir, "part")
+    spine = p.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    # strict min over strictly-larger sizes; constant partition keeps
+    # the |sizes|-row window off the single-partition-warning path.
+    wsuf = (
+        W.partitionBy(F.lit(1))
+        .orderBy(F.col("p_size").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    frontier = (
+        spine.withColumn("suffix_min", F.min("min_price").over(wsuf))
+        .filter(
+            F.col("suffix_min").isNull()
+            | (F.col("min_price") < F.col("suffix_min"))
+        )
+        .select("p_size", "min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(frontier),
+            (p["p_size"] == frontier["p_size"])
+            & (p["p_retailprice"] == frontier["min_price"]),
+            "left_semi",
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+        .orderBy("p_size", "p_partkey")
+    )

@@ -143,3 +143,77 @@ def test_neyman_puts_all_budget_on_the_varying_stratum(
     assert a["prop_share"] == 0.5 and b["prop_share"] == 0.5
     assert a["n_neyman"] == 0.0 and b["n_neyman"] == 10000.0
     assert a["variance_ratio"] == 0.5 and b["variance_ratio"] == 0.5
+
+
+def test_theil_decomposition_on_planted_groups(spark, tmp_path_factory):
+    """Group A: four rows of 100 (zero within-inequality); group B: 50
+    and 150 (within-Theil = (50·ln0.5 + 150·ln1.5)/200 ≈ 0.130812).
+    Both group MEANS equal the global mean, so between-Theil is
+    exactly 0 and the whole index is within-group."""
+    out = tmp_path_factory.mktemp("theil7")
+    rows = [("A", 100.0)] * 4 + [("B", 50.0), ("B", 150.0)]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double"
+    ).select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.lit(1.0).alias("l_quantity"),
+        F.lit("O").alias("l_linestatus"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    got = {
+        r["l_returnflag"]: r
+        for r in registry.get("q_agg_theil").fn(spark, str(out)).collect()
+    }
+    a, b = got["A"], got["B"]
+    assert a["theil_within_group"] == 0.0
+    assert abs(b["theil_within_group"] - 0.130812) <= 2e-6
+    assert a["theil_between"] == 0.0
+    assert abs(a["theil_total"] - 0.043604) <= 2e-6
+    assert abs(a["theil_within"] - a["theil_total"]) <= 2e-6
+    assert bool(a["decomposition_ok"]) and bool(b["decomposition_ok"])
+    assert abs(a["income_share"] - 2 / 3) <= 5e-7
+
+
+def test_power_design_on_planted_coin_flip(spark, tmp_path_factory):
+    """100 users at exactly 50% conversion: MDE_abs = 2.801585 *
+    sqrt(2*0.25/50) = 0.2801585 (56% relative — wildly underpowered
+    for a 5% lift), and the required n per arm for the 5% relative
+    lift lands near the textbook ~6.3k."""
+    out = tmp_path_factory.mktemp("pow7")
+    ts = "2024-03-01 00:00:00"
+    rows = []
+    for u in range(1, 51):
+        rows.append((ts, u, "purchase", 1.0))  # converter
+    for u in range(51, 101):
+        rows.append((ts, u, "view", 1.0))  # non-converter
+    _write_events(spark, out, rows)
+    r = registry.get("q_events_power").fn(spark, str(out)).collect()[0]
+    assert (r["n_users"], r["n_conv"]) == (100, 50)
+    assert r["conv_rate"] == 0.5
+    assert abs(r["mde_abs"] - 0.280158) <= 2e-6
+    assert 6000 < r["n_req_per_arm"] < 6600
+    assert not bool(r["powered_for_5pct"])
+
+
+def test_skyline_keeps_ties_drops_dominated(spark, tmp_path_factory):
+    """(size, price): E(10,50) cheapest small; C(20,90) and F(20,90)
+    are an exact tie (neither strictly dominates; both stay); B(20,100)
+    dominated by C on price; A(10,100) dominated by B on size; D(30,
+    200) untouchable on size. Skyline = {E, C, F, D}."""
+    out = tmp_path_factory.mktemp("sky7")
+    rows = [
+        (1, 10, 100.0),
+        (2, 20, 100.0),
+        (3, 20, 90.0),
+        (4, 30, 200.0),
+        (5, 10, 50.0),
+        (6, 20, 90.0),
+    ]
+    spark.createDataFrame(
+        rows, "p_partkey long, p_size int, p_retailprice double"
+    ).write.mode("overwrite").parquet(str(out / "part.parquet"))
+    got = [
+        (r["p_partkey"], r["p_size"])
+        for r in registry.get("q_skyline").fn(spark, str(out)).collect()
+    ]
+    assert got == [(5, 10), (3, 20), (6, 20), (4, 30)]
