@@ -2137,3 +2137,119 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+_MIX_TAU = 0.7  # temperature exponent (pipeline config)
+_MIX_BUDGET = 10_000_000  # sampled-token budget (pipeline config)
+
+
+@query(
+    "q_mix_temperature",
+    # Token totals are exact integers (the q_text_tokens whitespace
+    # count); p_i^tau is libm pow (the q_agg_jarque_bera pow-risk
+    # class, identical expression text both engines) and every
+    # cross-source sum of pow outputs is 9dp-DECIMAL armored so merge
+    # order can never wobble a share.
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS all_tokens FROM t),
+p AS (
+  SELECT source, n_docs, tokens,
+    CAST(tokens AS DOUBLE) / all_tokens AS nat_share,
+    CAST(round(pow(CAST(tokens AS DOUBLE) / all_tokens, {_MIX_TAU}), 9)
+         AS DECIMAL(18,9)) AS w
+  FROM t CROSS JOIN tot
+),
+z AS (SELECT CAST(sum(w) AS DOUBLE) AS zw FROM p)
+SELECT p.source, p.n_docs, p.tokens,
+       round(p.nat_share, 6) AS natural_share,
+       round(CAST(p.w AS DOUBLE) / z.zw, 6) AS temp_share,
+       round({_MIX_BUDGET} * CAST(p.w AS DOUBLE) / z.zw, 2)
+         AS sampled_tokens,
+       round({_MIX_BUDGET} * CAST(p.w AS DOUBLE) / z.zw / p.tokens, 6)
+         AS epochs,
+       {_MIX_BUDGET} * CAST(p.w AS DOUBLE) / z.zw / p.tokens > 1.0
+         AS upsampled
+FROM p CROSS JOIN z ORDER BY p.source
+""",
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based pretraining mix (alpha-sampling): sampling
+    weights q_i ∝ p_i^τ over per-source token shares, τ = {tau} — the
+    standard device that UPWEIGHTS small curated sources relative to
+    bulk crawl without hand-tuned fractions (τ=1 keeps natural
+    proportions, τ=0 is uniform; 0.7 is the multilingual-LM
+    convention). Emits, per source, the natural vs temperature share,
+    the token allocation under a {budget:,}-token budget, and the
+    EPOCHS the allocation implies — upsampled (> 1 epoch) sources are
+    flagged because repetition is the known quality cliff the τ knob
+    trades against. q_sample_mix APPLIES configured fractions;
+    q_sample_neyman optimizes for estimator variance; this derives
+    the LM-training mix.
+
+    Scale shape: ONE partial-aggregated pass over documents (token
+    count = the q_text_tokens whitespace device, computed map-side);
+    every share/epoch statistic lives on the |sources|-row frame via
+    two broadcast cross-joins with 1-row totals. No window, no sort.
+
+    Determinism: integer token sums; pow outputs 9dp-DECIMAL armored
+    before the cross-source normalizer sum (merge-order-proof); one
+    identical IEEE chain per emitted column.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("tokens"),
+    )
+    tot = F.broadcast(
+        t.agg(F.sum("tokens").cast("long").alias("all_tokens"))
+    )
+    p = t.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        "tokens",
+        (F.col("tokens").cast("double") / F.col("all_tokens")).alias(
+            "nat_share"
+        ),
+        F.round(
+            F.pow(
+                F.col("tokens").cast("double") / F.col("all_tokens"),
+                F.lit(_MIX_TAU),
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("w"),
+    )
+    z = F.broadcast(p.agg(F.sum("w").cast("double").alias("zw")))
+    alloc = F.lit(float(_MIX_BUDGET)) * F.col("w").cast("double") / F.col(
+        "zw"
+    )
+    return (
+        p.crossJoin(z)
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round("nat_share", 6).alias("natural_share"),
+            F.round(F.col("w").cast("double") / F.col("zw"), 6).alias(
+                "temp_share"
+            ),
+            F.round(alloc, 2).alias("sampled_tokens"),
+            F.round(alloc / F.col("tokens"), 6).alias("epochs"),
+            (alloc / F.col("tokens") > 1.0).alias("upsampled"),
+        )
+        .orderBy("source")
+    )
+
+
+q_mix_temperature.__doc__ = q_mix_temperature.__doc__.format(
+    tau=_MIX_TAU, budget=_MIX_BUDGET
+)

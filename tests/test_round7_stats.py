@@ -217,3 +217,64 @@ def test_skyline_keeps_ties_drops_dominated(spark, tmp_path_factory):
         for r in registry.get("q_skyline").fn(spark, str(out)).collect()
     ]
     assert got == [(5, 10), (3, 20), (6, 20), (4, 30)]
+
+
+def test_granger_detects_planted_one_day_lead(spark, tmp_path_factory):
+    """Purchases copy yesterday's views (plus alternating noise so the
+    unrestricted fit is not singular), views follow a low-autocorr
+    pattern: the view->purchase cross-lag must clear the 3.841 gate by
+    a wide margin and dominate the reverse direction."""
+    out = tmp_path_factory.mktemp("gr7")
+    rows = []
+    x = [((t * 7) % 10) + 1 for t in range(40)]
+    for t in range(40):
+        day = f"2024-03-{t % 30 + 1:02d}" if t < 30 else f"2024-04-{t - 29:02d}"
+        for _ in range(x[t]):
+            rows.append((f"{day} 10:00:00", 1, "view", 1.0))
+        y = (x[t - 1] if t > 0 else 1) + (t % 2)
+        for _ in range(y):
+            rows.append((f"{day} 11:00:00", 2, "purchase", 1.0))
+    _write_events(spark, out, rows)
+    got = {
+        r["direction"]: r
+        for r in registry.get("q_ts_granger").fn(spark, str(out)).collect()
+    }
+    fwd, rev = got["view->purchase"], got["purchase->view"]
+    # 41-day dense spine (Mar 31 is an events-free gap day the spine
+    # must densify) -> 40 lag-1 pairs
+    assert fwd["n"] == 40
+    assert bool(fwd["granger_at_asymp_5pct"])
+    assert fwd["f_stat"] > 10 * max(rev["f_stat"], 1.0)
+    assert fwd["r2_unrestricted"] > fwd["r2_restricted"]
+
+
+def test_mix_temperature_upweights_the_small_source(
+    spark, tmp_path_factory
+):
+    """90/10 token split at tau=0.7: the small source's temperature
+    share is 0.1^0.7/(0.1^0.7+0.9^0.7) ≈ 0.176818 — upweighted ~1.77x
+    over its natural share; shares still sum to 1."""
+    out = tmp_path_factory.mktemp("mix7")
+    ten_tokens = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = [(i, ten_tokens, "en", "big", len(ten_tokens)) for i in range(9)]
+    docs.append((9, ten_tokens, "en", "small", len(ten_tokens)))
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    got = {
+        r["source"]: r
+        for r in registry.get("q_mix_temperature")
+        .fn(spark, str(out))
+        .collect()
+    }
+    small, big = got["small"], got["big"]
+    assert small["tokens"] == 10 and big["tokens"] == 90
+    assert small["natural_share"] == 0.1
+    assert abs(small["temp_share"] - 0.176818) <= 1e-4
+    assert abs(small["temp_share"] + big["temp_share"] - 1.0) <= 1e-5
+    assert small["temp_share"] > small["natural_share"]
+    assert big["temp_share"] < big["natural_share"]
+    # 10M-token budget over 100 total tokens: everything upsampled
+    assert bool(small["upsampled"]) and bool(big["upsampled"])

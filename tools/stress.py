@@ -153,6 +153,38 @@ QUERIES = [
     "q_agg_mannwhitney_kll",
     "q_agg_ks_kll",
     "q_rfm_approx",
+    # round-7 second wave: graph locals (one shuffle families), events
+    # experimentation stack (BH/ratio-CI/power reduce to per-user then
+    # dimension frames: expect ~linear in the per-user pass, flat
+    # after), inequality/allocation (power-sum closed forms: ~flat),
+    # spine ops (changepoint/periodogram/rolling-corr cost bounded by
+    # series length — replication grows counts, not days), the Gramian
+    # PCA (d^2 agg: linear scan, fixed iteration), profiling passes,
+    # and the skyline reduce.
+    "q_graph_degree",
+    "q_graph_assortativity",
+    "q_graph_jaccard",
+    "q_events_srm",
+    "q_events_adoption",
+    "q_events_pmi",
+    "q_events_rolling_active",
+    "q_events_bh_fdr",
+    "q_events_ratio_ci",
+    "q_events_power",
+    "q_sample_neyman",
+    "q_agg_theil",
+    "q_skyline",
+    "q_text_editdist",
+    "q_ts_changepoint",
+    "q_ts_rolling_corr",
+    "q_ts_periodogram",
+    "q_embed_pca_power",
+    "q_profile_fd",
+    "q_profile_keys",
+    "q_eval_report",
+    "q_orders_inventory",
+    "q_ts_granger",
+    "q_mix_temperature",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
