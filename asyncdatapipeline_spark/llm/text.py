@@ -2253,3 +2253,201 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_mix_temperature.__doc__ = q_mix_temperature.__doc__.format(
     tau=_MIX_TAU, budget=_MIX_BUDGET
 )
+
+
+_NDCG_K = 10
+# 1/log2(r+1) precomputed ONCE in Python and injected as the same
+# 12dp literal into BOTH engines' SQL — the discount table carries
+# zero cross-engine libm risk by construction.
+_NDCG_DISC = {
+    r: round(1.0 / __import__("math").log2(r + 1), 12)
+    for r in range(1, _NDCG_K + 1)
+}
+_NDCG_QUERY = _BM25_QUERY  # same standing demo query as the BM25 family
+
+
+def _ndcg_gain_case(col: str) -> str:
+    return f"CASE {col} WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END"
+
+
+def _ndcg_oracle_sql() -> str:
+    tf = ", ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}'))"
+        f" AS tf{i}"
+        for i, t in enumerate(_NDCG_QUERY)
+    )
+    grade = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(_NDCG_QUERY))
+    )
+    score = " + ".join(f"tf{i}" for i in range(len(_NDCG_QUERY)))
+    disc_rows = ", ".join(f"({r}, {_NDCG_DISC[r]})" for r in _NDCG_DISC)
+    return f"""
+WITH tf AS (SELECT doc_id, {tf} FROM documents),
+g AS (
+  SELECT doc_id, {score} AS score, {grade} AS grade FROM tf
+),
+topk AS (
+  SELECT doc_id, grade,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM g ORDER BY score DESC, doc_id LIMIT {_NDCG_K}
+),
+disc(rnk, disc) AS (VALUES {disc_rows}),
+dcg AS (
+  SELECT CAST(sum(CAST(round(
+           ({_ndcg_gain_case('t.grade')}) * d.disc, 9)
+           AS DECIMAL(18,9))) AS DOUBLE) AS dcg
+  FROM topk t JOIN disc d ON d.rnk = t.rnk
+),
+hist AS (
+  SELECT
+    CAST(sum(CASE WHEN grade = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+    CAST(sum(CASE WHEN grade = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN grade = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM g
+),
+ideal AS (
+  SELECT CAST(sum(CAST(round(
+           ({_ndcg_gain_case('''
+             (CASE WHEN d.rnk <= h.n3 THEN 3
+                   WHEN d.rnk <= h.n3 + h.n2 THEN 2
+                   WHEN d.rnk <= h.n3 + h.n2 + h.n1 THEN 1
+                   ELSE 0 END)''')}) * d.disc, 9)
+           AS DECIMAL(18,9))) AS DOUBLE) AS idcg
+  FROM disc d CROSS JOIN hist h
+)
+SELECT {_NDCG_K} AS k, h.n3 AS n_grade3, h.n2 AS n_grade2,
+       h.n1 AS n_grade1,
+       round(dcg.dcg, 6) AS dcg,
+       round(ideal.idcg, 6) AS idcg,
+       CASE WHEN ideal.idcg > 0
+            THEN round(dcg.dcg / ideal.idcg, 6) ELSE 0.0 END AS ndcg
+FROM dcg CROSS JOIN ideal CROSS JOIN hist h
+"""
+
+
+@query("q_eval_ndcg", oracle=_ndcg_oracle_sql())
+def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{k} for a graded-relevance retrieval eval — the ranking
+    metric q_eval_retrieval's binary precision/recall/MRR cannot
+    express: grade = number of standing-query terms a document
+    contains (0-3, the deterministic graded proxy), the RANKER is raw
+    term-frequency sum (deliberately not the grade — a one-term
+    tf-spammer outranking a three-term doc is exactly the ranking
+    error NDCG penalizes), gains are 2^g−1 and the discount table
+    1/log2(r+1) is precomputed ONCE in Python and injected into both
+    engines as identical 12dp literals (no cross-engine libm risk at
+    all). IDCG fills the k slots from the corpus grade HISTOGRAM
+    (n3/n2/n1 counts), never sorting the corpus by grade.
+
+    Scale shape: one map-only pass computes (score, grade) per doc;
+    top-k via orderBy+limit (TakeOrderedAndProject — per-task k-heaps,
+    no global sort); DCG joins the ≤k frame to the k-row literal
+    discount spine; IDCG needs only the three histogram integers.
+    10-term sums are 9dp-DECIMAL armored (even a 10-row double sum is
+    merge-order-dependent).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def _tf(term):
+        # NOTE: a two-param lambda would make F.filter pass the array
+        # INDEX as the second argument — bind the term via closure.
+        return F.size(F.filter(words, lambda w: w == term))
+
+    tf_cols = [_tf(t).alias(f"tf{i}") for i, t in enumerate(_NDCG_QUERY)]
+    g = d.select("doc_id", *tf_cols).select(
+        "doc_id",
+        sum(
+            [F.col(f"tf{i}") for i in range(len(_NDCG_QUERY))], F.lit(0)
+        ).alias("score"),
+        sum(
+            [
+                (F.col(f"tf{i}") > 0).cast("int")
+                for i in range(len(_NDCG_QUERY))
+            ],
+            F.lit(0),
+        ).alias("grade"),
+    )
+    topk = (
+        g.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_NDCG_K)
+        .select(
+            "grade",
+            F.row_number()
+            .over(
+                W.partitionBy(F.lit(1)).orderBy(
+                    F.col("score").desc(), "doc_id"
+                )
+            )
+            .alias("rnk"),
+        )
+    )
+    disc = spark.createDataFrame(
+        [(r, _NDCG_DISC[r]) for r in _NDCG_DISC], "rnk int, disc double"
+    )
+    gain = (
+        F.when(F.col("grade") == 3, 7)
+        .when(F.col("grade") == 2, 3)
+        .when(F.col("grade") == 1, 1)
+        .otherwise(0)
+    )
+    dcg = (
+        topk.join(F.broadcast(disc), "rnk")
+        .agg(
+            F.sum(
+                F.round(gain * F.col("disc"), 9).cast("decimal(18,9)")
+            )
+            .cast("double")
+            .alias("dcg")
+        )
+    )
+    hist = g.agg(
+        F.sum((F.col("grade") == 3).cast("long")).cast("long").alias("n3"),
+        F.sum((F.col("grade") == 2).cast("long")).cast("long").alias("n2"),
+        F.sum((F.col("grade") == 1).cast("long")).cast("long").alias("n1"),
+    )
+    ideal_grade = (
+        F.when(F.col("rnk") <= F.col("n3"), 3)
+        .when(F.col("rnk") <= F.col("n3") + F.col("n2"), 2)
+        .when(F.col("rnk") <= F.col("n3") + F.col("n2") + F.col("n1"), 1)
+        .otherwise(0)
+    )
+    ideal_gain = (
+        F.when(ideal_grade == 3, 7)
+        .when(ideal_grade == 2, 3)
+        .when(ideal_grade == 1, 1)
+        .otherwise(0)
+    )
+    ideal = (
+        disc.crossJoin(F.broadcast(hist))
+        .agg(
+            F.sum(
+                F.round(ideal_gain * F.col("disc"), 9).cast(
+                    "decimal(18,9)"
+                )
+            )
+            .cast("double")
+            .alias("idcg")
+        )
+    )
+    return (
+        dcg.crossJoin(F.broadcast(ideal))
+        .crossJoin(F.broadcast(hist))
+        .select(
+            F.lit(_NDCG_K).alias("k"),
+            F.col("n3").alias("n_grade3"),
+            F.col("n2").alias("n_grade2"),
+            F.col("n1").alias("n_grade1"),
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.when(
+                F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
+            )
+            .otherwise(0.0)
+            .alias("ndcg"),
+        )
+    )
+
+
+q_eval_ndcg.__doc__ = q_eval_ndcg.__doc__.format(k=_NDCG_K)

@@ -1606,3 +1606,98 @@ def q_join_prorate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_id")
     )
+
+
+@query(
+    "q_orders_elasticity",
+    # ln-contract for both regression variables (each 9dp-rounded ln
+    # enters an exact DECIMAL power sum — order-free, AQE-proof); the
+    # OLS slope / intercept / R² are identical IEEE closed forms per
+    # brand; the dim join is a broadcast in Spark and value-identical
+    # in the oracle.
+    oracle="""
+WITH r AS (
+  SELECT p.p_brand,
+    CAST(round(ln(l.l_extendedprice / l.l_quantity), 9)
+         AS DECIMAL(11,9)) AS x,
+    CAST(round(ln(l.l_quantity), 9) AS DECIMAL(10,9)) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_quantity > 0
+),
+s AS (
+  SELECT p_brand,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+    CAST(sum(x * x) AS DOUBLE) AS sxx,
+    CAST(sum(y * y) AS DOUBLE) AS syy,
+    CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM r GROUP BY p_brand
+),
+b AS (
+  SELECT p_brand, n,
+    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+      AS intercept,
+    (n * sxy - sx * sy) * (n * sxy - sx * sy)
+      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+  FROM s
+)
+SELECT p_brand, n,
+       round(slope, 6) AS elasticity,
+       round(intercept, 6) AS intercept,
+       round(r2, 6) AS r2,
+       abs(slope) > 1.0 AS elastic
+FROM b ORDER BY p_brand
+""",
+)
+def q_orders_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per brand — the log-log OLS
+    ln(quantity) = a + b·ln(unit price) whose slope IS the elasticity
+    (|b| > 1 = elastic: price cuts grow revenue; |b| < 1 = inelastic:
+    they burn it) — the pricing team's first regression, and the
+    econometric consumer of the engine's regression machinery
+    (q_ml_linreg fits levels; elasticities need the log transform,
+    which drags the ln-contract into a JOINED fact/dim pipeline).
+
+    Scale shape: ONE broadcast join (part is a dimension) + ONE
+    partial-aggregated pass of exact DECIMAL power sums of the
+    9dp-rounded lns; slope/intercept/R² are closed forms on the
+    |brands|-row frame. The fixture's md5-derived prices carry no
+    real demand signal — slopes near 0 with tiny R² are the CORRECT
+    reading (and the planted test wires a real elasticity to verify
+    the estimator).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    x = F.round(
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")), 9
+    ).cast("decimal(11,9)")
+    y = F.round(F.log(F.col("l_quantity")), 9).cast("decimal(10,9)")
+    r = (
+        li.filter(F.col("l_quantity") > 0)
+        .join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .select("p_brand", x.alias("x"), y.alias("y"))
+    )
+    s = r.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = n * F.col("sxx") - sx * sx
+    slope = num / den
+    intercept = (sy - slope * sx) / n
+    r2 = num * num / (den * (n * F.col("syy") - sy * sy))
+    return s.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("elasticity"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+        (F.abs(slope) > 1.0).alias("elastic"),
+    ).orderBy("p_brand")

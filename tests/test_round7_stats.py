@@ -278,3 +278,60 @@ def test_mix_temperature_upweights_the_small_source(
     assert big["temp_share"] < big["natural_share"]
     # 10M-token budget over 100 total tokens: everything upsampled
     assert bool(small["upsampled"]) and bool(big["upsampled"])
+
+
+def test_ndcg_penalizes_the_tf_spammer(spark, tmp_path_factory):
+    """doc2 spams 'spark' ten times (grade 1) and outranks doc1, which
+    contains all three query terms once (grade 3): DCG = 1·1 +
+    7·(1/log2 3), IDCG = 7·1 + 1·(1/log2 3), so NDCG ≈ 0.71 — the
+    ranking error binary precision@k cannot see."""
+    out = tmp_path_factory.mktemp("ndcg7")
+    docs = [
+        (1, "spark table query end", "en", "s", 21),
+        (2, " ".join(["spark"] * 10), "en", "s", 59),
+        (3, "nothing relevant here", "en", "s", 21),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    r = registry.get("q_eval_ndcg").fn(spark, str(out)).collect()[0]
+    assert (r["n_grade3"], r["n_grade2"], r["n_grade1"]) == (1, 0, 1)
+    disc2 = 1.0 / __import__("math").log2(3)
+    assert abs(r["dcg"] - (1.0 + 7 * disc2)) <= 2e-6
+    assert abs(r["idcg"] - (7.0 + 1 * disc2)) <= 2e-6
+    assert 0.70 < r["ndcg"] < 0.72
+    assert abs(r["ndcg"] - r["dcg"] / r["idcg"]) <= 2e-6
+
+
+def test_elasticity_recovers_planted_log_slope(spark, tmp_path_factory):
+    """Unit prices 1/2/4/8 with quantity = 256/price²: exactly
+    ln q = ln 256 − 2·ln p, so the estimator must return elasticity
+    −2 with R² = 1 and the elastic verdict."""
+    out = tmp_path_factory.mktemp("el7")
+    rows = [
+        (1, 256.0, 256.0),  # (partkey, quantity, extendedprice=p*q)
+        (2, 64.0, 128.0),
+        (3, 16.0, 64.0),
+        (4, 4.0, 32.0),
+    ]
+    spark.createDataFrame(
+        rows, "l_partkey long, l_quantity double, l_extendedprice double"
+    ).select(
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        F.lit("N").alias("l_returnflag"),
+        F.lit("O").alias("l_linestatus"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(k, "BX") for k in (1, 2, 3, 4)], "p_partkey long, p_brand string"
+    ).write.mode("overwrite").parquet(str(out / "part.parquet"))
+    r = registry.get("q_orders_elasticity").fn(spark, str(out)).collect()
+    assert len(r) == 1
+    b = r[0]
+    assert b["n"] == 4
+    assert abs(b["elasticity"] - (-2.0)) <= 2e-6
+    assert b["r2"] == 1.0
+    assert bool(b["elastic"])
