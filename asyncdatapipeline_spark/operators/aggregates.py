@@ -3589,3 +3589,103 @@ def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_agg_tukey",
+    # q_agg_anova's power sums carried to the post-hoc step: MSE from
+    # the same exact-DECIMAL group sums, pairwise mean gaps vs the
+    # studentized-range margin — identical IEEE closed forms per pair;
+    # q_crit(k=5, df=inf, 5%) = 3.858 is a literal like anova's 3.32.
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type
+),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+         CAST(count(*) AS BIGINT) AS k,
+         sum(sxx) - sum(sx * sx / n) AS ssw
+  FROM g
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS n_a, b.n AS n_b,
+         abs(a.sx / a.n - b.sx / b.n) AS gap,
+         3.858 * sqrt((t.ssw / (t.n_tot - t.k)) / 2
+                      * (1.0 / a.n + 1.0 / b.n)) AS hsd
+  FROM g a JOIN g b ON a.event_type < b.event_type
+  CROSS JOIN t
+)
+SELECT type_a, type_b, n_a, n_b,
+       round(gap, 6) AS mean_gap,
+       round(hsd, 6) AS hsd_margin,
+       gap > hsd AS significant
+FROM pairs ORDER BY type_a, type_b
+""",
+)
+def q_agg_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc — WHICH pairs differ after q_agg_anova says
+    "some group differs": every pairwise |mean gap| against the
+    honestly-simultaneous margin q_crit·sqrt(MSE/2·(1/n_i+1/n_j)),
+    with q_crit the studentized-range 5% point for k=5 groups at the
+    asymptotic df (3.858, a literal — the q_agg_jarque_bera constant
+    doctrine). Running k(k−1)/2 plain t-tests instead inflates the
+    family error exactly the way q_events_bh_fdr exists to stop; HSD
+    is the classical fix when the family is ALL pairs of one factor.
+
+    Scale shape: the SAME one partial-aggregated pass as q_agg_anova
+    (count + two exact-DECIMAL power sums per event type); the pair
+    frame is the k-row group frame self-joined (k(k−1)/2 ≤ 10 rows),
+    cross-joined with the 1-row MSE — dimension-sized throughout.
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    t = F.broadcast(
+        g.agg(
+            F.sum("n").cast("long").alias("n_tot"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            (F.sum("sxx") - F.sum(F.col("sx") * F.col("sx") / F.col("n")))
+            .alias("ssw"),
+        )
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("sx").alias("sx_a"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("sx").alias("sx_b"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .crossJoin(t)
+    )
+    gap = F.abs(
+        F.col("sx_a") / F.col("n_a") - F.col("sx_b") / F.col("n_b")
+    )
+    hsd = 3.858 * F.sqrt(
+        (F.col("ssw") / (F.col("n_tot") - F.col("k")))
+        / 2
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.round(gap, 6).alias("mean_gap"),
+        F.round(hsd, 6).alias("hsd_margin"),
+        (gap > hsd).alias("significant"),
+    ).orderBy("type_a", "type_b")

@@ -678,3 +678,150 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_graph_jaccard.__doc__ = q_graph_jaccard.__doc__.format(
     k=_JACCARD_TOP_K, cap=_JACCARD_HOT_CAP
 )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 14  # bounded peel rounds (both engines run the SAME bound)
+
+
+def _kcore_oracle_sql() -> str:
+    """Unrolled-peeling DuckDB twin (the _PR_ITER_SQL device): stage
+    a{{i+1}} keeps the a{{i}} nodes with >= k neighbors inside a{{i}}.
+    Peeling is monotone, so once stable every further stage is a no-op
+    — the bounded computation equals the fixed point whenever
+    `converged` is true (asserted at every fixture SF). Every stage is
+    AS MATERIALIZED: DuckDB inlines CTEs by default, and a 14-deep
+    chain whose every stage references its predecessor twice would expand
+    to 2^14 scans without it."""
+    stages = []
+    for i in range(_KCORE_ROUNDS):
+        stages.append(
+            f"""a{i + 1} AS MATERIALIZED (
+  SELECT n.node FROM a{i} n
+  JOIN eb ON eb.s = n.node
+  JOIN a{i} m ON m.node = eb.t
+  GROUP BY n.node HAVING count(*) >= {_KCORE_K}
+)"""
+        )
+    last, prev = f"a{_KCORE_ROUNDS}", f"a{_KCORE_ROUNDS - 1}"
+    return f"""
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+ok AS MATERIALIZED (
+  SELECT l_orderkey FROM op GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND {_BASKET_MAX_ITEMS}
+),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b USING (l_orderkey) JOIN ok USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+eb AS MATERIALIZED (
+  SELECT u AS s, v AS t FROM e UNION ALL SELECT v, u FROM e
+),
+a0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM eb),
+{",".join(stages)}
+SELECT
+  CAST((SELECT count(*) FROM {last}) AS BIGINT) AS n_core_nodes,
+  CAST((SELECT count(*) FROM e
+        JOIN {last} x ON x.node = e.u
+        JOIN {last} y ON y.node = e.v) AS BIGINT) AS n_core_edges,
+  CAST((SELECT count(*) FROM a0) AS BIGINT)
+    - CAST((SELECT count(*) FROM {last}) AS BIGINT) AS n_peeled,
+  (SELECT count(*) FROM {prev}) = (SELECT count(*) FROM {last})
+    AS converged
+"""
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle_sql())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core of the support-filtered co-purchase graph — iterative
+    peeling (drop every node with < k in-core neighbors, recompute,
+    repeat): the densest-substructure screen between q_graph_degree
+    (local counts) and q_graph_components (mere connectivity). A
+    component survives on one bridge edge; a k-core demands EVERY
+    member keep k in-core neighbors — the "actually-cohesive bundle
+    ecosystem" cut, and the classic pre-filter before clique-ish
+    mining. Emits core size, in-core edge count, peeled count, and
+    the convergence flag.
+
+    Bounded-iteration contract (the q_graph_pagerank doctrine): BOTH
+    engines run the same {rounds}-round peel — peeling is monotone,
+    so once stable every extra round is a no-op and the bounded
+    result equals the true fixed point whenever `converged` is true
+    (it is at every fixture SF: 0 / 10 / 2 rounds at sf0.001 / 0.01 /
+    0.1). Spark may exit early on stabilization — semantics
+    identical, never divergent.
+
+    Scale shape: the data-sized work is the ONE support-filter
+    reduction (q_graph_components' edge build); each peel round is
+    one join + one aggregate over the SURVIVING edge frame (shrinking
+    monotonically), with ``localCheckpoint`` truncating lineage per
+    round. All integers — bit-identical across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sz = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
+        .select("l_orderkey")
+    )
+    ok = op.join(sz, "l_orderkey")
+    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("u", "v")
+    )
+    eb = e.selectExpr("u as s", "v as t").unionByName(
+        e.selectExpr("v as s", "u as t")
+    )
+    alive = eb.select(F.col("s").alias("node")).distinct().localCheckpoint()
+    n0 = alive.count()
+    n_prev = n0
+    converged = False
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            eb.join(alive.withColumnRenamed("node", "s"), "s")
+            .join(alive.withColumnRenamed("node", "t"), "t")
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        nxt = (
+            deg.filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("s").alias("node"))
+            .localCheckpoint()
+        )
+        n_now = nxt.count()
+        alive = nxt
+        if n_now == n_prev:
+            converged = True
+            break
+        n_prev = n_now
+    else:
+        # ran the full bound without stabilizing between the LAST two
+        # rounds — mirror the oracle's a{N-1} vs a{N} comparison
+        converged = False
+    core_edges = (
+        e.join(alive.withColumnRenamed("node", "u"), "u")
+        .join(alive.withColumnRenamed("node", "v"), "v")
+        .count()
+    )
+    n_core = alive.count()
+    return spark.createDataFrame(
+        [(n_core, core_edges, n0 - n_core, bool(converged))],
+        "n_core_nodes long, n_core_edges long, n_peeled long,"
+        " converged boolean",
+    )
+
+
+q_graph_kcore.__doc__ = q_graph_kcore.__doc__.format(
+    k=_KCORE_K, rounds=_KCORE_ROUNDS
+)

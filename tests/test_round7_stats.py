@@ -335,3 +335,55 @@ def test_elasticity_recovers_planted_log_slope(spark, tmp_path_factory):
     assert abs(b["elasticity"] - (-2.0)) <= 2e-6
     assert b["r2"] == 1.0
     assert bool(b["elastic"])
+
+
+def test_kcore_keeps_the_clique_peels_the_chain(spark, tmp_path_factory):
+    """Co-purchase graph planted as a K4 clique (every pair co-bought
+    in two orders) plus a 1—5—6 pendant chain: the 3-core is exactly
+    the K4 (4 nodes, 6 edges); the chain peels; converged is True."""
+    out = tmp_path_factory.mktemp("kcore7")
+    k4 = [(u, v) for u in (1, 2, 3, 4) for v in (1, 2, 3, 4) if u < v]
+    edges = k4 + [(1, 5), (5, 6)]
+    rows = []
+    okey = 0
+    for (u, v) in edges:
+        for _ in range(2):  # support >= 2 per edge
+            okey += 1
+            rows += [(okey, u), (okey, v)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        F.lit(1.0).alias("l_quantity"),
+        F.lit(10.0).alias("l_extendedprice"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    r = registry.get("q_graph_kcore").fn(spark, str(out)).collect()[0]
+    assert r["n_core_nodes"] == 4
+    assert r["n_core_edges"] == 6
+    assert r["n_peeled"] == 2
+    assert bool(r["converged"])
+
+
+def test_tukey_flags_only_the_shifted_pairs(spark, tmp_path_factory):
+    """Types 'a' and 'b' share the 10±1 distribution; 'hi' sits at
+    100±1: both (a,hi) and (b,hi) gaps clear the HSD margin, the
+    (a,b) gap (exactly 0) does not."""
+    out = tmp_path_factory.mktemp("tukey7")
+    ts = "2024-03-01 00:00:00"
+    rows = []
+    for i in range(30):
+        rows.append((ts, 1, "a", 10.0 + (i % 3) - 1))
+        rows.append((ts, 2, "b", 10.0 + (i % 3) - 1))
+        rows.append((ts, 3, "hi", 100.0 + (i % 3) - 1))
+    _write_events(spark, out, rows)
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in registry.get("q_agg_tukey").fn(spark, str(out)).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "hi"), ("b", "hi")}
+    assert not bool(got[("a", "b")]["significant"])
+    assert got[("a", "b")]["mean_gap"] == 0.0
+    assert bool(got[("a", "hi")]["significant"])
+    assert bool(got[("b", "hi")]["significant"])
+    assert abs(got[("a", "hi")]["mean_gap"] - 90.0) <= 1e-6

@@ -185,6 +185,10 @@ QUERIES = [
     "q_orders_inventory",
     "q_ts_granger",
     "q_mix_temperature",
+    "q_eval_ndcg",
+    "q_orders_elasticity",
+    "q_agg_tukey",
+    "q_graph_kcore",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
