@@ -5075,3 +5075,140 @@ def q_ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
             next_day="date_add(prev.day, 1)",
         )
     )
+
+
+@query(
+    "q_events_entropy_rate",
+    # q_events_markov's transition counts pushed through the
+    # ln-contract: every ln(p_ij) rounds to 9dp and enters an exact
+    # DECIMAL product with its integer count, so the big sums are
+    # order-free; H terms in nats, one IEEE division per emitted
+    # column.
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY date_trunc('second', ts), event_id
+         ) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+  FROM trans GROUP BY 1
+),
+terms AS (
+  SELECT t.from_type, tot.n_from, t.n,
+    CAST(t.n AS DECIMAL(18,0))
+      * CAST(round(ln(CAST(t.n AS DOUBLE) / tot.n_from), 9)
+             AS DECIMAL(11,9)) AS term
+  FROM trans t JOIN tot USING (from_type)
+),
+st AS (
+  SELECT from_type, max(n_from) AS n_from,
+         CAST(sum(term) AS DOUBLE) AS s
+  FROM terms GROUP BY from_type
+),
+g AS (
+  SELECT CAST(sum(n_from) AS BIGINT) AS n_total,
+         CAST(sum(s_dec) AS DOUBLE) AS s_all,
+         CAST(count(*) AS BIGINT) AS k
+  FROM (SELECT from_type, n_from,
+               CAST(sum(term) AS DECIMAL(38,9)) AS s_dec
+        FROM terms GROUP BY from_type, n_from)
+)
+SELECT st.from_type, st.n_from,
+       round(-st.s / st.n_from, 6) AS h_conditional,
+       round(-g.s_all / g.n_total, 6) AS entropy_rate,
+       round(ln(CAST(g.k AS DOUBLE)), 6) AS h_max,
+       round(1 + (g.s_all / g.n_total) / round(ln(CAST(g.k AS DOUBLE)), 9),
+             6) AS predictability
+FROM st CROSS JOIN g ORDER BY st.from_type
+""",
+)
+def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the behavioral Markov chain — how PREDICTABLE
+    the next event is, in nats: H = −Σ_ij (n_ij/N)·ln(n_ij/n_i),
+    the empirical-frequency-weighted mean of the per-state conditional
+    entropies q_events_markov's matrix implies. Emits per-state
+    H(next|state) (which states are chaotic vs deterministic — bot
+    loops score ~0), the chain-level rate, the ln(k) ceiling, and
+    predictability = 1 − H/ln(k) (0 = coin flips, 1 = clockwork).
+    The scalar that tells a modeling team whether next-action
+    prediction is even worth attempting before anyone trains on the
+    sequences.
+
+    Scale shape: the data-sized work is q_events_markov's per-user
+    lead() pass (one shuffle on user_id) reduced to |types|² integer
+    transition counts; every ln runs on that dimension-sized frame
+    under the ln-contract (9dp round → exact DECIMAL product with the
+    integer count — order-free sums); the rest is arithmetic on ≤ k
+    rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.date_trunc("second", F.col("ts")), "event_id"
+    )
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = trans.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    terms = trans.join(tot, "from_type").select(
+        "from_type",
+        "n_from",
+        (
+            F.col("n").cast("decimal(18,0)")
+            * F.round(
+                F.log(F.col("n").cast("double") / F.col("n_from")), 9
+            ).cast("decimal(11,9)")
+        ).alias("term"),
+    )
+    st = terms.groupBy("from_type").agg(
+        F.max("n_from").alias("n_from"),
+        F.sum("term").cast("double").alias("s"),
+        F.sum("term").cast("decimal(38,9)").alias("s_dec"),
+    )
+    g = F.broadcast(
+        st.agg(
+            F.sum("n_from").cast("long").alias("n_total"),
+            F.sum("s_dec").cast("double").alias("s_all"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    return (
+        st.crossJoin(g)
+        .select(
+            "from_type",
+            "n_from",
+            F.round(-F.col("s") / F.col("n_from"), 6).alias(
+                "h_conditional"
+            ),
+            F.round(-F.col("s_all") / F.col("n_total"), 6).alias(
+                "entropy_rate"
+            ),
+            F.round(F.log(F.col("k").cast("double")), 6).alias("h_max"),
+            F.round(
+                1
+                + (F.col("s_all") / F.col("n_total"))
+                / F.round(F.log(F.col("k").cast("double")), 9),
+                6,
+            ).alias("predictability"),
+        )
+        .orderBy("from_type")
+    )
