@@ -387,3 +387,51 @@ def test_tukey_flags_only_the_shifted_pairs(spark, tmp_path_factory):
     assert bool(got[("a", "hi")]["significant"])
     assert bool(got[("b", "hi")]["significant"])
     assert abs(got[("a", "hi")]["mean_gap"] - 90.0) <= 1e-6
+
+
+def test_entropy_rate_zero_for_clockwork_users(spark, tmp_path_factory):
+    """Every user cycles a->b->a->b deterministically: every
+    conditional entropy is exactly 0, predictability is 1."""
+    out = tmp_path_factory.mktemp("ent7")
+    rows = []
+    for u in (1, 2, 3):
+        for i in range(10):
+            rows.append(
+                (f"2024-03-01 00:{i:02d}:00", u, "a" if i % 2 == 0 else "b",
+                 1.0)
+            )
+    _write_events(spark, out, rows)
+    got = {
+        r["from_type"]: r
+        for r in registry.get("q_events_entropy_rate")
+        .fn(spark, str(out))
+        .collect()
+    }
+    assert set(got) == {"a", "b"}
+    for r in got.values():
+        assert r["h_conditional"] == 0.0
+        assert r["entropy_rate"] == 0.0
+        assert r["predictability"] == 1.0
+
+
+def test_entropy_rate_max_for_coin_flip_users(spark, tmp_path_factory):
+    """A transition table that is exactly uniform over 2 next-states
+    from each of 2 states: entropy rate = ln 2 = h_max, predictability
+    0. Built by giving one user each of the four two-step patterns the
+    right number of times via four users with fixed sequences."""
+    out = tmp_path_factory.mktemp("ent7u")
+    seqs = {1: "aabb", 2: "abba", 3: "baab", 4: "bbaa"}
+    rows = []
+    for u, seq in seqs.items():
+        for i, c in enumerate(seq):
+            rows.append((f"2024-03-01 00:{i:02d}:00", u, c, 1.0))
+    _write_events(spark, out, rows)
+    got = registry.get("q_events_entropy_rate").fn(spark, str(out)).collect()
+    # each user contributes 3 transitions; by construction each of the
+    # four (from, to) cells gets exactly 3 counts -> uniform rows
+    byf = {r["from_type"]: r for r in got}
+    import math
+    for r in byf.values():
+        assert abs(r["h_conditional"] - math.log(2)) <= 2e-6
+        assert abs(r["entropy_rate"] - math.log(2)) <= 2e-6
+        assert abs(r["predictability"]) <= 2e-6
