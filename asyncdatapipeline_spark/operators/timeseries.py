@@ -5212,3 +5212,94 @@ def q_events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type")
     )
+
+
+@query(
+    "q_ts_twa",
+    # Per-(user, type) step function: each reading holds until the next
+    # one (lead on the SAME ordering q_events_markov uses); gaps are
+    # exact integer seconds (floor(epoch) — the round-vs-truncate
+    # gotcha), value·gap products exact DECIMAL, one division per type.
+    oracle="""
+WITH seg AS (
+  SELECT event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t0,
+         CAST(floor(epoch(lead(ts) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY date_trunc('second', ts), event_id
+         ))) AS BIGINT) AS t1
+  FROM events
+),
+g AS (
+  SELECT event_type, value, t1 - t0 AS gap
+  FROM seg WHERE t1 IS NOT NULL AND t1 > t0
+),
+s AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n_segments,
+    CAST(sum(gap) AS BIGINT) AS total_seconds,
+    CAST(sum(CAST(value AS DECIMAL(28,6)) * CAST(gap AS DECIMAL(18,0)))
+         AS DOUBLE) AS swv,
+    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sv
+  FROM g GROUP BY event_type
+)
+SELECT event_type, n_segments, total_seconds,
+       round(swv / total_seconds, 6) AS twa,
+       round(sv / n_segments, 6) AS plain_mean
+FROM s ORDER BY event_type
+""",
+)
+def q_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per event type — the step-function mean
+    (each reading HOLDS until the user's next reading of that type):
+    TWA = Σ value·Δt / ΣΔt. The correct aggregate for
+    irregularly-sampled state metrics — queue depth, account balance,
+    temperature — where the plain mean over-weights chatty periods
+    (a sensor that reports every second during a spike and hourly
+    otherwise drags the naive mean toward the spike; both means are
+    emitted so the bias is visible). q_ts_resample buckets time and
+    q_ts_interpolate fills gaps; TWA is the integral consumers
+    actually want from a step signal.
+
+    Scale shape: ONE lead() window on the per-(user, type) ordering —
+    partitioned by the natural key, never global; segments reduce by
+    ONE partial-aggregated pass of exact sums (integer second gaps ×
+    DECIMAL values); a division per type row. Zero-length segments
+    (same-second repeats) are excluded on BOTH sides — they carry no
+    time mass and their inclusion is undefined order-dependently.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.date_trunc("second", F.col("ts")), "event_id"
+    )
+    seg = e.select(
+        "event_type",
+        "value",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("t0"),
+        F.floor(F.unix_timestamp(F.lead("ts").over(w)))
+        .cast("long")
+        .alias("t1"),
+    )
+    g = seg.filter(
+        F.col("t1").isNotNull() & (F.col("t1") > F.col("t0"))
+    ).select("event_type", "value", (F.col("t1") - F.col("t0")).alias("gap"))
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("gap").cast("long").alias("total_seconds"),
+        F.sum(
+            F.col("value").cast("decimal(28,6)")
+            * F.col("gap").cast("decimal(18,0)")
+        )
+        .cast("double")
+        .alias("swv"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sv"),
+    )
+    return s.select(
+        "event_type",
+        "n_segments",
+        "total_seconds",
+        F.round(F.col("swv") / F.col("total_seconds"), 6).alias("twa"),
+        F.round(F.col("sv") / F.col("n_segments"), 6).alias("plain_mean"),
+    ).orderBy("event_type")

@@ -106,6 +106,10 @@ HEADLINE = [
     "q_agg_kendall",          # contingency-grid quadratic tau-b
     "q_graph_jaccard",        # hot-capped common-neighbor pair mining
     "q_ts_changepoint",       # dist_cumsum prefix + argmax split
+    "q_agg_theil",            # ln-contract decimal products, decomposition
+    "q_ts_granger",           # 14 BIGINT power sums on the day spine
+    "q_skyline",              # spine-reduced Pareto frontier
+    "q_graph_kcore",          # iterative peel: join+agg per round
 ]
 
 

@@ -435,3 +435,20 @@ def test_entropy_rate_max_for_coin_flip_users(spark, tmp_path_factory):
         assert abs(r["h_conditional"] - math.log(2)) <= 2e-6
         assert abs(r["entropy_rate"] - math.log(2)) <= 2e-6
         assert abs(r["predictability"]) <= 2e-6
+
+
+def test_twa_holds_each_reading_until_the_next(spark, tmp_path_factory):
+    """Value 10 held for 100s then 1000 held for 1s: TWA =
+    (10·100 + 1000·1)/101 ≈ 19.80198, while the plain mean of the two
+    closed segments is 505 — the chatty-period bias made visible."""
+    out = tmp_path_factory.mktemp("twa7")
+    rows = [
+        ("2024-03-01 00:00:00", 1, "sensor", 10.0),
+        ("2024-03-01 00:01:40", 1, "sensor", 1000.0),
+        ("2024-03-01 00:01:41", 1, "sensor", 7.0),  # closes segment 2
+    ]
+    _write_events(spark, out, rows)
+    r = registry.get("q_ts_twa").fn(spark, str(out)).collect()[0]
+    assert r["n_segments"] == 2 and r["total_seconds"] == 101
+    assert abs(r["twa"] - 2000 / 101) <= 1e-6
+    assert r["plain_mean"] == 505.0
