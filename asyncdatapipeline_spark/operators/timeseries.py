@@ -5303,3 +5303,168 @@ def q_ts_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("swv") / F.col("total_seconds"), 6).alias("twa"),
         F.round(F.col("sv") / F.col("n_segments"), 6).alias("plain_mean"),
     ).orderBy("event_type")
+
+
+_SHAPLEY_CHANNELS = (("view", 1), ("click", 2), ("signup", 4))
+
+
+def _shapley_spine_rows() -> list:
+    """(channel, S, S|bit, 6·weight) rows for k=3 — the exact Shapley
+    kernel as INTEGER literals: |S|!(k−|S|−1)!/k! over k=3 is 2/6, 1/6,
+    1/6, 2/6 for |S| = 0,1,1,2, so the 6× weights are {2,1,1,2} and
+    every accumulation stays in BIGINT until ONE division by 6."""
+    rows = []
+    for name, bit in _SHAPLEY_CHANNELS:
+        others = [b for _, b in _SHAPLEY_CHANNELS if b != bit]
+        for s in range(4):
+            mask = (others[0] if s & 1 else 0) | (others[1] if s & 2 else 0)
+            size = bin(mask).count("1")
+            w6 = {0: 2, 1: 1, 2: 2}[size]
+            rows.append((name, mask, mask | bit, w6))
+    return rows
+
+
+def _shapley_values_sql() -> str:
+    return ", ".join(
+        f"('{n}', {s}, {sp}, {w})" for n, s, sp, w in _shapley_spine_rows()
+    )
+
+
+@query(
+    "q_events_shapley",
+    # All combinatorics are INTEGER: per-user channel bitmasks, exact
+    # converter counts per mask, coalition values via the bit-subset
+    # join m & S = m, and the Shapley kernel as 6x integer weights —
+    # one IEEE division by 6 per emitted channel. The efficiency
+    # identity (Σφ = v(full) − v(∅)) is asserted in exact integers.
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+    + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+    + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS mask,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+f AS (
+  SELECT mask, CAST(sum(conv) AS BIGINT) AS n_conv
+  FROM u GROUP BY mask
+),
+coal(s) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+v AS (
+  SELECT coal.s, CAST(COALESCE(sum(f.n_conv), 0) AS BIGINT) AS v
+  FROM coal LEFT JOIN f ON (f.mask & coal.s) = f.mask
+  GROUP BY coal.s
+),
+spine(channel, s, sp, w6) AS (VALUES {{values}}),
+phi AS (
+  SELECT spine.channel,
+         CAST(sum(spine.w6 * (vp.v - vs.v)) AS BIGINT) AS phi6
+  FROM spine
+  JOIN v vs ON vs.s = spine.s
+  JOIN v vp ON vp.s = spine.sp
+  GROUP BY spine.channel
+),
+tot AS (
+  SELECT CAST(sum(phi6) AS BIGINT) AS sum6,
+         (SELECT v FROM v WHERE s = 7) AS v_full,
+         (SELECT v FROM v WHERE s = 0) AS v_none
+  FROM phi
+)
+SELECT phi.channel,
+       round(CAST(phi.phi6 AS DOUBLE) / 6, 6) AS shapley_conversions,
+       CASE WHEN tot.sum6 > 0
+            THEN round(CAST(phi.phi6 AS DOUBLE) / tot.sum6, 6)
+            ELSE 0.0 END AS share,
+       tot.sum6 = 6 * (tot.v_full - tot.v_none) AS efficiency_ok
+FROM phi CROSS JOIN tot ORDER BY phi.channel
+""".replace("{values}", _shapley_values_sql()),
+)
+def q_events_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value marketing attribution over the three touch
+    channels (view / click / signup, conversion = purchase): each
+    channel's credit is its average marginal contribution across all
+    orderings of the coalition — the game-theoretic answer to "which
+    channel CAUSED the conversions" that last-touch (q_events_
+    attribution) structurally over-credits the final step with.
+    Coalition value v(S) = converters reachable using only channels in
+    S (per-user channel SET, the standard simplified Shapley
+    attribution game). The efficiency axiom Σφ_c = v(full) − v(∅) is
+    asserted in EXACT integers in-query.
+
+    Scale shape: ONE pass reduces events to per-user (3-bit mask,
+    converted) — partial-agg combinable; everything after lives on the
+    2^k = 8-row mask frame: coalition values via the bit-subset join
+    (m & S = m, 64 candidate pairs), the Shapley kernel as a 12-row
+    LITERAL spine with 6× integer weights (|S|!(k−|S|−1)!/k! denominators
+    cleared), one division by 6 per channel at emit. Adding a channel
+    doubles the dimension frame, never the data pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        (
+            F.max((F.col("event_type") == "view").cast("int"))
+            + 2 * F.max((F.col("event_type") == "click").cast("int"))
+            + 4 * F.max((F.col("event_type") == "signup").cast("int"))
+        ).alias("mask"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "conv"
+        ),
+    )
+    f = u.groupBy("mask").agg(F.sum("conv").cast("long").alias("n_conv"))
+    coal = spark.createDataFrame([(s,) for s in range(8)], "s int")
+    v = (
+        coal.join(
+            F.broadcast(f), (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v"))
+    )
+    spine = spark.createDataFrame(
+        _shapley_spine_rows(), "channel string, s int, sp int, w6 int"
+    )
+    vs = v.select(F.col("s").alias("s_key"), F.col("v").alias("v_s"))
+    vp = v.select(F.col("s").alias("sp_key"), F.col("v").alias("v_sp"))
+    phi = (
+        spine.join(F.broadcast(vs), F.col("s") == F.col("s_key"))
+        .join(F.broadcast(vp), F.col("sp") == F.col("sp_key"))
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("w6") * (F.col("v_sp") - F.col("v_s")))
+            .cast("long")
+            .alias("phi6")
+        )
+    )
+    v_full = v.filter(F.col("s") == 7).select(
+        F.col("v").alias("v_full")
+    )
+    v_none = v.filter(F.col("s") == 0).select(
+        F.col("v").alias("v_none")
+    )
+    tot = F.broadcast(
+        phi.agg(F.sum("phi6").cast("long").alias("sum6"))
+        .crossJoin(v_full)
+        .crossJoin(v_none)
+    )
+    return (
+        phi.crossJoin(tot)
+        .select(
+            "channel",
+            F.round(F.col("phi6").cast("double") / 6, 6).alias(
+                "shapley_conversions"
+            ),
+            F.when(
+                F.col("sum6") > 0,
+                F.round(
+                    F.col("phi6").cast("double") / F.col("sum6"), 6
+                ),
+            )
+            .otherwise(0.0)
+            .alias("share"),
+            (
+                F.col("sum6")
+                == 6 * (F.col("v_full") - F.col("v_none"))
+            ).alias("efficiency_ok"),
+        )
+        .orderBy("channel")
+    )

@@ -452,3 +452,34 @@ def test_twa_holds_each_reading_until_the_next(spark, tmp_path_factory):
     assert r["n_segments"] == 2 and r["total_seconds"] == 101
     assert abs(r["twa"] - 2000 / 101) <= 1e-6
     assert r["plain_mean"] == 505.0
+
+
+def test_shapley_splits_joint_credit_evenly(spark, tmp_path_factory):
+    """10 converters touched only view (view gets all 10); 6 converters
+    touched click+signup jointly (symmetric pair splits 3/3); a
+    non-converter's touches must not move anything; efficiency holds
+    exactly."""
+    out = tmp_path_factory.mktemp("shap7")
+    ts = "2024-03-01 00:00:00"
+    rows = []
+    for u in range(1, 11):
+        rows += [(ts, u, "view", 1.0), (ts, u, "purchase", 1.0)]
+    for u in range(11, 17):
+        rows += [
+            (ts, u, "click", 1.0),
+            (ts, u, "signup", 1.0),
+            (ts, u, "purchase", 1.0),
+        ]
+    rows += [(ts, 99, "view", 1.0), (ts, 99, "click", 1.0)]  # no purchase
+    _write_events(spark, out, rows)
+    got = {
+        r["channel"]: r
+        for r in registry.get("q_events_shapley")
+        .fn(spark, str(out))
+        .collect()
+    }
+    assert got["view"]["shapley_conversions"] == 10.0
+    assert got["click"]["shapley_conversions"] == 3.0
+    assert got["signup"]["shapley_conversions"] == 3.0
+    assert abs(got["view"]["share"] - 10 / 16) <= 5e-7
+    assert all(bool(r["efficiency_ok"]) for r in got.values())
