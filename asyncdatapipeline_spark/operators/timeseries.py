@@ -5468,3 +5468,90 @@ def q_events_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q_ts_clock_mean",
+    # Circular statistics under the trig 9dp-DECIMAL contract
+    # (q_ts_periodogram): each event's clock angle cos/sin rounds to
+    # 9dp and sums exactly, so both engines hand atan2 the IDENTICAL
+    # pair of doubles — the only libm call runs on equal inputs, and
+    # its sub-ulp variation sits far below the 4dp emit.
+    oracle=f"""
+WITH a AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS sec
+  FROM events
+),
+s AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(round(cos({_TWO_PI} * sec / 86400), 9)
+                  AS DECIMAL(10,9))) AS DOUBLE) AS c,
+    CAST(sum(CAST(round(sin({_TWO_PI} * sec / 86400), 9)
+                  AS DECIMAL(10,9))) AS DOUBLE) AS sn,
+    CAST(sum(sec) AS BIGINT) AS ssec
+  FROM a GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n,
+    ((atan2(sn, c) / {_TWO_PI}) * 86400 + 86400) AS raw_sec,
+    sqrt(c * c + sn * sn) / n AS r,
+    CAST(ssec AS DOUBLE) / n AS naive_sec
+  FROM s
+)
+SELECT event_type, n,
+       round((raw_sec - floor(raw_sec / 86400) * 86400) / 3600, 4)
+         AS mean_clock_hour,
+       round(naive_sec / 3600, 4) AS naive_mean_hour,
+       round(r, 6) AS resultant_r,
+       r > 0.5 AS concentrated
+FROM m ORDER BY event_type
+""",
+)
+def q_ts_clock_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular mean time-of-day per event type — the DIRECTIONAL
+    statistics answer to "when does this event typically happen":
+    events at 23:00 and 01:00 average to MIDNIGHT on the clock circle,
+    while the naive mean-of-seconds says NOON (emitted side-by-side so
+    the wraparound bug is visible). The resultant length R ∈ [0,1] is
+    the concentration — R→1 means a sharp daily habit (batch job,
+    cron), R→0 a uniform smear (no scheduling signal); the
+    `concentrated` verdict gates whether a time-of-day feature is
+    worth engineering at all.
+
+    Scale shape: map-only clock angles (integer seconds-of-day →
+    cos/sin under the trig 9dp-DECIMAL contract, q_ts_periodogram's
+    device) folded by ONE partial-aggregated pass into exact per-type
+    sums; atan2/sqrt run per TYPE row on identical inputs in both
+    engines. The mod-86400 at emit is floor-based on both sides (the
+    round-vs-truncate gotcha applies to % on negatives).
+    """
+    e = load_table(spark, sf_dir, "events")
+    two_pi = float(_TWO_PI)
+    sec = F.floor(F.unix_timestamp("ts")).cast("long") % 86400
+    dec9 = "decimal(10,9)"
+    a = e.select("event_type", sec.alias("sec"))
+    ang = F.lit(two_pi) * F.col("sec") / 86400
+    s = a.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.cos(ang), 9).cast(dec9)).cast("double").alias("c"),
+        F.sum(F.round(F.sin(ang), 9).cast(dec9)).cast("double").alias("sn"),
+        F.sum("sec").cast("long").alias("ssec"),
+    )
+    raw_sec = (F.atan2(F.col("sn"), F.col("c")) / two_pi) * 86400 + 86400
+    r = F.sqrt(F.col("c") * F.col("c") + F.col("sn") * F.col("sn")) / F.col(
+        "n"
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(
+            (raw_sec - F.floor(raw_sec / 86400) * 86400) / 3600, 4
+        ).alias("mean_clock_hour"),
+        F.round(F.col("ssec").cast("double") / F.col("n") / 3600, 4).alias(
+            "naive_mean_hour"
+        ),
+        F.round(r, 6).alias("resultant_r"),
+        (r > 0.5).alias("concentrated"),
+    ).orderBy("event_type")

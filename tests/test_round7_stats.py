@@ -483,3 +483,22 @@ def test_shapley_splits_joint_credit_evenly(spark, tmp_path_factory):
     assert got["signup"]["shapley_conversions"] == 3.0
     assert abs(got["view"]["share"] - 10 / 16) <= 5e-7
     assert all(bool(r["efficiency_ok"]) for r in got.values())
+
+
+def test_clock_mean_wraps_midnight(spark, tmp_path_factory):
+    """Events at 23:00 and 01:00: circular mean = 0.0h (midnight) with
+    R = cos(2π/24) ≈ 0.966; the naive mean says 12.0h — the wraparound
+    bug the op exists to fix."""
+    out = tmp_path_factory.mktemp("clock7")
+    rows = []
+    for d in range(1, 6):
+        rows.append((f"2024-03-{d:02d} 23:00:00", 1, "cron", 1.0))
+        rows.append((f"2024-03-{d:02d} 01:00:00", 1, "cron", 1.0))
+    _write_events(spark, out, rows)
+    r = registry.get("q_ts_clock_mean").fn(spark, str(out)).collect()[0]
+    import math
+    assert r["n"] == 10
+    assert r["mean_clock_hour"] in (0.0, 24.0) or r["mean_clock_hour"] < 1e-3
+    assert r["naive_mean_hour"] == 12.0
+    assert abs(r["resultant_r"] - math.cos(2 * math.pi / 24)) <= 1e-6
+    assert bool(r["concentrated"])

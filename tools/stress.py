@@ -189,6 +189,10 @@ QUERIES = [
     "q_orders_elasticity",
     "q_agg_tukey",
     "q_graph_kcore",
+    "q_events_entropy_rate",
+    "q_ts_twa",
+    "q_events_shapley",
+    "q_ts_clock_mean",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
