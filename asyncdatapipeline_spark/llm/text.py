@@ -2451,3 +2451,83 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_eval_ndcg.__doc__ = q_eval_ndcg.__doc__.format(k=_NDCG_K)
+
+
+@query(
+    "q_text_code_detect",
+    # Pure regex/ratio features over the text column, identical
+    # patterns both engines (regexp_count vs len(regexp_extract_all)
+    # compute the same integer); the score is a literal-weighted
+    # integer vote — no floats until the emitted ratios.
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[{}();=\\[\\]<>]')) AS BIGINT)
+      AS n_code_punct,
+    CAST(len(regexp_extract_all(text, '[a-z][A-Z]')) AS BIGINT)
+      AS n_camel,
+    CAST(len(regexp_extract_all(text, '\\b(def|return|import|class|'
+             || 'void|int|function|var|const|if|else|for|while)\\b'))
+         AS BIGINT) AS n_keywords,
+    CAST(len(regexp_extract_all(text, '_[a-z]')) AS BIGINT)
+      AS n_snake
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, n_code_punct, n_camel, n_keywords, n_snake,
+    (CASE WHEN n_code_punct * 50 > n_chars THEN 1 ELSE 0 END)
+    + (CASE WHEN n_camel + n_snake >= 3 THEN 1 ELSE 0 END)
+    + (CASE WHEN n_keywords >= 2 THEN 1 ELSE 0 END) AS votes
+  FROM f
+)
+SELECT doc_id, n_code_punct, n_keywords,
+       CAST(n_camel + n_snake AS BIGINT) AS n_ident_style,
+       round(n_code_punct * 1.0 / n_chars, 6) AS punct_density,
+       votes >= 2 AS is_code
+FROM s ORDER BY doc_id
+""",
+)
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detector — the curation gate q_text_lang and
+    q_text_quality don't cover: pretraining mixes budget code and
+    prose SEPARATELY (and a prose-quality filter mis-scores code as
+    garbage), so the pipeline needs a cheap router. Three integer
+    votes: code-punctuation density ({};()=[]<> above 2% of chars),
+    identifier styling (camelCase + snake_case occurrences), and
+    reserved-keyword hits — is_code on 2 of 3. Deliberately heuristic
+    and fully relational: the same compressed-feature approach as the
+    q_text_lang n-gram router, tuned for the "which bucket does this
+    byte budget belong to" decision, not AST fidelity.
+
+    Scale shape: map-only regex counts over the text column (one scan,
+    whole-stage codegen, no shuffle at all — the output is per-doc);
+    every feature an exact integer, the vote a literal-weighted
+    integer comparison, one IEEE division for the emitted density.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t).cast("long")
+    n_punct = F.regexp_count(t, F.lit(r"[{}();=\[\]<>]")).cast("long")
+    n_camel = F.regexp_count(t, F.lit(r"[a-z][A-Z]")).cast("long")
+    n_kw = F.regexp_count(
+        t,
+        F.lit(
+            r"\b(def|return|import|class|void|int|function|var|const"
+            r"|if|else|for|while)\b"
+        ),
+    ).cast("long")
+    n_snake = F.regexp_count(t, F.lit(r"_[a-z]")).cast("long")
+    votes = (
+        (n_punct * 50 > n_chars).cast("int")
+        + ((n_camel + n_snake) >= 3).cast("int")
+        + (n_kw >= 2).cast("int")
+    )
+    return d.select(
+        "doc_id",
+        n_punct.alias("n_code_punct"),
+        n_kw.alias("n_keywords"),
+        (n_camel + n_snake).cast("long").alias("n_ident_style"),
+        F.round(n_punct * 1.0 / n_chars, 6).alias("punct_density"),
+        (votes >= 2).alias("is_code"),
+    ).orderBy("doc_id")

@@ -1507,3 +1507,89 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_size", "p_retailprice")
         .orderBy("p_size", "p_partkey")
     )
+
+
+@query(
+    "q_orders_vintage",
+    # Month index = year*12 + month — pure integer date-part arithmetic
+    # identical in both engines (no epoch division, no cast-rounding
+    # exposure); every metric is exact integers until the one emitted
+    # ratio per cell.
+    oracle="""
+WITH om AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS m,
+         o_totalprice
+  FROM orders
+),
+fc AS (SELECT o_custkey, min(m) AS cohort FROM om GROUP BY o_custkey),
+cell AS (
+  SELECT fc.cohort, om.m - fc.cohort AS age,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(count(DISTINCT om.o_custkey) AS BIGINT) AS n_active,
+         CAST(sum(CAST(om.o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+           AS revenue
+  FROM om JOIN fc USING (o_custkey)
+  GROUP BY 1, 2
+),
+sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+       FROM fc GROUP BY cohort)
+SELECT CAST(c.cohort AS BIGINT) AS cohort_month,
+       CAST(c.age AS BIGINT) AS age_months,
+       sz.cohort_size, c.n_active, c.n_orders,
+       round(c.n_active * 1.0 / sz.cohort_size, 6) AS active_share,
+       round(c.revenue / c.n_active, 6) AS revenue_per_active
+FROM cell c JOIN sz USING (cohort)
+ORDER BY cohort_month, age_months
+""",
+)
+def q_orders_vintage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vintage (cohort × age) analysis of ORDER behavior: customers
+    cohorted by first-order month, each later month measured as
+    activity at age = months-since — the triangle behind "are newer
+    vintages better" (lending, subscriptions, marketplaces all read
+    this table). q_retention tracks event-level user return on a week
+    grid; this is the ORDER-book vintage matrix with per-cell revenue
+    — the finance-facing sibling.
+
+    Scale shape: one min-aggregation per customer (partial-agg
+    combinable integer month index), one broadcast-joinable cohort
+    frame (|customers| rows but only the two integer columns), one
+    grouped pass to the (cohort, age) cell frame — dimension-sized
+    (months²/2). Month index = year·12+month: pure integer date-part
+    arithmetic, no epoch-division cast exposure.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+    om = o.select("o_custkey", m, "o_totalprice")
+    fc = om.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    cell = (
+        om.join(fc, "o_custkey")
+        .groupBy("cohort", (F.col("m") - F.col("cohort")).alias("age"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_active"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    sz = fc.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        cell.join(sz, "cohort")
+        .select(
+            F.col("cohort").cast("long").alias("cohort_month"),
+            F.col("age").cast("long").alias("age_months"),
+            "cohort_size",
+            "n_active",
+            "n_orders",
+            F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 6)
+            .alias("active_share"),
+            F.round(F.col("revenue") / F.col("n_active"), 6).alias(
+                "revenue_per_active"
+            ),
+        )
+        .orderBy("cohort_month", "age_months")
+    )

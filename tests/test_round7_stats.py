@@ -502,3 +502,64 @@ def test_clock_mean_wraps_midnight(spark, tmp_path_factory):
     assert r["naive_mean_hour"] == 12.0
     assert abs(r["resultant_r"] - math.cos(2 * math.pi / 24)) <= 1e-6
     assert bool(r["concentrated"])
+
+
+def test_code_detect_routes_code_and_prose(spark, tmp_path_factory):
+    code = (
+        "def main(): import os; return os.path.join(a, b) "
+        "for i in range(10): if x_val == y_val: printValue(myVar)"
+    )
+    prose = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the quiet meadow toward the old farmhouse"
+    )
+    out = tmp_path_factory.mktemp("code7")
+    spark.createDataFrame(
+        [(1, code, "en", "s", len(code)), (2, prose, "en", "s", len(prose))],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in registry.get("q_text_code_detect")
+        .fn(spark, str(out))
+        .collect()
+    }
+    assert bool(got[1]["is_code"]) and not bool(got[2]["is_code"])
+    assert got[2]["n_code_punct"] == 0 and got[2]["n_keywords"] == 0
+
+
+def test_vintage_triangle_counts(spark, tmp_path_factory):
+    """Customer 1 orders in Jan and Mar (cohort Jan: ages 0 and 2),
+    customer 2 only in Mar (cohort Mar: age 0): three cells with exact
+    shares; revenue_per_active divides by ACTIVE, not cohort size."""
+    out = tmp_path_factory.mktemp("vin7")
+    rows = [
+        (1, 1, "2024-01-10 00:00:00", 100.0),
+        (2, 1, "2024-03-05 00:00:00", 50.0),
+        (3, 2, "2024-03-20 00:00:00", 70.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, od string, o_totalprice double",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("od").cast("timestamp").alias("o_orderdate"),
+        "o_totalprice",
+        F.lit("O").alias("o_orderstatus"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    got = {
+        (r["cohort_month"], r["age_months"]): r
+        for r in registry.get("q_orders_vintage")
+        .fn(spark, str(out))
+        .collect()
+    }
+    jan = 2024 * 12 + 1
+    mar = 2024 * 12 + 3
+    assert set(got) == {(jan, 0), (jan, 2), (mar, 0)}
+    assert got[(jan, 0)]["active_share"] == 1.0
+    assert got[(jan, 2)]["n_active"] == 1
+    assert got[(jan, 2)]["revenue_per_active"] == 50.0
+    assert got[(mar, 0)]["cohort_size"] == 1
