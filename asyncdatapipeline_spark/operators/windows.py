@@ -1593,3 +1593,123 @@ def q_orders_vintage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+@query(
+    "q_orders_pvm",
+    # Period boundary = the exact integer epoch midpoint (q_split_time
+    # device); per-cell sums exact DECIMAL; the three effects and the
+    # additivity boolean are identical IEEE chains per priority row.
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor((min(epoch(o_orderdate))
+                     + max(epoch(o_orderdate))) / 2) AS BIGINT) AS mid
+  FROM orders
+),
+c AS (
+  SELECT o_orderpriority AS pri,
+    CASE WHEN CAST(floor(epoch(o_orderdate)) AS BIGINT) <= b.mid
+         THEN 0 ELSE 1 END AS period,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS rev
+  FROM orders CROSS JOIN b GROUP BY 1, 2
+),
+p AS (
+  SELECT pri,
+    CAST(COALESCE(max(CASE WHEN period = 0 THEN n END), 0) AS BIGINT)
+      AS n0,
+    CAST(COALESCE(max(CASE WHEN period = 1 THEN n END), 0) AS BIGINT)
+      AS n1,
+    COALESCE(max(CASE WHEN period = 0 THEN rev END), 0.0) AS r0,
+    COALESCE(max(CASE WHEN period = 1 THEN rev END), 0.0) AS r1
+  FROM c GROUP BY pri
+),
+d AS (
+  SELECT pri, n0, n1, r0, r1,
+    CASE WHEN n0 > 0 THEN r0 / n0 ELSE 0.0 END AS a0,
+    CASE WHEN n1 > 0 THEN r1 / n1 ELSE 0.0 END AS a1
+  FROM p
+)
+SELECT pri AS o_orderpriority, n0, n1,
+       round(r1 - r0, 6) AS gmv_delta,
+       round((n1 - n0) * a0, 6) AS volume_effect,
+       round(n0 * (a1 - a0), 6) AS price_effect,
+       round((n1 - n0) * (a1 - a0), 6) AS mix_effect,
+       CASE WHEN n0 > 0 AND n1 > 0
+            THEN abs((r1 - r0) - ((n1 - n0) * a0 + n0 * (a1 - a0)
+                                  + (n1 - n0) * (a1 - a0))) <= 0.000001
+            ELSE false END AS additivity_ok
+FROM d ORDER BY o_orderpriority
+""",
+)
+def q_orders_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix decomposition of GMV growth per order priority
+    — the FP&A bridge chart: ΔGMV splits EXACTLY into volume effect
+    (Δn·avg₀), price effect (n₀·Δavg), and the interaction term
+    (Δn·Δavg), comparing the first and second halves of the order
+    history (q_split_time's exact epoch-midpoint boundary). The
+    additivity identity is asserted in-query — the property that makes
+    the bridge a decomposition instead of three disconnected numbers.
+    The "WHY did revenue move" operator that plain period-over-period
+    deltas (q_win_momentum) cannot answer.
+
+    Scale shape: ONE partial-aggregated pass to the (priority, period)
+    cells — the period flag is a map-side comparison against a 1-row
+    broadcast midpoint; the pivot to per-priority columns, the three
+    effects, and the identity check all run on the |priorities|-row
+    frame. Exact DECIMAL revenue sums; one IEEE chain per emitted
+    column.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ep = F.floor(F.unix_timestamp("o_orderdate")).cast("long")
+    b = F.broadcast(
+        o.agg(
+            F.floor((F.min(ep) + F.max(ep)) / 2).cast("long").alias("mid")
+        )
+    )
+    c = (
+        o.crossJoin(b)
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.when(ep <= F.col("mid"), 0).otherwise(1).alias("period"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    p = c.groupBy("pri").agg(
+        F.coalesce(F.max(F.when(F.col("period") == 0, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n0"),
+        F.coalesce(F.max(F.when(F.col("period") == 1, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n1"),
+        F.coalesce(
+            F.max(F.when(F.col("period") == 0, F.col("rev"))), F.lit(0.0)
+        ).alias("r0"),
+        F.coalesce(
+            F.max(F.when(F.col("period") == 1, F.col("rev"))), F.lit(0.0)
+        ).alias("r1"),
+    )
+    a0 = F.when(F.col("n0") > 0, F.col("r0") / F.col("n0")).otherwise(0.0)
+    a1 = F.when(F.col("n1") > 0, F.col("r1") / F.col("n1")).otherwise(0.0)
+    dn = F.col("n1") - F.col("n0")
+    recon = dn * a0 + F.col("n0") * (a1 - a0) + dn * (a1 - a0)
+    return p.select(
+        F.col("pri").alias("o_orderpriority"),
+        "n0",
+        "n1",
+        F.round(F.col("r1") - F.col("r0"), 6).alias("gmv_delta"),
+        F.round(dn * a0, 6).alias("volume_effect"),
+        F.round(F.col("n0") * (a1 - a0), 6).alias("price_effect"),
+        F.round(dn * (a1 - a0), 6).alias("mix_effect"),
+        F.when(
+            (F.col("n0") > 0) & (F.col("n1") > 0),
+            F.abs((F.col("r1") - F.col("r0")) - recon) <= 0.000001,
+        )
+        .otherwise(F.lit(False))
+        .alias("additivity_ok"),
+    ).orderBy("o_orderpriority")

@@ -563,3 +563,35 @@ def test_vintage_triangle_counts(spark, tmp_path_factory):
     assert got[(jan, 2)]["n_active"] == 1
     assert got[(jan, 2)]["revenue_per_active"] == 50.0
     assert got[(mar, 0)]["cohort_size"] == 1
+
+
+def test_pvm_bridge_is_additive_on_planted_shift(spark, tmp_path_factory):
+    """Period 1: 2 orders at 100. Period 2: 3 orders at 120. ΔGMV=160
+    decomposes exactly: volume (1·100=100) + price (2·20=40) + mix
+    (1·20=20)."""
+    out = tmp_path_factory.mktemp("pvm7")
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 100.0),
+        (2, 2, "2024-01-02 00:00:00", 100.0),
+        (3, 3, "2024-12-01 00:00:00", 120.0),
+        (4, 4, "2024-12-02 00:00:00", 120.0),
+        (5, 5, "2024-12-03 00:00:00", 120.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, od string, o_totalprice double",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("od").cast("timestamp").alias("o_orderdate"),
+        "o_totalprice",
+        F.lit("O").alias("o_orderstatus"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    r = registry.get("q_orders_pvm").fn(spark, str(out)).collect()[0]
+    assert (r["n0"], r["n1"]) == (2, 3)
+    assert r["gmv_delta"] == 160.0
+    assert r["volume_effect"] == 100.0
+    assert r["price_effect"] == 40.0
+    assert r["mix_effect"] == 20.0
+    assert bool(r["additivity_ok"])

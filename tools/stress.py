@@ -193,6 +193,9 @@ QUERIES = [
     "q_ts_twa",
     "q_events_shapley",
     "q_ts_clock_mean",
+    "q_text_code_detect",
+    "q_orders_vintage",
+    "q_orders_pvm",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
