@@ -3689,3 +3689,78 @@ def q_agg_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hsd, 6).alias("hsd_margin"),
         (gap > hsd).alias("significant"),
     ).orderBy("type_a", "type_b")
+
+
+_QQ_GRID = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+@query(
+    "q_agg_qq",
+    # Exact linear-interpolation percentiles (the q_agg_quantile
+    # contract: Spark `percentile` == DuckDB quantile_cont) evaluated
+    # on the shared 9-point grid; diff/ratio one IEEE chain per row.
+    oracle=f"""
+WITH a AS (
+  SELECT quantile_cont(value, [{", ".join(str(q) for q in _QQ_GRID)}])
+    AS qs
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT quantile_cont(value, [{", ".join(str(q) for q in _QQ_GRID)}])
+    AS qs
+  FROM events WHERE event_type = 'view'
+),
+g AS (SELECT unnest(generate_series(1, {len(_QQ_GRID)})) AS i)
+SELECT g.i / 10.0 AS quantile,
+       round(a.qs[g.i], 6) AS purchase_q,
+       round(b.qs[g.i], 6) AS view_q,
+       round(a.qs[g.i] - b.qs[g.i], 6) AS qq_gap,
+       round(a.qs[g.i] / b.qs[g.i], 6) AS qq_ratio
+FROM g CROSS JOIN a CROSS JOIN b ORDER BY quantile
+""",
+)
+def q_agg_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile table between the purchase and view value
+    distributions — the DIAGNOSTIC the scalar two-sample tests
+    (q_agg_ks: max ECDF gap; q_agg_mannwhitney: one effect size)
+    compress away: nine matched exact percentiles side by side show
+    WHERE the distributions diverge (a tail-only gap and a uniform
+    shift look identical to KS's single number). The table behind
+    every QQ plot.
+
+    Scale shape: TWO grouped exact-percentile aggregates (the
+    q_agg_quantile linear-interpolation contract), each computing the
+    whole 9-point grid in ONE pass via percentile(value, array(...));
+    the grid join is 9×9 dimension rows. The extreme-cardinality
+    swap is the same one q_agg_quantile names: percentile_approx /
+    KLL grids (q_agg_kll), same report shape.
+    """
+    e = load_table(spark, sf_dir, "events")
+    grid = F.array(*[F.lit(float(q)) for q in _QQ_GRID])
+
+    def side(tp: str, alias: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == tp)
+            .agg(F.percentile("value", grid).alias("qs"))
+            .select(
+                F.posexplode("qs").alias("i", alias)
+            )
+        )
+
+    a = side("purchase", "purchase_q")
+    b = side("view", "view_q")
+    return (
+        a.join(b, "i")
+        .select(
+            ((F.col("i") + 1) / 10.0).alias("quantile"),
+            F.round("purchase_q", 6).alias("purchase_q"),
+            F.round("view_q", 6).alias("view_q"),
+            F.round(F.col("purchase_q") - F.col("view_q"), 6).alias(
+                "qq_gap"
+            ),
+            F.round(F.col("purchase_q") / F.col("view_q"), 6).alias(
+                "qq_ratio"
+            ),
+        )
+        .orderBy("quantile")
+    )

@@ -792,3 +792,82 @@ def q_profile_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_distinct") * 1.0 / F.col("n_rows"), 6),
         ).alias("uniqueness"),
     ).orderBy("candidate")
+
+
+@query(
+    "q_dq_freshness",
+    # Integer epoch-second maxima per feed (floor(epoch) — the cast
+    # gotcha), the reference clock = max across feeds, lag one exact
+    # integer subtraction; the staleness gate a literal.
+    oracle="""
+WITH f AS (
+  SELECT 'events' AS feed, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(floor(epoch(max(ts))) AS BIGINT) AS max_epoch
+  FROM events
+  UNION ALL
+  SELECT 'lineitem', CAST(count(*) AS BIGINT),
+         CAST(floor(epoch(max(l_shipdate))) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders', CAST(count(*) AS BIGINT),
+         CAST(floor(epoch(max(o_orderdate))) AS BIGINT)
+  FROM orders
+),
+r AS (SELECT max(max_epoch) AS clock FROM f)
+SELECT f.feed, f.n_rows, f.max_epoch,
+       CAST(r.clock - f.max_epoch AS BIGINT) AS lag_seconds,
+       round((r.clock - f.max_epoch) / 3600.0, 6) AS lag_hours,
+       r.clock - f.max_epoch > 86400 AS stale_24h
+FROM f CROSS JOIN r ORDER BY f.feed
+""",
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-feed freshness report — the first page of every data-SLA
+    dashboard: each time-bearing feed's high-water mark against the
+    newest mark ANYWHERE (the only clock a batch system can trust —
+    wall-clock now() would make the check non-reproducible and is
+    banned engine-wide), with the 24h staleness gate. q_dq_report
+    checks VALUES inside one table; this checks ARRIVAL across tables
+    — the lag that silently turns every downstream join into a
+    partial-data lie (q_events_outage finds gaps inside one stream;
+    this finds a whole feed falling behind).
+
+    Scale shape: one max+count aggregate per feed — each a map-side
+    partial over ONE column (scan pruned to it), unioned into a
+    3-row frame; the reference clock is a 1-row cross join. The
+    cheapest possible pass over each table.
+    """
+    feeds = (
+        ("events", "events", "ts"),
+        ("lineitem", "lineitem", "l_shipdate"),
+        ("orders", "orders", "o_orderdate"),
+    )
+    frames = []
+    for feed, table, col in feeds:
+        t = load_table(spark, sf_dir, table)
+        frames.append(
+            t.agg(
+                F.lit(feed).alias("feed"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.floor(F.unix_timestamp(F.max(col)))
+                .cast("long")
+                .alias("max_epoch"),
+            )
+        )
+    f = frames[0]
+    for fr in frames[1:]:
+        f = f.unionByName(fr)
+    r = F.broadcast(f.agg(F.max("max_epoch").alias("clock")))
+    lag = F.col("clock") - F.col("max_epoch")
+    return (
+        f.crossJoin(r)
+        .select(
+            "feed",
+            "n_rows",
+            "max_epoch",
+            lag.cast("long").alias("lag_seconds"),
+            F.round(lag / 3600.0, 6).alias("lag_hours"),
+            (lag > 86400).alias("stale_24h"),
+        )
+        .orderBy("feed")
+    )

@@ -595,3 +595,53 @@ def test_pvm_bridge_is_additive_on_planted_shift(spark, tmp_path_factory):
     assert r["price_effect"] == 40.0
     assert r["mix_effect"] == 20.0
     assert bool(r["additivity_ok"])
+
+
+def test_qq_table_on_planted_uniform_shift(spark, tmp_path_factory):
+    """purchase = view + 100 pointwise (values 1..100 vs 101..200):
+    every matched quantile gap is exactly 100."""
+    out = tmp_path_factory.mktemp("qq7")
+    rows = []
+    for i in range(1, 101):
+        rows.append(("2024-03-01 00:00:00", 1, "view", float(i)))
+        rows.append(("2024-03-01 00:00:00", 1, "purchase", float(i + 100)))
+    _write_events(spark, out, rows)
+    got = registry.get("q_agg_qq").fn(spark, str(out)).collect()
+    assert len(got) == 9
+    for r in got:
+        assert r["qq_gap"] == 100.0
+
+
+def test_freshness_flags_the_lagging_feed(spark, tmp_path_factory):
+    """events high-water 2024-03-10, orders 2024-03-01 (9 days stale),
+    lineitem ships same day as the clock: orders flagged, exact lag."""
+    out = tmp_path_factory.mktemp("fresh7")
+    _write_events(spark, out, [("2024-03-10 00:00:00", 1, "view", 1.0)])
+    spark.createDataFrame(
+        [(1, 1, "2024-03-01 00:00:00", 10.0)],
+        "o_orderkey long, o_custkey long, od string, o_totalprice double",
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.col("od").cast("timestamp").alias("o_orderdate"),
+        "o_totalprice",
+        F.lit("O").alias("o_orderstatus"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "2024-03-10 00:00:00")], "l_orderkey long, sd string"
+    ).select(
+        "l_orderkey",
+        F.col("sd").cast("timestamp").alias("l_shipdate"),
+        F.lit(1.0).alias("l_quantity"),
+        F.lit(1.0).alias("l_extendedprice"),
+        F.lit(0.0).alias("l_discount"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    got = {
+        r["feed"]: r
+        for r in registry.get("q_dq_freshness").fn(spark, str(out)).collect()
+    }
+    assert got["events"]["lag_seconds"] == 0
+    assert got["lineitem"]["lag_seconds"] == 0
+    assert got["orders"]["lag_seconds"] == 9 * 86400
+    assert bool(got["orders"]["stale_24h"])
+    assert not bool(got["events"]["stale_24h"])
