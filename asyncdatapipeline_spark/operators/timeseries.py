@@ -5555,3 +5555,120 @@ def q_ts_clock_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r, 6).alias("resultant_r"),
         (r > 0.5).alias("concentrated"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_ts_control_chart",
+    # XmR on the dense daily spine: counts and moving ranges are exact
+    # integers (lag on the |days| frame), the 2.66/3.267 XmR constants
+    # are literals, limits and verdicts identical IEEE chains.
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM b
+),
+x AS (
+  SELECT s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS c,
+         abs(CAST(COALESCE(d.c, 0) AS BIGINT)
+             - lag(CAST(COALESCE(d.c, 0) AS BIGINT))
+               OVER (ORDER BY s.day)) AS mr
+  FROM spine s LEFT JOIN d ON d.day = s.day
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(mr) AS BIGINT) AS smr,
+         CAST(count(mr) AS BIGINT) AS nmr
+  FROM x
+),
+lim AS (
+  SELECT n_days,
+    CAST(sc AS DOUBLE) / n_days AS center,
+    CAST(sc AS DOUBLE) / n_days
+      + 2.66 * (CAST(smr AS DOUBLE) / nmr) AS ucl,
+    CAST(sc AS DOUBLE) / n_days
+      - 2.66 * (CAST(smr AS DOUBLE) / nmr) AS lcl,
+    3.267 * (CAST(smr AS DOUBLE) / nmr) AS mr_ucl
+  FROM m
+)
+SELECT lim.n_days,
+       round(lim.center, 6) AS center,
+       round(lim.lcl, 6) AS lcl,
+       round(lim.ucl, 6) AS ucl,
+       round(lim.mr_ucl, 6) AS mr_ucl,
+       CAST((SELECT count(*) FROM x CROSS JOIN lim l2
+             WHERE x.c > l2.ucl OR x.c < l2.lcl) AS BIGINT)
+         AS n_out_of_control,
+       CAST((SELECT count(*) FROM x CROSS JOIN lim l2
+             WHERE x.mr IS NOT NULL AND x.mr > l2.mr_ucl) AS BIGINT)
+         AS n_range_breaks
+FROM lim
+""",
+)
+def q_ts_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals & moving-range) control chart over daily event
+    volume — the SPC answer to "is this variation NORMAL": natural
+    process limits at mean ± 2.66·mR̄ (and the range chart's 3.267·mR̄
+    ceiling), plus counts of limit breaks. Where q_ts_cusum asks "did
+    the level drift" and q_anomaly flags z-score outliers against a
+    global σ, the XmR chart derives its limits from SHORT-TERM
+    (day-over-day) variation — the Wheeler doctrine that makes it
+    robust to the very trends and shifts it is supposed to detect.
+
+    Scale shape: one pass to daily counts, dense spine (zero days are
+    REAL process observations — skipping them hides dead days from
+    the limits), ONE lag on the |days|-sized frame, one aggregate to
+    the limit row, and two dimension-sized verdict counts. Constants
+    2.66 = 3/d₂(2) and 3.267 = D₄(2) are literals.
+    """
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("cc_events")
+    return spark.sql(
+        """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM cc_events GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+spine AS (
+  SELECT explode(sequence(d0, d1, INTERVAL 1 DAY)) AS day FROM b
+),
+x AS (
+  SELECT s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS c,
+         abs(CAST(COALESCE(d.c, 0) AS BIGINT)
+             - lag(CAST(COALESCE(d.c, 0) AS BIGINT))
+               OVER (PARTITION BY 1 ORDER BY s.day)) AS mr
+  FROM spine s LEFT JOIN d ON d.day = s.day
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(mr) AS BIGINT) AS smr,
+         CAST(count(mr) AS BIGINT) AS nmr
+  FROM x
+),
+lim AS (
+  SELECT n_days,
+    CAST(sc AS DOUBLE) / n_days AS center,
+    CAST(sc AS DOUBLE) / n_days
+      + 2.66 * (CAST(smr AS DOUBLE) / nmr) AS ucl,
+    CAST(sc AS DOUBLE) / n_days
+      - 2.66 * (CAST(smr AS DOUBLE) / nmr) AS lcl,
+    3.267 * (CAST(smr AS DOUBLE) / nmr) AS mr_ucl
+  FROM m
+)
+SELECT lim.n_days,
+       round(lim.center, 6) AS center,
+       round(lim.lcl, 6) AS lcl,
+       round(lim.ucl, 6) AS ucl,
+       round(lim.mr_ucl, 6) AS mr_ucl,
+       (SELECT CAST(count(*) AS BIGINT) FROM x CROSS JOIN lim l2
+        WHERE x.c > l2.ucl OR x.c < l2.lcl) AS n_out_of_control,
+       (SELECT CAST(count(*) AS BIGINT) FROM x CROSS JOIN lim l2
+        WHERE x.mr IS NOT NULL AND x.mr > l2.mr_ucl) AS n_range_breaks
+FROM lim
+"""
+    )

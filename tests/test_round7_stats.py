@@ -645,3 +645,24 @@ def test_freshness_flags_the_lagging_feed(spark, tmp_path_factory):
     assert got["orders"]["lag_seconds"] == 9 * 86400
     assert bool(got["orders"]["stale_24h"])
     assert not bool(got["events"]["stale_24h"])
+
+
+def test_control_chart_flags_the_spike_day(spark, tmp_path_factory):
+    """Twenty quiet days of 10 events around one 1000-event spike:
+    center = 1200/21, mR̄ = (990+990)/20 = 99, UCL ≈ 320.5 — exactly
+    one individuals break (the spike) and two range breaks (the jump
+    up and the jump back down)."""
+    out = tmp_path_factory.mktemp("cc7")
+    rows = []
+    for d in range(21):
+        day = f"2024-03-{d + 1:02d}"
+        n = 1000 if d == 10 else 10
+        for i in range(n):
+            rows.append((f"{day} 01:00:00", 1, "view", 1.0))
+    _write_events(spark, out, rows)
+    r = registry.get("q_ts_control_chart").fn(spark, str(out)).collect()[0]
+    assert r["n_days"] == 21
+    assert abs(r["center"] - 1200 / 21) <= 1e-6
+    assert abs(r["ucl"] - (1200 / 21 + 2.66 * 99)) <= 1e-6
+    assert r["n_out_of_control"] == 1
+    assert r["n_range_breaks"] == 2

@@ -196,6 +196,9 @@ QUERIES = [
     "q_text_code_detect",
     "q_orders_vintage",
     "q_orders_pvm",
+    "q_agg_qq",
+    "q_dq_freshness",
+    "q_ts_control_chart",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
