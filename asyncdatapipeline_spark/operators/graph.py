@@ -825,3 +825,177 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_graph_kcore.__doc__ = q_graph_kcore.__doc__.format(
     k=_KCORE_K, rounds=_KCORE_ROUNDS
 )
+
+
+@query(
+    "q_graph_modularity",
+    # The q_graph_components fixpoint (recursive reachability, min
+    # label) extended one step: per-community internal-edge and
+    # degree-sum INTEGERS feed Newman's Q = Σ_c [m_c/m − (d_c/2m)²];
+    # per-community terms are one IEEE chain each and the Q total is
+    # 9dp-DECIMAL armored against merge order.
+    oracle=f"""
+WITH RECURSIVE
+op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sz AS (
+  SELECT l_orderkey FROM op GROUP BY l_orderkey
+  HAVING count(*) BETWEEN 2 AND {_BASKET_MAX_ITEMS}
+),
+ok AS (SELECT op.l_orderkey, op.l_partkey FROM op JOIN sz USING (l_orderkey)),
+p AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM ok a JOIN ok b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM p UNION SELECT v, u FROM p
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+),
+comp AS MATERIALIZED (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+  FROM edges GROUP BY src
+),
+cstat AS (
+  SELECT c.cid,
+    CAST(count(*) AS BIGINT) AS n_nodes,
+    CAST(sum(deg.d) AS BIGINT) AS d_sum
+  FROM comp c JOIN deg USING (node) GROUP BY c.cid
+),
+cint AS (
+  SELECT ca.cid, CAST(count(*) AS BIGINT) AS m_int
+  FROM p
+  JOIN comp ca ON ca.node = p.u
+  JOIN comp cb ON cb.node = p.v AND cb.cid = ca.cid
+  GROUP BY ca.cid
+),
+terms AS (
+  SELECT cs.cid, cs.n_nodes,
+    CAST(COALESCE(ci.m_int, 0) AS BIGINT) AS m_int, cs.d_sum,
+    CAST(COALESCE(ci.m_int, 0) AS DOUBLE) / mm.m
+      - (CAST(cs.d_sum AS DOUBLE) / (2 * mm.m))
+        * (CAST(cs.d_sum AS DOUBLE) / (2 * mm.m)) AS term
+  FROM cstat cs LEFT JOIN cint ci USING (cid) CROSS JOIN mm
+),
+q AS (
+  SELECT CAST(sum(CAST(round(term, 9) AS DECIMAL(18,9))) AS DOUBLE)
+    AS modularity
+  FROM terms
+)
+SELECT t.cid AS component_id, t.n_nodes, t.m_int AS internal_edges,
+       t.d_sum AS degree_sum,
+       round(t.term, 6) AS q_contribution,
+       round(q.modularity, 6) AS modularity
+FROM terms t CROSS JOIN q
+ORDER BY t.n_nodes DESC, component_id
+""",
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the co-purchase component partition — the
+    QUALITY score for the communities q_graph_components finds:
+    Q = Σ_c [m_c/m − (d_c/2m)²] compares each community's internal
+    edge share against the share a degree-preserving random rewiring
+    would give it (Q ≈ 0: the "communities" are connectivity
+    accidents; Q ≳ 0.3: real assortative structure — THE number a
+    segmentation claim must clear before anyone ships it). Components
+    answer "which nodes hang together"; modularity answers "does that
+    hanging-together mean anything".
+
+    Scale shape: the same one-shot edge build + bounded min-label
+    iteration as q_graph_components (localCheckpoint per round); all
+    modularity inputs are INTEGER aggregates on the labeled node/edge
+    frames (two hash joins of edges against the label map); per-
+    community terms are one IEEE chain each, and the Q total is a
+    9dp-DECIMAL armored sum over the |communities|-row frame.
+    """
+    from asyncdatapipeline_spark.llm.dedup import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sz = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
+        .select("l_orderkey")
+    )
+    ok = op.join(sz, "l_orderkey")
+    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
+    p = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("u", "v")
+    )
+    cc = connected_components(
+        p.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
+    ).select(F.col("doc_id").alias("node"), F.col("cluster_id").alias("cid"))
+    edges = p.selectExpr("u as src", "v as dst").unionByName(
+        p.selectExpr("v as src", "u as dst")
+    )
+    m = F.broadcast(p.agg(F.count(F.lit(1)).cast("long").alias("m")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    cstat = (
+        cc.join(deg, "node")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("d_sum"),
+        )
+    )
+    ca = cc.select(F.col("node").alias("u"), F.col("cid").alias("cid_a"))
+    cb = cc.select(F.col("node").alias("v"), F.col("cid").alias("cid_b"))
+    cint = (
+        p.join(ca, "u")
+        .join(cb, "v")
+        .filter(F.col("cid_a") == F.col("cid_b"))
+        .groupBy(F.col("cid_a").alias("cid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m_int"))
+    )
+    md = F.col("m").cast("double")
+    term = (
+        F.col("m_int").cast("double") / md
+        - (F.col("d_sum").cast("double") / (2 * md))
+        * (F.col("d_sum").cast("double") / (2 * md))
+    )
+    terms = (
+        cstat.join(cint, "cid", "left")
+        .select(
+            "cid",
+            "n_nodes",
+            F.coalesce("m_int", F.lit(0)).cast("long").alias("m_int"),
+            "d_sum",
+        )
+        .crossJoin(m)
+        .withColumn("term", term)
+    )
+    q = F.broadcast(
+        terms.agg(
+            F.sum(F.round(F.col("term"), 9).cast("decimal(18,9)"))
+            .cast("double")
+            .alias("modularity")
+        )
+    )
+    return (
+        terms.crossJoin(q)
+        .select(
+            F.col("cid").alias("component_id"),
+            "n_nodes",
+            F.col("m_int").alias("internal_edges"),
+            F.col("d_sum").alias("degree_sum"),
+            F.round("term", 6).alias("q_contribution"),
+            F.round("modularity", 6).alias("modularity"),
+        )
+        .orderBy(F.col("n_nodes").desc(), "component_id")
+    )

@@ -666,3 +666,34 @@ def test_control_chart_flags_the_spike_day(spark, tmp_path_factory):
     assert abs(r["ucl"] - (1200 / 21 + 2.66 * 99)) <= 1e-6
     assert r["n_out_of_control"] == 1
     assert r["n_range_breaks"] == 2
+
+
+def test_modularity_half_for_two_clean_triangles(spark, tmp_path_factory):
+    """Two disjoint co-purchase triangles: each community holds half
+    the edges with half the degree mass, so Q = 2·(3/6 − (6/12)²) =
+    0.5 — the textbook two-clique value."""
+    out = tmp_path_factory.mktemp("mod7")
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(11, 12), (12, 13), (11, 13)]
+    rows = []
+    okey = 0
+    for (u, v) in tri1 + tri2:
+        for _ in range(2):  # support >= 2
+            okey += 1
+            rows += [(okey, u), (okey, v)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        F.lit(1.0).alias("l_quantity"),
+        F.lit(10.0).alias("l_extendedprice"),
+    ).write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+    got = registry.get("q_graph_modularity").fn(spark, str(out)).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r["n_nodes"] == 3
+        assert r["internal_edges"] == 3
+        assert r["degree_sum"] == 6
+        assert r["q_contribution"] == 0.25
+        assert r["modularity"] == 0.5

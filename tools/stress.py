@@ -199,6 +199,7 @@ QUERIES = [
     "q_agg_qq",
     "q_dq_freshness",
     "q_ts_control_chart",
+    "q_graph_modularity",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
