@@ -3764,3 +3764,163 @@ def q_agg_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quantile")
     )
+
+
+_IRLS_ITERS = 3
+
+
+def _logreg_sql(src: str) -> str:
+    """Generate the unrolled {iters}-round IRLS body (shared verbatim by
+    BOTH engines — only the source relation name differs): per round,
+    per-row sigmoid weights under the 9dp contract, exact-DECIMAL
+    gradient/Hessian power sums, and a Cramer 3×3 Newton step whose
+    output betas round to 9dp so the next round's inputs are identical
+    doubles in both engines."""
+    cof = (
+        "(h11 * h22 - h12 * h12)",
+        "(h01 * h22 - h12 * h02)",
+        "(h01 * h12 - h11 * h02)",
+    )
+    det = f"(h00 * {cof[0]} - h01 * {cof[1]} + h02 * {cof[2]})"
+    d0 = (
+        f"(g0 * {cof[0]} - h01 * (g1 * h22 - h12 * g2)"
+        f" + h02 * (g1 * h12 - h11 * g2))"
+    )
+    d1 = (
+        f"(h00 * (g1 * h22 - g2 * h12) - g0 * {cof[1]}"
+        f" + h02 * (h01 * g2 - g1 * h02))"
+    )
+    d2 = (
+        f"(h00 * (h11 * g2 - h12 * g1) - h01 * (h01 * g2 - g1 * h02)"
+        f" + g0 * {cof[2]})"
+    )
+    rounds = []
+    for i in range(_IRLS_ITERS):
+        rounds.append(f"""
+p{i} AS (
+  SELECT u.y, u.x1, u.x2,
+    CAST(round(1 / (1 + exp(-(b.b0 + b.b1 * u.x1 + b.b2 * u.x2))), 9)
+         AS DECIMAL(10,9)) AS w
+  FROM u CROSS JOIN beta{i} b
+),
+g{i} AS (
+  SELECT
+    CAST(sum(CAST(y AS DECIMAL(11,9)) - w) AS DOUBLE) AS g0,
+    CAST(sum((CAST(y AS DECIMAL(11,9)) - w)
+             * CAST(x1 AS DECIMAL(18,0))) AS DOUBLE) AS g1,
+    CAST(sum((CAST(y AS DECIMAL(11,9)) - w)
+             * CAST(x2 AS DECIMAL(18,0))) AS DOUBLE) AS g2,
+    CAST(sum(CAST(round(w * (1 - w), 9) AS DECIMAL(10,9)))
+         AS DOUBLE) AS h00,
+    CAST(sum(CAST(round(w * (1 - w), 9) AS DECIMAL(10,9))
+             * CAST(x1 AS DECIMAL(18,0))) AS DOUBLE) AS h01,
+    CAST(sum(CAST(round(w * (1 - w), 9) AS DECIMAL(10,9))
+             * CAST(x2 AS DECIMAL(18,0))) AS DOUBLE) AS h02,
+    CAST(sum(CAST(round(w * (1 - w), 9) AS DECIMAL(10,9))
+             * CAST(x1 * x1 AS DECIMAL(18,0))) AS DOUBLE) AS h11,
+    CAST(sum(CAST(round(w * (1 - w), 9) AS DECIMAL(10,9))
+             * CAST(x1 * x2 AS DECIMAL(18,0))) AS DOUBLE) AS h12,
+    CAST(sum(CAST(round(w * (1 - w), 9) AS DECIMAL(10,9))
+             * CAST(x2 * x2 AS DECIMAL(18,0))) AS DOUBLE) AS h22
+  FROM p{i}
+),
+beta{i + 1} AS (
+  SELECT
+    CASE WHEN abs({det}) > 0.000000000001
+         THEN round(b.b0 + {d0} / {det}, 9) ELSE b.b0 END AS b0,
+    CASE WHEN abs({det}) > 0.000000000001
+         THEN round(b.b1 + {d1} / {det}, 9) ELSE b.b1 END AS b1,
+    CASE WHEN abs({det}) > 0.000000000001
+         THEN round(b.b2 + {d2} / {det}, 9) ELSE b.b2 END AS b2
+  FROM beta{i} b CROSS JOIN g{i}
+)""")
+    n = _IRLS_ITERS
+    return f"""
+WITH raw AS (
+  SELECT user_id,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      * CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  > sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             THEN 1 ELSE 0 END AS y
+  FROM {src} GROUP BY user_id
+),
+m AS (
+  SELECT
+    CAST(floor(CAST(sum(n_events) AS DOUBLE) / count(*)) AS BIGINT) AS m1,
+    CAST(floor(CAST(sum(n_days) AS DOUBLE) / count(*)) AS BIGINT) AS m2
+  FROM raw
+),
+u AS (
+  SELECT raw.y, raw.n_events - m.m1 AS x1, raw.n_days - m.m2 AS x2
+  FROM raw CROSS JOIN m
+),
+beta0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+                 CAST(0.0 AS DOUBLE) AS b2),
+{",".join(rounds)},
+fin AS (
+  SELECT u.y,
+    CAST(round(1 / (1 + exp(-(b.b0 + b.b1 * u.x1 + b.b2 * u.x2))), 9)
+         AS DECIMAL(10,9)) AS w
+  FROM u CROSS JOIN beta{n} b
+),
+metrics AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n_users,
+    CAST(sum(CAST(round(
+      CASE WHEN y = 1
+           THEN ln(greatest(least(CAST(w AS DOUBLE), 0.999999999),
+                            0.000000001))
+           ELSE ln(greatest(least(1 - CAST(w AS DOUBLE), 0.999999999),
+                            0.000000001)) END, 9)
+      AS DECIMAL(18,9))) AS DOUBLE) AS ll,
+    CAST(sum(CASE WHEN (CAST(w AS DOUBLE) > 0.5) = (y = 1)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM fin
+)
+SELECT m.n_users,
+       round(b.b0, 6) AS beta0,
+       round(b.b1, 6) AS beta1,
+       round(b.b2, 6) AS beta2,
+       round(m.ll, 6) AS log_likelihood,
+       m.n_correct,
+       round(CAST(m.n_correct AS DOUBLE) / m.n_users, 6) AS accuracy
+FROM metrics m CROSS JOIN beta{n} b
+"""
+
+
+@query("q_ml_logreg", oracle=_logreg_sql("events"))
+def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression by IRLS — FULLY RELATIONAL, no driver-side
+    linear algebra at all: {iters} unrolled Newton rounds, each one
+    scan computing per-user sigmoid weights under the 9dp contract,
+    exact-DECIMAL gradient/Hessian power sums (six Hessian cells for
+    intercept + two features), and a Cramer 3×3 solve on the 1-row
+    sum frame whose output betas round to 9dp — so the next round's
+    per-row inputs are bit-identical doubles in both engines and the
+    whole iterative fit is oracle-checkable, the same bounded-
+    iteration doctrine as q_graph_pagerank. Completes the ML family:
+    q_ml_linreg fits continuous targets in closed form; this fits the
+    BINARY target (will this user convert?) the experimentation stack
+    reads out, plus training log-likelihood and accuracy.
+
+    Features: per-user event count and active-day count, centered by
+    integer floor-means (conditioning without leaving exact integer
+    space). Singular-Hessian rounds keep the previous betas (exact
+    guard, same literal both engines).
+
+    Scale shape: each round is ONE partial-aggregated scan of the
+    per-user frame (the per-user reduction itself is one shuffle,
+    shared); the solve is arithmetic on one row — k features cost
+    (k+1)(k+2)/2 Hessian sums, practical to k~10. Iteration count is
+    a compile-time constant, so the plan is a static {iters}-deep
+    chain — no driver loop, no collect, nothing data-sized past the
+    first reduction.
+    """
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("logreg_events")
+    return spark.sql(_logreg_sql("logreg_events"))
+
+
+q_ml_logreg.__doc__ = q_ml_logreg.__doc__.format(iters=_IRLS_ITERS)

@@ -697,3 +697,42 @@ def test_modularity_half_for_two_clean_triangles(spark, tmp_path_factory):
         assert r["degree_sum"] == 6
         assert r["q_contribution"] == 0.25
         assert r["modularity"] == 0.5
+
+
+def test_logreg_recovers_planted_logit(spark, tmp_path_factory):
+    """Symmetric 2×2×2 design: 60 users, feature x1 = ±1 (10 vs 8
+    events around the floor-mean 9), x2 = ±1 (4 vs 2 active days
+    around mean 3), cells built so P(y=1|x1=+1) = 2/3 and
+    P(y=1|x1=−1) = 1/3 with x2 independent of y. The logistic MLE is
+    β0 = 0, β1 = ln 2 ≈ 0.693147, β2 = 0; by symmetry the IRLS
+    gradient for β0 and β2 is EXACTLY zero every round, and three
+    Newton rounds land β1 within 1% of ln 2."""
+    out = tmp_path_factory.mktemp("lr7")
+    rows = []
+    uid = 0
+
+    def add_user(n_events, n_days, y):
+        nonlocal uid
+        uid += 1
+        # y=1: purchases outnumber views; y=0: views outnumber.
+        core = (
+            [("purchase", 2), ("view", 1)] if y else [("purchase", 1), ("view", 2)]
+        )
+        evs = [t for t, k in core for _ in range(k)]
+        evs += ["click"] * (n_events - len(evs))
+        days = [f"2024-03-{d:02d}" for d in range(1, n_days + 1)]
+        for i, t in enumerate(evs):
+            rows.append((f"{days[i % n_days]} 10:{i:02d}:00", uid, t, 1.0))
+
+    for x1_events, n_y1 in ((10, 10), (8, 5)):  # per x2 cell: 15 users
+        for n_days in (4, 2):
+            for i in range(15):
+                add_user(x1_events, n_days, 1 if i < n_y1 else 0)
+    _write_events(spark, out, rows)
+    r = registry.get("q_ml_logreg").fn(spark, str(out)).collect()[0]
+    import math
+    assert r["n_users"] == 60
+    assert r["beta0"] == 0.0 and r["beta2"] == 0.0
+    assert abs(r["beta1"] - math.log(2)) <= 0.01
+    # the fitted rule classifies the majority cell correctly: 40/60
+    assert r["n_correct"] == 40

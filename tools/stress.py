@@ -200,6 +200,7 @@ QUERIES = [
     "q_dq_freshness",
     "q_ts_control_chart",
     "q_graph_modularity",
+    "q_ml_logreg",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
