@@ -2531,3 +2531,111 @@ def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_punct * 1.0 / n_chars, 6).alias("punct_density"),
         (votes >= 2).alias("is_code"),
     ).orderBy("doc_id")
+
+
+_NB_SQL_BODY = """
+WITH tok AS (
+  SELECT doc_id, lang, {unnest_expr} AS w
+  FROM {src}
+),
+cls AS (
+  SELECT lang,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY lang
+),
+vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tok),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM {src}),
+wc AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY lang, w
+),
+lik AS (
+  -- smoothed log-likelihood for EVERY (lang, vocab word) cell,
+  -- including zero-count cells (the grid join): ln((c+1)/(n_l+V))
+  SELECT cls.lang, vw.w,
+    CAST(round(ln((COALESCE(wc.c, 0) + 1.0)
+                  / (cls.n_tokens + vocab.v)), 9)
+         AS DECIMAL(12,9)) AS logp
+  FROM cls
+  CROSS JOIN (SELECT DISTINCT w FROM tok) vw
+  CROSS JOIN vocab
+  LEFT JOIN wc ON wc.lang = cls.lang AND wc.w = vw.w
+),
+prior AS (
+  SELECT cls.lang,
+    CAST(round(ln(CAST(cls.n_docs AS DOUBLE) / tot.n_all), 9)
+         AS DECIMAL(12,9)) AS logprior
+  FROM cls CROSS JOIN tot
+),
+score AS (
+  SELECT t.doc_id, t.lang AS true_lang, lik.lang AS cand,
+         CAST(sum(lik.logp) AS DECIMAL(38,9)) + max(p.logprior) AS s
+  FROM tok t
+  JOIN lik ON lik.w = t.w
+  JOIN prior p ON p.lang = lik.lang
+  GROUP BY t.doc_id, t.lang, lik.lang
+),
+pred AS (
+  SELECT doc_id, true_lang, cand AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, cand) AS rk
+  FROM score
+),
+conf AS (
+  SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM pred WHERE rk = 1 GROUP BY true_lang, pred_lang
+),
+acc AS (
+  SELECT CAST(sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
+              AS BIGINT) AS n_right,
+         CAST(sum(n) AS BIGINT) AS n_docs
+  FROM conf
+)
+SELECT c.true_lang, c.pred_lang, c.n,
+       round(CAST(a.n_right AS DOUBLE) / a.n_docs, 6) AS accuracy
+FROM conf c CROSS JOIN acc a
+ORDER BY c.true_lang, c.pred_lang
+"""
+
+
+@query(
+    "q_ml_naive_bayes",
+    # Smoothed likelihoods are lns of IDENTICAL rationals (integer
+    # counts / integer totals) under the 9dp ln-contract; per-doc
+    # class scores are exact DECIMAL sums (order-free), so the argmax
+    # (score desc, lang asc) picks the same language in both engines.
+    oracle=_NB_SQL_BODY.format(
+        src="documents",
+        unnest_expr="unnest(string_split(text, ' '))",
+    ),
+)
+def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier — trained AND
+    evaluated in one relational plan: per-language Laplace-smoothed
+    token log-likelihoods over the FULL (language × vocab) grid (the
+    zero-count cells are where NB lives — omitting them silently
+    scores unseen words as impossible), document scores as exact
+    DECIMAL sums of 9dp-contract lns plus the log-prior, argmax with
+    a language tiebreak, and the resubstitution confusion matrix.
+    q_text_lang routes by a FIXED marker vocabulary; this LEARNS the
+    class-conditional distributions from the corpus itself — the
+    supervised counterpart, and the third member of the relational-ML
+    family (q_ml_linreg: continuous; q_ml_logreg: binary; this:
+    multiclass).
+
+    Scale shape: training is two grouped counts (per-class, per
+    (class, word)); the likelihood grid is |langs|×|vocab| —
+    dimension-sized; scoring joins exploded tokens to the grid
+    (fan-out |langs| per token — the honest cost, map-side after one
+    broadcastable grid) and reduces per (doc, lang); the argmax is a
+    doc-partitioned window. Confusion output is |langs|².
+    """
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("nb_documents")
+    return spark.sql(
+        _NB_SQL_BODY.format(
+            src="nb_documents",
+            unnest_expr="explode(split(text, ' '))",
+        )
+    )

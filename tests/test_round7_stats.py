@@ -736,3 +736,25 @@ def test_logreg_recovers_planted_logit(spark, tmp_path_factory):
     assert abs(r["beta1"] - math.log(2)) <= 0.01
     # the fitted rule classifies the majority cell correctly: 40/60
     assert r["n_correct"] == 40
+
+
+def test_naive_bayes_separates_disjoint_vocabularies(
+    spark, tmp_path_factory
+):
+    """'aa'-family docs are lang A, 'xx'-family docs lang B, vocabularies
+    disjoint: resubstitution must classify every doc correctly."""
+    out = tmp_path_factory.mktemp("nb7")
+    docs = []
+    for i in range(8):
+        docs.append((i, "aa bb cc aa bb", "la", "s", 14))
+    for i in range(8, 14):
+        docs.append((i, "xx yy zz xx yy", "lb", "s", 14))
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    got = registry.get("q_ml_naive_bayes").fn(spark, str(out)).collect()
+    conf = {(r["true_lang"], r["pred_lang"]): r["n"] for r in got}
+    assert conf == {("la", "la"): 8, ("lb", "lb"): 6}
+    assert got[0]["accuracy"] == 1.0

@@ -201,6 +201,7 @@ QUERIES = [
     "q_ts_control_chart",
     "q_graph_modularity",
     "q_ml_logreg",
+    "q_ml_naive_bayes",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
