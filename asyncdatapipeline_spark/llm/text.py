@@ -2534,18 +2534,15 @@ def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NB_SQL_BODY = """
-WITH tok AS (
-  SELECT doc_id, lang, {unnest_expr} AS w
-  FROM {src}
-),
-cls AS (
+WITH {tok_cte}cls AS (
   SELECT lang,
          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          CAST(count(*) AS BIGINT) AS n_tokens
   FROM tok GROUP BY lang
 ),
 vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tok),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM {src}),
+tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_all
+        FROM tok),
 wc AS (
   SELECT lang, w, CAST(count(*) AS BIGINT) AS c
   FROM tok GROUP BY lang, w
@@ -2568,13 +2565,29 @@ prior AS (
          AS DECIMAL(12,9)) AS logprior
   FROM cls CROSS JOIN tot
 ),
-score AS (
+bow AS (
+  -- bag-of-words compression BEFORE the ×|langs| fan-out: a doc's
+  -- repeated words collapse to one (doc, w, cnt) row, so the lik
+  -- join and the score aggregate touch distinct-word rows, not raw
+  -- tokens; cnt·logp is an exact DECIMAL product.
+  SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY doc_id, lang, w
+),
+raw_score AS (
+  -- prior deliberately NOT joined here: attaching a 5-row table to
+  -- the token×lang frame on lang alone shuffles the whole frame onto
+  -- |langs| keys (measured: a 5-key SortMergeJoin skew wall at 20x);
+  -- it joins the AGGREGATED doc×lang frame below instead.
   SELECT t.doc_id, t.lang AS true_lang, lik.lang AS cand,
-         CAST(sum(lik.logp) AS DECIMAL(38,9)) + max(p.logprior) AS s
-  FROM tok t
+         CAST(sum(CAST(t.cnt AS DECIMAL(18,0)) * lik.logp)
+              AS DECIMAL(38,9)) AS s_lik
+  FROM bow t
   JOIN lik ON lik.w = t.w
-  JOIN prior p ON p.lang = lik.lang
   GROUP BY t.doc_id, t.lang, lik.lang
+),
+score AS (
+  SELECT r.doc_id, r.true_lang, r.cand, r.s_lik + p.logprior AS s
+  FROM raw_score r JOIN prior p ON p.lang = r.cand
 ),
 pred AS (
   SELECT doc_id, true_lang, cand AS pred_lang,
@@ -2606,8 +2619,12 @@ ORDER BY c.true_lang, c.pred_lang
     # class scores are exact DECIMAL sums (order-free), so the argmax
     # (score desc, lang asc) picks the same language in both engines.
     oracle=_NB_SQL_BODY.format(
-        src="documents",
-        unnest_expr="unnest(string_split(text, ' '))",
+        tok_cte=(
+            "tok AS (\n"
+            "  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w\n"
+            "  FROM documents\n"
+            "),\n"
+        ),
     ),
 )
 def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2632,10 +2649,15 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-partitioned window. Confusion output is |langs|².
     """
     d = load_table(spark, sf_dir, "documents")
-    d.createOrReplaceTempView("nb_documents")
-    return spark.sql(
-        _NB_SQL_BODY.format(
-            src="nb_documents",
-            unnest_expr="explode(split(text, ' '))",
-        )
-    )
+    # The token frame feeds FOUR consumers (class counts, vocab, word
+    # counts, scoring); SQL CTEs are inlined per reference, so the
+    # explode would otherwise run four times over the corpus. One
+    # localCheckpoint materializes it once — the standard training-
+    # pass cache point. (The dominant 20x cost was the scoring
+    # aggregate, fixed by the bag-of-words compression in the SQL
+    # body: 40.6s -> 21.7s stressed, ratio 13.1x -> 10.3x.)
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).localCheckpoint()
+    tok.createOrReplaceTempView("nb_tok")
+    return spark.sql(_NB_SQL_BODY.format(tok_cte="tok AS (SELECT * FROM nb_tok),\n"))

@@ -3924,3 +3924,166 @@ def q_ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ml_logreg.__doc__ = q_ml_logreg.__doc__.format(iters=_IRLS_ITERS)
+
+
+@query(
+    "q_ml_stump",
+    # Candidate-split statistics are EXACT integer prefix sums over the
+    # distinct feature values (dist_cumsum on the Spark side — the
+    # scale-safe device; the oracle may use a plain window, the
+    # contract is identical VALUES); impurity is one IEEE chain per
+    # candidate, argmin on (9dp-rounded gini, threshold) is the same
+    # total order in both engines.
+    oracle="""
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              > sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         THEN 1 ELSE 0 END AS y
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT x, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM u GROUP BY x
+),
+c AS (
+  SELECT x,
+    sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS nl,
+    sum(pos) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS posl
+  FROM d
+),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+      FROM d),
+cand AS (
+  SELECT c.x AS thr,
+    CAST(c.nl AS BIGINT) AS nl, CAST(c.posl AS BIGINT) AS posl,
+    CAST(t.n - c.nl AS BIGINT) AS nr,
+    CAST(t.p - c.posl AS BIGINT) AS posr, t.n AS n, t.p AS p
+  FROM c CROSS JOIN t WHERE t.n - c.nl > 0
+),
+g AS (
+  SELECT thr, nl, nr, posl, posr, n, p,
+    (CAST(nl AS DOUBLE) / n)
+      * (1 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+            - (CAST(nl - posl AS DOUBLE) / nl)
+              * (CAST(nl - posl AS DOUBLE) / nl))
+    + (CAST(nr AS DOUBLE) / n)
+      * (1 - (CAST(posr AS DOUBLE) / nr) * (CAST(posr AS DOUBLE) / nr)
+            - (CAST(nr - posr AS DOUBLE) / nr)
+              * (CAST(nr - posr AS DOUBLE) / nr)) AS gini
+  FROM cand
+)
+SELECT thr AS threshold, nl AS n_left, nr AS n_right,
+       round(1 - (CAST(p AS DOUBLE) / n) * (CAST(p AS DOUBLE) / n)
+               - (CAST(n - p AS DOUBLE) / n)
+                 * (CAST(n - p AS DOUBLE) / n), 6) AS gini_root,
+       round(gini, 6) AS gini_split,
+       CASE WHEN 2 * posl >= nl THEN 1 ELSE 0 END AS left_label,
+       CASE WHEN 2 * posr >= nr THEN 1 ELSE 0 END AS right_label,
+       round((greatest(posl, nl - posl) + greatest(posr, nr - posr))
+             * 1.0 / n, 6) AS accuracy
+FROM g ORDER BY round(gini, 9), thr LIMIT 1
+""",
+)
+def q_ml_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision stump (one-level CART) on the per-user conversion
+    target: the Gini-optimal threshold over event count — the atomic
+    unit of every tree ensemble, fit exactly and relationally. Emits
+    the chosen split, root vs split impurity (the information gain a
+    tree builder would log), per-side majority labels, and stump
+    accuracy — the fifth relational-ML member (linreg, logreg, naive
+    Bayes, and now the tree atom). A full depth-k tree is this op
+    recursed on filtered partitions; the stump IS the interesting
+    kernel (split search over candidate thresholds), and one level is
+    where the exact-relational form stays one-shuffle cheap.
+
+    Scale shape: per-user reduction (one shuffle), then candidate
+    statistics = exact INTEGER prefix sums over the distinct-value
+    frame via ``dist_cumsum`` (never an unpartitioned window — the
+    feature's value domain can be large); impurity is one IEEE chain
+    per candidate; the argmin is an orderBy(9dp-gini, thr).limit(1)
+    TakeOrderedAndProject.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)),
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    d = u.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    c = dist_cumsum(d, "x", ["cnt", "pos"])
+    t = F.broadcast(
+        d.agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("p"),
+        )
+    )
+    cand = (
+        c.crossJoin(t)
+        .select(
+            F.col("x").alias("thr"),
+            F.col("cum_cnt").cast("long").alias("nl"),
+            F.col("cum_pos").cast("long").alias("posl"),
+            (F.col("n") - F.col("cum_cnt")).cast("long").alias("nr"),
+            (F.col("p") - F.col("cum_pos")).cast("long").alias("posr"),
+            "n",
+            "p",
+        )
+        .filter(F.col("nr") > 0)
+    )
+    def gini_side(cnt, pos):
+        pd_ = pos.cast("double") / cnt
+        qd = (cnt - pos).cast("double") / cnt
+        return 1 - pd_ * pd_ - qd * qd
+
+    gini = (F.col("nl").cast("double") / F.col("n")) * gini_side(
+        F.col("nl"), F.col("posl")
+    ) + (F.col("nr").cast("double") / F.col("n")) * gini_side(
+        F.col("nr"), F.col("posr")
+    )
+    proot = F.col("p").cast("double") / F.col("n")
+    qroot = (F.col("n") - F.col("p")).cast("double") / F.col("n")
+    return (
+        cand.withColumn("gini", gini)
+        .select(
+            F.col("thr").alias("threshold"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            F.round(1 - proot * proot - qroot * qroot, 6).alias(
+                "gini_root"
+            ),
+            F.round("gini", 6).alias("gini_split"),
+            F.when(2 * F.col("posl") >= F.col("nl"), 1)
+            .otherwise(0)
+            .alias("left_label"),
+            F.when(2 * F.col("posr") >= F.col("nr"), 1)
+            .otherwise(0)
+            .alias("right_label"),
+            F.round(
+                (
+                    F.greatest(F.col("posl"), F.col("nl") - F.col("posl"))
+                    + F.greatest(
+                        F.col("posr"), F.col("nr") - F.col("posr")
+                    )
+                )
+                * 1.0
+                / F.col("n"),
+                6,
+            ).alias("accuracy"),
+            F.round("gini", 9).alias("_gini9"),
+        )
+        .orderBy("_gini9", "threshold")
+        .limit(1)
+        .drop("_gini9")
+    )

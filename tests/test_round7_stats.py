@@ -758,3 +758,25 @@ def test_naive_bayes_separates_disjoint_vocabularies(
     conf = {(r["true_lang"], r["pred_lang"]): r["n"] for r in got}
     assert conf == {("la", "la"): 8, ("lb", "lb"): 6}
     assert got[0]["accuracy"] == 1.0
+
+
+def test_stump_finds_the_perfect_split(spark, tmp_path_factory):
+    """Converters all have 6 events, non-converters 3: the stump must
+    split at threshold 3 (left = non-converters, right = converters)
+    with zero split impurity and perfect accuracy."""
+    out = tmp_path_factory.mktemp("stump7")
+    rows = []
+    ts = "2024-03-01 00:00:00"
+    for u in range(1, 11):  # converters: 2p+1v+3c = 6 events
+        rows += [(ts, u, "purchase", 1.0)] * 2 + [(ts, u, "view", 1.0)]
+        rows += [(ts, u, "click", 1.0)] * 3
+    for u in range(11, 21):  # non: 1p+2v = 3 events
+        rows += [(ts, u, "purchase", 1.0)] + [(ts, u, "view", 1.0)] * 2
+    _write_events(spark, out, rows)
+    r = registry.get("q_ml_stump").fn(spark, str(out)).collect()[0]
+    assert r["threshold"] == 3
+    assert (r["n_left"], r["n_right"]) == (10, 10)
+    assert r["gini_root"] == 0.5
+    assert r["gini_split"] == 0.0
+    assert (r["left_label"], r["right_label"]) == (0, 1)
+    assert r["accuracy"] == 1.0

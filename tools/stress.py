@@ -202,6 +202,7 @@ QUERIES = [
     "q_graph_modularity",
     "q_ml_logreg",
     "q_ml_naive_bayes",
+    "q_ml_stump",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
