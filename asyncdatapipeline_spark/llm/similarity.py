@@ -917,3 +917,156 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_embed_pca_power.__doc__ = q_embed_pca_power.__doc__.format(
     iters=_PCA_ITERS
 )
+
+
+@query(
+    "q_embed_silhouette",
+    # Simplified (centroid-based) silhouette: centroids are the exact
+    # decimal per-(label, dim) means quantized to 6dp (the
+    # q_embed_centroids contract); every squared term rounds to 12dp
+    # DECIMAL before the per-(vec, label) sum (order-free), sqrt and
+    # the (b−a)/max(a,b) chain are identical IEEE; per-label means are
+    # 9dp-DECIMAL armored.
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ex AS (
+  SELECT vec_id, label, unnest(generate_series(1, len(v))) AS pos, v
+  FROM e
+),
+val AS (SELECT vec_id, label, pos, v[pos] AS x FROM ex),
+cent AS (
+  SELECT label AS clabel, pos,
+    round(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+      AS c
+  FROM val GROUP BY label, pos
+),
+d2 AS (
+  SELECT val.vec_id, val.label, cent.clabel,
+    CAST(sum(CAST(round((val.x - cent.c) * (val.x - cent.c), 12)
+                  AS DECIMAL(18,12))) AS DOUBLE) AS dd
+  FROM val JOIN cent ON cent.pos = val.pos
+  GROUP BY val.vec_id, val.label, cent.clabel
+),
+ab AS (
+  SELECT vec_id, label,
+    sqrt(max(CASE WHEN clabel = label THEN dd END)) AS a,
+    sqrt(min(CASE WHEN clabel <> label THEN dd END)) AS b
+  FROM d2 GROUP BY vec_id, label
+),
+s AS (
+  SELECT vec_id, label,
+    CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+         ELSE 0.0 END AS sil
+  FROM ab
+),
+lb AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+    CAST(sum(CAST(round(sil, 9) AS DECIMAL(12,9))) AS DOUBLE)
+      / count(*) AS mean_sil
+  FROM s GROUP BY label
+),
+g AS (
+  SELECT CAST(sum(CAST(round(sil, 9) AS DECIMAL(12,9))) AS DOUBLE)
+      / count(*) AS overall
+  FROM s
+)
+SELECT lb.label, lb.n_vecs,
+       round(lb.mean_sil, 6) AS mean_silhouette,
+       round(g.overall, 6) AS overall_silhouette,
+       g.overall > 0.25 AS well_separated
+FROM lb CROSS JOIN g ORDER BY lb.label
+""",
+)
+def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette score of the embedding label clustering —
+    the cluster-QUALITY verdict the centroid ops stop short of:
+    s(i) = (b−a)/max(a,b) with a = distance to the OWN label centroid
+    and b = the nearest OTHER centroid (the standard centroid-based
+    simplification that replaces the O(n²) pairwise silhouette with
+    O(n·k) — the only form that survives 100 TB). Per-label means
+    localize the diagnosis (which label's cloud bleeds into others);
+    the overall score gates whether label-conditioned processing
+    (per-label centroids, IVF cells keyed on labels) is justified at
+    all. Completes the embedding-health family: q_embed_health checks
+    norms/variance, q_embed_pca_power checks anisotropy, this checks
+    SEPARATION.
+
+    Scale shape: centroids = one grouped exact-decimal pass (k·d
+    rows); distances explode each vector once per (dim, centroid) —
+    n·k·d rows, map-side after a broadcastable k·d centroid frame —
+    and reduce back to n·k; everything after is per-vector arithmetic
+    and two dimension-sized rollups. Squared terms round to 12dp
+    DECIMAL before summing (order-free); per-label means 9dp-armored.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    val = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "x"
+        ),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x")
+    cent = val.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    d2 = (
+        val.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")),
+                    12,
+                ).cast("decimal(18,12)")
+            )
+            .cast("double")
+            .alias("dd")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.sqrt(
+            F.max(F.when(F.col("clabel") == F.col("label"), F.col("dd")))
+        ).alias("a"),
+        F.sqrt(
+            F.min(F.when(F.col("clabel") != F.col("label"), F.col("dd")))
+        ).alias("b"),
+    )
+    sil = F.when(
+        F.greatest(F.col("a"), F.col("b")) > 0,
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")),
+    ).otherwise(0.0)
+    s = ab.select("vec_id", "label", sil.alias("sil"))
+    lb = s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        (
+            F.sum(F.round("sil", 9).cast("decimal(12,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_sil"),
+    )
+    g = F.broadcast(
+        s.agg(
+            (
+                F.sum(F.round("sil", 9).cast("decimal(12,9)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("overall")
+        )
+    )
+    return (
+        lb.crossJoin(g)
+        .select(
+            "label",
+            "n_vecs",
+            F.round("mean_sil", 6).alias("mean_silhouette"),
+            F.round("overall", 6).alias("overall_silhouette"),
+            (F.col("overall") > 0.25).alias("well_separated"),
+        )
+        .orderBy("label")
+    )

@@ -780,3 +780,26 @@ def test_stump_finds_the_perfect_split(spark, tmp_path_factory):
     assert r["gini_split"] == 0.0
     assert (r["left_label"], r["right_label"]) == (0, 1)
     assert r["accuracy"] == 1.0
+
+
+def test_silhouette_separates_tight_clusters(spark, tmp_path_factory):
+    """Two labels on opposite corners with tiny within-cluster jitter:
+    a ≈ jitter, b ≈ the corner distance, silhouette ≈ 1 for both
+    labels and the separation verdict fires."""
+    out = tmp_path_factory.mktemp("sil7")
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(20):
+        base = 0.0 if i < 10 else 10.0
+        vec = [base + rng.uniform(-0.01, 0.01) for _ in range(8)]
+        rows.append((i, vec, 0 if i < 10 else 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+    got = registry.get("q_embed_silhouette").fn(spark, str(out)).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r["n_vecs"] == 10
+        assert r["mean_silhouette"] > 0.99
+        assert bool(r["well_separated"])

@@ -203,6 +203,7 @@ QUERIES = [
     "q_ml_logreg",
     "q_ml_naive_bayes",
     "q_ml_stump",
+    "q_embed_silhouette",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
