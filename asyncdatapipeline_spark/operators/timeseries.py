@@ -5672,3 +5672,178 @@ SELECT lim.n_days,
 FROM lim
 """
     )
+
+
+@query(
+    "q_events_pretrends",
+    # The q_events_did machinery run as a PLACEBO on the pre-period's
+    # two quarters: if "treatment" shows an effect before treatment
+    # could exist, the parallel-trends assumption is dead. Same exact
+    # BIGINT four-cell sums, same closed-form SE, same md5 arms;
+    # boundaries are exact integer epoch midpoints.
+    oracle="""
+WITH b AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid,
+         (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + ((CAST(floor(epoch(min(ts))) AS BIGINT)
+              + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2)) // 2 AS q1
+  FROM events
+),
+u AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UINTEGER % 2
+           AS arm,
+         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                            <= (SELECT q1 FROM b) THEN 1 ELSE 0 END)
+              AS BIGINT) AS y_a,
+         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                            > (SELECT q1 FROM b)
+                       AND CAST(floor(epoch(ts)) AS BIGINT)
+                            <= (SELECT mid FROM b) THEN 1 ELSE 0 END)
+              AS BIGINT) AS y_b
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y_a) AS BIGINT) AS sp,
+         CAST(sum(y_a * y_a) AS BIGINT) AS spp,
+         CAST(sum(y_b) AS BIGINT) AS so,
+         CAST(sum(y_b * y_b) AS BIGINT) AS soo
+  FROM u GROUP BY arm
+),
+w AS (
+  SELECT
+    max(CASE WHEN arm = 0 THEN n END) AS n0,
+    max(CASE WHEN arm = 0 THEN sp END) AS sp0,
+    max(CASE WHEN arm = 0 THEN spp END) AS spp0,
+    max(CASE WHEN arm = 0 THEN so END) AS so0,
+    max(CASE WHEN arm = 0 THEN soo END) AS soo0,
+    max(CASE WHEN arm = 1 THEN n END) AS n1,
+    max(CASE WHEN arm = 1 THEN sp END) AS sp1,
+    max(CASE WHEN arm = 1 THEN spp END) AS spp1,
+    max(CASE WHEN arm = 1 THEN so END) AS so1,
+    max(CASE WHEN arm = 1 THEN soo END) AS soo1
+  FROM cells
+)
+SELECT n0, n1,
+       round(CAST(so1 AS DOUBLE) / n1 - CAST(sp1 AS DOUBLE) / n1
+             - (CAST(so0 AS DOUBLE) / n0 - CAST(sp0 AS DOUBLE) / n0), 6)
+         AS placebo_did,
+       round(sqrt(
+         ((CAST(spp0 AS DOUBLE) - CAST(sp0 AS DOUBLE) * sp0 / n0) / (n0 - 1)
+          + (CAST(soo0 AS DOUBLE) - CAST(so0 AS DOUBLE) * so0 / n0) / (n0 - 1))
+           / n0
+         + ((CAST(spp1 AS DOUBLE) - CAST(sp1 AS DOUBLE) * sp1 / n1) / (n1 - 1)
+            + (CAST(soo1 AS DOUBLE) - CAST(so1 AS DOUBLE) * so1 / n1) / (n1 - 1))
+           / n1), 6) AS se,
+       abs(CAST(so1 AS DOUBLE) / n1 - CAST(sp1 AS DOUBLE) / n1
+           - (CAST(so0 AS DOUBLE) / n0 - CAST(sp0 AS DOUBLE) / n0))
+         <= 1.96 * sqrt(
+         ((CAST(spp0 AS DOUBLE) - CAST(sp0 AS DOUBLE) * sp0 / n0) / (n0 - 1)
+          + (CAST(soo0 AS DOUBLE) - CAST(so0 AS DOUBLE) * so0 / n0) / (n0 - 1))
+           / n0
+         + ((CAST(spp1 AS DOUBLE) - CAST(sp1 AS DOUBLE) * sp1 / n1) / (n1 - 1)
+            + (CAST(soo1 AS DOUBLE) - CAST(so1 AS DOUBLE) * so1 / n1) / (n1 - 1))
+           / n1) AS parallel_trends_plausible
+FROM w WHERE n0 > 1 AND n1 > 1
+""",
+)
+def q_events_pretrends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-trends (pre-trends) check — the VALIDITY gate for
+    q_events_did: run the identical DiD machinery as a PLACEBO on the
+    two halves of the pre-period, where no treatment effect can
+    exist. A "significant" placebo means the arms were already
+    diverging before treatment, and the real DiD estimate is
+    reporting trend difference, not effect — the first robustness
+    table in every credible DiD paper, here as an operator that
+    belongs in the pipeline right before q_events_did itself.
+
+    Scale shape: identical to q_events_did — one pass to per-user
+    (arm, quarter-1 count, quarter-2 count), one grouped aggregate to
+    FOUR cells of exact BIGINT power sums, closed forms on one
+    pivoted row. Boundaries are exact integer epoch midpoints
+    (quarter = midpoint of the pre half).
+    """
+    e = load_table(spark, sf_dir, "events")
+    ep = F.floor(F.unix_timestamp("ts")).cast("long")
+    b = F.broadcast(
+        e.agg(
+            F.floor((F.min(ep) + F.max(ep)) / 2).cast("long").alias("mid"),
+            F.floor(
+                (F.min(ep) + F.floor((F.min(ep) + F.max(ep)) / 2)) / 2
+            )
+            .cast("long")
+            .alias("q1"),
+        )
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 2
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    u = (
+        e.crossJoin(b)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(ep <= F.col("q1"), 1).otherwise(0))
+            .cast("long")
+            .alias("y_a"),
+            F.sum(
+                F.when((ep > F.col("q1")) & (ep <= F.col("mid")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("y_b"),
+        )
+        .select(arm.alias("arm"), "y_a", "y_b")
+    )
+    cells = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y_a").cast("long").alias("sp"),
+        F.sum(F.col("y_a") * F.col("y_a")).cast("long").alias("spp"),
+        F.sum("y_b").cast("long").alias("so"),
+        F.sum(F.col("y_b") * F.col("y_b")).cast("long").alias("soo"),
+    )
+    w = cells.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{a}")
+            for a in (0, 1)
+            for c in ("n", "sp", "spp", "so", "soo")
+        ]
+    )
+    def mean(c, n):
+        return F.col(c).cast("double") / F.col(n)
+
+    did = (mean("so1", "n1") - mean("sp1", "n1")) - (
+        mean("so0", "n0") - mean("sp0", "n0")
+    )
+    def var_term(s, ss, n):
+        nn = F.col(n).cast("double")
+        return (
+            F.col(ss).cast("double")
+            - F.col(s).cast("double") * F.col(s) / nn
+        ) / (nn - 1)
+
+    se = F.sqrt(
+        (var_term("sp0", "spp0", "n0") + var_term("so0", "soo0", "n0"))
+        / F.col("n0")
+        + (var_term("sp1", "spp1", "n1") + var_term("so1", "soo1", "n1"))
+        / F.col("n1")
+    )
+    return (
+        w.filter((F.col("n0") > 1) & (F.col("n1") > 1))
+        .select(
+            "n0",
+            "n1",
+            F.round(did, 6).alias("placebo_did"),
+            F.round(se, 6).alias("se"),
+            (F.abs(did) <= 1.96 * se).alias("parallel_trends_plausible"),
+        )
+    )

@@ -803,3 +803,42 @@ def test_silhouette_separates_tight_clusters(spark, tmp_path_factory):
         assert r["n_vecs"] == 10
         assert r["mean_silhouette"] > 0.99
         assert bool(r["well_separated"])
+
+
+def test_pretrends_catches_diverging_arms(spark, tmp_path_factory):
+    """Arm-1 users ramp up INSIDE the pre-period (quarter 1: 1 event,
+    quarter 2: 5) while arm-0 users stay flat (2 and 2): the placebo
+    DiD reads ≈3.17 against a small arm-0 se — the parallel-trends
+    verdict must be False. A flat counter-plant (both arms 2/2, same
+    small placebo from the pin events) must pass."""
+    out = tmp_path_factory.mktemp("pt7")
+    arm0, arm1 = _users_by_arm(6)
+    # horizon [00:00, 04:00): mid = 02:00, q1 = 01:00 boundaries fall
+    # between the event clusters below
+    def plant(diverge):
+        rows = []
+        for u in arm0:
+            rows += [("2024-03-01 00:30:00", u, "view", 1.0)] * 2
+            rows += [("2024-03-01 01:30:00", u, "view", 1.0)] * 2
+            rows += [("2024-03-01 03:59:00", u, "view", 1.0)]
+        for u in arm1:
+            q2 = 5 if diverge else 2
+            rows += [("2024-03-01 00:30:00", u, "view", 1.0)] * 2
+            rows += [("2024-03-01 01:30:00", u, "view", 1.0)] * q2
+            rows += [("2024-03-01 03:59:00", u, "view", 1.0)]
+        # pin the horizon ends with one arm-0 user's extra events
+        rows += [("2024-03-01 00:00:00", arm0[0], "click", 1.0)]
+        rows += [("2024-03-01 04:00:00", arm0[0], "click", 1.0)]
+        return rows
+
+    # the two horizon-pin clicks give arm0[0] one extra quarter-1
+    # event: arm-0 pre-trend = 2 - 13/6 = -1/6, so the placebo reads
+    # 3-(-1/6) (diverging) and 0-(-1/6) (flat)
+    _write_events(spark, out, plant(True))
+    r = registry.get("q_events_pretrends").fn(spark, str(out)).collect()[0]
+    assert abs(r["placebo_did"] - (3 + 1 / 6)) <= 2e-6
+    assert not bool(r["parallel_trends_plausible"])
+    _write_events(spark, out, plant(False))
+    r2 = registry.get("q_events_pretrends").fn(spark, str(out)).collect()[0]
+    assert abs(r2["placebo_did"] - 1 / 6) <= 2e-6
+    assert bool(r2["parallel_trends_plausible"])

@@ -204,6 +204,7 @@ QUERIES = [
     "q_ml_naive_bayes",
     "q_ml_stump",
     "q_embed_silhouette",
+    "q_events_pretrends",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
