@@ -1070,3 +1070,120 @@ def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_ml_kmeans",
+    # EXACTLY the q_sim_ivf index build (shared ivf_cells_cte replay:
+    # deterministic seeds + one micro-unit-grid Lloyd round + the same
+    # (dist, cidx) assignment tiebreak); per-row assigned distances are
+    # identical sequential folds, so rounding them to 9dp DECIMAL makes
+    # the inertia sums order-free and hash-comparable.
+    oracle=f"""
+WITH {{cells}},
+dmin AS (SELECT vec_id, min(dist) AS dm FROM d GROUP BY vec_id),
+asg AS (
+  SELECT c2.vec_id, c2.label, c2.cell, dmin.dm
+  FROM cell c2 JOIN dmin USING (vec_id)
+),
+percell AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(dm, 9) AS DECIMAL(28,9))) AS si
+  FROM asg GROUP BY cell
+),
+pur AS (SELECT cell, label, count(*) AS cnt FROM asg GROUP BY cell, label),
+purbest AS (
+  SELECT cell, label AS top_label, cnt FROM (
+    SELECT *, row_number() OVER (PARTITION BY cell
+                                 ORDER BY cnt DESC, label) AS rn
+    FROM pur
+  ) WHERE rn = 1
+),
+tot AS (SELECT CAST(sum(si) AS DOUBLE) AS ti FROM percell)
+SELECT percell.cell, percell.n AS n_vecs,
+       round(CAST(percell.si AS DOUBLE), 6) AS inertia,
+       CAST(purbest.top_label AS BIGINT) AS top_label,
+       round(purbest.cnt * 1.0 / percell.n, 6) AS purity,
+       round(tot.ti, 6) AS total_inertia
+FROM percell JOIN purbest USING (cell) CROSS JOIN tot
+ORDER BY percell.cell
+""".format(cells=ivf_cells_cte()),
+)
+def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering report — the q_sim_ivf coarse quantizer
+    surfaced as a first-class ML op (the SAME build, provably: one
+    shared index replay): per-cell size, exact-armored inertia (the
+    quantity Lloyd minimizes, and the elbow-method input), dominant
+    label with purity (how well unsupervised cells recover the label
+    structure — the external-validity check beside q_embed_silhouette's
+    internal one), and total inertia. Sixth relational-ML member
+    (linreg, logreg, naive Bayes, stump, silhouette — and now the
+    clustering that feeds IVF/SemDeDup).
+
+    Scale shape: the build is q_sim_ivf's — deterministic seed sample
+    + ONE Lloyd round whose per-(cell, dim) sums are a single
+    partial-aggregated pass on the exact micro-unit grid; the report
+    adds one argmin-assignment scan (map-side, nlist literals), one
+    grouped pass to |cells| rows, and a |cells|×|labels| purity
+    rollup. Assigned distances are sequential folds rounded to 9dp
+    DECIMAL before summing — order-free inertia at any parallelism.
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", _as_double(F.col("embedding"))
+    )
+    centers = _ivf_centroids(spark, sf_dir, e)
+    if not centers:
+        return spark.createDataFrame(
+            [],
+            "cell int, n_vecs long, inertia double, top_label long,"
+            " purity double, total_inertia double",
+        )
+    dist_arr = F.array(*[_sqdist_expr(F.col("v"), c) for c in centers])
+    asg = e.select(
+        "label",
+        (F.array_position(dist_arr, F.array_min(dist_arr)) - 1).alias(
+            "cell"
+        ),
+        F.array_min(dist_arr).alias("dm"),
+    )
+    percell = asg.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round("dm", 9).cast("decimal(28,9)")).alias("si"),
+    )
+    pur = asg.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    purbest = (
+        pur.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("cell").orderBy(
+                    F.col("cnt").desc(), "label"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell",
+            F.col("label").cast("long").alias("top_label"),
+            F.col("cnt").alias("topcnt"),
+        )
+    )
+    tot = F.broadcast(
+        percell.agg(F.sum("si").cast("double").alias("ti"))
+    )
+    return (
+        percell.join(purbest, "cell")
+        .crossJoin(tot)
+        .select(
+            "cell",
+            F.col("n").alias("n_vecs"),
+            F.round(F.col("si").cast("double"), 6).alias("inertia"),
+            "top_label",
+            F.round(F.col("topcnt") * 1.0 / F.col("n"), 6).alias(
+                "purity"
+            ),
+            F.round("ti", 6).alias("total_inertia"),
+        )
+        .orderBy("cell")
+    )

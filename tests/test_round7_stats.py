@@ -842,3 +842,28 @@ def test_pretrends_catches_diverging_arms(spark, tmp_path_factory):
     r2 = registry.get("q_events_pretrends").fn(spark, str(out)).collect()[0]
     assert abs(r2["placebo_did"] - 1 / 6) <= 2e-6
     assert bool(r2["parallel_trends_plausible"])
+
+
+def test_kmeans_cells_partition_and_inertia_adds_up(
+    spark, tmp_path_factory
+):
+    """Every vector lands in exactly one cell (sizes sum to n), purity
+    is within (0, 1], and total_inertia equals the sum of per-cell
+    inertias to rounding."""
+    out = tmp_path_factory.mktemp("km7")
+    import random
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(0, 1) for _ in range(8)], i % 3)
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+    got = registry.get("q_ml_kmeans").fn(spark, str(out)).collect()
+    assert sum(r["n_vecs"] for r in got) == 40
+    tot = got[0]["total_inertia"]
+    assert abs(sum(r["inertia"] for r in got) - tot) <= 1e-4
+    for r in got:
+        assert 0 < r["purity"] <= 1.0
+        assert r["inertia"] >= 0.0

@@ -205,6 +205,7 @@ QUERIES = [
     "q_ml_stump",
     "q_embed_silhouette",
     "q_events_pretrends",
+    "q_ml_kmeans",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
