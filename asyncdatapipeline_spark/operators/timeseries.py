@@ -5847,3 +5847,147 @@ def q_events_pretrends(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(did) <= 1.96 * se).alias("parallel_trends_plausible"),
         )
     )
+
+
+@query(
+    "q_ts_spike_attribution",
+    # Spike day = argmax daily total (9dp-exact integers, earliest-day
+    # tiebreak); baselines are exact-integer means over the OTHER days;
+    # excess and contribution are one IEEE chain per type row.
+    oracle="""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT day, CAST(sum(c) AS BIGINT) AS n FROM d GROUP BY day
+),
+spike AS (SELECT day, n FROM tot ORDER BY n DESC, day LIMIT 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM tot),
+base AS (
+  SELECT d.event_type,
+         CAST(sum(CASE WHEN d.day <> spike.day THEN d.c ELSE 0 END)
+              AS BIGINT) AS c_rest
+  FROM d CROSS JOIN spike GROUP BY d.event_type
+),
+obs AS (
+  SELECT d.event_type, d.c AS c_spike
+  FROM d JOIN spike ON d.day = spike.day
+),
+j AS (
+  SELECT base.event_type,
+    CAST(COALESCE(obs.c_spike, 0) AS BIGINT) AS c_spike,
+    CAST(base.c_rest AS DOUBLE) / (nd.n_days - 1) AS baseline,
+    CAST(COALESCE(obs.c_spike, 0) AS BIGINT)
+      - CAST(base.c_rest AS DOUBLE) / (nd.n_days - 1) AS excess
+  FROM base LEFT JOIN obs USING (event_type)
+  CROSS JOIN nd WHERE nd.n_days > 1
+),
+tx AS (SELECT sum(CASE WHEN excess > 0 THEN excess ELSE 0 END) AS te
+       FROM j)
+SELECT j.event_type, j.c_spike,
+       round(j.baseline, 6) AS baseline_per_day,
+       round(j.excess, 6) AS excess,
+       CASE WHEN tx.te > 0 AND j.excess > 0
+            THEN round(j.excess / tx.te, 6) ELSE 0.0 END
+         AS spike_contribution,
+       (SELECT CAST(floor(epoch(day) / 86400) AS BIGINT) FROM spike)
+         AS spike_epoch_day
+FROM j CROSS JOIN tx ORDER BY j.event_type
+""",
+)
+def q_ts_spike_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spike attribution — the question that follows the moment
+    q_ts_control_chart or q_anomaly fires: WHICH stream drove the
+    spike day? Picks the max-volume day (earliest-day tiebreak),
+    compares each event type's spike-day count against its own
+    baseline (mean over every OTHER day), and splits the total
+    positive excess into per-type contribution shares — the "80% of
+    the spike was errors" sentence an incident review needs, as an
+    operator.
+
+    Scale shape: one pass to (day, type) integer counts; the spike
+    day is an orderBy(total desc, day).limit(1) TakeOrderedAndProject
+    on the |days| frame; baselines, excesses, and shares all live on
+    the |types|-row frame with 1-row broadcast joins. All integers
+    until the per-row division chains.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = d.groupBy("day").agg(F.sum("c").cast("long").alias("n"))
+    spike = F.broadcast(
+        tot.orderBy(F.col("n").desc(), "day").limit(1).select(
+            F.col("day").alias("sday")
+        )
+    )
+    nd = F.broadcast(
+        tot.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    )
+    base = (
+        d.crossJoin(spike)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("day") != F.col("sday"), F.col("c")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("c_rest")
+        )
+    )
+    obs = (
+        d.join(spike, d["day"] == spike["sday"])
+        .select("event_type", F.col("c").alias("c_spike"))
+    )
+    j = (
+        base.join(obs, "event_type", "left")
+        .crossJoin(nd)
+        .filter(F.col("n_days") > 1)
+        .select(
+            "event_type",
+            F.coalesce("c_spike", F.lit(0)).cast("long").alias("c_spike"),
+            (
+                F.col("c_rest").cast("double") / (F.col("n_days") - 1)
+            ).alias("baseline"),
+        )
+        .withColumn(
+            "excess",
+            F.col("c_spike").cast("double") - F.col("baseline"),
+        )
+    )
+    tx = F.broadcast(
+        j.agg(
+            F.sum(
+                F.when(F.col("excess") > 0, F.col("excess")).otherwise(0.0)
+            ).alias("te")
+        )
+    )
+    sday_num = F.broadcast(
+        spike.select(
+            (F.unix_timestamp(F.col("sday").cast("timestamp")) / 86400)
+            .cast("long")
+            .alias("spike_epoch_day")
+        )
+    )
+    return (
+        j.crossJoin(tx)
+        .crossJoin(sday_num)
+        .select(
+            "event_type",
+            "c_spike",
+            F.round("baseline", 6).alias("baseline_per_day"),
+            F.round("excess", 6).alias("excess"),
+            F.when(
+                (F.col("te") > 0) & (F.col("excess") > 0),
+                F.round(F.col("excess") / F.col("te"), 6),
+            )
+            .otherwise(0.0)
+            .alias("spike_contribution"),
+            "spike_epoch_day",
+        )
+        .orderBy("event_type")
+    )

@@ -867,3 +867,32 @@ def test_kmeans_cells_partition_and_inertia_adds_up(
     for r in got:
         assert 0 < r["purity"] <= 1.0
         assert r["inertia"] >= 0.0
+
+
+def test_spike_attribution_blames_the_error_stream(
+    spark, tmp_path_factory
+):
+    """Five quiet days of 10 views + 2 errors, then a spike day with
+    10 views + 52 errors: views have zero excess, errors carry 100% of
+    the spike contribution (excess 50 over a 2/day baseline)."""
+    out = tmp_path_factory.mktemp("spk7")
+    rows = []
+    for dnum in range(1, 6):
+        day = f"2024-03-{dnum:02d}"
+        rows += [(f"{day} 01:00:00", 1, "view", 1.0)] * 10
+        rows += [(f"{day} 02:00:00", 1, "error", 1.0)] * 2
+    rows += [("2024-03-06 01:00:00", 1, "view", 1.0)] * 10
+    rows += [("2024-03-06 02:00:00", 1, "error", 1.0)] * 52
+    _write_events(spark, out, rows)
+    got = {
+        r["event_type"]: r
+        for r in registry.get("q_ts_spike_attribution")
+        .fn(spark, str(out))
+        .collect()
+    }
+    assert got["error"]["c_spike"] == 52
+    assert got["error"]["baseline_per_day"] == 2.0
+    assert got["error"]["excess"] == 50.0
+    assert got["error"]["spike_contribution"] == 1.0
+    assert got["view"]["excess"] == 0.0
+    assert got["view"]["spike_contribution"] == 0.0

@@ -206,6 +206,7 @@ QUERIES = [
     "q_embed_silhouette",
     "q_events_pretrends",
     "q_ml_kmeans",
+    "q_ts_spike_attribution",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
