@@ -5991,3 +5991,92 @@ def q_ts_spike_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_FATIGUE_CAP = 10  # exposure indexes beyond this pool into one bucket
+
+
+@query(
+    "q_events_fatigue",
+    # Exposure index = row_number on the natural per-user ordering
+    # (q_events_markov's date_trunc+event_id tiebreak); response = the
+    # user's NEXT event is a purchase (lead on the same window); all
+    # counts exact integers, one division per bucket row.
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type, event_id,
+         date_trunc('second', ts) AS ts2,
+         lead(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY date_trunc('second', ts), event_id
+         ) AS next_type
+  FROM events
+),
+idx AS (
+  SELECT user_id, next_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts2, event_id) AS exposure
+  FROM seq WHERE event_type = 'view'
+),
+b AS (
+  SELECT CASE WHEN exposure >= {_FATIGUE_CAP} THEN {_FATIGUE_CAP}
+              ELSE exposure END AS exposure_bucket,
+         CASE WHEN next_type = 'purchase' THEN 1 ELSE 0 END AS responded
+  FROM idx
+)
+SELECT CAST(exposure_bucket AS BIGINT) AS exposure_bucket,
+       CAST(count(*) AS BIGINT) AS n_exposures,
+       CAST(sum(responded) AS BIGINT) AS n_responses,
+       round(sum(responded) * 1.0 / count(*), 6) AS response_rate
+FROM b GROUP BY exposure_bucket ORDER BY exposure_bucket
+""",
+)
+def q_events_fatigue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure-fatigue curve: purchase-response rate by each user's
+    k-th view — the growth-analytics decay curve behind notification
+    capping and ad frequency caps (a declining curve says additional
+    exposures burn goodwill; a flat one says cap limits are money
+    left on the table). q_retention measures return over TIME; this
+    measures response over WITHIN-USER EXPOSURE COUNT — sequence
+    position, not calendar.
+
+    Scale shape: two windows on the SAME natural per-user partitioning
+    (one shuffle total), a map-side bucket cap, and one partial-
+    aggregated pass to ≤{cap} report rows. All exact integers.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.date_trunc("second", F.col("ts")), "event_id"
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.date_trunc("second", F.col("ts")).alias("ts2"),
+        "event_id",
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts2", "event_id")
+    idx = (
+        seq.filter(F.col("event_type") == "view")
+        .withColumn("exposure", F.row_number().over(w2))
+    )
+    b = idx.select(
+        F.when(
+            F.col("exposure") >= _FATIGUE_CAP, F.lit(_FATIGUE_CAP)
+        )
+        .otherwise(F.col("exposure"))
+        .cast("long")
+        .alias("exposure_bucket"),
+        (F.col("next_type") == "purchase").cast("int").alias("responded"),
+    )
+    return (
+        b.groupBy("exposure_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exposures"),
+            F.sum("responded").cast("long").alias("n_responses"),
+            F.round(
+                F.sum("responded") * 1.0 / F.count(F.lit(1)), 6
+            ).alias("response_rate"),
+        )
+        .orderBy("exposure_bucket")
+    )

@@ -896,3 +896,28 @@ def test_spike_attribution_blames_the_error_stream(
     assert got["error"]["spike_contribution"] == 1.0
     assert got["view"]["excess"] == 0.0
     assert got["view"]["spike_contribution"] == 0.0
+
+
+def test_fatigue_curve_decays_on_planted_sequences(
+    spark, tmp_path_factory
+):
+    """Every user: view→purchase, then view→click (first exposure
+    converts, second doesn't): rate(1) = 1.0, rate(2) = 0.0."""
+    out = tmp_path_factory.mktemp("fat7")
+    rows = []
+    for u in (1, 2, 3):
+        rows += [
+            (f"2024-03-01 00:0{u}:00", u, "view", 1.0),
+            (f"2024-03-01 00:0{u}:10", u, "purchase", 1.0),
+            (f"2024-03-01 00:0{u}:20", u, "view", 1.0),
+            (f"2024-03-01 00:0{u}:30", u, "click", 1.0),
+        ]
+    _write_events(spark, out, rows)
+    got = {
+        r["exposure_bucket"]: r
+        for r in registry.get("q_events_fatigue")
+        .fn(spark, str(out))
+        .collect()
+    }
+    assert got[1]["n_exposures"] == 3 and got[1]["response_rate"] == 1.0
+    assert got[2]["n_exposures"] == 3 and got[2]["response_rate"] == 0.0

@@ -207,6 +207,7 @@ QUERIES = [
     "q_events_pretrends",
     "q_ml_kmeans",
     "q_ts_spike_attribution",
+    "q_events_fatigue",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
