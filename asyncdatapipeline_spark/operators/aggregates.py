@@ -4087,3 +4087,98 @@ def q_ml_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("_gini9")
     )
+
+
+_HILL_K = 100
+
+
+@query(
+    "q_agg_hill",
+    # Top-(k+1) order statistics via a deterministic (value desc, key)
+    # cutoff; each ln rounds to 9dp and enters an exact DECIMAL sum
+    # (the ln-contract); alpha is one IEEE division chain; the
+    # heavy-tail verdict is a literal-threshold comparison.
+    oracle=f"""
+WITH t AS (
+  SELECT o_totalprice AS x, o_orderkey
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT {_HILL_K + 1}
+),
+r AS (
+  SELECT x, row_number() OVER (ORDER BY x DESC, o_orderkey) AS rk
+  FROM t
+),
+thr AS (SELECT x AS xk FROM r WHERE rk = {_HILL_K + 1}),
+s AS (
+  SELECT CAST(sum(CAST(round(ln(r.x / thr.xk), 9) AS DECIMAL(18,9)))
+              AS DOUBLE) AS slog,
+         CAST(count(*) AS BIGINT) AS k
+  FROM r CROSS JOIN thr WHERE r.rk <= {_HILL_K}
+)
+SELECT s.k, round(thr.xk, 6) AS threshold,
+       round(s.slog / s.k, 6) AS mean_excess_log,
+       round(s.k / s.slog, 6) AS hill_alpha,
+       s.k / s.slog < 2.0 AS infinite_variance_tail
+FROM s CROSS JOIN thr
+""",
+)
+def q_agg_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator over the top-{k} order values:
+    α̂ = k / Σ ln(x_(i)/x_(k+1)) — the extreme-value-theory answer to
+    "HOW heavy is this tail" that moments can't give (a sample
+    kurtosis exists even when the population's doesn't). α < 2 means
+    infinite variance: means still converge but every variance-based
+    statistic in the engine (t-tests, control limits, CIs) is
+    formally broken on that column — the verdict that routes analysis
+    to the robust family (q_anomaly_mad, q_agg_mannwhitney,
+    q_winsorize). Complements q_profile_benford (digit law) and
+    q_agg_skewkurt (finite-moment shape) as the TAIL diagnostic.
+
+    Scale shape: the only data-sized work is one TakeOrderedAndProject
+    for the top-(k+1) order statistics (per-task k-heaps — never a
+    global sort); the estimator runs on the k-row frame under the
+    ln-contract with a deterministic (value, key) cutoff tiebreak.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    top = (
+        o.select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.col("x").desc(), "o_orderkey")
+        .limit(_HILL_K + 1)
+    )
+    r = top.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy(F.lit(1)).orderBy(F.col("x").desc(), "o_orderkey")
+        ),
+    )
+    thr = F.broadcast(
+        r.filter(F.col("rk") == _HILL_K + 1).select(
+            F.col("x").alias("xk")
+        )
+    )
+    s = (
+        r.filter(F.col("rk") <= _HILL_K)
+        .crossJoin(thr)
+        .agg(
+            F.sum(
+                F.round(F.log(F.col("x") / F.col("xk")), 9).cast(
+                    "decimal(18,9)"
+                )
+            )
+            .cast("double")
+            .alias("slog"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    return s.crossJoin(thr).select(
+        "k",
+        F.round("xk", 6).alias("threshold"),
+        F.round(F.col("slog") / F.col("k"), 6).alias("mean_excess_log"),
+        F.round(F.col("k") / F.col("slog"), 6).alias("hill_alpha"),
+        (F.col("k") / F.col("slog") < 2.0).alias(
+            "infinite_variance_tail"
+        ),
+    )
+
+
+q_agg_hill.__doc__ = q_agg_hill.__doc__.format(k=_HILL_K)

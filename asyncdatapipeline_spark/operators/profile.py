@@ -871,3 +871,81 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feed")
     )
+
+
+_NULLPAT_COLS = ("o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "q_profile_null_pattern",
+    # The null-combination bitmask is a pure map expression over three
+    # columns; counts exact integers, one division per pattern row.
+    oracle=f"""
+WITH p AS (
+  SELECT {" + ".join(
+      f"(CASE WHEN {c} IS NULL THEN {1 << i} ELSE 0 END)"
+      for i, c in enumerate(_NULLPAT_COLS)
+  )} AS pattern
+  FROM orders
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p)
+SELECT CAST(p.pattern AS BIGINT) AS pattern,
+       {", ".join(
+           f"CAST(p.pattern & {1 << i} > 0 AS BOOLEAN)"
+           f" AS null_{c}" for i, c in enumerate(_NULLPAT_COLS)
+       )},
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(count(*) * 1.0 / max(t.n), 6) AS share
+FROM p CROSS JOIN t
+GROUP BY p.pattern ORDER BY p.pattern
+""",
+)
+def q_profile_null_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-combination patterns — WHICH columns go null TOGETHER:
+    each row maps to a bitmask over the audited columns and the report
+    counts rows per pattern. Per-column null counts (q_profile) hide
+    structure: 10% nulls in A and 10% in B is a different disease
+    when they are the SAME rows (one broken upstream join) vs
+    independent (two flaky fields). The co-missingness fingerprint is
+    the first clue in that diagnosis — and the fixture's all-zero
+    single pattern row is itself the assertion that the feed is
+    complete.
+
+    Scale shape: the bitmask is one map-side integer expression over a
+    scan pruned to the audited columns; ONE partial-aggregated pass
+    to ≤ 2^k pattern rows; a 1-row total for the shares. Trivially
+    extendable to any column list (k ≤ ~20 before the report itself
+    needs thinking).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pattern = sum(
+        [
+            F.when(F.col(c).isNull(), 1 << i).otherwise(0)
+            for i, c in enumerate(_NULLPAT_COLS)
+        ],
+        F.lit(0),
+    )
+    p = o.select(pattern.alias("pattern"))
+    t = F.broadcast(p.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    return (
+        p.crossJoin(t)
+        .groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.max("n").alias("_n"),
+        )
+        .select(
+            F.col("pattern").cast("long").alias("pattern"),
+            *[
+                (F.col("pattern").bitwiseAND(F.lit(1 << i)) > 0).alias(
+                    f"null_{c}"
+                )
+                for i, c in enumerate(_NULLPAT_COLS)
+            ],
+            "n_rows",
+            F.round(F.col("n_rows") * 1.0 / F.col("_n"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("pattern")
+    )

@@ -921,3 +921,65 @@ def test_fatigue_curve_decays_on_planted_sequences(
     }
     assert got[1]["n_exposures"] == 3 and got[1]["response_rate"] == 1.0
     assert got[2]["n_exposures"] == 3 and got[2]["response_rate"] == 0.0
+
+
+def test_hill_alpha_on_planted_pareto_tail(spark, tmp_path_factory):
+    """Exact Pareto(α=1.5) order values x_i = (200/i)^(2/3)·1000:
+    the Hill estimator over the top 100 recovers α within 12% (it is
+    consistent, not unbiased, at k=100) and flags the infinite-
+    variance tail."""
+    out = tmp_path_factory.mktemp("hill7")
+    rows = [
+        (i, 1, "2024-03-01 00:00:00", 1000.0 * (200.0 / i) ** (2.0 / 3.0))
+        for i in range(1, 201)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, od string, o_totalprice double",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("od").cast("timestamp").alias("o_orderdate"),
+        "o_totalprice",
+        F.lit("O").alias("o_orderstatus"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    r = registry.get("q_agg_hill").fn(spark, str(out)).collect()[0]
+    assert r["k"] == 100
+    assert abs(r["hill_alpha"] - 1.5) <= 0.18
+    assert bool(r["infinite_variance_tail"])
+
+
+def test_null_pattern_separates_joint_from_independent(
+    spark, tmp_path_factory
+):
+    """Plant rows where status+price go null TOGETHER (pattern 3) and
+    priority goes null alone (pattern 4): the report shows exactly the
+    three patterns with their counts."""
+    out = tmp_path_factory.mktemp("np7")
+    rows = [
+        (1, "O", 10.0, "1-URGENT"),
+        (2, "O", 10.0, "1-URGENT"),
+        (3, None, None, "1-URGENT"),
+        (4, None, None, "1-URGENT"),
+        (5, "O", 10.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderstatus string, o_totalprice double,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(out / "orders.parquet"))
+    got = {
+        r["pattern"]: r
+        for r in registry.get("q_profile_null_pattern")
+        .fn(spark, str(out))
+        .collect()
+    }
+    assert set(got) == {0, 3, 4}
+    assert got[0]["n_rows"] == 2
+    assert got[3]["n_rows"] == 2
+    assert bool(got[3]["null_o_orderstatus"])
+    assert bool(got[3]["null_o_totalprice"])
+    assert not bool(got[3]["null_o_orderpriority"])
+    assert got[4]["n_rows"] == 1 and bool(got[4]["null_o_orderpriority"])
+    assert got[4]["share"] == 0.2

@@ -208,6 +208,8 @@ QUERIES = [
     "q_ml_kmeans",
     "q_ts_spike_attribution",
     "q_events_fatigue",
+    "q_agg_hill",
+    "q_profile_null_pattern",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
