@@ -2533,7 +2533,7 @@ def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_NB_SQL_BODY = """
+_NB_PRED_PREFIX = """
 WITH {tok_cte}cls AS (
   SELECT lang,
          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -2594,7 +2594,9 @@ pred AS (
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY s DESC, cand) AS rk
   FROM score
-),
+)"""
+
+_NB_CONF_TAIL = """,
 conf AS (
   SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
   FROM pred WHERE rk = 1 GROUP BY true_lang, pred_lang
@@ -2610,6 +2612,8 @@ SELECT c.true_lang, c.pred_lang, c.n,
 FROM conf c CROSS JOIN acc a
 ORDER BY c.true_lang, c.pred_lang
 """
+
+_NB_SQL_BODY = _NB_PRED_PREFIX + _NB_CONF_TAIL
 
 
 @query(
@@ -2661,3 +2665,90 @@ def q_ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     tok.createOrReplaceTempView("nb_tok")
     return spark.sql(_NB_SQL_BODY.format(tok_cte="tok AS (SELECT * FROM nb_tok),\n"))
+
+
+_MCNEMAR_TAIL = """,
+base AS (
+  -- majority-class baseline: the most frequent training label
+  -- (count desc, lang asc tiebreak) predicted for every doc
+  SELECT lang AS blang FROM cls ORDER BY n_docs DESC, lang LIMIT 1
+),
+paired AS (
+  SELECT p.doc_id,
+    CASE WHEN p.pred_lang = p.true_lang THEN 1 ELSE 0 END AS nb_right,
+    CASE WHEN base.blang = p.true_lang THEN 1 ELSE 0 END AS base_right
+  FROM pred p CROSS JOIN base WHERE p.rk = 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(CASE WHEN nb_right = 1 AND base_right = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(sum(CASE WHEN nb_right = 0 AND base_right = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(sum(nb_right) AS BIGINT) AS nb_n_right,
+    CAST(sum(base_right) AS BIGINT) AS base_n_right
+  FROM paired
+)
+SELECT n_docs, b AS nb_only_right, c AS base_only_right,
+       round(CAST(nb_n_right AS DOUBLE) / n_docs, 6) AS nb_accuracy,
+       round(CAST(base_n_right AS DOUBLE) / n_docs, 6) AS base_accuracy,
+       CASE WHEN b + c > 0
+            THEN round((abs(CAST(b AS DOUBLE) - c) - 1)
+                       * (abs(CAST(b AS DOUBLE) - c) - 1) / (b + c), 6)
+            ELSE 0.0 END AS mcnemar_chi2,
+       CASE WHEN b + c > 0
+            THEN (abs(CAST(b AS DOUBLE) - c) - 1)
+                 * (abs(CAST(b AS DOUBLE) - c) - 1) / (b + c) > 3.841
+            ELSE false END AS nb_significantly_different
+FROM m
+"""
+
+
+@query(
+    "q_eval_mcnemar",
+    # The SAME naive-Bayes prediction chain (shared _NB_PRED_PREFIX —
+    # one model, provably) paired per-document against the majority-
+    # class baseline; discordant counts exact integers, the continuity-
+    # corrected chi-square one IEEE chain, 3.841 the usual literal.
+    oracle=(
+        _NB_PRED_PREFIX.format(
+            tok_cte=(
+                "tok AS (\n"
+                "  SELECT doc_id, lang, unnest(string_split(text, ' '))"
+                " AS w\n"
+                "  FROM documents\n"
+                "),\n"
+            ),
+        )
+        + _MCNEMAR_TAIL
+    ),
+)
+def q_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test — does the learned classifier ACTUALLY
+    beat the majority-class baseline on the same documents? Accuracy
+    deltas on shared eval sets are paired data: only the DISCORDANT
+    documents (one model right, the other wrong) carry evidence, and
+    the continuity-corrected χ² = (|b−c|−1)²/(b+c) is the correct
+    test — two models can differ by 3 accuracy points and still be
+    statistically indistinguishable when b ≈ c. The model-comparison
+    gate every "new model is better" claim needs, run here on
+    q_ml_naive_bayes vs the strongest no-information baseline; the
+    prediction chain is SHARED SQL with the NB op, so the compared
+    model is provably the registered one.
+
+    Scale shape: the NB prediction chain's cost (see q_ml_naive_bayes)
+    plus one map-side pairing against a 1-row broadcast baseline and
+    ONE aggregate to the four paired counts; the test statistic is
+    arithmetic on a single row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).localCheckpoint()
+    tok.createOrReplaceTempView("mcnemar_tok")
+    return spark.sql(
+        _NB_PRED_PREFIX.format(
+            tok_cte="tok AS (SELECT * FROM mcnemar_tok),\n"
+        )
+        + _MCNEMAR_TAIL
+    )

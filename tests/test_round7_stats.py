@@ -983,3 +983,25 @@ def test_null_pattern_separates_joint_from_independent(
     assert not bool(got[3]["null_o_orderpriority"])
     assert got[4]["n_rows"] == 1 and bool(got[4]["null_o_orderpriority"])
     assert got[4]["share"] == 0.2
+
+
+def test_mcnemar_on_disjoint_vocabs_vs_majority(spark, tmp_path_factory):
+    """Disjoint vocabularies: NB is perfect (14/14); the majority
+    baseline ('la', 8 docs) gets only those 8. Discordants: b = 6
+    (the 'lb' docs NB alone gets), c = 0 — chi2 = (6-1)^2/6 ≈ 4.17 >
+    3.841: significantly different."""
+    out = tmp_path_factory.mktemp("mcn7")
+    docs = [(i, "aa bb cc aa bb", "la", "s", 14) for i in range(8)]
+    docs += [(i, "xx yy zz xx yy", "lb", "s", 14) for i in range(8, 14)]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    r = registry.get("q_eval_mcnemar").fn(spark, str(out)).collect()[0]
+    assert r["n_docs"] == 14
+    assert r["nb_accuracy"] == 1.0
+    assert abs(r["base_accuracy"] - 8 / 14) <= 1e-6
+    assert (r["nb_only_right"], r["base_only_right"]) == (6, 0)
+    assert abs(r["mcnemar_chi2"] - 25 / 6) <= 1e-5
+    assert bool(r["nb_significantly_different"])

@@ -210,6 +210,7 @@ QUERIES = [
     "q_events_fatigue",
     "q_agg_hill",
     "q_profile_null_pattern",
+    "q_eval_mcnemar",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
