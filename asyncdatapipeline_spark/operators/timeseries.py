@@ -6080,3 +6080,120 @@ def q_events_fatigue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("exposure_bucket")
     )
+
+
+@query(
+    "q_events_capture_recapture",
+    # Two capture occasions = the exact epoch-midpoint halves
+    # (q_split_time device); the Lincoln-Petersen (Chapman-corrected)
+    # estimator and its CI run on four exact integers.
+    oracle="""
+WITH b AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+  FROM events
+),
+u AS (
+  SELECT user_id,
+    max(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                  <= (SELECT mid FROM b) THEN 1 ELSE 0 END) AS in_a,
+    max(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                  > (SELECT mid FROM b) THEN 1 ELSE 0 END) AS in_b
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS na,
+         CAST(sum(in_b) AS BIGINT) AS nb,
+         CAST(sum(in_a * in_b) AS BIGINT) AS nab,
+         CAST(count(*) AS BIGINT) AS n_seen
+  FROM u
+),
+e AS (
+  SELECT na, nb, nab, n_seen,
+    (CAST(na + 1 AS DOUBLE) * (nb + 1)) / (nab + 1) - 1 AS n_hat,
+    sqrt((CAST(na + 1 AS DOUBLE) * (nb + 1) * (na - nab) * (nb - nab))
+         / (CAST(nab + 1 AS DOUBLE) * (nab + 1) * (nab + 2))) AS se
+  FROM s
+)
+SELECT na AS n_first_half, nb AS n_second_half, nab AS n_both,
+       n_seen,
+       round(n_hat, 6) AS n_hat_chapman,
+       round(se, 6) AS se,
+       round(greatest(n_hat - 1.96 * se, CAST(n_seen AS DOUBLE)), 6)
+         AS ci_lo,
+       round(n_hat + 1.96 * se, 6) AS ci_hi,
+       round(CAST(n_seen AS DOUBLE)
+             / greatest(n_hat, CAST(n_seen AS DOUBLE)), 6)
+         AS coverage_share
+FROM e
+""",
+)
+def q_events_capture_recapture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Capture-recapture population estimate — how many users EXIST
+    that the log never saw: treat the two halves of the horizon as
+    capture occasions; the overlap rate identifies the unseen mass
+    (Chapman-corrected Lincoln-Petersen N̂ = (n_a+1)(n_b+1)/(n_ab+1)−1
+    with its standard SE). The ecology estimator that data teams
+    reuse as a COMPLETENESS audit: coverage_share near 1 says the
+    event feed sees essentially everyone; a low share quantifies the
+    blind spot no within-feed DQ check (q_dq_report, q_dq_freshness)
+    can even see, because the missing users left no rows. Assumes
+    closed population + independent occasions — stated, as the method
+    always must.
+
+    Scale shape: ONE pass reduces events to per-user presence flags
+    against a 1-row broadcast midpoint; ONE aggregate to four exact
+    integers; estimator, SE, CI, and coverage are a single IEEE chain
+    on one row. The CI floor is n_seen (an estimate below the
+    observed count is logically impossible — clamped identically in
+    both engines).
+    """
+    e = load_table(spark, sf_dir, "events")
+    ep = F.floor(F.unix_timestamp("ts")).cast("long")
+    b = F.broadcast(
+        e.agg(F.floor((F.min(ep) + F.max(ep)) / 2).cast("long").alias("mid"))
+    )
+    u = (
+        e.crossJoin(b)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(ep <= F.col("mid"), 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(ep > F.col("mid"), 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    s = u.agg(
+        F.sum("in_a").cast("long").alias("na"),
+        F.sum("in_b").cast("long").alias("nb"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("nab"),
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+    )
+    na, nb, nab = (
+        F.col("na").cast("double"),
+        F.col("nb").cast("double"),
+        F.col("nab").cast("double"),
+    )
+    n_hat = (na + 1) * (nb + 1) / (nab + 1) - 1
+    se = F.sqrt(
+        ((na + 1) * (nb + 1) * (na - nab) * (nb - nab))
+        / ((nab + 1) * (nab + 1) * (nab + 2))
+    )
+    nseen_d = F.col("n_seen").cast("double")
+    return s.select(
+        F.col("na").alias("n_first_half"),
+        F.col("nb").alias("n_second_half"),
+        F.col("nab").alias("n_both"),
+        "n_seen",
+        F.round(n_hat, 6).alias("n_hat_chapman"),
+        F.round(se, 6).alias("se"),
+        F.round(F.greatest(n_hat - 1.96 * se, nseen_d), 6).alias("ci_lo"),
+        F.round(n_hat + 1.96 * se, 6).alias("ci_hi"),
+        F.round(nseen_d / F.greatest(n_hat, nseen_d), 6).alias(
+            "coverage_share"
+        ),
+    )

@@ -1005,3 +1005,30 @@ def test_mcnemar_on_disjoint_vocabs_vs_majority(spark, tmp_path_factory):
     assert (r["nb_only_right"], r["base_only_right"]) == (6, 0)
     assert abs(r["mcnemar_chi2"] - 25 / 6) <= 1e-5
     assert bool(r["nb_significantly_different"])
+
+
+def test_capture_recapture_estimates_the_unseen(spark, tmp_path_factory):
+    """60 true users; half A captures users 1-30, half B captures
+    16-45 (overlap 15): Chapman N̂ = 31·31/16 − 1 = 59.0625 ≈ 60, the
+    45 seen give coverage ≈ 0.762."""
+    out = tmp_path_factory.mktemp("cr7")
+    rows = []
+    for u in range(1, 31):
+        rows.append(("2024-03-01 00:00:00", u, "view", 1.0))
+    for u in range(16, 46):
+        rows.append(("2024-03-09 00:00:00", u, "view", 1.0))
+    _write_events(spark, out, rows)
+    r = (
+        registry.get("q_events_capture_recapture")
+        .fn(spark, str(out))
+        .collect()[0]
+    )
+    assert (r["n_first_half"], r["n_second_half"], r["n_both"]) == (
+        30,
+        30,
+        15,
+    )
+    assert r["n_seen"] == 45
+    assert abs(r["n_hat_chapman"] - (31 * 31 / 16 - 1)) <= 1e-6
+    assert abs(r["coverage_share"] - 45 / (31 * 31 / 16 - 1)) <= 1e-6
+    assert r["ci_lo"] >= 45.0

@@ -211,6 +211,7 @@ QUERIES = [
     "q_agg_hill",
     "q_profile_null_pattern",
     "q_eval_mcnemar",
+    "q_events_capture_recapture",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
