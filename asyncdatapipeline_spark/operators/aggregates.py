@@ -4182,3 +4182,128 @@ def q_agg_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_agg_hill.__doc__ = q_agg_hill.__doc__.format(k=_HILL_K)
+
+
+@query(
+    "q_agg_robust_ttest",
+    # Caps = POOLED exact percentiles (the q_agg_quantile contract),
+    # rounded to 6dp BEFORE clamping so every winsorized value is
+    # 6dp-exact and the DECIMAL power sums cannot hit a rounding tie;
+    # Welch t on the capped values is one IEEE chain.
+    oracle="""
+WITH v AS (
+  SELECT value,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UINTEGER % 2
+           AS arm
+  FROM events
+),
+caps AS (
+  SELECT round(quantile_cont(value, 0.05), 6) AS lo,
+         round(quantile_cont(value, 0.95), 6) AS hi
+  FROM v
+),
+w AS (
+  SELECT arm, least(greatest(v.value, caps.lo), caps.hi) AS wv
+  FROM v CROSS JOIN caps
+),
+s AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(wv AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(wv * wv AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM w GROUP BY arm
+),
+p AS (
+  SELECT
+    max(CASE WHEN arm = 0 THEN n END) AS n0,
+    max(CASE WHEN arm = 0 THEN sx END) AS sx0,
+    max(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+    max(CASE WHEN arm = 1 THEN n END) AS n1,
+    max(CASE WHEN arm = 1 THEN sx END) AS sx1,
+    max(CASE WHEN arm = 1 THEN sxx END) AS sxx1
+  FROM s
+),
+t AS (
+  SELECT n0, n1,
+    sx0 / n0 AS m0, sx1 / n1 AS m1,
+    (sxx0 - sx0 * sx0 / n0) / (n0 - 1) AS v0,
+    (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1
+  FROM p WHERE n0 > 1 AND n1 > 1
+)
+SELECT n0, n1, caps.lo, caps.hi,
+       round(m0, 6) AS mean_capped_a,
+       round(m1, 6) AS mean_capped_b,
+       round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 6) AS t_capped,
+       abs((m0 - m1) / sqrt(v0 / n0 + v1 / n1)) > 1.96
+         AS significant
+FROM t CROSS JOIN caps
+""",
+)
+def q_agg_robust_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized Welch t — the A/B readout that survives heavy tails:
+    cap every value at the POOLED exact 5th/95th percentiles (pooled,
+    so the transform cannot differ between arms and bias the
+    comparison), then run the Welch statistic on the capped values.
+    The industry-standard guard for revenue-style metrics where one
+    whale flips q_agg_ttest's verdict — and the parametric companion
+    to the fully-rank-based q_agg_mannwhitney (winsorizing keeps the
+    metric's SCALE interpretable; ranks discard it). q_agg_hill tells
+    you WHEN this op is mandatory (α < 2).
+
+    Scale shape: one exact-percentile aggregate for the two pooled
+    caps (a 1-row broadcast), one map-side clamp, one grouped pass of
+    exact-DECIMAL power sums per arm, closed forms on the pivoted
+    row. Caps round to 6dp BEFORE clamping so winsorized values stay
+    6dp-exact and the decimal armor never meets a rounding tie.
+    """
+    e = load_table(spark, sf_dir, "events")
+    byte = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    v = e.select("value", (byte % 2).alias("arm"))
+    caps = F.broadcast(
+        v.agg(
+            F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+        )
+    )
+    w = v.crossJoin(caps).select(
+        "arm",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "wv"
+        ),
+    )
+    s = w.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("wv").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("wv") * F.col("wv")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    p = s.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{a}")
+            for a in (0, 1)
+            for c in ("n", "sx", "sxx")
+        ]
+    )
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    m0, m1 = F.col("sx0") / n0, F.col("sx1") / n1
+    v0 = (F.col("sxx0") - F.col("sx0") * F.col("sx0") / n0) / (n0 - 1)
+    v1 = (F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1) / (n1 - 1)
+    tstat = (m0 - m1) / F.sqrt(v0 / n0 + v1 / n1)
+    return (
+        p.filter((F.col("n0") > 1) & (F.col("n1") > 1))
+        .crossJoin(caps)
+        .select(
+            "n0",
+            "n1",
+            "lo",
+            "hi",
+            F.round(m0, 6).alias("mean_capped_a"),
+            F.round(m1, 6).alias("mean_capped_b"),
+            F.round(tstat, 6).alias("t_capped"),
+            (F.abs(tstat) > 1.96).alias("significant"),
+        )
+    )

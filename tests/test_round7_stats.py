@@ -1032,3 +1032,24 @@ def test_capture_recapture_estimates_the_unseen(spark, tmp_path_factory):
     assert abs(r["n_hat_chapman"] - (31 * 31 / 16 - 1)) <= 1e-6
     assert abs(r["coverage_share"] - 45 / (31 * 31 / 16 - 1)) <= 1e-6
     assert r["ci_lo"] >= 45.0
+
+
+def test_robust_ttest_shrugs_off_the_whale(spark, tmp_path_factory):
+    """Both arms share the 10±1 distribution except one arm-0 whale at
+    100000: the capped means are equal-ish and the winsorized verdict
+    must be NOT significant (a raw t on the same data would swing on
+    the whale); the caps sit inside [9, 11]."""
+    out = tmp_path_factory.mktemp("rt7")
+    arm0, arm1 = _users_by_arm(30)
+    ts = "2024-03-01 00:00:00"
+    rows = []
+    for i, u in enumerate(arm0):
+        rows.append((ts, u, "view", 10.0 + (i % 3) - 1))
+    for i, u in enumerate(arm1):
+        rows.append((ts, u, "view", 10.0 + (i % 3) - 1))
+    rows.append((ts, arm0[0], "view", 100000.0))  # the whale
+    _write_events(spark, out, rows)
+    r = registry.get("q_agg_robust_ttest").fn(spark, str(out)).collect()[0]
+    assert 9.0 <= r["lo"] <= r["hi"] <= 11.0
+    assert abs(r["mean_capped_a"] - r["mean_capped_b"]) < 0.2
+    assert not bool(r["significant"])

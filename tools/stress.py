@@ -212,6 +212,7 @@ QUERIES = [
     "q_profile_null_pattern",
     "q_eval_mcnemar",
     "q_events_capture_recapture",
+    "q_agg_robust_ttest",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
