@@ -6197,3 +6197,133 @@ def q_events_capture_recapture(
             "coverage_share"
         ),
     )
+
+
+@query(
+    "q_events_fatigue_trend",
+    # The q_events_fatigue bucket frame pushed through the Cochran-
+    # Armitage trend test (scores = bucket index, a literal ladder):
+    # every moment is an exact integer sum over ≤10 rows; z is one
+    # IEEE chain; 1.96 the usual literal.
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type, event_id,
+         date_trunc('second', ts) AS ts2,
+         lead(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY date_trunc('second', ts), event_id
+         ) AS next_type
+  FROM events
+),
+idx AS (
+  SELECT user_id, next_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts2, event_id) AS exposure
+  FROM seq WHERE event_type = 'view'
+),
+b AS (
+  SELECT CASE WHEN exposure >= {_FATIGUE_CAP} THEN {_FATIGUE_CAP}
+              ELSE exposure END AS s,
+         CASE WHEN next_type = 'purchase' THEN 1 ELSE 0 END AS r
+  FROM idx
+),
+g AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS r
+  FROM b GROUP BY s
+),
+m AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(r) AS BIGINT) AS rr,
+         CAST(sum(n * s) AS BIGINT) AS ns,
+         CAST(sum(n * s * s) AS BIGINT) AS nss,
+         CAST(sum(r * s) AS BIGINT) AS rs
+  FROM g
+),
+t AS (
+  SELECT nn, rr,
+    CAST(rs AS DOUBLE) - CAST(rr AS DOUBLE) * ns / nn AS tt,
+    (CAST(rr AS DOUBLE) / nn) * (1 - CAST(rr AS DOUBLE) / nn)
+      * (CAST(nss AS DOUBLE) - CAST(ns AS DOUBLE) * ns / nn) AS vv
+  FROM m
+)
+SELECT nn AS n_exposures, rr AS n_responses,
+       round(tt, 6) AS trend_stat,
+       CASE WHEN vv > 0 THEN round(tt / sqrt(vv), 6) END AS z,
+       CASE WHEN vv > 0 THEN abs(tt / sqrt(vv)) > 1.96
+            ELSE false END AS trend_significant,
+       CASE WHEN vv > 0 THEN tt / sqrt(vv) < 0 ELSE false END
+         AS declining
+FROM t
+""",
+)
+def q_events_fatigue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test on the exposure-fatigue curve — is
+    the decline q_events_fatigue DRAWS actually significant? Eyeballing
+    a monotone-looking rate curve over binomial noise is exactly how
+    frequency caps get set on nothing; CA weighs each bucket's
+    response count against the ordered score ladder (bucket index)
+    and emits the signed z — `declining` True + significant is the
+    licensed "more exposures genuinely convert worse" claim. The same
+    test serves any ordered-dose readout (price ladders, ordinal
+    cohorts).
+
+    Scale shape: the q_events_fatigue reduction (two windows on one
+    per-user partitioning, exact integers) to ≤10 bucket rows, then
+    FIVE integer moments and one IEEE chain on a single row. Degenerate
+    variance (all one bucket) exits via the vv > 0 guard.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.date_trunc("second", F.col("ts")), "event_id"
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.date_trunc("second", F.col("ts")).alias("ts2"),
+        "event_id",
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts2", "event_id")
+    b = (
+        seq.filter(F.col("event_type") == "view")
+        .withColumn("exposure", F.row_number().over(w2))
+        .select(
+            F.when(
+                F.col("exposure") >= _FATIGUE_CAP, F.lit(_FATIGUE_CAP)
+            )
+            .otherwise(F.col("exposure"))
+            .cast("long")
+            .alias("s"),
+            (F.col("next_type") == "purchase").cast("int").alias("r"),
+        )
+    )
+    g = b.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("r"),
+    )
+    m = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+        F.sum(F.col("n") * F.col("s")).cast("long").alias("ns"),
+        F.sum(F.col("n") * F.col("s") * F.col("s"))
+        .cast("long")
+        .alias("nss"),
+        F.sum(F.col("r") * F.col("s")).cast("long").alias("rs"),
+    )
+    nn = F.col("nn").cast("double")
+    rr = F.col("rr").cast("double")
+    tt = F.col("rs").cast("double") - rr * F.col("ns") / nn
+    vv = (rr / nn) * (1 - rr / nn) * (
+        F.col("nss").cast("double")
+        - F.col("ns").cast("double") * F.col("ns") / nn
+    )
+    z = tt / F.sqrt(vv)
+    return m.select(
+        F.col("nn").alias("n_exposures"),
+        F.col("rr").alias("n_responses"),
+        F.round(tt, 6).alias("trend_stat"),
+        F.when(vv > 0, F.round(z, 6)).alias("z"),
+        F.when(vv > 0, F.abs(z) > 1.96)
+        .otherwise(F.lit(False))
+        .alias("trend_significant"),
+        F.when(vv > 0, z < 0).otherwise(F.lit(False)).alias("declining"),
+    )

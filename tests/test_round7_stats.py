@@ -1053,3 +1053,28 @@ def test_robust_ttest_shrugs_off_the_whale(spark, tmp_path_factory):
     assert 9.0 <= r["lo"] <= r["hi"] <= 11.0
     assert abs(r["mean_capped_a"] - r["mean_capped_b"]) < 0.2
     assert not bool(r["significant"])
+
+
+def test_fatigue_trend_licenses_the_decline(spark, tmp_path_factory):
+    """Reuse the fatigue plant (rate 1.0 at exposure 1, 0.0 at 2) with
+    enough users that the CA z clears 1.96: declining True and
+    significant."""
+    out = tmp_path_factory.mktemp("fatt7")
+    rows = []
+    for u in range(1, 9):
+        rows += [
+            (f"2024-03-01 00:{u:02d}:00", u, "view", 1.0),
+            (f"2024-03-01 00:{u:02d}:10", u, "purchase", 1.0),
+            (f"2024-03-01 00:{u:02d}:20", u, "view", 1.0),
+            (f"2024-03-01 00:{u:02d}:30", u, "click", 1.0),
+        ]
+    _write_events(spark, out, rows)
+    r = (
+        registry.get("q_events_fatigue_trend")
+        .fn(spark, str(out))
+        .collect()[0]
+    )
+    assert (r["n_exposures"], r["n_responses"]) == (16, 8)
+    assert bool(r["declining"]) and bool(r["trend_significant"])
+    # hand value: T = rs - R*ns/N = 8 - 8*24/16 = -4; V = .25*(40-36)=1
+    assert r["trend_stat"] == -4.0 and r["z"] == -4.0

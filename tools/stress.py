@@ -213,6 +213,7 @@ QUERIES = [
     "q_eval_mcnemar",
     "q_events_capture_recapture",
     "q_agg_robust_ttest",
+    "q_events_fatigue_trend",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
