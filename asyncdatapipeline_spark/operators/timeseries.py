@@ -6122,9 +6122,10 @@ SELECT na AS n_first_half, nb AS n_second_half, nab AS n_both,
        round(greatest(n_hat - 1.96 * se, CAST(n_seen AS DOUBLE)), 6)
          AS ci_lo,
        round(n_hat + 1.96 * se, 6) AS ci_hi,
-       round(CAST(n_seen AS DOUBLE)
-             / greatest(n_hat, CAST(n_seen AS DOUBLE)), 6)
-         AS coverage_share
+       CASE WHEN n_seen > 0 THEN
+         round(CAST(n_seen AS DOUBLE)
+               / greatest(n_hat, CAST(n_seen AS DOUBLE)), 6)
+       END AS coverage_share
 FROM e
 """,
 )
@@ -6193,9 +6194,10 @@ def q_events_capture_recapture(
         F.round(se, 6).alias("se"),
         F.round(F.greatest(n_hat - 1.96 * se, nseen_d), 6).alias("ci_lo"),
         F.round(n_hat + 1.96 * se, 6).alias("ci_hi"),
-        F.round(nseen_d / F.greatest(n_hat, nseen_d), 6).alias(
-            "coverage_share"
-        ),
+        F.when(
+            F.col("n_seen") > 0,
+            F.round(nseen_d / F.greatest(n_hat, nseen_d), 6),
+        ).alias("coverage_share"),
     )
 
 
