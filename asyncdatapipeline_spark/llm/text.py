@@ -1033,14 +1033,21 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and repetition filters.
 
     Shape: one exploded count to the vocab frequency table (map-side
-    combinable), rank over the AGGREGATED |vocab| frame (the O(vocab)
-    single-partition sort of the rfm/topk family — not a raw-data
-    sort), then the q_agg_trend regression discipline in log space:
-    floor(ln·1e6) micro-int coordinates → exact BIGINT power sums →
-    identical IEEE closed forms. The ≥{_ZIPF_MIN_OCC}-occurrence floor
-    drops the sampling-noise tail that would otherwise dominate the
-    fit.
+    combinable), rank over the AGGREGATED |vocab| frame — a
+    single-partition O(vocab) sort below the ``exact_window_ok`` gate,
+    and the ``dist_cumsum`` row-number spine (equi-depth buckets on
+    n_occ, word tiebreak, bit-identical ranks) above it, because at
+    100 TB the vocabulary itself is entity-sized — then the
+    q_agg_trend regression discipline in log space: floor(ln·1e6)
+    micro-int coordinates → exact BIGINT power sums → identical IEEE
+    closed forms. The ≥{_ZIPF_MIN_OCC}-occurrence floor drops the
+    sampling-noise tail that would otherwise dominate the fit.
     """
+    from asyncdatapipeline_spark.operators._util import (
+        dist_cumsum,
+        exact_window_ok,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     f = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1049,16 +1056,27 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") >= _ZIPF_MIN_OCC)
     )
-    from pyspark.sql import Window
+    if exact_window_ok(d):
+        from pyspark.sql import Window
 
-    # Global rank over the AGGREGATED vocab frame only (O(vocab) sort —
-    # the documented single-partition trade of the rfm/feature_rank
-    # family, not a raw-data sort).
-    rank = F.row_number().over(
-        Window.orderBy(F.col("n_occ").desc(), "word")
-    )
-    r = f.select(
-        F.floor(F.log(rank.cast("double")) * 1e6).cast("long").alias("x"),
+        rank = F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy(
+                F.col("n_occ").desc(), "word"
+            )
+        )
+        ranked = f.select(rank.alias("rank"), "n_occ")
+    else:
+        ranked = dist_cumsum(
+            f.withColumn("one", F.lit(1)),
+            "n_occ",
+            ["one"],
+            tiebreak=["word"],
+            descending=True,
+        ).select(F.col("cum_one").alias("rank"), "n_occ")
+    r = ranked.select(
+        F.floor(F.log(F.col("rank").cast("double")) * 1e6)
+        .cast("long")
+        .alias("x"),
         F.floor(F.log(F.col("n_occ").cast("double")) * 1e6)
         .cast("long")
         .alias("y"),

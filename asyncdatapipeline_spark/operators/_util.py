@@ -19,6 +19,7 @@ change the merge order at 100 TB).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
@@ -55,11 +56,64 @@ def sql_davg(expr: str, alias: str) -> str:
     )
 
 
+# Row-count ceiling above which the exact-window family (q_rfm's ntile,
+# q_text_zipf's vocab rank, the pareto/abc cumulative sorts) swaps its
+# single-partition window for the distributed dist_cumsum form. The
+# DEFAULT is the gate — a 100 TB user hitting q_rfm must not fall off a
+# single-partition sort cliff by calling the default op. Both paths are
+# EXACT (dist_cumsum ranks are bit-identical to the window ranks), so a
+# conservatively low cap costs only plan shape, never correctness.
+_EXACT_WINDOW_MAX_ENV = "SPARK_GRAFT_EXACT_WINDOW_MAX"
+_EXACT_WINDOW_MAX_DEFAULT = 5_000_000
+
+
+def exact_window_ok(df: DataFrame) -> bool:
+    """Scale gate for single-partition exact windows: True when ``df``
+    (the RAW base table, pre-aggregation) is small enough that sorting
+    the derived entity frame on one partition is safe.
+
+    The count is taken on the base parquet scan, where Spark answers
+    ``count(*)`` from row-group metadata (no data read) — a ~free gate
+    at any scale, unlike counting the aggregated frame (a full extra
+    pass). Since |entities| ≤ |base rows|, gating on the base count can
+    only over-trigger — and over-triggering is harmless because the
+    scale path computes the SAME exact result with a distributed plan.
+    ``SPARK_GRAFT_EXACT_WINDOW_MAX=0`` forces the scale path (tests /
+    ops teams that never want the cliff).
+    """
+    cap = int(
+        os.environ.get(_EXACT_WINDOW_MAX_ENV, _EXACT_WINDOW_MAX_DEFAULT)
+    )
+    if cap <= 0:
+        return False
+    return df.count() <= cap
+
+
+def spark_ntile(rank: Column, n: Column, buckets: int) -> Column:
+    """``ntile(buckets)`` as a closed-form expression of the row number
+    ``rank`` (1-based, total order) and the partition size ``n`` — the
+    SQL-standard split (first ``n % buckets`` tiles get the extra row),
+    which is what both Spark's and DuckDB's ``ntile`` implement. Lets
+    the dist_cumsum rank spine reproduce exact ntile without any
+    single-partition window.
+    """
+    base = F.floor(n / buckets)
+    rem = n % buckets
+    big = rem * (base + 1)
+    return F.when(
+        rank <= big, F.ceil(rank / (base + 1))
+    ).otherwise(rem + F.ceil((rank - big) / base)).cast("int")
+
+
 def dist_cumsum(
     df: DataFrame,
     order_col: str,
     sum_cols: Sequence[str],
     nparts: int = 32,
+    *,
+    part_cols: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+    descending: bool = False,
 ) -> DataFrame:
     """EXACT cumulative sums over a total ordering, fully distributed —
     the scale-safe replacement for ``W.orderBy(col)`` running sums
@@ -93,45 +147,63 @@ def dist_cumsum(
        the cast collapses near-equal values; balance is approximate,
        order is exact.
 
-    Ties: callers pass a frame already grouped to DISTINCT
-    ``order_col`` values (numeric — boundaries come from
+    Ties: with no ``tiebreak``, callers pass a frame already grouped to
+    DISTINCT ``order_col`` values (numeric — boundaries come from
     ``percentile_approx``), so the within-bucket ordering is total and
     the cumulative value at each row is the tie-group-end value —
     identical to a ``RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT
-    ROW`` frame on the raw rows. NULL values of ``order_col`` compare
-    UNKNOWN against every boundary and land in bucket 0 — the
+    ROW`` frame on the raw rows. With ``tiebreak`` columns the ordering
+    ``(order_col [DESC], *tiebreak)`` is total on RAW rows, giving the
+    exact ``ROWS UNBOUNDED PRECEDING`` running sum — equal ``order_col``
+    values always share a bucket (the bucket is a function of the
+    value), so a tie run never straddles an offset boundary; the cost is
+    that equi-depth bucketing cannot SPLIT a tie run (a value held by
+    30% of rows puts 30% in one bucket — bounded skew, never the 100%
+    single partition of the window form). NULL values of ``order_col``
+    compare UNKNOWN against every boundary and land in bucket 0 — the
     nulls-first convention of the window form it replaces.
+
+    ``part_cols`` (bounded-cardinality group columns, e.g. the 5 order
+    priorities) scope everything per group: totals per (group, bucket),
+    triangular offsets joined on group equality, running-sum windows on
+    (group, bucket). Boundaries stay GLOBAL — per-group balance is
+    approximate, per-group order exact. ``descending=True`` buckets and
+    orders by ``order_col DESC`` (tiebreaks stay ASC).
 
     Output: input columns plus ``cum_<c>`` for each ``c`` in
     ``sum_cols``. Cost: one tiny boundary aggregate + one hash
-    shuffle on ``_pid``, both ~|distinct values| rows; no data-sized
-    single partition anywhere.
+    shuffle on ``(part_cols, _pid)``; no data-sized single partition
+    anywhere.
     """
+    part_cols = list(part_cols)
+    tiebreak = list(tiebreak)
+    proxy = F.col(order_col).cast("double")
+    if descending:
+        proxy = -proxy
     qs = [i / nparts for i in range(1, nparts)]
     row = df.agg(
         F.percentile_approx(
-            F.col(order_col).cast("double"), F.array(*[F.lit(q) for q in qs]),
-            F.lit(10_000),
+            proxy, F.array(*[F.lit(q) for q in qs]), F.lit(10_000)
         ).alias("b")
     ).collect()[0]
     bounds = sorted({b for b in (row["b"] or []) if b is not None})
     bucket = F.lit(0)
     for b in bounds:
-        bucket = bucket + F.when(
-            F.col(order_col).cast("double") > F.lit(b), 1
-        ).otherwise(0)
+        bucket = bucket + F.when(proxy > F.lit(b), 1).otherwise(0)
     d = df.withColumn("_pid", bucket)
-    per = d.groupBy("_pid").agg(
+    per = d.groupBy(*part_cols, "_pid").agg(
         *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
     )
+    join_cond = F.col("b._pid") < F.col("a._pid")
+    for g in part_cols:
+        join_cond = join_cond & (F.col(f"b.{g}") == F.col(f"a.{g}"))
     offs = (
         per.alias("a")
-        .join(
-            F.broadcast(per.alias("b")),
-            F.col("b._pid") < F.col("a._pid"),
-            "left",
+        .join(F.broadcast(per.alias("b")), join_cond, "left")
+        .groupBy(
+            *[F.col(f"a.{g}").alias(g) for g in part_cols],
+            F.col("a._pid").alias("_pid"),
         )
-        .groupBy(F.col("a._pid").alias("_pid"))
         .agg(
             *[
                 F.coalesce(F.sum(f"b._t_{c}"), F.lit(0)).alias(f"_o_{c}")
@@ -139,10 +211,13 @@ def dist_cumsum(
             ]
         )
     )
-    d = d.join(F.broadcast(offs), "_pid")
+    d = d.join(F.broadcast(offs), [*part_cols, "_pid"])
+    order_exprs = [
+        F.col(order_col).desc() if descending else F.col(order_col)
+    ] + tiebreak
     wv = (
-        W.partitionBy("_pid")
-        .orderBy(order_col)
+        W.partitionBy(*part_cols, "_pid")
+        .orderBy(*order_exprs)
         .rowsBetween(W.unboundedPreceding, 0)
     )
     out = d.select(

@@ -1729,7 +1729,13 @@ def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
     )
-    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    # constant partition: the spine is |days|-bounded, and the explicit
+    # lit(1) keeps the plan off the WindowExec no-partition warning path
+    w = (
+        W.partitionBy(F.lit(1))
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     return (
         spine.join(byday, "day", "left")
         .select("day", F.coalesce("net", F.lit(0)).alias("net_change"))
@@ -3224,8 +3230,15 @@ def q_ts_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("censored")).cast("long").alias("d"),
         F.sum("censored").cast("long").alias("c"),
     )
-    wo = W.orderBy("dur")
-    prev = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    # constant partition: the frame is O(distinct day-granular
+    # durations), horizon-bounded, and lit(1) avoids the WindowExec
+    # no-partition warning
+    wo = W.partitionBy(F.lit(1)).orderBy("dur")
+    prev = (
+        W.partitionBy(F.lit(1))
+        .orderBy("dur")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     r = g.crossJoin(tot).select(
         "dur",
         "d",
@@ -3834,7 +3847,8 @@ def q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("e", F.lit(0)).alias("e"),
         )
     )
-    w6 = W.orderBy("hr").rowsBetween(-5, 0)
+    # constant partition on the |hours|-bounded spine (warning hygiene)
+    w6 = W.partitionBy(F.lit(1)).orderBy("hr").rowsBetween(-5, 0)
     w = f.select(
         "hr",
         "n",

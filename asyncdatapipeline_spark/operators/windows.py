@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions 
 from asyncdatapipeline_spark.registry import query
 from asyncdatapipeline_spark.sources.tables import load_table
 
+from ._util import dist_cumsum, exact_window_ok, spark_ntile
+
 DEC = "decimal(28,6)"
 
 
@@ -346,13 +348,19 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-then-rank-then-bucket composition.
 
     Per-customer aggregates reduce the fact table first (map-side
-    combinable, |customers| rows out); the three ntile windows run over
-    that aggregated frame, not raw orders — their single-partition sort
-    is O(customers), the documented trade of exact global quantile
-    ranks (at extreme customer counts the percentile-bounds variant
-    swaps in, q_winsorize's shape). o_custkey tiebreaks every ntile so
-    both engines assign identical quintiles; monetary sums through
-    decimal before the 2dp display rounding.
+    combinable, |customers| rows out). Below the ``exact_window_ok``
+    row-count gate the three ntile windows sort that aggregated frame
+    on one partition (O(customers), fine for dimension-sized customer
+    counts). ABOVE the gate — a 100 TB table has ~10⁹ customers and
+    that sort is a cliff — the DEFAULT path swaps to the distributed
+    exact form: per-metric row-number spines via ``dist_cumsum``
+    (equi-depth literal buckets + triangular broadcast offsets, no
+    data-sized single partition) fed to the closed-form
+    ``spark_ntile``. BOTH paths produce bit-identical quintiles (same
+    (metric DESC, o_custkey) total order, same SQL-standard tile
+    split), so the gate changes plan shape only — asserted by
+    tests/test_round8_ops.py. q_rfm_approx remains the cheaper
+    percentile-BOUNDS variant for users who accept tie-straddle drift.
     """
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
@@ -362,12 +370,12 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    wr = W.orderBy(F.col("last_order").desc(), "o_custkey")
-    wf = W.orderBy(F.col("frequency").desc(), "o_custkey")
-    wm = W.orderBy(F.col("monetary").desc(), "o_custkey")
-    r, f_, m = F.col("r_score"), F.col("f_score"), F.col("m_score")
-    return (
-        rfm.select(
+    if exact_window_ok(o):
+        one = W.partitionBy(F.lit(1))
+        wr = one.orderBy(F.col("last_order").desc(), "o_custkey")
+        wf = one.orderBy(F.col("frequency").desc(), "o_custkey")
+        wm = one.orderBy(F.col("monetary").desc(), "o_custkey")
+        scored = rfm.select(
             "o_custkey",
             "frequency",
             F.round("monetary", 2).alias("monetary"),
@@ -375,17 +383,50 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ntile(5).over(wf).alias("f_score"),
             F.ntile(5).over(wm).alias("m_score"),
         )
-        .select(
-            "*",
-            F.when((r <= 2) & (f_ <= 2), "champion")
-            .when(r <= 2, "recent")
-            .when(f_ <= 2, "loyal")
-            .when((r >= 4) & (f_ >= 4), "at_risk")
-            .otherwise("regular")
-            .alias("segment"),
+    else:
+        # rec_day is the monotone numeric image of last_order, so the
+        # (rec_day DESC, o_custkey) spine is the same total order the
+        # exact window uses.
+        base = rfm.withColumn(
+            "rec_day", F.datediff("last_order", F.lit("1970-01-01"))
+        ).withColumn("one", F.lit(1))
+        n = F.broadcast(base.agg(F.count(F.lit(1)).alias("_n")))
+        d = base
+        for metric, score in (
+            ("rec_day", "r_score"),
+            ("frequency", "f_score"),
+            ("monetary", "m_score"),
+        ):
+            d = (
+                dist_cumsum(
+                    d, metric, ["one"],
+                    tiebreak=["o_custkey"], descending=True,
+                )
+                .withColumnRenamed("cum_one", f"_rk_{score}")
+                # truncate lineage: each dist_cumsum level evaluates its
+                # input twice (boundary agg + main path)
+                .localCheckpoint(eager=False)
+            )
+        d = d.crossJoin(n)
+        scored = d.select(
+            "o_custkey",
+            "frequency",
+            F.round("monetary", 2).alias("monetary"),
+            *[
+                spark_ntile(F.col(f"_rk_{s}"), F.col("_n"), 5).alias(s)
+                for s in ("r_score", "f_score", "m_score")
+            ],
         )
-        .orderBy("o_custkey")
-    )
+    r, f_, m = F.col("r_score"), F.col("f_score"), F.col("m_score")
+    return scored.select(
+        "*",
+        F.when((r <= 2) & (f_ <= 2), "champion")
+        .when(r <= 2, "recent")
+        .when(f_ <= 2, "loyal")
+        .when((r >= 4) & (f_ >= 4), "at_risk")
+        .otherwise("regular")
+        .alias("segment"),
+    ).orderBy("o_custkey")
 
 
 @query(
@@ -594,25 +635,53 @@ def q_win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A row counts toward the 80% set if the running total BEFORE it is
     still under the threshold (the standard "first crossing included"
-    rule). Running sums are exact DECIMAL window sums on the same
-    per-class sort the gini rank uses, and the threshold is exact
-    decimal, so the crossing row is engine-identical — no float
-    cumsum drift at the boundary.
+    rule). Running sums are exact DECIMAL on the same per-class sort
+    the gini rank uses, and the threshold is exact decimal, so the
+    crossing row is engine-identical — no float cumsum drift at the
+    boundary. The per-priority window partitions RAW orders into only
+    |priorities|=5 data-sized sort partitions — fine below the
+    ``exact_window_ok`` gate; above it the DEFAULT runs the running
+    sum through ``dist_cumsum(part_cols=[o_orderpriority])``
+    (equi-depth value buckets × priority, bit-identical cumulative
+    values, largest partition ~|orders|/(5·nparts)).
     """
     o = load_table(spark, sf_dir, "orders")
     dec = F.col("o_totalprice").cast("decimal(28,6)")
-    wsort = W.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), "o_orderkey"
+    per_cls = F.broadcast(
+        o.groupBy("o_orderpriority").agg(
+            F.sum(dec).alias("tot"), F.count(F.lit(1)).alias("n")
+        )
     )
-    r = o.select(
-        "o_orderpriority",
-        dec.alias("price_dec"),
-        F.sum(dec)
-        .over(wsort.rowsBetween(W.unboundedPreceding, 0))
-        .alias("cum"),
-        F.sum(dec).over(W.partitionBy("o_orderpriority")).alias("tot"),
-        F.count(F.lit(1)).over(W.partitionBy("o_orderpriority")).alias("n"),
-    )
+    if exact_window_ok(o):
+        wsort = W.partitionBy("o_orderpriority").orderBy(
+            F.col("o_totalprice").desc(), "o_orderkey"
+        )
+        r = o.select(
+            "o_orderpriority",
+            dec.alias("price_dec"),
+            F.sum(dec)
+            .over(wsort.rowsBetween(W.unboundedPreceding, 0))
+            .alias("cum"),
+        ).join(per_cls, "o_orderpriority")
+    else:
+        r = (
+            dist_cumsum(
+                o.select(
+                    "o_orderpriority", "o_orderkey", "o_totalprice",
+                    dec.alias("price_dec"),
+                ),
+                "o_totalprice",
+                ["price_dec"],
+                part_cols=["o_orderpriority"],
+                tiebreak=["o_orderkey"],
+                descending=True,
+            )
+            .select(
+                "o_orderpriority", "price_dec",
+                F.col("cum_price_dec").alias("cum"),
+            )
+            .join(per_cls, "o_orderpriority")
+        )
     # Cross-multiplied 80% threshold: 5*(cum - price) < 4*tot keeps the
     # comparison in exact DECIMAL on both engines. `tot * 0.8` would make
     # Spark coerce to double while the oracle compares in DECIMAL — an
@@ -1039,9 +1108,13 @@ def q_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell carries the share of its origin segment.
 
     Scale shape: orders reduce to (customer, period) DECIMAL spend
-    first (one partial-agg shuffle); the ntile windows sort the
-    AGGREGATED customers×2 frame per period (the q_rfm trade, with the
-    same custkey tiebreak making quintiles engine-identical); the
+    first (one partial-agg shuffle). Below the ``exact_window_ok`` gate
+    the ntile windows sort the AGGREGATED customers×2 frame per period
+    (two data-sized partitions — fine at dimension customer counts);
+    above it the DEFAULT swaps to the ``dist_cumsum`` rank spine with
+    ``part_cols=[period]`` + closed-form ``spark_ntile`` — same
+    (spend DESC, o_custkey) total order per period, bit-identical
+    quintiles, no partition that grows with the customer count. The
     migration matrix is a full-outer self-join on the customer key of
     two customer-sized frames and a ≤36-row report. The period
     boundary is exact integer epoch arithmetic — a float midpoint
@@ -1061,17 +1134,36 @@ def q_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
     sp = s.groupBy("o_custkey", "period").agg(F.sum("price").alias("spend"))
-    seg = sp.select(
-        "o_custkey",
-        "period",
-        F.ntile(5)
-        .over(
-            W.partitionBy("period").orderBy(
-                F.col("spend").desc(), "o_custkey"
+    if exact_window_ok(o):
+        seg = sp.select(
+            "o_custkey",
+            "period",
+            F.ntile(5)
+            .over(
+                W.partitionBy("period").orderBy(
+                    F.col("spend").desc(), "o_custkey"
+                )
             )
+            .alias("q"),
         )
-        .alias("q"),
-    ).localCheckpoint(eager=False)  # feeds both join sides
+    else:
+        ranked = dist_cumsum(
+            sp.withColumn("one", F.lit(1)),
+            "spend",
+            ["one"],
+            part_cols=["period"],
+            tiebreak=["o_custkey"],
+            descending=True,
+        )
+        np_ = F.broadcast(
+            sp.groupBy("period").agg(F.count(F.lit(1)).alias("_n"))
+        )
+        seg = ranked.join(np_, "period").select(
+            "o_custkey",
+            "period",
+            spark_ntile(F.col("cum_one"), F.col("_n"), 5).alias("q"),
+        )
+    seg = seg.localCheckpoint(eager=False)  # feeds both join sides
     p1 = seg.filter(F.col("period") == 1).select(
         F.col("o_custkey").alias("ck1"), F.col("q").alias("q1")
     )
@@ -1174,9 +1266,14 @@ def q_orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-frame, because zero-demand weeks enter through the GLOBAL week
     count, not materialized rows (a sparse part's zeros ARE its
     variability; dividing by observed weeks understates CV exactly for
-    the erratic parts the Z class exists to catch). The ABC cut is one
-    window over the parts frame with the cross-multiplied DECIMAL
-    threshold (no float share), and the matrix is 9 rows.
+    the erratic parts the Z class exists to catch). The ABC cut's
+    cumulative revenue runs one single-partition window over the parts
+    frame below the ``exact_window_ok`` gate, and through the
+    ``dist_cumsum`` distributed prefix (same (revenue DESC, l_partkey)
+    order, exact DECIMAL, bit-identical) above it — at 100 TB |parts|
+    is entity-sized and the DEFAULT must not sort it on one partition.
+    The grand total is a broadcast 1-row aggregate either way, and the
+    matrix is 9 rows.
     """
     li = load_table(spark, sf_dir, "lineitem")
     t = li.select(
@@ -1195,22 +1292,26 @@ def q_orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").alias("sq"),
         F.sum(F.col("qty") * F.col("qty")).alias("sqq"),
     )
-    wcum = (
-        W.orderBy(F.col("revenue").desc(), "l_partkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    abc_f = p.select(
-        "l_partkey",
-        "revenue",
-        "sq",
-        "sqq",
-        F.sum("revenue").over(wcum).alias("cum"),
-        F.sum("revenue").over(
-            W.orderBy(F.lit(1)).rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        ).alias("tot"),
-    ).crossJoin(wk)
+    tot = F.broadcast(p.agg(F.sum("revenue").alias("tot")))
+    if exact_window_ok(li):
+        wcum = (
+            W.partitionBy(F.lit(1))
+            .orderBy(F.col("revenue").desc(), "l_partkey")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        cummed = p.select(
+            "l_partkey", "revenue", "sq", "sqq",
+            F.sum("revenue").over(wcum).alias("cum"),
+        )
+    else:
+        cummed = dist_cumsum(
+            p, "revenue", ["revenue"],
+            tiebreak=["l_partkey"], descending=True,
+        ).select(
+            "l_partkey", "revenue", "sq", "sqq",
+            F.col("cum_revenue").alias("cum"),
+        )
+    abc_f = cummed.crossJoin(tot).crossJoin(wk)
     nw = F.col("n_weeks").cast("double")
     mean = F.col("sq").cast("double") / nw
     var = F.greatest(

