@@ -10,7 +10,17 @@ differs at all is reported with the max abs delta so drift can be traced
 to a non-deterministic expression and fixed at the source (see
 operators/_util.py for the decimal-armor pattern).
 
-Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [--slice ROUND]
+       [sf_dir] [query ...]
+
+``--slice ROUND`` selects a deterministic 50-key rotating window over
+the sorted registry (rotate the key list by ``(53·ROUND) mod total``,
+then take every ``total//50``-th key) — the committed per-round
+independent-evidence slice the round-7 verdict asked for: the driver's
+own gate is frozen at the first 50 alphabetical keys, so each round
+additionally commits a DIFFERENT 50-key slice (CORRECTNESS_SLICE_r{N})
+and every family crosses an explicitly-committed window within a few
+rounds.
 
 ``--json`` additionally writes the sweep as a driver-shaped artifact
 (per-query rows_match/schema_match/hash_match/spark_rows/oracle_rows/err,
@@ -79,8 +89,23 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    slice_round = None
+    if "--slice" in argv:
+        i = argv.index("--slice")
+        slice_round = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    if slice_round is not None:
+        keys = sorted(registry.all_queries())
+        total, k = len(keys), min(50, len(keys))
+        start = (53 * slice_round) % total
+        rot = keys[start:] + keys[:start]
+        only = set(rot[:: max(1, total // k)][:k])
+        print(
+            f"slice round={slice_round}: start={start}, "
+            f"{len(only)}/{total} keys"
+        )
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -179,6 +204,16 @@ def main() -> int:
             json.dumps(
                 {
                     "sf_dir": sf_dir,
+                    "slice": (
+                        None
+                        if slice_round is None
+                        else {
+                            "round": slice_round,
+                            "rule": "rotate sorted keys by (53*round) % "
+                            "total, take every total//50-th, first 50",
+                            "keys": sorted(only),
+                        }
+                    ),
                     "note": (
                         "per-query 'sec' is ONE cold pass (Spark exec + "
                         "toPandas + DuckDB + compare) on a shared box — "
