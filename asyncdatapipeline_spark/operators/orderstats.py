@@ -1,0 +1,649 @@
+"""Exact distributed order statistics + resampling inference (round 8).
+
+The round-8 family extends the ``dist_cumsum`` doctrine (operators/_util)
+from rank STATISTICS (spearman/mannwhitney/ks, round 7) and rank WINDOWS
+(the q_rfm gate, round 8) to order-statistic AGGREGATES: exact global /
+grouped percentiles and medians with no sort-based aggregation buffer and
+no single-partition window anywhere — the frame that crosses the wire is
+always the DISTINCT-VALUE count frame (map-side combinable), and the
+selection happens by comparing cumulative counts against integer ranks.
+
+Contrast with the existing quantile surface:
+
+- q_agg_quantile / q_agg_percentile_disc: Spark's native percentile
+  aggregates — per-GROUP sort buffers, ideal while every group is
+  modest; a GLOBAL percentile funnels 100 TB through one buffer.
+- q_agg_approx_quantile / q_agg_kll: mergeable sketches — the
+  approximate scale path.
+- THIS family: the exact scale path (distinct-value reduce →
+  dist_cumsum → integer-rank crossing), the only form that is
+  simultaneously exact, global, and shuffle-bounded.
+
+Also here: permutation inference (md5-derived, retry-stable — the
+q_split_hash doctrine applied to resampling) and a count-min sketch with
+its exact verification twin (the q_agg_hll contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from asyncdatapipeline_spark.registry import query
+from asyncdatapipeline_spark.sources.tables import load_table
+
+from ._util import DEC, dist_cumsum
+
+
+def _rank_at(p_pct: int, n):
+    """ceil(p% · n) in exact integer arithmetic (both engines:
+    (n·p + 99) DIV 100)."""
+    return F.expr(f"CAST(({n} * {p_pct} + 99) DIV 100 AS BIGINT)")
+
+
+@query(
+    "q_agg_percentile_global",
+    # The oracle replicates the distinct-value/cumulative-rank
+    # construction (NOT quantile_disc, whose index convention is the
+    # library's choice): value at percentile p = smallest v whose
+    # cumulative count >= ceil(p·n/100), all-integer rank arithmetic,
+    # and the result is a SELECTED data value — no float math at all.
+    oracle="""
+WITH g AS (
+  SELECT o_totalprice AS v, count(*) AS cnt FROM orders GROUP BY 1
+),
+c AS (
+  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM g
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+SELECT max(n.n) AS n_rows,
+       min(CASE WHEN cum >= (n.n * 25 + 99) // 100 THEN v END) AS p25,
+       min(CASE WHEN cum >= (n.n * 50 + 99) // 100 THEN v END) AS p50,
+       min(CASE WHEN cum >= (n.n * 90 + 99) // 100 THEN v END) AS p90,
+       min(CASE WHEN cum >= (n.n * 99 + 99) // 100 THEN v END) AS p99,
+       min(v) AS vmin,
+       max(v) AS vmax
+FROM c CROSS JOIN n
+""",
+)
+def q_agg_percentile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global discrete percentiles (p25/p50/p90/p99) of the order
+    totals — the scale form of a global ``percentile_disc``: Spark's
+    native percentile aggregate buffers every row of the (single,
+    global) group in one sort-based aggregation buffer, which at 100 TB
+    is a driver-sized wall. Here the fact table reduces to DISTINCT
+    VALUE counts first (map-side combinable — |distinct prices| rows
+    cross the wire, not |orders|), ``dist_cumsum`` produces exact
+    cumulative counts with no single-partition window, and each
+    percentile is the first value whose cumulative count clears the
+    integer rank ceil(p·n/100) — one tiny final aggregate. Exact at any
+    scale, mergeable at every step; q_agg_approx_quantile remains the
+    cheaper sketch when ±ε is acceptable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    c = dist_cumsum(g, "v", ["cnt"]).select(
+        "v", F.col("cum_cnt").cast("long").alias("cum")
+    )
+    n = F.broadcast(o.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    j = c.crossJoin(n)
+
+    def at(p: int):
+        return F.min(F.when(F.col("cum") >= _rank_at(p, "n"), F.col("v")))
+
+    return j.agg(
+        F.max("n").alias("n_rows"),
+        at(25).alias("p25"),
+        at(50).alias("p50"),
+        at(90).alias("p90"),
+        at(99).alias("p99"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+
+
+@query(
+    "q_agg_median_exact",
+    # Lower/upper median are SELECTED values at integer ranks
+    # ceil(n/2) and floor(n/2)+1 on the per-group cumulative counts;
+    # the midpoint is one IEEE add+halve of two exact values.
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS grp, l_quantity AS v, count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT grp, v,
+         CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum
+  FROM g
+),
+n AS (
+  SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT c.grp AS l_returnflag, max(n.n) AS n,
+       min(CASE WHEN cum >= (n.n + 1) // 2 THEN v END) AS median_lo,
+       min(CASE WHEN cum >= n.n // 2 + 1 THEN v END) AS median_hi,
+       (min(CASE WHEN cum >= (n.n + 1) // 2 THEN v END)
+        + min(CASE WHEN cum >= n.n // 2 + 1 THEN v END)) / 2 AS median
+FROM c JOIN n USING (grp)
+GROUP BY c.grp
+ORDER BY l_returnflag
+""",
+)
+def q_agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median of line quantities, scale-safe: the
+    grouped twin of q_agg_percentile_global. q_agg_quantile's native
+    percentile buffers every group row in one aggregation buffer —
+    fine for bounded groups, a wall when one group holds 10¹¹ rows.
+    Here each group reduces to distinct-value counts,
+    ``dist_cumsum(part_cols=[group])`` builds per-group cumulative
+    counts (equi-depth buckets shared across groups, per-group offset
+    join — no group ever occupies one partition), and the lower/upper
+    medians are rank selections; the interpolated median is their
+    midpoint, a single identical IEEE step. Groups here are the
+    bounded returnflag vocabulary; VALUES within each group are the
+    unbounded axis the construction distributes over.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    c = dist_cumsum(g, "v", ["cnt"], part_cols=["grp"]).select(
+        "grp", "v", F.col("cum_cnt").cast("long").alias("cum")
+    )
+    n = F.broadcast(
+        li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+    )
+    lo = F.min(
+        F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("v"))
+    )
+    hi = F.min(
+        F.when(F.col("cum") >= F.expr("n DIV 2 + 1"), F.col("v"))
+    )
+    return (
+        c.join(n, "grp")
+        .groupBy(F.col("grp").alias("l_returnflag"))
+        .agg(
+            F.max("n").alias("n"),
+            lo.alias("median_lo"),
+            hi.alias("median_hi"),
+            ((lo + hi) / 2).alias("median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_anomaly_iqr",
+    # Q1/Q3 are exact rank selections (the percentile_global device);
+    # the 1.5·IQR fences are one IEEE chain on two exact data values,
+    # identical in both engines; per-type outlier counts are integers.
+    oracle="""
+WITH g AS (
+  SELECT value AS v, count(*) AS cnt FROM events GROUP BY 1
+),
+c AS (
+  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM g
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+q AS (
+  SELECT min(CASE WHEN cum >= (n.n * 25 + 99) // 100 THEN v END) AS q1,
+         min(CASE WHEN cum >= (n.n * 75 + 99) // 100 THEN v END) AS q3
+  FROM c CROSS JOIN n
+),
+f AS (
+  SELECT q1, q3, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+  FROM q
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low,
+       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high,
+       round(CAST(sum(CASE WHEN value < lo OR value > hi
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS outlier_share
+FROM events CROSS JOIN f
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5·IQR) outlier audit per event type — the
+    box-plot rule beside q_anomaly's z-score and q_anomaly_mad's
+    robust-median detectors, with its quartiles computed by the EXACT
+    distributed device instead of a global sort: Q1/Q3 come from
+    distinct-value counts + ``dist_cumsum`` rank crossings (one
+    value-keyed reduce, no sort buffer), the fences broadcast back as
+    one row, and the flagging pass is map-only. The classic detector
+    teams reach for first BECAUSE it needs no distribution assumption;
+    at 100 TB this form keeps it one reduce + one scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    c = dist_cumsum(g, "v", ["cnt"]).select(
+        "v", F.col("cum_cnt").cast("long").alias("cum")
+    )
+    n = F.broadcast(e.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    q = c.crossJoin(n).agg(
+        F.min(
+            F.when(F.col("cum") >= _rank_at(25, "n"), F.col("v"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("cum") >= _rank_at(75, "n"), F.col("v"))
+        ).alias("q3"),
+    )
+    f = F.broadcast(
+        q.select(
+            (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+            (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+        )
+    )
+    out = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        e.crossJoin(f)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("value") < F.col("lo")).cast("int"))
+            .cast("long")
+            .alias("n_low"),
+            F.sum((F.col("value") > F.col("hi")).cast("int"))
+            .cast("long")
+            .alias("n_high"),
+            F.round(
+                F.sum(out.cast("int")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("outlier_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_feature_scale",
+    # z-score via exact decimal power sums (the q_agg_stats doctrine),
+    # min-max via two exact selections, percent_rank via the
+    # distinct-value cumulative device: rank_min(v) = cum(v) − cnt(v)
+    # + 1, pct = (rank_min − 1)/(n − 1) — the same (rank−1)/(n−1)
+    # definition percent_rank() implements, so the oracle can use the
+    # builtin window while Spark never runs a global window at all.
+    oracle="""
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events
+),
+pr AS (
+  SELECT event_id, value,
+         percent_rank() OVER (ORDER BY value) AS pct
+  FROM events
+)
+SELECT pr.event_id, pr.value,
+       CASE WHEN n > 1 AND (sxx - sx*sx/n) / (n - 1) > 0
+            THEN round((pr.value - sx/n)
+                       / sqrt((sxx - sx*sx/n) / (n - 1)), 6) END AS z,
+       CASE WHEN vmax > vmin
+            THEN round((pr.value - vmin) / (vmax - vmin), 6) END AS minmax,
+       CASE WHEN n > 1 THEN round(pct, 6) END AS pct_rank
+FROM pr CROSS JOIN s
+ORDER BY pr.event_id
+""",
+)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row feature scaling matrix (z-score, min-max, percent-rank)
+    over the event values — the ML-preprocessing staple, built so that
+    NO global window ever runs: moments and extrema are one broadcast
+    aggregate (decimal power sums, the q_agg_stats discipline);
+    percent-rank comes from the distinct-value ``dist_cumsum`` frame
+    joined back on the value key (rank_min = exclusive cumulative
+    count + 1 — exactly SQL's rank()), one value-keyed shuffle. The
+    oracle uses the builtin percent_rank() window to prove the
+    construction IS that function. Degenerate guards (n ≤ 1, zero
+    variance, constant column) emit NULL, not a crash — empty/constant
+    partitions are routine at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    g = e.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    c = dist_cumsum(g, "v", ["cnt"]).select(
+        "v",
+        (F.col("cum_cnt") - F.col("cnt")).cast("long").alias("below"),
+    )
+    s = F.broadcast(
+        e.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sx"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sxx"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var = (sxx - sx * sx / n) / (n - 1)
+    return (
+        e.join(c, e.value == c.v)
+        .crossJoin(s)
+        .select(
+            "event_id",
+            "value",
+            F.when(
+                (n > 1) & (var > 0),
+                F.round((F.col("value") - sx / n) / F.sqrt(var), 6),
+            ).alias("z"),
+            F.when(
+                F.col("vmax") > F.col("vmin"),
+                F.round(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin")),
+                    6,
+                ),
+            ).alias("minmax"),
+            F.when(
+                n > 1,
+                F.round(F.col("below").cast("double") / (n - 1), 6),
+            ).alias("pct_rank"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_N_PERMS = 199
+
+
+@query(
+    "q_agg_permutation_test",
+    # Permutation labels are md5-derived (user_id:perm byte parity) so
+    # both engines draw the IDENTICAL "random" reassignments — the
+    # q_split_hash doctrine applied to resampling. All group sums are
+    # exact integers; each mean diff is one double division; the
+    # p-value is the add-one permutation estimate.
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UINTEGER % 2
+           AS arm,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS m
+  FROM events GROUP BY user_id
+),
+obs AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN arm = 0 THEN m ELSE 0 END) AS BIGINT) AS sa,
+         CAST(sum(CASE WHEN arm = 1 THEN m ELSE 0 END) AS BIGINT) AS sb
+  FROM u
+),
+p AS (
+  SELECT p.p,
+         ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':'
+                             || CAST(p.p AS VARCHAR)), 1, 2))::UINTEGER % 2
+           AS parm,
+         u.m
+  FROM u CROSS JOIN (SELECT unnest(generate_series(1, {_N_PERMS})) AS p) p
+),
+pd AS (
+  SELECT p,
+         sum(CASE WHEN parm = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN parm = 1 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN parm = 0 THEN m ELSE 0 END) AS s0,
+         sum(CASE WHEN parm = 1 THEN m ELSE 0 END) AS s1
+  FROM p GROUP BY p
+),
+t AS (
+  SELECT obs.na, obs.nb,
+    CASE WHEN obs.na > 0 AND obs.nb > 0
+         THEN CAST(obs.sa AS DOUBLE) / obs.na
+              - CAST(obs.sb AS DOUBLE) / obs.nb END AS t_obs,
+    CAST(sum(CASE WHEN pd.c0 > 0 AND pd.c1 > 0 AND obs.na > 0
+                   AND obs.nb > 0
+                   AND abs(CAST(pd.s0 AS DOUBLE) / pd.c0
+                           - CAST(pd.s1 AS DOUBLE) / pd.c1)
+                       >= abs(CAST(obs.sa AS DOUBLE) / obs.na
+                              - CAST(obs.sb AS DOUBLE) / obs.nb)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+  FROM pd CROSS JOIN obs
+  GROUP BY obs.na, obs.nb, obs.sa, obs.sb
+)
+SELECT na, nb, round(t_obs, 6) AS t_obs, {_N_PERMS} AS n_perm, n_ge,
+       round(CAST(1 + n_ge AS DOUBLE) / CAST(1 + {_N_PERMS} AS DOUBLE), 6)
+         AS p_value
+FROM t
+""",
+)
+def q_agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test of the A/B difference in per-user purchase
+    counts — the assumption-free companion to q_agg_ttest /
+    q_agg_mannwhitney: instead of a t or rank reference distribution,
+    the null is built by re-randomizing the arm labels 199 times and
+    asking how often the permuted |mean diff| reaches the observed one
+    (add-one estimator, so p ≥ 1/200 — never a claimed zero). Labels
+    are md5(user:perm) byte parity: deterministic, retry-stable, and
+    identical across engines — "random" enough for exchangeability,
+    reproducible enough to oracle bit-for-bit.
+
+    Scale shape: events reduce to ONE row per user; the ×199 fan-out
+    happens map-side and collapses immediately to per-(perm, arm)
+    integer partial sums — 2·199 rows per task cross the wire, never
+    users×perms. The observed and permuted mean diffs are
+    single double divisions on exact integer sums; degenerate arms
+    (empty side) yield NULL t_obs, not a division crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def parity(expr):
+        return (
+            F.conv(F.substring(F.md5(expr.cast("binary")), 1, 2), 16, 10)
+            .cast("int")
+            % 2
+        )
+
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("m")
+    ).select(
+        "user_id", "m", parity(F.col("user_id").cast("string")).alias("arm")
+    )
+    obs = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+    )
+    perms = u.select(
+        "m",
+        F.explode(F.sequence(F.lit(1), F.lit(_N_PERMS))).alias("p"),
+        "user_id",
+    ).select(
+        "p",
+        "m",
+        parity(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit(":"),
+                F.col("p").cast("string"),
+            )
+        ).alias("parm"),
+    )
+    pd_ = perms.groupBy("p").agg(
+        F.sum(F.when(F.col("parm") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("parm") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("parm") == 0, F.col("m")).otherwise(0)).alias(
+            "s0"
+        ),
+        F.sum(F.when(F.col("parm") == 1, F.col("m")).otherwise(0)).alias(
+            "s1"
+        ),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    t_obs = F.when(
+        (na > 0) & (nb > 0),
+        F.col("sa").cast("double") / na - F.col("sb").cast("double") / nb,
+    )
+    t_perm_ge = F.when(
+        (F.col("c0") > 0) & (F.col("c1") > 0) & (na > 0) & (nb > 0),
+        (
+            F.abs(
+                F.col("s0").cast("double") / F.col("c0")
+                - F.col("s1").cast("double") / F.col("c1")
+            )
+            >= F.abs(
+                F.col("sa").cast("double") / na
+                - F.col("sb").cast("double") / nb
+            )
+        ).cast("int"),
+    ).otherwise(0)
+    return (
+        pd_.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+            F.round(F.max(t_obs), 6).alias("t_obs"),
+            F.lit(_N_PERMS).alias("n_perm"),
+            F.sum(t_perm_ge).cast("long").alias("n_ge"),
+            F.round(
+                (1 + F.sum(t_perm_ge)).cast("double") / (1 + _N_PERMS), 6
+            ).alias("p_value"),
+        )
+    )
+
+
+_CM_DEPTH = 3
+_CM_WIDTH = 64
+_CM_TOPK = 5
+
+
+@query(
+    "q_agg_countmin",
+    # The sketch is md5-derived (depth:key → 8 hex chars → cell), so
+    # BOTH engines build the identical grid and the estimates compare
+    # exactly — plus the point of count-min as booleans: the estimate
+    # never undershoots the truth.
+    oracle=f"""
+WITH grid AS (
+  SELECT d.d,
+         ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':'
+                             || CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
+           % {_CM_WIDTH} AS cell,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events
+  CROSS JOIN (SELECT unnest(generate_series(0, {_CM_DEPTH - 1})) AS d) d
+  GROUP BY 1, 2
+),
+tops AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+  FROM events GROUP BY user_id
+  ORDER BY true_cnt DESC, user_id LIMIT {_CM_TOPK}
+),
+probe AS (
+  SELECT t.user_id, t.true_cnt, d.d,
+         ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':'
+                             || CAST(t.user_id AS VARCHAR)), 1, 8))::UBIGINT
+           % {_CM_WIDTH} AS cell
+  FROM tops t
+  CROSS JOIN (SELECT unnest(generate_series(0, {_CM_DEPTH - 1})) AS d) d
+)
+SELECT p.user_id, max(p.true_cnt) AS true_cnt,
+       CAST(min(g.c) AS BIGINT) AS cm_est,
+       min(g.c) >= max(p.true_cnt) AS never_undercounts
+FROM probe p JOIN grid g ON g.d = p.d AND g.cell = p.cell
+GROUP BY p.user_id
+ORDER BY true_cnt DESC, user_id
+""",
+)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (3 depth rows × 64 cells, md5 hashes) over
+    user event frequencies, verified against exact counts for the
+    top-5 users (the q_agg_hll contract: the sketch answer ships with
+    its exact twin at test scale; production keeps only the sketch).
+    The point of count-min beside q_agg_heavy's exact heavy-hitter
+    pass: the GRID is the aggregate — 3·64 integer cells, mergeable by
+    addition, constant size at any cardinality — so it survives
+    streaming and shard-merge settings where per-key state can't. The
+    estimate is the min over depth rows; count-min's one-sided error
+    (never BELOW the true count) is emitted as a checked boolean.
+
+    Scale shape: one ×3 map-side fan-out collapsing to the grid
+    (map-combinable — 192 partials per task); the probe side is the
+    exact top-5 (TakeOrderedAndProject) joined against the broadcast
+    grid.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def cell(d_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            d_col.cast("string"),
+                            F.lit(":"),
+                            key_col.cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CM_WIDTH
+        )
+
+    grid = (
+        e.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_CM_DEPTH - 1))
+            ).alias("d"),
+        )
+        .groupBy("d", cell(F.col("d"), F.col("user_id")).alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tops = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "user_id")
+        .limit(_CM_TOPK)
+    )
+    probe = tops.select(
+        "user_id",
+        "true_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(_CM_DEPTH - 1))).alias("d"),
+    ).select(
+        "user_id",
+        "true_cnt",
+        "d",
+        cell(F.col("d"), F.col("user_id")).alias("cell"),
+    )
+    return (
+        probe.join(F.broadcast(grid), ["d", "cell"])
+        .groupBy("user_id")
+        .agg(
+            F.max("true_cnt").alias("true_cnt"),
+            F.min("c").cast("long").alias("cm_est"),
+            (F.min("c") >= F.max("true_cnt")).alias("never_undercounts"),
+        )
+        .orderBy(F.col("true_cnt").desc(), "user_id")
+    )

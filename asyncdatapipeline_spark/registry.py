@@ -68,6 +68,7 @@ def _load_all() -> None:
     import asyncdatapipeline_spark.llm.multimodal  # noqa: F401
     import asyncdatapipeline_spark.streaming.batch_windows  # noqa: F401
     import asyncdatapipeline_spark.operators.subqueries  # noqa: F401
+    import asyncdatapipeline_spark.operators.orderstats  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

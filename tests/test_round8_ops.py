@@ -133,6 +133,141 @@ def test_dist_cumsum_grouped_descending_tiebreak(spark):
     assert n_cells == 3
 
 
+def _write_events(spark, out, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)"""
+    spark.createDataFrame(
+        [(i, t, u, ty, v, "{}") for i, t, u, ty, v in rows],
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(str(out / "events.parquet"))
+
+
+def test_percentile_global_planted_ranks(spark, tmp_path):
+    """Values 1..10: p25 = rank ceil(2.5)=3 → 3, p50 → 5, p90 → 9,
+    p99 = rank ceil(9.9)=10 → 10 (type-1 discrete selection)."""
+    spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(range(1, 11))],
+        "o_orderkey long, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = registry.get("q_agg_percentile_global").fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (r["n_rows"], r["p25"], r["p50"], r["p90"], r["p99"]) == (
+        10, 3.0, 5.0, 9.0, 10.0,
+    )
+    assert (r["vmin"], r["vmax"]) == (1.0, 10.0)
+
+
+def test_median_exact_planted_even_and_odd(spark, tmp_path):
+    """Group A [1,2,3,4]: lo=2, hi=3, median 2.5; group B [5,7,9]:
+    lo=hi=median=7."""
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0),
+            ("B", 5.0), ("B", 7.0), ("B", 9.0)]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["l_returnflag"]: (r["n"], r["median_lo"], r["median_hi"],
+                            r["median"])
+        for r in registry.get("q_agg_median_exact").fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"A": (4, 2.0, 3.0, 2.5), "B": (3, 7.0, 7.0, 7.0)}
+
+
+def test_anomaly_iqr_planted_fences(spark, tmp_path):
+    """Values {-10, 1..12, 100}: Q1 = rank ceil(3.5)=4 → 3, Q3 = rank
+    11 → 10, fences [-7.5, 20.5] → exactly one low and one high
+    outlier."""
+    vals = [-10.0] + [float(v) for v in range(1, 13)] + [100.0]
+    rows = [
+        (i, "2024-01-01 00:00:00", i, "view", v)
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("q_anomaly_iqr").fn(spark, str(tmp_path)).collect()
+    assert len(r) == 1 and r[0]["event_type"] == "view"
+    assert (r[0]["n"], r[0]["n_low"], r[0]["n_high"]) == (14, 1, 1)
+    assert abs(r[0]["outlier_share"] - 2 / 14) < 1e-6
+
+
+def test_feature_scale_planted_triplet(spark, tmp_path):
+    """Values {0,5,10}: minmax = 0/.5/1, pct_rank = 0/.5/1, z = -1/0/1
+    (mean 5, sd 5)."""
+    rows = [
+        (i, "2024-01-01 00:00:00", i, "view", float(v))
+        for i, v in enumerate([0, 5, 10])
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = [
+        (r["value"], r["z"], r["minmax"], r["pct_rank"])
+        for r in registry.get("q_feature_scale").fn(
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    assert got == [
+        (0.0, -1.0, 0.0, 0.0),
+        (5.0, 0.0, 0.5, 0.5),
+        (10.0, 1.0, 1.0, 1.0),
+    ]
+
+
+def test_permutation_test_structure(spark, sf_dir):
+    """Add-one p-value bounds, n_ge ≤ n_perm, and t_obs must equal the
+    directly-computed arm mean difference."""
+    r = registry.get("q_agg_permutation_test").fn(spark, sf_dir).collect()[0]
+    assert r["n_perm"] == 199
+    assert 0 <= r["n_ge"] <= 199
+    assert 1 / 200 <= r["p_value"] <= 1.0
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 2
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("m")
+    ).select(arm.alias("arm"), "m")
+    s = u.groupBy("arm").agg(
+        F.sum("m").alias("s"), F.count(F.lit(1)).alias("c")
+    ).collect()
+    by = {x["arm"]: (x["s"], x["c"]) for x in s}
+    want = by[0][0] / by[0][1] - by[1][0] / by[1][1]
+    assert abs(r["t_obs"] - round(want, 6)) < 1e-9
+
+
+def test_countmin_never_undercounts_and_exact_top(spark, tmp_path):
+    """Planted frequencies 10/5/1: top rows ordered by true count, every
+    estimate >= truth (the count-min one-sided guarantee)."""
+    rows = []
+    i = 0
+    for uid, cnt in ((1, 10), (2, 5), (3, 1)):
+        for _ in range(cnt):
+            rows.append((i, "2024-01-01 00:00:00", uid, "view", 1.0))
+            i += 1
+    _write_events(spark, tmp_path, rows)
+    out = registry.get("q_agg_countmin").fn(spark, str(tmp_path)).collect()
+    assert [r["user_id"] for r in out] == [1, 2, 3]
+    assert [r["true_cnt"] for r in out] == [10, 5, 1]
+    assert all(r["never_undercounts"] for r in out)
+    assert all(r["cm_est"] >= r["true_cnt"] for r in out)
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state
