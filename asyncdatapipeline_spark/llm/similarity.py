@@ -1187,3 +1187,116 @@ def q_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+_KNN_CLS_K = 5
+
+
+@query(
+    "q_ml_knn",
+    # Same exact-cosine scoring contract as q_sim_knn_join (shared
+    # left-to-right dot fold, 6dp display rounding only AFTER the
+    # rank selection); the majority vote and its (count DESC, label
+    # ASC) tiebreak are pure integer logic.
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS true_label,
+         CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_KNN_N_QUERIES}
+),
+c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= {_KNN_N_QUERIES}
+),
+nn AS (
+  SELECT query_id, true_label, label,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id
+         ) AS rn
+  FROM c, q
+),
+votes AS (
+  SELECT query_id, true_label, label, count(*) AS cnt
+  FROM nn WHERE rn <= {_KNN_CLS_K}
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT query_id, true_label, label AS pred_label
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cnt DESC, label
+    ) AS v
+    FROM votes
+  ) WHERE v = 1
+)
+SELECT true_label,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS accuracy
+FROM pred GROUP BY true_label ORDER BY true_label
+""",
+)
+def q_ml_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification eval: each held-out query vector takes the
+    majority label of its 5 exact-cosine nearest corpus neighbors;
+    per-class accuracy out. The lazy-learner baseline every embedding
+    pipeline should report BEFORE training anything — if k-NN over the
+    raw vectors already separates the classes, the embedding carries
+    the signal (q_embed_silhouette says the geometry is clusterable;
+    this says it is PREDICTIVE); if not, no head will fix it.
+
+    Scale shape: the query set is the bounded broadcast side (the
+    q_sim_knn_join contract — a query batch, never a second corpus);
+    the corpus streams once against it, per-query top-k rides
+    WindowGroupLimit (map-side k-heaps, shuffle = partitions×k rows per
+    query), and the vote + argmax frames are queries×labels —
+    dimension-sized. Unbounded query sets route through the IVF/LSH
+    paths (q_sim_ivf / q_sim_ann) instead of this exact form.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < _KNN_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            _as_double(F.col("embedding")).alias("qv"),
+        )
+        .withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    )
+    c = (
+        e.filter(F.col("vec_id") >= _KNN_N_QUERIES)
+        .select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("vn") * F.col("qn"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    nn = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_CLS_K)
+    )
+    votes = nn.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = W.partitionBy("query_id").orderBy(F.col("cnt").desc(), "label")
+    pred = (
+        votes.withColumn("v", F.row_number().over(wv))
+        .filter(F.col("v") == 1)
+        .select("query_id", "true_label", F.col("label").alias("pred_label"))
+    )
+    hit = (F.col("pred_label") == F.col("true_label")).cast("int")
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(hit).cast("long").alias("n_correct"),
+            F.round(
+                F.sum(hit).cast("double") / F.count(F.lit(1)), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )

@@ -4307,3 +4307,120 @@ def q_agg_robust_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(tstat) > 1.96).alias("significant"),
         )
     )
+
+
+_RIDGE_LAMBDAS = (0, 1, 10, 100, 1000)
+
+
+@query(
+    "q_ml_ridge",
+    # One power-sum pass (exact DECIMAL, the q_ml_linreg doctrine);
+    # the whole λ grid is arithmetic on that single row — slope(λ) =
+    # Sxy_c/(Sxx_c + λ), every form the same IEEE chain per engine.
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS syy
+  FROM lineitem
+),
+c AS (
+  SELECT n, sx / n AS xbar, sy / n AS ybar,
+         sxx - sx * sx / n AS sxx_c,
+         sxy - sx * sy / n AS sxy_c,
+         syy - sy * sy / n AS syy_c
+  FROM s WHERE n > 0
+),
+g AS (
+  SELECT c.*, lam
+  FROM c CROSS JOIN (SELECT unnest(ARRAY{list(_RIDGE_LAMBDAS)}) AS lam) l
+),
+f AS (
+  SELECT lam, n, syy_c, sxy_c, sxx_c,
+         sxy_c / (sxx_c + lam) AS b
+  FROM g WHERE sxx_c + lam > 0
+)
+SELECT CAST(lam AS BIGINT) AS lambda,
+       CAST(n AS BIGINT) AS n,
+       round(b, 6) AS slope,
+       round((SELECT ybar FROM c) - b * (SELECT xbar FROM c), 6)
+         AS intercept,
+       CASE WHEN syy_c > 0
+            THEN round(1 - (syy_c - 2 * b * sxy_c + b * b * sxx_c)
+                         / syy_c, 6) END AS r2,
+       CASE WHEN sxx_c > 0 THEN round(b / (sxy_c / sxx_c), 6) END
+         AS shrinkage
+FROM f ORDER BY lambda
+""",
+)
+def q_ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression path (extendedprice ~ quantity) across the λ
+    grid {0, 1, 10, 100, 1000} — L2 shrinkage in closed form:
+    slope(λ) = Sxy_c/(Sxx_c + λ). λ=0 reproduces the OLS fit
+    (q_ml_linreg's single-regressor cut); the emitted `shrinkage`
+    column (slope(λ)/slope_OLS) shows the coefficient path the
+    regularization knob trades R² against — the "ML in SQL" answer to
+    a hyperparameter SWEEP: at 100 TB you do not re-scan per λ, you
+    scan ONCE for the power sums and evaluate every λ on one row.
+
+    Scale shape: one partial-aggregated pass to six exact-DECIMAL
+    power sums; the λ grid is a 5-literal explode against that single
+    broadcast row. Degenerate designs (zero variance) drop out via
+    the sxx_c + λ > 0 filter and NULL-guarded ratios.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    big = "decimal(38,6)"
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * x).cast(big)).cast("double").alias("sxx"),
+        F.sum((x * y).cast(big)).cast("double").alias("sxy"),
+        F.sum((y * y).cast(big)).cast("double").alias("syy"),
+    ).filter(F.col("n") > 0)
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    c = s.select(
+        "n",
+        (sx / n).alias("xbar"),
+        (sy / n).alias("ybar"),
+        (F.col("sxx") - sx * sx / n).alias("sxx_c"),
+        (F.col("sxy") - sx * sy / n).alias("sxy_c"),
+        (F.col("syy") - sy * sy / n).alias("syy_c"),
+    )
+    g = c.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(v) for v in _RIDGE_LAMBDAS])
+        ).alias("lam"),
+    ).filter(F.col("sxx_c") + F.col("lam") > 0)
+    b = F.col("sxy_c") / (F.col("sxx_c") + F.col("lam"))
+    return g.select(
+        F.col("lam").cast("long").alias("lambda"),
+        F.col("n").cast("long").alias("n"),
+        F.round(b, 6).alias("slope"),
+        F.round(F.col("ybar") - b * F.col("xbar"), 6).alias("intercept"),
+        F.when(
+            F.col("syy_c") > 0,
+            F.round(
+                1
+                - (
+                    F.col("syy_c")
+                    - 2 * b * F.col("sxy_c")
+                    + b * b * F.col("sxx_c")
+                )
+                / F.col("syy_c"),
+                6,
+            ),
+        ).alias("r2"),
+        F.when(
+            F.col("sxx_c") > 0,
+            F.round(b / (F.col("sxy_c") / F.col("sxx_c")), 6),
+        ).alias("shrinkage"),
+    ).orderBy("lambda")

@@ -394,3 +394,119 @@ def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(2.0 * tp / (2.0 * tp + fp + fn_), 6).alias("f1"),
         F.round("ece", 6).alias("ece"),
     )
+
+
+@query(
+    "q_eval_pr",
+    # Tie-blocked PR: blocks are DISTINCT scores descending, so both
+    # engines see identical (cum_tp, cum_n) staircases; the AP sum is
+    # decimal-armored (block precision rounded to 9dp then DECIMAL —
+    # the ln-contract pattern) so partial-sum order can't drift it.
+    oracle="""
+WITH t AS (
+  SELECT value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+g AS (
+  SELECT score, CAST(sum(y) AS BIGINT) AS a_tie,
+         CAST(count(*) AS BIGINT) AS tie
+  FROM t GROUP BY score
+),
+c AS (
+  SELECT score, a_tie, tie,
+         CAST(sum(a_tie) OVER (ORDER BY score DESC) AS BIGINT) AS cum_a,
+         CAST(sum(tie) OVER (ORDER BY score DESC) AS BIGINT) AS cum_n
+  FROM g
+),
+tot AS (
+  SELECT CAST(sum(a_tie) AS BIGINT) AS p,
+         CAST(sum(tie - a_tie) AS BIGINT) AS neg
+  FROM g
+),
+s AS (
+  SELECT max(tot.p) AS p, max(tot.neg) AS neg,
+         CAST(sum(CAST(a_tie AS DECIMAL(18,0))
+                  * CAST(round(CAST(cum_a AS DOUBLE) / cum_n, 9)
+                         AS DECIMAL(10,9))) AS DOUBLE) AS ap_num,
+         min(CASE WHEN tot.p > 0
+                   AND CAST(cum_a AS DOUBLE) / tot.p >= 0.5
+              THEN cum_n END) AS target
+  FROM c CROSS JOIN tot
+)
+SELECT s.p AS n_pos, s.neg AS n_neg,
+       CASE WHEN s.p > 0 THEN round(s.ap_num / s.p, 6) END
+         AS average_precision,
+       (SELECT round(CAST(c.cum_a AS DOUBLE) / c.cum_n, 6)
+        FROM c WHERE c.cum_n = s.target) AS p_at_r50
+FROM s
+""",
+)
+def q_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-blocked average precision + precision at 50% recall — the
+    PR-side companion to q_eval_auc for IMBALANCED labels, where ROC
+    AUC flatters (the negatives dominate its denominator; PR answers
+    "of what the model surfaces, how much is real"). Blocks are
+    distinct score values descending — the only tie treatment that is
+    deterministic cross-engine — and AP is the tie-blocked sum
+    Σ tp_block · precision(block end) / P.
+
+    Scale shape: the q_eval_auc device pointed the other way — one
+    groupBy(score) reduce (map-combinable), ``dist_cumsum`` DESCENDING
+    for the (cum_tp, cum_n) staircase (no single-partition window),
+    two tiny aggregates over the distinct-score frame. The AP partial
+    sums are decimal-armored; P = 0 yields NULLs, never a division
+    crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = t.groupBy("score").agg(
+        F.sum("y").cast("long").alias("a_tie"),
+        F.count(F.lit(1)).cast("long").alias("tie"),
+    )
+    c = dist_cumsum(g, "score", ["a_tie", "tie"], descending=True).select(
+        "score",
+        "a_tie",
+        "tie",
+        F.col("cum_a_tie").cast("long").alias("cum_a"),
+        F.col("cum_tie").cast("long").alias("cum_n"),
+    )
+    tot = F.broadcast(
+        g.agg(
+            F.sum("a_tie").cast("long").alias("p"),
+            F.sum(F.col("tie") - F.col("a_tie")).cast("long").alias("neg"),
+        )
+    )
+    prec = F.col("cum_a").cast("double") / F.col("cum_n")
+    recall = F.when(
+        F.col("p") > 0, F.col("cum_a").cast("double") / F.col("p")
+    )
+    s = (
+        c.crossJoin(tot)
+        .agg(
+            F.max("p").alias("p"),
+            F.max("neg").alias("neg"),
+            F.sum(
+                F.col("a_tie").cast("decimal(18,0)")
+                * F.round(prec, 9).cast("decimal(10,9)")
+            )
+            .cast("double")
+            .alias("ap_num"),
+            F.min(F.when(recall >= 0.5, F.col("cum_n"))).alias("target"),
+        )
+    )
+    p50 = (
+        c.crossJoin(F.broadcast(s.select("target")))
+        .filter(F.col("cum_n") == F.col("target"))
+        .select(F.round(prec, 6).alias("p_at_r50"))
+    )
+    return s.select(
+        F.col("p").alias("n_pos"),
+        F.col("neg").alias("n_neg"),
+        F.when(
+            F.col("p") > 0, F.round(F.col("ap_num") / F.col("p"), 6)
+        ).alias("average_precision"),
+    ).join(p50, how="left")

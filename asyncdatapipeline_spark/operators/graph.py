@@ -12,7 +12,7 @@ oracle matches bit-for-bit with no tolerance band.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from asyncdatapipeline_spark.operators.joins import _BASKET_MAX_ITEMS
 from asyncdatapipeline_spark.registry import query
@@ -998,4 +998,182 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("modularity", 6).alias("modularity"),
         )
         .orderBy(F.col("n_nodes").desc(), "component_id")
+    )
+
+
+_LP_ROUNDS = 3
+_LP_SEED_MOD = 5
+
+
+def _label_prop_oracle_sql() -> str:
+    """Unrolled label-propagation oracle (the bounded-iteration
+    contract): both engines run the SAME compile-time round count; all
+    round state is (node BIGINT, lab VARCHAR), so inter-round inputs
+    are bit-identical. ``AS MATERIALIZED`` is mandatory — each round
+    references its predecessor in two places and default CTE inlining
+    would re-evaluate the whole chain per reference."""
+    rounds = []
+    for k in range(1, _LP_ROUNDS + 1):
+        prev = f"lab{k - 1}"
+        rounds.append(f"""
+v{k} AS MATERIALIZED (
+  SELECT e.src AS node, l.lab, count(*) AS cnt
+  FROM edges e JOIN {prev} l ON l.node = e.dst
+  WHERE l.lab IS NOT NULL GROUP BY 1, 2
+),
+w{k} AS MATERIALIZED (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, lab) AS r
+    FROM v{k}
+  ) WHERE r = 1
+),
+lab{k} AS MATERIALIZED (
+  SELECT n.node, COALESCE(s.lab, w.lab, p.lab) AS lab
+  FROM nodes n
+  LEFT JOIN seeds s USING (node)
+  LEFT JOIN w{k} w USING (node)
+  LEFT JOIN {prev} p USING (node)
+)""")
+    return f"""
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+sz AS (
+  SELECT l_orderkey FROM op GROUP BY l_orderkey
+  HAVING count(*) BETWEEN 2 AND {_BASKET_MAX_ITEMS}
+),
+ok AS (SELECT op.l_orderkey, op.l_partkey FROM op JOIN sz USING (l_orderkey)),
+pr AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM ok a JOIN ok b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM pr UNION SELECT v, u FROM pr
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+seeds AS MATERIALIZED (
+  SELECT n.node, p.p_brand AS lab
+  FROM nodes n JOIN part p ON p.p_partkey = n.node
+  WHERE n.node % {_LP_SEED_MOD} = 0
+),
+lab0 AS MATERIALIZED (
+  SELECT n.node, s.lab FROM nodes n LEFT JOIN seeds s USING (node)
+),{",".join(rounds)}
+SELECT l.lab AS label,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_seeds
+FROM lab{_LP_ROUNDS} l LEFT JOIN seeds s USING (node)
+GROUP BY l.lab ORDER BY label
+"""
+
+
+@query("q_graph_label_prop", oracle=_label_prop_oracle_sql())
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the support-filtered
+    co-purchase graph: every 5th part is seeded with its brand
+    label (clamped — seeds never change); 3 bounded rounds of
+    neighbor-majority voting (ties broken by smallest label — the only
+    deterministic mode) spread the labels; unreached nodes stay NULL.
+    The transductive classifier data teams run when labels are scarce
+    but the GRAPH is dense — "which brand's ecosystem does this
+    unlabeled part sell inside" — and the predictive counterpart of
+    q_graph_components' purely structural clusters.
+
+    Scale shape: the same support-thresholded edge build every graph
+    op here pays (basket cap before the pair self-join), then per
+    round ONE join (edges ⋈ labels), one (node, label) count, one
+    WindowGroupLimit argmax on the node partitioning, and a three-way
+    label coalesce — all shuffles on the node key, state strictly
+    (node, label)-sized, ``localCheckpoint`` truncating lineage per
+    round (the q_graph_kcore discipline). Rounds are compile-time
+    bounded (the bounded-iteration oracle contract), not run to a
+    data-dependent fixpoint.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sz = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
+        .select("l_orderkey")
+    )
+    ok = op.join(sz, "l_orderkey")
+    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pr = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+    )
+    edges = (
+        pr.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(pr.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seeds = (
+        nodes.filter(F.col("node") % _LP_SEED_MOD == 0)
+        .join(part, nodes.node == part.p_partkey)
+        .select("node", F.col("p_brand").alias("seed_lab"))
+        .localCheckpoint(eager=False)
+    )
+    lab = nodes.join(seeds, "node", "left").select(
+        "node", F.col("seed_lab").alias("lab")
+    )
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            edges.join(
+                lab.select(
+                    F.col("node").alias("dst"), F.col("lab").alias("nlab")
+                ),
+                "dst",
+            )
+            .filter(F.col("nlab").isNotNull())
+            .groupBy(F.col("src").alias("node"), F.col("nlab"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        win = (
+            votes.withColumn(
+                "r",
+                F.row_number().over(
+                    W.partitionBy("node").orderBy(
+                        F.col("cnt").desc(), "nlab"
+                    )
+                ),
+            )
+            .filter(F.col("r") == 1)
+            .select("node", F.col("nlab").alias("win_lab"))
+        )
+        lab = (
+            nodes.join(seeds, "node", "left")
+            .join(win, "node", "left")
+            .join(
+                lab.select("node", F.col("lab").alias("prev_lab")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("seed_lab", "win_lab", "prev_lab").alias("lab"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        lab.join(seeds, "node", "left")
+        .groupBy(F.col("lab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.col("seed_lab").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_seeds"),
+        )
+        .orderBy("label")
     )

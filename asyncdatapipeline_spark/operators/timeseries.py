@@ -6343,3 +6343,150 @@ def q_events_fatigue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trend_significant"),
         F.when(vv > 0, z < 0).otherwise(F.lit(False)).alias("declining"),
     )
+
+
+@query(
+    "q_ts_mann_kendall",
+    # S and the tie-corrected variance numerator are exact integers
+    # (pairwise signs and tie-group cubics); only z is IEEE, the same
+    # (S∓1)/σ continuity-corrected chain in both engines.
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+spine AS (
+  SELECT unnest(generate_series((SELECT d0 FROM b), (SELECT d1 FROM b)))
+    AS day
+),
+x AS (
+  SELECT spine.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS x
+  FROM spine LEFT JOIN d USING (day)
+),
+s AS (
+  SELECT CAST(sum(CASE WHEN bb.x > aa.x THEN 1
+                       WHEN bb.x < aa.x THEN -1 ELSE 0 END) AS BIGINT)
+    AS s_stat
+  FROM x aa JOIN x bb ON bb.day > aa.day
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x),
+ties AS (
+  SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+    AS tie_term
+  FROM (SELECT count(*) AS t FROM x GROUP BY x HAVING count(*) > 1)
+),
+v AS (
+  SELECT n.n, s.s_stat, ties.tie_term,
+         n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term AS var18
+  FROM n CROSS JOIN s CROSS JOIN ties
+)
+SELECT n AS n_days, s_stat, CAST(var18 AS BIGINT) AS var_num18,
+       CASE WHEN var18 > 0 AND s_stat > 0
+            THEN round((s_stat - 1) / sqrt(var18 / 18.0), 6)
+            WHEN var18 > 0 AND s_stat < 0
+            THEN round((s_stat + 1) / sqrt(var18 / 18.0), 6)
+            WHEN var18 > 0 THEN 0.0 END AS z,
+       CASE WHEN var18 > 0 AND s_stat > 0
+                 AND abs((s_stat - 1) / sqrt(var18 / 18.0)) > 1.96
+            THEN 'increasing'
+            WHEN var18 > 0 AND s_stat < 0
+                 AND abs((s_stat + 1) / sqrt(var18 / 18.0)) > 1.96
+            THEN 'decreasing'
+            WHEN var18 > 0 THEN 'no_trend' END AS trend
+FROM v
+""",
+)
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the dense daily event-volume series —
+    the nonparametric "is traffic actually trending" gate: S counts
+    up-pairs minus down-pairs across ALL day pairs, so one outlier day
+    moves S by at most n−1 (q_agg_trend's least-squares slope can be
+    dragged arbitrarily by one spike), and the tie-corrected variance
+    keeps flat stretches (the zero-day runs a dense spine makes
+    explicit) from inflating significance. The standard first test on
+    operational dailies, and the hypothesis-test companion to
+    q_ts_theilsen's robust slope ESTIMATE.
+
+    Scale shape: one map-combinable reduce to per-day counts, then the
+    pair self-join runs on the |days| spine — horizon-bounded (the
+    dimension-frame class: 10 years is 3 653 rows, ~6.7 M pairs,
+    regardless of whether the table is 10 GB or 100 TB); S, ties and
+    the variance numerator are exact integers, z the one IEEE chain.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = F.broadcast(
+        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    )
+    spine = b.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    x = (
+        spine.join(d, "day", "left")
+        .select("day", F.coalesce("c", F.lit(0)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)  # feeds three consumers
+    )
+    aa = x.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    bb = x.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = aa.join(bb, F.col("db") > F.col("da")).agg(
+        F.sum(
+            F.when(F.col("xb") > F.col("xa"), 1)
+            .when(F.col("xb") < F.col("xa"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat")
+    )
+    n = x.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        x.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    nn, ss = F.col("n"), F.col("s_stat")
+    v = (
+        n.crossJoin(s)
+        .crossJoin(ties)
+        .select(
+            "n",
+            "s_stat",
+            (
+                nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term")
+            ).cast("long").alias("var18"),
+        )
+    )
+    sigma = F.sqrt(F.col("var18") / 18.0)
+    z = F.when(
+        (F.col("var18") > 0) & (ss > 0), (ss - 1) / sigma
+    ).when(
+        (F.col("var18") > 0) & (ss < 0), (ss + 1) / sigma
+    ).when(F.col("var18") > 0, F.lit(0.0))
+    return v.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.col("var18").alias("var_num18"),
+        F.round(z, 6).alias("z"),
+        F.when(
+            (F.col("var18") > 0) & (ss > 0) & (F.abs(z) > 1.96),
+            F.lit("increasing"),
+        )
+        .when(
+            (F.col("var18") > 0) & (ss < 0) & (F.abs(z) > 1.96),
+            F.lit("decreasing"),
+        )
+        .when(F.col("var18") > 0, F.lit("no_trend"))
+        .alias("trend"),
+    )

@@ -268,6 +268,103 @@ def test_countmin_never_undercounts_and_exact_top(spark, tmp_path):
     assert all(r["cm_est"] >= r["true_cnt"] for r in out)
 
 
+def test_ml_knn_planted_separable_clusters(spark, tmp_path):
+    """Two orthogonal clusters: every query's 5-NN majority label is its
+    own cluster's label → per-class accuracy 1.0."""
+    rows = [(0, [1.0, 0.0], 7), (1, [0.0, 1.0], 8)]
+    for i in range(5):
+        rows.append((20 + i, [1.0, 0.01 * i], 7))
+        rows.append((25 + i, [0.01 * i, 1.0], 8))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r["true_label"]: (r["n_queries"], r["n_correct"], r["accuracy"])
+        for r in registry.get("q_ml_knn").fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {7: (1, 1, 1.0), 8: (1, 1, 1.0)}
+
+
+def test_ml_ridge_planted_exact_line(spark, tmp_path):
+    """y = 2x through the origin: λ=0 recovers OLS slope 2, intercept
+    0, R² = 1, shrinkage 1; larger λ shrinks the slope toward 0
+    monotonically."""
+    spark.createDataFrame(
+        [(float(x), 2.0 * x) for x in range(1, 6)],
+        "l_quantity double, l_extendedprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    rows = registry.get("q_ml_ridge").fn(spark, str(tmp_path)).collect()
+    by_lam = {r["lambda"]: r for r in rows}
+    assert (
+        by_lam[0]["slope"],
+        by_lam[0]["intercept"],
+        by_lam[0]["r2"],
+        by_lam[0]["shrinkage"],
+    ) == (2.0, 0.0, 1.0, 1.0)
+    slopes = [by_lam[l]["slope"] for l in (0, 1, 10, 100, 1000)]
+    assert slopes == sorted(slopes, reverse=True) and slopes[-1] > 0
+
+
+def test_eval_pr_planted_perfect_separation(spark, tmp_path):
+    """Purchases score strictly above views → AP = 1 and precision at
+    50% recall = 1."""
+    rows = [
+        (0, "2024-01-01 00:00:00", 0, "purchase", 10.0),
+        (1, "2024-01-01 00:00:00", 1, "purchase", 9.0),
+        (2, "2024-01-01 00:00:00", 2, "view", 2.0),
+        (3, "2024-01-01 00:00:00", 3, "view", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("q_eval_pr").fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (2, 2)
+    assert r["average_precision"] == 1.0
+    assert r["p_at_r50"] == 1.0
+
+
+def test_mann_kendall_planted_monotone_series(spark, tmp_path):
+    """Daily counts 1..10 strictly increasing: S = 45 (all pairs up),
+    no ties, var·18 = 10·9·25 = 2250, z = 44/√125 ≈ 3.935 →
+    'increasing'."""
+    rows = []
+    i = 0
+    for day in range(10):
+        for _ in range(day + 1):
+            rows.append(
+                (i, f"2024-01-{day + 1:02d} 12:00:00", i, "view", 1.0)
+            )
+            i += 1
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("q_ts_mann_kendall").fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_days"], r["s_stat"], r["var_num18"]) == (10, 45, 2250)
+    assert abs(r["z"] - 44 / (2250 / 18) ** 0.5) < 1e-6
+    assert r["trend"] == "increasing"
+
+
+def test_label_prop_planted_two_cliques(spark, tmp_path):
+    """Two support-2 triangles seeded at their %5==0 member spread that
+    member's brand to the whole clique in one round."""
+    baskets = [(1, [10, 11, 12]), (2, [10, 11, 12]),
+               (3, [20, 21, 22]), (4, [20, 21, 22])]
+    li = [
+        (ok, pk) for ok, parts in baskets for pk in parts
+    ]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10, "BrandA"), (11, "X"), (12, "X"),
+         (20, "BrandB"), (21, "X"), (22, "X")],
+        "p_partkey long, p_brand string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    got = {
+        r["label"]: (r["n_nodes"], r["n_seeds"])
+        for r in registry.get("q_graph_label_prop").fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"BrandA": (3, 1), "BrandB": (3, 1)}
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state
