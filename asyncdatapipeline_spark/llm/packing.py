@@ -387,3 +387,79 @@ def q_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_pack_split.__doc__ = q_pack_split.__doc__.format(ctx=_CTX_TOKENS)
+
+
+_SHARD_BYTES = 65536
+
+
+@query(
+    "q_pack_shards",
+    # Exact global byte offsets (integer window sum in the oracle, the
+    # dist_cumsum device in Spark — identical values), start-offset
+    # shard rule, all-integer shard stats; utilization is one double
+    # division per shard row.
+    oracle=f"""
+WITH o AS (
+  SELECT doc_id, n_chars,
+         CAST(sum(n_chars) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM documents
+),
+s AS (
+  SELECT (cum - n_chars) // {_SHARD_BYTES} AS shard_id, doc_id, n_chars
+  FROM o
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS bytes,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       round(CAST(sum(n_chars) AS DOUBLE) / {_SHARD_BYTES}, 6)
+         AS utilization
+FROM s GROUP BY shard_id ORDER BY shard_id
+""",
+)
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export shard manifest (webdataset-style): documents stream in
+    deterministic doc_id order into ~64 KiB shards by the
+    START-OFFSET rule (a doc belongs to the shard its first byte
+    lands in — no doc is split, shards over-fill by at most one doc),
+    emitting the manifest a shard writer needs: doc range, byte
+    total, utilization per shard. The EXPORT-layer sibling of the
+    training-side packers: q_pack_sequences fills fixed TOKEN
+    contexts per source, this fills fixed BYTE archives globally —
+    the layout object stores and dataloaders actually shard on.
+
+    Scale shape: the global byte offsets run through ``dist_cumsum``
+    (equi-depth doc_id buckets + broadcast offsets — the exact prefix
+    sum with NO single-partition window; the oracle's window states
+    the same math declaratively), then one integer division assigns
+    shards and one grouped aggregate emits the manifest. At 100 TB
+    the manifest is |corpus bytes|/64 KiB rows — write it partitioned
+    by shard range; the assignment pass itself is one value-keyed
+    shuffle.
+    """
+    from asyncdatapipeline_spark.operators._util import dist_cumsum
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    c = dist_cumsum(d, "doc_id", ["n_chars"])
+    s = c.select(
+        F.expr(f"(cum_n_chars - n_chars) DIV {_SHARD_BYTES}").alias(
+            "shard_id"
+        ),
+        "doc_id",
+        "n_chars",
+    )
+    return (
+        s.groupBy(F.col("shard_id").cast("long").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.round(
+                F.sum("n_chars").cast("double") / _SHARD_BYTES, 6
+            ).alias("utilization"),
+        )
+        .orderBy("shard_id")
+    )

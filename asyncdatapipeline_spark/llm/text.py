@@ -2770,3 +2770,93 @@ def q_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + _MCNEMAR_TAIL
     )
+
+
+@query(
+    "q_sample_balanced",
+    # The kept set is fully deterministic (md5-hash order per class,
+    # vec_id tiebreak), so the oracle verifies WHICH rows were kept
+    # via the per-class id checksum, not just how many.
+    oracle="""
+WITH h AS (
+  SELECT vec_id, label,
+         ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::UBIGINT
+           AS hv
+  FROM embeddings
+),
+m AS (
+  SELECT CAST(min(cnt) AS BIGINT) AS n_min
+  FROM (SELECT count(*) AS cnt FROM h GROUP BY label)
+),
+r AS (
+  SELECT vec_id, label, hv,
+         row_number() OVER (PARTITION BY label ORDER BY hv, vec_id) AS rk
+  FROM h
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_before,
+       CAST(sum(CASE WHEN rk <= m.n_min THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN rk <= m.n_min THEN vec_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum,
+       sum(CASE WHEN rk <= m.n_min THEN 1 ELSE 0 END) = max(m.n_min)
+         AS kept_ok
+FROM r CROSS JOIN m
+GROUP BY label ORDER BY label
+""",
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced exact-quota downsampling of the embedding corpus:
+    every label keeps exactly n_min = |smallest class| members, chosen
+    by md5-hash order (deterministic, retry/append-stable — the
+    q_split_hash doctrine) — the rebalancing step before training a
+    classifier on skewed labels, where naive Bernoulli thinning
+    (q_sample_mix's shape) only hits the quota in expectation and a
+    LIMIT-per-class is nondeterministic under ties and reruns.
+
+    Scale shape: the exact quota needs a per-class rank, and rank is
+    the ``dist_cumsum`` spine with ``part_cols=[label]`` — hash-valued
+    equi-depth buckets, so no class ever sorts on one partition (the
+    q_rfm gate's construction applied to sampling). One reduce for
+    n_min (broadcast 1-row), one value-bucketed shuffle for the rank,
+    one map-side filter. The per-class kept-id checksum ships so the
+    selection itself (not just its size) is verified cross-engine.
+    """
+    from asyncdatapipeline_spark.operators._util import dist_cumsum
+
+    e = load_table(spark, sf_dir, "embeddings")
+    h = e.select(
+        "vec_id",
+        "label",
+        F.conv(
+            F.substring(
+                F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    ).withColumn("one", F.lit(1))
+    m = F.broadcast(
+        h.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").cast("long").alias("n_min"))
+    )
+    r = dist_cumsum(
+        h, "hv", ["one"], part_cols=["label"], tiebreak=["vec_id"]
+    ).select("vec_id", "label", F.col("cum_one").alias("rk"))
+    keep = F.col("rk") <= F.col("n_min")
+    return (
+        r.crossJoin(m)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, F.col("vec_id")).otherwise(0))
+            .cast("long")
+            .alias("kept_id_sum"),
+            (F.sum(keep.cast("int")) == F.max("n_min")).alias("kept_ok"),
+        )
+        .orderBy("label")
+    )

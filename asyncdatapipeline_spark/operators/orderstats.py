@@ -647,3 +647,194 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("true_cnt").desc(), "user_id")
     )
+
+
+_NV_FRACTILE_PCT = 80  # critical fractile cu/(cu+co) = 0.8
+
+
+@query(
+    "q_orders_newsvendor",
+    # Daily demand per priority reduces to a bounded (priority, day)
+    # grid; q* is a rank selection at ceil(0.8·n_days) on the demand
+    # distribution — a SELECTED integer, zero float risk; mean demand
+    # is an exact integer ratio.
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS demand
+  FROM orders GROUP BY 1, 2
+),
+g AS (
+  SELECT grp, demand, count(*) AS cnt FROM d GROUP BY 1, 2
+),
+c AS (
+  SELECT grp, demand,
+         CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY demand)
+              AS BIGINT) AS cum
+  FROM g
+),
+n AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(demand) AS BIGINT) AS total
+  FROM d GROUP BY grp
+)
+SELECT c.grp AS o_orderpriority, max(n.n_days) AS n_days,
+       min(CASE WHEN cum >= (n.n_days * {_NV_FRACTILE_PCT} + 99) // 100
+                THEN demand END) AS q_star,
+       round(CAST(max(n.total) AS DOUBLE) / max(n.n_days), 6)
+         AS mean_demand,
+       round(min(CASE WHEN cum >= (n.n_days * {_NV_FRACTILE_PCT} + 99)
+                           // 100 THEN demand END)
+             - CAST(max(n.total) AS DOUBLE) / max(n.n_days), 6)
+         AS safety_stock
+FROM c JOIN n USING (grp)
+GROUP BY c.grp
+ORDER BY o_orderpriority
+""",
+)
+def q_orders_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking level per priority class: the order-up-to
+    quantity q* is the critical fractile (cu/(cu+co) = 0.8 here) of
+    the EMPIRICAL daily-demand distribution — the inventory answer
+    q_agg_quantile's percentiles exist to feed, closed over into the
+    actual decision: q*, mean demand, and the implied safety stock
+    (q* − mean). Supply-chain teams run exactly this per SKU×echelon;
+    the empirical-quantile form needs no demand-distribution
+    assumption, which is why it wins at scale over fitted normals.
+
+    Scale shape: orders reduce to the (priority, day) demand grid
+    (map-combinable; horizon-bounded days × bounded priorities), the
+    fractile is a rank selection on per-group cumulative demand
+    counts via ``dist_cumsum(part_cols=[grp])`` — the exact grouped
+    quantile device, no sort buffer — and the report is 5 rows. Swap
+    the group key to (part, warehouse) and the same plan serves the
+    real SKU-level run: the device never materializes more than the
+    distinct-demand frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("demand"))
+    g = d.groupBy("grp", "demand").agg(F.count(F.lit(1)).alias("cnt"))
+    c = dist_cumsum(g, "demand", ["cnt"], part_cols=["grp"]).select(
+        "grp", "demand", F.col("cum_cnt").cast("long").alias("cum")
+    )
+    n = F.broadcast(
+        d.groupBy("grp").agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("demand").cast("long").alias("total"),
+        )
+    )
+    q_star = F.min(
+        F.when(
+            F.col("cum") >= _rank_at(_NV_FRACTILE_PCT, "n_days"),
+            F.col("demand"),
+        )
+    )
+    mean_d = F.max("total").cast("double") / F.max("n_days")
+    return (
+        c.join(n, "grp")
+        .groupBy(F.col("grp").alias("o_orderpriority"))
+        .agg(
+            F.max("n_days").alias("n_days"),
+            q_star.alias("q_star"),
+            F.round(mean_d, 6).alias("mean_demand"),
+            F.round(q_star - mean_d, 6).alias("safety_stock"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_agg_trimmed_mean",
+    # Trim bounds are exact rank selections (5th/95th); membership is
+    # a value comparison against two selected data values; the kept
+    # mean goes through the decimal-armor sum.
+    oracle="""
+WITH g AS (
+  SELECT l_extendedprice AS v, count(*) AS cnt FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM g
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+b AS (
+  SELECT min(CASE WHEN cum >= (n.n * 5 + 99) // 100 THEN v END) AS lo,
+         min(CASE WHEN cum >= (n.n * 95 + 99) // 100 THEN v END) AS hi
+  FROM c CROSS JOIN n
+)
+SELECT max(n.n) AS n,
+       CAST(sum(CASE WHEN l_extendedprice BETWEEN b.lo AND b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       max(b.lo) AS lo, max(b.hi) AS hi,
+       round(CAST(SUM(CASE WHEN l_extendedprice BETWEEN b.lo AND b.hi
+                           THEN CAST(l_extendedprice AS DECIMAL(28,6))
+                      END) AS DOUBLE)
+             / sum(CASE WHEN l_extendedprice BETWEEN b.lo AND b.hi
+                        THEN 1 ELSE 0 END), 6)
+         AS trimmed_mean,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             / max(n.n), 6) AS raw_mean
+FROM lineitem CROSS JOIN b CROSS JOIN n
+""",
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed global mean of extended price — the robust location
+    estimate that DROPS the tails instead of clamping them
+    (q_winsorize's clip keeps outlier rows at the cap; trimming
+    excludes them — the estimator of choice when the tails are
+    suspected to be a different population, e.g. bot traffic or
+    pricing errors). Bounds are the exact global 5th/95th percentiles
+    from the distinct-value ``dist_cumsum`` device (q_agg_percentile_global's
+    construction), so unlike the classic sort-and-slice formulation
+    nothing is ever sorted on one partition; the kept-row mean is a
+    decimal-armored sum. raw_mean ships alongside — the gap between
+    the two IS the outlier influence measurement.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    c = dist_cumsum(g, "v", ["cnt"]).select(
+        "v", F.col("cum_cnt").cast("long").alias("cum")
+    )
+    n = F.broadcast(li.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    b = F.broadcast(
+        c.crossJoin(n).agg(
+            F.min(
+                F.when(F.col("cum") >= _rank_at(5, "n"), F.col("v"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("cum") >= _rank_at(95, "n"), F.col("v"))
+            ).alias("hi"),
+        )
+    )
+    kept = F.col("l_extendedprice").between(F.col("lo"), F.col("hi"))
+    return (
+        li.crossJoin(b)
+        .crossJoin(n)
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.round(
+                F.sum(
+                    F.when(
+                        kept, F.col("l_extendedprice").cast(DEC)
+                    )
+                ).cast("double")
+                / F.sum(kept.cast("int")),
+                6,
+            ).alias("trimmed_mean"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                / F.max("n"),
+                6,
+            ).alias("raw_mean"),
+        )
+    )

@@ -365,6 +365,82 @@ def test_label_prop_planted_two_cliques(spark, tmp_path):
     assert got == {"BrandA": (3, 1), "BrandB": (3, 1)}
 
 
+def test_pack_shards_planted_start_offset_rule(spark, tmp_path):
+    """Sizes 40k/30k/30k into 64 KiB shards: doc 2 STARTS at offset
+    40000 (shard 0 — overfills to 70k), doc 3 starts at 70000 →
+    shard 1."""
+    spark.createDataFrame(
+        [(1, 40000), (2, 30000), (3, 30000)],
+        "doc_id long, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["shard_id"]: (r["n_docs"], r["bytes"], r["first_doc"],
+                        r["last_doc"])
+        for r in registry.get("q_pack_shards").fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {0: (2, 70000, 1, 2), 1: (1, 30000, 3, 3)}
+
+
+def test_newsvendor_planted_fractile(spark, tmp_path):
+    """Daily demands {1,2,3,4,5}: the 0.8-fractile is the value at rank
+    ceil(4) = 4 → q* = 4, mean 3, safety stock 1."""
+    rows = []
+    k = 0
+    for day in range(1, 6):
+        for _ in range(day):
+            rows.append((k, f"2024-03-{day:02d}", "P"))
+            k += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, d string, o_orderpriority string"
+    ).select(
+        "o_orderkey",
+        F.col("d").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = registry.get("q_orders_newsvendor").fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(r) == 1
+    assert (r[0]["n_days"], r[0]["q_star"]) == (5, 4)
+    assert (r[0]["mean_demand"], r[0]["safety_stock"]) == (3.0, 1.0)
+
+
+def test_trimmed_mean_planted_drops_tails(spark, tmp_path):
+    """Values 1..20: p05 rank 1 → lo=1, p95 rank 19 → hi=19; kept mean
+    (1..19) = 10 vs raw 10.5."""
+    spark.createDataFrame(
+        [(float(v),) for v in range(1, 21)], "l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = registry.get("q_agg_trimmed_mean").fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n"], r["n_kept"], r["lo"], r["hi"]) == (20, 19, 1.0, 19.0)
+    assert (r["trimmed_mean"], r["raw_mean"]) == (10.0, 10.5)
+
+
+def test_sample_balanced_planted_quota(spark, tmp_path):
+    """Classes of size 4 and 2: both keep exactly n_min = 2, and the
+    minority class keeps ALL its members."""
+    rows = [(i, [1.0], 0) for i in range(4)] + [
+        (10, [1.0], 1), (11, [1.0], 1)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r["label"]: r
+        for r in registry.get("q_sample_balanced").fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (got[0]["n_before"], got[0]["n_kept"], got[0]["kept_ok"]) == (
+        4, 2, True,
+    )
+    assert (got[1]["n_before"], got[1]["n_kept"], got[1]["kept_id_sum"]) == (
+        2, 2, 21,
+    )
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state
