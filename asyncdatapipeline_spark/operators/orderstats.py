@@ -838,3 +838,84 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("raw_mean"),
         )
     )
+
+
+_DP_EPSILON = 1.0
+
+
+@query(
+    "q_agg_dp_counts",
+    # The Laplace draw is md5-seeded (13 hex chars = 52 mantissa bits,
+    # so u = h/2^52 is EXACT in double) and the single transcendental
+    # goes through the 9dp ln-contract — both engines produce the
+    # identical noised release.
+    oracle=f"""
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS true_cnt FROM events
+  GROUP BY event_type
+),
+u AS (
+  SELECT event_type, true_cnt,
+         ('0x' || substr(md5(event_type), 1, 13))::UBIGINT
+           / 4503599627370496.0 AS u
+  FROM g
+),
+n AS (
+  SELECT event_type, true_cnt,
+         CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END
+           * CAST(round(ln(1 - 2 * abs(u - 0.5)), 9) AS DOUBLE)
+           / {_DP_EPSILON} AS noise
+  FROM u WHERE 1 - 2 * abs(u - 0.5) > 0
+)
+SELECT event_type, true_cnt,
+       {_DP_EPSILON} AS epsilon,
+       round(noise, 6) AS noise,
+       round(true_cnt + noise, 6) AS dp_count
+FROM n ORDER BY event_type
+""",
+)
+def q_agg_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism, ε=1,
+    sensitivity 1) over the per-type event counts — the publishing
+    step a data-sharing pipeline runs before counts leave the
+    boundary. DETERMINISTIC-SEED SIMULATION, stated plainly: the
+    Laplace draw here is md5-seeded so the release is reproducible and
+    cross-engine verifiable (the engine's testing contract); a real
+    deployment swaps ONLY the uniform source for a CSPRNG — the
+    sensitivity analysis, the inverse-CDF transform, and the plumbing
+    are exactly what ships. true_cnt is emitted as the test-scale
+    verification twin (the q_agg_hll contract); production publishes
+    the dp_count column alone.
+
+    Scale shape: one map-combinable count per type; the noise chain is
+    per-GROUP scalar arithmetic (u = 52-bit md5 fraction — exact in a
+    double — through the inverse Laplace CDF, the one ln() riding the
+    engine's 9dp transcendental contract). Zero extra passes over the
+    data versus the un-noised count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("event_type").cast("binary")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(4503599627370496.0)
+    )
+    arg = 1 - 2 * F.abs(u - 0.5)
+    noise = (
+        F.when(u >= 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.round(F.log(arg), 9)
+        / _DP_EPSILON
+    )
+    return (
+        g.filter(arg > 0)
+        .select(
+            "event_type",
+            "true_cnt",
+            F.lit(_DP_EPSILON).alias("epsilon"),
+            F.round(noise, 6).alias("noise"),
+            F.round(F.col("true_cnt") + noise, 6).alias("dp_count"),
+        )
+        .orderBy("event_type")
+    )

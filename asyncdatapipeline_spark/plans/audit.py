@@ -436,6 +436,42 @@ CHECKS: dict[str, list[tuple]] = {
     "q_text_bigram_lm": [
         ("must", "map-side partial bigram counts", r"HashAggregate.*partial"),
     ],
+    # round-8 order-statistic device family: every window must be the
+    # dist_cumsum bucket window (_pid in the partition spec) — never an
+    # unpartitioned global sort — and the distinct-value reduce must
+    # combine map-side; no sort-based aggregation buffer anywhere.
+    "q_agg_percentile_global": [
+        ("must", "distinct-value reduce combines map-side", r"HashAggregate.*partial"),
+        ("must", "bucket-keyed cumsum window", r"windowspecdefinition\(_pid"),
+        ("forbid", "no sort-based aggregation buffer", "SortAggregate"),
+    ],
+    "q_agg_median_exact": [
+        ("must", "(group, bucket)-keyed cumsum window", r"windowspecdefinition\(grp[^,]*, _pid"),
+        ("forbid", "no sort-based aggregation buffer", "SortAggregate"),
+    ],
+    "q_feature_scale": [
+        ("must", "bucket-keyed rank window only", r"windowspecdefinition\(_pid"),
+        ("must", "moments broadcast back", r"BroadcastNestedLoopJoin"),
+    ],
+    "q_agg_permutation_test": [
+        ("must", "fan-out collapses in a partial aggregate", r"HashAggregate.*partial"),
+        ("forbid", "no window anywhere", "windowspecdefinition"),
+    ],
+    "q_agg_countmin": [
+        ("must", "exact top-k probe side is a k-heap", r"TakeOrderedAndProject"),
+        ("must", "grid probe is a broadcast join", r"BroadcastHashJoin"),
+    ],
+    "q_sample_balanced": [
+        ("must", "(label, bucket)-keyed rank window", r"windowspecdefinition\(label[^,]*, _pid"),
+    ],
+    "q_pack_shards": [
+        ("must", "byte offsets ride the bucket window", r"windowspecdefinition\(_pid"),
+        ("must", "manifest aggregate combines map-side", r"HashAggregate.*partial"),
+    ],
+    "q_ml_knn": [
+        ("must", "per-query top-k rides WindowGroupLimit", r"WindowGroupLimit"),
+        ("must", "query side broadcast", r"BroadcastNestedLoopJoin"),
+    ],
 }
 
 

@@ -110,6 +110,17 @@ HEADLINE = [
     "q_ts_granger",           # 14 BIGINT power sums on the day spine
     "q_skyline",              # spine-reduced Pareto frontier
     "q_graph_kcore",          # iterative peel: join+agg per round
+    # round-8 additions: the exact distributed order-statistic family
+    # (distinct-value reduce + dist_cumsum rank crossings), permutation
+    # resampling, quota sampling, export sharding, label propagation
+    "q_agg_percentile_global",  # exact global percentiles, no sort buffer
+    "q_agg_permutation_test",   # 199 md5 relabelings, map-side collapse
+    "q_feature_scale",          # z/minmax/pct-rank, value-keyed join back
+    "q_agg_countmin",           # 3x64 grid sketch + broadcast probe
+    "q_pack_shards",            # dist_cumsum byte offsets -> manifest
+    "q_sample_balanced",        # per-class exact quota via rank spine
+    "q_graph_label_prop",       # 3 bounded voting rounds on node key
+    "q_ts_mann_kendall",        # day-spine pair test, integer kernels
 ]
 
 

@@ -441,6 +441,23 @@ def test_sample_balanced_planted_quota(spark, tmp_path):
     )
 
 
+def test_dp_counts_planted_consistency(spark, tmp_path):
+    """The seeded Laplace release must be internally consistent
+    (dp = true + noise at 6dp), reproducible across runs, and actually
+    perturbed (noise nonzero for a generic seed)."""
+    rows = [(i, "2024-01-01 00:00:00", i, "view", 1.0) for i in range(10)]
+    rows += [(99, "2024-01-01 00:00:00", 99, "purchase", 1.0)]
+    _write_events(spark, tmp_path, rows)
+    q = registry.get("q_agg_dp_counts").fn
+    r1 = {x["event_type"]: x for x in q(spark, str(tmp_path)).collect()}
+    r2 = {x["event_type"]: x for x in q(spark, str(tmp_path)).collect()}
+    assert r1.keys() == {"view", "purchase"} and r1 == r2
+    for x in r1.values():
+        assert x["epsilon"] == 1.0
+        assert abs(x["dp_count"] - (x["true_cnt"] + x["noise"])) < 1e-6
+    assert any(x["noise"] != 0.0 for x in r1.values())
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state

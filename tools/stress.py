@@ -214,6 +214,25 @@ QUERIES = [
     "q_events_capture_recapture",
     "q_agg_robust_ttest",
     "q_events_fatigue_trend",
+    # round-8: order-statistic device family (distinct-value reduce +
+    # dist_cumsum rank crossings — expect ~linear in the reduce, flat
+    # after), resampling/sketch (map-side collapse: ~linear), graph LP
+    # (per-round join+agg), export sharding, quota sampling
+    "q_agg_percentile_global",
+    "q_agg_median_exact",
+    "q_anomaly_iqr",
+    "q_feature_scale",
+    "q_agg_permutation_test",
+    "q_agg_countmin",
+    "q_ml_knn",
+    "q_ml_ridge",
+    "q_eval_pr",
+    "q_ts_mann_kendall",
+    "q_graph_label_prop",
+    "q_pack_shards",
+    "q_orders_newsvendor",
+    "q_agg_trimmed_mean",
+    "q_sample_balanced",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
