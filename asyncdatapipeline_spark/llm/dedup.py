@@ -2302,3 +2302,153 @@ def q_eval_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("candidate_precision"),
     )
+
+
+_LSH_TUNE_ROWS = (1, 2, 4)  # rows-per-band configs swept over the 16 lanes
+
+
+def _lsh_tuning_oracle_sql() -> str:
+    """DuckDB twin of the banding sweep: the SAME md5 signature CTE the
+    q_dedup_minhash oracle uses (MATERIALIZED — each config references
+    it per band), then per config the bucket-size census and the
+    Σ C(n,2) candidate workload under the same 2..cap rule."""
+    p = _MINHASH_P
+    lanes = ",\n    ".join(
+        f"min(({_MINHASH_A[i]} * h + {_MINHASH_B[i]}) % {p}) AS s{i}"
+        for i in range(_MINHASH_K)
+    )
+    blocks = []
+    selects = []
+    for r in _LSH_TUNE_ROWS:
+        n_bands = _MINHASH_K // r
+        thr = round((1.0 / n_bands) ** (1.0 / r), 6)
+        bands = "\n  UNION ALL\n  ".join(
+            "SELECT doc_id, {b} AS band_idx, {key} AS band_hash FROM sig"
+            .format(
+                b=b,
+                key=" || ',' || ".join(
+                    f"s{b * r + i}::VARCHAR" for i in range(r)
+                ),
+            )
+            for b in range(n_bands)
+        )
+        blocks.append(f"""
+bz{r} AS (
+  SELECT band_idx, band_hash, count(*) AS n FROM (
+  {bands}
+  ) GROUP BY 1, 2
+),
+cf{r} AS (
+  SELECT {r} AS rows_per_band, {n_bands} AS n_bands,
+         {thr} AS s_threshold,
+         CAST(sum(CASE WHEN n BETWEEN 2 AND {_BUCKET_CAP} THEN 1
+                       ELSE 0 END) AS BIGINT) AS n_buckets_multi,
+         CAST(sum(CASE WHEN n > {_BUCKET_CAP} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hot_dropped,
+         CAST(sum(CASE WHEN n BETWEEN 2 AND {_BUCKET_CAP}
+                       THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
+           AS candidate_pairs
+  FROM bz{r}
+)""")
+        selects.append(f"SELECT * FROM cf{r}")
+    return f"""
+WITH ws AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+  FROM ws
+),
+hs AS MATERIALIZED (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::UBIGINT::BIGINT % {p} AS h
+  FROM sh
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+    {lanes}
+  FROM hs GROUP BY doc_id
+),{",".join(blocks)}
+{" UNION ALL ".join(selects)}
+ORDER BY rows_per_band
+"""
+
+
+@query("q_dedup_lsh_tuning", oracle=_lsh_tuning_oracle_sql())
+def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter sweep over ONE shared 16-lane minhash
+    signature: for rows-per-band r ∈ {1, 2, 4} (→ 16/8/4 bands),
+    emit the theoretical similarity threshold s* = (1/b)^(1/r) beside
+    the MEASURED candidate workload — multi-doc bucket count, hot
+    buckets the >cap guardrail would drop, and Σ C(n,2) verification
+    pairs. This is the tuning table a dedup owner reads before
+    committing a config at 100 TB: r=1 catches low-similarity pairs
+    but explodes the verification bill; r=4 only pairs near-identical
+    docs; the production default (r=2, q_dedup_minhash) sits where
+    this table says it should. The sweep costs bucket CENSUSES, never
+    materialized pairs — the whole point of deciding b/r from counts
+    before paying for candidates.
+
+    Scale shape: the signature projection runs ONCE (codegen'd
+    aggregate fold, no explode of the token stream) and is
+    lineage-truncated; each config is one band explode (16/8/4 rows
+    per doc) into a map-combinable bucket count and a 1-row census —
+    three config rows out. Thresholds are Python-computed literals in
+    BOTH engines (no cross-engine pow).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_part = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2)
+    sig_row = (
+        d.repartition(n_part)
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", F.expr(_minhash_sig_sql()).alias("sig"))
+        .localCheckpoint(eager=False)  # one signature pass feeds 3 configs
+    )
+    out = None
+    for r in _LSH_TUNE_ROWS:
+        n_bands = _MINHASH_K // r
+        thr = round((1.0 / n_bands) ** (1.0 / r), 6)
+        band = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * r + i + 1).cast(
+                                    "string"
+                                )
+                                for i in range(r)
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        )
+        bz = (
+            sig_row.select("doc_id", band.alias("bd"))
+            .groupBy("bd.band_idx", "bd.band_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        ok = F.col("n").between(2, _BUCKET_CAP)
+        cf = bz.agg(
+            F.lit(r).alias("rows_per_band"),
+            F.lit(n_bands).alias("n_bands"),
+            F.lit(thr).alias("s_threshold"),
+            F.sum(ok.cast("int")).cast("long").alias("n_buckets_multi"),
+            F.sum((F.col("n") > _BUCKET_CAP).cast("int"))
+            .cast("long")
+            .alias("n_hot_dropped"),
+            F.sum(
+                F.when(ok, F.expr("n * (n - 1) DIV 2")).otherwise(0)
+            )
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+        out = cf if out is None else out.unionAll(cf)
+    return out.orderBy("rows_per_band")

@@ -4424,3 +4424,146 @@ def q_ml_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(b / (F.col("sxy_c") / F.col("sxx_c")), 6),
         ).alias("shrinkage"),
     ).orderBy("lambda")
+
+
+_RAKE_ROUNDS = 3
+
+
+def _raking_oracle_sql() -> str:
+    """Unrolled IPF oracle (bounded-iteration contract): weights pass
+    through 9dp-round-then-DECIMAL between steps so margin sums are
+    order-free and both engines carry bit-identical round state."""
+    steps = []
+    prev = "w0"
+    for k in range(1, _RAKE_ROUNDS + 1):
+        steps.append(f"""
+rm{k} AS (
+  SELECT flag, CAST(sum(w) AS DOUBLE) AS m FROM {prev} GROUP BY flag
+),
+rw{k} AS (
+  SELECT p.flag, p.status,
+         CAST(round(CAST(p.w AS DOUBLE) * ((SELECT t FROM trow)
+                                           / rm{k}.m), 9)
+              AS DECIMAL(28,9)) AS w
+  FROM {prev} p JOIN rm{k} USING (flag)
+),
+cm{k} AS (
+  SELECT status, CAST(sum(w) AS DOUBLE) AS m FROM rw{k} GROUP BY status
+),
+w{k} AS (
+  SELECT p.flag, p.status,
+         CAST(round(CAST(p.w AS DOUBLE) * ((SELECT t FROM tcol)
+                                           / cm{k}.m), 9)
+              AS DECIMAL(28,9)) AS w
+  FROM rw{k} p JOIN cm{k} USING (status)
+)""")
+        prev = f"w{k}"
+    return f"""
+WITH g AS MATERIALIZED (
+  SELECT l_returnflag AS flag, l_linestatus AS status,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+nr AS (SELECT CAST(count(DISTINCT flag) AS BIGINT) AS k FROM g),
+nc AS (SELECT CAST(count(DISTINCT status) AS BIGINT) AS k FROM g),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM g),
+trow AS (SELECT CAST(tot.n AS DOUBLE) / nr.k AS t FROM tot, nr),
+tcol AS (SELECT CAST(tot.n AS DOUBLE) / nc.k AS t FROM tot, nc),
+w0 AS (SELECT flag, status, CAST(n AS DECIMAL(28,9)) AS w FROM g),
+{",".join(steps)}
+SELECT w.flag AS l_returnflag, w.status AS l_linestatus,
+       g.n AS n_obs,
+       round(CAST(w.w AS DOUBLE), 6) AS raked_weight,
+       round(CAST(w.w AS DOUBLE) / g.n, 6) AS rake_factor
+FROM {prev} w JOIN g ON g.flag = w.flag AND g.status = w.status
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q_agg_raking", oracle=_raking_oracle_sql())
+def q_agg_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking / iterative proportional fitting of the (returnflag ×
+    linestatus) contingency grid to UNIFORM target margins — the
+    survey-weighting workhorse (post-stratification when only margins
+    are known): 3 alternating row/column scalings produce per-cell
+    weights whose margins match the targets while preserving the
+    observed interaction structure; `rake_factor` is the per-cell
+    calibration a downstream weighted estimator multiplies in.
+    The same loop body serves any margins — swap the uniform targets
+    for census shares and this is exactly how production panels are
+    calibrated.
+
+    Scale shape: ONE map-combinable reduce collapses the fact table to
+    the bounded |flags|×|statuses| grid; all 3 IPF rounds run on that
+    dimension frame (margin sums over ≤6 DECIMAL cells — order-free by
+    armor; scale steps identical IEEE chains, 9dp-rounded between
+    steps per the bounded-iteration contract). Rounds are compile-time
+    fixed, not data-dependent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_linestatus").alias("status"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n")).localCheckpoint(
+        eager=False
+    )
+    tot = g.agg(
+        F.sum("n").cast("double").alias("tn"),
+        F.countDistinct("flag").cast("double").alias("kr"),
+        F.countDistinct("status").cast("double").alias("kc"),
+    )
+    t = F.broadcast(
+        tot.select(
+            (F.col("tn") / F.col("kr")).alias("t_row"),
+            (F.col("tn") / F.col("kc")).alias("t_col"),
+        )
+    )
+    w = g.select(
+        "flag", "status", F.col("n").cast("decimal(28,9)").alias("w")
+    )
+    for _ in range(_RAKE_ROUNDS):
+        rm = w.groupBy("flag").agg(F.sum("w").cast("double").alias("m"))
+        w = (
+            w.join(rm, "flag")
+            .crossJoin(t)
+            .select(
+                "flag",
+                "status",
+                F.round(
+                    F.col("w").cast("double")
+                    * (F.col("t_row") / F.col("m")),
+                    9,
+                )
+                .cast("decimal(28,9)")
+                .alias("w"),
+            )
+        )
+        cm = w.groupBy("status").agg(F.sum("w").cast("double").alias("m"))
+        w = (
+            w.join(cm, "status")
+            .crossJoin(t)
+            .select(
+                "flag",
+                "status",
+                F.round(
+                    F.col("w").cast("double")
+                    * (F.col("t_col") / F.col("m")),
+                    9,
+                )
+                .cast("decimal(28,9)")
+                .alias("w"),
+            )
+        )
+    return (
+        w.join(g, ["flag", "status"])
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.col("status").alias("l_linestatus"),
+            F.col("n").alias("n_obs"),
+            F.round(F.col("w").cast("double"), 6).alias("raked_weight"),
+            F.round(F.col("w").cast("double") / F.col("n"), 6).alias(
+                "rake_factor"
+            ),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -458,6 +458,43 @@ def test_dp_counts_planted_consistency(spark, tmp_path):
     assert any(x["noise"] != 0.0 for x in r1.values())
 
 
+def test_lsh_tuning_monotone_in_rows_per_band(spark, sf_dir):
+    """More rows per band → stricter buckets: candidate pairs and
+    multi-doc buckets must be non-increasing in r, and thresholds
+    must match (1/b)^(1/r)."""
+    rows = registry.get("q_dedup_lsh_tuning").fn(spark, sf_dir).collect()
+    assert [r["rows_per_band"] for r in rows] == [1, 2, 4]
+    assert [r["n_bands"] for r in rows] == [16, 8, 4]
+    for r in rows:
+        want = round((1.0 / r["n_bands"]) ** (1.0 / r["rows_per_band"]), 6)
+        assert r["s_threshold"] == want
+    pairs = [r["candidate_pairs"] for r in rows]
+    assert pairs[0] >= pairs[1] >= pairs[2]
+
+
+def test_raking_planted_margins_converge(spark, tmp_path):
+    """A 2×2 grid raked to uniform margins: the final (column) scaling
+    makes column margins exact; row margins carry IPF's geometric
+    residual (<0.2% of mass after 3 rounds on this strongly
+    interacting grid), and weight mass is conserved."""
+    rows = (
+        [("A", "X")] * 10 + [("A", "Y")] * 30
+        + [("B", "X")] * 40 + [("B", "Y")] * 20
+    )
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_linestatus string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = registry.get("q_agg_raking").fn(spark, str(tmp_path)).collect()
+    w = {(r["l_returnflag"], r["l_linestatus"]): r["raked_weight"]
+         for r in out}
+    tot = sum(w.values())
+    for f_ in ("A", "B"):
+        assert abs(w[(f_, "X")] + w[(f_, "Y")] - 50.0) < 0.2
+    for s_ in ("X", "Y"):
+        assert abs(w[("A", s_)] + w[("B", s_)] - 50.0) < 0.01
+    assert abs(tot - 100.0) < 0.02
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state
