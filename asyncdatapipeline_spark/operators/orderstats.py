@@ -919,3 +919,226 @@ def q_agg_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_weighted_median",
+    # The weighted median is a SELECTION at the half-total-weight
+    # crossing of exact DECIMAL cumulative weights — no float
+    # arithmetic until the final display rounding of the weight
+    # totals; the crossing compare is cross-multiplied to stay exact.
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS v,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS wt
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT grp, v, wt,
+         sum(wt) OVER (PARTITION BY grp ORDER BY v) AS cumw
+  FROM g
+),
+t AS (SELECT grp, sum(wt) AS tw FROM g GROUP BY grp)
+SELECT c.grp AS l_returnflag,
+       round(CAST(max(t.tw) AS DOUBLE), 2) AS total_weight,
+       min(CASE WHEN 2 * cumw >= t.tw THEN v END) AS weighted_median,
+       min(CASE WHEN cumw * 20 >= t.tw THEN v END) AS weighted_p05,
+       min(CASE WHEN cumw * 20 >= 19 * t.tw THEN v END) AS weighted_p95
+FROM c JOIN t USING (grp)
+GROUP BY c.grp
+ORDER BY l_returnflag
+""",
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-weighted median (and p05/p95) of unit revenue per
+    returnflag — the weighted quantile every pricing/fairness readout
+    needs: the unweighted median (q_agg_median_exact) answers "the
+    typical LINE"; this answers "the typical UNIT SOLD", which is what
+    a revenue-weighted SLA or a fair-price audit actually contracts
+    on. The selected value is the smallest price whose cumulative
+    quantity weight clears the fractile of total weight
+    (cross-multiplied compares — 2·cumw ≥ tw — so the boundary row is
+    decided in exact DECIMAL, never a float share).
+
+    Scale shape: the fact table reduces to distinct (group, value)
+    rows with DECIMAL weight sums (map-combinable), the cumulative
+    weights run through ``dist_cumsum(part_cols=[group])``, and each
+    quantile is one rank-crossing selection — the
+    q_agg_percentile_global device generalized from counts to
+    weights; no sort buffer, no single-partition window.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("wt"))
+    c = dist_cumsum(g, "v", ["wt"], part_cols=["grp"]).select(
+        "grp", "v", F.col("cum_wt").alias("cumw")
+    )
+    t = F.broadcast(g.groupBy("grp").agg(F.sum("wt").alias("tw")))
+    return (
+        c.join(t, "grp")
+        .groupBy(F.col("grp").alias("l_returnflag"))
+        .agg(
+            F.round(F.max("tw").cast("double"), 2).alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("tw"), F.col("v"))
+            ).alias("weighted_median"),
+            F.min(
+                F.when(F.col("cumw") * 20 >= F.col("tw"), F.col("v"))
+            ).alias("weighted_p05"),
+            F.min(
+                F.when(
+                    F.col("cumw") * 20 >= 19 * F.col("tw"), F.col("v")
+                )
+            ).alias("weighted_p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_agg_wilcoxon_signed",
+    # Halves via exact integer epoch midpoint; |d| midranks from the
+    # distinct-value spine (doubled ranks stay BIGINT); W⁺, μ and the
+    # tie-corrected variance are exact integers scaled by 2/48; z is
+    # the one IEEE chain.
+    oracle="""
+WITH b AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+          + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+  FROM events
+),
+u AS (
+  SELECT user_id,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+                   AND CAST(floor(epoch(ts)) AS BIGINT)
+                       <= (SELECT mid FROM b) THEN 1 ELSE 0 END)
+         AS BIGINT) AS m1,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+                   AND CAST(floor(epoch(ts)) AS BIGINT)
+                       > (SELECT mid FROM b) THEN 1 ELSE 0 END)
+         AS BIGINT) AS m2
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT m2 - m1 AS dd, abs(m2 - m1) AS ad FROM u WHERE m2 != m1
+),
+g AS (
+  SELECT ad, CAST(count(*) AS BIGINT) AS tie,
+         CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM d GROUP BY ad
+),
+c AS (
+  SELECT ad, tie, pos,
+         CAST(sum(tie) OVER (ORDER BY ad) AS BIGINT) AS cum
+  FROM g
+),
+s AS (
+  SELECT CAST(sum(tie) AS BIGINT) AS n,
+         CAST(sum(pos * (2 * cum - tie + 1)) AS BIGINT) AS w2,
+         CAST(sum(tie * (tie * tie - 1)) AS BIGINT) AS tie3
+  FROM c
+),
+v AS (
+  SELECT n, w2,
+         2 * n * (n + 1) * (2 * n + 1) - tie3 AS var48
+  FROM s
+)
+SELECT n AS n_pairs,
+       round(CAST(w2 AS DOUBLE) / 2, 1) AS w_plus,
+       CASE WHEN var48 > 0
+            THEN round((w2 - CAST(n * (n + 1) AS DOUBLE) / 2)
+                       / (2 * sqrt(var48 / 48.0)), 6) END AS z,
+       CASE WHEN var48 > 0
+            THEN abs((w2 - CAST(n * (n + 1) AS DOUBLE) / 2)
+                     / (2 * sqrt(var48 / 48.0))) > 1.96
+            ELSE false END AS significant,
+       CASE WHEN var48 > 0 AND
+                 (w2 - CAST(n * (n + 1) AS DOUBLE) / 2) > 0
+            THEN 'increased'
+            WHEN var48 > 0 AND
+                 (w2 - CAST(n * (n + 1) AS DOUBLE) / 2) < 0
+            THEN 'decreased'
+            WHEN var48 > 0 THEN 'no_change' END AS direction
+FROM v
+""",
+)
+def q_agg_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-user purchase counts
+    (first half of the horizon vs second, the exact epoch-midpoint
+    split) — the within-subject companion to q_agg_mannwhitney's
+    unpaired U: each user is their own control, so cross-user
+    variance cancels and the test sees the SHIFT (did the same users
+    buy more later?). Zero differences drop (standard), |d| gets
+    midranks (ties expected — counts are small integers), W⁺ is the
+    positive-rank sum, and the tie-corrected normal approximation
+    gives z. The paired design is what q_events_did approximates
+    without panel data.
+
+    Scale shape: one pass reduces events to per-user half-counts
+    against the broadcast midpoint; differences group to the DISTINCT
+    |d| spine (small-integer domain — tiny by construction) whose
+    midranks ride ``dist_cumsum``; W⁺/μ/σ are exact integers (doubled
+    ranks, ×48 variance) folded in one aggregate; z is one IEEE
+    chain. No data-sized sort or window anywhere.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ep = F.floor(F.unix_timestamp("ts")).cast("long")
+    b = F.broadcast(
+        e.agg(F.floor((F.min(ep) + F.max(ep)) / 2).cast("long").alias("mid"))
+    )
+    pur = F.col("event_type") == "purchase"
+    u = (
+        e.crossJoin(b)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(pur & (ep <= F.col("mid")), 1).otherwise(0))
+            .cast("long")
+            .alias("m1"),
+            F.sum(F.when(pur & (ep > F.col("mid")), 1).otherwise(0))
+            .cast("long")
+            .alias("m2"),
+        )
+    )
+    d = u.filter(F.col("m2") != F.col("m1")).select(
+        (F.col("m2") - F.col("m1")).alias("dd"),
+        F.abs(F.col("m2") - F.col("m1")).alias("ad"),
+    )
+    g = d.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("tie"),
+        F.sum((F.col("dd") > 0).cast("int")).cast("long").alias("pos"),
+    )
+    c = dist_cumsum(g, "ad", ["tie"]).select(
+        "ad", "tie", "pos", F.col("cum_tie").cast("long").alias("cum")
+    )
+    s = c.agg(
+        F.sum("tie").cast("long").alias("n"),
+        F.sum(F.col("pos") * (2 * F.col("cum") - F.col("tie") + 1))
+        .cast("long")
+        .alias("w2"),
+        F.sum(F.col("tie") * (F.col("tie") * F.col("tie") - 1))
+        .cast("long")
+        .alias("tie3"),
+    )
+    n, w2 = F.col("n"), F.col("w2")
+    v = s.select(
+        "n",
+        "w2",
+        (2 * n * (n + 1) * (2 * n + 1) - F.col("tie3")).alias("var48"),
+    )
+    num = w2 - (n * (n + 1)).cast("double") / 2
+    z = num / (2 * F.sqrt(F.col("var48") / 48.0))
+    ok = F.col("var48") > 0
+    return v.select(
+        F.col("n").alias("n_pairs"),
+        F.round(w2.cast("double") / 2, 1).alias("w_plus"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok, F.abs(z) > 1.96).otherwise(F.lit(False)).alias(
+            "significant"
+        ),
+        F.when(ok & (num > 0), "increased")
+        .when(ok & (num < 0), "decreased")
+        .when(ok, "no_change")
+        .alias("direction"),
+    )

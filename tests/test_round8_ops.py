@@ -495,6 +495,44 @@ def test_raking_planted_margins_converge(spark, tmp_path):
     assert abs(tot - 100.0) < 0.02
 
 
+def test_weighted_median_planted_heavy_tail(spark, tmp_path):
+    """Prices 1..4 with quantity weights 1,1,1,7: half of the 10-unit
+    mass is only reached at price 4 → weighted median 4 (the
+    unweighted median would be 2.5); p05 → 1, p95 → 4."""
+    spark.createDataFrame(
+        [("A", 1.0, 1.0), ("A", 2.0, 1.0), ("A", 3.0, 1.0),
+         ("A", 4.0, 7.0)],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = registry.get("q_agg_weighted_median").fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (r["total_weight"], r["weighted_median"]) == (10.0, 4.0)
+    assert (r["weighted_p05"], r["weighted_p95"]) == (1.0, 4.0)
+
+
+def test_wilcoxon_signed_planted_shift(spark, tmp_path):
+    """Four users gain one purchase, one loses one (all |d|=1, shared
+    midrank 3): W⁺ = 12, μ = 7.5, tie-corrected σ = √11.25 →
+    z ≈ 1.341641, not significant, direction 'increased'."""
+    rows = [
+        (0, "2024-01-01 00:00:00", 100, "view", 0.0),
+        (1, "2024-01-10 00:00:00", 100, "view", 0.0),
+    ]
+    i = 2
+    for uid in (1, 2, 3, 4):
+        rows.append((i, "2024-01-09 00:00:00", uid, "purchase", 1.0))
+        i += 1
+    rows.append((i, "2024-01-02 00:00:00", 5, "purchase", 1.0))
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("q_agg_wilcoxon_signed").fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (r["n_pairs"], r["w_plus"]) == (5, 12.0)
+    assert abs(r["z"] - 1.341641) < 1e-6
+    assert r["significant"] is False and r["direction"] == "increased"
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state

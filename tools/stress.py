@@ -233,6 +233,9 @@ QUERIES = [
     "q_orders_newsvendor",
     "q_agg_trimmed_mean",
     "q_sample_balanced",
+    "q_agg_dp_counts",
+    "q_dedup_lsh_tuning",
+    "q_agg_raking",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
