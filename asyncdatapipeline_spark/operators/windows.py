@@ -371,7 +371,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("monetary"),
     )
     if exact_window_ok(o):
-        one = W.partitionBy(F.lit(1))
+        one = W.partitionBy(F.col("frequency") * 0)
         wr = one.orderBy(F.col("last_order").desc(), "o_custkey")
         wf = one.orderBy(F.col("frequency").desc(), "o_custkey")
         wm = one.orderBy(F.col("monetary").desc(), "o_custkey")
@@ -1295,7 +1295,7 @@ def q_orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = F.broadcast(p.agg(F.sum("revenue").alias("tot")))
     if exact_window_ok(li):
         wcum = (
-            W.partitionBy(F.lit(1))
+            W.partitionBy(F.col("sq") * 0)
             .orderBy(F.col("revenue").desc(), "l_partkey")
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
@@ -1583,10 +1583,12 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = p.groupBy("p_size").agg(
         F.min("p_retailprice").alias("min_price")
     )
-    # strict min over strictly-larger sizes; constant partition keeps
-    # the |sizes|-row window off the single-partition-warning path.
+    # strict min over strictly-larger sizes; the non-foldable constant
+    # partition key (col*0 — a bare lit is optimized away and the
+    # warning returns) keeps the |sizes|-row window off the
+    # single-partition-warning path.
     wsuf = (
-        W.partitionBy(F.lit(1))
+        W.partitionBy(F.col("p_size") * 0)
         .orderBy(F.col("p_size").desc())
         .rowsBetween(W.unboundedPreceding, -1)
     )
