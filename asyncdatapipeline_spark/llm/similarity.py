@@ -1300,3 +1300,147 @@ def q_ml_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+_IVF_TUNE_NPROBE = (1, 2, 4, 8)
+
+
+def _ivf_tuning_oracle_sql() -> str:
+    """Per-nprobe recall/cost table over the SAME index build the
+    q_sim_ivf oracle replays (cell CTE MATERIALIZED — four configs
+    reference it), with the brute-force truth as the recall anchor."""
+    blocks = []
+    selects = []
+    for np_ in _IVF_TUNE_NPROBE:
+        blocks.append(f"""
+k{np_} AS MATERIALIZED (
+  SELECT s.vec_id
+  FROM cellm s, q
+  WHERE s.vec_id != {_QUERY_VEC_ID}
+    AND s.cell IN (SELECT cidx FROM probe WHERE pr <= {np_})
+  ORDER BY list_cosine_similarity(s.v, q.qv) DESC, s.vec_id
+  LIMIT {_TOP_K}
+),
+st{np_} AS (
+  SELECT {np_} AS nprobe,
+    (SELECT CAST(count(*) AS BIGINT) FROM cellm s
+      WHERE s.vec_id != {_QUERY_VEC_ID}
+        AND s.cell IN (SELECT cidx FROM probe WHERE pr <= {np_}))
+      AS n_scanned,
+    (SELECT CAST(count(*) AS BIGINT) FROM k{np_} t
+      JOIN truth USING (vec_id)) AS n_overlap
+)""")
+        selects.append(
+            f"SELECT nprobe, n_scanned, n_overlap, "
+            f"round(CAST(n_overlap AS DOUBLE) / {_TOP_K}, 6) AS recall_at_k, "
+            f"round(CAST(n_scanned AS DOUBLE) / (SELECT n FROM nc), 6) "
+            f"AS scan_frac FROM st{np_}"
+        )
+    return f"""
+WITH {ivf_cells_cte()},
+cellm AS MATERIALIZED (SELECT * FROM cell),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_VEC_ID}),
+nc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM e
+  WHERE vec_id != {_QUERY_VEC_ID}
+),
+probe AS MATERIALIZED (
+  SELECT cidx, row_number() OVER (ORDER BY dist, cidx) AS pr
+  FROM d WHERE vec_id = {_QUERY_VEC_ID}
+),
+truth AS MATERIALIZED (
+  SELECT s.vec_id FROM e s, q
+  WHERE s.vec_id != {_QUERY_VEC_ID}
+  ORDER BY list_cosine_similarity(s.v, q.qv) DESC, s.vec_id
+  LIMIT {_TOP_K}
+),{",".join(blocks)}
+{" UNION ALL ".join(selects)}
+ORDER BY nprobe
+"""
+
+
+@query("q_sim_ivf_tuning", oracle=_ivf_tuning_oracle_sql())
+def q_sim_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-width tuning table: recall@20 vs the brute-force truth
+    AND the fraction of the corpus scanned, for nprobe ∈ {1, 2, 4, 8}
+    over the ONE shared index build (provably the same quantizer as
+    q_sim_ivf / q_dedup_semantic — same replayed CTE in the oracle).
+    q_eval_ann reports the production config's recall; this is the
+    table that PICKS the config — the recall/cost frontier an ANN
+    owner reads before committing nprobe at 100 TB, where every probed
+    cell is ~1/nlist of the corpus and recall is bought with exactly
+    that scan fraction. The q_dedup_lsh_tuning doctrine applied to the
+    vector index.
+
+    Scale shape: cell assignment is computed ONCE (map-only argmin
+    over nlist centroid literals, lineage-truncated); each config is a
+    cell-membership filter + TakeOrderedAndProject top-k + two tiny
+    aggregates; the truth side is the q_sim_topk single scan. Four
+    config rows out.
+    """
+    truth = q_sim_topk(spark, sf_dir).select("vec_id")
+    qv = _query_vector(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", _as_double(F.col("embedding"))
+    )
+    empty_schema = (
+        "nprobe int, n_scanned long, n_overlap long,"
+        " recall_at_k double, scan_frac double"
+    )
+    if qv is None:
+        return e.sparkSession.createDataFrame([], empty_schema)
+    centers = _ivf_centroids(spark, sf_dir, e)
+    if not centers:
+        return e.sparkSession.createDataFrame([], empty_schema)
+
+    def py_sqdist(c: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(qv, c):
+            acc += (x - y) * (x - y)
+        return acc
+
+    dists = [py_sqdist(c) for c in centers]
+    order = sorted(range(len(centers)), key=lambda i: dists[i])
+    ecell = (
+        e.withColumn("cell", _argmin_cell_expr(F.col("v"), centers))
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .localCheckpoint(eager=False)  # one assignment pass, 4 configs
+    )
+    nc = F.broadcast(ecell.agg(F.count(F.lit(1)).cast("long").alias("nc")))
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qnorm = float(np.sqrt(np.dot(qv, qv)))
+    cos = _dot(F.col("v"), qlit) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.lit(qnorm)
+    )
+    out = None
+    for np_ in _IVF_TUNE_NPROBE:
+        cells = [int(c) for c in order[:np_]]
+        cand = ecell.filter(F.col("cell").isin(cells))
+        topk = (
+            cand.withColumn("cos_raw", cos)
+            .orderBy(F.col("cos_raw").desc(), "vec_id")
+            .limit(_TOP_K)
+            .select("vec_id")
+        )
+        row = (
+            cand.agg(F.count(F.lit(1)).cast("long").alias("n_scanned"))
+            .crossJoin(
+                topk.join(truth, "vec_id").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_overlap")
+                )
+            )
+            .crossJoin(nc)
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "n_scanned",
+                "n_overlap",
+                F.round(
+                    F.col("n_overlap").cast("double") / _TOP_K, 6
+                ).alias("recall_at_k"),
+                F.round(
+                    F.col("n_scanned").cast("double") / F.col("nc"), 6
+                ).alias("scan_frac"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nprobe")

@@ -393,3 +393,96 @@ def test_micro_unit_mean_cross_engine(s, n):
     py = float(s) / n / 1e6
     db = con.sql(f"SELECT CAST({s} AS DOUBLE)/{n}/1e6").fetchone()[0]
     assert py == db
+
+
+# -- round-8 device invariants ----------------------------------------------
+
+_dc_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # group
+        st.integers(min_value=-5, max_value=5),    # order value (tie-heavy)
+        st.integers(min_value=0, max_value=99),    # payload
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_dc_rows, desc=st.booleans())
+def test_dist_cumsum_generalized_equals_window(spark, rows, desc):
+    """The generalized device (part_cols + tiebreak + descending) must
+    equal the per-group ordered-window running sum for ARBITRARY
+    multisets — tie-heavy values, empty input, single groups, both
+    directions (the invariant the round-8 gate rests on)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from asyncdatapipeline_spark.operators._util import dist_cumsum
+
+    df = spark.createDataFrame(
+        [(i, g, v, x) for i, (g, v, x) in enumerate(rows)]
+        or [(None, None, None, None)],
+        "id long, g long, v long, x long",
+    ).filter("id is not null")
+    got = dist_cumsum(
+        df.withColumn("one", F.lit(1)),
+        "v",
+        ["one", "x"],
+        nparts=4,
+        part_cols=["g"],
+        tiebreak=["id"],
+        descending=desc,
+    ).select("id", "cum_one", "cum_x")
+    order = [F.col("v").desc() if desc else F.col("v"), "id"]
+    w = (
+        W.partitionBy("g")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    want = df.select(
+        "id",
+        F.count(F.lit(1)).over(w).alias("r_one"),
+        F.sum("x").over(w).alias("r_x"),
+    )
+    bad = (
+        got.join(want, "id")
+        .filter(
+            (F.col("cum_one") != F.col("r_one"))
+            | (F.col("cum_x") != F.col("r_x"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(n=st.integers(min_value=1, max_value=200),
+       k=st.sampled_from([2, 3, 5, 7]))
+def test_spark_ntile_closed_form_equals_builtin(spark, n, k):
+    """spark_ntile(row_number, n, k) ≡ F.ntile(k) for arbitrary n and
+    bucket counts, including n < k and exact-multiple splits."""
+    from pyspark.sql import Window as W, functions as F
+
+    from asyncdatapipeline_spark.operators._util import spark_ntile
+
+    df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "r long")
+    bad = (
+        df.select(
+            "r",
+            spark_ntile(F.col("r"), F.lit(n), k).alias("a"),
+            F.ntile(k).over(W.orderBy("r")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert bad == 0

@@ -533,6 +533,19 @@ def test_wilcoxon_signed_planted_shift(spark, tmp_path):
     assert r["significant"] is False and r["direction"] == "increased"
 
 
+def test_ivf_tuning_frontier_monotone(spark, sf_dir):
+    """Recall and scan fraction must be non-decreasing in nprobe, and
+    probing all nlist=8 cells IS the brute-force scan: recall 1.0,
+    scan_frac 1.0."""
+    rows = registry.get("q_sim_ivf_tuning").fn(spark, sf_dir).collect()
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+    rec = [r["recall_at_k"] for r in rows]
+    frac = [r["scan_frac"] for r in rows]
+    assert rec == sorted(rec) and frac == sorted(frac)
+    assert rows[-1]["recall_at_k"] == 1.0
+    assert rows[-1]["scan_frac"] == 1.0
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state
