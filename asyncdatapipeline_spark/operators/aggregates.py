@@ -4567,3 +4567,107 @@ def q_agg_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+_TOST_MARGIN_FRAC = 0.1  # equivalence margin δ = 10% of the pooled sd
+
+
+@query(
+    "q_agg_tost",
+    # Same per-type power sums as q_agg_ttest; δ derives from the
+    # pooled sd (one sqrt), the two one-sided t's are the same IEEE
+    # chain, and the 1.645 one-sided critical value is a literal.
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS na, b.n AS nb,
+         a.sx / a.n AS ma, b.sx / b.n AS mb,
+         (a.sxx - a.sx * a.sx / a.n) / (a.n - 1) AS va,
+         (b.sxx - b.sx * b.sx / b.n) / (b.n - 1) AS vb
+  FROM s a JOIN s b ON a.event_type < b.event_type
+  WHERE a.n > 1 AND b.n > 1
+),
+t AS (
+  SELECT type_a, type_b, na, nb, ma - mb AS d,
+         sqrt(va / na + vb / nb) AS se,
+         {_TOST_MARGIN_FRAC} * sqrt(((na - 1) * va + (nb - 1) * vb)
+                                    / (na + nb - 2)) AS delta
+  FROM p
+)
+SELECT type_a, type_b, na, nb,
+       round(d, 6) AS mean_diff,
+       round(delta, 6) AS margin,
+       CASE WHEN se > 0 THEN round((d - delta) / se, 6) END AS t_upper,
+       CASE WHEN se > 0 THEN round((d + delta) / se, 6) END AS t_lower,
+       CASE WHEN se > 0
+            THEN (d - delta) / se < -1.645 AND (d + delta) / se > 1.645
+            ELSE false END AS equivalent
+FROM t ORDER BY type_a, type_b
+""",
+)
+def q_agg_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided t's) between every
+    event-type pair — the readout q_agg_ttest CANNOT give: failing to
+    reject "no difference" is not evidence of sameness, and rollout
+    safety ("the new path changes the metric by less than δ") needs
+    the hypotheses REVERSED. Both one-sided t's must clear the 1.645
+    one-sided bound for the pair to be declared equivalent within
+    δ = 10% of the pooled sd (Cohen's-d-scaled margin — the
+    convention when no absolute margin is contracted).
+
+    Scale shape: identical to q_agg_ttest — ONE partial-aggregated
+    pass to per-type (n, Σx, Σx²) exact-DECIMAL power sums, a
+    types×types dimension-frame pair join, closed forms per row.
+    Degenerate pairs (n ≤ 1, zero variance) emit NULL t's and a false
+    verdict, never a crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v.cast(DEC)).cast("double").alias("sx"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
+    ma, mb = F.col("a.sx") / na, F.col("b.sx") / nb
+    va = (F.col("a.sxx") - F.col("a.sx") * F.col("a.sx") / na) / (na - 1)
+    vb = (F.col("b.sxx") - F.col("b.sx") * F.col("b.sx") / nb) / (nb - 1)
+    d = ma - mb
+    se = F.sqrt(va / na + vb / nb)
+    delta = _TOST_MARGIN_FRAC * F.sqrt(
+        ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    )
+    ok = se > 0
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") < F.col("b.event_type"))
+            & (na > 1)
+            & (nb > 1),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            na.alias("na"),
+            nb.alias("nb"),
+            F.round(d, 6).alias("mean_diff"),
+            F.round(delta, 6).alias("margin"),
+            F.when(ok, F.round((d - delta) / se, 6)).alias("t_upper"),
+            F.when(ok, F.round((d + delta) / se, 6)).alias("t_lower"),
+            F.when(
+                ok,
+                ((d - delta) / se < -1.645) & ((d + delta) / se > 1.645),
+            )
+            .otherwise(F.lit(False))
+            .alias("equivalent"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -546,6 +546,27 @@ def test_ivf_tuning_frontier_monotone(spark, sf_dir):
     assert rows[-1]["scan_frac"] == 1.0
 
 
+def test_tost_planted_equivalence_verdicts(spark, tmp_path):
+    """Two types drawn identically around the same mean are equivalent
+    (at δ = 0.1·sd TOST needs n ≳ 2·(1.645/0.1)² ≈ 541 per arm — 800
+    here, se = 0.05·sd → |t| = 2.0 > 1.645); a type shifted far beyond
+    the margin is not."""
+    rows = []
+    i = 0
+    for t, base in (("a", 10.0), ("b", 10.0), ("c", 50.0)):
+        for j in range(800):
+            rows.append((i, "2024-01-01 00:00:00", i, t,
+                         base + (j % 5) * 0.01))
+            i += 1
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r["type_a"], r["type_b"]): r["equivalent"]
+        for r in registry.get("q_agg_tost").fn(spark, str(tmp_path)).collect()
+    }
+    assert got[("a", "b")] is True
+    assert got[("a", "c")] is False and got[("b", "c")] is False
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state

@@ -236,6 +236,9 @@ QUERIES = [
     "q_agg_dp_counts",
     "q_dedup_lsh_tuning",
     "q_agg_raking",
+    "q_agg_weighted_median",
+    "q_agg_wilcoxon_signed",
+    "q_sim_ivf_tuning",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
