@@ -6494,3 +6494,167 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("var18") > 0, F.lit("no_trend"))
         .alias("trend"),
     )
+
+
+@query(
+    "q_events_sequential",
+    # Running per-arm cumulative counts are integer window sums on the
+    # |days| spine; each day's pooled two-proportion z is the same IEEE
+    # chain both engines; the O'Brien-Fleming-style boundary
+    # 1.96·sqrt(T/t) is literal arithmetic on integer day indices.
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UINTEGER % 2
+           AS arm,
+         CAST(floor(epoch(min(ts)) / 86400) AS BIGINT) AS day,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   > 0 THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT day, arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(conv) AS BIGINT) AS c
+  FROM u GROUP BY day, arm
+),
+spine AS (
+  SELECT DISTINCT day FROM d
+),
+cum AS (
+  SELECT s.day,
+    CAST(sum(CASE WHEN d.arm = 0 THEN d.n ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN d.arm = 1 THEN d.n ELSE 0 END) AS BIGINT) AS nb,
+    CAST(sum(CASE WHEN d.arm = 0 THEN d.c ELSE 0 END) AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN d.arm = 1 THEN d.c ELSE 0 END) AS BIGINT) AS cb
+  FROM spine s JOIN d ON d.day <= s.day
+  GROUP BY s.day
+),
+idx AS (
+  SELECT day, na, nb, ca, cb,
+         row_number() OVER (ORDER BY day) AS t,
+         count(*) OVER () AS tt
+  FROM cum
+),
+z AS (
+  SELECT day, t, tt, na, nb, ca, cb,
+    CASE WHEN na > 0 AND nb > 0 AND ca + cb > 0 AND ca + cb < na + nb
+         THEN (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+              / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                     * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                     * (1.0 / na + 1.0 / nb)) END AS zz,
+    1.96 * sqrt(CAST(tt AS DOUBLE) / t) AS bound
+  FROM idx
+)
+SELECT day AS epoch_day, t AS look, na, nb,
+       round(zz, 6) AS z,
+       round(bound, 6) AS boundary,
+       CASE WHEN zz IS NOT NULL THEN abs(zz) > bound
+            ELSE false END AS crossed
+FROM z ORDER BY look
+""",
+)
+def q_events_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential (peeking-safe) experiment monitoring: the running
+    pooled two-proportion z of the md5-armed conversion experiment at
+    every daily look, against an O'Brien-Fleming-style spending
+    boundary 1.96·√(T/t) — generous early (when t ≪ T the boundary is
+    high), converging to the fixed-horizon 1.96 at the final look.
+    This is the readout that makes DAILY PEEKING licensed:
+    q_events_experiment's single z is only valid if you look once;
+    every real dashboard looks every day, and without a boundary that
+    inflates false positives ~3-5×. Users enter at their FIRST-seen
+    day (enrollment), so each look's cumulative frame is a valid
+    snapshot of everyone enrolled so far.
+
+    Scale shape: one pass reduces events to per-user (arm, entry day,
+    converted); daily enrollment cells aggregate map-side; the
+    cumulative frame is a |days|-spine triangular join (the
+    dimension-frame class — a year of looks is 365 rows) and every
+    look's z/boundary is one IEEE chain. At 100 TB only the per-user
+    reduce touches data.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("user_id").cast("string").cast("binary")), 1, 2
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+    )
+    u = e.groupBy("user_id").agg(
+        F.floor(F.min(F.unix_timestamp("ts")) / 86400)
+        .cast("long")
+        .alias("day"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > 0
+        )
+        .cast("int")
+        .alias("conv"),
+    ).select("day", "conv", arm.alias("arm"))
+    d = u.groupBy("day", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("c"),
+    ).localCheckpoint(eager=False)  # feeds spine AND the triangular join
+    spine = d.select("day").distinct()
+    dd = d.select(
+        F.col("day").alias("d2"), "arm", "n", "c"
+    )
+    cum = (
+        spine.join(dd, F.col("d2") <= F.col("day"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("na"),
+            F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("nb"),
+            F.sum(F.when(F.col("arm") == 0, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("arm") == 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        )
+    )
+    # look index + total looks on the |days| frame (constant partition
+    # via the non-foldable col*0 key — see round-8 note)
+    wi = W.partitionBy(F.col("na") * 0).orderBy("day")
+    idx = cum.select(
+        "*",
+        F.row_number().over(wi).alias("t"),
+        F.count(F.lit(1))
+        .over(
+            W.partitionBy(F.col("na") * 0)
+            .orderBy("day")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        )
+        .alias("tt"),
+    )
+    na, nb, ca, cb = (
+        F.col("na"), F.col("nb"), F.col("ca"), F.col("cb"),
+    )
+    pool = (ca + cb).cast("double") / (na + nb)
+    zz = F.when(
+        (na > 0) & (nb > 0) & (ca + cb > 0) & (ca + cb < na + nb),
+        (ca.cast("double") / na - cb.cast("double") / nb)
+        / F.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb)),
+    )
+    bound = 1.96 * F.sqrt(F.col("tt").cast("double") / F.col("t"))
+    return idx.select(
+        F.col("day").alias("epoch_day"),
+        F.col("t").alias("look"),
+        "na",
+        "nb",
+        F.round(zz, 6).alias("z"),
+        F.round(bound, 6).alias("boundary"),
+        F.when(zz.isNotNull(), F.abs(zz) > bound)
+        .otherwise(F.lit(False))
+        .alias("crossed"),
+    ).orderBy("look")

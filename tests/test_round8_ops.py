@@ -567,6 +567,30 @@ def test_tost_planted_equivalence_verdicts(spark, tmp_path):
     assert got[("a", "c")] is False and got[("b", "c")] is False
 
 
+def test_sequential_planted_declining_boundary(spark, tmp_path):
+    """Users enrolling across 4 distinct days: 4 looks, strictly
+    declining boundary ending at 1.96, cumulative enrollment counts
+    non-decreasing and summing to all users at the last look."""
+    rows = []
+    i = 0
+    for day in (1, 2, 3, 4):
+        for u in range(10):
+            uid = day * 100 + u
+            rows.append((i, f"2024-01-{day:02d} 10:00:00", uid,
+                         "view" if u % 2 else "purchase", 1.0))
+            i += 1
+    _write_events(spark, tmp_path, rows)
+    out = registry.get("q_events_sequential").fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert [r["look"] for r in out] == [1, 2, 3, 4]
+    bounds = [r["boundary"] for r in out]
+    assert bounds == sorted(bounds, reverse=True)
+    assert abs(bounds[-1] - 1.96) < 1e-9
+    totals = [r["na"] + r["nb"] for r in out]
+    assert totals == sorted(totals) and totals[-1] == 40
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state
