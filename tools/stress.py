@@ -239,6 +239,8 @@ QUERIES = [
     "q_agg_weighted_median",
     "q_agg_wilcoxon_signed",
     "q_sim_ivf_tuning",
+    "q_agg_tost",
+    "q_events_sequential",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
