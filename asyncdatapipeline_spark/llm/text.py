@@ -2860,3 +2860,155 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_text_novelty",
+    # First-claimant = min doc_id per distinct shingle (exact integer
+    # argmin); per-doc novelty is an integer ratio; corpus novelty
+    # curve is the |docs|-frame share. Shingles replay the q_dedup
+    # 3-gram construction verbatim.
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+  FROM ws
+),
+fo AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+),
+per AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM sh JOIN fo USING (shingle)
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+       round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+FROM per ORDER BY doc_id
+""",
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct
+    3-word shingles that NO earlier document (doc_id order = ingest
+    order) has claimed — the incremental-information signal dedup
+    thresholds can't give: a doc can clear every near-dup check yet
+    contribute almost nothing new (boilerplate remixes), and novelty
+    ~0 is exactly the "skip it" verdict a curation pipeline wants for
+    marginal additions. The same first-claimant frame, keyed by
+    corpus snapshot, is how "what did this WEEK'S crawl actually add"
+    gets answered.
+
+    Scale shape: the q_dedup_minhash shingle construction (distinct
+    per doc, never the token stream), ONE groupBy(shingle) argmin for
+    the first claimant (map-combinable), one shingle-keyed join back,
+    one per-doc reduce — integer ratios out. Hot shingles cost one
+    combiner row each; no pair joins anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform("
+                    "  sequence(1, size(split(text, ' ')) - 2),"
+                    "  i -> concat_ws(' ', split(text, ' ')[i - 1],"
+                    "       split(text, ' ')[i], split(text, ' ')[i + 1])"
+                    "))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    fo = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(fo, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("int")
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_sample_ess",
+    # ESS = (Σw)²/Σw² on exact DECIMAL power sums per source; the
+    # efficiency ratio and the uniform-weight sanity bound are single
+    # IEEE steps.
+    oracle="""
+WITH w AS (
+  SELECT source, CAST(n_chars AS DOUBLE) / 1000 AS wt FROM documents
+),
+s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(wt AS DECIMAL(28,6))) AS DOUBLE) AS sw,
+         CAST(SUM(CAST(wt * wt AS DECIMAL(38,6))) AS DOUBLE) AS sww
+  FROM w GROUP BY source
+)
+SELECT source, n,
+       CASE WHEN sww > 0 THEN round(sw * sw / sww, 6) END AS ess,
+       CASE WHEN sww > 0 THEN round(sw * sw / sww / n, 6) END
+         AS efficiency,
+       CASE WHEN sww > 0 THEN sw * sw / sww <= n + 1e-9 ELSE true END
+         AS ess_le_n
+FROM s ORDER BY source
+""",
+)
+def q_sample_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of length-proportional importance weights
+    per source — the diagnostic every weighted-sampling design
+    (q_sample_weighted's A-Res draw, q_mix_temperature's allocations)
+    must report before anyone trusts a weighted estimate: ESS =
+    (Σw)²/Σw² is how many UNIFORM samples the weighted set is worth;
+    efficiency = ESS/n near 1 means weights are benign, near 0 means a
+    few heavy documents dominate and the weighted mean's variance is a
+    lie. Kish's formula, the survey-statistics standard.
+
+    Scale shape: ONE partial-aggregated pass to per-source decimal
+    power sums (the q_agg_stats doctrine — order-free under AQE merge);
+    |sources|-row output; the ESS ≤ n invariant ships as a checked
+    boolean.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wt = F.col("n_chars").cast("double") / 1000
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(wt.cast("decimal(28,6)")).cast("double").alias("sw"),
+        F.sum((wt * wt).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sww"),
+    )
+    ok = F.col("sww") > 0
+    ess = F.col("sw") * F.col("sw") / F.col("sww")
+    return s.select(
+        "source",
+        "n",
+        F.when(ok, F.round(ess, 6)).alias("ess"),
+        F.when(ok, F.round(ess / F.col("n"), 6)).alias("efficiency"),
+        F.when(ok, ess <= F.col("n") + 1e-9)
+        .otherwise(F.lit(True))
+        .alias("ess_le_n"),
+    ).orderBy("source")

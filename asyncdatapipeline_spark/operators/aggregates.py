@@ -4671,3 +4671,97 @@ def q_agg_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "q_agg_effect_size",
+    # Same power sums as q_agg_ttest; d/g are single IEEE chains and
+    # the magnitude labels compare against literal cuts.
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS na, b.n AS nb,
+         a.sx / a.n - b.sx / b.n AS d_raw,
+         sqrt(((a.n - 1) * ((a.sxx - a.sx * a.sx / a.n) / (a.n - 1))
+               + (b.n - 1) * ((b.sxx - b.sx * b.sx / b.n) / (b.n - 1)))
+              / (a.n + b.n - 2)) AS sp
+  FROM s a JOIN s b ON a.event_type < b.event_type
+  WHERE a.n > 1 AND b.n > 1
+)
+SELECT type_a, type_b, na, nb,
+       round(sp, 6) AS pooled_sd,
+       CASE WHEN sp > 0 THEN round(d_raw / sp, 6) END AS cohens_d,
+       CASE WHEN sp > 0
+            THEN round((d_raw / sp)
+                       * (1 - 3.0 / (4 * (na + nb) - 9)), 6) END
+         AS hedges_g,
+       CASE WHEN sp > 0 THEN
+         CASE WHEN abs(d_raw / sp) < 0.2 THEN 'negligible'
+              WHEN abs(d_raw / sp) < 0.5 THEN 'small'
+              WHEN abs(d_raw / sp) < 0.8 THEN 'medium'
+              ELSE 'large' END END AS magnitude
+FROM p ORDER BY type_a, type_b
+""",
+)
+def q_agg_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes (Cohen's d, small-sample-corrected
+    Hedges' g, magnitude label) for every event-type value pair — the
+    "significance is not importance" companion the t/TOST family
+    needs: at 100 TB every difference is significant (n makes se → 0),
+    and d is the number that stays meaningful because it scales by the
+    POOLED SD, not the sample size. The conventional 0.2/0.5/0.8 cuts
+    ship as an explicit label so dashboards stop re-deriving them.
+
+    Scale shape: exactly q_agg_ttest's — one partial-aggregated
+    power-sum pass, a types×types dimension pair frame, closed forms
+    per row; zero-variance pairs emit NULLs, never a crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v.cast(DEC)).cast("double").alias("sx"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
+    va = (F.col("a.sxx") - F.col("a.sx") * F.col("a.sx") / na) / (na - 1)
+    vb = (F.col("b.sxx") - F.col("b.sx") * F.col("b.sx") / nb) / (nb - 1)
+    d_raw = F.col("a.sx") / na - F.col("b.sx") / nb
+    sp = F.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+    d = d_raw / sp
+    ok = sp > 0
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") < F.col("b.event_type"))
+            & (na > 1)
+            & (nb > 1),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            na.alias("na"),
+            nb.alias("nb"),
+            F.round(sp, 6).alias("pooled_sd"),
+            F.when(ok, F.round(d, 6)).alias("cohens_d"),
+            F.when(
+                ok, F.round(d * (1 - 3.0 / (4 * (na + nb) - 9)), 6)
+            ).alias("hedges_g"),
+            F.when(
+                ok,
+                F.when(F.abs(d) < 0.2, "negligible")
+                .when(F.abs(d) < 0.5, "small")
+                .when(F.abs(d) < 0.8, "medium")
+                .otherwise("large"),
+            ).alias("magnitude"),
+        )
+        .orderBy("type_a", "type_b")
+    )

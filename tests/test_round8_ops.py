@@ -591,6 +591,71 @@ def test_sequential_planted_declining_boundary(spark, tmp_path):
     assert totals == sorted(totals) and totals[-1] == 40
 
 
+def test_novelty_planted_first_claimant(spark, tmp_path):
+    """Doc 1 claims its shingles; doc 2 repeats doc 1 verbatim (novelty
+    0); doc 3 is half-new (one fresh shingle of two)."""
+    docs = [
+        (1, "a b c d", "en", "s", 7),     # shingles: "a b c", "b c d"
+        (2, "a b c d", "en", "s", 7),     # all seen → 0
+        (3, "b c d e", "en", "s", 7),     # "b c d" seen, "c d e" new
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in registry.get("q_text_novelty").fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {1: (2, 2, 1.0), 2: (2, 0, 0.0), 3: (2, 1, 0.5)}
+
+
+def test_effect_size_planted_unit_shift(spark, tmp_path):
+    """Two arms with sd 1-ish and a 1-unit mean shift: d ≈ 1 →
+    'large'; identical arms: d = 0 → 'negligible'."""
+    rows = []
+    i = 0
+    vals = [-1.0, 0.0, 1.0] * 20
+    for t, shift in (("a", 0.0), ("b", 0.0), ("c", 4.0)):
+        for v in vals:
+            rows.append((i, "2024-01-01 00:00:00", i, t, v + shift))
+            i += 1
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r["type_a"], r["type_b"]): (r["cohens_d"], r["magnitude"])
+        for r in registry.get("q_agg_effect_size").fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[("a", "b")] == (0.0, "negligible")
+    d_ac, mag_ac = got[("a", "c")]
+    assert mag_ac == "large" and abs(abs(d_ac) - 4 / 0.823387) < 0.01
+
+
+def test_sample_ess_planted_bounds(spark, tmp_path):
+    """Uniform weights → ESS = n (efficiency 1); one dominant weight →
+    ESS collapses toward 1."""
+    docs = [(i, "x", "en", "u", 1000) for i in range(10)]
+    docs += [(100, "x", "en", "v", 100000)] + [
+        (101 + i, "x", "en", "v", 100) for i in range(9)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["source"]: r
+        for r in registry.get("q_sample_ess").fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["u"]["efficiency"] == 1.0 and got["u"]["ess"] == 10.0
+    assert got["v"]["ess"] < 1.1 and got["v"]["ess_le_n"]
+    assert all(r["ess_le_n"] for r in got.values())
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state

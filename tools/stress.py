@@ -241,6 +241,9 @@ QUERIES = [
     "q_sim_ivf_tuning",
     "q_agg_tost",
     "q_events_sequential",
+    "q_text_novelty",
+    "q_agg_effect_size",
+    "q_sample_ess",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
