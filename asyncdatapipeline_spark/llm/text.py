@@ -3012,3 +3012,132 @@ def q_sample_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(True))
         .alias("ess_le_n"),
     ).orderBy("source")
+
+
+_KEYNESS_TOPK = 5
+
+
+@query(
+    "q_text_keyness",
+    # Each ln rides the 9dp-round-then-DECIMAL contract; O·ln terms
+    # stay exact DECIMAL products, so the per-source ranking key is an
+    # exact decimal and the top-5 cut cannot flip between engines.
+    oracle=f"""
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+sc AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS o1
+  FROM w WHERE word != '' GROUP BY 1, 2
+),
+wt AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS tw
+  FROM w WHERE word != '' GROUP BY 1
+),
+st AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n1
+  FROM w WHERE word != '' GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w WHERE word != ''),
+g AS (
+  SELECT sc.source, sc.word, sc.o1, wt.tw - sc.o1 AS o2,
+         wt.tw * CAST(st.n1 AS DOUBLE) / tot.n AS e1,
+         wt.tw * CAST(tot.n - st.n1 AS DOUBLE) / tot.n AS e2
+  FROM sc JOIN wt USING (word) JOIN st USING (source) CROSS JOIN tot
+),
+k AS (
+  SELECT source, word, o1,
+         2 * (CAST(o1 AS DECIMAL(18,0))
+              * CAST(round(ln(o1 / e1), 9) AS DECIMAL(11,9))
+              + CASE WHEN o2 > 0
+                     THEN CAST(o2 AS DECIMAL(18,0))
+                          * CAST(round(ln(o2 / e2), 9) AS DECIMAL(11,9))
+                     ELSE 0 END) AS g2
+  FROM g
+),
+r AS (
+  SELECT source, word, o1, g2,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY g2 DESC, word) AS rnk
+  FROM k
+)
+SELECT source, rnk, word, o1,
+       round(CAST(g2 AS DOUBLE), 6) AS g2
+FROM r WHERE rnk <= {_KEYNESS_TOPK}
+ORDER BY source, rnk
+""",
+)
+def q_text_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-likelihood keyness (Dunning's G²) per source: the top-5
+    words each source OVER-uses relative to the rest of the corpus —
+    the corpus-linguistics standard for "what makes this source
+    sound like itself", and the statistically honest replacement for
+    raw tf-idf keyword lists when comparing subcorpora (G² weighs the
+    evidence, so one mention in a tiny source doesn't outrank a
+    thousand in a large one). Reads as a per-source fingerprint the
+    mix/curation reports can cite.
+
+    Scale shape: one exploded count to (source, word) cells and word
+    totals (both map-combinable), a word-keyed join (the vocab axis —
+    never the token stream) plus two broadcast dimension frames; G²
+    terms are exact DECIMAL products of integer counts with
+    9dp-contract ln factors, so the ranking key is exact and the
+    per-source top-5 rides WindowGroupLimit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    sc_ = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("o1")
+    )
+    wt = w.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("tw"))
+    st = F.broadcast(
+        w.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    )
+    tot = F.broadcast(w.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    g = (
+        sc_.join(wt, "word")
+        .join(st, "source")
+        .crossJoin(tot)
+        .select(
+            "source",
+            "word",
+            "o1",
+            (F.col("tw") - F.col("o1")).alias("o2"),
+            (
+                F.col("tw") * F.col("n1").cast("double") / F.col("n")
+            ).alias("e1"),
+            (
+                F.col("tw")
+                * (F.col("n") - F.col("n1")).cast("double")
+                / F.col("n")
+            ).alias("e2"),
+        )
+    )
+    t1 = F.col("o1").cast("decimal(18,0)") * F.round(
+        F.log(F.col("o1") / F.col("e1")), 9
+    ).cast("decimal(11,9)")
+    t2 = F.when(
+        F.col("o2") > 0,
+        F.col("o2").cast("decimal(18,0)")
+        * F.round(F.log(F.col("o2") / F.col("e2")), 9).cast(
+            "decimal(11,9)"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(29,9)"))
+    k = g.select(
+        "source", "word", "o1", (2 * (t1 + t2)).alias("g2")
+    )
+    r = k.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.col("g2").desc(), "word")
+        ),
+    ).filter(F.col("rnk") <= _KEYNESS_TOPK)
+    return r.select(
+        "source",
+        "rnk",
+        "word",
+        "o1",
+        F.round(F.col("g2").cast("double"), 6).alias("g2"),
+    ).orderBy("source", "rnk")

@@ -1142,3 +1142,67 @@ def q_agg_wilcoxon_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(ok, "no_change")
         .alias("direction"),
     )
+
+
+_EOQ_ORDER_COST = 100.0  # S: fixed cost per replenishment order
+_EOQ_HOLD_COST = 2.0     # H: holding cost per unit per horizon
+
+
+@query(
+    "q_orders_eoq",
+    # D and n_days are exact integers; EOQ/cadence are one IEEE chain
+    # on literal cost parameters — identical in both engines.
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderpriority AS grp,
+         CAST(count(*) AS BIGINT) AS demand,
+         CAST(count(DISTINCT CAST(floor(epoch(o_orderdate) / 86400)
+                                  AS BIGINT)) AS BIGINT) AS n_days
+  FROM orders GROUP BY 1
+)
+SELECT grp AS o_orderpriority, demand, n_days,
+       round(sqrt(2 * CAST(demand AS DOUBLE) * {_EOQ_ORDER_COST}
+                  / {_EOQ_HOLD_COST}), 6) AS eoq,
+       round(CAST(demand AS DOUBLE)
+             / sqrt(2 * CAST(demand AS DOUBLE) * {_EOQ_ORDER_COST}
+                    / {_EOQ_HOLD_COST}), 6) AS n_replenishments,
+       round(n_days / (CAST(demand AS DOUBLE)
+             / sqrt(2 * CAST(demand AS DOUBLE) * {_EOQ_ORDER_COST}
+                    / {_EOQ_HOLD_COST})), 6) AS days_between_orders
+FROM d ORDER BY o_orderpriority
+""",
+)
+def q_orders_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity per priority class: EOQ = √(2DS/H) from
+    the observed horizon demand, plus the implied replenishment count
+    and cadence — the deterministic-demand HALF of the inventory
+    policy q_orders_newsvendor's fractile completes (EOQ sets the lot
+    SIZE against ordering-vs-holding cost; the newsvendor quantile
+    sets the safety LEVEL against demand noise; real policies quote
+    both). Cost parameters are stated literals — swap per SKU class.
+
+    Scale shape: one map-combinable reduce to |priorities| rows (the
+    distinct-day count combines as a per-day bitmap at worst); the
+    policy math is one IEEE chain per dimension row.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("demand"),
+        F.countDistinct(
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+        )
+        .cast("long")
+        .alias("n_days"),
+    )
+    dd = F.col("demand").cast("double")
+    eoq = F.sqrt(2 * dd * _EOQ_ORDER_COST / _EOQ_HOLD_COST)
+    return d.select(
+        F.col("grp").alias("o_orderpriority"),
+        "demand",
+        "n_days",
+        F.round(eoq, 6).alias("eoq"),
+        F.round(dd / eoq, 6).alias("n_replenishments"),
+        F.round(F.col("n_days") / (dd / eoq), 6).alias(
+            "days_between_orders"
+        ),
+    ).orderBy("o_orderpriority")

@@ -455,3 +455,42 @@ ORDER BY o_orderpriority
 """,
         args={"min_price": 150000.0, "status": "O"},
     )
+
+
+@query(
+    "q_sql_identifier",
+    # The oracle is the resolved query — IDENTIFIER is pure name
+    # templating; after binding, Catalyst sees ordinary references.
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def q_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`IDENTIFIER(:param)` name templating (Spark 4 SQL): the TABLE
+    and the GROUP column arrive as bound parameters — the
+    injection-safe way multi-tenant tools template "same report, per
+    table / per column" SQL, completing the q_sql_params story (that
+    op binds VALUES; names cannot be value-bound, and string-splicing
+    a table name is the classic injection hole IDENTIFIER closes).
+
+    After binding, Catalyst sees ordinary references: pruning,
+    pushdown, and aggregation plan exactly as the literal query (the
+    oracle IS the resolved form). Dimension-sized output per status.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+SELECT IDENTIFIER(:grp) AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM IDENTIFIER(:tbl)
+GROUP BY IDENTIFIER(:grp)
+ORDER BY IDENTIFIER(:grp)
+""",
+        args={"tbl": "orders", "grp": "o_orderstatus"},
+    )

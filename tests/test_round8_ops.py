@@ -656,6 +656,65 @@ def test_sample_ess_planted_bounds(spark, tmp_path):
     assert all(r["ess_le_n"] for r in got.values())
 
 
+def test_eoq_planted_closed_form(spark, tmp_path):
+    """D=100 over 10 days, S=100, H=2: EOQ = √(2·100·100/2) = 100,
+    one replenishment per horizon, 10 days between orders."""
+    rows = []
+    k = 0
+    for day in range(1, 11):
+        for _ in range(10):
+            rows.append((k, f"2024-02-{day:02d}", "P"))
+            k += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, d string, o_orderpriority string"
+    ).select(
+        "o_orderkey",
+        F.col("d").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    r = registry.get("q_orders_eoq").fn(spark, str(tmp_path)).collect()[0]
+    assert (r["demand"], r["n_days"], r["eoq"]) == (100, 10, 100.0)
+    assert (r["n_replenishments"], r["days_between_orders"]) == (1.0, 10.0)
+
+
+def test_keyness_planted_source_signature(spark, tmp_path):
+    """A word used only by source A must top A's keyness list; a word
+    shared evenly must rank below it."""
+    docs = [
+        (1, "zebra zebra zebra common common", "en", "A", 10),
+        (2, "common common common filler filler", "en", "B", 10),
+        (3, "filler filler common common common", "en", "B", 10),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = registry.get("q_text_keyness").fn(spark, str(tmp_path)).collect()
+    top_a = [r for r in out if r["source"] == "A" and r["rnk"] == 1][0]
+    assert top_a["word"] == "zebra" and top_a["g2"] > 0
+    top_b = [r for r in out if r["source"] == "B" and r["rnk"] == 1][0]
+    assert top_b["word"] == "filler"
+
+
+def test_sql_identifier_matches_literal_query(spark, sf_dir):
+    """IDENTIFIER-bound names must resolve to the same result as the
+    literal query."""
+    got = registry.get("q_sql_identifier").fn(spark, sf_dir).collect()
+    want = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state
