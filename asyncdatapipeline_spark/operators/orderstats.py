@@ -1206,3 +1206,87 @@ def q_orders_eoq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_between_orders"
         ),
     ).orderBy("o_orderpriority")
+
+
+_KANON_KS = (2, 5, 10)
+
+
+@query(
+    "q_events_k_anonymity",
+    # Cell sizes are exact distinct-user counts; every per-k readout
+    # is integer arithmetic over the cell frame plus one share ratio.
+    oracle=f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ks AS (SELECT unnest(ARRAY{list(_KANON_KS)}) AS k)
+SELECT CAST(k AS INTEGER) AS k,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CASE WHEN n_users < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cells_below,
+       CAST(min(n_users) AS BIGINT) AS min_cell_users,
+       round(CAST(sum(CASE WHEN n_users < k THEN n_events ELSE 0 END)
+                  AS DOUBLE) / sum(n_events), 6) AS event_share_at_risk,
+       min(n_users) >= k AS k_anonymous
+FROM cells CROSS JOIN ks
+GROUP BY k ORDER BY k
+""",
+)
+def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the (event_type, day) quasi-identifier:
+    for k ∈ {2, 5, 10}, how many cells isolate fewer than k distinct
+    users and what share of EVENTS sits in those re-identifiable
+    cells — the release-readiness check that must precede any
+    aggregate publication (q_agg_dp_counts is the noise mechanism;
+    this says whether the raw grid was safe to begin with — a cell of
+    one user IS that user, no linkage attack required). `k_anonymous`
+    is the pass/fail verdict per k.
+
+    Scale shape: one map-combinable reduce to the quasi-identifier
+    cell frame (types × days — dimension-sized); the k sweep is a
+    3-literal cross join over that frame; integer counts and one
+    share ratio per k row.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in _KANON_KS])).alias("k")
+    return (
+        cells.select("*", ks)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum((F.col("n_users") < F.col("k")).cast("int"))
+            .cast("long")
+            .alias("n_cells_below"),
+            F.min("n_users").cast("long").alias("min_cell_users"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("n_users") < F.col("k"), F.col("n_events")
+                    ).otherwise(0)
+                ).cast("double")
+                / F.sum("n_events"),
+                6,
+            ).alias("event_share_at_risk"),
+            (F.min("n_users") >= F.max("k")).alias("k_anonymous"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_cells",
+            "n_cells_below",
+            "min_cell_users",
+            "event_share_at_risk",
+            "k_anonymous",
+        )
+        .orderBy("k")
+    )

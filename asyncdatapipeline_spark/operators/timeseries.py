@@ -6658,3 +6658,157 @@ def q_events_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("crossed"),
     ).orderBy("look")
+
+
+def _pacf_chain_sql() -> str:
+    """Shared r₁..r₄ + Durbin-Levinson chain (identical text feeds both
+    engines; operates on ``agg(event_type, n, sx, sxx, n1..n4, c1..c4,
+    sa1..sa4, sb1..sb4)``). Every division is guarded (ANSI-safe); all
+    inputs are exact BIGINT sums so the IEEE chains agree bitwise."""
+    r = "\n".join(
+        f"    CASE WHEN den > 0 AND n{k} > 0 THEN"
+        f" (c{k} - m * (sa{k} + sb{k}) + n{k} * m * m) / den END AS r{k},"
+        for k in (1, 2, 3, 4)
+    )
+    return f"""
+base AS (
+  SELECT event_type, n, CAST(sx AS DOUBLE) / n AS m,
+         CAST(sxx AS DOUBLE) - 2 * (CAST(sx AS DOUBLE) / n)
+           * CAST(sx AS DOUBLE)
+           + n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+           AS den,
+         n1, n2, n3, n4, c1, c2, c3, c4,
+         sa1, sa2, sa3, sa4, sb1, sb2, sb3, sb4
+  FROM agg
+),
+rr AS (
+  SELECT event_type, n,
+{r}
+    1 AS _k
+  FROM base
+),
+p2 AS (
+  SELECT *,
+    CASE WHEN r1 IS NOT NULL AND 1 - r1 * r1 <> 0
+         THEN (r2 - r1 * r1) / (1 - r1 * r1) END AS phi22
+  FROM rr
+),
+p2b AS (
+  SELECT *, r1 - phi22 * r1 AS phi21 FROM p2
+),
+p3 AS (
+  SELECT *,
+    CASE WHEN phi21 IS NOT NULL
+          AND 1 - phi21 * r1 - phi22 * r2 <> 0
+         THEN (r3 - phi21 * r2 - phi22 * r1)
+              / (1 - phi21 * r1 - phi22 * r2) END AS phi33
+  FROM p2b
+),
+p3b AS (
+  SELECT *, phi21 - phi33 * phi22 AS phi31,
+            phi22 - phi33 * phi21 AS phi32
+  FROM p3
+),
+p4 AS (
+  SELECT *,
+    CASE WHEN phi31 IS NOT NULL
+          AND 1 - phi31 * r1 - phi32 * r2 - phi33 * r3 <> 0
+         THEN (r4 - phi31 * r3 - phi32 * r2 - phi33 * r1)
+              / (1 - phi31 * r1 - phi32 * r2 - phi33 * r3) END AS phi44
+  FROM p3b
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       round(r1, 6) AS r1, round(r2, 6) AS r2,
+       round(r3, 6) AS r3, round(r4, 6) AS r4,
+       round(r1, 6) AS pacf1, round(phi22, 6) AS pacf2,
+       round(phi33, 6) AS pacf3, round(phi44, 6) AS pacf4
+FROM p4 ORDER BY event_type
+"""
+
+
+def _pacf_lag_agg_sql() -> str:
+    """Shared lagged/agg CTE text (lag windows + exact BIGINT sums) —
+    valid in both Spark SQL and DuckDB."""
+    lag_cols = ", ".join(
+        f"lag(x, {k}) OVER (PARTITION BY event_type ORDER BY day)"
+        f" AS l{k}"
+        for k in (1, 2, 3, 4)
+    )
+    aggs = ",\n         ".join(
+        f"CAST(count(l{k}) AS BIGINT) AS n{k}, "
+        f"CAST(sum(x * l{k}) AS BIGINT) AS c{k}, "
+        f"CAST(sum(CASE WHEN l{k} IS NOT NULL THEN x END) AS BIGINT)"
+        f" AS sa{k}, "
+        f"CAST(sum(l{k}) AS BIGINT) AS sb{k}"
+        for k in (1, 2, 3, 4)
+    )
+    return f"""lagged AS (
+  SELECT event_type, day, x, {lag_cols} FROM filled
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         {aggs}
+  FROM lagged GROUP BY 1
+)"""
+
+
+@query(
+    "q_ts_pacf",
+    # Spine + lag windows + BIGINT sums; r's and the Durbin-Levinson
+    # recursion are ONE shared SQL text rendered into both engines —
+    # every division guarded, every input an exact integer sum.
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+filled AS (
+  SELECT s.event_type, s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS x
+  FROM spine s
+  LEFT JOIN d ON d.event_type = s.event_type AND d.day = s.day
+),
+{_pacf_lag_agg_sql()},
+{_pacf_chain_sql()}
+""",
+)
+def q_ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-4, Durbin-Levinson) of each
+    event-type daily series beside the raw ACF — the AR-order picker
+    q_ts_autocorr can't be: ACF at lag 3 is contaminated by the lag-1
+    rhythm propagating; PACF removes the shorter lags' influence, so
+    the last significant PACF lag IS the AR(p) order a forecaster
+    should fit (the Box-Jenkins identification step, feeding
+    q_ts_forecast's model choice).
+
+    Scale shape: the shared dense-spine reduce (the
+    autocorr/theilsen/forecast discipline — everything after the
+    first aggregate is O(types·days)), four lag columns on ONE
+    per-type window, exact BIGINT power sums, then the
+    Durbin-Levinson recursion as guarded scalar IEEE arithmetic on
+    the |types|-row frame. The r/DL chain is literally one SQL text
+    rendered into both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("pacf_events")
+    return spark.sql(
+        f"""
+WITH {_spine_cte_sql("pacf_events")},
+filled AS (
+  SELECT s.event_type, s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS x
+  FROM spine s
+  LEFT JOIN d ON d.event_type = s.event_type AND d.day = s.day
+),
+{_pacf_lag_agg_sql()},
+{_pacf_chain_sql()}
+"""
+    )

@@ -715,6 +715,46 @@ def test_sql_identifier_matches_literal_query(spark, sf_dir):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_pacf_planted_ar1_structure(spark, tmp_path):
+    """A near-AR(1) daily series (geometric pulse train) must show
+    pacf1 = r1 > 0 while |pacf2| collapses well below r2 (the DL
+    recursion removing the propagated lag-1 influence)."""
+    rows = []
+    i = 0
+    # counts 8,4,2,1 repeating: strong lag-1 decay
+    pattern = [8, 4, 2, 1]
+    for day in range(24):
+        for _ in range(pattern[day % 4]):
+            rows.append((i, f"2024-01-{day + 1:02d} 09:00:00", i,
+                         "view", 1.0))
+            i += 1
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("q_ts_pacf").fn(spark, str(tmp_path)).collect()[0]
+    assert r["pacf1"] == r["r1"]
+    assert r["n_days"] == 24
+    for c in ("r1", "r2", "pacf2", "pacf3", "pacf4"):
+        assert r[c] is not None
+
+
+def test_k_anonymity_planted_singleton_cell(spark, tmp_path):
+    """One singleton (type, day) cell among 10-user cells: k=2 flags
+    exactly that cell and its event share; min_cell_users = 1 fails
+    every k."""
+    rows = []
+    i = 0
+    for u in range(10):
+        rows.append((i, "2024-01-01 09:00:00", u, "view", 1.0))
+        i += 1
+    rows.append((i, "2024-01-02 09:00:00", 999, "view", 1.0))
+    _write_events(spark, tmp_path, rows)
+    got = {r["k"]: r for r in registry.get("q_events_k_anonymity").fn(
+        spark, str(tmp_path)).collect()}
+    assert got[2]["n_cells"] == 2 and got[2]["n_cells_below"] == 1
+    assert abs(got[2]["event_share_at_risk"] - 1 / 11) < 1e-6
+    assert got[2]["min_cell_users"] == 1
+    assert not any(r["k_anonymous"] for r in got.values())
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state

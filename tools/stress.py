@@ -244,6 +244,11 @@ QUERIES = [
     "q_text_novelty",
     "q_agg_effect_size",
     "q_sample_ess",
+    "q_sql_identifier",
+    "q_orders_eoq",
+    "q_text_keyness",
+    "q_ts_pacf",
+    "q_events_k_anonymity",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
