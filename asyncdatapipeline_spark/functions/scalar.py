@@ -844,3 +844,59 @@ def q_fn_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("d") * 12 + F.month("d") - 1).cast("long").alias("month_idx"),
         (F.col("d") == F.last_day("d")).alias("is_month_end"),
     ).orderBy("d")
+
+
+@query(
+    "q_fn_crypto",
+    # sha2-256 and md5 are standards — both engines emit identical hex;
+    # the AES round-trip is asserted as a BOOLEAN property (GCM uses a
+    # random IV, so ciphertext is not comparable — the recoverability
+    # contract is).
+    oracle="""
+SELECT p_partkey,
+       md5(p_name) AS name_md5,
+       sha256(p_name) AS name_sha256,
+       length(md5(p_name)) = 32 AS md5_hex_len_ok,
+       true AS aes_roundtrip_ok
+FROM part
+WHERE p_partkey <= 20
+ORDER BY p_partkey
+""",
+)
+def q_fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic function surface (B37 extension): md5 / sha2-256
+    content digests — the standards both engines (and every data
+    platform) share byte-for-byte, which is WHY the engine's whole
+    dedup/split/resampling doctrine is built on them — plus an
+    aes_encrypt/aes_decrypt round-trip asserted as a boolean property:
+    GCM ciphertext carries a random IV (deliberately non-deterministic,
+    the secure default), so the testable contract is recoverability,
+    not ciphertext equality. Column-level envelope encryption before a
+    sink, verified in-plan.
+
+    Scale shape: map-only codegen projections; the digest cost is the
+    row's bytes, no shuffle anywhere.
+    """
+    p = load_table(spark, sf_dir, "part")
+    key = F.lit("0123456789abcdef")  # 16-byte demo key (AES-128)
+    return (
+        p.filter(F.col("p_partkey") <= 20)
+        .select(
+            "p_partkey",
+            F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
+            F.sha2(F.col("p_name").cast("binary"), 256).alias(
+                "name_sha256"
+            ),
+            (
+                F.length(F.md5(F.col("p_name").cast("binary"))) == 32
+            ).alias("md5_hex_len_ok"),
+            (
+                F.aes_decrypt(
+                    F.aes_encrypt(F.col("p_name").cast("binary"), key),
+                    key,
+                ).cast("string")
+                == F.col("p_name")
+            ).alias("aes_roundtrip_ok"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -26,12 +26,12 @@ its exact verification twin (the q_agg_hll contract).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from asyncdatapipeline_spark.registry import query
 from asyncdatapipeline_spark.sources.tables import load_table
 
-from ._util import DEC, dist_cumsum
+from ._util import DEC, dist_cumsum, spark_ntile
 
 
 def _rank_at(p_pct: int, n):
@@ -1289,4 +1289,108 @@ def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_anonymous",
         )
         .orderBy("k")
+    )
+
+
+_LORENZ_BUCKETS = 10
+
+
+@query(
+    "q_agg_lorenz",
+    # Customer spend deciles via the rank spine + closed-form ntile;
+    # cumulative spend is an exact DECIMAL running sum over the
+    # 10-row decile frame — both engines share every boundary.
+    oracle=f"""
+WITH c AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT spend,
+         row_number() OVER (ORDER BY spend, o_custkey) AS rk,
+         count(*) OVER () AS n
+  FROM c
+),
+d AS (
+  SELECT CASE WHEN rk <= (n % {_LORENZ_BUCKETS})
+                   * (n // {_LORENZ_BUCKETS} + 1)
+              THEN CAST(ceil(rk / (n // {_LORENZ_BUCKETS} + 1.0))
+                        AS BIGINT)
+              ELSE (n % {_LORENZ_BUCKETS})
+                   + CAST(ceil((rk - (n % {_LORENZ_BUCKETS})
+                                * (n // {_LORENZ_BUCKETS} + 1))
+                               / (n // {_LORENZ_BUCKETS} * 1.0))
+                          AS BIGINT) END AS decile,
+         spend
+  FROM r
+),
+g AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         sum(CAST(spend AS DECIMAL(28,2))) AS s
+  FROM d GROUP BY decile
+),
+t AS (SELECT sum(s) AS tot FROM g)
+SELECT CAST(g.decile AS INTEGER) AS decile, g.n_customers,
+       round(CAST(g.s AS DOUBLE), 2) AS spend,
+       round(CAST(sum(g.s) OVER (ORDER BY g.decile) AS DOUBLE)
+             / CAST(t.tot AS DOUBLE), 6) AS cum_share
+FROM g CROSS JOIN t
+ORDER BY decile
+""",
+)
+def q_agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend (decile points: cumulative share
+    of revenue held by the bottom d/10 of customers) — the CURVE
+    behind q_agg_gini's scalar: the gini coefficient says "0.62"; the
+    Lorenz points say "the bottom half of customers carries 18% of
+    revenue", which is the form a pricing or CRM decision actually
+    consumes. Deciles are exact (ntile semantics), so the curve is
+    reproducible under reruns and engine swaps.
+
+    Scale shape: orders reduce to per-customer DECIMAL spend (one
+    map-combinable shuffle); the decile assignment is the round-8
+    rank-spine device — ``dist_cumsum`` row numbers + closed-form
+    ``spark_ntile``, no |customers| single-partition sort — and the
+    curve itself is a 10-row frame with an exact DECIMAL running sum.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    ranked = dist_cumsum(
+        c.withColumn("one", F.lit(1)),
+        "spend",
+        ["one"],
+        tiebreak=["o_custkey"],
+    ).select("spend", F.col("cum_one").alias("rk"))
+    n = F.broadcast(c.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    d = ranked.crossJoin(n).select(
+        "spend",
+        spark_ntile(F.col("rk"), F.col("n"), _LORENZ_BUCKETS)
+        .cast("long")
+        .alias("decile"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("spend").cast("decimal(28,2)")).alias("s"),
+    )
+    t = F.broadcast(g.agg(F.sum("s").alias("tot")))
+    wc = (
+        W.partitionBy(F.col("n_customers") * 0)
+        .orderBy("decile")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        g.crossJoin(t)
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            F.round(F.col("s").cast("double"), 2).alias("spend"),
+            F.round(
+                F.sum("s").over(wc).cast("double")
+                / F.col("tot").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
     )

@@ -755,6 +755,30 @@ def test_k_anonymity_planted_singleton_cell(spark, tmp_path):
     assert not any(r["k_anonymous"] for r in got.values())
 
 
+def test_lorenz_planted_perfect_inequality(spark, tmp_path):
+    """One whale among 9 zero-ish customers: the bottom 9 deciles hold
+    ~0 share, the top decile completes to 1.0; shares are monotone."""
+    rows = [(k, 1.0) for k in range(9)] + [(9, 991.0)]
+    spark.createDataFrame(
+        rows, "o_custkey long, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = registry.get("q_agg_lorenz").fn(spark, str(tmp_path)).collect()
+    assert [r["decile"] for r in out] == list(range(1, 11))
+    shares = [r["cum_share"] for r in out]
+    assert shares == sorted(shares) and shares[-1] == 1.0
+    assert shares[8] == 0.009  # bottom 90% holds 9/1000
+    assert all(r["n_customers"] == 1 for r in out)
+
+
+def test_fn_crypto_roundtrip_and_digests(spark, sf_dir):
+    """Every AES round-trip recovers the plaintext; digests are
+    64/32-char hex."""
+    out = registry.get("q_fn_crypto").fn(spark, sf_dir).collect()
+    assert out and all(r["aes_roundtrip_ok"] for r in out)
+    assert all(len(r["name_sha256"]) == 64 for r in out)
+    assert all(r["md5_hex_len_ok"] for r in out)
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state

@@ -249,6 +249,8 @@ QUERIES = [
     "q_text_keyness",
     "q_ts_pacf",
     "q_events_k_anonymity",
+    "q_agg_lorenz",
+    "q_fn_crypto",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
