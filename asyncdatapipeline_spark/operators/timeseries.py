@@ -6812,3 +6812,176 @@ filled AS (
 {_pacf_chain_sql()}
 """
     )
+
+
+@query(
+    "q_events_heatmap",
+    # dow via integer epoch-day arithmetic ((day + 4) % 7: 1970-01-01
+    # was a Thursday) — NEVER engine dayofweek builtins, whose
+    # numbering conventions differ; hour via epoch integer division.
+    # Counts and shares are exact.
+    oracle="""
+WITH t AS (
+  SELECT (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS dow,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hour
+  FROM events
+),
+g AS (
+  SELECT dow, hour, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM g)
+SELECT CAST(dow AS INTEGER) AS dow, CAST(hour AS INTEGER) AS hour, n,
+       round(CAST(n AS DOUBLE) / tot.tn, 6) AS share
+FROM g CROSS JOIN tot
+ORDER BY dow, hour
+""",
+)
+def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap grid: event counts and shares per (day-of-week
+    × UTC hour) — the operational load profile behind capacity
+    planning and send-time optimization, and the 2-D companion to
+    q_ts_clock_mean's circular average (the mean says WHEN the center
+    of mass is; the grid says where the mass actually sits, including
+    the bimodal shapes a mean hides). Day-of-week comes from integer
+    epoch-day arithmetic ((epoch_day + 4) mod 7, anchored to
+    1970-01-01 = Thursday) — engine dayofweek builtins disagree on
+    numbering, so the grid key must be arithmetic, not a builtin.
+
+    Scale shape: one map-combinable reduce to the ≤168-cell grid plus
+    a broadcast total; shares are single divisions per cell.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts")
+    g = e.groupBy(
+        ((F.floor(ep / 86400).cast("long") + 4) % 7)
+        .cast("int")
+        .alias("dow"),
+        (F.floor(ep / 3600).cast("long") % 24).cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = F.broadcast(g.agg(F.sum("n").cast("long").alias("tn")))
+    return (
+        g.crossJoin(tot)
+        .select(
+            "dow",
+            "hour",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tn"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+@query(
+    "q_ts_runs_test",
+    # Signs from exact integer day-count differences (zeros dropped,
+    # standard); runs counted by lag transitions on the bounded spine;
+    # the normal approximation is one IEEE chain on three integers.
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+sgn AS (
+  SELECT day,
+         CASE WHEN c - lag(c) OVER (ORDER BY day) > 0 THEN 1
+              WHEN c - lag(c) OVER (ORDER BY day) < 0 THEN -1 END AS s
+  FROM d
+),
+nz AS (SELECT day, s FROM sgn WHERE s IS NOT NULL),
+runs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_down,
+         CAST(1 + sum(CASE WHEN s != prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_runs
+  FROM (
+    SELECT s, lag(s) OVER (ORDER BY day) AS prev FROM nz
+  ) WHERE prev IS NOT NULL OR s IS NOT NULL
+),
+v AS (
+  SELECT n, n_up, n_down, n_runs,
+         1 + 2.0 * n_up * n_down / n AS mu,
+         2.0 * n_up * n_down * (2.0 * n_up * n_down - n)
+           / (CAST(n AS DOUBLE) * n * (n - 1)) AS sig2
+  FROM runs WHERE n_up > 0 AND n_down > 0 AND n > 1
+)
+SELECT n AS n_moves, n_up, n_down, n_runs,
+       round(mu, 6) AS expected_runs,
+       CASE WHEN sig2 > 0
+            THEN round((n_runs - mu) / sqrt(sig2), 6) END AS z,
+       CASE WHEN sig2 > 0 THEN abs((n_runs - mu) / sqrt(sig2)) > 1.96
+            ELSE false END AS nonrandom
+FROM v
+""",
+)
+def q_ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily volume's up/down sequence
+    — the randomness check that completes the trend pair:
+    q_ts_mann_kendall asks "is it drifting", this asks "is it even
+    random" (too FEW runs = sticky regimes/autocorrelation, too MANY =
+    oscillation/overcorrection — both invisible to a trend test and
+    both things an alerting threshold tuned on iid assumptions will
+    misfire on). Zero-change days drop, per the standard treatment.
+
+    Scale shape: one map-combinable reduce to per-day counts; signs,
+    run transitions and the three integers the z needs all live on
+    the |days| spine (two lag windows on the bounded frame); the
+    normal approximation is one IEEE chain.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wd = W.partitionBy(F.col("c") * 0).orderBy("day")
+    diff = F.col("c") - F.lag("c").over(wd)
+    sgn = d.select(
+        "day",
+        F.when(diff > 0, 1).when(diff < 0, -1).alias("s"),
+    ).filter(F.col("s").isNotNull())
+    ws = W.partitionBy(F.col("s") * 0).orderBy("day")
+    trans = sgn.select(
+        "s", F.lag("s").over(ws).alias("prev")
+    )
+    runs = trans.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("s") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("n_runs"),
+    ).filter((F.col("n_up") > 0) & (F.col("n_down") > 0) & (F.col("n") > 1))
+    n, nu, nd = F.col("n"), F.col("n_up"), F.col("n_down")
+    mu = 1 + 2.0 * nu * nd / n
+    sig2 = (
+        2.0 * nu * nd * (2.0 * nu * nd - n)
+        / (n.cast("double") * n * (n - 1))
+    )
+    z = (F.col("n_runs") - mu) / F.sqrt(sig2)
+    ok = sig2 > 0
+    return runs.select(
+        F.col("n").alias("n_moves"),
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round(mu, 6).alias("expected_runs"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok, F.abs(z) > 1.96).otherwise(F.lit(False)).alias(
+            "nonrandom"
+        ),
+    )

@@ -779,6 +779,47 @@ def test_fn_crypto_roundtrip_and_digests(spark, sf_dir):
     assert all(r["md5_hex_len_ok"] for r in out)
 
 
+def test_heatmap_planted_known_cells(spark, tmp_path):
+    """2024-01-01 is a Monday (dow 1 under the Thursday-anchored
+    epoch arithmetic): events at known hours land in exactly those
+    cells with exact shares."""
+    rows = [
+        (0, "2024-01-01 09:30:00", 1, "view", 1.0),
+        (1, "2024-01-01 09:45:00", 2, "view", 1.0),
+        (2, "2024-01-02 23:10:00", 3, "view", 1.0),
+        (3, "2024-01-07 00:05:00", 4, "view", 1.0),  # Sunday → dow 0
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = {
+        (r["dow"], r["hour"]): (r["n"], r["share"])
+        for r in registry.get("q_events_heatmap").fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        (1, 9): (2, 0.5),
+        (2, 23): (1, 0.25),
+        (0, 0): (1, 0.25),
+    }
+
+
+def test_runs_test_planted_alternating(spark, tmp_path):
+    """Perfectly alternating daily counts (5,9,5,9,...) maximize the
+    run count: every move is a run boundary → n_runs = n_moves,
+    z > 1.96, nonrandom."""
+    rows = []
+    i = 0
+    for day in range(14):
+        for _ in (range(5) if day % 2 == 0 else range(9)):
+            rows.append((i, f"2024-01-{day + 1:02d} 09:00:00", i,
+                         "view", 1.0))
+            i += 1
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("q_ts_runs_test").fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_moves"], r["n_runs"]) == (13, 13)
+    assert r["z"] > 1.96 and r["nonrandom"]
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state

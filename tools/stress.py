@@ -251,6 +251,8 @@ QUERIES = [
     "q_events_k_anonymity",
     "q_agg_lorenz",
     "q_fn_crypto",
+    "q_events_heatmap",
+    "q_ts_runs_test",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
