@@ -23,7 +23,7 @@ inputs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import query
 from ..sources.tables import load_table
@@ -510,3 +510,115 @@ def q_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p") > 0, F.round(F.col("ap_num") / F.col("p"), 6)
         ).alias("average_precision"),
     ).join(p50, how="left")
+
+
+@query(
+    "q_ml_threshold",
+    # The F1 staircase lives on the distinct-score frame (descending
+    # dist_cumsum); F1 per candidate threshold is an exact-integer
+    # ratio pair, and the argmax tiebreak (F1 desc at 9dp, score asc)
+    # is engine-deterministic.
+    oracle="""
+WITH t AS (
+  SELECT value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+g AS (
+  SELECT score, CAST(sum(y) AS BIGINT) AS a_tie,
+         CAST(count(*) AS BIGINT) AS tie
+  FROM t GROUP BY score
+),
+c AS (
+  SELECT score,
+         CAST(sum(a_tie) OVER (ORDER BY score DESC) AS BIGINT) AS cum_a,
+         CAST(sum(tie) OVER (ORDER BY score DESC) AS BIGINT) AS cum_n
+  FROM g
+),
+p AS (SELECT CAST(sum(a_tie) AS BIGINT) AS pos FROM g),
+f AS (
+  SELECT score, cum_a, cum_n,
+         CAST(round(2.0 * cum_a / (cum_n + p.pos), 9) AS DECIMAL(10,9))
+           AS f1
+  FROM c CROSS JOIN p WHERE p.pos > 0
+),
+best AS (
+  SELECT score, cum_a, cum_n, f1,
+         row_number() OVER (ORDER BY f1 DESC, score) AS r
+  FROM f
+)
+SELECT (SELECT pos FROM p) AS n_pos,
+       score AS threshold,
+       CAST(round(CAST(f1 AS DOUBLE), 6) AS DOUBLE) AS f1,
+       round(CAST(cum_a AS DOUBLE) / cum_n, 6) AS precision_,
+       round(CAST(cum_a AS DOUBLE) / (SELECT pos FROM p), 6) AS recall
+FROM best WHERE r = 1
+""",
+)
+def q_ml_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-optimal decision threshold from the tie-blocked PR staircase
+    — the model-ops step AFTER q_eval_pr's curve: a deployed
+    classifier needs ONE cut, and "0.5" is only right for calibrated
+    balanced problems; the argmax of F1 = 2·TP/(pred_pos + P) over
+    candidate thresholds (every distinct score) is the standard
+    default when precision and recall weigh equally. Threshold, F1,
+    and the operating precision/recall at that cut ship together —
+    the numbers the deployment config actually records.
+
+    Scale shape: the q_eval_pr device — groupBy(score) reduce,
+    descending ``dist_cumsum`` staircase, F1 as a 9dp-DECIMAL exact
+    ratio per distinct score, one WindowGroupLimit argmax (F1 desc,
+    score asc tiebreak). No sort buffer, no data-sized window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t = e.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    g = t.groupBy("score").agg(
+        F.sum("y").cast("long").alias("a_tie"),
+        F.count(F.lit(1)).cast("long").alias("tie"),
+    )
+    c = dist_cumsum(g, "score", ["a_tie", "tie"], descending=True).select(
+        "score",
+        F.col("cum_a_tie").cast("long").alias("cum_a"),
+        F.col("cum_tie").cast("long").alias("cum_n"),
+    )
+    p = F.broadcast(g.agg(F.sum("a_tie").cast("long").alias("pos")))
+    f = (
+        c.crossJoin(p)
+        .filter(F.col("pos") > 0)
+        .select(
+            "score",
+            "cum_a",
+            "cum_n",
+            "pos",
+            F.round(
+                2.0 * F.col("cum_a") / (F.col("cum_n") + F.col("pos")), 9
+            )
+            .cast("decimal(10,9)")
+            .alias("f1"),
+        )
+    )
+    best = (
+        f.withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy(F.col("cum_n") * 0).orderBy(
+                    F.col("f1").desc(), "score"
+                )
+            ),
+        )
+        .filter(F.col("r") == 1)
+    )
+    return best.select(
+        F.col("pos").alias("n_pos"),
+        F.col("score").alias("threshold"),
+        F.round(F.col("f1").cast("double"), 6).alias("f1"),
+        F.round(F.col("cum_a").cast("double") / F.col("cum_n"), 6).alias(
+            "precision_"
+        ),
+        F.round(F.col("cum_a").cast("double") / F.col("pos"), 6).alias(
+            "recall"
+        ),
+    )

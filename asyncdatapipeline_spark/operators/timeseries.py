@@ -6985,3 +6985,102 @@ def q_ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nonrandom"
         ),
     )
+
+
+@query(
+    "q_events_overlap",
+    # All quantities are exact distinct-user counts; jaccard/containment
+    # are single integer-ratio divisions.
+    oracle="""
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+sz AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+       round(CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both), 6)
+         AS jaccard,
+       round(CAST(i.n_both AS DOUBLE) / least(sa.n, sb.n), 6)
+         AS containment
+FROM inter i
+JOIN sz sa ON sa.event_type = i.type_a
+JOIN sz sb ON sb.event_type = i.type_b
+ORDER BY type_a, type_b
+""",
+)
+def q_events_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard and containment of the DISTINCT
+    USER sets behind every event-type pair — the segmentation sanity
+    check (are "click" users just "view" users?; does "purchase" reach
+    anyone "search" doesn't?) that q_events_pmi's co-occurrence
+    statistic approximates at the EVENT level; this measures it at the
+    AUDIENCE level, where dedup across sessions matters. Containment
+    (overlap / smaller set) ships beside Jaccard because a small
+    segment fully inside a big one has tiny Jaccard but containment
+    1.0 — the actionable fact.
+
+    Scale shape: one distinct reduce to (type, user) memberships; the
+    pair self-join fans each user out to C(|their types|, 2) ≤
+    C(|vocab|, 2) rows (bounded vocab — never a user×user join), then
+    a map-combinable pair count and a broadcast size join. At 100 TB
+    the distinct reduce is the only data-sized pass; the sketch swap
+    (theta intersections, q_agg_sketch_setops) is named for unbounded
+    type vocabularies.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct()
+    sz = F.broadcast(
+        tu.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        inter.join(
+            sz.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n").alias("n_a"),
+            ),
+            "type_a",
+        )
+        .join(
+            sz.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_both").cast("double")
+                / F.least("n_a", "n_b"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -820,6 +820,40 @@ def test_runs_test_planted_alternating(spark, tmp_path):
     assert r["z"] > 1.96 and r["nonrandom"]
 
 
+def test_ml_threshold_planted_clean_cut(spark, tmp_path):
+    """Positives at scores {10,9}, negatives at {2,1}: the F1-optimal
+    threshold is 9 (F1=1, precision=recall=1)."""
+    rows = [
+        (0, "2024-01-01 00:00:00", 0, "purchase", 10.0),
+        (1, "2024-01-01 00:00:00", 1, "purchase", 9.0),
+        (2, "2024-01-01 00:00:00", 2, "view", 2.0),
+        (3, "2024-01-01 00:00:00", 3, "view", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("q_ml_threshold").fn(spark, str(tmp_path)).collect()[0]
+    assert (r["threshold"], r["f1"]) == (9.0, 1.0)
+    assert (r["precision_"], r["recall"]) == (1.0, 1.0)
+
+
+def test_overlap_planted_containment(spark, tmp_path):
+    """Type b's 2 users are a subset of type a's 4: jaccard = 0.5,
+    containment = 1.0."""
+    rows = []
+    i = 0
+    for u in range(4):
+        rows.append((i, "2024-01-01 00:00:00", u, "a", 1.0)); i += 1
+    for u in (0, 1):
+        rows.append((i, "2024-01-01 00:00:00", u, "b", 1.0)); i += 1
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("q_events_overlap").fn(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    x = r[0]
+    assert (x["type_a"], x["type_b"], x["n_a"], x["n_b"], x["n_both"]) == (
+        "a", "b", 4, 2, 2,
+    )
+    assert (x["jaccard"], x["containment"]) == (0.5, 1.0)
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state

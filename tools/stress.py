@@ -253,6 +253,8 @@ QUERIES = [
     "q_fn_crypto",
     "q_events_heatmap",
     "q_ts_runs_test",
+    "q_ml_threshold",
+    "q_events_overlap",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
