@@ -4765,3 +4765,202 @@ def q_agg_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "q_agg_bootstrap_diff",
+    # The q_agg_bootstrap Poisson-weight device pointed at the DECISION
+    # quantity: md5(user:b) weights, exact integer weighted sums per
+    # (replicate, arm), one mean-diff double per replicate, rank-
+    # selected percentile CI over the 32-row replicate frame.
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UINTEGER % 2
+           AS arm,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS m
+  FROM events GROUP BY user_id
+),
+obs AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CASE WHEN sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+               AND sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+              THEN CAST(sum(CASE WHEN arm = 0 THEN m ELSE 0 END)
+                        AS DOUBLE)
+                   / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                   - CAST(sum(CASE WHEN arm = 1 THEN m ELSE 0 END)
+                          AS DOUBLE)
+                     / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) END
+           AS d_obs
+  FROM u
+),
+reps AS (
+  SELECT u.user_id, u.arm, u.m, b.b,
+         ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':'
+                             || CAST(b.b AS VARCHAR)), 1, 2))::UINTEGER
+           AS h
+  FROM u CROSS JOIN (
+    SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b
+  ) b
+),
+w AS (
+  SELECT b, arm, m,
+         CASE WHEN h < {_BOOT_THRESH[0]} THEN 0
+              WHEN h < {_BOOT_THRESH[1]} THEN 1
+              WHEN h < {_BOOT_THRESH[2]} THEN 2
+              WHEN h < {_BOOT_THRESH[3]} THEN 3
+              ELSE 4 END AS wt
+  FROM reps
+),
+d AS (
+  SELECT b,
+    CASE WHEN sum(CASE WHEN arm = 0 THEN wt ELSE 0 END) > 0
+          AND sum(CASE WHEN arm = 1 THEN wt ELSE 0 END) > 0
+         THEN CAST(sum(CASE WHEN arm = 0 THEN wt * m ELSE 0 END)
+                   AS DOUBLE)
+              / sum(CASE WHEN arm = 0 THEN wt ELSE 0 END)
+              - CAST(sum(CASE WHEN arm = 1 THEN wt * m ELSE 0 END)
+                     AS DOUBLE)
+                / sum(CASE WHEN arm = 1 THEN wt ELSE 0 END) END AS diff
+  FROM w GROUP BY b
+),
+r AS (
+  SELECT diff, row_number() OVER (ORDER BY diff, b) AS rk,
+         count(*) OVER () AS nb_
+  FROM d WHERE diff IS NOT NULL
+),
+ci AS (
+  SELECT max(CASE WHEN rk = 2 THEN diff END) AS lo,
+         max(CASE WHEN rk = nb_ - 1 THEN diff END) AS hi,
+         CAST(max(nb_) AS BIGINT) AS n_reps
+  FROM r
+)
+SELECT obs.na, obs.nb, round(obs.d_obs, 6) AS diff_obs,
+       ci.n_reps,
+       round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi,
+       CASE WHEN ci.lo IS NOT NULL
+            THEN ci.lo > 0 OR ci.hi < 0 ELSE false END
+         AS excludes_zero
+FROM obs CROSS JOIN ci
+""",
+)
+def q_agg_bootstrap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for the A/B DIFFERENCE in per-user purchase
+    means — q_agg_bootstrap's device pointed at the decision quantity:
+    per-group CIs can overlap while the paired-resample DIFFERENCE
+    interval cleanly excludes zero (the classic overlapping-CIs
+    fallacy), so the experiment readout should bootstrap the diff
+    itself. 32 md5-seeded replicates (deterministic, retry-stable),
+    replicate CI = the 2nd/31st order statistics, `excludes_zero` is
+    the verdict; the t-based q_agg_ttest and rank-based
+    q_agg_mannwhitney triangulate the same question under different
+    assumptions — this one assumes only exchangeability of users.
+
+    Scale shape: events reduce to ONE row per user; the ×32 fan-out
+    collapses map-side to per-(replicate, arm) exact integer weighted
+    sums (64 partials per task); replicate diffs are single double
+    divisions; the CI is a rank selection over the 32-row frame.
+    Degenerate replicates (an arm draws total weight 0) drop, and an
+    empty feed yields NULLs, never a division crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def h2(expr):
+        return F.conv(
+            F.substring(F.md5(expr.cast("binary")), 1, 2), 16, 10
+        ).cast("int")
+
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("m")
+    ).select(
+        "user_id",
+        "m",
+        (h2(F.col("user_id").cast("string")) % 2).alias("arm"),
+    )
+    na = F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long")
+    nb_ = F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long")
+    sa = F.sum(F.when(F.col("arm") == 0, F.col("m")).otherwise(0))
+    sb = F.sum(F.when(F.col("arm") == 1, F.col("m")).otherwise(0))
+    obs = u.agg(
+        na.alias("na"),
+        nb_.alias("nb"),
+        F.when(
+            (na > 0) & (nb_ > 0),
+            sa.cast("double") / na - sb.cast("double") / nb_,
+        ).alias("d_obs"),
+    )
+    t = _BOOT_THRESH
+    h = h2(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+        )
+    )
+    wt = (
+        F.when(h < t[0], 0)
+        .when(h < t[1], 1)
+        .when(h < t[2], 2)
+        .when(h < t[3], 3)
+        .otherwise(4)
+    )
+    reps = u.select(
+        "m",
+        "arm",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "user_id",
+    ).select("b", "arm", "m", wt.alias("wt"))
+    w0 = F.sum(F.when(F.col("arm") == 0, F.col("wt")).otherwise(0))
+    w1 = F.sum(F.when(F.col("arm") == 1, F.col("wt")).otherwise(0))
+    s0 = F.sum(
+        F.when(F.col("arm") == 0, F.col("wt") * F.col("m")).otherwise(0)
+    )
+    s1 = F.sum(
+        F.when(F.col("arm") == 1, F.col("wt") * F.col("m")).otherwise(0)
+    )
+    d = reps.groupBy("b").agg(
+        F.when(
+            (w0 > 0) & (w1 > 0),
+            s0.cast("double") / w0 - s1.cast("double") / w1,
+        ).alias("diff")
+    ).filter(F.col("diff").isNotNull())
+    wr = W.partitionBy(F.col("b") * 0).orderBy("diff", "b")
+    r = d.select(
+        "diff",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1))
+        .over(
+            W.partitionBy(F.col("b") * 0)
+            .orderBy("diff", "b")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        )
+        .alias("nr"),
+    )
+    ci = r.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("diff"))).alias("lo"),
+        F.max(
+            F.when(F.col("rk") == F.col("nr") - 1, F.col("diff"))
+        ).alias("hi"),
+        F.max("nr").cast("long").alias("n_reps"),
+    )
+    return (
+        obs.crossJoin(ci)
+        .select(
+            "na",
+            "nb",
+            F.round("d_obs", 6).alias("diff_obs"),
+            "n_reps",
+            F.round("lo", 6).alias("ci_lo"),
+            F.round("hi", 6).alias("ci_hi"),
+            F.when(
+                F.col("lo").isNotNull(),
+                (F.col("lo") > 0) | (F.col("hi") < 0),
+            )
+            .otherwise(F.lit(False))
+            .alias("excludes_zero"),
+        )
+    )

@@ -854,6 +854,18 @@ def test_overlap_planted_containment(spark, tmp_path):
     assert (x["jaccard"], x["containment"]) == (0.5, 1.0)
 
 
+def test_bootstrap_diff_structure(spark, sf_dir):
+    """CI must bracket the observed diff (Poisson resampling is
+    centered on it), lo ≤ hi, 32 replicates retained on the real
+    fixture, and the run is deterministic."""
+    q = registry.get("q_agg_bootstrap_diff").fn
+    r1 = q(spark, sf_dir).collect()[0]
+    r2 = q(spark, sf_dir).collect()[0]
+    assert tuple(r1) == tuple(r2)
+    assert r1["n_reps"] == 32
+    assert r1["ci_lo"] <= r1["diff_obs"] <= r1["ci_hi"]
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state

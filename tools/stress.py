@@ -255,6 +255,7 @@ QUERIES = [
     "q_ts_runs_test",
     "q_ml_threshold",
     "q_events_overlap",
+    "q_agg_bootstrap_diff",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
