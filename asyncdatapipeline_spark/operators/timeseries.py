@@ -7084,3 +7084,91 @@ def q_events_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "q_ts_rate_ci",
+    # Counts and day spans are exact integers; Byar's approximation is
+    # one cbrt-free IEEE chain (pow(x, 1/3) avoided — cube via
+    # multiplication of the (1 - 1/(9k) ± z/(3·sqrt(k))) factor, same
+    # sequence both engines).
+    oracle="""
+WITH b AS (
+  SELECT CAST(max(floor(epoch(ts) / 86400))
+              - min(floor(epoch(ts) / 86400)) + 1 AS BIGINT) AS n_days
+  FROM events
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS k FROM events
+  GROUP BY event_type
+),
+c AS (
+  SELECT event_type, k, b.n_days,
+         CAST(k AS DOUBLE) / b.n_days AS rate,
+         (1 - 1.0 / (9 * k) - 1.959964 / (3 * sqrt(CAST(k AS DOUBLE))))
+           AS fl,
+         (1 - 1.0 / (9 * (k + 1))
+            + 1.959964 / (3 * sqrt(CAST(k + 1 AS DOUBLE)))) AS fu
+  FROM g CROSS JOIN b WHERE k > 0
+)
+SELECT event_type, k AS n_events, n_days,
+       round(rate, 6) AS rate_per_day,
+       round(k * fl * fl * fl / n_days, 6) AS ci_lo,
+       round((k + 1) * fu * fu * fu / n_days, 6) AS ci_hi
+FROM c ORDER BY event_type
+""",
+)
+def q_ts_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate with Byar's 95% CI per event type (events/day over
+    the observed horizon) — the COUNT-data interval the binomial
+    q_ts_conversion_ci can't give: incident rates, error rates, and
+    arrival intensities are Poisson, not Bernoulli, and "is 3.2/day
+    compatible with last month's 2.9/day" needs a rate interval.
+    Byar's cube approximation is accurate to ~1% even at k=10 and is
+    pure closed-form — no gamma quantiles, so it stays cross-engine
+    exact (the cube is spelled as three multiplications; pow() never
+    enters).
+
+    Scale shape: one map-combinable count per type + a broadcast
+    1-row horizon; the interval is one IEEE chain per dimension row.
+    Zero-count types drop (a rate CI for k=0 is the one-sided 3/n
+    rule — a different statement, left to the caller).
+    """
+    e = load_table(spark, sf_dir, "events")
+    ep_day = F.floor(F.unix_timestamp("ts") / 86400)
+    b = F.broadcast(
+        e.agg(
+            (F.max(ep_day) - F.min(ep_day) + 1)
+            .cast("long")
+            .alias("n_days")
+        )
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    kd = F.col("k").cast("double")
+    # identical IEEE sequence to the oracle: z/(3·sqrt(k)), never a
+    # pre-divided z/3 literal (different rounding in the last ulp)
+    fl = 1 - 1.0 / (9 * F.col("k")) - F.lit(1.959964) / (3 * F.sqrt(kd))
+    fu = (
+        1
+        - 1.0 / (9 * (F.col("k") + 1))
+        + F.lit(1.959964) / (3 * F.sqrt(kd + 1))
+    )
+    return (
+        g.crossJoin(b)
+        .filter(F.col("k") > 0)
+        .select(
+            "event_type",
+            F.col("k").alias("n_events"),
+            "n_days",
+            F.round(kd / F.col("n_days"), 6).alias("rate_per_day"),
+            F.round(kd * fl * fl * fl / F.col("n_days"), 6).alias(
+                "ci_lo"
+            ),
+            F.round(
+                (kd + 1) * fu * fu * fu / F.col("n_days"), 6
+            ).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )

@@ -866,6 +866,22 @@ def test_bootstrap_diff_structure(spark, sf_dir):
     assert r1["ci_lo"] <= r1["diff_obs"] <= r1["ci_hi"]
 
 
+def test_rate_ci_planted_brackets_rate(spark, tmp_path):
+    """k=100 events over 10 days: rate 10/day; Byar CI must bracket it
+    and sit near the exact Poisson interval (~[8.14, 12.17]/day)."""
+    rows = []
+    i = 0
+    for day in range(1, 11):
+        for _ in range(10):
+            rows.append((i, f"2024-01-{day:02d} 12:00:00", i, "view", 1.0))
+            i += 1
+    _write_events(spark, tmp_path, rows)
+    r = registry.get("q_ts_rate_ci").fn(spark, str(tmp_path)).collect()[0]
+    assert (r["n_events"], r["n_days"], r["rate_per_day"]) == (100, 10, 10.0)
+    assert r["ci_lo"] < 10.0 < r["ci_hi"]
+    assert abs(r["ci_lo"] - 8.136) < 0.05 and abs(r["ci_hi"] - 12.17) < 0.05
+
+
 def test_streaming_cdc_kill_mid_batch_keeps_prior_state(spark, tmp_path):
     """Kill-mid-batch for the STREAMING CDC state store: after a crash
     that leaves a half-written (uncommitted) generation in the state

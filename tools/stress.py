@@ -256,6 +256,7 @@ QUERIES = [
     "q_ml_threshold",
     "q_events_overlap",
     "q_agg_bootstrap_diff",
+    "q_ts_rate_ci",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
