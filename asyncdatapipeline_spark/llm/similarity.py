@@ -1437,8 +1437,11 @@ def q_sim_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(
                     F.col("n_overlap").cast("double") / _TOP_K, 6
                 ).alias("recall_at_k"),
-                F.round(
-                    F.col("n_scanned").cast("double") / F.col("nc"), 6
+                F.when(
+                    F.col("nc") > 0,
+                    F.round(
+                        F.col("n_scanned").cast("double") / F.col("nc"), 6
+                    ),
                 ).alias("scan_frac"),
             )
         )

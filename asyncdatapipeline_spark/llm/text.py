@@ -2133,7 +2133,10 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_h").cast("long").alias("n_total"),
         )
     )
-    ney = F.col("w_ney").cast("double") / F.col("tot_ney")
+    # all-zero stratum spreads (single rows / constants) collapse the
+    # Neyman normalizer — shares/ratio undefined, never an ANSI crash
+    ok_ney = F.col("tot_ney") > 0
+    ney = F.when(ok_ney, F.col("w_ney").cast("double") / F.col("tot_ney"))
     ntot = F.col("n_total").cast("double")
     return (
         w.crossJoin(t)
@@ -2146,11 +2149,14 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "prop_share"
             ),
             F.round(F.lit(_NEYMAN_BUDGET) * ney, 4).alias("n_neyman"),
-            F.round(
-                (F.col("tot_ney") / ntot)
-                * (F.col("tot_ney") / ntot)
-                / (F.col("tot_var") / ntot),
-                6,
+            F.when(
+                F.col("tot_var") > 0,
+                F.round(
+                    (F.col("tot_ney") / ntot)
+                    * (F.col("tot_ney") / ntot)
+                    / (F.col("tot_var") / ntot),
+                    6,
+                ),
             ).alias("variance_ratio"),
         )
         .orderBy("stratum")

@@ -448,15 +448,25 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"), F.col("sx"), F.col("sxx"),
         F.col("sy"), F.col("syy"), F.col("sxy"),
     )
+    # degenerate guards (single-row groups are routine at 100 TB): the
+    # n−1 divisors and zero-variance corr denominators emit NULL, never
+    # an ANSI DIVIDE_BY_ZERO (the round-8 single-row sweep's class)
     return agg.select(
         "l_returnflag",
         "n",
-        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_qty"),
-        F.round((sxy - sx * sy / n) / (n - 1), 4).alias("covar_qty_price"),
-        F.round(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
+        F.when(
+            n > 1, F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6)
+        ).alias("stddev_qty"),
+        F.when(
+            n > 1, F.round((sxy - sx * sy / n) / (n - 1), 4)
+        ).alias("covar_qty_price"),
+        F.when(
+            (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0),
+            F.round(
+                (n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+                6,
+            ),
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
 
@@ -1294,11 +1304,17 @@ def q_agg_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 6 * mean * mean * (F.col("sxx") / n)
         - 3 * mean * mean * mean * mean
     )
+    # zero-variance groups have no shape moments — NULL, no crash
+    okm2 = m2 > 0
     return s.select(
         "l_returnflag",
         "n",
-        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
-        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+        F.when(okm2, F.round(m3 / F.pow(m2, F.lit(1.5)), 6)).alias(
+            "skewness"
+        ),
+        F.when(okm2, F.round(m4 / (m2 * m2) - 3, 6)).alias(
+            "excess_kurtosis"
+        ),
     ).orderBy("l_returnflag")
 
 
@@ -1839,6 +1855,8 @@ def q_agg_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("w") * F.col("price")).cast("double").alias("swx"),
             F.sum("w").alias("sw"),
         )
+        .filter(F.col("sw") > 0)  # a replicate can draw all-zero
+        # weights on tiny groups — it contributes no mean, not a crash
         .select(
             "o_orderpriority",
             "b",
@@ -1868,12 +1886,16 @@ def q_agg_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_lo",
             "ci_hi",
             "n_replicates",
-            F.round(
-                F.sqrt(
-                    (s2.cast("double") - s1.cast("double") * s1 / n) / (n - 1)
-                )
-                / 1_000.0,
-                6,
+            F.when(
+                n > 1,
+                F.round(
+                    F.sqrt(
+                        (s2.cast("double") - s1.cast("double") * s1 / n)
+                        / (n - 1)
+                    )
+                    / 1_000.0,
+                    6,
+                ),
             ).alias("boot_se"),
         )
         .orderBy("o_orderpriority")
@@ -2130,14 +2152,18 @@ def q_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tot, k = F.col("n_tot").cast("double"), F.col("k").cast("double")
     ssb = F.col("sgm") - F.col("sx_tot") * F.col("sx_tot") / n_tot
     ssw = F.col("sxx_tot") - F.col("sgm")
+    # degenerate guards: k=1 group or n=k (one row per group) zeroes a
+    # df; ssw=0 (perfect separation) zeroes the denominator — NULL F,
+    # never an ANSI division crash (round-8 single-row sweep)
+    ok = (k > 1) & (n_tot > k) & (ssw > 0)
     f = (ssb / (k - 1)) / (ssw / (n_tot - F.col("k")))
     return t.select(
         "n_tot",
         "k",
         F.round(ssb, 6).alias("ss_between"),
         F.round(ssw, 6).alias("ss_within"),
-        F.round(f, 6).alias("f_stat"),
-        (f > 3.32).alias("significant"),
+        F.when(ok, F.round(f, 6)).alias("f_stat"),
+        F.when(ok, f > 3.32).otherwise(F.lit(False)).alias("significant"),
     )
 
 
@@ -2250,11 +2276,14 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("syy").cast("double"),
         F.col("sxy").cast("double"),
     )
+    # all-tied axes (single row / constant column) zero a rank
+    # variance — rho undefined, never an ANSI crash
+    okr = (n * sxx - sx * sx > 0) & (n * syy - sy * sy > 0)
     rho = (n * sxy - sx * sy) / (
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
     return s.select(
-        F.col("n"), F.round(rho, 6).alias("spearman_rho")
+        F.col("n"), F.when(okr, F.round(rho, 6)).alias("spearman_rho")
     )
 
 
@@ -2728,17 +2757,21 @@ def q_agg_spearman_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("fx") * F.col("fy")).alias("sxy"),
     )
     n = F.col("n")
+    okr = (n * F.col("sxx") - F.col("sx") * F.col("sx") > 0) & (
+        n * F.col("syy") - F.col("sy") * F.col("sy") > 0
+    )
     rho_kll = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
         * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
-    est = s.select(rho_kll.alias("rho_kll"))
+    est = s.select(F.when(okr, rho_kll).alias("rho_kll"))
     exact = q_agg_spearman(spark, sf_dir)
     return exact.crossJoin(F.broadcast(est)).select(
         "n",
         F.col("spearman_rho").alias("rho_exact"),
-        (
-            F.abs(F.col("rho_kll") - F.col("spearman_rho")) <= 0.05
+        F.coalesce(
+            F.abs(F.col("rho_kll") - F.col("spearman_rho")) <= 0.05,
+            F.col("rho_kll").isNull() & F.col("spearman_rho").isNull(),
         ).alias("kll_within_band"),
     )
 
@@ -2974,6 +3007,9 @@ def q_agg_cramers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("r").alias("r"),
         F.first("cc").alias("cc"),
     )
+    # a 1×c or r×1 table has min(r,c)−1 = 0 — V is undefined, not a
+    # division crash (round-8 single-row sweep)
+    okv = F.least("r", "cc") > 1
     v = F.sqrt(
         F.col("chi2")
         / (F.col("nn") * (F.least("r", "cc") - 1))
@@ -2983,8 +3019,8 @@ def q_agg_cramers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("n_rows"),
         F.col("cc").alias("n_cols"),
         F.round("chi2", 6).alias("chi2"),
-        F.round(v, 6).alias("cramers_v"),
-        (v < 0.1).alias("negligible_assoc"),
+        F.when(okv, F.round(v, 6)).alias("cramers_v"),
+        F.when(okv, v < 0.1).alias("negligible_assoc"),
     )
 
 
@@ -3065,13 +3101,18 @@ def q_agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 3 * mean * mean * mean * mean
     ) / (m2 * m2) - 3
     jb = n / 6 * (sk * sk + ek * ek / 4)
+    # zero-variance groups (single row / constant column) have no
+    # defined moments — NULL, never a division crash
+    okm = m2 > 0
     return s.select(
         "l_returnflag",
         "n",
-        F.round(sk, 6).alias("skewness"),
-        F.round(ek, 6).alias("excess_kurtosis"),
-        F.round(jb, 6).alias("jb"),
-        (jb > 5.991).alias("reject_normality"),
+        F.when(okm, F.round(sk, 6)).alias("skewness"),
+        F.when(okm, F.round(ek, 6)).alias("excess_kurtosis"),
+        F.when(okm, F.round(jb, 6)).alias("jb"),
+        F.when(okm, jb > 5.991).otherwise(F.lit(False)).alias(
+            "reject_normality"
+        ),
     ).orderBy("l_returnflag")
 
 
@@ -3257,11 +3298,15 @@ def q_agg_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = pairs.crossJoin(marg).crossJoin(marg2)
     nn = F.col("nn").cast("double")
     n0 = nn * (nn - 1.0) / 2
+    # all-tied axes (single row / constant column) zero a marginal
+    # term — tau-b undefined, never an ANSI crash
+    okt = (n0 - F.col("n1") > 0) & (n0 - F.col("n2") > 0)
     tau = (F.col("conc") - F.col("disc")) / F.sqrt(
         (n0 - F.col("n1")) * (n0 - F.col("n2"))
     )
     return s.select(
-        F.col("nn").alias("n"), F.round(tau, 6).alias("kendall_tau_b")
+        F.col("nn").alias("n"),
+        F.when(okt, F.round(tau, 6)).alias("kendall_tau_b"),
     )
 
 
@@ -3422,11 +3467,20 @@ FROM levene_events GROUP BY event_type
         (F.col("sum_gsq") - F.col("tot_sz") * F.col("tot_sz") / n)
         / (k - 1)
     ) / ((F.col("tot_szz") - F.col("sum_gsq")) / (n - k))
+    # degenerate designs (one group, one row per group, zero within-
+    # group spread) have no F statistic — NULL, never a division crash
+    okw = (
+        (k > 1)
+        & (n > k)
+        & (F.col("tot_szz") - F.col("sum_gsq") > 0)
+    )
     return t.select(
         "n",
         "k",
-        F.round(w, 6).alias("levene_w"),
-        (w > 2.372).alias("unequal_spread"),
+        F.when(okw, F.round(w, 6)).alias("levene_w"),
+        F.when(okw, w > 2.372).otherwise(F.lit(False)).alias(
+            "unequal_spread"
+        ),
     )
 
 

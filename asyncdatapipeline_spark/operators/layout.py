@@ -46,6 +46,16 @@ _N_SALTS = 8
 _LAYOUT_DIR = Path(__file__).resolve().parents[2] / ".spark-warehouse"
 
 
+def _corpus_tag(sf_dir: str) -> str:
+    """Catalog-safe per-corpus tag: derived from the sf suffix when the
+    dir follows the fixture convention, else a sanitized form of the
+    whole path (temp dirs in tests carry slashes a table name can't)."""
+    import re as _re
+
+    raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    return _re.sub(r"[^0-9a-zA-Z_]", "_", raw).strip("_") or "corpus"
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -109,7 +119,7 @@ def register_existing_bucketed(spark: SparkSession, table: str) -> bool:
 
 def bucketed_tables_ready(spark: SparkSession, sf_dir: str) -> bool:
     """True if the bucketed twin tables for ``sf_dir`` already exist."""
-    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    tag = _corpus_tag(sf_dir)
     return spark.catalog.tableExists(
         f"orders_b_{tag}"
     ) and spark.catalog.tableExists(f"customer_b_{tag}")
@@ -125,7 +135,7 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     Unmarked/stale locations are cleared and rewritten (saveAsTable
     refuses to reuse an unregistered location).
     """
-    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    tag = _corpus_tag(sf_dir)
     ot, ct = f"orders_b_{tag}", f"customer_b_{tag}"
     for tbl, src, keys in (
         (ot, "orders", ["o_custkey"]),
@@ -188,7 +198,7 @@ def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     event date so any time-bounded query prunes to the touched days
     before a single row is read. Returns the dataset path.
     """
-    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    tag = _corpus_tag(sf_dir)
     out = _LAYOUT_DIR / f"events_by_day_{tag}"
     if not (out / "_SUCCESS").exists():
         e = load_table(spark, sf_dir, "events").withColumn(
@@ -496,7 +506,7 @@ def ensure_daily_rollup(spark: SparkSession, sf_dir: str) -> str:
     """
     from asyncdatapipeline_spark.operators._util import DEC
 
-    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    tag = _corpus_tag(sf_dir)
     out = _LAYOUT_DIR / f"events_rollup_1d_{tag}"
     if not (out / "_SUCCESS").exists():
         (

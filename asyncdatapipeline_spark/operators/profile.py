@@ -521,12 +521,17 @@ def q_profile_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.*")
     nD = F.col("n").cast("double")
+    # zero-variance columns (single row / constants) have no defined
+    # correlation — NULL, never an ANSI crash
+    okc = (nD * F.col("sxx") - F.col("sx") * F.col("sx") > 0) & (
+        nD * F.col("syy") - F.col("sy") * F.col("sy") > 0
+    )
     corr = (nD * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
         (nD * F.col("sxx") - F.col("sx") * F.col("sx"))
         * (nD * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return pairs.select(
-        "col_a", "col_b", "n", F.round(corr, 6).alias("corr")
+        "col_a", "col_b", "n", F.when(okc, F.round(corr, 6)).alias("corr")
     ).orderBy("col_a", "col_b")
 
 

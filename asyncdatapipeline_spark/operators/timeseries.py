@@ -1361,10 +1361,16 @@ s AS (
   FROM pairs GROUP BY lag
 )
 SELECT CAST(lag AS INTEGER) AS lag, n,
-       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
-             6) AS xcorr
+       -- zero-variance lags (single-day series) have no correlation:
+       -- NULL, never an ANSI division crash
+       CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+             AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+            THEN round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / sqrt((CAST(n AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)
+                              * (CAST(n AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy)),
+                       6) END AS xcorr
 FROM s ORDER BY lag
 """
     )
@@ -1961,7 +1967,13 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.col("n")
     )
-    stat = F.round(F.col("abs_cusum") / sd, 6)
+    # constant/single-day series have sd = 0 — no normalized statistic,
+    # never an ANSI crash
+    oksd = (
+        F.col("n").cast("double") * F.col("sumsq")
+        - F.col("total").cast("double") * F.col("total")
+    ) > 0
+    stat = F.when(oksd, F.round(F.col("abs_cusum") / sd, 6))
     return (
         cs.withColumn("rk", rk)
         .filter(F.col("rk") == 1)
@@ -1971,7 +1983,9 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("day", "yyyy-MM-dd").alias("peak_day"),
             F.col("abs_cusum").alias("max_abs_cusum"),
             stat.alias("cusum_stat"),
-            (stat > 1.36).alias("changepoint"),
+            F.when(oksd, stat > 1.36)
+            .otherwise(F.lit(False))
+            .alias("changepoint"),
         )
         .orderBy("event_type")
     )
@@ -3006,13 +3020,15 @@ def q_events_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
     ca, cb = F.col("ca").cast("double"), F.col("cb").cast("double")
     chi2 = (na - nb) * (na - nb) / (na + nb)
-    pa, pb = ca / na, cb / nb
+    # an empty arm (tiny feeds) has no rate — NULL, never an ANSI crash
+    pa = F.when(na > 0, ca / na)
+    pb = F.when(nb > 0, cb / nb)
     pp = (ca + cb) / (na + nb)
     degenerate = (F.col("ca") + F.col("cb") == 0) | (
         F.col("ca") + F.col("cb") == F.col("na") + F.col("nb")
     )
     z = F.when(
-        ~degenerate,
+        ~degenerate & (na > 0) & (nb > 0),
         (pa - pb)
         / F.sqrt(pp * (1 - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb)),
     )
@@ -4694,12 +4710,17 @@ def q_events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
     sa, sb = F.col("sa"), F.col("sb")
     saa, sbb = F.col("saa"), F.col("sbb")
-    az = F.abs(
-        (sa / na - sb / nb)
-        / F.sqrt(
-            (saa / na - (sa / na) * (sa / na)) / na
-            + (sbb / nb - (sb / nb) * (sb / nb)) / nb
-        )
+    # degenerate types (an empty arm, zero pooled variance) carry no
+    # z/p — NULL rows rank first and never pass the BH cut; no ANSI
+    # crash on single-row feeds
+    _se2 = (saa / na - (sa / na) * (sa / na)) / na + (
+        sbb / nb - (sb / nb) * (sb / nb)
+    ) / nb
+    az = F.when(
+        (na > 0) & (nb > 0),
+        F.when(
+            _se2 > 0, F.abs((sa / na - sb / nb) / F.sqrt(_se2))
+        ),
     )
     t = F.lit(1.0) / (F.lit(1.0) + 0.2316419 * az)
     pv = (
@@ -4957,14 +4978,19 @@ def q_events_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_req = root * root / (delta * delta)
     mde_abs = (za + zb) * F.sqrt(2 * p1 * (1 - p1) / n_arm)
+    # degenerate feeds (no users, zero/unit conversion → delta = 0)
+    # have no power design — NULLs, never an ANSI crash
+    okp = (F.col("n_users") > 0) & (p1 > 0) & (delta != 0)
     return s.select(
         "n_users",
         "n_conv",
-        F.round(p1, 6).alias("conv_rate"),
-        F.round(n_req, 2).alias("n_req_per_arm"),
-        F.round(mde_abs, 6).alias("mde_abs"),
-        F.round(mde_abs / p1, 6).alias("mde_rel"),
-        (mde_abs / p1 <= 0.05).alias("powered_for_5pct"),
+        F.when(F.col("n_users") > 0, F.round(p1, 6)).alias("conv_rate"),
+        F.when(okp, F.round(n_req, 2)).alias("n_req_per_arm"),
+        F.when(okp, F.round(mde_abs, 6)).alias("mde_abs"),
+        F.when(okp, F.round(mde_abs / p1, 6)).alias("mde_rel"),
+        F.when(okp, mde_abs / p1 <= 0.05)
+        .otherwise(F.lit(False))
+        .alias("powered_for_5pct"),
     )
 
 

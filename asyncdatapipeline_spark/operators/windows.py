@@ -1330,6 +1330,10 @@ def q_orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc"),
         F.when(F.col("sq") == 0, "Z")
+        # a single observed week has no measurable variability — the
+        # erratic class is the honest verdict, and it short-circuits
+        # the (n_weeks − 1) divisor before ANSI can object
+        .when(F.col("n_weeks") <= 1, "Z")
         .when(cv < 0.5, "X")
         .when(cv < 1.0, "Y")
         .otherwise("Z")
