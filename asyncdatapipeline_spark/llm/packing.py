@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from asyncdatapipeline_spark.operators._util import bounded_part
 from asyncdatapipeline_spark.registry import query
 from asyncdatapipeline_spark.sources.tables import load_table
 
@@ -117,7 +118,10 @@ def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
         F.sum(F.length("text")).alias("n_chars"),
     )
-    total = F.sum("n_tokens").over(W.partitionBy())
+    # (lang, source)-bounded frame: fold-proof constant partition
+    total = F.sum("n_tokens").over(
+        W.partitionBy(bounded_part(F.col("n_tokens")))
+    )
     return per.select(
         "lang",
         "source",

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from asyncdatapipeline_spark.operators._util import bounded_part
 from asyncdatapipeline_spark.registry import query
 from asyncdatapipeline_spark.sources.tables import load_table
 
@@ -1044,6 +1045,7 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling-noise tail that would otherwise dominate the fit.
     """
     from asyncdatapipeline_spark.operators._util import (
+        bounded_part,
         dist_cumsum,
         exact_window_ok,
     )
@@ -1060,7 +1062,7 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import Window
 
         rank = F.row_number().over(
-            Window.partitionBy(F.col("n_occ") * 0).orderBy(
+            Window.partitionBy(bounded_part(F.col("n_occ"))).orderBy(
                 F.col("n_occ").desc(), "word"
             )
         )
@@ -1789,15 +1791,23 @@ def q_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds ranked AND rel_total: the
         # corpus scan + per-term tf extraction must run once, not per branch
     )
+    # Top-k FIRST via TakeOrderedAndProject (distributed per-task
+    # k-heaps), THEN rank the k-row frame on the fold-proof constant
+    # partition — the q_eval_ndcg shape. The previous unpartitioned
+    # row_number ranked the whole scored corpus on one partition
+    # before the k-filter (r9 window scan).
     ranked = (
         scored.filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
         .withColumn(
             "rnk",
             F.row_number().over(
-                W.orderBy(F.col("bm25").desc(), "doc_id")
+                W.partitionBy(bounded_part(F.col("bm25"))).orderBy(
+                    F.col("bm25").desc(), "doc_id"
+                )
             ),
         )
-        .filter(F.col("rnk") <= _BM25_TOPK)
     )
     rel_total = F.broadcast(
         scored.agg(
@@ -2400,7 +2410,7 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grade",
             F.row_number()
             .over(
-                W.partitionBy(F.col("score") * 0).orderBy(
+                W.partitionBy(bounded_part(F.col("score"))).orderBy(
                     F.col("score").desc(), "doc_id"
                 )
             )

@@ -73,20 +73,68 @@ def exact_window_ok(df: DataFrame) -> bool:
     the derived entity frame on one partition is safe.
 
     The count is taken on the base parquet scan, where Spark answers
-    ``count(*)`` from row-group metadata (no data read) — a ~free gate
-    at any scale, unlike counting the aggregated frame (a full extra
-    pass). Since |entities| ≤ |base rows|, gating on the base count can
-    only over-trigger — and over-triggering is harmless because the
-    scale path computes the SAME exact result with a distributed plan.
+    ``count(*)`` as a metadata-cheap count job (row-group counts, no
+    column data decoded — still an eager job fired at construction
+    time, but O(#row groups), not O(bytes)). Since |entities| ≤ |base
+    rows|, gating on the base count can only over-trigger — and
+    over-triggering is harmless because the scale path computes the
+    SAME exact result with a distributed plan.
     ``SPARK_GRAFT_EXACT_WINDOW_MAX=0`` forces the scale path (tests /
-    ops teams that never want the cliff).
+    ops teams that never want the cliff). A malformed / empty env
+    value falls back to the default rather than raising (ADVICE r8).
     """
-    cap = int(
-        os.environ.get(_EXACT_WINDOW_MAX_ENV, _EXACT_WINDOW_MAX_DEFAULT)
-    )
+    try:
+        cap = int(
+            os.environ.get(_EXACT_WINDOW_MAX_ENV, _EXACT_WINDOW_MAX_DEFAULT)
+        )
+    except (TypeError, ValueError):
+        cap = _EXACT_WINDOW_MAX_DEFAULT
     if cap <= 0:
         return False
     return df.count() <= cap
+
+
+def bounded_part(col: Column) -> Column:
+    """Fold-proof constant partition key for a window over a BOUNDED
+    frame (|days|-, dimension-, bucket-count-sized — never data-sized).
+
+    Windows over bounded spines legitimately run on one partition, but
+    an EMPTY partition spec both trips Spark's ``WindowExec: No
+    Partition Defined`` warning and is indistinguishable in the plan
+    from a genuine data-sized single-partition sort — so the house
+    rule is: every window carries a partition key, and bounded frames
+    carry a *constant* one. The naive constant ``col * 0`` is
+    constant-folded to a literal when ``col`` is non-nullable (e.g. a
+    ``count(*)``), silently emptying the spec (r8 verdict,
+    q_ts_runs_test). This form —
+
+        CASE WHEN col >= 0 THEN 0 WHEN col < 0 THEN 0
+             WHEN col IS NULL THEN 0 END
+
+    — evaluates to 0 for EVERY input (non-negative, negative, NULL) so
+    all rows share one partition, yet no Catalyst rule can fold it:
+    the optimizer tracks no value ranges, and the complementary
+    comparisons sit in separate CASE branches where
+    BooleanSimplification's ``a>=b OR a<b → true`` rewrite cannot see
+    them (verified against the resident Spark build; the plan audit's
+    registry-wide window scan is the standing regression gate).
+    """
+    return (
+        F.when(col >= 0, F.lit(0))
+        .when(col < 0, F.lit(0))
+        .when(col.isNull(), F.lit(0))
+    )
+
+
+def bounded_part_sql(expr: str) -> str:
+    """SQL-text twin of :func:`bounded_part` for Spark-side
+    ``spark.sql(...)`` operators: ``PARTITION BY 1`` (a foldable
+    literal) executes exactly like no partition at all — this CASE is
+    the fold-proof constant in SQL form."""
+    return (
+        f"CASE WHEN {expr} >= 0 THEN 0 WHEN {expr} < 0 THEN 0 "
+        f"WHEN {expr} IS NULL THEN 0 END"
+    )
 
 
 def spark_ntile(rank: Column, n: Column, buckets: int) -> Column:
@@ -194,9 +242,14 @@ def dist_cumsum(
     per = d.groupBy(*part_cols, "_pid").agg(
         *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
     )
+    # Group equality is NULL-SAFE: a NULL partition-key value is a real
+    # group (groupBy already banks it as one); plain `=` would never
+    # match it in either join below and its rows would silently vanish
+    # from the output (ADVICE r8 — silent row loss in the central
+    # shared device is worse than a crash).
     join_cond = F.col("b._pid") < F.col("a._pid")
     for g in part_cols:
-        join_cond = join_cond & (F.col(f"b.{g}") == F.col(f"a.{g}"))
+        join_cond = join_cond & F.col(f"b.{g}").eqNullSafe(F.col(f"a.{g}"))
     offs = (
         per.alias("a")
         .join(F.broadcast(per.alias("b")), join_cond, "left")
@@ -211,7 +264,17 @@ def dist_cumsum(
             ]
         )
     )
-    d = d.join(F.broadcast(offs), [*part_cols, "_pid"])
+    if part_cols:
+        back = F.col("d._pid") == F.col("o._pid")
+        for g in part_cols:
+            back = back & F.col(f"d.{g}").eqNullSafe(F.col(f"o.{g}"))
+        d = (
+            d.alias("d")
+            .join(F.broadcast(offs.alias("o")), back)
+            .select("d.*", *[F.col(f"o._o_{c}") for c in sum_cols])
+        )
+    else:
+        d = d.join(F.broadcast(offs), ["_pid"])
     order_exprs = [
         F.col(order_col).desc() if descending else F.col(order_col)
     ] + tiebreak

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions 
 
 from asyncdatapipeline_spark.operators._util import (
     DEC,
+    bounded_part,
     davg,
     dist_cumsum,
     dsum,
@@ -2057,9 +2058,13 @@ def q_agg_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
 SELECT week, weekly_users,
        hll_sketch_estimate(
-         hll_union_agg(sk) OVER (ORDER BY week
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND CURRENT ROW)) AS reach_est
+         hll_union_agg(sk) OVER (
+           PARTITION BY CASE WHEN weekly_users >= 0 THEN 0
+                             WHEN weekly_users < 0 THEN 0
+                             WHEN weekly_users IS NULL THEN 0 END
+           ORDER BY week
+           ROWS BETWEEN UNBOUNDED PRECEDING
+           AND CURRENT ROW)) AS reach_est
 FROM reach_sketches
 """
     )
@@ -4202,7 +4207,9 @@ def q_agg_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = top.withColumn(
         "rk",
         F.row_number().over(
-            W.partitionBy(F.col("x") * 0).orderBy(F.col("x").desc(), "o_orderkey")
+            W.partitionBy(bounded_part(F.col("x"))).orderBy(
+                F.col("x").desc(), "o_orderkey"
+            )
         ),
     )
     thr = F.broadcast(
@@ -4982,13 +4989,13 @@ def q_agg_bootstrap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             s0.cast("double") / w0 - s1.cast("double") / w1,
         ).alias("diff")
     ).filter(F.col("diff").isNotNull())
-    wr = W.partitionBy(F.col("b") * 0).orderBy("diff", "b")
+    wr = W.partitionBy(bounded_part(F.col("b"))).orderBy("diff", "b")
     r = d.select(
         "diff",
         F.row_number().over(wr).alias("rk"),
         F.count(F.lit(1))
         .over(
-            W.partitionBy(F.col("b") * 0)
+            W.partitionBy(bounded_part(F.col("b")))
             .orderBy("diff", "b")
             .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
         )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..registry import query
 from ..sources.tables import load_table
-from ._util import dist_cumsum
+from ._util import bounded_part, dist_cumsum
 
 _SCORED = """
 SELECT value AS score,
@@ -604,7 +604,7 @@ def q_ml_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.withColumn(
             "r",
             F.row_number().over(
-                W.partitionBy(F.col("cum_n") * 0).orderBy(
+                W.partitionBy(bounded_part(F.col("cum_n"))).orderBy(
                     F.col("f1").desc(), "score"
                 )
             ),

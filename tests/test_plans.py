@@ -20,6 +20,27 @@ def test_all_plan_checks_hold(spark, sf_dir):
     assert not failures, f"plan checks failed: {failures}"
 
 
+def test_no_unpartitioned_windows_registry_wide(spark, sf_dir):
+    """r8 verdict #1: a registry-wide assertion that NO query plans a
+    Window/WindowGroupLimit with an empty or all-foldable partition
+    spec (single-partition execution + `WindowExec: No Partition
+    Defined`). Round 7 claimed this class closed, but the check was
+    per-query regexes — q_ts_runs_test's `c * 0` keys constant-folded
+    (non-nullable count) and the audit couldn't see it. This walks the
+    OPTIMIZED logical plan (post-folding) of every registered query;
+    bounded-frame windows must ride the fold-proof `bounded_part` key,
+    and any deliberate exception must be in WINDOW_SCAN_ALLOWLIST with
+    a reason."""
+    from asyncdatapipeline_spark.plans.audit import (
+        WINDOW_SCAN_ALLOWLIST,
+        scan_registry_windows,
+    )
+
+    offenders = scan_registry_windows(spark, sf_dir)
+    bad = {k: v for k, v in offenders.items() if k not in WINDOW_SCAN_ALLOWLIST}
+    assert not bad, f"unpartitioned windows outside allowlist: {bad}"
+
+
 def test_sql_pipe_plans_identically_to_ansi(spark, sf_dir):
     """q_sql_pipe's claim: pipe syntax is pure parse-time sugar — the
     optimized plan must contain the same operator sequence as the ANSI

