@@ -232,6 +232,19 @@ def main() -> None:
         "sf": sf_val,
         "pipeline_ops_per_sec": pipeline_ops,
     }
+    # Gate/config knobs that change plan shapes (r8 verdict #4:
+    # q_rfm_migration's 1.51x was the knowingly-paid exact-window-gate
+    # cost — the artifact must record the config so round-over-round
+    # diffs can separate config-driven deltas from drift).
+    env_knobs = {
+        k: os.environ.get(k, "<default>")
+        for k in (
+            "SPARK_GRAFT_EXACT_WINDOW_MAX",
+            "SPARK_GRAFT_HASH",
+            "SPARK_GRAFT_CPUS",
+        )
+    }
+    detail["env"] = env_knobs
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
 
     slowest5 = dict(
@@ -248,6 +261,7 @@ def main() -> None:
                 "value_cold": detail["value_cold"],
                 "sf": sf_val,
                 "pipeline_ops_per_sec": pipeline_ops,
+                "env": env_knobs,
                 "detail": detail_path.name,
             }
         )
