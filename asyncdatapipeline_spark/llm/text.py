@@ -3157,3 +3157,250 @@ def q_text_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o1",
         F.round(F.col("g2").cast("double"), 6).alias("g2"),
     ).orderBy("source", "rnk")
+
+
+@query(
+    "q_text_source_divergence",
+    # The ln-ratio args are ratios of exact BIGINT cross products
+    # (2*c1*n2 / (c1*n2 + c2*n1)); each ln rides the 9dp-round-then-
+    # DECIMAL contract and multiplies an integer count (the keyness
+    # discipline), so all sums are exact DECIMAL; absent-word mass
+    # folds into one closed-form ln2 term.
+    oracle="""
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+sc AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS c1
+  FROM w WHERE word != '' GROUP BY 1, 2
+),
+wt AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS tw
+  FROM w WHERE word != '' GROUP BY 1
+),
+st AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n1
+  FROM w WHERE word != '' GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w WHERE word != ''),
+g AS (
+  SELECT sc.source, sc.c1, wt.tw - sc.c1 AS c2,
+         sc.c1 * (tot.n - st.n1) AS a, (wt.tw - sc.c1) * st.n1 AS b
+  FROM sc JOIN wt USING (word) JOIN st USING (source) CROSS JOIN tot
+),
+s AS (
+  SELECT source,
+         sum(CAST(c1 AS DECIMAL(18,0))
+             * CAST(round(ln(CASE WHEN a + b > 0
+                                  THEN 2.0 * a / (a + b) END), 9)
+                    AS DECIMAL(11,9)))
+           AS s1,
+         sum(CASE WHEN c2 > 0 AND a + b > 0
+                  THEN CAST(c2 AS DECIMAL(18,0))
+                       * CAST(round(ln(2.0 * b / (a + b)), 9)
+                              AS DECIMAL(11,9))
+                  ELSE 0 END) AS s2,
+         CAST(sum(c2) AS BIGINT) AS t2,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM g GROUP BY source
+),
+j AS (
+  SELECT s.source, st.n1, tot.n - st.n1 AS n2, s.vocab,
+         0.5 * CAST(s.s1 AS DOUBLE) / st.n1
+         + 0.5 * (CAST(s.s2 AS DOUBLE)
+                  + (tot.n - st.n1 - s.t2) * 0.693147181)
+               / (tot.n - st.n1) AS jsd
+  FROM s JOIN st USING (source) CROSS JOIN tot
+)
+SELECT source, n1 AS n_tokens, CAST(n2 AS BIGINT) AS n_rest_tokens, vocab,
+       CASE WHEN n2 > 0 THEN round(jsd, 6) END AS jsd_nats,
+       CASE WHEN n2 > 0 THEN round(jsd / 0.693147181, 6) END
+         AS jsd_normalized
+FROM j ORDER BY source
+""",
+)
+def q_text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram distribution
+    against the REST of the corpus — the distribution-level "is this
+    source different" readout a pretraining-mix owner checks before
+    q_mix_temperature reweights anything: JSD ≈ 0 means the source
+    adds volume, not diversity; JSD near ln 2 means a vocabulary of
+    its own (worth its own mix weight, or a contamination signal).
+    Symmetric and bounded (unlike raw KL, which explodes on any word
+    the reference side lacks); per-word detail is q_text_keyness's
+    job, this is the one-number-per-source summary.
+
+    Scale shape: one explode→(source, word) reduce (map-combinable,
+    the data-sized pass); the JSD folds over the per-source vocab
+    frame as exact integer-count × 9dp-DECIMAL-ln products (both
+    ln-ratio arguments are ratios of BIGINT cross products, so both
+    engines round the same doubles); mass from words ABSENT in the
+    source never materializes — it collapses algebraically into one
+    (n₂ − t₂)·ln 2 closed-form term. Output is |sources| rows.
+    Degenerate guard: a single-source corpus has no "rest" and emits
+    NULL divergences, not a division crash.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    sc = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    )
+    wt = w.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("tw"))
+    st = w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n1")
+    )
+    tot = F.broadcast(w.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    g = (
+        sc.join(wt, "word")
+        .join(F.broadcast(st), "source")
+        .crossJoin(tot)
+        .select(
+            "source",
+            "c1",
+            (F.col("tw") - F.col("c1")).alias("c2"),
+            (F.col("c1") * (F.col("n") - F.col("n1"))).alias("a"),
+            ((F.col("tw") - F.col("c1")) * F.col("n1")).alias("b"),
+        )
+    )
+    # a + b = 0 exactly when the corpus has a single source (n2 = 0,
+    # c2 = 0) — the whole JSD is NULL-guarded downstream, but ANSI
+    # division must be guarded HERE too (single-source corpora are the
+    # single-row-gate case, not a hypothetical).
+    ab = F.col("a") + F.col("b")
+    ln1 = F.round(
+        F.log(F.when(ab > 0, 2.0 * F.col("a") / ab)), 9
+    ).cast("decimal(11,9)")
+    ln2t = F.round(
+        F.log(F.when(ab > 0, 2.0 * F.col("b") / ab)), 9
+    ).cast("decimal(11,9)")
+    s = g.groupBy("source").agg(
+        F.sum(F.col("c1").cast("decimal(18,0)") * ln1).alias("s1"),
+        F.sum(
+            F.when(
+                F.col("c2") > 0,
+                F.col("c2").cast("decimal(18,0)") * ln2t,
+            ).otherwise(F.lit(0).cast("decimal(30,9)"))
+        ).alias("s2"),
+        F.sum("c2").cast("long").alias("t2"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    ln2 = 0.693147181
+    n2 = F.col("n") - F.col("n1")
+    jsd = 0.5 * F.col("s1").cast("double") / F.col("n1") + 0.5 * (
+        F.col("s2").cast("double") + (n2 - F.col("t2")) * ln2
+    ) / n2
+    return (
+        s.join(st, "source")
+        .crossJoin(tot)
+        .select(
+            "source",
+            F.col("n1").alias("n_tokens"),
+            n2.cast("long").alias("n_rest_tokens"),
+            "vocab",
+            F.when(n2 > 0, F.round(jsd, 6)).alias("jsd_nats"),
+            F.when(n2 > 0, F.round(jsd / ln2, 6)).alias("jsd_normalized"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_text_char_entropy",
+    # Per-doc entropy = ln L − (Σ n_c·ln n_c)/L with integer char
+    # counts; every ln rides the 9dp-round-then-DECIMAL contract and
+    # multiplies an integer, so the per-doc value is one deterministic
+    # IEEE chain; per-source means re-armor the 9dp-rounded doc values.
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, source, unnest(string_split(text, '')) AS c
+  FROM documents
+),
+cc AS (
+  SELECT doc_id, source, c, CAST(count(*) AS BIGINT) AS n_c
+  FROM ch GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT doc_id, source,
+         CAST(sum(n_c) AS BIGINT) AS len,
+         sum(CAST(n_c AS DECIMAL(18,0))
+             * CAST(round(ln(n_c), 9) AS DECIMAL(11,9))) AS snl
+  FROM cc GROUP BY 1, 2
+),
+h AS (
+  SELECT doc_id, source, len,
+         CASE WHEN len > 0
+              THEN round(CAST(round(ln(len), 9) AS DOUBLE)
+                         - CAST(snl AS DOUBLE) / len, 9) END AS ent
+  FROM per
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(ent AS DECIMAL(18,9))) AS DOUBLE)
+             / count(ent), 6) AS avg_entropy,
+       round(min(ent), 6) AS min_entropy,
+       round(max(ent), 6) AS max_entropy,
+       CAST(count(*) FILTER (WHERE ent < 3.0) AS BIGINT)
+         AS n_low_entropy
+FROM h GROUP BY source ORDER BY source
+""",
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document, rolled up per
+    source (mean/min/max + a low-entropy count at 3.0 nats) — the
+    cheapest compressibility proxy in the quality-filter toolbox:
+    boilerplate, repeated padding, base64 blobs and single-character
+    spam all sit far from natural text's ~4.1-nat band, and unlike
+    q_text_repetition (n-gram level) this catches CHARACTER-level
+    degeneracy that token heuristics miss. The standard CCNet/Gopher-
+    style pre-filter signal, as an operator.
+
+    Scale shape: char explode → (doc, char) counts is the data-sized
+    pass, but each doc contributes at most |alphabet| rows out of the
+    first reduce (bounded fan-in per doc); per-doc entropy is the
+    identity H = ln L − (Σ n_c ln n_c)/L — integer counts times
+    9dp-DECIMAL lns (the keyness armor), one IEEE chain per doc,
+    9dp-quantized before the per-source mean so merge order can never
+    wobble the report. Output is |sources| rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id", "source", F.explode(F.split("text", "")).alias("c")
+    )
+    cc = ch.groupBy("doc_id", "source", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    per = cc.groupBy("doc_id", "source").agg(
+        F.sum("n_c").cast("long").alias("len"),
+        F.sum(
+            F.col("n_c").cast("decimal(18,0)")
+            * F.round(F.log("n_c"), 9).cast("decimal(11,9)")
+        ).alias("snl"),
+    )
+    ent = F.when(
+        F.col("len") > 0,
+        F.round(
+            F.round(F.log("len"), 9).cast("double")
+            - F.col("snl").cast("double") / F.col("len"),
+            9,
+        ),
+    )
+    h = per.select("source", ent.alias("ent"))
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("ent").cast("decimal(18,9)")).cast("double")
+                / F.count("ent"),
+                6,
+            ).alias("avg_entropy"),
+            F.round(F.min("ent"), 6).alias("min_entropy"),
+            F.round(F.max("ent"), 6).alias("max_entropy"),
+            F.sum((F.col("ent") < 3.0).cast("long"))
+            .cast("long")
+            .alias("n_low_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -622,3 +622,97 @@ def q_ml_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@query(
+    "q_eval_kappa",
+    # All four cell counts are exact integers; po/pe/kappa are one
+    # shared IEEE chain from those integers in both engines.
+    oracle="""
+WITH r AS (
+  SELECT length(text) >= 200 AS a,
+         len(string_split(text, ' ')) >= 40 AS b
+  FROM documents
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE a AND b) AS BIGINT) AS n11,
+         CAST(count(*) FILTER (WHERE NOT a AND NOT b) AS BIGINT) AS n00,
+         CAST(count(*) FILTER (WHERE a AND NOT b) AS BIGINT) AS n10,
+         CAST(count(*) FILTER (WHERE NOT a AND b) AS BIGINT) AS n01
+  FROM r
+),
+k AS (
+  SELECT n, n11, n00, n10, n01,
+         CAST(n11 + n00 AS DOUBLE) / n AS po,
+         (CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)
+         + (CAST(n00 + n01 AS DOUBLE) / n) * (CAST(n00 + n10 AS DOUBLE) / n)
+           AS pe
+  FROM c WHERE n > 0
+)
+SELECT n, n11 AS n_both_pos, n00 AS n_both_neg,
+       n10 AS n_a_only, n01 AS n_b_only,
+       round(po, 6) AS po, round(pe, 6) AS pe,
+       CASE WHEN pe < 1 THEN round((po - pe) / (1 - pe), 6) END AS kappa,
+       CASE WHEN pe >= 1 THEN 'undefined'
+            WHEN (po - pe) / (1 - pe) < 0.2 THEN 'slight_or_worse'
+            WHEN (po - pe) / (1 - pe) < 0.4 THEN 'fair'
+            WHEN (po - pe) / (1 - pe) < 0.6 THEN 'moderate'
+            WHEN (po - pe) / (1 - pe) < 0.8 THEN 'substantial'
+            ELSE 'almost_perfect' END AS agreement
+FROM k
+""",
+)
+def q_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document raters (rater
+    A: char length ≥ 200; rater B: whitespace token count ≥ 40) — the
+    chance-corrected agreement statistic every labeling/filter-rule
+    comparison should report instead of raw agreement: two rules that
+    both accept 95% of a corpus agree 90%+ BY CHANCE, and po alone
+    (q_eval_confusion's accuracy) rewards exactly that. In a curation
+    pipeline this is the "are these two quality heuristics measuring
+    the same thing" readout before one replaces the other.
+
+    Scale shape: ONE conditional-aggregate pass to the four confusion
+    cells (map-side combinable; the rater predicates are row-local
+    expressions, no Python); po/pe/kappa are a single IEEE chain on
+    one 1-row frame, identical in both engines. Degenerate guard: a
+    corpus where pe = 1 (both raters constant) yields NULL kappa and
+    'undefined', not a division crash — constant groups are routine
+    at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    a = F.length("text") >= 200
+    b = F.size(F.split(F.col("text"), " ")) >= 40
+    c = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((a & b).cast("long")).cast("long").alias("n11"),
+        F.sum((~a & ~b).cast("long")).cast("long").alias("n00"),
+        F.sum((a & ~b).cast("long")).cast("long").alias("n10"),
+        F.sum((~a & b).cast("long")).cast("long").alias("n01"),
+    ).filter(F.col("n") > 0)
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = ((F.col("n11") + F.col("n10")) / n) * (
+        (F.col("n11") + F.col("n01")) / n
+    ) + ((F.col("n00") + F.col("n01")) / n) * (
+        (F.col("n00") + F.col("n10")) / n
+    )
+    kappa = (po - pe) / (1 - pe)
+    return c.select(
+        F.col("n"),
+        F.col("n11").alias("n_both_pos"),
+        F.col("n00").alias("n_both_neg"),
+        F.col("n10").alias("n_a_only"),
+        F.col("n01").alias("n_b_only"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.when(pe < 1, F.round(kappa, 6)).alias("kappa"),
+        F.when(pe >= 1, F.lit("undefined"))
+        .when(kappa < 0.2, F.lit("slight_or_worse"))
+        .when(kappa < 0.4, F.lit("fair"))
+        .when(kappa < 0.6, F.lit("moderate"))
+        .when(kappa < 0.8, F.lit("substantial"))
+        .otherwise(F.lit("almost_perfect"))
+        .alias("agreement"),
+    )

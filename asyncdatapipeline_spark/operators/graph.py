@@ -1177,3 +1177,235 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_graph_clustering",
+    # All-integer until the final 2t/(d(d-1)) ratio — one IEEE division
+    # from identical integers in both engines; ordering uses the exact
+    # integer cross-product compare, never the float.
+    oracle=f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+sz AS (
+  SELECT l_orderkey FROM op GROUP BY l_orderkey
+  HAVING count(*) BETWEEN 2 AND {{basket_max}}
+),
+ok AS (
+  SELECT op.l_orderkey, op.l_partkey FROM op JOIN sz USING (l_orderkey)
+),
+e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM ok a JOIN ok b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pernode AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.degree,
+       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+       round(2.0 * COALESCE(p.n_triangles, 0)
+             / (d.degree * (d.degree - 1)), 6) AS clustering
+FROM deg d LEFT JOIN pernode p USING (node)
+WHERE d.degree >= 2
+ORDER BY 2.0 * COALESCE(p.n_triangles, 0) / (d.degree * (d.degree - 1))
+           DESC,
+         d.degree DESC, d.node
+LIMIT 20
+""".format(basket_max=_BASKET_MAX_ITEMS),
+)
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (2·tri(v) / deg(v)·(deg(v)−1)) on
+    the support-filtered co-purchase graph, top-20 — the node-level
+    "how clique-like is this part's neighborhood" readout that
+    completes the triangle family: q_graph_triangles counts raw
+    triangle membership (favors hubs), this NORMALIZES by the possible
+    wedges, so a part in one tight 3-bundle outranks a hub whose
+    neighbors never co-occur. The number behind "bundle vs hub"
+    merchandising calls and the local density term in community scores.
+
+    Scale shape: identical edge discipline to q_graph_triangles
+    (support ≥ 2 + basket cap bound the degree BEFORE any join — the
+    dense-blob trap documented there); triangle enumeration is the
+    same canonical a<b<c equi-join plan; degrees and per-node triangle
+    counts are two map-combinable reduces; the join of the two
+    node-sized frames is node-keyed; top-20 rides
+    TakeOrderedAndProject (per-task heaps, no global sort). The final
+    coefficient is ONE IEEE division of exact integers, computed
+    identically in both engines; display rounding only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sz = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
+        .select("l_orderkey")
+    )
+    ok = op.join(sz, "l_orderkey")
+    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("u", "v")
+        .localCheckpoint(eager=False)  # feeds degree + three join legs
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= 2)
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    pernode = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    coeff = 2.0 * t / (F.col("degree") * (F.col("degree") - 1))
+    return (
+        deg.join(pernode, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            t.alias("n_triangles"),
+            F.round(coeff, 6).alias("clustering"),
+            coeff.alias("_c"),
+        )
+        .orderBy(F.col("_c").desc(), F.col("degree").desc(), "node")
+        .limit(20)
+        .drop("_c")
+    )
+
+
+@query(
+    "q_graph_reciprocity",
+    # Transition weights are exact integers (the q_events_markov
+    # ordering convention: second-truncated ts, event_id tiebreak);
+    # both reciprocity ratios are single IEEE divisions of integers.
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY date_trunc('second', ts), event_id
+         ) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS a, next_type AS b, CAST(count(*) AS BIGINT) AS w
+  FROM ordered
+  WHERE next_type IS NOT NULL AND next_type != event_type
+  GROUP BY 1, 2
+),
+paired AS (
+  SELECT t.a, t.b, t.w, CAST(COALESCE(r.w, 0) AS BIGINT) AS w_rev
+  FROM trans t LEFT JOIN trans r ON r.a = t.b AND r.b = t.a
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(count(*) FILTER (WHERE w_rev > 0) AS BIGINT)
+           AS n_reciprocated,
+         CAST(sum(w) AS BIGINT) AS total_w,
+         CAST(sum(least(w, w_rev)) AS BIGINT) AS recip_w
+  FROM paired
+)
+SELECT n_edges, n_reciprocated, total_w, recip_w,
+       round(CAST(n_reciprocated AS DOUBLE) / n_edges, 6)
+         AS edge_reciprocity,
+       round(CAST(recip_w AS DOUBLE) / total_w, 6)
+         AS weighted_reciprocity
+FROM s WHERE n_edges > 0
+""",
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the event-type transition digraph (edges = per-
+    user consecutive transitions a→b, a≠b, q_events_markov's ordering
+    convention): the fraction of directed edges whose reverse exists
+    (edge form) and the fraction of transition MASS that is matched by
+    reverse mass, Σ min(w_ab, w_ba) / Σ w (weighted form). Together
+    they answer "is this flow a cycle or a funnel" — a checkout funnel
+    wants LOW reciprocity (view→cart→purchase, never back), a browse
+    loop shows high; the weighted form catches the case where back-
+    edges exist but carry no volume (edge form alone overstates).
+
+    Scale shape: one data-sized pass (per-user lead window — user-
+    keyed shuffle, the markov plan) reduces to the |types|²-bounded
+    transition frame; the reverse match is a self-join on the bounded
+    frame; one closed-form row out. Degenerate guard: an empty
+    transition set (single event per user everywhere) emits zero rows
+    rather than 0/0.
+    """
+    from asyncdatapipeline_spark.sources.tables import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.date_trunc("second", "ts"), "event_id"
+    )
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        ordered.filter(
+            F.col("next_type").isNotNull()
+            & (F.col("next_type") != F.col("event_type"))
+        )
+        .groupBy(
+            F.col("event_type").alias("a"), F.col("next_type").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    rev = trans.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), F.col("w").alias("w_rev")
+    )
+    paired = trans.join(rev, ["a", "b"], "left").select(
+        "w", F.coalesce("w_rev", F.lit(0)).cast("long").alias("w_rev")
+    )
+    s = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum((F.col("w_rev") > 0).cast("long"))
+        .cast("long")
+        .alias("n_reciprocated"),
+        F.sum("w").cast("long").alias("total_w"),
+        F.sum(F.least("w", "w_rev")).cast("long").alias("recip_w"),
+    ).filter(F.col("n_edges") > 0)
+    return s.select(
+        "n_edges",
+        "n_reciprocated",
+        "total_w",
+        "recip_w",
+        F.round(
+            F.col("n_reciprocated").cast("double") / F.col("n_edges"), 6
+        ).alias("edge_reciprocity"),
+        F.round(
+            F.col("recip_w").cast("double") / F.col("total_w"), 6
+        ).alias("weighted_reciprocity"),
+    )

@@ -954,3 +954,153 @@ def q_profile_null_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+_EXPECTATION_TOL = {
+    "o_totalprice_complete": 0.0,
+    "o_orderkey_unique": 0.0,
+    "o_orderstatus_in_domain": 0.0,
+    "o_totalprice_in_typical_range": 0.01,
+    "o_orderdate_not_future": 0.0,
+}
+
+
+@query(
+    "q_dq_expectations",
+    # All counts are exact integers; the violation rate is one IEEE
+    # division rounded to 6dp in both engines.
+    oracle="""
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT)
+           AS null_price,
+         CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P'))
+              AS BIGINT) AS bad_status,
+         CAST(count(*) FILTER (WHERE o_totalprice < 1
+                                  OR o_totalprice > 600000) AS BIGINT)
+           AS out_of_range,
+         CAST(count(*) FILTER (WHERE o_orderdate > now()) AS BIGINT)
+           AS future_dates
+  FROM orders
+),
+dup AS (
+  SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT) AS n_dups
+  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+        HAVING count(*) > 1)
+),
+rules AS (
+  SELECT 'o_totalprice_complete' AS expectation, 'completeness' AS kind,
+         s.n AS n_checked, s.null_price AS n_violations, 0.0 AS tolerance
+  FROM s
+  UNION ALL
+  SELECT 'o_orderkey_unique', 'uniqueness', s.n, dup.n_dups, 0.0
+  FROM s, dup
+  UNION ALL
+  SELECT 'o_orderstatus_in_domain', 'domain', s.n, s.bad_status, 0.0
+  FROM s
+  UNION ALL
+  SELECT 'o_totalprice_in_typical_range', 'range', s.n, s.out_of_range,
+         0.01
+  FROM s
+  UNION ALL
+  SELECT 'o_orderdate_not_future', 'timeliness', s.n, s.future_dates, 0.0
+  FROM s
+)
+SELECT expectation, kind, n_checked, n_violations,
+       round(CAST(n_violations AS DOUBLE) / n_checked, 6)
+         AS violation_rate,
+       tolerance,
+       CAST(n_violations AS DOUBLE) / n_checked <= tolerance AS passed
+FROM rules WHERE n_checked > 0
+ORDER BY expectation
+""",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-based expectation suite over the orders table — the
+    Great-Expectations-style contract check that generalizes
+    q_dq_report's zero-tolerance rules: each expectation carries a
+    declared violation TOLERANCE (a range rule may accept 1% outliers;
+    completeness, uniqueness, domain and timeliness stay strict), and
+    the gate passes on RATE, not absence. The distinction matters
+    operationally: a 100 TB drop with 0.3% price outliers should land
+    (flagged), one with 30% should not.
+
+    Scale shape: the four row-local expectations compile into ONE
+    conditional-aggregate pass over the table (a FILTER count costs
+    nothing extra inside the same agg); uniqueness is the one keyed
+    reduce (groupBy(key) → surplus sum — partial map-side, output is
+    |duplicate keys|); report assembly is 1×1 crossJoins of the two
+    1-row frames inlined to O(rules) rows. Nothing row-sized reaches
+    the driver. now() resolves per-engine at run time — both engines
+    evaluate it against the same fixture horizon (all fixture dates
+    are in the past), so the timeliness count is deterministically 0.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").isNull().cast("long"))
+        .cast("long")
+        .alias("null_price"),
+        F.sum((~F.col("o_orderstatus").isin("F", "O", "P")).cast("long"))
+        .cast("long")
+        .alias("bad_status"),
+        F.sum(
+            (
+                (F.col("o_totalprice") < 1)
+                | (F.col("o_totalprice") > 600000)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("out_of_range"),
+        F.sum((F.col("o_orderdate") > F.now()).cast("long"))
+        .cast("long")
+        .alias("future_dates"),
+    )
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_dups")
+        )
+    )
+
+    def rule(expectation, kind, v_col):
+        return F.struct(
+            F.lit(expectation).alias("expectation"),
+            F.lit(kind).alias("kind"),
+            F.col("n").alias("n_checked"),
+            F.col(v_col).cast("long").alias("n_violations"),
+            F.lit(_EXPECTATION_TOL[expectation]).alias("tolerance"),
+        )
+
+    combined = s.crossJoin(F.broadcast(dup))
+    rate = F.col("n_violations").cast("double") / F.col("n_checked")
+    return (
+        combined.select(
+            F.inline(
+                F.array(
+                    rule("o_totalprice_complete", "completeness", "null_price"),
+                    rule("o_orderkey_unique", "uniqueness", "n_dups"),
+                    rule("o_orderstatus_in_domain", "domain", "bad_status"),
+                    rule(
+                        "o_totalprice_in_typical_range", "range", "out_of_range"
+                    ),
+                    rule("o_orderdate_not_future", "timeliness", "future_dates"),
+                )
+            )
+        )
+        .filter(F.col("n_checked") > 0)
+        .select(
+            "expectation",
+            "kind",
+            "n_checked",
+            "n_violations",
+            F.round(rate, 6).alias("violation_rate"),
+            "tolerance",
+            (rate <= F.col("tolerance")).alias("passed"),
+        )
+        .orderBy("expectation")
+    )

@@ -7217,3 +7217,420 @@ def q_ts_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_ts_backtest",
+    # Counts and errors are exact integers on the dense day spine; MAE/
+    # RMSE/WAPE are closed forms on integer sums; each MAPE term is
+    # 9dp-rounded into DECIMAL before the sum (per-day ratio doubles
+    # are merge-order-dependent raw).
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+b AS (
+  SELECT min(day) AS d0, max(day) AS d1,
+         min(day) + (max(day) - min(day) + 1) * 4 // 5 AS cutoff
+  FROM d
+),
+spine AS (
+  SELECT unnest(generate_series(d0, d1)) AS day FROM b
+),
+x AS (
+  SELECT s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS c
+  FROM spine s LEFT JOIN d USING (day)
+),
+ev AS (
+  SELECT x.day, x.c, p.c AS pred,
+         abs(x.c - p.c) AS ae
+  FROM x JOIN x p ON p.day = x.day - 7
+  CROSS JOIN b WHERE x.day >= b.cutoff
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(ae) AS BIGINT) AS sae,
+         CAST(sum(ae * ae) AS BIGINT) AS sse,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_pos,
+         sum(CASE WHEN c > 0
+                  THEN CAST(round(CAST(ae AS DOUBLE) / c, 9)
+                            AS DECIMAL(18,9)) END) AS mape_sum
+  FROM ev
+)
+SELECT (SELECT CAST(cutoff - d0 AS BIGINT) FROM b) AS n_train_days,
+       n_eval AS n_eval_days,
+       round(CAST(sae AS DOUBLE) / n_eval, 6) AS mae,
+       round(sqrt(CAST(sse AS DOUBLE) / n_eval), 6) AS rmse,
+       CASE WHEN sc > 0
+            THEN round(CAST(sae AS DOUBLE) / sc, 6) END AS wape,
+       CASE WHEN n_pos > 0
+            THEN round(CAST(mape_sum AS DOUBLE) / n_pos, 6) END AS mape
+FROM m WHERE n_eval > 0
+""",
+)
+def q_ts_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-7) forecast backtest over daily event
+    volume: hold out the last fifth of the calendar span, predict each
+    holdout day with the actual value seven days earlier, report
+    MAE / RMSE / WAPE / MAPE. This is the BASELINE every forecasting
+    claim must beat — q_ts_forecast fits a model, this op prices the
+    no-model alternative on the same protocol, and a model that loses
+    to lag-7 naive should not ship. Dense spine (zero days are real
+    observations, q_ts_control_chart doctrine); MAPE is reported over
+    positive-actual days only with the day count stated, WAPE is the
+    zero-safe aggregate twin.
+
+    Scale shape: one map-combinable reduce to daily counts; the spine,
+    the lag-7 join (equi join on day−7 — no window at all) and all
+    error rows live on the |days|-bounded frame; metric sums are exact
+    integers except MAPE's per-day ratio terms, which are 9dp-rounded
+    into DECIMAL before summing (order-proof). One closed-form row
+    out.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = F.broadcast(
+        d.agg(
+            F.min("day").alias("d0"),
+            F.max("day").alias("d1"),
+            (
+                F.min("day")
+                + F.floor((F.max("day") - F.min("day") + 1) * 4 / 5)
+            )
+            .cast("long")
+            .alias("cutoff"),
+        )
+    )
+    spine = b.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    x = (
+        spine.join(d, "day", "left")
+        .select("day", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    p = x.select((F.col("day") + 7).alias("day"), F.col("c").alias("pred"))
+    ev = (
+        x.join(p, "day")
+        .crossJoin(b)
+        .filter(F.col("day") >= F.col("cutoff"))
+        .select(
+            "c", "pred", F.abs(F.col("c") - F.col("pred")).alias("ae")
+        )
+    )
+    m = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum("ae").cast("long").alias("sae"),
+        F.sum(F.col("ae") * F.col("ae")).cast("long").alias("sse"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum((F.col("c") > 0).cast("long")).cast("long").alias("n_pos"),
+        F.sum(
+            F.when(
+                F.col("c") > 0,
+                F.round(F.col("ae").cast("double") / F.col("c"), 9).cast(
+                    "decimal(18,9)"
+                ),
+            )
+        ).alias("mape_sum"),
+    ).filter(F.col("n_eval") > 0)
+    ne = F.col("n_eval").cast("double")
+    return m.crossJoin(b).select(
+        (F.col("cutoff") - F.col("d0")).cast("long").alias("n_train_days"),
+        F.col("n_eval").alias("n_eval_days"),
+        F.round(F.col("sae").cast("double") / ne, 6).alias("mae"),
+        F.round(F.sqrt(F.col("sse").cast("double") / ne), 6).alias("rmse"),
+        F.when(
+            F.col("sc") > 0,
+            F.round(F.col("sae").cast("double") / F.col("sc"), 6),
+        ).alias("wape"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(
+                F.col("mape_sum").cast("double")
+                / F.col("n_pos").cast("double"),
+                6,
+            ),
+        ).alias("mape"),
+    )
+
+
+@query(
+    "q_agg_overdispersion",
+    # Dense per-type day spine; all power sums exact BIGINT; index/
+    # chi2/z are one shared IEEE chain from integers in both engines.
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+spine AS (
+  SELECT t.event_type, s.day
+  FROM (SELECT DISTINCT event_type FROM d) t
+  CROSS JOIN (SELECT unnest(generate_series(d0, d1)) AS day FROM b) s
+),
+x AS (
+  SELECT sp.event_type, CAST(COALESCE(d.c, 0) AS BIGINT) AS c
+  FROM spine sp LEFT JOIN d
+    ON d.event_type = sp.event_type AND d.day = sp.day
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM x GROUP BY event_type
+),
+k AS (
+  SELECT event_type, n_days, s,
+         CAST(s AS DOUBLE) / n_days AS mean,
+         (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days)
+           / (n_days - 1) AS var
+  FROM m WHERE n_days > 1
+)
+SELECT event_type, n_days, s AS n_events,
+       round(mean, 6) AS mean_per_day,
+       CASE WHEN mean > 0 THEN round(var / mean, 6) END AS dispersion,
+       CASE WHEN mean > 0
+            THEN round(((n_days - 1) * var / mean - (n_days - 1))
+                       / sqrt(2.0 * (n_days - 1)), 6) END AS z,
+       CASE WHEN mean > 0 THEN
+         CASE WHEN ((n_days - 1) * var / mean - (n_days - 1))
+                   / sqrt(2.0 * (n_days - 1)) > 1.96 THEN 'overdispersed'
+              WHEN ((n_days - 1) * var / mean - (n_days - 1))
+                   / sqrt(2.0 * (n_days - 1)) < -1.96
+                THEN 'underdispersed'
+              ELSE 'poisson_like' END END AS verdict
+FROM k ORDER BY event_type
+""",
+)
+def q_agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion test per event type: the index of
+    dispersion (daily-count variance / mean) with its chi-square
+    normal approximation z — the test that decides whether a rate's
+    alerting/CI machinery may assume Poisson at all. q_ts_rate_ci
+    hands out Poisson intervals; this op is their VALIDITY gate:
+    bursty types (campaigns, retries, bots) run var ≫ mean and their
+    Poisson CIs are fictions; var ≪ mean means rate-limited/scheduled
+    flow. The routine first check in any count-model analysis.
+
+    Scale shape: one map-combinable reduce to (type, day) counts; the
+    dense spine (zero days are real observations — the
+    q_ts_control_chart doctrine) and all power sums live on the
+    |types|×|days| bounded frame; one closed-form row per type.
+    Degenerate guards: single-day spans and all-zero types emit NULL
+    statistics, not a division crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = F.broadcast(
+        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    )
+    types = d.select("event_type").distinct()
+    spine = types.crossJoin(
+        b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    x = spine.join(d, ["event_type", "day"], "left").select(
+        "event_type", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    m = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    ).filter(F.col("n_days") > 1)
+    nd = F.col("n_days").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / nd) / (
+        nd - 1
+    )
+    disp = var / mean
+    z = ((nd - 1) * disp - (nd - 1)) / F.sqrt(2.0 * (nd - 1))
+    ok = mean > 0
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("s").alias("n_events"),
+        F.round(mean, 6).alias("mean_per_day"),
+        F.when(ok, F.round(disp, 6)).alias("dispersion"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(
+            ok,
+            F.when(z > 1.96, "overdispersed")
+            .when(z < -1.96, "underdispersed")
+            .otherwise("poisson_like"),
+        ).alias("verdict"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q_ts_ljungbox",
+    # Per-lag ACFs are the q_ts_autocorr Pearson-pair convention
+    # (exact BIGINT power sums, one IEEE chain each); each lag's
+    # Q-term is 12dp-quantized into DECIMAL before the cross-lag sum
+    # (7 doubles summed in row order would be merge-order-dependent);
+    # the chi-square critical value is a shared df-indexed CASE.
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+b0 AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+spine AS (
+  SELECT unnest(generate_series(d0, d1)) AS day FROM b0
+),
+x AS (
+  SELECT s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS v
+  FROM spine s LEFT JOIN d USING (day)
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM x),
+lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag),
+pairs AS (
+  SELECT l.lag, a.v AS xv, p.v AS yv
+  FROM lags l
+  CROSS JOIN x a
+  JOIN x p ON p.day = a.day - l.lag
+),
+s AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS np,
+         CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+         CAST(sum(xv * xv) AS BIGINT) AS sxx,
+         CAST(sum(yv * yv) AS BIGINT) AS syy,
+         CAST(sum(xv * yv) AS BIGINT) AS sxy
+  FROM pairs GROUP BY lag
+),
+acf AS (
+  SELECT lag,
+         (CAST(np AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (sqrt(CAST(np AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * sqrt(CAST(np AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           AS r
+  FROM s
+  WHERE np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0
+),
+terms AS (
+  SELECT acf.lag,
+         CAST(round(r * r / (n.n_days - acf.lag), 12) AS DECIMAL(20,12))
+           AS term
+  FROM acf CROSS JOIN n WHERE n.n_days > acf.lag
+),
+q AS (
+  SELECT n.n_days, CAST(count(*) AS BIGINT) AS df,
+         CAST(n.n_days AS DOUBLE) * (n.n_days + 2)
+           * CAST(sum(term) AS DOUBLE) AS q_stat
+  FROM terms CROSS JOIN n GROUP BY n.n_days
+)
+SELECT n_days, df, round(q_stat, 6) AS q_stat,
+       CASE df WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815
+               WHEN 4 THEN 9.488 WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+               WHEN 7 THEN 14.067 END AS chi2_crit_05,
+       q_stat > CASE df WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+                        WHEN 3 THEN 7.815 WHEN 4 THEN 9.488
+                        WHEN 5 THEN 11.070 WHEN 6 THEN 12.592
+                        WHEN 7 THEN 14.067 END AS autocorrelated
+FROM q WHERE df >= 1
+""",
+)
+def q_ts_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily event volume (lags 1-7):
+    ONE number answering "is there ANY serial structure left" where
+    q_ts_autocorr reads per-lag values off a chart — the standard
+    residual-whiteness gate after any fit (run it on q_ts_forecast's
+    residuals and a significant Q says the model left signal on the
+    table) and the "iid assumption is broken" alarm ahead of
+    q_ts_rate_ci. Convention stated: ρ_k is the Pearson correlation
+    of the (x_t, x_{t−k}) pair set on the dense zero-filled spine
+    (q_ts_autocorr's exact-integer form); Q = n(n+2)·Σ ρ_k²/(n−k)
+    against χ²(df) at 5%.
+
+    Scale shape: one map-combinable reduce to daily counts; pairs,
+    power sums and the 7 ACFs live on the |days|-bounded spine (7
+    equi-joins on day−k, no window); each lag's Q-term is
+    12dp-quantized into DECIMAL before the cross-lag sum so the
+    7-term addition is merge-order-proof; one verdict row out.
+    Degenerate guards: constant or too-short series drop lags (df
+    reflects it), df = 0 emits nothing.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = F.broadcast(
+        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    )
+    spine = b.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    x = spine.join(d, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).cast("long").alias("v")
+    )
+    n = F.broadcast(x.agg(F.count(F.lit(1)).cast("long").alias("n_days")))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = x.select("day", F.col("v").alias("xv"))
+    pairs = (
+        lags.crossJoin(a)
+        .join(
+            x.select(F.col("day").alias("pday"), F.col("v").alias("yv")),
+            F.col("pday") == F.col("day") - F.col("lag"),
+        )
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("xv").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
+    )
+    np_, sx, sy = (
+        F.col("np").cast("double"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+    )
+    varx = np_ * F.col("sxx") - sx * F.col("sx")
+    vary = np_ * F.col("syy") - sy * F.col("sy")
+    r = (np_ * F.col("sxy") - sx * sy) / (F.sqrt(varx) * F.sqrt(vary))
+    acf = s.filter((varx > 0) & (vary > 0)).select("lag", r.alias("r"))
+    terms = (
+        acf.crossJoin(n)
+        .filter(F.col("n_days") > F.col("lag"))
+        .select(
+            "n_days",
+            F.round(
+                F.col("r") * F.col("r") / (F.col("n_days") - F.col("lag")),
+                12,
+            )
+            .cast("decimal(20,12)")
+            .alias("term"),
+        )
+    )
+    q = terms.groupBy("n_days").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        (
+            F.col("n_days").cast("double")
+            * (F.col("n_days") + 2)
+            * F.sum("term").cast("double")
+        ).alias("q_stat"),
+    ).filter(F.col("df") >= 1)
+    crit = (
+        F.when(F.col("df") == 1, 3.841)
+        .when(F.col("df") == 2, 5.991)
+        .when(F.col("df") == 3, 7.815)
+        .when(F.col("df") == 4, 9.488)
+        .when(F.col("df") == 5, 11.070)
+        .when(F.col("df") == 6, 12.592)
+        .when(F.col("df") == 7, 14.067)
+    )
+    return q.select(
+        "n_days",
+        "df",
+        F.round("q_stat", 6).alias("q_stat"),
+        crit.alias("chi2_crit_05"),
+        (F.col("q_stat") > crit).alias("autocorrelated"),
+    )

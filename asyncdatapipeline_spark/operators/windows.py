@@ -1820,3 +1820,112 @@ def q_orders_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("additivity_ok"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "q_orders_aging",
+    # Ages are exact integer day differences from the max-date
+    # snapshot; bucket sums are DECIMAL-armored money; shares are one
+    # IEEE division each.
+    oracle="""
+WITH snap AS (
+  SELECT max(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)) AS today
+  FROM orders
+),
+open_orders AS (
+  SELECT o_totalprice,
+         (SELECT today FROM snap)
+           - CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS age
+  FROM orders WHERE o_orderstatus != 'F'
+),
+bucketed AS (
+  SELECT CASE WHEN age <= 30 THEN 0 WHEN age <= 60 THEN 31
+              WHEN age <= 90 THEN 61 WHEN age <= 180 THEN 91
+              ELSE 181 END AS bucket_start,
+         CASE WHEN age <= 30 THEN '000-030' WHEN age <= 60 THEN '031-060'
+              WHEN age <= 90 THEN '061-090' WHEN age <= 180 THEN '091-180'
+              ELSE '180+' END AS age_bucket,
+         o_totalprice
+  FROM open_orders
+),
+agg AS (
+  SELECT bucket_start, age_bucket,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(28,2))) AS v
+  FROM bucketed GROUP BY 1, 2
+),
+tot AS (SELECT sum(v) AS tv, CAST(sum(n_orders) AS BIGINT) AS tn FROM agg)
+SELECT CAST(bucket_start AS INT) AS bucket_start, age_bucket, n_orders,
+       round(CAST(v AS DOUBLE), 2) AS open_value,
+       round(CAST(v AS DOUBLE) / CAST(tv AS DOUBLE), 6) AS value_share,
+       round(CAST(n_orders AS DOUBLE) / tn, 6) AS order_share
+FROM agg CROSS JOIN tot
+ORDER BY bucket_start
+""",
+)
+def q_orders_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receivables-style aging report: open (non-'F') orders bucketed
+    by age at the data's own snapshot date (max order date), with
+    order counts, open value and value/order shares per bucket — the
+    working-capital readout finance runs weekly, and the backlog
+    staleness twin of q_orders_backlog (that op tracks the LEVEL over
+    time; this one decomposes TODAY's level by how long it has sat).
+
+    Scale shape: one broadcast 1-row snapshot reduce, then ONE
+    map-combinable pass bucketing each open order by an exact integer
+    day difference into five fixed buckets (the classic 30/60/90/180
+    fences) — output is 5 rows regardless of input size; shares ride
+    one broadcast totals row. Money sums are DECIMAL-armored
+    (merge-order-proof); ages are integers, so bucket edges can never
+    wobble between engines.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    snap = F.broadcast(o.agg(F.max(day).alias("today")))
+    age = F.col("today") - F.col("oday")
+    b = (
+        o.filter(F.col("o_orderstatus") != "F")
+        .select("o_totalprice", day.alias("oday"))
+        .crossJoin(snap)
+        .select(
+            "o_totalprice",
+            F.when(age <= 30, 0)
+            .when(age <= 60, 31)
+            .when(age <= 90, 61)
+            .when(age <= 180, 91)
+            .otherwise(181)
+            .alias("bucket_start"),
+            F.when(age <= 30, "000-030")
+            .when(age <= 60, "031-060")
+            .when(age <= 90, "061-090")
+            .when(age <= 180, "091-180")
+            .otherwise("180+")
+            .alias("age_bucket"),
+        )
+    )
+    agg = b.groupBy("bucket_start", "age_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("v"),
+    )
+    tot = F.broadcast(
+        agg.agg(
+            F.sum("v").alias("tv"),
+            F.sum("n_orders").cast("long").alias("tn"),
+        )
+    )
+    return (
+        agg.crossJoin(tot)
+        .select(
+            F.col("bucket_start").cast("int").alias("bucket_start"),
+            "age_bucket",
+            "n_orders",
+            F.round(F.col("v").cast("double"), 2).alias("open_value"),
+            F.round(
+                F.col("v").cast("double") / F.col("tv").cast("double"), 6
+            ).alias("value_share"),
+            F.round(
+                F.col("n_orders").cast("double") / F.col("tn"), 6
+            ).alias("order_share"),
+        )
+        .orderBy("bucket_start")
+    )

@@ -472,6 +472,49 @@ CHECKS: dict[str, list[tuple]] = {
         ("must", "per-query top-k rides WindowGroupLimit", r"WindowGroupLimit"),
         ("must", "query side broadcast", r"BroadcastNestedLoopJoin"),
     ],
+    # ---- round-9 additions ------------------------------------------------
+    "q_graph_clustering": [
+        ("must", "top-20 rides TakeOrderedAndProject", r"TakeOrderedAndProject"),
+        ("must", "edge/degree reduces combine map-side", r"HashAggregate.*partial"),
+        ("forbid", "support-filtered equi joins only, no blowup", "CartesianProduct"),
+    ],
+    "q_dq_expectations": [
+        ("must", "rule counts in one partial-agg pass", r"HashAggregate.*partial"),
+        ("forbid", "no Python in the rule path", *_PYTHON_EVAL_NODES),
+    ],
+    "q_eval_kappa": [
+        ("must", "four cells in one partial-agg pass", r"HashAggregate.*partial"),
+        ("forbid", "no Python in the rater path", *_PYTHON_EVAL_NODES),
+        ("forbid", "single pass, no join", "Join"),
+    ],
+    "q_ts_backtest": [
+        ("forbid", "lag-7 is an equi join, no window anywhere", "windowspecdefinition"),
+        ("forbid", "no unbounded pair blowup", "CartesianProduct"),
+    ],
+    "q_graph_reciprocity": [
+        ("must", "transition reduce combines map-side", r"HashAggregate.*partial"),
+        ("forbid", "bounded self-join, no blowup", "CartesianProduct"),
+    ],
+    "q_orders_aging": [
+        ("must", "bucketing aggregates partially map-side", r"HashAggregate.*partial"),
+        ("must", "3-column pruned orders scan", r"ReadSchema: struct<o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp"),
+    ],
+    "q_text_source_divergence": [
+        ("must", "word counts combine map-side", r"HashAggregate.*partial"),
+        ("forbid", "no Python in the fold path", *_PYTHON_EVAL_NODES),
+    ],
+    "q_text_char_entropy": [
+        ("must", "char counts combine map-side", r"HashAggregate.*partial"),
+        ("forbid", "no Python in the entropy path", *_PYTHON_EVAL_NODES),
+    ],
+    "q_agg_overdispersion": [
+        ("must", "daily counts combine map-side", r"HashAggregate.*partial"),
+        ("forbid", "spine joins are equi/broadcast, no blowup", "CartesianProduct"),
+    ],
+    "q_ts_ljungbox": [
+        ("forbid", "per-lag pairs via equi joins, no window", "windowspecdefinition"),
+        ("forbid", "no unbounded pair blowup", "CartesianProduct"),
+    ],
 }
 
 

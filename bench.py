@@ -121,6 +121,15 @@ HEADLINE = [
     "q_sample_balanced",        # per-class exact quota via rank spine
     "q_graph_label_prop",       # 3 bounded voting rounds on node key
     "q_ts_mann_kendall",        # day-spine pair test, integer kernels
+    # round-9 additions: consolidation round's new coverage — graph
+    # normalization, DQ gating, rater agreement, forecast/backtest and
+    # distribution-divergence ops
+    "q_graph_clustering",       # support-graph triangles / wedges
+    "q_dq_expectations",        # tolerance rules, one agg pass
+    "q_ts_backtest",            # lag-7 holdout, day-spine equi join
+    "q_text_source_divergence", # per-source JSD, decimal-ln fold
+    "q_text_char_entropy",      # char-level entropy, bounded fan-in
+    "q_agg_overdispersion",     # per-type dispersion on dense spine
 ]
 
 

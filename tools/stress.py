@@ -257,6 +257,17 @@ QUERIES = [
     "q_events_overlap",
     "q_agg_bootstrap_diff",
     "q_ts_rate_ci",
+    # round-9 additions
+    "q_graph_clustering",
+    "q_dq_expectations",
+    "q_eval_kappa",
+    "q_ts_backtest",
+    "q_graph_reciprocity",
+    "q_orders_aging",
+    "q_text_source_divergence",
+    "q_text_char_entropy",
+    "q_agg_overdispersion",
+    "q_ts_ljungbox",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
