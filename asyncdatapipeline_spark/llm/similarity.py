@@ -1447,3 +1447,280 @@ def q_sim_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("nprobe")
+
+
+@query(
+    "q_embed_outliers",
+    # ALL-INTEGER distances: coordinates and centroids are micro-unit
+    # BIGINTs (round(x·1e6) — the q_embed_centroids quantization), so
+    # per-vector squared distances and the per-label power sums are
+    # EXACT (DECIMAL(38,0) for the squares); z and dist are one shared
+    # IEEE chain from exact integers. No cross-row double sum exists
+    # anywhere in this plan — the 12dp-rounding variant this replaced
+    # lost a ulp tie about once per 40k terms.
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ex AS (
+  SELECT vec_id, label, unnest(generate_series(1, len(v))) AS pos, v
+  FROM e
+),
+cells AS (
+  SELECT vec_id, label, pos,
+         CAST(round(v[pos] * 1000000) AS BIGINT) AS xq
+  FROM ex
+),
+cent AS (
+  SELECT label, pos,
+         CAST(round(CAST(SUM(CAST(xq AS DECIMAL(28,0))) AS DOUBLE)
+                    / COUNT(*)) AS BIGINT) AS cq
+  FROM cells GROUP BY 1, 2
+),
+dist AS (
+  SELECT c.vec_id, c.label,
+         CAST(SUM((c.xq - ct.cq) * (c.xq - ct.cq)) AS BIGINT) AS d2
+  FROM cells c JOIN cent ct ON ct.label = c.label AND ct.pos = c.pos
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(d2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(d2 AS DECIMAL(19,0)) * CAST(d2 AS DECIMAL(19,0)))
+              AS DECIMAL(38,0)) AS ss
+  FROM dist GROUP BY label
+),
+z AS (
+  SELECT d.vec_id, d.label, d.d2,
+         CAST(m.s AS DOUBLE) / m.n AS mu,
+         (CAST(m.ss AS DOUBLE)
+          - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE) / m.n)
+           / (m.n - 1) AS var
+  FROM dist d JOIN m USING (label) WHERE m.n > 1
+)
+SELECT vec_id, label,
+       round(sqrt(CAST(d2 AS DOUBLE)) / 1000000, 6) AS dist,
+       round((d2 - mu) / sqrt(var), 6) AS z
+FROM z WHERE var > 0
+ORDER BY (d2 - mu) / sqrt(var) DESC, vec_id
+LIMIT 10
+""",
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outliers: top-10 vectors by z-scored squared distance
+    to their OWN label's centroid — the "these points don't belong to
+    their cluster" audit an embedding pipeline runs before trusting
+    labels (mislabeled rows, decode garbage and off-manifold junk all
+    surface here first; q_embed_health checks norms globally, this
+    checks position within each class).
+
+    Scale shape: coordinates quantize to micro-unit BIGINTs at the
+    scan (q_embed_centroids' quantization applied to the WHOLE
+    pipeline, not just display), so centroids, per-vector squared
+    distances and the per-label power sums are all EXACT integer
+    arithmetic — the plan contains no cross-row double sum to be
+    merge-order-dependent. Centroid cells are a |labels|·d bounded
+    aggregate joined back on (label, pos); the distance fold is
+    map-combinable over exploded cells; top-10 rides
+    TakeOrderedAndProject on the shared IEEE z key. Labels with n ≤ 1
+    or zero variance contribute no outliers (guarded, no 0/0).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("xf").cast("double") * 1000000)
+        .cast("long")
+        .alias("xq"),
+    )
+    cent = cells.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("xq").cast("decimal(28,0)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("cq")
+    )
+    diff = F.col("xq") - F.col("cq")
+    dist = (
+        cells.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(diff * diff).cast("long").alias("d2"))
+    )
+    m = dist.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("d2").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+        F.sum(
+            F.col("d2").cast("decimal(19,0)") * F.col("d2").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    ).filter(F.col("n") > 1)
+    nn = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nn
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nn
+    ) / (nn - 1)
+    z = (F.col("d2") - mu) / F.sqrt(var)
+    return (
+        dist.join(F.broadcast(m), "label")
+        .filter(var > 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.sqrt(F.col("d2").cast("double")) / 1000000, 6).alias(
+                "dist"
+            ),
+            F.round(z, 6).alias("z"),
+            z.alias("_z"),
+        )
+        .orderBy(F.col("_z").desc(), "vec_id")
+        .limit(10)
+        .drop("_z")
+    )
+
+
+@query(
+    "q_ml_nearest_centroid",
+    # The q_embed_outliers micro-integer device end-to-end: centroids
+    # and every vector-to-centroid distance are EXACT BIGINT
+    # arithmetic, the argmin is a lexicographic (d2, label) struct-min
+    # (ties -> smallest label, stated), accuracy one IEEE division.
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ex AS (
+  SELECT vec_id, label, unnest(generate_series(1, len(v))) AS pos, v
+  FROM e
+),
+cells AS (
+  SELECT vec_id, label, pos,
+         CAST(round(v[pos] * 1000000) AS BIGINT) AS xq
+  FROM ex
+),
+cent AS (
+  SELECT label AS clabel, pos,
+         CAST(round(CAST(SUM(CAST(xq AS DECIMAL(28,0))) AS DOUBLE)
+                    / COUNT(*)) AS BIGINT) AS cq
+  FROM cells GROUP BY 1, 2
+),
+dist AS (
+  SELECT c.vec_id, c.label, ct.clabel,
+         CAST(SUM((c.xq - ct.cq) * (c.xq - ct.cq)) AS BIGINT) AS d2
+  FROM cells c JOIN cent ct ON ct.pos = c.pos
+  GROUP BY 1, 2, 3
+),
+assign AS (
+  SELECT vec_id, label,
+         min_by(clabel, CAST(d2 AS HUGEINT) * 1000000 + clabel) AS pred
+  FROM dist GROUP BY 1, 2
+),
+conf AS (
+  SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+  FROM assign GROUP BY 1, 2
+),
+per AS (
+  SELECT label,
+         CAST(sum(n) AS BIGINT) AS n_vecs,
+         CAST(sum(CASE WHEN pred = label THEN n ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM conf GROUP BY label
+),
+wrong AS (
+  SELECT label,
+         min_by(pred, CAST(-n AS HUGEINT) * 1000000 + pred)
+           AS top_confused
+  FROM conf WHERE pred != label GROUP BY label
+)
+SELECT p.label, p.n_vecs, p.n_correct,
+       round(CAST(p.n_correct AS DOUBLE) / p.n_vecs, 6) AS accuracy,
+       w.top_confused
+FROM per p LEFT JOIN wrong w USING (label)
+ORDER BY p.label
+""",
+)
+def q_ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of every embedding
+    against the per-label centroids, reported as per-label accuracy +
+    the top confusion target — the 30-second "are these labels even
+    linearly separable in embedding space" sanity check that runs
+    before anyone pays for q_ml_knn (this is k=|labels| distance
+    computations per vector, not k·|corpus|), and the class-level
+    confusion readout q_embed_silhouette's geometry score doesn't
+    give.
+
+    Scale shape: centroids are the bounded |labels|·d cell aggregate;
+    scoring joins exploded cells to centroids on the DIMENSION key —
+    per-vector fan-out is |labels|·d, a constant — and every distance
+    is EXACT BIGINT micro-unit arithmetic (the q_embed_outliers
+    device), so the argmin (lexicographic (d2, label) struct-min;
+    ties → smallest label, stated) can never flip between engines.
+    Confusion and accuracy are map-combinable integer reduces on the
+    |labels|² frame.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("xf").cast("double") * 1000000)
+        .cast("long")
+        .alias("xq"),
+    )
+    cent = cells.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.round(
+            F.sum(F.col("xq").cast("decimal(28,0)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("cq")
+    )
+    diff = F.col("xq") - F.col("cq")
+    dist = (
+        cells.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum(diff * diff).cast("long").alias("d2"))
+    )
+    assign = dist.groupBy("vec_id", "label").agg(
+        F.min(F.struct("d2", "clabel")).getField("clabel").alias("pred")
+    )
+    conf = assign.groupBy("label", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per = conf.groupBy("label").agg(
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("pred") == F.col("label"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    wrong = (
+        conf.filter(F.col("pred") != F.col("label"))
+        .groupBy("label")
+        .agg(
+            F.min(F.struct(-F.col("n"), F.col("pred")))
+            .getField("pred")
+            .alias("top_confused")
+        )
+    )
+    return (
+        per.join(F.broadcast(wrong), "label", "left")
+        .select(
+            "label",
+            "n_vecs",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_vecs"), 6
+            ).alias("accuracy"),
+            "top_confused",
+        )
+        .orderBy("label")
+    )

@@ -3404,3 +3404,226 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_text_lexical_diversity",
+    # Token/type counts are exact integers; TTR family ratios are
+    # single IEEE ops; the two lns ride the 9dp contract; per-doc TTRs
+    # are 9dp-quantized into DECIMAL before the source-level mean.
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+t AS (SELECT doc_id, source, word FROM w WHERE word != ''),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(count(*) AS BIGINT) AS toks,
+         CAST(count(DISTINCT word) AS BIGINT) AS typs
+  FROM t GROUP BY 1, 2
+),
+per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT word) AS BIGINT) AS n_types
+  FROM t GROUP BY 1
+),
+docavg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         sum(CAST(round(CAST(typs AS DOUBLE) / toks, 9)
+                  AS DECIMAL(18,9))) AS sttr
+  FROM per_doc WHERE toks > 0 GROUP BY source
+)
+SELECT s.source, d.n_docs, s.n_tokens, s.n_types,
+       round(CAST(s.n_types AS DOUBLE) / s.n_tokens, 6) AS ttr,
+       round(s.n_types / sqrt(CAST(s.n_tokens AS DOUBLE)), 6) AS root_ttr,
+       CASE WHEN s.n_tokens > 1 AND s.n_types > 0
+            THEN round(CAST(round(ln(s.n_types), 9) AS DOUBLE)
+                       / CAST(round(ln(s.n_tokens), 9) AS DOUBLE), 6)
+       END AS herdan_c,
+       round(CAST(d.sttr AS DOUBLE) / d.n_docs, 6) AS mean_doc_ttr
+FROM per_src s JOIN docavg d USING (source)
+ORDER BY s.source
+""",
+)
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity panel per source: corpus TTR (types/tokens),
+    Guiraud's root TTR, Herdan's C (ln types / ln tokens), and the
+    mean per-DOCUMENT TTR — the vocabulary-richness signals a curation
+    report reads beside q_text_vocab's raw counts. Raw TTR famously
+    collapses as corpora grow (every new token is more likely seen);
+    root TTR and Herdan's C are the length-corrected forms that stay
+    comparable across sources of different sizes, and the per-doc
+    mean is the spam detector (template farms have near-zero per-doc
+    diversity at normal corpus-level TTR).
+
+    Scale shape: explode → the (source, word) / (doc, word) distinct
+    reduces are the data-sized passes (map-combinable; per-doc
+    distinct fan-in is bounded by doc vocabulary); everything after
+    lives on |sources| + |docs| frames. Two lns on the 9dp contract;
+    per-doc ratios 9dp-quantized into DECIMAL before the mean so
+    merge order can never wobble the report. Zero-token docs drop
+    from the doc mean; a one-token source gets NULL Herdan (ln 1 = 0
+    denominator), not a crash.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    per_doc = t.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("toks"),
+        F.countDistinct("word").cast("long").alias("typs"),
+    )
+    per_src = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("word").cast("long").alias("n_types"),
+    )
+    docavg = (
+        per_doc.filter(F.col("toks") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.round(
+                    F.col("typs").cast("double") / F.col("toks"), 9
+                ).cast("decimal(18,9)")
+            ).alias("sttr"),
+        )
+    )
+    herdan = F.round(F.log("n_types"), 9).cast("double") / F.round(
+        F.log("n_tokens"), 9
+    ).cast("double")
+    return (
+        per_src.join(docavg, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens"), 6
+            ).alias("ttr"),
+            F.round(
+                F.col("n_types") / F.sqrt(F.col("n_tokens").cast("double")),
+                6,
+            ).alias("root_ttr"),
+            F.when(
+                (F.col("n_tokens") > 1) & (F.col("n_types") > 0), F.round(herdan, 6)
+            ).alias("herdan_c"),
+            F.round(
+                F.col("sttr").cast("double") / F.col("n_docs"), 6
+            ).alias("mean_doc_ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_text_pii_scan",
+    # PII is PLANTED deterministically from doc_id (q_text_scrub's
+    # convention) so the strict hash proves Java-regex and DuckDB-RE2
+    # agree on match COUNTS, not just replacements; all outputs are
+    # integer counts and single-division rates.
+    oracle="""
+WITH withpii AS (
+  SELECT doc_id, source,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' reach user' || doc_id || '@example.com and admin'
+                 || doc_id || '@test.org' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                         4, '0') ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' account ' || (1000000 + doc_id) ELSE '' END AS raw
+  FROM documents
+),
+hits AS (
+  SELECT source,
+    len(regexp_extract_all(raw,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS emails,
+    len(regexp_extract_all(raw, '\\+?1?-?555-[0-9]{4}')) AS phones,
+    len(regexp_extract_all(raw, '\\b[0-9]{7,}\\b')) AS ids
+  FROM withpii
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(emails) AS BIGINT) AS n_emails,
+       CAST(sum(phones) AS BIGINT) AS n_phones,
+       CAST(sum(ids) AS BIGINT) AS n_ids,
+       CAST(count(*) FILTER (WHERE emails + phones + ids > 0) AS BIGINT)
+         AS n_docs_with_pii,
+       round(CAST(count(*) FILTER (WHERE emails + phones + ids > 0)
+                  AS DOUBLE) / count(*), 6) AS pii_doc_rate
+FROM hits GROUP BY source ORDER BY source
+""",
+)
+def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure audit per source: email / phone / long-numeric-id
+    match counts and the share of documents carrying ANY hit — the
+    measurement step that precedes q_text_scrub's redaction (you
+    scrub everything, but you REPORT by source, because one feed
+    contributing 40% PII docs is a supplier conversation, not a regex
+    problem). Planted-PII determinism as in q_text_scrub: the
+    fixture corpus is synthetic, so hits are planted from doc_id
+    identically in both engines and the strict hash proves the two
+    regex dialects agree on match counts.
+
+    Scale shape: pure regexp_count projection (JVM codegen, no
+    Python) + ONE map-combinable aggregate to |sources| rows; the
+    scan is embarrassingly parallel at any scale and the report is
+    dimension-sized. Rates are single IEEE divisions of exact counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com and admin"),
+                F.col("doc_id").cast("string"),
+                F.lit("@test.org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" account "), (F.col("doc_id") + 1000000).cast("string")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    hits = d.select(
+        "source",
+        F.regexp_count(
+            raw, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        ).alias("emails"),
+        F.regexp_count(raw, F.lit(r"\+?1?-?555-[0-9]{4}")).alias("phones"),
+        F.regexp_count(raw, F.lit(r"\b[0-9]{7,}\b")).alias("ids"),
+    )
+    any_pii = (F.col("emails") + F.col("phones") + F.col("ids")) > 0
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("emails").cast("long").alias("n_emails"),
+            F.sum("phones").cast("long").alias("n_phones"),
+            F.sum("ids").cast("long").alias("n_ids"),
+            F.sum(any_pii.cast("long")).cast("long").alias("n_docs_with_pii"),
+            F.round(
+                F.sum(any_pii.cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pii_doc_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1701,3 +1701,178 @@ def q_orders_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r2, 6).alias("r2"),
         (F.abs(slope) > 1.0).alias("elastic"),
     ).orderBy("p_brand")
+
+
+_TRIGRAM_DF_CAP = 100
+_TRIGRAM_TAU = 0.5
+
+
+@query(
+    "q_join_trigram",
+    # Same planted-dirty-side determinism as q_join_fuzzy; candidate
+    # generation is capped to trigrams with document frequency <=
+    # cap in BOTH engines (the stated contract), and the Jaccard is
+    # exact integer set arithmetic on the full trigram sets of every
+    # generated candidate.
+    oracle=f"""
+WITH base AS (
+  SELECT p_partkey, p_name AS nm FROM part WHERE length(p_name) >= 3
+),
+dirty AS (
+  SELECT p_partkey AS dirty_id,
+         substr(nm, 1, 2) || substr(nm, 4) AS nm
+  FROM base WHERE length(substr(nm, 1, 2) || substr(nm, 4)) >= 3
+),
+tg_c AS (
+  SELECT DISTINCT p_partkey, substr(nm, i, 3) AS g
+  FROM (SELECT p_partkey, nm,
+               unnest(generate_series(1, length(nm) - 2)) AS i
+        FROM base)
+),
+tg_d AS (
+  SELECT DISTINCT dirty_id, substr(nm, i, 3) AS g
+  FROM (SELECT dirty_id, nm,
+               unnest(generate_series(1, length(nm) - 2)) AS i
+        FROM dirty)
+),
+sz_c AS (SELECT p_partkey, CAST(count(*) AS BIGINT) AS nb FROM tg_c
+         GROUP BY 1),
+sz_d AS (SELECT dirty_id, CAST(count(*) AS BIGINT) AS na FROM tg_d
+         GROUP BY 1),
+df AS (
+  SELECT g, count(*) AS dfreq FROM tg_c GROUP BY g
+),
+rare AS (SELECT g FROM df WHERE dfreq <= {{cap}}),
+cand AS (
+  SELECT DISTINCT d.dirty_id, c.p_partkey
+  FROM tg_d d
+  JOIN rare r ON r.g = d.g
+  JOIN tg_c c ON c.g = d.g
+),
+inter AS (
+  SELECT cand.dirty_id, cand.p_partkey,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM cand
+  JOIN tg_d a ON a.dirty_id = cand.dirty_id
+  JOIN tg_c b ON b.p_partkey = cand.p_partkey AND b.g = a.g
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.dirty_id, i.p_partkey, i.shared, sd.na, sc.nb,
+         CAST(i.shared AS DOUBLE) / (sd.na + sc.nb - i.shared) AS jac
+  FROM inter i
+  JOIN sz_d sd USING (dirty_id) JOIN sz_c sc USING (p_partkey)
+  WHERE CAST(i.shared AS DOUBLE) / (sd.na + sc.nb - i.shared)
+        >= {{tau}}
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY dirty_id
+    ORDER BY jac DESC, shared DESC, p_partkey) AS rn
+  FROM scored
+)
+SELECT dirty_id, p_partkey AS matched_key, shared, na, nb,
+       round(jac, 6) AS jaccard
+FROM best WHERE rn = 1 ORDER BY dirty_id
+""".format(cap=_TRIGRAM_DF_CAP, tau=_TRIGRAM_TAU),
+)
+def q_join_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram set-similarity join (Jaccard ≥ 0.5, best match per
+    input) of a planted dirty part-name side against the clean part
+    dimension — the OTHER entity-resolution device beside
+    q_join_fuzzy's edit distance: edit distance prices
+    character-level typos, trigram Jaccard survives word drops /
+    reorders and is the standard pg_trgm / dedup-blocking similarity.
+
+    Scale shape — the PPJoin idea without the library: candidate
+    pairs are generated ONLY through trigrams whose document
+    frequency is ≤ {cap} (a map-combinable df count; the cap is the
+    stated contract, mirrored in the oracle — pairs sharing nothing
+    but ultra-common trigrams are not candidates, which is exactly
+    why a trigram join survives Zipf at 100 TB: the hot "the "-class
+    grams never fan out), then the Jaccard is EXACT integer set
+    arithmetic (shared / (|A|+|B|−shared)) over the full trigram
+    sets of the generated candidates; best-match is one
+    WindowGroupLimit. All joins are equi joins on the gram key.
+    """
+    p = load_table(spark, sf_dir, "part")
+    base = p.select("p_partkey", F.col("p_name").alias("nm")).filter(
+        F.length("nm") >= 3
+    )
+    dirty = base.select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.concat(
+            F.substring("nm", 1, 2), F.expr("substring(nm, 4)")
+        ).alias("nm"),
+    ).filter(F.length("nm") >= 3)
+
+    def grams(df, key):
+        return (
+            df.select(
+                key,
+                F.explode(
+                    F.sequence(F.lit(1), F.length("nm") - 2)
+                ).alias("i"),
+                "nm",
+            )
+            .select(key, F.expr("substring(nm, i, 3)").alias("g"))
+            .distinct()
+        )
+
+    tg_c = grams(base, "p_partkey")
+    tg_d = grams(dirty, "dirty_id")
+    sz_c = tg_c.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    sz_d = tg_d.groupBy("dirty_id").agg(
+        F.count(F.lit(1)).cast("long").alias("na")
+    )
+    rare = (
+        tg_c.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") <= _TRIGRAM_DF_CAP)
+        .select("g")
+    )
+    cand = (
+        tg_d.join(rare, "g")
+        .join(tg_c, "g")
+        .select("dirty_id", "p_partkey")
+        .distinct()
+    )
+    inter = (
+        cand.join(tg_d, "dirty_id")
+        .join(
+            tg_c.select(F.col("p_partkey").alias("pk2"), F.col("g").alias("g2")),
+            (F.col("pk2") == F.col("p_partkey")) & (F.col("g2") == F.col("g")),
+        )
+        .groupBy("dirty_id", "p_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    scored = (
+        inter.join(sz_d, "dirty_id")
+        .join(sz_c, "p_partkey")
+        .filter(jac >= _TRIGRAM_TAU)
+        .select("dirty_id", "p_partkey", "shared", "na", "nb", jac.alias("jac"))
+    )
+    w = W.partitionBy("dirty_id").orderBy(
+        F.col("jac").desc(), F.col("shared").desc(), "p_partkey"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dirty_id",
+            F.col("p_partkey").alias("matched_key"),
+            "shared",
+            "na",
+            "nb",
+            F.round("jac", 6).alias("jaccard"),
+        )
+        .orderBy("dirty_id")
+    )
+
+
+q_join_trigram.__doc__ = q_join_trigram.__doc__.format(cap=_TRIGRAM_DF_CAP)

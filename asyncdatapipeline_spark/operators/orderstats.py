@@ -1415,3 +1415,122 @@ def q_agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q_orders_repeat",
+    # Gaps are exact integer day differences; median/p90 are rank
+    # selections (the q_agg_percentile_global convention) on the
+    # |calendar-span|-bounded distinct-gap frame; mean is one IEEE
+    # division of integer sums.
+    oracle="""
+WITH r AS (
+  SELECT o_custkey,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT),
+                    o_orderkey
+         ) AS rn
+  FROM orders
+),
+firsts AS (
+  SELECT a.o_custkey, b.day - a.day AS gap
+  FROM r a JOIN r b ON b.o_custkey = a.o_custkey AND b.rn = 2
+  WHERE a.rn = 1
+),
+cust AS (
+  SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+  FROM orders
+),
+g AS (SELECT gap, count(*) AS cnt FROM firsts GROUP BY gap),
+c AS (
+  SELECT gap, CAST(sum(cnt) OVER (ORDER BY gap) AS BIGINT) AS cum FROM g
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_repeat,
+         CAST(sum(gap) AS BIGINT) AS sgap
+  FROM firsts
+)
+SELECT cust.n_customers, s.n_repeat,
+       round(CAST(s.n_repeat AS DOUBLE) / cust.n_customers, 6)
+         AS repeat_rate,
+       round(CAST(s.sgap AS DOUBLE) / s.n_repeat, 6) AS mean_gap_days,
+       (SELECT min(CASE WHEN cum >= (s.n_repeat * 50 + 99) // 100
+                        THEN gap END) FROM c) AS median_gap_days,
+       (SELECT min(CASE WHEN cum >= (s.n_repeat * 90 + 99) // 100
+                        THEN gap END) FROM c) AS p90_gap_days
+FROM cust CROSS JOIN s
+WHERE cust.n_customers > 0 AND s.n_repeat > 0
+""",
+)
+def q_orders_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase dynamics: share of customers who ever order
+    twice, and the first→second order gap's mean / exact median / p90
+    in days — the acquisition-quality readout (q_retention asks "did
+    the cohort come back this week"; this asks "how long until the
+    SECOND purchase", the number reorder nudges and win-back timers
+    are tuned against).
+
+    Scale shape: one (customer)-keyed window pass picks the first two
+    orders per customer (data-sized but key-partitioned); gaps are
+    exact integer day differences whose DISTINCT values are bounded
+    by the calendar span, so the median/p90 ride the
+    q_agg_percentile_global device — distinct-gap counts (map-
+    combinable) → ``dist_cumsum`` → integer-rank selection — with no
+    sort buffer and no single-partition window at any customer count.
+    Zero-repeat corpora emit nothing (rate undefined), never 0/0.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    w = W.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    r = o.select("o_custkey", day.alias("day"), "o_orderkey").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    a = r.filter(F.col("rn") == 1).select("o_custkey", F.col("day").alias("d1"))
+    b2 = r.filter(F.col("rn") == 2).select("o_custkey", F.col("day").alias("d2"))
+    firsts = a.join(b2, "o_custkey").select(
+        (F.col("d2") - F.col("d1")).alias("gap")
+    )
+    cust = o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_customers")
+    )
+    s = firsts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_repeat"),
+        F.sum("gap").cast("long").alias("sgap"),
+    )
+    g = firsts.groupBy("gap").agg(F.count(F.lit(1)).alias("cnt"))
+    c = dist_cumsum(g, "gap", ["cnt"])
+    sel = c.crossJoin(F.broadcast(s)).agg(
+        F.min(
+            F.when(
+                F.col("cum_cnt")
+                >= F.expr("(n_repeat * 50 + 99) div 100"),
+                F.col("gap"),
+            )
+        ).alias("median_gap_days"),
+        F.min(
+            F.when(
+                F.col("cum_cnt")
+                >= F.expr("(n_repeat * 90 + 99) div 100"),
+                F.col("gap"),
+            )
+        ).alias("p90_gap_days"),
+    )
+    return (
+        cust.crossJoin(s)
+        .crossJoin(F.broadcast(sel))
+        .filter((F.col("n_customers") > 0) & (F.col("n_repeat") > 0))
+        .select(
+            "n_customers",
+            "n_repeat",
+            F.round(
+                F.col("n_repeat").cast("double") / F.col("n_customers"), 6
+            ).alias("repeat_rate"),
+            F.round(
+                F.col("sgap").cast("double") / F.col("n_repeat"), 6
+            ).alias("mean_gap_days"),
+            "median_gap_days",
+            "p90_gap_days",
+        )
+    )

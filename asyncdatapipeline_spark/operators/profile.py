@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from asyncdatapipeline_spark.registry import query
 from asyncdatapipeline_spark.sources.tables import load_table
@@ -1103,4 +1103,92 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rate <= F.col("tolerance")).alias("passed"),
         )
         .orderBy("expectation")
+    )
+
+
+@query(
+    "q_profile_topk",
+    # Exact counts; rank ties broken by value; shares are single IEEE
+    # divisions of exact integers.
+    oracle="""
+WITH vals AS (
+  SELECT 'l_returnflag' AS col, l_returnflag AS val FROM lineitem
+  UNION ALL
+  SELECT 'l_linestatus', l_linestatus FROM lineitem
+  UNION ALL
+  SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+  UNION ALL
+  SELECT 'c_mktsegment', c_mktsegment FROM customer
+),
+c AS (
+  SELECT col, val, CAST(count(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY 1, 2
+),
+t AS (SELECT col, CAST(sum(cnt) AS BIGINT) AS total FROM c GROUP BY col),
+r AS (
+  SELECT col, val, cnt,
+         row_number() OVER (PARTITION BY col
+                            ORDER BY cnt DESC, val) AS rnk
+  FROM c
+)
+SELECT r.col AS column_name, r.rnk AS rank, r.val AS value, r.cnt,
+       round(CAST(r.cnt AS DOUBLE) / t.total, 6) AS share
+FROM r JOIN t ON t.col = r.col
+WHERE r.rnk <= 5
+ORDER BY column_name, rank
+""",
+)
+def q_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most frequent values per profiled categorical column
+    (with exact counts and shares) — the profiler staple beside
+    q_profile's numeric moments and q_profile_skew's hot-key readout:
+    the first thing anyone asks of a categorical column is "what's
+    actually in it", and the share column is the constant-column /
+    dominant-value alarm (a 99.9% single value usually means a
+    default, not data).
+
+    Scale shape: per-column grouped counts are map-combinable reduces
+    over PRUNED single-column scans (the union never materializes raw
+    rows — each leg aggregates before the union); the top-5 cut rides
+    WindowGroupLimit on the |distinct values|-sized frame; totals come
+    from the count frame itself (no second table pass). Output is
+    5 × |columns| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+
+    def counted(df, col):
+        return (
+            df.groupBy(F.col(col).alias("value"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .select(F.lit(col).alias("column_name"), "value", "cnt")
+        )
+
+    c = (
+        counted(li, "l_returnflag")
+        .unionByName(counted(li, "l_linestatus"))
+        .unionByName(counted(o, "o_orderstatus"))
+        .unionByName(counted(o, "o_orderpriority"))
+        .unionByName(counted(cu, "c_mktsegment"))
+    )
+    t = c.groupBy("column_name").agg(F.sum("cnt").cast("long").alias("total"))
+    w = W.partitionBy("column_name").orderBy(F.col("cnt").desc(), "value")
+    r = c.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+    return (
+        r.join(t, "column_name")
+        .select(
+            "column_name",
+            "rank",
+            "value",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("column_name", "rank")
     )

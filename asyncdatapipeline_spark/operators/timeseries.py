@@ -7634,3 +7634,399 @@ def q_ts_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("chi2_crit_05"),
         (F.col("q_stat") > crit).alias("autocorrelated"),
     )
+
+
+@query(
+    "q_anomaly_seasonal",
+    # Dense spine; per-DOW moments from exact BIGINT power sums; the z
+    # and its ordering key are one shared IEEE chain; dow = epoch-day
+    # mod 7 (integer, timezone-free).
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+spine AS (
+  SELECT unnest(generate_series(d0, d1)) AS day FROM b
+),
+x AS (
+  SELECT s.day, s.day % 7 AS dow, CAST(COALESCE(d.c, 0) AS BIGINT) AS c
+  FROM spine s LEFT JOIN d USING (day)
+),
+m AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+  FROM x GROUP BY dow
+),
+z AS (
+  SELECT x.day, x.dow, x.c,
+         CAST(m.s AS DOUBLE) / m.n AS mu,
+         (CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n)
+           / (m.n - 1) AS var
+  FROM x JOIN m USING (dow) WHERE m.n > 1
+),
+f AS (
+  SELECT day, CAST(dow AS INT) AS dow, c, round(mu, 6) AS expected,
+         round((c - mu) / sqrt(var), 6) AS z,
+         abs((c - mu) / sqrt(var)) AS az,
+         CASE WHEN c > mu THEN 'spike' ELSE 'drop' END AS direction
+  FROM z WHERE var > 0 AND abs((c - mu) / sqrt(var)) > 2.5
+)
+SELECT day, dow, c AS n_events, expected, z, direction
+FROM f ORDER BY az DESC, day LIMIT 10
+""",
+)
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week-adjusted volume anomalies: each day scored against
+    ITS weekday's mean and std (top-10 by |z| at a 2.5σ gate) — the
+    seasonality-aware alarm that q_anomaly (global σ) and
+    q_anomaly_rolling (trailing window) both misfire on: every Sunday
+    looks like a drop to a global baseline, and a Monday spike hides
+    inside a window that just absorbed the weekend. Scoring against
+    the weekday stratum is the standard first de-seasonalization and
+    catches exactly the "normal for Tuesday, alarming for Sunday"
+    class. dow is epoch-day mod 7 (integer, timezone-free; 0 =
+    Thursday) — stated so downstream joins agree.
+
+    Scale shape: one map-combinable reduce to daily counts; spine,
+    per-DOW exact power sums (7 strata) and z-scores all live on the
+    |days|-bounded frame; top-10 rides TakeOrderedAndProject on the
+    shared IEEE |z| key. Degenerate guards: strata with n ≤ 1 or zero
+    variance contribute no anomalies (NULL-safe, no division crash).
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = F.broadcast(
+        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    )
+    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    x = spine.join(d, "day", "left").select(
+        "day",
+        (F.col("day") % 7).alias("dow"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+    )
+    m = x.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    ).filter(F.col("n") > 1)
+    nn = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nn
+    var = (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / nn) / (
+        nn - 1
+    )
+    z = (F.col("c") - mu) / F.sqrt(var)
+    az = F.abs(z)
+    return (
+        x.join(F.broadcast(m), "dow")
+        .filter((var > 0) & (az > 2.5))
+        .select(
+            "day",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("c").alias("n_events"),
+            F.round(mu, 6).alias("expected"),
+            F.round(z, 6).alias("z"),
+            F.when(F.col("c") > mu, "spike").otherwise("drop").alias(
+                "direction"
+            ),
+            az.alias("_az"),
+        )
+        .orderBy(F.col("_az").desc(), "day")
+        .limit(10)
+        .drop("_az")
+    )
+
+
+_HALFLIFE_MAX_AGE = 8
+
+
+@query(
+    "q_retention_halflife",
+    # Pooled retention ratios are exact integer counts; each ln rides
+    # the 9dp contract and multiplies a small-integer age (exact
+    # DECIMAL products, the q_agg_trend discipline); the OLS slope /
+    # half-life are one shared IEEE chain.
+    oracle=f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS c0 FROM uw GROUP BY user_id
+),
+horizon AS (SELECT max(week) AS wmax FROM uw),
+ages AS (SELECT unnest(generate_series(1, {{maxage}})) AS age),
+eligible AS (
+  SELECT a.age, CAST(count(*) AS BIGINT) AS denom
+  FROM ages a, cohort c, horizon h
+  WHERE c.c0 + a.age <= h.wmax
+  GROUP BY a.age
+),
+active AS (
+  SELECT a.age, CAST(count(*) AS BIGINT) AS num
+  FROM ages a
+  JOIN cohort c ON true
+  JOIN horizon h ON c.c0 + a.age <= h.wmax
+  JOIN uw ON uw.user_id = c.user_id AND uw.week = c.c0 + a.age
+  GROUP BY a.age
+),
+r AS (
+  SELECT e.age, e.denom, COALESCE(ac.num, 0) AS num,
+         CAST(COALESCE(ac.num, 0) AS DOUBLE) / e.denom AS rk
+  FROM eligible e LEFT JOIN active ac USING (age)
+  WHERE e.denom > 0
+),
+pts AS (
+  SELECT age, rk,
+         CAST(round(ln(rk), 9) AS DECIMAL(11,9)) AS y
+  FROM r WHERE rk > 0
+),
+ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(age) AS BIGINT) AS sx,
+         CAST(sum(age * age) AS BIGINT) AS sxx,
+         sum(y) AS sy,
+         sum(CAST(age AS DECIMAL(18,0)) * y) AS sxy
+  FROM pts
+)
+SELECT n AS n_ages,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS slope,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) < 0
+            THEN round(-0.693147181
+                       / ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)), 6)
+       END AS half_life_weeks,
+       (SELECT round(rk, 6) FROM r WHERE age = 1) AS week1_retention
+FROM ols WHERE n > 1 AND n * sxx - sx * sx > 0
+""".format(maxage=_HALFLIFE_MAX_AGE),
+)
+def q_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: pooled weekly retention r_k (active at
+    cohort-age k / users eligible to BE age k) fitted as
+    ln r_k = a + b·k, half-life = ln2/(−b) — the single number that
+    compresses q_retention's cohort triangle for roadmap math ("our
+    users decay with a 3-week half-life") and makes two products'
+    curves comparable when their horizons differ. Eligibility
+    filtering (a cohort only counts at ages the data can still
+    observe) is what makes the pooled ratio unbiased at the horizon
+    edge — naive pooling undercounts late ages.
+
+    Scale shape: one distinct (user, week) reduce, one min per user
+    (both map-combinable, user-keyed); actives = one equi join of the
+    cohort frame back to (user, week) on the exact (user, c0+k) key
+    fanned over {k} compile-time ages; everything after lives on the
+    ≤{k}-row age frame. The fit is the q_agg_trend discipline: exact
+    integer x-sums, 9dp-DECIMAL ln ratios, exact DECIMAL cross
+    products, one IEEE chain. Flat/rising curves emit NULL half-life
+    (slope ≥ 0), not a division crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week"),
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("c0"))
+    horizon = F.broadcast(uw.agg(F.max("week").alias("wmax")))
+    ages = spark.range(1, _HALFLIFE_MAX_AGE + 1).select(
+        F.col("id").cast("long").alias("age")
+    )
+    ca = (
+        cohort.crossJoin(F.broadcast(ages))
+        .crossJoin(horizon)
+        .filter(F.col("c0") + F.col("age") <= F.col("wmax"))
+    )
+    eligible = ca.groupBy("age").agg(
+        F.count(F.lit(1)).cast("long").alias("denom")
+    )
+    active = (
+        ca.join(
+            uw.select(F.col("user_id").alias("u2"), F.col("week").alias("w2")),
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("w2") == F.col("c0") + F.col("age")),
+        )
+        .groupBy("age")
+        .agg(F.count(F.lit(1)).cast("long").alias("num"))
+    )
+    r = (
+        eligible.join(active, "age", "left")
+        .filter(F.col("denom") > 0)
+        .select(
+            "age",
+            (
+                F.coalesce("num", F.lit(0)).cast("double") / F.col("denom")
+            ).alias("rk"),
+        )
+    )
+    pts = r.filter(F.col("rk") > 0).select(
+        "age", F.round(F.log("rk"), 9).cast("decimal(11,9)").alias("y")
+    )
+    ols = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("age").cast("long").alias("sx"),
+        F.sum(F.col("age") * F.col("age")).cast("long").alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("age").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
+    )
+    n, sx = F.col("n").cast("double"), F.col("sx").cast("double")
+    slope = (n * F.col("sxy").cast("double") - sx * F.col("sy").cast("double")) / (
+        n * F.col("sxx") - sx * F.col("sx")
+    )
+    wk1 = F.broadcast(
+        r.filter(F.col("age") == 1).select(F.round("rk", 6).alias("week1_retention"))
+    )
+    return (
+        ols.filter(
+            (F.col("n") > 1)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        )
+        .crossJoin(wk1)
+        .select(
+            F.col("n").alias("n_ages"),
+            F.round(slope, 6).alias("slope"),
+            F.when(slope < 0, F.round(-0.693147181 / slope, 6)).alias(
+                "half_life_weeks"
+            ),
+            "week1_retention",
+        )
+    )
+
+
+@query(
+    "q_ts_seasonal_drift",
+    # Exact integer cell/margin counts; each chi-square term is
+    # 12dp-quantized into DECIMAL before the 14-cell sum (the
+    # q_ts_seasonality PSI discipline); halves split on the exact
+    # integer epoch-day midpoint.
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events
+),
+b AS (
+  SELECT min(day) AS d0,
+         min(day) + (max(day) - min(day) + 1) // 2 AS mid FROM d
+),
+cells AS (
+  SELECT CASE WHEN day < b.mid THEN 0 ELSE 1 END AS half,
+         day % 7 AS dow, CAST(count(*) AS BIGINT) AS n
+  FROM d CROSS JOIN b GROUP BY 1, 2
+),
+grid AS (
+  SELECT h.half, w.dow, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+  FROM (SELECT unnest([0, 1]) AS half) h
+  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS dow) w
+  LEFT JOIN cells c ON c.half = h.half AND c.dow = w.dow
+),
+m AS (
+  SELECT g.half, g.dow, g.n,
+         rt.rn, ct.cn, tt.nn
+  FROM grid g
+  JOIN (SELECT half, CAST(sum(n) AS BIGINT) AS rn FROM grid GROUP BY 1) rt
+    USING (half)
+  JOIN (SELECT dow, CAST(sum(n) AS BIGINT) AS cn FROM grid GROUP BY 1) ct
+    USING (dow)
+  CROSS JOIN (SELECT CAST(sum(n) AS BIGINT) AS nn FROM grid) tt
+),
+terms AS (
+  SELECT CAST(round(
+           (n - CAST(rn AS DOUBLE) * cn / nn)
+           * (n - CAST(rn AS DOUBLE) * cn / nn)
+           / (CAST(rn AS DOUBLE) * cn / nn), 12) AS DECIMAL(24,12))
+           AS t
+  FROM m WHERE rn > 0 AND cn > 0 AND nn > 0
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(t) AS DOUBLE) AS chi2
+  FROM terms
+)
+SELECT n_cells, round(chi2, 6) AS chi2, 6 AS df,
+       12.592 AS chi2_crit_05,
+       chi2 > 12.592 AS weekly_profile_drifted
+FROM s WHERE n_cells > 0
+""",
+)
+def q_ts_seasonal_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-profile drift test: two-sample chi-square of the
+    day-of-week event distribution, first half of the calendar span
+    vs second — "did the SHAPE of the week change", which
+    q_ts_seasonality (profile vs uniform, one sample) and
+    q_profile_drift (value distribution) both leave unanswered. The
+    alarm that day-of-week-conditioned baselines (q_anomaly_seasonal's
+    strata, staffing curves) have gone stale and need refitting.
+
+    Scale shape: ONE map-combinable reduce to the 2×7 (half, dow)
+    cell grid — the halves split on the exact integer epoch-day
+    midpoint, dow = epoch-day mod 7, both engine-identical integer
+    arithmetic; margins and expecteds live on the 14-cell frame; each
+    chi-square term is 12dp-quantized into DECIMAL before the sum so
+    the 14-term addition is merge-order-proof. Zero-margin cells drop
+    from the statistic (stated; df stays 6 by the fixed 2×7 design).
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    )
+    b = F.broadcast(
+        d.agg(
+            F.min("day").alias("d0"),
+            (
+                F.min("day")
+                + F.floor((F.max("day") - F.min("day") + 1) / 2)
+            )
+            .cast("long")
+            .alias("mid"),
+        )
+    )
+    cells = (
+        d.crossJoin(b)
+        .groupBy(
+            F.when(F.col("day") < F.col("mid"), 0).otherwise(1).alias("half"),
+            (F.col("day") % 7).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    halves = spark.range(0, 2).select(F.col("id").cast("int").alias("half"))
+    dows = spark.range(0, 7).select(F.col("id").cast("long").alias("dow"))
+    grid = (
+        halves.crossJoin(dows)
+        .join(cells, ["half", "dow"], "left")
+        .select(
+            "half", "dow", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+        )
+    )
+    rt = grid.groupBy("half").agg(F.sum("n").cast("long").alias("rn"))
+    ct = grid.groupBy("dow").agg(F.sum("n").cast("long").alias("cn"))
+    tt = F.broadcast(grid.agg(F.sum("n").cast("long").alias("nn")))
+    ex = F.col("rn").cast("double") * F.col("cn") / F.col("nn")
+    term = F.round((F.col("n") - ex) * (F.col("n") - ex) / ex, 12).cast(
+        "decimal(24,12)"
+    )
+    terms = (
+        grid.join(F.broadcast(rt), "half")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(tt)
+        .filter((F.col("rn") > 0) & (F.col("cn") > 0) & (F.col("nn") > 0))
+        .select(term.alias("t"))
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("t").cast("double").alias("chi2"),
+    ).filter(F.col("n_cells") > 0)
+    return s.select(
+        "n_cells",
+        F.round("chi2", 6).alias("chi2"),
+        F.lit(6).alias("df"),
+        F.lit(12.592).alias("chi2_crit_05"),
+        (F.col("chi2") > 12.592).alias("weekly_profile_drifted"),
+    )

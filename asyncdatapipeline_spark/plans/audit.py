@@ -515,6 +515,51 @@ CHECKS: dict[str, list[tuple]] = {
         ("forbid", "per-lag pairs via equi joins, no window", "windowspecdefinition"),
         ("forbid", "no unbounded pair blowup", "CartesianProduct"),
     ],
+    "q_text_lexical_diversity": [
+        ("must", "token/type reduces combine map-side", r"HashAggregate.*partial"),
+        ("forbid", "no Python in the fold path", *_PYTHON_EVAL_NODES),
+    ],
+    "q_text_pii_scan": [
+        ("must", "hit counts combine map-side", r"HashAggregate.*partial"),
+        ("forbid", "regex scan stays JVM-side", *_PYTHON_EVAL_NODES),
+        ("forbid", "map-only scan + one agg, no join", "Join"),
+    ],
+    "q_profile_topk": [
+        ("must", "per-column top-5 rides WindowGroupLimit", r"WindowGroupLimit"),
+        ("must", "value counts combine map-side", r"HashAggregate.*partial"),
+    ],
+    "q_anomaly_seasonal": [
+        ("must", "top-10 rides TakeOrderedAndProject", r"TakeOrderedAndProject"),
+        ("must", "DOW strata broadcast back onto the spine", r"BroadcastHashJoin"),
+        ("forbid", "spine never shuffles to join its strata", "SortMergeJoin"),
+    ],
+    "q_orders_repeat": [
+        ("must", "gap selections ride the bucket-keyed cumsum window", r"windowspecdefinition\(_pid"),
+        ("forbid", "no sort-based aggregation buffer", "SortAggregate"),
+    ],
+    "q_embed_outliers": [
+        ("must", "top-10 rides TakeOrderedAndProject", r"TakeOrderedAndProject"),
+        ("must", "centroid cells / distance fold combine map-side", r"HashAggregate.*partial"),
+        ("forbid", "no Python in the distance path", *_PYTHON_EVAL_NODES),
+    ],
+    "q_join_trigram": [
+        ("must", "best-match rides WindowGroupLimit", r"WindowGroupLimit"),
+        ("forbid", "gram-keyed equi joins only, no blowup", *_NESTED_LOOP_NODES),
+    ],
+    "q_retention_halflife": [
+        ("must", "cohort/activity reduces combine map-side", r"HashAggregate.*partial"),
+        ("forbid", "no unbounded pair blowup", "CartesianProduct"),
+    ],
+    "q_ml_nearest_centroid": [
+        ("must", "centroid cells broadcast onto the scoring join", r"BroadcastHashJoin"),
+        ("must", "distance fold combines map-side", r"HashAggregate.*partial"),
+        ("forbid", "cells never shuffle to join centroids", "SortMergeJoin"),
+        ("forbid", "no Python in the distance path", *_PYTHON_EVAL_NODES),
+    ],
+    "q_ts_seasonal_drift": [
+        ("must", "cell grid reduces map-side", r"HashAggregate.*partial"),
+        ("forbid", "14-cell frame only, no window", "windowspecdefinition"),
+    ],
 }
 
 

@@ -130,6 +130,12 @@ HEADLINE = [
     "q_text_source_divergence", # per-source JSD, decimal-ln fold
     "q_text_char_entropy",      # char-level entropy, bounded fan-in
     "q_agg_overdispersion",     # per-type dispersion on dense spine
+    "q_text_lexical_diversity", # corpus + per-doc TTR panel
+    "q_orders_repeat",          # first->second gap via rank device
+    "q_embed_outliers",         # all-integer centroid distances
+    "q_anomaly_seasonal",       # DOW-stratified z on dense spine
+    "q_join_trigram",           # df-capped set-similarity join
+    "q_ml_nearest_centroid",    # |labels|*d broadcast scoring
 ]
 
 

@@ -268,6 +268,16 @@ QUERIES = [
     "q_text_char_entropy",
     "q_agg_overdispersion",
     "q_ts_ljungbox",
+    "q_text_lexical_diversity",
+    "q_text_pii_scan",
+    "q_profile_topk",
+    "q_anomaly_seasonal",
+    "q_orders_repeat",
+    "q_embed_outliers",
+    "q_join_trigram",
+    "q_retention_halflife",
+    "q_ml_nearest_centroid",
+    "q_ts_seasonal_drift",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
