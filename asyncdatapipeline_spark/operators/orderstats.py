@@ -1534,3 +1534,103 @@ def q_orders_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_gap_days",
         )
     )
+
+
+@query(
+    "q_orders_leadtime",
+    # Lead times are exact integer day differences; median/p90 are the
+    # grouped rank-selection device (q_agg_median_exact convention)
+    # on the calendar-bounded distinct-gap frame per priority; mean is
+    # one IEEE division of integer sums.
+    oracle="""
+WITH lt AS (
+  SELECT o.o_orderpriority AS prio,
+         CAST(floor(epoch(l.l_shipdate) / 86400) AS BIGINT)
+         - CAST(floor(epoch(o.o_orderdate) / 86400) AS BIGINT) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+g AS (SELECT prio, days, count(*) AS cnt FROM lt GROUP BY 1, 2),
+c AS (
+  SELECT prio, days,
+         CAST(sum(cnt) OVER (PARTITION BY prio ORDER BY days)
+              AS BIGINT) AS cum
+  FROM g
+),
+s AS (
+  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(days) AS BIGINT) AS sd
+  FROM lt GROUP BY prio
+)
+SELECT s.prio AS o_orderpriority, s.n AS n_lines,
+       round(CAST(s.sd AS DOUBLE) / s.n, 6) AS mean_days,
+       (SELECT min(CASE WHEN c.cum >= (s.n * 50 + 99) // 100
+                        THEN c.days END)
+        FROM c WHERE c.prio = s.prio) AS median_days,
+       (SELECT min(CASE WHEN c.cum >= (s.n * 90 + 99) // 100
+                        THEN c.days END)
+        FROM c WHERE c.prio = s.prio) AS p90_days
+FROM s ORDER BY o_orderpriority
+""",
+)
+def q_orders_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead time per order priority: exact mean, median
+    and p90 in days — the fulfillment-SLA readout purchasing contracts
+    quote ("URGENT ships in 3 days median, 9 days p90"), and the
+    per-priority twin of q_orders_sla's breach counting: that op
+    counts violations of a fixed bound, this reports the distribution
+    the bound should be set FROM.
+
+    Scale shape: the one data-sized step is the fact⋈fact
+    lineitem→orders equi join (key-partitioned shuffle — or free on
+    the q_join_bucketed layout); lead times are exact integer day
+    differences whose DISTINCT values are calendar-bounded, so the
+    grouped median/p90 ride the q_agg_median_exact device —
+    per-priority distinct-gap counts (map-combinable) →
+    ``dist_cumsum(part_cols=[priority])`` → integer-rank selections —
+    no per-group sort buffer at any fact size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sday = F.floor(F.unix_timestamp("l_shipdate") / 86400).cast("long")
+    oday = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("prio"),
+        (sday - oday).alias("days"),
+    )
+    s = lt.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("days").cast("long").alias("sd"),
+    )
+    g = lt.groupBy("prio", "days").agg(F.count(F.lit(1)).alias("cnt"))
+    c = dist_cumsum(g, "days", ["cnt"], part_cols=["prio"])
+    sel = (
+        c.join(F.broadcast(s), "prio")
+        .groupBy("prio")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_cnt") >= F.expr("(n * 50 + 99) div 100"),
+                    F.col("days"),
+                )
+            ).alias("median_days"),
+            F.min(
+                F.when(
+                    F.col("cum_cnt") >= F.expr("(n * 90 + 99) div 100"),
+                    F.col("days"),
+                )
+            ).alias("p90_days"),
+        )
+    )
+    return (
+        s.join(sel, "prio")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            F.col("n").alias("n_lines"),
+            F.round(F.col("sd").cast("double") / F.col("n"), 6).alias(
+                "mean_days"
+            ),
+            "median_days",
+            "p90_days",
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -8030,3 +8030,211 @@ def q_ts_seasonal_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(12.592).alias("chi2_crit_05"),
         (F.col("chi2") > 12.592).alias("weekly_profile_drifted"),
     )
+
+
+@query(
+    "q_ts_return_level",
+    # Daily maxima of HOURLY counts are exact integers; the Gumbel
+    # method-of-moments fit and both return levels are one shared IEEE
+    # chain from exact BIGINT power sums; the two ln(-ln(1-1/T))
+    # plotting constants are literals.
+    oracle="""
+WITH h AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, count(*) AS c
+  FROM events GROUP BY 1
+),
+dm AS (
+  SELECT hr // 24 AS day, CAST(max(c) AS BIGINT) AS mx
+  FROM h GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(mx) AS BIGINT) AS s,
+         CAST(sum(mx * mx) AS BIGINT) AS ss
+  FROM dm
+),
+fit AS (
+  SELECT n,
+         CAST(s AS DOUBLE) / n AS mean,
+         sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+           AS sd
+  FROM m WHERE n > 1
+),
+g AS (
+  SELECT n, mean, sd,
+         sd * 0.7796968012336093 AS beta,
+         mean - sd * 0.7796968012336093 * 0.5772156649015329 AS mu
+  FROM fit WHERE sd > 0
+)
+SELECT n AS n_days, round(mean, 6) AS mean_daily_max,
+       round(sd, 6) AS sd_daily_max,
+       round(mu, 6) AS gumbel_mu, round(beta, 6) AS gumbel_beta,
+       round(mu - beta * (-3.3842944934992527), 6) AS return_level_30d,
+       round(mu - beta * (-4.494228221802722), 6) AS return_level_90d
+FROM g
+""",
+)
+def q_ts_return_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value return levels for peak load: Gumbel fit (method
+    of moments) to the DAILY MAXIMUM of hourly event counts, with the
+    30-day and 90-day return levels — the capacity-planning number
+    ("what hourly peak should we expect once a month / once a
+    quarter") that means and percentiles structurally understate:
+    extremes follow their own distribution, and block maxima →
+    Gumbel is the classical result. Method of moments (β = s√6/π,
+    μ = m − γβ) keeps the fit closed-form IEEE; return level at
+    period T is μ − β·ln(−ln(1−1/T)), the two plotting constants
+    emitted as literals so no transcendental runs on data.
+
+    Scale shape: one map-combinable reduce to hourly counts, one more
+    to |days| block maxima, exact BIGINT power sums on the bounded
+    frame, one closed-form row. Degenerate guards: n ≤ 1 or zero
+    spread emits nothing (a constant series has no extreme-value
+    story), never a division crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dm = h.groupBy(F.expr("hr div 24").alias("day")).agg(
+        F.max("c").cast("long").alias("mx")
+    )
+    m = dm.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("s"),
+        F.sum(F.col("mx") * F.col("mx")).cast("long").alias("ss"),
+    ).filter(F.col("n") > 1)
+    nn = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nn
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / nn)
+        / (nn - 1)
+    )
+    beta = sd * 0.7796968012336093          # sqrt(6)/pi
+    mu = mean - beta * 0.5772156649015329   # Euler-Mascheroni
+    return (
+        m.filter(sd > 0)
+        .select(
+            F.col("n").alias("n_days"),
+            F.round(mean, 6).alias("mean_daily_max"),
+            F.round(sd, 6).alias("sd_daily_max"),
+            F.round(mu, 6).alias("gumbel_mu"),
+            F.round(beta, 6).alias("gumbel_beta"),
+            F.round(mu - beta * (-3.3842944934992527), 6).alias(
+                "return_level_30d"
+            ),
+            F.round(mu - beta * (-4.494228221802722), 6).alias(
+                "return_level_90d"
+            ),
+        )
+    )
+
+
+@query(
+    "q_ts_gaps",
+    # Pure integer gaps-and-islands on the dense day spine: run key =
+    # day − row_number (constant per maximal zero run); every output
+    # is an exact integer or one IEEE division.
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+x AS (
+  SELECT s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS c
+  FROM spine s LEFT JOIN d USING (day)
+),
+z AS (
+  SELECT day,
+         day - row_number() OVER (ORDER BY day) AS grp
+  FROM x WHERE c = 0
+),
+runs AS (
+  SELECT grp, CAST(min(day) AS BIGINT) AS start_day,
+         CAST(count(*) AS BIGINT) AS len
+  FROM z GROUP BY grp
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(COALESCE(max(len), 0) AS BIGINT) AS longest
+  FROM runs
+),
+longest_run AS (
+  SELECT start_day FROM runs
+  ORDER BY len DESC, start_day LIMIT 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(count(*) FILTER (WHERE c = 0) AS BIGINT) AS n_zero
+  FROM x
+)
+SELECT tot.n_days, tot.n_zero AS n_zero_days,
+       round(CAST(tot.n_zero AS DOUBLE) / tot.n_days, 6) AS zero_share,
+       agg.n_gaps, agg.longest AS longest_gap_days,
+       (SELECT start_day FROM longest_run) AS longest_gap_start
+FROM tot CROSS JOIN agg WHERE tot.n_days > 0
+""",
+)
+def q_ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-gap profile of the event stream: zero-event days on the
+    dense calendar spine, their share, the count of maximal zero RUNS
+    and the longest run with its start day — the classic
+    gaps-and-islands readout, pointed at pipeline health ("is this
+    feed continuous or did ingestion die for four days in March").
+    q_dq_freshness asks how stale the END is; this audits the
+    interior. The island key is pure integer arithmetic (day −
+    row_number is constant exactly on consecutive days), no
+    session-gap heuristics.
+
+    Scale shape: one map-combinable reduce to daily counts; the
+    spine, the zero-run window (|days|-bounded, keyed by the
+    fold-proof bounded_part constant) and the run aggregate all live
+    on the bounded frame; one closed-form row. A gap-free series
+    reports 0 gaps with NULL start, not a crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = F.broadcast(
+        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    )
+    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    x = spine.join(d, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    wz = W.partitionBy(bounded_part(F.col("day"))).orderBy("day")
+    z = x.filter(F.col("c") == 0).select(
+        "day", (F.col("day") - F.row_number().over(wz)).alias("grp")
+    )
+    runs = z.groupBy("grp").agg(
+        F.min("day").cast("long").alias("start_day"),
+        F.count(F.lit(1)).cast("long").alias("len"),
+    )
+    agg = runs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.coalesce(F.max("len"), F.lit(0)).cast("long").alias("longest"),
+        F.min(
+            F.struct(
+                (-F.col("len")).alias("nl"), F.col("start_day").alias("sd")
+            )
+        )
+        .getField("sd")
+        .alias("longest_gap_start"),
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum((F.col("c") == 0).cast("long")).cast("long").alias("n_zero"),
+    ).filter(F.col("n_days") > 0)
+    return tot.crossJoin(F.broadcast(agg)).select(
+        "n_days",
+        F.col("n_zero").alias("n_zero_days"),
+        F.round(
+            F.col("n_zero").cast("double") / F.col("n_days"), 6
+        ).alias("zero_share"),
+        "n_gaps",
+        F.col("longest").alias("longest_gap_days"),
+        "longest_gap_start",
+    )

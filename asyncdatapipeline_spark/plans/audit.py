@@ -560,6 +560,21 @@ CHECKS: dict[str, list[tuple]] = {
         ("must", "cell grid reduces map-side", r"HashAggregate.*partial"),
         ("forbid", "14-cell frame only, no window", "windowspecdefinition"),
     ],
+    "q_ts_return_level": [
+        ("must", "hourly/daily-max reduces combine map-side", r"HashAggregate.*partial"),
+        ("forbid", "closed-form fit, no join no window", "Join", "windowspecdefinition"),
+    ],
+    "q_orders_leadtime": [
+        ("must", "grouped selections ride the (prio, bucket) cumsum window", r"windowspecdefinition\(prio[^,]*, _pid"),
+        ("forbid", "no sort-based aggregation buffer", "SortAggregate"),
+    ],
+    "q_ts_gaps": [
+        # the bounded_part key is projected to a _w# column by Spark's
+        # window rewrite — assert the spec is keyed, not empty
+        ("must", "zero-run window keyed (no empty partition spec)", r"windowspecdefinition\(_w\d+#\d+"),
+        # crossJoin of two 1-row frames is a sanctioned O(1)-side BNLJ
+        ("forbid", "no unbounded cartesian blowup", "CartesianProduct"),
+    ],
 }
 
 

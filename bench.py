@@ -136,6 +136,7 @@ HEADLINE = [
     "q_anomaly_seasonal",       # DOW-stratified z on dense spine
     "q_join_trigram",           # df-capped set-similarity join
     "q_ml_nearest_centroid",    # |labels|*d broadcast scoring
+    "q_orders_leadtime",        # grouped rank device over a fact join
 ]
 
 

@@ -278,6 +278,9 @@ QUERIES = [
     "q_retention_halflife",
     "q_ml_nearest_centroid",
     "q_ts_seasonal_drift",
+    "q_ts_return_level",
+    "q_orders_leadtime",
+    "q_ts_gaps",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
