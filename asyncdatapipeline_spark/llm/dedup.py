@@ -2452,3 +2452,70 @@ def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = cf if out is None else out.unionAll(cf)
     return out.orderBy("rows_per_band")
+
+
+# Prefix-dedup config: documents sharing their first _PREFIX_W words
+# verbatim are one scrape family (mirrors/templated rewrites keep the
+# head; truncated re-crawls diverge in the tail, which full-text md5
+# misses entirely).
+_PREFIX_W = 16
+
+
+@query(
+    "q_dedup_prefix",
+    # Cluster key is the md5 hex of the verbatim word prefix — a pure
+    # string both engines compute identically; every other output is
+    # an exact integer (count / min / distinct-count / sum).
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, source, n_chars,
+         md5(array_to_string(
+           list_slice(string_split(text, ' '), 1, {_PREFIX_W}), ' '))
+           AS prefix_md5
+  FROM documents
+)
+SELECT prefix_md5,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM p GROUP BY prefix_md5 HAVING count(*) > 1
+""",
+)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate clusters: documents whose first 16 words match
+    VERBATIM — the scrape-family tier between exact dedup (whole-text
+    md5, misses any tail divergence) and MinHash (pays shingling for
+    what is here a single hash): mirrored articles with different
+    footers, templated rewrites, and truncated re-crawls all keep the
+    head. Emits one row per family with the canonical survivor (min
+    doc_id), the source spread (n_sources > 1 = cross-feed mirror,
+    the licensing/robots signal), and the bytes at stake.
+
+    Scale shape: row-local prefix slice + md5 (the TEXT never
+    shuffles — only the 32-char digest does), one digest-keyed
+    map-combinable aggregate, HAVING > 1 prunes the (dominant)
+    singleton mass before anything is returned. Same plan geometry as
+    q_dedup_exact at any corpus size; cluster count bounds the output,
+    not the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(
+        " ", F.slice(F.split("text", " "), 1, _PREFIX_W)
+    )
+    return (
+        d.select(
+            F.md5(prefix).alias("prefix_md5"),
+            "doc_id",
+            "source",
+            "n_chars",
+        )
+        .groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_doc_id"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

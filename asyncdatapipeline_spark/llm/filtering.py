@@ -906,3 +906,156 @@ def q_split_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# Boilerplate gram config: a 3-gram is boilerplate within a source when
+# it appears in >= _BP_MIN_DF docs AND >= _BP_MIN_SHARE of that
+# source's docs. Production pipelines tune both (nav bars / license
+# headers sit at high share); the fixtures' word-soup needs the low
+# floor to exercise the path.
+_BP_N = 3
+_BP_MIN_DF = 2
+_BP_MIN_SHARE = 0.05
+
+
+@query(
+    "q_text_boilerplate",
+    # Doc frequencies and doc counts are exact integers; the only
+    # floats are two integer divisions per source row. top_gram ties
+    # break lexicographically (min gram among max-df grams).
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+pairs AS (
+  SELECT DISTINCT source, doc_id,
+         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram
+  FROM w CROSS JOIN LATERAL
+    unnest(generate_series(1, len(ws) - {_BP_N - 1})) AS t(i)
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+),
+dfreq AS (
+  SELECT source, gram, CAST(count(*) AS BIGINT) AS df
+  FROM pairs GROUP BY 1, 2
+),
+boiler AS (
+  SELECT d.source, d.gram, d.df
+  FROM dfreq d JOIN per_src p USING (source)
+  WHERE d.df >= {_BP_MIN_DF} AND d.df * 1.0 / p.n_docs >= {_BP_MIN_SHARE}
+),
+bg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_boiler_grams,
+         max(df) AS top_df
+  FROM boiler GROUP BY source
+),
+btop AS (
+  SELECT b.source, g.n_boiler_grams, g.top_df, min(b.gram) AS top_gram
+  FROM boiler b JOIN bg g ON b.source = g.source AND b.df = g.top_df
+  GROUP BY 1, 2, 3
+),
+bdocs AS (
+  SELECT p.source, CAST(count(DISTINCT p.doc_id) AS BIGINT) AS boiler_docs
+  FROM pairs p JOIN boiler b ON p.source = b.source AND p.gram = b.gram
+  GROUP BY 1
+)
+SELECT s.source, s.n_docs,
+       COALESCE(t.n_boiler_grams, 0) AS n_boiler_grams,
+       COALESCE(t.top_df, 0) AS top_df,
+       t.top_gram,
+       COALESCE(d.boiler_docs, 0) AS boiler_docs,
+       round(COALESCE(d.boiler_docs, 0) * 1.0 / s.n_docs, 6)
+         AS boiler_doc_share
+FROM per_src s
+LEFT JOIN btop t USING (source)
+LEFT JOIN bdocs d USING (source)
+ORDER BY s.source
+""",
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-gram census: word 3-grams shared by many
+    documents WITHIN a source (nav bars, license headers, scraper
+    chrome, cookie banners) — the C4/RefinedWeb-class cleanup signal
+    that intra-document repetition (q_text_repetition) and cross-corpus
+    dedup both miss: boilerplate is repeated ACROSS documents of one
+    feed while each document stays individually unique. Emits per
+    source the boilerplate-gram count, the most widespread gram, and
+    the share of documents carrying any — the triage dashboard that
+    says which ingest feed needs a template stripper.
+
+    Scale shape: per-doc DISTINCT gram explode (the array_distinct
+    happens inside the row before the explode, so a gram repeated
+    within one doc costs one pair row) → gram-keyed map-combinable doc
+    frequency → threshold against broadcast per-source doc counts →
+    the bounded boilerplate set joins BACK to the pair stream for the
+    affected-doc count. No pair-of-docs join anywhere; the widest
+    shuffle is (source, gram)-keyed and combiner-reduced. The
+    boilerplate-set join is broadcast-sized by construction (it is
+    capped by grams crossing the df floor, not by corpus size).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams_expr = (
+        "element_at(transform(array(struct(split(text, ' ') as w)), "
+        f"wb -> array_distinct(if(size(wb.w) >= {_BP_N}, "
+        f"transform(sequence(1, size(wb.w) - {_BP_N - 1}), "
+        f"i -> concat_ws(' ', slice(wb.w, i, {_BP_N}))), "
+        "cast(array() as array<string>)))), 1)"
+    )
+    pairs = (
+        d.select(
+            "source", "doc_id", F.explode(F.expr(grams_expr)).alias("gram")
+        )
+        .localCheckpoint(eager=False)  # feeds dfreq and the re-join
+    )
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    dfreq = pairs.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    boiler = (
+        dfreq.join(F.broadcast(per_src), "source")
+        .filter(
+            (F.col("df") >= _BP_MIN_DF)
+            & (F.col("df") * 1.0 / F.col("n_docs") >= _BP_MIN_SHARE)
+        )
+        .select("source", "gram", "df")
+        .localCheckpoint(eager=False)  # bounded; feeds btop and bdocs
+    )
+    bg = boiler.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_boiler_grams"),
+        F.max("df").alias("top_df"),
+    )
+    btop = (
+        boiler.alias("b")
+        .join(
+            F.broadcast(bg.alias("g")),
+            (F.col("b.source") == F.col("g.source"))
+            & (F.col("b.df") == F.col("g.top_df")),
+        )
+        .groupBy(F.col("b.source").alias("source"), "n_boiler_grams", "top_df")
+        .agg(F.min("b.gram").alias("top_gram"))
+    )
+    bdocs = (
+        pairs.join(F.broadcast(boiler), ["source", "gram"])
+        .groupBy("source")
+        .agg(F.count_distinct("doc_id").cast("long").alias("boiler_docs"))
+    )
+    return (
+        per_src.join(btop, "source", "left")
+        .join(bdocs, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_boiler_grams", F.lit(0)).alias("n_boiler_grams"),
+            F.coalesce("top_df", F.lit(0)).alias("top_df"),
+            "top_gram",
+            F.coalesce("boiler_docs", F.lit(0)).alias("boiler_docs"),
+            F.round(
+                F.coalesce("boiler_docs", F.lit(0)) * 1.0 / F.col("n_docs"), 6
+            ).alias("boiler_doc_share"),
+        )
+        .orderBy("source")
+    )

@@ -467,3 +467,88 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# Epoch-capped rebalance config: upweighting a small domain means
+# REPEATING it; past a few epochs repetition stops helping and starts
+# hurting (memorization, loss spikes) — the published pretraining rule
+# of thumb is a hard epoch cap.
+_EPOCH_CAP = 3.0
+
+
+@query(
+    "q_mix_epochs",
+    # Token counts are exact BIGINTs; the per-source epoch factor is
+    # one IEEE chain over (exact total / exact source count); no
+    # cross-row float sum anywhere (the uniform target divides the
+    # corpus total by the source count, both exact).
+    oracle=f"""
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM per
+)
+SELECT source, n_tokens,
+       CAST(floor(CAST(total AS DOUBLE) / n_sources) AS BIGINT)
+         AS target_tokens,
+       round((CAST(total AS DOUBLE) / n_sources) / n_tokens, 6)
+         AS epochs_raw,
+       round(least({_EPOCH_CAP},
+                   (CAST(total AS DOUBLE) / n_sources) / n_tokens), 6)
+         AS epochs_capped,
+       CAST(floor(n_tokens
+                  * least({_EPOCH_CAP},
+                          (CAST(total AS DOUBLE) / n_sources) / n_tokens))
+            AS BIGINT) AS planned_tokens,
+       ((CAST(total AS DOUBLE) / n_sources) / n_tokens > {_EPOCH_CAP})
+         AS capped
+FROM per CROSS JOIN t
+ORDER BY source
+""",
+)
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped mixture rebalance: uniform per-source token target
+    with a hard repetition cap — the production guard q_mix_rebalance's
+    temperature weights don't have. Upweighting a domain means
+    REPEATING its tokens; the published pretraining rule (C4/Pile/LLaMA
+    lineage) is that past ~3-4 epochs repetition degrades the model, so
+    the plan is epochs = min(cap, target/actual), and the `capped` flag
+    is the procurement signal: that source is underweight and needs
+    MORE DATA, not more epochs — no sampling weight can fix it.
+
+    Scale shape: one map-combinable pass to per-source token counts,
+    one 2-scalar broadcast (corpus total, source count), |sources| rows
+    of closed-form arithmetic. Exact-integer inputs, one IEEE chain per
+    row, no order-dependent float sum.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    t = per.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    target = F.col("total").cast("double") / F.col("n_sources")
+    raw = target / F.col("n_tokens")
+    capped = F.least(F.lit(_EPOCH_CAP), raw)
+    return (
+        per.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_tokens",
+            F.floor(target).cast("long").alias("target_tokens"),
+            F.round(raw, 6).alias("epochs_raw"),
+            F.round(capped, 6).alias("epochs_capped"),
+            F.floor(F.col("n_tokens") * capped).cast("long").alias(
+                "planned_tokens"
+            ),
+            (raw > _EPOCH_CAP).alias("capped"),
+        )
+        .orderBy("source")
+    )

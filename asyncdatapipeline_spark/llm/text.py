@@ -3627,3 +3627,228 @@ def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_text_kneser_ney",
+    # Every count (bigram, history, continuation, type total) is an
+    # exact BIGINT; each published probability is ONE parenthesized
+    # IEEE chain over those integers, identical op-for-op in both
+    # engines, then rounded. Top-20 selection orders by the exact
+    # count with a lexicographic tiebreak.
+    oracle="""
+WITH w AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+  FROM w CROSS JOIN LATERAL
+    unnest(generate_series(1, len(ws) - 1)) AS t(i)
+),
+c2 AS (
+  SELECT string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2,
+         CAST(count(*) AS BIGINT) AS n2
+  FROM bg GROUP BY 1, 2
+),
+h AS (
+  SELECT w1, CAST(sum(n2) AS BIGINT) AS n1,
+         CAST(count(*) AS BIGINT) AS t1
+  FROM c2 GROUP BY 1
+),
+r AS (SELECT w2, CAST(count(*) AS BIGINT) AS r2 FROM c2 GROUP BY 1),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c2)
+SELECT w1, w2, n2,
+       round(n2 / n1, 6) AS p_mle,
+       round(r2 * 1.0 / n_types, 6) AS p_cont,
+       round((greatest(n2 - 0.75, 0) / n1)
+             + (((0.75 * t1) / n1) * (r2 * 1.0 / n_types)), 6) AS p_kn
+FROM c2 JOIN h USING (w1) JOIN r USING (w2) CROSS JOIN tt
+ORDER BY n2 DESC, w1, w2 LIMIT 20
+""",
+)
+def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (absolute discount
+    D = 0.75) for the corpus's top-20 bigrams — the smoothing that
+    actual n-gram LMs (KenLM and every corpus-quality filter built on
+    one) use, where q_text_bigram_lm's raw MLE assigns zero mass to
+    unseen continuations. The KN insight is published per row: the
+    continuation probability r2/|types| ("how many distinct histories
+    does w2 complete") replaces raw frequency in the smoothed mass, so
+    a word that appears often but only after one history (e.g. the
+    "Francisco" in "San Francisco") is correctly down-weighted as a
+    novel continuation.
+
+    Scale shape: one bigram explode → three map-combinable aggregates
+    (bigram counts; per-history totals+types; per-continuation type
+    counts) — vocab-sized tables joined back on their own keys
+    (bigram-vocab-keyed shuffle joins, broadcast at sane vocab sizes),
+    one O(1) type-total broadcast, then a TakeOrderedAndProject top-20
+    (per-task k-heaps, no global sort). Nothing data-sized survives
+    past the first aggregate at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    docs = d.filter(F.size(w) >= 2)
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    c2 = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n2"))
+        .select(
+            F.split("bigram", " ").getItem(0).alias("w1"),
+            F.split("bigram", " ").getItem(1).alias("w2"),
+            "n2",
+        )
+        .localCheckpoint(eager=False)  # feeds h, r, tt and the re-join
+    )
+    h = c2.groupBy("w1").agg(
+        F.sum("n2").cast("long").alias("n1"),
+        F.count(F.lit(1)).cast("long").alias("t1"),
+    )
+    r = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("r2"))
+    tt = c2.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    return (
+        c2.join(h, "w1")
+        .join(r, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "n2",
+            F.round(F.col("n2") / F.col("n1"), 6).alias("p_mle"),
+            F.round(F.col("r2") * 1.0 / F.col("n_types"), 6).alias("p_cont"),
+            F.round(
+                (F.greatest(F.col("n2") - 0.75, F.lit(0.0)) / F.col("n1"))
+                + (
+                    ((0.75 * F.col("t1")) / F.col("n1"))
+                    * (F.col("r2") * 1.0 / F.col("n_types"))
+                ),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.col("n2").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query(
+    "q_text_langid_margin",
+    # Marker scores are exact integers; per-doc margin is one IEEE
+    # division of integers (deterministic, not order-dependent); the
+    # per-source margin MEAN is order-dependent, so each margin goes
+    # through the 9dp-round -> DECIMAL discipline before summing.
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+    len(list_filter(string_split(text, ' '),
+        w -> list_contains({_sql_list(_LANG_MARKERS['en'])}, w))) AS s_en,
+    len(list_filter(string_split(text, ' '),
+        w -> list_contains({_sql_list(_LANG_MARKERS['code'])}, w))) AS s_code,
+    len(list_filter(string_split(text, ' '),
+        w -> list_contains({_sql_list(_LANG_MARKERS['data'])}, w))) AS s_data
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+         s_en + s_code + s_data AS total,
+         greatest(s_en, s_code, s_data)
+           - (s_en + s_code + s_data
+              - greatest(s_en, s_code, s_data)
+              - least(s_en, s_code, s_data)) AS margin_raw
+  FROM scored
+),
+per AS (
+  SELECT doc_id, source, total,
+         CASE WHEN total > 0
+              THEN margin_raw / total ELSE NULL END AS margin,
+         (total = 0 OR margin_raw / greatest(total, 1) < 0.1) AS low_conf
+  FROM m
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (total = 0) AS BIGINT) AS n_zero_signal,
+       CAST(count(*) FILTER (low_conf) AS BIGINT) AS n_low_conf,
+       round(count(*) FILTER (low_conf) * 1.0 / count(*), 6)
+         AS low_conf_share,
+       round(CAST(sum(CAST(round(margin, 9) AS DECIMAL(28,12)))
+                    FILTER (margin IS NOT NULL) AS DOUBLE)
+             / count(*) FILTER (margin IS NOT NULL), 6) AS mean_margin
+FROM per GROUP BY source ORDER BY source
+""",
+)
+def q_text_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confidence audit: the margin between the top and
+    runner-up marker scores, normalized by total signal, aggregated
+    per source — the routing diagnostic a corpus pipeline needs before
+    TRUSTING q_text_lang's argmax (route low-margin docs to a heavier
+    classifier, drop zero-signal ones). A doc whose top two language
+    scores tie carries no identification evidence regardless of how
+    confident the argmax looks; per-source low-confidence shares are
+    the dashboard that says WHICH ingest feed needs the expensive
+    path.
+
+    Scale shape: row-local codegen scoring (tiny marker vocabularies
+    inlined as array literals, same as q_text_lang) → one
+    map-combinable per-source aggregate; |sources|-row output. The
+    margin mean is armored with the 9dp-round → DECIMAL order-free
+    sum contract; every other output is an exact integer or one
+    integer division.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def score(markers):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(words, lambda t: F.array_contains(arr, t)))
+
+    s_en = score(_LANG_MARKERS["en"])
+    s_code = score(_LANG_MARKERS["code"])
+    s_data = score(_LANG_MARKERS["data"])
+    total = (s_en + s_code + s_data).alias("total")
+    top = F.greatest(s_en, s_code, s_data)
+    mid = (s_en + s_code + s_data) - top - F.least(s_en, s_code, s_data)
+    m = d.select(
+        "source",
+        total,
+        (top - mid).alias("margin_raw"),
+    ).select(
+        "source",
+        "total",
+        F.when(F.col("total") > 0, F.col("margin_raw") / F.col("total"))
+        .alias("margin"),
+        (
+            (F.col("total") == 0)
+            | (F.col("margin_raw") / F.greatest(F.col("total"), F.lit(1)) < 0.1)
+        ).alias("low_conf"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("total") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_signal"),
+            F.sum(F.when(F.col("low_conf"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_conf"),
+            F.round(
+                F.sum(F.when(F.col("low_conf"), 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("low_conf_share"),
+            F.round(
+                F.sum(F.round(F.col("margin"), 9).cast("decimal(28,12)"))
+                .cast("double")
+                / F.count(F.col("margin")),
+                6,
+            ).alias("mean_margin"),
+        )
+        .orderBy("source")
+    )

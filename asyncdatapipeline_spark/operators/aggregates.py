@@ -5025,3 +5025,321 @@ def q_agg_bootstrap_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("excludes_zero"),
         )
     )
+
+
+@query(
+    "q_agg_gpd_tail",
+    # Threshold and excess moments come from exact DECIMAL power sums
+    # (each per-row term 9dp/6dp-quantized before the order-free sum);
+    # xi/sigma/quantile are ONE shared IEEE chain on a 1-row frame; the
+    # power is written exp(xi*ln(...)) identically in both texts (never
+    # pow(), whose libm implementations may differ).
+    oracle="""
+WITH s AS (
+  SELECT CAST(count(value) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM events WHERE value IS NOT NULL
+),
+u AS (
+  SELECT n,
+         (sx / n) + 2 * sqrt((sxx - sx * sx / n) / (n - 1)) AS thr
+  FROM s WHERE n > 1
+),
+exc AS (
+  SELECT u.n, u.thr,
+         CAST(count(*) AS BIGINT) AS nu,
+         CAST(sum(CAST(round(e.value - u.thr, 9) AS DECIMAL(28,12)))
+              AS DOUBLE) AS se,
+         CAST(sum(CAST(round((e.value - u.thr) * (e.value - u.thr), 6)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS see
+  FROM events e CROSS JOIN u
+  WHERE e.value IS NOT NULL AND e.value > u.thr
+  GROUP BY 1, 2
+),
+fit AS (
+  SELECT n, thr, nu,
+         se / nu AS me,
+         (see - se * se / nu) / (nu - 1) AS ve
+  FROM exc WHERE nu > 1
+),
+g AS (
+  SELECT n, thr, nu, me, ve,
+         0.5 * (1 - me * me / ve) AS xi,
+         0.5 * me * (me * me / ve + 1) AS sigma
+  FROM fit WHERE ve > 0
+)
+SELECT n, nu AS n_exceed, round(thr, 6) AS threshold,
+       round(xi, 6) AS xi, round(sigma, 6) AS sigma,
+       round(CASE WHEN abs(xi) > 1e-12 THEN
+         thr + (sigma / xi)
+               * (exp(xi * ln((nu * 1.0 / n) / 0.001)) - 1)
+       END, 6) AS q999
+FROM g
+""",
+)
+def q_agg_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold tail fit: Generalized Pareto Distribution
+    on event-value excesses above mean + 2σ, method-of-moments
+    (ξ = ½(1 − m²/v), σ = ½m(m²/v + 1)), publishing the extrapolated
+    99.9th-percentile tail quantile — the extreme-value sibling of
+    q_ts_return_level (block maxima → Gumbel) for the OTHER classical
+    regime: all threshold exceedances → GPD. Empirical p99.9 needs
+    1000+ points above the mark; POT borrows strength from every
+    excess, and ξ itself is the tail verdict (ξ > 0 heavy/Pareto-like:
+    no exponential bound; ξ < 0 bounded tail).
+
+    Scale shape: two map-combinable passes (global power sums; excess
+    power sums against the one-row broadcast threshold) with every
+    float term 9dp/6dp-quantized into exact DECIMAL before summing;
+    the fit is a closed-form chain on a 1-row frame, the power written
+    exp(ξ·ln) — never pow(). n ≤ 1, no excesses, or zero excess
+    spread emits nothing; ξ within 1e-12 of zero publishes a NULL
+    quantile (the exponential-limit case) instead of dividing by it.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    s = e.agg(
+        F.count("value").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    ).filter(F.col("n") > 1)
+    thr = (F.col("sx") / F.col("n")) + 2 * F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    u = F.broadcast(s.select("n", thr.alias("thr")))
+    exc = (
+        e.crossJoin(u)
+        .filter(F.col("value") > F.col("thr"))
+        .groupBy("n", "thr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nu"),
+            F.sum(
+                F.round(F.col("value") - F.col("thr"), 9).cast(
+                    "decimal(28,12)"
+                )
+            )
+            .cast("double")
+            .alias("se"),
+            F.sum(
+                F.round(
+                    (F.col("value") - F.col("thr"))
+                    * (F.col("value") - F.col("thr")),
+                    6,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("see"),
+        )
+        .filter(F.col("nu") > 1)
+    )
+    me = F.col("se") / F.col("nu")
+    ve = (F.col("see") - F.col("se") * F.col("se") / F.col("nu")) / (
+        F.col("nu") - 1
+    )
+    g = exc.select(
+        "n", "thr", "nu", me.alias("me"), ve.alias("ve")
+    ).filter(F.col("ve") > 0)
+    xi = 0.5 * (1 - F.col("me") * F.col("me") / F.col("ve"))
+    sigma = 0.5 * F.col("me") * (
+        F.col("me") * F.col("me") / F.col("ve") + 1
+    )
+    g2 = g.select("n", "thr", "nu", xi.alias("xi"), sigma.alias("sigma"))
+    q999 = F.when(
+        F.abs(F.col("xi")) > 1e-12,
+        F.col("thr")
+        + (F.col("sigma") / F.col("xi"))
+        * (
+            F.exp(
+                F.col("xi")
+                * F.log((F.col("nu") * 1.0 / F.col("n")) / 0.001)
+            )
+            - 1
+        ),
+    )
+    return g2.select(
+        "n",
+        F.col("nu").alias("n_exceed"),
+        F.round("thr", 6).alias("threshold"),
+        F.round("xi", 6).alias("xi"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round(q999, 6).alias("q999"),
+    )
+
+
+@query(
+    "q_ml_residual_diag",
+    # The OLS fit comes from exact BIGINT sums over the dense day
+    # spine (x = 0..n-1, y = integer counts), so slope/intercept are
+    # one shared IEEE chain; every residual term is 6dp-quantized into
+    # DECIMAL before its order-free sum; SST is computed from the same
+    # exact integer sums, not a float pass.
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+x AS (
+  SELECT s.day - b.d0 AS t, CAST(COALESCE(d.c, 0) AS BIGINT) AS y
+  FROM spine s CROSS JOIN b LEFT JOIN d ON d.day = s.day
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(t * y) AS BIGINT) AS sxy,
+         CAST(sum(t * t) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM x
+),
+fit AS (
+  SELECT n, sy, syy,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS slope,
+         (CAST(sy AS DOUBLE) / n)
+           - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+              / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))
+             * (CAST(sx AS DOUBLE) / n) AS icept
+  FROM m
+  WHERE n > 2 AND CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n > 0
+),
+r AS (
+  SELECT x.t, x.y - (fit.icept + fit.slope * x.t) AS e
+  FROM x CROSS JOIN fit
+),
+rl AS (
+  SELECT e, e - lag(e) OVER (ORDER BY t) AS de FROM r
+),
+rs AS (
+  SELECT CAST(sum(CAST(round(e * e, 6) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sse,
+         CAST(sum(CAST(round(de * de, 6) AS DECIMAL(38,12)))
+           AS DOUBLE) AS dw_num
+  FROM rl
+)
+SELECT fit.n AS n_days,
+       round(fit.slope, 6) AS slope,
+       round(fit.icept, 6) AS intercept,
+       round(CASE WHEN CAST(fit.syy AS DOUBLE)
+                       - CAST(fit.sy AS DOUBLE) * fit.sy / fit.n > 0
+         THEN 1 - rs.sse / (CAST(fit.syy AS DOUBLE)
+                            - CAST(fit.sy AS DOUBLE) * fit.sy / fit.n)
+       END, 6) AS r2,
+       round(CASE WHEN rs.sse > 0 THEN rs.dw_num / rs.sse END, 6) AS dw,
+       CASE
+         WHEN rs.sse <= 0 THEN 'degenerate'
+         WHEN rs.dw_num / rs.sse < 1.5 THEN 'positive_autocorr'
+         WHEN rs.dw_num / rs.sse > 2.5 THEN 'negative_autocorr'
+         ELSE 'none'
+       END AS autocorr_verdict
+FROM fit CROSS JOIN rs
+""",
+)
+def q_ml_residual_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression residual diagnostics for the daily-load trend fit:
+    R² and the Durbin-Watson statistic on day-ordered residuals — the
+    model-validation step q_ml_linreg's coefficients skip: a trend
+    line over a time series is only trustworthy if its residuals are
+    uncorrelated noise, and DW < 1.5 (positive autocorrelation) is the
+    standard "your standard errors are fake, the series has structure
+    the line missed" alarm — the formal cousin of what q_ts_hurst
+    measures model-free. Fit, fit quality, and the independence
+    verdict publish together so the line carries its own caveat.
+
+    Scale shape: one map-combinable reduce to daily counts; ALL six
+    OLS power sums are exact BIGINTs on the |days|-bounded spine; the
+    residual pass and its lag window live on the bounded frame
+    (fold-proof constant key); every squared-residual term is
+    6dp-quantized into DECIMAL before the order-free sum. n ≤ 2 or a
+    degenerate axis emits nothing; zero residual variance publishes
+    the 'degenerate' verdict instead of dividing.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = F.broadcast(
+        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    )
+    spine = b.select(
+        F.explode(F.sequence("d0", "d1")).alias("day"), "d0"
+    )
+    x = spine.join(d, "day", "left").select(
+        (F.col("day") - F.col("d0")).alias("t"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("y"),
+    )
+    m = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    dxx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ) / F.col("n")
+    slope = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    ) / dxx
+    icept = (F.col("sy").cast("double") / F.col("n")) - slope * (
+        F.col("sx").cast("double") / F.col("n")
+    )
+    fit = F.broadcast(
+        m.filter((F.col("n") > 2) & (dxx > 0)).select(
+            "n", "sy", "syy", slope.alias("slope"), icept.alias("icept")
+        )
+    )
+    r = x.crossJoin(fit).select(
+        "t",
+        "n",
+        "sy",
+        "syy",
+        "slope",
+        "icept",
+        (
+            F.col("y") - (F.col("icept") + F.col("slope") * F.col("t"))
+        ).alias("e"),
+    )
+    wl = W.partitionBy(bounded_part(F.col("t"))).orderBy("t")
+    r2 = r.select(
+        "n",
+        "sy",
+        "syy",
+        "slope",
+        "icept",
+        "e",
+        (F.col("e") - F.lag("e").over(wl)).alias("de"),
+    )
+    rs = r2.groupBy("n", "sy", "syy", "slope", "icept").agg(
+        F.sum(F.round(F.col("e") * F.col("e"), 6).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sse"),
+        F.sum(
+            F.round(F.col("de") * F.col("de"), 6).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("dw_num"),
+    )
+    sst = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ) / F.col("n")
+    dw = F.when(F.col("sse") > 0, F.col("dw_num") / F.col("sse"))
+    return rs.select(
+        F.col("n").alias("n_days"),
+        F.round("slope", 6).alias("slope"),
+        F.round("icept", 6).alias("intercept"),
+        F.round(
+            F.when(sst > 0, 1 - F.col("sse") / sst), 6
+        ).alias("r2"),
+        F.round(dw, 6).alias("dw"),
+        F.when(F.col("sse") <= 0, "degenerate")
+        .when(dw < 1.5, "positive_autocorr")
+        .when(dw > 2.5, "negative_autocorr")
+        .otherwise("none")
+        .alias("autocorr_verdict"),
+    )

@@ -716,3 +716,124 @@ def q_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("almost_perfect"))
         .alias("agreement"),
     )
+
+
+@query(
+    "q_eval_lift",
+    # Decile assignment is pure integer arithmetic on exact cumulative
+    # counts over the DISTINCT-score spine ((n − cum)·10 div n), so a
+    # tie group always lands in one decile identically in both
+    # engines; rates/lift/capture are one integer division each.
+    oracle=f"""
+WITH scored AS ({{scored}}),
+g AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM scored GROUP BY score
+),
+c AS (
+  SELECT score, cnt, pos,
+         CAST(sum(cnt) OVER (ORDER BY score) AS BIGINT) AS cum
+  FROM g
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+  FROM g
+),
+dec AS (
+  SELECT ((tot.n - c.cum) * 10) // tot.n AS decile,
+         CAST(sum(c.cnt) AS BIGINT) AS n_d,
+         CAST(sum(c.pos) AS BIGINT) AS pos_d
+  FROM c CROSS JOIN tot GROUP BY 1
+),
+cumd AS (
+  SELECT decile, n_d, pos_d,
+         CAST(sum(pos_d) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+  FROM dec
+)
+SELECT decile, n_d, pos_d,
+       round(pos_d * 1.0 / n_d, 6) AS resp_rate,
+       round((pos_d * 1.0 / n_d) / (tot.p * 1.0 / tot.n), 6) AS lift,
+       round(cum_pos * 1.0 / tot.p, 6) AS cum_capture
+FROM cumd CROSS JOIN tot
+ORDER BY decile
+""".format(scored=_SCORED),
+)
+def q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table for the purchase-vs-view scorer: rank
+    the population by score, cut into ten value-deciles, publish each
+    decile's response rate, lift over the base rate, and cumulative
+    capture — the campaign-targeting readout AUC compresses away (AUC
+    says the ranking is good; the lift table says "mail the top 2
+    deciles, they hold 54% of converters"). Decile boundaries are
+    integer-exact on the distinct-score spine, so score ties can never
+    straddle a cut differently per engine.
+
+    Scale shape: one map-combinable reduce to the DISTINCT-score spine
+    (cnt, pos), `dist_cumsum` cumulative counts (no single-partition
+    sort over raw rows at any cardinality), integer decile assignment,
+    a 10-row bounded aggregate, and a bounded-frame running capture
+    sum (fold-proof constant key). Three integer divisions per output
+    row are the only floats.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    g = e.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    ).groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    c = dist_cumsum(g, "score", ["cnt"])
+    tot = F.broadcast(
+        g.agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("p"),
+        )
+    )
+    dec = (
+        c.crossJoin(tot)
+        .select(
+            F.expr("((n - cum_cnt) * 10) div n").alias("decile"),
+            "cnt",
+            "pos",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_d"),
+            F.sum("pos").cast("long").alias("pos_d"),
+        )
+    )
+    wd = (
+        W.partitionBy(bounded_part(F.col("decile")))
+        .orderBy("decile")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        dec.select(
+            "decile",
+            "n_d",
+            "pos_d",
+            F.sum("pos_d").over(wd).cast("long").alias("cum_pos"),
+        )
+        .crossJoin(tot)
+        .select(
+            "decile",
+            "n_d",
+            "pos_d",
+            F.round(F.col("pos_d") * 1.0 / F.col("n_d"), 6).alias(
+                "resp_rate"
+            ),
+            F.round(
+                (F.col("pos_d") * 1.0 / F.col("n_d"))
+                / (F.col("p") * 1.0 / F.col("n")),
+                6,
+            ).alias("lift"),
+            F.round(F.col("cum_pos") * 1.0 / F.col("p"), 6).alias(
+                "cum_capture"
+            ),
+        )
+        .orderBy("decile")
+    )

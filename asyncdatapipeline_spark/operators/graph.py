@@ -1409,3 +1409,153 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("recip_w").cast("double") / F.col("total_w"), 6
         ).alias("weighted_reciprocity"),
     )
+
+
+_HITS_SCALE = 10**12  # total hub / authority mass, in micro-units
+_HITS_ITERS = 3
+_HITS_TOP_K = 10
+
+# Unrolled HITS iteration twin. Each half-step sums the opposite
+# score over edges, then renormalizes to integer mass (L1) with the
+# same floor-division both engines share.
+_HITS_ITER_SQL = """
+ar{it} AS (
+  SELECT e.v AS node, sum(h{prev}.s) AS raw
+  FROM edges e JOIN h{prev} ON h{prev}.node = e.u
+  GROUP BY e.v
+),
+a{it} AS (
+  SELECT node, (raw * {scale}) // (SELECT sum(raw) FROM ar{it}) AS s
+  FROM ar{it}
+),
+hr{it} AS (
+  SELECT e.u AS node, sum(a{it}.s) AS raw
+  FROM edges e JOIN a{it} ON a{it}.node = e.v
+  GROUP BY e.u
+),
+h{it} AS (
+  SELECT node, (raw * {scale}) // (SELECT sum(raw) FROM hr{it}) AS s
+  FROM hr{it}
+)"""
+
+
+def _hits_oracle() -> str:
+    iters = ",".join(
+        _HITS_ITER_SQL.format(it=i, prev=i - 1, scale=_HITS_SCALE)
+        for i in range(1, _HITS_ITERS + 1)
+    )
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_suppkey AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+hubs0 AS (SELECT DISTINCT u AS node FROM edges),
+h0 AS (
+  SELECT node,
+         {_HITS_SCALE} // (SELECT count(*) FROM hubs0) AS s
+  FROM hubs0
+),
+{iters},
+ranked AS (
+  SELECT 'hub' AS kind, node AS entity_key, CAST(s AS BIGINT) AS score_fp
+  FROM h{_HITS_ITERS}
+  ORDER BY s DESC, node LIMIT {_HITS_TOP_K}
+),
+ranked_a AS (
+  SELECT 'authority' AS kind, node AS entity_key, CAST(s AS BIGINT) AS score_fp
+  FROM a{_HITS_ITERS}
+  ORDER BY s DESC, node LIMIT {_HITS_TOP_K}
+)
+SELECT * FROM ranked UNION ALL SELECT * FROM ranked_a
+"""
+
+
+@query(
+    "q_graph_hits",
+    # Fixed-point doctrine (module docstring): scores are BIGINT
+    # micro-units, each half-step renormalizes by integer floor
+    # division against the exact integer mass sum, so both engines
+    # floor identically — no float contribution sums anywhere.
+    oracle=_hits_oracle(),
+)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores on the customer→supplier bipartite
+    graph, 3 unrolled iterations — PageRank's query-dependent sibling:
+    a good HUB (customer) buys from many good suppliers, a good
+    AUTHORITY (supplier) serves many good hubs. The mutual
+    reinforcement finds the dense trading core that degree alone
+    misses (a customer with 50 edges to fringe suppliers outranks one
+    with 30 edges into the core under degree, and loses under HITS).
+    L1 renormalization per half-step in fixed-point integer mass
+    (floor division) keeps the iteration bit-exact across engines and
+    partitionings — the module's PageRank doctrine applied to the
+    two-score iteration.
+
+    Scale shape: per iteration, two edge-keyed join+aggregate rounds
+    (the classic distributed HITS step) plus one O(1) mass scalar;
+    iteration count is compile-time bounded; node state is
+    (node, score) — never adjacency lists. Top-k via
+    TakeOrderedAndProject. The edge frame is reused across all six
+    half-steps from one localCheckpoint.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_suppkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by all six half-steps
+    )
+    n_hubs = edges.select("u").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    h = edges.select(F.col("u").alias("node")).distinct().crossJoin(
+        F.broadcast(n_hubs)
+    ).select(
+        "node", (F.lit(_HITS_SCALE) / F.col("n")).cast("long").alias("s")
+    )
+
+    def renorm(raw_df):
+        # raw * SCALE can reach ~10^28 (raw ≤ max-degree × mass):
+        # widen to DECIMAL(38,0) for the product — DuckDB's HUGEINT
+        # twin is 128-bit for the same reason; both floor identically.
+        mass = F.broadcast(raw_df.agg(F.sum("raw").alias("mass")))
+        return raw_df.crossJoin(mass).select(
+            "node",
+            F.expr(
+                f"cast((cast(raw as decimal(38,0)) * {_HITS_SCALE}) "
+                "div cast(mass as decimal(38,0)) as bigint)"
+            ).alias("s"),
+        )
+
+    a = None
+    for _ in range(_HITS_ITERS):
+        a = renorm(
+            edges.join(h, edges.u == h.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        ).localCheckpoint(eager=False)
+        h = renorm(
+            edges.join(a, edges.v == a.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        ).localCheckpoint(eager=False)
+    top_h = (
+        h.orderBy(F.col("s").desc(), "node")
+        .limit(_HITS_TOP_K)
+        .select(
+            F.lit("hub").alias("kind"),
+            F.col("node").alias("entity_key"),
+            F.col("s").cast("long").alias("score_fp"),
+        )
+    )
+    top_a = (
+        a.orderBy(F.col("s").desc(), "node")
+        .limit(_HITS_TOP_K)
+        .select(
+            F.lit("authority").alias("kind"),
+            F.col("node").alias("entity_key"),
+            F.col("s").cast("long").alias("score_fp"),
+        )
+    )
+    return top_h.unionAll(top_a)

@@ -710,3 +710,117 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zcell")
     )
+
+
+# Partition-advisor thresholds: a good partition column at 100 TB has
+# enough distinct values to parallelize (>= _PA_MIN_PARTS) without
+# drowning the metastore / small-filing the lake (<= _PA_MAX_PARTS),
+# and no partition holding more than _PA_MAX_SHARE of rows.
+_PA_MIN_PARTS = 4
+_PA_MAX_PARTS = 10_000
+_PA_MAX_SHARE = 0.5
+
+
+@query(
+    "q_layout_advisor",
+    # Distinct counts, row counts and max-partition counts are exact
+    # integers per candidate column; shares/skew are one IEEE division
+    # each; the verdict is pure threshold logic on those.
+    oracle=f"""
+WITH cand AS (
+  SELECT 'events' AS tbl, 'event_type' AS col, event_type AS val
+  FROM events
+  UNION ALL
+  SELECT 'documents', 'source', source FROM documents
+  UNION ALL
+  SELECT 'documents', 'lang', lang FROM documents
+),
+per AS (
+  SELECT tbl, col, val, CAST(count(*) AS BIGINT) AS cnt
+  FROM cand GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT tbl, col,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(max(cnt) AS BIGINT) AS max_part_rows
+  FROM per GROUP BY 1, 2
+)
+SELECT tbl, col, n_distinct, n_rows,
+       round(max_part_rows * 1.0 / n_rows, 6) AS max_share,
+       round(max_part_rows * 1.0 / (n_rows * 1.0 / n_distinct), 6)
+         AS skew_ratio,
+       CASE
+         WHEN n_distinct < {_PA_MIN_PARTS} THEN 'too_few_partitions'
+         WHEN n_distinct > {_PA_MAX_PARTS} THEN 'too_many_partitions'
+         WHEN max_part_rows * 1.0 / n_rows > {_PA_MAX_SHARE}
+           THEN 'dominant_partition'
+         ELSE 'ok'
+       END AS verdict
+FROM agg ORDER BY tbl, col
+""",
+)
+def q_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column advisor: for each candidate layout column
+    (events.event_type, documents.source, documents.lang), the
+    distinct-count / dominant-share / skew profile and a threshold
+    verdict — the measurement that should precede every
+    `partitionBy()` decision at 100 TB, where a bad choice is nearly
+    irreversible (too few partitions caps parallelism and DPP; too
+    many small-files the lake and drowns the metastore; one dominant
+    value re-creates the single-task straggler partition pruning was
+    supposed to kill). q_scan_partition_pruned and q_join_dpp PROVE
+    pruning works on a given layout; this says which layout to build.
+
+    Scale shape: one map-combinable (table, column, value) reduce per
+    candidate (a union of three aggregate-first frames, each output
+    bounded by that column's cardinality), then a trivially bounded
+    per-candidate rollup. Exact integers; two divisions per candidate
+    row.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.lit("events").alias("tbl"),
+        F.lit("event_type").alias("col"),
+        F.col("event_type").alias("val"),
+    )
+    ds = load_table(spark, sf_dir, "documents")
+    cand = ev.unionAll(
+        ds.select(
+            F.lit("documents").alias("tbl"),
+            F.lit("source").alias("col"),
+            F.col("source").alias("val"),
+        )
+    ).unionAll(
+        ds.select(
+            F.lit("documents").alias("tbl"),
+            F.lit("lang").alias("col"),
+            F.col("lang").alias("val"),
+        )
+    )
+    per = cand.groupBy("tbl", "col", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    agg = per.groupBy("tbl", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_part_rows"),
+    )
+    max_share = F.col("max_part_rows") * 1.0 / F.col("n_rows")
+    skew = F.col("max_part_rows") * 1.0 / (
+        F.col("n_rows") * 1.0 / F.col("n_distinct")
+    )
+    verdict = (
+        F.when(F.col("n_distinct") < _PA_MIN_PARTS, "too_few_partitions")
+        .when(F.col("n_distinct") > _PA_MAX_PARTS, "too_many_partitions")
+        .when(max_share > _PA_MAX_SHARE, "dominant_partition")
+        .otherwise("ok")
+    )
+    return agg.select(
+        "tbl",
+        "col",
+        "n_distinct",
+        "n_rows",
+        F.round(max_share, 6).alias("max_share"),
+        F.round(skew, 6).alias("skew_ratio"),
+        verdict.alias("verdict"),
+    ).orderBy("tbl", "col")

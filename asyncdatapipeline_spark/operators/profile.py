@@ -1192,3 +1192,92 @@ def q_profile_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name", "rank")
     )
+
+
+@query(
+    "q_profile_consistency",
+    # Every published quantity is an exact integer count or one
+    # integer division; the duplicate-id check counts ids, not rows,
+    # via a doc_id-keyed pre-aggregate.
+    oracle="""
+WITH dup AS (
+  SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1
+),
+chk AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) FILTER (d.n_chars <> len(d.text)) AS BIGINT)
+           AS n_chars_mismatch,
+         CAST(count(*) FILTER (d.text IS NULL OR len(d.text) = 0)
+              AS BIGINT) AS n_empty_text,
+         CAST(count(*) FILTER (d.n_chars < 0) AS BIGINT) AS n_negative_len,
+         CAST(count(*) FILTER (dup.doc_id IS NOT NULL) AS BIGINT)
+           AS n_dup_id_rows
+  FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+  GROUP BY d.source
+)
+SELECT source, n_docs, n_chars_mismatch, n_empty_text, n_negative_len,
+       n_dup_id_rows,
+       round((n_docs - n_chars_mismatch - n_empty_text - n_negative_len
+              - n_dup_id_rows + 0.0) / n_docs, 6) AS clean_share_lb
+FROM chk ORDER BY source
+""",
+)
+def q_profile_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field consistency audit of the documents table, per
+    source: does the DECLARED length match the text (`n_chars` vs
+    `length(text)`), are there empty payloads, negative lengths,
+    duplicate primary keys — the intra-row and key-integrity checks
+    q_dq_report's per-column profile can't see (every column can look
+    healthy in isolation while `n_chars` systematically disagrees with
+    the text it describes: a truncating ingester). The clean-share
+    lower bound (violations may overlap) is the per-feed score an
+    ingest SLA gets written against.
+
+    Scale shape: one doc_id-keyed pre-aggregate for duplicate ids
+    (map-combinable; the duplicate set is small and stays hash-joined,
+    never a window), one row-local predicate pass, one per-source
+    aggregate. Exact integers plus one division per source row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dup = (
+        d.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("doc_id", F.lit(1).alias("_dup"))
+    )
+    j = d.join(dup, "doc_id", "left")
+    chk = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+        ).cast("long").alias("n_chars_mismatch"),
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.length("text") == 0), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_empty_text"),
+        F.sum(F.when(F.col("n_chars") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative_len"),
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_id_rows"),
+    )
+    clean = (
+        F.col("n_docs")
+        - F.col("n_chars_mismatch")
+        - F.col("n_empty_text")
+        - F.col("n_negative_len")
+        - F.col("n_dup_id_rows")
+        + 0.0
+    ) / F.col("n_docs")
+    return chk.select(
+        "source",
+        "n_docs",
+        "n_chars_mismatch",
+        "n_empty_text",
+        "n_negative_len",
+        "n_dup_id_rows",
+        F.round(clean, 6).alias("clean_share_lb"),
+    ).orderBy("source")

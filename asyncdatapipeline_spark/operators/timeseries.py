@@ -8238,3 +8238,444 @@ def q_ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("longest").alias("longest_gap_days"),
         "longest_gap_start",
     )
+
+
+@query(
+    "q_ts_hurst",
+    # Block power sums are exact BIGINTs; per-block mean/sd/cumdev are
+    # one IEEE chain each, accumulated IN DAY ORDER (identical
+    # sequential order both engines); per-m R/S means are 9dp-DECIMAL
+    # armored; the 3-point log-log slope is closed-form conditional
+    # aggregation over named m levels (order-free), ln(m) as literals.
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+x AS (
+  SELECT s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS c
+  FROM spine s LEFT JOIN d USING (day)
+),
+xm AS (
+  SELECT m, x.day, x.c, (x.day - b.d0) // m AS blk
+  FROM x CROSS JOIN b CROSS JOIN (
+    SELECT unnest([3, 6, 10]) AS m
+  ) ms
+),
+per AS (
+  SELECT m, blk, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+  FROM xm GROUP BY 1, 2
+),
+full_blk AS (
+  SELECT m, blk,
+         CAST(s AS DOUBLE) / n AS mean,
+         sqrt((CAST(ss AS DOUBLE) / n)
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+  FROM per WHERE n = m
+),
+cum AS (
+  SELECT x.m, x.blk, f.sd,
+         sum(x.c - f.mean) OVER (
+           PARTITION BY x.m, x.blk ORDER BY x.day
+         ) AS y
+  FROM xm x JOIN full_blk f ON x.m = f.m AND x.blk = f.blk
+  WHERE f.sd > 0
+),
+rs AS (
+  SELECT m, blk,
+         CAST(round((max(y) - min(y)) / any_value(sd), 9)
+              AS DECIMAL(28,12)) AS rs_val
+  FROM cum GROUP BY 1, 2
+),
+mm AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(rs_val) AS DOUBLE) / count(*) AS mean_rs
+  FROM rs GROUP BY 1 HAVING count(*) >= 2
+),
+pts AS (
+  SELECT max(CASE WHEN m = 3 THEN ln(mean_rs) END) AS y1,
+         max(CASE WHEN m = 6 THEN ln(mean_rs) END) AS y2,
+         max(CASE WHEN m = 10 THEN ln(mean_rs) END) AS y3
+  FROM mm
+),
+fit AS (
+  SELECT CASE WHEN y1 IS NOT NULL AND y2 IS NOT NULL AND y3 IS NOT NULL
+    THEN ((1.0986122886681098 * y1 + 1.791759469228055 * y2
+           + 2.302585092994046 * y3)
+          - ((1.0986122886681098 + 1.791759469228055 + 2.302585092994046)
+             * (y1 + y2 + y3) / 3))
+         / ((1.0986122886681098 * 1.0986122886681098
+             + 1.791759469228055 * 1.791759469228055
+             + 2.302585092994046 * 2.302585092994046)
+            - ((1.0986122886681098 + 1.791759469228055 + 2.302585092994046)
+               * (1.0986122886681098 + 1.791759469228055
+                  + 2.302585092994046) / 3))
+    END AS hurst
+  FROM pts
+)
+SELECT mm.m, mm.n_blocks, round(mm.mean_rs, 6) AS mean_rs,
+       round(fit.hurst, 6) AS hurst
+FROM mm CROSS JOIN fit
+ORDER BY mm.m
+""",
+)
+def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event-count series via rescaled-range
+    (R/S) analysis over block sizes {3, 6, 10} days: H ≈ 0.5 means the
+    load series is memoryless, H > 0.5 long-range dependent (bursts
+    cluster — capacity planning cannot assume independent days and
+    q_ts_return_level's i.i.d. block-maxima read is optimistic),
+    H < 0.5 mean-reverting. Published per block size (n_blocks, mean
+    R/S) plus the pooled log-log OLS slope, so the diagnostic shows its
+    own evidence.
+
+    Scale shape: one map-combinable reduce to daily counts; the spine
+    replicates ×3 m-levels (|days|-bounded); per-(m, block) exact
+    BIGINT power sums; the within-block cumulative deviation rides a
+    window PARTITIONED by (m, block) with ≤ 10-row frames — thousands
+    of genuine partition keys, never a single-partition sort; per-m
+    means are 9dp-DECIMAL armored; the 3-point fit is conditional
+    aggregation on one row. Fewer than 2 full blocks at an m-level
+    drops that level; fewer than 3 surviving levels → NULL hurst, not
+    a crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = F.broadcast(
+        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    )
+    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    x = spine.join(d, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    ms = spark.range(1).select(
+        F.explode(F.array(F.lit(3), F.lit(6), F.lit(10))).alias("m")
+    )
+    xm = x.crossJoin(F.broadcast(ms)).crossJoin(b).select(
+        "m", "day", "c", F.expr("(day - d0) div m").alias("blk")
+    )
+    per = xm.groupBy("m", "blk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt((F.col("ss").cast("double") / F.col("n")) - mean * mean)
+    full_blk = per.filter(F.col("n") == F.col("m")).select(
+        "m", "blk", mean.alias("mean"), sd.alias("sd")
+    )
+    wc = W.partitionBy("m", "blk").orderBy("day")
+    cum = (
+        xm.join(full_blk, ["m", "blk"])
+        .filter(F.col("sd") > 0)
+        .select(
+            "m",
+            "blk",
+            "sd",
+            F.sum(F.col("c") - F.col("mean")).over(wc).alias("y"),
+        )
+    )
+    rs = cum.groupBy("m", "blk").agg(
+        F.round(
+            (F.max("y") - F.min("y")) / F.first("sd"), 9
+        ).cast("decimal(28,12)").alias("rs_val")
+    )
+    mm = (
+        rs.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            (F.sum("rs_val").cast("double") / F.count(F.lit(1))).alias(
+                "mean_rs"
+            ),
+        )
+        .filter(F.col("n_blocks") >= 2)
+        .localCheckpoint(eager=False)  # feeds pts and the final join
+    )
+    pts = mm.agg(
+        F.max(F.when(F.col("m") == 3, F.log("mean_rs"))).alias("y1"),
+        F.max(F.when(F.col("m") == 6, F.log("mean_rs"))).alias("y2"),
+        F.max(F.when(F.col("m") == 10, F.log("mean_rs"))).alias("y3"),
+    )
+    x1, x2, x3 = 1.0986122886681098, 1.791759469228055, 2.302585092994046
+    sx = x1 + x2 + x3
+    sxx = x1 * x1 + x2 * x2 + x3 * x3
+    ysum = F.col("y1") + F.col("y2") + F.col("y3")
+    hurst = F.when(
+        F.col("y1").isNotNull()
+        & F.col("y2").isNotNull()
+        & F.col("y3").isNotNull(),
+        (
+            (x1 * F.col("y1") + x2 * F.col("y2") + x3 * F.col("y3"))
+            - (sx * ysum / 3)
+        )
+        / (sxx - sx * sx / 3),
+    )
+    fit = pts.select(hurst.alias("hurst"))
+    return (
+        mm.crossJoin(F.broadcast(fit))
+        .select(
+            "m",
+            "n_blocks",
+            F.round("mean_rs", 6).alias("mean_rs"),
+            F.round("hurst", 6).alias("hurst"),
+        )
+        .orderBy("m")
+    )
+
+
+@query(
+    "q_events_hazard",
+    # Tenure weeks, censoring flags, at-risk and death counts are all
+    # exact integers (day arithmetic + counts); the hazard is one
+    # integer division per bounded week row.
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST(min(floor(epoch(ts) / 86400)) AS BIGINT) AS first_day,
+         CAST(max(floor(epoch(ts) / 86400)) AS BIGINT) AS last_day
+  FROM events GROUP BY 1
+),
+g AS (SELECT max(last_day) AS gmax FROM u),
+t AS (
+  SELECT user_id, (last_day - first_day) // 7 AS tenure_w,
+         (last_day > g.gmax - 7) AS censored
+  FROM u CROSS JOIN g
+),
+wk AS (
+  SELECT unnest(generate_series(0, (SELECT max(tenure_w) FROM t))) AS w
+),
+lt AS (
+  SELECT wk.w,
+         CAST((SELECT count(*) FROM t WHERE t.tenure_w >= wk.w) AS BIGINT)
+           AS at_risk,
+         CAST((SELECT count(*) FROM t
+               WHERE t.tenure_w = wk.w AND NOT t.censored) AS BIGINT)
+           AS died,
+         CAST((SELECT count(*) FROM t
+               WHERE t.tenure_w = wk.w AND t.censored) AS BIGINT)
+           AS censored_n
+  FROM wk
+)
+SELECT w, at_risk, died, censored_n,
+       round(died * 1.0 / at_risk, 6) AS hazard
+FROM lt WHERE at_risk > 0 ORDER BY w
+""",
+)
+def q_events_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time hazard life table by tenure week: for each week
+    since a user's first event, the conditional churn probability
+    P(last activity falls in week w | survived to week w) — the
+    actuarial view q_ts_survival's Kaplan-Meier curve integrates away:
+    the HAZARD says WHEN churn risk spikes (the week-1 cliff vs the
+    slow bleed), which is where lifecycle interventions get aimed.
+    Users still active in the final observation week are censored
+    (reported, not counted as deaths) — the standard right-censoring
+    correction without which the last rows fake a 100% churn spike.
+
+    Scale shape: one user-keyed map-combinable reduce to (first, last)
+    day pairs, one O(1) horizon broadcast, then a |weeks|-bounded
+    life-table aggregate (at-risk counts via one conditional sum per
+    bounded week against the |users| frame — expressed as a
+    range-join-free conditional aggregation, never a per-user window).
+    Exact integers throughout; one division per emitted row.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.floor(F.unix_timestamp("ts") / 86400))
+        .cast("long")
+        .alias("first_day"),
+        F.max(F.floor(F.unix_timestamp("ts") / 86400))
+        .cast("long")
+        .alias("last_day"),
+    )
+    g = F.broadcast(u.agg(F.max("last_day").alias("gmax")))
+    t = u.crossJoin(g).select(
+        F.expr("(last_day - first_day) div 7").alias("tenure_w"),
+        (F.col("last_day") > F.col("gmax") - 7).alias("censored"),
+    )
+    # |weeks| is bounded (observation span / 7): aggregate the user
+    # frame once per statistic, keyed by tenure week, then build the
+    # at-risk tail sums on the bounded week frame itself.
+    per_w = t.groupBy("tenure_w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("died"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("censored_n"),
+    )
+    wmax = F.broadcast(per_w.agg(F.max("tenure_w").alias("wm")))
+    wk = wmax.select(
+        F.explode(F.sequence(F.lit(0), F.col("wm"))).alias("w")
+    )
+    lt = (
+        wk.join(per_w, wk.w == per_w.tenure_w, "left")
+        .select(
+            "w",
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+            F.coalesce("died", F.lit(0)).alias("died"),
+            F.coalesce("censored_n", F.lit(0)).alias("censored_n"),
+        )
+    )
+    # at_risk(w) = Σ_{v >= w} n_users(v): a descending running sum on
+    # the bounded week frame (fold-proof constant partition key).
+    wdesc = (
+        W.partitionBy(bounded_part(F.col("w")))
+        .orderBy(F.col("w").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        lt.select(
+            "w",
+            F.sum("n_users").over(wdesc).cast("long").alias("at_risk"),
+            F.col("died").cast("long").alias("died"),
+            F.col("censored_n").cast("long").alias("censored_n"),
+        )
+        .filter(F.col("at_risk") > 0)
+        .select(
+            "w",
+            "at_risk",
+            "died",
+            "censored_n",
+            F.round(F.col("died") * 1.0 / F.col("at_risk"), 6).alias(
+                "hazard"
+            ),
+        )
+        .orderBy("w")
+    )
+
+
+# SAX config: 4-symbol alphabet at the standard Gaussian breakpoints,
+# 3-day words. Literals so no inverse-CDF runs anywhere.
+_SAX_BP = (-0.6744897501960817, 0.0, 0.6744897501960817)
+_SAX_WORD = 3
+
+
+@query(
+    "q_ts_sax",
+    # The z-score is one IEEE chain from exact BIGINT power sums per
+    # day; symbol assignment compares against literal breakpoints;
+    # words and counts are exact strings/integers; one division per
+    # output row.
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+x AS (
+  SELECT s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS c
+  FROM spine s LEFT JOIN d USING (day)
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM x
+),
+z AS (
+  SELECT day,
+         (c - CAST(s AS DOUBLE) / n)
+           / sqrt((CAST(ss AS DOUBLE) / n)
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+           AS zv
+  FROM x CROSS JOIN m
+  WHERE (CAST(ss AS DOUBLE) / n)
+        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+),
+sym AS (
+  SELECT day,
+         CASE WHEN zv < {_SAX_BP[0]} THEN 'a'
+              WHEN zv < {_SAX_BP[1]} THEN 'b'
+              WHEN zv < {_SAX_BP[2]} THEN 'c'
+              ELSE 'd' END AS s
+  FROM z
+),
+words AS (
+  SELECT s || lead(s, 1) OVER (ORDER BY day)
+           || lead(s, 2) OVER (ORDER BY day) AS word
+  FROM sym
+),
+wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM words WHERE word IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM wc)
+SELECT word, n, round(n * 1.0 / t, 6) AS share
+FROM wc CROSS JOIN tot
+ORDER BY n DESC, word LIMIT 10
+""",
+)
+def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) motif census of the
+    daily load series: z-normalize the dense day spine, discretize at
+    the standard Gaussian quartile breakpoints into a 4-symbol
+    alphabet, slide a 3-day word, publish the top-10 motifs with
+    shares — the classical time-series-mining move that turns "what
+    patterns does this series repeat" into a countable vocabulary
+    ('dba' = spike-crash-recover). Motif counting, anomaly discord
+    hunting, and cross-series indexing all start from exactly this
+    symbolization; breakpoints are literals so no inverse CDF runs on
+    data.
+
+    Scale shape: one map-combinable reduce to daily counts; the
+    z-score uses exact global BIGINT power sums (one O(1) broadcast);
+    symbolization is row-local; the 3-day word window and the motif
+    count live on the |days|-bounded spine (fold-proof constant
+    partition key); top-10 is a TakeOrderedAndProject. A zero-variance
+    series emits nothing (no symbols without spread), never a divide
+    crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = F.broadcast(
+        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    )
+    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    x = spine.join(d, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    m = F.broadcast(
+        x.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("ss").cast("double") / F.col("n")) - mean * mean
+    z = (
+        x.crossJoin(m)
+        .filter(var > 0)
+        .select("day", ((F.col("c") - mean) / F.sqrt(var)).alias("zv"))
+    )
+    sym = z.select(
+        "day",
+        F.when(F.col("zv") < _SAX_BP[0], "a")
+        .when(F.col("zv") < _SAX_BP[1], "b")
+        .when(F.col("zv") < _SAX_BP[2], "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    ws = W.partitionBy(bounded_part(F.col("day"))).orderBy("day")
+    words = sym.select(
+        F.concat(
+            "s", F.lead("s", 1).over(ws), F.lead("s", 2).over(ws)
+        ).alias("word")
+    ).filter(F.col("word").isNotNull())
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = F.broadcast(wc.agg(F.sum("n").cast("long").alias("t")))
+    return (
+        wc.crossJoin(tot)
+        .select("word", "n", F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("share"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(10)
+    )

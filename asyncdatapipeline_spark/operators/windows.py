@@ -1929,3 +1929,106 @@ def q_orders_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start")
     )
+
+
+@query(
+    "q_orders_crk",
+    # Per-customer revenue is an exact DECIMAL sum; the top-20 cutoff
+    # orders by (exact revenue desc, custkey); each CR-k share is one
+    # IEEE division of two exact-DECIMAL-derived doubles.
+    oracle="""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DECIMAL(28,6))
+           AS rev
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(rev) AS DOUBLE) AS total_rev
+  FROM per
+),
+top AS (
+  SELECT rev, row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn
+  FROM per ORDER BY rev DESC, o_custkey LIMIT 20
+)
+SELECT t.n_customers,
+       round(t.total_rev, 2) AS total_rev,
+       round(CAST(sum(CASE WHEN rn <= 4 THEN rev END) AS DOUBLE)
+             / t.total_rev, 6) AS cr4,
+       round(CAST(sum(CASE WHEN rn <= 8 THEN rev END) AS DOUBLE)
+             / t.total_rev, 6) AS cr8,
+       round(CAST(sum(rev) AS DOUBLE) / t.total_rev, 6) AS cr20
+FROM top CROSS JOIN tot t
+GROUP BY t.n_customers, t.total_rev
+""",
+)
+def q_orders_crk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer concentration ratios CR4 / CR8 / CR20: the revenue
+    share of the top-4/8/20 customers — the antitrust-style
+    concentration readout beside q_agg_hhi's single index: HHI
+    compresses the whole distribution into one number, CR-k says
+    "four accounts are 60% of revenue", which is how key-account risk
+    is actually briefed. Ranking is exact (DECIMAL revenue, custkey
+    tiebreak), so the cutoff cannot flip between engines.
+
+    Scale shape: one customer-keyed map-combinable DECIMAL reduce,
+    then a TakeOrderedAndProject top-20 (per-task k-heaps — the
+    |customers| frame never globally sorts) ranked on a 20-row bounded
+    frame, one O(1) total broadcast, one output row. The CR-k
+    divisions are the only floats.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias("rev")
+    )
+    tot = F.broadcast(
+        per.agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev").cast("double").alias("total_rev"),
+        )
+    )
+    top = (
+        per.orderBy(F.col("rev").desc(), "o_custkey")
+        .limit(20)
+        .select(
+            "rev",
+            F.row_number()
+            .over(
+                W.partitionBy(bounded_part(F.col("o_custkey"))).orderBy(
+                    F.col("rev").desc(), "o_custkey"
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    return (
+        top.crossJoin(tot)
+        .groupBy("n_customers", "total_rev")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("rn") <= 4, F.col("rev")))
+                .cast("double")
+                / F.first("total_rev"),
+                6,
+            ).alias("cr4"),
+            F.round(
+                F.sum(F.when(F.col("rn") <= 8, F.col("rev")))
+                .cast("double")
+                / F.first("total_rev"),
+                6,
+            ).alias("cr8"),
+            F.round(
+                F.sum("rev").cast("double") / F.first("total_rev"), 6
+            ).alias("cr20"),
+        )
+        .select(
+            "n_customers",
+            F.round("total_rev", 2).alias("total_rev"),
+            "cr4",
+            "cr8",
+            "cr20",
+        )
+    )

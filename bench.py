@@ -137,6 +137,8 @@ HEADLINE = [
     "q_join_trigram",           # df-capped set-similarity join
     "q_ml_nearest_centroid",    # |labels|*d broadcast scoring
     "q_orders_leadtime",        # grouped rank device over a fact join
+    "q_text_kneser_ney",        # KN-smoothed bigram LM (3-agg explode)
+    "q_text_boilerplate",       # cross-doc gram census per source
 ]
 
 

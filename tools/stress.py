@@ -281,6 +281,16 @@ QUERIES = [
     "q_ts_return_level",
     "q_orders_leadtime",
     "q_ts_gaps",
+    "q_text_kneser_ney",
+    "q_text_langid_margin",
+    "q_text_boilerplate",
+    "q_mix_epochs",
+    "q_dedup_prefix",
+    "q_ts_hurst",
+    "q_events_hazard",
+    "q_ts_sax",
+    "q_agg_gpd_tail",
+    "q_orders_crk",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
