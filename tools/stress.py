@@ -291,6 +291,11 @@ QUERIES = [
     "q_ts_sax",
     "q_agg_gpd_tail",
     "q_orders_crk",
+    "q_graph_hits",
+    "q_eval_lift",
+    "q_profile_consistency",
+    "q_layout_advisor",
+    "q_ml_residual_diag",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
