@@ -1724,3 +1724,82 @@ def q_ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_PAIR_STRIDES = (101, 211)  # deterministic pseudo-random pairing
+
+
+@query(
+    "q_sim_pair_hist",
+    # Pairing is an exact integer-key equi join; the cosine is the
+    # same sequential double fold q_sim_topk pinned against DuckDB's
+    # list_cosine_similarity at 6dp; binning happens on the ROUNDED
+    # value so both engines bin identically; counts exact.
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT a.v AS va, b.v AS vb
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + {_PAIR_STRIDES[0]}
+  UNION ALL
+  SELECT a.v, b.v
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + {_PAIR_STRIDES[1]}
+),
+c AS (SELECT round(list_cosine_similarity(va, vb), 6) AS cs FROM p),
+h AS (
+  SELECT CAST(floor(cs * 10) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM c GROUP BY 1
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM h)
+SELECT bin / 10.0 AS bin_lo, n, round(n * 1.0 / tot, 6) AS share
+FROM h CROSS JOIN t ORDER BY bin
+""",
+)
+def q_sim_pair_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Background cosine-similarity histogram over deterministic
+    stride-paired vectors — the null distribution every similarity
+    THRESHOLD should be set against: "0.8 cosine" means nothing until
+    you know whether random corpus pairs sit at 0.1 or 0.7 (dense
+    embedding spaces from one encoder routinely inflate baselines).
+    q_dedup_embed / q_sim_ann pick thresholds; this measures what the
+    corpus's own pair background looks like, via id-stride pairing
+    (vec i vs i+101, i+211) — reproducible under retry/repartition,
+    no rand(), no quadratic pair set.
+
+    Scale shape: two shifted-integer-key equi joins (never a cross
+    join — the pair count is 2n, not n²), one O(d) fold per pair, a
+    21-bin map-combinable histogram. The fold is the module's pinned
+    sequential left-to-right double chain; binning on the 6dp-rounded
+    value keeps both engines' bin edges identical.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    pairs = None
+    for st in _PAIR_STRIDES:
+        a = e.alias("a")
+        b = e.alias("b")
+        p = a.join(
+            b, F.col("b.vec_id") == F.col("a.vec_id") + st
+        ).select(F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        pairs = p if pairs is None else pairs.unionAll(p)
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va")))
+        * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    c = pairs.select(F.round(cos, 6).alias("cs"))
+    h = c.groupBy(
+        F.floor(F.col("cs") * 10).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = F.broadcast(h.agg(F.sum("n").cast("long").alias("tot")))
+    return (
+        h.crossJoin(t)
+        .select(
+            (F.col("bin") / 10.0).alias("bin_lo"),
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("tot"), 6).alias("share"),
+        )
+        .orderBy("bin_lo")
+    )

@@ -5343,3 +5343,149 @@ def q_ml_residual_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("none")
         .alias("autocorr_verdict"),
     )
+
+
+_KFOLD_K = 5
+
+
+@query(
+    "q_ml_kfold_cv",
+    # Fold assignment is the engine-shared md5 first-byte device; all
+    # power sums are exact DECIMAL (products 6dp-quantized by the
+    # decimal cast, identically in both engines); the per-fold fit AND
+    # the held-out MSE are closed-form expansions of those sums — one
+    # IEEE chain per fold row, no second data pass.
+    oracle=f"""
+WITH f AS (
+  SELECT ('0x' || substr(md5(l_orderkey::VARCHAR || '-'
+                             || l_linenumber::VARCHAR), 1, 2))::UINTEGER
+           % {_KFOLD_K} AS fold,
+         l_quantity AS x, l_extendedprice AS y
+  FROM lineitem
+),
+per AS (
+  SELECT fold, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS DECIMAL(28,6))) AS sx,
+         sum(CAST(y AS DECIMAL(28,6))) AS sy,
+         sum(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+         sum(CAST(x * y AS DECIMAL(38,6))) AS sxy,
+         sum(CAST(y * y AS DECIMAL(38,6))) AS syy
+  FROM f GROUP BY fold
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+         sum(sxx) AS tsxx, sum(sxy) AS tsxy
+  FROM per
+),
+fit AS (
+  SELECT p.fold, p.n AS n_test, t.tn - p.n AS n_train,
+         CAST(t.tsx - p.sx AS DOUBLE) AS rsx,
+         CAST(t.tsy - p.sy AS DOUBLE) AS rsy,
+         CAST(t.tsxx - p.sxx AS DOUBLE) AS rsxx,
+         CAST(t.tsxy - p.sxy AS DOUBLE) AS rsxy,
+         CAST(p.sx AS DOUBLE) AS fsx, CAST(p.sy AS DOUBLE) AS fsy,
+         CAST(p.sxx AS DOUBLE) AS fsxx, CAST(p.sxy AS DOUBLE) AS fsxy,
+         CAST(p.syy AS DOUBLE) AS fsyy
+  FROM per p CROSS JOIN tot t
+),
+coef AS (
+  SELECT fold, n_test, n_train,
+         (rsxy - rsx * rsy / n_train)
+           / (rsxx - rsx * rsx / n_train) AS b,
+         (rsy / n_train)
+           - ((rsxy - rsx * rsy / n_train)
+              / (rsxx - rsx * rsx / n_train)) * (rsx / n_train) AS a,
+         fsx, fsy, fsxx, fsxy, fsyy
+  FROM fit
+  WHERE n_train > 1 AND rsxx - rsx * rsx / n_train > 0
+)
+SELECT fold, n_train, n_test,
+       round(b, 6) AS slope, round(a, 6) AS intercept,
+       round((fsyy - 2 * a * fsy - 2 * b * fsxy + 2 * a * b * fsx
+              + a * a * n_test + b * b * fsxx) / n_test, 4) AS test_mse
+FROM coef WHERE n_test > 0 ORDER BY fold
+""",
+)
+def q_ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of the extendedprice ~ quantity
+    regression (k = 5, md5-assigned folds): per fold, fit closed-form
+    OLS on the OTHER four folds and publish the held-out MSE — the
+    honest generalization number q_ml_linreg's in-sample R² is not,
+    and the selection gate every "which feature/model" decision needs.
+    Two algebraic moves make it one-pass-distributed: train sums are
+    COMPLEMENT sums (total − fold, exact decimal subtraction, no
+    per-fold re-scan), and the held-out MSE expands algebraically as
+    Σ(y−a−bx)² = syy − 2a·sy − 2b·sxy + 2ab·sx + a²n + b²sxx — the
+    test pass is free given the same sums that trained.
+
+    Scale shape: ONE map-combinable aggregate pass to k×6 exact
+    DECIMAL power sums (fold from the engine-shared md5 first-byte
+    device — stable under retry/repartition/append); everything after
+    is arithmetic on k rows. Degenerate folds (constant regressor,
+    empty) drop out at the guards rather than emitting garbage.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    fold = (
+        F.expr(
+            "cast(conv(substr(md5(concat(cast(l_orderkey as string), '-', "
+            "cast(l_linenumber as string))), 1, 2), 16, 10) as int)"
+        )
+        % _KFOLD_K
+    )
+    f = li.select(
+        fold.alias("fold"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    per = f.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,6)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,6)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)")).alias("syy"),
+    ).localCheckpoint(eager=False)  # feeds tot and the per-fold frame
+    tot = F.broadcast(
+        per.agg(
+            F.sum("n").cast("long").alias("tn"),
+            F.sum("sx").alias("tsx"),
+            F.sum("sy").alias("tsy"),
+            F.sum("sxx").alias("tsxx"),
+            F.sum("sxy").alias("tsxy"),
+        )
+    )
+    j = per.crossJoin(tot)
+    n_train = (F.col("tn") - F.col("n")).alias("n_train")
+    rsx = (F.col("tsx") - F.col("sx")).cast("double")
+    rsy = (F.col("tsy") - F.col("sy")).cast("double")
+    rsxx = (F.col("tsxx") - F.col("sxx")).cast("double")
+    rsxy = (F.col("tsxy") - F.col("sxy")).cast("double")
+    nt = F.col("tn") - F.col("n")
+    dxx = rsxx - rsx * rsx / nt
+    b = (rsxy - rsx * rsy / nt) / dxx
+    a = (rsy / nt) - b * (rsx / nt)
+    fsx = F.col("sx").cast("double")
+    fsy = F.col("sy").cast("double")
+    fsxx = F.col("sxx").cast("double")
+    fsxy = F.col("sxy").cast("double")
+    fsyy = F.col("syy").cast("double")
+    mse = (
+        fsyy
+        - 2 * a * fsy
+        - 2 * b * fsxy
+        + 2 * a * b * fsx
+        + a * a * F.col("n")
+        + b * b * fsxx
+    ) / F.col("n")
+    return (
+        j.filter((nt > 1) & (dxx > 0) & (F.col("n") > 0))
+        .select(
+            "fold",
+            n_train,
+            F.col("n").alias("n_test"),
+            F.round(b, 6).alias("slope"),
+            F.round(a, 6).alias("intercept"),
+            F.round(mse, 4).alias("test_mse"),
+        )
+        .orderBy("fold")
+    )

@@ -8679,3 +8679,233 @@ def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "word")
         .limit(10)
     )
+
+
+@query(
+    "q_ts_strength",
+    # Trend is a centered 7-day MA (exact integer sum / count per
+    # frame); detrended, seasonal and residual values are per-row IEEE
+    # chains; every variance term is 9dp/6dp-quantized into DECIMAL
+    # before its order-free sum; strengths are one chain on one row.
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+x AS (
+  SELECT s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS y
+  FROM spine s LEFT JOIN d USING (day)
+),
+tr AS (
+  SELECT day, y,
+         CAST(sum(y) OVER w AS DOUBLE) / count(*) OVER w AS t
+  FROM x
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (SELECT day, y, t, y - t AS dt FROM tr),
+sea AS (
+  SELECT day % 7 AS dow,
+         CAST(sum(CAST(round(dt, 9) AS DECIMAL(28,12))) AS DOUBLE)
+           / count(*) AS s
+  FROM det GROUP BY 1
+),
+r AS (
+  SELECT det.day, det.y, det.t, det.dt, sea.s,
+         det.dt - sea.s AS res,
+         det.y - sea.s AS ts2
+  FROM det JOIN sea ON det.day % 7 = sea.dow
+),
+v AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(dt, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s_dt,
+         CAST(sum(CAST(round(dt * dt, 6) AS DECIMAL(38,12))) AS DOUBLE)
+           AS ss_dt,
+         CAST(sum(CAST(round(res, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s_r,
+         CAST(sum(CAST(round(res * res, 6) AS DECIMAL(38,12))) AS DOUBLE)
+           AS ss_r,
+         CAST(sum(CAST(round(ts2, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s_tr,
+         CAST(sum(CAST(round(ts2 * ts2, 6) AS DECIMAL(38,12))) AS DOUBLE)
+           AS ss_tr
+  FROM r
+)
+SELECT n AS n_days,
+       round((ss_dt - s_dt * s_dt / n) / n, 6) AS var_detrended,
+       round((ss_r - s_r * s_r / n) / n, 6) AS var_resid,
+       round(greatest(0, 1 - ((ss_r - s_r * s_r / n) / n)
+                           / ((ss_dt - s_dt * s_dt / n) / n)), 6)
+         AS seasonal_strength,
+       round(greatest(0, 1 - ((ss_r - s_r * s_r / n) / n)
+                           / ((ss_tr - s_tr * s_tr / n) / n)), 6)
+         AS trend_strength
+FROM v
+WHERE n > 1 AND (ss_dt - s_dt * s_dt / n) / n > 0
+  AND (ss_tr - s_tr * s_tr / n) / n > 0
+""",
+)
+def q_ts_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality and trend STRENGTH of the daily load series
+    (Hyndman's STL-based measures: F_s = max(0, 1 − Var(R)/Var(S+R)),
+    F_t = max(0, 1 − Var(R)/Var(T+R)) from a 7-day-MA trend and a
+    day-of-week seasonal) — the one-number-per-component verdict
+    q_ts_decompose's full component table doesn't give: "is this
+    series seasonal ENOUGH that the dashboard should deseasonalize /
+    the anomaly detector should stratify by weekday" becomes a
+    threshold on F_s. Both strengths publish beside their variance
+    evidence.
+
+    Scale shape: one map-combinable reduce to daily counts; trend MA,
+    dow seasonal means (7-row armored frame) and the variance pass all
+    live on the |days|-bounded spine; every variance term is
+    9dp/6dp-quantized into DECIMAL before the order-free sum; output
+    is one closed-form row. Degenerate variances emit nothing rather
+    than dividing.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = F.broadcast(
+        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    )
+    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    x = spine.join(d, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).cast("long").alias("y")
+    )
+    wma = (
+        W.partitionBy(bounded_part(F.col("day")))
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    tr = x.select(
+        "day",
+        "y",
+        (
+            F.sum("y").over(wma).cast("double")
+            / F.count(F.lit(1)).over(wma)
+        ).alias("t"),
+    )
+    det = tr.select(
+        "day", "y", "t", (F.col("y") - F.col("t")).alias("dt")
+    )
+    sea = F.broadcast(
+        det.groupBy((F.col("day") % 7).alias("dow")).agg(
+            (
+                F.sum(F.round("dt", 9).cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("s")
+        )
+    )
+    r = det.join(sea, det.day % 7 == sea.dow).select(
+        (F.col("dt") - F.col("s")).alias("res"),
+        (F.col("y") - F.col("s")).alias("ts2"),
+        "dt",
+    )
+    def _arm(c, p9, p6):
+        return (
+            F.sum(F.round(F.col(c), 9).cast("decimal(28,12)"))
+            .cast("double")
+            .alias(p9),
+            F.sum(F.round(F.col(c) * F.col(c), 6).cast("decimal(38,12)"))
+            .cast("double")
+            .alias(p6),
+        )
+    v = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *_arm("dt", "s_dt", "ss_dt"),
+        *_arm("res", "s_r", "ss_r"),
+        *_arm("ts2", "s_tr", "ss_tr"),
+    )
+    n = F.col("n")
+    var_dt = (F.col("ss_dt") - F.col("s_dt") * F.col("s_dt") / n) / n
+    var_r = (F.col("ss_r") - F.col("s_r") * F.col("s_r") / n) / n
+    var_tr = (F.col("ss_tr") - F.col("s_tr") * F.col("s_tr") / n) / n
+    return (
+        v.filter((n > 1) & (var_dt > 0) & (var_tr > 0))
+        .select(
+            n.alias("n_days"),
+            F.round(var_dt, 6).alias("var_detrended"),
+            F.round(var_r, 6).alias("var_resid"),
+            F.round(F.greatest(F.lit(0.0), 1 - var_r / var_dt), 6).alias(
+                "seasonal_strength"
+            ),
+            F.round(F.greatest(F.lit(0.0), 1 - var_r / var_tr), 6).alias(
+                "trend_strength"
+            ),
+        )
+    )
+
+
+@query(
+    "q_events_templates",
+    # The template key is a pure regex digit-mask both engines share
+    # (RE2 ≡ Java regex on [0-9]+); counts, user counts and first-seen
+    # days are exact integers; share is one division per row.
+    oracle="""
+WITH t AS (
+  SELECT event_type || ':' || regexp_replace(props, '[0-9]+', '#', 'g')
+           AS template,
+         user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events WHERE props IS NOT NULL
+),
+g AS (
+  SELECT template, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(min(day) AS BIGINT) AS first_day
+  FROM t GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM g)
+SELECT template, n, n_users, first_day,
+       round(n * 1.0 / tn, 6) AS share
+FROM g CROSS JOIN tot
+ORDER BY n DESC, template LIMIT 20
+""",
+)
+def q_events_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-template mining over the event payloads: mask digit runs in
+    `props` (the Drain/log-parsing move: '{"k": 87}' and '{"k": 12}'
+    are ONE template), key by event_type + masked payload, publish the
+    top-20 templates with volume, distinct-user reach, and first-seen
+    day — the triage view that turns an unbounded payload namespace
+    into a countable schema ("this new template appeared on day 14 and
+    is 3% of volume" is an incident breadcrumb; a template with huge
+    volume and one user is a runaway client).
+
+    Scale shape: row-local regex mask (JVM codegen, the engine-shared
+    digit class), one template-keyed map-combinable aggregate (the
+    payload never shuffles raw — only the masked template string),
+    top-20 via TakeOrderedAndProject. Template cardinality, not event
+    volume, bounds everything downstream.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull()
+    )
+    t = e.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            F.regexp_replace("props", "[0-9]+", "#"),
+        ).alias("template"),
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    )
+    g = t.groupBy("template").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.min("day").cast("long").alias("first_day"),
+    )
+    tot = F.broadcast(g.agg(F.sum("n").cast("long").alias("tn")))
+    return (
+        g.crossJoin(tot)
+        .select(
+            "template",
+            "n",
+            "n_users",
+            "first_day",
+            F.round(F.col("n") * 1.0 / F.col("tn"), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), "template")
+        .limit(20)
+    )

@@ -2032,3 +2032,80 @@ def q_orders_crk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cr20",
         )
     )
+
+
+@query(
+    "q_orders_yoy",
+    # Month keys are pure integer calendar arithmetic; monthly revenue
+    # is an exact DECIMAL sum; YoY growth is one IEEE division of two
+    # exact-DECIMAL-derived doubles per month row.
+    oracle="""
+WITH m AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mk,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DECIMAL(28,6))
+           AS rev
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT c.mk, c.rev, p.rev AS rev_prior
+  FROM m c LEFT JOIN m p ON p.mk = c.mk - 12
+)
+SELECT CAST(mk // 12 AS BIGINT) AS yr,
+       CAST(mk % 12 + 1 AS BIGINT) AS mon,
+       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       round(CASE WHEN rev_prior IS NOT NULL
+                  THEN CAST(rev AS DOUBLE) / CAST(rev_prior AS DOUBLE) - 1
+             END, 6) AS yoy_growth
+FROM j ORDER BY mk
+""",
+)
+def q_orders_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth — the most-asked BI
+    question over any order fact, written the scale-safe way: the YoY
+    comparison is an integer month-key equi self-join on the BOUNDED
+    monthly frame (mk vs mk − 12), never a 12-row lag window over raw
+    orders and never a date-string comparison (month keys are
+    year·12 + month, so December→January is ordinary integer
+    arithmetic). Months with no prior-year counterpart publish NULL
+    growth, not a dropped row.
+
+    Scale shape: one month-keyed map-combinable DECIMAL reduce (the
+    fact table's only pass), then a self-join and arithmetic on the
+    |months|-bounded frame. The growth division is the only float.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).alias("mk")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("decimal(28,6)")
+        .alias("rev")
+    ).localCheckpoint(eager=False)  # bounded; feeds both join sides
+    c = m.alias("c")
+    p = m.alias("p")
+    j = c.join(
+        F.broadcast(p), F.col("p.mk") == F.col("c.mk") - 12, "left"
+    ).select(
+        F.col("c.mk").alias("mk"),
+        F.col("c.rev").alias("rev"),
+        F.col("p.rev").alias("rev_prior"),
+    )
+    return (
+        j.select(
+            F.expr("mk div 12").cast("long").alias("yr"),
+            (F.col("mk") % 12 + 1).cast("long").alias("mon"),
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.when(
+                    F.col("rev_prior").isNotNull(),
+                    F.col("rev").cast("double")
+                    / F.col("rev_prior").cast("double")
+                    - 1,
+                ),
+                6,
+            ).alias("yoy_growth"),
+        )
+        .orderBy("yr", "mon")
+    )

@@ -296,6 +296,11 @@ QUERIES = [
     "q_profile_consistency",
     "q_layout_advisor",
     "q_ml_residual_diag",
+    "q_sim_pair_hist",
+    "q_ml_kfold_cv",
+    "q_ts_strength",
+    "q_events_templates",
+    "q_orders_yoy",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
