@@ -900,3 +900,99 @@ def q_fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "q_json_schema_infer",
+    # Key extraction and typed-pattern checks are engine-shared (map
+    # parse / json_keys + extract, same regexes); all outputs are
+    # exact integers or one division; min/max ride the integer cast.
+    oracle="""
+WITH kv AS (
+  SELECT e.event_id, t.k AS key,
+         json_extract_string(e.props, '$.' || t.k) AS val
+  FROM events e CROSS JOIN LATERAL
+    unnest(json_keys(e.props)) AS t(k)
+  WHERE e.props IS NOT NULL
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events
+        WHERE props IS NOT NULL),
+p AS (
+  SELECT key,
+         CAST(count(*) AS BIGINT) AS n_present,
+         CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+         bool_and(regexp_matches(val, '^-?[0-9]+$')) AS all_int,
+         bool_and(regexp_matches(val, '^-?[0-9]+(\\.[0-9]+)?$'))
+           AS all_num,
+         min(CASE WHEN regexp_matches(val, '^-?[0-9]+$')
+                  THEN CAST(val AS BIGINT) END) AS min_int,
+         max(CASE WHEN regexp_matches(val, '^-?[0-9]+$')
+                  THEN CAST(val AS BIGINT) END) AS max_int
+  FROM kv GROUP BY key
+)
+SELECT key, n_present,
+       round(n_present * 1.0 / tot.n_rows, 6) AS present_share,
+       n_distinct,
+       CASE WHEN all_int THEN 'integer'
+            WHEN all_num THEN 'number'
+            ELSE 'string' END AS inferred_type,
+       min_int, max_int
+FROM p CROSS JOIN tot ORDER BY key
+""",
+)
+def q_json_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema inference over the semi-structured event payload: per
+    JSON key, presence share, distinct-value count, an inferred type
+    (integer / number / string) and the integer value range — the
+    ingestion-time discovery pass that turns an unbounded payload
+    namespace into a typed column plan ("key k is a dense integer
+    0-99: promote it to a real column; key session_tag is 90% absent:
+    leave it in the variant"). q_fn_json/q_fn_variant access KNOWN
+    paths; this is how you learn which paths exist and deserve
+    promotion.
+
+    Scale shape: one generic map parse + explode to (key, value) —
+    JVM-side from_json, no Python — feeding a key-grained
+    map-combinable aggregate; output is |keys| rows. The typed-pattern
+    checks are per-row regexes folded by bool_and, so the type verdict
+    merges across partitions without a second pass.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull()
+    )
+    kv = e.select(
+        F.explode(
+            F.from_json("props", "map<string,string>")
+        ).alias("key", "val")
+    )
+    tot = F.broadcast(
+        e.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    is_int = F.col("val").rlike("^-?[0-9]+$")
+    is_num = F.col("val").rlike("^-?[0-9]+(\\.[0-9]+)?$")
+    p = kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.count_distinct("val").cast("long").alias("n_distinct"),
+        F.bool_and(is_int).alias("all_int"),
+        F.bool_and(is_num).alias("all_num"),
+        F.min(F.when(is_int, F.col("val").cast("long"))).alias("min_int"),
+        F.max(F.when(is_int, F.col("val").cast("long"))).alias("max_int"),
+    )
+    return (
+        p.crossJoin(tot)
+        .select(
+            "key",
+            "n_present",
+            F.round(F.col("n_present") * 1.0 / F.col("n_rows"), 6).alias(
+                "present_share"
+            ),
+            "n_distinct",
+            F.when(F.col("all_int"), "integer")
+            .when(F.col("all_num"), "number")
+            .otherwise("string")
+            .alias("inferred_type"),
+            "min_int",
+            "max_int",
+        )
+        .orderBy("key")
+    )

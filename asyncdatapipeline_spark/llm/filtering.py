@@ -1059,3 +1059,203 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_curation_ablation",
+    # Every count is an exact integer over independently-evaluated
+    # rule flags (same constants as the staged funnel); shares are one
+    # division each. Rules replay the staged operators' exact
+    # predicates, evaluated UNCONDITIONALLY per doc.
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS nw,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains(['the', 'a', 'of', 'and', 'in'], x)))
+           AS n_stop
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
+  FROM q WHERE len(w) >= 3
+),
+bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hit
+  FROM sh s JOIN bench USING (shingle)
+  WHERE s.doc_id % {_BENCH_MOD} != 0
+  GROUP BY s.doc_id
+),
+nsh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN len(list_distinct({_SHINGLES_DUCK}))
+              ELSE 0 END AS n_shingles
+  FROM q
+),
+g2t AS (
+  SELECT doc_id, nw, w,
+         CASE WHEN nw >= 2
+              THEN list_transform(generate_series(1, nw - 1),
+                                  i -> w[i] || ' ' || w[i + 1])
+              ELSE [] END AS g2
+  FROM q
+),
+flags AS (
+  SELECT q.doc_id,
+         (q.nw BETWEEN 20 AND 1000
+          AND q.n_stop * 1.0 / q.nw BETWEEN 0.001 AND 0.6
+          AND q.doc_id % {_BENCH_MOD} != 0) AS q_ok,
+         (q.doc_id % {_BENCH_MOD} = 0 OR nsh.n_shingles = 0
+          OR coalesce(hits.n_hit, 0) * 1.0 / nsh.n_shingles
+             < {_CONTAM_THRESHOLD}) AS c_ok,
+         NOT (
+           (CASE WHEN q.nw > 0
+                 THEN round(list_max(list_transform(list_distinct(q.w),
+                        d -> len(list_filter(q.w, x -> x = d))))
+                      * 1.0 / q.nw, 6)
+                 ELSE 0.0 END) > {_REP_TOP_WORD_MAX}
+           OR
+           (CASE WHEN len(g2t.g2) > 0
+                 THEN round(1.0 - len(list_distinct(g2t.g2)) * 1.0
+                            / len(g2t.g2), 6)
+                 ELSE 0.0 END) > {_REP_DUP_2GRAM_MAX}
+         ) AS r_ok
+  FROM q
+  JOIN nsh USING (doc_id)
+  JOIN g2t USING (doc_id)
+  LEFT JOIN hits USING (doc_id)
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM flags),
+rows_out AS (
+  SELECT 'quality' AS rule,
+         CAST(count(*) FILTER (NOT q_ok) AS BIGINT) AS n_fail,
+         CAST(count(*) FILTER (NOT q_ok AND c_ok AND r_ok) AS BIGINT)
+           AS n_unique_fail
+  FROM flags
+  UNION ALL
+  SELECT 'decontam',
+         CAST(count(*) FILTER (NOT c_ok) AS BIGINT),
+         CAST(count(*) FILTER (NOT c_ok AND q_ok AND r_ok) AS BIGINT)
+  FROM flags
+  UNION ALL
+  SELECT 'repetition',
+         CAST(count(*) FILTER (NOT r_ok) AS BIGINT),
+         CAST(count(*) FILTER (NOT r_ok AND q_ok AND c_ok) AS BIGINT)
+  FROM flags
+  UNION ALL
+  SELECT 'pass_all',
+         CAST(count(*) FILTER (q_ok AND c_ok AND r_ok) AS BIGINT),
+         CAST(count(*) FILTER (q_ok AND c_ok AND r_ok) AS BIGINT)
+  FROM flags
+)
+SELECT rule, n_fail, n_unique_fail,
+       round(n_fail * 1.0 / tot.n, 6) AS fail_share,
+       round(n_unique_fail * 1.0 / tot.n, 6) AS unique_share
+FROM rows_out CROSS JOIN tot
+ORDER BY rule
+""",
+)
+def q_curation_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule ABLATION of the curation gates: for each filter
+    (quality, decontam, repetition), how many documents fail it at
+    all, and how many fail ONLY it — the marginal-attribution view the
+    staged funnel (q_curation_report) structurally can't give: a
+    funnel charges each rejection to the FIRST gate that fires, so a
+    rule late in the chain always looks cheap. Unique-failure counts
+    are what rule-pruning decisions need ("repetition uniquely rejects
+    0.2% — is it worth its corpus pass?"), and the pass_all row ties
+    the ablation back to the funnel's survivor count.
+
+    Scale shape: same single-pass flag computation as the funnel
+    (row-local quality/repetition predicates; decontam via the
+    broadcast benchmark-shingle join — here evaluated UNCONDITIONALLY
+    so rules are independent), then ONE conditional aggregate to four
+    output rows. No per-rule corpus re-scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(x) for x in ("the", "a", "of", "and", "in")])
+    nw = F.size(words)
+    stop_ratio = (
+        F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x)))
+        * F.lit(1.0)
+        / nw
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    q_ok = nw.between(20, 1000) & stop_ratio.between(0.001, 0.6) & ~is_bench
+
+    sh_all = d.select(
+        "doc_id", F.explode(_shingle_array(F.col("text"))).alias("shingle")
+    )
+    bench = sh_all.filter(is_bench).select("shingle").distinct()
+    hits = (
+        sh_all.filter(~is_bench)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_shingles = F.size(_shingle_array(F.col("text")))
+    c_ok = is_bench | F.element_at(
+        F.transform(
+            F.array(
+                F.struct(
+                    n_shingles.alias("ns"),
+                    F.coalesce("n_hit", F.lit(0)).alias("h"),
+                )
+            ),
+            lambda s: (s["ns"] == 0) | (s["h"] / s["ns"] < _CONTAM_THRESHOLD),
+        ),
+        1,
+    )
+    _, dup2, topw = _rep_fracs(F.col("text"))
+    r_ok = ~((topw > _REP_TOP_WORD_MAX) | (dup2 > _REP_DUP_2GRAM_MAX))
+
+    flags = (
+        d.join(hits, "doc_id", "left")
+        .select(q_ok.alias("q_ok"), c_ok.alias("c_ok"), r_ok.alias("r_ok"))
+    )
+    cnt = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cnt(~F.col("q_ok")).alias("qf"),
+        cnt(~F.col("q_ok") & F.col("c_ok") & F.col("r_ok")).alias("qu"),
+        cnt(~F.col("c_ok")).alias("cf"),
+        cnt(~F.col("c_ok") & F.col("q_ok") & F.col("r_ok")).alias("cu"),
+        cnt(~F.col("r_ok")).alias("rf"),
+        cnt(~F.col("r_ok") & F.col("q_ok") & F.col("c_ok")).alias("ru"),
+        cnt(F.col("q_ok") & F.col("c_ok") & F.col("r_ok")).alias("pa"),
+    )
+    row = lambda name, f, u: F.struct(  # noqa: E731
+        F.lit(name).alias("rule"),
+        F.col(f).alias("n_fail"),
+        F.col(u).alias("n_unique_fail"),
+    )
+    return (
+        agg.select(
+            "n",
+            F.explode(
+                F.array(
+                    row("quality", "qf", "qu"),
+                    row("decontam", "cf", "cu"),
+                    row("repetition", "rf", "ru"),
+                    row("pass_all", "pa", "pa"),
+                )
+            ).alias("s"),
+        )
+        .select(
+            F.col("s.rule").alias("rule"),
+            F.col("s.n_fail").alias("n_fail"),
+            F.col("s.n_unique_fail").alias("n_unique_fail"),
+            F.round(F.col("s.n_fail") * 1.0 / F.col("n"), 6).alias(
+                "fail_share"
+            ),
+            F.round(F.col("s.n_unique_fail") * 1.0 / F.col("n"), 6).alias(
+                "unique_share"
+            ),
+        )
+        .orderBy("rule")
+    )

@@ -1803,3 +1803,76 @@ def q_sim_pair_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_lo")
     )
+
+
+_DIM_DEAD_VAR = 1e-4  # a dimension with var below this carries no signal
+
+
+@query(
+    "q_embed_dim_profile",
+    # Per-dimension means and variances come from 9dp/6dp-quantized
+    # DECIMAL sums (order-free); the dead flag and ranking compare
+    # those armored doubles; dim index and counts are exact integers.
+    oracle=f"""
+WITH ev AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+x AS (
+  SELECT t.i - 1 AS dim, ev.vec[t.i] AS v
+  FROM ev CROSS JOIN LATERAL
+    unnest(generate_series(1, len(ev.vec))) AS t(i)
+),
+p AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(v, 9) AS DECIMAL(28,12))) AS DOUBLE) AS s,
+         CAST(sum(CAST(round(v * v, 6) AS DECIMAL(38,12))) AS DOUBLE) AS ss
+  FROM x GROUP BY dim
+)
+SELECT dim, n,
+       round(s / n, 6) AS mean,
+       round((ss - s * s / n) / n, 6) AS var,
+       ((ss - s * s / n) / n < {_DIM_DEAD_VAR}) AS is_dead
+FROM p ORDER BY dim
+""",
+)
+def q_embed_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance profile of the embedding space with
+    a dead-dimension flag — the encoder-QA readout q_embed_health's
+    norm statistics can't see: a collapsed dimension (variance ≈ 0)
+    wastes index width and silently degrades every cosine downstream,
+    and a dimension with a large mean offset says the encoder output
+    was never centered (hurting inner-product search). Routine after
+    every encoder retrain, before the vectors are admitted to the
+    index q_sim_ivf builds.
+
+    Scale shape: one posexplode to (dim, value) — d× row inflation but
+    map-combinable straight into d-bounded power sums, each term
+    9dp/6dp-quantized into DECIMAL before the order-free sum; output
+    is |dims| rows. At 100 TB the explode fuses into the scan
+    (whole-stage codegen) and the aggregate is the only shuffle, d
+    keys wide.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "v")
+    )
+    p = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round("v", 9).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("s"),
+        F.sum(F.round(F.col("v") * F.col("v"), 6).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    return (
+        p.select(
+            F.col("dim").cast("long").alias("dim"),
+            "n",
+            F.round(F.col("s") / F.col("n"), 6).alias("mean"),
+            F.round(var, 6).alias("var"),
+            (var < _DIM_DEAD_VAR).alias("is_dead"),
+        )
+        .orderBy("dim")
+    )

@@ -8909,3 +8909,132 @@ def q_events_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "template")
         .limit(20)
     )
+
+
+@query(
+    "q_ts_mtbf",
+    # Outage runs are pure integer gaps-and-islands (day − row_number
+    # keys); MTBF/MTTR/availability are one integer division each on
+    # the single summary row.
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+x AS (
+  SELECT s.day, CAST(COALESCE(d.c, 0) AS BIGINT) AS c
+  FROM spine s LEFT JOIN d USING (day)
+),
+z AS (
+  SELECT day, day - row_number() OVER (ORDER BY day) AS grp
+  FROM x WHERE c = 0
+),
+runs AS (
+  SELECT grp, CAST(min(day) AS BIGINT) AS start_day,
+         CAST(count(*) AS BIGINT) AS len
+  FROM z GROUP BY 1
+),
+gaps AS (
+  SELECT start_day - lag(start_day) OVER (ORDER BY start_day) AS between_days
+  FROM runs
+),
+agg AS (
+  SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM x) AS n_days,
+    (SELECT CAST(count(*) AS BIGINT) FROM x WHERE c = 0) AS down_days,
+    (SELECT CAST(count(*) AS BIGINT) FROM runs) AS n_outages,
+    (SELECT CAST(sum(between_days) AS BIGINT) FROM gaps
+     WHERE between_days IS NOT NULL) AS sum_between,
+    (SELECT CAST(count(*) AS BIGINT) FROM gaps
+     WHERE between_days IS NOT NULL) AS n_between
+)
+SELECT n_days, n_outages, down_days,
+       round((n_days - down_days) * 1.0 / n_days, 6) AS availability,
+       round(CASE WHEN n_outages > 0
+                  THEN down_days * 1.0 / n_outages END, 6) AS mttr_days,
+       round(CASE WHEN n_between > 0
+                  THEN sum_between * 1.0 / n_between END, 6) AS mtbf_days
+FROM agg
+""",
+)
+def q_ts_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTBF / MTTR / availability of the event feed, treating
+    zero-event days as outages: mean days between consecutive outage
+    STARTS (MTBF), mean outage length (MTTR), and uptime share — the
+    three numbers an SRE review quotes, computed from the same
+    gaps-and-islands machinery as q_ts_gaps but summarized the
+    reliability-engineering way (q_ts_gaps profiles the gaps;
+    q_events_outage detects them live; this prices the feed's
+    reliability in the units capacity contracts are written in).
+
+    Scale shape: one map-combinable reduce to daily counts; islands,
+    the between-outage lag and the summary all live on the
+    |days|-bounded spine (fold-proof constant partition keys); one
+    closed-form row. Zero outages → NULL MTTR/MTBF with availability
+    1.0; a single outage → NULL MTBF (no between-gap exists), never a
+    crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = F.broadcast(
+        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    )
+    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    x = spine.join(d, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)  # feeds totals and the island pass
+    wz = W.partitionBy(bounded_part(F.col("day"))).orderBy("day")
+    runs = (
+        x.filter(F.col("c") == 0)
+        .select("day", (F.col("day") - F.row_number().over(wz)).alias("grp"))
+        .groupBy("grp")
+        .agg(
+            F.min("day").cast("long").alias("start_day"),
+            F.count(F.lit(1)).cast("long").alias("len"),
+        )
+    )
+    wg = W.partitionBy(bounded_part(F.col("start_day"))).orderBy("start_day")
+    gaps = runs.select(
+        (F.col("start_day") - F.lag("start_day").over(wg)).alias(
+            "between_days"
+        )
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("down_days"),
+    )
+    outs = runs.agg(F.count(F.lit(1)).cast("long").alias("n_outages"))
+    btw = gaps.filter(F.col("between_days").isNotNull()).agg(
+        F.sum("between_days").cast("long").alias("sum_between"),
+        F.count(F.lit(1)).cast("long").alias("n_between"),
+    )
+    agg = tot.crossJoin(F.broadcast(outs)).crossJoin(F.broadcast(btw))
+    return agg.select(
+        "n_days",
+        "n_outages",
+        "down_days",
+        F.round(
+            (F.col("n_days") - F.col("down_days")) * 1.0 / F.col("n_days"),
+            6,
+        ).alias("availability"),
+        F.round(
+            F.when(
+                F.col("n_outages") > 0,
+                F.col("down_days") * 1.0 / F.col("n_outages"),
+            ),
+            6,
+        ).alias("mttr_days"),
+        F.round(
+            F.when(
+                F.col("n_between") > 0,
+                F.col("sum_between") * 1.0 / F.col("n_between"),
+            ),
+            6,
+        ).alias("mtbf_days"),
+    )

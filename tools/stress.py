@@ -301,6 +301,10 @@ QUERIES = [
     "q_ts_strength",
     "q_events_templates",
     "q_orders_yoy",
+    "q_curation_ablation",
+    "q_embed_dim_profile",
+    "q_ts_mtbf",
+    "q_json_schema_infer",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
