@@ -3852,3 +3852,113 @@ def q_text_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_sample_importance_clip",
+    # Weights are exact integer token counts; the clip value is an
+    # exact integer-rank p99 selection; clipped weights, both ESS
+    # numerators/denominators and the clipped count are exact BIGINTs
+    # — the two ESS divisions are the only floats.
+    oracle="""
+WITH w AS (
+  SELECT len(string_split(text, ' ')) AS wt FROM documents
+),
+g AS (SELECT wt, count(*) AS cnt FROM w GROUP BY wt),
+c AS (
+  SELECT wt, CAST(sum(cnt) OVER (ORDER BY wt) AS BIGINT) AS cum FROM g
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+clip AS (
+  SELECT CAST(min(CASE WHEN c.cum >= (n.n * 99 + 99) // 100
+                       THEN c.wt END) AS BIGINT) AS p99
+  FROM c CROSS JOIN n
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(wt) AS BIGINT) AS sw,
+         CAST(sum(wt * wt) AS BIGINT) AS sww,
+         CAST(sum(least(wt, clip.p99)) AS BIGINT) AS swc,
+         CAST(sum(least(wt, clip.p99) * least(wt, clip.p99)) AS BIGINT)
+           AS swwc,
+         CAST(count(*) FILTER (wt > clip.p99) AS BIGINT) AS n_clipped,
+         CAST(max(clip.p99) AS BIGINT) AS clip_value
+  FROM w CROSS JOIN clip
+)
+SELECT n, clip_value, n_clipped,
+       round(CAST(sw AS DOUBLE) * sw / sww / n, 6) AS efficiency_before,
+       round(CAST(swc AS DOUBLE) * swc / swwc / n, 6) AS efficiency_after
+FROM s WHERE n > 0 AND sww > 0 AND swwc > 0
+""",
+)
+def q_sample_importance_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated importance sampling: clip length-proportional weights
+    at their exact p99 and report the ESS efficiency before/after —
+    the standard variance-vs-bias repair for heavy-tailed weights
+    (a handful of huge documents can drag Kish efficiency to 5%,
+    q_sample_ess's diagnostic; clipping at p99 trades a bounded bias
+    for most of that variance back, and THIS op prices the trade
+    before any weighted estimate ships). Publishing n_clipped keeps
+    the bias bounded and visible.
+
+    Scale shape: weights are exact integer token counts; the p99 clip
+    value is an integer-rank selection on the distinct-weight
+    dist_cumsum spine (no sort buffer); both ESS ratios come from
+    exact BIGINT power sums in ONE conditional pass against the 1-row
+    broadcast clip value. Everything is exact until the two final
+    divisions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.size(F.split("text", " ")).alias("wt"))
+    g = w.groupBy("wt").agg(F.count(F.lit(1)).alias("cnt"))
+    from asyncdatapipeline_spark.operators._util import dist_cumsum
+
+    c = dist_cumsum(g, "wt", ["cnt"])
+    n = F.broadcast(w.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    clip = F.broadcast(
+        c.crossJoin(n)
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_cnt") >= F.expr("(n * 99 + 99) div 100"),
+                    F.col("wt"),
+                )
+            ).cast("long").alias("p99")
+        )
+    )
+    wc = F.least(F.col("wt"), F.col("p99"))
+    s = w.crossJoin(clip).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("wt").cast("long").alias("sw"),
+        F.sum(F.col("wt") * F.col("wt")).cast("long").alias("sww"),
+        F.sum(wc).cast("long").alias("swc"),
+        F.sum(wc * wc).cast("long").alias("swwc"),
+        F.sum(F.when(F.col("wt") > F.col("p99"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped"),
+        F.max("p99").cast("long").alias("clip_value"),
+    )
+    return (
+        s.filter(
+            (F.col("n") > 0) & (F.col("sww") > 0) & (F.col("swwc") > 0)
+        )
+        .select(
+            "n",
+            "clip_value",
+            "n_clipped",
+            F.round(
+                F.col("sw").cast("double")
+                * F.col("sw")
+                / F.col("sww")
+                / F.col("n"),
+                6,
+            ).alias("efficiency_before"),
+            F.round(
+                F.col("swc").cast("double")
+                * F.col("swc")
+                / F.col("swwc")
+                / F.col("n"),
+                6,
+            ).alias("efficiency_after"),
+        )
+    )

@@ -1876,3 +1876,87 @@ def q_join_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_join_trigram.__doc__ = q_join_trigram.__doc__.format(cap=_TRIGRAM_DF_CAP)
+
+
+_EXPL_TOP = 10
+
+
+@query(
+    "q_join_explosion_audit",
+    # Per-key counts, the quadratic pair estimate and the totals are
+    # all exact integers (cnt² fits BIGINT at any realistic key heat —
+    # the DECIMAL widening guards the sum); shares are one division.
+    oracle=f"""
+WITH k AS (
+  SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS BIGINT)
+           AS est_pairs
+  FROM k
+)
+SELECT k.key, k.cnt,
+       CAST(k.cnt * k.cnt AS BIGINT) AS key_pairs,
+       round(CAST(k.cnt AS DOUBLE) * k.cnt / t.est_pairs, 6)
+         AS pair_share,
+       t.est_pairs, t.n_keys,
+       round(CAST(t.est_pairs AS DOUBLE) / t.n_rows, 6)
+         AS amplification
+FROM k CROSS JOIN t
+ORDER BY k.cnt DESC, k.key LIMIT {_EXPL_TOP}
+""",
+)
+def q_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join explosion audit for a join key: the exact output-size
+    estimate Σcnt² of `lineitem ⋈ lineitem ON l_partkey` with the
+    top-10 keys by quadratic contribution and the row-amplification
+    factor — the pre-flight a co-purchase / similarity self-join runs
+    BEFORE executing (q_profile_skew says a key is 40× the mean;
+    this says what that does to the OUTPUT: one hot key can be 30% of
+    all pairs, which is the number that justifies q_copurchase's
+    basket cap or q_join_salted's salting). Estimate from counts —
+    never by materializing a single pair.
+
+    Scale shape: one key-grained map-combinable count, a 3-scalar
+    total (the cnt² sum widened through DECIMAL against overflow on
+    pathological heat), and a TakeOrderedAndProject top-10. The audit
+    costs one aggregate over the fact — the join it prices could cost
+    quadratically more.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).localCheckpoint(eager=False)  # feeds totals and top-k
+    t = F.broadcast(
+        k.agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt"))
+            .cast("long")
+            .alias("est_pairs"),
+        )
+    )
+    return (
+        k.crossJoin(t)
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt") * F.col("cnt")).cast("long").alias("key_pairs"),
+            F.round(
+                F.col("cnt").cast("double")
+                * F.col("cnt")
+                / F.col("est_pairs"),
+                6,
+            ).alias("pair_share"),
+            "est_pairs",
+            "n_keys",
+            F.round(
+                F.col("est_pairs").cast("double") / F.col("n_rows"), 6
+            ).alias("amplification"),
+        )
+        .orderBy(F.col("cnt").desc(), "key")
+        .limit(_EXPL_TOP)
+    )

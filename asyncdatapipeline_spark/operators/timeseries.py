@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from asyncdatapipeline_spark.operators._util import bounded_part
+from asyncdatapipeline_spark.operators._util import bounded_part, dist_cumsum
 from asyncdatapipeline_spark.registry import query
 from asyncdatapipeline_spark.sources.tables import load_table
 
@@ -9037,4 +9037,133 @@ def q_ts_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("mtbf_days"),
+    )
+
+
+_DWELL_TOP = 10
+
+
+@query(
+    "q_events_dwell",
+    # Transition keys are strings, gaps are exact integer seconds
+    # (unix_timestamp floors identically); top-10 selection orders by
+    # exact counts; median/p90 are integer-rank selections on the
+    # grouped dist_cumsum spine; the mean is one integer division.
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(event_type) OVER w AS prev_type,
+         lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_sec
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+  SELECT prev_type || '->' || event_type AS trans,
+         sec - prev_sec AS gap_s
+  FROM s WHERE prev_type IS NOT NULL
+),
+top AS (
+  SELECT trans, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gap_s) AS BIGINT) AS sg
+  FROM t GROUP BY trans
+  ORDER BY n DESC, trans LIMIT {_DWELL_TOP}
+),
+g AS (
+  SELECT t.trans, t.gap_s, count(*) AS cnt
+  FROM t JOIN top USING (trans) GROUP BY 1, 2
+),
+c AS (
+  SELECT trans, gap_s,
+         CAST(sum(cnt) OVER (PARTITION BY trans ORDER BY gap_s)
+              AS BIGINT) AS cum
+  FROM g
+)
+SELECT top.trans, top.n,
+       round(top.sg * 1.0 / top.n, 6) AS mean_gap_s,
+       CAST(min(CASE WHEN c.cum >= (top.n * 50 + 99) // 100
+                     THEN c.gap_s END) AS BIGINT) AS median_gap_s,
+       CAST(min(CASE WHEN c.cum >= (top.n * 90 + 99) // 100
+                     THEN c.gap_s END) AS BIGINT) AS p90_gap_s
+FROM c JOIN top USING (trans)
+GROUP BY top.trans, top.n, top.sg
+ORDER BY top.n DESC, top.trans
+""",
+)
+def q_events_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time distribution per event-type TRANSITION: for the
+    top-10 transitions (prev→next), the exact mean / median / p90
+    seconds users spend between those two events — the timing layer
+    q_events_markov's transition PROBABILITIES don't carry ("view→
+    purchase happens 12% of the time" vs "…and takes 40s median,
+    20min p90" are different product facts; checkout friction lives in
+    the second). Global inter-arrival (q_ts_interarrival) averages all
+    transitions together, which is exactly what this decomposes.
+
+    Scale shape: one user-keyed window (genuine partition key, per-
+    user frames) builds transitions; the top-10 cutoff is an exact
+    TakeOrderedAndProject; the rank stats ride the grouped
+    q_agg_median_exact device — per-transition distinct-gap counts →
+    ``dist_cumsum(part_cols=[trans])`` → integer-rank selections — no
+    per-group sort buffer at any event volume. Gaps are exact integer
+    seconds; the mean is the only division.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    s = e.select(
+        "event_type",
+        sec.alias("sec"),
+        F.lag("event_type").over(wu).alias("prev_type"),
+        F.lag(sec).over(wu).alias("prev_sec"),
+    )
+    t = s.filter(F.col("prev_type").isNotNull()).select(
+        F.concat(F.col("prev_type"), F.lit("->"), F.col("event_type")).alias(
+            "trans"
+        ),
+        (F.col("sec") - F.col("prev_sec")).alias("gap_s"),
+    ).localCheckpoint(eager=False)  # feeds top, g
+    top = (
+        t.groupBy("trans")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("gap_s").cast("long").alias("sg"),
+        )
+        .orderBy(F.col("n").desc(), "trans")
+        .limit(_DWELL_TOP)
+    )
+    g = (
+        t.join(F.broadcast(top.select("trans")), "trans")
+        .groupBy("trans", "gap_s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = dist_cumsum(g, "gap_s", ["cnt"], part_cols=["trans"])
+    sel = (
+        c.join(F.broadcast(top), "trans")
+        .groupBy("trans")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_cnt") >= F.expr("(n * 50 + 99) div 100"),
+                    F.col("gap_s"),
+                )
+            ).cast("long").alias("median_gap_s"),
+            F.min(
+                F.when(
+                    F.col("cum_cnt") >= F.expr("(n * 90 + 99) div 100"),
+                    F.col("gap_s"),
+                )
+            ).cast("long").alias("p90_gap_s"),
+        )
+    )
+    return (
+        top.join(sel, "trans")
+        .select(
+            "trans",
+            "n",
+            F.round(F.col("sg") * 1.0 / F.col("n"), 6).alias("mean_gap_s"),
+            "median_gap_s",
+            "p90_gap_s",
+        )
+        .orderBy(F.col("n").desc(), "trans")
     )

@@ -305,6 +305,9 @@ QUERIES = [
     "q_embed_dim_profile",
     "q_ts_mtbf",
     "q_json_schema_infer",
+    "q_events_dwell",
+    "q_sample_importance_clip",
+    "q_join_explosion_audit",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
