@@ -97,11 +97,11 @@ def main() -> int:
         i = argv.index("--slice")
         slice_round = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
     update_seen = "--update-seen" in argv
     if update_seen:
         argv.remove("--update-seen")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     if slice_round is not None:
         seen_path = Path(__file__).parent / "slice_seen.json"
         seen_doc = json.loads(seen_path.read_text())
