@@ -2519,3 +2519,148 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "q_dedup_savings",
+    # Every tier is an independent digest-keyed exact aggregate; docs/
+    # tokens removed are exact integer differences; shares are one
+    # division per tier row.
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM base
+),
+tiers AS (
+  SELECT 'exact' AS tier, md5(text) AS h, doc_id, n_tok FROM base
+  UNION ALL
+  SELECT 'exact_norm',
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g'))),
+         doc_id, n_tok
+  FROM base
+  UNION ALL
+  SELECT 'prefix16',
+         md5(array_to_string(list_slice(string_split(text, ' '), 1,
+             {_PREFIX_W}), ' ')),
+         doc_id, n_tok
+  FROM base
+),
+fam AS (
+  SELECT tier, h, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_tok) AS BIGINT) AS tok,
+         CAST(min(n_tok) AS BIGINT) AS keep_tok
+  FROM tiers GROUP BY 1, 2
+),
+per AS (
+  SELECT tier,
+         CAST(sum(n - 1) FILTER (n > 1) AS BIGINT) AS docs_removed,
+         CAST(sum(tok - keep_tok) FILTER (n > 1) AS BIGINT)
+           AS tokens_removed_ub,
+         CAST(count(*) FILTER (n > 1) AS BIGINT) AS n_families
+  FROM fam GROUP BY tier
+)
+SELECT p.tier,
+       COALESCE(p.n_families, 0) AS n_families,
+       COALESCE(p.docs_removed, 0) AS docs_removed,
+       COALESCE(p.tokens_removed_ub, 0) AS tokens_removed_ub,
+       round(COALESCE(p.docs_removed, 0) * 1.0 / t.n_docs, 6)
+         AS doc_share,
+       round(COALESCE(p.tokens_removed_ub, 0) * 1.0 / t.n_tokens, 6)
+         AS token_share
+FROM per p CROSS JOIN tot t
+ORDER BY p.tier
+""",
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered dedup savings report: for each dedup tier (raw-md5
+    exact, normalized exact, 16-word prefix family), the families
+    found, documents removable, and token savings (upper bound: keep
+    the SHORTEST member, remove the rest) — the one-page answer to
+    "what does each dedup tier actually buy us" that individual tier
+    operators can't give side-by-side, and the budget line every
+    curation plan opens with (if prefix-16 saves 4% of tokens over
+    normalized-exact, the MinHash pass that costs 10× more compute has
+    a concrete bar to clear).
+
+    Scale shape: one base pass computes all three digests row-locally
+    (the TEXT never shuffles — three 32-char digest streams do), one
+    digest-keyed map-combinable aggregate per tier (a single
+    tier-tagged union aggregate in practice), |tiers| output rows.
+    Same plan geometry as q_dedup_exact, ×3.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]+", ""),
+            " +",
+            " ",
+        )
+    )
+    prefix = F.concat_ws(" ", F.slice(F.split("text", " "), 1, _PREFIX_W))
+    base = d.select(
+        F.md5("text").alias("h_exact"),
+        F.md5(norm).alias("h_norm"),
+        F.md5(prefix).alias("h_prefix"),
+        n_tok.alias("n_tok"),
+    ).localCheckpoint(eager=False)  # feeds the totals and the tier union
+    tot = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    tiers = None
+    for name, col in (
+        ("exact", "h_exact"),
+        ("exact_norm", "h_norm"),
+        ("prefix16", "h_prefix"),
+    ):
+        t = base.select(
+            F.lit(name).alias("tier"), F.col(col).alias("h"), "n_tok"
+        )
+        tiers = t if tiers is None else tiers.unionAll(t)
+    fam = tiers.groupBy("tier", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_tok").cast("long").alias("tok"),
+        F.min("n_tok").cast("long").alias("keep_tok"),
+    )
+    per = fam.groupBy("tier").agg(
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1))
+        .cast("long")
+        .alias("docs_removed"),
+        F.sum(F.when(F.col("n") > 1, F.col("tok") - F.col("keep_tok")))
+        .cast("long")
+        .alias("tokens_removed_ub"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_families"),
+    )
+    return (
+        per.crossJoin(tot)
+        .select(
+            "tier",
+            F.coalesce("n_families", F.lit(0)).alias("n_families"),
+            F.coalesce("docs_removed", F.lit(0)).alias("docs_removed"),
+            F.coalesce("tokens_removed_ub", F.lit(0)).alias(
+                "tokens_removed_ub"
+            ),
+            F.round(
+                F.coalesce("docs_removed", F.lit(0)) * 1.0 / F.col("n_docs"),
+                6,
+            ).alias("doc_share"),
+            F.round(
+                F.coalesce("tokens_removed_ub", F.lit(0))
+                * 1.0
+                / F.col("n_tokens"),
+                6,
+            ).alias("token_share"),
+        )
+        .orderBy("tier")
+    )

@@ -837,3 +837,179 @@ def q_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q_eval_brier",
+    # The probability transform is one IEEE chain per row from exact
+    # DECIMAL power sums (logistic of the z-score); binning happens on
+    # the 6dp-rounded probability; every cross-row sum (Brier terms,
+    # per-bin means, decomposition terms) is 9dp/6dp-quantized into
+    # DECIMAL before summing.
+    oracle=f"""
+WITH scored AS ({{scored}}),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(score AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(score * score AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM scored
+),
+p AS (
+  SELECT y,
+         round(1.0 / (1.0 + exp(-((score - m.sx / m.n)
+               / sqrt((m.sxx - m.sx * m.sx / m.n) / (m.n - 1))))), 6)
+           AS pr
+  FROM scored CROSS JOIN m
+  WHERE m.n > 1 AND (m.sxx - m.sx * m.sx / m.n) > 0
+),
+bs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum(CAST(round((pr - y) * (pr - y), 6) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sq
+  FROM p
+),
+bins AS (
+  SELECT least(9, CAST(floor(pr * 10) AS BIGINT)) AS bin,
+         CAST(count(*) AS BIGINT) AS nk,
+         CAST(sum(y) AS BIGINT) AS posk,
+         CAST(sum(CAST(round(pr, 9) AS DECIMAL(28,12))) AS DOUBLE) AS sp
+  FROM p GROUP BY 1
+),
+dec AS (
+  SELECT
+    CAST(sum(CAST(round(
+        nk * (sp / nk - posk * 1.0 / nk) * (sp / nk - posk * 1.0 / nk), 6)
+        AS DECIMAL(38,12))) AS DOUBLE) AS rel_num,
+    CAST(sum(CAST(round(
+        nk * (posk * 1.0 / nk - bs.pos * 1.0 / bs.n)
+           * (posk * 1.0 / nk - bs.pos * 1.0 / bs.n), 6)
+        AS DECIMAL(38,12))) AS DOUBLE) AS res_num
+  FROM bins CROSS JOIN bs
+  GROUP BY bs.n
+)
+SELECT bs.n,
+       round(bs.sq / bs.n, 6) AS brier,
+       round(dec.rel_num / bs.n, 6) AS reliability,
+       round(dec.res_num / bs.n, 6) AS resolution,
+       round((bs.pos * 1.0 / bs.n) * (1 - bs.pos * 1.0 / bs.n), 6)
+         AS uncertainty
+FROM bs CROSS JOIN dec
+""".format(scored=_SCORED),
+)
+def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition (reliability −
+    resolution + uncertainty) for the purchase-vs-view scorer, scores
+    mapped to probabilities by a logistic z-transform — the proper
+    scoring rule q_eval_auc can't replace (AUC is ranking-only: a
+    scorer can rank perfectly and still be wildly miscalibrated) and
+    the decomposition q_eval_calibration's ECE doesn't give:
+    reliability isolates the CALIBRATION debt, resolution the
+    DISCRIMINATION earned, uncertainty the base-rate floor neither can
+    beat. The three publish beside the raw Brier so "is this score
+    bad because it's miscalibrated or because the problem is hard" is
+    answerable from one row.
+
+    Scale shape: one exact-DECIMAL power-sum pass fixes the transform;
+    one map-combinable pass accumulates the armored Brier sum and the
+    10-bin partials; the decomposition is arithmetic over ≤ 10 bin
+    rows (armored again). Degenerate score spread emits nothing.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    scored = e.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    m = F.broadcast(
+        scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("score").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sx"),
+            F.sum((F.col("score") * F.col("score")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    sd = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    pr = F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(-((F.col("score") - F.col("sx") / F.col("n")) / sd))
+        ),
+        6,
+    )
+    p = (
+        scored.crossJoin(m)
+        .filter(
+            (F.col("n") > 1)
+            & ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) > 0)
+        )
+        .select("y", pr.alias("pr"))
+        .localCheckpoint(eager=False)  # feeds the Brier pass and the bins
+    )
+    bs = F.broadcast(
+        p.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(
+                F.round(
+                    (F.col("pr") - F.col("y")) * (F.col("pr") - F.col("y")),
+                    6,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("sq"),
+        )
+    )
+    bins = p.groupBy(
+        F.least(F.lit(9), F.floor(F.col("pr") * 10)).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("y").cast("long").alias("posk"),
+        F.sum(F.round("pr", 9).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sp"),
+    )
+    pbar = F.col("sp") / F.col("nk")
+    ybar_k = F.col("posk") * 1.0 / F.col("nk")
+    ybar = F.col("pos") * 1.0 / F.col("n")
+    dec = (
+        bins.crossJoin(bs)
+        .groupBy("n")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("nk") * (pbar - ybar_k) * (pbar - ybar_k), 6
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("rel_num"),
+            F.sum(
+                F.round(
+                    F.col("nk") * (ybar_k - ybar) * (ybar_k - ybar), 6
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("res_num"),
+        )
+        .drop("n")
+    )
+    return bs.crossJoin(F.broadcast(dec)).select(
+        "n",
+        F.round(F.col("sq") / F.col("n"), 6).alias("brier"),
+        F.round(F.col("rel_num") / F.col("n"), 6).alias("reliability"),
+        F.round(F.col("res_num") / F.col("n"), 6).alias("resolution"),
+        F.round(
+            (F.col("pos") * 1.0 / F.col("n"))
+            * (1 - F.col("pos") * 1.0 / F.col("n")),
+            6,
+        ).alias("uncertainty"),
+    )

@@ -9167,3 +9167,137 @@ def q_events_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), "trans")
     )
+
+
+_DEB_BUCKET_H = 6       # state bucket width, hours
+_DEB_ERR_THR = 0.25     # error share that raises the alert state
+
+
+@query(
+    "q_ts_debounce",
+    # Bucket states come from exact integer counts vs a literal
+    # threshold; flip detection, island keys and run lengths are pure
+    # integer window arithmetic on the bounded bucket spine; one
+    # division for the suppression share.
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(floor(epoch(ts) / {_DEB_BUCKET_H * 3600}) AS BIGINT) AS bk,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS errs
+  FROM events GROUP BY 1
+),
+r AS (SELECT min(bk) AS b0, max(bk) AS b1 FROM b),
+spine AS (SELECT unnest(generate_series(b0, b1)) AS bk FROM r),
+x AS (
+  SELECT s.bk,
+         (COALESCE(b.errs, 0) * 1.0
+          > {_DEB_ERR_THR} * COALESCE(b.n, 0)) AND COALESCE(b.n, 0) > 0
+           AS alarm
+  FROM spine s LEFT JOIN b USING (bk)
+),
+isl AS (
+  SELECT bk, alarm,
+         bk - row_number() OVER (PARTITION BY alarm ORDER BY bk) AS grp
+  FROM x
+),
+runs AS (
+  SELECT alarm, grp, CAST(min(bk) AS BIGINT) AS start_bk,
+         CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY 1, 2
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS raw_alerts,
+         CAST(count(*) FILTER (len >= 2) AS BIGINT) AS debounced_alerts,
+         CAST(count(*) FILTER (len = 1) AS BIGINT) AS suppressed_flaps,
+         CAST(max(CASE WHEN len >= 2 THEN len END) AS BIGINT)
+           AS longest_alert_buckets
+  FROM runs WHERE alarm
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets FROM x)
+SELECT t.n_buckets, a.raw_alerts, a.debounced_alerts,
+       a.suppressed_flaps, a.longest_alert_buckets,
+       round(CASE WHEN a.raw_alerts > 0
+                  THEN a.suppressed_flaps * 1.0 / a.raw_alerts END, 6)
+         AS flap_share
+FROM a CROSS JOIN t
+""",
+)
+def q_ts_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert debouncing audit: raise an alarm when a 6-hour bucket's
+    error share crosses 25%, then count RAW alert episodes vs
+    DEBOUNCED ones (episodes lasting ≥ 2 buckets) and the single-
+    bucket flaps suppressed — the paging-hygiene analysis behind every
+    "for ≥ N minutes" alert clause: a threshold that technically fires
+    40 times but 35 are one-bucket flaps needs debounce, not a new
+    threshold (q_events_outage detects episodes; this prices the
+    flappiness of the DETECTOR itself).
+
+    Scale shape: one map-combinable reduce to 6-hour buckets, then
+    gaps-and-islands (alarm-state islands via the integer
+    bk − row_number key) and the episode aggregate entirely on the
+    |buckets|-bounded spine with fold-proof constant partition keys
+    scoped per state. One division. A feed with zero alarms reports
+    zero episodes and NULL longest/flap-share, not a crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / (_DEB_BUCKET_H * 3600))
+        .cast("long")
+        .alias("bk")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    r = F.broadcast(b.agg(F.min("bk").alias("b0"), F.max("bk").alias("b1")))
+    spine = r.select(F.explode(F.sequence("b0", "b1")).alias("bk"))
+    x = spine.join(b, "bk", "left").select(
+        "bk",
+        (
+            (
+                F.coalesce("errs", F.lit(0)) * 1.0
+                > _DEB_ERR_THR * F.coalesce("n", F.lit(0))
+            )
+            & (F.coalesce("n", F.lit(0)) > 0)
+        ).alias("alarm"),
+    ).localCheckpoint(eager=False)  # feeds islands and the bucket total
+    wi = W.partitionBy("alarm").orderBy("bk")
+    runs = (
+        x.select(
+            "alarm",
+            "bk",
+            (F.col("bk") - F.row_number().over(wi)).alias("grp"),
+        )
+        .groupBy("alarm", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("len"))
+    )
+    a = runs.filter(F.col("alarm")).agg(
+        F.count(F.lit(1)).cast("long").alias("raw_alerts"),
+        F.sum(F.when(F.col("len") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("debounced_alerts"),
+        F.sum(F.when(F.col("len") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("suppressed_flaps"),
+        F.max(F.when(F.col("len") >= 2, F.col("len")))
+        .cast("long")
+        .alias("longest_alert_buckets"),
+    )
+    t = F.broadcast(
+        x.agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    )
+    return a.crossJoin(t).select(
+        "n_buckets",
+        "raw_alerts",
+        "debounced_alerts",
+        "suppressed_flaps",
+        "longest_alert_buckets",
+        F.round(
+            F.when(
+                F.col("raw_alerts") > 0,
+                F.col("suppressed_flaps") * 1.0 / F.col("raw_alerts"),
+            ),
+            6,
+        ).alias("flap_share"),
+    )

@@ -308,6 +308,9 @@ QUERIES = [
     "q_events_dwell",
     "q_sample_importance_clip",
     "q_join_explosion_audit",
+    "q_dedup_savings",
+    "q_ts_debounce",
+    "q_eval_brier",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
