@@ -3962,3 +3962,145 @@ def q_sample_importance_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("efficiency_after"),
         )
     )
+
+
+@query(
+    "q_text_fertility",
+    # Token, word and byte counts are exact integers under the
+    # engine-shared regex and UTF-8 length; fertility and
+    # bytes-per-token are one division each per language row.
+    oracle=f"""
+WITH per AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS words,
+         CAST(sum(len(regexp_extract_all(text, '{_TOKEN_RE}'))) AS BIGINT)
+           AS tokens,
+         CAST(sum(strlen(text)) AS BIGINT) AS bytes
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, words, tokens,
+       round(tokens * 1.0 / words, 6) AS fertility,
+       round(bytes * 1.0 / tokens, 6) AS bytes_per_token
+FROM per ORDER BY lang
+""",
+)
+def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: tokens-per-word and
+    bytes-per-token under the corpus's BPE-ish tokenizer — THE
+    tokenizer-fairness metrics: a language whose fertility is 2× pays
+    double the context window and double the inference cost for the
+    same content, and bytes-per-token is the compression the tokenizer
+    actually achieves per script. Per-doc token counts exist
+    (q_text_tokens); this is the language-level readout tokenizer and
+    mixture decisions are made from (a high-fertility language may
+    need byte-fallback tuning or a bigger mixture share to see the
+    same effective data).
+
+    Scale shape: one map-combinable pass of row-local regex counts to
+    |langs| rows; two divisions per row are the only floats. The regex
+    and UTF-8 byte length are the engine-shared contracts from
+    q_text_tokens / q_text_stats.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("words"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE))))
+        .cast("long")
+        .alias("tokens"),
+        F.sum(F.octet_length("text")).cast("long").alias("bytes"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "words",
+        "tokens",
+        F.round(F.col("tokens") * 1.0 / F.col("words"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.col("bytes") * 1.0 / F.col("tokens"), 6).alias(
+            "bytes_per_token"
+        ),
+    ).orderBy("lang")
+
+
+@query(
+    "q_text_effective_tokens",
+    # Survivor selection is the exact-dedup rule (min doc_id per
+    # digest); raw/effective token sums are exact BIGINTs; inflation
+    # and share are one division each.
+    oracle="""
+WITH base AS (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY h),
+per AS (
+  SELECT b.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(b.n_tok) AS BIGINT) AS raw_tokens,
+         CAST(count(*) FILTER (k.doc_id IS NOT NULL) AS BIGINT)
+           AS eff_docs,
+         CAST(sum(b.n_tok) FILTER (k.doc_id IS NOT NULL) AS BIGINT)
+           AS eff_tokens
+  FROM base b LEFT JOIN keep k ON b.doc_id = k.doc_id
+  GROUP BY b.source
+)
+SELECT source, n_docs, raw_tokens, eff_docs, eff_tokens,
+       round(raw_tokens * 1.0 / eff_tokens, 6) AS dup_inflation,
+       round(eff_tokens * 1.0 / raw_tokens, 6) AS effective_share
+FROM per ORDER BY source
+""",
+)
+def q_text_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective (post-exact-dedup) token counts per source: raw vs
+    surviving tokens under the canonical min-id survivor rule, with
+    the duplication-inflation factor — the number mixture planning
+    must use instead of raw counts: a source reporting 10B tokens at
+    1.8× inflation contributes 5.6B EFFECTIVE tokens, and weighting by
+    raw counts silently up-samples its duplicates (the q_mix_* family
+    consumes exactly this corrected table at 100 TB).
+
+    Scale shape: digest-only exact dedup (text never shuffles) →
+    survivor set hash-joined back on doc_id (map-combinable per-source
+    aggregate on each side); |sources| rows; two divisions per row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    ).localCheckpoint(eager=False)  # feeds keep and the per-source agg
+    keep = base.groupBy("h").agg(F.min("doc_id").alias("kdoc")).select(
+        F.col("kdoc").alias("doc_id"), F.lit(1).alias("_keep")
+    )
+    per = (
+        base.join(keep, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("raw_tokens"),
+            F.sum(F.when(F.col("_keep").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("eff_docs"),
+            F.sum(F.when(F.col("_keep").isNotNull(), F.col("n_tok")))
+            .cast("long")
+            .alias("eff_tokens"),
+        )
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "raw_tokens",
+        "eff_docs",
+        "eff_tokens",
+        F.round(F.col("raw_tokens") * 1.0 / F.col("eff_tokens"), 6).alias(
+            "dup_inflation"
+        ),
+        F.round(F.col("eff_tokens") * 1.0 / F.col("raw_tokens"), 6).alias(
+            "effective_share"
+        ),
+    ).orderBy("source")

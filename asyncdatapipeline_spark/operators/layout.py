@@ -824,3 +824,85 @@ def q_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skew_ratio"),
         verdict.alias("verdict"),
     ).orderBy("tbl", "col")
+
+
+_FP_TARGET_BYTES = 128 * 1024 * 1024   # lake-standard target file size
+_FP_OVERHEAD_NUM, _FP_OVERHEAD_DEN = 12, 10  # ×1.2 serialization factor
+
+
+@query(
+    "q_layout_file_plan",
+    # Byte estimates, file counts and rows-per-file are pure integer
+    # arithmetic (the ×1.2 overhead is an exact integer 12/10 scale,
+    # ceil via (a + b − 1) div b); the only float is the fill-ratio
+    # division.
+    oracle=f"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS raw_bytes
+  FROM documents GROUP BY source
+),
+plan AS (
+  SELECT source, n_docs, raw_bytes,
+         raw_bytes * {_FP_OVERHEAD_NUM} // {_FP_OVERHEAD_DEN} AS est_bytes
+  FROM per
+)
+SELECT source, n_docs, est_bytes,
+       CAST(greatest(1, (est_bytes + {_FP_TARGET_BYTES} - 1)
+                        // {_FP_TARGET_BYTES}) AS BIGINT) AS n_files,
+       CAST(n_docs // greatest(1, (est_bytes + {_FP_TARGET_BYTES} - 1)
+                                  // {_FP_TARGET_BYTES}) AS BIGINT)
+         AS rows_per_file,
+       round(est_bytes * 1.0
+             / (greatest(1, (est_bytes + {_FP_TARGET_BYTES} - 1)
+                            // {_FP_TARGET_BYTES})
+                * {_FP_TARGET_BYTES}), 6) AS fill_ratio,
+       (est_bytes * 4 < {_FP_TARGET_BYTES}) AS underfilled
+FROM plan ORDER BY source
+""",
+)
+def q_layout_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-file plan per source partition: estimated serialized
+    bytes (×1.2 overhead on raw content), file count at the 128 MB
+    lake target, rows per file, fill ratio, and the underfilled flag —
+    the arithmetic behind every `repartition(n)` before a partitioned
+    write at 100 TB: too many files drowns the namenode/metastore and
+    makes every downstream scan pay open-file latency; too few caps
+    read parallelism. q_layout_advisor picks the partition COLUMN;
+    this sizes the files INSIDE each partition (its underfilled flag
+    is the "merge these partitions into one writer task" signal).
+
+    Scale shape: one map-combinable per-source reduce; the plan is
+    integer arithmetic on |sources| rows (ceil as (a+b−1) div b, the
+    overhead factor as an exact 12/10 integer scale — no float bytes).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("raw_bytes"),
+    )
+    est = F.expr(
+        f"raw_bytes * {_FP_OVERHEAD_NUM} div {_FP_OVERHEAD_DEN}"
+    ).alias("est_bytes")
+    plan = per.select("source", "n_docs", est)
+    n_files = F.greatest(
+        F.lit(1),
+        F.expr(
+            f"(est_bytes + {_FP_TARGET_BYTES} - 1) div {_FP_TARGET_BYTES}"
+        ),
+    )
+    return plan.select(
+        "source",
+        "n_docs",
+        "est_bytes",
+        n_files.cast("long").alias("n_files"),
+        F.expr(
+            f"n_docs div greatest(1, (est_bytes + {_FP_TARGET_BYTES} - 1) "
+            f"div {_FP_TARGET_BYTES})"
+        ).cast("long").alias("rows_per_file"),
+        F.round(
+            F.col("est_bytes") * 1.0 / (n_files * _FP_TARGET_BYTES), 6
+        ).alias("fill_ratio"),
+        (F.col("est_bytes") * 4 < _FP_TARGET_BYTES).alias("underfilled"),
+    ).orderBy("source")

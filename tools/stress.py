@@ -311,6 +311,9 @@ QUERIES = [
     "q_dedup_savings",
     "q_ts_debounce",
     "q_eval_brier",
+    "q_text_fertility",
+    "q_text_effective_tokens",
+    "q_layout_file_plan",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
