@@ -1013,3 +1013,158 @@ def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("uncertainty"),
     )
+
+
+@query(
+    "q_eval_auc_ci",
+    # The DeLong structural components V10/V01 are rationals of exact
+    # cumulative integer counts, constant within a score tie-group;
+    # their weighted moments are 9dp/6dp-quantized DECIMAL sums; the
+    # CI is one IEEE chain on the single output row (1.96 literal).
+    oracle=f"""
+WITH scored AS ({{scored}}),
+g AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS tie,
+         CAST(sum(y) AS BIGINT) AS a_tie
+  FROM scored GROUP BY score
+),
+c AS (
+  SELECT score, tie, a_tie, tie - a_tie AS b_tie,
+         CAST(sum(tie) OVER (ORDER BY score) AS BIGINT) AS cum,
+         CAST(sum(a_tie) OVER (ORDER BY score) AS BIGINT) AS cum_a
+  FROM g
+),
+t AS (
+  SELECT CAST(sum(a_tie) AS BIGINT) AS m, CAST(sum(tie - a_tie) AS BIGINT) AS n
+  FROM g
+),
+v AS (
+  SELECT c.a_tie, c.b_tie,
+         ((c.cum - c.cum_a) - (c.tie - c.a_tie) + 0.5 * (c.tie - c.a_tie))
+           / t.n AS v10,
+         ((t.m - c.cum_a) + 0.5 * c.a_tie) / t.m AS v01
+  FROM c CROSS JOIN t
+),
+mom AS (
+  SELECT
+    CAST(sum(CAST(round(a_tie * v10, 9) AS DECIMAL(38,12))) AS DOUBLE)
+      AS s10,
+    CAST(sum(CAST(round(a_tie * v10 * v10, 6) AS DECIMAL(38,12)))
+         AS DOUBLE) AS s10_2,
+    CAST(sum(CAST(round(b_tie * v01, 9) AS DECIMAL(38,12))) AS DOUBLE)
+      AS s01,
+    CAST(sum(CAST(round(b_tie * v01 * v01, 6) AS DECIMAL(38,12)))
+         AS DOUBLE) AS s01_2
+  FROM v
+)
+SELECT t.m AS n_pos, t.n AS n_neg,
+       round(mom.s10 / t.m, 6) AS auc,
+       round(sqrt(((mom.s10_2 - mom.s10 * mom.s10 / t.m) / (t.m - 1)) / t.m
+                  + ((mom.s01_2 - mom.s01 * mom.s01 / t.n) / (t.n - 1))
+                    / t.n), 6) AS se,
+       round(mom.s10 / t.m
+             - 1.96 * sqrt(((mom.s10_2 - mom.s10 * mom.s10 / t.m)
+                            / (t.m - 1)) / t.m
+                           + ((mom.s01_2 - mom.s01 * mom.s01 / t.n)
+                              / (t.n - 1)) / t.n), 6) AS ci_lo,
+       round(mom.s10 / t.m
+             + 1.96 * sqrt(((mom.s10_2 - mom.s10 * mom.s10 / t.m)
+                            / (t.m - 1)) / t.m
+                           + ((mom.s01_2 - mom.s01 * mom.s01 / t.n)
+                              / (t.n - 1)) / t.n), 6) AS ci_hi
+FROM mom CROSS JOIN t
+WHERE t.m > 1 AND t.n > 1
+""".format(scored=_SCORED),
+)
+def q_eval_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong confidence interval for the AUC — the error bar
+    q_eval_auc's point estimate ships without, and the thing that
+    decides whether "model B's 0.71 beats model A's 0.69" means
+    anything at this sample size. DeLong's structural components make
+    it distributable: V10 for each positive is the fraction of
+    negatives it outranks (ties half), V01 dually — both are CONSTANT
+    within a score tie-group, so the whole computation lives on the
+    distinct-score spine with tie-count weights, never on raw rows.
+    SE² = Var(V10)/m + Var(V01)/n, CI = AUC ± 1.96·SE.
+
+    Scale shape: one reduce to the distinct-score spine, dist_cumsum
+    cumulative class counts, per-spine-row rational V values, and ONE
+    armored weighted-moment aggregate. Degenerate classes (m ≤ 1 or
+    n ≤ 1) emit nothing rather than a zero-division.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    g = e.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    ).groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("tie"),
+        F.sum("y").cast("long").alias("a_tie"),
+    )
+    c = dist_cumsum(g, "score", ["tie", "a_tie"])
+    t = F.broadcast(
+        g.agg(
+            F.sum("a_tie").cast("long").alias("m"),
+            F.sum(F.col("tie") - F.col("a_tie")).cast("long").alias("n"),
+        )
+    )
+    b_tie = F.col("tie") - F.col("a_tie")
+    neg_below = (F.col("cum_tie") - F.col("cum_a_tie")) - b_tie
+    v10 = (neg_below + 0.5 * b_tie) / F.col("n")
+    v01 = ((F.col("m") - F.col("cum_a_tie")) + 0.5 * F.col("a_tie")) / F.col(
+        "m"
+    )
+    v = c.crossJoin(t).select(
+        "a_tie",
+        b_tie.alias("b_tie"),
+        v10.alias("v10"),
+        v01.alias("v01"),
+        "m",
+        "n",
+    )
+    mom = v.groupBy("m", "n").agg(
+        F.sum(
+            F.round(F.col("a_tie") * F.col("v10"), 9).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("s10"),
+        F.sum(
+            F.round(
+                F.col("a_tie") * F.col("v10") * F.col("v10"), 6
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("s10_2"),
+        F.sum(
+            F.round(F.col("b_tie") * F.col("v01"), 9).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("s01"),
+        F.sum(
+            F.round(
+                F.col("b_tie") * F.col("v01") * F.col("v01"), 6
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("s01_2"),
+    )
+    var10 = (F.col("s10_2") - F.col("s10") * F.col("s10") / F.col("m")) / (
+        F.col("m") - 1
+    )
+    var01 = (F.col("s01_2") - F.col("s01") * F.col("s01") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    se = F.sqrt(var10 / F.col("m") + var01 / F.col("n"))
+    auc = F.col("s10") / F.col("m")
+    return (
+        mom.filter((F.col("m") > 1) & (F.col("n") > 1))
+        .select(
+            F.col("m").alias("n_pos"),
+            F.col("n").alias("n_neg"),
+            F.round(auc, 6).alias("auc"),
+            F.round(se, 6).alias("se"),
+            F.round(auc - 1.96 * se, 6).alias("ci_lo"),
+            F.round(auc + 1.96 * se, 6).alias("ci_hi"),
+        )
+    )

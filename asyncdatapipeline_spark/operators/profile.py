@@ -1281,3 +1281,141 @@ def q_profile_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_id_rows",
         F.round(clean, 6).alias("clean_share_lb"),
     ).orderBy("source")
+
+
+@query(
+    "q_dq_referential",
+    # Orphan and coverage counts are exact integers from key-grained
+    # anti-join-shaped aggregates; shares are one division per FK row.
+    oracle="""
+WITH fks AS (
+  SELECT 'lineitem.l_orderkey->orders' AS fk,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey)) AS orphans,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_parent,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey))
+           AS unreferenced
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)),
+         (SELECT count(*) FROM customer),
+         (SELECT count(*) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey))
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey)),
+         (SELECT count(*) FROM part),
+         (SELECT count(*) FROM part p
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_partkey = p.p_partkey))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey)),
+         (SELECT count(*) FROM supplier),
+         (SELECT count(*) FROM supplier s
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                            WHERE l.l_suppkey = s.s_suppkey))
+)
+SELECT fk, n_child, orphans,
+       round(orphans * 1.0 / n_child, 6) AS orphan_share,
+       n_parent, unreferenced,
+       round((n_parent - unreferenced) * 1.0 / n_parent, 6)
+         AS parent_coverage
+FROM fks ORDER BY fk
+""",
+)
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's four foreign
+    keys: orphaned child rows (FK value with no parent — the breakage
+    every downstream inner join silently DROPS) and unreferenced
+    parent keys (coverage — dead dimension rows) per relationship —
+    the cross-TABLE integrity layer q_profile_keys' per-table
+    uniqueness check can't see, and the first thing to audit after
+    any partial backfill or purge at 100 TB.
+
+    Scale shape: each FK is ONE declarative left-join + null-count
+    aggregate per direction (a key-grained distinct on the parent side
+    — broadcast for dims, key-shuffle for the fact⋈fact edge), and the
+    four 1-row frames union into the output plan: no driver-side
+    counting loop, the whole audit is a single lazy plan whose leaves
+    Catalyst schedules together. Output is 4 rows, two divisions each.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    pa = load_table(spark, sf_dir, "part")
+    su = load_table(spark, sf_dir, "supplier")
+
+    def audit(name, child, ckey, parent, pkey):
+        ck = child.select(F.col(ckey).alias("k"))
+        pk = parent.select(F.col(pkey).alias("k")).distinct()
+        child_side = (
+            ck.join(pk.withColumn("_p", F.lit(1)), "k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(F.when(F.col("_p").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("orphans"),
+            )
+        )
+        parent_side = (
+            pk.join(ck.distinct().withColumn("_c", F.lit(1)), "k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_parent"),
+                F.sum(F.when(F.col("_c").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("unreferenced"),
+            )
+        )
+        return child_side.crossJoin(F.broadcast(parent_side)).select(
+            F.lit(name).alias("fk"),
+            "n_child",
+            "orphans",
+            "n_parent",
+            "unreferenced",
+        )
+
+    out = (
+        audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(
+            audit("orders.o_custkey->customer", o, "o_custkey", cu, "c_custkey")
+        )
+        .unionAll(
+            audit("lineitem.l_partkey->part", li, "l_partkey", pa, "p_partkey")
+        )
+        .unionAll(
+            audit(
+                "lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"
+            )
+        )
+    )
+    return out.select(
+        "fk",
+        "n_child",
+        "orphans",
+        F.round(F.col("orphans") * 1.0 / F.col("n_child"), 6).alias(
+            "orphan_share"
+        ),
+        "n_parent",
+        "unreferenced",
+        F.round(
+            (F.col("n_parent") - F.col("unreferenced"))
+            * 1.0
+            / F.col("n_parent"),
+            6,
+        ).alias("parent_coverage"),
+    ).orderBy("fk")

@@ -696,3 +696,72 @@ def q_scan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file")
     )
+
+
+_SNIFF_CANDIDATES = ("|", ";", "\t", ",")
+
+
+@query(
+    "q_scan_csv_sniff",
+    # The sniffed dialect is a deterministic argmax over exact
+    # delimiter counts (tie → candidate order); the parsed output must
+    # equal the source table, which is what the oracle reads.
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_csv_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimiter-sniffing CSV ingest: the fixture arrives as a
+    headerless PIPE-delimited file (the classic TPC-H dump dialect),
+    the reader counts candidate delimiters over the raw text, picks
+    the winner, and parses with it — the auto-dialect step every
+    ingest-anything platform runs before schema application, here as
+    an explicit two-phase plan: ONE aggregate over the text scan
+    produces four exact counts, the 1-row result is the sanctioned
+    O(1) driver scalar (same class as dist_cumsum's boundary collect),
+    and the parse plan is then BUILT with the winning delimiter as a
+    literal (Spark options are plan-time constants — a dynamic
+    delimiter is structurally a two-phase read, and pretending
+    otherwise just hides phase one inside a UDF).
+
+    Scale shape: phase one is a map-combinable 4-counter aggregate
+    over the text scan; phase two is the ordinary schema'd CSV read.
+    The comment-vs-data risk (a delimiter inside quoted fields) is
+    why counts run over the WHOLE file, not a head sample.
+    """
+    path = _scratch(sf_dir, "nation_pipe")
+    n = load_table(spark, sf_dir, "nation")
+    (
+        n.select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "false")
+        .option("sep", "|")
+        .csv(path)
+    )
+    raw = spark.read.text(path)
+    counts = raw.agg(
+        *[
+            F.sum(
+                F.length("value")
+                - F.length(F.replace("value", F.lit(d), F.lit("")))
+            ).cast("long").alias(f"c{i}")
+            for i, d in enumerate(_SNIFF_CANDIDATES)
+        ]
+    ).collect()[0]  # 1-row O(1) scalar: the sniffed dialect
+    best = max(
+        range(len(_SNIFF_CANDIDATES)),
+        key=lambda i: (counts[f"c{i}"] or 0, -i),
+    )
+    sep = _SNIFF_CANDIDATES[best]
+    sniff_schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType(), True),
+            T.StructField("n_name", T.StringType(), True),
+            T.StructField("n_regionkey", T.IntegerType(), True),
+        ]
+    )
+    return (
+        spark.read.schema(sniff_schema)
+        .option("header", "false")
+        .option("sep", sep)
+        .csv(path)
+    )

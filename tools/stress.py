@@ -314,6 +314,9 @@ QUERIES = [
     "q_text_fertility",
     "q_text_effective_tokens",
     "q_layout_file_plan",
+    "q_scan_csv_sniff",
+    "q_eval_auc_ci",
+    "q_dq_referential",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
