@@ -2664,3 +2664,81 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+_THR_CURVE = (0.8, 0.85, 0.9, 0.95)
+
+
+@query(
+    "q_dedup_threshold_curve",
+    # Pair Jaccards are the exact inclusion-exclusion rationals (6dp-
+    # rounded, the ngram contract); threshold comparisons run on the
+    # ROUNDED value so both engines cut identically; all counts exact.
+    oracle=f"""
+WITH pr AS MATERIALIZED ({_NGRAM_ORACLE_SQL}),
+docs AS (
+  SELECT jaccard, doc_a AS doc FROM pr
+  UNION ALL SELECT jaccard, doc_b FROM pr
+),
+curve AS (
+  SELECT t.thr,
+         (SELECT CAST(count(*) AS BIGINT) FROM pr
+          WHERE jaccard >= t.thr) AS n_pairs,
+         (SELECT CAST(count(DISTINCT doc) AS BIGINT) FROM docs
+          WHERE jaccard >= t.thr) AS n_docs_affected
+  FROM (SELECT unnest([{', '.join(str(t) for t in _THR_CURVE)}]) AS thr) t
+)
+SELECT thr, n_pairs, n_docs_affected FROM curve ORDER BY thr
+""",
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sensitivity curve: verified pair count and
+    affected-document count at each candidate Jaccard cutoff
+    {0.8, 0.85, 0.9, 0.95} — the one-table answer to "how much does
+    the dedup sweep change if we move the threshold", which every
+    threshold choice should be able to cite (a curve that cliffs
+    between 0.85 and 0.9 says the corpus has a discrete duplicate
+    mode there; a flat curve says the choice is low-stakes).
+    Consumes the SAME cached exact-Jaccard pair frame as
+    q_dedup_ngram / q_eval_dedup, so the sweep costs one conditional
+    aggregate, not a re-shingle.
+
+    Scale shape: the expensive input is the hot-shingle-capped pair
+    frame (already built, session-cached); the curve is ONE
+    conditional aggregate over it (per-threshold counts via
+    count-if, per-threshold affected docs via conditional distinct
+    counts on the exploded doc column); |thresholds| rows out.
+    """
+    pr = q_dedup_ngram(spark, sf_dir)
+    docs = pr.select(
+        "jaccard", F.explode(F.array("doc_a", "doc_b")).alias("doc")
+    )
+    pair_aggs = [
+        F.sum(F.when(F.col("jaccard") >= t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"p{i}")
+        for i, t in enumerate(_THR_CURVE)
+    ]
+    doc_aggs = [
+        F.count_distinct(F.when(F.col("jaccard") >= t, F.col("doc")))
+        .cast("long")
+        .alias(f"d{i}")
+        for i, t in enumerate(_THR_CURVE)
+    ]
+    pa = pr.agg(*pair_aggs)
+    da = docs.agg(*doc_aggs)
+    row = lambda i, t: F.struct(  # noqa: E731
+        F.lit(t).alias("thr"),
+        F.col(f"p{i}").alias("n_pairs"),
+        F.col(f"d{i}").alias("n_docs_affected"),
+    )
+    return (
+        pa.crossJoin(F.broadcast(da))
+        .select(
+            F.explode(
+                F.array(*[row(i, t) for i, t in enumerate(_THR_CURVE)])
+            ).alias("s")
+        )
+        .select("s.thr", "s.n_pairs", "s.n_docs_affected")
+        .orderBy("thr")
+    )

@@ -5489,3 +5489,113 @@ def q_ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "q_agg_icc",
+    # Cluster power sums are exact DECIMALs; the per-cluster s²/n
+    # rationals are 9dp-quantized into DECIMAL before the cross-
+    # cluster sum; the ANOVA decomposition and ICC are one IEEE chain
+    # on the single output row.
+    oracle="""
+WITH per AS (
+  SELECT user_id, CAST(count(value) AS BIGINT) AS n,
+         sum(CAST(value AS DECIMAL(28,6))) AS s
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(s) AS DOUBLE) AS ss,
+         CAST(sum(n * n) AS BIGINT) AS sn2,
+         CAST(sum(CAST(round(CAST(s AS DOUBLE) * s / n, 9)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sb
+  FROM per
+),
+sq AS (
+  SELECT CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM events WHERE value IS NOT NULL
+),
+f AS (
+  SELECT k, nn,
+         (sb - ss * ss / nn) / (k - 1) AS msb,
+         (sxx - sb) / (nn - k) AS msw,
+         (nn - sn2 * 1.0 / nn) / (k - 1) AS n0,
+         nn * 1.0 / k AS mbar
+  FROM tot CROSS JOIN sq
+  WHERE k > 1 AND nn > k
+)
+SELECT k AS n_clusters, nn AS n_rows,
+       round(msb, 6) AS msb, round(msw, 6) AS msw,
+       round((msb - msw) / (msb + (n0 - 1) * msw), 6) AS icc,
+       round(1 + (mbar - 1) * ((msb - msw) / (msb + (n0 - 1) * msw)), 6)
+         AS design_effect
+FROM f WHERE msb + (n0 - 1) * msw > 0
+""",
+)
+def q_agg_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation of event values clustered by user
+    (one-way random-effects ANOVA, unbalanced-design n₀ correction)
+    plus the design effect 1 + (m̄−1)·ICC — the number that decides
+    whether user-clustered data can be analyzed as if rows were
+    independent: a design effect of 3 means every naive per-event CI
+    in the suite is √3 too narrow, and the experiment family
+    (q_events_experiment / q_events_ratio_ci / q_events_power)
+    implicitly prices exactly this. Publishing MSB/MSW beside ICC
+    keeps the decomposition auditable.
+
+    Scale shape: one user-keyed map-combinable reduce to (n, Σx)
+    per cluster with DECIMAL sums; the per-cluster s²/n rationals are
+    9dp-armored before the cross-cluster reduce; one global Σx² pass;
+    the fit is a closed-form chain on one row. Degenerate designs
+    (k ≤ 1, no within-cluster replication, zero denominator) emit
+    nothing.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    per = e.groupBy("user_id").agg(
+        F.count("value").cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("double").alias("ss"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sn2"),
+        F.sum(
+            F.round(
+                F.col("s").cast("double") * F.col("s") / F.col("n"), 9
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("sb"),
+    )
+    sq = F.broadcast(
+        e.agg(
+            F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sxx")
+        )
+    )
+    j = tot.crossJoin(sq).filter(
+        (F.col("k") > 1) & (F.col("nn") > F.col("k"))
+    )
+    msb = (F.col("sb") - F.col("ss") * F.col("ss") / F.col("nn")) / (
+        F.col("k") - 1
+    )
+    msw = (F.col("sxx") - F.col("sb")) / (F.col("nn") - F.col("k"))
+    n0 = (F.col("nn") - F.col("sn2") * 1.0 / F.col("nn")) / (F.col("k") - 1)
+    mbar = F.col("nn") * 1.0 / F.col("k")
+    icc = (msb - msw) / (msb + (n0 - 1) * msw)
+    return (
+        j.filter(msb + (n0 - 1) * msw > 0)
+        .select(
+            F.col("k").alias("n_clusters"),
+            F.col("nn").alias("n_rows"),
+            F.round(msb, 6).alias("msb"),
+            F.round(msw, 6).alias("msw"),
+            F.round(icc, 6).alias("icc"),
+            F.round(1 + (mbar - 1) * icc, 6).alias("design_effect"),
+        )
+    )

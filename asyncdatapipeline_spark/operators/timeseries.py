@@ -9301,3 +9301,139 @@ def q_ts_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flap_share"),
     )
+
+
+@query(
+    "q_ts_its",
+    # Both segments' OLS power sums are exact BIGINTs on the day
+    # spine (one conditional aggregate); the two fits, the break-point
+    # level change and the slope change are one shared IEEE chain on
+    # the single output row.
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+spine AS (SELECT unnest(generate_series(d0, d1)) AS day FROM b),
+x AS (
+  SELECT s.day - b.d0 AS t,
+         CAST(COALESCE(d.c, 0) AS BIGINT) AS y,
+         (b.d1 - b.d0) // 2 AS t0
+  FROM spine s CROSS JOIN b LEFT JOIN d ON d.day = s.day
+),
+m AS (
+  SELECT max(t0) AS t0,
+         CAST(count(*) FILTER (t < t0) AS BIGINT) AS n_pre,
+         CAST(sum(t) FILTER (t < t0) AS BIGINT) AS sx0,
+         CAST(sum(y) FILTER (t < t0) AS BIGINT) AS sy0,
+         CAST(sum(t * y) FILTER (t < t0) AS BIGINT) AS sxy0,
+         CAST(sum(t * t) FILTER (t < t0) AS BIGINT) AS sxx0,
+         CAST(count(*) FILTER (t >= t0) AS BIGINT) AS n_post,
+         CAST(sum(t) FILTER (t >= t0) AS BIGINT) AS sx1,
+         CAST(sum(y) FILTER (t >= t0) AS BIGINT) AS sy1,
+         CAST(sum(t * y) FILTER (t >= t0) AS BIGINT) AS sxy1,
+         CAST(sum(t * t) FILTER (t >= t0) AS BIGINT) AS sxx1
+  FROM x
+),
+f AS (
+  SELECT t0, n_pre, n_post,
+         (CAST(sxy0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * sy0 / n_pre)
+           / (CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * sx0 / n_pre)
+           AS b0,
+         (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy1 / n_post)
+           / (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n_post)
+           AS b1,
+         CAST(sy0 AS DOUBLE) / n_pre AS my0,
+         CAST(sx0 AS DOUBLE) / n_pre AS mx0,
+         CAST(sy1 AS DOUBLE) / n_post AS my1,
+         CAST(sx1 AS DOUBLE) / n_post AS mx1
+  FROM m
+  WHERE n_pre > 2 AND n_post > 2
+    AND CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * sx0 / n_pre > 0
+    AND CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n_post > 0
+)
+SELECT t0 AS break_t, n_pre, n_post,
+       round(b0, 6) AS pre_slope, round(b1, 6) AS post_slope,
+       round(b1 - b0, 6) AS slope_change,
+       round(((my1 - b1 * mx1) + b1 * t0)
+             - ((my0 - b0 * mx0) + b0 * t0), 6) AS level_change
+FROM f
+""",
+)
+def q_ts_its(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series (segmented regression) readout at the
+    series midpoint: separate OLS trend fits before and after the
+    break, publishing the SLOPE change and the LEVEL change at the
+    break — the single-series causal-inference workhorse (policy
+    rollout, pricing change, incident) where q_events_did needs a
+    control group this design doesn't have. The break here is the
+    midpoint (a self-diagnostic: near-zero changes certify trend
+    stability); in production the break date is the intervention
+    date, same plan.
+
+    Scale shape: one map-combinable reduce to daily counts; BOTH
+    segments' five OLS power sums come from ONE conditional aggregate
+    over the |days|-bounded spine (exact BIGINTs); the two fits and
+    both deltas are a closed-form chain on one row. Segments too
+    short or degenerate emit nothing.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = F.broadcast(
+        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    )
+    spine = b.select(
+        F.explode(F.sequence("d0", "d1")).alias("day"), "d0", "d1"
+    )
+    x = spine.join(d, "day", "left").select(
+        (F.col("day") - F.col("d0")).alias("t"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("y"),
+        F.expr("(d1 - d0) div 2").alias("t0"),
+    )
+    pre = F.col("t") < F.col("t0")
+
+    def seg(cond, tag):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{tag}"),
+            F.sum(F.when(cond, F.col("t"))).cast("long").alias(f"sx{tag}"),
+            F.sum(F.when(cond, F.col("y"))).cast("long").alias(f"sy{tag}"),
+            F.sum(F.when(cond, F.col("t") * F.col("y")))
+            .cast("long")
+            .alias(f"sxy{tag}"),
+            F.sum(F.when(cond, F.col("t") * F.col("t")))
+            .cast("long")
+            .alias(f"sxx{tag}"),
+        ]
+
+    m = x.groupBy("t0").agg(*seg(pre, "0"), *seg(~pre, "1"))
+
+    def fit(tag):
+        n = F.col(f"n{tag}")
+        sx = F.col(f"sx{tag}").cast("double")
+        sy = F.col(f"sy{tag}").cast("double")
+        sxy = F.col(f"sxy{tag}").cast("double")
+        sxx = F.col(f"sxx{tag}").cast("double")
+        dxx = sxx - sx * sx / n
+        slope = (sxy - sx * sy / n) / dxx
+        icept = sy / n - slope * (sx / n)
+        return n, dxx, slope, icept
+
+    n0, dxx0, b0, a0 = fit("0")
+    n1, dxx1, b1, a1 = fit("1")
+    return (
+        m.filter((n0 > 2) & (n1 > 2) & (dxx0 > 0) & (dxx1 > 0))
+        .select(
+            F.col("t0").alias("break_t"),
+            n0.alias("n_pre"),
+            n1.alias("n_post"),
+            F.round(b0, 6).alias("pre_slope"),
+            F.round(b1, 6).alias("post_slope"),
+            F.round(b1 - b0, 6).alias("slope_change"),
+            F.round(
+                (a1 + b1 * F.col("t0")) - (a0 + b0 * F.col("t0")), 6
+            ).alias("level_change"),
+        )
+    )

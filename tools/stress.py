@@ -317,6 +317,9 @@ QUERIES = [
     "q_scan_csv_sniff",
     "q_eval_auc_ci",
     "q_dq_referential",
+    "q_dedup_threshold_curve",
+    "q_agg_icc",
+    "q_ts_its",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
