@@ -566,3 +566,91 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_mm_audio.__doc__ = q_mm_audio.__doc__.format(
     win=_AUDIO_WIN, hop=_AUDIO_HOP
 )
+
+
+# Planted-corruption modulus for the integrity audit: every 41st media
+# object ships with a truncated payload (a failed multipart upload /
+# bit-rot stand-in, same fixture device as filtering.py's _BENCH_MOD).
+_CORRUPT_MOD = 41
+
+
+@query(
+    "q_mm_integrity",
+    # The manifest checksum is md5 of the TRUE content, the observed
+    # checksum md5 of the (possibly corrupted) stored content — both
+    # engines hash identical bytes (planted corruption appends one
+    # ASCII byte); counts exact, one division per source row.
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % {_CORRUPT_MOD} = 0
+              THEN text || '~' ELSE text END AS stored_text,
+         octet_length(encode(text)) AS declared_bytes,
+         md5(text) AS manifest_md5
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_objects,
+       CAST(count(*) FILTER (octet_length(encode(stored_text))
+                             <> declared_bytes) AS BIGINT)
+         AS n_size_mismatch,
+       CAST(count(*) FILTER (md5(stored_text) <> manifest_md5) AS BIGINT)
+         AS n_checksum_mismatch,
+       round(count(*) FILTER (md5(stored_text) <> manifest_md5) * 1.0
+             / count(*), 6) AS corrupt_share
+FROM m GROUP BY source ORDER BY source
+""",
+)
+def q_mm_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload integrity audit: recompute each media object's
+    checksum and size against its ingest manifest (declared byte count
+    + md5 recorded at upload time) and report per-source corruption —
+    the fixity check every multimodal lake runs on a schedule (failed
+    multipart uploads, truncation in transit, bit rot), here with a
+    deterministic planted-corruption fixture (every 41st object ships
+    one byte short) so both engines must flag the IDENTICAL objects.
+    Size mismatch is the cheap first-pass filter; checksum mismatch is
+    the authoritative verdict (and catches same-length corruption
+    size can't).
+
+    Scale shape: row-local digest + length recomputation over the
+    payload scan (binary never shuffles — only per-source counters
+    do), one map-combinable aggregate to |sources| rows. At 100 TB
+    this is the scan-bound fixity sweep scheduled off-peak; the plan
+    is the same shape at any payload size.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    stored_text = F.when(
+        F.col("doc_id") % _CORRUPT_MOD == 0, F.concat("text", F.lit("~"))
+    ).otherwise(F.col("text"))
+    m = d.select(
+        "source",
+        F.encode(stored_text, "UTF-8").alias("payload"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias(
+            "declared_bytes"
+        ),
+        F.md5("text").alias("manifest_md5"),
+    )
+    size_bad = F.octet_length("payload") != F.col("declared_bytes")
+    sum_bad = F.md5("payload") != F.col("manifest_md5")
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_objects"),
+            F.sum(F.when(size_bad, 1).otherwise(0))
+            .cast("long")
+            .alias("n_size_mismatch"),
+            F.sum(F.when(sum_bad, 1).otherwise(0))
+            .cast("long")
+            .alias("n_checksum_mismatch"),
+            F.round(
+                F.sum(F.when(sum_bad, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("corrupt_share"),
+        )
+        .orderBy("source")
+    )

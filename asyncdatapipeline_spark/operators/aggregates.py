@@ -5599,3 +5599,109 @@ def q_agg_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1 + (mbar - 1) * icc, 6).alias("design_effect"),
         )
     )
+
+
+@query(
+    "q_agg_partial_corr",
+    # All three pairwise correlations come from ONE pass of exact
+    # DECIMAL power sums (products 6dp-quantized by the decimal cast);
+    # the partial correlation is one IEEE chain on the single row.
+    oracle="""
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sz,
+         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice * l_extendedprice
+                       AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,6)))
+              AS DOUBLE) AS szz,
+         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxz,
+         CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+              AS DOUBLE) AS syz
+  FROM lineitem
+),
+r AS (
+  SELECT n,
+         (sxy - sx * sy / n)
+           / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS rxy,
+         (sxz - sx * sz / n)
+           / sqrt((sxx - sx * sx / n) * (szz - sz * sz / n)) AS rxz,
+         (syz - sy * sz / n)
+           / sqrt((syy - sy * sy / n) * (szz - sz * sz / n)) AS ryz
+  FROM s
+  WHERE n > 2 AND sxx - sx * sx / n > 0 AND syy - sy * sy / n > 0
+    AND szz - sz * sz / n > 0
+)
+SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+       round(ryz, 6) AS r_yz,
+       round((rxy - rxz * ryz)
+             / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6)
+         AS partial_r_xy_given_z
+FROM r WHERE (1 - rxz * rxz) * (1 - ryz * ryz) > 0
+""",
+)
+def q_agg_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of quantity and extended price CONTROLLING
+    for discount (r_xy·z via the three pairwise correlations) — the
+    confounder check a raw correlation matrix (q_profile_corr) can't
+    make: price and quantity can correlate purely because discount
+    drives both, and the partial correlation is the two-line fix
+    before anyone reads causality into a correlation cell. Publishing
+    all three pairwise r's beside the partial makes the collapse
+    visible (r_xy large, partial ≈ 0 = the discount explains it).
+
+    Scale shape: ONE map-combinable pass to nine exact-DECIMAL power
+    sums (the full 3-variable Gram triangle); everything after is a
+    closed-form chain on one row. Degenerate variances or a
+    ±1 control correlation emit nothing rather than dividing.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y, z = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(28,6)")).cast("double")
+
+    def psum(a_, b_):
+        return F.sum((a_ * b_).cast("decimal(38,6)")).cast("double")
+
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(z).alias("sz"),
+        psum(x, x).alias("sxx"),
+        psum(y, y).alias("syy"),
+        psum(z, z).alias("szz"),
+        psum(x, y).alias("sxy"),
+        psum(x, z).alias("sxz"),
+        psum(y, z).alias("syz"),
+    )
+    n = F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    vz = F.col("szz") - F.col("sz") * F.col("sz") / n
+    rxy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(vx * vy)
+    rxz = (F.col("sxz") - F.col("sx") * F.col("sz") / n) / F.sqrt(vx * vz)
+    ryz = (F.col("syz") - F.col("sy") * F.col("sz") / n) / F.sqrt(vy * vz)
+    den = (1 - rxz * rxz) * (1 - ryz * ryz)
+    return (
+        s.filter((n > 2) & (vx > 0) & (vy > 0) & (vz > 0))
+        .select(
+            "n",
+            F.round(rxy, 6).alias("r_xy"),
+            F.round(rxz, 6).alias("r_xz"),
+            F.round(ryz, 6).alias("r_yz"),
+            den.alias("_den"),
+            F.round((rxy - rxz * ryz) / F.sqrt(den), 6).alias(
+                "partial_r_xy_given_z"
+            ),
+        )
+        .filter(F.col("_den") > 0)
+        .drop("_den")
+    )

@@ -320,6 +320,8 @@ QUERIES = [
     "q_dedup_threshold_curve",
     "q_agg_icc",
     "q_ts_its",
+    "q_agg_partial_corr",
+    "q_mm_integrity",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
