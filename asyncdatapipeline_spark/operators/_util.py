@@ -235,9 +235,18 @@ def dist_cumsum(
         ).alias("b")
     ).collect()[0]
     bounds = sorted({b for b in (row["b"] or []) if b is not None})
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + F.when(proxy > F.lit(b), 1).otherwise(0)
+    if bounds:
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + F.when(proxy > F.lit(b), 1).otherwise(0)
+    else:
+        # Degenerate boundaries (all values equal / very few distinct):
+        # everything is one bucket, but a literal 0 would constant-fold
+        # the `_pid` partition spec out of the running-sum window
+        # (single-partition execution + the WindowExec warning — the
+        # r9 window-scan catch on q_events_out_of_order). The frame is
+        # genuinely tiny here, so ride the fold-proof constant.
+        bucket = bounded_part(proxy)
     d = df.withColumn("_pid", bucket)
     per = d.groupBy(*part_cols, "_pid").agg(
         *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]

@@ -5705,3 +5705,87 @@ def q_agg_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_den") > 0)
         .drop("_den")
     )
+
+
+_TE_SMOOTH_M = 50.0  # m-estimate pseudo-count (empirical-Bayes prior mass)
+
+
+@query(
+    "q_ml_target_encoding",
+    # Category counts and positive counts are exact integers; the
+    # global prior and each smoothed rate are one IEEE chain per
+    # category row (the m literal is exact).
+    oracle=f"""
+WITH base AS (
+  SELECT event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM base GROUP BY event_type
+),
+t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(pos) AS BIGINT) AS tp
+  FROM g
+)
+SELECT g.event_type AS category, g.n, g.pos,
+       round(g.pos * 1.0 / g.n, 6) AS raw_rate,
+       round(t.tp * 1.0 / t.nn, 6) AS prior_rate,
+       round((g.pos + {_TE_SMOOTH_M} * (t.tp * 1.0 / t.nn))
+             / (g.n + {_TE_SMOOTH_M}), 6) AS smoothed_rate,
+       round(g.n / (g.n + {_TE_SMOOTH_M}), 6) AS evidence_weight
+FROM g CROSS JOIN t ORDER BY g.event_type
+""",
+)
+def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of a categorical feature (m-estimate /
+    empirical-Bayes shrinkage toward the global prior): per category,
+    the raw target rate, the prior, the shrunk encoding
+    (pos + m·prior)/(n + m), and the evidence weight n/(n+m) — the
+    standard leakage-resistant way to feed high-cardinality
+    categoricals to a model (raw per-category rates overfit rare
+    categories catastrophically: a category seen once encodes as
+    exactly its own label). The published evidence weight makes the
+    shrinkage auditable: rare categories sit near the prior, hot ones
+    near their raw rate.
+
+    Scale shape: ONE map-combinable reduce to per-category (n, pos)
+    plus a 2-scalar prior broadcast; the encoding table is
+    |categories| rows of closed-form arithmetic — the table is what
+    ships to the feature store, a broadcast join back onto any fact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy(F.col("event_type").alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("pos"),
+    )
+    t = F.broadcast(
+        g.agg(
+            F.sum("n").cast("long").alias("nn"),
+            F.sum("pos").cast("long").alias("tp"),
+        )
+    )
+    prior = F.col("tp") * 1.0 / F.col("nn")
+    return (
+        g.crossJoin(t)
+        .select(
+            "category",
+            "n",
+            "pos",
+            F.round(F.col("pos") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+            F.round(prior, 6).alias("prior_rate"),
+            F.round(
+                (F.col("pos") + _TE_SMOOTH_M * prior)
+                / (F.col("n") + _TE_SMOOTH_M),
+                6,
+            ).alias("smoothed_rate"),
+            F.round(
+                F.col("n") / (F.col("n") + _TE_SMOOTH_M), 6
+            ).alias("evidence_weight"),
+        )
+        .orderBy("category")
+    )

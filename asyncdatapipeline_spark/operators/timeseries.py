@@ -9437,3 +9437,113 @@ def q_ts_its(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("level_change"),
         )
     )
+
+
+@query(
+    "q_events_out_of_order",
+    # Arrival order is the exact integer event_id sequence; lateness
+    # is exact integer seconds vs the running max of earlier arrivals;
+    # the p99 is an integer-rank selection on the distinct-lateness
+    # dist_cumsum spine; shares are one division each.
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max
+  FROM events
+),
+l AS (
+  SELECT CASE WHEN prev_max IS NOT NULL AND sec < prev_max
+              THEN prev_max - sec ELSE 0 END AS late_s,
+         (prev_max IS NOT NULL AND sec < prev_max) AS ooo
+  FROM s
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (ooo) AS BIGINT) AS n_ooo,
+         CAST(max(late_s) AS BIGINT) AS max_late
+  FROM l
+),
+g AS (
+  SELECT late_s, count(*) AS cnt FROM l WHERE ooo GROUP BY late_s
+),
+c AS (
+  SELECT late_s,
+         CAST(sum(cnt) OVER (ORDER BY late_s) AS BIGINT) AS cum
+  FROM g
+)
+SELECT tot.n AS n_events, tot.n_ooo,
+       round(tot.n_ooo * 1.0 / tot.n, 6) AS ooo_share,
+       tot.max_late AS max_lateness_s,
+       CAST(min(CASE WHEN c.cum >= (tot.n_ooo * 99 + 99) // 100
+                     THEN c.late_s END) AS BIGINT) AS p99_lateness_s
+FROM tot LEFT JOIN c ON TRUE
+GROUP BY tot.n, tot.n_ooo, tot.max_late
+""",
+)
+def q_events_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit: treating event_id as ARRIVAL order
+    and ts as EVENT time, the share of events arriving after a
+    later-timestamped event of the same user, with the max and exact
+    p99 lateness in seconds — THE measurement a streaming watermark is
+    set from: `withWatermark("ts", X)` drops everything later than X,
+    so X should be the observed p99/p999 lateness plus margin, not a
+    guess (streaming/ ops consume exactly this number; too small
+    silently drops data, too large bloats state). Batch replay of the
+    arrival log is the honest way to measure it.
+
+    Scale shape: one user-keyed running-max window (genuine partition
+    keys, per-user frames); lateness values are exact integer seconds
+    whose DISTINCT values are span-bounded, so the p99 rides the
+    dist_cumsum integer-rank device; one global aggregate. Zero
+    out-of-order events publish a NULL p99 and zero share, not a
+    crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    wu = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    s = e.select(
+        sec.alias("sec"), F.max(sec).over(wu).alias("prev_max")
+    )
+    ooo = F.col("prev_max").isNotNull() & (F.col("sec") < F.col("prev_max"))
+    l = s.select(
+        F.when(ooo, F.col("prev_max") - F.col("sec"))
+        .otherwise(F.lit(0))
+        .alias("late_s"),
+        ooo.alias("ooo"),
+    ).localCheckpoint(eager=False)  # feeds tot and the lateness spine
+    tot = l.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("ooo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ooo"),
+        F.max("late_s").cast("long").alias("max_late"),
+    )
+    g = (
+        l.filter(F.col("ooo"))
+        .groupBy("late_s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = dist_cumsum(g, "late_s", ["cnt"])
+    sel = tot.crossJoin(c).agg(
+        F.min(
+            F.when(
+                F.col("cum_cnt") >= F.expr("(n_ooo * 99 + 99) div 100"),
+                F.col("late_s"),
+            )
+        ).cast("long").alias("p99_lateness_s")
+    )
+    return tot.crossJoin(F.broadcast(sel)).select(
+        F.col("n").alias("n_events"),
+        "n_ooo",
+        F.round(F.col("n_ooo") * 1.0 / F.col("n"), 6).alias("ooo_share"),
+        F.col("max_late").alias("max_lateness_s"),
+        "p99_lateness_s",
+    )

@@ -322,6 +322,8 @@ QUERIES = [
     "q_ts_its",
     "q_agg_partial_corr",
     "q_mm_integrity",
+    "q_events_out_of_order",
+    "q_ml_target_encoding",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
