@@ -765,3 +765,60 @@ def q_scan_csv_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("sep", sep)
         .csv(path)
     )
+
+
+@query(
+    "q_scan_sorted_stats",
+    # The sorted rewrite is deterministic (sort keys + ids); the
+    # filtered read must reproduce exactly the oracle's filtered
+    # select — what's under test is that the LAYOUT (sort-on-write)
+    # lets parquet row-group stats answer the predicate.
+    oracle="""
+SELECT event_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+       event_type, value
+FROM events
+WHERE CAST(floor(epoch(ts) / 86400) AS BIGINT)
+      BETWEEN 19730 AND 19736
+""",
+)
+def q_scan_sorted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-skipping scan over a SORT-ON-WRITE layout: rewrite events
+    sorted by day into multi-row-group parquet, then read one week
+    back through a day-range predicate — the poor man's clustering
+    that makes parquet min/max row-group stats actually skip I/O
+    (unsorted data gives every row group the full min-max span, so
+    stats prune NOTHING; sorting on the filter column is the cheapest
+    layout intervention there is, q_layout_zorder's 1-D special case).
+    At 100 TB this is the difference between reading one day and
+    reading the year.
+
+    Scale shape: the rewrite is a one-time range-sorted write (small
+    row groups forced so the fixture file actually has stats
+    granularity); the read is an ordinary parquet scan whose pushed
+    day-range predicate lands in PushedFilters and prunes row groups
+    via stats. The derived layout is content-addressed per sf_dir and
+    rebuilt on demand (same contract as the bucketed/partitioned
+    layouts in operators/layout.py).
+    """
+    path = _scratch(sf_dir, "events_day_sorted")
+    marker = os.path.join(path, "_SUCCESS")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        "event_type",
+        "value",
+    )
+    if not os.path.exists(marker):
+        (
+            e.repartition(1)
+            .sortWithinPartitions("day", "event_id")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 64 * 1024)  # many row groups
+            .parquet(path)
+        )
+    lo, hi = 19730, 19736
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("day").between(lo, hi))
+        .select("event_id", "day", "event_type", "value")
+    )

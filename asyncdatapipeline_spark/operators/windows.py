@@ -2109,3 +2109,84 @@ def q_orders_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mon")
     )
+
+
+@query(
+    "q_orders_basket_profile",
+    # Lines-per-order counts are exact integers; the dispersion index
+    # comes from exact BIGINT power sums; the histogram buckets are
+    # integer comparisons; one division per published float.
+    oracle="""
+WITH per AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(n_lines) AS BIGINT) AS s1,
+         CAST(sum(n_lines * n_lines) AS BIGINT) AS s2,
+         CAST(max(n_lines) AS BIGINT) AS max_lines,
+         CAST(count(*) FILTER (n_lines = 1) AS BIGINT) AS n_single,
+         CAST(count(*) FILTER (n_lines >= 5) AS BIGINT) AS n_big
+  FROM per
+)
+SELECT n_orders, max_lines,
+       round(CAST(s1 AS DOUBLE) / n_orders, 6) AS mean_lines,
+       round(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_orders)
+              / (n_orders - 1))
+             / (CAST(s1 AS DOUBLE) / n_orders), 6) AS dispersion_index,
+       round(n_single * 1.0 / n_orders, 6) AS single_line_share,
+       round(n_big * 1.0 / n_orders, 6) AS big_basket_share
+FROM s WHERE n_orders > 1 AND s1 > 0
+""",
+)
+def q_orders_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size profile of the order fact: lines-per-order mean,
+    max, variance-to-mean dispersion index, and the single-line /
+    big-basket shares — the shape parameter behind capacity and
+    pricing models that assume "an order is ~N lines" (dispersion ≫ 1
+    says baskets are NOT Poisson-ish: a few huge baskets drive the
+    tails, which is also exactly the skew q_copurchase's basket cap
+    and q_join_explosion_audit price). One table answers "what does a
+    typical order look like and how wrong is typical".
+
+    Scale shape: one order-keyed map-combinable count, exact BIGINT
+    power sums over the |orders| frame, one closed-form row; three
+    divisions are the only floats.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    s = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("n_lines").cast("long").alias("s1"),
+        F.sum(F.col("n_lines") * F.col("n_lines")).cast("long").alias("s2"),
+        F.max("n_lines").cast("long").alias("max_lines"),
+        F.sum(F.when(F.col("n_lines") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_single"),
+        F.sum(F.when(F.col("n_lines") >= 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_big"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_orders")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_orders")
+    ) / (F.col("n_orders") - 1)
+    return (
+        s.filter((F.col("n_orders") > 1) & (F.col("s1") > 0))
+        .select(
+            "n_orders",
+            "max_lines",
+            F.round(mean, 6).alias("mean_lines"),
+            F.round(var / mean, 6).alias("dispersion_index"),
+            F.round(
+                F.col("n_single") * 1.0 / F.col("n_orders"), 6
+            ).alias("single_line_share"),
+            F.round(F.col("n_big") * 1.0 / F.col("n_orders"), 6).alias(
+                "big_basket_share"
+            ),
+        )
+    )

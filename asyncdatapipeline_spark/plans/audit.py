@@ -61,6 +61,13 @@ CHECKS: dict[str, list[tuple]] = {
     "q_scan_orc": [
         ("must", "balance filter pushed into the ORC scan", r"PushedFilters: \[.*GreaterThan\(s_acctbal"),
     ],
+    "q_scan_sorted_stats": [
+        # sort-on-write layout: the day-range predicate must reach the
+        # parquet scan so row-group min/max stats can skip I/O
+        ("must", "day range pushed to the sorted scan", r"PushedFilters: \[.*GreaterThanOrEqual\(day,19730\)"),
+        ("must", "upper bound pushed too", r"LessThanOrEqual\(day,19736\)"),
+        ("must", "4-column pruned schema", r"ReadSchema: struct<event_id:bigint,day:bigint,event_type:string,value:double>"),
+    ],
     "q_join_broadcast": [
         ("must", "nation broadcast", r"BroadcastHashJoin"),
         ("forbid", "no sort-merge join", "SortMergeJoin"),

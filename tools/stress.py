@@ -324,6 +324,8 @@ QUERIES = [
     "q_mm_integrity",
     "q_events_out_of_order",
     "q_ml_target_encoding",
+    "q_orders_basket_profile",
+    "q_scan_sorted_stats",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
