@@ -5789,3 +5789,149 @@ def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+@query(
+    "q_ml_conformal",
+    # Train sums are exact complement DECIMALs (the k-fold device);
+    # residuals are one IEEE chain per calibration row, 6dp-rounded
+    # BEFORE the distinct-value spine so both engines rank identical
+    # values; the conformal radius is an integer-rank selection.
+    oracle=f"""
+WITH f AS (
+  SELECT ('0x' || substr(md5(l_orderkey::VARCHAR || '-'
+                             || l_linenumber::VARCHAR), 1, 2))::UINTEGER
+           % 5 AS fold,
+         l_quantity AS x, l_extendedprice AS y
+  FROM lineitem
+),
+tr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+  FROM f WHERE fold <> 0
+),
+coef AS (
+  SELECT n AS n_train,
+         (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b,
+         (sy / n) - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+           * (sx / n) AS a
+  FROM tr WHERE n > 1 AND sxx - sx * sx / n > 0
+),
+cal AS (
+  SELECT round(abs(f.y - (coef.a + coef.b * f.x)), 6) AS r
+  FROM f CROSS JOIN coef WHERE f.fold = 0
+),
+g AS (SELECT r, count(*) AS cnt FROM cal GROUP BY r),
+c AS (
+  SELECT r, CAST(sum(cnt) OVER (ORDER BY r) AS BIGINT) AS cum FROM g
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+q AS (
+  SELECT min(CASE WHEN c.cum >= (nc.n_cal * 90 + 99) // 100
+                  THEN c.r END) AS radius
+  FROM c CROSS JOIN nc
+)
+SELECT coef.n_train, nc.n_cal,
+       round(coef.b, 6) AS slope, round(coef.a, 6) AS intercept,
+       round(q.radius, 6) AS conformal_radius_p90,
+       round(2 * q.radius, 6) AS pi_width
+FROM coef CROSS JOIN nc CROSS JOIN q WHERE nc.n_cal > 0
+""",
+)
+def q_ml_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the price ~ quantity
+    regression: fit on folds 1-4, take the exact p90 of absolute
+    residuals on the held-out calibration fold — the conformal radius
+    r such that ŷ ± r covers ~90% of future points with NO
+    distributional assumption (the distribution-free guarantee
+    q_ml_kfold_cv's MSE and q_ml_residual_diag's normal-theory SEs
+    can't give; split conformal is the production-standard way to put
+    honest error bars on any point predictor). The radius, not the
+    MSE, is what an SLA on prediction error quotes.
+
+    Scale shape: the train fit reuses the k-fold complement power-sum
+    device (one DECIMAL aggregate pass); calibration residuals are
+    one IEEE chain per row, 6dp-quantized BEFORE the distinct-value
+    spine so both engines rank identical values; the p90 is a
+    dist_cumsum integer-rank selection — no sort buffer at any
+    calibration size. Degenerate fits or an empty calibration fold
+    emit nothing.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    fold = (
+        F.expr(
+            "cast(conv(substr(md5(concat(cast(l_orderkey as string), '-', "
+            "cast(l_linenumber as string))), 1, 2), 16, 10) as int)"
+        )
+        % 5
+    )
+    f = li.select(
+        fold.alias("fold"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    ).localCheckpoint(eager=False)  # feeds train and calibration
+    tr = f.filter(F.col("fold") != 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    dxx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    b = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / dxx
+    a = (F.col("sy") / F.col("n")) - b * (F.col("sx") / F.col("n"))
+    coef = F.broadcast(
+        tr.filter((F.col("n") > 1) & (dxx > 0)).select(
+            F.col("n").alias("n_train"), b.alias("b"), a.alias("a")
+        )
+    )
+    cal = (
+        f.filter(F.col("fold") == 0)
+        .crossJoin(coef)
+        .select(
+            "n_train",
+            "a",
+            "b",
+            F.round(
+                F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x"))), 6
+            ).alias("r"),
+        )
+        .localCheckpoint(eager=False)  # feeds the spine and the count
+    )
+    g = cal.groupBy("r").agg(F.count(F.lit(1)).alias("cnt"))
+    c = dist_cumsum(g, "r", ["cnt"])
+    nc = F.broadcast(
+        cal.agg(
+            F.count(F.lit(1)).cast("long").alias("n_cal"),
+            F.first("n_train").alias("n_train"),
+            F.first("a").alias("a"),
+            F.first("b").alias("b"),
+        )
+    )
+    q = c.crossJoin(nc).agg(
+        F.min(
+            F.when(
+                F.col("cum_cnt") >= F.expr("(n_cal * 90 + 99) div 100"),
+                F.col("r"),
+            )
+        ).alias("radius")
+    )
+    return (
+        nc.crossJoin(F.broadcast(q))
+        .filter(F.col("n_cal") > 0)
+        .select(
+            "n_train",
+            "n_cal",
+            F.round("b", 6).alias("slope"),
+            F.round("a", 6).alias("intercept"),
+            F.round("radius", 6).alias("conformal_radius_p90"),
+            F.round(F.col("radius") * 2, 6).alias("pi_width"),
+        )
+    )

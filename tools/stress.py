@@ -326,6 +326,7 @@ QUERIES = [
     "q_ml_target_encoding",
     "q_orders_basket_profile",
     "q_scan_sorted_stats",
+    "q_ml_conformal",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
