@@ -1512,7 +1512,11 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = edges.select(F.col("u").alias("node")).distinct().crossJoin(
         F.broadcast(n_hubs)
     ).select(
-        "node", (F.lit(_HITS_SCALE) / F.col("n")).cast("long").alias("s")
+        # exact integer floor division, same doctrine as renorm —
+        # float divide + cast truncates a double QUOTIENT and can
+        # land one off the oracle's integer // when SCALE/n sits
+        # within an ulp of an integer (ADVICE r9)
+        "node", F.expr(f"cast({_HITS_SCALE} div n as bigint)").alias("s")
     )
 
     def renorm(raw_df):

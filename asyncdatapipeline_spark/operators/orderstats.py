@@ -923,14 +923,14 @@ def q_agg_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         / F.lit(4503599627370496.0)
     )
-    arg = 1 - 2 * F.abs(u - 0.5)
+    arg = F.greatest(1 - 2 * F.abs(u - 0.5), F.lit(2.0 ** -52))
     noise = (
         F.when(u >= 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
         * F.round(F.log(arg), 9)
         / _DP_EPSILON
     )
     return (
-        g.filter(arg > 0)
+        g
         .select(
             "event_type",
             "true_cnt",

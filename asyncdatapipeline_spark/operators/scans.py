@@ -796,11 +796,18 @@ def q_scan_sorted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     row groups forced so the fixture file actually has stats
     granularity); the read is an ordinary parquet scan whose pushed
     day-range predicate lands in PushedFilters and prunes row groups
-    via stats. The derived layout is content-addressed per sf_dir and
-    rebuilt on demand (same contract as the bucketed/partitioned
-    layouts in operators/layout.py).
+    via stats. The derived layout is keyed on (sf_dir, source size,
+    source mtime) and rebuilt on demand — regenerating the events
+    fixture in place invalidates the sorted copy instead of silently
+    serving stale rows (ADVICE r9).
     """
-    path = _scratch(sf_dir, "events_day_sorted")
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{int(st.st_mtime_ns)}_{st.st_size}"
+    except OSError:
+        fingerprint = "nostat"
+    path = _scratch(sf_dir, f"events_day_sorted_{fingerprint}")
     marker = os.path.join(path, "_SUCCESS")
     e = load_table(spark, sf_dir, "events").select(
         "event_id",

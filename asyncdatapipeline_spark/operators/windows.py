@@ -2083,10 +2083,18 @@ def q_orders_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,6)")
         .alias("rev")
     ).localCheckpoint(eager=False)  # bounded; feeds both join sides
+    # No broadcast hint here on purpose: both sides alias the SAME
+    # localCheckpointed frame, and in a self-join Spark resolves a
+    # hint by plan identity — it attaches to the preserved (left)
+    # side of the left-outer join and is DROPPED with a
+    # HintErrorLogger warning (r9 verdict #3). The frame is
+    # |months|-bounded, so the stats-based planner broadcasts it
+    # unhinted; tools/audit_hints.py gates the registry on zero
+    # dropped hints.
     c = m.alias("c")
     p = m.alias("p")
     j = c.join(
-        F.broadcast(p), F.col("p.mk") == F.col("c.mk") - 12, "left"
+        p, F.col("p.mk") == F.col("c.mk") - 12, "left"
     ).select(
         F.col("c.mk").alias("mk"),
         F.col("c.rev").alias("rev"),
