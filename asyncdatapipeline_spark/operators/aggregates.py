@@ -5261,9 +5261,9 @@ def q_ml_residual_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
-    b = F.broadcast(
-        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    )
+    # unhinted: bounds only seed the day spine; a hint here leaks into
+    # the spine's left-join branch and is dropped (r10 hint audit)
+    b = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = b.select(
         F.explode(F.sequence("d0", "d1")).alias("day"), "d0"
     )

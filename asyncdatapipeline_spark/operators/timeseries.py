@@ -6459,10 +6459,12 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
-    b = F.broadcast(
-        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    )
-    spine = b.select(
+    rng = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    # hint only at the use-site: deriving the spine from the HINTED
+    # frame leaks the ResolvedHint into the spine's join branch, where
+    # Spark drops it ("build left for left outer join") — r10 hint audit
+    b = F.broadcast(rng)
+    spine = rng.select(
         F.explode(F.sequence("d0", "d1")).alias("day")
     )
     x = (
@@ -7293,19 +7295,21 @@ def q_ts_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
-    b = F.broadcast(
-        d.agg(
-            F.min("day").alias("d0"),
-            F.max("day").alias("d1"),
-            (
-                F.min("day")
-                + F.floor((F.max("day") - F.min("day") + 1) * 4 / 5)
-            )
-            .cast("long")
-            .alias("cutoff"),
+    rng = d.agg(
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+        (
+            F.min("day")
+            + F.floor((F.max("day") - F.min("day") + 1) * 4 / 5)
         )
+        .cast("long")
+        .alias("cutoff"),
     )
-    spine = b.select(
+    # hint only at the crossJoin use-sites below — deriving the spine
+    # from the hinted frame leaks the hint into the spine's left-join
+    # branch where Spark drops it (r10 hint audit)
+    b = F.broadcast(rng)
+    spine = rng.select(
         F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
     )
     x = (
@@ -7430,12 +7434,14 @@ def q_agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
     ).agg(F.count(F.lit(1)).alias("c"))
-    b = F.broadcast(
-        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    )
+    rng = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    # hint only at the use-site: deriving the spine from the HINTED
+    # frame leaks the ResolvedHint into the spine's join branch, where
+    # Spark drops it ("build left for left outer join") — r10 hint audit
+    b = F.broadcast(rng)
     types = d.select("event_type").distinct()
     spine = types.crossJoin(
-        b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        F.broadcast(rng.select(F.explode(F.sequence("d0", "d1")).alias("day")))
     )
     x = spine.join(d, ["event_type", "day"], "left").select(
         "event_type", F.coalesce("c", F.lit(0)).cast("long").alias("c")
@@ -7561,10 +7567,12 @@ def q_ts_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
-    b = F.broadcast(
-        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    )
-    spine = b.select(
+    rng = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    # hint only at the use-site: deriving the spine from the HINTED
+    # frame leaks the ResolvedHint into the spine's join branch, where
+    # Spark drops it ("build left for left outer join") — r10 hint audit
+    b = F.broadcast(rng)
+    spine = rng.select(
         F.explode(F.sequence("d0", "d1")).alias("day")
     )
     x = spine.join(d, "day", "left").select(
@@ -7699,10 +7707,12 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
-    b = F.broadcast(
-        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    )
-    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    rng = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    # hint only at the use-site: deriving the spine from the HINTED
+    # frame leaks the ResolvedHint into the spine's join branch, where
+    # Spark drops it ("build left for left outer join") — r10 hint audit
+    b = F.broadcast(rng)
+    spine = rng.select(F.explode(F.sequence("d0", "d1")).alias("day"))
     x = spine.join(d, "day", "left").select(
         "day",
         (F.col("day") % 7).alias("dow"),
@@ -8198,10 +8208,12 @@ def q_ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
-    b = F.broadcast(
-        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    )
-    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    rng = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    # hint only at the use-site: deriving the spine from the HINTED
+    # frame leaks the ResolvedHint into the spine's join branch, where
+    # Spark drops it ("build left for left outer join") — r10 hint audit
+    b = F.broadcast(rng)
+    spine = rng.select(F.explode(F.sequence("d0", "d1")).alias("day"))
     x = spine.join(d, "day", "left").select(
         "day", F.coalesce("c", F.lit(0)).cast("long").alias("c")
     )
@@ -8346,10 +8358,12 @@ def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
-    b = F.broadcast(
-        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    )
-    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    rng = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    # hint only at the use-site: deriving the spine from the HINTED
+    # frame leaks the ResolvedHint into the spine's join branch, where
+    # Spark drops it ("build left for left outer join") — r10 hint audit
+    b = F.broadcast(rng)
+    spine = rng.select(F.explode(F.sequence("d0", "d1")).alias("day"))
     x = spine.join(d, "day", "left").select(
         "day", F.coalesce("c", F.lit(0)).cast("long").alias("c")
     )
@@ -8510,7 +8524,9 @@ def q_events_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("censored_n"),
     )
-    wmax = F.broadcast(per_w.agg(F.max("tenure_w").alias("wm")))
+    # unhinted: this 1-row frame only seeds the week spine; a hint here
+    # would leak into the spine's left-join branch and be dropped
+    wmax = per_w.agg(F.max("tenure_w").alias("wm"))
     wk = wmax.select(
         F.explode(F.sequence(F.lit(0), F.col("wm"))).alias("w")
     )
@@ -8636,10 +8652,12 @@ def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
-    b = F.broadcast(
-        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    )
-    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    rng = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    # hint only at the use-site: deriving the spine from the HINTED
+    # frame leaks the ResolvedHint into the spine's join branch, where
+    # Spark drops it ("build left for left outer join") — r10 hint audit
+    b = F.broadcast(rng)
+    spine = rng.select(F.explode(F.sequence("d0", "d1")).alias("day"))
     x = spine.join(d, "day", "left").select(
         "day", F.coalesce("c", F.lit(0)).cast("long").alias("c")
     )
@@ -8766,10 +8784,12 @@ def q_ts_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
-    b = F.broadcast(
-        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    )
-    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    rng = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    # hint only at the use-site: deriving the spine from the HINTED
+    # frame leaks the ResolvedHint into the spine's join branch, where
+    # Spark drops it ("build left for left outer join") — r10 hint audit
+    b = F.broadcast(rng)
+    spine = rng.select(F.explode(F.sequence("d0", "d1")).alias("day"))
     x = spine.join(d, "day", "left").select(
         "day", F.coalesce("c", F.lit(0)).cast("long").alias("y")
     )
@@ -8980,10 +9000,12 @@ def q_ts_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
-    b = F.broadcast(
-        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    )
-    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    rng = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    # hint only at the use-site: deriving the spine from the HINTED
+    # frame leaks the ResolvedHint into the spine's join branch, where
+    # Spark drops it ("build left for left outer join") — r10 hint audit
+    b = F.broadcast(rng)
+    spine = rng.select(F.explode(F.sequence("d0", "d1")).alias("day"))
     x = spine.join(d, "day", "left").select(
         "day", F.coalesce("c", F.lit(0)).cast("long").alias("c")
     ).localCheckpoint(eager=False)  # feeds totals and the island pass
@@ -9250,7 +9272,9 @@ def q_ts_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("errs"),
     )
-    r = F.broadcast(b.agg(F.min("bk").alias("b0"), F.max("bk").alias("b1")))
+    # unhinted: bounds only seed the bucket spine; a hint here leaks
+    # into the spine's left-join branch and is dropped (r10 hint audit)
+    r = b.agg(F.min("bk").alias("b0"), F.max("bk").alias("b1"))
     spine = r.select(F.explode(F.sequence("b0", "b1")).alias("bk"))
     x = spine.join(b, "bk", "left").select(
         "bk",
@@ -9382,10 +9406,12 @@ def q_ts_its(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
-    b = F.broadcast(
-        d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    )
-    spine = b.select(
+    rng = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    # hint only at the use-site: deriving the spine from the HINTED
+    # frame leaks the ResolvedHint into the spine's join branch, where
+    # Spark drops it ("build left for left outer join") — r10 hint audit
+    b = F.broadcast(rng)
+    spine = rng.select(
         F.explode(F.sequence("d0", "d1")).alias("day"), "d0", "d1"
     )
     x = spine.join(d, "day", "left").select(

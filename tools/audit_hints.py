@@ -68,6 +68,21 @@ def child(logfile: str, sf_dir: str, only: list[str]) -> int:
     )
     names = only or sorted(registry.all_queries())
     errs = {}
+    by_query: dict[str, int] = {}
+    seen_lines = 0
+
+    def new_warnings() -> int:
+        nonlocal seen_lines
+        # FileAppender defaults to immediateFlush, so the log is current
+        n = (
+            len(Path(logfile).read_text().splitlines())
+            if os.path.exists(logfile)
+            else 0
+        )
+        fresh = n - seen_lines
+        seen_lines = n
+        return fresh
+
     for i, name in enumerate(names):
         try:
             df = registry.get(name).fn(spark, sf_dir)
@@ -77,9 +92,12 @@ def child(logfile: str, sf_dir: str, only: list[str]) -> int:
             df._jdf.queryExecution().executedPlan()
         except Exception as exc:  # report, keep sweeping
             errs[name] = f"{type(exc).__name__}: {exc}"
+        fresh = new_warnings()
+        if fresh:
+            by_query[name] = fresh
         if (i + 1) % 50 == 0:
             print(f"  built {i + 1}/{len(names)} plans", file=sys.stderr)
-    print("BUILT " + json.dumps({"n": len(names), "errs": errs}))
+    print("BUILT " + json.dumps({"n": len(names), "errs": errs, "by_query": by_query}))
     spark.stop()  # flush appenders via JVM shutdown
     return 0
 
@@ -105,7 +123,7 @@ def main() -> int:
         timeout=3600,
         cwd=str(REPO),
     )
-    built = {"n": 0, "errs": {"<child>": proc.stderr[-2000:]}}
+    built = {"n": 0, "errs": {"<child>": proc.stderr[-2000:]}, "by_query": {}}
     for line in proc.stdout.splitlines():
         if line.startswith("BUILT "):
             built = json.loads(line[6:])
@@ -119,6 +137,7 @@ def main() -> int:
         "plans_built": built["n"],
         "build_errors": built["errs"],
         "hint_warnings": warnings,
+        "warnings_by_query": built.get("by_query", {}),
         "ok": not warnings and not built["errs"],
     }
     if json_out:
@@ -127,8 +146,8 @@ def main() -> int:
         f"{built['n']} plans built, {len(built['errs'])} build errors, "
         f"{len(warnings)} hint warnings"
     )
-    for w in warnings:
-        print(f"  HINT DROPPED: {w}")
+    for q, n in built.get("by_query", {}).items():
+        print(f"  HINT DROPPED in {q}: {n} warning(s)")
     for name, err in built["errs"].items():
         print(f"  BUILD ERROR {name}: {err}")
     return 0 if report["ok"] else 1
