@@ -2742,3 +2742,148 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.thr", "s.n_pairs", "s.n_docs_affected")
         .orderBy("thr")
     )
+
+
+_XL_BITS = 4          # 16 coarse buckets — blocking, not dedup precision
+_XL_BUCKET_CAP = 400  # hot-bucket guardrail (same doctrine as LSH dedup)
+
+
+def _cross_lang_oracle_sql() -> str:
+    """DuckDB twin of q_dedup_cross_lang: identical md5 ±1 hyperplanes
+    (similarity._plane_sign family, planes 0..3), identical sequential
+    sign folds, identical bucket cap, identical 9dp pair cosines."""
+
+    def dot(i: int) -> str:
+        sign = (
+            "(CASE WHEN ('0x' || substr(md5('p' || {i} || ',' || (j - 1)), 1, 2))"
+            "::UINTEGER >= 128 THEN 1.0 ELSE -1.0 END)"
+        ).format(i=i)
+        return (
+            "list_sum(list_transform(generate_series(1, len(v)), "
+            f"j -> v[j] * {sign}))"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {dot(i)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_XL_BITS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+l AS (SELECT doc_id, lang FROM documents),
+x AS (
+  SELECT e.vec_id, l.lang, e.v, {sig} AS sig
+  FROM e JOIN l ON e.vec_id = l.doc_id
+),
+bsz AS (
+  SELECT sig, count(*) AS n FROM x GROUP BY sig
+  HAVING count(*) BETWEEN 2 AND {_XL_BUCKET_CAP}
+),
+ok AS (SELECT x.vec_id, x.lang, x.v, x.sig FROM x JOIN bsz USING (sig)),
+pairs AS (
+  SELECT least(a.lang, b.lang) AS lang_a,
+         greatest(a.lang, b.lang) AS lang_b,
+         CAST(round(list_cosine_similarity(a.v, b.v), 9)
+              AS DECIMAL(12,9)) AS c9
+  FROM ok a JOIN ok b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  WHERE a.lang != b.lang
+)
+SELECT lang_a, lang_b,
+       CAST(count(*) AS BIGINT) AS n_cand_pairs,
+       round(CAST(max(c9) AS DOUBLE), 6) AS max_cos,
+       round(CAST(sum(c9) AS DOUBLE) / count(*), 6) AS mean_cos
+FROM pairs GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b
+"""
+
+
+@query("q_dedup_cross_lang", oracle=_cross_lang_oracle_sql())
+def q_dedup_cross_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual near-duplicate screening: for every language PAIR,
+    the blocked-candidate cosine profile (pair count, max, mean) over
+    embedding-space buckets — the translation-leakage audit a
+    multilingual corpus runs before claiming its splits are independent
+    (a benchmark translated into the training set shows up as a
+    cross-lang max_cos spike long before exact-match decontamination
+    can see it). A clean corpus reports max_cos well under the dup bar
+    for every pair; any pair spiking toward 1.0 gets routed to the
+    thresholded dedup family for removal.
+
+    Scale shape: one scan computes a 4-bit hyperplane signature per
+    vector (the q_dedup_embed_lsh plane family — one signature pass
+    can serve both); candidates come ONLY from same-bucket pairs with
+    the count-first hot-bucket guardrail, never an all-pairs join; the
+    rollup is |langs|²-bounded. The bit count is the recall/cost knob
+    and grows with log(corpus) at scale — the registry pins 4 bits so
+    the DuckDB oracle recomputes identical planes, folds, buckets, and
+    9dp cosines.
+    """
+    from asyncdatapipeline_spark.llm.similarity import (
+        _as_double,
+        _dot,
+        _plane_sign,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    first = e.select(F.size("v").alias("d")).first()
+    if first is None:
+        return spark.createDataFrame(
+            [],
+            "lang_a string, lang_b string, n_cand_pairs bigint,"
+            " max_cos double, mean_cos double",
+        )
+    dim = first["d"]
+    sig = F.lit(0)
+    for i in range(_XL_BITS):
+        plit = F.array(
+            *[F.lit(_plane_sign(i, j)) for j in range(dim)]
+        )
+        sig = sig + F.when(_dot(F.col("v"), plit) >= 0, 1 << i).otherwise(0)
+    langs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    x = (
+        e.join(langs, "vec_id")
+        .select(
+            "vec_id",
+            "lang",
+            "v",
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+            sig.alias("sig"),
+        )
+        .localCheckpoint(eager=False)  # feeds bucket sizes + both join sides
+    )
+    bsz = x.groupBy("sig").agg(F.count(F.lit(1)).alias("n")).filter(
+        (F.col("n") >= 2) & (F.col("n") <= _XL_BUCKET_CAP)
+    )
+    ok = x.join(F.broadcast(bsz.select("sig")), "sig")
+    a, b = ok.alias("a"), ok.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.lang") != F.col("b.lang")),
+        )
+        .select(
+            F.least("a.lang", "b.lang").alias("lang_a"),
+            F.greatest("a.lang", "b.lang").alias("lang_b"),
+            F.round(cos, 9).cast("decimal(12,9)").alias("c9"),
+        )
+    )
+    return (
+        pairs.groupBy("lang_a", "lang_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cand_pairs"),
+            F.round(F.max("c9").cast("double"), 6).alias("max_cos"),
+            F.round(
+                F.sum("c9").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_cos"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

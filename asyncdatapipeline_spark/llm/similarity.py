@@ -1876,3 +1876,148 @@ def q_embed_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+_MAT_DIMS = (8, 16, 32, 64)  # prefix dims probed (64 = full)
+_MAT_N_PROBES = 20           # probe query set: vec_id < 20
+
+
+@query(
+    "q_embed_matryoshka",
+    # Ranking on 9dp-rounded cosines (the proven _dot /
+    # list_cosine_similarity parity device) with vec_id tiebreak;
+    # retention and regret are exact-decimal folds over the bounded
+    # probe frame.
+    oracle=f"""
+WITH pr AS (
+  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pv
+  FROM embeddings WHERE vec_id < {_MAT_N_PROBES}
+),
+co AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ks AS (SELECT unnest({list(_MAT_DIMS)}) AS k),
+cs AS (
+  SELECT pid, vid, k,
+    CAST(round(list_cosine_similarity(array_slice(v, 1, k),
+                                      array_slice(pv, 1, k)), 9)
+         AS DECIMAL(12,9)) AS ck,
+    CAST(round(list_cosine_similarity(v, pv), 9) AS DECIMAL(12,9)) AS c64
+  FROM pr, co, ks WHERE vid != pid
+),
+rk AS (
+  SELECT pid, vid, k, ck, c64,
+         row_number() OVER (PARTITION BY pid, k
+                            ORDER BY ck DESC, vid) AS r
+  FROM cs
+),
+top AS (SELECT pid, k, vid, c64 FROM rk WHERE r = 1),
+fullk AS (SELECT pid, vid AS fvid, c64 AS fc64 FROM top WHERE k = 64)
+SELECT CAST(t.k AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       round(sum(CASE WHEN t.vid = f.fvid THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS top1_retention,
+       round(CAST(sum(f.fc64 - t.c64) AS DOUBLE) / count(*), 6)
+         AS mean_regret
+FROM top t JOIN fullk f USING (pid)
+GROUP BY t.k ORDER BY dim
+""",
+)
+def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / prefix-dimension retrieval audit: for a bounded
+    probe set (vec_id < 20), the top-1 cosine neighbor is computed at
+    prefix dims 8/16/32/64 and compared with the full-dim choice —
+    top-1 retention (how often truncation picks the same neighbor) and
+    mean full-dim cosine regret (how much worse the truncated pick is
+    when it differs). This is the measurement that decides whether the
+    64-dim index can serve at 16 dims (4× memory/bandwidth cut for the
+    ANN fleet) — ship the cut only when retention is high AND regret
+    is near zero.
+
+    Scale shape: the probe set is a ≤20-row broadcast; the corpus is
+    scanned ONCE, each row scoring all probes × all prefixes
+    map-locally (prefix dot products are nested folds of the shared
+    _dot device); per-(probe, prefix) top-1 is a map-combinable
+    max(struct(cos, -vec_id, cos_full)) — |probes|·|prefixes| partial
+    rows per task, never a data-sized shuffle and never an all-pairs
+    join. The retention/regret rollup runs on the bounded probe frame.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = F.broadcast(
+        e.filter(F.col("vec_id") < _MAT_N_PROBES).select(
+            F.col("vec_id").alias("pid"),
+            _as_double(F.col("embedding")).alias("pv"),
+        )
+    )
+    pairs = (
+        e.select(
+            F.col("vec_id").alias("vid"),
+            _as_double(F.col("embedding")).alias("v"),
+        )
+        .join(probes, F.col("vid") != F.col("pid"))
+    )
+
+    def cos9(vcol, pcol, k):
+        vk = F.slice(vcol, 1, k)
+        pk = F.slice(pcol, 1, k)
+        c = _dot(vk, pk) / (F.sqrt(_dot(vk, vk)) * F.sqrt(_dot(pk, pk)))
+        return F.round(c, 9).cast("decimal(12,9)")
+
+    scored = pairs.select(
+        "pid",
+        "vid",
+        *[
+            cos9(F.col("v"), F.col("pv"), k).alias(f"c{k}")
+            for k in _MAT_DIMS
+        ],
+    )
+    tops = scored.groupBy("pid").agg(
+        *[
+            F.max(
+                F.struct(
+                    F.col(f"c{k}").alias("ck"),
+                    (-F.col("vid")).alias("nvid"),
+                    F.col(f"c{_MAT_DIMS[-1]}").alias(
+                        "cfull"
+                    ),
+                )
+            ).alias(f"t{k}")
+            for k in _MAT_DIMS
+        ]
+    )
+    full_dim = _MAT_DIMS[-1]
+    rows = tops.select(
+        "pid",
+        F.col(f"t{full_dim}.nvid").alias("fnvid"),
+        F.col(f"t{full_dim}.cfull").alias("fc"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("dim"),
+                        F.col(f"t{k}.nvid").alias("nvid"),
+                        F.col(f"t{k}.cfull").alias("cf"),
+                    )
+                    for k in _MAT_DIMS
+                ]
+            )
+        ).alias("s"),
+    )
+    return (
+        rows.groupBy(F.col("s.dim").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.round(
+                F.sum(
+                    F.when(F.col("s.nvid") == F.col("fnvid"), 1).otherwise(0)
+                )
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("top1_retention"),
+            F.round(
+                F.sum(F.col("fc") - F.col("s.cf")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_regret"),
+        )
+        .orderBy("dim")
+    )

@@ -4104,3 +4104,399 @@ def q_text_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_share"
         ),
     ).orderBy("source")
+
+
+@query(
+    "q_text_heaps",
+    # Exact device twins: integer token/vocab cumulatives via window
+    # sums, decile rank-crossing selection (smallest cum_tokens with
+    # ct*10 >= q*T, ties to the earliest doc — cum_vocab is
+    # nondecreasing in doc_id so min(cv) IS the earliest row's value),
+    # and the log-log OLS through the 9dp ln-contract with exact
+    # decimal sums cast to double BEFORE the closed-form slope.
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (
+  SELECT doc_id, unnest(ws) AS word FROM w
+),
+tok2 AS (SELECT doc_id, word FROM tok WHERE word != ''),
+nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM tok2 GROUP BY doc_id),
+fo AS (SELECT word, min(doc_id) AS fd FROM tok2 GROUP BY word),
+nv AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nv FROM fo GROUP BY fd),
+per AS (
+  SELECT n.doc_id, n.nt, coalesce(v.nv, 0) AS nv
+  FROM nt n LEFT JOIN nv v USING (doc_id)
+),
+cum AS (
+  SELECT doc_id,
+         sum(nt) OVER (ORDER BY doc_id) AS ct,
+         sum(nv) OVER (ORDER BY doc_id) AS cv
+  FROM per
+),
+tot AS (SELECT CAST(sum(nt) AS BIGINT) AS t FROM per),
+dec AS (SELECT unnest(generate_series(1, 10)) AS q),
+crossed AS (
+  SELECT q, min(ct) AS mct
+  FROM dec, cum, tot WHERE ct * 10 >= q * t GROUP BY q
+),
+pick AS (
+  SELECT x.q, CAST(x.mct AS BIGINT) AS mct,
+         CAST(min(c.cv) AS BIGINT) AS mcv
+  FROM crossed x JOIN cum c ON c.ct = x.mct
+  GROUP BY x.q, x.mct
+),
+pts AS (
+  SELECT CAST(round(ln(mct), 9) AS DECIMAL(12,9)) AS x,
+         CAST(round(ln(mcv), 9) AS DECIMAL(12,9)) AS y
+  FROM pick WHERE mct > 0 AND mcv > 0
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx
+  FROM pts
+),
+b AS (
+  SELECT CASE WHEN n * sxx - sx * sx <> 0
+              THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+         END AS beta
+  FROM s
+)
+SELECT CAST(p.q AS INT) AS decile,
+       p.mct AS cum_tokens, p.mcv AS cum_vocab, b.beta
+FROM pick p, b ORDER BY decile
+""",
+)
+def q_text_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct-vocabulary
+    size at each decile of the token stream (docs ordered by doc_id)
+    plus the fitted Heaps exponent β from log V = log K + β·log N — the
+    tokenizer-sizing and dedup-health diagnostic. A healthy fresh
+    corpus grows vocabulary as N^β with β ≈ 0.4-0.6; β near 0 means the
+    tail of the corpus adds no new vocabulary (duplicated or templated
+    content — corroborates q_dedup_savings), β near 1 flags noise
+    (OCR garbage / random strings minting a new "word" per token).
+
+    Scale shape: tokens explode map-locally; per-word FIRST occurrence
+    is one min() groupBy (map-combinable — the decontam/vocab shuffle
+    shape, |vocab| rows out); per-doc new-vocab and token counts are
+    |docs|-sized; the two cumulatives ride ``dist_cumsum`` (range
+    buckets + broadcast offsets, no single-partition window); each
+    decile checkpoint is a rank-crossing selection (min struct per
+    decile, map-combinable) — the q_agg_percentile_global device over
+    tokens instead of ranks. The 10-point OLS runs on a bounded frame
+    with 9dp-ln decimal sums. Nothing anywhere is sized by |vocab|²
+    or |tokens| past the first reduce.
+    """
+    from asyncdatapipeline_spark.operators._util import dist_cumsum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    tok = (
+        d.select("doc_id", F.explode("ws").alias("word"))
+        .filter(F.col("word") != "")
+    )
+    nt = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    nv = (
+        tok.groupBy("word")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy(F.col("fd").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+    per = nt.join(nv, "doc_id", "left").select(
+        "doc_id", "nt", F.coalesce("nv", F.lit(0)).cast("long").alias("nv")
+    )
+    cum = dist_cumsum(per, "doc_id", ["nt", "nv"])
+    tot = F.broadcast(per.agg(F.sum("nt").cast("long").alias("t")))
+    dec = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    crossed = (
+        cum.crossJoin(tot)
+        .crossJoin(F.broadcast(dec))
+        .filter(F.col("cum_nt") * 10 >= F.col("decile") * F.col("t"))
+    )
+    pick = (
+        crossed.groupBy("decile")
+        .agg(F.min(F.struct("cum_nt", "doc_id", "cum_nv")).alias("s"))
+        .select(
+            "decile",
+            F.col("s.cum_nt").alias("mct"),
+            F.col("s.cum_nv").alias("mcv"),
+        )
+        .localCheckpoint(eager=False)  # bounded (10 rows); feeds fit + out
+    )
+    x = F.round(F.log("mct"), 9).cast("decimal(12,9)")
+    y = F.round(F.log("mcv"), 9).cast("decimal(12,9)")
+    s = pick.filter((F.col("mct") > 0) & (F.col("mcv") > 0)).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    beta = s.select(
+        F.when(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0,
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6,
+            )
+            + 0.0,  # -0.0 → +0.0 in BOTH engines (repr/hash parity)
+        ).alias("beta")
+    )
+    return (
+        pick.crossJoin(F.broadcast(beta))
+        .select(
+            "decile",
+            F.col("mct").alias("cum_tokens"),
+            F.col("mcv").alias("cum_vocab"),
+            "beta",
+        )
+        .orderBy("decile")
+    )
+
+
+_MIX_SEG_W = 8  # words per language-ID segment
+
+
+@query(
+    "q_text_lang_mix",
+    # Same marker rule as q_text_lang applied per 8-word segment; the
+    # per-doc majority pick is a row_number with a total (count DESC,
+    # class ASC) order in BOTH engines; the mean share goes through
+    # 9dp-rounded per-doc ratios summed in exact decimal.
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w
+),
+seg AS (
+  SELECT doc_id, CAST(floor((i - 1) / {_MIX_SEG_W}) AS BIGINT) AS seg,
+         ws[i] AS word
+  FROM pos
+),
+sc AS (
+  SELECT doc_id, seg,
+    sum(CASE WHEN list_contains({_sql_list(_LANG_MARKERS['en'])}, word)
+             THEN 1 ELSE 0 END) AS s_en,
+    sum(CASE WHEN list_contains({_sql_list(_LANG_MARKERS['code'])}, word)
+             THEN 1 ELSE 0 END) AS s_code,
+    sum(CASE WHEN list_contains({_sql_list(_LANG_MARKERS['data'])}, word)
+             THEN 1 ELSE 0 END) AS s_data
+  FROM seg GROUP BY doc_id, seg
+),
+pred AS (
+  SELECT doc_id,
+    CASE WHEN s_en >= s_code AND s_en >= s_data THEN 'en'
+         WHEN s_code >= s_data THEN 'code'
+         ELSE 'data' END AS p
+  FROM sc
+),
+cnts AS (SELECT doc_id, p, CAST(count(*) AS BIGINT) AS c
+         FROM pred GROUP BY doc_id, p),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_segs
+        FROM cnts GROUP BY doc_id),
+rk AS (
+  SELECT doc_id, p, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, p) AS r
+  FROM cnts
+),
+mj AS (
+  SELECT r.doc_id, r.p, r.c, t.n_segs
+  FROM rk r JOIN tot t USING (doc_id) WHERE r.r = 1
+)
+SELECT p AS majority_class,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c < n_segs THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mixed,
+       round(CAST(sum(CAST(round(c * 1.0 / n_segs, 9) AS DECIMAL(12,9)))
+                  AS DOUBLE) / count(*), 6) AS mean_majority_share
+FROM mj GROUP BY p ORDER BY majority_class
+""",
+)
+def q_text_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document language/domain consistency: the q_text_lang
+    marker rule applied per 8-word SEGMENT, then each doc summarized
+    by its majority class and the share of segments agreeing with it —
+    the code-switching / boilerplate-stitching detector. A doc whose
+    segments disagree (majority share well under 1) is usually a
+    concatenation artifact (nav chrome + body, or two languages in one
+    crawl record); corpus-level counts of mixed docs per majority
+    class decide whether to SPLIT before training rather than filter.
+
+    Scale shape: segments explode map-locally (positions are
+    row-local); the per-(doc, segment) marker scores are one
+    map-combinable groupBy; the per-doc majority is a row_number over
+    the ≤3-rows-per-doc class-count frame PARTITIONED by doc_id
+    (millions of genuine keys, never a global sort); the rollup is
+    |classes|-bounded. Everything integer until the one 9dp share
+    ratio per doc.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    seg = d.select(
+        "doc_id", F.posexplode("ws").alias("i", "word")
+    ).select(
+        "doc_id",
+        F.floor(F.col("i") / _MIX_SEG_W).cast("long").alias("seg"),
+        "word",
+    )
+
+    def hits(markers):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.sum(
+            F.when(F.array_contains(arr, F.col("word")), 1).otherwise(0)
+        )
+
+    sc = seg.groupBy("doc_id", "seg").agg(
+        hits(_LANG_MARKERS["en"]).alias("s_en"),
+        hits(_LANG_MARKERS["code"]).alias("s_code"),
+        hits(_LANG_MARKERS["data"]).alias("s_data"),
+    )
+    pred = sc.select(
+        "doc_id",
+        F.when(
+            (F.col("s_en") >= F.col("s_code"))
+            & (F.col("s_en") >= F.col("s_data")),
+            F.lit("en"),
+        )
+        .when(F.col("s_code") >= F.col("s_data"), F.lit("code"))
+        .otherwise(F.lit("data"))
+        .alias("p"),
+    )
+    cnts = pred.groupBy("doc_id", "p").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)  # ≤3 rows/doc; feeds totals + rank
+    tot = cnts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_segs")
+    )
+    wr = W.partitionBy("doc_id").orderBy(F.col("c").desc(), "p")
+    mj = (
+        cnts.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .join(tot, "doc_id")
+    )
+    share = F.round(F.col("c") * 1.0 / F.col("n_segs"), 9).cast(
+        "decimal(12,9)"
+    )
+    return (
+        mj.groupBy(F.col("p").alias("majority_class"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("c") < F.col("n_segs"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_mixed"),
+            F.round(
+                F.sum(share).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_majority_share"),
+        )
+        .orderBy("majority_class")
+    )
+
+
+# Curriculum stage bands on per-doc token counts (fixture tokens run
+# 10-99; at scale these come from the tokenizer-count column the ingest
+# already materializes). Short-and-clean first, long-tail last.
+_CURR_BANDS = (25, 50, 75)  # stage 1: <25, 2: <50, 3: <75, 4: rest
+
+
+@query(
+    "q_mix_curriculum",
+    # Stage assignment is integer threshold compares on exact token
+    # counts; shares are one division each over bounded frames.
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), w -> w != ''))
+           AS n_tok
+  FROM documents
+),
+st AS (
+  SELECT doc_id, lang, n_tok,
+    CASE WHEN n_tok < {_CURR_BANDS[0]} THEN 1
+         WHEN n_tok < {_CURR_BANDS[1]} THEN 2
+         WHEN n_tok < {_CURR_BANDS[2]} THEN 3
+         ELSE 4 END AS stage
+  FROM t
+),
+per AS (
+  SELECT stage, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM st GROUP BY stage, lang
+),
+stot AS (
+  SELECT stage, CAST(sum(n_tokens) AS BIGINT) AS stage_tokens
+  FROM per GROUP BY stage
+),
+gtot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per)
+SELECT CAST(p.stage AS INT) AS stage, p.lang, p.n_docs, p.n_tokens,
+       round(p.n_tokens * 1.0 / s.stage_tokens, 6) AS share_of_stage,
+       round(s.stage_tokens * 1.0 / g.total_tokens, 6)
+         AS stage_share_of_corpus
+FROM per p JOIN stot s USING (stage), gtot g
+ORDER BY stage, lang
+""",
+)
+def q_mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule report: docs banded into 4 training stages
+    by token count (short/simple first, long-tail last — the standard
+    length-curriculum heuristic), crossed with language so the
+    scheduler can see whether early stages accidentally starve a
+    language (a short-doc-first curriculum over a corpus whose Chinese
+    docs run long would front-load English — this is the table that
+    catches it). Per (stage, lang): doc and token counts, the lang's
+    share WITHIN its stage, and the stage's share of the corpus —
+    the numbers a data-loader turns into per-stage sampling weights.
+
+    Scale shape: token counts are row-local; one map-combinable
+    groupBy to |stages|×|langs| cells; both share denominators are
+    bounded-frame aggregates joined back small-side. Exact integers
+    until the two published divisions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(F.split("text", " "), lambda w: w != "")
+    ).cast("long")
+    st = d.select(
+        "lang",
+        n_tok.alias("n_tok"),
+        F.when(n_tok < _CURR_BANDS[0], 1)
+        .when(n_tok < _CURR_BANDS[1], 2)
+        .when(n_tok < _CURR_BANDS[2], 3)
+        .otherwise(4)
+        .cast("int")
+        .alias("stage"),
+    )
+    per = st.groupBy("stage", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)  # bounded cells; feeds both totals
+    stot = per.groupBy("stage").agg(
+        F.sum("n_tokens").cast("long").alias("stage_tokens")
+    )
+    gtot = F.broadcast(
+        per.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    )
+    return (
+        per.join(F.broadcast(stot), "stage")
+        .crossJoin(gtot)
+        .select(
+            "stage",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens") * 1.0 / F.col("stage_tokens"), 6
+            ).alias("share_of_stage"),
+            F.round(
+                F.col("stage_tokens") * 1.0 / F.col("total_tokens"), 6
+            ).alias("stage_share_of_corpus"),
+        )
+        .orderBy("stage", "lang")
+    )

@@ -1168,3 +1168,136 @@ def q_eval_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(auc + 1.96 * se, 6).alias("ci_hi"),
         )
     )
+
+
+_FAIR_THR = 50.0   # decision threshold on the score
+_FAIR_GAP = 0.10   # max allowed TPR/FPR spread across groups
+
+
+@query(
+    "q_eval_fairness",
+    # Every rate is an exact integer ratio (one division, 6dp); the
+    # spread booleans compare 6dp-rounded rates so both engines decide
+    # identically.
+    oracle=f"""
+WITH scored AS (
+  SELECT (user_id % 3) AS grp, value AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE event_type IN ('purchase', 'view')
+),
+per AS (
+  SELECT grp,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS n_pos,
+    CAST(sum(1 - y) AS BIGINT) AS n_neg,
+    CAST(sum(CASE WHEN score >= {_FAIR_THR} THEN 1 ELSE 0 END) AS BIGINT)
+      AS pred_pos,
+    CAST(sum(CASE WHEN score >= {_FAIR_THR} AND y = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN score >= {_FAIR_THR} AND y = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fp
+  FROM scored GROUP BY grp
+),
+rates AS (
+  SELECT grp, n, n_pos, pred_pos,
+    CASE WHEN n_pos > 0 THEN round(tp * 1.0 / n_pos, 6) END AS tpr,
+    CASE WHEN n_neg > 0 THEN round(fp * 1.0 / n_neg, 6) END AS fpr,
+    CASE WHEN pred_pos > 0 THEN round(tp * 1.0 / pred_pos, 6) END
+      AS precision_,
+    round(pred_pos * 1.0 / n, 6) AS selection_rate
+  FROM per
+),
+gaps AS (
+  SELECT round(max(tpr) - min(tpr), 6) AS tpr_gap,
+         round(max(fpr) - min(fpr), 6) AS fpr_gap,
+         round(max(selection_rate) - min(selection_rate), 6) AS sel_gap
+  FROM rates
+)
+SELECT r.grp AS grp, r.n, r.n_pos, r.pred_pos,
+       r.tpr, r.fpr, r.precision_ AS precision, r.selection_rate,
+       g.tpr_gap, g.fpr_gap, g.sel_gap,
+       (g.tpr_gap <= {_FAIR_GAP} AND g.fpr_gap <= {_FAIR_GAP})
+         AS equalized_odds_ok,
+       (g.sel_gap <= {_FAIR_GAP}) AS demographic_parity_ok
+FROM rates r, gaps g ORDER BY grp
+""",
+)
+def q_eval_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subgroup fairness panel at a fixed decision threshold: per-group
+    TPR / FPR / precision / selection rate plus the cross-group spreads
+    and the two standard verdict booleans — equalized odds (TPR and FPR
+    spreads within tolerance) and demographic parity (selection-rate
+    spread within tolerance). The group key here is a deterministic
+    user-id proxy (user_id % 3), standing in for the protected
+    attribute column a real deployment joins in; everything downstream
+    of the group key is exactly what ships. This is the audit a model
+    gate runs per release: a model can hold aggregate AUC (q_eval_auc)
+    while one subgroup's FPR quietly doubles.
+
+    Scale shape: ONE map-combinable grouped aggregation over the
+    scored events (six integer counters per group); rates are one
+    division each on the |groups|-bounded frame; the spread row is a
+    bounded aggregate broadcast back. Nothing is sized by the event
+    count after the first reduce.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    pos = (F.col("value") >= _FAIR_THR).cast("int")
+    per = e.groupBy((F.col("user_id") % 3).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("n_pos"),
+        F.sum(1 - y).cast("long").alias("n_neg"),
+        F.sum(pos).cast("long").alias("pred_pos"),
+        F.sum(pos * y).cast("long").alias("tp"),
+        F.sum(pos * (1 - y)).cast("long").alias("fp"),
+    )
+    rates = per.select(
+        "grp",
+        "n",
+        "n_pos",
+        "pred_pos",
+        F.when(
+            F.col("n_pos") > 0, F.round(F.col("tp") * 1.0 / F.col("n_pos"), 6)
+        ).alias("tpr"),
+        F.when(
+            F.col("n_neg") > 0, F.round(F.col("fp") * 1.0 / F.col("n_neg"), 6)
+        ).alias("fpr"),
+        F.when(
+            F.col("pred_pos") > 0,
+            F.round(F.col("tp") * 1.0 / F.col("pred_pos"), 6),
+        ).alias("precision"),
+        F.round(F.col("pred_pos") * 1.0 / F.col("n"), 6).alias(
+            "selection_rate"
+        ),
+    ).localCheckpoint(eager=False)  # |groups|-bounded; feeds gaps + out
+    gaps = rates.agg(
+        F.round(F.max("tpr") - F.min("tpr"), 6).alias("tpr_gap"),
+        F.round(F.max("fpr") - F.min("fpr"), 6).alias("fpr_gap"),
+        F.round(
+            F.max("selection_rate") - F.min("selection_rate"), 6
+        ).alias("sel_gap"),
+    )
+    return (
+        rates.crossJoin(F.broadcast(gaps))
+        .select(
+            "grp",
+            "n",
+            "n_pos",
+            "pred_pos",
+            "tpr",
+            "fpr",
+            "precision",
+            "selection_rate",
+            "tpr_gap",
+            "fpr_gap",
+            "sel_gap",
+            (
+                (F.col("tpr_gap") <= _FAIR_GAP)
+                & (F.col("fpr_gap") <= _FAIR_GAP)
+            ).alias("equalized_odds_ok"),
+            (F.col("sel_gap") <= _FAIR_GAP).alias("demographic_parity_ok"),
+        )
+        .orderBy("grp")
+    )

@@ -1563,3 +1563,154 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top_h.unionAll(top_a)
+
+
+_PL_DMIN = 2  # Hill tail cut: degree-1 nodes carry no tail information
+
+
+def _powerlaw_side_sql(key: str, kind: str) -> str:
+    return f"""
+SELECT '{kind}' AS kind, deg, CAST(count(*) AS BIGINT) AS n_nodes
+FROM (
+  SELECT {key}, count(*) AS deg FROM pairs GROUP BY {key}
+) GROUP BY deg
+"""
+
+
+@query(
+    "q_graph_powerlaw",
+    # Hill MLE through the 9dp ln-contract with per-degree decimal
+    # products (count × ln term — exact); the histogram OLS reuses the
+    # q_text_heaps closed form; -0.0 is normalized on both sides.
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+hist AS (
+  {_powerlaw_side_sql('o_custkey', 'customer')}
+  UNION ALL
+  {_powerlaw_side_sql('l_suppkey', 'supplier')}
+),
+hill AS (
+  SELECT kind,
+    CAST(sum(n_nodes) AS BIGINT) AS n_tail,
+    CAST(max(deg) AS BIGINT) AS max_degree,
+    sum(n_nodes * CAST(round(ln(deg * 1.0 / {_PL_DMIN}), 9)
+                       AS DECIMAL(12,9))) AS slnd
+  FROM hist WHERE deg >= {_PL_DMIN} GROUP BY kind
+),
+ols AS (
+  SELECT kind,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+    CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * x) AS DOUBLE) AS sxx
+  FROM (
+    SELECT kind,
+      CAST(round(ln(deg), 9) AS DECIMAL(12,9)) AS x,
+      CAST(round(ln(n_nodes), 9) AS DECIMAL(12,9)) AS y
+    FROM hist
+  ) GROUP BY kind
+)
+SELECT h.kind, h.n_tail, h.max_degree,
+  CASE WHEN CAST(h.slnd AS DOUBLE) > 0
+       THEN round(1.0 + h.n_tail / CAST(h.slnd AS DOUBLE), 6) + 0.0
+  END AS alpha_hill,
+  CASE WHEN o.n * o.sxx - o.sx * o.sx <> 0
+       THEN round((o.n * o.sxy - o.sx * o.sy)
+                  / (o.n * o.sxx - o.sx * o.sx), 6) + 0.0
+  END AS ols_slope
+FROM hill h JOIN ols o USING (kind)
+ORDER BY kind
+""",
+)
+def q_graph_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail diagnosis of the degree distribution, per graph side:
+    the Hill maximum-likelihood tail exponent α (over degrees ≥ 2) and
+    the classic log-log histogram OLS slope — the quantitative sequel
+    to q_graph_degree's histogram. α ≲ 2 means infinite-variance
+    hubbing (pair joins and LSH buckets WILL detonate without caps and
+    salting: budget the guardrails), α ≳ 3 means near-random degree
+    (caps are belt-and-suspenders). Publishing both estimators is
+    deliberate: OLS-on-histogram is the eyeball-familiar number but
+    biased; Hill is the estimator the heavy-tail literature trusts —
+    when they disagree, trust Hill and suspect the histogram's tail
+    binning.
+
+    Scale shape: distinct-edge reduce, then degree = grouped count per
+    side, then BOTH estimators are folds over the |distinct degrees|-
+    bounded histogram (per-degree exact decimal products of count ×
+    9dp-ln); one closed-form row per side. No joins on node-sized
+    frames, no windows anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+
+    def side(key: str, kind: str) -> DataFrame:
+        return (
+            pairs.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .groupBy("deg")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .select(F.lit(kind).alias("kind"), "deg", "n_nodes")
+        )
+
+    hist = side("o_custkey", "customer").unionByName(
+        side("l_suppkey", "supplier")
+    ).localCheckpoint(eager=False)  # |degrees|-bounded; feeds both fits
+    hill = (
+        hist.filter(F.col("deg") >= _PL_DMIN)
+        .groupBy("kind")
+        .agg(
+            F.sum("n_nodes").cast("long").alias("n_tail"),
+            F.max("deg").cast("long").alias("max_degree"),
+            F.sum(
+                F.col("n_nodes")
+                * F.round(F.log(F.col("deg") * 1.0 / _PL_DMIN), 9).cast(
+                    "decimal(12,9)"
+                )
+            ).alias("slnd"),
+        )
+    )
+    x = F.round(F.log("deg"), 9).cast("decimal(12,9)")
+    y = F.round(F.log("n_nodes"), 9).cast("decimal(12,9)")
+    ols = hist.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    return (
+        hill.join(ols, "kind")
+        .select(
+            "kind",
+            "n_tail",
+            "max_degree",
+            F.when(
+                F.col("slnd").cast("double") > 0,
+                F.round(
+                    1.0 + F.col("n_tail") / F.col("slnd").cast("double"), 6
+                )
+                + 0.0,
+            ).alias("alpha_hill"),
+            F.when(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0,
+                F.round(
+                    (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / (
+                        F.col("n") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ),
+                    6,
+                )
+                + 0.0,
+            ).alias("ols_slope"),
+        )
+        .orderBy("kind")
+    )

@@ -829,3 +829,34 @@ def q_scan_sorted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("day").between(lo, hi))
         .select("event_id", "day", "event_type", "value")
     )
+
+
+@query(
+    "q_scan_csv_gzip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressed CSV scan (codec coverage beside q_scan_csv):
+    parquet → .csv.gz → read back with an explicit schema; must equal
+    the source table. The codec is transparent to the reader — but NOT
+    to the scheduler, and that is the 100 TB lesson this op pins in its
+    plan: gzip is an UNSPLITTABLE codec, so one .csv.gz file is one
+    task no matter its size (a 100 GB gzip file serializes a whole
+    executor fleet behind a single core). At scale: land many
+    moderately-sized .gz shards (the upstream's natural batching), or
+    re-land into a splittable container (parquet+zstd, or bzip2 if it
+    must stay CSV) on first touch — this engine's layout ops
+    (q_layout_file_plan) price exactly that rewrite.
+    """
+    path = _scratch(sf_dir, "nation_csv_gz")
+    n = load_table(spark, sf_dir, "nation")
+    (
+        n.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("compression", "gzip")
+        .csv(path)
+    )
+    return (
+        spark.read.schema(NATION_SCHEMA).option("header", "true").csv(path)
+    )

@@ -139,6 +139,11 @@ HEADLINE = [
     "q_orders_leadtime",        # grouped rank device over a fact join
     "q_text_kneser_ney",        # KN-smoothed bigram LM (3-agg explode)
     "q_text_boilerplate",       # cross-doc gram census per source
+    # round-10 additions
+    "q_text_heaps",             # vocab-growth: dist_cumsum + rank crossings
+    "q_text_lang_mix",          # per-segment lang-ID + per-doc majority
+    "q_embed_matryoshka",       # probe-broadcast prefix-dim retention scan
+    "q_dedup_cross_lang",       # bucketed cross-lingual cosine screening
 ]
 
 

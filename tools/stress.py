@@ -327,6 +327,18 @@ QUERIES = [
     "q_orders_basket_profile",
     "q_scan_sorted_stats",
     "q_ml_conformal",
+    # round-10 additions: corpus-growth/consistency diagnostics, the
+    # matryoshka retrieval audit (probe-broadcast single corpus scan),
+    # blocked cross-lingual screening, fairness panel, tail-exponent
+    # fits (bounded-histogram folds: ~flat), curriculum banding
+    "q_text_heaps",
+    "q_text_lang_mix",
+    "q_embed_matryoshka",
+    "q_dedup_cross_lang",
+    "q_eval_fairness",
+    "q_graph_powerlaw",
+    "q_mix_curriculum",
+    "q_scan_csv_gzip",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
