@@ -2198,3 +2198,92 @@ def q_orders_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_DUP_TOL_CENTS = 500    # |amount diff| <= $5
+_DUP_BAND_CENTS = 1000  # blocking band width (> tolerance => +-1 probe)
+_DUP_WINDOW_DAYS = 7
+
+
+@query(
+    "q_orders_dup_payments",
+    # The oracle is the UNBLOCKED self-join with identical exact
+    # filters — legal because the +-1 band probe is COMPLETE for the
+    # tolerance (band width 1000 > tol 500, so any qualifying pair
+    # differs by at most one band). Cents are exact BIGINTs.
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d
+  FROM orders
+)
+SELECT a.c AS o_custkey, a.k AS key_a, b.k AS key_b,
+       abs(a.d - b.d) AS day_gap,
+       abs(a.cents - b.cents) AS cents_diff,
+       round(a.cents / 100.0, 2) AS amount_a,
+       round(b.cents / 100.0, 2) AS amount_b
+FROM o a JOIN o b
+  ON a.c = b.c AND a.k < b.k
+WHERE abs(a.d - b.d) <= {_DUP_WINDOW_DAYS}
+  AND abs(a.cents - b.cents) <= {_DUP_TOL_CENTS}
+ORDER BY o_custkey, key_a, key_b
+""",
+)
+def q_orders_dup_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment audit: order pairs from the SAME customer,
+    within $5 of each other and within 7 days — the accounts-payable
+    control every finance team runs (double-submitted invoices, retry
+    storms double-charging, copy-paste orders). Published pair-level
+    with the gap and amount delta so the reviewer can clear or claw
+    back each hit.
+
+    Scale shape: the forbidden plan here is the per-customer all-pairs
+    self-join (a hot customer with 10^5 orders = 10^10 pairs). Instead
+    each order blocks on (customer, amount-band) with the left side
+    probing the +-1 neighbor bands — a plain EQUI join whose
+    completeness is arithmetic (band width 1000 cents > 500-cent
+    tolerance), so the exact filters run on candidate pairs only and a
+    pair is found exactly once (each order owns one band). Hot
+    (customer, band) blocks are the residual risk and carry the
+    q_join_explosion_audit pre-flight at 100 TB; day is NOT in the
+    block key because 7-day windows straddle any day bucket — the date
+    filter stays a cheap post-predicate. Money handled in exact cents.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400)
+        .cast("long")
+        .alias("d"),
+    )
+    band = (F.col("cents") / _DUP_BAND_CENTS).cast("long")
+    a = (
+        o.withColumn(
+            "pband",
+            F.explode(F.array(band - 1, band, band + 1)),
+        )
+        .alias("a")
+    )
+    b = o.withColumn("band", band).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c") == F.col("b.c"))
+        & (F.col("a.pband") == F.col("b.band"))
+        & (F.col("a.k") < F.col("b.k")),
+    ).filter(
+        (F.abs(F.col("a.d") - F.col("b.d")) <= _DUP_WINDOW_DAYS)
+        & (F.abs(F.col("a.cents") - F.col("b.cents")) <= _DUP_TOL_CENTS)
+    )
+    return pairs.select(
+        F.col("a.c").alias("o_custkey"),
+        F.col("a.k").alias("key_a"),
+        F.col("b.k").alias("key_b"),
+        F.abs(F.col("a.d") - F.col("b.d")).cast("long").alias("day_gap"),
+        F.abs(F.col("a.cents") - F.col("b.cents"))
+        .cast("long")
+        .alias("cents_diff"),
+        F.round(F.col("a.cents") / 100.0, 2).alias("amount_a"),
+        F.round(F.col("b.cents") / 100.0, 2).alias("amount_b"),
+    ).orderBy("o_custkey", "key_a", "key_b")
