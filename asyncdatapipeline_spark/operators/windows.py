@@ -2200,8 +2200,8 @@ def q_orders_basket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUP_TOL_CENTS = 500    # |amount diff| <= $5
-_DUP_BAND_CENTS = 1000  # blocking band width (> tolerance => +-1 probe)
+_DUP_TOL_CENTS = 50_000    # |amount diff| <= $500 (TPC-H price scale)
+_DUP_BAND_CENTS = 100_000  # blocking band width (> tolerance => +-1 probe)
 _DUP_WINDOW_DAYS = 7
 
 
@@ -2209,7 +2209,7 @@ _DUP_WINDOW_DAYS = 7
     "q_orders_dup_payments",
     # The oracle is the UNBLOCKED self-join with identical exact
     # filters — legal because the +-1 band probe is COMPLETE for the
-    # tolerance (band width 1000 > tol 500, so any qualifying pair
+    # tolerance (band width 100000 > tol 50000, so any qualifying pair
     # differs by at most one band). Cents are exact BIGINTs.
     oracle=f"""
 WITH o AS (
@@ -2232,7 +2232,7 @@ ORDER BY o_custkey, key_a, key_b
 )
 def q_orders_dup_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-payment audit: order pairs from the SAME customer,
-    within $5 of each other and within 7 days — the accounts-payable
+    within $500 of each other and within 7 days — the accounts-payable
     control every finance team runs (double-submitted invoices, retry
     storms double-charging, copy-paste orders). Published pair-level
     with the gap and amount delta so the reviewer can clear or claw
@@ -2242,7 +2242,7 @@ def q_orders_dup_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (a hot customer with 10^5 orders = 10^10 pairs). Instead
     each order blocks on (customer, amount-band) with the left side
     probing the +-1 neighbor bands — a plain EQUI join whose
-    completeness is arithmetic (band width 1000 cents > 500-cent
+    completeness is arithmetic (band width 2x the
     tolerance), so the exact filters run on candidate pairs only and a
     pair is found exactly once (each order owns one band). Hot
     (customer, band) blocks are the residual risk and carry the

@@ -246,3 +246,30 @@ def test_curriculum_band_edges(spark):
         assert abs(tot - 1.0) < 1e-5, (stage, tot)
     corpus = {r.stage: r.stage_share_of_corpus for r in rows}
     assert abs(sum(corpus.values()) - 1.0) < 1e-5
+
+
+def test_dup_payments_planted_pair(spark):
+    """Customer 5: two orders 3 days and $100 apart (hit), a third 30
+    days away (cleared by the window), a fourth $10k away (cleared by
+    the tolerance). Customer 6's single order pairs with nothing."""
+    out = tempfile.mkdtemp()
+    rows = [
+        (1, 5, "O", 1000.00, "2024-01-01 00:00:00", "1-URGENT"),
+        (2, 5, "O", 1100.00, "2024-01-04 00:00:00", "1-URGENT"),
+        (3, 5, "O", 1050.00, "2024-02-01 00:00:00", "1-URGENT"),
+        (4, 5, "O", 11000.00, "2024-01-02 00:00:00", "1-URGENT"),
+        (5, 6, "O", 1000.00, "2024-01-01 00:00:00", "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "orders.parquet"))
+    got = registry.get("q_orders_dup_payments").fn(spark, out).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.o_custkey, r.key_a, r.key_b) == (5, 1, 2)
+    assert r.day_gap == 3 and r.cents_diff == 10_000
+    assert r.amount_a == 1000.0 and r.amount_b == 1100.0
