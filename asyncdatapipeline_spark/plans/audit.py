@@ -61,6 +61,29 @@ CHECKS: dict[str, list[tuple]] = {
     "q_scan_orc": [
         ("must", "balance filter pushed into the ORC scan", r"PushedFilters: \[.*GreaterThan\(s_acctbal"),
     ],
+    "q_embed_matryoshka": [
+        # probe set must broadcast into a nested-loop (!= condition);
+        # the corpus must never cartesian or shuffle for scoring
+        ("must", "probe join is broadcast nested loop", r"BroadcastNestedLoopJoin"),
+        ("forbid", "no cartesian product", "CartesianProduct"),
+        ("must", "per-(probe,prefix) top-1 partially aggregated", r"HashAggregate.*partial"),
+    ],
+    "q_dedup_cross_lang": [
+        ("forbid", "no cartesian product", "CartesianProduct"),
+        ("must", "bucket-size guardrail partially aggregated", r"HashAggregate.*partial"),
+    ],
+    "q_text_heaps": [
+        ("must", "first-occurrence reduce partially aggregated", r"HashAggregate.*partial"),
+        ("forbid", "no cartesian product", "CartesianProduct"),
+    ],
+    "q_orders_dup_payments": [
+        # the +-1-band probe must plan as an EQUI join, never a
+        # per-customer nested loop / cartesian
+        ("forbid", "no nested-loop pair join", "BroadcastNestedLoopJoin", "CartesianProduct"),
+    ],
+    "q_scan_csv_gzip": [
+        ("must", "explicit schema (3-column read)", r"ReadSchema: struct<n_nationkey:int,n_name:string,n_regionkey:int>"),
+    ],
     "q_scan_sorted_stats": [
         # sort-on-write layout: the day-range predicate must reach the
         # parquet scan so row-group min/max stats can skip I/O
