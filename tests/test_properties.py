@@ -302,6 +302,7 @@ def _morton_ref(a: int, b: int) -> int:
     return out
 
 
+@settings(deadline=None)  # DuckDB round-trip per example: load-sensitive
 @given(
     st.lists(
         st.tuples(
@@ -486,3 +487,73 @@ def test_spark_ntile_closed_form_equals_builtin(spark, n, k):
         .count()
     )
     assert bad == 0
+
+
+# -- round-10 pure invariants ------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=20),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_heaps_curve_model_invariants(doc_words):
+    """Pure-python model of q_text_heaps' cumulative algebra: for ANY
+    corpus, cumulative vocab is nondecreasing, never exceeds cumulative
+    tokens, and the final point equals (total tokens, |vocab|)."""
+    seen: set[int] = set()
+    ct = cv = 0
+    pts = []
+    for words in doc_words:
+        ct += len(words)
+        for w in words:
+            if w not in seen:
+                seen.add(w)
+                cv += 1
+        pts.append((ct, cv))
+    assert all(v <= t for t, v in pts)
+    assert all(pts[i][1] <= pts[i + 1][1] for i in range(len(pts) - 1))
+    assert pts[-1] == (sum(len(w) for w in doc_words), len(seen))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=50)
+)
+def test_curriculum_banding_partitions_corpus(tokens):
+    """q_mix_curriculum's band rule is a PARTITION: every doc lands in
+    exactly one stage and stage populations sum back to the corpus."""
+    bands = (25, 50, 75)
+
+    def stage(n):
+        for s, b in enumerate(bands, start=1):
+            if n < b:
+                return s
+        return len(bands) + 1
+
+    stages = [stage(n) for n in tokens]
+    assert all(1 <= s <= 4 for s in stages)
+    assert len(stages) == len(tokens)
+    from collections import Counter
+
+    assert sum(Counter(stages).values()) == len(tokens)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1, max_value=1, allow_nan=False), min_size=8, max_size=8
+    ),
+    st.lists(
+        st.floats(min_value=-1, max_value=1, allow_nan=False), min_size=8, max_size=8
+    ),
+)
+def test_dup_payment_band_probe_complete(a_f, b_f):
+    """The ±1-band completeness argument of q_orders_dup_payments,
+    checked as arithmetic: for any two amounts within the tolerance,
+    their band ids differ by at most 1 when band width ≥ tolerance."""
+    tol, width = 50_000, 100_000
+    a = int(a_f[0] * 10_000_000) + 20_000_000
+    b = max(0, min(a + int(b_f[0] * tol), a + tol))
+    assert abs(a - b) <= tol
+    assert abs(a // width - b // width) <= 1
