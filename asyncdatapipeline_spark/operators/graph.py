@@ -107,6 +107,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = nodes.agg(
         F.expr(f"{_PR_SCALE} div count(1)").alias("b")
     )
+    # NOT checkpointed on purpose: the loop builds ONE action whose
+    # plan embeds this subtree per round, and ReusedExchange already
+    # dedupes it — measured r10: a localCheckpoint here moved the
+    # warm median 4.9 -> 5.1 s (noise), so the simpler plan stays
     ewd = edges.join(deg, "u")
 
     r = nodes.crossJoin(F.broadcast(base)).select(
@@ -779,21 +783,28 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= 2)
         .select("u", "v")
+        # the ONE data-sized build (co-purchase self-join + support
+        # agg): materialized once — r10 found every peel round was
+        # silently re-running this whole chain through eb's lineage
+        # (bench: 9.6 s, of which the peel itself was a fraction)
+        .localCheckpoint()
     )
-    eb = e.selectExpr("u as s", "v as t").unionByName(
-        e.selectExpr("v as s", "u as t")
+    eb = (
+        e.selectExpr("u as s", "v as t")
+        .unionByName(e.selectExpr("v as s", "u as t"))
+        .localCheckpoint()
     )
     alive = eb.select(F.col("s").alias("node")).distinct().localCheckpoint()
     n0 = alive.count()
     n_prev = n0
     converged = False
+    # invariant: live_eb holds exactly the edges with BOTH endpoints
+    # alive, so each round is one aggregate + (on shrink) one
+    # double-semi-restriction of a monotonically SHRINKING frame — the
+    # plan the docstring always promised; the full eb is touched once
+    live_eb = eb
     for _ in range(_KCORE_ROUNDS):
-        deg = (
-            eb.join(alive.withColumnRenamed("node", "s"), "s")
-            .join(alive.withColumnRenamed("node", "t"), "t")
-            .groupBy("s")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
+        deg = live_eb.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
         nxt = (
             deg.filter(F.col("deg") >= _KCORE_K)
             .select(F.col("s").alias("node"))
@@ -805,6 +816,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             converged = True
             break
         n_prev = n_now
+        live_eb = (
+            live_eb.join(nxt.withColumnRenamed("node", "s"), "s")
+            .join(nxt.withColumnRenamed("node", "t"), "t")
+            .localCheckpoint()
+        )
     else:
         # ran the full bound without stabilizing between the LAST two
         # rounds — mirror the oracle's a{N-1} vs a{N} comparison
