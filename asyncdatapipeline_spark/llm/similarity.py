@@ -2021,3 +2021,98 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+_HN_K = 3            # hard negatives per anchor
+_HN_N_ANCHORS = 20   # anchor set: vec_id < 20
+
+
+@query(
+    "q_ml_hard_negatives",
+    # Ranking on 9dp-rounded cosines (shared _dot parity device) with
+    # vec_id tiebreak; the per-anchor top-k is the same row_number
+    # shape both engines run.
+    oracle=f"""
+WITH an AS (
+  SELECT vec_id AS aid, label AS alabel, CAST(embedding AS DOUBLE[]) AS av
+  FROM embeddings WHERE vec_id < {_HN_N_ANCHORS}
+),
+co AS (
+  SELECT vec_id AS nid, label AS nlabel, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+),
+cs AS (
+  SELECT aid, alabel, nid, nlabel,
+    CAST(round(list_cosine_similarity(v, av), 9) AS DECIMAL(12,9)) AS c9
+  FROM an, co WHERE nlabel != alabel
+),
+rk AS (
+  SELECT aid, alabel, nid, nlabel, c9,
+         row_number() OVER (PARTITION BY aid ORDER BY c9 DESC, nid) AS r
+  FROM cs
+)
+SELECT aid AS anchor_id, alabel AS anchor_label,
+       CAST(r AS INT) AS hn_rank, nid AS neg_id, nlabel AS neg_label,
+       round(CAST(c9 AS DOUBLE), 6) AS cos_sim
+FROM rk WHERE r <= {_HN_K}
+ORDER BY anchor_id, hn_rank
+""",
+)
+def q_ml_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: for each
+    anchor vector (vec_id < 20), the top-3 highest-cosine vectors
+    with a DIFFERENT label — the negatives that actually teach a model
+    something (random negatives are trivially separable; training
+    signal lives in the near-boundary impostors). This is the batch
+    feeding step of every embedding-finetune / reranker pipeline, and
+    doubles as a label-noise detector: an impostor at cosine ≈ 1 is
+    usually a mislabeled duplicate, not a hard negative.
+
+    Scale shape: the anchor set is a bounded broadcast; the corpus is
+    scanned ONCE, scoring all anchors map-locally (same probe-fan
+    shape as q_embed_matryoshka); the per-anchor top-k rides a window
+    PARTITIONED by anchor id that Spark executes as WindowGroupLimit —
+    per-task k-heaps, only |anchors|·k rows survive the shuffle. At
+    real scale the anchor set is the training batch (10³-10⁴ rows,
+    still broadcast-sized) and the scan parallelizes over the corpus;
+    the IVF/LSH families (q_sim_ann, q_sim_ivf_tuning) are the
+    sublinear path when full scans stop being acceptable.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    an = F.broadcast(
+        e.filter(F.col("vec_id") < _HN_N_ANCHORS).select(
+            F.col("vec_id").alias("aid"),
+            F.col("label").alias("alabel"),
+            _as_double(F.col("embedding")).alias("av"),
+        )
+    )
+    co = e.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    cos = _dot(F.col("v"), F.col("av")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v")))
+        * F.sqrt(_dot(F.col("av"), F.col("av")))
+    )
+    cs = co.join(an, F.col("nlabel") != F.col("alabel")).select(
+        "aid",
+        "alabel",
+        "nid",
+        "nlabel",
+        F.round(cos, 9).cast("decimal(12,9)").alias("c9"),
+    )
+    w = W.partitionBy("aid").orderBy(F.col("c9").desc(), "nid")
+    return (
+        cs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _HN_K)
+        .select(
+            F.col("aid").alias("anchor_id"),
+            F.col("alabel").alias("anchor_label"),
+            F.col("r").cast("int").alias("hn_rank"),
+            F.col("nid").alias("neg_id"),
+            F.col("nlabel").alias("neg_label"),
+            F.round(F.col("c9").cast("double"), 6).alias("cos_sim"),
+        )
+        .orderBy("anchor_id", "hn_rank")
+    )

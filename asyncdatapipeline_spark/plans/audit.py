@@ -68,6 +68,11 @@ CHECKS: dict[str, list[tuple]] = {
         ("forbid", "no cartesian product", "CartesianProduct"),
         ("must", "per-(probe,prefix) top-1 partially aggregated", r"HashAggregate.*partial"),
     ],
+    "q_ml_hard_negatives": [
+        ("must", "anchor fan-out is broadcast nested loop", r"BroadcastNestedLoopJoin"),
+        ("must", "per-anchor top-k is WindowGroupLimit", r"WindowGroupLimit"),
+        ("forbid", "no cartesian product", "CartesianProduct"),
+    ],
     "q_dedup_cross_lang": [
         ("forbid", "no cartesian product", "CartesianProduct"),
         ("must", "bucket-size guardrail partially aggregated", r"HashAggregate.*partial"),

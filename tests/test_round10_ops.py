@@ -273,3 +273,32 @@ def test_dup_payments_planted_pair(spark):
     assert (r.o_custkey, r.key_a, r.key_b) == (5, 1, 2)
     assert r.day_gap == 3 and r.cents_diff == 10_000
     assert r.amount_a == 1000.0 and r.amount_b == 1100.0
+
+
+def test_hard_negatives_surface_mislabeled_duplicate(spark):
+    """An identical vector under a different label must be the rank-1
+    hard negative at cosine 1.0; a same-label twin must never appear."""
+    out = tempfile.mkdtemp()
+    v = [1.0] * 16
+    far = [1.0] * 8 + [-1.0] * 8
+    _write(
+        spark,
+        out,
+        "embeddings",
+        [
+            (0, v, 0),      # anchor, label 0
+            (40, v, 1),     # mislabeled duplicate -> rank-1 impostor
+            (41, v, 0),     # same-label twin -> excluded
+            (42, far, 2),   # genuine far negative
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = [
+        r
+        for r in registry.get("q_ml_hard_negatives").fn(spark, out).collect()
+        if r.anchor_id == 0
+    ]
+    assert rows[0].hn_rank == 1 and rows[0].neg_id == 40
+    assert rows[0].cos_sim == 1.0 and rows[0].neg_label == 1
+    assert all(r.neg_label != 0 for r in rows)
+    assert all(r.neg_id != 41 for r in rows)

@@ -339,6 +339,7 @@ QUERIES = [
     "q_graph_powerlaw",
     "q_mix_curriculum",
     "q_scan_csv_gzip",
+    "q_ml_hard_negatives",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
