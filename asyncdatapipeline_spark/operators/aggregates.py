@@ -2238,13 +2238,24 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     t = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
-    cells = t.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    # the ONE data-sized pass, materialized once: cells feeds the x
+    # spine AND the per-y fold, and the x spine itself is re-referenced
+    # (xstat + broadcast onto the fold) — unmaterialized, the lineitem
+    # groupBy re-ran once per reference (the SCALING.md re-referenced-
+    # DataFrame pitfall). At sf0.1 the measured win is modest (~6.6 ->
+    # 5.8 s warm — the rank machinery dominates locally); the point is
+    # the 100 TB shape, where each avoided recompute is a corpus scan
+    cells = (
+        t.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     xs = cells.groupBy("x").agg(F.sum("cnt").alias("tx"))
     xs = dist_cumsum(xs, "x", ["tx"]).select(
         "x",
         "tx",
         (2 * F.col("cum_tx") - F.col("tx") + 1).cast("long").alias("rx2"),
-    )
+    ).localCheckpoint(eager=False)  # ≤|distinct x| rows, used twice
     big = "decimal(38,0)"
     # n / sx / sxx live entirely on the dimension-sized x rank map.
     xstat = xs.agg(
