@@ -642,6 +642,9 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        # referenced by keep, cpk AND deg — unmaterialized, the
+        # lineitem⋈orders build ran once per reference (r10)
+        .localCheckpoint(eager=False)
     )
     keep = (
         cp.groupBy("p")
@@ -650,7 +653,11 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p")
     )
     cpk = cp.join(keep, "p").localCheckpoint(eager=False)
-    deg = cp.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    deg = (
+        cp.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)  # |customers| rows, joined twice
+    )
     a = cpk.select("p", F.col("c").alias("ca"))
     b = cpk.select("p", F.col("c").alias("cb"))
     co = (
@@ -1134,7 +1141,15 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pr.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .localCheckpoint(eager=False)
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # (node)-sized and re-joined every voting round: materialized once
+    # so the distinct shuffle doesn't re-run per round. Locally this
+    # measures neutral (the per-round joins dominate); at scale the
+    # avoided per-round distinct is an |edges|-block shuffle (r10)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     seeds = (
         nodes.filter(F.col("node") % _LP_SEED_MOD == 0)
         .join(part, nodes.node == part.p_partkey)
