@@ -1259,3 +1259,103 @@ def q_curation_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified split: EXACT per-stratum train fraction (vs q_split_hash's
+# approximate thresholding)
+# ---------------------------------------------------------------------------
+
+_STRAT_TRAIN_PCT = 80  # integer percent — rank arithmetic stays exact
+
+
+@query(
+    "q_split_stratified",
+    # Rank device: 60-bit positive md5 key (15 hex chars — the
+    # llm/dedup shingle-hash contract), per-lang cumulative count,
+    # train = rank <= ceil(0.8·n) in pure integer arithmetic.
+    oracle=f"""
+WITH k AS (
+  SELECT lang, doc_id, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           ::UBIGINT::BIGINT AS hk
+  FROM documents
+),
+r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk,
+         CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM k
+),
+s AS (
+  SELECT lang, n_chars, n,
+         CASE WHEN rk <= (n * {_STRAT_TRAIN_PCT} + 99) // 100
+              THEN 'train' ELSE 'test' END AS split
+  FROM r
+)
+SELECT lang, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(count(*) AS DOUBLE) / max(n), 6) AS frac,
+       round(CAST(sum(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE)
+             / count(*), 6) AS avg_chars
+FROM s GROUP BY lang, split
+ORDER BY lang, split
+""",
+)
+def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified train/test split: within each language stratum,
+    rank docs by a stable md5 key and take the first ceil(80%·n) as
+    train — every stratum lands the target fraction to the row (the
+    guarantee q_split_hash's threshold cannot give: hash thresholding
+    is only *expected*-fraction, and a small stratum can miss by
+    several points, starving eval of minority languages). The key is a
+    pure function of doc_id, so the split is reproducible across runs,
+    retries, and repartitionings — never ``rand()``.
+
+    Scale shape: the per-stratum rank is ``dist_cumsum`` (equi-depth
+    value bucketing + triangular offset join), NOT a per-lang window —
+    a window partitioned only by lang puts an entire stratum (data-
+    sized at 100 TB) in one task; the device keeps every partition
+    ~1/nparts of the data regardless of stratum skew. One boundary
+    collect (≤31 scalars, sanctioned class), one hash shuffle, then a
+    bounded (lang, split) grid aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hk = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    k = d.select(
+        "lang", "doc_id", "n_chars", hk.alias("hk"), F.lit(1).alias("cnt")
+    )
+    from asyncdatapipeline_spark.operators._util import dist_cumsum
+
+    c = dist_cumsum(k, "hk", ["cnt"], part_cols=["lang"], tiebreak=["doc_id"])
+    n = F.broadcast(
+        d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    s = c.join(n, "lang").select(
+        "lang",
+        "n_chars",
+        "n",
+        F.when(
+            F.col("cum_cnt")
+            <= (F.col("n") * _STRAT_TRAIN_PCT + 99).cast("long") / 100,
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        s.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.count(F.lit(1)) / F.max("n"), 6).alias("frac"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(28,0)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_chars"),
+        )
+        .orderBy("lang", "split")
+    )

@@ -2116,3 +2116,241 @@ def q_ml_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "hn_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-kernel MMD between label groups (embedding drift / domain shift)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_mmd",
+    # Means ride the q_embed_centroids decimal device (sum of
+    # DECIMAL(28,6)-cast components → exact, order-free); squared-diff
+    # terms are 12dp-rounded decimals so the dim sum is order-free;
+    # sqrt is IEEE-correctly-rounded in both engines.
+    oracle="""
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ex AS (
+  SELECT label, unnest(generate_series(1, len(v))) AS pos, v FROM e
+),
+m AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(v[pos] AS DECIMAL(28,6))) AS DOUBLE)
+           / COUNT(*) AS c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY 1, 2
+),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         max(a.n) AS n_a, max(b.n) AS n_b,
+         CAST(count(*) AS INT) AS n_dims,
+         CAST(sum(CAST(round((a.c - b.c) * (a.c - b.c), 12)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS s
+  FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b, n_a, n_b, n_dims,
+       round(s, 6) AS mmd2, round(sqrt(s), 6) AS mmd
+FROM p ORDER BY label_a, label_b
+""",
+)
+def q_embed_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel Maximum Mean Discrepancy between every pair of
+    label groups: MMD² = ‖μ_a − μ_b‖² over the embedding dimensions —
+    the two-sample drift test for representation space. This is the
+    statistic behind "did this week's crawl shift the embedding
+    distribution" and "are these two sources the same domain": zero
+    iff the group means coincide, and (unlike per-dim t-tests) one
+    scalar that respects the geometry. The linear kernel makes it
+    exactly computable from group means — no pairwise kernel matrix,
+    which is what makes it a 100-TB statistic.
+
+    Scale shape: ONE posexplode pass reduces the corpus to the
+    (label, dim) grid — map-side combinable, |labels|·d rows out; the
+    pair join runs on that tiny grid (broadcast), never on vectors.
+    Decimal-armored sums make the result partitioning-independent.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        F.posexplode(_as_double(F.col("embedding"))).alias("pos", "val"),
+    )
+    m = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a, b = m.alias("a"), F.broadcast(m.alias("b"))
+    p = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.max("a.n").alias("n_a"),
+            F.max("b.n").alias("n_b"),
+            F.count(F.lit(1)).cast("int").alias("n_dims"),
+            F.sum(
+                F.round(
+                    (F.col("a.c") - F.col("b.c"))
+                    * (F.col("a.c") - F.col("b.c")),
+                    12,
+                ).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("s"),
+        )
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        "n_dims",
+        F.round("s", 6).alias("mmd2"),
+        F.round(F.sqrt("s"), 6).alias("mmd"),
+    ).orderBy("label_a", "label_b")
+
+
+# ---------------------------------------------------------------------------
+# TwoNN intrinsic-dimension estimate (embedding-manifold health)
+# ---------------------------------------------------------------------------
+
+_TWONN_ANCHOR_MOD = 5  # vec_id % 5 == 0 → bounded anchor sample
+
+
+@query(
+    "q_embed_twonn",
+    # Squared distances are EXACT order-free integer sums: each
+    # per-dim term is 12dp-rounded then 1e12-scaled to a bigint (the
+    # scaled double is within ~1e-4 of an integer, so both engines'
+    # nearest-integer cast agrees regardless of tie rule), so ranking
+    # and the r2/r1 ratio are bit-identical; ln rides the 9dp grid.
+    oracle=f"""
+WITH a AS (
+  SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av
+  FROM embeddings WHERE vec_id % {_TWONN_ANCHOR_MOD} = 0
+),
+c AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+),
+d AS (
+  SELECT aid, nid,
+         CAST(sum(CAST(round(round((av[i] - cv[i]) * (av[i] - cv[i]), 12)
+                             * 1000000000000.0) AS BIGINT))
+              AS BIGINT) AS d2
+  FROM a, c, unnest(generate_series(1, len(av))) AS u(i)
+  WHERE nid != aid
+  GROUP BY aid, nid
+),
+rk AS (
+  SELECT aid, d2,
+         row_number() OVER (PARTITION BY aid ORDER BY d2, nid) AS rn
+  FROM d
+),
+p AS (
+  SELECT aid,
+         max(CASE WHEN rn = 1 THEN d2 END) AS r1,
+         max(CASE WHEN rn = 2 THEN d2 END) AS r2
+  FROM rk WHERE rn <= 2 GROUP BY aid
+),
+t AS (
+  SELECT aid,
+         CAST(round(0.5 * round(ln(CAST(r2 AS DOUBLE)
+                                   / CAST(r1 AS DOUBLE)), 9), 12)
+              AS DECIMAL(28,12)) AS term
+  FROM p WHERE r1 > 0
+)
+SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_anchors,
+       CAST(count(*) AS BIGINT) AS n_used,
+       round(CAST(sum(term) AS DOUBLE), 6) AS sum_ln_mu,
+       round(count(*) / CAST(sum(term) AS DOUBLE), 6) AS d_hat
+FROM t
+""",
+)
+def q_embed_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
+    anchor, the ratio μ = r₂/r₁ of its two nearest-neighbor distances;
+    under a locally-uniform manifold of dimension d, ln μ ~ Exp(d), so
+    d̂ = m / Σ ln μ. This is the embedding-health scalar that catches
+    representation collapse (d̂ ≪ ambient dim while variance looks
+    fine) and over-compression before a retrieval eval does — the
+    manifold-side complement to q_embed_dim_profile's variance view.
+    Anchors with r₁ = 0 (exact duplicate vectors) are excluded — their
+    ratio is infinite and they are a dedup finding, not a geometry one.
+
+    Scale shape: the estimator needs only a bounded anchor SAMPLE
+    (statistical accuracy ~1/√m, not corpus-sized) — anchors broadcast,
+    corpus scanned ONCE scoring all anchors map-locally (the
+    q_ml_hard_negatives probe-fan shape), per-anchor top-2 a
+    WindowGroupLimit (per-task 2-heaps). At real scale the exact scan
+    swaps for the IVF/LSH candidate path; the estimator is unchanged.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    an = F.broadcast(
+        e.filter(F.col("vec_id") % _TWONN_ANCHOR_MOD == 0).select(
+            F.col("vec_id").alias("aid"),
+            _as_double(F.col("embedding")).alias("av"),
+        )
+    )
+    co = e.select(
+        F.col("vec_id").alias("nid"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("av"),
+            F.col("cv"),
+            lambda x, y: F.round(
+                F.round((x - y) * (x - y), 12) * 1e12, 0
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = co.join(an, F.col("nid") != F.col("aid")).select(
+        "aid", "nid", d2.alias("d2")
+    )
+    w = W.partitionBy("aid").orderBy("d2", "nid")
+    p = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("aid")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("r1"),
+            F.max(F.when(F.col("rn") == 2, F.col("d2"))).alias("r2"),
+        )
+    )
+    t = p.filter(F.col("r1") > 0).select(
+        F.round(
+            0.5
+            * F.round(
+                F.log(
+                    F.col("r2").cast("double") / F.col("r1").cast("double")
+                ),
+                9,
+            ),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("term")
+    )
+    na = F.broadcast(an.agg(F.count(F.lit(1)).cast("long").alias("n_anchors")))
+    return t.crossJoin(na).agg(
+        F.max("n_anchors").alias("n_anchors"),
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.round(F.sum("term").cast("double"), 6).alias("sum_ln_mu"),
+        F.round(
+            F.count(F.lit(1)) / F.sum("term").cast("double"), 6
+        ).alias("d_hat"),
+    )

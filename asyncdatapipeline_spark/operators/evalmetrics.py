@@ -1301,3 +1301,119 @@ def q_eval_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight of Evidence / Information Value (credit-scoring feature screen)
+# ---------------------------------------------------------------------------
+
+# Laplace half-count keeps ln() finite when a bin is pure — the standard
+# "adjusted WOE". Applied identically in both engines.
+_WOE_ADJ = 0.5
+
+
+@query(
+    "q_feature_woe",
+    # ln() determinism: the argument is a ratio of exact integer
+    # counts (+0.5 adjustments) — both engines build the identical
+    # double, then round(ln, 9) pins the transcendental to a shared
+    # grid (the q_agg_entropy device); IV terms are 12dp-rounded
+    # decimals so the sum is order-free.
+    oracle=f"""
+WITH c AS (
+  SELECT o_orderpriority AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_bad
+  FROM orders GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(n_bad) AS BIGINT) AS bad_t,
+         CAST(sum(n - n_bad) AS BIGINT) AS good_t
+  FROM c
+),
+w AS (
+  SELECT bin, n, n_bad,
+         (n_bad + {_WOE_ADJ}) / (bad_t + {2 * _WOE_ADJ}) AS pb,
+         (n - n_bad + {_WOE_ADJ}) / (good_t + {2 * _WOE_ADJ}) AS pg
+  FROM c CROSS JOIN t
+),
+x AS (
+  SELECT bin, n, n_bad, round(ln(pb / pg), 9) AS woe9,
+         CAST(round((pb - pg) * round(ln(pb / pg), 9), 12)
+              AS DECIMAL(28,12)) AS iv_term
+  FROM w
+),
+iv AS (SELECT round(CAST(sum(iv_term) AS DOUBLE), 6) AS iv FROM x)
+SELECT bin, n, n_bad, round(woe9, 6) AS woe, iv.iv AS iv_total
+FROM x CROSS JOIN iv
+ORDER BY bin
+""",
+)
+def q_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence + Information Value of a categorical feature
+    (order priority) against a binary outcome (status = 'F') — the
+    credit-scoring-standard feature screen: WOE per bin is the
+    log-odds shift the bin carries, IV sums (pb−pg)·WOE into one
+    predictive-power scalar (rule of thumb: <0.02 useless, >0.5
+    suspiciously strong → leakage check). Bins are half-count adjusted
+    so pure bins stay finite.
+
+    Scale shape: ONE partial-aggregated pass reduces the fact table to
+    |bins| rows; totals are a broadcast 1-row frame; everything after
+    is arithmetic on the bin grid. The ln() is pinned to a 9dp grid
+    (q_agg_entropy device) and IV terms are decimal-summed so the
+    result is partitioning- and order-independent.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_orderpriority").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_bad"),
+    )
+    t = F.broadcast(
+        c.agg(
+            F.sum("n_bad").cast("long").alias("bad_t"),
+            F.sum(F.col("n") - F.col("n_bad")).cast("long").alias("good_t"),
+        )
+    )
+    w = c.crossJoin(t).select(
+        "bin",
+        "n",
+        "n_bad",
+        (
+            (F.col("n_bad") + F.lit(_WOE_ADJ))
+            / (F.col("bad_t") + F.lit(2 * _WOE_ADJ))
+        ).alias("pb"),
+        (
+            (F.col("n") - F.col("n_bad") + F.lit(_WOE_ADJ))
+            / (F.col("good_t") + F.lit(2 * _WOE_ADJ))
+        ).alias("pg"),
+    )
+    woe9 = F.round(F.log(F.col("pb") / F.col("pg")), 9)
+    x = w.select(
+        "bin",
+        "n",
+        "n_bad",
+        woe9.alias("woe9"),
+        F.round((F.col("pb") - F.col("pg")) * woe9, 12)
+        .cast("decimal(28,12)")
+        .alias("iv_term"),
+    )
+    iv = F.broadcast(
+        x.agg(F.round(F.sum("iv_term").cast("double"), 6).alias("iv"))
+    )
+    return (
+        x.crossJoin(iv)
+        .select(
+            "bin",
+            "n",
+            "n_bad",
+            F.round("woe9", 6).alias("woe"),
+            F.col("iv").alias("iv_total"),
+        )
+        .orderBy("bin")
+    )

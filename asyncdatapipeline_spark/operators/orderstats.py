@@ -1634,3 +1634,154 @@ def q_orders_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Upper-tail dependence between two joint metrics (risk co-movement)
+# ---------------------------------------------------------------------------
+
+_TAILDEP_QS = (90, 95)
+
+
+@query(
+    "q_agg_taildep",
+    # Thresholds are SELECTED data values at exact integer ranks (the
+    # q_agg_percentile_global device); every output after that is
+    # integer counting and one double ratio — no float math that could
+    # diverge between engines.
+    oracle=f"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+gx AS (
+  SELECT l_extendedprice AS v, count(*) AS cnt FROM lineitem GROUP BY 1
+),
+cx AS (
+  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM gx
+),
+tx AS (
+  SELECT
+    min(CASE WHEN cum >= (n.n * 90 + 99) // 100 THEN v END) AS x90,
+    min(CASE WHEN cum >= (n.n * 95 + 99) // 100 THEN v END) AS x95
+  FROM cx CROSS JOIN n
+),
+gy AS (
+  SELECT l_quantity AS v, count(*) AS cnt FROM lineitem GROUP BY 1
+),
+cy AS (
+  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM gy
+),
+ty AS (
+  SELECT
+    min(CASE WHEN cum >= (n.n * 90 + 99) // 100 THEN v END) AS y90,
+    min(CASE WHEN cum >= (n.n * 95 + 99) // 100 THEN v END) AS y95
+  FROM cy CROSS JOIN n
+),
+c AS (
+  SELECT
+    CAST(sum(CASE WHEN l_extendedprice > x90 AND l_quantity > y90
+             THEN 1 ELSE 0 END) AS BIGINT) AS j90,
+    CAST(sum(CASE WHEN l_extendedprice > x90 THEN 1 ELSE 0 END)
+         AS BIGINT) AS nx90,
+    CAST(sum(CASE WHEN l_quantity > y90 THEN 1 ELSE 0 END)
+         AS BIGINT) AS ny90,
+    CAST(sum(CASE WHEN l_extendedprice > x95 AND l_quantity > y95
+             THEN 1 ELSE 0 END) AS BIGINT) AS j95,
+    CAST(sum(CASE WHEN l_extendedprice > x95 THEN 1 ELSE 0 END)
+         AS BIGINT) AS nx95,
+    CAST(sum(CASE WHEN l_quantity > y95 THEN 1 ELSE 0 END)
+         AS BIGINT) AS ny95,
+    max(x90) AS x90, max(x95) AS x95, max(y90) AS y90, max(y95) AS y95
+  FROM lineitem CROSS JOIN tx CROSS JOIN ty
+)
+SELECT 90 AS q_pct, x90 AS x_thresh, y90 AS y_thresh,
+       j90 AS n_joint, nx90 AS n_x, ny90 AS n_y,
+       round(CAST(j90 AS DOUBLE) / nullif(ny90, 0), 6) AS lambda_u
+FROM c
+UNION ALL
+SELECT 95, x95, y95, j95, nx95, ny95,
+       round(CAST(j95 AS DOUBLE) / nullif(ny95, 0), 6)
+FROM c
+ORDER BY q_pct
+""",
+)
+def q_agg_taildep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical upper-tail dependence λᵤ(q) between line price and
+    quantity: of the rows in the upper-q tail of one metric, what
+    share is ALSO in the upper-q tail of the other. Correlation is a
+    body statistic — two metrics can be uncorrelated yet co-explode
+    in the tail (the risk that matters for capacity planning and
+    fraud: big orders that are big on EVERY axis). Under independence
+    λᵤ ≈ 1−q/100; λᵤ ≫ that is tail co-movement no Pearson ρ shows.
+
+    Scale shape: thresholds come from the q_agg_percentile_global
+    device (distinct-value counts → ``dist_cumsum`` → integer-rank
+    selection — never a native percentile buffering a data-sized
+    group), land in a broadcast 1-row frame, and the joint counts are
+    ONE partial-aggregated pass over the fact table. Three shuffles
+    total, all of distinct-value or 1-row frames.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.broadcast(li.agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+    def thresholds(col: str, prefix: str) -> DataFrame:
+        g = li.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        c = dist_cumsum(g, "v", ["cnt"]).select(
+            "v", F.col("cum_cnt").cast("long").alias("cum")
+        )
+        return c.crossJoin(n).agg(
+            *[
+                F.min(
+                    F.when(F.col("cum") >= _rank_at(q, "n"), F.col("v"))
+                ).alias(f"{prefix}{q}")
+                for q in _TAILDEP_QS
+            ]
+        )
+
+    thr = F.broadcast(
+        thresholds("l_extendedprice", "x").crossJoin(
+            thresholds("l_quantity", "y")
+        )
+    )
+    x, y = F.col("l_extendedprice"), F.col("l_quantity")
+    aggs = []
+    for q in _TAILDEP_QS:
+        xq, yq = F.col(f"x{q}"), F.col(f"y{q}")
+        aggs += [
+            F.sum(F.when((x > xq) & (y > yq), 1).otherwise(0))
+            .cast("long")
+            .alias(f"j{q}"),
+            F.sum(F.when(x > xq, 1).otherwise(0))
+            .cast("long")
+            .alias(f"nx{q}"),
+            F.sum(F.when(y > yq, 1).otherwise(0))
+            .cast("long")
+            .alias(f"ny{q}"),
+        ]
+    aggs += [
+        F.max(f"{p}{q}").alias(f"{p}{q}")
+        for q in _TAILDEP_QS
+        for p in ("x", "y")
+    ]
+    c = li.crossJoin(thr).agg(*aggs)
+    parts = []
+    for q in _TAILDEP_QS:
+        parts.append(
+            c.select(
+                F.lit(q).cast("int").alias("q_pct"),
+                F.col(f"x{q}").alias("x_thresh"),
+                F.col(f"y{q}").alias("y_thresh"),
+                F.col(f"j{q}").alias("n_joint"),
+                F.col(f"nx{q}").alias("n_x"),
+                F.col(f"ny{q}").alias("n_y"),
+                F.round(
+                    F.col(f"j{q}").cast("double")
+                    / F.nullif(F.col(f"ny{q}"), F.lit(0)),
+                    6,
+                ).alias("lambda_u"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("q_pct")

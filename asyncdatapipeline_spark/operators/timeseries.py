@@ -9573,3 +9573,232 @@ def q_events_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_late").alias("max_lateness_s"),
         "p99_lateness_s",
     )
+
+
+# ---------------------------------------------------------------------------
+# Permutation entropy of the daily revenue series (ordinal complexity)
+# ---------------------------------------------------------------------------
+
+# ln(3!) pinned to the shared 9dp grid — the normalizer for order-3
+# ordinal patterns (6 possible permutations).
+_PE_LN6_9 = 1.791759469
+
+
+@query(
+    "q_ts_perm_entropy",
+    # Daily revenues are exact decimal sums → the ordinal comparisons
+    # (<=) are decided on identical doubles in both engines; the
+    # pattern code is pure integer arithmetic; entropy rides the
+    # q_agg_entropy 9dp-ln / 12dp-decimal-term device.
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2
+),
+l AS (
+  SELECT grp, day, rev,
+         lag(rev, 2) OVER (PARTITION BY grp ORDER BY day) AS a,
+         lag(rev, 1) OVER (PARTITION BY grp ORDER BY day) AS b
+  FROM d
+),
+p AS (
+  SELECT grp,
+         4 * (CASE WHEN a <= b THEN 1 ELSE 0 END)
+         + 2 * (CASE WHEN b <= rev THEN 1 ELSE 0 END)
+         + (CASE WHEN a <= rev THEN 1 ELSE 0 END) AS code
+  FROM l WHERE a IS NOT NULL AND b IS NOT NULL
+),
+c AS (
+  SELECT grp, code, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2
+),
+t AS (
+  SELECT grp, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1
+),
+e AS (
+  SELECT c.grp, t.tot,
+         CAST(count(*) AS INT) AS n_patterns,
+         round(CAST(sum(
+           CAST(round(-(n * 1.0 / tot)
+                      * round(ln(n * 1.0 / tot), 9), 12)
+                AS DECIMAL(28,12))) AS DOUBLE), 6) AS h
+  FROM c JOIN t ON c.grp = t.grp
+  GROUP BY c.grp, t.tot
+)
+SELECT grp AS o_orderpriority, tot AS n_windows, n_patterns,
+       h AS perm_entropy,
+       round(h / {_PE_LN6_9}, 6) AS normalized
+FROM e ORDER BY o_orderpriority
+""",
+)
+def q_ts_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (order 3) of each priority class's daily
+    revenue series: slide a 3-day window, record which of the 6
+    ordinal patterns (rank orderings) it realizes, and take the
+    Shannon entropy of the pattern distribution, normalized by ln 6.
+    This is the model-free complexity score of a series — ≈1 for
+    noise, low for trending/periodic structure — and it is robust to
+    monotone transforms (ordinal, not metric), which makes it the
+    right "is this series signal or noise" triage before fitting
+    anything. Ties break toward "≤" in both engines identically.
+
+    Scale shape: the raw pass reduces the fact table to the
+    (priority, day) grid — map-side combinable, calendar-bounded; the
+    lag windows ride a bounded-vocabulary partition key over a
+    calendar-bounded series (never data-sized); the entropy is over a
+    ≤6-row-per-group pattern grid. Exact decimal revenue sums make
+    every ordinal comparison partitioning-independent.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "cast(floor(unix_timestamp(o_orderdate) / 86400) as bigint)"
+        ).alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = W.partitionBy("grp").orderBy("day")
+    l = d.select(
+        "grp",
+        "rev",
+        F.lag("rev", 2).over(w).alias("a"),
+        F.lag("rev", 1).over(w).alias("b"),
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    code = (
+        F.when(F.col("a") <= F.col("b"), 4).otherwise(0)
+        + F.when(F.col("b") <= F.col("rev"), 2).otherwise(0)
+        + F.when(F.col("a") <= F.col("rev"), 1).otherwise(0)
+    )
+    c = l.select("grp", code.alias("code")).groupBy("grp", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("grp").agg(F.sum("n").cast("long").alias("tot"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    term = F.round(-p * F.round(F.log(p), 9), 12).cast("decimal(28,12)")
+    e = (
+        c.join(t, "grp")
+        .groupBy("grp", "tot")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_patterns"),
+            F.round(F.sum(term).cast("double"), 6).alias("h"),
+        )
+    )
+    return e.select(
+        F.col("grp").alias("o_orderpriority"),
+        F.col("tot").alias("n_windows"),
+        "n_patterns",
+        F.col("h").alias("perm_entropy"),
+        F.round(F.col("h") / _PE_LN6_9, 6).alias("normalized"),
+    ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_holt",
+    # alpha = beta = 0.5: every smoothing multiply is an EXACT
+    # IEEE halving, and both engines run the IDENTICAL left-to-right
+    # fold over the identical exact-decimal daily revenues (Spark
+    # ``aggregate`` vs a DuckDB recursive CTE, same expression text;
+    # NOT DuckDB's list_reduce — its 1.0.0 struct-lambda fold
+    # mis-evaluates a duplicated subexpression from the second
+    # iteration on) — so level/trend are bit-identical with no
+    # rounding device needed beyond the final display round. Float
+    # literals are spelled 0.5e0 (DuckDB parses bare 0.5 as DECIMAL,
+    # which would truncate the whole fold).
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2
+),
+s AS (
+  SELECT grp, list(rev ORDER BY day) AS xs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY grp HAVING count(*) >= 2
+),
+r AS (
+  SELECT grp, n, xs, 2 AS i, xs[1] AS l, xs[2] - xs[1] AS b FROM s
+  UNION ALL
+  SELECT grp, n, xs, i + 1,
+         0.5e0 * xs[i + 1] + 0.5e0 * (l + b),
+         0.5e0 * ((0.5e0 * xs[i + 1] + 0.5e0 * (l + b)) - l)
+         + 0.5e0 * b
+  FROM r WHERE i < len(xs)
+)
+SELECT grp AS o_orderpriority, n AS n_days,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + 7 * b, 6) AS forecast_7d
+FROM r WHERE i = len(xs)
+ORDER BY o_orderpriority
+""",
+)
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of each
+    priority class's daily revenue, with the 7-day-ahead linear
+    forecast l + 7b — the one-knob-up from q_ts_ewma that doesn't lag
+    on trending series (EWMA systematically under-forecasts a ramp;
+    Holt's trend state absorbs it). α = β = ½ makes every smoothing
+    step an exact binary halving, so the recursion is reproducible
+    bit-for-bit across engines and partitionings.
+
+    Scale shape: the only raw-data pass is the (priority, day) grid
+    reduce — map-side combinable; the recursion itself is inherently
+    sequential in TIME, so it runs as a per-group fold over the
+    calendar-bounded daily series (an array of ≤ |days| doubles per
+    group — bounded by the calendar, never by row count; the same
+    contract as q_ts_sax's per-series arrays). Groups parallelize
+    across the cluster; 10⁶ series = 10⁶ independent folds.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "cast(floor(unix_timestamp(o_orderdate) / 86400) as bigint)"
+        ).alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    s = (
+        d.groupBy("grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "rev"))),
+                lambda st: st["rev"],
+            ).alias("xs"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    xs = F.col("xs")
+    init = F.struct(
+        F.element_at(xs, 1).alias("l"),
+        (F.element_at(xs, 2) - F.element_at(xs, 1)).alias("b"),
+    )
+    rest = F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0)))
+
+    def step(acc, x):
+        lnew = F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])
+        bnew = (
+            F.lit(0.5) * (lnew - acc["l"]) + F.lit(0.5) * acc["b"]
+        )
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    st = F.aggregate(rest, init, step)
+    return s.select(
+        F.col("grp").alias("o_orderpriority"),
+        F.col("n").alias("n_days"),
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+        F.round(st["l"] + 7 * st["b"], 6).alias("forecast_7d"),
+    ).orderBy("o_orderpriority")

@@ -610,6 +610,38 @@ CHECKS: dict[str, list[tuple]] = {
         # crossJoin of two 1-row frames is a sanctioned O(1)-side BNLJ
         ("forbid", "no unbounded cartesian blowup", "CartesianProduct"),
     ],
+    "q_embed_twonn": [
+        # anchor sample must broadcast into the corpus scan; top-2 per
+        # anchor must run as per-task 2-heaps
+        ("must", "anchor fan-out is broadcast nested loop", r"BroadcastNestedLoopJoin"),
+        ("must", "per-anchor top-2 is WindowGroupLimit", r"WindowGroupLimit"),
+        ("forbid", "no cartesian product", "CartesianProduct"),
+    ],
+    "q_embed_mmd": [
+        # the only raw-data pass is the (label, dim) grid reduce; the
+        # pair join runs broadcast on that bounded grid
+        ("must", "grid reduce partially aggregated", r"HashAggregate.*partial"),
+        ("must", "pair join is broadcast hash on dim", r"BroadcastHashJoin"),
+        ("forbid", "no cartesian product", "CartesianProduct"),
+    ],
+    "q_agg_taildep": [
+        ("must", "joint counts partially aggregated", r"HashAggregate.*partial"),
+        # thresholds are 1-row broadcast frames — BNLJ there is the
+        # sanctioned O(1)-side shape, so only cartesian is forbidden
+        ("forbid", "no cartesian product", "CartesianProduct"),
+    ],
+    "q_feature_woe": [
+        ("must", "bin reduce partially aggregated", r"HashAggregate.*partial"),
+        ("forbid", "no window anywhere (pure grid arithmetic)", "windowspecdefinition"),
+    ],
+    "q_ts_perm_entropy": [
+        ("must", "daily grid reduce partially aggregated", r"HashAggregate.*partial"),
+        ("must", "lag windows keyed by the priority vocabulary", r"windowspecdefinition\(grp"),
+    ],
+    "q_ts_holt": [
+        ("must", "daily grid reduce partially aggregated", r"HashAggregate.*partial"),
+        ("forbid", "fold is in-group, no window no join tail", "windowspecdefinition"),
+    ],
 }
 
 

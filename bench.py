@@ -144,6 +144,15 @@ HEADLINE = [
     "q_text_lang_mix",          # per-segment lang-ID + per-doc majority
     "q_embed_matryoshka",       # probe-broadcast prefix-dim retention scan
     "q_dedup_cross_lang",       # bucketed cross-lingual cosine screening
+    # round-10b additions: feature screening, exact stratified split,
+    # embedding drift/geometry, tail co-movement, ordinal complexity
+    "q_feature_woe",            # WOE/IV bin screen, one grid pass
+    "q_split_stratified",       # exact per-stratum split via dist_cumsum
+    "q_embed_mmd",              # (label,dim) grid reduce + pair grid join
+    "q_embed_twonn",            # anchor-broadcast 2-NN scan, intrinsic dim
+    "q_agg_taildep",            # rank-device thresholds + one joint pass
+    "q_ts_perm_entropy",        # ordinal patterns on the daily grid
+    "q_ts_holt",                # per-series fold over calendar arrays
 ]
 
 

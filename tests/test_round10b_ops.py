@@ -1,0 +1,184 @@
+"""Planted-case gates for the round-10b operators: WOE/IV on a
+perfectly-separated bin pair, the exact stratified split on strata that
+hit and miss the 80% boundary, MMD on a hand-placed 3-4-5 triangle,
+TwoNN against an in-test Python reference, tail dependence on a
+comonotone series (λᵤ = 1 by construction), permutation entropy on a
+monotone ramp (one pattern, entropy 0), and Holt smoothing against the
+literal Python recursion.
+
+The oracle sweep pins values against DuckDB; these pin SEMANTICS
+against hand-computable fixtures.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import tempfile
+
+from asyncdatapipeline_spark import registry
+
+
+def _write(spark, out, table, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(out, f"{table}.parquet")
+    )
+
+
+def _day(i: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i)
+
+
+def _orders(spark, out, rows):
+    """rows: (key, status, totalprice, day_index, priority)"""
+    _write(
+        spark,
+        out,
+        "orders",
+        [(k, 1, s, p, _day(d), pr) for k, s, p, d, pr in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+
+
+def test_woe_perfectly_separated_bins(spark):
+    """Bin A all-bad, bin B all-good: adjusted WOE_A = ln 9 (pb=0.9,
+    pg=0.1 with half-count smoothing on 4+4 rows) and IV = 1.6·ln 9."""
+    out = tempfile.mkdtemp()
+    rows = [(i, "F", 10.0, i, "A") for i in range(4)]
+    rows += [(10 + i, "O", 10.0, i, "B") for i in range(4)]
+    _orders(spark, out, rows)
+    got = {
+        r["bin"]: r
+        for r in registry.get("q_feature_woe").fn(spark, out).collect()
+    }
+    ln9 = math.log((4.5 / 5.0) / (0.5 / 5.0))
+    assert abs(got["A"]["woe"] - round(ln9, 6)) < 1e-6
+    assert abs(got["B"]["woe"] + round(ln9, 6)) < 1e-6
+    assert abs(got["A"]["iv_total"] - round(1.6 * round(ln9, 9), 6)) < 1e-5
+    assert got["A"]["n_bad"] == 4 and got["B"]["n_bad"] == 0
+
+
+def test_stratified_split_exact_fractions(spark):
+    """10 en docs -> exactly 8 train / 2 test; 3 de docs -> ceil(2.4)=3
+    train, no test row — the to-the-row guarantee hash splits lack."""
+    out = tempfile.mkdtemp()
+    docs = [(i, f"text {i}", "en", "s", 10) for i in range(10)]
+    docs += [(100 + i, f"text {i}", "de", "s", 10) for i in range(3)]
+    _write(
+        spark,
+        out,
+        "documents",
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = registry.get("q_split_stratified").fn(spark, out).collect()
+    got = {(r["lang"], r["split"]): r["n_docs"] for r in rows}
+    assert got[("en", "train")] == 8 and got[("en", "test")] == 2
+    assert got[("de", "train")] == 3 and ("de", "test") not in got
+
+
+def test_mmd_three_four_five(spark):
+    """Singleton groups at (0,0) and (3,4): MMD² = 25, MMD = 5."""
+    out = tempfile.mkdtemp()
+    _write(
+        spark,
+        out,
+        "embeddings",
+        [(0, [0.0, 0.0], 0), (1, [3.0, 4.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = registry.get("q_embed_mmd").fn(spark, out).collect()
+    assert len(r) == 1
+    assert r[0]["label_a"] == 0 and r[0]["label_b"] == 1
+    assert abs(r[0]["mmd2"] - 25.0) < 1e-6
+    assert abs(r[0]["mmd"] - 5.0) < 1e-6
+    assert r[0]["n_dims"] == 2
+
+
+def test_twonn_matches_python_reference(spark):
+    """1-D points with distinct pairwise gaps; d̂ recomputed in-test by
+    the literal estimator (anchors = vec_id % 5 == 0, scaled-integer
+    squared distances, 9dp-ln grid)."""
+    out = tempfile.mkdtemp()
+    pos = [0.0, 1.0, 3.0, 7.0, 15.0, 31.0, 63.0]
+    _write(
+        spark,
+        out,
+        "embeddings",
+        [(i, [p], 0) for i, p in enumerate(pos)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = registry.get("q_embed_twonn").fn(spark, out).collect()[0]
+    anchors = [i for i in range(len(pos)) if i % 5 == 0]
+    s = 0.0
+    used = 0
+    for a in anchors:
+        d2s = sorted(
+            round(round((pos[a] - pos[j]) ** 2, 12) * 1e12)
+            for j in range(len(pos))
+            if j != a
+        )
+        r1, r2 = d2s[0], d2s[1]
+        if r1 > 0:
+            used += 1
+            s += round(0.5 * round(math.log(r2 / r1), 9), 12)
+    assert r["n_anchors"] == len(anchors) and r["n_used"] == used
+    assert abs(r["d_hat"] - round(used / s, 6)) < 1e-6
+
+
+def test_taildep_comonotone_is_one(spark):
+    """Price and quantity perfectly comonotone (both 1..100): every
+    upper tail coincides, λᵤ = 1 at both q levels."""
+    out = tempfile.mkdtemp()
+    _write(
+        spark,
+        out,
+        "lineitem",
+        [(float(i), float(i)) for i in range(1, 101)],
+        "l_extendedprice double, l_quantity double",
+    )
+    rows = registry.get("q_agg_taildep").fn(spark, out).collect()
+    got = {r["q_pct"]: r for r in rows}
+    assert got[90]["lambda_u"] == 1.0 and got[95]["lambda_u"] == 1.0
+    assert got[90]["x_thresh"] == 90.0 and got[90]["n_y"] == 10
+    assert got[95]["n_joint"] == 5
+
+
+def test_perm_entropy_monotone_ramp_is_zero(spark):
+    """Strictly increasing daily revenue: a single ordinal pattern,
+    entropy 0, normalized 0."""
+    out = tempfile.mkdtemp()
+    _orders(
+        spark,
+        out,
+        [(i, "O", 100.0 + 10.0 * i, i, "1-URGENT") for i in range(6)],
+    )
+    r = registry.get("q_ts_perm_entropy").fn(spark, out).collect()
+    assert len(r) == 1
+    assert r[0]["n_windows"] == 4
+    assert r[0]["n_patterns"] == 1
+    assert r[0]["perm_entropy"] == 0.0 and r[0]["normalized"] == 0.0
+
+
+def test_holt_matches_python_recursion(spark):
+    """Holt level/trend/forecast equal the literal α=β=½ recursion run
+    in-test over the same daily series."""
+    out = tempfile.mkdtemp()
+    revs = [100.0, 130.0, 90.0, 160.0, 140.0, 200.0]
+    _orders(
+        spark,
+        out,
+        [(i, "O", rev, i, "1-URGENT") for i, rev in enumerate(revs)],
+    )
+    r = registry.get("q_ts_holt").fn(spark, out).collect()[0]
+    l, b = revs[0], revs[1] - revs[0]
+    for x in revs[2:]:
+        lnew = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (lnew - l) + 0.5 * b
+        l = lnew
+    assert r["n_days"] == len(revs)
+    assert abs(r["level"] - round(l, 6)) < 1e-9
+    assert abs(r["trend"] - round(b, 6)) < 1e-9
+    assert abs(r["forecast_7d"] - round(l + 7 * b, 6)) < 1e-9
