@@ -1359,3 +1359,103 @@ def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Systematic PPS sampling (midpoint rule, RNG-free)
+# ---------------------------------------------------------------------------
+
+_SYS_N = 20  # sample size
+
+
+@query(
+    "q_sample_systematic",
+    # Pure integer construction: thresholds T_k = (2k+1)W/(2n) are
+    # never materialized — a doc's hit count is a difference of two
+    # positive integer divisions least(n, (2n·cum + W) // (2W)), so
+    # both engines select the identical multiset with no floats and
+    # no floor-vs-truncate divergence (all numerators positive).
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w
+  FROM documents WHERE n_chars > 0
+),
+c AS (
+  SELECT doc_id, lang, w,
+         CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+  FROM f
+),
+t AS (SELECT CAST(sum(w) AS BIGINT) AS big_w FROM f),
+h AS (
+  SELECT doc_id, lang, w,
+         least({_SYS_N}, (2 * {_SYS_N} * cum + big_w) // (2 * big_w))
+           AS k_hi,
+         least({_SYS_N},
+               (2 * {_SYS_N} * (cum - w) + big_w) // (2 * big_w)) AS k_lo
+  FROM c CROSS JOIN t
+)
+SELECT doc_id, lang, w,
+       CAST(k_hi - k_lo AS BIGINT) AS n_hits,
+       CAST(k_lo AS BIGINT) AS first_pick
+FROM h WHERE k_hi > k_lo
+ORDER BY doc_id
+""",
+)
+def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling of {n}
+    documents by byte weight, midpoint rule: lay the corpus on a line
+    of cumulative weight W, drop {n} equally-spaced picks at
+    (2k+1)·W/2n, and take whichever doc each pick lands in — the
+    classical RNG-free survey design (deterministic, stratification-
+    friendly because frame order IS implicit stratification, and
+    heavy docs can legitimately be hit more than once — n_hits is the
+    with-replacement multiplicity an estimator divides by). Every
+    pipeline that "spot checks 20 documents weighted by size" is this
+    operator, reproducibly.
+
+    Scale shape: one ``dist_cumsum`` over the frame order (equi-depth
+    buckets — no global-sort window), one broadcast 1-row total, then
+    a row-local pair of integer divisions; selected rows are the only
+    output. Integer overflow headroom: 2n·W must fit int64 — at
+    n = 20 that caps W at ~2·10¹⁷ bytes (200 PB), documented here.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    f = d.filter(F.col("n_chars") > 0).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("w")
+    )
+    from asyncdatapipeline_spark.operators._util import dist_cumsum
+
+    c = dist_cumsum(f, "doc_id", ["w"]).select(
+        "doc_id", "lang", "w", F.col("cum_w").cast("long").alias("cum")
+    )
+    t = F.broadcast(f.agg(F.sum("w").cast("long").alias("big_w")))
+
+    def kcount(cum_expr):
+        return F.least(
+            F.lit(_SYS_N).cast("long"),
+            F.expr(
+                f"(2 * {_SYS_N} * ({cum_expr}) + big_w) div (2 * big_w)"
+            ),
+        )
+
+    h = c.crossJoin(t).select(
+        "doc_id",
+        "lang",
+        "w",
+        kcount("cum").alias("k_hi"),
+        kcount("cum - w").alias("k_lo"),
+    )
+    return (
+        h.filter(F.col("k_hi") > F.col("k_lo"))
+        .select(
+            "doc_id",
+            "lang",
+            "w",
+            (F.col("k_hi") - F.col("k_lo")).cast("long").alias("n_hits"),
+            F.col("k_lo").cast("long").alias("first_pick"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+q_sample_systematic.__doc__ = q_sample_systematic.__doc__.format(n=_SYS_N)

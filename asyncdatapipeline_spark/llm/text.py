@@ -4500,3 +4500,109 @@ def q_mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer sizing)
+# ---------------------------------------------------------------------------
+
+_VC_SIZES = (100, 1000, 10000)
+
+
+@query(
+    "q_text_vocab_coverage",
+    # Pure integer construction: word counts, a descending cumulative
+    # count over (count DESC, word), and rank selections at
+    # least(N, |vocab|) — the only float is the final share division.
+    oracle=f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+f AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM w WHERE word != '' GROUP BY word
+),
+c AS (
+  SELECT word, cnt,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, word) AS BIGINT) AS cum,
+         CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rk
+  FROM f
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+  FROM f
+),
+thr AS (
+  SELECT n_top, t, v, least(n_top, v) AS target
+  FROM tot, unnest([{", ".join(f"CAST({n} AS BIGINT)" for n in _VC_SIZES)}])
+       AS u(n_top)
+)
+SELECT thr.n_top, thr.v AS vocab_size, thr.t AS total_occ,
+       c.cum AS covered_occ,
+       round(CAST(c.cum AS DOUBLE) / thr.t, 6) AS coverage,
+       round(1.0 - CAST(c.cum AS DOUBLE) / thr.t, 6) AS oov_share
+FROM c JOIN thr ON c.rk = thr.target
+ORDER BY thr.n_top
+""",
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of all token occurrences
+    covered by the top-100 / top-1k / top-10k words by frequency — the
+    tokenizer-sizing readout (how big a word-level vocab must be before
+    OOV mass is tolerable) and, read against q_text_zipf, the check
+    that the corpus' head is behaving. A 10k vocab covering only 70%
+    says subword tokenization is mandatory, not optional.
+
+    Scale shape: one map-combinable word count (Zipf-hot keys cost one
+    combiner row each); the descending cumulative count rides
+    ``dist_cumsum`` (equi-depth buckets, never a single-partition
+    global-sort window); checkpoints are 3 rank-equality selections
+    against a broadcast thresholds frame. Integers end to end, one
+    division per output row.
+    """
+    from asyncdatapipeline_spark.operators._util import dist_cumsum
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    f = w.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    c = dist_cumsum(
+        f.withColumn("one", F.lit(1).cast("long")),
+        "cnt",
+        ["cnt", "one"],
+        descending=True,
+        tiebreak=["word"],
+    ).select(
+        F.col("cum_cnt").cast("long").alias("cum"),
+        F.col("cum_one").cast("long").alias("rk"),
+    )
+    tot = f.agg(
+        F.sum("cnt").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    thr = F.broadcast(
+        tot.select(
+            F.explode(
+                F.array(*[F.lit(n).cast("long") for n in _VC_SIZES])
+            ).alias("n_top"),
+            "t",
+            "v",
+        ).withColumn("target", F.least(F.col("n_top"), F.col("v")))
+    )
+    return (
+        c.join(thr, F.col("rk") == F.col("target"))
+        .select(
+            "n_top",
+            F.col("v").alias("vocab_size"),
+            F.col("t").alias("total_occ"),
+            F.col("cum").alias("covered_occ"),
+            F.round(F.col("cum").cast("double") / F.col("t"), 6).alias(
+                "coverage"
+            ),
+            F.round(
+                1.0 - F.col("cum").cast("double") / F.col("t"), 6
+            ).alias("oov_share"),
+        )
+        .orderBy("n_top")
+    )

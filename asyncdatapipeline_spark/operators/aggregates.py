@@ -5946,3 +5946,107 @@ def q_ml_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("radius") * 2, 6).alias("pi_width"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Survey ratio estimator with linearized (Taylor) standard error
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_ratio_estimator",
+    # Power sums are exact decimals (the q_agg_stats device: money ×
+    # money products have ≤4 fractional decimals, so every cast is
+    # exact and the sums are order-free); R, the residual sum of
+    # squares syy − 2R·sxy + R²·sxx, and the Taylor SE are the same
+    # IEEE expression text in both engines on those identical doubles.
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+         AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+         AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+         AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+),
+r AS (SELECT *, sy / sx AS rr FROM s)
+SELECT l_returnflag, n,
+  round(sy, 2) AS sum_price, round(sx, 2) AS sum_qty,
+  round(rr, 6) AS price_per_unit,
+  round(sqrt((syy - 2 * rr * sxy + rr * rr * sxx) / (n - 1))
+        / ((sx / n) * sqrt(n)), 6) AS se,
+  round(rr - 1.96 * (sqrt((syy - 2 * rr * sxy + rr * rr * sxx) / (n - 1))
+        / ((sx / n) * sqrt(n))), 6) AS ci_lo,
+  round(rr + 1.96 * (sqrt((syy - 2 * rr * sxy + rr * rr * sxx) / (n - 1))
+        / ((sx / n) * sqrt(n))), 6) AS ci_hi
+FROM r ORDER BY l_returnflag
+""",
+)
+def q_agg_ratio_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey ratio estimator per return flag: revenue-per-unit
+    R̂ = Σprice/Σqty with the linearized (Taylor) standard error
+    SE = s_e/(x̄·√n), s_e² = Σ(y−R̂x)²/(n−1) — the design-based way to
+    put a CI on any per-unit KPI ("are F-flag units priced differently,
+    beyond noise"). Unlike a mean-of-ratios, the ratio-of-sums R̂ is
+    what finance reconciles to, and its variance needs exactly this
+    residual form — computed here from power sums, so NO second pass
+    over the data: Σ(y−Rx)² = syy − 2R·sxy + R²·sxx.
+
+    Scale shape: ONE partial-aggregated pass reduces the fact table to
+    six exact decimal power sums per group; everything downstream is
+    closed-form arithmetic on the bounded group grid. The same shape
+    estimates totals from any probability sample at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("syy"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_extendedprice")).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    rr = F.col("sy") / F.col("sx")
+    se = F.sqrt(
+        (
+            F.col("syy")
+            - 2 * rr * F.col("sxy")
+            + rr * rr * F.col("sxx")
+        )
+        / (F.col("n") - 1)
+    ) / ((F.col("sx") / F.col("n")) * F.sqrt(F.col("n")))
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round("sy", 2).alias("sum_price"),
+        F.round("sx", 2).alias("sum_qty"),
+        F.round(rr, 6).alias("price_per_unit"),
+        F.round(se, 6).alias("se"),
+        F.round(rr - 1.96 * se, 6).alias("ci_lo"),
+        F.round(rr + 1.96 * se, 6).alias("ci_hi"),
+    ).orderBy("l_returnflag")

@@ -9802,3 +9802,319 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(st["b"], 6).alias("trend"),
         F.round(st["l"] + 7 * st["b"], 6).alias("forecast_7d"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Yule-Walker AR(2) fit of the daily event-count series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_yule_walker",
+    # Integer-centering device (q_ts_periodogram): z = y·nd − Σy is an
+    # exact integer per day, the lag products sum in DECIMAL(38,0)
+    # exactly, and r1/r2/φ1/φ2 are the same IEEE expression on those
+    # identical doubles — zero float divergence surface.
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(y) AS BIGINT) AS sy
+  FROM d GROUP BY 1
+),
+z AS (
+  SELECT d.event_type, d.day, d.y * g.nd - g.sy AS z, g.nd
+  FROM d JOIN g ON d.event_type = g.event_type
+),
+l AS (
+  SELECT event_type, nd, z,
+         lag(z, 1) OVER (PARTITION BY event_type ORDER BY day) AS z1,
+         lag(z, 2) OVER (PARTITION BY event_type ORDER BY day) AS z2
+  FROM z
+),
+s AS (
+  SELECT event_type, max(nd) AS n_days,
+         CAST(sum(CAST(z * z AS DECIMAL(38,0))) AS DOUBLE) AS c0,
+         CAST(sum(CAST(z * z1 AS DECIMAL(38,0))) AS DOUBLE) AS c1,
+         CAST(sum(CAST(z * z2 AS DECIMAL(38,0))) AS DOUBLE) AS c2
+  FROM l GROUP BY 1
+),
+r AS (
+  SELECT event_type, n_days,
+         c1 / nullif(c0, 0) AS r1, c2 / nullif(c0, 0) AS r2
+  FROM s
+)
+SELECT event_type, n_days,
+       round(r1, 6) AS r1, round(r2, 6) AS r2,
+       round(r1 * (1 - r2) / nullif(1 - r1 * r1, 0), 6) AS phi1,
+       round((r2 - r1 * r1) / nullif(1 - r1 * r1, 0), 6) AS phi2,
+       (abs((r2 - r1 * r1) / nullif(1 - r1 * r1, 0)) < 1
+        AND r1 * (1 - r2) / nullif(1 - r1 * r1, 0)
+            + (r2 - r1 * r1) / nullif(1 - r1 * r1, 0) < 1
+        AND (r2 - r1 * r1) / nullif(1 - r1 * r1, 0)
+            - r1 * (1 - r2) / nullif(1 - r1 * r1, 0) < 1) AS stationary
+FROM r ORDER BY event_type
+""",
+)
+def q_ts_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule-Walker AR(2) fit per event type: lag-1/lag-2 sample
+    autocorrelations of the daily count series and the implied
+    autoregressive coefficients φ₁ = r₁(1−r₂)/(1−r₁²),
+    φ₂ = (r₂−r₁²)/(1−r₁²), plus the stationarity-triangle verdict
+    (|φ₂|<1, φ₁+φ₂<1, φ₂−φ₁<1) — the 2-parameter memory model that
+    separates "yesterday matters" (φ₁) from "oscillation/rebound"
+    (φ₂<0: spikes that self-correct), which q_ts_autocorr's raw ACF
+    reports but doesn't disentangle. Lags run over the present-day
+    sequence; gap semantics match the oracle exactly.
+
+    Scale shape: raw pass reduces to the calendar-bounded (type, day)
+    grid; centering is INTEGER (z = y·nd − Σy, the periodogram
+    device) so the three lag-product sums are exact DECIMAL(38,0) —
+    order-free; lag windows ride bounded-vocab keys over the bounded
+    day spine; the solve is closed-form per group.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.expr("cast(floor(unix_timestamp(ts) / 86400) as bigint)").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    z = d.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        "day",
+        "nd",
+        (F.col("y") * F.col("nd") - F.col("sy")).alias("z"),
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    l = z.select(
+        "event_type",
+        "nd",
+        "z",
+        F.lag("z", 1).over(w).alias("z1"),
+        F.lag("z", 2).over(w).alias("z2"),
+    )
+    s = l.groupBy("event_type").agg(
+        F.max("nd").alias("n_days"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("c0"),
+        F.sum((F.col("z") * F.col("z1")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("c1"),
+        F.sum((F.col("z") * F.col("z2")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("c2"),
+    )
+    r1 = F.col("c1") / F.nullif(F.col("c0"), F.lit(0.0))
+    r2 = F.col("c2") / F.nullif(F.col("c0"), F.lit(0.0))
+    den = F.nullif(1 - r1 * r1, F.lit(0.0))
+    phi1 = r1 * (1 - r2) / den
+    phi2 = (r2 - r1 * r1) / den
+    return s.select(
+        "event_type",
+        "n_days",
+        F.round(r1, 6).alias("r1"),
+        F.round(r2, 6).alias("r2"),
+        F.round(phi1, 6).alias("phi1"),
+        F.round(phi2, 6).alias("phi2"),
+        (
+            (F.abs(phi2) < 1)
+            & (phi1 + phi2 < 1)
+            & (phi2 - phi1 < 1)
+        ).alias("stationary"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Spectral entropy of the daily event-count series (noise-vs-structure)
+# ---------------------------------------------------------------------------
+
+_SE_PERIODS = tuple(range(2, 14))  # candidate periods, days
+
+
+@query(
+    "q_ts_spectral_entropy",
+    # The per-band power rides the q_ts_periodogram trig device
+    # (9dp-rounded cos/sin factors × exact integer z, decimal sums),
+    # so P is the identical double in both engines; the band-share
+    # entropy then rides the q_agg_entropy 9dp-ln/12dp-term device;
+    # the dominant band is a rank-1 selection on identical values.
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(y) AS BIGINT) AS sy, min(day) AS mind
+  FROM d GROUP BY 1
+),
+z AS (
+  SELECT d.event_type, d.day - g.mind AS t,
+         d.y * g.nd - g.sy AS z, g.nd
+  FROM d JOIN g ON d.event_type = g.event_type
+),
+parts AS (
+  SELECT z.event_type, p.period, max(z.nd) AS nd,
+         sum(CAST(round(cos({_TWO_PI} * (z.t % p.period) / p.period), 9)
+                  AS DECIMAL(10,9)) * CAST(z.z AS DECIMAL(18,0))) AS c,
+         sum(CAST(round(sin({_TWO_PI} * (z.t % p.period) / p.period), 9)
+                  AS DECIMAL(10,9)) * CAST(z.z AS DECIMAL(18,0))) AS s
+  FROM z, (SELECT unnest([{", ".join(str(p) for p in _SE_PERIODS)}])
+           AS period) p
+  GROUP BY 1, 2
+),
+pw AS (
+  SELECT event_type, period, nd,
+         (CAST(c AS DOUBLE) / nd) * (CAST(c AS DOUBLE) / nd)
+         + (CAST(s AS DOUBLE) / nd) * (CAST(s AS DOUBLE) / nd) AS p
+  FROM parts
+),
+tot AS (
+  SELECT event_type,
+         CAST(sum(CAST(round(p, 9) AS DECIMAL(38,9))) AS DOUBLE) AS tp,
+         CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS INT) AS nb
+  FROM pw GROUP BY 1
+),
+sh AS (
+  SELECT pw.event_type, pw.period, pw.nd, tot.nb, pw.p / tot.tp AS sh
+  FROM pw JOIN tot ON pw.event_type = tot.event_type
+  WHERE tot.tp > 0 AND pw.p > 0
+),
+e AS (
+  SELECT event_type, max(nd) AS n_days, max(nb) AS n_bands,
+         round(CAST(sum(
+           CAST(round(-sh * round(ln(sh), 9), 12) AS DECIMAL(28,12))
+         ) AS DOUBLE), 6) AS h
+  FROM sh GROUP BY 1
+),
+dom AS (
+  SELECT event_type, period AS dom_period
+  FROM (
+    SELECT event_type, period,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY sh DESC, period) AS rn
+    FROM sh
+  ) WHERE rn = 1
+)
+SELECT e.event_type, e.n_days, e.n_bands,
+       CAST(dom.dom_period AS INT) AS dom_period, e.h AS spectral_entropy,
+       round(e.h / round(ln(e.n_bands), 9), 6) AS flatness
+FROM e JOIN dom ON e.event_type = dom.event_type
+ORDER BY e.event_type
+""",
+)
+def q_ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy of each event type's daily count series: the
+    Shannon entropy of the normalized periodogram over candidate
+    periods 2-13 days, plus the dominant period and the flatness
+    score H/ln(bands) — the frequency-domain "signal or noise" triage
+    (flatness →1 = white noise, →0 = one clean cycle) complementing
+    q_ts_perm_entropy's time-domain ordinal view and pinpointing
+    WHICH cycle dominates (dom_period 7 = weekly seasonality).
+
+    Scale shape: raw pass reduces to the calendar-bounded (type, day)
+    grid; the 12-band fan-out is a map-local explode of that bounded
+    grid; per-(type, band) trig sums are map-combinable decimals
+    (periodogram device); entropy and the rank-1 dominant band run on
+    the |types|×12 frame. Nothing downstream of the first reduce ever
+    sees a data-sized row count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.expr("cast(floor(unix_timestamp(ts) / 86400) as bigint)").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("y").cast("long").alias("sy"),
+        F.min("day").alias("mind"),
+    )
+    z = d.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        (F.col("day") - F.col("mind")).alias("t"),
+        (F.col("y") * F.col("nd") - F.col("sy")).alias("z"),
+        "nd",
+    )
+    per = z.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(p) for p in _SE_PERIODS])
+        ).alias("period"),
+    )
+    ang = f"{_TWO_PI} * (t % period) / period"
+    parts = per.groupBy("event_type", "period").agg(
+        F.max("nd").alias("nd"),
+        F.sum(
+            F.expr(f"cast(round(cos({ang}), 9) as decimal(10,9))")
+            * F.col("z").cast("decimal(18,0)")
+        ).alias("c"),
+        F.sum(
+            F.expr(f"cast(round(sin({ang}), 9) as decimal(10,9))")
+            * F.col("z").cast("decimal(18,0)")
+        ).alias("s"),
+    )
+    cp = F.col("c").cast("double") / F.col("nd")
+    sp = F.col("s").cast("double") / F.col("nd")
+    pw = parts.select(
+        "event_type", "period", "nd", (cp * cp + sp * sp).alias("p")
+    )
+    tot = pw.groupBy("event_type").agg(
+        F.sum(F.round(F.col("p"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("tp"),
+        F.sum(F.when(F.col("p") > 0, 1).otherwise(0))
+        .cast("int")
+        .alias("nb"),
+    )
+    sh = (
+        pw.join(F.broadcast(tot), "event_type")
+        .filter((F.col("tp") > 0) & (F.col("p") > 0))
+        .select(
+            "event_type",
+            "period",
+            "nd",
+            "nb",
+            (F.col("p") / F.col("tp")).alias("sh"),
+        )
+    )
+    term = F.round(
+        -F.col("sh") * F.round(F.log("sh"), 9), 12
+    ).cast("decimal(28,12)")
+    ent = sh.groupBy("event_type").agg(
+        F.max("nd").alias("n_days"),
+        F.max("nb").alias("n_bands"),
+        F.round(F.sum(term).cast("double"), 6).alias("h"),
+    )
+    wd = W.partitionBy("event_type").orderBy(F.col("sh").desc(), "period")
+    dom = (
+        sh.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("period").alias("dom_period"))
+    )
+    return (
+        ent.join(dom, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_bands",
+            F.col("dom_period").cast("int").alias("dom_period"),
+            F.col("h").alias("spectral_entropy"),
+            F.round(
+                F.col("h") / F.round(F.log(F.col("n_bands")), 9), 6
+            ).alias("flatness"),
+        )
+        .orderBy("event_type")
+    )

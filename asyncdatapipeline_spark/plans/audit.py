@@ -642,6 +642,31 @@ CHECKS: dict[str, list[tuple]] = {
         ("must", "daily grid reduce partially aggregated", r"HashAggregate.*partial"),
         ("forbid", "fold is in-group, no window no join tail", "windowspecdefinition"),
     ],
+    "q_agg_ratio_estimator": [
+        ("must", "power sums partially aggregated", r"HashAggregate.*partial"),
+        ("forbid", "one-pass closed form: no join, no window", "Join", "windowspecdefinition"),
+    ],
+    "q_text_vocab_coverage": [
+        ("must", "word count partially aggregated", r"HashAggregate.*partial"),
+        # threshold selection joins a 3-row broadcast frame
+        ("must", "threshold join is broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
+        ("forbid", "no cartesian product", "CartesianProduct"),
+    ],
+    "q_sample_systematic": [
+        # hit counting is row-local integer math against a broadcast
+        # 1-row total; the only window is dist_cumsum's bucketed one
+        ("must", "cumsum window keyed by equi-depth bucket", r"windowspecdefinition\(_pid"),
+        ("forbid", "no cartesian product", "CartesianProduct"),
+    ],
+    "q_ts_yule_walker": [
+        ("must", "daily grid reduce partially aggregated", r"HashAggregate.*partial"),
+        ("must", "lag windows keyed by event type", r"windowspecdefinition\(event_type"),
+    ],
+    "q_ts_spectral_entropy": [
+        ("must", "band sums partially aggregated", r"HashAggregate.*partial"),
+        ("must", "dominant-band rank keyed by event type", r"windowspecdefinition\(event_type"),
+        ("forbid", "no cartesian product", "CartesianProduct"),
+    ],
 }
 
 

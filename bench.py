@@ -153,6 +153,11 @@ HEADLINE = [
     "q_agg_taildep",            # rank-device thresholds + one joint pass
     "q_ts_perm_entropy",        # ordinal patterns on the daily grid
     "q_ts_holt",                # per-series fold over calendar arrays
+    "q_agg_ratio_estimator",    # six power sums, closed-form Taylor SE
+    "q_text_vocab_coverage",    # desc dist_cumsum + rank checkpoints
+    "q_sample_systematic",      # integer PPS picks on the weight line
+    "q_ts_yule_walker",         # AR(2) solve on integer lag products
+    "q_ts_spectral_entropy",    # 12-band trig sums on the daily grid
 ]
 
 

@@ -182,3 +182,111 @@ def test_holt_matches_python_recursion(spark):
     assert abs(r["level"] - round(l, 6)) < 1e-9
     assert abs(r["trend"] - round(b, 6)) < 1e-9
     assert abs(r["forecast_7d"] - round(l + 7 * b, 6)) < 1e-9
+
+
+def test_ratio_estimator_constant_ratio_zero_se(spark):
+    """Constant price-per-unit: R̂ = 10 exactly, residuals 0, SE 0,
+    CI degenerate at the point."""
+    out = tempfile.mkdtemp()
+    _write(
+        spark,
+        out,
+        "lineitem",
+        [("A", 2.0, 20.0) for _ in range(10)],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    r = registry.get("q_agg_ratio_estimator").fn(spark, out).collect()[0]
+    assert r["price_per_unit"] == 10.0
+    assert r["se"] == 0.0 and r["ci_lo"] == 10.0 and r["ci_hi"] == 10.0
+
+
+def test_vocab_coverage_planted_head(spark):
+    """One word with 50 occurrences + 200 singletons: top-100 covers
+    50 + 99 = 149 of 250; top-1k/10k cover everything."""
+    out = tempfile.mkdtemp()
+    text_head = " ".join(["hot"] * 50)
+    singles = [f"w{i:03d}" for i in range(200)]
+    docs = [
+        (0, text_head, "en", "s", 1),
+        (1, " ".join(singles[:100]), "en", "s", 1),
+        (2, " ".join(singles[100:]), "en", "s", 1),
+    ]
+    _write(
+        spark,
+        out,
+        "documents",
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = registry.get("q_text_vocab_coverage").fn(spark, out).collect()
+    got = {r["n_top"]: r for r in rows}
+    assert got[100]["vocab_size"] == 201 and got[100]["total_occ"] == 250
+    assert got[100]["covered_occ"] == 149
+    assert got[1000]["coverage"] == 1.0 and got[10000]["coverage"] == 1.0
+
+
+def test_systematic_sample_uniform_weights(spark):
+    """10 docs of equal weight, 20 picks: every doc is hit exactly
+    twice (W=100, skip=5, two midpoints per doc interval)."""
+    out = tempfile.mkdtemp()
+    docs = [(i, "t", "en", "s", 10) for i in range(10)]
+    _write(
+        spark,
+        out,
+        "documents",
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = registry.get("q_sample_systematic").fn(spark, out).collect()
+    assert len(rows) == 10
+    assert all(r["n_hits"] == 2 for r in rows)
+    assert sum(r["n_hits"] for r in rows) == 20
+    assert [r["first_pick"] for r in sorted(rows, key=lambda r: r["doc_id"])] \
+        == [2 * i for i in range(10)]
+
+
+def _alternating_events(spark, out, n_days=10):
+    """One event type, daily counts alternating 5,1,5,1,... ."""
+    rows = []
+    eid = 0
+    for d in range(n_days):
+        cnt = 5 if d % 2 == 0 else 1
+        for _ in range(cnt):
+            rows.append((eid, _day(d), 1, "click", 1.0, "{}"))
+            eid += 1
+    _write(
+        spark,
+        out,
+        "events",
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_yule_walker_alternating_series(spark):
+    """Perfect period-2 alternation: r1 = -(n-1)/n, r2 = (n-2)/n, and
+    the YW solve lands φ₁ ≈ 0 (within the finite-sample bias), φ₂ ≈ r2
+    adjusted — checked against the literal formula in-test."""
+    out = tempfile.mkdtemp()
+    _alternating_events(spark, out, n_days=10)
+    r = registry.get("q_ts_yule_walker").fn(spark, out).collect()[0]
+    n = 10
+    r1, r2 = -(n - 1) / n, (n - 2) / n
+    phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    assert r["n_days"] == n
+    assert abs(r["r1"] - round(r1, 6)) < 1e-6
+    assert abs(r["r2"] - round(r2, 6)) < 1e-6
+    assert abs(r["phi1"] - round(phi1, 6)) < 1e-6
+    assert abs(r["phi2"] - round(phi2, 6)) < 1e-6
+
+
+def test_spectral_entropy_period2_dominates(spark):
+    """The same alternating series concentrates periodogram power at
+    period 2: dominant band 2, flatness well below white noise."""
+    out = tempfile.mkdtemp()
+    _alternating_events(spark, out, n_days=12)
+    r = registry.get("q_ts_spectral_entropy").fn(spark, out).collect()[0]
+    assert r["dom_period"] == 2
+    assert r["flatness"] < 0.5
