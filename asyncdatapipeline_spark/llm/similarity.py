@@ -2354,3 +2354,176 @@ def q_embed_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) / F.sum("term").cast("double"), 6
         ).alias("d_hat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Learning curve: nearest-centroid accuracy vs training-set size
+# ---------------------------------------------------------------------------
+
+_LC_FRACS = (25, 50, 100)  # nested by construction: %4==0 ⊂ %2==0 ⊂ all
+
+
+@query(
+    "q_ml_learning_curve",
+    # Deterministic nested subsets (vec_id mod arithmetic — no RNG);
+    # centroids ride the q_embed_centroids decimal device; distances
+    # are the TwoNN 1e12-scaled exact integer sums, so the argmin per
+    # (test, frac) is the identical (d2, label) tuple min both sides.
+    oracle=f"""
+WITH pool AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 5 != 4
+),
+fan AS (
+  SELECT f.frac, p.vec_id, p.label, p.v
+  FROM pool p, (SELECT unnest([{", ".join(str(f) for f in _LC_FRACS)}])
+                AS frac) f
+  WHERE (f.frac = 25 AND p.vec_id % 4 = 0)
+     OR (f.frac = 50 AND p.vec_id % 2 = 0)
+     OR f.frac = 100
+),
+nt AS (
+  SELECT frac, CAST(count(*) AS BIGINT) AS n_train FROM fan GROUP BY 1
+),
+cx AS (
+  SELECT frac, label, pos,
+         CAST(SUM(CAST(v[pos] AS DECIMAL(28,6))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM (SELECT frac, label, unnest(generate_series(1, len(v))) AS pos, v
+        FROM fan)
+  GROUP BY 1, 2, 3
+),
+cent AS (
+  SELECT frac, label, list(c ORDER BY pos) AS carr
+  FROM cx GROUP BY 1, 2
+),
+test AS (
+  SELECT vec_id, label AS true_label, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 5 = 4
+),
+d AS (
+  SELECT t.vec_id, t.true_label, c.frac, c.label,
+         CAST(sum(CAST(round(round((t.v[i] - c.carr[i])
+                                   * (t.v[i] - c.carr[i]), 12)
+                             * 1000000000000.0) AS BIGINT))
+              AS BIGINT) AS d2
+  FROM test t, cent c, unnest(generate_series(1, len(t.v))) AS u(i)
+  GROUP BY 1, 2, 3, 4
+),
+pred AS (
+  SELECT vec_id, true_label, frac, label AS pred_label
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, frac
+                                     ORDER BY d2, label) AS rn
+        FROM d) WHERE rn = 1
+)
+SELECT p.frac, max(nt.n_train) AS n_train,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(CAST(sum(CASE WHEN pred_label = true_label
+                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS accuracy
+FROM pred p JOIN nt ON p.frac = nt.frac
+GROUP BY p.frac ORDER BY p.frac
+""",
+)
+def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve for the nearest-centroid classifier: accuracy on
+    a fixed 20% holdout when trained on nested 25% / 50% / 100%
+    subsets of the pool — the "is more data still buying accuracy"
+    readout that decides between collecting data and changing models
+    (a flat curve at 50→100 says the centroid model is saturated; a
+    climbing one says label more). Subsets are vec_id-mod nested, so
+    the curve is monotone in DATA, not in sampling luck, and fully
+    reproducible — no RNG anywhere.
+
+    Scale shape: the pool is scanned once per the bounded frac
+    fan-out, reduced map-combinably to (frac, label, dim) centroid
+    cells; test vectors score against the broadcast |fracs|·|labels|
+    centroid grid map-locally (TwoNN exact-integer distances); the
+    per-(test, frac) argmin is a map-combinable min(struct) — no
+    window, no shuffle of the test side beyond the final
+    |fracs|-row rollup.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    pool = e.filter(F.col("vec_id") % 5 != 4).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    fracs = F.array_compact(
+        F.array(
+            F.when(F.col("vec_id") % 4 == 0, F.lit(25)),
+            F.when(F.col("vec_id") % 2 == 0, F.lit(50)),
+            F.lit(100),
+        )
+    )
+    fan = pool.select(
+        F.explode(fracs).alias("frac"), "vec_id", "label", "v"
+    )
+    nt = fan.groupBy("frac").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train")
+    )
+    cx = fan.select(
+        "frac", "label", F.posexplode("v").alias("pos", "val")
+    ).groupBy("frac", "label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cent = F.broadcast(
+        cx.groupBy("frac", "label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda st: st["c"],
+            ).alias("carr")
+        )
+    )
+    test = e.filter(F.col("vec_id") % 5 == 4).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("carr"),
+            lambda x, y: F.round(
+                F.round((x - y) * (x - y), 12) * 1e12, 0
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = test.crossJoin(cent).select(
+        "vec_id", "true_label", "frac", "label", d2.alias("d2")
+    )
+    pred = scored.groupBy("vec_id", "true_label", "frac").agg(
+        F.min(F.struct("d2", "label")).alias("m")
+    ).select(
+        "vec_id", "true_label", "frac", F.col("m.label").alias("pred_label")
+    )
+    return (
+        pred.join(F.broadcast(nt), "frac")
+        .groupBy("frac")
+        .agg(
+            F.max("n_train").alias("n_train"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("pred_label") == F.col("true_label"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("pred_label") == F.col("true_label"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("frac")
+    )

@@ -5974,16 +5974,18 @@ WITH s AS (
          AS DOUBLE) AS sxy
   FROM lineitem GROUP BY l_returnflag
 ),
-r AS (SELECT *, sy / sx AS rr FROM s)
+r AS (SELECT *, sy / nullif(sx, 0) AS rr FROM s)
 SELECT l_returnflag, n,
   round(sy, 2) AS sum_price, round(sx, 2) AS sum_qty,
   round(rr, 6) AS price_per_unit,
-  round(sqrt((syy - 2 * rr * sxy + rr * rr * sxx) / (n - 1))
-        / ((sx / n) * sqrt(n)), 6) AS se,
-  round(rr - 1.96 * (sqrt((syy - 2 * rr * sxy + rr * rr * sxx) / (n - 1))
-        / ((sx / n) * sqrt(n))), 6) AS ci_lo,
-  round(rr + 1.96 * (sqrt((syy - 2 * rr * sxy + rr * rr * sxx) / (n - 1))
-        / ((sx / n) * sqrt(n))), 6) AS ci_hi
+  round(sqrt((syy - 2 * rr * sxy + rr * rr * sxx) / nullif(n - 1, 0))
+        / nullif((sx / n) * sqrt(n), 0), 6) AS se,
+  round(rr - 1.96 * (sqrt((syy - 2 * rr * sxy + rr * rr * sxx)
+                          / nullif(n - 1, 0))
+        / nullif((sx / n) * sqrt(n), 0)), 6) AS ci_lo,
+  round(rr + 1.96 * (sqrt((syy - 2 * rr * sxy + rr * rr * sxx)
+                          / nullif(n - 1, 0))
+        / nullif((sx / n) * sqrt(n), 0)), 6) AS ci_hi
 FROM r ORDER BY l_returnflag
 """,
 )
@@ -6031,15 +6033,17 @@ def q_agg_ratio_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sxy"),
     )
-    rr = F.col("sy") / F.col("sx")
+    rr = F.col("sy") / F.nullif(F.col("sx"), F.lit(0.0))
     se = F.sqrt(
         (
             F.col("syy")
             - 2 * rr * F.col("sxy")
             + rr * rr * F.col("sxx")
         )
-        / (F.col("n") - 1)
-    ) / ((F.col("sx") / F.col("n")) * F.sqrt(F.col("n")))
+        / F.nullif(F.col("n") - 1, F.lit(0))
+    ) / F.nullif(
+        (F.col("sx") / F.col("n")) * F.sqrt(F.col("n")), F.lit(0.0)
+    )
     return s.select(
         "l_returnflag",
         "n",
@@ -6050,3 +6054,365 @@ def q_agg_ratio_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rr - 1.96 * se, 6).alias("ci_lo"),
         F.round(rr + 1.96 * se, 6).alias("ci_hi"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Contingency-cell adjusted residuals (which cells drive the association)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_xtab_residuals",
+    # Everything derives from exact integer counts: expected counts,
+    # shares, and the adjusted residual are the same IEEE expression
+    # on identical doubles; the verdict compares that identical value.
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS r, o_orderstatus AS col,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM orders GROUP BY 1, 2
+),
+rt AS (SELECT r, CAST(sum(obs) AS BIGINT) AS rn FROM c GROUP BY 1),
+ct AS (SELECT col, CAST(sum(obs) AS BIGINT) AS cn FROM c GROUP BY 1),
+n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c),
+x AS (
+  SELECT rt.r, ct.col, coalesce(c.obs, 0) AS obs, rt.rn, ct.cn, n.n,
+         CAST(rt.rn AS DOUBLE) * ct.cn / n.n AS exp
+  FROM rt CROSS JOIN ct CROSS JOIN n
+  LEFT JOIN c ON c.r = rt.r AND c.col = ct.col
+)
+SELECT r AS o_orderpriority, col AS o_orderstatus, obs,
+       round(exp, 6) AS expected,
+       round((obs - exp) / nullif(sqrt(exp), 0), 6) AS std_residual,
+       round((obs - exp)
+             / nullif(sqrt(exp * (1 - CAST(rn AS DOUBLE) / n)
+                           * (1 - CAST(cn AS DOUBLE) / n)), 0), 6)
+         AS adj_residual,
+       abs((obs - exp)
+           / nullif(sqrt(exp * (1 - CAST(rn AS DOUBLE) / n)
+                         * (1 - CAST(cn AS DOUBLE) / n)), 0)) > 1.96
+         AS significant
+FROM x ORDER BY o_orderpriority, o_orderstatus
+""",
+)
+def q_agg_xtab_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table cell diagnostics: standardized and adjusted
+    (Haberman) residuals of every priority × status cell — the
+    follow-up q_agg_cramers' single association number begs for:
+    WHICH cells are over/under-represented, with |adj| > 1.96 as the
+    per-cell significance verdict. This is the "urgent orders fail
+    disproportionately" finder, and the adjusted form corrects the
+    std residual's variance deflation in small rows/columns.
+
+    Scale shape: ONE map-combinable pass to the bounded r×c count
+    grid; margins are two grid aggregates joined back small-side; all
+    arithmetic is closed-form on exact integers. Nothing downstream
+    of the first reduce is data-sized.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderpriority").alias("r"),
+        F.col("o_orderstatus").alias("col"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    rt = c.groupBy("r").agg(F.sum("obs").cast("long").alias("rn"))
+    ct = c.groupBy("col").agg(F.sum("obs").cast("long").alias("cn"))
+    n = F.broadcast(c.agg(F.sum("obs").cast("long").alias("n")))
+    # dense margin grid: a structural-zero cell (obs = 0 with exp > 0)
+    # is exactly the under-representation finding this op exists for —
+    # it must appear in the output, so the grid is margins × margins,
+    # not the observed cells
+    grid = rt.crossJoin(F.broadcast(ct)).crossJoin(n)
+    x = (
+        grid.join(F.broadcast(c), ["r", "col"], "left")
+        .withColumn("obs", F.coalesce(F.col("obs"), F.lit(0)))
+        .withColumn(
+            "exp", F.col("rn").cast("double") * F.col("cn") / F.col("n")
+        )
+    )
+    adj = (F.col("obs") - F.col("exp")) / F.nullif(
+        F.sqrt(
+            F.col("exp")
+            * (1 - F.col("rn").cast("double") / F.col("n"))
+            * (1 - F.col("cn").cast("double") / F.col("n"))
+        ),
+        F.lit(0.0),
+    )
+    return x.select(
+        F.col("r").alias("o_orderpriority"),
+        F.col("col").alias("o_orderstatus"),
+        "obs",
+        F.round("exp", 6).alias("expected"),
+        F.round(
+            (F.col("obs") - F.col("exp"))
+            / F.nullif(F.sqrt(F.col("exp")), F.lit(0.0)),
+            6,
+        ).alias("std_residual"),
+        F.round(adj, 6).alias("adj_residual"),
+        (F.abs(adj) > 1.96).alias("significant"),
+    ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Two-round histogram gradient boosting with depth-1 stumps
+# ---------------------------------------------------------------------------
+
+_GBM_THRESHOLDS = (5, 10, 15, 20, 25, 30, 35, 40, 45)
+
+
+@query(
+    "q_ml_gbm_stumps",
+    # The histogram device: ONE raw pass reduces to per-value exact
+    # decimal sums (n, Σy, Σy²); every candidate split is evaluated
+    # by integer/decimal arithmetic on that ≤|values| grid; the argmax
+    # is a (−gain, t) tuple-min on identical doubles; round-2
+    # residual sums are 6dp-quantized into decimals so the second
+    # histogram is order-free too. No RNG, no float divergence.
+    oracle=f"""
+WITH g AS (
+  SELECT l_quantity AS x, CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy,
+         SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+           AS syy
+  FROM lineitem GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(sy) AS DOUBLE) AS sy_t,
+         CAST(sum(syy) AS DOUBLE) AS syy_t
+  FROM g
+),
+c1 AS (
+  SELECT t.t,
+         CAST(sum(CASE WHEN g.x <= t.t THEN g.n ELSE 0 END) AS BIGINT)
+           AS nl,
+         CAST(sum(CASE WHEN g.x <= t.t THEN g.sy END) AS DOUBLE) AS syl
+  FROM g, (SELECT unnest([{", ".join(str(t) for t in _GBM_THRESHOLDS)}])
+           AS t) t
+  GROUP BY 1
+),
+e1 AS (
+  SELECT t, nl, nn - nl AS nr, syl, sy_t - syl AS syr,
+         coalesce(syl * syl / nullif(nl, 0), 0)
+         + coalesce((sy_t - syl) * (sy_t - syl) / nullif(nn - nl, 0), 0)
+           AS gain
+  FROM c1 CROSS JOIN tot
+),
+p1 AS (
+  SELECT t AS t1, syl / nullif(nl, 0) AS mul1,
+         syr / nullif(nr, 0) AS mur1,
+         syy_t - sy_t * sy_t / nn AS sse0
+  FROM (SELECT e1.*, tot.*,
+               row_number() OVER (ORDER BY gain DESC, t) AS rn
+        FROM e1 CROSS JOIN tot) WHERE rn = 1
+),
+r AS (
+  SELECT g.x, g.n,
+         CAST(round(CAST(g.sy AS DOUBLE)
+                    - g.n * (CASE WHEN g.x <= p1.t1 THEN p1.mul1
+                             ELSE p1.mur1 END), 6)
+              AS DECIMAL(28,6)) AS rsum,
+         CAST(round(CAST(g.syy AS DOUBLE)
+                    - 2 * (CASE WHEN g.x <= p1.t1 THEN p1.mul1
+                           ELSE p1.mur1 END) * CAST(g.sy AS DOUBLE)
+                    + g.n * (CASE WHEN g.x <= p1.t1 THEN p1.mul1
+                             ELSE p1.mur1 END)
+                        * (CASE WHEN g.x <= p1.t1 THEN p1.mul1
+                           ELSE p1.mur1 END), 6)
+              AS DECIMAL(38,6)) AS rss
+  FROM g CROSS JOIN p1
+),
+rt AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(rsum) AS DOUBLE) AS r_t,
+         CAST(sum(rss) AS DOUBLE) AS sse1
+  FROM r
+),
+c2 AS (
+  SELECT t.t,
+         CAST(sum(CASE WHEN r.x <= t.t THEN r.n ELSE 0 END) AS BIGINT)
+           AS nl,
+         CAST(sum(CASE WHEN r.x <= t.t THEN r.rsum END) AS DOUBLE) AS srl
+  FROM r, (SELECT unnest([{", ".join(str(t) for t in _GBM_THRESHOLDS)}])
+           AS t) t
+  GROUP BY 1
+),
+e2 AS (
+  SELECT t, nl, nn - nl AS nr, srl, r_t - srl AS srr,
+         coalesce(srl * srl / nullif(nl, 0), 0)
+         + coalesce((r_t - srl) * (r_t - srl) / nullif(nn - nl, 0), 0)
+           AS red
+  FROM c2 CROSS JOIN rt
+),
+p2 AS (
+  SELECT t AS t2, srl / nullif(nl, 0) AS mul2,
+         srr / nullif(nr, 0) AS mur2, red, sse1
+  FROM (SELECT e2.*, rt.sse1,
+               row_number() OVER (ORDER BY red DESC, t) AS rn
+        FROM e2 CROSS JOIN rt) WHERE rn = 1
+)
+SELECT 1 AS round, CAST(t1 AS INT) AS split_t,
+       round(mul1, 6) AS mu_left, round(mur1, 6) AS mu_right,
+       round(sse0, 2) AS sse_before,
+       round((SELECT sse1 FROM rt), 2) AS sse_after
+FROM p1
+UNION ALL
+SELECT 2, CAST(t2 AS INT), round(mul2, 6), round(mur2, 6),
+       round(sse1, 2), round(sse1 - red, 2)
+FROM p2
+ORDER BY round
+""",
+)
+def q_ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two boosting rounds of depth-1 regression stumps predicting
+    line price from quantity, histogram-style: round 1 fits the best
+    single threshold split (of a fixed candidate grid — LightGBM's
+    binned-feature discipline), round 2 fits a second stump to the
+    residuals; each round reports its split, leaf means, and the SSE
+    it inherited vs left behind. This is the minimal honest gradient-
+    boosting machine — enough to read feature signal strength and
+    curvature (round-2 split ≠ round-1 split ⇒ non-monotone
+    structure) — and, more importantly here, the histogram TEMPLATE
+    real distributed GBMs are built on.
+
+    Scale shape: the ONLY raw-data pass is the per-value histogram
+    (n, Σy, Σy²) — map-side combinable, |distinct x| rows out; every
+    candidate split of every round is evaluated on that bounded grid
+    (9 candidates × |values| fan-out), and each round's winner is a
+    map-combinable (−gain, t) tuple-min, not a sort. Adding rounds or
+    features multiplies GRID work, never raw-data passes — exactly
+    the LightGBM recipe.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_quantity").alias("x")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias("sy"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+                "decimal(38,6)"
+            )
+        ).alias("syy"),
+    )
+    tot = F.broadcast(
+        g.agg(
+            F.sum("n").cast("long").alias("nn"),
+            F.sum("sy").cast("double").alias("sy_t"),
+            F.sum("syy").cast("double").alias("syy_t"),
+        )
+    )
+    tarr = F.array(*[F.lit(t) for t in _GBM_THRESHOLDS])
+
+    def cand(grid: DataFrame, sum_col: str, out: str) -> DataFrame:
+        return (
+            grid.select("*", F.explode(tarr).alias("t"))
+            .groupBy("t")
+            .agg(
+                F.sum(F.when(F.col("x") <= F.col("t"), F.col("n")).otherwise(0))
+                .cast("long")
+                .alias("nl"),
+                F.sum(F.when(F.col("x") <= F.col("t"), F.col(sum_col)))
+                .cast("double")
+                .alias(out),
+            )
+        )
+
+    c1 = cand(g, "sy", "syl").crossJoin(tot)
+    gain1 = F.coalesce(
+        F.col("syl") * F.col("syl") / F.nullif(F.col("nl"), F.lit(0)),
+        F.lit(0.0),
+    ) + F.coalesce(
+        (F.col("sy_t") - F.col("syl"))
+        * (F.col("sy_t") - F.col("syl"))
+        / F.nullif(F.col("nn") - F.col("nl"), F.lit(0)),
+        F.lit(0.0),
+    )
+    p1 = F.broadcast(
+        c1.select(
+            F.struct(
+                (-gain1).alias("ng"),
+                F.col("t").alias("t1"),
+                (
+                    F.col("syl") / F.nullif(F.col("nl"), F.lit(0))
+                ).alias("mul1"),
+                (
+                    (F.col("sy_t") - F.col("syl"))
+                    / F.nullif(F.col("nn") - F.col("nl"), F.lit(0))
+                ).alias("mur1"),
+                (
+                    F.col("syy_t")
+                    - F.col("sy_t") * F.col("sy_t") / F.col("nn")
+                ).alias("sse0"),
+            ).alias("s")
+        )
+        .agg(F.min("s").alias("s"))
+        .select("s.t1", "s.mul1", "s.mur1", "s.sse0")
+    )
+    pred = F.when(F.col("x") <= F.col("t1"), F.col("mul1")).otherwise(
+        F.col("mur1")
+    )
+    r = g.crossJoin(p1).select(
+        "x",
+        "n",
+        F.round(F.col("sy").cast("double") - F.col("n") * pred, 6)
+        .cast("decimal(28,6)")
+        .alias("rsum"),
+        F.round(
+            F.col("syy").cast("double")
+            - 2 * pred * F.col("sy").cast("double")
+            + F.col("n") * pred * pred,
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("rss"),
+    )
+    rt = F.broadcast(
+        r.agg(
+            F.sum("n").cast("long").alias("nn"),
+            F.sum("rsum").cast("double").alias("r_t"),
+            F.sum("rss").cast("double").alias("sse1"),
+        )
+    )
+    c2 = cand(
+        r.withColumnRenamed("rsum", "sy2"), "sy2", "srl"
+    ).crossJoin(rt)
+    red2 = F.coalesce(
+        F.col("srl") * F.col("srl") / F.nullif(F.col("nl"), F.lit(0)),
+        F.lit(0.0),
+    ) + F.coalesce(
+        (F.col("r_t") - F.col("srl"))
+        * (F.col("r_t") - F.col("srl"))
+        / F.nullif(F.col("nn") - F.col("nl"), F.lit(0)),
+        F.lit(0.0),
+    )
+    p2 = c2.select(
+        F.struct(
+            (-red2).alias("ng"),
+            F.col("t").alias("t2"),
+            (
+                F.col("srl") / F.nullif(F.col("nl"), F.lit(0))
+            ).alias("mul2"),
+            (
+                (F.col("r_t") - F.col("srl"))
+                / F.nullif(F.col("nn") - F.col("nl"), F.lit(0))
+            ).alias("mur2"),
+            F.col("sse1").alias("sse1"),
+        ).alias("s")
+    ).agg(F.min("s").alias("s")).select(
+        "s.t2", "s.mul2", "s.mur2", "s.sse1", (-F.col("s.ng")).alias("red")
+    )
+    row1 = p1.crossJoin(rt).select(
+        F.lit(1).alias("round"),
+        F.col("t1").cast("int").alias("split_t"),
+        F.round("mul1", 6).alias("mu_left"),
+        F.round("mur1", 6).alias("mu_right"),
+        F.round("sse0", 2).alias("sse_before"),
+        F.round("sse1", 2).alias("sse_after"),
+    )
+    row2 = p2.select(
+        F.lit(2).alias("round"),
+        F.col("t2").cast("int").alias("split_t"),
+        F.round("mul2", 6).alias("mu_left"),
+        F.round("mur2", 6).alias("mu_right"),
+        F.round("sse1", 2).alias("sse_before"),
+        F.round(F.col("sse1") - F.col("red"), 2).alias("sse_after"),
+    )
+    return row1.unionByName(row2).orderBy("round")

@@ -1785,3 +1785,163 @@ def q_agg_taildep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("q_pct")
+
+
+# ---------------------------------------------------------------------------
+# Winsorized correlation (robust association, tail-clamped)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_winsorized_corr",
+    # Clamp bounds are SELECTED data values at exact integer ranks
+    # (percentile_global device), so clamped money/quantity values
+    # keep their ≤2 fractional decimals and every power sum is an
+    # exact decimal; both corrs are the q_agg_stats closed form on
+    # identical doubles.
+    oracle="""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+gx AS (
+  SELECT l_extendedprice AS v, count(*) AS cnt FROM lineitem GROUP BY 1
+),
+cx AS (
+  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM gx
+),
+tx AS (
+  SELECT
+    min(CASE WHEN cum >= (n.n * 5 + 99) // 100 THEN v END) AS xlo,
+    min(CASE WHEN cum >= (n.n * 95 + 99) // 100 THEN v END) AS xhi
+  FROM cx CROSS JOIN n
+),
+gy AS (
+  SELECT l_quantity AS v, count(*) AS cnt FROM lineitem GROUP BY 1
+),
+cy AS (
+  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM gy
+),
+ty AS (
+  SELECT
+    min(CASE WHEN cum >= (n.n * 5 + 99) // 100 THEN v END) AS ylo,
+    min(CASE WHEN cum >= (n.n * 95 + 99) // 100 THEN v END) AS yhi
+  FROM cy CROSS JOIN n
+),
+w AS (
+  SELECT l_returnflag,
+         l_extendedprice AS x, l_quantity AS y,
+         least(greatest(l_extendedprice, xlo), xhi) AS xw,
+         least(greatest(l_quantity, ylo), yhi) AS yw
+  FROM lineitem CROSS JOIN tx CROSS JOIN ty
+),
+s AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(xw AS DECIMAL(28,6))) AS DOUBLE) AS swx,
+    CAST(SUM(CAST(xw * xw AS DECIMAL(38,6))) AS DOUBLE) AS swxx,
+    CAST(SUM(CAST(yw AS DECIMAL(28,6))) AS DOUBLE) AS swy,
+    CAST(SUM(CAST(yw * yw AS DECIMAL(28,6))) AS DOUBLE) AS swyy,
+    CAST(SUM(CAST(xw * yw AS DECIMAL(38,6))) AS DOUBLE) AS swxy
+  FROM w GROUP BY 1
+)
+SELECT l_returnflag, n,
+  round((n*sxy - sx*sy)
+        / nullif(sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy), 0), 6)
+    AS corr_raw,
+  round((n*swxy - swx*swy)
+        / nullif(sqrt(n*swxx - swx*swx) * sqrt(n*swyy - swy*swy), 0), 6)
+    AS corr_winsorized,
+  round((n*swxy - swx*swy)
+        / nullif(sqrt(n*swxx - swx*swx) * sqrt(n*swyy - swy*swy), 0)
+        - (n*sxy - sx*sy)
+          / nullif(sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy), 0), 6)
+    AS delta
+FROM s ORDER BY l_returnflag
+""",
+)
+def q_agg_winsorized_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized correlation per return flag: Pearson corr of price
+    vs quantity after clamping both to their global [p5, p95] — the
+    robust-association check run NEXT TO q_agg_stats' raw corr, with
+    the delta as the verdict: a large |raw − winsorized| says the
+    association is a tail artifact (a few whale orders), not a body
+    relationship — exactly the failure mode that makes a "strong
+    correlate" evaporate in production.
+
+    Scale shape: clamp bounds from the q_agg_percentile_global device
+    (distinct-value counts → dist_cumsum → rank crossing) broadcast as
+    1-row frames; then ONE partial-aggregated pass computes all ten
+    power sums (raw + winsorized) — clamping at selected data values
+    preserves the ≤2-decimal money grid, so every sum is an exact
+    decimal and the closed form is engine-identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.broadcast(li.agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+    def bounds(col: str, lo_name: str, hi_name: str) -> DataFrame:
+        g = li.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        c = dist_cumsum(g, "v", ["cnt"]).select(
+            "v", F.col("cum_cnt").cast("long").alias("cum")
+        )
+        return c.crossJoin(n).agg(
+            F.min(
+                F.when(F.col("cum") >= _rank_at(5, "n"), F.col("v"))
+            ).alias(lo_name),
+            F.min(
+                F.when(F.col("cum") >= _rank_at(95, "n"), F.col("v"))
+            ).alias(hi_name),
+        )
+    thr = F.broadcast(
+        bounds("l_extendedprice", "xlo", "xhi").crossJoin(
+            bounds("l_quantity", "ylo", "yhi")
+        )
+    )
+    w = li.crossJoin(thr).select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").alias("y"),
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("xlo")), F.col("xhi")
+        ).alias("xw"),
+        F.least(
+            F.greatest(F.col("l_quantity"), F.col("ylo")), F.col("yhi")
+        ).alias("yw"),
+    )
+
+    def dsum(expr, dt):
+        return F.sum(expr.cast(dt)).cast("double")
+
+    s = w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("x"), "decimal(28,6)").alias("sx"),
+        dsum(F.col("x") * F.col("x"), "decimal(38,6)").alias("sxx"),
+        dsum(F.col("y"), "decimal(28,6)").alias("sy"),
+        dsum(F.col("y") * F.col("y"), "decimal(28,6)").alias("syy"),
+        dsum(F.col("x") * F.col("y"), "decimal(38,6)").alias("sxy"),
+        dsum(F.col("xw"), "decimal(28,6)").alias("swx"),
+        dsum(F.col("xw") * F.col("xw"), "decimal(38,6)").alias("swxx"),
+        dsum(F.col("yw"), "decimal(28,6)").alias("swy"),
+        dsum(F.col("yw") * F.col("yw"), "decimal(28,6)").alias("swyy"),
+        dsum(F.col("xw") * F.col("yw"), "decimal(38,6)").alias("swxy"),
+    )
+
+    def corr(px, pxx, py, pyy, pxy):
+        return (F.col("n") * F.col(pxy) - F.col(px) * F.col(py)) / F.nullif(
+            F.sqrt(F.col("n") * F.col(pxx) - F.col(px) * F.col(px))
+            * F.sqrt(F.col("n") * F.col(pyy) - F.col(py) * F.col(py)),
+            F.lit(0.0),
+        )
+
+    raw = corr("sx", "sxx", "sy", "syy", "sxy")
+    win = corr("swx", "swxx", "swy", "swyy", "swxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(raw, 6).alias("corr_raw"),
+        F.round(win, 6).alias("corr_winsorized"),
+        F.round(win - raw, 6).alias("delta"),
+    ).orderBy("l_returnflag")

@@ -10009,7 +10009,7 @@ dom AS (
 )
 SELECT e.event_type, e.n_days, e.n_bands,
        CAST(dom.dom_period AS INT) AS dom_period, e.h AS spectral_entropy,
-       round(e.h / round(ln(e.n_bands), 9), 6) AS flatness
+       round(e.h / nullif(round(ln(e.n_bands), 9), 0), 6) AS flatness
 FROM e JOIN dom ON e.event_type = dom.event_type
 ORDER BY e.event_type
 """,
@@ -10113,7 +10113,11 @@ def q_ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dom_period").cast("int").alias("dom_period"),
             F.col("h").alias("spectral_entropy"),
             F.round(
-                F.col("h") / F.round(F.log(F.col("n_bands")), 9), 6
+                F.col("h")
+                / F.nullif(
+                    F.round(F.log(F.col("n_bands")), 9), F.lit(0.0)
+                ),
+                6,
             ).alias("flatness"),
         )
         .orderBy("event_type")

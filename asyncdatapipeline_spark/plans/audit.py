@@ -667,6 +667,26 @@ CHECKS: dict[str, list[tuple]] = {
         ("must", "dominant-band rank keyed by event type", r"windowspecdefinition\(event_type"),
         ("forbid", "no cartesian product", "CartesianProduct"),
     ],
+    "q_agg_xtab_residuals": [
+        ("must", "cell counts partially aggregated", r"HashAggregate.*partial"),
+        ("forbid", "grid arithmetic only — no window", "windowspecdefinition"),
+    ],
+    "q_agg_winsorized_corr": [
+        ("must", "power sums partially aggregated", r"HashAggregate.*partial"),
+        ("forbid", "no cartesian product", "CartesianProduct"),
+    ],
+    "q_ml_learning_curve": [
+        # centroid grid broadcasts into the test scan; argmin is a
+        # map-combinable min(struct), never a window
+        ("must", "centroid grid joins broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin"),
+        ("forbid", "argmin is min(struct), not a window", "windowspecdefinition"),
+        ("forbid", "no cartesian product", "CartesianProduct"),
+    ],
+    "q_ml_gbm_stumps": [
+        ("must", "value histogram partially aggregated", r"HashAggregate.*partial"),
+        ("forbid", "winners are tuple-mins, not windows", "windowspecdefinition"),
+        ("forbid", "no cartesian product", "CartesianProduct"),
+    ],
 }
 
 

@@ -158,6 +158,10 @@ HEADLINE = [
     "q_sample_systematic",      # integer PPS picks on the weight line
     "q_ts_yule_walker",         # AR(2) solve on integer lag products
     "q_ts_spectral_entropy",    # 12-band trig sums on the daily grid
+    "q_agg_xtab_residuals",     # dense margin grid cell diagnostics
+    "q_agg_winsorized_corr",    # rank-device clamps + ten power sums
+    "q_ml_learning_curve",      # nested-subset centroid accuracy
+    "q_ml_gbm_stumps",          # histogram GBM: 2 boosted stump rounds
 ]
 
 

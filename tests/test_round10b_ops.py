@@ -290,3 +290,88 @@ def test_spectral_entropy_period2_dominates(spark):
     r = registry.get("q_ts_spectral_entropy").fn(spark, out).collect()[0]
     assert r["dom_period"] == 2
     assert r["flatness"] < 0.5
+
+
+def test_xtab_residuals_perfect_association(spark):
+    """2×2 with perfect association (A→F, B→O): every cell's adjusted
+    residual is ±2√5 and flagged significant."""
+    out = tempfile.mkdtemp()
+    rows = [(i, "F", 10.0, 0, "A") for i in range(10)]
+    rows += [(10 + i, "O", 10.0, 0, "B") for i in range(10)]
+    _orders(spark, out, rows)
+    res = registry.get("q_agg_xtab_residuals").fn(spark, out).collect()
+    got = {(r["o_orderpriority"], r["o_orderstatus"]): r for r in res}
+    assert got[("A", "F")]["obs"] == 10 and got[("A", "F")]["expected"] == 5.0
+    exp_adj = round(5 / math.sqrt(5 * 0.5 * 0.5), 6)
+    assert abs(got[("A", "F")]["adj_residual"] - exp_adj) < 1e-6
+    assert abs(got[("A", "O")]["adj_residual"] + exp_adj) < 1e-6
+    assert all(r["significant"] for r in res)
+
+
+def test_winsorized_corr_kills_tail_artifact(spark):
+    """95 scattered body points (corr ≈ 0) + 5 joint whales at
+    (1000, 1000): raw corr ≈ 1 is a tail artifact; clamping to
+    [p5, p95] collapses it."""
+    out = tempfile.mkdtemp()
+    body = [
+        ("A", float((i * 7) % 10 + 1), float(i % 10 + 1)) for i in range(95)
+    ]
+    whales = [("A", 1000.0, 1000.0)] * 5
+    _write(
+        spark,
+        out,
+        "lineitem",
+        [(f, q, p) for f, q, p in body + whales],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    r = registry.get("q_agg_winsorized_corr").fn(spark, out).collect()[0]
+    assert r["corr_raw"] > 0.9
+    assert abs(r["corr_winsorized"]) < 0.5
+    assert r["delta"] < -0.5
+
+
+def test_learning_curve_separable_labels(spark):
+    """Two tight clusters at (0,0) and (10,10): every training
+    fraction classifies the holdout perfectly, and n_train nests."""
+    out = tempfile.mkdtemp()
+    rows = []
+    for i in range(40):
+        lab = i // 20  # halves, so every mod-subset sees both labels
+        base = 0.0 if lab == 0 else 10.0
+        jit = (i % 5) * 0.01
+        rows.append((i, [base + jit, base - jit], lab))
+    _write(
+        spark,
+        out,
+        "embeddings",
+        rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    res = registry.get("q_ml_learning_curve").fn(spark, out).collect()
+    got = {r["frac"]: r for r in res}
+    assert got[25]["n_train"] < got[50]["n_train"] < got[100]["n_train"]
+    assert all(got[f]["accuracy"] == 1.0 for f in (25, 50, 100))
+    assert got[100]["n_test"] == 8
+
+
+def test_gbm_stumps_exact_step_function(spark):
+    """y = 100 for x ≤ 20, 200 above: thresholds 10/15/20 all induce
+    the identical perfect partition, so the tie rule picks the
+    SMALLEST (t = 10) with leaf means 100/200 and zero SSE left;
+    round 2 has nothing to fit."""
+    out = tempfile.mkdtemp()
+    rows = [("A", 10.0, 100.0)] * 6 + [("A", 30.0, 200.0)] * 6
+    _write(
+        spark,
+        out,
+        "lineitem",
+        rows,
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    res = registry.get("q_ml_gbm_stumps").fn(spark, out).collect()
+    r1 = next(r for r in res if r["round"] == 1)
+    r2 = next(r for r in res if r["round"] == 2)
+    assert r1["split_t"] == 10
+    assert r1["mu_left"] == 100.0 and r1["mu_right"] == 200.0
+    assert r1["sse_after"] == 0.0
+    assert r2["sse_before"] == 0.0 and r2["sse_after"] == 0.0
