@@ -2527,3 +2527,124 @@ def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("frac")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fisher discriminability ranking of embedding dimensions
+# ---------------------------------------------------------------------------
+
+_FISHER_TOP_K = 10
+
+
+@query(
+    "q_embed_fisher_dims",
+    # (label, dim) power sums ride the dim-profile decimal device
+    # (9dp/6dp-quantized terms, order-free); the ANOVA decomposition
+    # B/(k−1) ÷ W/(n−k) is the same IEEE expression on identical
+    # doubles; top-k is a (F desc, dim) selection.
+    oracle=f"""
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+x AS (
+  SELECT label, unnest(generate_series(1, len(v))) AS dim, v FROM e
+),
+g AS (
+  SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(v[dim], 9) AS DECIMAL(28,12)))
+              AS DOUBLE) AS s,
+         CAST(sum(CAST(round(v[dim] * v[dim], 6) AS DECIMAL(38,12)))
+              AS DOUBLE) AS ss
+  FROM x GROUP BY 1, 2
+),
+t AS (
+  SELECT dim, CAST(sum(n) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(round(s, 9) AS DECIMAL(38,12))) AS DOUBLE) AS st,
+         CAST(sum(CAST(round(ss, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sst,
+         CAST(sum(CAST(round(s * s / n, 6) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sgm
+  FROM g GROUP BY dim
+),
+f AS (
+  SELECT dim, nt, k,
+         (sgm - st * st / nt) / nullif(k - 1, 0) AS msb,
+         (sst - sgm) / nullif(nt - k, 0) AS msw
+  FROM t
+)
+SELECT CAST(dim - 1 AS INT) AS dim,
+       k AS n_labels,
+       round(msb, 6) AS between_ms,
+       round(msw, 6) AS within_ms,
+       round(msb / nullif(msw, 0), 6) AS fisher_f
+FROM f
+ORDER BY msb / nullif(msw, 0) DESC, dim
+LIMIT {_FISHER_TOP_K}
+""",
+)
+def q_embed_fisher_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher discriminability ranking of embedding dimensions: the
+    one-way-ANOVA F ratio (between-label / within-label mean square)
+    per dimension, top-10 — WHICH coordinates actually separate the
+    labels. q_embed_dim_profile flags dead dims by raw variance; this
+    is the supervised sequel: a high-variance dim can still carry zero
+    label signal, and the top-F dims are the ones a Matryoshka-style
+    truncation or a feature-gated index should keep. Dim ids are
+    0-based to match q_embed_matryoshka's prefix convention.
+
+    Scale shape: ONE posexplode pass to map-combinable (label, dim)
+    power sums (the dim-profile decimal device); the ANOVA
+    decomposition runs on the |labels|·d grid, then per-dim totals on
+    the d-row frame; top-k is a TakeOrderedAndProject. Nothing after
+    the first reduce is data-sized.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "v"),
+    )
+    g = x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round("v", 9).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("s"),
+        F.sum(F.round(F.col("v") * F.col("v"), 6).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    t = g.groupBy("dim").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.round("s", 9).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("st"),
+        F.sum(F.round("ss", 6).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sst"),
+        F.sum(
+            F.round(F.col("s") * F.col("s") / F.col("n"), 6).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("sgm"),
+    )
+    msb = (
+        F.col("sgm") - F.col("st") * F.col("st") / F.col("nt")
+    ) / F.nullif(F.col("k") - 1, F.lit(0))
+    msw = (F.col("sst") - F.col("sgm")) / F.nullif(
+        F.col("nt") - F.col("k"), F.lit(0)
+    )
+    ff = msb / F.nullif(msw, F.lit(0.0))
+    return (
+        t.select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("k").alias("n_labels"),
+            F.round(msb, 6).alias("between_ms"),
+            F.round(msw, 6).alias("within_ms"),
+            F.round(ff, 6).alias("fisher_f"),
+            ff.alias("_ord"),
+        )
+        .orderBy(F.col("_ord").desc(), "dim")
+        .limit(_FISHER_TOP_K)
+        .drop("_ord")
+    )

@@ -687,6 +687,11 @@ CHECKS: dict[str, list[tuple]] = {
         ("forbid", "winners are tuple-mins, not windows", "windowspecdefinition"),
         ("forbid", "no cartesian product", "CartesianProduct"),
     ],
+    "q_embed_fisher_dims": [
+        ("must", "(label,dim) power sums partially aggregated", r"HashAggregate.*partial"),
+        ("must", "top-k plans as TakeOrderedAndProject", r"TakeOrderedAndProject"),
+        ("forbid", "no window in the ranking", "windowspecdefinition"),
+    ],
 }
 
 

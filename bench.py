@@ -162,6 +162,7 @@ HEADLINE = [
     "q_agg_winsorized_corr",    # rank-device clamps + ten power sums
     "q_ml_learning_curve",      # nested-subset centroid accuracy
     "q_ml_gbm_stumps",          # histogram GBM: 2 boosted stump rounds
+    "q_embed_fisher_dims",      # per-dim ANOVA F discriminability
 ]
 
 

@@ -375,3 +375,28 @@ def test_gbm_stumps_exact_step_function(spark):
     assert r1["mu_left"] == 100.0 and r1["mu_right"] == 200.0
     assert r1["sse_after"] == 0.0
     assert r2["sse_before"] == 0.0 and r2["sse_after"] == 0.0
+
+
+def test_fisher_dims_planted_signal_dim(spark):
+    """Dim 0 separates the labels perfectly (0 vs 10 with tiny within-
+    class jitter); dim 1 is identical noise for both: dim 0 must rank
+    first with a huge F, and dim 1's between-MS is ~0."""
+    out = tempfile.mkdtemp()
+    rows = []
+    for i in range(20):
+        lab = i % 2
+        sig = 0.0 if lab == 0 else 10.0
+        noise = float(i % 5)  # same distribution for both labels
+        rows.append((i, [sig + (i % 3) * 0.01, noise], lab))
+    _write(
+        spark,
+        out,
+        "embeddings",
+        rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    res = registry.get("q_embed_fisher_dims").fn(spark, out).collect()
+    assert res[0]["dim"] == 0
+    assert res[0]["fisher_f"] > 100
+    d1 = next(r for r in res if r["dim"] == 1)
+    assert d1["fisher_f"] < 1.0
