@@ -340,6 +340,29 @@ QUERIES = [
     "q_mix_curriculum",
     "q_scan_csv_gzip",
     "q_ml_hard_negatives",
+    # round-10b additions: feature screening / splits / sampling on
+    # grid reduces (~linear in the one raw pass, flat after), the
+    # embedding geometry family (anchor-broadcast scans: linear),
+    # ordinal/spectral series diagnostics (calendar-bounded spines:
+    # counts grow, days don't), and the histogram GBM (per-value
+    # reduce + bounded-grid candidate evaluation)
+    "q_feature_woe",
+    "q_split_stratified",
+    "q_sample_systematic",
+    "q_embed_mmd",
+    "q_embed_twonn",
+    "q_embed_fisher_dims",
+    "q_agg_taildep",
+    "q_agg_winsorized_corr",
+    "q_agg_ratio_estimator",
+    "q_agg_xtab_residuals",
+    "q_ts_perm_entropy",
+    "q_ts_holt",
+    "q_ts_yule_walker",
+    "q_ts_spectral_entropy",
+    "q_text_vocab_coverage",
+    "q_ml_learning_curve",
+    "q_ml_gbm_stumps",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
