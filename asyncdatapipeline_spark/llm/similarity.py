@@ -2226,7 +2226,13 @@ def q_embed_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TwoNN intrinsic-dimension estimate (embedding-manifold health)
 # ---------------------------------------------------------------------------
 
-_TWONN_ANCHOR_MOD = 5  # vec_id % 5 == 0 → bounded anchor sample
+_TWONN_ANCHOR_MOD = 5   # every 5th id is an anchor candidate...
+_TWONN_ANCHOR_CAP = 2500  # ...capped at id < 2500 (≤500 anchors) so the
+# anchor set is BOUNDED at any corpus size — d̂ accuracy is ~1/√m, so a
+# fixed m is the correct scale shape; without the cap a modulus sample
+# grows linearly and the anchors×corpus scan quadratically (measured:
+# the 10× stress corpus made the uncapped scan the slowest op of the
+# round). Covers every fixture sf unchanged (max vec_id: sf0.1 = 1999).
 
 
 @query(
@@ -2239,7 +2245,8 @@ _TWONN_ANCHOR_MOD = 5  # vec_id % 5 == 0 → bounded anchor sample
     oracle=f"""
 WITH a AS (
   SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av
-  FROM embeddings WHERE vec_id % {_TWONN_ANCHOR_MOD} = 0
+  FROM embeddings
+  WHERE vec_id % {_TWONN_ANCHOR_MOD} = 0 AND vec_id < {_TWONN_ANCHOR_CAP}
 ),
 c AS (
   SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
@@ -2298,7 +2305,10 @@ def q_embed_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     an = F.broadcast(
-        e.filter(F.col("vec_id") % _TWONN_ANCHOR_MOD == 0).select(
+        e.filter(
+            (F.col("vec_id") % _TWONN_ANCHOR_MOD == 0)
+            & (F.col("vec_id") < _TWONN_ANCHOR_CAP)
+        ).select(
             F.col("vec_id").alias("aid"),
             _as_double(F.col("embedding")).alias("av"),
         )
