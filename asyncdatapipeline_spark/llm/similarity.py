@@ -2315,23 +2315,35 @@ def q_embed_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
             _as_double(F.col("embedding")).alias("av"),
         )
     )
-    co = e.select(
-        F.col("vec_id").alias("nid"),
-        _as_double(F.col("embedding")).alias("cv"),
+    # Repartition BEFORE the anchor fan-out: the corpus parquet is one
+    # small file = ONE input partition, and a broadcast nested-loop
+    # join inherits the streamed side's partitioning — without this the
+    # whole |anchors|×|corpus|×d expansion runs on a single task
+    # (measured: 13.4 s at sf0.1, ~all of it one-core).
+    co = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("vec_id").alias("nid"),
+            F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x"),
+        )
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("av"),
-            F.col("cv"),
-            lambda x, y: F.round(
-                F.round((x - y) * (x - y), 12) * 1e12, 0
-            ).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    d = co.join(an, F.col("nid") != F.col("aid")).select(
-        "aid", "nid", d2.alias("d2")
+    # Per-dim terms via posexplode + element_at instead of an
+    # aggregate() fold: the exploded form keeps every term inside
+    # whole-stage codegen and the pair distance is a map-combinable
+    # integer sum — same exact integers, order-free.
+    term = F.round(
+        F.round(
+            (F.col("x") - F.element_at(F.col("av"), F.col("pos") + 1))
+            * (F.col("x") - F.element_at(F.col("av"), F.col("pos") + 1)),
+            12,
+        )
+        * 1e12,
+        0,
+    ).cast("long")
+    d = (
+        co.join(an, F.col("nid") != F.col("aid"))
+        .groupBy("aid", "nid")
+        .agg(F.sum(term).alias("d2"))
     )
     w = W.partitionBy("aid").orderBy("d2", "nid")
     p = (

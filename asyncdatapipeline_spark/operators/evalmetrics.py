@@ -1417,3 +1417,116 @@ def q_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Odds ratios with Woolf (log-scale) confidence intervals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ml_odds_ratio",
+    # Haldane-corrected cells are exact half-integers; the OR is pure
+    # arithmetic on them (no exp/ln round trip — the CI is reported in
+    # LOG odds, so the only transcendental is one 9dp-pinned ln and
+    # sqrt, which is correctly rounded in both engines).
+    oracle="""
+WITH j AS (
+  SELECT c.c_mktsegment AS seg,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS e,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+t AS (
+  SELECT seg,
+         sum(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) + 0.5e0 AS a,
+         sum(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) + 0.5e0 AS b,
+         sum(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) + 0.5e0 AS c,
+         sum(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) + 0.5e0 AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM j GROUP BY seg
+),
+x AS (
+  SELECT seg, n, a, b, c, d,
+         (a * d) / (b * c) AS odds_ratio,
+         round(ln((a * d) / (b * c)), 9) AS lor,
+         sqrt(1/a + 1/b + 1/c + 1/d) AS se
+  FROM t
+)
+SELECT seg AS c_mktsegment, n,
+       CAST(a - 0.5e0 AS BIGINT) AS n_exp_bad,
+       CAST(b - 0.5e0 AS BIGINT) AS n_exp_good,
+       round(odds_ratio, 6) AS odds_ratio,
+       round(lor, 6) AS log_or,
+       round(se, 6) AS se_log,
+       round(lor - 1.96 * se, 6) AS ci_lo_log,
+       round(lor + 1.96 * se, 6) AS ci_hi_log,
+       (lor - 1.96 * se > 0 OR lor + 1.96 * se < 0) AS significant
+FROM x ORDER BY c_mktsegment
+""",
+)
+def q_ml_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure-outcome odds ratio per market segment (exposure =
+    urgent priority, outcome = status F) with the Woolf interval — the
+    epidemiology/churn-analysis standard for "does X raise the odds of
+    Y, per stratum": Haldane half-count correction keeps sparse cells
+    finite, and the CI is reported in LOG odds with a
+    significance verdict (interval excludes 0), avoiding the
+    exp() round trip entirely — the OR itself is plain arithmetic on
+    the corrected cells. q_agg_effect_size covers continuous
+    outcomes; this is its binary-outcome sibling.
+
+    Scale shape: one broadcastable dim join (customer segment), then
+    ONE map-combinable pass to four counters per segment; everything
+    after is closed-form on the |segments| grid.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("e"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    t = j.groupBy("seg").agg(
+        (
+            F.sum(F.when((F.col("e") == 1) & (F.col("y") == 1), 1).otherwise(0))
+            + F.lit(0.5)
+        ).alias("a"),
+        (
+            F.sum(F.when((F.col("e") == 1) & (F.col("y") == 0), 1).otherwise(0))
+            + F.lit(0.5)
+        ).alias("b"),
+        (
+            F.sum(F.when((F.col("e") == 0) & (F.col("y") == 1), 1).otherwise(0))
+            + F.lit(0.5)
+        ).alias("c"),
+        (
+            F.sum(F.when((F.col("e") == 0) & (F.col("y") == 0), 1).otherwise(0))
+            + F.lit(0.5)
+        ).alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    orx = (F.col("a") * F.col("d")) / (F.col("b") * F.col("c"))
+    lor = F.round(F.log(orx), 9)
+    se = F.sqrt(
+        1 / F.col("a") + 1 / F.col("b") + 1 / F.col("c") + 1 / F.col("d")
+    )
+    return t.select(
+        F.col("seg").alias("c_mktsegment"),
+        "n",
+        (F.col("a") - 0.5).cast("long").alias("n_exp_bad"),
+        (F.col("b") - 0.5).cast("long").alias("n_exp_good"),
+        F.round(orx, 6).alias("odds_ratio"),
+        F.round(lor, 6).alias("log_or"),
+        F.round(se, 6).alias("se_log"),
+        F.round(lor - 1.96 * se, 6).alias("ci_lo_log"),
+        F.round(lor + 1.96 * se, 6).alias("ci_hi_log"),
+        ((lor - 1.96 * se > 0) | (lor + 1.96 * se < 0)).alias(
+            "significant"
+        ),
+    ).orderBy("c_mktsegment")

@@ -10122,3 +10122,313 @@ def q_ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Absorbing-chain analysis: expected steps / probability to conversion
+# ---------------------------------------------------------------------------
+
+_ABS_STATE = "purchase"
+_ABS_K = 12  # truncated Neumann iterations (geometric convergence)
+
+
+def _absorbing_iter_sql() -> str:
+    """Unrolled v/a iterations (the _PR_ITER_SQL device): each round is
+    one |types|²-grid join + decimal-quantized sum, identical
+    expression text in both engines."""
+    ctes = []
+    for k in range(1, _ABS_K + 1):
+        prev = k - 1
+        ctes.append(f"""
+s{k} AS (
+  SELECT t.from_type,
+         1 + CAST(sum(CAST(round(t.p * coalesce(v.v, 0.0e0), 12)
+                           AS DECIMAL(28,12))) AS DOUBLE) AS v,
+         CAST(sum(CAST(round(t.p * (CASE WHEN t.to_type = '{_ABS_STATE}'
+                                    THEN 1.0e0
+                                    ELSE coalesce(v.a, 0.0e0) END), 12)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS a
+  FROM tr t LEFT JOIN s{prev} v ON t.to_type = v.from_type
+  GROUP BY t.from_type
+)""")
+    return ",".join(ctes)
+
+
+@query(
+    "q_events_absorbing",
+    # Transition probabilities are exact count ratios (identical
+    # doubles); each iteration's mix terms are 12dp-quantized decimals
+    # so the per-state sums are order-free; the unrolled-CTE oracle
+    # runs the literal same 12 rounds.
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY date_trunc('second', ts), event_id
+         ) AS next_type
+  FROM events
+),
+tn AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM ordered
+  WHERE next_type IS NOT NULL AND event_type != '{_ABS_STATE}'
+  GROUP BY 1, 2
+),
+tt AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM tn GROUP BY 1
+),
+tr AS (
+  SELECT tn.from_type, tn.to_type, tn.n * 1.0 / tt.n_from AS p
+  FROM tn JOIN tt USING (from_type)
+),
+s0 AS (
+  SELECT DISTINCT from_type, 0.0e0 AS v, 0.0e0 AS a FROM tr
+),
+{_absorbing_iter_sql()},
+pd AS (
+  SELECT from_type, max(CASE WHEN to_type = '{_ABS_STATE}' THEN p END)
+           AS p_dir
+  FROM tr GROUP BY from_type
+)
+SELECT s.from_type AS event_type, tt.n_from AS n_out,
+       round(coalesce(pd.p_dir, 0.0e0), 6) AS p_direct,
+       round(s.a, 6) AS absorb_prob,
+       round(s.v, 6) AS expected_steps
+FROM s{_ABS_K} s
+JOIN tt ON s.from_type = tt.from_type
+LEFT JOIN pd ON s.from_type = pd.from_type
+ORDER BY event_type
+""",
+)
+def q_events_absorbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-Markov-chain analysis of the event graph with
+    '{abs_state}' as the absorbing state: per starting event type, the
+    probability of reaching conversion within {k} steps and the
+    {k}-truncated expected step count (the Neumann sum
+    Σ Qᵏ·1 — a geometrically-converging lower bound on the exact
+    (I−Q)⁻¹·1). This is the question q_events_markov's raw matrix and
+    q_events_markov_stationary's long-run mix don't answer: HOW FAR is
+    each state from conversion — the prioritization signal for funnel
+    fixes ("error is 4.8 steps from purchase; view is 2.1").
+
+    Scale shape: ONE user-keyed window pass builds transitions (the
+    markov device), reduced map-combinably to the |types|² grid; the
+    {k} iterations run entirely on that bounded grid — each round one
+    broadcast-sized join + decimal-quantized aggregate, lineage
+    truncated per round. Raw data is touched exactly once regardless
+    of K.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.date_trunc("second", "ts"), "event_id"
+    )
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    tn = (
+        ordered.filter(
+            F.col("next_type").isNotNull()
+            & (F.col("event_type") != _ABS_STATE)
+        )
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tt = tn.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    tr = (
+        tn.join(tt, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            (F.col("n") * 1.0 / F.col("n_from")).alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    s = tr.select("from_type").distinct().select(
+        "from_type",
+        F.lit(0.0).alias("v"),
+        F.lit(0.0).alias("a"),
+    )
+    for _ in range(_ABS_K):
+        prev = s.select(
+            F.col("from_type").alias("to_type"),
+            F.col("v").alias("pv"),
+            F.col("a").alias("pa"),
+        )
+        s = (
+            tr.join(F.broadcast(prev), "to_type", "left")
+            .groupBy("from_type")
+            .agg(
+                (
+                    1
+                    + F.sum(
+                        F.round(
+                            F.col("p")
+                            * F.coalesce(F.col("pv"), F.lit(0.0)),
+                            12,
+                        ).cast("decimal(28,12)")
+                    ).cast("double")
+                ).alias("v"),
+                F.sum(
+                    F.round(
+                        F.col("p")
+                        * F.when(
+                            F.col("to_type") == _ABS_STATE, F.lit(1.0)
+                        ).otherwise(F.coalesce(F.col("pa"), F.lit(0.0))),
+                        12,
+                    ).cast("decimal(28,12)")
+                )
+                .cast("double")
+                .alias("a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    pd = tn.join(tt, "from_type").groupBy("from_type").agg(
+        F.max(
+            F.when(
+                F.col("to_type") == _ABS_STATE,
+                F.col("n") * 1.0 / F.col("n_from"),
+            )
+        ).alias("p_dir")
+    )
+    return (
+        s.join(tt, "from_type")
+        .join(pd, "from_type", "left")
+        .select(
+            F.col("from_type").alias("event_type"),
+            F.col("n_from").alias("n_out"),
+            F.round(F.coalesce(F.col("p_dir"), F.lit(0.0)), 6).alias(
+                "p_direct"
+            ),
+            F.round("a", 6).alias("absorb_prob"),
+            F.round("v", 6).alias("expected_steps"),
+        )
+        .orderBy("event_type")
+    )
+
+
+q_events_absorbing.__doc__ = q_events_absorbing.__doc__.format(
+    abs_state=_ABS_STATE, k=_ABS_K
+)
+
+
+# ---------------------------------------------------------------------------
+# Croston's method: intermittent-demand rate forecast
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_orders_croston",
+    # Two independent SCALAR folds (α = ½ exact halvings) over the
+    # nonzero-demand event sequence — DuckDB's scalar list_reduce is
+    # sound (the struct-lambda duplication bug q_ts_holt works around
+    # does not apply to single-expression scalar folds); Spark runs
+    # the identical left fold via aggregate(). Demands and integer day
+    # gaps are exact, so the folds are bit-identical.
+    oracle="""
+WITH d AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS DOUBLE) AS z
+  FROM orders GROUP BY 1, 2
+),
+g AS (
+  SELECT grp, day, z,
+         CAST(day - lag(day) OVER (PARTITION BY grp ORDER BY day)
+              AS DOUBLE) AS gap
+  FROM d
+),
+s AS (
+  SELECT grp,
+         list(z ORDER BY day) AS zs,
+         list(gap ORDER BY day) FILTER (WHERE gap IS NOT NULL) AS gaps,
+         CAST(count(*) AS BIGINT) AS nd
+  FROM g GROUP BY grp HAVING count(*) >= 2
+),
+f AS (
+  SELECT grp, nd,
+         list_reduce(zs, (acc, x) -> 0.5e0 * x + 0.5e0 * acc) AS z_hat,
+         list_reduce(gaps, (acc, x) -> 0.5e0 * x + 0.5e0 * acc)
+           AS tau_hat
+  FROM s
+)
+SELECT grp AS o_orderpriority, nd AS n_demand_days,
+       round(z_hat, 6) AS z_hat, round(tau_hat, 6) AS tau_hat,
+       round(z_hat / tau_hat, 6) AS croston_rate
+FROM f ORDER BY o_orderpriority
+""",
+)
+def q_orders_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method per priority class: exponential smoothing of
+    the nonzero DAILY DEMAND SIZES and, separately, of the
+    INTER-DEMAND DAY GAPS; the forecast rate is ẑ/τ̂ demand per day —
+    the standard intermittent-demand estimator (spare parts, slow
+    SKUs, long-tail priorities) where a plain moving average is biased
+    toward zero-heavy windows and q_ts_holt's trend model is
+    meaningless. α = ½ keeps every smoothing step an exact halving.
+
+    Scale shape: the only raw pass is the (priority, day) demand
+    reduce; the gap lag rides the bounded day spine per bounded-vocab
+    key; the two folds run per group over calendar-bounded arrays
+    (the q_ts_holt contract) — series parallelize across the cluster.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "cast(floor(unix_timestamp(o_orderdate) / 86400) as bigint)"
+        ).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("z"))
+    w = W.partitionBy("grp").orderBy("day")
+    g = d.select(
+        "grp",
+        "day",
+        "z",
+        (F.col("day") - F.lag("day").over(w)).cast("double").alias("gap"),
+    )
+    s = (
+        g.groupBy("grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "z"))),
+                lambda st: st["z"],
+            ).alias("zs"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("gap").isNotNull(),
+                            F.struct("day", "gap"),
+                        )
+                    )
+                ),
+                lambda st: st["gap"],
+            ).alias("gaps"),
+            F.count(F.lit(1)).cast("long").alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+    )
+
+    def ses(col):
+        return F.aggregate(
+            F.slice(col, 2, F.greatest(F.size(col) - 1, F.lit(0))),
+            F.element_at(col, 1),
+            lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
+        )
+
+    return s.select(
+        F.col("grp").alias("o_orderpriority"),
+        F.col("nd").alias("n_demand_days"),
+        F.round(ses(F.col("zs")), 6).alias("z_hat"),
+        F.round(ses(F.col("gaps")), 6).alias("tau_hat"),
+        F.round(
+            ses(F.col("zs")) / ses(F.col("gaps")), 6
+        ).alias("croston_rate"),
+    ).orderBy("o_orderpriority")

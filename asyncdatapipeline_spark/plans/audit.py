@@ -692,6 +692,19 @@ CHECKS: dict[str, list[tuple]] = {
         ("must", "top-k plans as TakeOrderedAndProject", r"TakeOrderedAndProject"),
         ("forbid", "no window in the ranking", "windowspecdefinition"),
     ],
+    "q_events_absorbing": [
+        ("must", "transition grid partially aggregated", r"HashAggregate.*partial"),
+        ("forbid", "no cartesian product", "CartesianProduct"),
+    ],
+    "q_ml_odds_ratio": [
+        ("must", "segment dim join broadcasts", r"BroadcastHashJoin"),
+        ("must", "cell counters partially aggregated", r"HashAggregate.*partial"),
+        ("forbid", "grid arithmetic only — no window", "windowspecdefinition"),
+    ],
+    "q_orders_croston": [
+        ("must", "daily demand reduce partially aggregated", r"HashAggregate.*partial"),
+        ("must", "gap lag keyed by the priority vocabulary", r"windowspecdefinition\(grp"),
+    ],
 }
 
 

@@ -163,6 +163,9 @@ HEADLINE = [
     "q_ml_learning_curve",      # nested-subset centroid accuracy
     "q_ml_gbm_stumps",          # histogram GBM: 2 boosted stump rounds
     "q_embed_fisher_dims",      # per-dim ANOVA F discriminability
+    "q_events_absorbing",       # 12 bounded-grid Neumann iterations
+    "q_ml_odds_ratio",          # 2x2 cells + Woolf interval per segment
+    "q_orders_croston",         # twin scalar folds on demand events
 ]
 
 

@@ -400,3 +400,84 @@ def test_fisher_dims_planted_signal_dim(spark):
     assert res[0]["fisher_f"] > 100
     d1 = next(r for r in res if r["dim"] == 1)
     assert d1["fisher_f"] < 1.0
+
+
+def _events(spark, out, rows):
+    """rows: (event_id, day_index, user_id, event_type)"""
+    _write(
+        spark,
+        out,
+        "events",
+        [(e, _day(d), u, t, 1.0, "{}") for e, d, u, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_absorbing_hand_computed_chain(spark):
+    """user1: A→B→purchase, user2: A→purchase. p(A→B)=p(A→abs)=0.5,
+    p(B→abs)=1 ⇒ v(B)=1, v(A)=1.5, absorb probs 1 within 12 steps."""
+    out = tempfile.mkdtemp()
+    _events(
+        spark,
+        out,
+        [
+            (1, 0, 1, "A"),
+            (2, 1, 1, "B"),
+            (3, 2, 1, "purchase"),
+            (4, 0, 2, "A"),
+            (5, 1, 2, "purchase"),
+        ],
+    )
+    res = registry.get("q_events_absorbing").fn(spark, out).collect()
+    got = {r["event_type"]: r for r in res}
+    assert got["A"]["expected_steps"] == 1.5
+    assert got["B"]["expected_steps"] == 1.0
+    assert got["A"]["absorb_prob"] == 1.0 and got["B"]["absorb_prob"] == 1.0
+    assert got["A"]["p_direct"] == 0.5 and got["B"]["p_direct"] == 1.0
+
+
+def test_odds_ratio_perfect_separation(spark):
+    """One segment, exposure ⇔ outcome (10/0/0/10): Haldane-corrected
+    OR = 441, log-OR = ln 441, and the interval excludes 0."""
+    out = tempfile.mkdtemp()
+    orders = []
+    for i in range(10):
+        orders.append((i, i, "F", 10.0, _day(0), "1-URGENT"))
+        orders.append((100 + i, i, "O", 10.0, _day(0), "3-MEDIUM"))
+    _write(
+        spark,
+        out,
+        "orders",
+        [(k, ck, s, p, d, pr) for k, ck, s, p, d, pr in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _write(
+        spark,
+        out,
+        "customer",
+        [(i, f"c{i}", 1, 0.0, "BUILDING") for i in range(10)],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    r = registry.get("q_ml_odds_ratio").fn(spark, out).collect()[0]
+    assert abs(r["odds_ratio"] - round(10.5 * 10.5 / (0.5 * 0.5), 6)) < 1e-6
+    assert abs(r["log_or"] - round(math.log(441.0), 6)) < 1e-6
+    assert r["significant"]
+
+
+def test_croston_constant_demand_pattern(spark):
+    """Demand 3 every second day: z_hat = 3, tau_hat = 2, rate 1.5."""
+    out = tempfile.mkdtemp()
+    rows = []
+    k = 0
+    for d in (0, 2, 4, 6):
+        for _ in range(3):
+            rows.append((k, "O", 10.0, d, "1-URGENT"))
+            k += 1
+    _orders(spark, out, rows)
+    r = registry.get("q_orders_croston").fn(spark, out).collect()[0]
+    assert r["n_demand_days"] == 4
+    assert r["z_hat"] == 3.0 and r["tau_hat"] == 2.0
+    assert r["croston_rate"] == 1.5

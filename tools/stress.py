@@ -363,6 +363,9 @@ QUERIES = [
     "q_text_vocab_coverage",
     "q_ml_learning_curve",
     "q_ml_gbm_stumps",
+    "q_events_absorbing",
+    "q_ml_odds_ratio",
+    "q_orders_croston",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
