@@ -6416,3 +6416,93 @@ def q_ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sse1") - F.col("red"), 2).alias("sse_after"),
     )
     return row1.unionByName(row2).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Process capability indices (SPC: Cp / Cpk against spec limits)
+# ---------------------------------------------------------------------------
+
+_CPK_LSL = 0.0   # discount spec limits — pipeline config literals
+_CPK_USL = 0.10
+
+
+@query(
+    "q_agg_cpk",
+    # Mean and sample stddev come from exact decimal power sums (the
+    # q_agg_stats device — discounts have ≤2 fractional decimals, so
+    # every cast is exact); Cp/Cpk are the same IEEE chain on those
+    # identical doubles; sqrt is correctly rounded in both engines.
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,6)))
+              AS DOUBLE) AS sxx
+  FROM lineitem GROUP BY 1
+),
+m AS (
+  SELECT l_returnflag, n, sx / n AS mu,
+         sqrt((sxx - sx * sx / n) / nullif(n - 1, 0)) AS sigma
+  FROM s
+)
+SELECT l_returnflag, n, round(mu, 6) AS mean_disc,
+       round(sigma, 6) AS stddev_disc,
+       round(({_CPK_USL} - {_CPK_LSL}) / nullif(6 * sigma, 0), 6) AS cp,
+       round(least({_CPK_USL} - mu, mu - {_CPK_LSL})
+             / nullif(3 * sigma, 0), 6) AS cpk,
+       least({_CPK_USL} - mu, mu - {_CPK_LSL})
+         / nullif(3 * sigma, 0) >= 1.33 AS capable
+FROM m ORDER BY l_returnflag
+""",
+)
+def q_agg_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-capability indices per return flag against the discount
+    spec band [{lsl}, {usl}]: Cp = (USL−LSL)/6σ (spread capability,
+    centering ignored) and Cpk = min(USL−μ, μ−LSL)/3σ (what the
+    process actually delivers given its centering), with the standard
+    Cpk ≥ 1.33 capability verdict — the SPC complement to
+    q_ts_control_chart: the chart asks "is the process stable over
+    time", this asks "is the stable process even capable of the
+    spec". Cp ≫ Cpk is the actionable case: a capable but off-center
+    process fixed by re-centering, not variance reduction.
+
+    Scale shape: ONE partial-aggregated pass to three exact decimal
+    power sums per group (q_agg_stats device); the indices are
+    closed-form on the bounded group grid.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_discount").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(
+            (F.col("l_discount") * F.col("l_discount")).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    mu = F.col("sx") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / F.nullif(F.col("n") - 1, F.lit(0))
+    )
+    cpk = F.least(F.lit(_CPK_USL) - mu, mu - F.lit(_CPK_LSL)) / F.nullif(
+        3 * sigma, F.lit(0.0)
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(mu, 6).alias("mean_disc"),
+        F.round(sigma, 6).alias("stddev_disc"),
+        F.round(
+            (F.lit(_CPK_USL) - F.lit(_CPK_LSL))
+            / F.nullif(6 * sigma, F.lit(0.0)),
+            6,
+        ).alias("cp"),
+        F.round(cpk, 6).alias("cpk"),
+        (cpk >= 1.33).alias("capable"),
+    ).orderBy("l_returnflag")
+
+
+q_agg_cpk.__doc__ = q_agg_cpk.__doc__.format(lsl=_CPK_LSL, usl=_CPK_USL)

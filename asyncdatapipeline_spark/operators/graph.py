@@ -1745,3 +1745,153 @@ def q_graph_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite rich-club coefficient (hub-hub wiring vs background density)
+# ---------------------------------------------------------------------------
+
+_RC_KS = (2, 4, 8)
+
+
+@query(
+    "q_graph_rich_club",
+    # Exact integers end to end: distinct edges, degree thresholds,
+    # conditional edge counts; densities and the normalization are one
+    # identical IEEE division chain per output row.
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_suppkey AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cd AS (SELECT u, CAST(count(*) AS BIGINT) AS du FROM pairs GROUP BY u),
+sd AS (SELECT v, CAST(count(*) AS BIGINT) AS dv FROM pairs GROUP BY v),
+e AS (
+  SELECT p.u, p.v, cd.du, sd.dv
+  FROM pairs p JOIN cd ON p.u = cd.u JOIN sd ON p.v = sd.v
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS ne,
+         CAST((SELECT count(*) FROM cd) AS BIGINT) AS nu,
+         CAST((SELECT count(*) FROM sd) AS BIGINT) AS nv
+  FROM e
+),
+k AS (SELECT unnest([{", ".join(str(k) for k in _RC_KS)}]) AS k),
+rich AS (
+  SELECT k.k,
+         CAST(sum(CASE WHEN e.du >= k.k AND e.dv >= k.k
+                  THEN 1 ELSE 0 END) AS BIGINT) AS ne_rich
+  FROM e CROSS JOIN k GROUP BY k.k
+),
+rn AS (
+  SELECT k.k,
+         CAST((SELECT count(*) FROM cd WHERE du >= k.k) AS BIGINT)
+           AS nu_rich,
+         CAST((SELECT count(*) FROM sd WHERE dv >= k.k) AS BIGINT)
+           AS nv_rich
+  FROM k
+)
+SELECT CAST(r.k AS INT) AS k, rn.nu_rich, rn.nv_rich, r.ne_rich,
+       round(CAST(r.ne_rich AS DOUBLE)
+             / nullif(rn.nu_rich * rn.nv_rich, 0), 6) AS rich_density,
+       round((CAST(r.ne_rich AS DOUBLE)
+              / nullif(rn.nu_rich * rn.nv_rich, 0))
+             / nullif(CAST(tot.ne AS DOUBLE) / (tot.nu * tot.nv), 0), 6)
+         AS norm_ratio
+FROM rich r JOIN rn ON r.k = rn.k CROSS JOIN tot
+ORDER BY k
+""",
+)
+def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite rich-club coefficient of the customer-supplier graph
+    at degree thresholds {ks}: the edge density among nodes with
+    degree ≥ k on BOTH sides, normalized by the overall bipartite
+    density — norm_ratio ≫ 1 says hubs preferentially wire to hubs
+    (order flow concentrates into a hub core: a resilience AND a
+    skew-planning signal — the hub-hub block is where a salted join
+    earns its keep), ≈ 1 says degree explains the wiring. Completes
+    the degree-structure family: q_graph_degree gives the histogram,
+    q_graph_assortativity the correlation, this the CORE's density.
+
+    Scale shape: distinct-edge reduce, two node-keyed degree frames
+    joined back edge-keyed (the assortativity shape), then each
+    threshold is a conditional count over the degree-annotated edge
+    list — one pass for all k via the bounded k fan-out; totals are
+    grid aggregates. No pair enumeration anywhere — the rich-club
+    numerator counts EDGES, never node pairs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_suppkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cd = pairs.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("du"))
+    sd = pairs.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("dv"))
+    e = pairs.join(cd, "u").join(sd, "v")
+    tot = F.broadcast(
+        e.agg(F.count(F.lit(1)).cast("long").alias("ne"))
+        .crossJoin(cd.agg(F.count(F.lit(1)).cast("long").alias("nu")))
+        .crossJoin(sd.agg(F.count(F.lit(1)).cast("long").alias("nv")))
+    )
+    rich = e.agg(
+        *[
+            F.sum(
+                F.when((F.col("du") >= k) & (F.col("dv") >= k), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias(f"ne{k}")
+            for k in _RC_KS
+        ]
+    )
+    rn = cd.agg(
+        *[
+            F.sum(F.when(F.col("du") >= k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"nu{k}")
+            for k in _RC_KS
+        ]
+    ).crossJoin(
+        sd.agg(
+            *[
+                F.sum(F.when(F.col("dv") >= k, 1).otherwise(0))
+                .cast("long")
+                .alias(f"nv{k}")
+                for k in _RC_KS
+            ]
+        )
+    )
+    base = F.broadcast(rich).crossJoin(F.broadcast(rn)).crossJoin(tot)
+    parts = []
+    for k in _RC_KS:
+        dens = F.col(f"ne{k}").cast("double") / F.nullif(
+            F.col(f"nu{k}") * F.col(f"nv{k}"), F.lit(0)
+        )
+        rho = F.col("ne").cast("double") / F.nullif(
+            F.col("nu") * F.col("nv"), F.lit(0)
+        )
+        parts.append(
+            base.select(
+                F.lit(k).cast("int").alias("k"),
+                F.col(f"nu{k}").alias("nu_rich"),
+                F.col(f"nv{k}").alias("nv_rich"),
+                F.col(f"ne{k}").alias("ne_rich"),
+                F.round(dens, 6).alias("rich_density"),
+                F.round(dens / F.nullif(rho, F.lit(0.0)), 6).alias(
+                    "norm_ratio"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("k")
+
+
+q_graph_rich_club.__doc__ = q_graph_rich_club.__doc__.format(ks=_RC_KS)

@@ -705,6 +705,15 @@ CHECKS: dict[str, list[tuple]] = {
         ("must", "daily demand reduce partially aggregated", r"HashAggregate.*partial"),
         ("must", "gap lag keyed by the priority vocabulary", r"windowspecdefinition\(grp"),
     ],
+    "q_graph_rich_club": [
+        ("must", "degree/edge reduces partially aggregated", r"HashAggregate.*partial"),
+        ("forbid", "edges counted, never node pairs", "CartesianProduct"),
+        ("forbid", "no window anywhere", "windowspecdefinition"),
+    ],
+    "q_agg_cpk": [
+        ("must", "power sums partially aggregated", r"HashAggregate.*partial"),
+        ("forbid", "one-pass closed form: no join, no window", "Join", "windowspecdefinition"),
+    ],
 }
 
 

@@ -166,6 +166,8 @@ HEADLINE = [
     "q_events_absorbing",       # 12 bounded-grid Neumann iterations
     "q_ml_odds_ratio",          # 2x2 cells + Woolf interval per segment
     "q_orders_croston",         # twin scalar folds on demand events
+    "q_graph_rich_club",        # hub-core density vs background
+    "q_agg_cpk",                # SPC capability on power sums
 ]
 
 

@@ -481,3 +481,54 @@ def test_croston_constant_demand_pattern(spark):
     assert r["n_demand_days"] == 4
     assert r["z_hat"] == 3.0 and r["tau_hat"] == 2.0
     assert r["croston_rate"] == 1.5
+
+
+def test_rich_club_planted_core(spark):
+    """4 customers × 4 suppliers: a complete 2×2 hub core (ids 0,1 on
+    both sides) plus degree-1 pendant edges. At k = 2 the rich club is
+    exactly the core: density 1.0, normalized by the global density."""
+    out = tempfile.mkdtemp()
+    edges = [(c, s) for c in (0, 1) for s in (0, 1)]
+    edges += [(2, 2), (3, 3)]
+    _write(
+        spark,
+        out,
+        "orders",
+        [(i, c, "O", 1.0, _day(0), "1-URGENT") for i, (c, s) in enumerate(edges)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _write(
+        spark,
+        out,
+        "lineitem",
+        [(i, s) for i, (c, s) in enumerate(edges)],
+        "l_orderkey long, l_suppkey long",
+    )
+    res = registry.get("q_graph_rich_club").fn(spark, out).collect()
+    got = {r["k"]: r for r in res}
+    assert got[2]["nu_rich"] == 2 and got[2]["nv_rich"] == 2
+    assert got[2]["ne_rich"] == 4 and got[2]["rich_density"] == 1.0
+    rho = 6 / (4 * 4)
+    assert abs(got[2]["norm_ratio"] - round(1.0 / rho, 6)) < 1e-6
+    assert got[8]["ne_rich"] == 0
+
+
+def test_cpk_centered_vs_offcenter(spark):
+    """Centered tight process (σ small around 0.05): Cp == Cpk and
+    capable; hugging the USL at 0.099: Cpk collapses below 1.33."""
+    out = tempfile.mkdtemp()
+    centered = [("A", 0.05 + (i % 2) * 0.002 - 0.001) for i in range(40)]
+    off = [("B", 0.099 + (i % 2) * 0.002 - 0.001) for i in range(40)]
+    _write(
+        spark,
+        out,
+        "lineitem",
+        centered + off,
+        "l_returnflag string, l_discount double",
+    )
+    res = registry.get("q_agg_cpk").fn(spark, out).collect()
+    got = {r["l_returnflag"]: r for r in res}
+    assert got["A"]["cp"] == got["A"]["cpk"] and got["A"]["capable"]
+    assert got["B"]["cpk"] < got["B"]["cp"]
+    assert not got["B"]["capable"]

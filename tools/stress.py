@@ -366,6 +366,8 @@ QUERIES = [
     "q_events_absorbing",
     "q_ml_odds_ratio",
     "q_orders_croston",
+    "q_graph_rich_club",
+    "q_agg_cpk",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
