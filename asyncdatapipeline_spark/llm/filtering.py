@@ -1339,8 +1339,12 @@ def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "n",
         F.when(
+            # Integer division (div), not /: Spark's / on longs is a
+            # DOUBLE, which drifts from the oracle's pure-integer
+            # (n*80+99)//100 as n approaches ~1e16; div keeps the
+            # all-integer rank device exact at any n.
             F.col("cum_cnt")
-            <= (F.col("n") * _STRAT_TRAIN_PCT + 99).cast("long") / 100,
+            <= F.expr(f"(n * {_STRAT_TRAIN_PCT}L + 99L) div 100L"),
             "train",
         )
         .otherwise("test")

@@ -2369,14 +2369,21 @@ def q_embed_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,12)")
         .alias("term")
     )
-    na = F.broadcast(an.agg(F.count(F.lit(1)).cast("long").alias("n_anchors")))
-    return t.crossJoin(na).agg(
-        F.max("n_anchors").alias("n_anchors"),
+    # Aggregate t to its (always 1-row) global summary FIRST, then
+    # attach the anchor count from the anchor side: if no anchor
+    # survives r1 > 0 (all-duplicate vectors), t is empty and a
+    # t-side crossJoin would drop to 0 rows with n_anchors NULL,
+    # while the oracle's scalar subquery keeps the true anchor count.
+    na = an.agg(F.count(F.lit(1)).cast("long").alias("n_anchors"))
+    t_agg = t.agg(
         F.count(F.lit(1)).cast("long").alias("n_used"),
         F.round(F.sum("term").cast("double"), 6).alias("sum_ln_mu"),
         F.round(
             F.count(F.lit(1)) / F.sum("term").cast("double"), 6
         ).alias("d_hat"),
+    )
+    return na.crossJoin(F.broadcast(t_agg)).select(
+        "n_anchors", "n_used", "sum_ln_mu", "d_hat"
     )
 
 

@@ -9838,9 +9838,12 @@ l AS (
 ),
 s AS (
   SELECT event_type, max(nd) AS n_days,
-         CAST(sum(CAST(z * z AS DECIMAL(38,0))) AS DOUBLE) AS c0,
-         CAST(sum(CAST(z * z1 AS DECIMAL(38,0))) AS DOUBLE) AS c1,
-         CAST(sum(CAST(z * z2 AS DECIMAL(38,0))) AS DOUBLE) AS c2
+         CAST(sum(CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0)))
+              AS DOUBLE) AS c0,
+         CAST(sum(CAST(z AS DECIMAL(19,0)) * CAST(z1 AS DECIMAL(19,0)))
+              AS DOUBLE) AS c1,
+         CAST(sum(CAST(z AS DECIMAL(19,0)) * CAST(z2 AS DECIMAL(19,0)))
+              AS DOUBLE) AS c2
   FROM l GROUP BY 1
 ),
 r AS (
@@ -9902,17 +9905,18 @@ def q_ts_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("z", 1).over(w).alias("z1"),
         F.lag("z", 2).over(w).alias("z2"),
     )
+    # Cast each factor to decimal(19,0) BEFORE multiplying so the
+    # product is computed in decimal (headroom to |z| ~ 1e19 each side,
+    # product exact in decimal(38,0)); an int64 pre-product would wrap
+    # silently past |z| ~ 3e9 with ANSI off while the oracle errors.
+    zd = F.col("z").cast("decimal(19,0)")
+    z1d = F.col("z1").cast("decimal(19,0)")
+    z2d = F.col("z2").cast("decimal(19,0)")
     s = l.groupBy("event_type").agg(
         F.max("nd").alias("n_days"),
-        F.sum((F.col("z") * F.col("z")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("c0"),
-        F.sum((F.col("z") * F.col("z1")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("c1"),
-        F.sum((F.col("z") * F.col("z2")).cast("decimal(38,0)"))
-        .cast("double")
-        .alias("c2"),
+        F.sum(zd * zd).cast("double").alias("c0"),
+        F.sum(zd * z1d).cast("double").alias("c1"),
+        F.sum(zd * z2d).cast("double").alias("c2"),
     )
     r1 = F.col("c1") / F.nullif(F.col("c0"), F.lit(0.0))
     r2 = F.col("c2") / F.nullif(F.col("c0"), F.lit(0.0))
