@@ -2679,3 +2679,284 @@ def q_embed_fisher_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_FISHER_TOP_K)
         .drop("_ord")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding anisotropy: mean pairwise cosine via the norm-of-sum identity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_anisotropy",
+    # Unit-normalized coordinates snap to the TwoNN 1e12 integer grid
+    # (norm is the shared sequential double fold, identical both
+    # engines), so the per-dim sums, the sum-of-squares-of-sums, and
+    # the diagonal correction are ALL exact integers/decimals; the
+    # single division happens once on identical doubles.
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+              j -> CAST(embedding[j] AS DOUBLE)
+                   * CAST(embedding[j] AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+nz AS (SELECT * FROM v WHERE nrm > 0),
+sc AS (
+  SELECT nz.vec_id, u.i,
+         CAST(round(round(nz.v[u.i] / nz.nrm, 12) * 1000000000000.0)
+              AS BIGINT) AS s
+  FROM nz, unnest(generate_series(1, len(nz.v))) AS u(i)
+),
+dim AS (
+  SELECT i, CAST(sum(s) AS BIGINT) AS sd,
+         sum(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS diag
+  FROM sc GROUP BY 1
+),
+g AS (
+  SELECT sum(CAST(sd AS DECIMAL(19,0)) * CAST(sd AS DECIMAL(19,0))) AS ssq,
+         sum(diag) AS diag
+  FROM dim
+),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST((SELECT count(*) FROM v WHERE nrm = 0) AS BIGINT)
+           AS n_zero_norm,
+         CAST(sum(CAST(round(nrm, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           / count(*) AS mean_norm
+  FROM nz
+)
+SELECT c.n AS n_vectors, c.n_zero_norm,
+       round(c.mean_norm, 6) AS mean_norm,
+       round(CAST(g.ssq - g.diag AS DOUBLE) / 1e24
+             / (CAST(c.n AS DOUBLE) * (c.n - 1)), 6) AS mean_pairwise_cos,
+       CAST(g.ssq - g.diag AS DOUBLE) / 1e24
+         / (CAST(c.n AS DOUBLE) * (c.n - 1)) > 0.5e0 AS collapsed
+FROM g, c
+""",
+)
+def q_embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy of the embedding space: the mean pairwise cosine over
+    ALL ordered pairs, computed in ONE linear pass via the norm-of-sum
+    identity Σ_{i≠j} v̂ᵢ·v̂ⱼ = ‖Σv̂‖² − Σ‖v̂‖² — the Ethayarajh-style
+    "is this representation collapsed into a cone" scalar. Healthy
+    spaces sit near 0; mean cosine > 0.5 means every vector shares a
+    dominant direction and cosine similarity has lost most of its
+    resolution (whitening or re-training needed). The pairwise
+    complement to q_embed_twonn's manifold dimension and
+    q_embed_dim_profile's per-axis variance.
+
+    Scale shape: NO pair enumeration ever — the identity reduces the
+    n² pair sum to per-dimension sums: one map pass normalizes and
+    snaps coordinates to the exact 1e12 integer grid, one
+    map-combinable agg per dimension (d rows out), one d-row reduce.
+    Linear in corpus size, constant-bounded shuffle, driver-free.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    nz = v.filter(F.col("nrm") > 0)
+    sc = nz.select(
+        F.posexplode("v").alias("i", "x"),
+        F.col("nrm"),
+    ).select(
+        "i",
+        F.round(F.round(F.col("x") / F.col("nrm"), 12) * 1e12, 0)
+        .cast("long")
+        .alias("s"),
+    )
+    sd19 = F.col("s").cast("decimal(19,0)")
+    dim = sc.groupBy("i").agg(
+        F.sum("s").cast("long").alias("sd"),
+        F.sum(sd19 * sd19).alias("diag"),
+    )
+    sdd = F.col("sd").cast("decimal(19,0)")
+    g = dim.agg(
+        F.sum(sdd * sdd).alias("ssq"), F.sum("diag").alias("diag")
+    )
+    nzero = v.filter(F.col("nrm") == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_zero_norm")
+    )
+    c = (
+        nz.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(F.round("nrm", 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_norm"),
+        )
+        .crossJoin(F.broadcast(nzero))
+    )
+    pair = (F.col("ssq") - F.col("diag")).cast("double") / F.lit(1e24) / (
+        F.col("n").cast("double") * (F.col("n") - 1)
+    )
+    return c.crossJoin(F.broadcast(g)).select(
+        F.col("n").alias("n_vectors"),
+        "n_zero_norm",
+        F.round("mean_norm", 6).alias("mean_norm"),
+        F.round(pair, 6).alias("mean_pairwise_cos"),
+        (pair > 0.5).alias("collapsed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hubness of the embedding space (k-occurrence skew over an anchor probe)
+# ---------------------------------------------------------------------------
+
+_HUB_K = 5
+
+
+@query(
+    "q_embed_hubness",
+    # Distances ride the TwoNN exact 1e12-integer device, so every
+    # anchor's top-k set is the identical (d2, nid) selection both
+    # engines; the k-occurrence counts are then exact integers and the
+    # skewness closed form runs on exact integer power sums.
+    oracle=f"""
+WITH a AS (
+  SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av
+  FROM embeddings
+  WHERE vec_id % {_TWONN_ANCHOR_MOD} = 0 AND vec_id < {_TWONN_ANCHOR_CAP}
+),
+c AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+),
+d AS (
+  SELECT aid, nid,
+         CAST(sum(CAST(round(round((av[i] - cv[i]) * (av[i] - cv[i]), 12)
+                             * 1000000000000.0) AS BIGINT))
+              AS BIGINT) AS d2
+  FROM a, c, unnest(generate_series(1, len(av))) AS u(i)
+  WHERE nid != aid
+  GROUP BY aid, nid
+),
+topk AS (
+  SELECT nid FROM (
+    SELECT aid, nid,
+           row_number() OVER (PARTITION BY aid ORDER BY d2, nid) AS rn
+    FROM d
+  ) WHERE rn <= {_HUB_K}
+),
+occ AS (
+  SELECT nid, CAST(count(*) AS BIGINT) AS o FROM topk GROUP BY 1
+),
+s AS (
+  SELECT CAST(coalesce(sum(o), 0) AS BIGINT) AS so,
+         CAST(coalesce(sum(o * o), 0) AS BIGINT) AS so2,
+         CAST(coalesce(sum(o * o * o), 0) AS BIGINT) AS so3,
+         CAST(count(*) AS BIGINT) AS n_hit,
+         CAST(coalesce(max(o), 0) AS BIGINT) AS max_occ
+  FROM occ
+),
+nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST((SELECT count(*) FROM a) AS BIGINT) AS n_anchors
+  FROM c
+),
+m AS (
+  SELECT nn.n, nn.n_anchors, s.max_occ, s.n_hit,
+         CAST(s.so AS DOUBLE) / nn.n AS m1,
+         CAST(s.so2 AS DOUBLE) / nn.n AS m2r,
+         CAST(s.so3 AS DOUBLE) / nn.n AS m3r
+  FROM s, nn
+)
+SELECT n AS n_corpus, n_anchors, {_HUB_K} AS k, max_occ,
+       round(m1, 6) AS mean_occ,
+       round((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
+             / power(m2r - m1 * m1, 1.5e0), 6) AS occ_skewness,
+       round(1.0e0 - CAST(n_hit AS DOUBLE) / n, 6) AS antihub_frac
+FROM m
+""",
+)
+def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic: over a bounded anchor probe set, the
+    k-occurrence distribution — how often each corpus vector lands in
+    an anchor's exact top-k — summarized by its skewness, the
+    standard hubness score (Radovanović et al.). High-dimensional or
+    collapsed spaces grow "hubs" that appear in everyone's neighbor
+    list and "antihubs" nobody retrieves: occ_skewness ≫ 1 plus a
+    large antihub_frac predicts degraded ANN recall and duplicate-y
+    retrieval BEFORE any index is built — the neighbor-graph
+    complement to q_embed_anisotropy's mean-cosine cone check.
+
+    Scale shape: the probe set is bounded (the TwoNN anchor device:
+    ≤100 anchors at any corpus size) and broadcast; the corpus is
+    scanned ONCE scoring all anchors map-locally on the exact integer
+    grid; per-anchor top-k is a WindowGroupLimit (per-task k-heaps);
+    the occurrence reduce and the moment closed form are
+    map-combinable integer sums. Linear in corpus size.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    an = F.broadcast(
+        e.filter(
+            (F.col("vec_id") % _TWONN_ANCHOR_MOD == 0)
+            & (F.col("vec_id") < _TWONN_ANCHOR_CAP)
+        ).select(
+            F.col("vec_id").alias("aid"),
+            _as_double(F.col("embedding")).alias("av"),
+        )
+    )
+    # One-partition fan-out guard (the TwoNN lesson): spread the corpus
+    # BEFORE the broadcast nested-loop expansion.
+    co = e.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("nid"),
+        F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    term = F.round(
+        F.round(
+            (F.col("x") - F.element_at(F.col("av"), F.col("pos") + 1))
+            * (F.col("x") - F.element_at(F.col("av"), F.col("pos") + 1)),
+            12,
+        )
+        * 1e12,
+        0,
+    ).cast("long")
+    d = (
+        co.join(an, F.col("nid") != F.col("aid"))
+        .groupBy("aid", "nid")
+        .agg(F.sum(term).alias("d2"))
+    )
+    w = W.partitionBy("aid").orderBy("d2", "nid")
+    topk = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HUB_K)
+        .select("nid")
+    )
+    occ = topk.groupBy("nid").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    s = occ.agg(
+        F.coalesce(F.sum("o"), F.lit(0)).cast("long").alias("so"),
+        F.coalesce(F.sum(F.col("o") * F.col("o")), F.lit(0))
+        .cast("long")
+        .alias("so2"),
+        F.coalesce(F.sum(F.col("o") * F.col("o") * F.col("o")), F.lit(0))
+        .cast("long")
+        .alias("so3"),
+        F.count(F.lit(1)).cast("long").alias("n_hit"),
+        F.coalesce(F.max("o"), F.lit(0)).cast("long").alias("max_occ"),
+    )
+    nn = e.agg(F.count(F.lit(1)).cast("long").alias("n")).crossJoin(
+        F.broadcast(
+            an.agg(F.count(F.lit(1)).cast("long").alias("n_anchors"))
+        )
+    )
+    m = nn.crossJoin(F.broadcast(s))
+    m1 = F.col("so").cast("double") / F.col("n")
+    m2r = F.col("so2").cast("double") / F.col("n")
+    m3r = F.col("so3").cast("double") / F.col("n")
+    return m.select(
+        F.col("n").alias("n_corpus"),
+        "n_anchors",
+        F.lit(_HUB_K).cast("int").alias("k"),
+        "max_occ",
+        F.round(m1, 6).alias("mean_occ"),
+        F.round(
+            (m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
+            / F.pow(m2r - m1 * m1, 1.5),
+            6,
+        ).alias("occ_skewness"),
+        F.round(
+            F.lit(1.0) - F.col("n_hit").cast("double") / F.col("n"), 6
+        ).alias("antihub_frac"),
+    )

@@ -6506,3 +6506,243 @@ def q_agg_cpk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_agg_cpk.__doc__ = q_agg_cpk.__doc__.format(lsl=_CPK_LSL, usl=_CPK_USL)
+
+
+# ---------------------------------------------------------------------------
+# Sarle's bimodality coefficient (mixture screen from shape moments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_bimodality",
+    # The q_agg_jarque_bera exact power-sum device on l_extendedprice:
+    # decimal sums to x^4, closed-form g1/g2 with the small-sample
+    # correction, one IEEE expression both engines. 5/9 is the uniform
+    # distribution's BC — the standard bimodality cut.
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+         AS DOUBLE) AS sxx,
+    CAST(sum(CAST(l_extendedprice * l_extendedprice * l_extendedprice
+                  AS DECIMAL(38,6))) AS DOUBLE) AS sx3,
+    CAST(sum(CAST(l_extendedprice * l_extendedprice * l_extendedprice
+                  * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sx4
+  FROM lineitem GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag, n,
+    (sx3 / n - 3 * (sx / n) * (sxx / n)
+     + 2 * (sx / n) * (sx / n) * (sx / n))
+      / power(sxx / n - (sx / n) * (sx / n), 1.5e0) AS g1,
+    (sx4 / n - 4 * (sx / n) * (sx3 / n)
+     + 6 * (sx / n) * (sx / n) * (sxx / n)
+     - 3 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
+      / ((sxx / n - (sx / n) * (sx / n)) * (sxx / n - (sx / n) * (sx / n)))
+      - 3 AS g2
+  FROM s
+)
+SELECT l_returnflag, n,
+       round(g1, 6) AS skewness,
+       round(g2, 6) AS excess_kurtosis,
+       round((g1 * g1 + 1)
+             / (g2 + 3.0e0 * (n - 1) * (n - 1) / ((n - 2) * (n - 3))),
+             6) AS bc,
+       (g1 * g1 + 1)
+         / (g2 + 3.0e0 * (n - 1) * (n - 1) / ((n - 2) * (n - 3)))
+         > 0.5555555555555556e0 AS bimodal_leaning
+FROM m ORDER BY l_returnflag
+""",
+)
+def q_agg_bimodality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sarle's bimodality coefficient per return-flag group: BC =
+    (g1² + 1)/(g2 + 3(n−1)²/((n−2)(n−3))), with BC > 5/9 (the uniform
+    distribution's value) flagging a shape more bimodal than uniform —
+    the one-pass mixture screen that says "this column is two
+    populations glued together" (e.g. two price regimes, a bot+human
+    blend) BEFORE anyone fits a mean to it. q_agg_jarque_bera rejects
+    normality without saying why; BC points specifically at the
+    two-bump failure mode that invalidates every unimodal summary.
+
+    Scale shape: identical to q_agg_jarque_bera — ONE partial-
+    aggregated pass of exact-decimal power sums to x⁴, closed forms
+    per group, bounded output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((x * x * x).cast("decimal(38,6)")).cast("double").alias("sx3"),
+        F.sum((x * x * x * x).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sx4"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("sx") / n
+    m2 = F.col("sxx") / n - mean * mean
+    g1 = (
+        F.col("sx3") / n - 3 * mean * (F.col("sxx") / n) + 2 * mean * mean * mean
+    ) / F.pow(m2, 1.5)
+    g2 = (
+        F.col("sx4") / n
+        - 4 * mean * (F.col("sx3") / n)
+        + 6 * mean * mean * (F.col("sxx") / n)
+        - 3 * mean * mean * mean * mean
+    ) / (m2 * m2) - 3
+    corr = 3.0 * (n - 1) * (n - 1) / ((n - 2) * (n - 3))
+    bc = (g1 * g1 + 1) / (g2 + corr)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(g1, 6).alias("skewness"),
+        F.round(g2, 6).alias("excess_kurtosis"),
+        F.round(bc, 6).alias("bc"),
+        (bc > 5.0 / 9.0).alias("bimodal_leaning"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Huber M-estimator of location (bounded-influence robust mean)
+# ---------------------------------------------------------------------------
+
+_HUBER_K = 1.345  # 95%-efficiency tuning constant
+_HUBER_ITERS = 2  # fixed, documented IRLS step count
+
+
+def _huber_iter_sql(it: int, prev: str) -> str:
+    """One DuckDB IRLS step: psi-weights against the previous location,
+    weighted sums on the 6dp/9dp decimal grids."""
+    return f"""
+w{it} AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(round(wgt, 9) AS DECIMAL(10,9))) AS DOUBLE) AS sw,
+         CAST(sum(CAST(round(wgt * x, 6) AS DECIMAL(24,6))) AS DOUBLE) AS swx
+  FROM (
+    SELECT r.l_returnflag, r.x,
+           least(1.0e0, {_HUBER_K} * m.s / nullif(abs(r.x - {prev}.mu), 0))
+             AS wgt
+    FROM raw r
+    JOIN m ON m.l_returnflag = r.l_returnflag
+    JOIN {prev} ON {prev}.l_returnflag = r.l_returnflag
+  ) GROUP BY 1
+),
+mu{it} AS (
+  SELECT l_returnflag, swx / nullif(sw, 0) AS mu FROM w{it}
+)"""
+
+
+def _huber_oracle() -> str:
+    iters = ",".join(
+        _huber_iter_sql(i, f"mu{i - 1}" if i > 1 else "mu0")
+        for i in range(1, _HUBER_ITERS + 1)
+    )
+    return f"""
+WITH raw AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+),
+m AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+      AS mean,
+    sqrt(CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) / count(*)
+         - (CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+            / count(*))
+           * (CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+              / count(*))) AS s
+  FROM lineitem GROUP BY 1
+),
+mu0 AS (SELECT l_returnflag, mean AS mu FROM m),
+{iters}
+SELECT m.l_returnflag, m.n,
+       round(m.mean, 6) AS mean,
+       round(mu{_HUBER_ITERS}.mu, 6) AS huber_mean,
+       round(mu{_HUBER_ITERS}.mu - m.mean, 6) AS shift
+FROM m JOIN mu{_HUBER_ITERS} USING (l_returnflag)
+ORDER BY m.l_returnflag
+"""
+
+
+@query(
+    "q_agg_huber",
+    # Start = exact-decimal mean/population-sd; each of the 2
+    # documented IRLS steps recomputes psi-weights w = min(1,
+    # k*s/|x-mu|) as the identical IEEE double per row (mu, s are
+    # identical doubles from exact sums; x is the raw column), then
+    # snaps w to the 9dp and w*x to the 6dp decimal grid so BOTH
+    # weighted sums are exact and order-free.
+    oracle=_huber_oracle(),
+)
+def q_agg_huber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of the per-group price level (k = 1.345, two
+    fixed IRLS steps from the mean): rows farther than k·σ from the
+    current location keep only the weight k·σ/|x−μ|, so a fat tail
+    moves the estimate boundedly instead of linearly — the
+    production-grade center for skewed money columns, between the
+    mean (efficient, fragile) and the median (robust, noisy).
+    q_agg_trimmed_mean throws tail rows away; Huber DOWN-WEIGHTS
+    them, keeping 95% Gaussian efficiency. The shift column is the
+    actionable readout: how many dollars of the advertised mean are
+    tail artifact.
+
+    Scale shape: the start is ONE exact-decimal power-sum pass; each
+    IRLS step is one more map-combinable weighted-sum pass over the
+    raw rows with the (bounded) previous locations broadcast — 3
+    linear passes total, no sort, no window, driver-free.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    nD = F.col("n").cast("double")
+    m = m.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / nD).alias("mean"),
+        F.sqrt(
+            F.col("sxx") / nD - (F.col("sx") / nD) * (F.col("sx") / nD)
+        ).alias("s"),
+    )
+    raw = li.select(
+        "l_returnflag", x.cast("double").alias("x")
+    )
+    mu = m.select("l_returnflag", F.col("mean").alias("mu"))
+    for _ in range(_HUBER_ITERS):
+        j = raw.join(F.broadcast(m.select("l_returnflag", "s")), "l_returnflag").join(
+            F.broadcast(mu), "l_returnflag"
+        )
+        wgt = F.least(
+            F.lit(1.0),
+            F.lit(_HUBER_K)
+            * F.col("s")
+            / F.nullif(F.abs(F.col("x") - F.col("mu")), F.lit(0.0)),
+        )
+        w = j.groupBy("l_returnflag").agg(
+            F.sum(F.round(wgt, 9).cast("decimal(10,9)"))
+            .cast("double")
+            .alias("sw"),
+            F.sum(F.round(wgt * F.col("x"), 6).cast("decimal(24,6)"))
+            .cast("double")
+            .alias("swx"),
+        )
+        mu = w.select(
+            "l_returnflag",
+            (F.col("swx") / F.nullif(F.col("sw"), F.lit(0.0))).alias("mu"),
+        )
+    return (
+        m.join(mu, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            F.round("mean", 6).alias("mean"),
+            F.round("mu", 6).alias("huber_mean"),
+            F.round(F.col("mu") - F.col("mean"), 6).alias("shift"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1895,3 +1895,92 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_graph_rich_club.__doc__ = q_graph_rich_club.__doc__.format(ks=_RC_KS)
+
+
+# ---------------------------------------------------------------------------
+# Average neighbor degree per degree class (assortativity curve)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_graph_neighbor_degree",
+    # Pure integer device: degrees are counts, the per-class reduce
+    # sums neighbor degrees as BIGINTs, and the one division happens
+    # per bounded degree-class row on identical integers.
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+e AS (
+  SELECT du.d AS k, dv.d AS dv
+  FROM edges
+  JOIN deg du ON du.u = edges.u
+  JOIN deg dv ON dv.u = edges.v
+)
+SELECT k AS degree,
+       CAST(count(*) / k AS BIGINT) AS n_nodes,
+       CAST(count(*) AS BIGINT) AS n_edge_ends,
+       round(CAST(sum(dv) AS DOUBLE) / count(*), 6) AS avg_neighbor_degree,
+       round(CAST(sum(dv) AS DOUBLE) / count(*) / k, 6) AS knn_over_k
+FROM e GROUP BY k ORDER BY k
+""",
+)
+def q_graph_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average neighbor degree per degree class k̄nn(k) over the
+    customer↔supplier trade graph — the assortativity CURVE behind
+    q_graph_assortativity's single coefficient: a falling k̄nn(k)
+    (knn_over_k shrinking with k) is the disassortative hub-and-spoke
+    signature (big suppliers trade with small customers), a flat or
+    rising curve means peers trade with peers. This is the readout
+    that says WHICH degree band drives the mixing coefficient, the
+    same way q_graph_rich_club localizes the top-end.
+
+    Scale shape: one distinct-pair reduce builds the edge list, one
+    grouped count the degree frame; the two degree attachments are
+    shuffle joins co-keyed on the node id (no adjacency lists
+    materialized), and the final reduce is a bounded degree-class
+    grid of exact integer sums — map-combinable end to end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    e = (
+        edges.join(deg.withColumnRenamed("d", "k"), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
+        )
+    )
+    return (
+        e.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edge_ends"),
+            F.sum("dv").cast("long").alias("sdv"),
+        )
+        .select(
+            F.col("k").alias("degree"),
+            (F.col("n_edge_ends") / F.col("k")).cast("long").alias("n_nodes"),
+            "n_edge_ends",
+            F.round(
+                F.col("sdv").cast("double") / F.col("n_edge_ends"), 6
+            ).alias("avg_neighbor_degree"),
+            F.round(
+                F.col("sdv").cast("double") / F.col("n_edge_ends") / F.col("k"),
+                6,
+            ).alias("knn_over_k"),
+        )
+        .orderBy("degree")
+    )

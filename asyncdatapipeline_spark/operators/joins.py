@@ -1960,3 +1960,131 @@ def q_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "key")
         .limit(_EXPL_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules over brand baskets (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_RULES_MIN_PAIR = 2
+_RULES_TOP_K = 15
+
+
+@query(
+    "q_orders_basket_rules",
+    # All counts are exact integers (distinct (order, brand) pairs
+    # self-joined on the basket key); support/confidence/lift are one
+    # IEEE expression each on identical ints, ranked on the 6dp grid
+    # with a full (brand_a, brand_b) tiebreak.
+    oracle=f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+nb AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_b FROM ob GROUP BY 1),
+nt AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM ob),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING count(*) >= {_RULES_MIN_PAIR}
+),
+r AS (
+  SELECT p.brand_a, p.brand_b, p.n_pair,
+         round(CAST(p.n_pair AS DOUBLE) / nt.n, 6) AS support,
+         round(CAST(p.n_pair AS DOUBLE) / na.n_b, 6) AS confidence,
+         round(CAST(p.n_pair AS DOUBLE) * nt.n / (na.n_b * nb2.n_b), 6)
+           AS lift
+  FROM pairs p
+  JOIN nb na ON na.p_brand = p.brand_a
+  JOIN nb nb2 ON nb2.p_brand = p.brand_b, nt
+)
+SELECT brand_a, brand_b, n_pair, support, confidence, lift
+FROM r ORDER BY lift DESC, brand_a, brand_b
+LIMIT {_RULES_TOP_K}
+""",
+)
+def q_orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over brand baskets: for every brand pair that
+    co-occurs in ≥{minp} orders, support P(a,b), confidence P(b|a)
+    and lift P(a,b)/(P(a)P(b)), top-{k} by lift — q_copurchase scored
+    into the numbers a merchandiser can act on (lift > 1 = genuine
+    affinity, ≈1 = popularity coincidence, the classic beer-diapers
+    readout). Brands (bounded vocab ~25) rather than raw parts, so
+    the rule table is itself bounded.
+
+    Scale shape: the basket key self-join rides q_copurchase's
+    doctrine — per-order distinct brands are bounded by the order's
+    line count (≤7 in TPC-H shape), so pair fan-out is linear in
+    orders; the brand margin and total are broadcast (≤25 + 1 rows);
+    ranking is TakeOrderedAndProject on the 6dp-rounded lift.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.select("l_orderkey", "l_partkey")
+        .join(pt, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nb = F.broadcast(
+        ob.groupBy("p_brand").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    )
+    nt = F.broadcast(
+        ob.agg(
+            F.countDistinct("l_orderkey").cast("long").alias("n")
+        )
+    )
+    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= _RULES_MIN_PAIR)
+    )
+    r = (
+        pairs.join(
+            nb.select(
+                F.col("p_brand").alias("brand_a"), F.col("n_b").alias("na")
+            ),
+            "brand_a",
+        )
+        .join(
+            nb.select(
+                F.col("p_brand").alias("brand_b"), F.col("n_b").alias("nbb")
+            ),
+            "brand_b",
+        )
+        .crossJoin(nt)
+    )
+    return (
+        r.select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.col("n"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_pair").cast("double") / F.col("na"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n")
+                / (F.col("na") * F.col("nbb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(_RULES_TOP_K)
+    )
+
+
+q_orders_basket_rules.__doc__ = q_orders_basket_rules.__doc__.format(
+    minp=_RULES_MIN_PAIR, k=_RULES_TOP_K
+)

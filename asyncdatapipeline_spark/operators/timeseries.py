@@ -10436,3 +10436,600 @@ def q_orders_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
             ses(F.col("zs")) / ses(F.col("gaps")), 6
         ).alias("croston_rate"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy by level (multi-scale burstiness decomposition)
+# ---------------------------------------------------------------------------
+
+_HAAR_LEVELS = (1, 2, 3)  # dyadic scales: 2, 4, 8 days
+
+
+@query(
+    "q_ts_haar_energy",
+    # Integer device end-to-end: the zero-filled day spine's counts are
+    # BIGINT, each Haar detail numerator (left-half sum minus
+    # right-half sum of a dyadic block) is an exact integer, its square
+    # rides the decimal(19,0)x(19,0) product, and the single division
+    # by 2^k happens once per (type, level) on identical doubles.
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, min(day) AS mind, max(day) AS maxd FROM d GROUP BY 1
+),
+spine0 AS (
+  SELECT b.event_type, s.j, b.mind, b.maxd - b.mind AS jmax
+  FROM b, unnest(generate_series(0, b.maxd - b.mind)) AS s(j)
+),
+spine AS (
+  SELECT s0.event_type, s0.j, s0.jmax, coalesce(d.y, 0) AS y
+  FROM spine0 s0
+  LEFT JOIN d ON d.event_type = s0.event_type AND d.day = s0.mind + s0.j
+),
+lv AS (SELECT unnest([{", ".join(str(k) for k in _HAAR_LEVELS)}]) AS level),
+num AS (
+  SELECT s.event_type, lv.level, s.j // (1 << lv.level) AS blk,
+         sum(CASE WHEN s.j % (1 << lv.level) < (1 << (lv.level - 1))
+                  THEN s.y ELSE -s.y END) AS coeff
+  FROM spine s, lv
+  WHERE ((s.j // (1 << lv.level)) + 1) * (1 << lv.level) - 1 <= s.jmax
+  GROUP BY 1, 2, 3
+),
+e AS (
+  SELECT event_type, level, CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(CAST(coeff AS DECIMAL(19,0))
+                  * CAST(coeff AS DECIMAL(19,0))) AS DOUBLE)
+           / (1 << level) AS energy
+  FROM num GROUP BY 1, 2
+)
+SELECT event_type, level, n_blocks,
+       round(energy, 6) AS energy,
+       round(energy / nullif(sum(energy) OVER (PARTITION BY event_type), 0),
+             6) AS energy_share
+FROM e ORDER BY event_type, level
+""",
+)
+def q_ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet detail energy of the daily event-count series at
+    dyadic scales 2/4/8 days, per event type: level-k detail
+    coefficients are (left-half sum − right-half sum)/2^(k/2) over
+    complete 2^k-day blocks, and the per-level energy Σcoeff²/2^k
+    locates WHERE the series' variance lives — day-to-day jitter
+    (level 1), intra-week swings (level 2), or week-scale regime
+    moves (level 3). The multi-scale complement to
+    q_ts_spectral_entropy's frequency view: a deploy-cadence spike
+    shows as level-1/2 energy, a marketing-wave as level 3.
+
+    Scale shape: the raw pass collapses to the calendar-bounded
+    (type, day) grid; the zero-filled spine and the 3-level fan-out
+    are spine-sized (bounded by days × levels, independent of row
+    count); detail numerators are exact integer sums over dyadic
+    blocks (map-combinable), squares ride the decimal(19,0) product
+    device, and the share window partitions by event_type over a
+    bounded (type × 3)-row frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts").cast("double") / 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    b = d.groupBy("event_type").agg(
+        F.min("day").alias("mind"), F.max("day").alias("maxd")
+    )
+    spine = (
+        b.select(
+            "event_type",
+            "mind",
+            (F.col("maxd") - F.col("mind")).alias("jmax"),
+            F.explode(
+                F.sequence(F.lit(0), F.col("maxd") - F.col("mind"))
+            ).alias("j"),
+        )
+        .join(
+            d.withColumnRenamed("event_type", "et"),
+            on=[
+                F.col("event_type") == F.col("et"),
+                F.col("day") == F.col("mind") + F.col("j"),
+            ],
+            how="left",
+        )
+        .select(
+            "event_type",
+            "j",
+            "jmax",
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    lv = F.broadcast(
+        spark.createDataFrame(
+            [(k,) for k in _HAAR_LEVELS], "level int"
+        )
+    )
+    blksz = F.expr("shiftleft(1, level)").cast("long")
+    half = F.expr("shiftleft(1, level - 1)").cast("long")
+    num = (
+        spine.crossJoin(lv)
+        .filter(
+            (F.floor(F.col("j") / blksz) + 1) * blksz - 1 <= F.col("jmax")
+        )
+        .groupBy(
+            "event_type",
+            "level",
+            F.floor(F.col("j") / blksz).alias("blk"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("j") % blksz < half, F.col("y")).otherwise(
+                    -F.col("y")
+                )
+            ).alias("coeff")
+        )
+    )
+    cd = F.col("coeff").cast("decimal(19,0)")
+    en = (
+        num.groupBy("event_type", "level")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(cd * cd).cast("double").alias("sumsq"),
+        )
+        .select(
+            "event_type",
+            "level",
+            "n_blocks",
+            (
+                F.col("sumsq")
+                / F.expr("shiftleft(1, level)").cast("double")
+            ).alias("energy"),
+        )
+    )
+    w = W.partitionBy("event_type")
+    return en.select(
+        "event_type",
+        "level",
+        "n_blocks",
+        F.round("energy", 6).alias("energy"),
+        F.round(
+            F.col("energy")
+            / F.nullif(F.sum("energy").over(w), F.lit(0.0)),
+            6,
+        ).alias("energy_share"),
+    ).orderBy("event_type", "level")
+
+
+# ---------------------------------------------------------------------------
+# Variance-ratio test (Lo-MacKinlay) on the daily event-count series
+# ---------------------------------------------------------------------------
+
+_VR_K = 5  # aggregation horizon, days
+
+
+@query(
+    "q_ts_variance_ratio",
+    # All-integer differences on the zero-filled spine: d1 and dk are
+    # exact BIGINTs, their power sums ride decimal(19,0) products, and
+    # VR is one IEEE expression on identical doubles both engines.
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, min(day) AS mind, max(day) AS maxd FROM d GROUP BY 1
+),
+spine0 AS (
+  SELECT b.event_type, s.j, b.mind
+  FROM b, unnest(generate_series(0, b.maxd - b.mind)) AS s(j)
+),
+spine AS (
+  SELECT s0.event_type, s0.j, coalesce(d.y, 0) AS y
+  FROM spine0 s0
+  LEFT JOIN d ON d.event_type = s0.event_type AND d.day = s0.mind + s0.j
+),
+l AS (
+  SELECT event_type, y,
+         y - lag(y, 1) OVER (PARTITION BY event_type ORDER BY j) AS d1,
+         y - lag(y, {_VR_K}) OVER (PARTITION BY event_type ORDER BY j) AS dk
+  FROM spine
+),
+s AS (
+  SELECT event_type,
+         CAST(count(d1) AS BIGINT) AS n1,
+         CAST(sum(d1) AS BIGINT) AS s1,
+         CAST(sum(CAST(d1 AS DECIMAL(19,0)) * CAST(d1 AS DECIMAL(19,0)))
+              AS DOUBLE) AS s11,
+         CAST(count(dk) AS BIGINT) AS nk,
+         CAST(sum(dk) AS BIGINT) AS sk,
+         CAST(sum(CAST(dk AS DECIMAL(19,0)) * CAST(dk AS DECIMAL(19,0)))
+              AS DOUBLE) AS skk
+  FROM l GROUP BY 1
+),
+v AS (
+  SELECT event_type, n1, nk,
+         s11 / n1 - (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1)
+           AS var1,
+         skk / nk - (CAST(sk AS DOUBLE) / nk) * (CAST(sk AS DOUBLE) / nk)
+           AS vark
+  FROM s WHERE n1 > 0 AND nk > 0
+)
+SELECT event_type, n1 + 1 AS n_days,
+       round(var1, 6) AS var1,
+       round(vark, 6) AS var{_VR_K},
+       round(vark / nullif({_VR_K} * var1, 0), 6) AS vr,
+       CASE WHEN vark / nullif({_VR_K} * var1, 0) < 0.8e0
+              THEN 'mean_reverting'
+            WHEN vark / nullif({_VR_K} * var1, 0) > 1.2e0
+              THEN 'trending'
+            ELSE 'random_walk_band' END AS verdict
+FROM v ORDER BY event_type
+""",
+)
+def q_ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test per event type: the variance of
+    5-day changes of the daily count series against 5× the variance of
+    1-day changes. A random walk has VR = 1; VR < 1 means shocks
+    mean-revert (yesterday's spike is absorbed — capacity planning can
+    ignore it); VR > 1 means shocks compound (trends persist — the
+    early-warning regime q_ts_changepoint later localizes). The
+    horizon-scaling complement to q_ts_hurst's R/S view, with a
+    variance footing instead of a range footing.
+
+    Scale shape: one data-sized grouped count to the calendar-bounded
+    (type, day) grid; the zero-filled spine, the two lag windows
+    (partitioned by bounded event_type over the bounded day spine) and
+    the exact-decimal power sums are all spine-sized; the VR verdict
+    is closed-form per group.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts").cast("double") / 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    b = d.groupBy("event_type").agg(
+        F.min("day").alias("mind"), F.max("day").alias("maxd")
+    )
+    spine = (
+        b.select(
+            "event_type",
+            "mind",
+            F.explode(
+                F.sequence(F.lit(0), F.col("maxd") - F.col("mind"))
+            ).alias("j"),
+        )
+        .join(
+            d.withColumnRenamed("event_type", "et"),
+            on=[
+                F.col("event_type") == F.col("et"),
+                F.col("day") == F.col("mind") + F.col("j"),
+            ],
+            how="left",
+        )
+        .select("event_type", "j", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    w = W.partitionBy("event_type").orderBy("j")
+    l = spine.select(
+        "event_type",
+        (F.col("y") - F.lag("y", 1).over(w)).alias("d1"),
+        (F.col("y") - F.lag("y", _VR_K).over(w)).alias("dk"),
+    )
+    d1d = F.col("d1").cast("decimal(19,0)")
+    dkd = F.col("dk").cast("decimal(19,0)")
+    s = l.groupBy("event_type").agg(
+        F.count("d1").cast("long").alias("n1"),
+        F.sum("d1").cast("long").alias("s1"),
+        F.sum(d1d * d1d).cast("double").alias("s11"),
+        F.count("dk").cast("long").alias("nk"),
+        F.sum("dk").cast("long").alias("sk"),
+        F.sum(dkd * dkd).cast("double").alias("skk"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    mk = F.col("sk").cast("double") / F.col("nk")
+    var1 = F.col("s11") / F.col("n1") - m1 * m1
+    vark = F.col("skk") / F.col("nk") - mk * mk
+    vr = vark / F.nullif(F.lit(float(_VR_K)) * var1, F.lit(0.0))
+    return (
+        s.filter((F.col("n1") > 0) & (F.col("nk") > 0))
+        .select(
+            "event_type",
+            (F.col("n1") + 1).alias("n_days"),
+            F.round(var1, 6).alias("var1"),
+            F.round(vark, 6).alias(f"var{_VR_K}"),
+            F.round(vr, 6).alias("vr"),
+            F.when(vr < 0.8, "mean_reverting")
+            .when(vr > 1.2, "trending")
+            .otherwise("random_walk_band")
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engle-Granger cointegration check: views vs purchases daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_cointegration",
+    # OLS rides exact integer power sums (counts on the zero-filled
+    # spine); the residual u = y - a - b*x is the identical IEEE
+    # double per day both engines (a, b identical doubles from exact
+    # sums; x, y integers), snapped to a 6dp decimal grid so the
+    # Dickey-Fuller cross sums A/B/C are exact and order-free; the
+    # lag pairing is an equi-join on the spine index, not a window.
+    oracle="""
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(day) AS mind, max(day) AS maxd FROM d),
+spine0 AS (
+  SELECT s.j, b.mind FROM b, unnest(generate_series(0, b.maxd - b.mind)) AS s(j)
+),
+spine AS (
+  SELECT s0.j, coalesce(d.x, 0) AS x, coalesce(d.y, 0) AS y
+  FROM spine0 s0 LEFT JOIN d ON d.day = s0.mind + s0.j
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DOUBLE) AS sxy
+  FROM spine
+),
+ab AS (
+  SELECT n,
+         (n * sxy - CAST(sx AS DOUBLE) * sy)
+           / nullif(n * sxx - CAST(sx AS DOUBLE) * sx, 0) AS slope,
+         (sy - (n * sxy - CAST(sx AS DOUBLE) * sy)
+                 / nullif(n * sxx - CAST(sx AS DOUBLE) * sx, 0) * sx)
+           / n AS icept
+  FROM s
+),
+u AS (
+  SELECT sp.j,
+         CAST(round(sp.y - ab.icept - ab.slope * sp.x, 6)
+              AS DECIMAL(18,6)) AS ur
+  FROM spine sp, ab
+),
+pair AS (
+  SELECT cur.ur AS u0, prev.ur AS um1
+  FROM u cur JOIN u prev ON prev.j = cur.j - 1
+),
+df AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(um1 * um1) AS DOUBLE) AS a,
+         CAST(sum((u0 - um1) * um1) AS DOUBLE) AS bb,
+         CAST(sum((u0 - um1) * (u0 - um1)) AS DOUBLE) AS c
+  FROM pair
+)
+SELECT ab.n AS n_days,
+       round(ab.slope, 6) AS slope,
+       round(ab.icept, 6) AS intercept,
+       round(df.bb / nullif(df.a, 0), 6) AS rho,
+       round(df.bb / nullif(sqrt(df.a * ((df.c - df.bb * df.bb
+                                          / nullif(df.a, 0))
+                                         / (df.m - 1))), 0), 6) AS df_t,
+       df.bb / nullif(sqrt(df.a * ((df.c - df.bb * df.bb
+                                    / nullif(df.a, 0))
+                                   / (df.m - 1))), 0) < -1.94e0
+         AS cointegrated
+FROM ab, df
+""",
+)
+def q_ts_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger cointegration check between the daily 'view' and
+    'purchase' count series: OLS of purchases on views, then a
+    Dickey-Fuller t-statistic on the residual (Δu regressed on u₋₁,
+    no intercept). A strongly negative df_t (< −1.94, the 10%
+    no-constant DF critical value) means the two series share a
+    long-run equilibrium — deviations of purchases from the fitted
+    view-multiple self-correct — which licenses ratio-based alerting
+    (q_events_ratio_ci) on the pair; a near-zero df_t means the ratio
+    drifts and per-series monitoring (q_ts_control_chart) is the only
+    honest option.
+
+    Scale shape: one data-sized pass collapses to the calendar-bounded
+    day grid; the spine fill, OLS power sums (exact decimal), the
+    6dp-snapped residual grid, and the lag-1 equi-join (no
+    unpartitioned window — a self-join on the spine index) are all
+    spine-sized; both reductions are map-combinable and the final
+    frame is ONE row.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts").cast("double") / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    b = d.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+    spine = (
+        b.select(
+            "mind",
+            F.explode(
+                F.sequence(F.lit(0), F.col("maxd") - F.col("mind"))
+            ).alias("j"),
+        )
+        .join(d, on=[F.col("day") == F.col("mind") + F.col("j")], how="left")
+        .select(
+            "j",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    s = spine.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    ) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"),
+        F.lit(0.0),
+    )
+    ab = s.select(
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("icept"),
+    )
+    u = spine.crossJoin(F.broadcast(ab)).select(
+        "j",
+        "n",
+        "slope",
+        "icept",
+        F.round(
+            F.col("y") - F.col("icept") - F.col("slope") * F.col("x"), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("ur"),
+    )
+    pair = (
+        u.alias("cur")
+        .join(
+            u.select(F.col("j").alias("jp"), F.col("ur").alias("um1")),
+            on=[F.col("jp") == F.col("j") - 1],
+            how="inner",
+        )
+        .select("um1", (F.col("ur") - F.col("um1")).alias("du"))
+    )
+    df = pair.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("um1") * F.col("um1")).cast("double").alias("a"),
+        F.sum(F.col("du") * F.col("um1")).cast("double").alias("bb"),
+        F.sum(F.col("du") * F.col("du")).cast("double").alias("c"),
+    )
+    sig2 = (
+        F.col("c") - F.col("bb") * F.col("bb") / F.nullif(F.col("a"), F.lit(0.0))
+    ) / (F.col("m") - 1)
+    df_t = F.col("bb") / F.nullif(F.sqrt(F.col("a") * sig2), F.lit(0.0))
+    return (
+        ab.crossJoin(F.broadcast(df))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round("slope", 6).alias("slope"),
+            F.round("icept", 6).alias("intercept"),
+            F.round(
+                F.col("bb") / F.nullif(F.col("a"), F.lit(0.0)), 6
+            ).alias("rho"),
+            F.round(df_t, 6).alias("df_t"),
+            (df_t < -1.94).alias("cointegrated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness per event type (Goh-Barabási B coefficient)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_burstiness",
+    # Gaps are exact BIGINT microseconds (epoch_us both engines), the
+    # power sums ride decimal(19,0) products, and mean/std/B/CV are
+    # one IEEE expression on identical doubles. The lag window is
+    # partitioned by (user, type) — per-user sequences stay local.
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts), 1)
+           OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS gap
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(gap) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS sg,
+         CAST(sum(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
+              AS DOUBLE) AS sgg
+  FROM g WHERE gap IS NOT NULL GROUP BY 1
+),
+m AS (
+  SELECT event_type, n_gaps,
+         CAST(sg AS DOUBLE) / n_gaps AS mu,
+         sqrt(sgg / n_gaps - (CAST(sg AS DOUBLE) / n_gaps)
+                             * (CAST(sg AS DOUBLE) / n_gaps)) AS sd
+  FROM s WHERE n_gaps > 0
+)
+SELECT event_type, n_gaps,
+       round(mu / 1e6, 6) AS mean_gap_sec,
+       round(sd / nullif(mu, 0), 6) AS cv,
+       round((sd - mu) / nullif(sd + mu, 0), 6) AS burstiness,
+       CASE WHEN (sd - mu) / nullif(sd + mu, 0) > 0.1e0 THEN 'bursty'
+            WHEN (sd - mu) / nullif(sd + mu, 0) < -0.1e0 THEN 'regular'
+            ELSE 'poisson_like' END AS verdict
+FROM m ORDER BY event_type
+""",
+)
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness of per-user inter-arrival times, per
+    event type: B = (σ−μ)/(σ+μ) of the microsecond gaps between a
+    user's consecutive events of the same type. B ≈ 0 is a Poisson
+    process (rate-based alerting and capacity math are licensed);
+    B → 1 means heavy-tailed bursts (a mean rate is a fiction — size
+    for the burst, and q_events_fatigue's session view is the right
+    lens); B < 0 is pacemaker-regular (almost always a BOT signature
+    in human-labeled streams). The event-stream sibling of
+    q_text_burstiness's token view.
+
+    Scale shape: the lag window partitions by (user, type) — millions
+    of small sequences, never a global sort; the moment reduce is one
+    map-combinable pass of exact integer/decimal power sums onto the
+    bounded event_type grid.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = e.select(
+        "event_type", (us - F.lag(us, 1).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    gd = F.col("gap").cast("decimal(19,0)")
+    s = g.groupBy("event_type").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("sg"),
+        F.sum(gd * gd).cast("double").alias("sgg"),
+    )
+    mu = F.col("sg").cast("double") / F.col("n_gaps")
+    sd = F.sqrt(F.col("sgg") / F.col("n_gaps") - mu * mu)
+    bb = (sd - mu) / F.nullif(sd + mu, F.lit(0.0))
+    return (
+        s.filter(F.col("n_gaps") > 0)
+        .select(
+            "event_type",
+            "n_gaps",
+            F.round(mu / 1e6, 6).alias("mean_gap_sec"),
+            F.round(sd / F.nullif(mu, F.lit(0.0)), 6).alias("cv"),
+            F.round(bb, 6).alias("burstiness"),
+            F.when(bb > 0.1, "bursty")
+            .when(bb < -0.1, "regular")
+            .otherwise("poisson_like")
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )

@@ -276,6 +276,12 @@ def main() -> None:
         "queries": timings,
         "value_cold": round(sum(cold.values()), 3),
         "queries_cold": cold,
+        # raw per-pass samples behind each median — a single-sample
+        # outlier (the r10 changepoint/cogroup scare) is then visible
+        # as one bad sample of three instead of a phantom regression
+        "queries_samples": {
+            name: [round(t, 3) for t in ts] for name, ts in samples.items()
+        },
         "sf": sf_val,
         "pipeline_ops_per_sec": pipeline_ops,
     }

@@ -1,0 +1,320 @@
+"""Planted-case gates for the round-11 operators: Haar energy on a
+period-2 alternation (all energy at level 1), the variance ratio on the
+same alternation (VR hand-computed, mean-reverting), cointegration
+against a literal Python reference, Sarle's BC on a two-point mass,
+Huber against the literal 2-step IRLS, anisotropy on identical vectors
+(mean cos = 1), hubness on a hand-placed 1-D line, brand association
+rules on a 4-order basket set, the neighbor-degree curve on a star, and
+burstiness on planted gap patterns.
+
+The oracle sweep pins values against DuckDB; these pin SEMANTICS
+against hand-computable fixtures.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import tempfile
+
+from asyncdatapipeline_spark import registry
+
+
+def _write(spark, out, table, rows, schema):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        os.path.join(out, f"{table}.parquet")
+    )
+
+
+def _day(i: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i)
+
+
+def _sec(s: float) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def _daily_events(spark, out, counts, etype="view", extra=()):
+    """counts[i] events on day i for ``etype`` plus ``extra`` rows of
+    (event_id, ts, user_id, event_type)."""
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, _day(d), 1, etype))
+            eid += 1
+    rows += list(extra)
+    _write(
+        spark,
+        out,
+        "events",
+        [(e, t, u, et, 1.0, "{}") for e, t, u, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_haar_energy_period2_alternation(spark):
+    """y = 2,1,2,1,2,1,2,1 (all days present, so the spine spans the
+    full 8 days): every level-1 block differs by 1 (energy 4/2 = 2),
+    levels 2 and 3 see balanced halves (energy 0)."""
+    out = tempfile.mkdtemp()
+    _daily_events(spark, out, [2, 1] * 4)
+    got = {
+        r["level"]: r
+        for r in registry.get("q_ts_haar_energy").fn(spark, out).collect()
+    }
+    assert got[1]["n_blocks"] == 4 and abs(got[1]["energy"] - 2.0) < 1e-9
+    assert got[2]["energy"] == 0.0 and got[3]["energy"] == 0.0
+    assert abs(got[1]["energy_share"] - 1.0) < 1e-9
+
+
+def test_variance_ratio_alternation_mean_reverts(spark):
+    """y = j % 2 over 10 days: var1 = 80/81, var5 = 0.96,
+    VR = 0.96/(5*80/81) = 0.1944 -> mean_reverting."""
+    out = tempfile.mkdtemp()
+    _daily_events(spark, out, [j % 2 for j in range(10)])
+    # day 0 has zero events -> spine starts at day 1; recompute the
+    # expected numbers on the observed spine (days 1..9, y=1,0,1,...)
+    ys = [1, 0, 1, 0, 1, 0, 1, 0, 1]
+    d1 = [ys[t] - ys[t - 1] for t in range(1, len(ys))]
+    dk = [ys[t] - ys[t - 5] for t in range(5, len(ys))]
+
+    def var(v):
+        m = sum(v) / len(v)
+        return sum(x * x for x in v) / len(v) - m * m
+
+    vr = var(dk) / (5 * var(d1))
+    r = registry.get("q_ts_variance_ratio").fn(spark, out).collect()
+    row = next(x for x in r if x["event_type"] == "view")
+    assert abs(row["vr"] - round(vr, 6)) < 1e-6
+    assert row["verdict"] == "mean_reverting"
+
+
+def test_cointegration_matches_python_reference(spark):
+    """views x = [2,4,2,4,2,4], purchases y = [1,3,2,3,1,2]: slope,
+    rho, df_t recomputed by the literal formulas."""
+    out = tempfile.mkdtemp()
+    xs = [2, 4, 2, 4, 2, 4]
+    ys = [1, 3, 2, 3, 1, 2]
+    rows = []
+    eid = 0
+    for d in range(6):
+        for _ in range(xs[d]):
+            rows.append((eid, _day(d), 1, "view"))
+            eid += 1
+        for _ in range(ys[d]):
+            rows.append((eid, _day(d), 1, "purchase"))
+            eid += 1
+    _write(
+        spark,
+        out,
+        "events",
+        [(e, t, u, et, 1.0, "{}") for e, t, u, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icept = (sy - slope * sx) / n
+    u = [round(y - icept - slope * x, 6) for x, y in zip(xs, ys)]
+    a = sum(u[t - 1] * u[t - 1] for t in range(1, n))
+    b = sum((u[t] - u[t - 1]) * u[t - 1] for t in range(1, n))
+    c = sum((u[t] - u[t - 1]) ** 2 for t in range(1, n))
+    m = n - 1
+    sig2 = (c - b * b / a) / (m - 1)
+    df_t = b / math.sqrt(a * sig2)
+    r = registry.get("q_ts_cointegration").fn(spark, out).collect()[0]
+    assert r["n_days"] == n
+    assert abs(r["slope"] - round(slope, 6)) < 1e-6
+    assert abs(r["intercept"] - round(icept, 6)) < 1e-6
+    assert abs(r["rho"] - round(b / a, 6)) < 1e-5
+    assert abs(r["df_t"] - round(df_t, 6)) < 1e-4
+
+
+def _lineitem_prices(spark, out, groups):
+    """groups: dict flag -> list of extendedprice values."""
+    rows = []
+    for flag, vals in groups.items():
+        for i, v in enumerate(vals):
+            rows.append((i, float(v), float(v), flag))
+    _write(
+        spark,
+        out,
+        "lineitem",
+        rows,
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_returnflag string",
+    )
+
+
+def test_bimodality_two_point_mass(spark):
+    """20 zeros + 20 ones: g1 = 0, g2 = -2, BC = 1/(-2 + 3*39^2/(38*37))
+    > 5/9 -> bimodal_leaning."""
+    out = tempfile.mkdtemp()
+    _lineitem_prices(spark, out, {"A": [0.0] * 20 + [1.0] * 20})
+    r = registry.get("q_agg_bimodality").fn(spark, out).collect()[0]
+    n = 40
+    bc = 1.0 / (-2.0 + 3.0 * (n - 1) ** 2 / ((n - 2) * (n - 3)))
+    assert r["skewness"] == 0.0
+    assert abs(r["excess_kurtosis"] + 2.0) < 1e-9
+    assert abs(r["bc"] - round(bc, 6)) < 1e-6
+    assert r["bimodal_leaning"] is True and bc > 5 / 9
+
+
+def test_huber_downweights_single_outlier(spark):
+    """[10]*9 + [100]: the literal 2-step IRLS (k=1.345, mean/pop-sd
+    start, 9dp/6dp weight grids) lands well below the mean."""
+    out = tempfile.mkdtemp()
+    vals = [10.0] * 9 + [100.0]
+    _lineitem_prices(spark, out, {"A": vals})
+    n = len(vals)
+    mean = sum(vals) / n
+    s = math.sqrt(sum(v * v for v in vals) / n - mean * mean)
+    k = 1.345
+    mu = mean
+    for _ in range(2):
+        sw = swx = 0.0
+        for x in vals:
+            w = 1.0 if x == mu else min(1.0, k * s / abs(x - mu))
+            sw += round(w, 9)
+            swx += round(w * x, 6)
+        mu = swx / sw
+    r = registry.get("q_agg_huber").fn(spark, out).collect()[0]
+    assert abs(r["mean"] - 19.0) < 1e-9
+    assert abs(r["huber_mean"] - round(mu, 6)) < 1e-6
+    assert r["huber_mean"] < r["mean"] - 4  # the outlier lost influence
+    assert abs(r["shift"] - round(mu - mean, 6)) < 1e-6
+
+
+def test_anisotropy_identical_vectors_collapsed(spark):
+    """Four copies of [1, 0]: every pairwise cosine is exactly 1."""
+    out = tempfile.mkdtemp()
+    _write(
+        spark,
+        out,
+        "embeddings",
+        [(i, [1.0, 0.0], 0) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = registry.get("q_embed_anisotropy").fn(spark, out).collect()[0]
+    assert r["n_vectors"] == 4 and r["n_zero_norm"] == 0
+    assert abs(r["mean_norm"] - 1.0) < 1e-9
+    assert abs(r["mean_pairwise_cos"] - 1.0) < 1e-9
+    assert r["collapsed"] is True
+
+
+def test_hubness_hand_placed_line(spark):
+    """Anchors at ids 0 (x=0) and 5 (x=100); 8 fillers on 1..9.
+    occ = [0,1,1,1,2,0,2,1,1,1]: mean 1, skew 0, antihub 0.2."""
+    out = tempfile.mkdtemp()
+    pos = {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0,
+           5: 100.0, 6: 6.0, 7: 7.0, 8: 8.0, 9: 9.0}
+    _write(
+        spark,
+        out,
+        "embeddings",
+        [(i, [x], 0) for i, x in pos.items()],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = registry.get("q_embed_hubness").fn(spark, out).collect()[0]
+    assert r["n_corpus"] == 10 and r["n_anchors"] == 2 and r["k"] == 5
+    assert r["max_occ"] == 2
+    assert abs(r["mean_occ"] - 1.0) < 1e-9
+    assert abs(r["occ_skewness"] - 0.0) < 1e-9
+    assert abs(r["antihub_frac"] - 0.2) < 1e-9
+
+
+def test_basket_rules_single_surviving_pair(spark):
+    """Orders {A,B},{A,B},{A,C},{B}: only (A,B) reaches 2 orders;
+    support 0.5, confidence 2/3, lift 8/9."""
+    out = tempfile.mkdtemp()
+    baskets = {1: ["A", "B"], 2: ["A", "B"], 3: ["A", "C"], 4: ["B"]}
+    brand_pk = {"A": 1, "B": 2, "C": 3}
+    _write(
+        spark,
+        out,
+        "part",
+        [(pk, f"Brand#{b}") for b, pk in brand_pk.items()],
+        "p_partkey long, p_brand string",
+    )
+    rows = [
+        (ok, brand_pk[b]) for ok, bs in baskets.items() for b in bs
+    ]
+    _write(spark, out, "lineitem", rows, "l_orderkey long, l_partkey long")
+    res = registry.get("q_orders_basket_rules").fn(spark, out).collect()
+    assert len(res) == 1
+    r = res[0]
+    assert r["brand_a"] == "Brand#A" and r["brand_b"] == "Brand#B"
+    assert r["n_pair"] == 2
+    assert abs(r["support"] - 0.5) < 1e-9
+    assert abs(r["confidence"] - round(2 / 3, 6)) < 1e-6
+    assert abs(r["lift"] - round(8 / 9, 6)) < 1e-6
+
+
+def test_neighbor_degree_star(spark):
+    """c1-{s1,s2,s3}, c2-s1, c3-s1: degree-1 nodes average neighbor
+    degree 3; degree-3 nodes average 10/6."""
+    out = tempfile.mkdtemp()
+    edges = [(1, 1), (1, 2), (1, 3), (2, 1), (3, 1)]  # (cust, supp)
+    _write(
+        spark,
+        out,
+        "orders",
+        [(i, c) for i, (c, _) in enumerate(edges)],
+        "o_orderkey long, o_custkey long",
+    )
+    _write(
+        spark,
+        out,
+        "lineitem",
+        [(i, s) for i, (_, s) in enumerate(edges)],
+        "l_orderkey long, l_suppkey long",
+    )
+    got = {
+        r["degree"]: r
+        for r in registry.get("q_graph_neighbor_degree")
+        .fn(spark, out)
+        .collect()
+    }
+    assert got[1]["n_nodes"] == 4 and got[1]["avg_neighbor_degree"] == 3.0
+    assert got[3]["n_nodes"] == 2
+    assert abs(got[3]["avg_neighbor_degree"] - round(10 / 6, 6)) < 1e-6
+    assert abs(got[1]["knn_over_k"] - 3.0) < 1e-9
+
+
+def test_burstiness_planted_gap_patterns(spark):
+    """Type R: equal 1s gaps -> sd 0, B = -1, 'regular'. Type B: gaps
+    1,1,1,97 s -> B = (sd-25)/(sd+25) with sd = sqrt(1728), 'bursty'."""
+    out = tempfile.mkdtemp()
+    rows = []
+    eid = 0
+    for i in range(5):  # type R at t = 0,1,2,3,4
+        rows.append((eid, _sec(i), 1, "R"))
+        eid += 1
+    for t in [0, 1, 2, 3, 100]:  # type B gaps 1,1,1,97
+        rows.append((eid, _sec(t), 1, "B"))
+        eid += 1
+    _write(
+        spark,
+        out,
+        "events",
+        [(e, t, u, et, 1.0, "{}") for e, t, u, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["event_type"]: r
+        for r in registry.get("q_events_burstiness").fn(spark, out).collect()
+    }
+    assert got["R"]["burstiness"] == -1.0 and got["R"]["verdict"] == "regular"
+    assert abs(got["R"]["mean_gap_sec"] - 1.0) < 1e-9
+    mu, var = 25.0, (3 * 1 + 97 * 97) / 4 - 625
+    sd = math.sqrt(var)
+    assert abs(got["B"]["burstiness"] - round((sd - mu) / (sd + mu), 6)) < 1e-6
+    assert got["B"]["verdict"] == "bursty"
+    assert got["B"]["n_gaps"] == 4
