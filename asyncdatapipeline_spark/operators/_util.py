@@ -225,6 +225,15 @@ def dist_cumsum(
     """
     part_cols = list(part_cols)
     tiebreak = list(tiebreak)
+    # The input frame feeds (1) the boundary collect, (2) the
+    # per-bucket totals and (3) the main running-sum path — three
+    # evaluations of what is often an expensive upstream reduce
+    # (measured r11: q_agg_winsorized_corr's stacked distinct-value
+    # frame cost ~1.2 s per re-evaluation). Truncate lineage ONCE; the
+    # frame at this point is always the already-reduced spine/distinct
+    # form, so the materialization is small by construction (the
+    # SCALING.md re-referenced-frame doctrine).
+    df = df.localCheckpoint(eager=False)
     proxy = F.col(order_col).cast("double")
     if descending:
         proxy = -proxy

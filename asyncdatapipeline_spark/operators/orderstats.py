@@ -1880,24 +1880,44 @@ def q_agg_winsorized_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     n = F.broadcast(li.agg(F.count(F.lit(1)).cast("long").alias("n")))
 
-    def bounds(col: str, lo_name: str, hi_name: str) -> DataFrame:
-        g = li.groupBy(F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).alias("cnt")
+    # Both columns' rank crossings ride ONE stacked machine (r11 perf
+    # pass: the per-column bounds() form scanned lineitem twice and ran
+    # two dist_cumsum chains — two boundary collects + two shuffle
+    # rounds; stacking (cid, v) halves both). part_cols scopes the
+    # cumulative per column; boundaries stay global, which only skews
+    # bucket BALANCE (bounded), never order.
+    stk = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("x").alias("cid"),
+                    F.col("l_extendedprice").alias("v"),
+                ),
+                F.struct(
+                    F.lit("y").alias("cid"), F.col("l_quantity").alias("v")
+                ),
+            )
+        ).alias("s")
+    ).select("s.cid", "s.v")
+    g = stk.groupBy("cid", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    c = dist_cumsum(g, "v", ["cnt"], part_cols=["cid"]).select(
+        "cid", "v", F.col("cum_cnt").cast("long").alias("cum")
+    )
+
+    def crossing(cid: str, p: int):
+        return F.min(
+            F.when(
+                (F.col("cid") == cid) & (F.col("cum") >= _rank_at(p, "n")),
+                F.col("v"),
+            )
         )
-        c = dist_cumsum(g, "v", ["cnt"]).select(
-            "v", F.col("cum_cnt").cast("long").alias("cum")
-        )
-        return c.crossJoin(n).agg(
-            F.min(
-                F.when(F.col("cum") >= _rank_at(5, "n"), F.col("v"))
-            ).alias(lo_name),
-            F.min(
-                F.when(F.col("cum") >= _rank_at(95, "n"), F.col("v"))
-            ).alias(hi_name),
-        )
+
     thr = F.broadcast(
-        bounds("l_extendedprice", "xlo", "xhi").crossJoin(
-            bounds("l_quantity", "ylo", "yhi")
+        c.crossJoin(n).agg(
+            crossing("x", 5).alias("xlo"),
+            crossing("x", 95).alias("xhi"),
+            crossing("y", 5).alias("ylo"),
+            crossing("y", 95).alias("yhi"),
         )
     )
     w = li.crossJoin(thr).select(

@@ -168,6 +168,17 @@ HEADLINE = [
     "q_orders_croston",         # twin scalar folds on demand events
     "q_graph_rich_club",        # hub-core density vs background
     "q_agg_cpk",                # SPC capability on power sums
+    # round-11 additions
+    "q_ts_haar_energy",         # dyadic-block wavelet energy on the spine
+    "q_ts_variance_ratio",      # lag windows + integer power sums
+    "q_ts_cointegration",       # OLS + DF stat on the 6dp residual grid
+    "q_agg_bimodality",         # x^4 power sums, closed form
+    "q_agg_huber",              # 3 linear passes (mean start + 2 IRLS)
+    "q_embed_anisotropy",       # norm-of-sum identity, per-dim reduce
+    "q_embed_hubness",          # bounded-anchor corpus scan + top-k
+    "q_orders_basket_rules",    # basket-key self-join + broadcast margins
+    "q_graph_neighbor_degree",  # two degree joins, bounded class grid
+    "q_events_burstiness",      # per-(user,type) lag + moment reduce
 ]
 
 
