@@ -11033,3 +11033,207 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded DTW of each event type's daily profile vs the global profile
+# ---------------------------------------------------------------------------
+
+_DTW_BAND = 7        # Sakoe-Chiba band half-width, days
+_DTW_SCALE = 1_000_000  # integer micro-share grid
+
+
+@query(
+    "q_ts_dtw",
+    # Zero float surface: both profiles snap to integer micro-shares
+    # (floor division), the local distance |a_i - b_j| is an integer,
+    # and the banded DP propagates exact integer sums — the oracle
+    # replays the identical recurrence as an anti-diagonal wavefront
+    # (cells on diagonal k depend only on k-1 and k-2, so each step is
+    # one list_transform with NO within-row recursion — the DuckDB
+    # sequential-fold trap documented in SCALING.md does not apply).
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+bn AS (SELECT min(day) AS mind, max(day) AS maxd FROM d),
+types AS (SELECT DISTINCT event_type FROM d),
+spine0 AS (
+  SELECT t.event_type, s.j, bn.mind
+  FROM bn, types t, unnest(generate_series(0, bn.maxd - bn.mind)) AS s(j)
+),
+sp AS (
+  SELECT s0.event_type, s0.j, coalesce(d.y, 0) AS y
+  FROM spine0 s0
+  LEFT JOIN d ON d.event_type = s0.event_type AND d.day = s0.mind + s0.j
+),
+tot AS (SELECT event_type, sum(y) AS yt FROM sp GROUP BY 1),
+gl AS (SELECT j, sum(y) AS g FROM sp GROUP BY 1),
+gt AS (SELECT sum(g) AS gt FROM gl),
+arr AS (
+  SELECT sp.event_type,
+         list((sp.y * {_DTW_SCALE}) // tot.yt ORDER BY sp.j) AS a,
+         (SELECT list((gl.g * {_DTW_SCALE}) // gt.gt ORDER BY gl.j)
+          FROM gl, gt) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM sp JOIN tot USING (event_type)
+  GROUP BY sp.event_type, tot.yt
+),
+dp AS (
+  SELECT event_type, CAST(0 AS BIGINT) AS k,
+         list_transform(generate_series(0, n - 1),
+           i -> CASE WHEN i = 0 THEN abs(a[1] - b[1]) END) AS cur,
+         CAST(NULL AS BIGINT[]) AS prev
+  FROM arr
+  UNION ALL
+  SELECT dp.event_type, dp.k + 1,
+         list_transform(generate_series(0, arr.n - 1), i ->
+           CASE WHEN dp.k + 1 - i BETWEEN 0 AND arr.n - 1
+                 AND abs(2 * i - (dp.k + 1)) <= {_DTW_BAND}
+           THEN abs(arr.a[i + 1] - arr.b[dp.k + 2 - i])
+                + list_min(list_filter([
+                    CASE WHEN i > 0 THEN dp.cur[i] END,
+                    dp.cur[i + 1],
+                    CASE WHEN i > 0 THEN dp.prev[i] END
+                  ], x -> x IS NOT NULL))
+           END) AS cur,
+         dp.cur AS prev
+  FROM dp JOIN arr USING (event_type)
+  WHERE dp.k + 1 <= 2 * arr.n - 2
+)
+SELECT dp.event_type, arr.n AS n_days,
+       CAST(dp.cur[arr.n] AS BIGINT) AS dtw_cost_micro,
+       round(CAST(dp.cur[arr.n] AS DOUBLE) / {_DTW_SCALE}, 6) AS dtw_cost,
+       round(CAST(dp.cur[arr.n] AS DOUBLE) / {_DTW_SCALE}
+             / (2 * arr.n - 1), 6) AS dtw_per_step
+FROM dp JOIN arr USING (event_type)
+WHERE dp.k = 2 * arr.n - 2
+ORDER BY dp.event_type
+""",
+)
+def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded dynamic-time-warping distance between each event type's
+    daily volume PROFILE (integer micro-shares of its own total, so
+    magnitude is factored out) and the global profile, Sakoe-Chiba
+    band ±{band} days. DTW is the shape-similarity Spark has no
+    built-in for: it forgives small phase shifts (a type that runs
+    the same weekly wave two days late scores near 0) that make
+    plain correlation (q_ts_rolling_corr) read "different". High
+    dtw_per_step = this type marches to its own calendar — the mix /
+    seasonality owner's segmentation readout.
+
+    Custom-operator tier (b) of the mandate: semantics (a sequential
+    O(n²) DP) are genuinely inexpressible as bounded relational
+    algebra, so the DP runs in ``applyInPandas`` — ONE bounded pandas
+    frame per event type, rows = the calendar-bounded day spine
+    (never data-sized; the grid is grouped/zero-filled relationally
+    first), exact Python-int arithmetic so the result is
+    deterministic and engine-identical. The DuckDB oracle replays the
+    recurrence as a recursive anti-diagonal wavefront CTE.
+
+    Scale shape: raw pass collapses to the (type, day) grid; the
+    per-group pandas state is O(days), the DP O(days·band); group
+    count is the bounded type vocabulary. At 100 TB nothing grows but
+    the day count.
+    """
+    import pandas as pd  # noqa: F401  (Arrow batch bridge)
+
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts").cast("double") / 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    bn = d.agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+    types = d.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bn))
+        .select(
+            "event_type",
+            "mind",
+            F.explode(
+                F.sequence(F.lit(0), F.col("maxd") - F.col("mind"))
+            ).alias("j"),
+        )
+        .join(
+            d.withColumnRenamed("event_type", "et"),
+            on=[
+                F.col("event_type") == F.col("et"),
+                F.col("day") == F.col("mind") + F.col("j"),
+            ],
+            how="left",
+        )
+        .select("event_type", "j", F.coalesce("y", F.lit(0)).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    tot = spine.groupBy("event_type").agg(F.sum("y").alias("yt"))
+    gl = spine.groupBy("j").agg(F.sum("y").alias("g"))
+    gt = gl.agg(F.sum("g").alias("gt"))
+    rows = (
+        spine.join(F.broadcast(tot), "event_type")
+        .join(gl.withColumnRenamed("j", "jg"), F.col("jg") == F.col("j"))
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "event_type",
+            "j",
+            F.expr(f"(y * {_DTW_SCALE}L) div yt").alias("a"),
+            F.expr(f"(g * {_DTW_SCALE}L) div gt").alias("b"),
+        )
+    )
+
+    def dtw(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("j")
+        a = [int(x) for x in pdf["a"]]
+        b = [int(x) for x in pdf["b"]]
+        n = len(a)
+        w = _DTW_BAND
+        prev = None
+        cur = [abs(a[0] - b[0]) if i == 0 else None for i in range(n)]
+        for k in range(1, 2 * n - 1):
+            nxt = [None] * n
+            for i in range(n):
+                j = k - i
+                if not (0 <= j < n and abs(i - j) <= w):
+                    continue
+                cands = []
+                if i > 0 and cur[i - 1] is not None:
+                    cands.append(cur[i - 1])
+                if cur[i] is not None:
+                    cands.append(cur[i])
+                if i > 0 and prev is not None and prev[i - 1] is not None:
+                    cands.append(prev[i - 1])
+                if cands:
+                    nxt[i] = abs(a[i] - b[j]) + min(cands)
+            prev, cur = cur, nxt
+        cost = cur[n - 1] if n > 1 else abs(a[0] - b[0])
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [n],
+                "dtw_cost_micro": [cost],
+                "dtw_cost": [round(cost / _DTW_SCALE, 6)],
+                "dtw_per_step": [
+                    round(cost / _DTW_SCALE / (2 * n - 1), 6)
+                ],
+            }
+        )
+
+    return (
+        rows.groupBy("event_type")
+        .applyInPandas(
+            dtw,
+            schema=(
+                "event_type string, n_days long, dtw_cost_micro long, "
+                "dtw_cost double, dtw_per_step double"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+q_ts_dtw.__doc__ = q_ts_dtw.__doc__.format(band=_DTW_BAND)

@@ -179,6 +179,7 @@ HEADLINE = [
     "q_orders_basket_rules",    # basket-key self-join + broadcast margins
     "q_graph_neighbor_degree",  # two degree joins, bounded class grid
     "q_events_burstiness",      # per-(user,type) lag + moment reduce
+    "q_ts_dtw",                 # applyInPandas banded DP on the spine
 ]
 
 

@@ -318,3 +318,78 @@ def test_burstiness_planted_gap_patterns(spark):
     assert abs(got["B"]["burstiness"] - round((sd - mu) / (sd + mu), 6)) < 1e-6
     assert got["B"]["verdict"] == "bursty"
     assert got["B"]["n_gaps"] == 4
+
+
+def _dtw_ref(a, b, w=7):
+    n = len(a)
+    prev, cur = None, [abs(a[0] - b[0]) if i == 0 else None
+                       for i in range(n)]
+    for k in range(1, 2 * n - 1):
+        nxt = [None] * n
+        for i in range(n):
+            j = k - i
+            if not (0 <= j < n and abs(i - j) <= w):
+                continue
+            cands = [
+                c
+                for c in (
+                    cur[i - 1] if i > 0 else None,
+                    cur[i],
+                    prev[i - 1] if i > 0 and prev is not None else None,
+                )
+                if c is not None
+            ]
+            if cands:
+                nxt[i] = abs(a[i] - b[j]) + min(cands)
+        prev, cur = cur, nxt
+    return cur[n - 1] if n > 1 else abs(a[0] - b[0])
+
+
+def test_dtw_single_type_is_zero(spark):
+    """One event type: its micro-share profile IS the global profile,
+    so every local distance on the diagonal is 0 and DTW = 0."""
+    out = tempfile.mkdtemp()
+    _daily_events(spark, out, [3, 1, 4, 1, 5, 9, 2, 6])
+    r = registry.get("q_ts_dtw").fn(spark, out).collect()
+    assert len(r) == 1
+    assert r[0]["dtw_cost_micro"] == 0 and r[0]["dtw_cost"] == 0.0
+    assert r[0]["n_days"] == 8
+
+
+def test_dtw_matches_python_reference(spark):
+    """Two types with different shapes: engine cost equals the literal
+    banded-DP replica on the integer micro-share grid."""
+    out = tempfile.mkdtemp()
+    ca = [5, 1, 1, 5, 1, 1, 5, 1]   # type A: spiky period 3
+    cb = [1, 1, 3, 3, 1, 1, 3, 3]   # type B: square period 4
+    rows = []
+    eid = 0
+    for d in range(8):
+        for _ in range(ca[d]):
+            rows.append((eid, _day(d), 1, "A"))
+            eid += 1
+        for _ in range(cb[d]):
+            rows.append((eid, _day(d), 2, "B"))
+            eid += 1
+    _write(
+        spark,
+        out,
+        "events",
+        [(e, t, u, et, 1.0, "{}") for e, t, u, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    S = 1_000_000
+    ya, yb = sum(ca), sum(cb)
+    g = [x + y for x, y in zip(ca, cb)]
+    gt = sum(g)
+    bprof = [v * S // gt for v in g]
+    got = {
+        r["event_type"]: r
+        for r in registry.get("q_ts_dtw").fn(spark, out).collect()
+    }
+    for et, counts, tot in (("A", ca, ya), ("B", cb, yb)):
+        aprof = [v * S // tot for v in counts]
+        exp = _dtw_ref(aprof, bprof)
+        assert got[et]["dtw_cost_micro"] == exp
+        assert abs(got[et]["dtw_cost"] - round(exp / S, 6)) < 1e-9

@@ -368,6 +368,21 @@ QUERIES = [
     "q_orders_croston",
     "q_graph_rich_club",
     "q_agg_cpk",
+    # round-11 additions: spine-bounded wavelet/VR/cointegration/DTW
+    # (counts grow, days don't: ~flat), power-sum shape stats and the
+    # 3-pass Huber (~linear), bounded-anchor embedding scans (linear),
+    # basket self-join + degree joins (~linear)
+    "q_ts_haar_energy",
+    "q_ts_variance_ratio",
+    "q_ts_cointegration",
+    "q_ts_dtw",
+    "q_agg_bimodality",
+    "q_agg_huber",
+    "q_embed_anisotropy",
+    "q_embed_hubness",
+    "q_orders_basket_rules",
+    "q_graph_neighbor_degree",
+    "q_events_burstiness",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
