@@ -1530,3 +1530,123 @@ def q_ml_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant"
         ),
     ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Exact isotonic regression via the minimax (lower-set/upper-set) formula
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ml_isotonic",
+    # Exact isotonic fit WITHOUT the sequential PAV recursion: on a
+    # bounded bin grid the classic minimax identity
+    # iso(k) = min_{j>=k} max_{i<=k} mean(y over bins i..j) is a pair
+    # of bounded triangular expansions over exact integer prefix sums
+    # — the interval means are identical IEEE doubles both engines,
+    # and min/max selection is order-free.
+    oracle="""
+WITH b AS (
+  SELECT CAST(l_quantity AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+),
+cum AS (
+  SELECT a.bin,
+         CAST(sum(b2.n) AS BIGINT) AS cn,
+         CAST(sum(b2.y) AS BIGINT) AS cy
+  FROM b a JOIN b b2 ON b2.bin <= a.bin
+  GROUP BY a.bin
+),
+iv AS (
+  SELECT lo.bin AS i, hi.bin AS j,
+         CAST(hi.cy - lo.cy + ly.y AS DOUBLE)
+           / (hi.cn - lo.cn + ly.n) AS m
+  FROM cum lo
+  JOIN cum hi ON hi.bin >= lo.bin
+  JOIN b ly ON ly.bin = lo.bin
+),
+mx AS (
+  SELECT k.bin AS k, iv.j, max(iv.m) AS mx
+  FROM b k JOIN iv ON iv.i <= k.bin AND iv.j >= k.bin
+  GROUP BY 1, 2
+),
+iso AS (SELECT k, min(mx) AS iso FROM mx GROUP BY 1)
+SELECT b.bin, b.n,
+       round(CAST(b.y AS DOUBLE) / b.n, 6) AS rate_raw,
+       round(iso.iso, 6) AS rate_iso
+FROM b JOIN iso ON iso.k = b.bin
+ORDER BY b.bin
+""",
+)
+def q_ml_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact isotonic (monotone non-decreasing) regression of the
+    return rate against the quantity bin — the calibration primitive
+    behind isotonic probability calibration and monotone dose-response
+    fits. The raw per-bin rates jitter; the isotonic fit is the unique
+    least-squares monotone curve, computed here by the minimax
+    identity iso(k) = min_{j≥k} max_{i≤k} mean(y, bins i..j) instead
+    of the textbook pool-adjacent-violators loop — PAV is a sequential
+    merge (hostile to both engines), while the minimax form is two
+    bounded triangular reduces over prefix sums, exact and
+    deterministic in any evaluation order.
+
+    Scale shape: ONE data-sized pass reduces to the bounded quantity
+    grid (≤50 bins); prefix sums, the ≤ B(B+1)/2 interval means and
+    the two minimax reduces all live on bounded frames — no window,
+    no sort, no iteration, no driver state.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy(
+        F.col("l_quantity").cast("int").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    ).localCheckpoint(eager=False)
+    cum = (
+        b.alias("a")
+        .join(b.alias("b2"), F.col("b2.bin") <= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(
+            F.sum("b2.n").cast("long").alias("cn"),
+            F.sum("b2.y").cast("long").alias("cy"),
+        )
+    )
+    iv = (
+        cum.alias("lo")
+        .join(cum.alias("hi"), F.col("hi.bin") >= F.col("lo.bin"))
+        .join(b.alias("ly"), F.col("ly.bin") == F.col("lo.bin"))
+        .select(
+            F.col("lo.bin").alias("i"),
+            F.col("hi.bin").alias("j"),
+            (
+                (F.col("hi.cy") - F.col("lo.cy") + F.col("ly.y")).cast(
+                    "double"
+                )
+                / (F.col("hi.cn") - F.col("lo.cn") + F.col("ly.n"))
+            ).alias("m"),
+        )
+    )
+    mx = (
+        b.select(F.col("bin").alias("k"))
+        .join(iv, (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")))
+        .groupBy("k", "j")
+        .agg(F.max("m").alias("mx"))
+    )
+    iso = mx.groupBy("k").agg(F.min("mx").alias("iso"))
+    return (
+        b.join(iso, F.col("k") == F.col("bin"))
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("y").cast("double") / F.col("n"), 6).alias(
+                "rate_raw"
+            ),
+            F.round("iso", 6).alias("rate_iso"),
+        )
+        .orderBy("bin")
+    )

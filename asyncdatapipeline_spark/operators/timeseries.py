@@ -11237,3 +11237,172 @@ def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_ts_dtw.__doc__ = q_ts_dtw.__doc__.format(band=_DTW_BAND)
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (period 7) of daily volumes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_holt_winters",
+    # The q_ts_holt contract extended with LIST seasonal state:
+    # alpha = beta = gamma = 0.5 (exact halvings), both engines run
+    # the IDENTICAL left-to-right recursion over identical integer
+    # daily counts (Spark aggregate-fold vs DuckDB recursive CTE with
+    # a rotating 7-element list; NOT list_reduce — the 1.0.0
+    # struct-lambda fold bug), initialization is the same
+    # two-week-mean expression sequence, so level/trend/seasonals are
+    # bit-identical. Float literals spelled 0.5e0 / 7.0e0 (bare 0.5
+    # parses as DECIMAL in DuckDB and truncates the fold).
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, min(day) AS mind, max(day) AS maxd FROM d GROUP BY 1
+),
+spine0 AS (
+  SELECT b.event_type, s.j, b.mind
+  FROM b, unnest(generate_series(0, b.maxd - b.mind)) AS s(j)
+),
+spine AS (
+  SELECT s0.event_type, s0.j, CAST(coalesce(d.y, 0) AS DOUBLE) AS y
+  FROM spine0 s0
+  LEFT JOIN d ON d.event_type = s0.event_type AND d.day = s0.mind + s0.j
+),
+s AS (
+  SELECT event_type, list(y ORDER BY j) AS xs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM spine GROUP BY 1 HAVING count(*) >= 15
+),
+r AS (
+  SELECT event_type, xs, n, CAST(7 AS BIGINT) AS i,
+         list_sum(xs[1:7]) / 7.0e0 AS l,
+         (list_sum(xs[8:14]) / 7.0e0 - list_sum(xs[1:7]) / 7.0e0)
+           / 7.0e0 AS b,
+         list_transform(xs[1:7],
+                        v -> v - list_sum(xs[1:7]) / 7.0e0) AS sl
+  FROM s
+  UNION ALL
+  SELECT event_type, xs, n, i + 1,
+         0.5e0 * (xs[i + 1] - sl[1]) + 0.5e0 * (l + b),
+         0.5e0 * ((0.5e0 * (xs[i + 1] - sl[1]) + 0.5e0 * (l + b)) - l)
+           + 0.5e0 * b,
+         list_append(sl[2:7],
+           0.5e0 * (xs[i + 1]
+                    - (0.5e0 * (xs[i + 1] - sl[1]) + 0.5e0 * (l + b)))
+           + 0.5e0 * sl[1])
+  FROM r WHERE i < n
+)
+SELECT event_type, n AS n_days,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(list_max(sl) - list_min(sl), 6) AS seasonal_range,
+       round(l + 7 * b + sl[7], 6) AS forecast_7d
+FROM r WHERE i = n
+ORDER BY event_type
+""",
+)
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple-exponential smoothing of each
+    event type's daily count series (period 7, α = β = γ = ½): level,
+    trend, the seasonal amplitude (max − min of the final weekly
+    profile) and the 7-day-ahead forecast l + 7b + s₇. The
+    seasonality-aware step up from q_ts_holt: on a weekly-cycled
+    stream Holt's trend chases the cycle, while the seasonal state
+    absorbs it — seasonal_range IS the measured weekly swing, and the
+    forecast lands on the right weekday. ½-smoothing keeps every
+    update an exact binary halving, bit-identical across engines.
+
+    Scale shape: ONE data-sized pass to the (type, day) grid; the
+    zero-filled spine and per-type series arrays are calendar-bounded;
+    the inherently-sequential recursion runs as a per-group
+    aggregate-fold carrying (l, b, 7-element seasonal list) — groups
+    parallelize across the cluster, state is O(period) per series.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts").cast("double") / 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    b = d.groupBy("event_type").agg(
+        F.min("day").alias("mind"), F.max("day").alias("maxd")
+    )
+    spine = (
+        b.select(
+            "event_type",
+            "mind",
+            F.explode(
+                F.sequence(F.lit(0), F.col("maxd") - F.col("mind"))
+            ).alias("j"),
+        )
+        .join(
+            d.withColumnRenamed("event_type", "et"),
+            on=[
+                F.col("event_type") == F.col("et"),
+                F.col("day") == F.col("mind") + F.col("j"),
+            ],
+            how="left",
+        )
+        .select(
+            "event_type",
+            "j",
+            F.coalesce("y", F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    s = (
+        spine.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "y"))),
+                lambda st: st["y"],
+            ).alias("xs"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .filter(F.col("n") >= 15)
+    )
+    xs = F.col("xs")
+
+    def lsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+    l0 = lsum(F.slice(xs, 1, 7)) / 7.0
+    b0 = (lsum(F.slice(xs, 8, 7)) / 7.0 - lsum(F.slice(xs, 1, 7)) / 7.0) / 7.0
+    s0 = F.transform(
+        F.slice(xs, 1, 7), lambda v: v - lsum(F.slice(xs, 1, 7)) / 7.0
+    )
+    init = F.struct(l0.alias("l"), b0.alias("b"), s0.alias("sl"))
+
+    def step(acc, x):
+        lnew = F.lit(0.5) * (x - F.element_at(acc["sl"], 1)) + F.lit(0.5) * (
+            acc["l"] + acc["b"]
+        )
+        bnew = F.lit(0.5) * (lnew - acc["l"]) + F.lit(0.5) * acc["b"]
+        snew = F.concat(
+            F.slice(acc["sl"], 2, 6),
+            F.array(
+                F.lit(0.5) * (x - lnew)
+                + F.lit(0.5) * F.element_at(acc["sl"], 1)
+            ),
+        )
+        return F.struct(lnew.alias("l"), bnew.alias("b"), snew.alias("sl"))
+
+    st = F.aggregate(
+        F.slice(xs, 8, F.greatest(F.size(xs) - 7, F.lit(0))), init, step
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+        F.round(
+            F.array_max(st["sl"]) - F.array_min(st["sl"]), 6
+        ).alias("seasonal_range"),
+        F.round(
+            st["l"] + 7 * st["b"] + F.element_at(st["sl"], 7), 6
+        ).alias("forecast_7d"),
+    ).orderBy("event_type")

@@ -180,6 +180,8 @@ HEADLINE = [
     "q_graph_neighbor_degree",  # two degree joins, bounded class grid
     "q_events_burstiness",      # per-(user,type) lag + moment reduce
     "q_ts_dtw",                 # applyInPandas banded DP on the spine
+    "q_ml_isotonic",            # bounded minimax isotonic fit
+    "q_ts_holt_winters",        # seasonal fold, list state
 ]
 
 

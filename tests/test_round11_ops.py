@@ -393,3 +393,44 @@ def test_dtw_matches_python_reference(spark):
         exp = _dtw_ref(aprof, bprof)
         assert got[et]["dtw_cost_micro"] == exp
         assert abs(got[et]["dtw_cost"] - round(exp / S, 6)) < 1e-9
+
+
+def test_isotonic_pools_violating_bins(spark):
+    """Bins 1,2,3 with raw rates 0.5, 0.0, 1.0 (counts 2 each): the
+    increasing isotonic fit pools bins 1-2 to 0.25 and keeps 1.0."""
+    out = tempfile.mkdtemp()
+    # (quantity, returnflag): bin1 = {R,N}, bin2 = {N,N}, bin3 = {R,R}
+    rows = [
+        (1, 1.0, 1.0, "R"), (2, 1.0, 1.0, "N"),
+        (3, 2.0, 2.0, "N"), (4, 2.0, 2.0, "N"),
+        (5, 3.0, 3.0, "R"), (6, 3.0, 3.0, "R"),
+    ]
+    _write(
+        spark, out, "lineitem", rows,
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_returnflag string",
+    )
+    got = {
+        r["bin"]: r
+        for r in registry.get("q_ml_isotonic").fn(spark, out).collect()
+    }
+    assert abs(got[1]["rate_iso"] - 0.25) < 1e-9
+    assert abs(got[2]["rate_iso"] - 0.25) < 1e-9
+    assert abs(got[3]["rate_iso"] - 1.0) < 1e-9
+    assert got[1]["rate_raw"] == 0.5 and got[2]["rate_raw"] == 0.0
+    # monotone by construction
+    assert got[1]["rate_iso"] <= got[2]["rate_iso"] <= got[3]["rate_iso"]
+
+
+def test_holt_winters_periodic_invariance(spark):
+    """A perfectly 7-periodic series [7,1,1,1,1,1,2] x 3 weeks: level
+    stays at the weekly mean 2, trend 0, seasonals reproduce the
+    profile exactly (range 6), forecast day +7 = 2 + s7 = 2."""
+    out = tempfile.mkdtemp()
+    _daily_events(spark, out, [7, 1, 1, 1, 1, 1, 2] * 3)
+    r = registry.get("q_ts_holt_winters").fn(spark, out).collect()
+    row = next(x for x in r if x["event_type"] == "view")
+    assert row["n_days"] == 21
+    assert row["level"] == 2.0 and row["trend"] == 0.0
+    assert row["seasonal_range"] == 6.0
+    assert row["forecast_7d"] == 2.0

@@ -383,6 +383,8 @@ QUERIES = [
     "q_orders_basket_rules",
     "q_graph_neighbor_degree",
     "q_events_burstiness",
+    "q_ml_isotonic",
+    "q_ts_holt_winters",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
