@@ -860,3 +860,84 @@ def q_scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.schema(NATION_SCHEMA).option("header", "true").csv(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution scan: mergeSchema over two parquet generations
+# ---------------------------------------------------------------------------
+
+_MERGE_SPLIT_DAY = 19740  # generation boundary (fixture spans ~19720+)
+
+
+@query(
+    "q_scan_merge_schema",
+    # The two generations are deterministic day-range slices of the
+    # source view, so the merged read's per-type counts/null-counts/
+    # sums are plain conditional aggregates over `events`; the value
+    # sum rides the exact decimal grid.
+    oracle=f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                          < {_MERGE_SPLIT_DAY} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_value_null,
+       round(CAST(sum(CASE WHEN CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                                >= {_MERGE_SPLIT_DAY}
+                           THEN CAST(value AS DECIMAL(28,6)) END)
+                  AS DOUBLE), 6) AS sum_value_new
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: generation 1 of the derived layout was
+    written BEFORE the `value` column existed, generation 2 carries
+    it; ``mergeSchema=true`` reconciles the footers and surfaces the
+    missing column as NULL for old files — the per-type null count IS
+    the migration-progress readout ("how much of the lake still lacks
+    the new field"), the question every schema-evolving 100 TB table
+    answers weekly. Without mergeSchema Spark reads ONE footer and
+    either drops the column or fails — the audit would silently lie.
+
+    Scale shape: writing the two generations is fixture plumbing
+    (day-range slices of the source); the audited plan is one merged
+    scan + one map-combinable conditional aggregate onto the bounded
+    type grid. mergeSchema costs one footer read per FILE at planning
+    — layout-sized, not row-sized.
+    """
+    path = _scratch(sf_dir, "events_twogen")
+    e = load_table(spark, sf_dir, "events")
+    day = (
+        F.floor(F.unix_timestamp("ts").cast("double") / 86400)
+        .cast("long")
+    )
+    (
+        e.filter(day < _MERGE_SPLIT_DAY)
+        .select("event_id", "event_type")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "gen=1"))
+    )
+    (
+        e.filter(day >= _MERGE_SPLIT_DAY)
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "gen=2"))
+    )
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_value_null"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"),
+                6,
+            ).alias("sum_value_new"),
+        )
+        .orderBy("event_type")
+    )

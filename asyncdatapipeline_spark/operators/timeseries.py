@@ -11406,3 +11406,151 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             st["l"] + 7 * st["b"] + F.element_at(st["sl"], 7), 6
         ).alias("forecast_7d"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# ESD-style iterative masked outlier test on the daily volume series
+# ---------------------------------------------------------------------------
+
+_ESD_ROUNDS = 3
+_ESD_Z = 3.0  # fixed sigma gate (documented simplification of the
+              # Rosner lambda; the ITERATIVE MASKING is the operator)
+
+
+def _esd_oracle() -> str:
+    ctes, prev = [], "d"
+    for r in range(1, _ESD_ROUNDS + 1):
+        ctes.append(f"""
+m{r} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+              AS DOUBLE) AS syy
+  FROM {prev}
+),
+z{r} AS (
+  SELECT p.day, p.y, m{r}.n,
+         round(abs(p.y - m{r}.sy / m{r}.n)
+               / nullif(sqrt(m{r}.syy / m{r}.n
+                             - (m{r}.sy / m{r}.n) * (m{r}.sy / m{r}.n)),
+                        0), 6) AS az,
+         round((p.y - m{r}.sy / m{r}.n)
+               / nullif(sqrt(m{r}.syy / m{r}.n
+                             - (m{r}.sy / m{r}.n) * (m{r}.sy / m{r}.n)),
+                        0), 6) AS z
+  FROM {prev} p, m{r}
+),
+pick{r} AS (
+  SELECT {r} AS round, day, y, z, az FROM z{r}
+  ORDER BY az DESC, day LIMIT 1
+),
+a{r} AS (
+  SELECT p.day, p.y FROM {prev} p
+  WHERE p.day != (SELECT day FROM pick{r})
+)""")
+        prev = f"a{r}"
+    return (
+        """
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),"""
+        + ",".join(ctes)
+        + f"""
+SELECT round, day, CAST(y AS BIGINT) AS y, z,
+       az > {_ESD_Z} AS flagged
+FROM ({" UNION ALL ".join(f"SELECT * FROM pick{r}" for r in range(1, _ESD_ROUNDS + 1))})
+ORDER BY round
+"""
+    )
+
+
+@query(
+    "q_anomaly_esd",
+    # Each round's mean/sd come from exact decimal power sums over the
+    # REMAINING days; the argmax compares 6dp-rounded |z| with an
+    # earliest-day tiebreak, so both engines peel the identical day
+    # per round (the q_ts_changepoint argmax device, iterated).
+    oracle=_esd_oracle(),
+)
+def q_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative masked outlier extraction on the daily event-volume
+    series (the generalized-ESD shape, {r} rounds, fixed 3σ gate):
+    peel the most extreme day, RECOMPUTE mean/sd without it, repeat —
+    the masking-proof test that catches the second and third outlier
+    a single-pass z-score (q_anomaly) misses because the first
+    outlier inflated σ. Each peeled day reports the z-score it had
+    against the statistics of the data that REMAINED — flagged says
+    whether it clears the gate once earlier extremes stop polluting σ.
+
+    Scale shape: the raw pass collapses to the calendar-bounded day
+    grid once; each of the {r} unrolled rounds is a 1-row exact
+    power-sum aggregate + a broadcast anti-condition + a rank-1
+    TakeOrdered on the bounded spine — no data-sized recomputation,
+    no window, no driver loop.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(F.unix_timestamp("ts").cast("double") / 86400)
+        .cast("long")
+        .alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y")).localCheckpoint(
+        eager=False
+    )
+    yd = F.col("y").cast("decimal(19,0)")
+    picks = []
+    active = d
+    for r in range(1, _ESD_ROUNDS + 1):
+        m = F.broadcast(
+            active.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(yd).cast("double").alias("sy"),
+                F.sum(yd * yd).cast("double").alias("syy"),
+            )
+        )
+        mean = F.col("sy") / F.col("n")
+        sd = F.sqrt(F.col("syy") / F.col("n") - mean * mean)
+        zed = active.crossJoin(m).select(
+            "day",
+            "y",
+            F.round(
+                F.abs(F.col("y") - mean) / F.nullif(sd, F.lit(0.0)), 6
+            ).alias("az"),
+            F.round(
+                (F.col("y") - mean) / F.nullif(sd, F.lit(0.0)), 6
+            ).alias("z"),
+        )
+        pick = (
+            zed.orderBy(F.col("az").desc(), "day")
+            .limit(1)
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "day",
+                "y",
+                "z",
+                "az",
+            )
+            .localCheckpoint(eager=False)
+        )
+        picks.append(pick)
+        active = (
+            active.join(
+                F.broadcast(pick.select(F.col("day").alias("pd"))),
+                F.col("day") == F.col("pd"),
+                "left_anti",
+            )
+        ).localCheckpoint(eager=False)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "round",
+        "day",
+        F.col("y").cast("long").alias("y"),
+        "z",
+        (F.col("az") > _ESD_Z).alias("flagged"),
+    ).orderBy("round")
+
+
+q_anomaly_esd.__doc__ = q_anomaly_esd.__doc__.format(r=_ESD_ROUNDS)

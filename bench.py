@@ -182,6 +182,8 @@ HEADLINE = [
     "q_ts_dtw",                 # applyInPandas banded DP on the spine
     "q_ml_isotonic",            # bounded minimax isotonic fit
     "q_ts_holt_winters",        # seasonal fold, list state
+    "q_anomaly_esd",            # 3 unrolled peel rounds on the spine
+    "q_scan_merge_schema",      # two-generation mergeSchema scan
 ]
 
 

@@ -434,3 +434,53 @@ def test_holt_winters_periodic_invariance(spark):
     assert row["level"] == 2.0 and row["trend"] == 0.0
     assert row["seasonal_range"] == 6.0
     assert row["forecast_7d"] == 2.0
+
+
+def test_esd_unmasks_second_outlier(spark):
+    """[10]*12 plus 100 and 50: the single-pass z of 50 is polluted by
+    the 100; after round 1 peels the 100, round 2's recomputed sigma
+    flags the 50 too. Round 3 (all-equal remainder) has sd 0 -> NULL z."""
+    out = tempfile.mkdtemp()
+    counts = [10] * 6 + [100] + [10] * 3 + [50] + [10] * 3
+    _daily_events(spark, out, counts)
+    rows = {
+        r["round"]: r
+        for r in registry.get("q_anomaly_esd").fn(spark, out).collect()
+    }
+    assert rows[1]["y"] == 100 and rows[1]["flagged"] is True
+    assert rows[2]["y"] == 50 and rows[2]["flagged"] is True
+    import math as _m
+    n, tot, tot2 = 14, 12 * 10 + 150, 12 * 100 + 10000 + 2500
+    mu = tot / n
+    sd = _m.sqrt(tot2 / n - mu * mu)
+    assert abs(rows[1]["z"] - round((100 - mu) / sd, 6)) < 1e-6
+    assert rows[3]["y"] == 10 and rows[3]["z"] is None
+    assert rows[3]["flagged"] is None
+
+
+def test_merge_schema_null_surface(spark):
+    """Gen-1 days (< split) lack `value`; mergeSchema surfaces NULLs
+    for them and the new-column sum covers only gen-2 rows."""
+    out = tempfile.mkdtemp()
+    # day index 0 = 2024-01-01 = epoch-day 19723; split is 19740 (i=17)
+    rows = [
+        (1, _day(0), 1, "A", 9.0, "{}"),
+        (2, _day(1), 1, "A", 9.0, "{}"),
+        (3, _day(20), 1, "A", 1.5, "{}"),
+        (4, _day(21), 1, "A", 2.5, "{}"),
+        (5, _day(22), 1, "A", 3.0, "{}"),
+        (6, _day(20), 2, "B", 4.0, "{}"),
+    ]
+    _write(
+        spark, out, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["event_type"]: r
+        for r in registry.get("q_scan_merge_schema").fn(spark, out).collect()
+    }
+    assert got["A"]["n_rows"] == 5 and got["A"]["n_value_null"] == 2
+    assert abs(got["A"]["sum_value_new"] - 7.0) < 1e-9
+    assert got["B"]["n_rows"] == 1 and got["B"]["n_value_null"] == 0
+    assert abs(got["B"]["sum_value_new"] - 4.0) < 1e-9

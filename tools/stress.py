@@ -385,6 +385,8 @@ QUERIES = [
     "q_events_burstiness",
     "q_ml_isotonic",
     "q_ts_holt_winters",
+    "q_anomaly_esd",
+    "q_scan_merge_schema",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
