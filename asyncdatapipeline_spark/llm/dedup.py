@@ -2887,3 +2887,139 @@ def q_dedup_cross_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (the web-corpus pre-fetch dedup stage)
+# ---------------------------------------------------------------------------
+
+_URL_TOP_K = 15
+
+
+@query(
+    "q_dedup_url",
+    # The raw URLs are a deterministic fixture (case/slash/tracking-
+    # param variants synthesized from doc fields); the OPERATOR under
+    # test is the canonicalizer, which must recover the duplicate
+    # groups from the STRINGS alone — both engines run the identical
+    # parse -> lower(host) -> strip trailing slash -> drop utm_* ->
+    # sort params pipeline, all exact string ops.
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://' ||
+         CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END ||
+         '.Example.com/docs/' || CAST(doc_id // 7 AS VARCHAR) ||
+         CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+         CASE WHEN doc_id % 2 = 1
+              THEN '?utm_source=news&id=' || CAST(doc_id // 7 AS VARCHAR)
+              ELSE '?id=' || CAST(doc_id // 7 AS VARCHAR) END AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^[A-Za-z]+://([^/?]+)', 1)) AS host,
+         regexp_replace(
+           regexp_extract(url, '^[A-Za-z]+://[^/?]+([^?]*)', 1),
+           '/$', '') AS path,
+         array_to_string(
+           list_sort(list_filter(
+             string_split(regexp_extract(url, '[?](.*)$', 1), '&'),
+             x -> NOT starts_with(x, 'utm_') AND x != '')),
+           '&') AS params
+  FROM raw
+),
+k AS (
+  SELECT doc_id, url,
+         'https://' || host || path ||
+         CASE WHEN params != '' THEN '?' || params ELSE '' END
+           AS canonical_url
+  FROM c
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM k GROUP BY 1
+ORDER BY n_docs DESC, canonical_url
+LIMIT {_URL_TOP_K}
+""",
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the stage every web-corpus
+    pipeline runs BEFORE fetching or hashing content: scheme/host
+    case-folding, trailing-slash stripping, tracking-parameter
+    (utm_*) removal and query-parameter sorting collapse the cosmetic
+    variants crawlers accumulate (the same page arrives as HTTPS://
+    Host/..., .../path/ and ...?utm_source=...) into one canonical
+    key, with min-doc_id as the deterministic keeper. Content-level
+    dedup (q_dedup_exact / minhash) only sees what got fetched;
+    URL-level dedup is the one that saves the FETCH. The raw URLs are
+    a deterministic fixture synthesized from doc fields — the
+    operator must recover the groups from the strings alone.
+
+    Scale shape: the whole canonicalizer is row-local whole-stage
+    codegen (regexp extracts, lower, array filter/sort/join — no UDF,
+    no shuffle until the final grouped count), then one map-combinable
+    reduce on the canonical key and a TakeOrderedAndProject top-{k}.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".Example.com/docs/"),
+        F.expr("cast(doc_id div 7 as string)"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.lit("?utm_source=news&id="),
+                F.expr("cast(doc_id div 7 as string)"),
+            ),
+        ).otherwise(
+            F.concat(F.lit("?id="), F.expr("cast(doc_id div 7 as string)"))
+        ),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    host = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?]+([^?]*)", 1),
+        r"/$",
+        "",
+    )
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract("url", r"[?](.*)$", 1), "&"),
+                lambda x: (~x.startswith("utm_")) & (x != ""),
+            )
+        ),
+        "&",
+    )
+    k = raw.select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.lit("https://"),
+            host,
+            path,
+            F.when(params != "", F.concat(F.lit("?"), params)).otherwise(
+                F.lit("")
+            ),
+        ).alias("canonical_url"),
+    )
+    return (
+        k.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("url").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .orderBy(F.col("n_docs").desc(), "canonical_url")
+        .limit(_URL_TOP_K)
+    )
+
+
+q_dedup_url.__doc__ = q_dedup_url.__doc__.format(k=_URL_TOP_K)

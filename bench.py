@@ -184,6 +184,7 @@ HEADLINE = [
     "q_ts_holt_winters",        # seasonal fold, list state
     "q_anomaly_esd",            # 3 unrolled peel rounds on the spine
     "q_scan_merge_schema",      # two-generation mergeSchema scan
+    "q_dedup_url",              # codegen canonicalizer + grouped count
 ]
 
 

@@ -484,3 +484,22 @@ def test_merge_schema_null_surface(spark):
     assert abs(got["A"]["sum_value_new"] - 7.0) < 1e-9
     assert got["B"]["n_rows"] == 1 and got["B"]["n_value_null"] == 0
     assert abs(got["B"]["sum_value_new"] - 4.0) < 1e-9
+
+
+def test_dedup_url_collapses_cosmetic_variants(spark):
+    """Docs 0,2,3,4 of one source share (source, id div 7): case,
+    trailing-slash and utm variants collapse to ONE canonical URL;
+    raw variants = 3 (ids 2 and 4 produce the identical raw URL)."""
+    out = tempfile.mkdtemp()
+    _write(
+        spark, out, "documents",
+        [(i, "t", "en", "web", 1) for i in (0, 2, 3, 4)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    res = registry.get("q_dedup_url").fn(spark, out).collect()
+    assert len(res) == 1
+    r = res[0]
+    assert r["canonical_url"] == "https://web.example.com/docs/0?id=0"
+    assert r["n_docs"] == 4 and r["n_raw_variants"] == 3
+    assert r["keeper_doc_id"] == 0

@@ -387,6 +387,7 @@ QUERIES = [
     "q_ts_holt_winters",
     "q_anomaly_esd",
     "q_scan_merge_schema",
+    "q_dedup_url",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
