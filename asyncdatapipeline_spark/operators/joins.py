@@ -1995,8 +1995,8 @@ r AS (
   SELECT p.brand_a, p.brand_b, p.n_pair,
          round(CAST(p.n_pair AS DOUBLE) / nt.n, 6) AS support,
          round(CAST(p.n_pair AS DOUBLE) / na.n_b, 6) AS confidence,
-         round(CAST(p.n_pair AS DOUBLE) * nt.n / (na.n_b * nb2.n_b), 6)
-           AS lift
+         round(CAST(p.n_pair AS DOUBLE) * nt.n
+               / (CAST(na.n_b AS DOUBLE) * nb2.n_b), 6) AS lift
   FROM pairs p
   JOIN nb na ON na.p_brand = p.brand_a
   JOIN nb nb2 ON nb2.p_brand = p.brand_b, nt
@@ -2073,10 +2073,13 @@ def q_orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_pair").cast("double") / F.col("na"), 6).alias(
                 "confidence"
             ),
+            # denominator as a DOUBLE product: a long*long margin
+            # product wraps past ~9.2e18 (plausible at 100 TB order
+            # counts) while the oracle's BIGINT multiply would error
             F.round(
                 F.col("n_pair").cast("double")
                 * F.col("n")
-                / (F.col("na") * F.col("nbb")),
+                / (F.col("na").cast("double") * F.col("nbb")),
                 6,
             ).alias("lift"),
         )
