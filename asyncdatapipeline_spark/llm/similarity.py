@@ -2960,3 +2960,123 @@ def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.col("n_hit").cast("double") / F.col("n"), 6
         ).alias("antihub_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid drift between corpus halves (embedding drift monitor)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_drift",
+    # Halves are deterministic (vec_id parity); per-half centroids ride
+    # the IVF micro-grid device (floor(x*1e6) exact integer sums), the
+    # per-dimension difference is the identical IEEE double both
+    # engines, and its square snaps to the 12dp decimal grid so the
+    # cross-dimension sum is order-free.
+    oracle="""
+WITH x AS (
+  SELECT label, vec_id % 2 AS half, u.i,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000) AS BIGINT)
+           AS xq
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+c AS (
+  SELECT label, i,
+         CAST(sum(CASE WHEN half = 0 THEN xq END) AS DOUBLE)
+           / sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) / 1000000 AS ca,
+         CAST(sum(CASE WHEN half = 1 THEN xq END) AS DOUBLE)
+           / sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) / 1000000 AS cb
+  FROM x GROUP BY 1, 2
+),
+d AS (
+  SELECT label,
+         CAST(sum(CAST(round((ca - cb) * (ca - cb), 12)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS d2,
+         CAST(count(*) AS BIGINT) AS n_dims
+  FROM c GROUP BY 1
+),
+n AS (
+  SELECT label,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM embeddings GROUP BY 1
+)
+SELECT n.label, n.n_a, n.n_b, d.n_dims,
+       round(sqrt(d.d2), 6) AS centroid_drift,
+       sqrt(d.d2) > 0.1e0 AS drifted
+FROM n JOIN d USING (label)
+ORDER BY n.label
+""",
+)
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two deterministic corpus halves
+    (vec_id parity — the stand-in for yesterday's vs today's embedding
+    snapshot): Euclidean distance between the half-centroids, with a
+    0.1 drift gate. THE embedding-ops monitor: a re-trained or
+    re-quantized encoder moves class centroids long before retrieval
+    evals notice, and a single drifted label (vs all labels moving)
+    separates "that class changed" from "the encoder changed".
+    Complements q_profile_drift (scalar PSI) with geometry.
+
+    Scale shape: one posexplode pass to exact micro-grid integer sums
+    on the bounded (label, half, dim) grid — map-combinable; the
+    centroid difference and the 12dp-snapped square live on the
+    bounded (label, dim) frame; output is label-sized.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(_as_double(F.col("embedding"))).alias("i", "xv"),
+    ).select(
+        "label",
+        "half",
+        "i",
+        F.floor(F.col("xv") * 1_000_000).cast("long").alias("xq"),
+    )
+    c = x.groupBy("label", "i").agg(
+        (
+            F.sum(F.when(F.col("half") == 0, F.col("xq"))).cast("double")
+            / F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            / 1_000_000
+        ).alias("ca"),
+        (
+            F.sum(F.when(F.col("half") == 1, F.col("xq"))).cast("double")
+            / F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            / 1_000_000
+        ).alias("cb"),
+    )
+    d = c.groupBy("label").agg(
+        F.sum(
+            F.round(
+                (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")),
+                12,
+            ).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("d2"),
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+    )
+    n = e.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return (
+        n.join(d, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            "n_dims",
+            F.round(F.sqrt("d2"), 6).alias("centroid_drift"),
+            (F.sqrt("d2") > 0.1).alias("drifted"),
+        )
+        .orderBy("label")
+    )

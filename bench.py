@@ -185,6 +185,7 @@ HEADLINE = [
     "q_anomaly_esd",            # 3 unrolled peel rounds on the spine
     "q_scan_merge_schema",      # two-generation mergeSchema scan
     "q_dedup_url",              # codegen canonicalizer + grouped count
+    "q_embed_drift",            # micro-grid centroid drift per label
 ]
 
 

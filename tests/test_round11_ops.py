@@ -503,3 +503,25 @@ def test_dedup_url_collapses_cosmetic_variants(spark):
     assert r["canonical_url"] == "https://web.example.com/docs/0?id=0"
     assert r["n_docs"] == 4 and r["n_raw_variants"] == 3
     assert r["keeper_doc_id"] == 0
+
+
+def test_embed_drift_planted_shift(spark):
+    """Label 0: even-id vectors at [0,0], odd at [3,4] -> centroid
+    drift exactly 5. Label 1: identical halves -> drift 0."""
+    out = tempfile.mkdtemp()
+    rows = [
+        (0, [0.0, 0.0], 0), (2, [0.0, 0.0], 0),
+        (1, [3.0, 4.0], 0), (3, [3.0, 4.0], 0),
+        (4, [1.0, 1.0], 1), (5, [1.0, 1.0], 1),
+    ]
+    _write(
+        spark, out, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r["label"]: r
+        for r in registry.get("q_embed_drift").fn(spark, out).collect()
+    }
+    assert got[0]["centroid_drift"] == 5.0 and got[0]["drifted"] is True
+    assert got[0]["n_a"] == 2 and got[0]["n_b"] == 2
+    assert got[1]["centroid_drift"] == 0.0 and got[1]["drifted"] is False

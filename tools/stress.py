@@ -388,6 +388,7 @@ QUERIES = [
     "q_anomaly_esd",
     "q_scan_merge_schema",
     "q_dedup_url",
+    "q_embed_drift",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
