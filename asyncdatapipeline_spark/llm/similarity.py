@@ -2857,16 +2857,19 @@ nn AS (
 ),
 m AS (
   SELECT nn.n, nn.n_anchors, s.max_occ, s.n_hit,
-         CAST(s.so AS DOUBLE) / nn.n AS m1,
-         CAST(s.so2 AS DOUBLE) / nn.n AS m2r,
-         CAST(s.so3 AS DOUBLE) / nn.n AS m3r
+         CAST(s.so AS DOUBLE) / nullif(nn.n, 0) AS m1,
+         CAST(s.so2 AS DOUBLE) / nullif(nn.n, 0) AS m2r,
+         CAST(s.so3 AS DOUBLE) / nullif(nn.n, 0) AS m3r
   FROM s, nn
 )
 SELECT n AS n_corpus, n_anchors, {_HUB_K} AS k, max_occ,
        round(m1, 6) AS mean_occ,
-       round((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
-             / power(m2r - m1 * m1, 1.5e0), 6) AS occ_skewness,
-       round(1.0e0 - CAST(n_hit AS DOUBLE) / n, 6) AS antihub_frac
+       CASE WHEN m2r - m1 * m1 > 0
+            THEN round((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
+                       / power(m2r - m1 * m1, 1.5e0), 6)
+       END AS occ_skewness,
+       round(1.0e0 - CAST(n_hit AS DOUBLE) / nullif(n, 0), 6)
+         AS antihub_frac
 FROM m
 """,
 )
@@ -2942,22 +2945,30 @@ def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     m = nn.crossJoin(F.broadcast(s))
-    m1 = F.col("so").cast("double") / F.col("n")
-    m2r = F.col("so2").cast("double") / F.col("n")
-    m3r = F.col("so3").cast("double") / F.col("n")
+    # nullif on the corpus count: empty corpus reports NULL moments
+    # instead of erroring (the empty-inputs gate)
+    nz = F.nullif(F.col("n"), F.lit(0))
+    m1 = F.col("so").cast("double") / nz
+    m2r = F.col("so2").cast("double") / nz
+    m3r = F.col("so3").cast("double") / nz
     return m.select(
         F.col("n").alias("n_corpus"),
         "n_anchors",
         F.lit(_HUB_K).cast("int").alias("k"),
         "max_occ",
         F.round(m1, 6).alias("mean_occ"),
-        F.round(
-            (m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
-            / F.pow(m2r - m1 * m1, 1.5),
-            6,
+        # zero-variance occurrences (every point hit equally, or a
+        # degenerate corpus): skewness undefined -> NULL, never a crash
+        F.when(
+            m2r - m1 * m1 > 0,
+            F.round(
+                (m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
+                / F.pow(m2r - m1 * m1, 1.5),
+                6,
+            ),
         ).alias("occ_skewness"),
         F.round(
-            F.lit(1.0) - F.col("n_hit").cast("double") / F.col("n"), 6
+            F.lit(1.0) - F.col("n_hit").cast("double") / nz, 6
         ).alias("antihub_frac"),
     )
 
@@ -2984,9 +2995,11 @@ WITH x AS (
 c AS (
   SELECT label, i,
          CAST(sum(CASE WHEN half = 0 THEN xq END) AS DOUBLE)
-           / sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) / 1000000 AS ca,
+           / nullif(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END), 0)
+           / 1000000 AS ca,
          CAST(sum(CASE WHEN half = 1 THEN xq END) AS DOUBLE)
-           / sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) / 1000000 AS cb
+           / nullif(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END), 0)
+           / 1000000 AS cb
   FROM x GROUP BY 1, 2
 ),
 d AS (
@@ -3037,15 +3050,24 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         F.floor(F.col("xv") * 1_000_000).cast("long").alias("xq"),
     )
+    # nullif on the half counts: a label present in only ONE parity
+    # half (one snapshot) reports NULL drift instead of erroring —
+    # the empty-inputs gate's divide-by-zero catch.
     c = x.groupBy("label", "i").agg(
         (
             F.sum(F.when(F.col("half") == 0, F.col("xq"))).cast("double")
-            / F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            / F.nullif(
+                F.sum(F.when(F.col("half") == 0, 1).otherwise(0)),
+                F.lit(0),
+            )
             / 1_000_000
         ).alias("ca"),
         (
             F.sum(F.when(F.col("half") == 1, F.col("xq"))).cast("double")
-            / F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            / F.nullif(
+                F.sum(F.when(F.col("half") == 1, 1).otherwise(0)),
+                F.lit(0),
+            )
             / 1_000_000
         ).alias("cb"),
     )
