@@ -2729,9 +2729,10 @@ c AS (
 SELECT c.n AS n_vectors, c.n_zero_norm,
        round(c.mean_norm, 6) AS mean_norm,
        round(CAST(g.ssq - g.diag AS DOUBLE) / 1e24
-             / (CAST(c.n AS DOUBLE) * (c.n - 1)), 6) AS mean_pairwise_cos,
+             / nullif(CAST(c.n AS DOUBLE) * (c.n - 1), 0), 6)
+         AS mean_pairwise_cos,
        CAST(g.ssq - g.diag AS DOUBLE) / 1e24
-         / (CAST(c.n AS DOUBLE) * (c.n - 1)) > 0.5e0 AS collapsed
+         / nullif(CAST(c.n AS DOUBLE) * (c.n - 1), 0) > 0.5e0 AS collapsed
 FROM g, c
 """,
 )
@@ -2789,8 +2790,11 @@ def q_embed_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(nzero))
     )
-    pair = (F.col("ssq") - F.col("diag")).cast("double") / F.lit(1e24) / (
-        F.col("n").cast("double") * (F.col("n") - 1)
+    # nullif: a 0- or 1-vector corpus has no pairs — NULL, not a crash
+    pair = (F.col("ssq") - F.col("diag")).cast("double") / F.lit(
+        1e24
+    ) / F.nullif(
+        F.col("n").cast("double") * (F.col("n") - 1), F.lit(0.0)
     )
     return c.crossJoin(F.broadcast(g)).select(
         F.col("n").alias("n_vectors"),
