@@ -1463,3 +1463,175 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_sample_systematic.__doc__ = q_sample_systematic.__doc__.format(n=_SYS_N)
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (diversity sampling for curation)
+# ---------------------------------------------------------------------------
+
+_KC_K = 5  # selected coreset size (unrolled rounds)
+
+
+def _kcenter_dist_sql(av: str, bv: str) -> str:
+    """Exact 1e12-integer squared distance (the TwoNN device)."""
+    return (
+        f"CAST(sum(CAST(round(round(({av} - {bv}) * ({av} - {bv}), 12)"
+        f" * 1000000000000.0) AS BIGINT)) AS BIGINT)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    # Seed = vec_id 0's nearest... no: seed = MIN vec_id (deterministic).
+    # Round r: for every corpus point, d_min = min distance to the
+    # chosen set; pick argmax (6dp... distances are exact ints — plain
+    # max with vec_id tiebreak).
+    ctes = ["""
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s0 AS (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 1)"""]
+    prev_sel = "s0"
+    for r in range(1, _KC_K):
+        ctes.append(f"""
+d{r} AS (
+  SELECT c.vec_id, min(dd.d2) AS dmin
+  FROM c, LATERAL (
+    SELECT {_kcenter_dist_sql('c.v[u.i]', 's.v[u.i]')} AS d2
+    FROM {prev_sel} s, unnest(generate_series(1, len(c.v))) AS u(i)
+    GROUP BY s.vec_id
+  ) dd
+  GROUP BY c.vec_id
+),
+p{r} AS (
+  SELECT c.vec_id, c.v FROM d{r} JOIN c USING (vec_id)
+  ORDER BY d{r}.dmin DESC, vec_id LIMIT 1
+),
+s{r} AS (SELECT * FROM {prev_sel} UNION ALL SELECT * FROM p{r})""")
+        prev_sel = f"s{r}"
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+,
+fin AS (
+  SELECT c.vec_id, min(dd.d2) AS dmin
+  FROM c, LATERAL (
+    SELECT {_kcenter_dist_sql('c.v[u.i]', 's.v[u.i]')} AS d2
+    FROM {prev_sel} s, unnest(generate_series(1, len(c.v))) AS u(i)
+    GROUP BY s.vec_id
+  ) dd
+  GROUP BY c.vec_id
+),
+sel AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS pick
+  FROM {prev_sel}
+)
+SELECT sel.vec_id AS center_vec_id, sel.pick,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_corpus,
+       round(CAST((SELECT max(dmin) FROM fin) AS DOUBLE) / 1e12, 6)
+         AS coverage_radius_sq
+FROM sel ORDER BY sel.vec_id
+"""
+    )
+
+
+@query(
+    "q_sample_kcenter",
+    # Distances ride the exact 1e12-integer grid, so every round's
+    # farthest-point argmax is an exact integer comparison with a
+    # vec_id tiebreak — both engines select the identical centers and
+    # report the identical coverage radius.
+    oracle=_kcenter_oracle(),
+)
+def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal,
+    k = {k}): start from the min-id vector, repeatedly add the point
+    FARTHEST from the current set, and report the selected centers
+    plus the final coverage radius (max over points of the distance
+    to the nearest center — the 2-approximation guarantee radius).
+    This is DIVERSITY sampling for curation: where q_sample_balanced
+    quotas by label and q_sample_importance_clip reweights by a
+    score, k-center picks the examples that SPAN the embedding space
+    — dedup's complement (drop the redundant middle, keep the hull).
+
+    Scale shape: the chosen set is bounded (k rows, broadcast); each
+    of the k−1 unrolled rounds is ONE corpus scan scoring all chosen
+    centers map-locally on the exact integer grid + a rank-1
+    TakeOrdered — O(k·n) total, no pair materialization, no driver
+    loop over data.
+    """
+    from asyncdatapipeline_spark.llm.similarity import _as_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    chosen = (
+        c.orderBy("vec_id").limit(1).select("vec_id", "v")
+    ).localCheckpoint(eager=False)
+
+    def dmin_frame(sel):
+        co = c.select(
+            F.col("vec_id").alias("cid"),
+            F.posexplode("v").alias("pos", "x"),
+        )
+        term = F.round(
+            F.round(
+                (F.col("x") - F.element_at(F.col("sv"), F.col("pos") + 1))
+                * (F.col("x") - F.element_at(F.col("sv"), F.col("pos") + 1)),
+                12,
+            )
+            * 1e12,
+            0,
+        ).cast("long")
+        return (
+            co.join(
+                F.broadcast(
+                    sel.select(
+                        F.col("vec_id").alias("sid"), F.col("v").alias("sv")
+                    )
+                )
+            )
+            .groupBy("cid", "sid")
+            .agg(F.sum(term).alias("d2"))
+            .groupBy("cid")
+            .agg(F.min("d2").alias("dmin"))
+        )
+
+    for _ in range(1, _KC_K):
+        d = dmin_frame(chosen)
+        pick = (
+            d.join(c, F.col("cid") == F.col("vec_id"))
+            .orderBy(F.col("dmin").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", "v")
+        )
+        chosen = chosen.unionAll(pick).localCheckpoint(eager=False)
+    fin = dmin_frame(chosen)
+    radius = F.broadcast(
+        fin.agg(F.max("dmin").alias("rmax"))
+    )
+    n = F.broadcast(c.agg(F.count(F.lit(1)).cast("long").alias("n_corpus")))
+    from asyncdatapipeline_spark.operators._util import bounded_part
+
+    wb = W.partitionBy(bounded_part(F.col("vec_id"))).orderBy("vec_id")
+    return (
+        chosen.select("vec_id")
+        .withColumn("pick", F.row_number().over(wb).cast("long"))
+        .crossJoin(n)
+        .crossJoin(radius)
+        .select(
+            F.col("vec_id").alias("center_vec_id"),
+            "pick",
+            "n_corpus",
+            F.round(F.col("rmax").cast("double") / 1e12, 6).alias(
+                "coverage_radius_sq"
+            ),
+        )
+        .orderBy("center_vec_id")
+    )
+
+
+q_sample_kcenter.__doc__ = q_sample_kcenter.__doc__.format(k=_KC_K)

@@ -4606,3 +4606,117 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_top")
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding-artifact audit (mojibake / control-char / replacement-char)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_encoding_audit",
+    # All three artifact counts are exact integer length-differences
+    # (replace-and-measure for single chars, the same regexp_replace
+    # character class in RE2 and Java for the control range); rates
+    # are one IEEE division per bounded source row.
+    oracle="""
+WITH per AS (
+  SELECT source,
+         length(text) AS nc,
+         length(text) - length(replace(text, chr(65533), ''))
+           AS n_repl,
+         length(text)
+           - length(regexp_replace(text,
+               '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS n_ctrl,
+         length(text) - length(replace(text, chr(160), '')) AS n_nbsp
+  FROM documents
+),
+s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nc) AS BIGINT) AS n_chars,
+         CAST(sum(n_repl) AS BIGINT) AS n_repl,
+         CAST(sum(n_ctrl) AS BIGINT) AS n_ctrl,
+         CAST(sum(n_nbsp) AS BIGINT) AS n_nbsp
+  FROM per GROUP BY 1
+)
+SELECT source, n_docs, n_chars,
+       round(CAST(n_repl AS DOUBLE) * 1000000 / nullif(n_chars, 0), 6)
+         AS repl_per_mchar,
+       round(CAST(n_ctrl AS DOUBLE) * 1000000 / nullif(n_chars, 0), 6)
+         AS ctrl_per_mchar,
+       round(CAST(n_nbsp AS DOUBLE) * 1000000 / nullif(n_chars, 0), 6)
+         AS nbsp_per_mchar,
+       n_repl + n_ctrl = 0 AS clean
+FROM s ORDER BY source
+""",
+)
+def q_text_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact audit per source: U+FFFD replacement
+    characters (a decoder already gave up — the text lost bytes),
+    C0 control characters outside whitespace (binary junk or
+    double-decoded escapes), and non-breaking spaces (the HTML-paste
+    signature that breaks whitespace tokenizers), each per million
+    characters. The pre-tokenizer gate every corpus intake runs: a
+    source with repl_per_mchar in the hundreds was scraped with the
+    wrong charset and poisons vocabulary statistics (q_text_heaps,
+    q_text_vocab_coverage) silently. One bad source vs all sources
+    elevated distinguishes a scraper bug from a pipeline-wide
+    charset mistake.
+
+    Scale shape: entirely row-local replace/regexp length arithmetic
+    in whole-stage codegen — no UDF, no shuffle until the final
+    map-combinable reduce onto the bounded source grid.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nc = F.length("text")
+    per = d.select(
+        "source",
+        nc.alias("nc"),
+        # NOT F.chr(65533): Spark's chr() is mod-256 (ASCII-extended),
+        # so chr(65533) silently yields U+00FD — the escape literal is
+        # the real U+FFFD codepoint
+        (
+            nc
+            - F.length(
+                F.replace(F.col("text"), F.lit("\ufffd"), F.lit(""))
+            )
+        ).alias("n_repl"),
+        (
+            nc
+            - F.length(
+                F.regexp_replace(
+                    F.col("text"), r"[\x00-\x08\x0b\x0c\x0e-\x1f]", ""
+                )
+            )
+        ).alias("n_ctrl"),
+        (
+            nc
+            - F.length(
+                F.replace(F.col("text"), F.lit("\u00a0"), F.lit(""))
+            )
+        ).alias("n_nbsp"),
+    )
+    s = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nc").cast("long").alias("n_chars"),
+        F.sum("n_repl").cast("long").alias("n_repl"),
+        F.sum("n_ctrl").cast("long").alias("n_ctrl"),
+        F.sum("n_nbsp").cast("long").alias("n_nbsp"),
+    )
+    nz = F.nullif(F.col("n_chars"), F.lit(0))
+    return s.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("n_repl").cast("double") * 1_000_000 / nz, 6).alias(
+            "repl_per_mchar"
+        ),
+        F.round(F.col("n_ctrl").cast("double") * 1_000_000 / nz, 6).alias(
+            "ctrl_per_mchar"
+        ),
+        F.round(F.col("n_nbsp").cast("double") * 1_000_000 / nz, 6).alias(
+            "nbsp_per_mchar"
+        ),
+        ((F.col("n_repl") + F.col("n_ctrl")) == 0).alias("clean"),
+    ).orderBy("source")

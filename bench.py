@@ -186,6 +186,8 @@ HEADLINE = [
     "q_scan_merge_schema",      # two-generation mergeSchema scan
     "q_dedup_url",              # codegen canonicalizer + grouped count
     "q_embed_drift",            # micro-grid centroid drift per label
+    "q_sample_kcenter",         # k unrolled farthest-point scans
+    "q_text_encoding_audit",    # row-local charset artifact counts
 ]
 
 

@@ -525,3 +525,49 @@ def test_embed_drift_planted_shift(spark):
     assert got[0]["centroid_drift"] == 5.0 and got[0]["drifted"] is True
     assert got[0]["n_a"] == 2 and got[0]["n_b"] == 2
     assert got[1]["centroid_drift"] == 0.0 and got[1]["drifted"] is False
+
+
+def test_kcenter_farthest_point_traversal(spark):
+    """1-D points 0,1,2,3,4,50,51,100,101,200 (ids 0..9): greedy FPT
+    from id 0 selects 200, 100, 50, 4; final coverage radius² = 4."""
+    out = tempfile.mkdtemp()
+    pos = [0.0, 1.0, 2.0, 3.0, 4.0, 50.0, 51.0, 100.0, 101.0, 200.0]
+    _write(
+        spark, out, "embeddings",
+        [(i, [x], 0) for i, x in enumerate(pos)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    res = registry.get("q_sample_kcenter").fn(spark, out).collect()
+    ids = [r["center_vec_id"] for r in res]
+    assert ids == [0, 4, 5, 7, 9]
+    assert all(r["n_corpus"] == 10 for r in res)
+    assert all(abs(r["coverage_radius_sq"] - 4.0) < 1e-9 for r in res)
+    assert [r["pick"] for r in res] == [1, 2, 3, 4, 5]
+
+
+def test_encoding_audit_planted_artifacts(spark):
+    """One doc with 2 replacement chars + 1 control char + 1 NBSP in
+    100 chars; one clean doc. Rates per Mchar are exact."""
+    out = tempfile.mkdtemp()
+    bad = ("a" * 95) + "\ufffd\ufffd\x01\xa0x"   # len 100
+    good = "b" * 50
+    _write(
+        spark, out, "documents",
+        [(1, bad, "en", "web", len(bad)), (2, good, "en", "books", 50)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    got = {
+        r["source"]: r
+        for r in registry.get("q_text_encoding_audit")
+        .fn(spark, out)
+        .collect()
+    }
+    w = got["web"]
+    assert w["n_chars"] == 100
+    assert abs(w["repl_per_mchar"] - 20000.0) < 1e-6
+    assert abs(w["ctrl_per_mchar"] - 10000.0) < 1e-6
+    assert abs(w["nbsp_per_mchar"] - 10000.0) < 1e-6
+    assert w["clean"] is False
+    b = got["books"]
+    assert b["clean"] is True and b["repl_per_mchar"] == 0.0

@@ -389,6 +389,8 @@ QUERIES = [
     "q_scan_merge_schema",
     "q_dedup_url",
     "q_embed_drift",
+    "q_sample_kcenter",
+    "q_text_encoding_audit",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
