@@ -1,0 +1,595 @@
+"""Named TPC-H query suite (fixture-adapted).
+
+The engine already proves the TPC-H *shapes* piecewise (q_agg_hash is
+Q1, q_join_multiway is Q5, q_subquery_correlated is Q17,
+q_exists_correlated is Q21); this module names the remaining
+fixture-expressible queries under their canonical numbers so a user can
+run "TPC-H Qn" directly. Adaptations forced by the synthetic schema are
+stated per query (no partsupp table; no l_commitdate / l_receiptdate /
+l_shipmode / p_container / c_phone columns; output columns the fixture
+lacks are dropped, never faked).
+
+Reference parity: the reference (Go async batch pipeline,
+async_data_pipeline.go:1-391) has no query surface; the TPC-H suite is
+the canonical analytics-engine acceptance battery per SURVEY.md §2B.
+
+Determinism: every money aggregate rides the exact-decimal device
+(operators/_util.dsum — order-free sums, one final double), every top-k
+orders by the 6dp-rounded measure with full key tiebreaks, and share
+divisions are single IEEE expressions on identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..sources.tables import load_table
+from ._util import dsum, sql_dsum
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev_col():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp")
+
+
+@query(
+    "q_tpch_q3",
+    oracle=f"""
+SELECT l.l_orderkey,
+       round(CAST(SUM(CAST(({_REV}) AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10
+""",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 unshipped BUILDING-segment
+    orders by outstanding revenue at the cutoff date. Adapted: the
+    fixture has no o_shippriority column, so that output column is
+    dropped; everything else is the standard query.
+
+    Scale shape: the segment filter prunes customer BEFORE the join
+    (broadcast — |customers·seg⁻¹| rows), both date filters push into
+    the scans, the revenue reduce shuffles on l_orderkey only for rows
+    surviving both predicates, and the top-10 plans as
+    TakeOrderedAndProject on the 6dp grid.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts("1998-03-15 00:00:00")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ts("1998-03-15 00:00:00")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(dsum(_rev_col(), "r"), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@query(
+    "q_tpch_q6",
+    oracle=f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the revenue that would
+    have been kept had discounts in a band been eliminated for one
+    year of small-quantity lines — unmodified.
+
+    Scale shape: the canonical full-pushdown probe — all three
+    predicates reach the parquet scan (date range + discount band +
+    quantity), no join, ONE map-combinable decimal sum to a single
+    row. If this query shuffles anything, the engine is broken.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q7",
+    oracle=f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       round(CAST(SUM(CAST(({_REV}) AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ((ns.n_name = 'NATION_9' AND nc.n_name = 'NATION_3')
+    OR (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_9'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    nations by shipment year, both directions — unmodified apart from
+    the fixture's nation names (the NATION_9/NATION_3 pair is the
+    busiest bilateral lane in the synthetic graph, so the result is
+    non-trivial at every SF).
+
+    Scale shape: supplier/customer/nation dims broadcast; the two-year
+    shipdate band pushes into the fact scan; the nation-pair predicate
+    applies after broadcast attachment (map-side), so the only shuffle
+    is the final bounded (nation², year) reduce.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ns = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_9")
+        & (F.col("cust_nation") == "NATION_3")
+    ) | (
+        (F.col("supp_nation") == "NATION_3")
+        & (F.col("cust_nation") == "NATION_9")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("cnk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(dsum(_rev_col(), "r"), 6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(({_REV}) AS DECIMAL(28,6)) AS volume,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                           THEN volume ELSE 0 END) AS DOUBLE)
+             / nullif(CAST(sum(volume) AS DOUBLE), 0), 6) AS mkt_share,
+       round(CAST(sum(volume) AS DOUBLE), 6) AS total_volume
+FROM base GROUP BY 1 ORDER BY 1
+""",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of PROMO-type
+    part revenue sold into ASIA customers, by order year — unmodified
+    apart from fixture names.
+
+    Scale shape: the snowflake legs (customer→nation→region filter,
+    supplier→nation, part-type filter) all broadcast and prune BEFORE
+    touching the fact; the share is computed from ONE pass of
+    conditional exact-decimal sums on the bounded year grid — never
+    two scans for numerator and denominator.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    cust_asia = (
+        c.join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r),
+                    n["n_regionkey"] == r["r_regionkey"],
+                ).select("n_nationkey")
+            ),
+            c["c_nationkey"] == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("volume")
+    base = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("snk"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _rev_col().cast("decimal(28,6)").alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                    F.lit(0).cast("decimal(28,6)")
+                )
+            )
+            .cast("double")
+            .alias("num"),
+            F.sum(vol).cast("double").alias("den"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("num") / F.nullif(F.col("den"), F.lit(0.0)), 6
+            ).alias("mkt_share"),
+            F.round("den", 6).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q_tpch_q10",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       round(CAST(SUM(CAST(({_REV}) AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS revenue,
+       round(CAST(c.c_acctbal AS DOUBLE), 6) AS c_acctbal,
+       n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 4, 5
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): top-20 customers by revenue
+    lost to returns in one quarter. Adapted: the fixture has no
+    c_phone / c_address / c_comment, so those output columns are
+    dropped; the query core is unmodified.
+
+    Scale shape: the quarter filter prunes orders at the scan, the
+    returnflag filter prunes lineitem at the scan, nation broadcasts,
+    the reduce shuffles on the customer key, and the top-20 is
+    TakeOrderedAndProject on the 6dp revenue grid with a custkey
+    tiebreak.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-04-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal").cast("double"), 6).alias("c_acctbal"),
+            "n_name",
+        )
+        .agg(F.round(dsum(_rev_col(), "r"), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+SELECT round(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(({_REV}) AS DECIMAL(28,6))
+                ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+         / nullif(CAST(SUM(CAST(({_REV}) AS DECIMAL(28,6))) AS DOUBLE), 0),
+         6) AS promo_revenue_pct,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+""",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of one month's revenue
+    attributable to PROMO-type parts. Adapted only in the type match
+    (the fixture's p_type is a single word, so equality replaces the
+    `LIKE 'PROMO%'` prefix match).
+
+    Scale shape: month filter pushes into the fact scan, part
+    broadcasts, numerator and denominator come from ONE pass of
+    conditional exact-decimal sums — the classic
+    one-scan-two-aggregates share plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-06-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-07-01 00:00:00"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _rev_col().cast("decimal(28,6)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast("decimal(28,6)")
+                )
+            )
+            .cast("double")
+            .alias("num"),
+            F.sum(rev).cast("double").alias("den"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .select(
+            F.round(
+                100.0 * F.col("num") / F.nullif(F.col("den"), F.lit(0.0)), 6
+            ).alias("promo_revenue_pct"),
+            "n_lines",
+        )
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         round(CAST(SUM(CAST(({_REV}) AS DECIMAL(28,6))) AS DOUBLE), 6)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, rev.total_revenue
+FROM supplier s JOIN rev ON rev.supplier_no = s.s_suppkey
+WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+""",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarterly
+    shipped revenue equals the maximum — unmodified (the view becomes
+    a CTE-shaped subplan; ties are all returned, per the spec).
+
+    Scale shape: one supplier-keyed decimal reduce over the
+    date-pruned fact, a 1-row broadcast max joined back (the
+    decorrelated scalar-subquery shape — equality on the 6dp grid so
+    both engines keep identical tie sets), supplier dim broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(dsum(_rev_col(), "r"), 6).alias("total_revenue"))
+        .localCheckpoint(eager=False)  # feeds the max AND the join
+    )
+    mx = F.broadcast(rev.agg(F.max("total_revenue").alias("mx")))
+    return (
+        rev.crossJoin(mx)
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1
+  HAVING sum(l_quantity) > 150
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       round(CAST(o.o_totalprice AS DOUBLE), 6) AS o_totalprice,
+       CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN big ON big.l_orderkey = o.o_orderkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+""",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large volume customer): orders whose total quantity
+    exceeds the threshold, with their customers, top-100 by order
+    value — unmodified (threshold scaled to the fixture's ≤7-line
+    orders: 150). Quantity sums are integers in the fixture, so the
+    HAVING boundary and total_qty are exact.
+
+    Scale shape: the canonical semi-join-on-an-aggregate plan — the
+    HAVING reduce shuffles lineitem once on the order key, the
+    surviving (tiny) key set joins back co-partitioned, customer
+    attaches by broadcast, and the top-100 is TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select(F.col("l_orderkey").alias("bk"))
+    )
+    return (
+        li.join(big, F.col("l_orderkey") == F.col("bk"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("double"), 6).alias(
+                "o_totalprice"
+            ),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+           / count(*) AS a
+  FROM customer WHERE c_acctbal > 0.0
+),
+active AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+SELECT n.n_name AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS totacctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM active WHERE active.o_custkey = c.c_custkey)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): customers with
+    above-average positive balances who have never ordered, counted
+    per country. Adapted: the fixture has no c_phone, so the
+    country code comes from the customer's nation instead of the
+    phone prefix, and "never ordered" becomes "no order since
+    2000-01-01" (the synthetic order generator gives every customer at
+    least one lifetime order, which would make the literal spec
+    predicate vacuously empty); the anti-join core is unmodified —
+    dormant high-balance accounts per country.
+
+    Scale shape: the average is a 1-row broadcast (decorrelated scalar
+    subquery), the never-ordered test is a LeftAnti against the
+    distinct order custkeys (co-partitioned on the customer key, never
+    a per-row probe), nation broadcasts, and the reduce lands on the
+    bounded country grid.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("2000-01-01 00:00:00"))
+        .select("o_custkey")
+        .distinct()
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    avg_bal = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0.0).agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("a")
+        )
+    )
+    return (
+        c.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

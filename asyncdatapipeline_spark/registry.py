@@ -58,6 +58,7 @@ def _load_all() -> None:
     import asyncdatapipeline_spark.sources.sinks  # noqa: F401
     import asyncdatapipeline_spark.operators.graph  # noqa: F401
     import asyncdatapipeline_spark.operators.evalmetrics  # noqa: F401
+    import asyncdatapipeline_spark.operators.tpch  # noqa: F401
     import asyncdatapipeline_spark.functions.scalar  # noqa: F401
     import asyncdatapipeline_spark.functions.udfs  # noqa: F401
     import asyncdatapipeline_spark.llm.dedup  # noqa: F401

@@ -188,6 +188,16 @@ HEADLINE = [
     "q_embed_drift",            # micro-grid centroid drift per label
     "q_sample_kcenter",         # k unrolled farthest-point scans
     "q_text_encoding_audit",    # row-local charset artifact counts
+    # round-11 TPC-H suite
+    "q_tpch_q3",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q18",
+    "q_tpch_q22",
 ]
 
 

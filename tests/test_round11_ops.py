@@ -571,3 +571,50 @@ def test_encoding_audit_planted_artifacts(spark):
     assert w["clean"] is False
     b = got["books"]
     assert b["clean"] is True and b["repl_per_mchar"] == 0.0
+
+
+def test_tpch_q18_threshold_boundary(spark):
+    """Orders at qty 151 pass the >150 HAVING, exactly 150 does not."""
+    out = tempfile.mkdtemp()
+    _write(
+        spark, out, "customer",
+        [(1, "Customer#1"), (2, "Customer#2")],
+        "c_custkey long, c_name string",
+    )
+    _write(
+        spark, out, "orders",
+        [(10, 1, 500.0, _day(0)), (20, 2, 400.0, _day(1))],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    )
+    rows = [(10, float(q)) for q in (50, 50, 51)]      # 151 -> in
+    rows += [(20, float(q)) for q in (50, 50, 50)]     # 150 -> out
+    _write(spark, out, "lineitem", rows,
+           "l_orderkey long, l_quantity double")
+    res = registry.get("q_tpch_q18").fn(spark, out).collect()
+    assert len(res) == 1
+    assert res[0]["o_orderkey"] == 10 and res[0]["total_qty"] == 151
+    assert res[0]["c_name"] == "Customer#1"
+
+
+def test_tpch_q6_band_boundaries(spark):
+    """Discount band [0.05, 0.07] and qty < 24 are inclusive/exclusive
+    exactly as specified."""
+    out = tempfile.mkdtemp()
+    d = datetime.datetime(1997, 6, 1)
+    rows = [
+        (1, 100.0, 0.05, 23.0, d),   # in (both boundaries inclusive)
+        (2, 100.0, 0.07, 1.0, d),    # in
+        (3, 100.0, 0.04, 1.0, d),    # out: discount low
+        (4, 100.0, 0.06, 24.0, d),   # out: qty not < 24
+        (5, 100.0, 0.06, 1.0, datetime.datetime(1998, 1, 1)),  # out: date
+    ]
+    _write(
+        spark, out, "lineitem",
+        [(k, p, disc, q, ts) for k, p, disc, q, ts in rows],
+        "l_orderkey long, l_extendedprice double, l_discount double, "
+        "l_quantity double, l_shipdate timestamp",
+    )
+    r = registry.get("q_tpch_q6").fn(spark, out).collect()[0]
+    assert r["n_lines"] == 2
+    assert abs(r["revenue"] - (100 * 0.05 + 100 * 0.07)) < 1e-9

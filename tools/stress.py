@@ -391,6 +391,16 @@ QUERIES = [
     "q_embed_drift",
     "q_sample_kcenter",
     "q_text_encoding_audit",
+    # TPC-H suite (fact growth over fixed dims - the realistic shape)
+    "q_tpch_q3",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q18",
+    "q_tpch_q22",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
