@@ -593,3 +593,172 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): orders placed in one quarter
+    with at least one LATE line, counted per priority. Adapted: the
+    fixture has no l_commitdate / l_receiptdate, so "late" becomes
+    "shipped more than 60 days after the order date" — the same
+    per-order EXISTS semantics against a date comparison the schema
+    can express.
+
+    Scale shape: the quarter filter prunes orders at the scan; the
+    correlated EXISTS decorrelates to a LeftSemi on the order key
+    (plan-audited shape, q_exists_correlated doctrine) with the
+    60-day comparison evaluated in the join condition — one
+    co-partitioned pass, never a per-row probe; the reduce lands on
+    the bounded priority grid.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1997-04-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+WITH c_orders AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey
+   AND o.o_orderpriority != '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): the histogram of
+    orders-per-customer, customers with zero qualifying orders
+    included via the outer join. Adapted: the spec excludes orders by
+    a comment pattern the fixture lacks; the exclusion predicate
+    becomes `o_orderpriority != '1-URGENT'` — same shape (a non-key
+    filter INSIDE the outer join condition, which must not turn the
+    join inner).
+
+    Scale shape: one outer join co-keyed on the customer key with the
+    exclusion evaluated pre-join (pushed to the orders scan — legal
+    on the preserved side), a customer-keyed count, then a second
+    reduce onto the bounded count grid. The zero bucket is the
+    structural test: losing it means the outer join silently
+    degraded.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    c_orders = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+SELECT {sql_dsum(_REV, 'revenue')},
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 45)
+""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): revenue from lines matching any
+    of three (brand, size-band, quantity-band) disjuncts — THE
+    disjunctive-predicate pushdown probe. Adapted: the fixture has no
+    p_container / l_shipmode / l_shipinstruct, so each disjunct keeps
+    its brand + size + quantity legs only.
+
+    Scale shape: the part-side legs of the OR (brand, size) prune the
+    broadcast dim BEFORE the join (a part matching NO disjunct's
+    brand+size never ships to the fact side), the quantity legs
+    evaluate post-join map-side, and the whole thing is one scan +
+    one broadcast join + one decimal sum. Catalyst cannot split an
+    OR across scans — pre-filtering the dim to the UNION of part-leg
+    matches is the manual half it can't do.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    part_leg = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50))
+    )
+    full = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 45)
+        )
+    )
+    return (
+        li.join(
+            F.broadcast(p.filter(part_leg)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(full)
+        .agg(
+            dsum(_rev_col(), "revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )

@@ -198,6 +198,9 @@ HEADLINE = [
     "q_tpch_q15",
     "q_tpch_q18",
     "q_tpch_q22",
+    "q_tpch_q4",
+    "q_tpch_q13",
+    "q_tpch_q19",
 ]
 
 

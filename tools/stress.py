@@ -401,6 +401,9 @@ QUERIES = [
     "q_tpch_q15",
     "q_tpch_q18",
     "q_tpch_q22",
+    "q_tpch_q4",
+    "q_tpch_q13",
+    "q_tpch_q19",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
