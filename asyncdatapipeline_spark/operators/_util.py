@@ -162,6 +162,7 @@ def dist_cumsum(
     part_cols: Sequence[str] = (),
     tiebreak: Sequence[str] = (),
     descending: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """EXACT cumulative sums over a total ordering, fully distributed —
     the scale-safe replacement for ``W.orderBy(col)`` running sums
@@ -233,7 +234,20 @@ def dist_cumsum(
     # frame at this point is always the already-reduced spine/distinct
     # form, so the materialization is small by construction (the
     # SCALING.md re-referenced-frame doctrine).
-    df = df.localCheckpoint(eager=False)
+    #
+    # TRADEOFF (r11 ADVICE): localCheckpoint blocks are NOT
+    # recomputable from lineage — on a real cluster, losing the
+    # executor that holds a block fails the job instead of recomputing
+    # the partition. That is the right trade for the small reduced
+    # frames every current caller passes (re-deriving an expensive
+    # reduce 3× costs more than the re-run risk), but it is a
+    # convention, not a guarantee: a caller feeding a DATA-SIZED frame
+    # would silently pin it in executor storage AND inherit the
+    # fault-intolerance. Such a caller must pass ``checkpoint=False``
+    # (recompute-per-evaluation, lineage preserved) or persist to a
+    # fault-tolerant store itself. `checkpoint` is the opt-out.
+    if checkpoint:
+        df = df.localCheckpoint(eager=False)
     proxy = F.col(order_col).cast("double")
     if descending:
         proxy = -proxy

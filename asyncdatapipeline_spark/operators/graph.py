@@ -1921,7 +1921,7 @@ e AS (
   JOIN deg dv ON dv.u = edges.v
 )
 SELECT k AS degree,
-       CAST(count(*) / k AS BIGINT) AS n_nodes,
+       CAST(count(*) AS BIGINT) // k AS n_nodes,
        CAST(count(*) AS BIGINT) AS n_edge_ends,
        round(CAST(sum(dv) AS DOUBLE) / count(*), 6) AS avg_neighbor_degree,
        round(CAST(sum(dv) AS DOUBLE) / count(*) / k, 6) AS knn_over_k
@@ -1972,7 +1972,11 @@ def q_graph_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("k").alias("degree"),
-            (F.col("n_edge_ends") / F.col("k")).cast("long").alias("n_nodes"),
+            # Exact integer division on BOTH sides (r11 ADVICE): the
+            # double-division + truncating cast vs. DuckDB's rounding
+            # CAST agreed only while the quotient was an exact
+            # integer; `div` / `//` make the invariant structural.
+            F.expr("n_edge_ends div k").alias("n_nodes"),
             "n_edge_ends",
             F.round(
                 F.col("sdv").cast("double") / F.col("n_edge_ends"), 6

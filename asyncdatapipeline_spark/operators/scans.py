@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -874,12 +876,18 @@ _MERGE_SPLIT_DAY = 19740  # generation boundary (fixture spans ~19720+)
     # The two generations are deterministic day-range slices of the
     # source view, so the merged read's per-type counts/null-counts/
     # sums are plain conditional aggregates over `events`; the value
-    # sum rides the exact decimal grid.
+    # sum rides the exact decimal grid. The null count mirrors the
+    # engine's REAL NULL semantics (old-generation rows lack the
+    # column entirely, AND any source NULL in the new generation
+    # survives the merged read) — `day < split OR value IS NULL`,
+    # not the positional day-range shortcut, so a fixture that gains
+    # NULL values keeps both sides in agreement.
     oracle=f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN CAST(floor(epoch(ts) / 86400) AS BIGINT)
-                          < {_MERGE_SPLIT_DAY} THEN 1 ELSE 0 END)
+                          < {_MERGE_SPLIT_DAY}
+                     OR value IS NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_value_null,
        round(CAST(sum(CASE WHEN CAST(floor(epoch(ts) / 86400) AS BIGINT)
                                 >= {_MERGE_SPLIT_DAY}
@@ -905,23 +913,35 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     — layout-sized, not row-sized.
     """
     path = _scratch(sf_dir, "events_twogen")
-    e = load_table(spark, sf_dir, "events")
-    day = (
-        F.floor(F.unix_timestamp("ts").cast("double") / 86400)
-        .cast("long")
-    )
-    (
-        e.filter(day < _MERGE_SPLIT_DAY)
-        .select("event_id", "event_type")
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "gen=1"))
-    )
-    (
-        e.filter(day >= _MERGE_SPLIT_DAY)
-        .select("event_id", "event_type", "value")
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "gen=2"))
-    )
+    if not os.path.isdir(path):
+        # The generations are deterministic slices of sf_dir, so the
+        # layout is write-once. Build it under a per-run unique temp
+        # sibling and atomically rename into place: a concurrent run
+        # (bench + stress on the same sf_dir) either wins the rename
+        # or observes the winner's COMPLETE directory — never a
+        # partially written generation.
+        tmp = path + ".tmp-" + uuid.uuid4().hex
+        e = load_table(spark, sf_dir, "events")
+        day = (
+            F.floor(F.unix_timestamp("ts").cast("double") / 86400)
+            .cast("long")
+        )
+        (
+            e.filter(day < _MERGE_SPLIT_DAY)
+            .select("event_id", "event_type")
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "gen=1"))
+        )
+        (
+            e.filter(day >= _MERGE_SPLIT_DAY)
+            .select("event_id", "event_type", "value")
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "gen=2"))
+        )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
     merged = (
         spark.read.option("mergeSchema", "true")
         .option("recursiveFileLookup", "true")
