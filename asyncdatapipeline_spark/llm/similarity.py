@@ -2304,6 +2304,9 @@ def q_embed_twonn(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ml_hard_negatives probe-fan shape), per-anchor top-2 a
     WindowGroupLimit (per-task 2-heaps). At real scale the exact scan
     swaps for the IVF/LSH candidate path; the estimator is unchanged.
+    Envelope + measured constants: SCALING.md "bounded-anchor
+    corpus-scan envelope" (2.16 s at sf0.1, 3.43x at 10x — linear scan
+    term dominating as overhead amortizes).
     """
     e = load_table(spark, sf_dir, "embeddings")
     an = F.broadcast(
@@ -2893,7 +2896,9 @@ def q_embed_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned ONCE scoring all anchors map-locally on the exact integer
     grid; per-anchor top-k is a WindowGroupLimit (per-task k-heaps);
     the occurrence reduce and the moment closed form are
-    map-combinable integer sums. Linear in corpus size.
+    map-combinable integer sums. Linear in corpus size. Envelope +
+    measured constants: SCALING.md "bounded-anchor corpus-scan
+    envelope" (1.48 s at sf0.1, 4.09x at 10x — same shape as TwoNN).
     """
     e = load_table(spark, sf_dir, "embeddings")
     an = F.broadcast(
@@ -3105,4 +3110,190 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sqrt("d2") > 0.1).alias("drifted"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Participation ratio — whole-spectrum effective dimensionality
+# ---------------------------------------------------------------------------
+
+_PR_DIMS = 64  # fixture embedding width (TESTDATA.md); the grid is
+# (d+1)d/2 = 2080 covariance cells — bounded by the WIDTH, never the
+# corpus, so the reduce target is a constant-size frame at any scale.
+
+
+@query(
+    "q_embed_participation",
+    # Covariance cells come from EXACT order-free integer sums (the
+    # q_embed_twonn 12dp→1e12→BIGINT device on each x_d·x_e product);
+    # the per-cell centering chain and the final trace ratio are IEEE
+    # on identical integers, and the two trace accumulations ride a
+    # 12dp DECIMAL grid so the 2080-term sums are order-free too.
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+cells AS (
+  SELECT di.i AS d, ei.i AS e,
+         CAST(sum(CAST(round(round(x[di.i + 1] * x[ei.i + 1], 12)
+                             * 1000000000000.0) AS BIGINT))
+              AS BIGINT) AS sde
+  FROM v,
+       unnest(generate_series(0, {_PR_DIMS - 1})) AS di(i),
+       unnest(generate_series(0, {_PR_DIMS - 1})) AS ei(i)
+  WHERE ei.i >= di.i
+  GROUP BY 1, 2
+),
+dsums AS (
+  SELECT di.i AS d,
+         CAST(sum(CAST(round(round(x[di.i + 1], 12)
+                             * 1000000000000.0) AS BIGINT))
+              AS BIGINT) AS sd
+  FROM v, unnest(generate_series(0, {_PR_DIMS - 1})) AS di(i)
+  GROUP BY 1
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+c AS (
+  SELECT cells.d, cells.e,
+         ((CAST(sde AS DOUBLE) / 1e12)
+          - (CAST(a.sd AS DOUBLE) / 1e12)
+            * (CAST(b.sd AS DOUBLE) / 1e12) / nn.n) / nn.n AS cde
+  FROM cells
+  JOIN dsums a ON a.d = cells.d
+  JOIN dsums b ON b.d = cells.e
+  CROSS JOIN nn
+),
+t AS (
+  SELECT CAST(round(CASE WHEN d = e THEN cde ELSE 0e0 END, 12)
+              AS DECIMAL(38,12)) AS tr_term,
+         CAST(round((CASE WHEN d = e THEN 1e0 ELSE 2e0 END) * cde * cde,
+                    12) AS DECIMAL(38,12)) AS sq_term
+  FROM c
+)
+SELECT (SELECT n FROM nn) AS n_vecs,
+       CAST({_PR_DIMS} AS INT) AS n_dims,
+       round(CAST(sum(tr_term) AS DOUBLE), 6) AS total_var,
+       round(CAST(sum(tr_term) AS DOUBLE) * CAST(sum(tr_term) AS DOUBLE)
+             / CAST(sum(sq_term) AS DOUBLE), 6) AS participation_ratio,
+       round(CAST(sum(tr_term) AS DOUBLE) * CAST(sum(tr_term) AS DOUBLE)
+             / CAST(sum(sq_term) AS DOUBLE) / {_PR_DIMS}, 6)
+         AS pr_fraction
+FROM t
+HAVING CAST(sum(sq_term) AS DOUBLE) > 0
+""",
+)
+def q_embed_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation ratio PR = tr(C)²/tr(C²) of the embedding
+    covariance — the WHOLE-SPECTRUM effective dimensionality (if k
+    eigenvalues share the variance equally, PR = k) that
+    q_embed_pca_power's single top eigenvalue and q_embed_dim_profile's
+    per-dim marginals cannot give: PR needs every eigenvalue, yet both
+    traces are computable WITHOUT any eigendecomposition —
+    tr(C) = Σ C_dd and tr(C²) = Σ C_de² over the covariance cells. A
+    PR ≪ d says the representation collapsed onto a few directions
+    (anisotropy's spectral twin); PR/d trending down across checkpoints
+    is representation collapse caught before any retrieval eval.
+
+    Scale shape: ONE corpus pass expands each row map-locally to its
+    2080 upper-triangle products (flatten/transform — no join, no
+    shuffle of row pairs) and sums them as exact integers onto the
+    BOUNDED (d,e) grid — map-combinable, shuffle = 2080 rows per task.
+    Centering joins the 64-row dim-sum frame onto the grid (broadcast);
+    the trace ratio is one reduced row. Corpus size only changes the
+    scan; the width caps the state. Cites the anchor-free side of
+    SCALING.md's estimator contracts: bounded GRID, not bounded sample.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = _as_double(F.col("embedding"))
+    pairs = F.expr(
+        f"""
+        flatten(transform(sequence(0, {_PR_DIMS - 1}), d ->
+          transform(sequence(d, {_PR_DIMS - 1}), e ->
+            struct(d AS d, e AS e,
+                   cast(round(round(cast(embedding[d] as double)
+                                    * cast(embedding[e] as double), 12)
+                              * 1000000000000.0D) as bigint) AS p))))
+        """
+    )
+    cells = (
+        e.select(F.explode(pairs).alias("c"))
+        .select("c.d", "c.e", "c.p")
+        .groupBy("d", "e")
+        .agg(F.sum("p").cast("long").alias("sde"))
+    )
+    dsums = (
+        e.select(F.posexplode(x).alias("d", "xd"))
+        .filter(F.col("d") < _PR_DIMS)
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.round(F.round(F.col("xd"), 12) * F.lit(1e12)).cast("long")
+            )
+            .cast("long")
+            .alias("sd")
+        )
+    )
+    nn = e.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    c = (
+        cells.join(F.broadcast(dsums.withColumnRenamed("sd", "sa")), "d")
+        .join(
+            F.broadcast(
+                dsums.select(F.col("d").alias("e"), F.col("sd").alias("sb"))
+            ),
+            "e",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "d",
+            "e",
+            (
+                (
+                    F.col("sde").cast("double") / F.lit(1e12)
+                    - (F.col("sa").cast("double") / F.lit(1e12))
+                    * (F.col("sb").cast("double") / F.lit(1e12))
+                    / F.col("n")
+                )
+                / F.col("n")
+            ).alias("cde"),
+        )
+    )
+    t = c.select(
+        F.round(
+            F.when(F.col("d") == F.col("e"), F.col("cde")).otherwise(
+                F.lit(0.0)
+            ),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("tr_term"),
+        F.round(
+            F.when(F.col("d") == F.col("e"), F.lit(1.0)).otherwise(
+                F.lit(2.0)
+            )
+            * F.col("cde")
+            * F.col("cde"),
+            12,
+        )
+        .cast("decimal(38,12)")
+        .alias("sq_term"),
+    )
+    agg = t.agg(
+        F.sum("tr_term").cast("double").alias("trc"),
+        F.sum("sq_term").cast("double").alias("trc2"),
+    )
+    return (
+        nn.crossJoin(F.broadcast(agg))
+        .filter(F.col("trc2") > 0)
+        .select(
+            F.col("n").alias("n_vecs"),
+            F.lit(_PR_DIMS).cast("int").alias("n_dims"),
+            F.round(F.col("trc"), 6).alias("total_var"),
+            F.round(F.col("trc") * F.col("trc") / F.col("trc2"), 6).alias(
+                "participation_ratio"
+            ),
+            F.round(
+                F.col("trc") * F.col("trc") / F.col("trc2") / F.lit(float(_PR_DIMS)),
+                6,
+            ).alias("pr_fraction"),
+        )
     )

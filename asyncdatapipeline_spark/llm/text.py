@@ -4720,3 +4720,80 @@ def q_text_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((F.col("n_repl") + F.col("n_ctrl")) == 0).alias("clean"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena / Good-Turing unseen-mass profile per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_hapax",
+    # Frequency-of-frequency counts are exact integers off the same
+    # whitespace token grid as q_text_vocab; the two ratios divide
+    # identical integers on the bounded source grid.
+    oracle="""
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+f AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS n
+  FROM w WHERE word != '' GROUP BY source, word
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dis_legomena,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1e0 / count(*), 6)
+         AS hapax_rate,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1e0 / sum(n), 6)
+         AS gt_unseen_mass
+FROM f GROUP BY source ORDER BY source
+""",
+)
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax/dis legomena census per source with the Good-Turing
+    unseen-mass estimate — the smoothing-side readout the vocabulary
+    ops (q_text_vocab size, q_text_heaps growth, q_text_zipf slope)
+    don't give: N₁/N is Good-Turing's probability mass of NEVER-SEEN
+    words, i.e. how open this source's vocabulary still is, and
+    hapax/vocab is the singleton fraction that decides whether a
+    tokenizer's min-frequency cutoff amputates the tail. Sources with
+    gt_unseen_mass ≫ corpus norm are under-sampled (or noisy — cross
+    q_text_encoding_audit); sources near 0 are closed/templated text.
+
+    Scale shape: explode to (source, word) → ONE grouped count (Zipf
+    heat absorbed by map-side combine exactly as q_text_vocab) → a
+    second map-combinable conditional reduce onto the bounded source
+    grid. No distinct-of-tokens shuffle, no driver state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    f = (
+        d.select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    hap = F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long")
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            hap.alias("hapax"),
+            F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dis_legomena"),
+            F.round(hap * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "hapax_rate"
+            ),
+            F.round(hap * F.lit(1.0) / F.sum("n"), 6).alias(
+                "gt_unseen_mass"
+            ),
+        )
+        .orderBy("source")
+    )

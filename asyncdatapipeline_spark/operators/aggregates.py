@@ -6746,3 +6746,365 @@ def q_agg_huber(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Agreement / method-comparison statistics on the paired day panel
+# (Lin's concordance + Deming errors-in-both-variables regression)
+# ---------------------------------------------------------------------------
+#
+# Shared device: the per-day (x, y) panel of two event-type value sums.
+# Each daily sum rides the exact DECIMAL grid (order-free), the
+# second-level power sums quantize products at 6dp, and every closed
+# form runs on ONE reduced row — the same two-level armor as
+# q_agg_partial_corr. Reference parity note: the reference
+# (async_data_pipeline.go:1-391) has no statistics surface at all;
+# these extend the engine's §2B agreement family (kappa, ICC, TOST)
+# with the two method-comparison classics.
+
+
+def _day_panel(spark: SparkSession, sf_dir: str, tx: str, ty: str) -> DataFrame:
+    """Per-day paired sums of two event types' values — only days where
+    BOTH types occur (paired statistics need complete pairs). Scale
+    shape: one map-combinable conditional aggregate onto the bounded
+    day grid; the panel is |days| rows forever after."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts").cast("double") / 86400).cast("long")
+    return (
+        e.groupBy(day.alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == tx,
+                    F.col("value").cast("decimal(28,6)"),
+                )
+            )
+            .cast("double")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == ty,
+                    F.col("value").cast("decimal(28,6)"),
+                )
+            )
+            .cast("double")
+            .alias("y"),
+            F.count(F.when(F.col("event_type") == tx, 1)).alias("_nx"),
+            F.count(F.when(F.col("event_type") == ty, 1)).alias("_ny"),
+        )
+        .filter((F.col("_nx") > 0) & (F.col("_ny") > 0))
+        .select("day", "x", "y")
+    )
+
+
+_PANEL_SQL = """
+SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+       CAST(sum(CASE WHEN event_type = '{tx}'
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS x,
+       CAST(sum(CASE WHEN event_type = '{ty}'
+                     THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS y
+FROM events GROUP BY 1
+HAVING count(CASE WHEN event_type = '{tx}' THEN 1 END) > 0
+   AND count(CASE WHEN event_type = '{ty}' THEN 1 END) > 0
+"""
+
+_PANEL_MOMENTS_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+       CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+       CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+       CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+       CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+FROM panel
+"""
+
+
+def _panel_moments(panel: DataFrame) -> DataFrame:
+    return panel.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+
+
+@query(
+    "q_agg_ccc",
+    # Population (1/n) moments from the 6dp panel grid; CCC, Pearson r
+    # and the bias-correction factor C_b are one IEEE chain on the
+    # single reduced row — identical doubles in both engines.
+    oracle=f"""
+WITH panel AS ({_PANEL_SQL.format(tx="view", ty="click")}),
+s AS ({_PANEL_MOMENTS_SQL}),
+m AS (
+  SELECT n, sx / n AS mx, sy / n AS my,
+         sxx / n - (sx / n) * (sx / n) AS vx,
+         syy / n - (sy / n) * (sy / n) AS vy,
+         sxy / n - (sx / n) * (sy / n) AS cxy
+  FROM s WHERE n > 1
+)
+SELECT n AS n_days,
+       round(mx, 6) AS mean_x, round(my, 6) AS mean_y,
+       round(cxy / sqrt(vx * vy), 6) AS pearson_r,
+       round(2e0 * cxy / (vx + vy + (mx - my) * (mx - my)), 6) AS ccc,
+       round((2e0 * cxy / (vx + vy + (mx - my) * (mx - my)))
+             / (cxy / sqrt(vx * vy)), 6) AS c_b
+FROM m WHERE vx > 0 AND vy > 0 AND cxy != 0
+""",
+)
+def q_agg_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation coefficient between the daily
+    'view' and 'click' value totals — the method-comparison statistic
+    Pearson's r cannot replace: r measures LINEAR association, CCC
+    additionally penalizes location and scale shifts (two perfectly
+    correlated series that disagree by 2x score r = 1, CCC ≈ 0.6).
+    The published C_b = CCC/r factors the readout: C_b ≈ 1 means any
+    disagreement is noise, C_b ≪ 1 means a systematic bias — the
+    "is the new tracker measuring the same thing" gate run when a
+    pipeline is re-instrumented.
+
+    Scale shape: one map-combinable conditional aggregate reduces the
+    fact table to the bounded day panel; five exact-decimal power sums
+    reduce the panel to ONE row; the closed form is driver-free IEEE
+    on that row. 100 TB cost = the one fact scan.
+    """
+    s = _panel_moments(_day_panel(spark, sf_dir, "view", "click"))
+    n = F.col("n")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    vx = F.col("sxx") / n - mx * mx
+    vy = F.col("syy") / n - my * my
+    cxy = F.col("sxy") / n - mx * my
+    ccc = F.lit(2.0) * cxy / (vx + vy + (mx - my) * (mx - my))
+    return (
+        s.filter(n > 1)
+        .filter((vx > 0) & (vy > 0) & (cxy != 0))
+        .select(
+            n.alias("n_days"),
+            F.round(mx, 6).alias("mean_x"),
+            F.round(my, 6).alias("mean_y"),
+            F.round(cxy / F.sqrt(vx * vy), 6).alias("pearson_r"),
+            F.round(ccc, 6).alias("ccc"),
+            F.round(ccc / (cxy / F.sqrt(vx * vy)), 6).alias("c_b"),
+        )
+    )
+
+
+@query(
+    "q_agg_deming",
+    # Same two-level armor as q_agg_ccc; the Deming slope's radical
+    # runs on the single reduced row, so sqrt/divide ordering is
+    # identical IEEE in both engines.
+    oracle=f"""
+WITH panel AS ({_PANEL_SQL.format(tx="view", ty="purchase")}),
+s AS ({_PANEL_MOMENTS_SQL}),
+m AS (
+  SELECT n, sx / n AS mx, sy / n AS my,
+         sxx / n - (sx / n) * (sx / n) AS vx,
+         syy / n - (sy / n) * (sy / n) AS vy,
+         sxy / n - (sx / n) * (sy / n) AS cxy
+  FROM s WHERE n > 1
+)
+SELECT n AS n_days,
+       round((vy - vx + sqrt((vy - vx) * (vy - vx)
+                             + 4e0 * cxy * cxy)) / (2e0 * cxy), 6)
+         AS slope_deming,
+       round(my - ((vy - vx + sqrt((vy - vx) * (vy - vx)
+                                   + 4e0 * cxy * cxy)) / (2e0 * cxy)) * mx,
+             6) AS intercept_deming,
+       round(cxy / vx, 6) AS slope_ols,
+       round(vy / cxy, 6) AS slope_inverse_ols
+FROM m WHERE vx > 0 AND vy > 0 AND cxy != 0
+""",
+)
+def q_agg_deming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deming (errors-in-both-variables, λ = 1) regression of daily
+    'purchase' value on daily 'view' value — the line OLS cannot give
+    when BOTH axes are noisy measurements: OLS attenuates the slope
+    toward 0 by var(noise_x)/var(x), so calibrating one instrument
+    against another with OLS systematically under-corrects. The
+    published bracket [slope_ols, slope_inverse_ols] is the classic
+    attenuation envelope — Deming's slope always lands inside it, and
+    the bracket width IS the measurement-noise readout.
+
+    Scale shape: identical to q_agg_ccc — fact scan → bounded day
+    panel → five power sums → one-row closed form (the quadratic's
+    positive root). Nothing downstream of the first reduce scales
+    with data.
+    """
+    s = _panel_moments(_day_panel(spark, sf_dir, "view", "purchase"))
+    n = F.col("n")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    vx = F.col("sxx") / n - mx * mx
+    vy = F.col("syy") / n - my * my
+    cxy = F.col("sxy") / n - mx * my
+    slope = (
+        vy - vx + F.sqrt((vy - vx) * (vy - vx) + F.lit(4.0) * cxy * cxy)
+    ) / (F.lit(2.0) * cxy)
+    return (
+        s.filter(n > 1)
+        .filter((vx > 0) & (vy > 0) & (cxy != 0))
+        .select(
+            n.alias("n_days"),
+            F.round(slope, 6).alias("slope_deming"),
+            F.round(my - slope * mx, 6).alias("intercept_deming"),
+            F.round(cxy / vx, 6).alias("slope_ols"),
+            F.round(vy / cxy, 6).alias("slope_inverse_ols"),
+        )
+    )
+
+
+@query(
+    "q_ml_vif",
+    # The same nine exact-DECIMAL Gram sums as q_agg_partial_corr
+    # (deliberately — one Gram triangle, two readouts); each feature's
+    # R² and VIF are the 3-variable closed form on the single row.
+    oracle="""
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sz,
+         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice * l_extendedprice
+                       AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,6)))
+              AS DOUBLE) AS szz,
+         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxz,
+         CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+              AS DOUBLE) AS syz
+  FROM lineitem
+),
+r AS (
+  SELECT (sxy - sx * sy / n)
+           / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS rxy,
+         (sxz - sx * sz / n)
+           / sqrt((sxx - sx * sx / n) * (szz - sz * sz / n)) AS rxz,
+         (syz - sy * sz / n)
+           / sqrt((syy - sy * sy / n) * (szz - sz * sz / n)) AS ryz
+  FROM s
+  WHERE n > 3 AND sxx - sx * sx / n > 0 AND syy - sy * sy / n > 0
+    AND szz - sz * sz / n > 0
+),
+v AS (
+  SELECT 'l_quantity' AS feature,
+         (rxy * rxy + rxz * rxz - 2e0 * rxy * rxz * ryz)
+           / (1e0 - ryz * ryz) AS r2
+  FROM r WHERE 1e0 - ryz * ryz > 0
+  UNION ALL
+  SELECT 'l_extendedprice',
+         (rxy * rxy + ryz * ryz - 2e0 * rxy * ryz * rxz)
+           / (1e0 - rxz * rxz)
+  FROM r WHERE 1e0 - rxz * rxz > 0
+  UNION ALL
+  SELECT 'l_discount',
+         (rxz * rxz + ryz * ryz - 2e0 * rxz * ryz * rxy)
+           / (1e0 - rxy * rxy)
+  FROM r WHERE 1e0 - rxy * rxy > 0
+)
+SELECT feature, round(r2, 6) AS r_squared_others,
+       round(1e0 / (1e0 - r2), 6) AS vif
+FROM v WHERE r2 < 1e0 ORDER BY feature
+""",
+)
+def q_ml_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factors for the three lineitem pricing
+    features — the multicollinearity screen run before ANY linear
+    model (q_ml_linreg / q_ml_ridge / q_ml_logreg here): VIF_i =
+    1/(1-R²_i) where R²_i regresses feature i on the others. VIF > 5
+    means the coefficient's variance is 5x what independent features
+    would give — the model's weights are unidentifiable noise even
+    though its predictions look fine, the classic silent failure of
+    feature-screening pipelines.
+
+    Scale shape: ONE map-combinable pass to the nine exact-DECIMAL
+    Gram sums (shared shape with q_agg_partial_corr — same triangle,
+    different readout); the 3-variable matrix inverse is closed-form
+    on one row, exploded to the bounded 3-row feature grid. At any
+    scale the cost is the single fact scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y, z = (
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+    )
+
+    def dsum_(c):
+        return F.sum(c.cast("decimal(28,6)")).cast("double")
+
+    def psum(a_, b_):
+        return F.sum((a_ * b_).cast("decimal(38,6)")).cast("double")
+
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum_(x).alias("sx"),
+        dsum_(y).alias("sy"),
+        dsum_(z).alias("sz"),
+        psum(x, x).alias("sxx"),
+        psum(y, y).alias("syy"),
+        psum(z, z).alias("szz"),
+        psum(x, y).alias("sxy"),
+        psum(x, z).alias("sxz"),
+        psum(y, z).alias("syz"),
+    )
+    n = F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    vz = F.col("szz") - F.col("sz") * F.col("sz") / n
+    rxy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(vx * vy)
+    rxz = (F.col("sxz") - F.col("sx") * F.col("sz") / n) / F.sqrt(vx * vz)
+    ryz = (F.col("syz") - F.col("sy") * F.col("sz") / n) / F.sqrt(vy * vz)
+    two = F.lit(2.0)
+    one = F.lit(1.0)
+    r2_x = (rxy * rxy + rxz * rxz - two * rxy * rxz * ryz) / (
+        one - ryz * ryz
+    )
+    r2_y = (rxy * rxy + ryz * ryz - two * rxy * ryz * rxz) / (
+        one - rxz * rxz
+    )
+    r2_z = (rxz * rxz + ryz * ryz - two * rxz * ryz * rxy) / (
+        one - rxy * rxy
+    )
+    base = s.filter((n > 3) & (vx > 0) & (vy > 0) & (vz > 0))
+    rows = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("l_quantity").alias("feature"),
+                    r2_x.alias("r2"),
+                    (one - ryz * ryz).alias("den"),
+                ),
+                F.struct(
+                    F.lit("l_extendedprice").alias("feature"),
+                    r2_y.alias("r2"),
+                    (one - rxz * rxz).alias("den"),
+                ),
+                F.struct(
+                    F.lit("l_discount").alias("feature"),
+                    r2_z.alias("r2"),
+                    (one - rxy * rxy).alias("den"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    return (
+        rows.filter((F.col("den") > 0) & (F.col("r2") < 1.0))
+        .select(
+            "feature",
+            F.round("r2", 6).alias("r_squared_others"),
+            F.round(one / (one - F.col("r2")), 6).alias("vif"),
+        )
+        .orderBy("feature")
+    )

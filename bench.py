@@ -23,6 +23,10 @@ One cold pass ("cold": JVM warmup, codegen compilation, derived
 layouts, IVF index builds) then THREE warm passes with the per-query
 MEDIAN reported — r2 showed 1.5-2x run-to-run noise on this box from
 external load, and a single warm sample read as a phantom regression.
+The localCheckpoint-heavy fixpoint set (FIXPOINT below) gets TWO extra
+warm passes (median-of-5) and every query's best warm sample lands in
+the detail file as `queries_min` — r11's q_graph_kcore spread 4.6-19.2s
+within one run, and median-of-3 cannot absorb that.
 The headline `value`/`queries` are the median warm pass — one-time
 driver costs are irrelevant at the 100 TB design point — but
 `value_cold`/`queries_cold` keep the build costs visible so cached
@@ -33,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -201,7 +206,33 @@ HEADLINE = [
     "q_tpch_q4",
     "q_tpch_q13",
     "q_tpch_q19",
+    # round-12 additions
+    "q_agg_ccc",              # day-panel power sums, one-row closed form
+    "q_agg_deming",           # errors-in-both regression, same panel
+    "q_ml_vif",               # 9 Gram sums -> 3-row VIF grid
+    "q_embed_participation",  # 2080-cell covariance grid, trace ratio
+    "q_text_hapax",           # frequency-of-frequency source census
+    "q_graph_degree_gini",    # bounded class grid, integer MAD identity
 ]
+
+
+# The localCheckpoint-heavy fixpoint queries (20+ eager per-round
+# materializations each) showed 4x in-suite sample spread at r11
+# (q_graph_kcore warm samples 4.6/19.2/11.0 s on an audited-clean
+# plan) — a single contended materialization can double a median-of-3
+# reading. These get TWO extra warm passes (median-of-5), and the
+# detail artifact carries per-query minima so "best observed" is
+# always visible next to the median (r11 verdict item 2).
+FIXPOINT = {
+    "q_graph_kcore",
+    "q_graph_components",
+    "q_graph_pagerank",
+    "q_graph_clustering",
+    "q_graph_label_prop",
+    "q_graph_rich_club",
+    "q_graph_jaccard",
+    "q_dedup_clusters",
+}
 
 
 def consume(df) -> None:
@@ -276,8 +307,20 @@ def main() -> None:
             t0 = time.perf_counter()
             consume(fn(spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
+    # two extra interleaved passes over the fixpoint set only
+    # (median-of-5 where the variance lives; the other ~134 queries
+    # stay median-of-3 — their r11 sample spreads were tight)
+    for _ in range(2):
+        for name in HEADLINE:
+            if name not in FIXPOINT:
+                continue
+            fn = registry.get(name).fn
+            t0 = time.perf_counter()
+            consume(fn(spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
     timings = {
-        name: round(sorted(ts)[1], 3) for name, ts in samples.items()
+        name: round(statistics.median(ts), 3)
+        for name, ts in samples.items()
     }
 
     # reference-parity runtime throughput (BASELINE.md: 1000-5500 ops/sec
@@ -314,6 +357,13 @@ def main() -> None:
         # as one bad sample of three instead of a phantom regression
         "queries_samples": {
             name: [round(t, 3) for t in ts] for name, ts in samples.items()
+        },
+        # best observed warm sample — with fixpoint in-suite variance
+        # (r11: kcore 4.6-19.2 s within ONE bench run) the min is the
+        # contention-free reading; median >> min flags block-manager /
+        # box pressure, not an operator regression
+        "queries_min": {
+            name: round(min(ts), 3) for name, ts in samples.items()
         },
         "sf": sf_val,
         "pipeline_ops_per_sec": pipeline_ops,
