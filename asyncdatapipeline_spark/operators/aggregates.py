@@ -7108,3 +7108,145 @@ def q_ml_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+@query(
+    "q_agg_welch",
+    # Per-group moments ride the exact DECIMAL grid; the per-group
+    # weight w=n/s² snaps to a 9dp grid BEFORE any cross-group sum,
+    # and every cross-group accumulation is a rounded-DECIMAL sum, so
+    # the k-row reductions are order-free in both engines; the Welch
+    # F / df₂ closed form is IEEE on one row.
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type
+),
+w AS (
+  SELECT n, sx / n AS m,
+         round(n / ((sxx - sx * sx / n) / (n - 1)), 9) AS w9
+  FROM g
+  WHERE n > 1 AND (sxx - sx * sx / n) / (n - 1) > 0
+),
+s1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS BIGINT) AS n_tot,
+         CAST(sum(CAST(w9 AS DECIMAL(38,9))) AS DOUBLE) AS sw,
+         CAST(sum(CAST(round(w9 * m, 6) AS DECIMAL(38,6))) AS DOUBLE) AS swm
+  FROM w
+),
+s2 AS (
+  SELECT s1.k, s1.n_tot, s1.sw, s1.swm,
+         CAST(sum(CAST(round(w.w9 * (w.m - s1.swm / s1.sw)
+                             * (w.m - s1.swm / s1.sw), 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS sa,
+         CAST(sum(CAST(round((1e0 - w.w9 / s1.sw) * (1e0 - w.w9 / s1.sw)
+                             / (w.n - 1), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sb
+  FROM w CROSS JOIN s1
+  GROUP BY s1.k, s1.n_tot, s1.sw, s1.swm
+)
+SELECT k, n_tot, k - 1 AS df1,
+       round(swm / sw, 6) AS grand_mean_weighted,
+       round((k * k - 1e0) / (3e0 * sb), 6) AS df2,
+       round((sa / (k - 1))
+             / (1e0 + 2e0 * (k - 2) / (k * k - 1e0) * sb), 6)
+         AS f_welch,
+       (sa / (k - 1))
+         / (1e0 + 2e0 * (k - 2) / (k * k - 1e0) * sb) > 3.32e0
+         AS significant_1pct
+FROM s2 WHERE k > 1 AND sb > 0
+""",
+)
+def q_agg_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic ANOVA of value across event types — the
+    unequal-variance form q_agg_anova's classic F silently gets wrong:
+    when group variances differ (exactly what q_agg_levene tests), the
+    pooled-variance F's real type-I rate can be several times nominal,
+    and Welch's variance-weighted statistic with Satterthwaite df is
+    the standard repair. Published beside anova + levene it completes
+    the one-way-comparison panel: levene says WHETHER variances
+    differ, this says whether MEANS differ given that they do.
+
+    Scale shape: one map-combinable pass to per-type exact-DECIMAL
+    power sums (the bounded type grid); the weight/mean reductions are
+    rounded-decimal sums over k rows (order-free), the grand weighted
+    mean broadcast back for the two second-pass sums; closed form on
+    one row. Nothing after the first reduce scales with data.
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    w = (
+        g.filter((F.col("n") > 1) & (var > 0))
+        .select(
+            "n",
+            (F.col("sx") / F.col("n")).alias("m"),
+            F.round(F.col("n") / var, 9).alias("w9"),
+        )
+        .localCheckpoint(eager=False)  # bounded type grid, read twice
+    )
+    s1 = w.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum(F.col("w9").cast("decimal(38,9)")).cast("double").alias("sw"),
+        F.sum(F.round(F.col("w9") * F.col("m"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("swm"),
+    )
+    mw = F.col("swm") / F.col("sw")
+    s2 = (
+        w.crossJoin(F.broadcast(s1))
+        .groupBy("k", "n_tot", "sw", "swm")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("w9") * (F.col("m") - mw) * (F.col("m") - mw), 6
+                ).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("sa"),
+            F.sum(
+                F.round(
+                    (F.lit(1.0) - F.col("w9") / F.col("sw"))
+                    * (F.lit(1.0) - F.col("w9") / F.col("sw"))
+                    / (F.col("n") - 1),
+                    12,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("sb"),
+        )
+    )
+    k = F.col("k")
+    fw = (F.col("sa") / (k - 1)) / (
+        F.lit(1.0)
+        + F.lit(2.0) * (k - 2) / (k * k - F.lit(1.0)) * F.col("sb")
+    )
+    return (
+        s2.filter((k > 1) & (F.col("sb") > 0))
+        .select(
+            "k",
+            "n_tot",
+            (k - 1).alias("df1"),
+            F.round(mw, 6).alias("grand_mean_weighted"),
+            F.round(
+                (k * k - F.lit(1.0)) / (F.lit(3.0) * F.col("sb")), 6
+            ).alias("df2"),
+            F.round(fw, 6).alias("f_welch"),
+            (fw > F.lit(3.32)).alias("significant_1pct"),
+        )
+    )

@@ -213,6 +213,7 @@ HEADLINE = [
     "q_embed_participation",  # 2080-cell covariance grid, trace ratio
     "q_text_hapax",           # frequency-of-frequency source census
     "q_graph_degree_gini",    # bounded class grid, integer MAD identity
+    "q_agg_welch",            # heteroscedastic ANOVA, snapped weights
 ]
 
 
