@@ -350,7 +350,10 @@ def _protobuf_available() -> bool:
     # transformWithStateInPandas talks to a JVM-side state server over a
     # protobuf protocol; the python 'protobuf' package is not installed
     # in this container (applyInPandasWithState above needs no protobuf
-    # and covers the same contract).
+    # and covers the same contract). Re-probed r11 and r12
+    # (`import google.protobuf` → ModuleNotFoundError; pip install is
+    # out of scope per environment rules) — the skip stands until the
+    # container gains the package.
     try:
         from google.protobuf import descriptor  # noqa: F401
 
