@@ -1965,3 +1965,91 @@ def q_agg_winsorized_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(win, 6).alias("corr_winsorized"),
         F.round(win - raw, 6).alias("delta"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_agg_quantile_ci",
+    # Rank bounds are floor/ceil of n/2 ∓ 0.98√n — identical IEEE on
+    # the same BIGINT n in both engines — and every published value is
+    # a SELECTED data value at an integer rank on the distinct-value
+    # cumulative spine: no float aggregation anywhere.
+    oracle="""
+WITH g AS (
+  SELECT o_totalprice AS v, count(*) AS cnt FROM orders GROUP BY 1
+),
+c AS (
+  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM g
+),
+n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(floor(count(*) / 2e0
+                             - 0.98e0 * sqrt(count(*))) AS BIGINT)) AS lo_rank,
+         least(CAST(count(*) AS BIGINT),
+               CAST(ceil(count(*) / 2e0 + 1e0
+                         + 0.98e0 * sqrt(count(*))) AS BIGINT)) AS hi_rank
+  FROM orders
+)
+SELECT max(n.n) AS n_rows,
+       max(n.lo_rank) AS lo_rank,
+       max(n.hi_rank) AS hi_rank,
+       min(CASE WHEN cum >= (n.n * 50 + 99) // 100 THEN v END) AS median,
+       min(CASE WHEN cum >= n.lo_rank THEN v END) AS ci_lo,
+       min(CASE WHEN cum >= n.hi_rank THEN v END) AS ci_hi
+FROM c CROSS JOIN n
+""",
+)
+def q_agg_quantile_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free ~95% confidence interval for the EXACT global
+    median of order totals via binomial order-statistic bounds (ranks
+    n/2 ∓ z/2·√n, z = 1.96) — the uncertainty readout none of the
+    point-quantile ops publish: a median is a sample statistic, and
+    shipping it without its sampling band invites reading noise as
+    movement (the week-over-week "median shifted 2%" alarm when the
+    CI width is 3%). Distribution-free: no normality assumed of the
+    DATA — the binomial argument is about ranks, so the band is valid
+    for any continuous distribution.
+
+    Scale shape: q_agg_percentile_global's device verbatim — the fact
+    table reduces to distinct-value counts (map-combinable),
+    ``dist_cumsum`` builds exact cumulative counts with no
+    single-partition window, and all three published values are rank
+    CROSSINGS (first value whose cumulative count clears an integer
+    rank) in one tiny final aggregate. The CI costs nothing beyond
+    the median itself: two more CASE arms on the same spine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    c = dist_cumsum(g, "v", ["cnt"]).select(
+        "v", F.col("cum_cnt").cast("long").alias("cum")
+    )
+    n = F.broadcast(
+        o.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            "n",
+            F.expr(
+                "greatest(CAST(1 AS BIGINT), "
+                "CAST(floor(n / 2.0D - 0.98D * sqrt(n)) AS BIGINT))"
+            ).alias("lo_rank"),
+            F.expr(
+                "least(n, CAST(ceil(n / 2.0D + 1.0D + 0.98D * sqrt(n)) "
+                "AS BIGINT))"
+            ).alias("hi_rank"),
+        )
+    )
+    j = c.crossJoin(n)
+    return j.agg(
+        F.max("n").alias("n_rows"),
+        F.max("lo_rank").alias("lo_rank"),
+        F.max("hi_rank").alias("hi_rank"),
+        F.min(
+            F.when(F.col("cum") >= _rank_at(50, "n"), F.col("v"))
+        ).alias("median"),
+        F.min(F.when(F.col("cum") >= F.col("lo_rank"), F.col("v"))).alias(
+            "ci_lo"
+        ),
+        F.min(F.when(F.col("cum") >= F.col("hi_rank"), F.col("v"))).alias(
+            "ci_hi"
+        ),
+    )

@@ -214,16 +214,21 @@ HEADLINE = [
     "q_text_hapax",           # frequency-of-frequency source census
     "q_graph_degree_gini",    # bounded class grid, integer MAD identity
     "q_agg_welch",            # heteroscedastic ANOVA, snapped weights
+    "q_agg_quantile_ci",      # order-statistic median CI on the spine
 ]
 
 
-# The localCheckpoint-heavy fixpoint queries (20+ eager per-round
-# materializations each) showed 4x in-suite sample spread at r11
-# (q_graph_kcore warm samples 4.6/19.2/11.0 s on an audited-clean
-# plan) — a single contended materialization can double a median-of-3
-# reading. These get TWO extra warm passes (median-of-5), and the
-# detail artifact carries per-query minima so "best observed" is
-# always visible next to the median (r11 verdict item 2).
+# The variance-prone set: localCheckpoint-heavy fixpoint queries (20+
+# eager per-round materializations each; q_graph_kcore spread
+# 4.6-19.2 s within ONE r11 bench run on an audited-clean plan) plus
+# the recurrent box-weather magnets — dist_cumsum-spine and pandas-UDF
+# queries whose materialization/Arrow phases land hardest when an
+# external load spike crosses a warm pass (r12 observed a pass-wide
+# spike: changepoint samples [1.2, 26.0, 11.7] with min ≈ the r11
+# median — two contended passes defeat a median-of-3). These get TWO
+# extra warm passes (median-of-5), and the detail artifact carries
+# per-query minima so "best observed" is always visible next to the
+# median (r11 verdict item 2).
 FIXPOINT = {
     "q_graph_kcore",
     "q_graph_components",
@@ -233,6 +238,15 @@ FIXPOINT = {
     "q_graph_rich_club",
     "q_graph_jaccard",
     "q_dedup_clusters",
+    # recurrent movers (r10 scare list + r11/r12 driver-bench spikes)
+    "q_ts_changepoint",
+    "q_udf_cogroup",
+    "q_agg_winsorized_corr",
+    "q_agg_spearman",
+    "q_agg_taildep",
+    "q_agg_percentile_global",
+    "q_embed_participation",
+    "q_ml_vif",
 }
 
 
