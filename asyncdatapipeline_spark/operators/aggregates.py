@@ -7250,3 +7250,452 @@ def q_agg_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (fw > F.lit(3.32)).alias("significant_1pct"),
         )
     )
+
+
+@query(
+    "q_agg_kruskal",
+    # Same doubled-midrank device as q_agg_mannwhitney, k groups: the
+    # rank-sum per group accumulates 2·midrank as exact BIGINTs on the
+    # distinct-value spine; the only floats are the one closed form at
+    # the end (per-group R²/n terms round to 6dp and sum as DECIMAL so
+    # the bounded-group reduction is order-free).
+    oracle="""
+WITH per_v AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS tie FROM events GROUP BY 1
+),
+cum AS (
+  SELECT value, tie,
+         CAST(SUM(tie) OVER (ORDER BY value) AS BIGINT) AS cum_tie
+  FROM per_v
+),
+per_vt AS (
+  SELECT value, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+per_g AS (
+  SELECT t.event_type,
+         CAST(sum(t.cnt * (2 * c.cum_tie - c.tie + 1)) AS BIGINT) AS r2,
+         CAST(sum(t.cnt) AS BIGINT) AS n_i
+  FROM per_vt t JOIN cum c ON t.value = c.value
+  GROUP BY 1
+),
+ties AS (
+  SELECT CAST(sum(tie * tie * tie - tie) AS BIGINT) AS tsum,
+         CAST(sum(tie) AS BIGINT) AS n
+  FROM per_v
+),
+s AS (
+  SELECT CAST(sum(CAST(round((CAST(r2 AS DOUBLE) / 2)
+                              * (CAST(r2 AS DOUBLE) / 2) / n_i, 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS sumsq,
+         CAST(count(*) AS INTEGER) AS k
+  FROM per_g
+)
+SELECT n, k,
+       round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * sumsq
+             - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+       round(1.0 - CAST(tsum AS DOUBLE) / CAST(n * n * n - n AS DOUBLE), 9)
+         AS tie_correction,
+       round(round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                   * sumsq - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6)
+             / round(1.0 - CAST(tsum AS DOUBLE)
+                     / CAST(n * n * n - n AS DOUBLE), 9), 6) AS h_corrected
+FROM s, ties
+""",
+)
+def q_agg_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL event types' value distributions —
+    the k-group generalization of q_agg_mannwhitney (two groups) and
+    the rank twin of q_agg_anova exactly as mannwhitney is of
+    q_agg_ttest: ANOVA follows means (outliers drag it), KW follows
+    the bulk; run both and a disagreement IS the skew finding. Ties
+    get exact midranks and the standard (1 − Σ(t³−t)/(N³−N))
+    correction.
+
+    Scale shape (distributed-exact): the rank spine is the DISTINCT
+    value grid — groupBy(value) tie counts → exact cumulative counts
+    via ``dist_cumsum`` (range-partitioned, no single-partition
+    window) → doubled midrank 2·cum − tie + 1 stays BIGINT; per-group
+    rank sums are one co-keyed join + bounded-group reduce; the only
+    doubles are the one-row closed form (R²/n terms 6dp-snapped and
+    DECIMAL-summed so the k-term reduction is order-free).
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_vt = e.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    per_v = e.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("tie"))
+    per_v = dist_cumsum(per_v, "value", ["tie"])
+    rx2 = 2 * F.col("cum_tie") - F.col("tie") + 1
+    per_g = (
+        per_vt.join(per_v.select("value", "tie", "cum_tie"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("cnt") * rx2).cast("long").alias("r2"),
+            F.sum("cnt").cast("long").alias("n_i"),
+        )
+    )
+    ties = F.broadcast(
+        per_v.agg(
+            F.sum(F.col("tie") * F.col("tie") * F.col("tie") - F.col("tie"))
+            .cast("long")
+            .alias("tsum"),
+            F.sum("tie").cast("long").alias("n"),
+        )
+    )
+    half = F.col("r2").cast("double") / 2
+    s = per_g.agg(
+        F.sum(
+            F.round(half * half / F.col("n_i").cast("double"), 6).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("sumsq"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    h = F.round(12.0 / (nd * (nd + 1.0)) * F.col("sumsq") - 3.0 * (nd + 1.0), 6)
+    corr = F.round(
+        1.0
+        - F.col("tsum").cast("double")
+        / (F.col("n") * F.col("n") * F.col("n") - F.col("n")).cast("double"),
+        9,
+    )
+    return s.crossJoin(ties).select(
+        "n",
+        "k",
+        h.alias("h"),
+        corr.alias("tie_correction"),
+        F.round(h / corr, 6).alias("h_corrected"),
+    )
+
+
+@query(
+    "q_agg_moods_median",
+    # The grand median comes off the same distinct-value spine as
+    # q_agg_kruskal's ranks (2·cum ≥ N+1 stays integer for both
+    # parities); the k×2 chi-square accumulates 9dp-snapped DECIMAL
+    # terms so the bounded-cell reduction is order-free.
+    oracle="""
+WITH per_v AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS tie FROM events GROUP BY 1
+),
+cum AS (
+  SELECT value, tie,
+         CAST(SUM(tie) OVER (ORDER BY value) AS BIGINT) AS cum_tie
+  FROM per_v
+),
+tot AS (SELECT CAST(sum(tie) AS BIGINT) AS n FROM per_v),
+med AS (
+  SELECT min(value) AS med FROM cum, tot WHERE 2 * cum_tie >= n + 1
+),
+per_g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN value > (SELECT med FROM med)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS o_above,
+         CAST(count(*) AS BIGINT) AS n_i
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT CAST(sum(o_above) AS BIGINT) AS m_above,
+         CAST(sum(n_i) AS BIGINT) AS n,
+         CAST(count(*) AS INTEGER) AS k
+  FROM per_g
+),
+chi AS (
+  SELECT CAST(sum(CAST(round(
+           (o_above - CAST(n_i AS DOUBLE) * m_above / n)
+           * (o_above - CAST(n_i AS DOUBLE) * m_above / n)
+           / (CAST(n_i AS DOUBLE) * m_above / n)
+           + ((n_i - o_above) - CAST(n_i AS DOUBLE) * (n - m_above) / n)
+             * ((n_i - o_above) - CAST(n_i AS DOUBLE) * (n - m_above) / n)
+             / (CAST(n_i AS DOUBLE) * (n - m_above) / n), 9)
+         AS DECIMAL(38,9))) AS DOUBLE) AS chi2
+  FROM per_g, m
+)
+SELECT m.n, m.k, med.med AS median, m.m_above,
+       round(chi.chi2, 6) AS chi2,
+       CAST(m.k - 1 AS INTEGER) AS df
+FROM m, med, chi
+""",
+)
+def q_agg_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across ALL event types: does each group land
+    above/below the GRAND median at the rate it should — the coarsest,
+    most outlier-proof of the k-group location tests (it only looks at
+    which side of one cut each value falls; KW uses full ranks, ANOVA
+    full values — the three-step robustness ladder, and this rung
+    survives even ordinal-censored data).
+
+    Scale shape: the grand median is exact, off the same
+    distinct-value ``dist_cumsum`` spine as q_agg_kruskal (the
+    2·cum ≥ N+1 pick stays integer); it broadcasts as one row; the
+    k×2 contingency is a single conditional map-combinable reduce,
+    and the chi-square is a bounded-cell closed form (9dp-snapped
+    DECIMAL terms, order-free).
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_v = e.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("tie"))
+    per_v = dist_cumsum(per_v, "value", ["tie"])
+    tot = F.broadcast(per_v.agg(F.sum("tie").cast("long").alias("n")))
+    med = F.broadcast(
+        per_v.crossJoin(tot)
+        .filter(2 * F.col("cum_tie") >= F.col("n") + 1)
+        .agg(F.min("value").alias("med"))
+    )
+    per_g = (
+        e.crossJoin(med)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") > F.col("med"), 1).otherwise(0))
+            .cast("long")
+            .alias("o_above"),
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+        )
+    )
+    m = F.broadcast(
+        per_g.agg(
+            F.sum("o_above").cast("long").alias("m_above"),
+            F.sum("n_i").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("int").alias("k"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    e_above = F.col("n_i").cast("double") * F.col("m_above") / nd
+    e_below = F.col("n_i").cast("double") * (F.col("n") - F.col("m_above")) / nd
+    o_a = F.col("o_above")
+    o_b = F.col("n_i") - F.col("o_above")
+    term = F.round(
+        (o_a - e_above) * (o_a - e_above) / e_above
+        + (o_b - e_below) * (o_b - e_below) / e_below,
+        9,
+    ).cast("decimal(38,9)")
+    chi = per_g.crossJoin(m).agg(F.sum(term).cast("double").alias("chi2"))
+    return (
+        m.crossJoin(med)
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "n",
+            "k",
+            F.col("med").alias("median"),
+            "m_above",
+            F.round(F.col("chi2"), 6).alias("chi2"),
+            (F.col("k") - 1).cast("int").alias("df"),
+        )
+    )
+
+
+@query(
+    "q_agg_bartlett",
+    # Per-group variances from exact DECIMAL power sums (2dp values →
+    # 4dp squares, exact at 6dp); ln() rides the unigram-PPL contract
+    # (round 9dp), every bounded-group reduction sums 12dp-snapped
+    # DECIMAL terms so group order can never move a bit.
+    oracle="""
+WITH per_g AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_i,
+         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY 1
+),
+v AS (
+  SELECT n_i,
+         (s2 - s1 * s1 / n_i) / (n_i - 1) AS var_i
+  FROM per_g
+),
+s AS (
+  SELECT CAST(sum(n_i) AS BIGINT) AS n,
+         CAST(count(*) AS INTEGER) AS k,
+         CAST(sum(CAST(round((n_i - 1) * var_i, 12) AS DECIMAL(38,12)))
+              AS DOUBLE) AS ssw,
+         CAST(sum(CAST(round((n_i - 1) * round(ln(var_i), 9), 12)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sln,
+         CAST(sum(CAST(round(1.0 / (n_i - 1), 12) AS DECIMAL(38,12)))
+              AS DOUBLE) AS cinv
+  FROM v
+)
+SELECT n, k,
+       round(ssw / (n - k), 6) AS pooled_var,
+       round(((n - k) * round(ln(ssw / (n - k)), 9) - sln)
+             / (1.0 + (cinv - 1.0 / (n - k)) / (3.0 * (k - 1))), 6)
+         AS t_stat,
+       CAST(k - 1 AS INTEGER) AS df
+FROM s
+""",
+)
+def q_agg_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for equal variances across ALL event types —
+    the homoscedasticity gate in front of q_agg_anova (ANOVA assumes
+    it; q_agg_welch is the escape hatch when this fires) and the
+    normal-theory sharp twin of q_agg_levene (Levene survives
+    non-normality; Bartlett is more powerful when normality holds —
+    run both, and their disagreement is a tail-weight finding).
+
+    Scale shape: ONE map-combinable pass to per-group exact DECIMAL
+    power sums (bounded group grid); everything after is a bounded
+    closed form — per-group ln() snapped to the house 9dp contract,
+    all three k-term reductions as 12dp DECIMAL sums (order-free),
+    one row out.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC))
+        .cast("double")
+        .alias("s2"),
+    )
+    n_i = F.col("n_i")
+    var_i = (F.col("s2") - F.col("s1") * F.col("s1") / n_i) / (n_i - 1)
+    s = per_g.agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum(F.round((n_i - 1) * var_i, 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ssw"),
+        F.sum(
+            F.round((n_i - 1) * F.round(F.log(var_i), 9), 12).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("sln"),
+        F.sum(F.round(1.0 / (n_i - 1), 12).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("cinv"),
+    )
+    n, k = F.col("n"), F.col("k")
+    sp2 = F.col("ssw") / (n - k)
+    t = ((n - k) * F.round(F.log(sp2), 9) - F.col("sln")) / (
+        1.0 + (F.col("cinv") - 1.0 / (n - k)) / (3.0 * (k - 1))
+    )
+    return s.select(
+        "n",
+        "k",
+        F.round(sp2, 6).alias("pooled_var"),
+        F.round(t, 6).alias("t_stat"),
+        (k - 1).cast("int").alias("df"),
+    )
+
+
+@query(
+    "q_agg_friedman",
+    # Ranks live inside day-bounded windows (k rows each); doubled
+    # midranks keep every accumulation BIGINT, and the tie-corrected
+    # statistic is a ratio of two exact integers — the ONLY float in
+    # the whole query is the final division.
+    oracle="""
+WITH td AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (
+  SELECT d.day, t.event_type, COALESCE(td.total, 0.0) AS total
+  FROM days d CROSS JOIN types t
+  LEFT JOIN td ON td.day = d.day AND td.event_type = t.event_type
+),
+rk AS (
+  SELECT event_type,
+         2 * rank() OVER (PARTITION BY day ORDER BY total)
+           + count(*) OVER (PARTITION BY day, total) - 1 AS r2
+  FROM grid
+),
+per_t AS (
+  SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2j,
+         CAST(sum(r2 * r2) AS BIGINT) AS r2sq
+  FROM rk GROUP BY 1
+),
+dims AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM days) AS b,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(r2sq) AS BIGINT) AS a4
+  FROM per_t
+),
+num AS (
+  SELECT CAST(sum((r2j - b * (k + 1)) * (r2j - b * (k + 1))) AS BIGINT)
+           AS num
+  FROM per_t, dims
+)
+SELECT b, CAST(k AS INTEGER) AS k,
+       round(CAST((k - 1) * num AS DOUBLE)
+             / CAST(a4 - b * k * (k + 1) * (k + 1) AS DOUBLE), 6) AS q_stat,
+       CAST(k - 1 AS INTEGER) AS df
+FROM dims, num
+""",
+)
+def q_agg_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test on the (day × event-type) panel of daily value
+    totals: do the event types keep the same RANK ORDER day after day
+    — the repeated-measures cousin of q_agg_kruskal (KW pools all
+    values into one ranking; Friedman re-ranks within every day, so
+    day-level level shifts — weekends, incidents — cancel instead of
+    confounding). Tie-corrected via the Σr² denominator form, which
+    the 0-filled balanced grid makes necessary (missing day×type
+    cells tie at 0).
+
+    Scale shape: the raw pass collapses to the bounded day×type grid
+    once (map-combinable exact-DECIMAL sums); ranks are windows
+    PARTITIONED BY day (k rows per partition — never data-sized);
+    doubled midranks keep rank sums and the Σr² term exact BIGINTs;
+    the tie-corrected statistic is integer/integer with ONE final
+    IEEE division.
+    """
+    e = load_table(spark, sf_dir, "events")
+    td = e.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(dsum("value", "total"))
+    days = e.select(F.col("ts").cast("date").alias("day")).distinct()
+    types = e.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(td, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("total", F.lit(0.0)).alias("total"))
+    )
+    r2 = (
+        2 * F.rank().over(W.partitionBy("day").orderBy("total"))
+        + F.count(F.lit(1)).over(W.partitionBy("day", "total"))
+        - 1
+    )
+    per_t = (
+        grid.select("event_type", r2.alias("r2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("r2").cast("long").alias("r2j"),
+            F.sum(F.col("r2") * F.col("r2")).cast("long").alias("r2sq"),
+        )
+    )
+    b = F.broadcast(days.agg(F.count(F.lit(1)).cast("long").alias("b")))
+    dims = F.broadcast(
+        per_t.crossJoin(b).agg(
+            F.first("b").alias("b"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("r2sq").cast("long").alias("a4"),
+        )
+    )
+    num = per_t.crossJoin(dims).agg(
+        F.sum(
+            (F.col("r2j") - F.col("b") * (F.col("k") + 1))
+            * (F.col("r2j") - F.col("b") * (F.col("k") + 1))
+        )
+        .cast("long")
+        .alias("num")
+    )
+    bb, kk = F.col("b"), F.col("k")
+    return (
+        dims.crossJoin(F.broadcast(num))
+        .select(
+            "b",
+            kk.cast("int").alias("k"),
+            F.round(
+                ((kk - 1) * F.col("num")).cast("double")
+                / (F.col("a4") - bb * kk * (kk + 1) * (kk + 1)).cast("double"),
+                6,
+            ).alias("q_stat"),
+            (kk - 1).cast("int").alias("df"),
+        )
+    )

@@ -2101,3 +2101,149 @@ def q_graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini_degree"),
         )
     )
+
+
+_CLO_ANCHORS = 8    # bounded anchor set: the K smallest node keys
+_CLO_MAX_HOPS = 6   # same hop budget as q_graph_bfs
+
+
+@query(
+    "q_graph_closeness",
+    # Multi-source BFS as ONE recursive fixpoint carrying (anchor,
+    # node, dist); closeness/harmonic stay exact integers to the end
+    # (Σ60/d is an integer for d ≤ 6 — LCM trick), so the only floats
+    # are two final divisions.
+    oracle=f"""
+WITH RECURSIVE
+op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sz AS (
+  SELECT l_orderkey FROM op GROUP BY l_orderkey
+  HAVING count(*) BETWEEN 2 AND {_BASKET_MAX_ITEMS}
+),
+ok AS (SELECT op.l_orderkey, op.l_partkey FROM op JOIN sz USING (l_orderkey)),
+pr AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM ok a JOIN ok b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM pr UNION SELECT v, u FROM pr
+),
+anchors AS (
+  SELECT src AS a FROM (SELECT DISTINCT src FROM edges)
+  ORDER BY src LIMIT {_CLO_ANCHORS}
+),
+reach AS (
+  SELECT a AS anchor, a AS node, 0 AS dist FROM anchors
+  UNION
+  SELECT r.anchor, e.dst, r.dist + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.dist < {_CLO_MAX_HOPS}
+),
+best AS (
+  SELECT anchor, node, CAST(min(dist) AS BIGINT) AS d
+  FROM reach GROUP BY 1, 2
+)
+SELECT anchor,
+       CAST(count(*) - 1 AS BIGINT) AS n_reached,
+       CAST(sum(d) AS BIGINT) AS sum_dist,
+       round(CASE WHEN sum(d) = 0 THEN 0.0e0
+                  ELSE CAST(count(*) - 1 AS DOUBLE) / sum(d) END, 6)
+         AS closeness,
+       round(CAST(sum(CASE WHEN d > 0 THEN 60 // d ELSE 0 END) AS DOUBLE)
+             / 60.0e0, 6) AS harmonic
+FROM best GROUP BY anchor ORDER BY anchor
+""",
+)
+def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-set closeness centrality on the co-purchase support
+    graph: hop-bounded ({hops} hops) closeness AND harmonic
+    centrality for the {k} smallest node keys — "how central is this
+    hub" where q_graph_bfs answers "how far is everything from ONE
+    seed". Harmonic is the robust twin (unreached nodes contribute 0
+    instead of poisoning the mean — the right form on disconnected
+    graphs); reporting both makes the disagreement itself a
+    fragmentation signal.
+
+    Scale shape: ONE multi-source frontier loop — (anchor, node)
+    pairs ride the same bounded join+anti-join rounds as q_graph_bfs
+    (per-round cost ≤ anchors × frontier, anchors fixed at {k};
+    localCheckpoint truncates lineage per round, the fixpoint-family
+    discipline); the centrality arithmetic is exact integers end to
+    end — Σ60/d is integral for every hop count ≤ 6 (LCM device), so
+    both engines divide identical BIGINTs exactly twice.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    sz = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
+        .select("l_orderkey")
+    )
+    ok = op.join(sz, "l_orderkey")
+    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pr = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("u", "v")
+    )
+    edges = (
+        pr.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .union(pr.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    anchors = (
+        edges.select("src").distinct().orderBy("src").limit(_CLO_ANCHORS)
+    )
+    visited = anchors.select(
+        F.col("src").alias("anchor"),
+        F.col("src").alias("node"),
+        F.lit(0).alias("hops"),
+    ).localCheckpoint()
+    frontier = visited
+    for hop in range(1, _CLO_MAX_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select("anchor", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("anchor", "node"), ["anchor", "node"], "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    d = F.col("hops").cast("long")
+    return (
+        visited.groupBy("anchor")
+        .agg(
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
+            F.sum(d).cast("long").alias("sum_dist"),
+            F.round(
+                F.when(F.sum(d) == 0, F.lit(0.0)).otherwise(
+                    (F.count(F.lit(1)) - 1).cast("double") / F.sum(d)
+                ),
+                6,
+            ).alias("closeness"),
+            F.round(
+                F.sum(F.when(d > 0, F.expr("60 div hops")).otherwise(0))
+                .cast("double")
+                / 60.0,
+                6,
+            ).alias("harmonic"),
+        )
+        .orderBy("anchor")
+    )
+
+
+q_graph_closeness.__doc__ = q_graph_closeness.__doc__.format(
+    hops=_CLO_MAX_HOPS, k=_CLO_ANCHORS
+)

@@ -11554,3 +11554,201 @@ def q_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_anomaly_esd.__doc__ = q_anomaly_esd.__doc__.format(r=_ESD_ROUNDS)
+
+
+# Daily-total CTE shared by the bollinger/rsi/macd trio — identical text
+# on both engines (the q_ts_ewma discipline: same SQL, same doubles).
+_TD_SQL = """td AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+  FROM {src} GROUP BY 1, 2
+)"""
+
+_BOLL_BODY = """
+WITH {td},
+w AS (
+  SELECT event_type, day, total,
+         CAST(SUM(CAST(total AS DECIMAL(28,6))) OVER win AS DOUBLE) AS s1,
+         CAST(SUM(CAST(total * total AS DECIMAL(28,6))) OVER win AS DOUBLE)
+           AS s2,
+         COUNT(*) OVER win AS nw
+  FROM td
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+       round(total, 6) AS total,
+       round(s1 / 7, 6) AS ma,
+       round(sqrt(greatest(0.0e0, (s2 - s1 * s1 / 7) / 6)), 6) AS sd,
+       round(s1 / 7 + 2 * sqrt(greatest(0.0e0, (s2 - s1 * s1 / 7) / 6)), 6)
+         AS upper_band,
+       round(s1 / 7 - 2 * sqrt(greatest(0.0e0, (s2 - s1 * s1 / 7) / 6)), 6)
+         AS lower_band,
+       total > s1 / 7 + 2 * sqrt(greatest(0.0e0, (s2 - s1 * s1 / 7) / 6))
+         AS breach_hi,
+       total < s1 / 7 - 2 * sqrt(greatest(0.0e0, (s2 - s1 * s1 / 7) / 6))
+         AS breach_lo
+FROM w WHERE nw = 7
+ORDER BY event_type, day
+"""
+
+
+@query(
+    "q_ts_bollinger",
+    oracle=_BOLL_BODY.format(td=_TD_SQL.format(src="events")),
+)
+def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (trailing-7 mean ± 2σ) over each event type's
+    daily value total, with breach flags — the LOCAL-volatility
+    envelope: q_ts_control_chart draws process-wide limits (is this
+    variation normal for the PROCESS), the bands draw rolling ones
+    (is today extreme vs the last week's own volatility), so a slow
+    regime change stops widening the alarm threshold.
+
+    Scale shape: raw pass collapses to the bounded (type, day) grid
+    once (map-combinable exact-DECIMAL sums); band math is ONE
+    type-partitioned 7-row window carrying exact DECIMAL power sums;
+    σ is a single sqrt on identical doubles (greatest(0,·) guards the
+    catastrophic-cancellation corner); flags compare unrounded
+    doubles both engines derived identically.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("boll_events")
+    return spark.sql(_BOLL_BODY.format(td=_TD_SQL.format(src="boll_events")))
+
+
+_RSI_BODY = """
+WITH {td},
+d AS (
+  SELECT event_type, day,
+         total - lag(total) OVER (PARTITION BY event_type ORDER BY day)
+           AS delta
+  FROM td
+),
+g AS (
+  SELECT event_type, day,
+         CAST(SUM(CAST(greatest(delta, 0.0e0) AS DECIMAL(28,6))) OVER win
+              AS DOUBLE) AS gain,
+         CAST(SUM(CAST(greatest(-delta, 0.0e0) AS DECIMAL(28,6))) OVER win
+              AS DOUBLE) AS loss,
+         COUNT(delta) OVER win AS nd
+  FROM d
+  WINDOW win AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+       round(gain / 14, 6) AS avg_gain,
+       round(loss / 14, 6) AS avg_loss,
+       round(CASE WHEN gain + loss = 0.0e0 THEN 50.0e0
+                  ELSE 100.0e0 * gain / (gain + loss) END, 6) AS rsi
+FROM g WHERE nd = 14
+ORDER BY event_type, day
+"""
+
+
+@query(
+    "q_ts_rsi",
+    oracle=_RSI_BODY.format(td=_TD_SQL.format(src="events")),
+)
+def q_ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI (14-day SMA of gains vs losses) per event type's
+    daily total — the bounded 0-100 momentum oscillator: q_win_momentum
+    reports the week-over-week level change, RSI reports how
+    one-sided the day-to-day changes have been (70/30 =
+    overbought/oversold in the classic reading; for ops metrics,
+    "all improvement days" vs "all regression days"). The SMA form is
+    deliberate: Wilder's recursive smoothing is order-serial, Cutler's
+    is a pure 14-row window — same scale story as q_ts_ewma's
+    truncation.
+
+    Scale shape: bounded (type, day) grid once; deltas from one lag
+    window; gain/loss sums are exact DECIMAL over 14-row
+    type-partitioned frames; RSI = 100·g/(g+l) is one IEEE expression
+    on identical doubles (g+l=0 pinned to the neutral 50).
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("rsi_events")
+    return spark.sql(_RSI_BODY.format(td=_TD_SQL.format(src="rsi_events")))
+
+
+def _trunc_ema(weights: tuple[float, ...], arr: str, neg: bool = True) -> str:
+    """Truncated renormalized EMA as one left-associated literal chain
+    (the q_ts_ewma device, parametrized by the weight tuple). ``arr``
+    is the trailing-window array expression; weights are exact finite
+    decimals so both engines parse identical nearest-doubles."""
+    at = (f"try_element_at({arr}, -{{i}})" if neg
+          else f"{arr}[-{{i}}]")
+    sz = f"size({arr})" if neg else f"len({arr})"
+    num = " + ".join(
+        f"coalesce({at.format(i=i + 1)}, 0.0) * {w!r}"
+        for i, w in enumerate(weights)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {sz} > {i} THEN {w!r} ELSE 0.0 END)"
+        for i, w in enumerate(weights)
+    )
+    return f"(({num}) / ({den}))"
+
+
+# (1-alpha)^k for alpha = 0.25 / 0.1 / 0.4 — all finite decimals.
+_MACD_FAST = (1.0, 0.75, 0.5625, 0.421875, 0.31640625, 0.2373046875,
+              0.177978515625, 0.13348388671875)
+_MACD_SLOW = (1.0, 0.9, 0.81, 0.729, 0.6561, 0.59049, 0.531441, 0.4782969)
+_MACD_SIG = (1.0, 0.6, 0.36, 0.216, 0.1296, 0.07776, 0.046656, 0.0279936)
+
+
+def _macd_body(spark_side: bool) -> str:
+    arr, arr2 = ("arr", "arr2")
+    fast = _trunc_ema(_MACD_FAST, arr, spark_side)
+    slow = _trunc_ema(_MACD_SLOW, arr, spark_side)
+    sig = _trunc_ema(_MACD_SIG, arr2, spark_side)
+    lst = "collect_list" if spark_side else "list"
+    sz = "size" if spark_side else "len"
+    return f"""
+WITH {{td}},
+w1 AS (
+  SELECT event_type, day,
+         {lst}(total) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+  FROM td
+),
+m AS (
+  SELECT event_type, day, ({fast} - {slow}) AS macd
+  FROM w1 WHERE {sz}(arr) = 8
+),
+w2 AS (
+  SELECT event_type, day, macd,
+         {lst}(macd) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr2
+  FROM m
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day, round(macd, 6) AS macd,
+       round({sig}, 6) AS signal_line,
+       round(macd - {sig}, 6) AS histogram
+FROM w2 WHERE {sz}(arr2) = 8
+ORDER BY event_type, day
+"""
+
+
+@query(
+    "q_ts_macd",
+    oracle=_macd_body(False).format(td=_TD_SQL.format(src="events")),
+)
+def q_ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD (fast EMA − slow EMA, plus a signal EMA of the MACD and
+    the histogram) per event type's daily total — the trend-REVERSAL
+    detector that complements q_ts_ewma's level tracking: the
+    histogram's sign flips when short-term momentum crosses the
+    longer trend, typically days before the level itself turns.
+    EMAs are the truncated-renormalized q_ts_ewma form (trailing-8,
+    α = 0.25/0.1/0.4 — all (1−α)^k weights are exact finite
+    decimals), which keeps the recursion a bounded ROWS window
+    instead of an order-serial fold.
+
+    Scale shape: bounded (type, day) grid once; TWO chained 8-row
+    type-partitioned windows (raw → MACD, MACD → signal), each a
+    row-local literal-weight chain evaluated left-associated on
+    identical doubles in both engines; no driver state, no UDF.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("macd_events")
+    return spark.sql(
+        _macd_body(True).format(td=_TD_SQL.format(src="macd_events"))
+    )
