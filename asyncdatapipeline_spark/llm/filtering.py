@@ -1635,3 +1635,137 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q_sample_kcenter.__doc__ = q_sample_kcenter.__doc__.format(k=_KC_K)
+
+
+@query(
+    "q_ml_adversarial",
+    # Adversarial validation, rank form: per-feature AUC separating the
+    # old from the new corpus half. Doubled midranks on the per-feature
+    # distinct-value spine keep every accumulation BIGINT; AUC is one
+    # final division (the q_agg_mannwhitney identity AUC = U/(n₁n₂)).
+    oracle="""
+WITH bounds AS (
+  SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents
+),
+f AS (
+  SELECT CASE WHEN 2 * doc_id >= mn + mx THEN 1 ELSE 0 END AS is_new,
+         CAST(n_chars AS DOUBLE) AS f_chars,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+              AS DOUBLE) / n_chars AS f_punct,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS DOUBLE) / n_chars AS f_digit,
+         CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g'))
+              AS DOUBLE) / n_chars AS f_space
+  FROM documents, bounds
+),
+u AS (
+  SELECT 'chars' AS feature, f_chars AS value, is_new FROM f
+  UNION ALL SELECT 'punct_ratio', f_punct, is_new FROM f
+  UNION ALL SELECT 'digit_ratio', f_digit, is_new FROM f
+  UNION ALL SELECT 'space_ratio', f_space, is_new FROM f
+),
+per_v AS (
+  SELECT feature, value, CAST(sum(is_new) AS BIGINT) AS pos,
+         CAST(count(*) AS BIGINT) AS tie
+  FROM u GROUP BY 1, 2
+),
+cum AS (
+  SELECT feature, pos, tie,
+         CAST(SUM(tie) OVER (PARTITION BY feature ORDER BY value)
+              AS BIGINT) AS cum_tie
+  FROM per_v
+),
+s AS (
+  SELECT feature,
+         CAST(sum(pos * (2 * cum_tie - tie + 1)) AS BIGINT) AS r2p,
+         CAST(sum(pos) AS BIGINT) AS n_new,
+         CAST(sum(tie - pos) AS BIGINT) AS n_old
+  FROM cum GROUP BY 1
+)
+SELECT feature, n_new, n_old,
+       round((CAST(r2p AS DOUBLE) / 2
+              - CAST(n_new AS DOUBLE) * (n_new + 1) / 2)
+             / (CAST(n_new AS DOUBLE) * n_old), 6) AS auc,
+       abs((CAST(r2p AS DOUBLE) / 2
+            - CAST(n_new AS DOUBLE) * (n_new + 1) / 2)
+           / (CAST(n_new AS DOUBLE) * n_old) - 0.5e0) > 0.05e0 AS drifted
+FROM s ORDER BY feature
+""",
+)
+def q_ml_adversarial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial validation of the corpus: can surface features
+    (length, punctuation/digit/space density) tell the NEW half of the
+    corpus from the OLD half — the distribution-shift gate run before
+    mixing a fresh crawl into training data (per-feature AUC ≈ 0.5 =
+    indistinguishable; a drifted feature names WHAT changed, which
+    q_profile_drift's single-column PSI can't). Rank form: per-feature
+    Mann-Whitney AUC instead of a fitted classifier — deterministic,
+    monotone-invariant, and exactly the first split any GBM would
+    find.
+
+    Scale shape: features are row-local codegen (regexp length
+    arithmetic — no UDF, no shuffle); the rank spine is per-feature
+    DISTINCT values via ``dist_cumsum(part_cols=[feature])`` (the
+    q_agg_mannwhitney device, bounded 4-feature partition axis);
+    doubled midranks keep rank sums BIGINT; AUC is one division per
+    feature row. The half label is a 1-row broadcast min/max — no
+    action.
+    """
+    from asyncdatapipeline_spark.operators._util import dist_cumsum
+
+    d = load_table(spark, sf_dir, "documents")
+    bounds = F.broadcast(
+        d.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+    )
+    nc = F.col("n_chars")
+    t = F.col("text")
+
+    def _ratio(pat: str):
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+        ).cast("double") / nc
+
+    f = d.crossJoin(bounds).select(
+        F.when(2 * F.col("doc_id") >= F.col("mn") + F.col("mx"), 1)
+        .otherwise(0)
+        .alias("is_new"),
+        nc.cast("double").alias("f_chars"),
+        _ratio("[.,;:!?]").alias("f_punct"),
+        _ratio("[0-9]").alias("f_digit"),
+        _ratio("[ ]").alias("f_space"),
+    )
+    u = None
+    for feat, col in [
+        ("chars", "f_chars"),
+        ("punct_ratio", "f_punct"),
+        ("digit_ratio", "f_digit"),
+        ("space_ratio", "f_space"),
+    ]:
+        part = f.select(
+            F.lit(feat).alias("feature"),
+            F.col(col).alias("value"),
+            "is_new",
+        )
+        u = part if u is None else u.unionByName(part)
+    per_v = u.groupBy("feature", "value").agg(
+        F.sum("is_new").cast("long").alias("pos"),
+        F.count(F.lit(1)).cast("long").alias("tie"),
+    )
+    c = dist_cumsum(per_v, "value", ["tie"], part_cols=["feature"])
+    r2 = 2 * F.col("cum_tie") - F.col("tie") + 1
+    s = c.groupBy("feature").agg(
+        F.sum(F.col("pos") * r2).cast("long").alias("r2p"),
+        F.sum("pos").cast("long").alias("n_new"),
+        F.sum(F.col("tie") - F.col("pos")).cast("long").alias("n_old"),
+    )
+    n_new = F.col("n_new").cast("double")
+    auc = (F.col("r2p").cast("double") / 2 - n_new * (F.col("n_new") + 1) / 2) / (
+        n_new * F.col("n_old")
+    )
+    return s.select(
+        "feature",
+        "n_new",
+        "n_old",
+        F.round(auc, 6).alias("auc"),
+        (F.abs(auc - 0.5) > 0.05).alias("drifted"),
+    ).orderBy("feature")

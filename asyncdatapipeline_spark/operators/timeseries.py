@@ -11752,3 +11752,52 @@ def q_ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _macd_body(True).format(td=_TD_SQL.format(src="macd_events"))
     )
+
+
+_FLAP_BODY = """
+WITH s AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+         lag(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_err
+  FROM {src}
+),
+per_u AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN prev_err IS NOT NULL AND is_err <> prev_err
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_toggles
+  FROM s GROUP BY 1
+)
+SELECT user_id, n_events, n_toggles,
+       round(CAST(n_toggles AS DOUBLE) / (n_events - 1), 6) AS toggle_rate,
+       (CAST(n_toggles AS DOUBLE) / (n_events - 1) > 0.5e0
+        AND n_events >= 10) AS flapping
+FROM per_u
+WHERE n_events >= 2
+ORDER BY n_toggles DESC, user_id
+LIMIT 25
+"""
+
+
+@query(
+    "q_events_flap",
+    oracle=_FLAP_BODY.format(src="events"),
+)
+def q_events_flap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flap detection per user: how often the stream TOGGLES between
+    error and non-error state (Nagios/alertmanager's flap damping
+    readout) — the burst-structure complement to q_events_burstiness
+    (bursty errors in one block barely toggle; the same error count
+    interleaved with successes toggles maximally, and THAT is the
+    retry-storm / threshold-oscillation signature that should damp
+    alerts instead of paging 40 times).
+
+    Scale shape: one user-partitioned lag window (co-partitioned with
+    its own aggregate — a single shuffle on the entity key), one
+    map-combinable per-user reduce, TakeOrdered top-25 on the integer
+    toggle count with the key tiebreak; rate and flag are row-local
+    IEEE on identical integers.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("flap_events")
+    return spark.sql(_FLAP_BODY.format(src="flap_events"))

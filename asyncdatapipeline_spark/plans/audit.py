@@ -714,6 +714,61 @@ CHECKS: dict[str, list[tuple]] = {
         ("must", "power sums partially aggregated", r"HashAggregate.*partial"),
         ("forbid", "one-pass closed form: no join, no window", "Join", "windowspecdefinition"),
     ],
+    # round-12 TPC-H completion: the derived-dimension suite's scale
+    # contracts — dim-only queries must never touch a fact table, fact
+    # queries must push their date filters and broadcast every dim.
+    "q_tpch_q1": [
+        ("must", "shipdate cutoff pushed to the fact scan", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate"),
+        ("forbid", "column pruning (no l_orderkey read)", "l_orderkey"),
+        ("must", "eight aggregates partially aggregated", r"HashAggregate.*partial"),
+    ],
+    "q_tpch_q2": [
+        ("forbid", "dim-only: derived partsupp never touches a fact", "lineitem", "orders.parquet", "events"),
+        ("must", "region-pruned supplier leg broadcast", r"BroadcastHashJoin"),
+    ],
+    "q_tpch_q5": [
+        ("must", "order-year band pushed to the orders scan", r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate"),
+        ("must", "customer/supplier/nation/region broadcast", r"BroadcastHashJoin"),
+        ("forbid", "no pair blowup", "CartesianProduct", "BroadcastNestedLoopJoin"),
+    ],
+    "q_tpch_q9": [
+        ("must", "part/partsupp/supplier/nation broadcast onto the fact", r"BroadcastHashJoin"),
+        ("forbid", "two-key partsupp lookup is a hash join, not a loop", "CartesianProduct", "BroadcastNestedLoopJoin"),
+    ],
+    "q_tpch_q11": [
+        ("forbid", "dim-only: stock value never scans a fact", "lineitem", "orders.parquet", "customer", "events"),
+        ("must", "nation-pruned supplier leg broadcast", r"BroadcastHashJoin"),
+    ],
+    "q_tpch_q12": [
+        ("forbid", "derived date triple is codegen, not Python", "ArrowEvalPython", "BatchEvalPython"),
+        ("forbid", "no pair blowup", "CartesianProduct", "BroadcastNestedLoopJoin"),
+    ],
+    "q_tpch_q16": [
+        ("forbid", "dim-only: supplier census never scans a fact", "lineitem", "orders.parquet", "events"),
+        ("must", "pruned part + blocklist broadcast", r"BroadcastHashJoin"),
+        ("must", "two-phase distinct expand on the bounded grid", r"HashAggregate.*partial"),
+    ],
+    "q_tpch_q17": [
+        ("must", "brand filter broadcasts and prunes the fact first", r"BroadcastHashJoin"),
+        ("must", "decorrelated per-part mean partially aggregated", r"HashAggregate.*partial"),
+    ],
+    "q_tpch_q20": [
+        ("must", "1997 band pushed to the fact scan", r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate"),
+        ("forbid", "no pair blowup", "CartesianProduct", "BroadcastNestedLoopJoin"),
+    ],
+    "q_tpch_q21": [
+        ("forbid", "late predicate is integer codegen, not Python", "ArrowEvalPython", "BatchEvalPython"),
+        ("forbid", "EXISTS/NOT-EXISTS decorrelated, never a loop", "CartesianProduct", "BroadcastNestedLoopJoin"),
+        ("must", "both distinct-supplier counts in one order-keyed reduce", r"HashAggregate.*partial"),
+    ],
+    "q_graph_closeness": [
+        ("forbid", "frontier expansion is keyed joins, never a loop", "CartesianProduct", "BroadcastNestedLoopJoin"),
+    ],
+    "q_agg_kruskal": [
+        ("must", "rank spine partially aggregated", r"HashAggregate.*partial"),
+        # (unpartitioned-window absence is enforced registry-wide by the
+        # standing WINDOWS_AUDIT pytest; no per-query regex needed)
+    ],
 }
 
 

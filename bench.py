@@ -215,6 +215,28 @@ HEADLINE = [
     "q_graph_degree_gini",    # bounded class grid, integer MAD identity
     "q_agg_welch",            # heteroscedastic ANOVA, snapped weights
     "q_agg_quantile_ci",      # order-statistic median CI on the spine
+    # round-12 TPC-H completion (derived-dimension device)
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q5",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    # round-12 second batch
+    "q_agg_kruskal",          # doubled-midrank spine, k groups
+    "q_agg_moods_median",     # exact grand median + k×2 chi-square
+    "q_agg_bartlett",         # per-group power sums + 9dp ln contract
+    "q_agg_friedman",         # day-bounded midrank windows, integer Q
+    "q_ts_bollinger",         # 7-row windowed power sums + breach flags
+    "q_ts_rsi",               # 14-row SMA gain/loss oscillator
+    "q_ts_macd",              # two chained truncated-EMA windows
+    "q_graph_closeness",      # multi-source bounded BFS (fixpoint-set)
+    "q_events_flap",          # entity-keyed toggle census
+    "q_ml_adversarial",       # per-feature drift AUC (rank spine)
 ]
 
 
@@ -247,6 +269,7 @@ FIXPOINT = {
     "q_agg_percentile_global",
     "q_embed_participation",
     "q_ml_vif",
+    "q_graph_closeness",  # r12: multi-source BFS, localCheckpoint/round
 }
 
 

@@ -404,6 +404,32 @@ QUERIES = [
     "q_tpch_q4",
     "q_tpch_q13",
     "q_tpch_q19",
+    # round-12 TPC-H completion: the partsupp queries are dim-only
+    # (availqty/cost arithmetic over 4·|part| — expect ~FLAT under
+    # fact replication), Q9/Q12/Q21/Q5/Q17/Q20/Q1 are fact-linear
+    "q_tpch_q1",
+    "q_tpch_q2",
+    "q_tpch_q5",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    # round-12 second batch: rank spines (distinct-value growth is
+    # sublinear under replication), day-grid windows (~flat), and the
+    # multi-source BFS (edge growth saturates under replication)
+    "q_agg_kruskal",
+    "q_agg_moods_median",
+    "q_agg_bartlett",
+    "q_agg_friedman",
+    "q_ts_bollinger",
+    "q_ts_rsi",
+    "q_ts_macd",
+    "q_graph_closeness",
+    "q_events_flap",
+    "q_ml_adversarial",
 ]
 
 STRESS_ROOT = Path(__file__).resolve().parent.parent / ".spark-warehouse"
