@@ -172,3 +172,48 @@ def test_closeness_on_planted_path(spark, tmp_path_factory):
     assert got[1]["n_reached"] == 3 and got[1]["sum_dist"] == 4
     assert math.isclose(got[1]["closeness"], 0.75, abs_tol=1e-9)
     assert math.isclose(got[1]["harmonic"], 2.5, abs_tol=1e-9)
+
+
+def test_flap_interleaved_vs_block(spark, tmp_path_factory):
+    """User 1 interleaves error/click (9 toggles in 10 events, rate 1);
+    user 2 has the same 5 errors in one block (1 toggle, rate 1/9).
+    Only user 1 flaps."""
+    out = str(tmp_path_factory.mktemp("flap"))
+    rows = []
+    eid = 0
+    for i in range(10):  # user 1: e c e c e c e c e c
+        rows.append((eid, _day(0).replace(minute=i), 1,
+                     "error" if i % 2 == 0 else "click", 1.0, "{}"))
+        eid += 1
+    for i in range(10):  # user 2: c c c e e e e e c c
+        rows.append((eid, _day(0).replace(minute=i), 2,
+                     "error" if 3 <= i <= 7 else "click", 1.0, "{}"))
+        eid += 1
+    _write(spark, out, "events", rows, EVT)
+    got = {r["user_id"]: r
+           for r in registry.get("q_events_flap").fn(spark, out).collect()}
+    assert got[1]["n_toggles"] == 9 and got[1]["flapping"]
+    assert math.isclose(got[1]["toggle_rate"], 1.0, abs_tol=1e-9)
+    assert got[2]["n_toggles"] == 2 and not got[2]["flapping"]
+    assert math.isclose(got[2]["toggle_rate"], 2.0 / 9.0, abs_tol=1e-6)
+
+
+def test_adversarial_detects_planted_length_shift(spark, tmp_path_factory):
+    """Old half: short docs; new half: long docs. The chars feature
+    separates perfectly (AUC = 1); the space ratio is identical in
+    both halves (AUC = 0.5, midranks over one tie run)."""
+    out = str(tmp_path_factory.mktemp("adv"))
+    # ids 0..9 short, 10..19 long; NO strip — "ab " repeated keeps the
+    # space ratio at exactly 1/3 in both halves
+    rows = []
+    for i in range(20):
+        text = "ab " * (5 if i < 10 else 50)
+        rows.append((i, text, "en", "s", len(text)))
+    _write(spark, out, "documents", rows,
+           "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["feature"]: r
+           for r in registry.get("q_ml_adversarial").fn(spark, out).collect()}
+    assert got["chars"]["auc"] == 1.0 and got["chars"]["drifted"]
+    assert got["space_ratio"]["auc"] == 0.5
+    assert not got["space_ratio"]["drifted"]
+    assert got["punct_ratio"]["auc"] == 0.5  # no punctuation anywhere
