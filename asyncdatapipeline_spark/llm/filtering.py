@@ -1683,12 +1683,16 @@ s AS (
   FROM cum GROUP BY 1
 )
 SELECT feature, n_new, n_old,
-       round((CAST(r2p AS DOUBLE) / 2
+       CASE WHEN n_new > 0 AND n_old > 0 THEN
+         round((CAST(r2p AS DOUBLE) / 2
+                - CAST(n_new AS DOUBLE) * (n_new + 1) / 2)
+               / (CAST(n_new AS DOUBLE) * n_old), 6)
+       END AS auc,
+       CASE WHEN n_new > 0 AND n_old > 0 THEN
+         abs((CAST(r2p AS DOUBLE) / 2
               - CAST(n_new AS DOUBLE) * (n_new + 1) / 2)
-             / (CAST(n_new AS DOUBLE) * n_old), 6) AS auc,
-       abs((CAST(r2p AS DOUBLE) / 2
-            - CAST(n_new AS DOUBLE) * (n_new + 1) / 2)
-           / (CAST(n_new AS DOUBLE) * n_old) - 0.5e0) > 0.05e0 AS drifted
+             / (CAST(n_new AS DOUBLE) * n_old) - 0.5e0) > 0.05e0
+       END AS drifted
 FROM s ORDER BY feature
 """,
 )
@@ -1762,10 +1766,13 @@ def q_ml_adversarial(spark: SparkSession, sf_dir: str) -> DataFrame:
     auc = (F.col("r2p").cast("double") / 2 - n_new * (F.col("n_new") + 1) / 2) / (
         n_new * F.col("n_old")
     )
+    # a one-class corpus (all docs in one half) has no AUC -> NULL,
+    # mirrored; the when() keeps the ANSI division unevaluated.
+    ok = (F.col("n_new") > 0) & (F.col("n_old") > 0)
     return s.select(
         "feature",
         "n_new",
         "n_old",
-        F.round(auc, 6).alias("auc"),
-        (F.abs(auc - 0.5) > 0.05).alias("drifted"),
+        F.when(ok, F.round(auc, 6)).alias("auc"),
+        F.when(ok, F.abs(auc - 0.5) > 0.05).alias("drifted"),
     ).orderBy("feature")

@@ -7294,12 +7294,17 @@ s AS (
 SELECT n, k,
        round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * sumsq
              - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
-       round(1.0 - CAST(tsum AS DOUBLE) / CAST(n * n * n - n AS DOUBLE), 9)
-         AS tie_correction,
-       round(round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-                   * sumsq - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6)
-             / round(1.0 - CAST(tsum AS DOUBLE)
-                     / CAST(n * n * n - n AS DOUBLE), 9), 6) AS h_corrected
+       CASE WHEN n > 1 THEN
+         round(1.0 - CAST(tsum AS DOUBLE) / CAST(n * n * n - n AS DOUBLE), 9)
+       END AS tie_correction,
+       CASE WHEN n > 1
+             AND round(1.0 - CAST(tsum AS DOUBLE)
+                       / CAST(n * n * n - n AS DOUBLE), 9) <> 0.0e0 THEN
+         round(round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                     * sumsq - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6)
+               / round(1.0 - CAST(tsum AS DOUBLE)
+                       / CAST(n * n * n - n AS DOUBLE), 9), 6)
+       END AS h_corrected
 FROM s, ties
 """,
 )
@@ -7356,18 +7361,25 @@ def q_agg_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     h = F.round(12.0 / (nd * (nd + 1.0)) * F.col("sumsq") - 3.0 * (nd + 1.0), 6)
-    corr = F.round(
-        1.0
-        - F.col("tsum").cast("double")
-        / (F.col("n") * F.col("n") * F.col("n") - F.col("n")).cast("double"),
-        9,
+    # degenerate-input guards (the ANSI division contract: this Spark 4
+    # session raises DIVIDE_BY_ZERO even for double/double): n = 1 has
+    # no tie-correction denominator; an all-tied sample drives the
+    # correction itself to 0 — both yield NULL, mirrored in the oracle.
+    corr = F.when(
+        F.col("n") > 1,
+        F.round(
+            1.0
+            - F.col("tsum").cast("double")
+            / (F.col("n") * F.col("n") * F.col("n") - F.col("n")).cast("double"),
+            9,
+        ),
     )
     return s.crossJoin(ties).select(
         "n",
         "k",
         h.alias("h"),
         corr.alias("tie_correction"),
-        F.round(h / corr, 6).alias("h_corrected"),
+        F.when(corr != 0.0, F.round(h / corr, 6)).alias("h_corrected"),
     )
 
 
@@ -7404,13 +7416,13 @@ m AS (
   FROM per_g
 ),
 chi AS (
-  SELECT CAST(sum(CAST(round(
+  SELECT CAST(sum(CAST(CASE WHEN m_above > 0 AND m_above < n THEN round(
            (o_above - CAST(n_i AS DOUBLE) * m_above / n)
            * (o_above - CAST(n_i AS DOUBLE) * m_above / n)
            / (CAST(n_i AS DOUBLE) * m_above / n)
            + ((n_i - o_above) - CAST(n_i AS DOUBLE) * (n - m_above) / n)
              * ((n_i - o_above) - CAST(n_i AS DOUBLE) * (n - m_above) / n)
-             / (CAST(n_i AS DOUBLE) * (n - m_above) / n), 9)
+             / (CAST(n_i AS DOUBLE) * (n - m_above) / n), 9) END
          AS DECIMAL(38,9))) AS DOUBLE) AS chi2
   FROM per_g, m
 )
@@ -7466,10 +7478,15 @@ def q_agg_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_below = F.col("n_i").cast("double") * (F.col("n") - F.col("m_above")) / nd
     o_a = F.col("o_above")
     o_b = F.col("n_i") - F.col("o_above")
-    term = F.round(
-        (o_a - e_above) * (o_a - e_above) / e_above
-        + (o_b - e_below) * (o_b - e_below) / e_below,
-        9,
+    # a one-sided sample (every value on one side of the median) has a
+    # zero expected cell — its chi-square is undefined; NULL, mirrored.
+    term = F.when(
+        (F.col("m_above") > 0) & (F.col("m_above") < F.col("n")),
+        F.round(
+            (o_a - e_above) * (o_a - e_above) / e_above
+            + (o_b - e_below) * (o_b - e_below) / e_below,
+            9,
+        ),
     ).cast("decimal(38,9)")
     chi = per_g.crossJoin(m).agg(F.sum(term).cast("double").alias("chi2"))
     return (
@@ -7499,6 +7516,7 @@ WITH per_g AS (
          CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
          CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS s2
   FROM events GROUP BY 1
+  HAVING count(*) >= 2
 ),
 v AS (
   SELECT n_i,
@@ -7517,10 +7535,11 @@ s AS (
   FROM v
 )
 SELECT n, k,
-       round(ssw / (n - k), 6) AS pooled_var,
-       round(((n - k) * round(ln(ssw / (n - k)), 9) - sln)
-             / (1.0 + (cinv - 1.0 / (n - k)) / (3.0 * (k - 1))), 6)
-         AS t_stat,
+       CASE WHEN n > k THEN round(ssw / (n - k), 6) END AS pooled_var,
+       CASE WHEN n > k AND k > 1 THEN
+         round(((n - k) * round(ln(ssw / (n - k)), 9) - sln)
+               / (1.0 + (cinv - 1.0 / (n - k)) / (3.0 * (k - 1))), 6)
+       END AS t_stat,
        CAST(k - 1 AS INTEGER) AS df
 FROM s
 """,
@@ -7540,12 +7559,18 @@ def q_agg_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row out.
     """
     e = load_table(spark, sf_dir, "events")
-    per_g = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_i"),
-        F.sum(F.col("value").cast(DEC)).cast("double").alias("s1"),
-        F.sum((F.col("value") * F.col("value")).cast(DEC))
-        .cast("double")
-        .alias("s2"),
+    per_g = (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("s1"),
+            F.sum((F.col("value") * F.col("value")).cast(DEC))
+            .cast("double")
+            .alias("s2"),
+        )
+        # a 1-observation group has no variance — Bartlett is defined
+        # over groups with n_i >= 2 (mirrored HAVING in the oracle)
+        .filter(F.col("n_i") >= 2)
     )
     n_i = F.col("n_i")
     var_i = (F.col("s2") - F.col("s1") * F.col("s1") / n_i) / (n_i - 1)
@@ -7571,11 +7596,13 @@ def q_agg_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ((n - k) * F.round(F.log(sp2), 9) - F.col("sln")) / (
         1.0 + (F.col("cinv") - 1.0 / (n - k)) / (3.0 * (k - 1))
     )
+    # k = 1 (nothing to compare) and n = k (all singleton groups are
+    # already filtered, but guard the division anyway) yield NULL.
     return s.select(
         "n",
         "k",
-        F.round(sp2, 6).alias("pooled_var"),
-        F.round(t, 6).alias("t_stat"),
+        F.when(n > k, F.round(sp2, 6)).alias("pooled_var"),
+        F.when((n > k) & (k > 1), F.round(t, 6)).alias("t_stat"),
         (k - 1).cast("int").alias("df"),
     )
 
@@ -7622,8 +7649,10 @@ num AS (
   FROM per_t, dims
 )
 SELECT b, CAST(k AS INTEGER) AS k,
-       round(CAST((k - 1) * num AS DOUBLE)
-             / CAST(a4 - b * k * (k + 1) * (k + 1) AS DOUBLE), 6) AS q_stat,
+       CASE WHEN a4 - b * k * (k + 1) * (k + 1) <> 0 THEN
+         round(CAST((k - 1) * num AS DOUBLE)
+               / CAST(a4 - b * k * (k + 1) * (k + 1) AS DOUBLE), 6)
+       END AS q_stat,
        CAST(k - 1 AS INTEGER) AS df
 FROM dims, num
 """,
@@ -7686,15 +7715,21 @@ def q_agg_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("num")
     )
     bb, kk = F.col("b"), F.col("k")
+    den = F.col("a4") - bb * kk * (kk + 1) * (kk + 1)
     return (
         dims.crossJoin(F.broadcast(num))
         .select(
             "b",
             kk.cast("int").alias("k"),
-            F.round(
-                ((kk - 1) * F.col("num")).cast("double")
-                / (F.col("a4") - bb * kk * (kk + 1) * (kk + 1)).cast("double"),
-                6,
+            # every cell tied in every block (k = 1, or constant panel)
+            # zeroes the tie-corrected denominator: undefined -> NULL
+            F.when(
+                den != 0,
+                F.round(
+                    ((kk - 1) * F.col("num")).cast("double")
+                    / den.cast("double"),
+                    6,
+                ),
             ).alias("q_stat"),
             (kk - 1).cast("int").alias("df"),
         )
