@@ -835,11 +835,13 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived partsupp (docstring above): 4 suppliers per part via the
     dbgen stride, availqty/supplycost as hash arithmetic on the keys.
 
-    Scale shape: |part| is dim-scale at any SF, so partsupp (4·|part|)
-    is dim-scale too; the supplier COUNT rides a 1-row broadcast (the
-    q_tpch_q15/q22 decorrelated-scalar pattern — never a driver-side
-    action), and the whole build is one projected dim scan + explode,
-    no shuffle.
+    Scale shape: on the fixture family |part| is dim-scale, so
+    partsupp (4·|part|) is too; the supplier COUNT rides a 1-row
+    broadcast (the q_tpch_q15/q22 decorrelated-scalar pattern — never
+    a driver-side action), and the whole build is one projected dim
+    scan + explode, no shuffle. NB at true TPC-H proportions partsupp
+    is FACT-scale (|lineitem|/7.5): consumers must not pin a broadcast
+    hint on this frame (q_tpch_q9 documents the AQE-decides rule).
     """
     scnt = F.broadcast(
         load_table(spark, sf_dir, "supplier").agg(
@@ -1122,8 +1124,11 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan — fact through a two-key dimension lookup with part/supplier
     legs — is exactly what runs.
 
-    Scale shape: part filter and partsupp both broadcast (dim-scale);
-    supplier/nation broadcast; the one big-big shuffle is the
+    Scale shape: the part filter broadcasts (hinted — it is a pruned
+    dim at any scale); partsupp joins UNHINTED so AQE broadcasts it at
+    fixture proportions but falls back to the co-keyed shuffle join at
+    true TPC-H proportions, where partsupp is fact-scale; supplier and
+    nation broadcast; the one unavoidable big-big shuffle is the
     orders join on the order key; profit = ONE grouped pass of an
     exact-decimal revenue sum MINUS an exact BIGINT cents·qty sum,
     divided once per output row — never two scans.
@@ -1139,10 +1144,15 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem")
     cost_qty = F.col("ps_cost_cents") * F.col("l_quantity").cast("bigint")
+    # partsupp carries NO broadcast hint on purpose: it is dim-sized on
+    # the fixture family (4·|part|), so Catalyst/AQE broadcasts it here
+    # anyway — but at true TPC-H proportions partsupp is FACT-scale
+    # (|lineitem|/7.5), and a forced hint would pin an OOM at 100 TB
+    # where the right plan is the co-keyed shuffle join AQE selects.
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(ps),
+            ps,
             (F.col("ps_partkey") == F.col("l_partkey"))
             & (F.col("ps_suppkey") == F.col("l_suppkey")),
         )
