@@ -904,7 +904,7 @@ def connected_components(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -915,16 +915,40 @@ def connected_components(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
         new_label = F.least(
             F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            new_label.alias("cluster_id"),
+            F.col("cluster_id").alias("prev_label"),
+        ).localCheckpoint(eager=False)  # read twice below (main + jump side)
+        # pointer jump (r12): additionally adopt the label OF the label
+        # — labels are always node ids inside the same component, so the
+        # hop stays within it, the min-propagation stays monotone, and
+        # the round count drops from O(diameter) to O(log diameter)
+        # (the classic shortcutting step). One extra labels-sized join
+        # per round buys several whole rounds on shallow-but-long paths.
+        j = stepped.select(
+            F.col("doc_id").alias("j_id"), F.col("cluster_id").alias("j_lab")
+        )
+        jumped_label = F.least(
+            F.col("cluster_id"), F.coalesce("j_lab", F.col("cluster_id"))
+        )
         flagged = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            stepped.join(j, stepped.cluster_id == j.j_id, "left")
             .select(
                 "doc_id",
-                new_label.alias("cluster_id"),
-                (new_label < F.col("cluster_id")).alias("changed"),
+                jumped_label.alias("cluster_id"),
+                (jumped_label < F.col("prev_label")).alias("changed"),
             )
-            .localCheckpoint()  # eager: truncates lineage AND materializes
+            # LAZY checkpoint (r12 job surgery): the convergence count
+            # below is the round's one action — it materializes these
+            # blocks as it runs, so each round costs ONE job instead of
+            # the old eager-checkpoint-job-plus-count-job pair, and the
+            # lineage is truncated all the same once materialized
+            .localCheckpoint(eager=False)
         )
-        # scans the checkpointed blocks — no recompute, no extra shuffle
+        # materializes + scans the checkpointed blocks in one job
         changed = flagged.filter("changed").count()
         labels = flagged.drop("changed")
         if changed == 0:

@@ -412,12 +412,14 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = edges.agg(F.min("src").alias("s")).collect()[0]["s"]
     if seed is None:  # empty graph: no seed, empty (typed) result
         return spark.createDataFrame([], "node long, hops int")
-    visited = (
-        edges.sparkSession.createDataFrame(
-            [(int(seed), 0)], "node long, hops int"
-        ).localCheckpoint()
+    visited = edges.sparkSession.createDataFrame(
+        [(int(seed), 0)], "node long, hops int"
     )
     frontier = visited
+    # r12 job surgery: one LAZY checkpoint per round materialized by the
+    # round's single count (the old eager-checkpoint + isEmpty pair cost
+    # 3 jobs per hop); `visited` is a union of already-materialized
+    # frontier frames, bounded at {hops} legs — no checkpoint needed
     for hop in range(1, _BFS_MAX_HOPS + 1):
         nxt = (
             edges.join(frontier, edges.src == frontier.node)
@@ -425,11 +427,11 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(hop))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.select(
         "node", F.col("hops").cast("int").alias("hops")
@@ -799,11 +801,17 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = (
         e.selectExpr("u as s", "v as t")
         .unionByName(e.selectExpr("v as s", "u as t"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    alive = eb.select(F.col("s").alias("node")).distinct().localCheckpoint()
-    n0 = alive.count()
-    n_prev = n0
+    # Job-count surgery (optimization r12, guide §1.2 "fewer passes"):
+    # the old shape ran an eager checkpoint job PLUS a count job per
+    # materialization (≈14 jobs per run at sf0.1); every checkpoint is
+    # now LAZY and materialized by the one count the round needs
+    # anyway, n0 comes from round 1's degree frame (|distinct s| ==
+    # |nodes| — no separate distinct build), and the final core counts
+    # are read off loop state instead of fresh join-count jobs.
+    n_prev: int | None = None  # n0 discovered in round 1
+    n_now = 0
     converged = False
     # invariant: live_eb holds exactly the edges with BOTH endpoints
     # alive, so each round is one aggregate + (on shrink) one
@@ -811,13 +819,17 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan the docstring always promised; the full eb is touched once
     live_eb = eb
     for _ in range(_KCORE_ROUNDS):
-        deg = live_eb.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        deg = live_eb.groupBy("s").agg(
+            F.count(F.lit(1)).alias("deg")
+        ).localCheckpoint(eager=False)
+        if n_prev is None:
+            n_prev = n0 = deg.count()  # materializes eb + round-1 deg
         nxt = (
             deg.filter(F.col("deg") >= _KCORE_K)
             .select(F.col("s").alias("node"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        n_now = nxt.count()
+        n_now = nxt.count()  # materializes nxt (deg already cached)
         alive = nxt
         if n_now == n_prev:
             converged = True
@@ -826,18 +838,24 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         live_eb = (
             live_eb.join(nxt.withColumnRenamed("node", "s"), "s")
             .join(nxt.withColumnRenamed("node", "t"), "t")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     else:
         # ran the full bound without stabilizing between the LAST two
         # rounds — mirror the oracle's a{N-1} vs a{N} comparison
         converged = False
-    core_edges = (
-        e.join(alive.withColumnRenamed("node", "u"), "u")
-        .join(alive.withColumnRenamed("node", "v"), "v")
-        .count()
-    )
-    n_core = alive.count()
+    if converged:
+        # live_eb holds exactly the directed edges among `alive` (the
+        # break round shrank nothing), so the undirected in-core edge
+        # count is half its (already materialized) row count
+        core_edges = live_eb.count() // 2
+    else:
+        core_edges = (
+            e.join(alive.withColumnRenamed("node", "u"), "u")
+            .join(alive.withColumnRenamed("node", "v"), "v")
+            .count()
+        )
+    n_core = n_now
     return spark.createDataFrame(
         [(n_core, core_edges, n0 - n_core, bool(converged))],
         "n_core_nodes long, n_core_edges long, n_peeled long,"
@@ -1156,8 +1174,17 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("p_brand").alias("seed_lab"))
         .localCheckpoint(eager=False)
     )
-    lab = nodes.join(seeds, "node", "left").select(
-        "node", F.col("seed_lab").alias("lab")
+    # r12 plan surgery: `seed_lab` rides INSIDE the label frame, so each
+    # voting round is ONE edges⋈labels join + two hash aggregates + ONE
+    # label-update join — the old shape re-joined nodes⋈seeds⋈win⋈prev
+    # (three node-keyed joins) and ranked votes with a per-node SORT
+    # window; the min_by((−cnt, label)) aggregate is the same argmax
+    # (max count, ties to smallest label) without the sort, and it
+    # partial-aggregates map-side (guide §2.3/§2.4).
+    lab = (
+        nodes.join(seeds, "node", "left")
+        .select("node", "seed_lab", F.col("seed_lab").alias("lab"))
+        .localCheckpoint(eager=False)
     )
     for _ in range(_LP_ROUNDS):
         votes = (
@@ -1171,35 +1198,25 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("node"), F.col("nlab"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        win = (
-            votes.withColumn(
-                "r",
-                F.row_number().over(
-                    W.partitionBy("node").orderBy(
-                        F.col("cnt").desc(), "nlab"
-                    )
+        win = votes.groupBy("node").agg(
+            F.min_by(
+                "nlab",
+                F.struct(
+                    (-F.col("cnt")).alias("nc"), F.col("nlab").alias("nl")
                 ),
-            )
-            .filter(F.col("r") == 1)
-            .select("node", F.col("nlab").alias("win_lab"))
+            ).alias("win_lab")
         )
         lab = (
-            nodes.join(seeds, "node", "left")
-            .join(win, "node", "left")
-            .join(
-                lab.select("node", F.col("lab").alias("prev_lab")),
-                "node",
-                "left",
-            )
+            lab.join(win, "node", "left")
             .select(
                 "node",
-                F.coalesce("seed_lab", "win_lab", "prev_lab").alias("lab"),
+                "seed_lab",
+                F.coalesce("seed_lab", "win_lab", "lab").alias("lab"),
             )
             .localCheckpoint(eager=False)
         )
     return (
-        lab.join(seeds, "node", "left")
-        .groupBy(F.col("lab").alias("label"))
+        lab.groupBy(F.col("lab").alias("label"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
             F.sum(F.col("seed_lab").isNotNull().cast("int"))
@@ -2206,8 +2223,12 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("anchor"),
         F.col("src").alias("node"),
         F.lit(0).alias("hops"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     frontier = visited
+    # r12 job surgery: lazy per-round checkpoint + one count (was an
+    # eager checkpoint, an isEmpty probe, AND an eager visited-union
+    # checkpoint — 3 jobs per hop); visited is a bounded union of the
+    # materialized frontiers, no checkpoint of its own
     for hop in range(1, _CLO_MAX_HOPS + 1):
         nxt = (
             edges.join(frontier, edges.src == frontier.node)
@@ -2215,11 +2236,11 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("anchor", "node"), ["anchor", "node"], "left_anti")
             .withColumn("hops", F.lit(hop))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt)
         frontier = nxt
     d = F.col("hops").cast("long")
     return (

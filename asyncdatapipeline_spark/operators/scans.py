@@ -668,7 +668,9 @@ def q_scan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``filename=true``, so the two engines audit the same layout —
     basenames normalized across the file:-URI dialect difference.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # parallelize=False: input_file_name() evaluates above the scan
+    # repair's exchange and would return '' for every row
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
     f = (
         li.select(
             F.regexp_extract(

@@ -44,6 +44,19 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor defaults to 1 MiB per partition, which
+        # serializes every shuffle stage whose input is byte-small but
+        # compute-heavy (the graph pair self-joins, decimal power-sum
+        # reduces): a 5 MB frame coalesces to ~5 partitions — or ONE at
+        # sub-MB sizes — and the expensive operator above it runs on one
+        # core (guide §2.2/§2.5: bytes are a poor cost proxy for
+        # CPU-bound operators). 64 KiB keeps tiny-frame stages spread
+        # near total/parallelism while remaining a no-op at production
+        # sizes, where partitions are advisory-sized (≥64 MiB) anyway.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -18,6 +18,67 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+# --- scale-adaptive scan repair (optimization round 12, guide §2.5) ---
+#
+# The fixture tables ship as ONE parquet file with ONE row group, and
+# Spark can parallelize a parquet scan only at row-group granularity —
+# so every scan-rooted map stage (decimal power sums, explodes, regex
+# passes, the graph pair self-join builds) runs on a SINGLE task no
+# matter how many cores the session has. Measured r12 (probe_perf):
+# q_ml_vif 18.6 s cold with 7 stages / 15 tasks — pure single-threaded
+# compute; q_embed_participation 33/33 single-task stages.
+#
+# Repair: when the file's NATURAL split count (row groups capped by
+# size/maxPartitionBytes) cannot engage the session's parallelism AND
+# the table is small enough that one round-robin shuffle of it is
+# trivially cheap, redistribute right after the read. The repair is
+# scale-adaptive, not local-tuned: at production scale a table has
+# thousands of row groups, the natural-split test passes, and the
+# loader is a no-op — exactly the "derive from input size" rule of the
+# optimization guide (§2: make partitioning scale-adaptive rather than
+# a constant tuned for either local mode or the cluster).
+#
+# Catalyst pushes filters and column pruning THROUGH Repartition (the
+# plan keeps PushedFilters/ReadSchema at the scan — verified on the
+# resident build), so the repair costs only the small shuffle.
+# Row-identity scans (input_file_name / _metadata) must opt out:
+# those columns evaluate above the exchange and would come back empty.
+_REPAIR_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SCAN_REPAIR_MAX_BYTES", str(256 << 20))
+)
+_REPAIR_MIN_ROWS = 2_000  # below this, 1 task is the right plan
+_FOOTER_CACHE: dict[tuple[str, float], tuple[int, int, int]] = {}
+
+
+def _footer_stats(path: str) -> tuple[int, int, int]:
+    """(bytes, rows, row_groups) from the parquet footer, mtime-cached."""
+    st = os.stat(path)
+    key = (path, st.st_mtime)
+    hit = _FOOTER_CACHE.get(key)
+    if hit is None:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        hit = (st.st_size, md.num_rows, md.num_row_groups)
+        _FOOTER_CACHE[key] = hit
+    return hit
+
+
+def _repair_parallelism(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    try:
+        size, rows, row_groups = _footer_stats(path)
+    except Exception:  # non-file layouts: leave the scan alone
+        return df
+    if size > _REPAIR_MAX_BYTES or rows < _REPAIR_MIN_ROWS:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    # natural parallel read units: one per row group, but a split is
+    # only produced per maxPartitionBytes of file — the min of the two
+    natural = min(row_groups, max(1, -(-size // (128 << 20))))
+    if natural * 2 >= par:
+        return df
+    return df.repartition(par)
+
 TABLES = (
     "region",
     "nation",
@@ -58,8 +119,19 @@ def ensure_session_defaults(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    *,
+    parallelize: bool = True,
+) -> DataFrame:
     """Read one fixture table (parquet, schema from the footer).
+
+    ``parallelize=False`` opts out of the scan-parallelism repair (see
+    ``_repair_parallelism``) for callers that read row/file identity
+    columns (``input_file_name()``, ``_metadata``) — those evaluate
+    above the repair's exchange and would come back empty.
 
     ``events.ts`` has shipped in two physical representations across
     fixture generations, and this loader normalizes both to a plain
@@ -76,7 +148,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_defaults(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if parallelize:
+        df = _repair_parallelism(spark, df, path)
     if name == "events":
         from pyspark.sql import functions as F
 
