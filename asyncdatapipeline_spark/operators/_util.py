@@ -252,25 +252,49 @@ def dist_cumsum(
     if descending:
         proxy = -proxy
     qs = [i / nparts for i in range(1, nparts)]
-    row = df.agg(
-        F.percentile_approx(
-            proxy, F.array(*[F.lit(q) for q in qs]), F.lit(10_000)
-        ).alias("b")
-    ).collect()[0]
-    bounds = sorted({b for b in (row["b"] or []) if b is not None})
-    if bounds:
-        bucket = F.lit(0)
-        for b in bounds:
-            bucket = bucket + F.when(proxy > F.lit(b), 1).otherwise(0)
-    else:
-        # Degenerate boundaries (all values equal / very few distinct):
-        # everything is one bucket, but a literal 0 would constant-fold
-        # the `_pid` partition spec out of the running-sum window
-        # (single-partition execution + the WindowExec warning — the
-        # r9 window-scan catch on q_events_out_of_order). The frame is
-        # genuinely tiny here, so ride the fold-proof constant.
-        bucket = bounded_part(proxy)
-    d = df.withColumn("_pid", bucket)
+    # Boundaries ride IN-PLAN as a broadcast 1-row array (r12 perf
+    # pass): the old form collected them to the driver and baked
+    # literals into the bucket expression — a blocking driver job per
+    # dist_cumsum call at DataFrame-BUILD time (hundreds of ms each;
+    # winsorized_corr-class queries paid it 2-4×). The array form is
+    # the same deterministic value→bucket map: sorted distinct non-null
+    # sketch boundaries, bucket = count of boundaries strictly below
+    # the value. Degenerate boundary sets (all values equal / empty
+    # input → empty or NULL array) ride the same fold-proof-constant
+    # branch as before: `aggregate` over a non-literal array cannot be
+    # constant-folded, so the `_pid` window partition spec survives
+    # (the r9 WindowExec catch). The 1-row broadcast cross join is the
+    # sanctioned scalar-BNLJ shape.
+    bnds = df.agg(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.coalesce(
+                        F.percentile_approx(
+                            proxy,
+                            F.array(*[F.lit(q) for q in qs]),
+                            F.lit(10_000),
+                        ),
+                        F.array(),
+                    ),
+                    lambda b: b.isNotNull(),
+                )
+            )
+        ).alias("_bnds")
+    )
+    bucket = F.when(
+        F.size("_bnds") > 0,
+        F.aggregate(
+            "_bnds",
+            F.lit(0),
+            lambda acc, b: acc + F.when(proxy > b, 1).otherwise(0),
+        ),
+    ).otherwise(bounded_part(proxy))
+    d = (
+        df.crossJoin(F.broadcast(bnds))
+        .withColumn("_pid", bucket)
+        .drop("_bnds")
+    )
     per = d.groupBy(*part_cols, "_pid").agg(
         *[F.sum(c).alias(f"_t_{c}") for c in sum_cols]
     )

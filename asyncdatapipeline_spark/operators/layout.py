@@ -413,8 +413,16 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     The bloom filter only prunes — results are conf-independent, so the
     oracle is the plain join.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    pt = load_table(spark, sf_dir, "part").filter(
+    # parallelize=False: InjectRuntimeFilter pattern-matches the fact
+    # SCAN under the join; the repair's Repartition between them stops
+    # the bloom filter from landing (plan-audited `might_contain`)
+    # parallelize=False on BOTH sides: InjectRuntimeFilter
+    # pattern-matches a selective filter over the creation-side SCAN
+    # and plants might_contain on the application-side SCAN; the
+    # repair's Repartition in either subtree stops the rewrite
+    # (plan-audited `might_contain`)
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
+    pt = load_table(spark, sf_dir, "part", parallelize=False).filter(
         (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 25)
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))

@@ -172,7 +172,13 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand reads the input once where the UNION ALL form scans it four
     times.
     """
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    # parallelize=False: the operator's contract IS the map-only plan
+    # (scan → Expand, zero Exchange — plan-audited); the scan repair's
+    # exchange would break that shape, and the pushed orderkey filter
+    # leaves ~100 rows anyway
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False).filter(
+        F.col("l_orderkey") < 100
+    )
     return li.unpivot(
         ["l_orderkey", "l_linenumber"],
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],

@@ -77,6 +77,15 @@ def _repair_parallelism(spark: SparkSession, df: DataFrame, path: str) -> DataFr
     natural = min(row_groups, max(1, -(-size // (128 << 20))))
     if natural * 2 >= par:
         return df
+    # Round-robin, NOT hash-on-columns: a hash repartition references
+    # its key columns, which defeats column pruning at the scan (the
+    # audit caught ReadSchema widening to the full row — at scale that
+    # re-reads every byte). Round-robin references nothing, so pruning
+    # and pushdown pass through untouched; its determinism local sort
+    # (sortBeforeRepartition, kept on) measured within noise of the
+    # sort-free hash form — the exchange barrier, not the sort, is the
+    # repair's cost, and per-query opt-outs below handle the operators
+    # where that cost exceeds the parallelism it buys.
     return df.repartition(par)
 
 TABLES = (

@@ -40,8 +40,6 @@ SANCTIONED: list[tuple[str, str, int]] = [
     ("operators/scans.py", r"dimension-sized \(5 rows\)", 1),
     # CSV dialect sniff: ONE row of delimiter counts.
     ("operators/scans.py", r"1-row O\(1\) scalar", 1),
-    # dist_cumsum range boundaries: ONE row with the bounds array.
-    ("operators/_util.py", r'\)\.alias\("b"\)', 1),
     # BFS seed: ONE row, min node id.
     ("operators/graph.py", r'F\.min\("src"\)\.alias\("s"\)', 1),
 ]
