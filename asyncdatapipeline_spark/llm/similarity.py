@@ -1665,7 +1665,10 @@ def q_ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Confusion and accuracy are map-combinable integer reduces on the
     |labels|² frame.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    e = load_table(spark, sf_dir, "embeddings", parallelize=False)
     cells = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos0", "xf")
     ).select(

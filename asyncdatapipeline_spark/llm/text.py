@@ -3240,7 +3240,10 @@ def q_text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate guard: a single-source corpus has no "rest" and emits
     NULL divergences, not a division crash.
     """
-    d = load_table(spark, sf_dir, "documents")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    d = load_table(spark, sf_dir, "documents", parallelize=False)
     w = d.select(
         "source", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")

@@ -901,7 +901,10 @@ def q_agg_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final algebra is a crossJoin of two 1-row frames (sanctioned
     O(1) pattern, q_join_theta rule).
     """
-    o = load_table(spark, sf_dir, "orders")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    o = load_table(spark, sf_dir, "orders", parallelize=False)
 
     def segment(status: str, name: str) -> DataFrame:
         partials = (
@@ -3259,7 +3262,10 @@ def q_agg_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     size is data-independent — the canonical "aggregate first, then
     quadratic on the aggregate" device (q_ts_theilsen's pattern).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
     cells = (
         li.select(
             F.col("l_quantity").alias("x"), F.col("l_discount").alias("y")
@@ -6109,7 +6115,10 @@ def q_agg_xtab_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is closed-form on exact integers. Nothing downstream
     of the first reduce is data-sized.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    o = load_table(spark, sf_dir, "orders", parallelize=False)
     c = o.groupBy(
         F.col("o_orderpriority").alias("r"),
         F.col("o_orderstatus").alias("col"),

@@ -1598,7 +1598,10 @@ def q_ml_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two minimax reduces all live on bounded frames — no window,
     no sort, no iteration, no driver state.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
     b = li.groupBy(
         F.col("l_quantity").cast("int").alias("bin")
     ).agg(

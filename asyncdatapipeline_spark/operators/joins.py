@@ -235,8 +235,11 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     Event timestamps are second-truncated on both sides so the ns-parquet
     vs µs-Spark precision difference cannot skew the comparison.
     """
-    e = load_table(spark, sf_dir, "events")
-    o = load_table(spark, sf_dir, "orders")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    e = load_table(spark, sf_dir, "events", parallelize=False)
+    o = load_table(spark, sf_dir, "orders", parallelize=False)
     od = o.select(
         F.col("o_custkey").alias("k"),
         F.col("o_orderdate").alias("t"),
@@ -452,14 +455,19 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer⋈(order-line-supplier) join as an equi-key, not a
     post-filter.
     """
-    o = load_table(spark, sf_dir, "orders").filter(
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    o = load_table(spark, sf_dir, "orders", parallelize=False).filter(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
-    li = load_table(spark, sf_dir, "lineitem")
-    c = load_table(spark, sf_dir, "customer")
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
+    c = load_table(spark, sf_dir, "customer", parallelize=False)
+    s = load_table(spark, sf_dir, "supplier", parallelize=False)
+    n = load_table(spark, sf_dir, "nation", parallelize=False)
+    r = load_table(
+        spark, sf_dir, "region", parallelize=False
+    ).filter(F.col("r_name") == "ASIA")
     nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     line_supp = li.join(s, li.l_suppkey == s.s_suppkey).join(
         F.broadcast(nr), F.col("s_nationkey") == nr.n_nationkey
@@ -1795,7 +1803,10 @@ def q_join_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets of the generated candidates; best-match is one
     WindowGroupLimit. All joins are equi joins on the gram key.
     """
-    p = load_table(spark, sf_dir, "part")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    p = load_table(spark, sf_dir, "part", parallelize=False)
     base = p.select("p_partkey", F.col("p_name").alias("nm")).filter(
         F.length("nm") >= 3
     )

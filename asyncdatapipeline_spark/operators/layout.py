@@ -347,14 +347,17 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path = ensure_partitioned_events(spark, sf_dir)
     schema = (
-        load_table(spark, sf_dir, "events")
+        # Repair opt-out: the scan feeds a keyed exchange directly, so the
+        # repair's round-robin shuffle is a pure extra barrier here (r12
+        # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+        load_table(spark, sf_dir, "events", parallelize=False)
         .withColumn("event_date", F.to_date("ts"))
         .schema
     )
     fact = spark.read.schema(schema).parquet(path)
 
     per_day = (
-        load_table(spark, sf_dir, "events")
+        load_table(spark, sf_dir, "events", parallelize=False)
         .groupBy(F.to_date("ts").alias("event_date"))
         .agg(F.count(F.lit(1)).alias("n"))
     )

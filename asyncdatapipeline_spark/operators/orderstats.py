@@ -1481,7 +1481,10 @@ def q_orders_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort buffer and no single-partition window at any customer count.
     Zero-repeat corpora emit nothing (rate undefined), never 0/0.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    o = load_table(spark, sf_dir, "orders", parallelize=False)
     day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
     w = W.partitionBy("o_custkey").orderBy("day", "o_orderkey")
     r = o.select("o_custkey", day.alias("day"), "o_orderkey").withColumn(
@@ -1589,8 +1592,11 @@ def q_orders_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dist_cumsum(part_cols=[priority])`` → integer-rank selections —
     no per-group sort buffer at any fact size.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
+    o = load_table(spark, sf_dir, "orders", parallelize=False)
     sday = F.floor(F.unix_timestamp("l_shipdate") / 86400).cast("long")
     oday = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("long")
     lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
@@ -1719,7 +1725,10 @@ def q_agg_taildep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE partial-aggregated pass over the fact table. Three shuffles
     total, all of distinct-value or 1-row frames.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
     n = F.broadcast(li.agg(F.count(F.lit(1)).cast("long").alias("n")))
 
     def thresholds(col: str, prefix: str) -> DataFrame:

@@ -82,9 +82,13 @@ ORDER BY s.s_name
 """
 
 
-def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+def _views(
+    spark: SparkSession, sf_dir: str, *tables: str, parallelize: bool = True
+) -> None:
     for t in tables:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        load_table(
+            spark, sf_dir, t, parallelize=parallelize
+        ).createOrReplaceTempView(t)
 
 
 @query("q_subquery_correlated", oracle=_Q17_SQL)
@@ -103,7 +107,11 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dim-sized). Plan-audited: no per-row Subquery node survives and
     the decorrelated LeftOuter aggregate join is present.
     """
-    _views(spark, sf_dir, "lineitem", "part")
+    # Repair opt-out: every lineitem branch lands in a keyed exchange
+    # (the decorrelated per-partkey aggregates + the part join), so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    _views(spark, sf_dir, "lineitem", "part", parallelize=False)
     return spark.sql(_Q17_SQL)
 
 
@@ -120,7 +128,11 @@ def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan-audited: the physical plan contains a LeftSemi and a LeftAnti
     join and no per-row subquery execution.
     """
-    _views(spark, sf_dir, "supplier", "lineitem", "orders")
+    # Repair opt-out: all three lineitem branches shuffle on l_orderkey
+    # anyway (semi/anti/join), so the repair's round-robin shuffle is a
+    # pure extra barrier here (r12 whole-suite A/B, OPTIMIZATION_r12.md
+    # "per-query opt-outs").
+    _views(spark, sf_dir, "supplier", "lineitem", "orders", parallelize=False)
     return spark.sql(_Q21_SQL)
 
 

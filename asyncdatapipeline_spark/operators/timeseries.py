@@ -342,7 +342,10 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     a second shuffle, and per-user state is one timestamp, so a bot key
     cannot skew anything (contrast q_funnel's sequence build).
     """
-    e = load_table(spark, sf_dir, "events")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    e = load_table(spark, sf_dir, "events", parallelize=False)
     firsts = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
@@ -5117,7 +5120,10 @@ def q_ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed forms (2×2 normal equations, no iteration) on ONE row of
     centered moments.
     """
-    e = load_table(spark, sf_dir, "events")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    e = load_table(spark, sf_dir, "events", parallelize=False)
     e.createOrReplaceTempView("granger_events")
     return spark.sql(
         _GRANGER_SQL_BODY.format(
@@ -10383,7 +10389,10 @@ def q_orders_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; the two folds run per group over calendar-bounded arrays
     (the q_ts_holt contract) — series parallelize across the cluster.
     """
-    o = load_table(spark, sf_dir, "orders")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    o = load_table(spark, sf_dir, "orders", parallelize=False)
     d = o.groupBy(
         F.col("o_orderpriority").alias("grp"),
         F.expr(
@@ -10512,7 +10521,10 @@ def q_ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     device, and the share window partitions by event_type over a
     bounded (type × 3)-row frame.
     """
-    e = load_table(spark, sf_dir, "events")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    e = load_table(spark, sf_dir, "events", parallelize=False)
     d = e.groupBy(
         "event_type",
         F.floor(F.unix_timestamp("ts").cast("double") / 86400)
@@ -10686,7 +10698,10 @@ def q_ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-decimal power sums are all spine-sized; the VR verdict
     is closed-form per group.
     """
-    e = load_table(spark, sf_dir, "events")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    e = load_table(spark, sf_dir, "events", parallelize=False)
     d = e.groupBy(
         "event_type",
         F.floor(F.unix_timestamp("ts").cast("double") / 86400)
@@ -11322,7 +11337,10 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-fold carrying (l, b, 7-element seasonal list) — groups
     parallelize across the cluster, state is O(period) per series.
     """
-    e = load_table(spark, sf_dir, "events")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    e = load_table(spark, sf_dir, "events", parallelize=False)
     d = e.groupBy(
         "event_type",
         F.floor(F.unix_timestamp("ts").cast("double") / 86400)

@@ -253,20 +253,25 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional exact-decimal sums on the bounded year grid — never
     two scans for numerator and denominator.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").filter(
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
+    o = load_table(spark, sf_dir, "orders", parallelize=False).filter(
         (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("o_orderdate") < _ts("1998-01-01 00:00:00"))
     )
-    c = load_table(spark, sf_dir, "customer").select(
+    c = load_table(spark, sf_dir, "customer", parallelize=False).select(
         "c_custkey", "c_nationkey"
     )
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    s = load_table(spark, sf_dir, "supplier").select(
+    n = load_table(spark, sf_dir, "nation", parallelize=False)
+    r = load_table(spark, sf_dir, "region", parallelize=False).filter(
+        F.col("r_name") == "ASIA"
+    )
+    s = load_table(spark, sf_dir, "supplier", parallelize=False).select(
         "s_suppkey", "s_nationkey"
     )
-    p = load_table(spark, sf_dir, "part").filter(
+    p = load_table(spark, sf_dir, "part", parallelize=False).filter(
         F.col("p_type") == "PROMO"
     ).select("p_partkey")
     cust_asia = (
@@ -509,9 +514,14 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving (tiny) key set joins back co-partitioned, customer
     attaches by broadcast, and the top-100 is TakeOrderedAndProject.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
+    o = load_table(spark, sf_dir, "orders", parallelize=False)
+    c = load_table(spark, sf_dir, "customer", parallelize=False).select(
+        "c_custkey", "c_name"
+    )
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
@@ -640,11 +650,14 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned pass, never a per-row probe; the reduce lands on
     the bounded priority grid.
     """
-    o = load_table(spark, sf_dir, "orders").filter(
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    o = load_table(spark, sf_dir, "orders", parallelize=False).filter(
         (F.col("o_orderdate") >= _ts("1997-01-01 00:00:00"))
         & (F.col("o_orderdate") < _ts("1997-04-01 00:00:00"))
     )
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False).select(
         "l_orderkey", "l_shipdate"
     )
     late = o.join(
@@ -740,8 +753,11 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     OR across scans — pre-filtering the dim to the UNION of part-leg
     matches is the manual half it can't do.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").select(
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
+    p = load_table(spark, sf_dir, "part", parallelize=False).select(
         "p_partkey", "p_brand", "p_size"
     )
     part_leg = (
@@ -831,7 +847,9 @@ _LSHIP_SQL = """lineitem_ship AS (
 )"""
 
 
-def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _partsupp(
+    spark: SparkSession, sf_dir: str, *, parallelize: bool = True
+) -> DataFrame:
     """Derived partsupp (docstring above): 4 suppliers per part via the
     dbgen stride, availqty/supplycost as hash arithmetic on the keys.
 
@@ -849,7 +867,7 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        load_table(spark, sf_dir, "part")
+        load_table(spark, sf_dir, "part", parallelize=parallelize)
         .select("p_partkey")
         .crossJoin(scnt)
         .select(
@@ -1069,15 +1087,24 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     condition (s_nationkey = c_nationkey) evaluates map-side after the
     broadcasts; final reduce is the bounded nation grid.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").filter(
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
+    o = load_table(spark, sf_dir, "orders", parallelize=False).filter(
         (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("o_orderdate") < _ts("1997-01-01 00:00:00"))
     )
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    c = load_table(
+        spark, sf_dir, "customer", parallelize=False
+    ).select("c_custkey", "c_nationkey")
+    s = load_table(
+        spark, sf_dir, "supplier", parallelize=False
+    ).select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation", parallelize=False)
+    r = load_table(spark, sf_dir, "region", parallelize=False).filter(
+        F.col("r_name") == "ASIA"
+    )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
@@ -1133,16 +1160,25 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-decimal revenue sum MINUS an exact BIGINT cents·qty sum,
     divided once per output row — never two scans.
     """
-    ps = _partsupp(spark, sf_dir)
+    ps = _partsupp(spark, sf_dir, parallelize=False)
     p = (
-        load_table(spark, sf_dir, "part")
+        # Repair opt-out: the scan feeds a keyed exchange directly, so the
+        # repair's round-robin shuffle is a pure extra barrier here (r12
+        # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+        load_table(spark, sf_dir, "part", parallelize=False)
         .filter(F.col("p_name").like("%red%"))
         .select("p_partkey")
     )
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(
+        spark, sf_dir, "supplier", parallelize=False
+    ).select("s_suppkey", "s_nationkey")
+    n = load_table(
+        spark, sf_dir, "nation", parallelize=False
+    ).select("n_nationkey", "n_name")
+    o = load_table(
+        spark, sf_dir, "orders", parallelize=False
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
     cost_qty = F.col("ps_cost_cents") * F.col("l_quantity").cast("bigint")
     # partsupp carries NO broadcast hint on purpose: it is dim-sized on
     # the fixture family (4·|part|), so Catalyst/AQE broadcasts it here
@@ -1396,12 +1432,15 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row reduce.
     """
     pp = (
-        load_table(spark, sf_dir, "part")
+        # Repair opt-out: the scan feeds a keyed exchange directly, so the
+        # repair's round-robin shuffle is a pure extra barrier here (r12
+        # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+        load_table(spark, sf_dir, "part", parallelize=False)
         .filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
         .select("p_partkey")
     )
     lp = (
-        load_table(spark, sf_dir, "lineitem")
+        load_table(spark, sf_dir, "lineitem", parallelize=False)
         .join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
     )

@@ -38,7 +38,10 @@ FROM lineitem
 )
 def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number / rank / dense_rank per supplier (B27)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # Repair opt-out: the scan feeds a keyed exchange directly, so the
+    # repair's round-robin shuffle is a pure extra barrier here (r12
+    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
     w_unique = W.partitionBy("l_suppkey").orderBy(
         F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
     )

@@ -62,3 +62,55 @@ def test_sql_pipe_plans_identically_to_ansi(spark, sf_dir):
         ]
 
     assert shape(pipe_df) == shape(ansi_df)
+
+
+# r12 scan-repair opt-outs: the whole-suite A/B (OPTIMIZATION_r12.md,
+# "per-query opt-outs") measured these queries SLOWER with the
+# single-row-group scan repair — their scans feed a keyed exchange
+# directly, so the repair's round-robin shuffle is a pure extra
+# barrier. Each passes parallelize=False at its load_table sites; this
+# gate pins that plan shape so a refactor can't silently re-enable the
+# repair (or a future repair change can't silently disable it for the
+# queries that DO want it).
+REPAIR_OPT_OUTS = [
+    "q_orders_leadtime", "q_agg_taildep", "q_ml_isotonic",
+    "q_agg_kendall", "q_orders_repeat", "q_agg_sketch_setops",
+    "q_tpch_q17", "q_win_rank", "q_tpch_q4", "q_tpch_q19",
+    "q_ml_nearest_centroid", "q_subquery_correlated", "q_tpch_q5",
+    "q_join_trigram", "q_tpch_q8", "q_exists_correlated",
+    "q_ts_variance_ratio", "q_join_asof", "q_retention",
+    "q_ts_haar_energy", "q_ts_granger", "q_agg_xtab_residuals",
+    "q_orders_croston", "q_tpch_q9", "q_join_dpp",
+    "q_text_source_divergence", "q_join_multiway",
+    "q_ts_holt_winters", "q_tpch_q18",
+]
+
+
+def _physical(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_repair_opt_outs_carry_no_roundrobin_exchange(spark, sf_dir):
+    from asyncdatapipeline_spark import registry
+
+    bad = [
+        name
+        for name in REPAIR_OPT_OUTS
+        if "RoundRobinPartitioning"
+        in _physical(registry.get(name).fn(spark, sf_dir))
+    ]
+    assert not bad, f"repair re-enabled on opted-out queries: {bad}"
+
+
+def test_repair_still_engages_for_compute_heavy_scans(spark, sf_dir):
+    """The inverse gate: the measured repair winners (single-task scan
+    feeding heavy map-side compute) must KEEP the round-robin repair —
+    sf0.001 lineitem is over the 2000-row floor and single-row-group,
+    so the repair fires at any realistic test core count."""
+    from asyncdatapipeline_spark import registry
+
+    for name in ("q_ml_vif", "q_agg_winsorized_corr"):
+        plan = _physical(registry.get(name).fn(spark, sf_dir))
+        assert "RoundRobinPartitioning" in plan, f"{name} lost the repair"
