@@ -347,3 +347,160 @@ def dist_cumsum(
         ],
     )
     return out
+
+
+def exact_pct_values(
+    df: DataFrame,
+    targets: Sequence[tuple[str, Column, int]],
+    *,
+    acc: int = 2_000,
+    extra: Sequence[Column] = (),
+) -> DataFrame:
+    """EXACT percentile VALUE selection without the distinct-value
+    spine: the approx-bracket + exact local-refine device, extracted
+    from q_agg_winsorized_corr (r12) for every caller that needs a few
+    selected data values at integer ranks ceil(p%·n) out of a fact
+    table.
+
+    Semantics (identical to the dist_cumsum spine form it replaces):
+    each published value is the SMALLEST data value whose cumulative
+    distinct-value count clears rank ``ceil(p·n/100)`` — a selected
+    data value in its ORIGINAL dtype, bit-identical to
+    ``min(CASE WHEN cum >= (n*p+99)//100 THEN v END)`` on the full
+    spine, so oracles keep the spine construction unchanged.
+
+    Device (three passes over ``df``, no data-sized shuffle, no
+    data-sized localCheckpoint, no driver collect):
+
+    1. ``percentile_approx`` (GK sketch, rank error ≤ n/acc
+       deterministic) brackets each target rank from both sides with
+       ±5/acc margins — the bracket is guaranteed to contain the
+       crossing value;
+    2. one conditional pass counts rows strictly below each bracket
+       floor;
+    3. candidates = distinct values inside each bracket (≤ ~12/acc·n
+       ranks wide), emitted via a filtered explode; the crossing is the
+       min candidate whose below-count + tag-partitioned local prefix
+       clears the rank. The window is PARTITIONED by tag (bounded
+       per-tag frames — never the unpartitioned data-sized shape).
+
+    Args: ``targets`` is ``(tag, value_column, percent)`` per wanted
+    value; all value columns must share one Spark dtype (they ride one
+    exploded struct array). ``extra`` aggregates are appended to the
+    first pass (e.g. ``F.min(col)``/``F.max(col)`` riders) so callers
+    don't pay a fourth pass. Returns a ONE-ROW frame with ``n`` (long),
+    one column per tag holding the selected value, and the extras —
+    broadcast it onto whatever needs the bounds. NULLs in value
+    columns are not supported (same contract as the spine form);
+    callers filter first. Degenerate inputs (empty / single-row /
+    all-equal) follow winsorized_corr's proven path: empty brackets
+    yield NULL bounds, never a crash.
+    """
+    targets = list(targets)
+    mgn = 5.0 / acc
+    j_cols = {tag: f"_v_{tag}" for tag, _, _ in targets}
+    # Original columns stay visible so ``extra`` aggregates can
+    # reference them; Catalyst prunes unused ones per subtree, so the
+    # below/candidate passes still scan only the target columns.
+    wide = df.select(
+        "*", *[col.alias(j_cols[tag]) for tag, col, _ in targets]
+    )
+    sel = wide.select(*j_cols.values())
+    br = F.broadcast(
+        wide.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.percentile_approx(
+                    F.col(j_cols[tag]).cast("double"),
+                    F.array(
+                        F.lit(max(p / 100.0 - mgn, 0.0)),
+                        F.lit(min(p / 100.0 + mgn, 1.0)),
+                    ),
+                    F.lit(acc),
+                ).alias(f"_b_{tag}")
+                for tag, _, p in targets
+            ],
+            *extra,
+        )
+    )
+    j = sel.crossJoin(br)
+    below = F.broadcast(
+        j.agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col(j_cols[tag]).cast("double")
+                        < F.col(f"_b_{tag}")[0],
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"_below_{tag}")
+                for tag, _, _ in targets
+            ]
+        )
+    )
+    cand_arr = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(tag).alias("tag"),
+                    F.col(j_cols[tag]).alias("v"),
+                    (
+                        (
+                            F.col(j_cols[tag]).cast("double")
+                            >= F.col(f"_b_{tag}")[0]
+                        )
+                        & (
+                            F.col(j_cols[tag]).cast("double")
+                            <= F.col(f"_b_{tag}")[1]
+                        )
+                    ).alias("keep"),
+                )
+                for tag, _, _ in targets
+            ]
+        ),
+        lambda s: s["keep"],
+    )
+    cands = (
+        j.select(F.explode(cand_arr).alias("s"))
+        .select("s.tag", "s.v")
+        .groupBy("tag", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)  # bounded bracket window
+    )
+    loc = (
+        cands.select(
+            "tag",
+            "v",
+            F.sum("cnt")
+            .over(
+                W.partitionBy("tag")
+                .orderBy("v")
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+            .cast("long")
+            .alias("loc"),
+        )
+        .crossJoin(below)
+        .crossJoin(F.broadcast(br.select("n")))
+    )
+    cross = F.when(F.lit(False), F.lit(None))
+    for tag, _, p in targets:
+        cross = cross.when(
+            F.col("tag") == tag,
+            F.col(f"_below_{tag}") + F.col("loc")
+            >= F.expr(f"CAST((n * {p} + 99) DIV 100 AS BIGINT)"),
+        )
+    bounds = loc.filter(cross).groupBy("tag").agg(F.min("v").alias("v"))
+    thr = bounds.groupBy().agg(
+        *[
+            F.max(F.when(F.col("tag") == tag, F.col("v"))).alias(tag)
+            for tag, _, _ in targets
+        ]
+    )
+    keep_extra = [c for c in br.columns if not c.startswith("_b_") and c != "n"]
+    return (
+        br.select("n", *keep_extra)
+        .crossJoin(F.broadcast(thr))
+    )

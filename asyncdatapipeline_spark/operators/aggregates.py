@@ -2224,36 +2224,39 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (distributed-exact, round 7): a doubled midrank
     2·rank + tie_len − 1 (always BIGINT; the ×2 cancels in rho)
     depends only on the VALUE, so ranks are computed on the DISTINCT
-    value spine, not the rows: groupBy(x,y) cell counts → per-axis
-    distinct-value counts → exact cumulative counts via
-    ``dist_cumsum`` (range-partition + per-bucket offsets — no
-    data-sized single-partition WindowExec; rx2 = 2·cum − tie + 1).
-    The x axis (quantity) is the BOUNDED one (≤50 distinct values —
-    a dimension), so its rank map is BROADCAST onto the cells and
-    immediately FOLDED per y: the only frames that ever shuffle are
-    |distinct y| rows carrying (ty, Σcnt·rx2) — the unbounded price
+    value spine, not the rows: per-axis distinct-value counts → exact
+    cumulative counts via ``dist_cumsum`` (range-partition +
+    per-bucket offsets — no data-sized single-partition WindowExec;
+    rx2 = 2·cum − tie + 1). The x axis (quantity) is the BOUNDED one
+    (≤50 distinct values — a dimension): its spine partial-aggregates
+    map-side out of a raw scan, and its rank map is BROADCAST onto
+    the raw rows and immediately FOLDED per y — the ONLY data-sized
+    exchange in the query is that y groupBy, and the unbounded price
     axis never joins a second data-sized frame (round 7 follow-up:
-    the first distributed form joined both rank maps onto the full
-    cell frame; the per-y fold removes that large⋈large join). sxx
+    the first distributed form joined both rank maps onto a full
+    (x,y)-cell frame; r12 removed the cell frame itself — y is
+    near-unique, so pre-grouping cost a data-sized exchange plus a
+    data-sized localCheckpoint pin without reducing anything). sxx
     comes from the 50-row x map alone; sy/syy/sxy from the per-y
     fold; all count-weighted power sums in exact DECIMAL. The sketch
     form for >>|distinct| corpora is q_agg_spearman_kll.
     """
     li = load_table(spark, sf_dir, "lineitem")
     t = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
-    # the ONE data-sized pass, materialized once: cells feeds the x
-    # spine AND the per-y fold, and the x spine itself is re-referenced
-    # (xstat + broadcast onto the fold) — unmaterialized, the lineitem
-    # groupBy re-ran once per reference (the SCALING.md re-referenced-
-    # DataFrame pitfall). At sf0.1 the measured win is modest (~6.6 ->
-    # 5.8 s warm — the rank machinery dominates locally); the point is
-    # the 100 TB shape, where each avoided recompute is a corpus scan
-    cells = (
-        t.groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
-    )
-    xs = cells.groupBy("x").agg(F.sum("cnt").alias("tx"))
+    # r12 perf pass: the old form pre-grouped t into (x, y, cnt) cells
+    # and shared that frame between the x spine and the per-y fold. But
+    # y (price) is NEAR-UNIQUE, so the cell groupBy barely reduced
+    # cardinality — it cost a full data-sized exchange plus a
+    # data-sized localCheckpoint pin for a frame the size of its input.
+    # With x BOUNDED (≤50 distinct quantities), the x spine partial-
+    # aggregates map-side out of a raw scan (a ~50-row shuffle), and
+    # the per-y fold groups the raw frame directly — identical sums,
+    # one data-sized exchange TOTAL (the y groupBy), no data-sized
+    # checkpoint. Cost moved to a second column-pruned scan of t
+    # (x only / x+y), which at any scale is cheaper than shuffling and
+    # pinning a near-data-sized frame. Measured sf0.1: 4.7 → 3.85 s
+    # warm, rows identical.
+    xs = t.groupBy("x").agg(F.count(F.lit(1)).alias("tx"))
     xs = dist_cumsum(xs, "x", ["tx"]).select(
         "x",
         "tx",
@@ -2270,14 +2273,14 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("rx2").cast(big)
         ).alias("sxx"),
     )
-    # Fold the broadcast x ranks per y: ty and Σ cnt·rx2 — after this
-    # no frame larger than |distinct y| exists in the plan.
+    # Fold the broadcast x ranks per y on the RAW frame: ty and Σ rx2 —
+    # after this no frame larger than |distinct y| exists in the plan.
     ycell = (
-        cells.join(F.broadcast(xs.select("x", "rx2")), "x")
+        t.join(F.broadcast(xs.select("x", "rx2")), "x")
         .groupBy("y")
         .agg(
-            F.sum("cnt").alias("ty"),
-            F.sum(F.col("cnt").cast(big) * F.col("rx2").cast(big)).alias("a1"),
+            F.count(F.lit(1)).alias("ty"),
+            F.sum(F.col("rx2").cast(big)).alias("a1"),
         )
     )
     ys = dist_cumsum(ycell, "y", ["ty"])

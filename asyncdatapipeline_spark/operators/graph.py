@@ -91,6 +91,19 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    # Materialized ONCE (lazy localCheckpoint, inside this query's own
+    # action — nothing persists across runs): the unrolled 3-round plan
+    # embeds this join+distinct subtree ~8x (edges, deg, nodes, base,
+    # and each round's rank lineage all reach back to it), and AQE's
+    # stage reuse does NOT dedupe them all — the r12 fresh-session A/B
+    # measured base warm ~5.4 s / ~2230 tasks per run vs ~4.2 s /
+    # ~1870 with the checkpoint, identical results. (The r10 note that
+    # ReusedExchange makes a checkpoint here a wash measured ewd, one
+    # level up; checkpointing the *distinct pair set* is what removes
+    # the repeated lineitem⋈orders+distinct recompute.) At 100 TB the
+    # pinned frame is the distinct trade-pair set — dim×dim-bounded,
+    # far below the fact table — the same executor-memory tradeoff as
+    # connected_components' edge checkpoint.
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -98,6 +111,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("v"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     edges = pairs.unionAll(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -107,10 +121,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = nodes.agg(
         F.expr(f"{_PR_SCALE} div count(1)").alias("b")
     )
-    # NOT checkpointed on purpose: the loop builds ONE action whose
-    # plan embeds this subtree per round, and ReusedExchange already
-    # dedupes it — measured r10: a localCheckpoint here moved the
-    # warm median 4.9 -> 5.1 s (noise), so the simpler plan stays
+    # ewd itself stays unmaterialized: with pairs checkpointed the
+    # edges→deg recompute above it is cheap, and the r12 A/B measured
+    # checkpointing ewd as neutral-to-worse (extra data-sized blocks).
     ewd = edges.join(deg, "u")
 
     r = nodes.crossJoin(F.broadcast(base)).select(
@@ -1847,15 +1860,27 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    cd = pairs.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("du"))
-    sd = pairs.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("dv"))
-    e = pairs.join(cd, "u").join(sd, "v")
-    tot = F.broadcast(
-        e.agg(F.count(F.lit(1)).cast("long").alias("ne"))
-        .crossJoin(cd.agg(F.count(F.lit(1)).cast("long").alias("nu")))
-        .crossJoin(sd.agg(F.count(F.lit(1)).cast("long").alias("nv")))
+    # r12 perf pass: the old form aggregated e/cd/sd once for the
+    # totals (ne/nu/nv) and AGAIN for the per-k rich counts — two
+    # evaluations of the degree-annotated edge join and three of each
+    # degree groupBy. The totals are just one more column of the same
+    # pass, so they ride in the per-k aggregates, and the node-sized
+    # degree frames are materialized once (lazy localCheckpoint —
+    # node-bounded, the dimension-frame tradeoff used throughout this
+    # module) instead of recomputing per reference.
+    cd = (
+        pairs.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("du"))
+        .localCheckpoint(eager=False)  # joined edge-keyed + reduced
     )
+    sd = (
+        pairs.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("dv"))
+        .localCheckpoint(eager=False)
+    )
+    e = pairs.join(cd, "u").join(sd, "v")
     rich = e.agg(
+        F.count(F.lit(1)).cast("long").alias("ne"),
         *[
             F.sum(
                 F.when((F.col("du") >= k) & (F.col("dv") >= k), 1).otherwise(
@@ -1865,26 +1890,28 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias(f"ne{k}")
             for k in _RC_KS
-        ]
+        ],
     )
     rn = cd.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
         *[
             F.sum(F.when(F.col("du") >= k, 1).otherwise(0))
             .cast("long")
             .alias(f"nu{k}")
             for k in _RC_KS
-        ]
+        ],
     ).crossJoin(
         sd.agg(
+            F.count(F.lit(1)).cast("long").alias("nv"),
             *[
                 F.sum(F.when(F.col("dv") >= k, 1).otherwise(0))
                 .cast("long")
                 .alias(f"nv{k}")
                 for k in _RC_KS
-            ]
+            ],
         )
     )
-    base = F.broadcast(rich).crossJoin(F.broadcast(rn)).crossJoin(tot)
+    base = F.broadcast(rich).crossJoin(F.broadcast(rn))
     parts = []
     for k in _RC_KS:
         dens = F.col(f"ne{k}").cast("double") / F.nullif(
@@ -1974,7 +2001,13 @@ def q_graph_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionAll(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg = (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        # node-sized; both degree attachments below read it — without
+        # this the edges groupBy re-evaluates per join leg (r12)
+        .localCheckpoint(eager=False)
+    )
     e = (
         edges.join(deg.withColumnRenamed("d", "k"), "u")
         .join(

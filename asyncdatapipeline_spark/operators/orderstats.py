@@ -31,7 +31,13 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from asyncdatapipeline_spark.registry import query
 from asyncdatapipeline_spark.sources.tables import load_table
 
-from ._util import DEC, bounded_part, dist_cumsum, spark_ntile
+from ._util import (
+    DEC,
+    bounded_part,
+    dist_cumsum,
+    exact_pct_values,
+    spark_ntile,
+)
 
 
 def _rank_at(p_pct: int, n):
@@ -70,36 +76,42 @@ def q_agg_percentile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals — the scale form of a global ``percentile_disc``: Spark's
     native percentile aggregate buffers every row of the (single,
     global) group in one sort-based aggregation buffer, which at 100 TB
-    is a driver-sized wall. Here the fact table reduces to DISTINCT
-    VALUE counts first (map-side combinable — |distinct prices| rows
-    cross the wire, not |orders|), ``dist_cumsum`` produces exact
-    cumulative counts with no single-partition window, and each
-    percentile is the first value whose cumulative count clears the
-    integer rank ceil(p·n/100) — one tiny final aggregate. Exact at any
+    is a driver-sized wall. Each percentile is the first value whose
+    cumulative count clears the integer rank ceil(p·n/100), selected
+    via the shared approx-bracket + exact local-refine device
+    (``_util.exact_pct_values``, r12 — three bounded passes, no
+    data-sized distinct-value spine: o_totalprice is money, so the
+    former ``dist_cumsum`` spine was ~|orders| distinct values
+    shuffled and checkpointed to read four crossings). Exact at any
     scale, mergeable at every step; q_agg_approx_quantile remains the
-    cheaper sketch when ±ε is acceptable.
+    cheaper sketch when ±ε is acceptable. (q_agg_quantile_ci keeps the
+    spine form: its CI ranks are n-DEPENDENT fractions — n/2 ±
+    0.98·√n — which a fixed-fraction sketch bracket cannot safely
+    cover at small n.)
     """
     o = load_table(spark, sf_dir, "orders")
-    g = o.groupBy(F.col("o_totalprice").alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    # r12: the shared approx-bracket + exact local-refine device
+    # (_util.exact_pct_values) replaces the distinct-value dist_cumsum
+    # spine — o_totalprice is money, so that spine was ~|orders|
+    # distinct values shuffled and checkpointed to read four
+    # crossings. Selected values and integer ranks are identical; the
+    # oracle keeps the spine construction. vmin/vmax/n ride the
+    # device's first pass as extra aggregates — still no pass over the
+    # fact table beyond the device's three.
+    v = F.col("o_totalprice")
+    sel = exact_pct_values(
+        o,
+        [("p25", v, 25), ("p50", v, 50), ("p90", v, 90), ("p99", v, 99)],
+        extra=[F.min(v).alias("vmin"), F.max(v).alias("vmax")],
     )
-    c = dist_cumsum(g, "v", ["cnt"]).select(
-        "v", F.col("cum_cnt").cast("long").alias("cum")
-    )
-    n = F.broadcast(o.agg(F.count(F.lit(1)).cast("long").alias("n")))
-    j = c.crossJoin(n)
-
-    def at(p: int):
-        return F.min(F.when(F.col("cum") >= _rank_at(p, "n"), F.col("v")))
-
-    return j.agg(
-        F.max("n").alias("n_rows"),
-        at(25).alias("p25"),
-        at(50).alias("p50"),
-        at(90).alias("p90"),
-        at(99).alias("p99"),
-        F.min("v").alias("vmin"),
-        F.max("v").alias("vmax"),
+    return sel.select(
+        F.col("n").alias("n_rows"),
+        "p25",
+        "p50",
+        "p90",
+        "p99",
+        "vmin",
+        "vmax",
     )
 
 
@@ -1718,38 +1730,39 @@ def q_agg_taildep(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraud: big orders that are big on EVERY axis). Under independence
     λᵤ ≈ 1−q/100; λᵤ ≫ that is tail co-movement no Pearson ρ shows.
 
-    Scale shape: thresholds come from the q_agg_percentile_global
-    device (distinct-value counts → ``dist_cumsum`` → integer-rank
-    selection — never a native percentile buffering a data-sized
-    group), land in a broadcast 1-row frame, and the joint counts are
-    ONE partial-aggregated pass over the fact table. Three shuffles
-    total, all of distinct-value or 1-row frames.
+    Scale shape (r12): thresholds come from the shared approx-bracket
+    + exact local-refine device (``_util.exact_pct_values`` — never a
+    native percentile buffering a data-sized group, never a data-sized
+    distinct-value spine), land in a broadcast 1-row frame, and the
+    joint counts are ONE partial-aggregated pass over the fact table.
+    No data-sized shuffle anywhere: the only shuffled frames are the
+    bounded bracket-candidate windows and 1-row aggregates.
     """
-    # Repair opt-out: the scan feeds a keyed exchange directly, so the
-    # repair's round-robin shuffle is a pure extra barrier here (r12
-    # whole-suite A/B, OPTIMIZATION_r12.md "per-query opt-outs").
-    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
-    n = F.broadcast(li.agg(F.count(F.lit(1)).cast("long").alias("n")))
-
-    def thresholds(col: str, prefix: str) -> DataFrame:
-        g = li.groupBy(F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        c = dist_cumsum(g, "v", ["cnt"]).select(
-            "v", F.col("cum_cnt").cast("long").alias("cum")
-        )
-        return c.crossJoin(n).agg(
-            *[
-                F.min(
-                    F.when(F.col("cum") >= _rank_at(q, "n"), F.col("v"))
-                ).alias(f"{prefix}{q}")
-                for q in _TAILDEP_QS
-            ]
-        )
-
+    # Repair back ON (r12, after the bracket-device rewrite below):
+    # the old spine form's first hop was a keyed groupBy exchange
+    # (repair opt-out class), but the device's first hop is a
+    # CPU-heavy GK-sketch aggregate over the scan — the exact
+    # single-task profile the repair exists for.
+    li = load_table(spark, sf_dir, "lineitem")
+    # Thresholds via the shared approx-bracket + exact local-refine
+    # device (r12; extracted from q_agg_winsorized_corr into
+    # _util.exact_pct_values): the old form built a full
+    # distinct-PRICE dist_cumsum spine — a data-sized shuffle plus a
+    # data-sized localCheckpoint for a money column — just to read two
+    # crossings off it. The device selects the SAME data values at the
+    # SAME integer ranks in three bounded passes, both axes riding one
+    # pass set; the oracle keeps the spine construction unchanged.
     thr = F.broadcast(
-        thresholds("l_extendedprice", "x").crossJoin(
-            thresholds("l_quantity", "y")
+        exact_pct_values(
+            li,
+            [
+                (f"{p}{q}", F.col(col), q)
+                for p, col in (
+                    ("x", "l_extendedprice"),
+                    ("y", "l_quantity"),
+                )
+                for q in _TAILDEP_QS
+            ],
         )
     )
     x, y = F.col("l_extendedprice"), F.col("l_quantity")

@@ -476,8 +476,12 @@ CHECKS: dict[str, list[tuple]] = {
     # unpartitioned global sort — and the distinct-value reduce must
     # combine map-side; no sort-based aggregation buffer anywhere.
     "q_agg_percentile_global": [
-        ("must", "distinct-value reduce combines map-side", r"HashAggregate.*partial"),
-        ("must", "bucket-keyed cumsum window", r"windowspecdefinition\(_pid"),
+        # r12: exact_pct_values device — the only window is the
+        # tag-partitioned bracket-candidate prefix sum (bounded frames),
+        # never an unpartitioned global sort; sketch+refine passes all
+        # combine map-side.
+        ("must", "bracket reduce combines map-side", r"HashAggregate.*partial"),
+        ("must", "tag-keyed bracket-candidate window", r"windowspecdefinition\(tag"),
         ("forbid", "no sort-based aggregation buffer", "SortAggregate"),
     ],
     "q_agg_median_exact": [
