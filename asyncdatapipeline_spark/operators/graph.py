@@ -14,7 +14,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from asyncdatapipeline_spark.operators.joins import _BASKET_MAX_ITEMS
+from asyncdatapipeline_spark.operators.joins import (
+    _BASKET_MAX_ITEMS,
+    basket_pairs,
+)
 from asyncdatapipeline_spark.registry import query
 from asyncdatapipeline_spark.sources.tables import load_table
 
@@ -219,22 +222,16 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     support even applies. All-integer, exact oracle.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    sz = (
-        op.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_items"))
-        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
-        .select("l_orderkey")
+    # Capped-basket pair mine (optimization r12): one exchange on the
+    # order key + map-side triangular pair generation replaces the
+    # r11 distinct -> count -> semi-join -> self-join preamble --
+    # identical support pairs, two fewer data-sized exchanges (see
+    # joins.basket_pairs for the measured A/B and the scale contract).
+    pair_sup = basket_pairs(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
     )
-    ok = op.join(sz, "l_orderkey")
-    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
     e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
+        pair_sup.filter(F.col("sup") >= 2)
         .select("u", "v")
         .localCheckpoint(eager=False)  # feeds all three join legs
     )
@@ -311,22 +308,16 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asyncdatapipeline_spark.llm.dedup import connected_components
 
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    sz = (
-        op.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_items"))
-        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
-        .select("l_orderkey")
+    # Capped-basket pair mine (optimization r12): one exchange on the
+    # order key + map-side triangular pair generation replaces the
+    # r11 distinct -> count -> semi-join -> self-join preamble --
+    # identical support pairs, two fewer data-sized exchanges (see
+    # joins.basket_pairs for the measured A/B and the scale contract).
+    pair_sup = basket_pairs(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
     )
-    ok = op.join(sz, "l_orderkey")
-    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
     e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
+        pair_sup.filter(F.col("sup") >= 2)
         .select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
     )
     cc = connected_components(e)
@@ -398,22 +389,16 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(dist) per node.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    sz = (
-        op.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_items"))
-        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
-        .select("l_orderkey")
+    # Capped-basket pair mine (optimization r12): one exchange on the
+    # order key + map-side triangular pair generation replaces the
+    # r11 distinct -> count -> semi-join -> self-join preamble --
+    # identical support pairs, two fewer data-sized exchanges (see
+    # joins.basket_pairs for the measured A/B and the scale contract).
+    pair_sup = basket_pairs(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
     )
-    ok = op.join(sz, "l_orderkey")
-    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
     pr = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
+        pair_sup.filter(F.col("sup") >= 2)
         .select("u", "v")
     )
     edges = (
@@ -432,7 +417,11 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12 job surgery: one LAZY checkpoint per round materialized by the
     # round's single count (the old eager-checkpoint + isEmpty pair cost
     # 3 jobs per hop); `visited` is a union of already-materialized
-    # frontier frames, bounded at {hops} legs — no checkpoint needed
+    # frontier frames, bounded at {hops} legs — no checkpoint needed.
+    # The count/break stays (unlike closeness's probe-free loop): the
+    # seed's component can exhaust well inside the hop budget (sf0.1:
+    # 2 rounds of 6), and the measured A/B says running the dead hops
+    # costs ~0.2 s each — single-source BFS wants the early exit.
     for hop in range(1, _BFS_MAX_HOPS + 1):
         nxt = (
             edges.join(frontier, edges.src == frontier.node)
@@ -788,22 +777,16 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     round. All integers — bit-identical across engines.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    sz = (
-        op.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_items"))
-        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
-        .select("l_orderkey")
+    # Capped-basket pair mine (optimization r12): one exchange on the
+    # order key + map-side triangular pair generation replaces the
+    # r11 distinct -> count -> semi-join -> self-join preamble --
+    # identical support pairs, two fewer data-sized exchanges (see
+    # joins.basket_pairs for the measured A/B and the scale contract).
+    pair_sup = basket_pairs(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
     )
-    ok = op.join(sz, "l_orderkey")
-    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
     e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
+        pair_sup.filter(F.col("sup") >= 2)
         .select("u", "v")
         # the ONE data-sized build (co-purchase self-join + support
         # agg): materialized once — r10 found every peel round was
@@ -972,22 +955,16 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asyncdatapipeline_spark.llm.dedup import connected_components
 
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    sz = (
-        op.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_items"))
-        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
-        .select("l_orderkey")
+    # Capped-basket pair mine (optimization r12): one exchange on the
+    # order key + map-side triangular pair generation replaces the
+    # r11 distinct -> count -> semi-join -> self-join preamble --
+    # identical support pairs, two fewer data-sized exchanges (see
+    # joins.basket_pairs for the measured A/B and the scale contract).
+    pair_sup = basket_pairs(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
     )
-    ok = op.join(sz, "l_orderkey")
-    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
     p = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
+        pair_sup.filter(F.col("sup") >= 2)
         .select("u", "v")
     )
     cc = connected_components(
@@ -1150,22 +1127,16 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    sz = (
-        op.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_items"))
-        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
-        .select("l_orderkey")
+    # Capped-basket pair mine (optimization r12): one exchange on the
+    # order key + map-side triangular pair generation replaces the
+    # r11 distinct -> count -> semi-join -> self-join preamble --
+    # identical support pairs, two fewer data-sized exchanges (see
+    # joins.basket_pairs for the measured A/B and the scale contract).
+    pair_sup = basket_pairs(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
     )
-    ok = op.join(sz, "l_orderkey")
-    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
     pr = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
+        pair_sup.filter(F.col("sup") >= 2)
     )
     edges = (
         pr.select(F.col("u").alias("src"), F.col("v").alias("dst"))
@@ -1313,22 +1284,16 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines; display rounding only.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    sz = (
-        op.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_items"))
-        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
-        .select("l_orderkey")
+    # Capped-basket pair mine (optimization r12): one exchange on the
+    # order key + map-side triangular pair generation replaces the
+    # r11 distinct -> count -> semi-join -> self-join preamble --
+    # identical support pairs, two fewer data-sized exchanges (see
+    # joins.basket_pairs for the measured A/B and the scale contract).
+    pair_sup = basket_pairs(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
     )
-    ok = op.join(sz, "l_orderkey")
-    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
     e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
+        pair_sup.filter(F.col("sup") >= 2)
         .select("u", "v")
         .localCheckpoint(eager=False)  # feeds degree + three join legs
     )
@@ -2225,22 +2190,16 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines divide identical BIGINTs exactly twice.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    sz = (
-        op.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_items"))
-        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
-        .select("l_orderkey")
+    # Capped-basket pair mine (optimization r12): one exchange on the
+    # order key + map-side triangular pair generation replaces the
+    # r11 distinct -> count -> semi-join -> self-join preamble --
+    # identical support pairs, two fewer data-sized exchanges (see
+    # joins.basket_pairs for the measured A/B and the scale contract).
+    pair_sup = basket_pairs(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
     )
-    ok = op.join(sz, "l_orderkey")
-    a = ok.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = ok.select("l_orderkey", F.col("l_partkey").alias("v"))
     pr = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
+        pair_sup.filter(F.col("sup") >= 2)
         .select("u", "v")
     )
     edges = (
@@ -2258,10 +2217,18 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("hops"),
     ).localCheckpoint(eager=False)
     frontier = visited
-    # r12 job surgery: lazy per-round checkpoint + one count (was an
-    # eager checkpoint, an isEmpty probe, AND an eager visited-union
-    # checkpoint — 3 jobs per hop); visited is a bounded union of the
-    # materialized frontiers, no checkpoint of its own
+    # r12 job surgery, second pass: NO per-hop driver action — the hop
+    # budget is a compile-time constant, so the loop only builds the
+    # 6-round plan and the lazy checkpoints materialize in one cascade
+    # under the final aggregate (was: one count per hop as an
+    # early-exit probe; measured sf0.1 warm 2.9 -> 2.6 s, identical
+    # rows). The probe-free form fits MULTI-source BFS specifically:
+    # with {k} anchors the union frontier stays alive through the hop
+    # budget (it only dies when every anchor's component is exhausted),
+    # so the probe never fires and is pure driver overhead — contrast
+    # q_graph_bfs, whose single seed exhausts early and keeps its
+    # count/break. visited is a bounded union of the checkpointed
+    # frontiers, no checkpoint of its own.
     for hop in range(1, _CLO_MAX_HOPS + 1):
         nxt = (
             edges.join(frontier, edges.src == frontier.node)
@@ -2271,8 +2238,6 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("hops", F.lit(hop))
             .localCheckpoint(eager=False)
         )
-        if nxt.count() == 0:
-            break
         visited = visited.unionByName(nxt)
         frontier = nxt
     d = F.col("hops").cast("long")

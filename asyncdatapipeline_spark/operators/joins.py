@@ -593,6 +593,64 @@ _BASKET_MAX_ITEMS = 50   # orders with more distinct parts contribute no pairs
 _COPURCHASE_TOP_K = 20
 
 
+def basket_pairs(
+    df: DataFrame,
+    key: str,
+    item: str,
+    cap: int = _BASKET_MAX_ITEMS,
+) -> DataFrame:
+    """Capped within-basket pair mine: distinct unordered item pairs
+    per basket with their basket counts — ``(u, v, sup)`` with
+    ``u < v`` and ``sup`` = number of baskets (``key`` groups, 2..cap
+    distinct items) containing both. The shared preamble of the
+    co-purchase graph family (q_copurchase, q_orders_basket_rules,
+    every q_graph_* support graph).
+
+    Shape (optimization r12, guide §2.3/§2.4): ONE exchange on the
+    basket key builds the distinct item set per basket
+    (map-combinable ``collect_set``), pairs are generated MAP-SIDE
+    from the sorted array (triangular ``transform``), and the pair
+    reduce is the second and last exchange. The r11 form was
+    distinct → size-count → semi-join → self-join-per-key — TWO extra
+    data-sized exchanges plus the join machinery shuffling every pair
+    instance; measured sf0.1 warm: 3.0 → 1.9 s for the build
+    (identical pair sets, bit-for-bit).
+
+    Scale contract: the aggregation buffer is one basket's distinct
+    item set — the same per-key group the old self-join shuffled — and
+    the ``slice`` + size filter discard an over-cap basket immediately
+    after the merge (the llm/dedup.py ``_BUCKET_CAP`` device; the old
+    count-first gate dropped it one join earlier at the price of two
+    more data-sized exchanges). A pathological mega-basket therefore
+    costs one group's buffer, not a pair blowup — the same bounded-
+    per-group exposure as this repo's per-user sequence collects. Pair fan-out is triangular in the
+    CAP, not the basket (≤ cap·(cap+1)/2 per basket, map-side, never
+    through a shuffle). NULL items: ``collect_set`` drops them — the
+    old form also never paired NULLs, but counted them toward basket
+    size; TPC-H part keys are NOT NULL so the gates agree (pinned by
+    the oracle sweep at every sf).
+    """
+    baskets = df.groupBy(key).agg(
+        F.slice(
+            F.sort_array(F.collect_set(item)), 1, cap + 1
+        ).alias("_items")
+    ).filter(F.size("_items").between(2, cap))
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_items, (x, i) -> "
+                    "transform(slice(_items, i + 2, size(_items) - i - 1), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.u", "_p.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+
+
 @query(
     "q_copurchase",
     oracle=f"""
@@ -632,28 +690,18 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    sz = (
-        op.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_items"))
-        .filter(F.col("n_items").between(2, _BASKET_MAX_ITEMS))
-        .select("l_orderkey")
-    )
-    # ok feeds both self-join sides (and op feeds ok + sz) — truncate
-    # lineage once so the distinct + size-cap join isn't re-evaluated
-    # per side (the SCALING.md re-reference pitfall).
-    ok = op.join(sz, "l_orderkey").localCheckpoint(eager=False)
-    a = ok.select(
-        "l_orderkey", F.col("l_partkey").alias("part_a")
-    )
-    b = ok.select(
-        "l_orderkey", F.col("l_partkey").alias("part_b")
-    )
+    # Capped-basket pair mine (optimization r12): see basket_pairs —
+    # identical pair counts, two fewer data-sized exchanges than the
+    # r11 distinct -> count -> semi-join -> self-join form.
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        basket_pairs(
+            li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
+        )
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("sup").alias("n_orders"),
+        )
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(_COPURCHASE_TOP_K)
     )
@@ -2049,13 +2097,19 @@ def q_orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").cast("long").alias("n")
         )
     )
-    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
-    b = ob.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    # Within-order brand pairs via the basket_pairs device
+    # (optimization r12): one exchange on the order key + map-side
+    # triangular generation from the sorted distinct-brand array
+    # (bounded by the ≤25-value brand vocabulary) replaces the brand
+    # self-join — identical pair counts; ob stays checkpointed for the
+    # nb/nt reads above.
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        basket_pairs(ob, "l_orderkey", "p_brand", cap=_BASKET_MAX_ITEMS)
+        .select(
+            F.col("u").alias("brand_a"),
+            F.col("v").alias("brand_b"),
+            F.col("sup").cast("long").alias("n_pair"),
+        )
         .filter(F.col("n_pair") >= _RULES_MIN_PAIR)
     )
     r = (
