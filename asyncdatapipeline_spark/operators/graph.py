@@ -650,25 +650,25 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lineitem⋈orders build ran once per reference (r10)
         .localCheckpoint(eager=False)
     )
-    keep = (
-        cp.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("npc"))
-        .filter(F.col("npc") <= _JACCARD_HOT_CAP)
-        .select("p")
-    )
-    cpk = cp.join(keep, "p").localCheckpoint(eager=False)
     deg = (
         cp.groupBy("c")
         .agg(F.count(F.lit(1)).alias("d"))
         .localCheckpoint(eager=False)  # |customers| rows, joined twice
     )
-    a = cpk.select("p", F.col("c").alias("ca"))
-    b = cpk.select("p", F.col("c").alias("cb"))
+    # Per-part customer pairs via the basket_pairs device (optimization
+    # r12): one exchange on the part key + map-side triangular pairs
+    # replaces the hot-cap semi-join + per-part self-join — identical
+    # pair counts (the old keep ≤ cap gate and the device's
+    # 2..cap size filter admit the same pair-contributing parts;
+    # npc = 1 parts never paired). Degrees stay on the UNCAPPED cp so
+    # the Jaccard denominator stays honest.
     co = (
-        a.join(b, "p")
-        .filter(F.col("ca") < F.col("cb"))
-        .groupBy("ca", "cb")
-        .agg(F.count(F.lit(1)).alias("nco"))
+        basket_pairs(cp, "p", "c", cap=_JACCARD_HOT_CAP)
+        .select(
+            F.col("u").alias("ca"),
+            F.col("v").alias("cb"),
+            F.col("sup").alias("nco"),
+        )
     )
     j = (
         co.join(deg.select(F.col("c").alias("ca"), F.col("d").alias("da")), "ca")
