@@ -189,12 +189,19 @@ CHECKS: dict[str, list[tuple]] = {
         ("must", "eval shingle set broadcast against corpus scan", r"BroadcastHashJoin"),
         ("forbid", "no sort-merge join (corpus never shuffles to join)", "SortMergeJoin"),
     ],
+    # (repetition / split_hash / sample_weighted: "no exchange" became
+    # "no KEYED exchange" when the scan-parallelism repair landed — its
+    # round-robin redistribution is the deliberate plan on 1-row-group
+    # local fixtures and a no-op at production row-group counts; a
+    # hash/range/single-partition exchange would still be the bug.)
     "q_text_repetition": [
-        ("forbid", "row-local: no exchange at all", "Exchange"),
+        ("forbid", "row-local: no keyed exchange",
+         r"Exchange (hash|range)partitioning|Exchange SinglePartition"),
         ("forbid", "no Python in the row path", *_PYTHON_EVAL_NODES),
     ],
     "q_split_hash": [
-        ("forbid", "map-only: no exchange at all", "Exchange"),
+        ("forbid", "map-only: no keyed exchange",
+         r"Exchange (hash|range)partitioning|Exchange SinglePartition"),
         ("must", "only doc_id read", r"ReadSchema: struct<doc_id:bigint>"),
     ],
     "q_dedup_embed_lsh": [
@@ -251,7 +258,8 @@ CHECKS: dict[str, list[tuple]] = {
         # Selection must be per-task k-heaps — a global sort of the
         # corpus to take 100 rows is the scale bug this op exists to avoid.
         ("must", "k smallest keys via TakeOrderedAndProject", r"TakeOrderedAndProject"),
-        ("forbid", "no corpus shuffle for the selection", "Exchange"),
+        ("forbid", "no keyed corpus shuffle for the selection",
+         r"Exchange (hash|range)partitioning|Exchange SinglePartition"),
     ],
     "q_agg_histogram": [
         ("must", "partial aggregation on the bucket key", r"HashAggregate.*partial"),
