@@ -1554,11 +1554,19 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     score, k-center picks the examples that SPAN the embedding space
     — dedup's complement (drop the redundant middle, keep the hull).
 
-    Scale shape: the chosen set is bounded (k rows, broadcast); each
-    of the k−1 unrolled rounds is ONE corpus scan scoring all chosen
-    centers map-locally on the exact integer grid + a rank-1
-    TakeOrdered — O(k·n) total, no pair materialization, no driver
-    loop over data.
+    Scale shape (r12 continuation): the running per-point d²min to the
+    chosen set is a narrow (vec_id, dmin) frame folded forward each
+    round — a round scores ONLY the newest center (one corpus scan on
+    the exact integer grid) and takes the elementwise min with the
+    previous round's dmin, so total distance work is O(k·n) instead of
+    the O(k²·n) full-set rescore the first form paid (guide §1.2:
+    don't recompute what a previous pass already knows). Picks are a
+    rank-1 TakeOrdered over the checkpointed dmin; no pair
+    materialization, no driver loop over data. The min over centers is
+    distributive and every distance is the same exact 1e12-grid
+    integer, so the greedy picks (and the final coverage radius) are
+    bit-identical to the full-rescore form — the oracle keeps its
+    declarative unrolled rescore.
     """
     from asyncdatapipeline_spark.llm.similarity import _as_double
 
@@ -1572,7 +1580,9 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.orderBy("vec_id").limit(1).select("vec_id", "v")
     ).localCheckpoint(eager=False)
 
-    def dmin_frame(sel):
+    def dstep(sel1):
+        """Exact-integer d² of every corpus point to ONE center (a
+        1-row broadcast frame — the sanctioned scalar-BNLJ shape)."""
         co = c.select(
             F.col("vec_id").alias("cid"),
             F.posexplode("v").alias("pos", "x"),
@@ -1587,31 +1597,38 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             0,
         ).cast("long")
         return (
-            co.join(
-                F.broadcast(
-                    sel.select(
-                        F.col("vec_id").alias("sid"), F.col("v").alias("sv")
-                    )
-                )
-            )
-            .groupBy("cid", "sid")
-            .agg(F.sum(term).alias("d2"))
+            co.join(F.broadcast(sel1.select(F.col("v").alias("sv"))))
             .groupBy("cid")
-            .agg(F.min("d2").alias("dmin"))
+            .agg(F.sum(term).alias("d2"))
         )
 
+    # Running nearest-center distance: starts at the seed, folds in
+    # one new center per round. Narrow (cid, dmin) checkpoints only —
+    # the corpus vectors are never re-scored against old centers.
+    dmin = dstep(chosen).withColumnRenamed("d2", "dmin").localCheckpoint(
+        eager=False
+    )
     for _ in range(1, _KC_K):
-        d = dmin_frame(chosen)
         pick = (
-            d.join(c, F.col("cid") == F.col("vec_id"))
+            dmin.join(c, F.col("cid") == F.col("vec_id"))
             .orderBy(F.col("dmin").desc(), "vec_id")
             .limit(1)
             .select("vec_id", "v")
+            # 1-row frame read twice (chosen append + dstep); the
+            # checkpoint stops the argmax subtree evaluating twice
+            .localCheckpoint(eager=False)
         )
         chosen = chosen.unionAll(pick).localCheckpoint(eager=False)
-    fin = dmin_frame(chosen)
+        dmin = (
+            dmin.join(
+                dstep(pick).withColumnRenamed("d2", "dnew"), "cid"
+            )
+            .select("cid", F.least("dmin", "dnew").alias("dmin"))
+            .localCheckpoint(eager=False)
+        )
+    # dmin now covers all k centers — it IS the old full-rescore fin
     radius = F.broadcast(
-        fin.agg(F.max("dmin").alias("rmax"))
+        dmin.agg(F.max("dmin").alias("rmax"))
     )
     n = F.broadcast(c.agg(F.count(F.lit(1)).cast("long").alias("n_corpus")))
     from asyncdatapipeline_spark.operators._util import bounded_part

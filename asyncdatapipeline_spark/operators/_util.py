@@ -369,20 +369,29 @@ def exact_pct_values(
     ``min(CASE WHEN cum >= (n*p+99)//100 THEN v END)`` on the full
     spine, so oracles keep the spine construction unchanged.
 
-    Device (three passes over ``df``, no data-sized shuffle, no
-    data-sized localCheckpoint, no driver collect):
+    Device (TWO passes over ``df`` — r12 continuation fused the
+    below-count pass into the candidate pass — no data-sized shuffle,
+    no data-sized localCheckpoint, no driver collect):
 
     1. ``percentile_approx`` (GK sketch, rank error ≤ n/acc
        deterministic) brackets each target rank from both sides with
        ±5/acc margins — the bracket is guaranteed to contain the
-       crossing value;
-    2. one conditional pass counts rows strictly below each bracket
-       floor;
-    3. candidates = distinct values inside each bracket (≤ ~12/acc·n
-       ranks wide), emitted via a filtered explode; the crossing is the
-       min candidate whose below-count + tag-partitioned local prefix
-       clears the rank. The window is PARTITIONED by tag (bounded
-       per-tag frames — never the unpartitioned data-sized shape).
+       crossing value; targets sharing a value column share ONE sketch
+       queried at all their fractions (the sketch build is the pass's
+       per-row cost; k builds of the same column were identical);
+    2. one pass emits, per tag: the row's value when inside the
+       bracket, or a per-tag NULL sentinel when strictly below the
+       bracket floor (rows above emit nothing). The partial (map-side)
+       aggregate collapses every sentinel to one (tag, NULL) key, so
+       the explode's extra entries never reach the shuffle. With
+       NULLS-FIRST ordering, the tag-partitioned prefix window reads
+       the below-count off the sentinel row — the crossing is the min
+       non-NULL candidate whose prefix clears the rank, and the old
+       separate below-count scan is gone. The window stays PARTITIONED
+       by tag (bounded per-tag frames — never the unpartitioned
+       data-sized shape); the sentinel row itself can never be
+       selected (its prefix is the below-count, which is < rank by the
+       bracket guarantee) and is filtered explicitly anyway.
 
     Args: ``targets`` is ``(tag, value_column, percent)`` per wanted
     value; all value columns must share one Spark dtype (they ride one
@@ -401,61 +410,73 @@ def exact_pct_values(
     j_cols = {tag: f"_v_{tag}" for tag, _, _ in targets}
     # Original columns stay visible so ``extra`` aggregates can
     # reference them; Catalyst prunes unused ones per subtree, so the
-    # below/candidate passes still scan only the target columns.
+    # candidate pass still scans only the target columns.
     wide = df.select(
         "*", *[col.alias(j_cols[tag]) for tag, col, _ in targets]
     )
     sel = wide.select(*j_cols.values())
-    br = F.broadcast(
-        wide.agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            *[
-                F.percentile_approx(
-                    F.col(j_cols[tag]).cast("double"),
-                    F.array(
-                        F.lit(max(p / 100.0 - mgn, 0.0)),
-                        F.lit(min(p / 100.0 + mgn, 1.0)),
-                    ),
-                    F.lit(acc),
-                ).alias(f"_b_{tag}")
-                for tag, _, p in targets
-            ],
-            *extra,
-        )
-    )
-    j = sel.crossJoin(br)
-    below = F.broadcast(
-        j.agg(
-            *[
-                F.sum(
-                    F.when(
-                        F.col(j_cols[tag]).cast("double")
-                        < F.col(f"_b_{tag}")[0],
-                        1,
-                    ).otherwise(0)
-                )
-                .cast("long")
-                .alias(f"_below_{tag}")
-                for tag, _, _ in targets
+    # ONE GK sketch per distinct value column (r12 continuation):
+    # targets sharing a column ride a single percentile_approx call
+    # carrying ALL their bracket fractions in one array — k queries of
+    # one sketch instead of k sketch builds, and the per-row sketch
+    # update is the dominant cost of this pass. The k independently
+    # built sketches were bit-identical objects (same rows, same
+    # deterministic GK updates), so the brackets — and a fortiori the
+    # exact selected values, which only need the bracket to CONTAIN
+    # the crossing — are unchanged.
+    grp: dict[str, list[str]] = {}
+    for tag, col, _ in targets:
+        grp.setdefault(str(col), []).append(tag)
+    p_of = {tag: p for tag, _, p in targets}
+    sk_aggs, rebuild = [], []
+    for gi, tags in enumerate(grp.values()):
+        fr: list[float] = []
+        for t in tags:
+            fr += [
+                max(p_of[t] / 100.0 - mgn, 0.0),
+                min(p_of[t] / 100.0 + mgn, 1.0),
             ]
+        sk_aggs.append(
+            F.percentile_approx(
+                F.col(j_cols[tags[0]]).cast("double"),
+                F.array(*[F.lit(x) for x in fr]),
+                F.lit(acc),
+            ).alias(f"_bg_{gi}")
         )
+        for i, t in enumerate(tags):
+            rebuild.append(
+                F.array(
+                    F.col(f"_bg_{gi}")[2 * i],
+                    F.col(f"_bg_{gi}")[2 * i + 1],
+                ).alias(f"_b_{t}")
+            )
+    br_raw = wide.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), *sk_aggs, *extra
     )
+    extra_cols = [
+        c for c in br_raw.columns if c != "n" and not c.startswith("_bg_")
+    ]
+    br = F.broadcast(br_raw.select("n", *rebuild, *extra_cols))
+    j = sel.crossJoin(br)
+
+    def _below_floor(tag: str) -> Column:
+        return F.col(j_cols[tag]).cast("double") < F.col(f"_b_{tag}")[0]
+
+    def _in_bracket(tag: str) -> Column:
+        return (
+            F.col(j_cols[tag]).cast("double") >= F.col(f"_b_{tag}")[0]
+        ) & (F.col(j_cols[tag]).cast("double") <= F.col(f"_b_{tag}")[1])
+
     cand_arr = F.filter(
         F.array(
             *[
                 F.struct(
                     F.lit(tag).alias("tag"),
-                    F.col(j_cols[tag]).alias("v"),
-                    (
-                        (
-                            F.col(j_cols[tag]).cast("double")
-                            >= F.col(f"_b_{tag}")[0]
-                        )
-                        & (
-                            F.col(j_cols[tag]).cast("double")
-                            <= F.col(f"_b_{tag}")[1]
-                        )
-                    ).alias("keep"),
+                    # NULL = the per-tag below-floor sentinel bucket
+                    F.when(_in_bracket(tag), F.col(j_cols[tag])).alias(
+                        "v"
+                    ),
+                    (_in_bracket(tag) | _below_floor(tag)).alias("keep"),
                 )
                 for tag, _, _ in targets
             ]
@@ -469,30 +490,29 @@ def exact_pct_values(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint(eager=False)  # bounded bracket window
     )
-    loc = (
-        cands.select(
-            "tag",
-            "v",
-            F.sum("cnt")
-            .over(
-                W.partitionBy("tag")
-                .orderBy("v")
-                .rowsBetween(W.unboundedPreceding, 0)
-            )
-            .cast("long")
-            .alias("loc"),
+    loc = cands.select(
+        "tag",
+        "v",
+        F.sum("cnt")
+        .over(
+            W.partitionBy("tag")
+            .orderBy(F.col("v").asc_nulls_first())
+            .rowsBetween(W.unboundedPreceding, 0)
         )
-        .crossJoin(below)
-        .crossJoin(F.broadcast(br.select("n")))
-    )
+        .cast("long")
+        .alias("loc"),
+    ).crossJoin(F.broadcast(br.select("n")))
     cross = F.when(F.lit(False), F.lit(None))
     for tag, _, p in targets:
         cross = cross.when(
             F.col("tag") == tag,
-            F.col(f"_below_{tag}") + F.col("loc")
-            >= F.expr(f"CAST((n * {p} + 99) DIV 100 AS BIGINT)"),
+            F.col("loc") >= F.expr(f"CAST((n * {p} + 99) DIV 100 AS BIGINT)"),
         )
-    bounds = loc.filter(cross).groupBy("tag").agg(F.min("v").alias("v"))
+    bounds = (
+        loc.filter(F.col("v").isNotNull() & cross)
+        .groupBy("tag")
+        .agg(F.min("v").alias("v"))
+    )
     thr = bounds.groupBy().agg(
         *[
             F.max(F.when(F.col("tag") == tag, F.col("v"))).alias(tag)

@@ -127,6 +127,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ewd itself stays unmaterialized: with pairs checkpointed the
     # edges→deg recompute above it is cheap, and the r12 A/B measured
     # checkpointing ewd as neutral-to-worse (extra data-sized blocks).
+    # The r12 continuation re-tested this with the full key layout —
+    # repartition("u") [+ sortWithinPartitions] + lazy localCheckpoint
+    # so every round's join could reuse the edge-side partitioning and
+    # only exchange the node-sized rank frame — and the interleaved
+    # sf0.1 A/B/C still said NO: old 3.71 s median vs 5.12 (checkpoint)
+    # / 4.94 (repartition only). With AQE the per-round join already
+    # broadcasts the node-sized rank frame and exchange reuse dedupes
+    # the ewd subtree, so the co-partition layout only adds its own
+    # serial materialization barrier.
     ewd = edges.join(deg, "u")
 
     r = nodes.crossJoin(F.broadcast(base)).select(

@@ -1894,9 +1894,10 @@ def q_agg_winsorized_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (r12): clamp bounds from the approx-bracket + exact
     local-refine device — percentile_approx brackets each target rank
-    in-plan (no collect), one conditional pass counts rows below each
-    bracket floor, and the exact crossing is read off a tag-partitioned
-    window over the BOUNDED bracket window (12/acc of n ranks). The
+    in-plan (no collect), ONE pass buckets below-floor rows into a
+    per-tag sentinel and emits in-bracket candidates, and the exact
+    crossing is read off a tag-partitioned NULLS-FIRST prefix window
+    over the BOUNDED bracket window (12/acc of n ranks). The
     r11 form built the full distinct-value dist_cumsum spine, which
     for a money column is a data-sized shuffle plus a data-sized
     localCheckpoint (the r11-ADVICE hazard) just to read four
@@ -1911,143 +1912,29 @@ def q_agg_winsorized_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
 
-    # EXACT rank crossings WITHOUT the distinct-value spine (r12 perf
-    # pass). The r11 form built dist_cumsum over the stacked distinct
-    # values — but l_extendedprice is money, so that spine is
-    # ~|rows| distinct values (583k at sf0.1, measured 6.1 s of the
-    # query's ~10 s) shuffled and materialized just to read FOUR
-    # crossings off it. Replacement: the approx-bracket + exact local
-    # refine device. percentile_approx (ε = 1/acc rank error,
-    # in-plan, NO driver collect) brackets each target rank from both
-    # sides with ±5/acc margins; one conditional pass counts rows
-    # strictly below each bracket floor; the candidate set = distinct
-    # values inside the bracket (≤ ~12/acc·n ranks wide — hundreds of
-    # rows at any tested sf), and the crossing is the min candidate
-    # whose below-count + bounded triangular local prefix clears the
-    # rank. Every published value is still a SELECTED data value at
-    # the same exact integer rank — the oracle is unchanged. At
-    # extreme n, re-bracket once within the candidate range (window
-    # shrinks ~quadratically, n·ε → n·ε²); one round is exact-and-fast
-    # for every tested scale.
-    _ACC = 2_000  # GK sketch cost ~ 1/ε: acc 10000 measured 4.1 s for
-    # the 4-probe agg at sf0.1, acc 2000 measures 1.0 s; the price is a
-    # wider candidate window (12/acc of n ranks ≈ 3.6k values at
-    # sf0.1), which the tag-partitioned window prefix below absorbs in
-    # one bounded per-tag frame.
-    _MGN = 5.0 / _ACC
-    # targets: (tag, source column, percentile)
-    tgts = [
-        ("x_lo", "l_extendedprice", 5),
-        ("x_hi", "l_extendedprice", 95),
-        ("y_lo", "l_quantity", 5),
-        ("y_hi", "l_quantity", 95),
-    ]
-    br = F.broadcast(
-        li.agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            *[
-                F.percentile_approx(
-                    F.col(col).cast("double"),
-                    F.array(
-                        F.lit(max(p / 100.0 - _MGN, 0.0)),
-                        F.lit(min(p / 100.0 + _MGN, 1.0)),
-                    ),
-                    F.lit(_ACC),
-                ).alias(f"b_{tag}")
-                for tag, col, p in tgts
-            ],
-        )
-    )
-    j = li.select(
-        F.col("l_extendedprice").cast("double").alias("vx"),
-        F.col("l_quantity").cast("double").alias("vy"),
-    ).crossJoin(br)
-
-    def vcol(tag):
-        return F.col("vx") if tag.startswith("x") else F.col("vy")
-
-    below = F.broadcast(
-        j.agg(
-            *[
-                F.sum(
-                    F.when(vcol(tag) < F.col(f"b_{tag}")[0], 1).otherwise(0)
-                )
-                .cast("long")
-                .alias(f"below_{tag}")
-                for tag, _, _ in tgts
-            ]
-        )
-    )
-    # candidate rows: (tag, v, cnt) for every value inside its target's
-    # bracket — one pass, emitted via a filtered explode so a row costs
-    # only the targets it actually matches (usually zero)
-    cand_arr = F.filter(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(tag).alias("tag"),
-                    vcol(tag).alias("v"),
-                    (
-                        (vcol(tag) >= F.col(f"b_{tag}")[0])
-                        & (vcol(tag) <= F.col(f"b_{tag}")[1])
-                    ).alias("keep"),
-                )
-                for tag, _, _ in tgts
-            ]
-        ),
-        lambda s: s["keep"],
-    )
-    cands = (
-        j.select(F.explode(cand_arr).alias("s"))
-        .select("s.tag", "s.v")
-        .groupBy("tag", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint(eager=False)  # bounded bracket window, 2 reads
-    )
-    # exact local prefix over each target's candidate window: the
-    # window is PARTITIONED by tag (4 real partitions — never the
-    # unpartitioned single-partition shape the windows audit bans) and
-    # each partition is the bracket window, bounded at 12/acc of n
-    # ranks by the sketch guarantee — not a data-sized frame. (At
-    # extreme n where 12n/acc itself gets large, re-bracket once
-    # inside the window — n·ε → n·ε² — before paying a bigger task.)
-    loc = (
-        cands.select(
-            "tag",
-            "v",
-            F.sum("cnt")
-            .over(
-                W.partitionBy("tag")
-                .orderBy("v")
-                .rowsBetween(W.unboundedPreceding, 0)
-            )
-            .cast("long")
-            .alias("loc"),
-        )
-        .crossJoin(below)
-        .crossJoin(F.broadcast(br.select("n")))
-    )
-    rank = {tag: _rank_at(p, "n") for tag, _, p in tgts}
-    cross = F.when(F.lit(False), F.lit(None))
-    for tag, _, _ in tgts:
-        cross = cross.when(
-            F.col("tag") == tag,
-            F.col(f"below_{tag}") + F.col("loc") >= rank[tag],
-        )
-    bounds = (
-        loc.filter(cross)
-        .groupBy("tag")
-        .agg(F.min("v").alias("v"))
-    )
+    # EXACT rank crossings via the shared approx-bracket + exact
+    # local-refine device (_util.exact_pct_values — this query is
+    # where the device was born; the r12 continuation migrated it onto
+    # the shared, below-count-fused form, dropping one full scan and
+    # the duplicated inline copy). The r11 form built dist_cumsum over
+    # the stacked distinct values — but l_extendedprice is money, so
+    # that spine is ~|rows| distinct values (583k at sf0.1, measured
+    # 6.1 s of the query's ~10 s) shuffled and materialized just to
+    # read FOUR crossings off it. Every published value is still a
+    # SELECTED data value at the same exact integer rank — the oracle
+    # is unchanged. The thresholds now keep the source decimal dtype
+    # (the device selects values in their original type); clamping at
+    # the same ≤2-decimal money values yields bit-identical sums.
     thr = F.broadcast(
-        bounds.groupBy().agg(
-            *[
-                F.max(F.when(F.col("tag") == tag, F.col("v"))).alias(
-                    tag.replace("_", "")
-                )
-                for tag, _, _ in tgts
-            ]
-        )
+        exact_pct_values(
+            li.select("l_extendedprice", "l_quantity"),
+            [
+                ("xlo", F.col("l_extendedprice"), 5),
+                ("xhi", F.col("l_extendedprice"), 95),
+                ("ylo", F.col("l_quantity"), 5),
+                ("yhi", F.col("l_quantity"), 95),
+            ],
+        ).select("xlo", "xhi", "ylo", "yhi")
     )
     w = li.crossJoin(thr).select(
         "l_returnflag",
