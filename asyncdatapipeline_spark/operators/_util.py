@@ -453,6 +453,13 @@ def exact_pct_values(
     br_raw = wide.agg(
         F.count(F.lit(1)).cast("long").alias("n"), *sk_aggs, *extra
     )
+    # NOTE (measured, r12): this 1-row frame is referenced three times
+    # with different prunings (full brackets / n only / n+extras), so
+    # the fact table is scanned by pruned twins Catalyst cannot dedupe.
+    # A lazy localCheckpoint here to share one evaluation measured
+    # SLOWER in an interleaved sf0.1 A/B (2.16 → 2.40 s device median):
+    # the pruned twins skip the sketch build and run in parallel, while
+    # the checkpoint serializes the whole device behind one barrier.
     extra_cols = [
         c for c in br_raw.columns if c != "n" and not c.startswith("_bg_")
     ]
