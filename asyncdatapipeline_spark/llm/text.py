@@ -4201,9 +4201,18 @@ def q_text_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode("ws").alias("word"))
         .filter(F.col("word") != "")
     )
-    nt = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("nt")
-    )
+    # r13 (guide §1.2 fewer passes): per-doc token counts are ROW-LOCAL
+    # — size(filter(ws)) on the un-exploded array — so the old second
+    # explode + tokens→doc_id shuffle is gone; documents is one row per
+    # doc, no aggregation needed at all. A doc whose every word is
+    # empty now appears with nt=0 instead of being absent: its spine
+    # row repeats the previous cumulative values and can never be the
+    # min-struct pick of a crossing (ties resolve to the EARLIEST
+    # doc_id at the same cum_nt), so the published rows are identical.
+    # The token total likewise folds map-side off the same row-local
+    # count — the old form re-evaluated the nt⋈nv join for it.
+    nwords = F.size(F.filter("ws", lambda w: w != ""))
+    nt = d.select("doc_id", nwords.cast("long").alias("nt"))
     nv = (
         tok.groupBy("word")
         .agg(F.min("doc_id").alias("fd"))
@@ -4214,7 +4223,7 @@ def q_text_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "nt", F.coalesce("nv", F.lit(0)).cast("long").alias("nv")
     )
     cum = dist_cumsum(per, "doc_id", ["nt", "nv"])
-    tot = F.broadcast(per.agg(F.sum("nt").cast("long").alias("t")))
+    tot = F.broadcast(nt.agg(F.sum("nt").cast("long").alias("t")))
     dec = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
     crossed = (
         cum.crossJoin(tot)

@@ -355,6 +355,7 @@ def exact_pct_values(
     *,
     acc: int = 2_000,
     extra: Sequence[Column] = (),
+    rank_exprs: dict[str, str] | None = None,
 ) -> DataFrame:
     """EXACT percentile VALUE selection without the distinct-value
     spine: the approx-bracket + exact local-refine device, extracted
@@ -397,7 +398,21 @@ def exact_pct_values(
     value; all value columns must share one Spark dtype (they ride one
     exploded struct array). ``extra`` aggregates are appended to the
     first pass (e.g. ``F.min(col)``/``F.max(col)`` riders) so callers
-    don't pay a fourth pass. Returns a ONE-ROW frame with ``n`` (long),
+    don't pay a fourth pass.
+
+    ``rank_exprs`` (r13, the q_agg_moods_median ask): an optional
+    ``{tag: sql_expr_of_n}`` map replacing that tag's integer rank
+    ``ceil(p·n/100)`` with an arbitrary in-plan expression of the total
+    count ``n`` (e.g. ``"n DIV 2 + 1"``, the parity-exact grand-median
+    rank). The tag's ``percent`` is still used for BRACKETING, so the
+    caller contract is ``p·n/100 − 1 ≤ rank(n) ≤ p·n/100 + 1`` for all
+    n ≥ 1 (a ±1-rank parity offset, not an arbitrary rank). Safety at
+    small n: the GK margin only covers a +1-rank offset when
+    ``4·n/acc ≥ 1``, so for ``n < acc/4`` the rank-mode bracket CEILING
+    widens to the sketch's exact maximum (fraction 1.0) — the candidate
+    set is then ≤ n < acc/4 rows, still bounded. The floor needs no
+    widening: rows strictly below it number < p·n/100 − 1 ≤ rank for
+    every n (the GK floor guarantee absorbs the −1 offset). Returns a ONE-ROW frame with ``n`` (long),
     one column per tag holding the selected value, and the extras —
     broadcast it onto whatever needs the bounds. NULLs in value
     columns are not supported (same contract as the spine form);
@@ -406,6 +421,19 @@ def exact_pct_values(
     yield NULL bounds, never a crash.
     """
     targets = list(targets)
+    # Entry contract (ADVICE r12): tag/extra handling downstream is
+    # prefix-based, so collisions would silently drop or duplicate
+    # columns instead of erroring. Enforce uniqueness and the reserved
+    # names ('n', '_b_*', '_bg_*', '_v_*') here, loudly.
+    tags = [tag for tag, _, _ in targets]
+    if len(set(tags)) != len(tags):
+        raise ValueError(f"exact_pct_values: duplicate tags {tags}")
+    reserved = ("_b_", "_bg_", "_v_")
+    for tag in tags:
+        if tag == "n" or any(tag.startswith(r) for r in reserved):
+            raise ValueError(
+                f"exact_pct_values: tag {tag!r} uses a reserved name"
+            )
     mgn = 5.0 / acc
     j_cols = {tag: f"_v_{tag}" for tag, _, _ in targets}
     # Original columns stay visible so ``extra`` aggregates can
@@ -424,30 +452,59 @@ def exact_pct_values(
     # deterministic GK updates), so the brackets — and a fortiori the
     # exact selected values, which only need the bracket to CONTAIN
     # the crossing — are unchanged.
+    #
+    # Sharing contract (ADVICE r12): the group key is str(Column) and
+    # the group's sketch aggregates the FIRST tag's aliased column —
+    # targets may share a sketch ONLY when they pass the identical
+    # DETERMINISTIC expression (same Column graph ⇒ same stringified
+    # form ⇒ same values row-for-row). A non-deterministic expression
+    # would make even "the same" column diverge between the sketch and
+    # candidate passes — that is already outside the device's contract
+    # (the bracket must describe the very values the candidate pass
+    # sees), not a new restriction introduced by the grouping.
+    rank_exprs = dict(rank_exprs or {})
+    unknown = set(rank_exprs) - set(tags)
+    if unknown:
+        raise ValueError(
+            f"exact_pct_values: rank_exprs for unknown tags {sorted(unknown)}"
+        )
     grp: dict[str, list[str]] = {}
     for tag, col, _ in targets:
         grp.setdefault(str(col), []).append(tag)
     p_of = {tag: p for tag, _, p in targets}
     sk_aggs, rebuild = [], []
-    for gi, tags in enumerate(grp.values()):
+    for gi, gtags in enumerate(grp.values()):
         fr: list[float] = []
-        for t in tags:
+        for t in gtags:
             fr += [
                 max(p_of[t] / 100.0 - mgn, 0.0),
                 min(p_of[t] / 100.0 + mgn, 1.0),
             ]
+        # Rank-mode tags may need the exact max as a widened ceiling at
+        # small n (see rank_exprs in the docstring); query it off the
+        # same sketch, appended so the 2i/2i+1 index math is untouched.
+        max_idx = None
+        if any(t in rank_exprs for t in gtags):
+            max_idx = len(fr)
+            fr.append(1.0)
         sk_aggs.append(
             F.percentile_approx(
-                F.col(j_cols[tags[0]]).cast("double"),
+                F.col(j_cols[gtags[0]]).cast("double"),
                 F.array(*[F.lit(x) for x in fr]),
                 F.lit(acc),
             ).alias(f"_bg_{gi}")
         )
-        for i, t in enumerate(tags):
+        for i, t in enumerate(gtags):
+            ceil_col = F.col(f"_bg_{gi}")[2 * i + 1]
+            if t in rank_exprs:
+                ceil_col = F.when(
+                    F.col("n") < F.lit(acc // 4),
+                    F.col(f"_bg_{gi}")[max_idx],
+                ).otherwise(ceil_col)
             rebuild.append(
                 F.array(
                     F.col(f"_bg_{gi}")[2 * i],
-                    F.col(f"_bg_{gi}")[2 * i + 1],
+                    ceil_col,
                 ).alias(f"_b_{t}")
             )
     br_raw = wide.agg(
@@ -460,6 +517,22 @@ def exact_pct_values(
     # SLOWER in an interleaved sf0.1 A/B (2.16 → 2.40 s device median):
     # the pruned twins skip the sketch build and run in parallel, while
     # the checkpoint serializes the whole device behind one barrier.
+    # Shape check (ADVICE r12): an ``extra`` aggregate aliased 'n' or
+    # '_bg_*'/'_b_*' (or colliding with a tag) would be silently
+    # misclassified by the prefix-based column splits below — error
+    # instead.
+    expected = 1 + len(sk_aggs) + len(list(extra))
+    bad = [
+        c
+        for c in br_raw.columns[1 + len(sk_aggs):]
+        if c == "n" or c.startswith(("_bg_", "_b_")) or c in j_cols
+    ]
+    if len(br_raw.columns) != expected or bad:
+        raise ValueError(
+            "exact_pct_values: extra aggregates must carry unique "
+            f"aliases outside the reserved names; offenders: {bad}, "
+            f"columns: {br_raw.columns}"
+        )
     extra_cols = [
         c for c in br_raw.columns if c != "n" and not c.startswith("_bg_")
     ]
@@ -511,9 +584,10 @@ def exact_pct_values(
     ).crossJoin(F.broadcast(br.select("n")))
     cross = F.when(F.lit(False), F.lit(None))
     for tag, _, p in targets:
+        rank_sql = rank_exprs.get(tag, f"(n * {p} + 99) DIV 100")
         cross = cross.when(
             F.col("tag") == tag,
-            F.col("loc") >= F.expr(f"CAST((n * {p} + 99) DIV 100 AS BIGINT)"),
+            F.col("loc") >= F.expr(f"CAST(({rank_sql}) AS BIGINT)"),
         )
     bounds = (
         loc.filter(F.col("v").isNotNull() & cross)

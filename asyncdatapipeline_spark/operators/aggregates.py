@@ -21,6 +21,7 @@ from asyncdatapipeline_spark.operators._util import (
     davg,
     dist_cumsum,
     dsum,
+    exact_pct_values,
     sql_davg,
     sql_dsum,
 )
@@ -2275,15 +2276,100 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Fold the broadcast x ranks per y on the RAW frame: ty and Σ rx2 —
     # after this no frame larger than |distinct y| exists in the plan.
+    #
+    # r13 perf pass (guide §2.4 "two operations keyed the same way can
+    # share one exchange"): the dist_cumsum(ycell) form paid TWO
+    # near-data-sized exchanges (the y groupBy, then the device's _pid
+    # hash for its offset window) plus a near-data-sized localCheckpoint
+    # pin of ycell (the device evaluates its input for boundaries /
+    # per-bucket totals / the main path). The fused spine below derives
+    # everything the device computed from the RAW frame instead:
+    #
+    # - bucket BOUNDARIES from a map-side GK sketch over raw y (any
+    #   deterministic value→bucket map is exact; equi-depth over raw
+    #   rows ≈ over distinct values since y is near-unique);
+    # - per-bucket OFFSETS from a map-side count of raw rows per bucket
+    #   (Σ ty over the bucket's distinct values IS the bucket's raw row
+    #   count) + the device's triangular broadcast prefix;
+    # - the main path repartitions by _pid ONCE: the (_pid, y) groupBy
+    #   and the _pid-partitioned running window both reuse that single
+    #   exchange (ClusteredDistribution satisfied by the _pid hash), so
+    #   ONE data-sized exchange total and NO data-sized checkpoint.
+    #
+    # _YNP = 256 bucket keys (not 32): the single exchange hashes whole
+    # buckets into shuffle partitions, and guide §2.5 wants the key
+    # space well above the partition count so the spread is even;
+    # the triangular offset join stays trivially bounded (256² pairs).
+    _YNP = 256
+    yproxy = F.col("y").cast("double")
+    ybnds = t.agg(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.coalesce(
+                        F.percentile_approx(
+                            yproxy,
+                            F.array(
+                                *[
+                                    F.lit(i / _YNP)
+                                    for i in range(1, _YNP)
+                                ]
+                            ),
+                            F.lit(10_000),
+                        ),
+                        F.array(),
+                    ),
+                    lambda b: b.isNotNull(),
+                )
+            )
+        ).alias("_bnds")
+    )
+    ybucket = F.when(
+        F.size("_bnds") > 0,
+        F.aggregate(
+            "_bnds",
+            F.lit(0),
+            lambda acc, b: acc + F.when(yproxy > b, 1).otherwise(0),
+        ),
+    ).otherwise(bounded_part(yproxy))
+    yper = (
+        t.crossJoin(F.broadcast(ybnds))
+        .groupBy(ybucket.alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("_t"))
+    )
+    yoffs = (
+        yper.alias("a")
+        .join(
+            F.broadcast(yper.alias("b")),
+            F.col("b._pid") < F.col("a._pid"),
+            "left",
+        )
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._t"), F.lit(0)).alias("_o"))
+    )
     ycell = (
         t.join(F.broadcast(xs.select("x", "rx2")), "x")
-        .groupBy("y")
+        .crossJoin(F.broadcast(ybnds))
+        .withColumn("_pid", ybucket)
+        .repartition(F.col("_pid"))
+        .groupBy("_pid", "y")
         .agg(
             F.count(F.lit(1)).alias("ty"),
             F.sum(F.col("rx2").cast(big)).alias("a1"),
         )
+        .join(F.broadcast(yoffs), "_pid")
     )
-    ys = dist_cumsum(ycell, "y", ["ty"])
+    ywin = (
+        W.partitionBy("_pid")
+        .orderBy("y")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ys = ycell.select(
+        "y",
+        "ty",
+        "a1",
+        (F.sum("ty").over(ywin) + F.col("_o")).alias("cum_ty"),
+    )
     ry2 = (2 * F.col("cum_ty") - F.col("ty") + 1).cast("long").cast(big)
     ystat = ys.agg(
         F.sum(F.col("ty").cast(big) * ry2).alias("sy"),
@@ -6295,6 +6381,13 @@ def q_ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LightGBM recipe.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # r13 (guide §1.2): the histogram grid is the query's ONLY raw-data
+    # pass by design, but the plan referenced it from tot / c1 / the
+    # residual path / c2 — each reference a fresh lineitem scan +
+    # groupBy Catalyst cannot dedupe. One lazy localCheckpoint (≤50
+    # rows — |distinct l_quantity| is a dimension) materializes it
+    # inside this query's first action; every later stage reads the
+    # bounded grid. Same doctrine as the graph loops' loop-state reads.
     g = li.groupBy(F.col("l_quantity").alias("x")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias("sy"),
@@ -6303,7 +6396,7 @@ def q_ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(38,6)"
             )
         ).alias("syy"),
-    )
+    ).localCheckpoint(eager=False)
     tot = F.broadcast(
         g.agg(
             F.sum("n").cast("long").alias("nn"),
@@ -7452,21 +7545,29 @@ def q_agg_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     full values — the three-step robustness ladder, and this rung
     survives even ordinal-censored data).
 
-    Scale shape: the grand median is exact, off the same
-    distinct-value ``dist_cumsum`` spine as q_agg_kruskal (the
-    2·cum ≥ N+1 pick stays integer); it broadcasts as one row; the
-    k×2 contingency is a single conditional map-combinable reduce,
-    and the chi-square is a bounded-cell closed form (9dp-snapped
-    DECIMAL terms, order-free).
+    Scale shape (r13): the grand median is exact, selected by the
+    shared approx-bracket + exact local-refine device
+    (``_util.exact_pct_values``) at the PARITY-EXACT integer rank
+    ``n DIV 2 + 1`` = ceil((n+1)/2) — the ``rank_exprs`` extension
+    retired this query's former distinct-value ``dist_cumsum`` spine
+    (a data-sized shuffle + checkpoint just to read one crossing; the
+    stated blocker was the device's percent-only interface, and the
+    n-parity rank is computable in-plan from n). The rank pick
+    ``min(v | cum ≥ n DIV 2 + 1)`` is identical to the oracle's
+    ``min(v | 2·cum ≥ n+1)``: both sides are integers, and
+    2·cum ≥ n+1 ⟺ cum ≥ (n+1)/2 ⟺ cum ≥ floor(n/2)+1 for either
+    parity. The median broadcasts as one row; the k×2 contingency is
+    a single conditional map-combinable reduce, and the chi-square is
+    a bounded-cell closed form (9dp-snapped DECIMAL terms,
+    order-free). Oracle unchanged (it keeps the spine CTE).
     """
     e = load_table(spark, sf_dir, "events")
-    per_v = e.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("tie"))
-    per_v = dist_cumsum(per_v, "value", ["tie"])
-    tot = F.broadcast(per_v.agg(F.sum("tie").cast("long").alias("n")))
     med = F.broadcast(
-        per_v.crossJoin(tot)
-        .filter(2 * F.col("cum_tie") >= F.col("n") + 1)
-        .agg(F.min("value").alias("med"))
+        exact_pct_values(
+            e,
+            [("med", F.col("value"), 50)],
+            rank_exprs={"med": "n DIV 2 + 1"},
+        ).select(F.col("med"))
     )
     per_g = (
         e.crossJoin(med)

@@ -616,24 +616,36 @@ def basket_pairs(
     instance; measured sf0.1 warm: 3.0 → 1.9 s for the build
     (identical pair sets, bit-for-bit).
 
-    Scale contract: the aggregation buffer is one basket's distinct
-    item set — the same per-key group the old self-join shuffled — and
-    the ``slice`` + size filter discard an over-cap basket immediately
-    after the merge (the llm/dedup.py ``_BUCKET_CAP`` device; the old
-    count-first gate dropped it one join earlier at the price of two
-    more data-sized exchanges). A pathological mega-basket therefore
-    costs one group's buffer, not a pair blowup — the same bounded-
-    per-group exposure as this repo's per-user sequence collects. Pair fan-out is triangular in the
-    CAP, not the basket (≤ cap·(cap+1)/2 per basket, map-side, never
-    through a shuffle). NULL items: ``collect_set`` drops them — the
-    old form also never paired NULLs, but counted them toward basket
-    size; TPC-H part keys are NOT NULL so the gates agree (pinned by
-    the oracle sweep at every sf).
+    Scale contract (r13, the r12 verdict's by-construction bound): a
+    ``dense_rank`` over the SAME key-hash exchange keeps only the
+    cap+1 smallest distinct items per basket BEFORE any set
+    aggregation, so no aggregation buffer ever holds more than cap+1
+    items — the cap+1-th item's presence alone proves the basket is
+    over-cap, exactly what the size gate needs. The r12 form sliced
+    AFTER ``collect_set`` merged the FULL distinct set, so one
+    pathological mega-basket was an unspillable executor-OOM buffer;
+    under the rank pre-filter the mega-basket's rows sit in the
+    window's SPILLABLE per-group buffer instead (a slow task, never an
+    OOM — the old self-join exposure class). The window shares the
+    groupBy's hash exchange (same key), so the exchange count is
+    unchanged; the cost moved from the map-side partial ``collect_set``
+    to one per-partition sort. Pair fan-out stays triangular in the
+    CAP, map-side, never through a shuffle. NULL items are filtered at
+    entry — identical to ``collect_set``'s NULL-dropping (and the
+    basket-size gate counts non-NULL distinct items, as before; TPC-H
+    part keys are NOT NULL so the gates agree, pinned by the oracle
+    sweep at every sf).
     """
-    baskets = df.groupBy(key).agg(
-        F.slice(
-            F.sort_array(F.collect_set(item)), 1, cap + 1
-        ).alias("_items")
+    ranked = (
+        df.filter(F.col(item).isNotNull())
+        .withColumn(
+            "_dr",
+            F.dense_rank().over(W.partitionBy(key).orderBy(item)),
+        )
+        .filter(F.col("_dr") <= cap + 1)
+    )
+    baskets = ranked.groupBy(key).agg(
+        F.sort_array(F.collect_set(item)).alias("_items")
     ).filter(F.size("_items").between(2, cap))
     return (
         baskets.select(

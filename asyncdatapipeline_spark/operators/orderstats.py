@@ -79,8 +79,8 @@ def q_agg_percentile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a driver-sized wall. Each percentile is the first value whose
     cumulative count clears the integer rank ceil(p·n/100), selected
     via the shared approx-bracket + exact local-refine device
-    (``_util.exact_pct_values``, r12 — three bounded passes, no
-    data-sized distinct-value spine: o_totalprice is money, so the
+    (``_util.exact_pct_values``, r12 — two bounded passes since the
+    below-count fusion, no data-sized distinct-value spine: o_totalprice is money, so the
     former ``dist_cumsum`` spine was ~|orders| distinct values
     shuffled and checkpointed to read four crossings). Exact at any
     scale, mergeable at every step; q_agg_approx_quantile remains the
@@ -97,7 +97,7 @@ def q_agg_percentile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crossings. Selected values and integer ranks are identical; the
     # oracle keeps the spine construction. vmin/vmax/n ride the
     # device's first pass as extra aggregates — still no pass over the
-    # fact table beyond the device's three.
+    # fact table beyond the device's two.
     v = F.col("o_totalprice")
     sel = exact_pct_values(
         o,
@@ -1615,12 +1615,25 @@ def q_orders_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("prio"),
         (sday - oday).alias("days"),
     )
-    s = lt.groupBy("prio").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("days").cast("long").alias("sd"),
+    # r13 (guide §1.2 "don't compute things you throw away"): the
+    # per-priority totals used to re-aggregate lt directly — a SECOND
+    # full evaluation of the fact⋈fact join. They are exactly
+    # derivable from the bounded (prio, days) grid instead:
+    # n = Σ cnt, Σ days = Σ days·cnt (all integer, bit-identical), so
+    # the join now runs ONCE. The grid is calendar-bounded (≤ |days| ×
+    # 5 priorities); one lazy localCheckpoint shares it between the
+    # totals and the rank spine (dist_cumsum's own checkpoint is
+    # skipped — same frame, one pin).
+    g = (
+        lt.groupBy("prio", "days")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    g = lt.groupBy("prio", "days").agg(F.count(F.lit(1)).alias("cnt"))
-    c = dist_cumsum(g, "days", ["cnt"], part_cols=["prio"])
+    s = g.groupBy("prio").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("days") * F.col("cnt")).cast("long").alias("sd"),
+    )
+    c = dist_cumsum(g, "days", ["cnt"], part_cols=["prio"], checkpoint=False)
     sel = (
         c.join(F.broadcast(s), "prio")
         .groupBy("prio")
@@ -1750,8 +1763,9 @@ def q_agg_taildep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-PRICE dist_cumsum spine — a data-sized shuffle plus a
     # data-sized localCheckpoint for a money column — just to read two
     # crossings off it. The device selects the SAME data values at the
-    # SAME integer ranks in three bounded passes, both axes riding one
-    # pass set; the oracle keeps the spine construction unchanged.
+    # SAME integer ranks in two bounded passes (below-count fused into
+    # the candidate pass), both axes riding one pass set; the oracle
+    # keeps the spine construction unchanged.
     thr = F.broadcast(
         exact_pct_values(
             li,

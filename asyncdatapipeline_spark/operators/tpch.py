@@ -1589,11 +1589,30 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         F.when(late, 1).otherwise(0).alias("late"),
     )
-    perord = lat.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late") == 1, F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    # r13 (guide §2.3/§2.4): the two countDistincts planned an Expand
+    # (2× every line into the shuffle) plus a second order-keyed
+    # exchange, and the late-lines join branch re-shuffled the fact a
+    # third time. One explicit order-keyed exchange now feeds
+    # EVERYTHING: the (order, supplier) rollup po needs
+    # ClusteredDistribution(ok, sk) — satisfied by hash(ok) — and both
+    # derived frames (the per-order counts and the late-supplier
+    # candidates) stay hash(ok)-partitioned, so their join needs NO
+    # further exchange; the map-side scan under the shared exchange
+    # runs once (ReusedExchange). Late LINES per (order, supplier)
+    # ride the same rollup (Σ late), so the line-level join branch —
+    # and its shuffle — disappear: numwait = Σ n_late_lines over the
+    # qualifying orders' single late supplier, identical arithmetic.
+    po = (
+        lat.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max("late").alias("late_any"),
+            F.sum("late").cast("long").alias("n_late_lines"),
+        )
+    )
+    perord = po.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late_any").alias("n_late_supp"),
     )
     o = (
         load_table(spark, sf_dir, "orders")
@@ -1602,7 +1621,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        lat.filter(F.col("late") == 1)
+        po.filter(F.col("late_any") == 1)
         .join(
             perord,
             (F.col("l_orderkey") == F.col("po_orderkey"))
@@ -1612,7 +1631,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

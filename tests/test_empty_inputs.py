@@ -32,6 +32,7 @@ def empty_sf_dir(spark, sf_dir, tmp_path_factory):
     return str(out)
 
 
+@pytest.mark.heavy
 def test_every_query_survives_empty_inputs(spark, empty_sf_dir):
     failures = []
     for name, fn in registry.all_queries().items():

@@ -10,6 +10,8 @@ threshold at every fixture SF).
 
 from __future__ import annotations
 
+import pytest
+
 from asyncdatapipeline_spark.plans.audit import run_audit
 
 
@@ -20,6 +22,7 @@ def test_all_plan_checks_hold(spark, sf_dir):
     assert not failures, f"plan checks failed: {failures}"
 
 
+@pytest.mark.heavy
 def test_no_unpartitioned_windows_registry_wide(spark, sf_dir):
     """r8 verdict #1: a registry-wide assertion that NO query plans a
     Window/WindowGroupLimit with an empty or all-foldable partition

@@ -34,6 +34,7 @@ def single_row_sf_dir(spark, sf_dir, tmp_path_factory):
     return str(out)
 
 
+@pytest.mark.heavy
 def test_every_query_survives_single_row_inputs(spark, single_row_sf_dir):
     failures = []
     for name, fn in registry.all_queries().items():
