@@ -2296,11 +2296,14 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   exchange (ClusteredDistribution satisfied by the _pid hash), so
     #   ONE data-sized exchange total and NO data-sized checkpoint.
     #
-    # _YNP = 256 bucket keys (not 32): the single exchange hashes whole
-    # buckets into shuffle partitions, and guide §2.5 wants the key
-    # space well above the partition count so the spread is even;
-    # the triangular offset join stays trivially bounded (256² pairs).
-    _YNP = 256
+    # _YNP = 32 buckets, matching dist_cumsum: the bucket id is a
+    # per-row aggregate() fold over the boundary array, so its length
+    # IS the per-row cost of both bucket-computing passes — a 256-entry
+    # array (tried first for key spread, guide §2.5) measured the whole
+    # query at 1.17× in the interleaved two-tree A/B purely from the
+    # 8× fold. At 32 the fold cost matches the old device's exactly and
+    # the win is the removed exchange + removed checkpoint.
+    _YNP = 32
     yproxy = F.col("y").cast("double")
     ybnds = t.agg(
         F.array_sort(
@@ -6381,13 +6384,18 @@ def q_ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LightGBM recipe.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # r13 (guide §1.2): the histogram grid is the query's ONLY raw-data
-    # pass by design, but the plan referenced it from tot / c1 / the
-    # residual path / c2 — each reference a fresh lineitem scan +
-    # groupBy Catalyst cannot dedupe. One lazy localCheckpoint (≤50
-    # rows — |distinct l_quantity| is a dimension) materializes it
-    # inside this query's first action; every later stage reads the
-    # bounded grid. Same doctrine as the graph loops' loop-state reads.
+    # r13 MEASURED REJECTION (guide §1.1 "a fresh implementation of the
+    # ideal plan is usually slower at first"): the plan references this
+    # grid from tot / c1 / the residual path / c2 — each a fresh
+    # lineitem scan + groupBy — so a lazy localCheckpoint of the ≤50-row
+    # grid looked like the obvious §1.2 move. The interleaved two-tree
+    # A/B said NO: head 6.20 s median vs 3.13 s without it (sf0.1,
+    # fresh-session warm medians of 5). The repeated scans run as
+    # INDEPENDENT PARALLEL stages inside one job and overlap on idle
+    # cores, while the checkpoint is a serial barrier that turns the
+    # query into a chain of tiny latency-bound stages. The re-scan
+    # redundancy is CPU, not wall clock, at every scale AQE coalesces
+    # this shape; leave the grid uncheckpointed.
     g = li.groupBy(F.col("l_quantity").alias("x")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias("sy"),
@@ -6396,7 +6404,7 @@ def q_ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(38,6)"
             )
         ).alias("syy"),
-    ).localCheckpoint(eager=False)
+    )
     tot = F.broadcast(
         g.agg(
             F.sum("n").cast("long").alias("nn"),
