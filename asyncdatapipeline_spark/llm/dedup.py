@@ -43,7 +43,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between shuffling hashes and shuffling the corpus.
     md5 is content-addressing here, not security.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallelize=False)
     return (
         d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
         .agg(
@@ -3002,7 +3002,7 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle until the final grouped count), then one map-combinable
     reduce on the canonical key and a TakeOrderedAndProject top-{k}.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallelize=False)
     url = F.concat(
         F.lit("HTTPS://"),
         F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(

@@ -292,7 +292,7 @@ def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the split column is written at ingest and downstream reads partition
     on it.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallelize=False)
     return d.select("doc_id", *split_exprs())
 
 

@@ -59,7 +59,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-shard document order (packing semantics are per-shard by
     construction in a sharded corpus).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallelize=False)
     n_tok = F.size(F.split(F.col("text"), " "))
     w = (
         W.partitionBy("source")

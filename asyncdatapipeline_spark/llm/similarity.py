@@ -3051,7 +3051,7 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid difference and the 12dp-snapped square live on the
     bounded (label, dim) frame; output is label-sized.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", parallelize=False)
     x = e.select(
         "label",
         (F.col("vec_id") % 2).alias("half"),

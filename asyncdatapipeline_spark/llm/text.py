@@ -3470,7 +3470,7 @@ def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the doc mean; a one-token source gets NULL Herdan (ln 1 = 0
     denominator), not a crash.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallelize=False)
     t = d.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -4574,7 +4574,7 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from asyncdatapipeline_spark.operators._util import dist_cumsum
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", parallelize=False)
     w = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
         F.col("word") != ""
     )

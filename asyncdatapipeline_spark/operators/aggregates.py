@@ -1015,7 +1015,7 @@ def q_agg_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     around the exact percentiles (KLL k=200 ⇒ ~1.7% rank error;
     the band is deliberately loose so the boolean is stable).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
     cells = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.kll_sketch_agg_double("l_quantity").alias("sk")
     )
@@ -1379,7 +1379,7 @@ def q_agg_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events", parallelize=False)
     cells = e.groupBy("event_type", F.month("ts").alias("m")).agg(
         F.expr("approx_top_k_accumulate(user_id, 10000)").alias("st")
     )

@@ -1365,7 +1365,7 @@ def q_feature_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_agg_entropy device) and IV terms are decimal-summed so the
     result is partitioning- and order-independent.
     """
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", parallelize=False)
     c = o.groupBy(F.col("o_orderpriority").alias("bin")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(
@@ -1480,8 +1480,8 @@ def q_ml_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE map-combinable pass to four counters per segment; everything
     after is closed-form on the |segments| grid.
     """
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders", parallelize=False)
+    c = load_table(spark, sf_dir, "customer", parallelize=False)
     j = o.join(
         F.broadcast(c.select("c_custkey", "c_mktsegment")),
         o.o_custkey == c.c_custkey,

@@ -92,8 +92,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       micro-unit/op floor leak is identical in both engines and
       irrelevant to ranking.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    # Repair opt-out (r13, measured): the r12 "repair ON is
+    # neutral-to-better here" A/B predates the pairs checkpoint below —
+    # with the loop reading the checkpoint, the scans feed the join's
+    # keyed exchange exactly once and the repair's round-robin is a
+    # pure extra barrier (the standard opt-out class). Interleaved
+    # same-session A/B at sf0.1: ON 4.19 s vs OFF 3.67 s medians.
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
+    o = load_table(spark, sf_dir, "orders", parallelize=False)
     # Materialized ONCE (lazy localCheckpoint, inside this query's own
     # action — nothing persists across runs): the unrolled 3-round plan
     # embeds this join+distinct subtree ~8x (edges, deg, nodes, base,
@@ -120,7 +126,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    nodes = edges.select(F.col("u").alias("node")).distinct()
+    # Node set read off deg (r13): deg's group keys ARE the distinct
+    # edge sources, so the separate distinct aggregate stage is
+    # redundant — one less AQE stage on the serial critical path
+    # (fingerprint-identical output; interleaved A/B 4.44 vs 4.63 s).
+    nodes = deg.select(F.col("u").alias("node"))
     base = nodes.agg(
         F.expr(f"{_PR_SCALE} div count(1)").alias("b")
     )
@@ -1962,8 +1972,8 @@ def q_graph_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized), and the final reduce is a bounded degree-class
     grid of exact integer sums — map-combinable end to end.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
+    o = load_table(spark, sf_dir, "orders", parallelize=False)
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(

@@ -257,7 +257,7 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     date and a 1-row NULL-date spine over zero events, identically in
     both engines.
     """
-    _views(spark, sf_dir, "events")
+    _views(spark, sf_dir, "events", parallelize=False)
     return spark.sql(_RECURSIVE_SPARK_SQL)
 
 

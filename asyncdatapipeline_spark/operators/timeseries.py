@@ -3378,7 +3378,7 @@ def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     without a full 7-day window are excluded, not zero-padded (padding
     biases the trend at both ends).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events", parallelize=False)
     e.createOrReplaceTempView("dec_events")
     return spark.sql(
         f"""
@@ -6461,7 +6461,7 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of whether the table is 10 GB or 100 TB); S, ties and
     the variance numerator are exact integers, z the one IEEE chain.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events", parallelize=False)
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
@@ -7297,7 +7297,7 @@ def q_ts_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     into DECIMAL before summing (order-proof). One closed-form row
     out.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events", parallelize=False)
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
@@ -7435,7 +7435,7 @@ def q_agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate guards: single-day spans and all-zero types emit NULL
     statistics, not a division crash.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events", parallelize=False)
     d = e.groupBy(
         "event_type",
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
@@ -7709,7 +7709,7 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared IEEE |z| key. Degenerate guards: strata with n ≤ 1 or zero
     variance contribute no anomalies (NULL-safe, no division crash).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events", parallelize=False)
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day")
     ).agg(F.count(F.lit(1)).alias("c"))
@@ -9656,7 +9656,7 @@ def q_ts_perm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤6-row-per-group pattern grid. Exact decimal revenue sums make
     every ordinal comparison partitioning-independent.
     """
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", parallelize=False)
     d = o.groupBy(
         F.col("o_orderpriority").alias("grp"),
         F.expr(
@@ -9764,7 +9764,7 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as q_ts_sax's per-series arrays). Groups parallelize
     across the cluster; 10⁶ series = 10⁶ independent folds.
     """
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders", parallelize=False)
     d = o.groupBy(
         F.col("o_orderpriority").alias("grp"),
         F.expr(
@@ -9886,7 +9886,7 @@ def q_ts_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free; lag windows ride bounded-vocab keys over the bounded
     day spine; the solve is closed-form per group.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events", parallelize=False)
     d = e.groupBy(
         "event_type",
         F.expr("cast(floor(unix_timestamp(ts) / 86400) as bigint)").alias(
@@ -10880,7 +10880,7 @@ def q_ts_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine-sized; both reductions are map-combinable and the final
     frame is ONE row.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events", parallelize=False)
     d = e.groupBy(
         F.floor(F.unix_timestamp("ts").cast("double") / 86400)
         .cast("long")
@@ -11033,7 +11033,7 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combinable pass of exact integer/decimal power sums onto the
     bounded event_type grid.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events", parallelize=False)
     w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     g = e.select(
@@ -11170,7 +11170,7 @@ def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd  # noqa: F401  (Arrow batch bridge)
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events", parallelize=False)
     d = e.groupBy(
         "event_type",
         F.floor(F.unix_timestamp("ts").cast("double") / 86400)

@@ -83,13 +83,13 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving both predicates, and the top-10 plans as
     TakeOrderedAndProject on the 6dp grid.
     """
-    c = load_table(spark, sf_dir, "customer").filter(
+    c = load_table(spark, sf_dir, "customer", parallelize=False).filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    o = load_table(spark, sf_dir, "orders").filter(
+    o = load_table(spark, sf_dir, "orders", parallelize=False).filter(
         F.col("o_orderdate") < _ts("1998-03-15 00:00:00")
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False).filter(
         F.col("l_shipdate") > _ts("1998-03-15 00:00:00")
     )
     return (
@@ -125,7 +125,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity), no join, ONE map-combinable decimal sum to a single
     row. If this query shuffles anything, the engine is broken.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False)
     return (
         li.filter(
             (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
@@ -173,18 +173,18 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies after broadcast attachment (map-side), so the only shuffle
     is the final bounded (nation², year) reduce.
     """
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False).filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
     )
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load_table(spark, sf_dir, "customer").select(
+    o = load_table(spark, sf_dir, "orders", parallelize=False).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer", parallelize=False).select(
         "c_custkey", "c_nationkey"
     )
-    s = load_table(spark, sf_dir, "supplier").select(
+    s = load_table(spark, sf_dir, "supplier", parallelize=False).select(
         "s_suppkey", "s_nationkey"
     )
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n = load_table(spark, sf_dir, "nation", parallelize=False).select("n_nationkey", "n_name")
     ns = n.select(
         F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
     )
@@ -356,15 +356,15 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject on the 6dp revenue grid with a custkey
     tiebreak.
     """
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(
+    c = load_table(spark, sf_dir, "customer", parallelize=False)
+    o = load_table(spark, sf_dir, "orders", parallelize=False).filter(
         (F.col("o_orderdate") >= _ts("1997-01-01 00:00:00"))
         & (F.col("o_orderdate") < _ts("1997-04-01 00:00:00"))
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False).filter(
         F.col("l_returnflag") == "R"
     )
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n = load_table(spark, sf_dir, "nation", parallelize=False).select("n_nationkey", "n_name")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -463,11 +463,11 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelated scalar-subquery shape — equality on the 6dp grid so
     both engines keep identical tie sets), supplier dim broadcast.
     """
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = load_table(spark, sf_dir, "lineitem", parallelize=False).filter(
         (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
     )
-    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    s = load_table(spark, sf_dir, "supplier", parallelize=False).select("s_suppkey", "s_name")
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.round(dsum(_rev_col(), "r"), 6).alias("total_revenue"))
@@ -585,14 +585,14 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-row probe), nation broadcasts, and the reduce lands on the
     bounded country grid.
     """
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer", parallelize=False)
     o = (
-        load_table(spark, sf_dir, "orders")
+        load_table(spark, sf_dir, "orders", parallelize=False)
         .filter(F.col("o_orderdate") >= _ts("2000-01-01 00:00:00"))
         .select("o_custkey")
         .distinct()
     )
-    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n = load_table(spark, sf_dir, "nation", parallelize=False).select("n_nationkey", "n_name")
     avg_bal = F.broadcast(
         c.filter(F.col("c_acctbal") > 0.0).agg(
             (
@@ -708,8 +708,8 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     structural test: losing it means the outer join silently
     degraded.
     """
-    c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").filter(
+    c = load_table(spark, sf_dir, "customer", parallelize=False).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders", parallelize=False).filter(
         F.col("o_orderpriority") != "1-URGENT"
     ).select("o_custkey", "o_orderkey")
     c_orders = (

@@ -1586,7 +1586,7 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     min is dominated by that larger size (strict in size, ≤ in
     price). The n² definitional form appears ONLY as the oracle.
     """
-    p = load_table(spark, sf_dir, "part")
+    p = load_table(spark, sf_dir, "part", parallelize=False)
     spine = p.groupBy("p_size").agg(
         F.min("p_retailprice").alias("min_price")
     )

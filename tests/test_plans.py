@@ -89,6 +89,22 @@ REPAIR_OPT_OUTS = [
     "q_orders_croston", "q_tpch_q9", "q_join_dpp",
     "q_text_source_divergence", "q_join_multiway",
     "q_ts_holt_winters", "q_tpch_q18",
+    # r13 additions: the driver-regressed-44 re-verification
+    # (tools/ab_repair.py, interleaved same-session ON/OFF medians,
+    # clean ON-vs-ON control at 0.95-1.04) measured these 33 at
+    # off/on <= 0.90 — all are sub-2 s queries whose scans feed keyed
+    # exchanges or light map work where the repair's round-robin is a
+    # pure extra barrier. Artifact: AB_REPAIR_r13.json.
+    "q_text_lexical_diversity", "q_tpch_q13", "q_ml_odds_ratio",
+    "q_feature_woe", "q_agg_kll", "q_pack_sequences", "q_recursive_cte",
+    "q_tpch_q3", "q_tpch_q10", "q_agg_overdispersion",
+    "q_ts_yule_walker", "q_anomaly_seasonal", "q_tpch_q22", "q_ts_dtw",
+    "q_embed_drift", "q_dedup_url", "q_skyline", "q_ts_perm_entropy",
+    "q_ts_mann_kendall", "q_ts_holt", "q_ts_backtest", "q_tpch_q6",
+    "q_text_vocab_coverage", "q_ts_decompose", "q_dedup_exact",
+    "q_agg_heavy", "q_graph_neighbor_degree", "q_ts_cointegration",
+    "q_tpch_q15", "q_events_burstiness", "q_split_hash",
+    "q_dq_expectations", "q_tpch_q7",
 ]
 
 

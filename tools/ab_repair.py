@@ -63,7 +63,14 @@ def main() -> None:
         fn = registry.get(name).fn
         tables._REPAIR_MAX_BYTES = on_bytes
         plan_on = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        if "RoundRobinPartitioning" not in plan_on:
+        # A lazy localCheckpoint truncates the visible plan at a
+        # Scan ExistingRDD, hiding any repair exchange inside the
+        # checkpointed subtree — only declare the repair inactive when
+        # the WHOLE plan is visible and carries no round-robin.
+        if (
+            "RoundRobinPartitioning" not in plan_on
+            and "ExistingRDD" not in plan_on
+        ):
             out[name] = {"active": False}
             print(f"{name:32s} repair inactive (no RoundRobinPartitioning)")
             continue
