@@ -7430,35 +7430,114 @@ def q_agg_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     get exact midranks and the standard (1 − Σ(t³−t)/(N³−N))
     correction.
 
-    Scale shape (distributed-exact): the rank spine is the DISTINCT
-    value grid — groupBy(value) tie counts → exact cumulative counts
-    via ``dist_cumsum`` (range-partitioned, no single-partition
-    window) → doubled midrank 2·cum − tie + 1 stays BIGINT; per-group
-    rank sums are one co-keyed join + bounded-group reduce; the only
-    doubles are the one-row closed form (R²/n terms 6dp-snapped and
-    DECIMAL-summed so the k-term reduction is order-free).
+    Scale shape (distributed-exact, fused r13): ONE data-sized
+    exchange. The r12 form built the spine with two groupBys (value,
+    then value×type), dist_cumsum's checkpoint + _pid exchange, and a
+    value-keyed join to attach ranks — four-plus data-sized exchanges.
+    The fused device (the q_agg_spearman pattern): bucket boundaries
+    from a map-side GK sketch over RAW values, per-bucket offsets from
+    a map-side raw-row count per bucket, then one explicit
+    ``repartition(_pid)`` that EVERYTHING downstream reuses — the
+    (bucket, value, type) rollup (ClusteredDistribution satisfied by
+    the _pid hash), the per-value tie window, and the cumulative
+    window. The rank-attach join is gone entirely: with a RANGE frame
+    ordered by value, ``sum(cnt)`` includes the current value's PEER
+    rows (every type of that value), so cum_tie reads directly off the
+    (value, type) grid and the doubled midrank 2·cum − tie + 1 stays
+    BIGINT on the same frame. Per-group rank sums are then one bounded
+    reduce; the only doubles are the one-row closed form (R²/n terms
+    6dp-snapped and DECIMAL-summed so the k-term reduction is
+    order-free).
     """
     e = load_table(spark, sf_dir, "events")
-    per_vt = e.groupBy("value", "event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    _KNP = 32
+    vproxy = F.col("value").cast("double")
+    vbnds = e.agg(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.coalesce(
+                        F.percentile_approx(
+                            vproxy,
+                            F.array(
+                                *[F.lit(i / _KNP) for i in range(1, _KNP)]
+                            ),
+                            F.lit(10_000),
+                        ),
+                        F.array(),
+                    ),
+                    lambda b: b.isNotNull(),
+                )
+            )
+        ).alias("_bnds")
     )
-    per_v = e.groupBy("value").agg(F.count(F.lit(1)).cast("long").alias("tie"))
-    per_v = dist_cumsum(per_v, "value", ["tie"])
-    rx2 = 2 * F.col("cum_tie") - F.col("tie") + 1
-    per_g = (
-        per_vt.join(per_v.select("value", "tie", "cum_tie"), "value")
-        .groupBy("event_type")
-        .agg(
-            F.sum(F.col("cnt") * rx2).cast("long").alias("r2"),
-            F.sum("cnt").cast("long").alias("n_i"),
+    vbucket = F.when(
+        F.size("_bnds") > 0,
+        F.aggregate(
+            "_bnds",
+            F.lit(0),
+            lambda acc, b: acc + F.when(vproxy > b, 1).otherwise(0),
+        ),
+    ).otherwise(bounded_part(vproxy))
+    vper = (
+        e.crossJoin(F.broadcast(vbnds))
+        .groupBy(vbucket.alias("_pid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+    )
+    voffs = (
+        vper.alias("a")
+        .join(
+            F.broadcast(vper.alias("b")),
+            F.col("b._pid") < F.col("a._pid"),
+            "left",
         )
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._t"), F.lit(0)).alias("_o"))
     )
+    per_vt = (
+        e.select("value", "event_type")
+        .crossJoin(F.broadcast(vbnds))
+        .withColumn("_pid", vbucket)
+        .repartition(F.col("_pid"))
+        .groupBy("_pid", "value", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .join(F.broadcast(voffs), "_pid")
+    )
+    w_tie = W.partitionBy("_pid", "value")
+    # RANGE frame: peers (all types of the current value) are inside
+    # the frame, so this IS the tie-group-end cumulative count.
+    w_cum = (
+        W.partitionBy("_pid")
+        .orderBy("value")
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    vt = per_vt.select(
+        "event_type",
+        "cnt",
+        F.sum("cnt").over(w_tie).cast("long").alias("tie"),
+        (F.sum("cnt").over(w_cum) + F.col("_o")).cast("long").alias("cum_tie"),
+    )
+    # No checkpoint: vt can be near-data-sized (value is continuous),
+    # and its two consumers share the repartition exchange via AQE
+    # reuse — only the bounded-partition windows re-run.
+    rx2 = 2 * F.col("cum_tie") - F.col("tie") + 1
+    per_g = vt.groupBy("event_type").agg(
+        F.sum(F.col("cnt") * rx2).cast("long").alias("r2"),
+        F.sum("cnt").cast("long").alias("n_i"),
+    )
+    # Σ(t³−t) over DISTINCT values: each value contributes once — its
+    # tie count rides every (value, type) row, so weight the term by
+    # cnt/tie (exact integers: tie divides t³−t's per-row share only
+    # through the final sum — use sum(cnt·(t²−1)) = Σ_v t·(t²−1) since
+    # Σ_type cnt = tie per value).
     ties = F.broadcast(
-        per_v.agg(
-            F.sum(F.col("tie") * F.col("tie") * F.col("tie") - F.col("tie"))
+        vt.agg(
+            F.sum(
+                F.col("cnt") * (F.col("tie") * F.col("tie") - 1)
+            )
             .cast("long")
             .alias("tsum"),
-            F.sum("tie").cast("long").alias("n"),
+            F.sum("cnt").cast("long").alias("n"),
         )
     )
     half = F.col("r2").cast("double") / 2
